@@ -1,0 +1,216 @@
+"""Object-delta encoding and the distributed merge contract.
+
+Every per-document ExtractionStore flushes to a flat stream of
+``(mkey, payload)`` string pairs.  The cross-document merge — the
+reference's God dedup/merge semantics (SURVEY.md §2.4) — is then EXACTLY
+one vectorized aggregate:
+
+    groupby(mkey).aggregate(Max(payload))
+
+because every delta kind is encoded so lexicographic-max-of-payload is its
+merge rule:
+
+    kind           mkey                                    payload / merge
+    -------------  --------------------------------------  ----------------------
+    xtarget        xtarget␟guid                            "prio␟type␟tag_str" — max
+                                                           picks the max-priority
+                                                           type (god.py:377-391)
+    xtarget_attr   xtarget_attr␟guid␟attr_guid             "" — presence (attr union)
+    aspect         aspect␟guid                             json — identical per key
+    aspect_attr    aspect_attr␟guid␟attr_guid              "" — presence
+    link           link␟guid                               json — identical per key
+    link_attr      link_attr␟guid␟attr_guid                "" — presence
+    attribute      attribute␟guid                          json — max(value_json),
+                                                           canonical collision rule
+    connection     connection␟guid                         json — identical per key
+    pin            pin␟guid                                json — identical per key
+    page_object    page_object␟doc␟page␟kind␟guid          "" — presence (set dedup)
+    error          error␟doc␟page␟sev␟md5(msg)             json — identical per key
+
+(␟ is the unit separator \\x1f.)  Attribute membership is normalized into
+its own rows (``*_attr``) instead of being embedded in object payloads —
+this is what makes the shuffle a pure Min/Max exchange with no per-group
+Python, the thing a ``map_groups`` merge would cost at 10^12-doc scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from typing import Any, Iterable
+
+from .spandoc import US
+from .store import ExtractionStore, TYPE_PRIORITY, canonical_json
+
+
+def store_to_deltas(store: ExtractionStore) -> list[tuple[str, str]]:
+    """Flush a (per-document) store into merge-ready delta pairs."""
+    out: list[tuple[str, str]] = []
+    add = out.append
+
+    for a in store.attributes.values():
+        add(
+            (
+                f"attribute{US}{a.guid}",
+                canonical_json(
+                    {"attr_type": a.attr_type, "name": a.name,
+                     "value_json": a.value_json}
+                ),
+            )
+        )
+    for t in store.targets.values():
+        add(
+            (
+                f"xtarget{US}{t.guid}",
+                f"{TYPE_PRIORITY[t.target_type]}{US}{t.target_type}{US}{t.tag_str}",
+            )
+        )
+        for g in t.attr_guids:
+            add((f"xtarget_attr{US}{t.guid}{US}{g}", ""))
+    for asp in store.aspects.values():
+        add(
+            (
+                f"aspect{US}{asp.guid}",
+                canonical_json({"separator": asp.separator, "value": asp.value}),
+            )
+        )
+        for g in asp.attr_guids:
+            add((f"aspect_attr{US}{asp.guid}{US}{g}", ""))
+    for l in store.links.values():
+        add(
+            (
+                f"link{US}{l.guid}",
+                canonical_json(
+                    {
+                        "name": l.name,
+                        "connection_guid": l.connection_guid,
+                        "src_pin_name": l.src_pin_name,
+                        "dst_pin_name": l.dst_pin_name,
+                    }
+                ),
+            )
+        )
+        for g in l.attr_guids:
+            add((f"link_attr{US}{l.guid}{US}{g}", ""))
+    for c in store.connections.values():
+        add(
+            (
+                f"connection{US}{c.guid}",
+                canonical_json(
+                    {
+                        "src_guid": c.src_guid,
+                        "dst_guid": c.dst_guid,
+                        "through_guid": c.through_guid,
+                    }
+                ),
+            )
+        )
+    for p in store.pins.values():
+        add(
+            (
+                f"pin{US}{p.guid}",
+                canonical_json(
+                    {"name": p.name, "role": p.role, "chain": p.chain,
+                     "link_guid": p.link_guid}
+                ),
+            )
+        )
+    for d, pno, kind, guid in set(store.mapping_log):
+        if kind == "error":
+            continue  # errors carry their own richer delta below
+        add((f"page_object{US}{d}{US}{pno}{US}{kind}{US}{guid}", ""))
+    for d, pno, sev, msg in set(store.error_log):
+        h = hashlib.md5(msg.encode()).hexdigest()
+        add(
+            (
+                f"error{US}{d}{US}{pno}{US}{sev}{US}{h}",
+                canonical_json(
+                    {"doc_id": d, "page_no": pno, "severity": sev, "message": msg}
+                ),
+            )
+        )
+    return out
+
+
+def local_combine(pairs: Iterable[tuple[str, str]]) -> dict[str, str]:
+    """Pre-shuffle combiner: max-payload per key within a batch.  Applying
+    this before the groupby collapses cross-document duplicates early (the
+    classic partial-aggregate push-down)."""
+    acc: dict[str, str] = {}
+    for k, v in pairs:
+        prev = acc.get(k)
+        if prev is None or v > prev:
+            acc[k] = v
+    return acc
+
+
+# Final normalized table names produced by the merge.
+TABLE_NAMES = (
+    "xtargets", "connections", "links", "pins", "aspects", "attributes",
+    "object_attrs", "page_objects", "errors",
+)
+
+
+def assemble_rows(mkey: str, payload: str) -> tuple[str, dict[str, Any]]:
+    """Decode one merged ``(mkey, max_payload)`` pair into its normalized
+    output-table row.  Returns ``(table_name, row)``."""
+    parts = mkey.split(US)
+    kind = parts[0]
+    if kind == "xtarget":
+        _prio, ttype, tag_str = payload.split(US, 2)
+        return "xtargets", {
+            "guid": parts[1], "tag_str": tag_str, "target_type": ttype,
+        }
+    if kind in ("xtarget_attr", "aspect_attr", "link_attr"):
+        return "object_attrs", {
+            "owner_kind": kind.removesuffix("_attr"),
+            "owner_guid": parts[1],
+            "attr_guid": parts[2],
+        }
+    if kind == "aspect":
+        d = json.loads(payload)
+        return "aspects", {
+            "guid": parts[1], "separator": d["separator"], "value": d["value"],
+        }
+    if kind == "attribute":
+        d = json.loads(payload)
+        return "attributes", {
+            "guid": parts[1], "attr_type": d["attr_type"], "name": d["name"],
+            "value_json": d["value_json"],
+        }
+    if kind == "link":
+        d = json.loads(payload)
+        return "links", {"guid": parts[1], **d}
+    if kind == "connection":
+        d = json.loads(payload)
+        return "connections", {"guid": parts[1], **d}
+    if kind == "pin":
+        d = json.loads(payload)
+        return "pins", {"guid": parts[1], **d}
+    if kind == "page_object":
+        return "page_objects", {
+            "doc_id": parts[1], "page_no": int(parts[2]),
+            "object_kind": parts[3], "object_guid": parts[4],
+        }
+    if kind == "error":
+        d = json.loads(payload)
+        return "errors", d
+    raise ValueError(f"unknown delta kind: {kind}")
+
+
+def assemble_tables(
+    merged: Iterable[tuple[str, str]]
+) -> dict[str, list[dict[str, Any]]]:
+    """Group merged pairs into normalized table rows (driver-side/test-size
+    convenience; the Ray pipeline does the same decode inside map_batches)."""
+    out: dict[str, list[dict[str, Any]]] = {n: [] for n in TABLE_NAMES}
+    for k, v in merged:
+        name, row = assemble_rows(k, v)
+        out[name].append(row)
+    return out
+
+
+def oracle_tables(store: ExtractionStore) -> dict[str, list[dict[str, Any]]]:
+    """Normalized golden tables from a (global, single-process) store."""
+    merged = sorted(local_combine(store_to_deltas(store)).items())
+    return assemble_tables(merged)

@@ -1,0 +1,134 @@
+"""Span-document model: parsing the interleaved span encoding into pages.
+
+The engine's input is the BASELINE input_hint table
+``(doc_id: string, spans: list<struct<kind, text, media_ref, offset>>)``.
+Span kinds encode what the reference reads off a PDF page (FIXTURES.md §2):
+
+    page_break   start of a new page (page_no = count of preceding breaks)
+    title        the 20-30pt page-title span used by the layout classifier
+    footer_cell  one footer cell; text = "<slot>\\x1f<value>",
+                 slot in {"project", "product", "<row>:<col>"}
+    cell         one table cell; text = "<table_key>\\x1f<row>\\x1f<col>\\x1f<value>"
+    text         a text-only ROI; text = "<table_key>\\x1f<value>"
+    media        opaque media payload reference (passed through, order kept)
+
+This module is pure Python over one document's spans — no Ray, no pandas —
+so it is shared verbatim by the distributed stages and the single-process
+oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+US = "\x1f"  # unit separator used by the fixture encoding
+
+
+@dataclass
+class Span:
+    kind: str
+    text: str
+    media_ref: str
+    offset: int
+
+
+@dataclass
+class PageSpans:
+    """One page's worth of raw spans, bucketed by role."""
+
+    page_no: int  # 0-based, like pymupdf.Page.number
+    title: Optional[str] = None  # first title span's text wins
+    footer_cells: dict[str, str] = field(default_factory=dict)  # slot -> text
+    # table_key -> {(row, col) -> value}; first span per cell wins
+    cells: dict[str, dict[tuple[int, int], str]] = field(default_factory=dict)
+    texts: dict[str, str] = field(default_factory=dict)  # text-only ROIs
+    spans: list[Span] = field(default_factory=list)  # all raw spans, in order
+
+
+@dataclass
+class PageFooter:
+    """Extracted footer (reference: src/indu_doc/footers.py:16-53)."""
+
+    project_name: str
+    product_name: str
+    tags: list[str]
+
+
+def split_pages(spans: list[Span]) -> list[PageSpans]:
+    """Bucket a document's offset-ordered spans into pages.
+
+    Mirrors the reference's page iteration (eplan_pdf_plugin.py:48-64):
+    page boundaries are ``page_break`` spans; content before the first break
+    belongs to page 0 (a document that starts without a break still has one
+    page).
+    """
+    pages: list[PageSpans] = []
+    cur = PageSpans(page_no=0)
+    started = False  # becomes True at first page_break or first content span
+
+    def flush():
+        nonlocal cur
+        pages.append(cur)
+        cur = PageSpans(page_no=len(pages))
+
+    for sp in sorted(spans, key=lambda s: s.offset):
+        if sp.kind == "page_break":
+            if started:
+                flush()
+            started = True
+            cur.spans.append(sp)
+            continue
+        started = True
+        cur.spans.append(sp)
+        if sp.kind == "title":
+            if cur.title is None:
+                cur.title = sp.text
+        elif sp.kind == "footer_cell":
+            slot, _, value = sp.text.partition(US)
+            cur.footer_cells.setdefault(slot, value)
+        elif sp.kind == "cell":
+            parts = sp.text.split(US, 3)
+            if len(parts) == 4:
+                key, row_s, col_s, value = parts
+                try:
+                    rc = (int(row_s), int(col_s))
+                except ValueError:
+                    continue
+                cur.cells.setdefault(key, {}).setdefault(rc, value)
+        elif sp.kind == "text":
+            key, _, value = sp.text.partition(US)
+            cur.texts.setdefault(key, value)
+        # media and unknown kinds: carried in cur.spans only
+
+    if cur.spans:
+        pages.append(cur)
+    return pages
+
+
+# Footer hierarchy slots in reference pick order (footers_extractor.py:203-206)
+from .pagemodel import FOOTER_TAG_SLOTS  # noqa: E402
+
+
+def extract_footer(page: PageSpans) -> Optional[PageFooter]:
+    """Footer assembly (footers_extractor.py:137-212): a missing/empty
+    project name means "no footer" and the page is dropped; hierarchy tags
+    are the non-empty values of the five picked grid slots, in pick order."""
+    project = page.footer_cells.get("project", "").strip()
+    if not project:
+        return None
+    product = page.footer_cells.get("product", "").strip()
+    tags = [
+        page.footer_cells[slot].strip()
+        for slot in FOOTER_TAG_SLOTS
+        if page.footer_cells.get(slot, "").strip()
+    ]
+    return PageFooter(project_name=project, product_name=product, tags=tags)
+
+
+def detect_page_type(page: PageSpans, name_index: dict[str, "object"]):
+    """Layout classification (common_page_utils.py:47-70): the title span's
+    text, stripped and lowercased, must equal a configured search name."""
+    if page.title is None:
+        return None
+    return name_index.get(page.title.strip().lower())

@@ -1,0 +1,372 @@
+"""Per-page table reconstruction and table mechanics.
+
+Rebuilds, from one page's ``cell`` spans, the per-role row tables the
+reference builds from pymupdf tables (reference: table_extractor.py:433-548),
+then applies the same post-processing: ignored-column drop, all-empty-row
+drop, placeholder forward-fill, the ``_loc`` bbox sidecar column, the
+cable-diagram block splitter and the terminal-diagram assembly.
+
+The tables are a few dozen rows each; the reference shapes them with pandas,
+but per-page pandas frames cost ~10x the useful work at scale, so this
+module uses a plain-Python ``RowTable`` (profiled: ~5x faster per page).
+Semantics match the reference's pandas chain with one documented deviation:
+a forward-fill gap BEFORE the first real value renders as ``'None'`` (our
+missing marker) where pandas' ``pd.NA`` renders ``'<NA>'`` — the corpus
+never produces a leading gap, and both engines share this code path.
+
+All functions are pure (page spans -> tables); they run inside the Ray
+actor-pool stage per page AND inside the single-process oracle, which is
+what guarantees bit-identical semantics between the two.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+from .pagemodel import PageSpec, Severity, TableSpec
+from .spandoc import PageSpans
+
+
+class PageExtractionError(ValueError):
+    """Raised for per-page extraction failures; carries a severity so the
+    caller can materialize the reference's PageError records
+    (table_extractor.py:196-216)."""
+
+    def __init__(self, message: str, severity: Severity = Severity.FAULT):
+        super().__init__(message)
+        self.severity = severity
+
+
+@dataclass
+class RowTable:
+    """Minimal ordered-columns row table: rows are dicts (column -> value,
+    missing = None), ``labels`` preserves the original row labels through
+    filtering (the reference's pandas boolean filter keeps index labels,
+    which the terminal-diagram ``.loc`` lookups rely on)."""
+
+    columns: list[str]
+    labels: list[int]
+    rows: list[dict[str, Any]]
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+    def by_label(self) -> dict[int, dict[str, Any]]:
+        return dict(zip(self.labels, self.rows))
+
+    def to_pandas(self):  # test/debug convenience only
+        import pandas as pd
+
+        return pd.DataFrame(
+            [[r.get(c) for c in self.columns] for r in self.rows],
+            columns=self.columns,
+            index=self.labels,
+            dtype=object,
+        )
+
+
+def row_loc(row_label: int) -> tuple[float, float, float, float]:
+    """Deterministic synthetic row bbox for the ``_loc`` sidecar column.
+
+    The reference attaches each pymupdf table-row bbox
+    (table_extractor.py:155-168); our corpus has no real geometry, so the
+    bbox is a pure function of the row label — identical on every engine.
+    """
+    y = float(row_label) * 10.0
+    return (0.0, y, 1000.0, y + 10.0)
+
+
+def build_table(page: PageSpans, spec: TableSpec) -> RowTable:
+    """One table role -> RowTable, mirroring extract_table
+    (table_extractor.py:433-519):
+
+    - missing table  -> PageExtractionError (``No required table(s)...``)
+    - column-count mismatch vs the configured header -> PageExtractionError
+    - ignored columns dropped; rows with no non-empty visible value dropped
+      (row labels preserved)
+    - per-column placeholder forward-fill (placeholder -> gap -> previous
+      non-gap value; genuine missing cells fill too, like replace+ffill)
+    - ``_loc`` bbox attached per ORIGINAL row label (pre-filter)
+    """
+    cells = page.cells.get(spec.key)
+    if not cells:
+        raise PageExtractionError(
+            f"No required table(s) found on the page: {spec.key}"
+        )
+    n_rows = max(r for r, _ in cells) + 1
+    n_cols = max(c for _, c in cells) + 1
+    if n_cols != len(spec.columns):
+        raise PageExtractionError(
+            f"Expected {len(spec.columns)} columns, found {n_cols}"
+        )
+
+    kept = [c for c in spec.columns if c.include]
+    columns = [c.name for c in kept] + ["_loc"]
+
+    labels: list[int] = []
+    rows: list[dict[str, Any]] = []
+    for r in range(n_rows):
+        row = {c.name: cells.get((r, c_idx)) for c_idx, c in enumerate(spec.columns)
+               if c.include}
+        # keep only rows with at least one non-empty visible value
+        if any(v is not None and v != "" for v in row.values()):
+            row["_loc"] = row_loc(r)
+            labels.append(r)
+            rows.append(row)
+
+    # forward-fill placeholder cells
+    for c in kept:
+        if c.ffill_placeholder is None:
+            continue
+        prev: Any = None
+        for row in rows:
+            v = row[c.name]
+            if v is None or v == c.ffill_placeholder:
+                row[c.name] = prev
+            else:
+                prev = v
+    return RowTable(columns, labels, rows)
+
+
+def build_text_table(page: PageSpans, spec: TableSpec) -> RowTable:
+    """Text-only ROI -> one-cell table (table_extractor.py:522-532)."""
+    value = page.texts.get(spec.key)
+    if not value:
+        raise PageExtractionError(
+            f"No required text(s) found on the page: {spec.key}"
+        )
+    return RowTable([spec.key], [0], [{spec.key: value.strip()}])
+
+
+def build_page_tables(page: PageSpans, spec: PageSpec) -> dict[str, RowTable]:
+    """All table roles of a page (table_extractor.py:534-548)."""
+    return {
+        t.key: (build_text_table(page, t) if t.text_only else build_table(page, t))
+        for t in spec.tables
+    }
+
+
+# ---------------------------------------------------------------------------
+# Page-type specific table shaping
+# ---------------------------------------------------------------------------
+
+def shape_main(dfs: dict[str, RowTable]) -> RowTable:
+    """Default: the ``main`` role is the page table (table_extractor.py:218-222)."""
+    if "main" not in dfs:
+        raise PageExtractionError("Required table was not found: main")
+    return dfs["main"]
+
+
+def _is_gap(v: Any) -> bool:
+    return v is None or v != v  # None or NaN
+
+
+def shape_cable_diagram(dfs: dict[str, RowTable]) -> RowTable:
+    """Cable-diagram block splitter (table_extractor.py:296-331).
+
+    The raw table interleaves per-cable blocks: two marker rows whose 2nd and
+    3rd columns are both missing (the cable name is the last word of the
+    first marker row's first column), one repeated header row, then data rows
+    until the next marker pair.  Emits the concatenated data rows with a
+    ``cable_tag`` column appended.
+    """
+    t = shape_main(dfs)
+    c0, c1, c2 = t.columns[0], t.columns[1], t.columns[2]
+
+    def is_marker(k: int) -> bool:
+        row = t.rows[k]
+        return _is_gap(row.get(c1)) and _is_gap(row.get(c2))
+
+    out_rows: list[dict[str, Any]] = []
+    i = 0
+    while i < len(t):
+        if i + 1 < len(t) and is_marker(i) and is_marker(i + 1):
+            cable_name = str(t.rows[i][c0]).split(" ")[-1]
+            i += 3  # two marker rows + one repeated header row
+            while i < len(t) and not (
+                is_marker(i) and i + 1 < len(t) and is_marker(i + 1)
+            ):
+                row = dict(t.rows[i])
+                row["cable_tag"] = cable_name
+                out_rows.append(row)
+                i += 1
+        else:
+            i += 1
+    if not out_rows:
+        raise PageExtractionError("No cable blocks found on the page")
+    columns = t.columns + ["cable_tag"]
+    return RowTable(columns, list(range(len(out_rows))), out_rows)
+
+
+def _fold_cable_assignment(
+    cables: RowTable, conn: RowTable, prefix: str
+) -> RowTable:
+    """Terminal-diagram cable-assignment fold (table_extractor.py:348-390):
+    digit-named columns of the connection table hold wire colors; a non-empty
+    color at column ``k`` picks row label ``k-1`` of the cables table.
+    Produces ``{prefix}cable_tag`` / ``{prefix}Color`` as ';'-joined lists
+    plus the shared non-digit columns."""
+    number_cols = [c for c in conn.columns if c.isdigit()]
+    shared_cols = [
+        c for c in conn.columns if c not in number_cols and not c.startswith("_")
+    ]
+    out_cols = [f"{prefix}cable_tag", f"{prefix}Color"] + shared_cols
+    cables_by_label = cables.by_label()
+    rows = []
+    for row in conn.rows:
+        cable_tags: list[str] = []
+        colors: list[str] = []
+        for col in number_cols:
+            color = row.get(col)
+            if color is not None and str(color).strip() != "":
+                crow = cables_by_label.get(int(col) - 1)
+                cable_tag = crow.get("cable_tag") if crow else ""
+                if cable_tag:
+                    cable_tags.append(str(cable_tag))
+                    colors.append(str(color))
+        out = {f"{prefix}cable_tag": ";".join(cable_tags),
+               f"{prefix}Color": ";".join(colors)}
+        for c in shared_cols:
+            out[c] = row.get(c)
+        rows.append(out)
+    return RowTable(out_cols, list(range(len(rows))), rows)
+
+
+def shape_terminal_diagram(dfs: dict[str, RowTable]) -> RowTable:
+    """Terminal-diagram assembly (table_extractor.py:333-430): fold left and
+    right cable assignments, concatenate left + main + right horizontally
+    (shorter sides pad with ``""``, like concat+fillna), and rename/insert so
+    each physical row carries the ``_1`` (cable->strip) and ``_2``
+    (strip->cable) link halves.  The strip tag (text-only ROI) becomes
+    ``_1dst_tag`` and ``_2src_tag``; the strip pin feeds both halves."""
+    main = dfs["main"]
+    strip_tag = dfs["strip_tag"].rows[0]["strip_tag"]
+    left = _fold_cable_assignment(dfs["l_cables"], dfs["l_conn"], "_1")
+    right = _fold_cable_assignment(dfs["r_cables"], dfs["r_conn"], "_2")
+
+    rename = {
+        "src_tag": "_1src_tag",
+        "src_pin": "_1src_pin",
+        "dst_tag": "_2dst_tag",
+        "dst_pin": "_2dst_pin",
+        "strip_pin": "_1dst_pin",
+    }
+    n = max(len(left), len(main), len(right))
+    columns: list[str] = ["_2src_pin", "_2src_tag", "_1dst_tag"]
+    for part in (left, main, right):
+        for c in part.columns:
+            columns.append(rename.get(c, c))
+    rows: list[dict[str, Any]] = []
+    for i in range(n):
+        row: dict[str, Any] = {}
+        for part in (left, main, right):
+            src = part.rows[i] if i < len(part) else {}
+            for c in part.columns:
+                v = src.get(c)
+                row[rename.get(c, c)] = "" if v is None else v
+        row["_1dst_tag"] = strip_tag
+        row["_2src_tag"] = strip_tag
+        row["_2src_pin"] = row.get("_1dst_pin", "")
+        rows.append(row)
+    return RowTable(columns, list(range(n)), rows)
+
+
+SHAPERS = {
+    "CABLE_DIAGRAM": shape_cable_diagram,
+    "TERMINAL_DIAGRAM": shape_terminal_diagram,
+}
+
+
+def extract_page_table(
+    page: PageSpans, spec: PageSpec
+) -> tuple[Optional[RowTable], list[tuple[Severity, str]]]:
+    """Full page-table extraction with the reference's error envelope
+    (table_extractor.py:183-216): ValueError-class failures become FAULT
+    records, anything else UNKNOWN_ERROR; both yield ``df=None``."""
+    try:
+        dfs = build_page_tables(page, spec)
+        shaper = SHAPERS.get(spec.page_type.value, shape_main)
+        return shaper(dfs), []
+    except PageExtractionError as e:
+        return None, [(e.severity, str(e))]
+    except ValueError as e:
+        return None, [(Severity.FAULT, str(e))]
+    except Exception as e:  # noqa: BLE001 — mirrors the broad catch upstream
+        return None, [(Severity.UNKNOWN_ERROR, str(e))]
+
+
+# ---------------------------------------------------------------------------
+# Table mechanics exercised by the reference's unit tests
+# (standalone, pandas-based — the corpus encodes post-header rows directly,
+#  so the promote/demote path is covered by unit tests only)
+# ---------------------------------------------------------------------------
+
+def demote_header(df, header: list[str] | None = None):
+    """Turn the current header into row 0 (table_extractor.py:25-31)."""
+    import pandas as pd
+
+    if header is None:
+        header = [""] * len(df.columns)
+    head_row = pd.DataFrame([df.columns], columns=header)
+    body = pd.DataFrame(df.values, columns=header)
+    return pd.concat([head_row, body], ignore_index=True)
+
+
+def promote_header(df, level: int = 1):
+    """Use row ``level-1`` as header, keep rows from ``level`` on
+    (table_extractor.py:33-35)."""
+    import pandas as pd
+
+    return pd.DataFrame(df.values[level:], columns=df.values[level - 1])
+
+
+def rects_intersect(a, b) -> bool:
+    """Axis-aligned closed-rect intersection (pymupdf.Rect.intersects
+    equivalent for the overlap detector, table_extractor.py:71-83)."""
+    ax0, ay0, ax1, ay1 = a
+    bx0, by0, bx1, by1 = b
+    return not (ax1 < bx0 or bx1 < ax0 or ay1 < by0 or by1 < ay0)
+
+
+def detect_overlaps(
+    text_blocks: list[tuple[float, float, float, float, str]],
+) -> list[tuple[str, str, tuple, tuple]]:
+    """Pairwise intersecting text rects (table_extractor.py:71-83)."""
+    out = []
+    for i in range(len(text_blocks)):
+        x0, y0, x1, y1, t1 = text_blocks[i][:5]
+        for j in range(i + 1, len(text_blocks)):
+            u0, v0, u1, v1, t2 = text_blocks[j][:5]
+            if rects_intersect((x0, y0, x1, y1), (u0, v0, u1, v1)):
+                out.append((t1, t2, (x0, y0, x1, y1), (u0, v0, u1, v1)))
+    return out
+
+
+def rect_contains(rect, pt) -> bool:
+    x0, y0, x1, y1 = rect
+    return x0 <= pt[0] <= x1 and y0 <= pt[1] <= y1
+
+
+def repair_overlaps_by_center(
+    row_rects: list[tuple[float, float, float, float]],
+    cell_rects: list[list[tuple[float, float, float, float]]],
+    overlaps: list[tuple[str, str, tuple, tuple]],
+) -> list[tuple[int, Optional[tuple[int, str]], Optional[tuple[int, str]]]]:
+    """Re-place overlapped texts into the cell whose rect contains the text
+    rect's center (table_extractor.py:101-124).  Returns
+    ``(row_idx, (col_idx, text) | None, (col_idx, text) | None)`` fixes."""
+    fixes = []
+    for t1, t2, r1, r2 in overlaps:
+        c1 = ((r1[0] + r1[2]) / 2, (r1[1] + r1[3]) / 2)
+        c2 = ((r2[0] + r2[2]) / 2, (r2[1] + r2[3]) / 2)
+        for ri, rrect in enumerate(row_rects):
+            if rects_intersect(rrect, r1) or rects_intersect(rrect, r2):
+                repl1 = repl2 = None
+                for ci, crect in enumerate(cell_rects[ri]):
+                    if rect_contains(crect, c1):
+                        repl1 = (ci, t1)
+                    if rect_contains(crect, c2):
+                        repl2 = (ci, t2)
+                fixes.append((ri, repl1, repl2))
+    return fixes
