@@ -116,15 +116,21 @@ def extract_documents(
     """docs(doc_id, spans) -> extracted(doc_id, spans, deltas, metrics).
 
     ``batch_size`` is small because per-document work is heavy and variable
-    (SURVEY.md §4.2); concurrency defaults to Ray's auto-sizing."""
-    kwargs = dict(
+    (SURVEY.md §4.2); the default autoscaling actor pool is capped at the
+    session CPU count so the stage can use the node without starving the
+    read/merge stages."""
+    if concurrency is None:
+        import ray
+
+        n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = (1, max(2, n))
+    return docs.map_batches(
+        DocumentExtractor,
         batch_format="pyarrow",
         batch_size=batch_size,
         fn_constructor_args=(config.to_records(),),
+        concurrency=concurrency,
     )
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
-    return docs.map_batches(DocumentExtractor, **kwargs)
 
 
 def _explode_deltas(batch: pa.Table) -> pa.Table:

@@ -1,0 +1,103 @@
+"""End-to-end equality: the distributed Ray pipeline vs the single-process
+oracle on the deterministic synthetic corpus.
+
+- per-document span sequences must match 100% on (kind, text, media_ref,
+  order) — the BASELINE per-row invariant;
+- every merged normalized object table must match exactly (the distributed
+  groupby+Max merge vs the oracle's sequential dict merge).
+"""
+
+import pytest
+
+import ray.data
+
+from indu_doc_transformer_ray.deltas import oracle_tables
+from indu_doc_transformer_ray.fixtures import corpus_table
+from indu_doc_transformer_ray.oracle import run_oracle
+from indu_doc_transformer_ray.pipelines.extract import (
+    extract_documents,
+    object_tables_to_pylists,
+)
+from indu_doc_transformer_ray.store import ExtractionStore
+from indu_doc_transformer_ray.core import default_config
+from indu_doc_transformer_ray.emit import process_document
+from indu_doc_transformer_ray.spandoc import Span
+
+N_DOCS = 60
+SEED = 7
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return corpus_table(N_DOCS, seed=SEED)
+
+
+@pytest.fixture(scope="module")
+def oracle_result(corpus):
+    store = ExtractionStore(default_config)
+    spans_out = {}
+    for doc_id, raw in zip(
+        corpus.column("doc_id").to_pylist(), corpus.column("spans").to_pylist()
+    ):
+        spans = [Span(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in raw]
+        out = process_document(doc_id, spans, store)
+        spans_out[doc_id] = [
+            (s.kind, s.text, s.media_ref, s.offset) for s in out
+        ]
+    return spans_out, oracle_tables(store)
+
+
+@pytest.fixture(scope="module")
+def ray_extracted(ray_session, corpus):
+    ds = ray.data.from_arrow(corpus).repartition(8)
+    return extract_documents(ds, batch_size=8).materialize()
+
+
+def test_span_sequences_match(ray_extracted, oracle_result):
+    oracle_spans, _ = oracle_result
+    got = {}
+    for batch in ray_extracted.select_columns(["doc_id", "spans"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for doc_id, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            got[doc_id] = [
+                (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans
+            ]
+    assert set(got) == set(oracle_spans)
+    mismatched = [d for d in got if got[d] != oracle_spans[d]]
+    assert mismatched == [], f"span mismatch in {mismatched[:3]}"
+
+
+def test_object_tables_match(ray_extracted, oracle_result):
+    _, oracle_tabs = oracle_result
+    ray_tabs = object_tables_to_pylists(ray_extracted)
+
+    def keyed(rows):
+        return sorted(
+            (tuple(sorted((k, str(v)) for k, v in r.items())) for r in rows)
+        )
+
+    for name, oracle_rows in oracle_tabs.items():
+        assert keyed(ray_tabs[name]) == keyed(oracle_rows), f"table {name} differs"
+    # sanity: the corpus actually exercises every table
+    for name in ("xtargets", "connections", "links", "pins", "aspects",
+                 "attributes", "object_attrs", "page_objects", "errors"):
+        assert len(oracle_tabs[name]) > 0, f"corpus never produced {name}"
+
+
+def test_determinism_across_runs(ray_session, corpus):
+    """Two independent distributed runs produce byte-identical merged output."""
+    ds1 = ray.data.from_arrow(corpus).repartition(4)
+    ds2 = ray.data.from_arrow(corpus).repartition(13)
+    t1 = object_tables_to_pylists(extract_documents(ds1, batch_size=16))
+    t2 = object_tables_to_pylists(extract_documents(ds2, batch_size=3))
+
+    def keyed(rows):
+        return sorted(
+            (tuple(sorted((k, str(v)) for k, v in r.items())) for r in rows)
+        )
+
+    for name in t1:
+        assert keyed(t1[name]) == keyed(t2[name]), name
