@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native engine (see README.md).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module; nothing here (or in
+the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``       — flagship extraction pipeline on a corpus derived
+                      deterministically from /root/testdata/sf0.001.
+- ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
+                      the large-scale training-data ops).
+- ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query;
+                      ops with no SQL equivalent (extraction semantics,
+                      MinHash/SimHash/LSH, model-ish scoring) are rows-only.
 """
 
 from __future__ import annotations
@@ -18,27 +17,127 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow.parquet as pq
+
+
+def _corpus_docs_for(sf_dir: str) -> int:
+    """Deterministic span-corpus size derived from the driver testdata scale
+    (documents.parquet rows / 5, floor 20)."""
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return max(20, n // 5)
+
+
+def _span_corpus(sf_dir: str):
+    from indu_doc_transformer_ray.pipelines.corpus import corpus_dataset
+
+    return corpus_dataset(_corpus_docs_for(sf_dir), seed=42)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synthesize the interleaved span corpus at sf0.001 scale,
+    run the full extraction pipeline (classify -> footer -> reconstruct ->
+    emit), and return per-document extraction metrics (stable flat schema)."""
+    from indu_doc_transformer_ray.pipelines.extract import extract_documents
+
+    docs = _span_corpus("/root/testdata/sf0.001")
+    extracted = extract_documents(docs)
+    return extracted.select_columns(
+        ["doc_id", "n_pages", "n_spans_in", "n_errors"]
+    )
+
+
+# -- extraction-semantics queries (no SQL equivalent: rows-only checks; the
+#    strong correctness gate for these lives in tests/ vs the pure-Python
+#    oracle under span-sequence equality) ------------------------------------
+
+def _extract_spans(sf_dir: str):
+    from indu_doc_transformer_ray.pipelines.extract import extract_documents
+
+    return extract_documents(_span_corpus(sf_dir)).select_columns(
+        ["doc_id", "n_pages", "n_spans_in", "n_errors"]
+    )
+
+
+def _extract_object_stats(sf_dir: str):
+    import pandas as pd
+
+    from indu_doc_transformer_ray.pipelines.extract import (
+        extract_documents,
+        object_tables_to_pylists,
+    )
+
+    tabs = object_tables_to_pylists(extract_documents(_span_corpus(sf_dir)))
+    rows = sorted((name, len(rows)) for name, rows in tabs.items())
+    return pd.DataFrame(rows, columns=["table_name", "n"]).astype({"n": "int64"})
+
+
+def _media_features(sf_dir: str):
+    from indu_doc_transformer_ray.functions.multimodal import media_features
+
+    return media_features(_span_corpus(sf_dir)).select_columns(
+        ["doc_id", "media_ref", "width", "height", "n_bytes"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from indu_doc_transformer_ray.functions import dedup, relational, similarity, text
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / TPC-H-ish (SURVEY §2.6 aggregations + joins)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_top_orders": relational.q3_top_orders,
+        "q5_nation_revenue": relational.q5_nation_revenue,
+        "top_parts_by_price": relational.top_parts_by_price,
+        "orders_per_status": relational.orders_per_status,
+        "part_type_stats": relational.part_type_stats,
+        "distinct_suppliers_per_nation": relational.distinct_suppliers_per_nation,
+        "events_hourly": relational.events_hourly,
+        "user_event_counts": relational.user_event_counts,
+        # text analysis
+        "token_stats": text.token_stats,
+        "doc_fingerprint": text.doc_fingerprint,
+        "quality_flags": text.quality_flags,
+        "lang_dist": text.lang_dist,
+        "lang_id": text.lang_id,
+        "winnow_fingerprint": text.winnow_fingerprint,
+        # dedup
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_prefix": dedup.dedup_prefix,
+        "word_jaccard_pairs": dedup.word_jaccard_pairs,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash64": dedup.simhash64,
+        # similarity search
+        "ann_topk": similarity.ann_topk,
+        "cosine_dup_pairs": similarity.cosine_dup_pairs,
+        "lsh_bucket_topk": similarity.lsh_bucket_topk,
+        "label_centroid_sims": similarity.label_centroid_sims,
+        # extraction flagship (rows-only; pytest holds the equality gate)
+        "extract_spans": _extract_spans,
+        "extract_object_stats": _extract_object_stats,
+        "media_features": _media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from indu_doc_transformer_ray.functions import dedup, relational, similarity, text
+
+    return {
+        "q1_pricing_summary": relational.Q1_SQL,
+        "q3_top_orders": relational.Q3_SQL,
+        "q5_nation_revenue": relational.Q5_SQL,
+        "top_parts_by_price": relational.TOP_PARTS_SQL,
+        "orders_per_status": relational.ORDERS_PER_STATUS_SQL,
+        "part_type_stats": relational.PART_TYPE_STATS_SQL,
+        "distinct_suppliers_per_nation": relational.DISTINCT_SUPPLIERS_SQL,
+        "events_hourly": relational.EVENTS_HOURLY_SQL,
+        "user_event_counts": relational.USER_EVENT_COUNTS_SQL,
+        "token_stats": text.TOKEN_STATS_SQL,
+        "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
+        "quality_flags": text.QUALITY_FLAGS_SQL,
+        "lang_dist": text.LANG_DIST_SQL,
+        "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "dedup_prefix": dedup.DEDUP_PREFIX_SQL,
+        "word_jaccard_pairs": dedup.WORD_JACCARD_SQL,
+        "ann_topk": similarity.ANN_TOPK_SQL,
+        "cosine_dup_pairs": similarity.COSINE_DUP_PAIRS_SQL,
+    }

@@ -1,0 +1,353 @@
+"""Deduplication operators over the ``documents`` table.
+
+Scale pattern per op (ray_guide 'Aggregation at scale' / SURVEY.md):
+
+- exact dedup: content-hash column in a vectorized map_batches, then
+  ``groupby(hash).aggregate(Min(doc_id))`` — a single uniform-key shuffle.
+- MinHash+LSH near-dup: shingle -> minhash signature per batch -> explode to
+  (band_id, band_hash, doc_id) rows -> groupby bands -> candidate pairs ->
+  exact-Jaccard verification by joining the pair list back to the shingle
+  sets with two hash joins (no broadcast of the corpus).
+- SimHash: 64-bit signature per document, vectorized per batch.
+- n-gram Jaccard: exact all-pairs on a bounded subset (the verification-side
+  primitive; LSH is the scale path for candidate generation).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data import Dataset
+from ray.data.aggregate import Count, Min
+
+TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
+
+
+def _read_docs(sf_dir: str, columns: list[str]) -> Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# -- exact dedup ------------------------------------------------------------
+
+def dedup_exact(sf_dir: str) -> Dataset:
+    """Keep the minimum doc_id per exact text; returns the kept doc ids with
+    their group size (hash-partition + per-group-first, SURVEY graft spec)."""
+
+    def hash_text(batch: pa.Table) -> pa.Table:
+        h = [
+            hashlib.md5(t.encode()).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "h": pa.array(h, pa.string())}
+        )
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(hash_text, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(
+            Min("doc_id", alias_name="keep_doc_id"),
+            Count(alias_name="group_size"),
+        )
+        .select_columns(["keep_doc_id", "group_size"])
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS group_size
+FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_prefix(sf_dir: str) -> Dataset:
+    """Near-dup-by-key: dedup on the first 3 tokens (a cheap canopy key that
+    actually collides on this corpus, exercising group-size > 1)."""
+
+    def key(batch: pa.Table) -> pa.Table:
+        ks = [
+            " ".join(TOKEN_RE.findall(t.lower())[:3])
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "k": pa.array(ks, pa.string())}
+        )
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(key, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(
+            Min("doc_id", alias_name="keep_doc_id"),
+            Count(alias_name="group_size"),
+        )
+    )
+
+
+DEDUP_PREFIX_SQL = """
+SELECT array_to_string(regexp_extract_all(lower(text), '[a-z0-9_]+')[1:3], ' ') AS k,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS group_size
+FROM documents GROUP BY k
+"""
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+N_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = N_HASHES // BANDS
+SHINGLE_K = 3
+
+
+def _shingles(text: str) -> set[str]:
+    toks = TOKEN_RE.findall(text.lower())
+    if len(toks) < SHINGLE_K:
+        return {" ".join(toks)} if toks else set()
+    return {
+        " ".join(toks[i : i + SHINGLE_K])
+        for i in range(len(toks) - SHINGLE_K + 1)
+    }
+
+
+def _minhash_sig(sh: set[str]) -> list[int]:
+    """crc32-based minhash (deterministic across processes, unlike hash())."""
+    sig = []
+    for salt in range(N_HASHES):
+        best = None
+        prefix = f"{salt}:".encode()
+        for s in sh:
+            v = zlib.crc32(prefix + s.encode())
+            if best is None or v < best:
+                best = v
+        sig.append(best if best is not None else 0)
+    return sig
+
+
+class MinHashBands:
+    """Actor stage: documents -> (band_id, band_hash, doc_id) rows."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        band_ids, band_hashes, doc_ids = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            sig = _minhash_sig(_shingles(text))
+            for b in range(BANDS):
+                chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+                band_ids.append(b)
+                band_hashes.append(
+                    hashlib.md5(
+                        (",".join(map(str, chunk))).encode()
+                    ).hexdigest()
+                )
+                doc_ids.append(doc_id)
+        return pa.table(
+            {
+                "band_id": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.string()),
+                "doc_id": pa.array(doc_ids, pa.int64()),
+            }
+        )
+
+
+def _shingle_table(sf_dir: str) -> Dataset:
+    # shingle sets serialized to one '\x1e'-joined string per doc: the hash
+    # join ships flat string payloads (Arrow hash join rejects list<...>
+    # non-key columns), verification splits them back
+    def sh(batch: pa.Table) -> pa.Table:
+        out = [
+            "\x1e".join(sorted(_shingles(t)))
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "shingles": pa.array(out, pa.string()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        sh, batch_format="pyarrow"
+    )
+
+
+def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> "object":
+    """Candidate pairs from banded MinHash, verified with exact shingle
+    Jaccard via two hash joins back to the shingle table (the scale path —
+    no corpus broadcast).  Returns (doc_a, doc_b, jaccard_permille)."""
+    import pandas as pd
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    bands = docs.map_batches(
+        MinHashBands, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(group["doc_id"]))
+        rows = [
+            (a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]
+        ]
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b"])
+
+    pairs = (
+        bands.groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_n"))  # dedup candidate pairs
+        .select_columns(["doc_a", "doc_b"])
+    )
+
+    shingles = _shingle_table(sf_dir)
+    j1 = pairs.join(
+        shingles, join_type="inner", num_partitions=8,
+        on=("doc_a",), right_on=("doc_id",),
+    )
+    j2 = j1.join(
+        shingles, join_type="inner", num_partitions=8,
+        on=("doc_b",), right_on=("doc_id",),
+        left_suffix="_l", right_suffix="_r",
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        cols = batch.column_names
+        sh_a_col = "shingles" if "shingles" in cols else "shingles_l"
+        sh_b_col = "shingles_r" if "shingles_r" in cols else "shingles_1"
+        out_a, out_b, out_j = [], [], []
+        for a, b, sa, sb in zip(
+            batch.column("doc_a").to_pylist(),
+            batch.column("doc_b").to_pylist(),
+            batch.column(sh_a_col).to_pylist(),
+            batch.column(sh_b_col).to_pylist(),
+        ):
+            A = set(sa.split("\x1e")) if sa else set()
+            B = set(sb.split("\x1e")) if sb else set()
+            inter = len(A & B)
+            union = len(A) + len(B) - inter
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(int(j * 1000))
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard_permille": pa.array(out_j, pa.int64()),
+            }
+        )
+
+    out = j2.map_batches(verify, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# -- SimHash ----------------------------------------------------------------
+
+def simhash64(sf_dir: str) -> Dataset:
+    """64-bit SimHash per document (token-unigram features, md5 bit mixing);
+    near-dups differ in few bits.  Deterministic, rows-only oracle."""
+
+    def sim(batch: pa.Table) -> pa.Table:
+        out = []
+        for text in batch.column("text").to_pylist():
+            toks = TOKEN_RE.findall(text.lower())
+            acc = [0] * 64
+            from collections import Counter
+
+            for tok, w in Counter(toks).items():
+                h = int.from_bytes(
+                    hashlib.md5(tok.encode()).digest()[:8], "big"
+                )
+                for bit in range(64):
+                    acc[bit] += w if (h >> bit) & 1 else -w
+            v = 0
+            for bit in range(64):
+                if acc[bit] > 0:
+                    v |= 1 << bit
+            # two's-complement into signed int64 for Arrow
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "simhash": pa.array(out, pa.int64())}
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        sim, batch_format="pyarrow"
+    )
+
+
+# -- exact word-set Jaccard pairs (bounded subset, SQL-checkable) -----------
+
+def word_jaccard_pairs(sf_dir: str, max_doc_id: int = 120, threshold: float = 0.5):
+    """All-pairs distinct-word Jaccard >= threshold over doc_id < max_doc_id.
+    The subset is broadcast once (``ray.put``) and pair scoring fans out by
+    left-doc over a range dataset — exact small-side verification primitive.
+    """
+    import pandas as pd
+
+    sub = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .filter(expr=f"doc_id < {max_doc_id}")
+        .to_pandas()
+    )
+    sub = sub.sort_values("doc_id").reset_index(drop=True)
+    wordsets = {
+        int(r.doc_id): frozenset(TOKEN_RE.findall(r.text.lower()))
+        for r in sub.itertuples()
+    }
+    ref = ray.put(wordsets)
+    ids = sorted(wordsets)
+
+    def pairs_for(batch: pa.Table) -> pa.Table:
+        ws = ray.get(ref)
+        all_ids = sorted(ws)
+        out_a, out_b, out_j = [], [], []
+        for a in batch.column("id").to_pylist():
+            da = all_ids[a]
+            A = ws[da]
+            for db in all_ids[a + 1 :]:
+                B = ws[db]
+                inter = len(A & B)
+                union = len(A) + len(B) - inter
+                j = inter / union if union else 0.0
+                if j >= threshold:
+                    out_a.append(da)
+                    out_b.append(db)
+                    out_j.append(int(j * 1000 // 1))
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard_permille": pa.array(out_j, pa.int64()),
+            }
+        )
+
+    out = (
+        ray.data.range(len(ids))
+        .map_batches(pairs_for, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+WORD_JACCARD_SQL = """
+WITH s AS (
+  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w
+  FROM documents WHERE doc_id < 120
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(FLOOR(len(list_intersect(a.w, b.w))::DOUBLE
+            / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) * 1000) AS BIGINT)
+         AS jaccard_permille
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.w, b.w))::DOUBLE
+      / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.5
+ORDER BY doc_a, doc_b
+"""

@@ -1,0 +1,374 @@
+"""Relational operators over the TPC-H-ish driver tables, Ray-Data-first.
+
+Each query is a lazy ``Dataset`` pipeline: column-pruned parquet reads,
+vectorized pyarrow.compute kernels inside ``map_batches``, broadcast hash
+joins for small dimension sides (``ray.put`` once, probe per batch),
+``Dataset.join`` (hash-partitioned shuffle join) when both sides are large,
+and ``groupby().aggregate()`` for the wide aggregations.
+
+Exactness contract: monetary aggregates are computed in integer-scaled
+cents (``*_c2`` = 1e2, ``*_c4`` = 1e4, ``*_c6`` = 1e6) so the Ray results
+hash-match the DuckDB oracle bit-for-bit — float SUMs would differ in the
+last ulp across summation orders.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(col: pa.ChunkedArray | pa.Array, scale: int = 100) -> pa.Array:
+    return pc.cast(pc.round(pc.multiply(col, float(scale))), pa.int64())
+
+
+# -- q1: pricing summary (groupby + vectorized derived columns) -------------
+
+def q1_pricing_summary(sf_dir: str) -> Dataset:
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount", "l_tax"],
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        price_c2 = _cents(t["l_extendedprice"])
+        disc_c2 = _cents(t["l_discount"])
+        tax_c2 = _cents(t["l_tax"])
+        one_minus_disc = pc.subtract(100, disc_c2)
+        disc_price_c4 = pc.multiply(price_c2, one_minus_disc)
+        charge_c6 = pc.multiply(disc_price_c4, pc.add(100, tax_c2))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+                "price_c2": price_c2,
+                "disc_price_c4": disc_price_c4,
+                "charge_c6": charge_c6,
+            }
+        )
+
+    return (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_c2", alias_name="sum_base_price_c2"),
+            Sum("disc_price_c4", alias_name="sum_disc_price_c4"),
+            Sum("charge_c6", alias_name="sum_charge_c6"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_price_c2,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_price_c4,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                * (100 + CAST(ROUND(l_tax*100) AS BIGINT))) AS BIGINT) AS sum_charge_c6,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# -- q3: top orders by revenue for one market segment -----------------------
+# customer is the small side -> broadcast; orders|><|lineitem -> Dataset.join
+# (hash-partitioned shuffle join, both sides scale with SF).
+
+def q3_top_orders(sf_dir: str) -> "object":
+    import pandas as pd
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    seg_keys = set(
+        r["c_custkey"]
+        for r in cust.filter(lambda r: r["c_mktsegment"] == "BUILDING").take_all()
+    )
+    seg_ref = ray.put(seg_keys)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        keys = ray.get(seg_ref)
+        mask = pc.is_in(t["o_custkey"], value_set=pa.array(list(keys), pa.int64()))
+        return t.filter(mask).select(["o_orderkey"])
+
+    building_orders = orders.map_batches(filter_orders, batch_format="pyarrow")
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]), pc.subtract(100, _cents(t["l_discount"]))
+        )
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue_c4": rev})
+
+    li_rev = li.map_batches(revenue, batch_format="pyarrow")
+    joined = li_rev.join(
+        building_orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    top = (
+        joined.groupby("l_orderkey")
+        .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
+        .sort(["revenue_c4", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+    df = top.to_pandas()
+    return pd.DataFrame(
+        {
+            "o_orderkey": df["l_orderkey"].astype("int64"),
+            "revenue_c4": df["revenue_c4"].astype("int64"),
+        }
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue_c4 DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# -- q5-ish: revenue per nation (broadcast dimension chain) -----------------
+
+def q5_nation_revenue(sf_dir: str) -> "object":
+    import pandas as pd
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    cust_to_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    ref = ray.put(cust_to_nation)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def attach_nation(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        nk = [m.get(c) for c in t["o_custkey"].to_pylist()]
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"], "nationkey": pa.array(nk, pa.int32())}
+        )
+
+    o_nation = orders.map_batches(attach_nation, batch_format="pyarrow")
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]), pc.subtract(100, _cents(t["l_discount"]))
+        )
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue_c4": rev})
+
+    joined = li.map_batches(revenue, batch_format="pyarrow").join(
+        o_nation,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    agg = (
+        joined.groupby("nationkey")
+        .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
+        .to_pandas()
+    )
+    out = agg.merge(nation, left_on="nationkey", right_on="n_nationkey")
+    out = out[["n_name", "revenue_c4"]].sort_values("n_name").reset_index(drop=True)
+    out["revenue_c4"] = out["revenue_c4"].astype("int64")
+    return out
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+# -- sort / top-k -----------------------------------------------------------
+
+def top_parts_by_price(sf_dir: str) -> Dataset:
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
+
+    def scale(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "p_name": t["p_name"],
+                "price_c2": _cents(t["p_retailprice"]),
+            }
+        )
+
+    return (
+        ds.map_batches(scale, batch_format="pyarrow")
+        .sort(["price_c2", "p_partkey"], descending=[True, False])
+        .limit(20)
+    )
+
+
+TOP_PARTS_SQL = """
+SELECT p_partkey, p_name, CAST(ROUND(p_retailprice*100) AS BIGINT) AS price_c2
+FROM part
+ORDER BY price_c2 DESC, p_partkey
+LIMIT 20
+"""
+
+
+# -- simple global/grouped aggregates ---------------------------------------
+
+def orders_per_status(sf_dir: str) -> Dataset:
+    return (
+        _read(sf_dir, "orders", ["o_orderstatus"])
+        .groupby("o_orderstatus")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+ORDERS_PER_STATUS_SQL = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def part_type_stats(sf_dir: str) -> Dataset:
+    """Grouped min/max/count over part sizes (Min/Max aggregate coverage)."""
+    ds = _read(sf_dir, "part", ["p_type", "p_size"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"p_type": t["p_type"], "p_size": pc.cast(t["p_size"], pa.int64())}
+        )
+
+    return (
+        ds.map_batches(widen, batch_format="pyarrow")
+        .groupby("p_type")
+        .aggregate(
+            Min("p_size", alias_name="min_size"),
+            Max("p_size", alias_name="max_size"),
+            Count(alias_name="n"),
+        )
+    )
+
+
+PART_TYPE_STATS_SQL = """
+SELECT p_type, CAST(MIN(p_size) AS BIGINT) AS min_size,
+       CAST(MAX(p_size) AS BIGINT) AS max_size,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM part GROUP BY p_type
+"""
+
+
+def distinct_suppliers_per_nation(sf_dir: str) -> "object":
+    """Exact distinct-count via two-level groupby (dedup then count) — the
+    scalable pattern for COUNT(DISTINCT) without a global set."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    dedup = ds.groupby(["s_nationkey", "s_suppkey"]).aggregate(
+        Count(alias_name="_c")
+    )
+    out = (
+        dedup.groupby("s_nationkey")
+        .aggregate(Count(alias_name="n_suppliers"))
+        .to_pandas()
+    )
+    out["s_nationkey"] = out["s_nationkey"].astype("int32")
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return out.sort_values("s_nationkey").reset_index(drop=True)
+
+
+DISTINCT_SUPPLIERS_SQL = """
+SELECT s_nationkey, CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers
+FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
+# -- windowed aggregate over the event stream -------------------------------
+
+def events_hourly(sf_dir: str) -> Dataset:
+    """Tumbling 1-hour window per event type: Ray Data has no event-time
+    windows, so the window key is computed vectorized (epoch-us integer
+    division) and the window IS a groupby key (ray_guide streaming-shaped
+    pattern)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def windowed(t: pa.Table) -> pa.Table:
+        hour = pc.divide(pc.cast(t["ts"], pa.int64()), 3_600_000_000)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour_bucket": hour,
+                "value_c4": _cents(t["value"], 10_000),
+            }
+        )
+
+    return (
+        ds.map_batches(windowed, batch_format="pyarrow")
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_c4", alias_name="sum_value_c4"),
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type,
+       epoch_us(ts) // 3600000000 AS hour_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value*10000) AS BIGINT)) AS BIGINT) AS sum_value_c4
+FROM events
+GROUP BY event_type, hour_bucket
+"""
+
+
+def user_event_counts(sf_dir: str) -> Dataset:
+    """Per-user per-type event counts — the partial-aggregate push-down
+    demo: combine inside map_batches first, then a small groupby over
+    partials (ray_guide 'Aggregation at scale')."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["user_id", "event_type", "partial_n"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("partial_n", alias_name="n"))
+    )
+
+
+USER_EVENT_COUNTS_SQL = """
+SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY user_id, event_type
+"""

@@ -1,0 +1,266 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding, label).
+
+Baseline: brute-force cosine top-k — numpy matmul per batch against a
+broadcast query matrix (``ray.put`` once), batch-local top-k pruning, tiny
+final reduce.  Scale path: LSH-bucketed variant (random-hyperplane signs)
+that prunes candidates to matching buckets before exact scoring — the IVF
+idea with hash buckets instead of k-means cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data import Dataset
+
+QUERY_IDS = (0, 1, 2)
+TOP_K = 10
+
+
+def _read_emb(sf_dir: str) -> Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _query_matrix(sf_dir: str, query_ids=QUERY_IDS) -> tuple[np.ndarray, list[int]]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_pylist()
+    idx = {v: i for i, v in enumerate(ids)}
+    emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    q = np.stack([emb[idx[i]] for i in query_ids])
+    return q, list(query_ids)
+
+
+def ann_topk(sf_dir: str) -> "object":
+    """Exact cosine top-10 per query vector, as (query_id, vec_id, rank).
+
+    map_batches computes the full query x batch similarity matrix (one
+    matmul), keeps only each batch's local top-k per query, and the driver
+    reduces the tiny candidate set — the whole corpus is never collected.
+    """
+    import pandas as pd
+
+    q, qids = _query_matrix(sf_dir)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    ref = ray.put((qn, qids))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qn_, qids_ = ray.get(ref)
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        sims = qn_ @ en.T  # (n_query, n_batch)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(qids_):
+            row = sims[qi]
+            mask = vec_ids != qid
+            cand_ids = vec_ids[mask]
+            cand_sims = row[mask]
+            k = min(TOP_K, len(cand_ids))
+            if k == 0:
+                continue
+            top = np.argpartition(-cand_sims, k - 1)[:k]
+            out_q.extend([qid] * k)
+            out_v.extend(cand_ids[top].tolist())
+            out_s.extend(cand_sims[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cand = _read_emb(sf_dir).map_batches(score, batch_format="pyarrow").to_pandas()
+    out_rows = []
+    for qid, grp in cand.groupby("query_id"):
+        grp = grp.sort_values(
+            ["sim", "vec_id"], ascending=[False, True]
+        ).head(TOP_K)
+        for rank, r in enumerate(grp.itertuples(), start=1):
+            out_rows.append((qid, int(r.vec_id), rank))
+    return pd.DataFrame(
+        out_rows, columns=["query_id", "vec_id", "rank"]
+    ).astype("int64")
+
+
+ANN_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id IN {QUERY_IDS}
+)
+SELECT query_id, e.vec_id,
+       CAST(row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
+       ) AS BIGINT) AS rank
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id != q.query_id
+QUALIFY rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def cosine_dup_pairs(sf_dir: str, threshold: float = 0.42) -> "object":
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos >= t).
+    Brute-force per batch against the broadcast (normalized) corpus matrix —
+    viable while one side fits a worker; the LSH-bucketed variant below is
+    the larger-than-memory path."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    alln = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    ref = ray.put((all_ids, alln))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids_, mat = ray.get(ref)
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        emb_b = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        bn = emb_b / np.linalg.norm(emb_b, axis=1, keepdims=True)
+        sims = bn @ mat.T
+        out_a, out_b = [], []
+        for i, va in enumerate(vec_ids):
+            hits = np.where((sims[i] >= threshold) & (ids_ > va))[0]
+            for j in hits:
+                out_a.append(int(va))
+                out_b.append(int(ids_[j]))
+        return pa.table(
+            {
+                "vec_a": pa.array(out_a, pa.int64()),
+                "vec_b": pa.array(out_b, pa.int64()),
+            }
+        )
+
+    out = _read_emb(sf_dir).map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+COSINE_DUP_PAIRS_SQL = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42
+ORDER BY vec_a, vec_b
+"""
+
+
+# -- LSH-bucketed variant (the scale path) ----------------------------------
+
+N_PLANES = 8
+
+
+def _hyperplanes(dim: int) -> np.ndarray:
+    rng = np.random.default_rng(12345)  # fixed seed: deterministic buckets
+    return rng.standard_normal((N_PLANES, dim))
+
+
+def lsh_bucket_topk(sf_dir: str) -> "object":
+    """ANN via random-hyperplane LSH: vectors bucket by sign pattern; each
+    query scores only its own bucket (plus Hamming-1 neighbors).  Trades
+    recall for a corpus-size-independent candidate set; returns the same
+    (query_id, vec_id, rank) shape as ann_topk for recall comparison.
+    Rows-only oracle (bucketing is not SQL-expressible)."""
+    import pandas as pd
+
+    q, qids = _query_matrix(sf_dir)
+    planes = _hyperplanes(q.shape[1])
+    q_sigs = ((q @ planes.T) > 0).astype(np.uint8)
+
+    def sig_to_int(bits: np.ndarray) -> np.ndarray:
+        return (bits * (1 << np.arange(N_PLANES))).sum(axis=1)
+
+    q_buckets = sig_to_int(q_sigs)
+    # query buckets + all Hamming-1 neighbors
+    wanted: set[int] = set()
+    for b in q_buckets.tolist():
+        wanted.add(b)
+        for bit in range(N_PLANES):
+            wanted.add(b ^ (1 << bit))
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    ref = ray.put((qn, list(qids), planes, wanted))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qn_, qids_, planes_, wanted_ = ray.get(ref)
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        bits = ((emb @ planes_.T) > 0).astype(np.uint8)
+        buckets = (bits * (1 << np.arange(N_PLANES))).sum(axis=1)
+        mask = np.isin(buckets, list(wanted_))
+        if not mask.any():
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        cand_ids = vec_ids[mask]
+        cand = emb[mask]
+        cn = cand / np.linalg.norm(cand, axis=1, keepdims=True)
+        sims = qn_ @ cn.T
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(qids_):
+            sel = cand_ids != qid
+            ids_, ss = cand_ids[sel], sims[qi][sel]
+            k = min(TOP_K, len(ids_))
+            if k == 0:
+                continue
+            top = np.argpartition(-ss, k - 1)[:k]
+            out_q.extend([qid] * k)
+            out_v.extend(ids_[top].tolist())
+            out_s.extend(ss[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cand = _read_emb(sf_dir).map_batches(score, batch_format="pyarrow").to_pandas()
+    import pandas as pd
+
+    out_rows = []
+    for qid, grp in cand.groupby("query_id"):
+        grp = grp.sort_values(["sim", "vec_id"], ascending=[False, True]).head(TOP_K)
+        for rank, r in enumerate(grp.itertuples(), start=1):
+            out_rows.append((qid, int(r.vec_id), rank))
+    return pd.DataFrame(
+        out_rows, columns=["query_id", "vec_id", "rank"]
+    ).astype("int64")
+
+
+def label_centroid_sims(sf_dir: str) -> "object":
+    """Per-label centroid then each label's intra-cluster mean cosine —
+    grouped vector aggregate (map_groups over list columns).  Integer
+    outputs: count per label (SQL-checkable) + permille mean sim (rows-only
+    float path kept out of the oracle query)."""
+    import pandas as pd
+
+    def per_label(g: pd.DataFrame) -> pd.DataFrame:
+        emb = np.array(g["embedding"].tolist(), dtype=np.float64)
+        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        c = en.mean(axis=0)
+        c /= np.linalg.norm(c)
+        mean_sim = float((en @ c).mean())
+        return pd.DataFrame(
+            {
+                "label": [int(g["label"].iloc[0])],
+                "n_vectors": [len(g)],
+                "mean_centroid_sim_permille": [int(mean_sim * 1000)],
+            }
+        )
+
+    out = (
+        _read_emb(sf_dir)
+        .groupby("label")
+        .map_groups(per_label, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("label").reset_index(drop=True).astype(
+        {"label": "int32", "n_vectors": "int64"}
+    )

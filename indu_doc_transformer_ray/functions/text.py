@@ -1,0 +1,232 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Everything is a vectorized-per-batch ``map_batches`` stage with compiled
+regexes held in actor state where the stage is stateful; integer outputs
+where a DuckDB oracle mirrors the op (float ratios would hash-differ).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+
+import ray.data
+from ray.data import Dataset
+
+TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+#: Tiny per-language stopword profiles for the heuristic language-ID stage.
+LANG_PROFILES = {
+    "en": {"the", "a", "of", "and", "to", "is"},
+    "de": {"der", "die", "das", "und", "ist"},
+    "fr": {"le", "la", "et", "est", "un"},
+    "es": {"el", "la", "y", "es", "un"},
+    "zh": set(),  # no-latin-stopword fallback
+}
+
+
+def _read_docs(sf_dir: str, columns: list[str]) -> Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+class TokenStats:
+    """Stateful stage: compiled token regex + stopword set in actor state."""
+
+    def __init__(self):
+        self.token_re = re.compile(r"[A-Za-z0-9_]+")
+        self.stop = set(STOPWORDS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_tokens, n_uniq, n_stop, n_chars = [], [], [], []
+        for text in batch.column("text").to_pylist():
+            toks = self.token_re.findall(text.lower())
+            n_tokens.append(len(toks))
+            n_uniq.append(len(set(toks)))
+            n_stop.append(sum(1 for t in toks if t in self.stop))
+            n_chars.append(len(text))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "n_uniq_tokens": pa.array(n_uniq, pa.int64()),
+                "n_stopwords": pa.array(n_stop, pa.int64()),
+                "n_chars": pa.array(n_chars, pa.int64()),
+            }
+        )
+
+
+def token_stats(sf_dir: str) -> Dataset:
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        TokenStats, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS BIGINT) AS n_uniq_tokens,
+       CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                x -> x IN {STOPWORDS})) AS BIGINT) AS n_stopwords,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def doc_fingerprint(sf_dir: str) -> Dataset:
+    """Whitespace-normalized lowercase md5 fingerprint per document (the
+    exact-dedup key at scale)."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        out = [
+            hashlib.md5(
+                " ".join(TOKEN_RE.findall(t.lower())).encode()
+            ).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "fingerprint": pa.array(out, pa.string())}
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow"
+    )
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9_]+'), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+def winnow_fingerprint(sf_dir: str) -> Dataset:
+    """Winnowing-style rolling-hash fingerprint (Schleimer et al., SIGMOD'03
+    pattern): k-gram rolling hashes, keep the window minima, fingerprint =
+    md5 of the minima sequence.  Deterministic; no SQL equivalent (rows-only
+    oracle check)."""
+    K, W = 5, 4
+
+    def fp(batch: pa.Table) -> pa.Table:
+        out = []
+        for text in batch.column("text").to_pylist():
+            toks = TOKEN_RE.findall(text.lower())
+            grams = [
+                int.from_bytes(
+                    hashlib.md5(" ".join(toks[i : i + K]).encode()).digest()[:8],
+                    "big",
+                )
+                for i in range(max(0, len(toks) - K + 1))
+            ]
+            if not grams:
+                out.append("")
+                continue
+            mins = [
+                min(grams[i : i + W]) for i in range(max(1, len(grams) - W + 1))
+            ]
+            # collapse runs (classic winnowing keeps each minimum once)
+            kept = [m for i, m in enumerate(mins) if i == 0 or m != mins[i - 1]]
+            out.append(
+                hashlib.md5(",".join(map(str, kept)).encode()).hexdigest()
+            )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "winnow_fp": pa.array(out, pa.string())}
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow"
+    )
+
+
+class LangId:
+    """Heuristic n-gram/stopword language scorer (actor-pool stage; the
+    profiles are tiny here but stand in for a real fasttext-style model
+    loaded once per actor)."""
+
+    def __init__(self):
+        self.token_re = re.compile(r"[A-Za-z0-9_]+")
+        self.profiles = {k: frozenset(v) for k, v in LANG_PROFILES.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds, scores = [], []
+        for text in batch.column("text").to_pylist():
+            toks = set(self.token_re.findall(text.lower()))
+            best_lang, best = "und", -1
+            for lang in sorted(self.profiles):
+                s = len(toks & self.profiles[lang])
+                if s > best:
+                    best_lang, best = lang, s
+            preds.append(best_lang)
+            scores.append(best)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pred_lang": pa.array(preds, pa.string()),
+                "score": pa.array(scores, pa.int64()),
+            }
+        )
+
+
+def lang_id(sf_dir: str) -> Dataset:
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+def lang_dist(sf_dir: str) -> Dataset:
+    from ray.data.aggregate import Count
+
+    return (
+        _read_docs(sf_dir, ["lang"]).groupby("lang").aggregate(Count(alias_name="n"))
+    )
+
+
+LANG_DIST_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+"""
+
+
+def quality_flags(sf_dir: str) -> Dataset:
+    """Quality scoring with integer outputs so the oracle hashes identically:
+    token count, mean-token-length permille (floored), short-doc flag."""
+
+    def flags(batch: pa.Table) -> pa.Table:
+        import math
+
+        n_tokens, mtl, short = [], [], []
+        for text in batch.column("text").to_pylist():
+            toks = TOKEN_RE.findall(text.lower())
+            n_tokens.append(len(toks))
+            mtl.append(
+                math.floor(sum(map(len, toks)) / len(toks) * 1000) if toks else 0
+            )
+            short.append(1 if len(text) < 100 else 0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "mean_token_len_permille": pa.array(mtl, pa.int64()),
+                "is_short": pa.array(short, pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        flags, batch_format="pyarrow"
+    )
+
+
+QUALITY_FLAGS_SQL = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9_]+')) = 0 THEN 0
+            ELSE FLOOR(list_sum(list_transform(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                                               x -> length(x)))::DOUBLE
+                 / len(regexp_extract_all(lower(text), '[a-z0-9_]+')) * 1000)
+       END AS BIGINT) AS mean_token_len_permille,
+       CAST(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END AS BIGINT) AS is_short
+FROM documents
+"""

@@ -1,0 +1,200 @@
+"""Sharded, resumable extraction runs: checkpoint + lineage + metrics.
+
+Ray Data gives task-level retry/lineage but no job-level checkpointing
+(SURVEY.md §4.2), so the runner adds it explicitly:
+
+- the input file list is split into SHARDS (the resumable unit; at 100 TB a
+  shard is a group of Lance/parquet fragments).  Each shard runs as its own
+  streaming pipeline into ``out_dir/extracted/shard=K/`` and commits a
+  manifest JSON recording lineage (exact input files), row/page/span/error
+  counts and wall time.  Writes go to a temp dir renamed into place, so a
+  half-written shard is never mistaken for a finished one.
+- a re-run SKIPS every shard whose manifest is complete — kill the job at
+  shard k, run again, and only shards >= k recompute (test-covered).
+- the merge phase (the one shuffle) reads ONLY the ``deltas`` column of the
+  checkpoint (parquet column pruning), aggregates, and writes the normalized
+  object tables partitioned by table name, with its own manifest.
+
+The span equality surface lives in the checkpoint itself: ``doc_id, spans``
+columns of ``extracted/`` — consumers column-prune them out for free.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+from ray.data import Dataset
+
+from ..core import AspectConfig, default_config
+from .extract import extract_documents, merged_object_rows
+
+
+@dataclass
+class ShardResult:
+    shard: int
+    skipped: bool
+    n_docs: int
+    n_pages: int
+    n_spans_in: int
+    n_errors: int
+    wall_s: float
+
+
+def _manifest_path(out_dir: str, shard: int) -> str:
+    return os.path.join(out_dir, "manifests", f"shard-{shard:05d}.json")
+
+
+def _list_input_files(input_path: str) -> list[str]:
+    if os.path.isfile(input_path):
+        return [input_path]
+    out = []
+    for root, _dirs, files in os.walk(input_path):
+        for f in sorted(files):
+            if f.endswith((".parquet", ".pq")):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def run_extraction(
+    input_path: str,
+    out_dir: str,
+    shards: int = 8,
+    config: AspectConfig = default_config,
+    batch_size: int = 32,
+    concurrency=None,
+) -> list[ShardResult]:
+    """Phase 1: per-shard extraction with checkpoint manifests."""
+    files = _list_input_files(input_path)
+    if not files:
+        raise FileNotFoundError(f"no parquet inputs under {input_path}")
+    shards = min(shards, len(files))
+    os.makedirs(os.path.join(out_dir, "manifests"), exist_ok=True)
+
+    results: list[ShardResult] = []
+    for k in range(shards):
+        mpath = _manifest_path(out_dir, k)
+        if os.path.exists(mpath):
+            m = json.load(open(mpath))
+            if m.get("complete"):
+                results.append(
+                    ShardResult(k, True, m["n_docs"], m["n_pages"],
+                                m["n_spans_in"], m["n_errors"], m["wall_s"])
+                )
+                continue
+        shard_files = files[k::shards]
+        shard_dir = os.path.join(out_dir, "extracted", f"shard={k:05d}")
+        tmp_dir = shard_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        shutil.rmtree(shard_dir, ignore_errors=True)
+
+        t0 = time.time()
+        ds = ray.data.read_parquet(shard_files)
+        extracted = extract_documents(
+            ds, config=config, batch_size=batch_size, concurrency=concurrency
+        )
+        extracted.write_parquet(tmp_dir)
+        # metrics: column-pruned scan of the tiny metric columns
+        stats = (
+            ray.data.read_parquet(
+                tmp_dir, columns=["n_pages", "n_spans_in", "n_errors"]
+            )
+            .map_batches(
+                lambda t: {
+                    "docs": [t.num_rows],
+                    "pages": [pc.sum(t["n_pages"]).as_py() or 0],
+                    "spans": [pc.sum(t["n_spans_in"]).as_py() or 0],
+                    "errors": [pc.sum(t["n_errors"]).as_py() or 0],
+                },
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+            .sum()
+        )
+        os.rename(tmp_dir, shard_dir)
+        wall = time.time() - t0
+        manifest = {
+            "shard": k,
+            "complete": True,
+            "input_files": shard_files,
+            "n_docs": int(stats["docs"]),
+            "n_pages": int(stats["pages"]),
+            "n_spans_in": int(stats["spans"]),
+            "n_errors": int(stats["errors"]),
+            "wall_s": wall,
+        }
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.rename(mpath + ".tmp", mpath)
+        results.append(
+            ShardResult(k, False, manifest["n_docs"], manifest["n_pages"],
+                        manifest["n_spans_in"], manifest["n_errors"], wall)
+        )
+    return results
+
+
+def run_merge(out_dir: str) -> dict:
+    """Phase 2: the object merge over the checkpoint's deltas column."""
+    mpath = os.path.join(out_dir, "manifests", "merge.json")
+    if os.path.exists(mpath):
+        m = json.load(open(mpath))
+        if m.get("complete"):
+            return m
+    t0 = time.time()
+    extracted = ray.data.read_parquet(
+        os.path.join(out_dir, "extracted"), columns=["deltas"]
+    )
+    obj_dir = os.path.join(out_dir, "objects")
+    tmp_dir = obj_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    shutil.rmtree(obj_dir, ignore_errors=True)
+    merged_object_rows(extracted).write_parquet(
+        tmp_dir, partition_cols=["table_name"]
+    )
+    os.rename(tmp_dir, obj_dir)
+    n_objects = pq.read_metadata_counts = sum(
+        pq.read_metadata(os.path.join(r, f)).num_rows
+        for r, _d, fs in os.walk(obj_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    manifest = {
+        "complete": True,
+        "n_objects": int(n_objects),
+        "wall_s": time.time() - t0,
+    }
+    with open(mpath + ".tmp", "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.rename(mpath + ".tmp", mpath)
+    return manifest
+
+
+def spans_output(out_dir: str) -> Dataset:
+    """The per-document span-sequence output (equality surface) — a
+    column-pruned view of the checkpoint."""
+    return ray.data.read_parquet(
+        os.path.join(out_dir, "extracted"), columns=["doc_id", "spans"]
+    )
+
+
+def object_table(out_dir: str, name: str) -> Dataset:
+    """One normalized object table (decoded from its partition)."""
+    import json as _json
+
+    import pyarrow as pa
+
+    part = os.path.join(out_dir, "objects", f"table_name={name}")
+    rows_ds = ray.data.read_parquet(part, columns=["row_json"])
+
+    def decode(t: "pa.Table") -> "pa.Table":
+        rows = [_json.loads(r) for r in t.column("row_json").to_pylist()]
+        return pa.Table.from_pylist(rows) if rows else pa.table({})
+
+    return rows_ds.map_batches(decode, batch_format="pyarrow")
