@@ -24,4 +24,6 @@ Layout:
     functions   - generic large-scale ops (dedup, similarity, text, relational)
 """
 
+from . import _compat  # noqa: F401  (env shims, must run first)
+
 __version__ = "0.1.0"

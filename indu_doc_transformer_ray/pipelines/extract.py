@@ -26,6 +26,7 @@ from __future__ import annotations
 from typing import Optional
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data import Dataset
@@ -135,18 +136,14 @@ def extract_documents(
 
 def _explode_deltas(batch: pa.Table) -> pa.Table:
     """Flatten per-doc delta lists and pre-combine within the batch (the
-    partial-aggregate push-down before the shuffle)."""
-    flat: list[tuple[str, str]] = []
-    for deltas in batch.column("deltas").to_pylist():
-        for d in deltas:
-            flat.append((d["mkey"], d["payload"]))
-    acc = local_combine(flat)
-    return pa.Table.from_pydict(
-        {
-            "mkey": pa.array(list(acc.keys()), pa.string()),
-            "payload": pa.array(list(acc.values()), pa.string()),
-        }
+    partial-aggregate push-down before the shuffle) — all in vectorized
+    Arrow kernels, no Python per row."""
+    flat = pc.list_flatten(batch.column("deltas").combine_chunks())
+    t = pa.Table.from_arrays(
+        [flat.field("mkey"), flat.field("payload")], ["mkey", "payload"]
     )
+    combined = t.group_by("mkey").aggregate([("payload", "max")])
+    return combined.rename_columns(["mkey", "payload"])
 
 
 def merge_deltas(extracted: Dataset) -> Dataset:
@@ -159,48 +156,68 @@ def merge_deltas(extracted: Dataset) -> Dataset:
     return merged
 
 
-def _decode_merged(batch: pa.Table) -> pa.Table:
-    """merged (mkey, payload) -> typed rows tagged with their table name."""
-    import json as _json
+#: delta kind (mkey prefix) -> output table name
+KIND_TO_TABLE = {
+    "xtarget": "xtargets",
+    "xtarget_attr": "object_attrs",
+    "aspect_attr": "object_attrs",
+    "link_attr": "object_attrs",
+    "aspect": "aspects",
+    "attribute": "attributes",
+    "link": "links",
+    "connection": "connections",
+    "pin": "pins",
+    "page_object": "page_objects",
+    "error": "errors",
+}
 
-    tables: list[str] = []
-    rows: list[str] = []
-    kinds: list[str] = []
-    for mkey, payload in zip(
-        batch.column("mkey").to_pylist(), batch.column("payload").to_pylist()
-    ):
-        name, row = assemble_rows(mkey, payload)
-        tables.append(name)
-        rows.append(_json.dumps(row, sort_keys=True))
-        kinds.append(mkey.split(US, 1)[0])
-    return pa.Table.from_pydict(
-        {
-            "table_name": pa.array(tables, pa.string()),
-            "row_json": pa.array(rows, pa.string()),
-            "kind": pa.array(kinds, pa.string()),
-        }
+
+def _tag_table_name(batch: pa.Table) -> pa.Table:
+    """Attach the output-table name from the mkey prefix — dictionary-level
+    mapping (a handful of distinct kinds), not per-row Python."""
+    kind = pc.list_element(
+        pc.split_pattern(batch.column("mkey"), US, max_splits=1), 0
     )
+    enc = pc.dictionary_encode(kind.combine_chunks())
+    mapped = pa.array(
+        [KIND_TO_TABLE[v] for v in enc.dictionary.to_pylist()], pa.string()
+    )
+    table_name = pc.cast(
+        pa.DictionaryArray.from_arrays(enc.indices, mapped), pa.string()
+    )
+    return batch.append_column("table_name", table_name)
 
 
 def merged_object_rows(extracted: Dataset) -> Dataset:
-    """Merged deltas decoded to (table_name, row_json) rows — written once,
-    partitioned by table_name, so each normalized table is a filtered read."""
+    """Merged deltas tagged with their table name: (table_name, mkey,
+    payload).  Written once, partitioned by table_name; per-table decode
+    (deltas.assemble_rows) is deferred to the consumer so the headline merge
+    path stays fully vectorized."""
     return merge_deltas(extracted).map_batches(
-        _decode_merged, batch_format="pyarrow"
+        _tag_table_name, batch_format="pyarrow"
     )
+
+
+def decode_object_batch(batch: pa.Table) -> pa.Table:
+    """(mkey, payload) rows of ONE table -> typed rows."""
+    rows = [
+        assemble_rows(m, p)[1]
+        for m, p in zip(
+            batch.column("mkey").to_pylist(), batch.column("payload").to_pylist()
+        )
+    ]
+    return pa.Table.from_pylist(rows) if rows else pa.table({})
 
 
 def object_tables_to_pylists(extracted: Dataset) -> dict[str, list[dict]]:
     """Small-scale/test materialization of every normalized object table."""
-    import json as _json
-
     out: dict[str, list[dict]] = {n: [] for n in TABLE_NAMES}
-    for batch in merged_object_rows(extracted).iter_batches(
+    for batch in merge_deltas(extracted).iter_batches(
         batch_size=65536, batch_format="pyarrow"
     ):
-        for name, row in zip(
-            batch.column("table_name").to_pylist(),
-            batch.column("row_json").to_pylist(),
+        for mkey, payload in zip(
+            batch.column("mkey").to_pylist(), batch.column("payload").to_pylist()
         ):
-            out[name].append(_json.loads(row))
+            name, row = assemble_rows(mkey, payload)
+            out[name].append(row)
     return out

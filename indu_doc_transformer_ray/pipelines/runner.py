@@ -63,6 +63,23 @@ def _list_input_files(input_path: str) -> list[str]:
     return sorted(out)
 
 
+def _shard_stats(shard_dir: str) -> dict[str, int]:
+    """Shard metrics from the written checkpoint: row counts come from the
+    parquet footers, sums from a driver-side column-pruned read of the three
+    tiny int32 metric columns — no Ray pipeline spin-up."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(shard_dir).to_table(
+        columns=["n_pages", "n_spans_in", "n_errors"]
+    )
+    return {
+        "docs": t.num_rows,
+        "pages": pc.sum(t["n_pages"]).as_py() or 0,
+        "spans": pc.sum(t["n_spans_in"]).as_py() or 0,
+        "errors": pc.sum(t["n_errors"]).as_py() or 0,
+    }
+
+
 def run_extraction(
     input_path: str,
     out_dir: str,
@@ -70,25 +87,29 @@ def run_extraction(
     config: AspectConfig = default_config,
     batch_size: int = 32,
     concurrency=None,
+    max_concurrent_shards: int = 4,
 ) -> list[ShardResult]:
-    """Phase 1: per-shard extraction with checkpoint manifests."""
+    """Phase 1: per-shard extraction with checkpoint manifests.
+
+    Shards execute as independent streaming pipelines; up to
+    ``max_concurrent_shards`` run concurrently (they share the cluster under
+    Ray's scheduler), which overlaps per-pipeline startup while keeping the
+    shard the unit of resume/failure isolation."""
+    from concurrent.futures import ThreadPoolExecutor
+
     files = _list_input_files(input_path)
     if not files:
         raise FileNotFoundError(f"no parquet inputs under {input_path}")
     shards = min(shards, len(files))
     os.makedirs(os.path.join(out_dir, "manifests"), exist_ok=True)
 
-    results: list[ShardResult] = []
-    for k in range(shards):
+    def run_shard(k: int) -> ShardResult:
         mpath = _manifest_path(out_dir, k)
         if os.path.exists(mpath):
             m = json.load(open(mpath))
             if m.get("complete"):
-                results.append(
-                    ShardResult(k, True, m["n_docs"], m["n_pages"],
-                                m["n_spans_in"], m["n_errors"], m["wall_s"])
-                )
-                continue
+                return ShardResult(k, True, m["n_docs"], m["n_pages"],
+                                   m["n_spans_in"], m["n_errors"], m["wall_s"])
         shard_files = files[k::shards]
         shard_dir = os.path.join(out_dir, "extracted", f"shard={k:05d}")
         tmp_dir = shard_dir + ".tmp"
@@ -101,23 +122,7 @@ def run_extraction(
             ds, config=config, batch_size=batch_size, concurrency=concurrency
         )
         extracted.write_parquet(tmp_dir)
-        # metrics: column-pruned scan of the tiny metric columns
-        stats = (
-            ray.data.read_parquet(
-                tmp_dir, columns=["n_pages", "n_spans_in", "n_errors"]
-            )
-            .map_batches(
-                lambda t: {
-                    "docs": [t.num_rows],
-                    "pages": [pc.sum(t["n_pages"]).as_py() or 0],
-                    "spans": [pc.sum(t["n_spans_in"]).as_py() or 0],
-                    "errors": [pc.sum(t["n_errors"]).as_py() or 0],
-                },
-                batch_format="pyarrow",
-            )
-            .to_pandas()
-            .sum()
-        )
+        stats = _shard_stats(tmp_dir)
         os.rename(tmp_dir, shard_dir)
         wall = time.time() - t0
         manifest = {
@@ -133,10 +138,11 @@ def run_extraction(
         with open(mpath + ".tmp", "w") as f:
             json.dump(manifest, f, indent=1)
         os.rename(mpath + ".tmp", mpath)
-        results.append(
-            ShardResult(k, False, manifest["n_docs"], manifest["n_pages"],
-                        manifest["n_spans_in"], manifest["n_errors"], wall)
-        )
+        return ShardResult(k, False, manifest["n_docs"], manifest["n_pages"],
+                           manifest["n_spans_in"], manifest["n_errors"], wall)
+
+    with ThreadPoolExecutor(max_workers=max_concurrent_shards) as pool:
+        results = list(pool.map(run_shard, range(shards)))
     return results
 
 
@@ -185,16 +191,9 @@ def spans_output(out_dir: str) -> Dataset:
 
 
 def object_table(out_dir: str, name: str) -> Dataset:
-    """One normalized object table (decoded from its partition)."""
-    import json as _json
-
-    import pyarrow as pa
+    """One normalized object table, decoded lazily from its partition."""
+    from .extract import decode_object_batch
 
     part = os.path.join(out_dir, "objects", f"table_name={name}")
-    rows_ds = ray.data.read_parquet(part, columns=["row_json"])
-
-    def decode(t: "pa.Table") -> "pa.Table":
-        rows = [_json.loads(r) for r in t.column("row_json").to_pylist()]
-        return pa.Table.from_pylist(rows) if rows else pa.table({})
-
-    return rows_ds.map_batches(decode, batch_format="pyarrow")
+    rows_ds = ray.data.read_parquet(part, columns=["mkey", "payload"])
+    return rows_ds.map_batches(decode_object_batch, batch_format="pyarrow")
