@@ -249,7 +249,10 @@ def rebuild_tag_display(
 # char-join helper rather than an accident.
 
 def _md5_uuid(s: str) -> str:
-    return str(uuid.UUID(bytes=hashlib.md5(s.encode("utf-8")).digest()))
+    # equals str(uuid.UUID(bytes=md5digest)) — the hyphenated hexdigest —
+    # without constructing a UUID object (hot path: every GUID).
+    h = hashlib.md5(s.encode("utf-8")).hexdigest()
+    return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
 
 
 def _charjoin(s: str) -> list[str]:

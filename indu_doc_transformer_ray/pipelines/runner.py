@@ -97,11 +97,22 @@ def run_extraction(
     shard the unit of resume/failure isolation."""
     from concurrent.futures import ThreadPoolExecutor
 
+    import ray
+
     files = _list_input_files(input_path)
     if not files:
         raise FileNotFoundError(f"no parquet inputs under {input_path}")
     shards = min(shards, len(files))
     os.makedirs(os.path.join(out_dir, "manifests"), exist_ok=True)
+
+    # Size concurrent pipelines + their fixed actor pools so the pools NEVER
+    # reserve every CPU: concurrent pipelines do not coordinate reservations,
+    # and a box fully held by (idle) pool actors starves the read/write
+    # tasks that feed them — a livelock, not just contention.
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    max_concurrent_shards = min(max_concurrent_shards, max(1, ncpu // 4))
+    if concurrency is None:
+        concurrency = max(1, ncpu // max_concurrent_shards - 1)
 
     def run_shard(k: int) -> ShardResult:
         mpath = _manifest_path(out_dir, k)
@@ -161,9 +172,10 @@ def run_merge(out_dir: str) -> dict:
     tmp_dir = obj_dir + ".tmp"
     shutil.rmtree(tmp_dir, ignore_errors=True)
     shutil.rmtree(obj_dir, ignore_errors=True)
-    merged_object_rows(extracted).write_parquet(
-        tmp_dir, partition_cols=["table_name"]
-    )
+    # plain (unpartitioned) write: a hive-partitioned write costs a per-block
+    # re-bucketing pass; per-table consumers push a table_name predicate down
+    # to the parquet scan instead
+    merged_object_rows(extracted).write_parquet(tmp_dir)
     os.rename(tmp_dir, obj_dir)
     n_objects = pq.read_metadata_counts = sum(
         pq.read_metadata(os.path.join(r, f)).num_rows
@@ -191,9 +203,17 @@ def spans_output(out_dir: str) -> Dataset:
 
 
 def object_table(out_dir: str, name: str) -> Dataset:
-    """One normalized object table, decoded lazily from its partition."""
+    """One normalized object table, decoded lazily from a predicate-pushdown
+    read of the merged objects."""
+    import pyarrow.compute as _pc
+
     from .extract import decode_object_batch
 
-    part = os.path.join(out_dir, "objects", f"table_name={name}")
-    rows_ds = ray.data.read_parquet(part, columns=["mkey", "payload"])
-    return rows_ds.map_batches(decode_object_batch, batch_format="pyarrow")
+    rows_ds = ray.data.read_parquet(
+        os.path.join(out_dir, "objects"),
+        columns=["table_name", "mkey", "payload"],
+        filter=(_pc.field("table_name") == name),
+    )
+    return rows_ds.select_columns(["mkey", "payload"]).map_batches(
+        decode_object_batch, batch_format="pyarrow"
+    )

@@ -118,6 +118,10 @@ class ExtractionStore:
         self.links: dict[str, LinkRec] = {}
         self.pins: dict[str, PinRec] = {}
         self.tag_cache: dict[str, dict[str, tuple[str, ...]]] = {}
+        # (raw tag_str, footer tags) -> final merged tag string; the footer
+        # merge re-parses several strings, and identical raw tags under the
+        # same footer recur constantly within a document
+        self._merge_cache: dict[tuple, str] = {}
         # ordered log of page<->object mapping calls; drives both the
         # page_objects edge table and the per-page emitted "object" spans
         self.mapping_log: list[tuple[str, int, str, str]] = []
@@ -215,13 +219,16 @@ class ExtractionStore:
     def tag(self, tag_str: str, page: PageCtx) -> tuple[str, dict[str, tuple[str, ...]]]:
         """Footer-merge + parse + aspect side-effects; cached per final tag
         string.  Returns ``(final_tag_str, parts)``."""
-        final = (
-            core.merge_tag_with_footer(
-                tag_str, page.footer.tags, self.config, self.pattern
-            )
-            if page.footer
-            else core.strip_pin(tag_str)
-        )
+        if page.footer:
+            mkey = (tag_str, tuple(page.footer.tags))
+            final = self._merge_cache.get(mkey)
+            if final is None:
+                final = core.merge_tag_with_footer(
+                    tag_str, page.footer.tags, self.config, self.pattern
+                )
+                self._merge_cache[mkey] = final
+        else:
+            final = core.strip_pin(tag_str)
         if final in self.tag_cache:
             return final, self.tag_cache[final]
         parts = core.tag_parts(final, self.config, self.pattern)

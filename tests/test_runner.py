@@ -1,0 +1,80 @@
+"""Checkpoint/resume semantics of the sharded runner."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+import ray.data
+
+from indu_doc_transformer_ray.fixtures import corpus_table
+from indu_doc_transformer_ray.pipelines.runner import (
+    object_table,
+    run_extraction,
+    run_merge,
+    spans_output,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(ray_session, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("corpus"))
+    ds = ray.data.from_arrow(corpus_table(40, seed=11)).repartition(8)
+    ds.write_parquet(d)
+    return d
+
+
+def test_run_and_resume(corpus_dir, tmp_path):
+    out_dir = str(tmp_path / "out")
+    results = run_extraction(corpus_dir, out_dir, shards=4)
+    assert len(results) == 4
+    assert all(not r.skipped for r in results)
+    assert sum(r.n_docs for r in results) == 40
+    merge1 = run_merge(out_dir)
+    assert merge1["n_objects"] > 0
+
+    spans1 = {
+        r["doc_id"]: r["spans"]
+        for r in spans_output(out_dir).take_all()
+    }
+
+    # simulate a crash: lose shard 2 (data + manifest) and the merge output
+    shutil.rmtree(os.path.join(out_dir, "extracted", "shard=00002"))
+    os.remove(os.path.join(out_dir, "manifests", "shard-00002.json"))
+    os.remove(os.path.join(out_dir, "manifests", "merge.json"))
+    shutil.rmtree(os.path.join(out_dir, "objects"))
+
+    results2 = run_extraction(corpus_dir, out_dir, shards=4)
+    skipped = {r.shard: r.skipped for r in results2}
+    assert skipped == {0: True, 1: True, 2: False, 3: True}
+    merge2 = run_merge(out_dir)
+    assert merge2["n_objects"] == merge1["n_objects"]
+
+    spans2 = {
+        r["doc_id"]: r["spans"]
+        for r in spans_output(out_dir).take_all()
+    }
+    assert spans1.keys() == spans2.keys()
+    for d in spans1:
+        assert spans1[d] == spans2[d]
+
+
+def test_manifest_contents(corpus_dir, tmp_path):
+    out_dir = str(tmp_path / "out2")
+    run_extraction(corpus_dir, out_dir, shards=2)
+    m = json.load(open(os.path.join(out_dir, "manifests", "shard-00000.json")))
+    assert m["complete"] is True
+    assert m["n_docs"] > 0 and m["n_pages"] > 0 and m["n_spans_in"] > 0
+    assert m["wall_s"] > 0
+    assert all(os.path.exists(f) for f in m["input_files"])  # lineage
+
+
+def test_object_table_read(corpus_dir, tmp_path):
+    out_dir = str(tmp_path / "out3")
+    run_extraction(corpus_dir, out_dir, shards=2)
+    run_merge(out_dir)
+    xt = object_table(out_dir, "xtargets").to_pandas()
+    assert set(xt.columns) == {"guid", "tag_str", "target_type"}
+    assert len(xt) > 0
+    assert xt["guid"].is_unique
