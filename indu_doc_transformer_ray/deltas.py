@@ -44,7 +44,10 @@ from .store import ExtractionStore, TYPE_PRIORITY, canonical_json
 
 
 def store_to_deltas(store: ExtractionStore) -> list[tuple[str, str]]:
-    """Flush a (per-document) store into merge-ready delta pairs."""
+    """Flush a (per-document) store into merge-ready delta pairs for the
+    GLOBALLY-merged kinds.  Doc-scoped rows (page_objects, errors) never
+    collide across documents — their keys embed the doc_id — so they bypass
+    the shuffle entirely (``store_to_local_rows``)."""
     out: list[tuple[str, str]] = []
     add = out.append
 
@@ -115,21 +118,24 @@ def store_to_deltas(store: ExtractionStore) -> list[tuple[str, str]]:
                 ),
             )
         )
-    for d, pno, kind, guid in set(store.mapping_log):
-        if kind == "error":
-            continue  # errors carry their own richer delta below
-        add((f"page_object{US}{d}{US}{pno}{US}{kind}{US}{guid}", ""))
-    for d, pno, sev, msg in set(store.error_log):
-        h = hashlib.md5(msg.encode()).hexdigest()
-        add(
-            (
-                f"error{US}{d}{US}{pno}{US}{sev}{US}{h}",
-                canonical_json(
-                    {"doc_id": d, "page_no": pno, "severity": sev, "message": msg}
-                ),
-            )
-        )
     return out
+
+
+def store_to_local_rows(
+    store: ExtractionStore,
+) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
+    """Doc-scoped output rows, set-deduplicated like the reference's mapper
+    sets (god.py:91-144): ``(page_objects, errors)``."""
+    page_objects = [
+        {"doc_id": d, "page_no": p, "object_kind": k, "object_guid": g}
+        for d, p, k, g in sorted(set(store.mapping_log))
+        if k != "error"
+    ]
+    errors = [
+        {"doc_id": d, "page_no": p, "severity": s, "message": m}
+        for d, p, s, m in sorted(set(store.error_log))
+    ]
+    return page_objects, errors
 
 
 def local_combine(pairs: Iterable[tuple[str, str]]) -> dict[str, str]:
@@ -213,4 +219,8 @@ def assemble_tables(
 def oracle_tables(store: ExtractionStore) -> dict[str, list[dict[str, Any]]]:
     """Normalized golden tables from a (global, single-process) store."""
     merged = sorted(local_combine(store_to_deltas(store)).items())
-    return assemble_tables(merged)
+    out = assemble_tables(merged)
+    page_objects, errors = store_to_local_rows(store)
+    out["page_objects"] = page_objects
+    out["errors"] = errors
+    return out

@@ -33,19 +33,42 @@ from ray.data import Dataset
 from ray.data.aggregate import Max
 
 from ..core import AspectConfig, default_config
-from ..deltas import assemble_rows, local_combine, store_to_deltas, TABLE_NAMES
+from ..deltas import (
+    TABLE_NAMES,
+    assemble_rows,
+    store_to_deltas,
+    store_to_local_rows,
+)
 from ..emit import process_document
 from ..fixtures import SPAN_STRUCT
 from ..spandoc import US, Span
 from ..store import ExtractionStore
 
 DELTA_STRUCT = pa.struct([("mkey", pa.string()), ("payload", pa.string())])
+PAGE_OBJECT_STRUCT = pa.struct(
+    [
+        ("doc_id", pa.string()),
+        ("page_no", pa.int32()),
+        ("object_kind", pa.string()),
+        ("object_guid", pa.string()),
+    ]
+)
+ERROR_STRUCT = pa.struct(
+    [
+        ("doc_id", pa.string()),
+        ("page_no", pa.int32()),
+        ("severity", pa.string()),
+        ("message", pa.string()),
+    ]
+)
 
 EXTRACTED_SCHEMA = pa.schema(
     [
         ("doc_id", pa.string()),
         ("spans", pa.list_(SPAN_STRUCT)),
         ("deltas", pa.list_(DELTA_STRUCT)),
+        ("page_objects", pa.list_(PAGE_OBJECT_STRUCT)),
+        ("errors", pa.list_(ERROR_STRUCT)),
         ("n_pages", pa.int32()),
         ("n_spans_in", pa.int32()),
         ("n_errors", pa.int32()),
@@ -72,6 +95,8 @@ class DocumentExtractor:
         span_lists = batch.column("spans").to_pylist()
         out_spans: list[list[dict]] = []
         out_deltas: list[list[dict]] = []
+        out_pobjs: list[list[dict]] = []
+        out_errs: list[list[dict]] = []
         n_pages: list[int] = []
         n_spans_in: list[int] = []
         n_errors: list[int] = []
@@ -92,6 +117,9 @@ class DocumentExtractor:
             out_deltas.append(
                 [{"mkey": k, "payload": v} for k, v in store_to_deltas(store)]
             )
+            pobjs, errs = store_to_local_rows(store)
+            out_pobjs.append(pobjs)
+            out_errs.append(errs)
             n_pages.append(sum(1 for s in raw if s["kind"] == "page_break"))
             n_spans_in.append(len(raw))
             n_errors.append(len(store.error_log))
@@ -100,6 +128,8 @@ class DocumentExtractor:
                 "doc_id": pa.array(doc_ids, pa.string()),
                 "spans": pa.array(out_spans, pa.list_(SPAN_STRUCT)),
                 "deltas": pa.array(out_deltas, pa.list_(DELTA_STRUCT)),
+                "page_objects": pa.array(out_pobjs, pa.list_(PAGE_OBJECT_STRUCT)),
+                "errors": pa.array(out_errs, pa.list_(ERROR_STRUCT)),
                 "n_pages": pa.array(n_pages, pa.int32()),
                 "n_spans_in": pa.array(n_spans_in, pa.int32()),
                 "n_errors": pa.array(n_errors, pa.int32()),
@@ -146,14 +176,35 @@ def _explode_deltas(batch: pa.Table) -> pa.Table:
     return combined.rename_columns(["mkey", "payload"])
 
 
+def _bucketize(batch: pa.Table) -> pa.Table:
+    """Shuffle bucket from the first two hex chars of the embedded GUID
+    (uniform by construction) — a 256-way coarse key is far cheaper to
+    sort-shuffle than the full mkey."""
+    guid_part = pc.list_element(
+        pc.split_pattern(batch.column("mkey"), US, max_splits=1), 1
+    )
+    bucket = pc.utf8_slice_codeunits(guid_part, 0, 2)
+    return batch.append_column("bucket", bucket)
+
+
+def _merge_bucket(group: pa.Table) -> pa.Table:
+    merged = group.group_by("mkey").aggregate([("payload", "max")])
+    return merged.rename_columns(["mkey", "payload"])
+
+
 def merge_deltas(extracted: Dataset) -> Dataset:
-    """The one shuffle: exact God-merge semantics as a vectorized aggregate
-    (see deltas.py for the per-kind proof).  Output: (mkey, payload)."""
+    """The one shuffle: exact God-merge semantics as max-per-key (see
+    deltas.py for the per-kind proof), executed as a coarse 256-bucket
+    exchange with a fully vectorized Arrow group_by inside each bucket.
+    Output: (mkey, payload)."""
     flat = extracted.select_columns(["deltas"]).map_batches(
         _explode_deltas, batch_format="pyarrow"
     )
-    merged = flat.groupby("mkey").aggregate(Max("payload", alias_name="payload"))
-    return merged
+    return (
+        flat.map_batches(_bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_merge_bucket, batch_format="pyarrow")
+    )
 
 
 #: delta kind (mkey prefix) -> output table name
@@ -209,6 +260,21 @@ def decode_object_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pylist(rows) if rows else pa.table({})
 
 
+def flatten_local_rows(extracted: Dataset, column: str) -> Dataset:
+    """Doc-scoped rows (page_objects / errors): a pure flatten, no shuffle."""
+
+    def flat(batch: pa.Table) -> pa.Table:
+        arr = pc.list_flatten(batch.column(column).combine_chunks())
+        return pa.Table.from_arrays(
+            [arr.field(i) for i in range(arr.type.num_fields)],
+            [arr.type.field(i).name for i in range(arr.type.num_fields)],
+        )
+
+    return extracted.select_columns([column]).map_batches(
+        flat, batch_format="pyarrow"
+    )
+
+
 def object_tables_to_pylists(extracted: Dataset) -> dict[str, list[dict]]:
     """Small-scale/test materialization of every normalized object table."""
     out: dict[str, list[dict]] = {n: [] for n in TABLE_NAMES}
@@ -220,4 +286,9 @@ def object_tables_to_pylists(extracted: Dataset) -> dict[str, list[dict]]:
         ):
             name, row = assemble_rows(mkey, payload)
             out[name].append(row)
+    for name in ("page_objects", "errors"):
+        for batch in flatten_local_rows(extracted, name).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        ):
+            out[name].extend(batch.to_pylist())
     return out

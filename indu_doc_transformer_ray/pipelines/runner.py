@@ -158,7 +158,10 @@ def run_extraction(
 
 
 def run_merge(out_dir: str) -> dict:
-    """Phase 2: the object merge over the checkpoint's deltas column."""
+    """Phase 2: the object merge over the checkpoint's deltas column, plus
+    the shuffle-free flatten of the doc-scoped page_objects/errors rows."""
+    from .extract import flatten_local_rows
+
     mpath = os.path.join(out_dir, "manifests", "merge.json")
     if os.path.exists(mpath):
         m = json.load(open(mpath))
@@ -177,11 +180,30 @@ def run_merge(out_dir: str) -> dict:
     # to the parquet scan instead
     merged_object_rows(extracted).write_parquet(tmp_dir)
     os.rename(tmp_dir, obj_dir)
-    n_objects = pq.read_metadata_counts = sum(
-        pq.read_metadata(os.path.join(r, f)).num_rows
-        for r, _d, fs in os.walk(obj_dir)
-        for f in fs
-        if f.endswith(".parquet")
+
+    # doc-scoped rows: pure column-pruned flatten, no shuffle
+    for column in ("page_objects", "errors"):
+        dest = os.path.join(out_dir, column)
+        dtmp = dest + ".tmp"
+        shutil.rmtree(dtmp, ignore_errors=True)
+        shutil.rmtree(dest, ignore_errors=True)
+        src = ray.data.read_parquet(
+            os.path.join(out_dir, "extracted"), columns=[column]
+        )
+        flatten_local_rows(src, column).write_parquet(dtmp)
+        os.rename(dtmp, dest)
+    def _count(d: str) -> int:
+        return sum(
+            pq.read_metadata(os.path.join(r, f)).num_rows
+            for r, _d, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    n_objects = (
+        _count(obj_dir)
+        + _count(os.path.join(out_dir, "page_objects"))
+        + _count(os.path.join(out_dir, "errors"))
     )
     manifest = {
         "complete": True,
@@ -204,11 +226,13 @@ def spans_output(out_dir: str) -> Dataset:
 
 def object_table(out_dir: str, name: str) -> Dataset:
     """One normalized object table, decoded lazily from a predicate-pushdown
-    read of the merged objects."""
+    read of the merged objects (doc-scoped tables read directly)."""
     import pyarrow.compute as _pc
 
     from .extract import decode_object_batch
 
+    if name in ("page_objects", "errors"):
+        return ray.data.read_parquet(os.path.join(out_dir, name))
     rows_ds = ray.data.read_parquet(
         os.path.join(out_dir, "objects"),
         columns=["table_name", "mkey", "payload"],
