@@ -30,10 +30,12 @@ SEED = 42
 
 
 def corpus_docs_for(sf_dir: str) -> int:
+    # 4x the documents-table rows: long enough that fixed pipeline startup
+    # amortizes and the scaling measurement reflects throughput, not setup
     import pyarrow.parquet as pq
 
     n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    return max(100, n)
+    return max(100, 4 * n)
 
 
 def ensure_corpus(sf_dir: str) -> str:

@@ -1,0 +1,14 @@
+"""Shared helpers for the operator modules."""
+
+from __future__ import annotations
+
+
+def join_partitions(cap: int = 8) -> int:
+    """Hash-join partition count sized to the Ray session: each partition
+    spawns a shuffle-aggregator actor PER JOIN SIDE, and a partition count
+    exceeding available CPUs deadlocks small sessions (aggregators can't all
+    schedule, the join never drains)."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(cap, ncpu // 2))

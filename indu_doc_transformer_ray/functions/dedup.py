@@ -6,8 +6,8 @@ Scale pattern per op (ray_guide 'Aggregation at scale' / SURVEY.md):
   ``groupby(hash).aggregate(Min(doc_id))`` — a single uniform-key shuffle.
 - MinHash+LSH near-dup: shingle -> minhash signature per batch -> explode to
   (band_id, band_hash, doc_id) rows -> groupby bands -> candidate pairs ->
-  exact-Jaccard verification by joining the pair list back to the shingle
-  sets with two hash joins (no broadcast of the corpus).
+  exact-Jaccard verification of candidate docs via a broadcast semi-join
+  (candidates << corpus by construction).
 - SimHash: 64-bit signature per document, vectorized per batch.
 - n-gram Jaccard: exact all-pairs on a bounded subset (the verification-side
   primitive; LSH is the scale path for candidate generation).
@@ -102,7 +102,7 @@ FROM documents GROUP BY k
 # -- MinHash + LSH ----------------------------------------------------------
 
 N_HASHES = 16
-BANDS = 4
+BANDS = 8  # 8 bands x 2 rows: P(candidate) = 1-(1-j^2)^8, ~0.97 at j=0.5
 ROWS_PER_BAND = N_HASHES // BANDS
 SHINGLE_K = 3
 
@@ -158,32 +158,16 @@ class MinHashBands:
         )
 
 
-def _shingle_table(sf_dir: str) -> Dataset:
-    # shingle sets serialized to one '\x1e'-joined string per doc: the hash
-    # join ships flat string payloads (Arrow hash join rejects list<...>
-    # non-key columns), verification splits them back
-    def sh(batch: pa.Table) -> pa.Table:
-        out = [
-            "\x1e".join(sorted(_shingles(t)))
-            for t in batch.column("text").to_pylist()
-        ]
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "shingles": pa.array(out, pa.string()),
-            }
-        )
-
-    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        sh, batch_format="pyarrow"
-    )
-
-
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> "object":
-    """Candidate pairs from banded MinHash, verified with exact shingle
-    Jaccard via two hash joins back to the shingle table (the scale path —
-    no corpus broadcast).  Returns (doc_a, doc_b, jaccard_permille)."""
+    """Near-duplicate pairs: banded MinHash candidate generation (the LSH
+    groupby) followed by exact shingle-Jaccard verification of ONLY the
+    candidate documents, fetched via a broadcast semi-join (`ray.put` of the
+    candidate-id set, vectorized `is_in` filter over the corpus — the
+    ray_guide semi-join pattern).  LSH keeps the candidate set tiny relative
+    to the corpus, which is exactly what makes the semi-join the
+    scale-correct shape.  Returns (doc_a, doc_b, jaccard_permille)."""
     import pandas as pd
+    import ray as _ray
 
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     bands = docs.map_batches(
@@ -195,57 +179,70 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> "object":
         rows = [
             (a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]
         ]
-        return pd.DataFrame(rows, columns=["doc_a", "doc_b"])
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([r[0] for r in rows], dtype="int64"),
+                "doc_b": pd.Series([r[1] for r in rows], dtype="int64"),
+            }
+        )
 
-    pairs = (
+    pair_rows = (
         bands.groupby(["band_id", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="_n"))  # dedup candidate pairs
         .select_columns(["doc_a", "doc_b"])
+        .take_all()
     )
+    pairs = sorted((r["doc_a"], r["doc_b"]) for r in pair_rows)
+    cand_ids = sorted({d for p in pairs for d in p})
+    ref = _ray.put(set(cand_ids))
 
-    shingles = _shingle_table(sf_dir)
-    j1 = pairs.join(
-        shingles, join_type="inner", num_partitions=8,
-        on=("doc_a",), right_on=("doc_id",),
-    )
-    j2 = j1.join(
-        shingles, join_type="inner", num_partitions=8,
-        on=("doc_b",), right_on=("doc_id",),
-        left_suffix="_l", right_suffix="_r",
-    )
-
-    def verify(batch: pa.Table) -> pa.Table:
-        cols = batch.column_names
-        sh_a_col = "shingles" if "shingles" in cols else "shingles_l"
-        sh_b_col = "shingles_r" if "shingles_r" in cols else "shingles_1"
-        out_a, out_b, out_j = [], [], []
-        for a, b, sa, sb in zip(
-            batch.column("doc_a").to_pylist(),
-            batch.column("doc_b").to_pylist(),
-            batch.column(sh_a_col).to_pylist(),
-            batch.column(sh_b_col).to_pylist(),
-        ):
-            A = set(sa.split("\x1e")) if sa else set()
-            B = set(sb.split("\x1e")) if sb else set()
-            inter = len(A & B)
-            union = len(A) + len(B) - inter
-            j = inter / union if union else 0.0
-            if j >= threshold:
-                out_a.append(a)
-                out_b.append(b)
-                out_j.append(int(j * 1000))
+    def cand_shingles(batch: pa.Table) -> pa.Table:
+        wanted = _ray.get(ref)
+        mask = pc.is_in(
+            batch.column("doc_id"),
+            value_set=pa.array(list(wanted), pa.int64()),
+        )
+        sub = batch.filter(mask)
+        out = [
+            "\x1e".join(sorted(_shingles(t)))
+            for t in sub.column("text").to_pylist()
+        ]
         return pa.table(
             {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "jaccard_permille": pa.array(out_j, pa.int64()),
+                "doc_id": sub.column("doc_id"),
+                "shingles": pa.array(out, pa.string()),
             }
         )
 
-    out = j2.map_batches(verify, batch_format="pyarrow").to_pandas()
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    sh_rows = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(cand_shingles, batch_format="pyarrow")
+        .take_all()
+    )
+    sh = {
+        r["doc_id"]: set(r["shingles"].split("\x1e")) if r["shingles"] else set()
+        for r in sh_rows
+    }
+
+    out_a, out_b, out_j = [], [], []
+    for a, b in pairs:
+        A, B = sh.get(a, set()), sh.get(b, set())
+        inter = len(A & B)
+        union = len(A) + len(B) - inter
+        j = inter / union if union else 0.0
+        if j >= threshold:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(int(j * 1000))
+    return pd.DataFrame(
+        {
+            "doc_a": pd.Series(out_a, dtype="int64"),
+            "doc_b": pd.Series(out_b, dtype="int64"),
+            "jaccard_permille": pd.Series(out_j, dtype="int64"),
+        }
+    )
 
 
 # -- SimHash ----------------------------------------------------------------

@@ -22,6 +22,8 @@ import ray.data
 from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from ._util import join_partitions
+
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
@@ -123,7 +125,7 @@ def q3_top_orders(sf_dir: str) -> "object":
     joined = li_rev.join(
         building_orders,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=join_partitions(),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
@@ -187,7 +189,7 @@ def q5_nation_revenue(sf_dir: str) -> "object":
     joined = li.map_batches(revenue, batch_format="pyarrow").join(
         o_nation,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=join_partitions(),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )

@@ -152,7 +152,7 @@ ORDER BY vec_a, vec_b
 
 # -- LSH-bucketed variant (the scale path) ----------------------------------
 
-N_PLANES = 8
+N_PLANES = 4
 
 
 def _hyperplanes(dim: int) -> np.ndarray:

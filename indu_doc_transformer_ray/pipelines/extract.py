@@ -72,6 +72,7 @@ EXTRACTED_SCHEMA = pa.schema(
         ("n_pages", pa.int32()),
         ("n_spans_in", pa.int32()),
         ("n_errors", pa.int32()),
+        ("n_page_objects", pa.int32()),
     ]
 )
 
@@ -100,6 +101,7 @@ class DocumentExtractor:
         n_pages: list[int] = []
         n_spans_in: list[int] = []
         n_errors: list[int] = []
+        n_pobjs: list[int] = []
         for doc_id, raw in zip(doc_ids, span_lists):
             store = ExtractionStore(self.config)
             spans = [
@@ -123,6 +125,7 @@ class DocumentExtractor:
             n_pages.append(sum(1 for s in raw if s["kind"] == "page_break"))
             n_spans_in.append(len(raw))
             n_errors.append(len(store.error_log))
+            n_pobjs.append(len(pobjs))
         return pa.Table.from_pydict(
             {
                 "doc_id": pa.array(doc_ids, pa.string()),
@@ -133,6 +136,7 @@ class DocumentExtractor:
                 "n_pages": pa.array(n_pages, pa.int32()),
                 "n_spans_in": pa.array(n_spans_in, pa.int32()),
                 "n_errors": pa.array(n_errors, pa.int32()),
+                "n_page_objects": pa.array(n_pobjs, pa.int32()),
             },
             schema=EXTRACTED_SCHEMA,
         )
@@ -176,14 +180,15 @@ def _explode_deltas(batch: pa.Table) -> pa.Table:
     return combined.rename_columns(["mkey", "payload"])
 
 
-def _bucketize(batch: pa.Table) -> pa.Table:
-    """Shuffle bucket from the first two hex chars of the embedded GUID
-    (uniform by construction) — a 256-way coarse key is far cheaper to
-    sort-shuffle than the full mkey."""
+def _bucketize(batch: pa.Table, chars: int = 2) -> pa.Table:
+    """Merge bucket from the first hex chars of the embedded GUID (uniform
+    by construction): 1 char = 16 buckets, 2 = 256.  Bucket count trades
+    files-per-partition against per-bucket fold memory — raise it with
+    corpus size (each bucket must fit one fold task)."""
     guid_part = pc.list_element(
         pc.split_pattern(batch.column("mkey"), US, max_splits=1), 1
     )
-    bucket = pc.utf8_slice_codeunits(guid_part, 0, 2)
+    bucket = pc.utf8_slice_codeunits(guid_part, 0, chars)
     return batch.append_column("bucket", bucket)
 
 
@@ -192,11 +197,39 @@ def _merge_bucket(group: pa.Table) -> pa.Table:
     return merged.rename_columns(["mkey", "payload"])
 
 
+def _fold_bucket_table(t: pa.Table) -> pa.Table:
+    """One bucket's combined deltas -> merged rows tagged with table names."""
+    merged = t.group_by("mkey").aggregate([("payload", "max")])
+    merged = merged.rename_columns(["mkey", "payload"])
+    return _tag_table_name(merged)
+
+
+import ray as _ray
+
+
+@_ray.remote
+def _fold_bucket(bucket_dir: str, dest_file: str) -> int:
+    """Fold one delta bucket into its merged objects file (vectorized Arrow
+    group_by; the bucket is the unit of merge parallelism)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    t = pads.dataset(bucket_dir).to_table(columns=["mkey", "payload"])
+    out = _fold_bucket_table(t)
+    pq.write_table(out, dest_file)
+    return out.num_rows
+
+
 def merge_deltas(extracted: Dataset) -> Dataset:
-    """The one shuffle: exact God-merge semantics as max-per-key (see
-    deltas.py for the per-kind proof), executed as a coarse 256-bucket
-    exchange with a fully vectorized Arrow group_by inside each bucket.
-    Output: (mkey, payload)."""
+    """In-memory merge path (tests / small runs): exact God-merge semantics
+    as max-per-key (see deltas.py for the per-kind proof) over a coarse
+    bucket exchange with a vectorized Arrow group_by inside each bucket.
+    Output: (mkey, payload).
+
+    The production path avoids even this exchange: the runner writes deltas
+    hash-partitioned by bucket at checkpoint time (a map-side partitioned
+    write — no all-to-all), then folds each bucket independently
+    (runner.run_merge)."""
     flat = extracted.select_columns(["deltas"]).map_batches(
         _explode_deltas, batch_format="pyarrow"
     )

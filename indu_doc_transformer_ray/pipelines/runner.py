@@ -70,13 +70,14 @@ def _shard_stats(shard_dir: str) -> dict[str, int]:
     import pyarrow.dataset as pads
 
     t = pads.dataset(shard_dir).to_table(
-        columns=["n_pages", "n_spans_in", "n_errors"]
+        columns=["n_pages", "n_spans_in", "n_errors", "n_page_objects"]
     )
     return {
         "docs": t.num_rows,
         "pages": pc.sum(t["n_pages"]).as_py() or 0,
         "spans": pc.sum(t["n_spans_in"]).as_py() or 0,
         "errors": pc.sum(t["n_errors"]).as_py() or 0,
+        "page_objects": pc.sum(t["n_page_objects"]).as_py() or 0,
     }
 
 
@@ -87,7 +88,7 @@ def run_extraction(
     config: AspectConfig = default_config,
     batch_size: int = 32,
     concurrency=None,
-    max_concurrent_shards: int = 4,
+    max_concurrent_shards: int = 8,
 ) -> list[ShardResult]:
     """Phase 1: per-shard extraction with checkpoint manifests.
 
@@ -109,6 +110,10 @@ def run_extraction(
     # reserve every CPU: concurrent pipelines do not coordinate reservations,
     # and a box fully held by (idle) pool actors starves the read/write
     # tasks that feed them — a livelock, not just contention.
+    # Same CPU-share formula at every cluster size (honest scaling): C
+    # concurrent pipelines, each with a fixed pool of ncpu/C - 1 actors, so
+    # actors occupy (C-1)/C of the box and every pipeline keeps one free CPU
+    # for its read/write tasks.
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     max_concurrent_shards = min(max_concurrent_shards, max(1, ncpu // 4))
     if concurrency is None:
@@ -144,6 +149,7 @@ def run_extraction(
             "n_pages": int(stats["pages"]),
             "n_spans_in": int(stats["spans"]),
             "n_errors": int(stats["errors"]),
+            "n_page_objects": int(stats["page_objects"]),
             "wall_s": wall,
         }
         with open(mpath + ".tmp", "w") as f:
@@ -157,10 +163,25 @@ def run_extraction(
     return results
 
 
-def run_merge(out_dir: str) -> dict:
-    """Phase 2: the object merge over the checkpoint's deltas column, plus
-    the shuffle-free flatten of the doc-scoped page_objects/errors rows."""
-    from .extract import flatten_local_rows
+def run_merge(out_dir: str, n_bucket_chars: int = 1) -> dict:
+    """Phase 2: the object merge WITHOUT an all-to-all shuffle.
+
+    2a. Map-side partitioning: read only the checkpoint's ``deltas`` column,
+        explode + batch-combine (vectorized Arrow group_by max), and write
+        hash-partitioned by the GUID-derived bucket — a streaming partitioned
+        write, every task independent.
+    2b. Per-bucket fold: each bucket dir is read by one Ray task that runs a
+        single vectorized group_by(max), tags table names, and writes its
+        objects file.  Buckets are uniform (md5 prefix), so no skew; bucket
+        count (16^n_bucket_chars) scales with corpus size so one bucket fits
+        a fold task.
+
+    Doc-scoped page_objects/errors stay as checkpoint columns: already
+    persisted columnar + sharded, consumers flatten them lazily
+    (object_table) — rewriting them would be a second copy of the data."""
+    import functools
+
+    from .extract import _bucketize, _explode_deltas, _fold_bucket
 
     mpath = os.path.join(out_dir, "manifests", "merge.json")
     if os.path.exists(mpath):
@@ -168,30 +189,45 @@ def run_merge(out_dir: str) -> dict:
         if m.get("complete"):
             return m
     t0 = time.time()
+
+    # 2a: bucketed combined deltas
+    bucket_dir = os.path.join(out_dir, "delta_buckets")
+    btmp = bucket_dir + ".tmp"
+    shutil.rmtree(btmp, ignore_errors=True)
+    shutil.rmtree(bucket_dir, ignore_errors=True)
     extracted = ray.data.read_parquet(
         os.path.join(out_dir, "extracted"), columns=["deltas"]
     )
+    (
+        extracted.map_batches(_explode_deltas, batch_format="pyarrow")
+        .map_batches(
+            functools.partial(_bucketize, chars=n_bucket_chars),
+            batch_format="pyarrow",
+        )
+        .write_parquet(btmp, partition_cols=["bucket"])
+    )
+    os.rename(btmp, bucket_dir)
+
+    # 2b: independent per-bucket folds (raw tasks: a deterministic
+    # partitioned fold the Dataset API has no shuffle-free primitive for)
     obj_dir = os.path.join(out_dir, "objects")
     tmp_dir = obj_dir + ".tmp"
     shutil.rmtree(tmp_dir, ignore_errors=True)
     shutil.rmtree(obj_dir, ignore_errors=True)
-    # plain (unpartitioned) write: a hive-partitioned write costs a per-block
-    # re-bucketing pass; per-table consumers push a table_name predicate down
-    # to the parquet scan instead
-    merged_object_rows(extracted).write_parquet(tmp_dir)
+    os.makedirs(tmp_dir, exist_ok=True)
+    buckets = sorted(
+        d for d in os.listdir(bucket_dir) if d.startswith("bucket=")
+    )
+    futures = [
+        _fold_bucket.remote(
+            os.path.join(bucket_dir, b),
+            os.path.join(tmp_dir, f"{b}.parquet"),
+        )
+        for b in buckets
+    ]
+    ray.get(futures)
     os.rename(tmp_dir, obj_dir)
 
-    # doc-scoped rows: pure column-pruned flatten, no shuffle
-    for column in ("page_objects", "errors"):
-        dest = os.path.join(out_dir, column)
-        dtmp = dest + ".tmp"
-        shutil.rmtree(dtmp, ignore_errors=True)
-        shutil.rmtree(dest, ignore_errors=True)
-        src = ray.data.read_parquet(
-            os.path.join(out_dir, "extracted"), columns=[column]
-        )
-        flatten_local_rows(src, column).write_parquet(dtmp)
-        os.rename(dtmp, dest)
     def _count(d: str) -> int:
         return sum(
             pq.read_metadata(os.path.join(r, f)).num_rows
@@ -200,11 +236,14 @@ def run_merge(out_dir: str) -> dict:
             if f.endswith(".parquet")
         )
 
-    n_objects = (
-        _count(obj_dir)
-        + _count(os.path.join(out_dir, "page_objects"))
-        + _count(os.path.join(out_dir, "errors"))
-    )
+    # merged entities + doc-scoped counts from the shard manifests
+    man_dir = os.path.join(out_dir, "manifests")
+    local_rows = 0
+    for f in os.listdir(man_dir):
+        if f.startswith("shard-"):
+            m = json.load(open(os.path.join(man_dir, f)))
+            local_rows += m.get("n_errors", 0) + m.get("n_page_objects", 0)
+    n_objects = _count(obj_dir) + local_rows
     manifest = {
         "complete": True,
         "n_objects": int(n_objects),
@@ -225,14 +264,18 @@ def spans_output(out_dir: str) -> Dataset:
 
 
 def object_table(out_dir: str, name: str) -> Dataset:
-    """One normalized object table, decoded lazily from a predicate-pushdown
-    read of the merged objects (doc-scoped tables read directly)."""
+    """One normalized object table: doc-scoped tables flatten lazily from
+    the checkpoint columns; merged kinds decode from a predicate-pushdown
+    read of the merged objects."""
     import pyarrow.compute as _pc
 
-    from .extract import decode_object_batch
+    from .extract import decode_object_batch, flatten_local_rows
 
     if name in ("page_objects", "errors"):
-        return ray.data.read_parquet(os.path.join(out_dir, name))
+        src = ray.data.read_parquet(
+            os.path.join(out_dir, "extracted"), columns=[name]
+        )
+        return flatten_local_rows(src, name)
     rows_ds = ray.data.read_parquet(
         os.path.join(out_dir, "objects"),
         columns=["table_name", "mkey", "payload"],

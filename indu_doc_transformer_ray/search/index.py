@@ -180,12 +180,17 @@ class SearchIndex:
 
 def build_target_index_ds(
     xtargets: Dataset, object_attrs: Dataset, attributes: Dataset,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> Dataset:
     """Target index as a Dataset: object_attrs ⋈ attributes (hash join on
     attr GUID), fold per owner, join onto xtargets, shape docs per batch.
     Output rows: (guid, tag, doc_json)."""
     import pandas as pd
+
+    from ..functions._util import join_partitions
+
+    if num_partitions is None:
+        num_partitions = join_partitions()
 
     owned = object_attrs.filter(
         lambda r: r["owner_kind"] == "xtarget"

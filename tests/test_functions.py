@@ -1,0 +1,124 @@
+"""Generic-operator semantics that the DuckDB oracle can't check:
+near-dup detection actually finds planted duplicates; multimodal plumbing
+produces the declared schema; LSH ANN recall is sane."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from indu_doc_transformer_ray.functions.dedup import (
+    _minhash_sig,
+    _shingles,
+    simhash64,
+)
+from indu_doc_transformer_ray.functions.multimodal import (
+    MEDIA_SCHEMA,
+    MediaFeatureExtractor,
+    media_features,
+)
+
+
+def test_shingles_and_minhash_similarity():
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "the quick brown fox jumps over the lazy cat again and again"
+    c = "completely different words with nothing shared at all here"
+    sa, sb, sc = _shingles(a), _shingles(b), _shingles(c)
+    jab = len(sa & sb) / len(sa | sb)
+    jac = len(sa & sc) / len(sa | sc)
+    assert jab > 0.5 > jac
+    ma, mb, mc = _minhash_sig(sa), _minhash_sig(sb), _minhash_sig(sc)
+    agree_ab = sum(x == y for x, y in zip(ma, mb))
+    agree_ac = sum(x == y for x, y in zip(ma, mc))
+    assert agree_ab > agree_ac  # minhash agreement tracks jaccard
+
+
+def test_minhash_lsh_finds_planted_dups(ray_session, tmp_path, monkeypatch):
+    import pandas as pd
+
+    from indu_doc_transformer_ray.functions import dedup
+
+    rows = []
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    for i in range(30):
+        rows.append({"doc_id": i, "text": f"unique doc {i} " + " ".join(
+            f"w{i}_{j}" for j in range(25)
+        )})
+    # planted near-duplicate pair: one word changed
+    rows.append({"doc_id": 100, "text": base})
+    rows.append({"doc_id": 101, "text": base.replace("sigma", "sigmb")})
+    df = pd.DataFrame(rows)
+    sf_dir = str(tmp_path)
+    df.to_parquet(f"{sf_dir}/documents.parquet")
+
+    pairs = dedup.minhash_lsh_pairs(sf_dir, threshold=0.5)
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert (100, 101) in got
+    # unique docs must not pair with each other
+    assert all(a >= 100 for a, b in got)
+
+
+def test_simhash_near_dup_close_hamming(ray_session, tmp_path):
+    import pandas as pd
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base.replace("tok30", "tokX")},
+        {"doc_id": 2, "text": " ".join(f"other{i}" for i in range(60))},
+    ]
+    pd.DataFrame(rows).to_parquet(f"{tmp_path}/documents.parquet")
+    out = simhash64(str(tmp_path)).to_pandas().set_index("doc_id")["simhash"]
+
+    def ham(a, b):
+        return bin((int(a) ^ int(b)) & ((1 << 64) - 1)).count("1")
+
+    assert ham(out[0], out[1]) < ham(out[0], out[2])
+    assert ham(out[0], out[1]) <= 8
+
+
+def test_media_feature_extractor_schema():
+    from indu_doc_transformer_ray.fixtures import corpus_table
+
+    tab = corpus_table(8, seed=9)
+    out = MediaFeatureExtractor()(tab)
+    assert out.schema == MEDIA_SCHEMA
+    assert out.num_rows > 0
+    # deterministic: same ref -> same feature
+    out2 = MediaFeatureExtractor()(tab)
+    assert out.equals(out2)
+    # feature is a fixed-size list<float32, 8>
+    feat = out.column("feature")[0].as_py()
+    assert len(feat) == 8
+
+
+def test_media_features_pipeline(ray_session):
+    from indu_doc_transformer_ray.fixtures import corpus_table
+
+    ds = ray.data.from_arrow(corpus_table(10, seed=4))
+    out = media_features(ds).to_pandas()
+    assert set(out.columns) == {
+        "doc_id", "media_ref", "width", "height", "n_bytes", "feature",
+    }
+    assert out["media_ref"].str.startswith("media/").all()
+
+
+def test_lsh_bucket_topk_recall(ray_session):
+    """LSH ANN recall vs exact top-k on the driver embeddings."""
+    from indu_doc_transformer_ray.functions.similarity import (
+        ann_topk,
+        lsh_bucket_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = ann_topk(sf)
+    approx = lsh_bucket_topk(sf)
+    for qid in (0, 1, 2):
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        a = set(approx[approx.query_id == qid]["vec_id"])
+        # Hamming-1 bucket expansion should keep recall non-trivial
+        assert len(e & a) >= 2, f"recall too low for query {qid}"
