@@ -80,7 +80,13 @@ def _media_features(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from indu_doc_transformer_ray.functions import dedup, relational, similarity, text
+    from indu_doc_transformer_ray.functions import (
+        dedup,
+        events,
+        relational,
+        similarity,
+        text,
+    )
 
     return {
         # relational / TPC-H-ish (SURVEY §2.6 aggregations + joins)
@@ -93,6 +99,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_suppliers_per_nation": relational.distinct_suppliers_per_nation,
         "events_hourly": relational.events_hourly,
         "user_event_counts": relational.user_event_counts,
+        "q6_revenue_filtered": relational.q6_revenue_filtered,
+        "top2_orders_per_customer": relational.top2_orders_per_customer,
+        "distinct_types_union": relational.distinct_types_union,
+        "sample_docs_hash": relational.sample_docs_hash,
+        # stream-shaped (as-of join, session windows)
+        "asof_prior_click": events.asof_prior_click,
+        "sessionize": events.sessionize,
         # text analysis
         "token_stats": text.token_stats,
         "doc_fingerprint": text.doc_fingerprint,
@@ -119,7 +132,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from indu_doc_transformer_ray.functions import dedup, relational, similarity, text
+    from indu_doc_transformer_ray.functions import (
+        dedup,
+        events,
+        relational,
+        similarity,
+        text,
+    )
 
     return {
         "q1_pricing_summary": relational.Q1_SQL,
@@ -131,6 +150,12 @@ def oracle_sql() -> dict[str, str]:
         "distinct_suppliers_per_nation": relational.DISTINCT_SUPPLIERS_SQL,
         "events_hourly": relational.EVENTS_HOURLY_SQL,
         "user_event_counts": relational.USER_EVENT_COUNTS_SQL,
+        "q6_revenue_filtered": relational.Q6_SQL,
+        "top2_orders_per_customer": relational.TOP2_PER_CUSTOMER_SQL,
+        "distinct_types_union": relational.DISTINCT_TYPES_UNION_SQL,
+        "sample_docs_hash": relational.SAMPLE_DOCS_HASH_SQL,
+        "asof_prior_click": events.ASOF_PRIOR_CLICK_SQL,
+        "sessionize": events.SESSIONIZE_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
         "quality_flags": text.QUALITY_FLAGS_SQL,

@@ -1,0 +1,130 @@
+"""Stream-shaped operators over the ``events`` table.
+
+Ray Data has no event-time windows/watermarks, so stream semantics follow
+the ray_guide pattern: partition by key, sort by timestamp WITHIN the group,
+and implement the window/join logic in ``groupby(key).map_groups`` — the
+ordering assumption (per-user ts order, event_id tie-break) is stated here
+and mirrored in the oracle SQL's OVER clauses.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import ray.data
+from ray.data import Dataset
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def _read_events(sf_dir: str, columns: list[str]) -> Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def asof_prior_click(sf_dir: str) -> "object":
+    """For every 'error' event: the most recent prior-or-equal 'click' by
+    the same user (an as-of join).  One groupby co-locates each user's
+    events; the in-group kernel is a sorted ``pd.merge_asof``.  Errors with
+    no prior click drop (inner as-of).  Output: (event_id, click_id,
+    gap_us) — integers only, so the DuckDB ASOF JOIN oracle hash-matches."""
+
+    ds = _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    ds = ds.filter(lambda r: r["event_type"] in ("error", "click"))
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        errors = g[g["event_type"] == "error"].sort_values(["ts", "event_id"])
+        clicks = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
+        if errors.empty or clicks.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "click_id": pd.Series(dtype="int64"),
+                 "gap_us": pd.Series(dtype="int64")}
+            )
+        clicks = clicks.assign(ts_click=clicks["ts"])
+        m = pd.merge_asof(
+            errors, clicks, on="ts", direction="backward",
+            suffixes=("", "_click"),
+        )
+        m = m[m["event_id_click"].notna()]
+        return pd.DataFrame(
+            {
+                "event_id": m["event_id"].astype("int64"),
+                "click_id": m["event_id_click"].astype("int64"),
+                "gap_us": (
+                    m["ts"].astype("int64") - m["ts_click"].astype("int64")
+                ).astype("int64"),
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+
+
+ASOF_PRIOR_CLICK_SQL = """
+SELECT e.event_id,
+       c.event_id AS click_id,
+       CAST(epoch_us(e.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+ORDER BY e.event_id
+"""
+
+
+def sessionize(sf_dir: str) -> "object":
+    """Session windows per user (gap > 30 min starts a new session):
+    per-user sorted scan inside map_groups; output integer session stats
+    (user_id, n_sessions, max_session_events, longest_session_us)."""
+
+    ds = _read_events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].astype("int64")
+        new_session = (ts.diff() > SESSION_GAP_US).fillna(False)
+        sid = new_session.cumsum()
+        sizes = sid.value_counts()
+        spans = ts.groupby(sid).agg(["min", "max"])
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_sessions": [int(sid.nunique())],
+                "max_session_events": [int(sizes.max())],
+                "longest_session_us": [int((spans["max"] - spans["min"]).max())],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        out.to_pandas()
+        .astype({"user_id": "int64", "n_sessions": "int64",
+                 "max_session_events": "int64", "longest_session_us": "int64"})
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM marked
+), per_session AS (
+  SELECT user_id, sid, COUNT(*) AS n,
+         epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+  FROM sessions GROUP BY user_id, sid
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(MAX(n) AS BIGINT) AS max_session_events,
+       CAST(MAX(dur_us) AS BIGINT) AS longest_session_us
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""

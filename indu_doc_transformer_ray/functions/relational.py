@@ -374,3 +374,138 @@ USER_EVENT_COUNTS_SQL = """
 SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY user_id, event_type
 """
+
+
+# -- q6-style filtered global aggregate -------------------------------------
+
+def q6_revenue_filtered(sf_dir: str) -> "object":
+    """Single-row filtered revenue sum — vectorized predicate inside
+    map_batches (pushing the filter into the batch beats ds.filter's per-row
+    Python)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        disc_c2 = _cents(t["l_discount"])
+        mask = pc.and_(
+            pc.less(t["l_quantity"], 24.0),
+            pc.and_(pc.greater_equal(disc_c2, 5), pc.less_equal(disc_c2, 7)),
+        )
+        sub = t.filter(mask)
+        rev = pc.multiply(_cents(sub["l_extendedprice"]), _cents(sub["l_discount"]))
+        total = pc.sum(rev).as_py() or 0
+        return pa.table({"partial_c4": pa.array([total], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"revenue_c4": [int(parts["partial_c4"].sum())]})
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_c4
+FROM lineitem
+WHERE l_quantity < 24
+  AND CAST(ROUND(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+"""
+
+
+# -- top-k per group (window-function shape) --------------------------------
+
+def top2_orders_per_customer(sf_dir: str) -> "object":
+    """Top-2 orders per customer by total price: groupby + per-group head —
+    the distributed row_number()-per-partition pattern."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(2)
+        g = g.assign(rk=range(1, len(g) + 1))
+        return g
+
+    out = (
+        ds.groupby("o_custkey")
+        .map_groups(top2, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "o_custkey": out["o_custkey"].astype("int64"),
+            "o_orderkey": out["o_orderkey"].astype("int64"),
+            "totalprice_c2": (out["o_totalprice"] * 100).round().astype("int64"),
+            "rk": out["rk"].astype("int64"),
+        }
+    ).sort_values(["o_custkey", "rk"]).reset_index(drop=True)
+
+
+TOP2_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_c2,
+       CAST(row_number() OVER (
+            PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+       ) AS BIGINT) AS rk
+FROM orders
+QUALIFY rk <= 2
+ORDER BY o_custkey, rk
+"""
+
+
+# -- set ops: union + distinct ----------------------------------------------
+
+def distinct_types_union(sf_dir: str) -> "object":
+    """`ds.union` of two filtered projections, then `ds.unique` — the set-op
+    surface of the Dataset API."""
+    import pandas as pd
+
+    high_value = _read(sf_dir, "events", ["event_type", "value"]).filter(
+        expr="value > 100.0"
+    ).select_columns(["event_type"])
+    early_users = _read(sf_dir, "events", ["event_type", "user_id"]).filter(
+        expr="user_id < 50"
+    ).select_columns(["event_type"])
+    values = sorted(high_value.union(early_users).unique("event_type"))
+    return pd.DataFrame({"event_type": values})
+
+
+DISTINCT_TYPES_UNION_SQL = """
+SELECT DISTINCT event_type FROM (
+  SELECT event_type FROM events WHERE value > 100.0
+  UNION ALL
+  SELECT event_type FROM events WHERE user_id < 50
+) ORDER BY event_type
+"""
+
+
+# -- deterministic hash sampling --------------------------------------------
+
+def sample_docs_hash(sf_dir: str) -> "object":
+    """Deterministic ~1/16 sample: md5(doc_id) first hex char — the
+    reproducible alternative to random_sample for pipelines that must be
+    re-runnable bit-identically."""
+    import hashlib
+
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        mask = pa.array(
+            [hashlib.md5(str(i).encode()).hexdigest()[0] == "0" for i in ids]
+        )
+        return t.filter(mask)
+
+    out = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SAMPLE_DOCS_HASH_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+ORDER BY doc_id
+"""
