@@ -59,15 +59,41 @@ def _extract_spans(sf_dir: str):
 
 
 def _extract_object_stats(sf_dir: str):
+    """Object counts per table (the reference's get_stats, G12).  Deltas are
+    pre-combined per batch in the pipeline; the final fold happens on the
+    driver (the merged set is small at check scale) — the distributed merge
+    path itself is equality-tested in tests/test_pipeline_vs_oracle.py."""
     import pandas as pd
+    import pyarrow.compute as pc
 
+    from indu_doc_transformer_ray.deltas import assemble_rows
     from indu_doc_transformer_ray.pipelines.extract import (
+        _explode_deltas,
         extract_documents,
-        object_tables_to_pylists,
     )
 
-    tabs = object_tables_to_pylists(extract_documents(_span_corpus(sf_dir)))
-    rows = sorted((name, len(rows)) for name, rows in tabs.items())
+    extracted = extract_documents(_span_corpus(sf_dir))
+    counts: dict[str, int] = {"page_objects": 0, "errors": 0}
+    acc: dict[str, str] = {}
+    for batch in extracted.select_columns(
+        ["deltas", "n_errors", "n_page_objects"]
+    ).iter_batches(batch_size=4096, batch_format="pyarrow"):
+        counts["errors"] += pc.sum(batch.column("n_errors")).as_py() or 0
+        counts["page_objects"] += (
+            pc.sum(batch.column("n_page_objects")).as_py() or 0
+        )
+        combined = _explode_deltas(batch)
+        for k, v in zip(
+            combined.column("mkey").to_pylist(),
+            combined.column("payload").to_pylist(),
+        ):
+            prev = acc.get(k)
+            if prev is None or v > prev:
+                acc[k] = v
+    for k, v in acc.items():
+        name, _row = assemble_rows(k, v)
+        counts[name] = counts.get(name, 0) + 1
+    rows = sorted(counts.items())
     return pd.DataFrame(rows, columns=["table_name", "n"]).astype({"n": "int64"})
 
 

@@ -124,7 +124,7 @@ class DocumentExtractor:
             out_errs.append(errs)
             n_pages.append(sum(1 for s in raw if s["kind"] == "page_break"))
             n_spans_in.append(len(raw))
-            n_errors.append(len(store.error_log))
+            n_errors.append(len(errs))  # set-deduplicated, matches the table
             n_pobjs.append(len(pobjs))
         return pa.Table.from_pydict(
             {
