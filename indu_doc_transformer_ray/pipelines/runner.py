@@ -11,9 +11,10 @@ Ray Data gives task-level retry/lineage but no job-level checkpointing
   half-written shard is never mistaken for a finished one.
 - a re-run SKIPS every shard whose manifest is complete — kill the job at
   shard k, run again, and only shards >= k recompute (test-covered).
-- the merge phase (the one shuffle) reads ONLY the ``deltas`` column of the
-  checkpoint (parquet column pruning), aggregates, and writes the normalized
-  object tables partitioned by table name, with its own manifest.
+- the merge phase reads ONLY the ``deltas`` column of the checkpoint
+  (parquet column pruning), writes it hash-partitioned by a GUID-derived
+  bucket (map-side partitioning — no all-to-all exchange), and folds each
+  bucket independently into the merged object tables, with its own manifest.
 
 The span equality surface lives in the checkpoint itself: ``doc_id, spans``
 columns of ``extracted/`` — consumers column-prune them out for free.
@@ -34,7 +35,7 @@ import ray.data
 from ray.data import Dataset
 
 from ..core import AspectConfig, default_config
-from .extract import extract_documents, merged_object_rows
+from .extract import extract_documents
 
 
 @dataclass
@@ -225,7 +226,7 @@ def run_merge(out_dir: str, n_bucket_chars: int = 1) -> dict:
         )
         for b in buckets
     ]
-    ray.get(futures)
+    ray.get(futures)  # each fold is independent; a failed run just re-runs
     os.rename(tmp_dir, obj_dir)
 
     def _count(d: str) -> int:

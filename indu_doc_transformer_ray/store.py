@@ -122,6 +122,10 @@ class ExtractionStore:
         # merge re-parses several strings, and identical raw tags under the
         # same footer recur constantly within a document
         self._merge_cache: dict[tuple, str] = {}
+        # successful aspect parses: aspect_str -> (sep, value); failures are
+        # NOT cached because each failing call must emit its page error
+        # (mirroring the reference's re-parse per call, god.py:302-340)
+        self._aspect_parse_cache: dict[str, tuple[str, str]] = {}
         # ordered log of page<->object mapping calls; drives both the
         # page_objects edge table and the per-page emitted "object" spans
         self.mapping_log: list[tuple[str, int, str, str]] = []
@@ -147,8 +151,12 @@ class ExtractionStore:
     # -- attributes (god.py:237-253) ---------------------------------------
 
     def _attr(self, guid: str, attr_type: str, name: str, payload: dict) -> AttrRec:
-        vj = canonical_json(payload)
         existing = self.attributes.get(guid)
+        if existing is not None and attr_type != "RoutingTracksAttribute":
+            # payload is a pure function of the GUID for every type except
+            # routing (sorted-tracks GUID) — skip re-serialization
+            return existing
+        vj = canonical_json(payload)
         if existing is None:
             rec = AttrRec(guid, attr_type, name, vj)
             self.attributes[guid] = rec
@@ -193,23 +201,29 @@ class ExtractionStore:
         page: PageCtx,
         attrs: tuple[AttrRec, ...] = (),
     ) -> Optional[AspectRec]:
-        parts = core.try_parse_tag(aspect_str, self.config, self.pattern)
-        if not parts:
-            msg = f"Failed to create aspect with tag: '{aspect_str}'"
-            self.error(page, msg, Severity.WARNING)
-            return None
-        sep, vals = next(iter(parts.items()))
-        if len(parts) != 1 or len(vals) != 1:
-            msg = (
-                f"Failed to create aspect with tag: '{aspect_str}'"
-                " - has composite structure"
-            )
-            self.error(page, msg, Severity.WARNING)
-            return None
-        guid = core.aspect_guid(sep, vals[0])
+        cached = self._aspect_parse_cache.get(aspect_str)
+        if cached is not None:
+            sep, value = cached
+        else:
+            parts = core.try_parse_tag(aspect_str, self.config, self.pattern)
+            if not parts:
+                msg = f"Failed to create aspect with tag: '{aspect_str}'"
+                self.error(page, msg, Severity.WARNING)
+                return None
+            sep, vals = next(iter(parts.items()))
+            if len(parts) != 1 or len(vals) != 1:
+                msg = (
+                    f"Failed to create aspect with tag: '{aspect_str}'"
+                    " - has composite structure"
+                )
+                self.error(page, msg, Severity.WARNING)
+                return None
+            value = vals[0]
+            self._aspect_parse_cache[aspect_str] = (sep, value)
+        guid = core.aspect_guid(sep, value)
         rec = self.aspects.get(guid)
         if rec is None:
-            rec = AspectRec(guid, sep, vals[0])
+            rec = AspectRec(guid, sep, value)
             self.aspects[guid] = rec
         rec.attr_guids.update(a.guid for a in attrs)
         return rec
