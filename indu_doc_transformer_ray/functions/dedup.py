@@ -118,7 +118,9 @@ def _shingles(text: str) -> set[str]:
 
 
 def _minhash_sig(sh: set[str]) -> list[int]:
-    """crc32-based minhash (deterministic across processes, unlike hash())."""
+    """MinHash signature (Broder, "On the resemblance and containment of
+    documents", 1997): per-salt minimum of crc32 over the shingle set —
+    crc32 rather than hash() for cross-process determinism."""
     sig = []
     for salt in range(N_HASHES):
         best = None
@@ -251,6 +253,8 @@ def simhash64(sf_dir: str) -> Dataset:
     """64-bit SimHash per document (token-unigram features, md5 bit mixing);
     near-dups differ in few bits.  Deterministic, rows-only oracle."""
 
+    # Charikar, "Similarity estimation techniques from rounding algorithms",
+    # STOC 2002 — the sign-of-weighted-feature-hash construction.
     def sim(batch: pa.Table) -> pa.Table:
         out = []
         for text in batch.column("text").to_pylist():

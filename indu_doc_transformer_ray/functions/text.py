@@ -104,10 +104,10 @@ FROM documents
 
 
 def winnow_fingerprint(sf_dir: str) -> Dataset:
-    """Winnowing-style rolling-hash fingerprint (Schleimer et al., SIGMOD'03
-    pattern): k-gram rolling hashes, keep the window minima, fingerprint =
-    md5 of the minima sequence.  Deterministic; no SQL equivalent (rows-only
-    oracle check)."""
+    """Winnowing fingerprint (Schleimer, Wilkerson, Aiken — "Winnowing:
+    local algorithms for document fingerprinting", SIGMOD 2003): k-gram
+    hashes, per-window minima with run collapsing, fingerprint = md5 of the
+    minima sequence.  Deterministic; no SQL equivalent (rows-only check)."""
     K, W = 5, 4
 
     def fp(batch: pa.Table) -> pa.Table:
