@@ -93,51 +93,118 @@ class DocumentExtractor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
-        span_lists = batch.column("spans").to_pylist()
-        out_spans: list[list[dict]] = []
-        out_deltas: list[list[dict]] = []
-        out_pobjs: list[list[dict]] = []
-        out_errs: list[list[dict]] = []
+        # flat-column decode: four plain-list conversions + offset slicing
+        # beat list<struct>.to_pylist's per-span dict materialization
+        spans_arr = batch.column("spans").combine_chunks()
+        flat = spans_arr.flatten()
+        in_kind = flat.field("kind").to_pylist()
+        in_text = flat.field("text").to_pylist()
+        in_ref = flat.field("media_ref").to_pylist()
+        in_off = flat.field("offset").to_pylist()
+        in_offsets = spans_arr.offsets.to_pylist()
+        # columnar accumulators: list<struct> columns are assembled from flat
+        # value arrays + offset arrays (ListArray.from_arrays), which is
+        # several times cheaper than pa.array over lists of per-row dicts
+        sp_kind: list[str] = []
+        sp_text: list[str] = []
+        sp_ref: list[str] = []
+        sp_off: list[int] = []
+        sp_offsets = [0]
+        d_mkey: list[str] = []
+        d_payload: list[str] = []
+        d_offsets = [0]
+        po_doc: list[str] = []
+        po_page: list[int] = []
+        po_kind: list[str] = []
+        po_guid: list[str] = []
+        po_offsets = [0]
+        er_doc: list[str] = []
+        er_page: list[int] = []
+        er_sev: list[str] = []
+        er_msg: list[str] = []
+        er_offsets = [0]
         n_pages: list[int] = []
         n_spans_in: list[int] = []
         n_errors: list[int] = []
         n_pobjs: list[int] = []
-        for doc_id, raw in zip(doc_ids, span_lists):
+
+        for i, doc_id in enumerate(doc_ids):
+            a, b = in_offsets[i], in_offsets[i + 1]
             store = ExtractionStore(self.config)
             spans = [
-                Span(s["kind"], s["text"], s["media_ref"], s["offset"])
-                for s in raw
+                Span(k, t, r, o)
+                for k, t, r, o in zip(
+                    in_kind[a:b], in_text[a:b], in_ref[a:b], in_off[a:b]
+                )
             ]
             out = process_document(doc_id, spans, store)
-            out_spans.append(
-                [
-                    {"kind": s.kind, "text": s.text,
-                     "media_ref": s.media_ref, "offset": s.offset}
-                    for s in out
-                ]
-            )
-            out_deltas.append(
-                [{"mkey": k, "payload": v} for k, v in store_to_deltas(store)]
-            )
+            for s in out:
+                sp_kind.append(s.kind)
+                sp_text.append(s.text)
+                sp_ref.append(s.media_ref)
+                sp_off.append(s.offset)
+            sp_offsets.append(len(sp_kind))
+            for k, v in store_to_deltas(store):
+                d_mkey.append(k)
+                d_payload.append(v)
+            d_offsets.append(len(d_mkey))
             pobjs, errs = store_to_local_rows(store)
-            out_pobjs.append(pobjs)
-            out_errs.append(errs)
-            n_pages.append(sum(1 for s in raw if s["kind"] == "page_break"))
-            n_spans_in.append(len(raw))
+            for r in pobjs:
+                po_doc.append(r["doc_id"])
+                po_page.append(r["page_no"])
+                po_kind.append(r["object_kind"])
+                po_guid.append(r["object_guid"])
+            po_offsets.append(len(po_doc))
+            for r in errs:
+                er_doc.append(r["doc_id"])
+                er_page.append(r["page_no"])
+                er_sev.append(r["severity"])
+                er_msg.append(r["message"])
+            er_offsets.append(len(er_doc))
+            n_pages.append(in_kind[a:b].count("page_break"))
+            n_spans_in.append(b - a)
             n_errors.append(len(errs))  # set-deduplicated, matches the table
             n_pobjs.append(len(pobjs))
-        return pa.Table.from_pydict(
-            {
-                "doc_id": pa.array(doc_ids, pa.string()),
-                "spans": pa.array(out_spans, pa.list_(SPAN_STRUCT)),
-                "deltas": pa.array(out_deltas, pa.list_(DELTA_STRUCT)),
-                "page_objects": pa.array(out_pobjs, pa.list_(PAGE_OBJECT_STRUCT)),
-                "errors": pa.array(out_errs, pa.list_(ERROR_STRUCT)),
-                "n_pages": pa.array(n_pages, pa.int32()),
-                "n_spans_in": pa.array(n_spans_in, pa.int32()),
-                "n_errors": pa.array(n_errors, pa.int32()),
-                "n_page_objects": pa.array(n_pobjs, pa.int32()),
-            },
+
+        def list_col(offsets, arrays, names):
+            values = pa.StructArray.from_arrays(arrays, names)
+            return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
+
+        spans_col = list_col(
+            sp_offsets,
+            [pa.array(sp_kind, pa.string()), pa.array(sp_text, pa.string()),
+             pa.array(sp_ref, pa.string()), pa.array(sp_off, pa.int32())],
+            ["kind", "text", "media_ref", "offset"],
+        )
+        deltas_col = list_col(
+            d_offsets,
+            [pa.array(d_mkey, pa.string()), pa.array(d_payload, pa.string())],
+            ["mkey", "payload"],
+        )
+        pobj_col = list_col(
+            po_offsets,
+            [pa.array(po_doc, pa.string()), pa.array(po_page, pa.int32()),
+             pa.array(po_kind, pa.string()), pa.array(po_guid, pa.string())],
+            ["doc_id", "page_no", "object_kind", "object_guid"],
+        )
+        err_col = list_col(
+            er_offsets,
+            [pa.array(er_doc, pa.string()), pa.array(er_page, pa.int32()),
+             pa.array(er_sev, pa.string()), pa.array(er_msg, pa.string())],
+            ["doc_id", "page_no", "severity", "message"],
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(doc_ids, pa.string()),
+                spans_col,
+                deltas_col,
+                pobj_col,
+                err_col,
+                pa.array(n_pages, pa.int32()),
+                pa.array(n_spans_in, pa.int32()),
+                pa.array(n_errors, pa.int32()),
+                pa.array(n_pobjs, pa.int32()),
+            ],
             schema=EXTRACTED_SCHEMA,
         )
 

@@ -20,13 +20,12 @@ oracle.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional
+from typing import NamedTuple, Optional
 
 US = "\x1f"  # unit separator used by the fixture encoding
 
 
-@dataclass
-class Span:
+class Span(NamedTuple):
     kind: str
     text: str
     media_ref: str
