@@ -182,15 +182,16 @@ def run_scaling() -> dict:
     probe_lo, probe_hi = cpu_probe(lo), cpu_probe(hi)
     hw_ceiling = (probe_hi / probe_lo) / (hi / lo)
 
+    repeats = int(os.environ.get("BENCH_SCALE_REPEATS", "2"))
     runs = {lo: [], hi: []}
-    for _ in range(2):
+    for _ in range(repeats):
         for level in (lo, hi):
             runs[level].append(run(level))
     best_lo = min(runs[lo], key=lambda r: r["value"])
     best_hi = min(runs[hi], key=lambda r: r["value"])
     eff = (best_lo["value"] / best_hi["value"]) / (hi / lo)
     return {
-        "metric": "scaling efficiency (fresh processes, same input, best of 2)",
+        "metric": "scaling efficiency (fresh processes, same input, best of repeats)",
         "cpus_lo": lo,
         "cpus_hi": hi,
         "sec_lo": best_lo["value"],
