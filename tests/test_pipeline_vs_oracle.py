@@ -101,3 +101,43 @@ def test_determinism_across_runs(ray_session, corpus):
 
     for name in t1:
         assert keyed(t1[name]) == keyed(t2[name]), name
+
+
+def test_edge_case_documents(ray_session):
+    """Degenerate documents: empty span list, no page_break prefix, only
+    media spans, unknown kinds — pipeline must not crash and passthrough
+    ordering must hold."""
+    import pyarrow as pa
+
+    from indu_doc_transformer_ray.fixtures import DOCS_SCHEMA, SPAN_STRUCT
+
+    def doc(doc_id, spans):
+        return {
+            "doc_id": doc_id,
+            "spans": [
+                {"kind": k, "text": t, "media_ref": r, "offset": i}
+                for i, (k, t, r) in enumerate(spans)
+            ],
+        }
+
+    rows = [
+        doc("empty", []),
+        doc("no-break", [("title", "Connection list", ""), ("media", "", "m/x")]),
+        doc("media-only", [("page_break", "", ""), ("media", "", "m/a"),
+                           ("media", "", "m/b")]),
+        doc("unknown-kind", [("page_break", "", ""), ("mystery", "??", "")]),
+    ]
+    tab = pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
+    ds = ray.data.from_arrow(tab)
+    out = {
+        r["doc_id"]: r["spans"]
+        for r in extract_documents(ds, batch_size=2).take_all()
+    }
+    assert out["empty"] == []
+    assert [s["kind"] for s in out["media-only"]] == [
+        "page_break", "media", "media",
+    ]
+    assert [s["media_ref"] for s in out["media-only"]][1:] == ["m/a", "m/b"]
+    assert [s["kind"] for s in out["unknown-kind"]] == ["page_break", "mystery"]
+    # no-break: content before any break is page 0; passthrough preserved
+    assert [s["kind"] for s in out["no-break"]] == ["title", "media"]
