@@ -207,8 +207,33 @@ def run_scaling() -> dict:
     }
 
 
+def run_stats() -> None:
+    """Print ds.stats() for the headline extraction pipeline — the
+    measure-don't-guess loop used while tuning batch/pool sizes."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from indu_doc_transformer_ray.pipelines.extract import extract_documents
+
+    corpus_path = ensure_corpus(SF_DIR)
+    ds = rd.read_parquet(corpus_path)
+    extracted = extract_documents(ds)
+    n = extracted.count()
+    print(f"# docs={n}", file=sys.stderr)
+    print(extracted.stats(), file=sys.stderr)
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stats" in sys.argv:
+        run_stats()
     else:
         print(json.dumps(run_once()))

@@ -43,13 +43,23 @@ def attr_search_entries(attr_type: str, name: str, value_json: str) -> dict:
     return {}  # PDFLocationAttribute: not searchable (attributes.py:559-568)
 
 
-def target_doc(row: dict, attrs: list[dict]) -> dict:
-    """XTarget.to_dict shape (xtarget.py:200-215)."""
+def _merge_entries(attrs: list[dict]) -> dict:
+    """Merged search entries; iteration sorted so same-key collisions (two
+    attributes normalizing to one key) resolve deterministically — the
+    reference's set-iteration order is arbitrary (attributed_base.py:33)."""
     merged: dict = {}
-    for a in attrs:
+    for a in sorted(
+        attrs, key=lambda a: (a["attr_type"], a["name"], a["value_json"])
+    ):
         merged.update(
             attr_search_entries(a["attr_type"], a["name"], a["value_json"])
         )
+    return merged
+
+
+def target_doc(row: dict, attrs: list[dict]) -> dict:
+    """XTarget.to_dict shape (xtarget.py:200-215)."""
+    merged = _merge_entries(attrs)
     return {
         "tag": normalize_string(row["tag_str"]),
         "guid": row["guid"],
@@ -66,11 +76,7 @@ def link_doc(row: dict, attrs: list[dict],
              pin_names: dict[str, str]) -> dict:
     """Link.to_dict shape (connection.py:271-287); recursive pin names are
     the chain names concatenated (connection.py:108-115)."""
-    merged: dict = {}
-    for a in attrs:
-        merged.update(
-            attr_search_entries(a["attr_type"], a["name"], a["value_json"])
-        )
+    merged = _merge_entries(attrs)
     src_name = pin_names.get("src")
     dst_name = pin_names.get("dst")
     return {
@@ -197,6 +203,7 @@ def build_target_index_ds(
     ).join(
         attributes, join_type="inner", num_partitions=num_partitions,
         on=("attr_guid",), right_on=("guid",),
+        aggregator_ray_remote_args={"num_cpus": 0},
     )
 
     def fold(group: pd.DataFrame) -> pd.DataFrame:
@@ -212,13 +219,212 @@ def build_target_index_ds(
     joined = xtargets.join(
         folded, join_type="left_outer", num_partitions=num_partitions,
         on=("guid",), right_on=("owner_guid",),
+        aggregator_ray_remote_args={"num_cpus": 0},
     )
 
     def shape(batch: pa.Table) -> pa.Table:
-        guids, tags, docs = [], [], []
+        guids, tags, raws, docs = [], [], [], []
         for row in batch.to_pylist():
             attrs = json.loads(row.get("attrs_json") or "[]")
             doc = target_doc(row, attrs)
+            guids.append(row["guid"])
+            tags.append(doc["tag"])
+            raws.append(row["tag_str"])
+            docs.append(json.dumps(doc))
+        return pa.table(
+            {
+                "guid": pa.array(guids, pa.string()),
+                "tag": pa.array(tags, pa.string()),
+                "tag_str": pa.array(raws, pa.string()),
+                "doc_json": pa.array(docs, pa.string()),
+            }
+        )
+
+    return joined.map_batches(shape, batch_format="pyarrow")
+
+
+def build_connection_index_ds(
+    connections: Dataset,
+    links: Dataset,
+    pins: Dataset,
+    object_attrs: Dataset,
+    attributes: Dataset,
+    target_index: Dataset,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Connection index as a Dataset — the distributed analogue of
+    ``SearchIndex.connections`` (the reference's G14-style GUID joins,
+    aml_builder.py:339-350, re-expressed as hash joins + grouped folds):
+
+        pins  --groupby(link,role)-->  head pin per link side
+        links ⋈ link-attrs ⋈ head pins  --groupby(connection)--> links_json
+        connections ⋈ target_index (src) ⋈ (dst) ⋈ (through) ⋈ links_json
+
+    Join sides are pre-renamed to collision-free columns (this Ray version's
+    suffixed chained joins are fragile).  Output rows: (guid, tag, doc_json)
+    where tag is the through-cable's raw tag string (the searcher's
+    tag-prefilter field, searcher.py:139-144)."""
+    import pandas as pd
+
+    from ..functions._util import join_partitions
+
+    if num_partitions is None:
+        num_partitions = join_partitions()
+
+    # head pin per (link, role): the longest chain is the registered head
+    def head_pin(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(_len=g["chain"].map(len)).sort_values("_len")
+        top = g.iloc[-1]
+        return pd.DataFrame(
+            {
+                "link_guid": [top["link_guid"]],
+                "role": [top["role"]],
+                "rec_name": ["".join(top["chain"])],
+                "pin_guid": [top["guid"]],
+            }
+        )
+
+    heads = pins.groupby(["link_guid", "role"]).map_groups(
+        head_pin, batch_format="pandas"
+    )
+
+    # link attr fold (same shape as the target-side fold)
+    owned = object_attrs.filter(lambda r: r["owner_kind"] == "link").join(
+        attributes, join_type="inner", num_partitions=num_partitions,
+        on=("attr_guid",), right_on=("guid",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        attrs = group[["attr_type", "name", "value_json"]].to_dict("records")
+        return pd.DataFrame(
+            {
+                "owner_guid": [group["owner_guid"].iloc[0]],
+                "attrs_json": [json.dumps(attrs)],
+            }
+        )
+
+    link_attrs = owned.groupby("owner_guid").map_groups(fold, batch_format="pandas")
+
+    def renamed(ds: Dataset, mapping: dict[str, str], keep: list[str]) -> Dataset:
+        def do(t: pa.Table) -> pa.Table:
+            t = t.select(list(mapping))
+            return t.rename_columns([mapping[c] for c in t.column_names])
+
+        _ = keep
+        return ds.map_batches(do, batch_format="pyarrow")
+
+    src_heads = renamed(
+        heads.filter(lambda r: r["role"] == "src"),
+        {"link_guid": "src_link_guid", "rec_name": "src_rec_name",
+         "pin_guid": "src_pin_guid"}, [],
+    )
+    dst_heads = renamed(
+        heads.filter(lambda r: r["role"] == "dst"),
+        {"link_guid": "dst_link_guid", "rec_name": "dst_rec_name",
+         "pin_guid": "dst_pin_guid"}, [],
+    )
+
+    j = links.join(
+        link_attrs, join_type="left_outer", num_partitions=num_partitions,
+        on=("guid",), right_on=("owner_guid",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+    j = j.join(
+        src_heads, join_type="left_outer", num_partitions=num_partitions,
+        on=("guid",), right_on=("src_link_guid",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+    j = j.join(
+        dst_heads, join_type="left_outer", num_partitions=num_partitions,
+        on=("guid",), right_on=("dst_link_guid",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def shape_link(batch: pa.Table) -> pa.Table:
+        conn_guids, link_jsons = [], []
+        for row in batch.to_pylist():
+            pn: dict[str, str] = {}
+            if row.get("src_rec_name") is not None:
+                pn["src"] = row["src_rec_name"]
+                pn["src_guid"] = row["src_pin_guid"]
+            if row.get("dst_rec_name") is not None:
+                pn["dst"] = row["dst_rec_name"]
+                pn["dst_guid"] = row["dst_pin_guid"]
+            attrs = json.loads(row.get("attrs_json") or "[]")
+            doc = link_doc(row, attrs, pn)
+            conn_guids.append(row["connection_guid"])
+            link_jsons.append(json.dumps(doc))
+        return pa.table(
+            {
+                "connection_guid": pa.array(conn_guids, pa.string()),
+                "link_json": pa.array(link_jsons, pa.string()),
+            }
+        )
+
+    link_rows = j.map_batches(shape_link, batch_format="pyarrow")
+
+    def fold_links(g: pd.DataFrame) -> pd.DataFrame:
+        docs = sorted(g["link_json"])  # deterministic order (by json)
+        return pd.DataFrame(
+            {
+                "connection_guid": [g["connection_guid"].iloc[0]],
+                "links_json": [json.dumps([json.loads(d) for d in docs])],
+            }
+        )
+
+    conn_links = link_rows.groupby("connection_guid").map_groups(
+        fold_links, batch_format="pandas"
+    )
+
+    def tgt_side(prefix: str) -> Dataset:
+        return renamed(
+            target_index,
+            {"guid": f"{prefix}_tguid", "tag_str": f"{prefix}_tag_str",
+             "doc_json": f"{prefix}_doc_json"}, [],
+        )
+
+    c = connections.join(
+        tgt_side("src"), join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("src_guid",), right_on=("src_tguid",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+    c = c.join(
+        tgt_side("dst"), join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("dst_guid",), right_on=("dst_tguid",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+    c = c.join(
+        tgt_side("thr"), join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("through_guid",), right_on=("thr_tguid",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+    c = c.join(
+        conn_links, join_type="left_outer", num_partitions=num_partitions,
+        on=("guid",), right_on=("connection_guid",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def shape_conn(batch: pa.Table) -> pa.Table:
+        guids, tags, docs = [], [], []
+        for row in batch.to_pylist():
+            def load(col):
+                v = row.get(col)
+                return json.loads(v) if v else None
+
+            doc = {
+                "src_target": load("src_doc_json"),
+                "dest_target": load("dst_doc_json"),
+                "through_target": load("thr_doc_json"),
+                "guid": row["guid"],
+                "links": json.loads(row.get("links_json") or "[]"),
+                "tag": row.get("thr_tag_str") or "",
+                "src": row.get("src_tag_str") or "",
+                "dest": row.get("dst_tag_str") or "",
+            }
             guids.append(row["guid"])
             tags.append(doc["tag"])
             docs.append(json.dumps(doc))
@@ -230,7 +436,7 @@ def build_target_index_ds(
             }
         )
 
-    return joined.map_batches(shape, batch_format="pyarrow")
+    return c.map_batches(shape_conn, batch_format="pyarrow")
 
 
 def search_index_ds(index: Dataset, query: str) -> Dataset:
