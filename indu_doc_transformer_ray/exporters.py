@@ -87,7 +87,9 @@ def save_sqlite(tables: Tables, path: str, config: AspectConfig = default_config
             for i in range(0, len(rows), batch_rows):
                 chunk = [
                     tuple(
-                        json.dumps(r[c]) if c in json_cols else r[c]
+                        # list(...) tolerates numpy arrays (rows decoded from
+                        # Arrow list columns) as well as plain lists
+                        json.dumps(list(r[c])) if c in json_cols else r[c]
                         for c in cols
                     )
                     for r in rows[i : i + batch_rows]
@@ -172,9 +174,15 @@ def get_tree(
 # -- JSON export (S8) -------------------------------------------------------
 
 def export_json(tables: Tables) -> str:
+    def coerce(o):
+        # numpy scalars/arrays appear when rows were decoded via pandas
+        if hasattr(o, "tolist"):
+            return o.tolist()
+        return list(o)
+
     return json.dumps(
         {"stats": get_stats(tables), "objects": tables},
-        sort_keys=True, indent=1,
+        sort_keys=True, indent=1, default=coerce,
     )
 
 
