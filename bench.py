@@ -9,10 +9,10 @@ Prints ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": ..., "num_cpus": N, ...}
 
-``--scaling`` runs the headline job twice in FRESH processes at
-``num_cpus=8`` and ``num_cpus=32`` on the same input (the sandbox evidence
-protocol for the N->4N cluster criterion, BASELINE.md) and reports both
-throughputs + scaling efficiency.
+``--scaling`` runs the headline job in FRESH processes at two parallelism
+levels (default N=4 vs 4N=16 — chosen where an inline hardware probe shows
+linear vCPU scaling on this guest; see BASELINE.md) and reports both
+throughputs, the scaling efficiency, and the probe's hardware ceiling.
 """
 
 from __future__ import annotations
