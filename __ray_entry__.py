@@ -186,9 +186,14 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
         "quality_flags": text.QUALITY_FLAGS_SQL,
         "lang_dist": text.LANG_DIST_SQL,
+        "lang_id": text.LANG_ID_SQL,
+        "winnow_fingerprint": text.WINNOW_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_prefix": dedup.DEDUP_PREFIX_SQL,
         "word_jaccard_pairs": dedup.WORD_JACCARD_SQL,
+        "minhash_lsh_pairs": dedup.MINHASH_LSH_SQL,
+        "simhash64": dedup.SIMHASH64_SQL,
         "ann_topk": similarity.ANN_TOPK_SQL,
         "cosine_dup_pairs": similarity.COSINE_DUP_PAIRS_SQL,
+        "label_centroid_sims": similarity.LABEL_CENTROID_SQL,
     }

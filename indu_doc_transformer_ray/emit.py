@@ -268,6 +268,17 @@ EMITTERS = {
 _NAME_INDEX = search_name_index()
 
 
+def register_page_type(spec, emitter) -> None:
+    """Register a page type added at runtime — typically one introduced by a
+    JSON settings file (``pagesettings.page_specs_from_settings``): wires the
+    spec into ``PAGE_SPECS``, the title classifier index, and the emitter
+    registry.  ``spec.page_type`` may be a PageType member or a plain string
+    (JSON-only page types)."""
+    PAGE_SPECS[spec.page_type] = spec
+    _NAME_INDEX[spec.search_name.strip().lower()] = spec.page_type
+    EMITTERS[spec.page_type] = emitter
+
+
 def process_page(doc_id: str, page: PageSpans, store: ExtractionStore) -> None:
     """One page through the full chain (page_processor.py:26-63): classify ->
     footer -> tables -> emit.  Faithful quirk: pages with an unknown type or

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import hashlib
 import re
-import zlib
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -105,6 +104,12 @@ N_HASHES = 16
 BANDS = 8  # 8 bands x 2 rows: P(candidate) = 1-(1-j^2)^8, ~0.97 at j=0.5
 ROWS_PER_BAND = N_HASHES // BANDS
 SHINGLE_K = 3
+#: Hard cap on an LSH bucket's membership: an adversarially hot band hash
+#: (e.g. boilerplate shared by millions of docs) would otherwise produce
+#: O(n^2) candidate pairs in one group.  Oversized buckets keep only the
+#: `MAX_BUCKET` smallest doc_ids (deterministic) and the dropped-pair count
+#: is logged.  Never triggers at test scale.
+MAX_BUCKET = 1024
 
 
 def _shingles(text: str) -> set[str]:
@@ -117,16 +122,24 @@ def _shingles(text: str) -> set[str]:
     }
 
 
+def _hash64(data: bytes) -> int:
+    """First 8 bytes of md5, big-endian — matches DuckDB's
+    CAST(concat('0x', substr(md5(x),1,16)) AS UBIGINT) exactly, which is
+    what makes the whole MinHash pipeline SQL-oracle-checkable."""
+    return int.from_bytes(hashlib.md5(data).digest()[:8], "big")
+
+
 def _minhash_sig(sh: set[str]) -> list[int]:
     """MinHash signature (Broder, "On the resemblance and containment of
-    documents", 1997): per-salt minimum of crc32 over the shingle set —
-    crc32 rather than hash() for cross-process determinism."""
+    documents", 1997): per-salt minimum of a salted 64-bit md5 over the
+    shingle set — md5 (not crc32/hash()) for cross-process AND cross-engine
+    determinism."""
     sig = []
     for salt in range(N_HASHES):
         best = None
         prefix = f"{salt}:".encode()
         for s in sh:
-            v = zlib.crc32(prefix + s.encode())
+            v = _hash64(prefix + s.encode())
             if best is None or v < best:
                 best = v
         sig.append(best if best is not None else 0)
@@ -160,24 +173,59 @@ class MinHashBands:
         )
 
 
-def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> "object":
-    """Near-duplicate pairs: banded MinHash candidate generation (the LSH
-    groupby) followed by exact shingle-Jaccard verification of ONLY the
-    candidate documents, fetched via a broadcast semi-join (`ray.put` of the
-    candidate-id set, vectorized `is_in` filter over the corpus — the
-    ray_guide semi-join pattern).  LSH keeps the candidate set tiny relative
-    to the corpus, which is exactly what makes the semi-join the
-    scale-correct shape.  Returns (doc_a, doc_b, jaccard_permille)."""
+class ShingleSets:
+    """Actor stage: documents -> (doc_id, RS-joined sorted shingle string)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [
+            "\x1e".join(sorted(_shingles(t)))
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "shingles": pa.array(out, pa.string()),
+            }
+        )
+
+
+def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> Dataset:
+    """Near-duplicate pairs, end-to-end distributed:
+
+    1. banded MinHash rows per doc (actor pool, one corpus scan);
+    2. LSH bucket groupby -> in-bucket candidate pairs (bucket membership
+       capped at ``MAX_BUCKET``, dropped pairs logged — skew guard);
+    3. candidate-pair dedup via a second groupby;
+    4. exact shingle-Jaccard verification WITHOUT any driver hop: the pair
+       Dataset hash-joins the shingle-set Dataset back on each side
+       (doc_a, then doc_b), and the Jaccard kernel runs inside map_batches.
+
+    Returns a Dataset of (doc_a, doc_b, jaccard_permille) sorted by pair.
+    Candidates/pairs never materialize on the driver."""
+    import logging
+
     import pandas as pd
-    import ray as _ray
+
+    from ._util import join_partitions
 
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     bands = docs.map_batches(
         MinHashBands, batch_format="pyarrow", concurrency=(1, 4)
     )
 
+    log = logging.getLogger(__name__)
+
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(group["doc_id"]))
+        if len(ids) > MAX_BUCKET:
+            dropped = (
+                len(ids) * (len(ids) - 1) - MAX_BUCKET * (MAX_BUCKET - 1)
+            ) // 2
+            log.warning(
+                "LSH bucket capped: %d members -> %d, ~%d candidate pairs dropped",
+                len(ids), MAX_BUCKET, dropped,
+            )
+            ids = ids[:MAX_BUCKET]
         rows = [
             (a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]
         ]
@@ -188,100 +236,201 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> "object":
             }
         )
 
-    pair_rows = (
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+    def ensure_pair_schema(t: pa.Table) -> pa.Table:
+        # empty aggregate partitions emit schemaless blocks, which the
+        # downstream hash join rejects ("no match for FieldRef doc_a")
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        return t.select(["doc_a", "doc_b"])
+
+    pairs = (
         bands.groupby(["band_id", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="_n"))  # dedup candidate pairs
-        .select_columns(["doc_a", "doc_b"])
-        .take_all()
+        .map_batches(ensure_pair_schema, batch_format="pyarrow")
     )
-    pairs = sorted((r["doc_a"], r["doc_b"]) for r in pair_rows)
-    cand_ids = sorted({d for p in pairs for d in p})
-    ref = _ray.put(set(cand_ids))
 
-    def cand_shingles(batch: pa.Table) -> pa.Table:
-        wanted = _ray.get(ref)
-        mask = pc.is_in(
-            batch.column("doc_id"),
-            value_set=pa.array(list(wanted), pa.int64()),
-        )
-        sub = batch.filter(mask)
-        out = [
-            "\x1e".join(sorted(_shingles(t)))
-            for t in sub.column("text").to_pylist()
-        ]
+    shingle_ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        ShingleSets, batch_format="pyarrow", concurrency=(1, 4)
+    )
+    sh_a = shingle_ds.rename_columns(
+        {"doc_id": "a_doc_id", "shingles": "sh_a"}
+    )
+    sh_b = shingle_ds.rename_columns(
+        {"doc_id": "b_doc_id", "shingles": "sh_b"}
+    )
+    nparts = join_partitions()
+    joined = pairs.join(
+        sh_a, join_type="inner", num_partitions=nparts,
+        on=("doc_a",), right_on=("a_doc_id",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    ).join(
+        sh_b, join_type="inner", num_partitions=nparts,
+        on=("doc_b",), right_on=("b_doc_id",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for a, b, ra, rb in zip(
+            t.column("doc_a").to_pylist(), t.column("doc_b").to_pylist(),
+            t.column("sh_a").to_pylist(), t.column("sh_b").to_pylist(),
+        ):
+            A = set(ra.split("\x1e")) if ra else set()
+            B = set(rb.split("\x1e")) if rb else set()
+            inter = len(A & B)
+            union = len(A) + len(B) - inter
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(int(j * 1000))
         return pa.table(
             {
-                "doc_id": sub.column("doc_id"),
-                "shingles": pa.array(out, pa.string()),
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard_permille": pa.array(out_j, pa.int64()),
             }
         )
 
-    sh_rows = (
-        _read_docs(sf_dir, ["doc_id", "text"])
-        .map_batches(cand_shingles, batch_format="pyarrow")
-        .take_all()
+    return joined.map_batches(verify, batch_format="pyarrow").sort(
+        ["doc_a", "doc_b"]
     )
-    sh = {
-        r["doc_id"]: set(r["shingles"].split("\x1e")) if r["shingles"] else set()
-        for r in sh_rows
-    }
 
-    out_a, out_b, out_j = [], [], []
-    for a, b in pairs:
-        A, B = sh.get(a, set()), sh.get(b, set())
-        inter = len(A & B)
-        union = len(A) + len(B) - inter
-        j = inter / union if union else 0.0
-        if j >= threshold:
-            out_a.append(a)
-            out_b.append(b)
-            out_j.append(int(j * 1000))
-    return pd.DataFrame(
-        {
-            "doc_a": pd.Series(out_a, dtype="int64"),
-            "doc_b": pd.Series(out_b, dtype="int64"),
-            "jaccard_permille": pd.Series(out_j, dtype="int64"),
-        }
-    )
+
+# DuckDB mirror of the full MinHash+LSH pipeline (possible because the hash
+# is md5-based): shingle sets -> 16 salted min-hashes -> 8 banded md5 bucket
+# keys -> in-bucket pairs -> exact-Jaccard verification at the threshold.
+MINHASH_LSH_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) = 0 THEN []
+              WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(toks) - 3 + 2),
+                                 i -> array_to_string(toks[i:i+2], ' ')))
+         END AS shingles
+  FROM t
+), sv AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), hv AS (
+  SELECT doc_id, salt,
+         MIN(CAST(concat('0x', substr(md5(concat(CAST(salt AS VARCHAR), ':', s)), 1, 16)) AS UBIGINT)) AS m
+  FROM sv CROSS JOIN (SELECT unnest(range(16)) AS salt) GROUP BY doc_id, salt
+), sig AS (
+  SELECT d.doc_id, salt.salt, COALESCE(hv.m, 0) AS m
+  FROM documents d CROSS JOIN (SELECT unnest(range(16)) AS salt) salt
+  LEFT JOIN hv ON hv.doc_id = d.doc_id AND hv.salt = salt.salt
+), bands AS (
+  SELECT doc_id, CAST(salt // 2 AS INTEGER) AS band_id,
+         md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY salt)) AS band_hash
+  FROM sig GROUP BY doc_id, salt // 2
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), j AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+           / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jac
+  FROM cand JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+  WHERE len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) > 0
+)
+SELECT doc_a, doc_b, CAST(FLOOR(jac * 1000) AS BIGINT) AS jaccard_permille
+FROM j WHERE jac >= 0.5 ORDER BY doc_a, doc_b
+"""
 
 
 # -- SimHash ----------------------------------------------------------------
 
-def simhash64(sf_dir: str) -> Dataset:
-    """64-bit SimHash per document (token-unigram features, md5 bit mixing);
-    near-dups differ in few bits.  Deterministic, rows-only oracle."""
+class SimHash64:
+    """64-bit SimHash per document (Charikar, "Similarity estimation
+    techniques from rounding algorithms", STOC 2002): sign of the
+    weighted sum of per-token hash bits.  Actor stage with a token->hash
+    cache (vocabulary is Zipfian, so most md5s are cache hits); the per-bit
+    accumulate is a numpy matrix op, not a 64x-tokens Python loop."""
 
-    # Charikar, "Similarity estimation techniques from rounding algorithms",
-    # STOC 2002 — the sign-of-weighted-feature-hash construction.
-    def sim(batch: pa.Table) -> pa.Table:
+    def __init__(self):
+        import numpy as np
+
+        self._np = np
+        self.token_re = re.compile(r"[A-Za-z0-9_]+")
+        self.hash_cache: dict[str, int] = {}
+        self.bit_idx = np.arange(64, dtype=np.uint64)
+
+    def _tok_hash(self, tok: str) -> int:
+        h = self.hash_cache.get(tok)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            self.hash_cache[tok] = h
+        return h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        np = self._np
+        from collections import Counter
+
         out = []
         for text in batch.column("text").to_pylist():
-            toks = TOKEN_RE.findall(text.lower())
-            acc = [0] * 64
-            from collections import Counter
-
-            for tok, w in Counter(toks).items():
-                h = int.from_bytes(
-                    hashlib.md5(tok.encode()).digest()[:8], "big"
-                )
-                for bit in range(64):
-                    acc[bit] += w if (h >> bit) & 1 else -w
-            v = 0
-            for bit in range(64):
-                if acc[bit] > 0:
-                    v |= 1 << bit
-            # two's-complement into signed int64 for Arrow
+            counts = Counter(self.token_re.findall(text.lower()))
+            if not counts:
+                out.append(0)
+                continue
+            hs = np.fromiter(
+                (self._tok_hash(t) for t in counts), dtype=np.uint64,
+                count=len(counts),
+            )
+            ws = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+            # (n_tok, 64) sign matrix in {-1, +1}, weighted column sums
+            bits = ((hs[:, None] >> self.bit_idx) & np.uint64(1)).astype(np.int64)
+            acc = ((2 * bits - 1) * ws[:, None]).sum(axis=0)
+            v = int(((acc > 0).astype(np.uint64) << self.bit_idx).sum())
             out.append(v - (1 << 64) if v >= (1 << 63) else v)
         return pa.table(
             {"doc_id": batch.column("doc_id"),
              "simhash": pa.array(out, pa.int64())}
         )
 
+
+def simhash64(sf_dir: str) -> Dataset:
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        sim, batch_format="pyarrow"
+        SimHash64, batch_format="pyarrow", concurrency=(1, 4)
     )
+
+
+# DuckDB mirror: per-token 64-bit md5 hash, per-bit weighted sign sum,
+# HUGEINT bit assembly, two's-complement fold into signed int64.
+SIMHASH64_SQL = """
+WITH tok AS (
+  SELECT doc_id, tok, COUNT(*) AS w FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+    FROM documents
+  ) GROUP BY doc_id, tok
+), h AS (
+  SELECT doc_id, w,
+         CAST(concat('0x', substr(md5(tok), 1, 16)) AS UBIGINT) AS hv
+  FROM tok
+), bits AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (hv >> b.bit) & 1 = 1 THEN w ELSE -w END) AS acc
+  FROM h CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+  GROUP BY doc_id, b.bit
+), vals AS (
+  SELECT doc_id,
+         SUM(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << CAST(bit AS INTEGER)
+             ELSE 0 END) AS v
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(CASE WHEN v >= CAST(1 AS HUGEINT) << 63
+                          THEN v - (CAST(1 AS HUGEINT) << 64) ELSE v END,
+                     0) AS BIGINT) AS simhash
+FROM documents d LEFT JOIN vals USING (doc_id) ORDER BY d.doc_id
+"""
 
 
 # -- exact word-set Jaccard pairs (bounded subset, SQL-checkable) -----------

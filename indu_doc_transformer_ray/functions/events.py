@@ -21,7 +21,7 @@ def _read_events(sf_dir: str, columns: list[str]) -> Dataset:
     return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
-def asof_prior_click(sf_dir: str) -> "object":
+def asof_prior_click(sf_dir: str) -> Dataset:
     """For every 'error' event: the most recent prior-or-equal 'click' by
     the same user (an as-of join).  One groupby co-locates each user's
     events; the in-group kernel is a sorted ``pd.merge_asof``.  Errors with
@@ -29,7 +29,7 @@ def asof_prior_click(sf_dir: str) -> "object":
     gap_us) — integers only, so the DuckDB ASOF JOIN oracle hash-matches."""
 
     ds = _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
-    ds = ds.filter(lambda r: r["event_type"] in ("error", "click"))
+    ds = ds.filter(expr="event_type == 'error' or event_type == 'click'")
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         errors = g[g["event_type"] == "error"].sort_values(["ts", "event_id"])
@@ -57,9 +57,7 @@ def asof_prior_click(sf_dir: str) -> "object":
         )
 
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-    return (
-        out.to_pandas().sort_values("event_id").reset_index(drop=True)
-    )
+    return out.sort("event_id")
 
 
 ASOF_PRIOR_CLICK_SQL = """
@@ -73,7 +71,7 @@ ORDER BY e.event_id
 """
 
 
-def sessionize(sf_dir: str) -> "object":
+def sessionize(sf_dir: str) -> Dataset:
     """Session windows per user (gap > 30 min starts a new session):
     per-user sorted scan inside map_groups; output integer session stats
     (user_id, n_sessions, max_session_events, longest_session_us)."""
@@ -97,13 +95,7 @@ def sessionize(sf_dir: str) -> "object":
         )
 
     out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
-    return (
-        out.to_pandas()
-        .astype({"user_id": "int64", "n_sessions": "int64",
-                 "max_session_events": "int64", "longest_session_us": "int64"})
-        .sort_values("user_id")
-        .reset_index(drop=True)
-    )
+    return out.sort("user_id")
 
 
 SESSIONIZE_SQL = """

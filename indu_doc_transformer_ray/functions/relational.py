@@ -92,24 +92,26 @@ GROUP BY l_returnflag, l_linestatus
 # customer is the small side -> broadcast; orders|><|lineitem -> Dataset.join
 # (hash-partitioned shuffle join, both sides scale with SF).
 
-def q3_top_orders(sf_dir: str) -> "object":
-    import pandas as pd
-
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    seg_keys = set(
-        r["c_custkey"]
-        for r in cust.filter(lambda r: r["c_mktsegment"] == "BUILDING").take_all()
+def q3_top_orders(sf_dir: str) -> Dataset:
+    """Fully distributed: a vectorized ``filter(expr=...)`` on customer, then
+    orders ⋈ customer and lineitem ⋈ orders as hash-partitioned
+    ``Dataset.join``s — no driver-side key-set materialization (both join
+    sides scale with SF)."""
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .filter(expr="c_mktsegment == 'BUILDING'")
+        .select_columns(["c_custkey"])
     )
-    seg_ref = ray.put(seg_keys)
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-
-    def filter_orders(t: pa.Table) -> pa.Table:
-        keys = ray.get(seg_ref)
-        mask = pc.is_in(t["o_custkey"], value_set=pa.array(list(keys), pa.int64()))
-        return t.filter(mask).select(["o_orderkey"])
-
-    building_orders = orders.map_batches(filter_orders, batch_format="pyarrow")
+    building_orders = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    ).select_columns(["o_orderkey"])
 
     li = _read(
         sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
@@ -128,19 +130,14 @@ def q3_top_orders(sf_dir: str) -> "object":
         num_partitions=join_partitions(),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
     )
-    top = (
+    return (
         joined.groupby("l_orderkey")
         .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
         .sort(["revenue_c4", "l_orderkey"], descending=[True, False])
         .limit(10)
-    )
-    df = top.to_pandas()
-    return pd.DataFrame(
-        {
-            "o_orderkey": df["l_orderkey"].astype("int64"),
-            "revenue_c4": df["revenue_c4"].astype("int64"),
-        }
+        .rename_columns({"l_orderkey": "o_orderkey"})
     )
 
 
@@ -157,26 +154,22 @@ LIMIT 10
 """
 
 
-# -- q5-ish: revenue per nation (broadcast dimension chain) -----------------
+# -- q5-ish: revenue per nation ---------------------------------------------
+# orders ⋈ customer and lineitem ⋈ orders are hash-partitioned Dataset.joins
+# (both sides scale with SF); only `nation` — a fixed 25-row dimension — is
+# read onto the driver, to decorate the 25-row final aggregate.
 
 def q5_nation_revenue(sf_dir: str) -> "object":
-    import pandas as pd
-
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    cust_to_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
-    ref = ray.put(cust_to_nation)
-
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-
-    def attach_nation(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        nk = [m.get(c) for c in t["o_custkey"].to_pylist()]
-        return pa.table(
-            {"o_orderkey": t["o_orderkey"], "nationkey": pa.array(nk, pa.int32())}
-        )
-
-    o_nation = orders.map_batches(attach_nation, batch_format="pyarrow")
+    o_nation = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    ).select_columns(["o_orderkey", "c_nationkey"])
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -192,13 +185,15 @@ def q5_nation_revenue(sf_dir: str) -> "object":
         num_partitions=join_partitions(),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
     )
     agg = (
-        joined.groupby("nationkey")
+        joined.groupby("c_nationkey")
         .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
-        .to_pandas()
+        .to_pandas()  # exactly 25 rows — one per nation
     )
-    out = agg.merge(nation, left_on="nationkey", right_on="n_nationkey")
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = agg.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
     out = out[["n_name", "revenue_c4"]].sort_values("n_name").reset_index(drop=True)
     out["revenue_c4"] = out["revenue_c4"].astype("int64")
     return out
@@ -412,33 +407,38 @@ WHERE l_quantity < 24
 
 # -- top-k per group (window-function shape) --------------------------------
 
-def top2_orders_per_customer(sf_dir: str) -> "object":
+def top2_orders_per_customer(sf_dir: str) -> Dataset:
     """Top-2 orders per customer by total price: groupby + per-group head —
-    the distributed row_number()-per-partition pattern."""
-    import pandas as pd
-
+    the distributed row_number()-per-partition pattern.  Groups stay Arrow
+    (zero pandas hop) and the result is returned as a sorted Dataset, never
+    materialized on the driver."""
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
-    def top2(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["o_totalprice", "o_orderkey"], ascending=[False, True]
-        ).head(2)
-        g = g.assign(rk=range(1, len(g) + 1))
-        return g
+    def scale(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "totalprice_c2": _cents(t["o_totalprice"]),
+            }
+        )
 
-    out = (
-        ds.groupby("o_custkey")
-        .map_groups(top2, batch_format="pandas")
-        .to_pandas()
+    def top2(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[("totalprice_c2", "descending"), ("o_orderkey", "ascending")],
+        )
+        sel = g.take(idx.slice(0, 2))
+        return sel.append_column(
+            "rk", pa.array(range(1, sel.num_rows + 1), pa.int64())
+        )
+
+    return (
+        ds.map_batches(scale, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(top2, batch_format="pyarrow")
+        .sort(["o_custkey", "rk"])
     )
-    return pd.DataFrame(
-        {
-            "o_custkey": out["o_custkey"].astype("int64"),
-            "o_orderkey": out["o_orderkey"].astype("int64"),
-            "totalprice_c2": (out["o_totalprice"] * 100).round().astype("int64"),
-            "rk": out["rk"].astype("int64"),
-        }
-    ).sort_values(["o_custkey", "rk"]).reset_index(drop=True)
 
 
 TOP2_PER_CUSTOMER_SQL = """
@@ -481,13 +481,12 @@ SELECT DISTINCT event_type FROM (
 
 # -- deterministic hash sampling --------------------------------------------
 
-def sample_docs_hash(sf_dir: str) -> "object":
+def sample_docs_hash(sf_dir: str) -> Dataset:
     """Deterministic ~1/16 sample: md5(doc_id) first hex char — the
     reproducible alternative to random_sample for pipelines that must be
-    re-runnable bit-identically."""
+    re-runnable bit-identically.  Returned as a sorted Dataset (the sample
+    scales with SF, so it never lands on the driver)."""
     import hashlib
-
-    import pandas as pd
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
@@ -500,8 +499,7 @@ def sample_docs_hash(sf_dir: str) -> "object":
         )
         return t.filter(mask)
 
-    out = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return ds.map_batches(pick, batch_format="pyarrow").sort("doc_id")
 
 
 SAMPLE_DOCS_HASH_SQL = """

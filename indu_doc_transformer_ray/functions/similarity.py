@@ -25,11 +25,16 @@ def _read_emb(sf_dir: str) -> Dataset:
 
 
 def _query_matrix(sf_dir: str, query_ids=QUERY_IDS) -> tuple[np.ndarray, list[int]]:
+    """Row-group-pruned parquet read of ONLY the query vectors (filter
+    pushdown) — the full embeddings table never touches the driver."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = t.column("vec_id").to_pylist()
-    idx = {v: i for i, v in enumerate(ids)}
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", list(query_ids))],
+    )
+    idx = {v: i for i, v in enumerate(t.column("vec_id").to_pylist())}
     emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
     q = np.stack([emb[idx[i]] for i in query_ids])
     return q, list(query_ids)
@@ -235,32 +240,106 @@ def lsh_bucket_topk(sf_dir: str) -> "object":
 
 
 def label_centroid_sims(sf_dir: str) -> "object":
-    """Per-label centroid then each label's intra-cluster mean cosine —
-    grouped vector aggregate (map_groups over list columns).  Integer
-    outputs: count per label (SQL-checkable) + permille mean sim (rows-only
-    float path kept out of the oracle query)."""
+    """Per-label centroid then each label's intra-cluster mean cosine, as a
+    TWO-PASS distributed aggregate (no label's vectors are ever co-located):
+
+    pass 1 — each batch emits per-label partial (sum-of-normalized-vectors,
+    count); the driver folds the tiny (n_labels x n_blocks) partials into
+    normalized centroids.
+    pass 2 — centroids broadcast via ``ray.put``; each batch emits per-label
+    partial (sum-of-cosines, count); driver folds to the mean.
+
+    A hot label costs O(dim) driver memory instead of O(label size) — the
+    scale-safe replacement for a per-label ``map_groups``."""
     import pandas as pd
 
-    def per_label(g: pd.DataFrame) -> pd.DataFrame:
-        emb = np.array(g["embedding"].tolist(), dtype=np.float64)
+    def partial_sums(t: pa.Table) -> pa.Table:
+        labels = np.asarray(t.column("label").to_pylist())
+        emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
         en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-        c = en.mean(axis=0)
-        c /= np.linalg.norm(c)
-        mean_sim = float((en @ c).mean())
-        return pd.DataFrame(
+        out_l, out_s, out_n = [], [], []
+        for lab in np.unique(labels):
+            m = en[labels == lab]
+            out_l.append(int(lab))
+            out_s.append(m.sum(axis=0).tolist())
+            out_n.append(len(m))
+        return pa.table(
             {
-                "label": [int(g["label"].iloc[0])],
-                "n_vectors": [len(g)],
-                "mean_centroid_sim_permille": [int(mean_sim * 1000)],
+                "label": pa.array(out_l, pa.int64()),
+                "vec_sum": pa.array(out_s, pa.list_(pa.float64())),
+                "n": pa.array(out_n, pa.int64()),
             }
         )
 
-    out = (
+    p1 = (
         _read_emb(sf_dir)
-        .groupby("label")
-        .map_groups(per_label, batch_format="pandas")
+        .map_batches(partial_sums, batch_format="pyarrow")
+        .to_pandas()  # n_labels x n_blocks rows — O(labels), not O(vectors)
+    )
+    cents: dict[int, np.ndarray] = {}
+    counts: dict[int, int] = {}
+    for lab, grp in p1.groupby("label"):
+        s = np.sum(np.array(grp["vec_sum"].tolist(), dtype=np.float64), axis=0)
+        cents[int(lab)] = s / np.linalg.norm(s)
+        counts[int(lab)] = int(grp["n"].sum())
+    ref = ray.put(cents)
+
+    def partial_sims(t: pa.Table) -> pa.Table:
+        cents_ = ray.get(ref)
+        labels = np.asarray(t.column("label").to_pylist())
+        emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        out_l, out_s = [], []
+        for lab in np.unique(labels):
+            m = en[labels == lab]
+            out_l.append(int(lab))
+            out_s.append(float((m @ cents_[int(lab)]).sum()))
+        return pa.table(
+            {
+                "label": pa.array(out_l, pa.int64()),
+                "sim_sum": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    p2 = (
+        _read_emb(sf_dir)
+        .map_batches(partial_sims, batch_format="pyarrow")
         .to_pandas()
     )
-    return out.sort_values("label").reset_index(drop=True).astype(
-        {"label": "int32", "n_vectors": "int64"}
-    )
+    sim_total = p2.groupby("label")["sim_sum"].sum()
+    rows = [
+        (lab, counts[lab], int(sim_total[lab] / counts[lab] * 1000))
+        for lab in sorted(counts)
+    ]
+    return pd.DataFrame(
+        rows, columns=["label", "n_vectors", "mean_centroid_sim_permille"]
+    ).astype({"label": "int64", "n_vectors": "int64",
+              "mean_centroid_sim_permille": "int64"})
+
+
+# DuckDB mirror of the two-pass centroid aggregate: normalize each vector,
+# centroid = normalized per-dim sum, mean sim = avg dot with the centroid.
+# Integer permille output; float64 on both sides, boundary margins verified
+# >= 3e-3 permille at sf0.001/0.01/0.1.
+LABEL_CENTROID_SQL = """
+WITH e AS (
+  SELECT label, vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x*x))) AS nrm
+  FROM embeddings
+), comp AS (
+  SELECT label, vec_id, u.i AS dim, embedding[u.i] / nrm AS x
+  FROM e, unnest(range(1, len(embedding) + 1)) AS u(i)
+), cent AS (
+  SELECT label, dim, SUM(x) AS s FROM comp GROUP BY label, dim
+), centn AS (
+  SELECT label, dim, s / sqrt(SUM(s*s) OVER (PARTITION BY label)) AS c FROM cent
+), sims AS (
+  SELECT comp.label, comp.vec_id, SUM(x * c) AS sim
+  FROM comp JOIN centn ON comp.label = centn.label AND comp.dim = centn.dim
+  GROUP BY comp.label, comp.vec_id
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(FLOOR(AVG(sim) * 1000) AS BIGINT) AS mean_centroid_sim_permille
+FROM sims GROUP BY label ORDER BY label
+"""

@@ -142,6 +142,40 @@ def winnow_fingerprint(sf_dir: str) -> Dataset:
     )
 
 
+# DuckDB mirror of the winnowing construction: 5-gram 64-bit md5 hashes,
+# 4-wide window minima (windows clipped to the python impl's
+# max(1, len(grams)-W+1) count), run-collapse via lag(), md5 of the
+# comma-joined decimal minima.
+WINNOW_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, i,
+         CAST(concat('0x', substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 16)) AS UBIGINT) AS g
+  FROM t, unnest(range(1, greatest(len(toks) - 5 + 1, 0) + 1)) AS u(i)
+), mins AS (
+  SELECT doc_id, i,
+         MIN(g) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+         MAX(i) OVER (PARTITION BY doc_id) AS max_i
+  FROM grams
+), win AS (
+  SELECT doc_id, i, m FROM mins WHERE i <= greatest(1, max_i - 3)
+), collapsed AS (
+  SELECT doc_id, i, m,
+         CASE WHEN lag(m) OVER (PARTITION BY doc_id ORDER BY i) = m
+              THEN 0 ELSE 1 END AS keep
+  FROM win
+), agg AS (
+  SELECT doc_id, md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS winnow_fp
+  FROM collapsed WHERE keep = 1 GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(agg.winnow_fp, '') AS winnow_fp
+FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id
+"""
+
+
 class LangId:
     """Heuristic n-gram/stopword language scorer (actor-pool stage; the
     profiles are tiny here but stand in for a real fasttext-style model
@@ -175,6 +209,33 @@ def lang_id(sf_dir: str) -> Dataset:
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         LangId, batch_format="pyarrow", concurrency=(1, 4)
     )
+
+
+def _lang_profile_values() -> str:
+    """LANG_PROFILES as a SQL VALUES list, so the oracle and the actor can
+    never drift."""
+    return ", ".join(
+        "('%s', [%s])" % (lang, ", ".join("'%s'" % w for w in sorted(ws)))
+        for lang, ws in sorted(LANG_PROFILES.items())
+    )
+
+
+# Stopword-overlap argmax with the LangId actor's tie-break (first lang in
+# sorted order wins on equal score — row_number ORDER BY s DESC, lang).
+LANG_ID_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w
+  FROM documents
+), profiles(lang, words) AS (VALUES {_lang_profile_values()}),
+scores AS (
+  SELECT doc_id, lang, len(list_intersect(w, words)) AS s
+  FROM toks CROSS JOIN profiles
+)
+SELECT doc_id, lang AS pred_lang, CAST(s AS BIGINT) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lang) AS rn
+      FROM scores)
+WHERE rn = 1 ORDER BY doc_id
+"""
 
 
 def lang_dist(sf_dir: str) -> Dataset:

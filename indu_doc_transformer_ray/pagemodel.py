@@ -80,164 +80,15 @@ class PageSpec:
         raise KeyError(key)
 
 
-def _cols(*specs) -> tuple[ColumnSpec, ...]:
-    out = []
-    for s in specs:
-        if isinstance(s, str):
-            out.append(ColumnSpec(s))
-        else:
-            out.append(ColumnSpec(*s))
-    return tuple(out)
+# The page-type configuration is DATA: it lives in
+# ``default_page_settings.json`` (reference-shaped, see
+# ``extraction_settings.json`` in the reference repo) and is parsed once at
+# import by ``pagesettings.default_page_specs`` — adding or editing a page
+# type is a JSON edit.  Keys are PageType members for known names, plain
+# strings for JSON-introduced extensions.
+from .pagesettings import default_page_specs  # noqa: E402  (needs classes above)
 
-
-# Column lists follow the shipped page_settings.json (roles/keys per page
-# type; include flags; ffill placeholders).  ("name", False) = ignored
-# column; ("name", True, "=") = forward-fill '=' placeholders.
-PAGE_SPECS: dict[PageType, PageSpec] = {
-    PageType.CONNECTION_LIST: PageSpec(
-        PageType.CONNECTION_LIST,
-        "Connection list",
-        (
-            TableSpec(
-                "main",
-                _cols("name", "src_pin_tag", "dst_pin_tag", "Color", "Cross-section"),
-            ),
-        ),
-    ),
-    PageType.DEVICE_TAG_LIST: PageSpec(
-        PageType.DEVICE_TAG_LIST,
-        "device tag list",
-        (
-            TableSpec(
-                "main",
-                _cols(
-                    "tag", "Quantity", "Designation", "Type number",
-                    "Manufacturer", "Part number",
-                ),
-            ),
-        ),
-    ),
-    PageType.CABLE_OVERVIEW: PageSpec(
-        PageType.CABLE_OVERVIEW,
-        "Cable overview",
-        (
-            TableSpec(
-                "main",
-                _cols(
-                    ("cable_tag", True, ""),
-                    ("Col1", False),
-                    "src_tag", "dst_tag", "Cable type", "Conductors",
-                    "Cross-section", "Length", "Function text",
-                ),
-            ),
-        ),
-    ),
-    PageType.CABLE_DIAGRAM: PageSpec(
-        PageType.CABLE_DIAGRAM,
-        "Cable diagram",
-        (
-            TableSpec(
-                "main",
-                _cols(
-                    ("Function text Src", True, "="),
-                    "Page / Column Src", "src_tag", "src_pin", "Conductor",
-                    "dst_tag", "dst_pin", "Page / Column Dst",
-                    ("Function text Dst", True, "="),
-                ),
-            ),
-        ),
-    ),
-    PageType.TOPOLOGY: PageSpec(
-        PageType.TOPOLOGY,
-        "Topology: Routed cables / connections",
-        (
-            TableSpec(
-                "main",
-                _cols(
-                    "designation", "Part number", "Type number", "Length [m]",
-                    "src_tags", "Source connection length [m]", "route",
-                    "dst_tags", "Target connection length [m]",
-                ),
-            ),
-        ),
-    ),
-    PageType.WIRES_PART_LIST: PageSpec(
-        PageType.WIRES_PART_LIST,
-        "Wires parts list",
-        (
-            TableSpec(
-                "main",
-                _cols(
-                    "src_pin_tag", "dst_pin_tag", "Part number",
-                    "Cross-section", "Color", "Length", "Bundle",
-                    "Bundle groups", "Conductor end source",
-                    "Conductor end target", "Routing direction source",
-                    "Routing direction target", "route",
-                ),
-            ),
-        ),
-    ),
-    PageType.STRUCTURE_IDENTIFIER_OVERVIEW: PageSpec(
-        PageType.STRUCTURE_IDENTIFIER_OVERVIEW,
-        "Structure identifier overview",
-        (
-            TableSpec(
-                "main",
-                _cols("tag", ("Ignored2", False), "Structure description"),
-            ),
-        ),
-    ),
-    PageType.PLC_DIAGRAM: PageSpec(
-        PageType.PLC_DIAGRAM,
-        "PLC diagram",
-        (
-            TableSpec(
-                "main",
-                _cols(
-                    ("tag", True, ""),
-                    "plc_addr", "Placement", ("Function text", True, "="),
-                    "Rack", "Module", "Symbolic address", "Terminal",
-                ),
-            ),
-        ),
-    ),
-    PageType.TERMINAL_DIAGRAM: PageSpec(
-        PageType.TERMINAL_DIAGRAM,
-        "Terminal diagram",
-        (
-            TableSpec(
-                "l_cables",
-                _cols(("Ignored1", False), "cable_tag", ("Ignored3", False)),
-            ),
-            TableSpec(
-                "l_conn",
-                _cols(
-                    ("Function text", True, "="),
-                    "1", "2", "3", "4", "5", "6", "7", "8", "9", "10", "11",
-                ),
-            ),
-            TableSpec(
-                "r_cables",
-                _cols(("Ignored1", False), "cable_tag", ("Ignored2", False)),
-            ),
-            TableSpec(
-                "r_conn",
-                _cols(
-                    "11", "10", "9", "8", "7", "6", "5", "4", "3", "2", "1",
-                    "Page / column",
-                ),
-            ),
-            TableSpec("strip_tag", (), text_only=True),
-            TableSpec(
-                "main",
-                _cols(
-                    "src_tag", "src_pin", "strip_pin", "Jumpers",
-                    "PLC connection point", "dst_tag", "dst_pin",
-                ),
-            ),
-        ),
-    ),
-}
+PAGE_SPECS: dict = default_page_specs()
 
 
 def search_name_index() -> dict[str, PageType]:

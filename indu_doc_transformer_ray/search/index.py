@@ -199,7 +199,7 @@ def build_target_index_ds(
         num_partitions = join_partitions()
 
     owned = object_attrs.filter(
-        lambda r: r["owner_kind"] == "xtarget"
+        expr="owner_kind == 'xtarget'"
     ).join(
         attributes, join_type="inner", num_partitions=num_partitions,
         on=("attr_guid",), right_on=("guid",),
@@ -289,7 +289,7 @@ def build_connection_index_ds(
     )
 
     # link attr fold (same shape as the target-side fold)
-    owned = object_attrs.filter(lambda r: r["owner_kind"] == "link").join(
+    owned = object_attrs.filter(expr="owner_kind == 'link'").join(
         attributes, join_type="inner", num_partitions=num_partitions,
         on=("attr_guid",), right_on=("guid",),
         aggregator_ray_remote_args={"num_cpus": 0},
@@ -315,12 +315,12 @@ def build_connection_index_ds(
         return ds.map_batches(do, batch_format="pyarrow")
 
     src_heads = renamed(
-        heads.filter(lambda r: r["role"] == "src"),
+        heads.filter(expr="role == 'src'"),
         {"link_guid": "src_link_guid", "rec_name": "src_rec_name",
          "pin_guid": "src_pin_guid"}, [],
     )
     dst_heads = renamed(
-        heads.filter(lambda r: r["role"] == "dst"),
+        heads.filter(expr="role == 'dst'"),
         {"link_guid": "dst_link_guid", "rec_name": "dst_rec_name",
          "pin_guid": "dst_pin_guid"}, [],
     )

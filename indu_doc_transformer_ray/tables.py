@@ -286,7 +286,8 @@ def extract_page_table(
     records, anything else UNKNOWN_ERROR; both yield ``df=None``."""
     try:
         dfs = build_page_tables(page, spec)
-        shaper = SHAPERS.get(spec.page_type.value, shape_main)
+        pt = getattr(spec.page_type, "value", spec.page_type)  # str for JSON-only types
+        shaper = SHAPERS.get(pt, shape_main)
         return shaper(dfs), []
     except PageExtractionError as e:
         return None, [(e.severity, str(e))]

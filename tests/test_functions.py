@@ -55,7 +55,7 @@ def test_minhash_lsh_finds_planted_dups(ray_session, tmp_path, monkeypatch):
     sf_dir = str(tmp_path)
     df.to_parquet(f"{sf_dir}/documents.parquet")
 
-    pairs = dedup.minhash_lsh_pairs(sf_dir, threshold=0.5)
+    pairs = dedup.minhash_lsh_pairs(sf_dir, threshold=0.5).to_pandas()
     got = set(zip(pairs["doc_a"], pairs["doc_b"]))
     assert (100, 101) in got
     # unique docs must not pair with each other
