@@ -50,9 +50,9 @@ _PAGE_KINDS = [
     "CONNECTION_LIST", "DEVICE_TAG_LIST", "CABLE_OVERVIEW", "TOPOLOGY",
     "WIRES_PART_LIST", "CABLE_DIAGRAM", "PLC_DIAGRAM",
     "STRUCTURE_IDENTIFIER_OVERVIEW", "TERMINAL_DIAGRAM",
-    "UNKNOWN", "NO_FOOTER", "NO_TABLE",
+    "UNKNOWN", "NO_FOOTER", "NO_TABLE", "CHAR_OVERLAP",
 ]
-_PAGE_WEIGHTS = [14, 12, 10, 8, 10, 10, 8, 6, 8, 4, 3, 3]
+_PAGE_WEIGHTS = [14, 12, 10, 8, 10, 10, 8, 6, 8, 4, 3, 3, 3]
 
 _SEARCH_NAMES = {
     "CONNECTION_LIST": "Connection list",
@@ -64,6 +64,7 @@ _SEARCH_NAMES = {
     "PLC_DIAGRAM": "PLC diagram",
     "STRUCTURE_IDENTIFIER_OVERVIEW": "Structure identifier overview",
     "TERMINAL_DIAGRAM": "Terminal diagram",
+    "CHAR_OVERLAP": "Connection list",  # classifies as CONNECTION_LIST
 }
 
 
@@ -150,6 +151,11 @@ class _PageBuilder:
 
     def text_roi(self, key: str, value: str):
         self.add("text", f"{key}{US}{value}")
+
+    def char_run(self, table: str, row: int, chars: list[tuple[str, float, float]]):
+        """Raw positioned character run (the overlap split/repair input)."""
+        spec = ";".join(f"{ord(c)}:{x0:g}:{x1:g}" for c, x0, x1 in chars)
+        self.add("char_run", f"{table}{US}{row}{US}{spec}")
 
     def media(self, idx: int):
         self.add(
@@ -335,6 +341,37 @@ def _build_terminal_diagram(b: _PageBuilder, rng: random.Random):
         )
 
 
+def _spread_chars(
+    text: str, x0: float, width: float
+) -> list[tuple[str, float, float]]:
+    step = width / max(1, len(text))
+    return [
+        (c, x0 + i * step, x0 + (i + 1) * step) for i, c in enumerate(text)
+    ]
+
+
+def _build_char_overlap(b: _PageBuilder, rng: random.Random):
+    """A CONNECTION_LIST page whose raw span surface carries colliding
+    character runs: the overlap split (M4) dumps two text blocks, the repair
+    (M5) re-places them by center into the Color / Cross-section cells,
+    overwriting the tabled values and emitting the reference's INFO records
+    — or, when the second block drifts past the table edge, the
+    'could not repair (fully)' WARNING."""
+    _build_connection_list(b, rng)
+    r = rng.randrange(0, 3)
+    t1 = rng.choice(_COLORS)
+    t2 = rng.choice(_XSECT)
+    # col 3 (Color) spans x [300,400); col 4 (Cross-section) [400,500)
+    chars = _spread_chars(t1, 330.0, 40.0)  # block 1: center ~350 -> col 3
+    if rng.random() < 0.3:
+        # second block stretches past the right table edge: center > 500
+        # falls in no cell -> the 'could not repair (fully)' WARNING half
+        chars += [(t2[0], 340.0, 360.0)] + _spread_chars(t2[1:], 600.0, 80.0)
+    else:
+        chars += _spread_chars(t2, 365.0, 80.0)  # center ~405 -> col 4
+    b.char_run("main", r, chars)
+
+
 _BUILDERS = {
     "CONNECTION_LIST": _build_connection_list,
     "DEVICE_TAG_LIST": _build_device_tag_list,
@@ -345,6 +382,7 @@ _BUILDERS = {
     "PLC_DIAGRAM": _build_plc_diagram,
     "STRUCTURE_IDENTIFIER_OVERVIEW": _build_structure_overview,
     "TERMINAL_DIAGRAM": _build_terminal_diagram,
+    "CHAR_OVERLAP": _build_char_overlap,
 }
 
 

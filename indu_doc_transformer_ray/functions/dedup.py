@@ -192,31 +192,31 @@ class ShingleSets:
 def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> Dataset:
     """Near-duplicate pairs, end-to-end distributed:
 
-    1. banded MinHash rows per doc (actor pool, one corpus scan);
+    1. banded MinHash rows per doc (one corpus scan);
     2. LSH bucket groupby -> in-bucket candidate pairs (bucket membership
        capped at ``MAX_BUCKET``, dropped pairs logged — skew guard);
-    3. candidate-pair dedup via a second groupby;
-    4. exact shingle-Jaccard verification WITHOUT any driver hop: the pair
-       Dataset hash-joins the shingle-set Dataset back on each side
-       (doc_a, then doc_b), and the Jaccard kernel runs inside map_batches.
+    3. exact shingle-Jaccard verification WITHOUT any driver hop, as two
+       union + ``groupby(key).map_groups`` co-location rounds (the classic
+       repartition join): round A keys pair rows and shingle rows by
+       ``doc_a`` and attaches each pair's left shingle set (deduping the
+       multi-band candidate multiset in-group); round B keys by ``doc_b``,
+       attaches the right set, and runs the Jaccard kernel in-group.
+
+    groupby co-location is used instead of ``Dataset.join`` deliberately:
+    the hash-join aggregator crashes on partitions that receive zero rows
+    (schemaless empty blocks), which tiny candidate sets routinely produce.
 
     Returns a Dataset of (doc_a, doc_b, jaccard_permille) sorted by pair.
     Candidates/pairs never materialize on the driver."""
     import logging
 
-    import pandas as pd
-
-    from ._util import join_partitions
-
     docs = _read_docs(sf_dir, ["doc_id", "text"])
-    bands = docs.map_batches(
-        MinHashBands, batch_format="pyarrow", concurrency=(1, 4)
-    )
+    bands = docs.map_batches(MinHashBands(), batch_format="pyarrow")
 
     log = logging.getLogger(__name__)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group["doc_id"]))
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column("doc_id").to_pylist()))
         if len(ids) > MAX_BUCKET:
             dropped = (
                 len(ids) * (len(ids) - 1) - MAX_BUCKET * (MAX_BUCKET - 1)
@@ -226,79 +226,111 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> Dataset:
                 len(ids), MAX_BUCKET, dropped,
             )
             ids = ids[:MAX_BUCKET]
-        rows = [
-            (a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]
-        ]
-        return pd.DataFrame(
+        rows = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        return pa.table(
             {
-                "doc_a": pd.Series([r[0] for r in rows], dtype="int64"),
-                "doc_b": pd.Series([r[1] for r in rows], dtype="int64"),
+                "doc_a": pa.array([r[0] for r in rows], pa.int64()),
+                "doc_b": pa.array([r[1] for r in rows], pa.int64()),
             }
         )
 
-    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
-
-    def ensure_pair_schema(t: pa.Table) -> pa.Table:
-        # empty aggregate partitions emit schemaless blocks, which the
-        # downstream hash join rejects ("no match for FieldRef doc_a")
-        if t.num_rows == 0:
-            return pair_schema.empty_table()
-        return t.select(["doc_a", "doc_b"])
-
-    pairs = (
-        bands.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_n"))  # dedup candidate pairs
-        .map_batches(ensure_pair_schema, batch_format="pyarrow")
+    raw_pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
     )
 
     shingle_ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        ShingleSets, batch_format="pyarrow", concurrency=(1, 4)
-    )
-    sh_a = shingle_ds.rename_columns(
-        {"doc_id": "a_doc_id", "shingles": "sh_a"}
-    )
-    sh_b = shingle_ds.rename_columns(
-        {"doc_id": "b_doc_id", "shingles": "sh_b"}
-    )
-    nparts = join_partitions()
-    joined = pairs.join(
-        sh_a, join_type="inner", num_partitions=nparts,
-        on=("doc_a",), right_on=("a_doc_id",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    ).join(
-        sh_b, join_type="inner", num_partitions=nparts,
-        on=("doc_b",), right_on=("b_doc_id",),
-        aggregator_ray_remote_args={"num_cpus": 0},
+        ShingleSets(), batch_format="pyarrow"
     )
 
-    def verify(t: pa.Table) -> pa.Table:
-        out_a, out_b, out_j = [], [], []
-        for a, b, ra, rb in zip(
-            t.column("doc_a").to_pylist(), t.column("doc_b").to_pylist(),
-            t.column("sh_a").to_pylist(), t.column("sh_b").to_pylist(),
+    # round A: co-locate each pair with doc_a's shingle set.
+    # unified schema: (k, other, sh_carry, sh, is_pair)
+    def pairs_r1(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "k": t.column("doc_a"),
+                "other": t.column("doc_b"),
+                "sh_carry": pa.array([""] * n, pa.string()),
+                "sh": pa.array([""] * n, pa.string()),
+                "is_pair": pa.array([1] * n, pa.int32()),
+            }
+        )
+
+    def sh_r1(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "k": t.column("doc_id"),
+                "other": pa.array([-1] * n, pa.int64()),
+                "sh_carry": pa.array([""] * n, pa.string()),
+                "sh": t.column("shingles"),
+                "is_pair": pa.array([0] * n, pa.int32()),
+            }
+        )
+
+    u1 = raw_pairs.map_batches(pairs_r1, batch_format="pyarrow").union(
+        shingle_ds.map_batches(sh_r1, batch_format="pyarrow")
+    )
+
+    def attach_a(g: pa.Table) -> pa.Table:
+        is_pair = g.column("is_pair").to_pylist()
+        sh_a = ""
+        for flag, sh in zip(is_pair, g.column("sh").to_pylist()):
+            if flag == 0:
+                sh_a = sh
+                break
+        doc_a = g.column("k")[0].as_py()
+        doc_bs = sorted(
+            {o for flag, o in zip(is_pair, g.column("other").to_pylist()) if flag}
+        )  # in-group dedup of the multi-band candidate multiset
+        return pa.table(
+            {
+                "k": pa.array(doc_bs, pa.int64()),  # re-key by doc_b
+                "other": pa.array([doc_a] * len(doc_bs), pa.int64()),
+                "sh_carry": pa.array([sh_a] * len(doc_bs), pa.string()),
+                "sh": pa.array([""] * len(doc_bs), pa.string()),
+                "is_pair": pa.array([1] * len(doc_bs), pa.int32()),
+            }
+        )
+
+    r1 = u1.groupby("k").map_groups(attach_a, batch_format="pyarrow")
+
+    # round B: co-locate with doc_b's shingle set and verify in-group
+    u2 = r1.union(shingle_ds.map_batches(sh_r1, batch_format="pyarrow"))
+
+    def verify_b(g: pa.Table) -> pa.Table:
+        is_pair = g.column("is_pair").to_pylist()
+        sh_b_raw = ""
+        for flag, sh in zip(is_pair, g.column("sh").to_pylist()):
+            if flag == 0:
+                sh_b_raw = sh
+                break
+        B = set(sh_b_raw.split("\x1e")) if sh_b_raw else set()
+        doc_b = g.column("k")[0].as_py()
+        out_a, out_j = [], []
+        for flag, doc_a, sh_a_raw in zip(
+            is_pair, g.column("other").to_pylist(),
+            g.column("sh_carry").to_pylist(),
         ):
-            A = set(ra.split("\x1e")) if ra else set()
-            B = set(rb.split("\x1e")) if rb else set()
+            if not flag:
+                continue
+            A = set(sh_a_raw.split("\x1e")) if sh_a_raw else set()
             inter = len(A & B)
             union = len(A) + len(B) - inter
             j = inter / union if union else 0.0
             if j >= threshold:
-                out_a.append(a)
-                out_b.append(b)
+                out_a.append(doc_a)
                 out_j.append(int(j * 1000))
         return pa.table(
             {
                 "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
+                "doc_b": pa.array([doc_b] * len(out_a), pa.int64()),
                 "jaccard_permille": pa.array(out_j, pa.int64()),
             }
         )
 
-    return joined.map_batches(verify, batch_format="pyarrow").sort(
-        ["doc_a", "doc_b"]
-    )
+    out = u2.groupby("k").map_groups(verify_b, batch_format="pyarrow")
+    return out.sort(["doc_a", "doc_b"])
 
 
 # DuckDB mirror of the full MinHash+LSH pipeline (possible because the hash

@@ -9,6 +9,13 @@ Span kinds encode what the reference reads off a PDF page (FIXTURES.md §2):
     footer_cell  one footer cell; text = "<slot>\\x1f<value>",
                  slot in {"project", "product", "<row>:<col>"}
     cell         one table cell; text = "<table_key>\\x1f<row>\\x1f<col>\\x1f<value>"
+    char_run     a RAW positioned character run on a table row (the shape the
+                 reference reads via get_text("rawdict") chars,
+                 table_extractor.py:37-68); text =
+                 "<table_key>\\x1f<row>\\x1f<codepoint>:<x0>:<x1>;..." —
+                 resolved into cells by the overlap split/repair pass in
+                 tables.py (synthetic x geometry: column k spans
+                 [k*100, (k+1)*100))
     text         a text-only ROI; text = "<table_key>\\x1f<value>"
     media        opaque media payload reference (passed through, order kept)
 
@@ -42,6 +49,10 @@ class PageSpans:
     # table_key -> {(row, col) -> value}; first span per cell wins
     cells: dict[str, dict[tuple[int, int], str]] = field(default_factory=dict)
     texts: dict[str, str] = field(default_factory=dict)  # text-only ROIs
+    # table_key -> [(row, [(char, x0, x1), ...])] raw char runs, span order
+    char_runs: dict[str, list[tuple[int, list[tuple[str, float, float]]]]] = (
+        field(default_factory=dict)
+    )
     spans: list[Span] = field(default_factory=list)  # all raw spans, in order
 
 
@@ -95,6 +106,21 @@ def split_pages(spans: list[Span]) -> list[PageSpans]:
                 except ValueError:
                     continue
                 cur.cells.setdefault(key, {}).setdefault(rc, value)
+        elif sp.kind == "char_run":
+            parts = sp.text.split(US, 2)
+            if len(parts) == 3:
+                key, row_s, charspec = parts
+                try:
+                    row = int(row_s)
+                    chars = []
+                    for item in charspec.split(";"):
+                        if not item:
+                            continue
+                        cp, x0, x1 = item.split(":")
+                        chars.append((chr(int(cp)), float(x0), float(x1)))
+                except ValueError:
+                    continue
+                cur.char_runs.setdefault(key, []).append((row, chars))
         elif sp.kind == "text":
             key, _, value = sp.text.partition(US)
             cur.texts.setdefault(key, value)

@@ -77,12 +77,97 @@ def row_loc(row_label: int) -> tuple[float, float, float, float]:
     return (0.0, y, 1000.0, y + 10.0)
 
 
-def build_table(page: PageSpans, spec: TableSpec) -> RowTable:
+CHAR_TOLERANCE = 0.1  # reference extract_spans default (table_extractor.py:37)
+CELL_WIDTH = 100.0  # synthetic geometry: column k spans [k*100, (k+1)*100)
+
+
+def split_char_run(
+    chars: list[tuple[str, float, float]],
+    y0: float,
+    y1: float,
+    tolerance: float = CHAR_TOLERANCE,
+) -> list[tuple[float, float, float, float, str]]:
+    """M4: split a raw character run at x-overlaps (reference
+    extract_spans char walk, table_extractor.py:44-66): when a char starts
+    left of the previous char's right edge (beyond the tolerance fraction of
+    its own width), the text accumulated so far is dumped as its own block
+    ending at ``prev`` and a new block starts at that char."""
+    if not chars:
+        return []
+    blocks: list[tuple[float, float, float, float, str]] = []
+    text = ""
+    sx0 = chars[0][1]
+    prev = -1.0
+    for ch, x0, x1 in chars:
+        if (x0 + (x1 - x0) * tolerance) < prev:
+            blocks.append((sx0, y0, prev, y1, text))
+            text = ""
+            sx0 = x0
+        text += ch
+        prev = x1
+    blocks.append((sx0, y0, chars[-1][2], y1, text))
+    return blocks
+
+
+def overlap_repair_fixes(
+    page: PageSpans, spec: TableSpec, n_rows: int
+) -> list[tuple[int, Optional[tuple[int, str]], Optional[tuple[int, str]]]]:
+    """M4+M5 wiring: the reference's overlap-test pass over a table's raw
+    span surface (extract_table, table_extractor.py:446-453):
+
+    1. split raw ``char_run`` spans at character x-overlaps (M4,
+       ``split_char_run`` = reference extract_spans);
+    2. ``detect_overlaps`` over the resulting text blocks (M5 detect);
+    3. ``repair_overlaps_by_center`` re-places each colliding text into the
+       row cell containing its rect center (M5 repair).
+
+    Geometry is the corpus's synthetic grid (row r: y in [r*10, r*10+10),
+    column c: x in [c*100, (c+1)*100)); the reference uses the found
+    pymupdf table's row/cell bboxes.  Returns the reference's fix tuples
+    ``(row_idx, (col, text) | None, (col, text) | None)``."""
+    runs = page.char_runs.get(spec.key)
+    if not runs:
+        return []
+    n_cols = len(spec.columns)
+
+    blocks: list[tuple[float, float, float, float, str]] = []
+    for row, chars in runs:
+        # inset within the row band so a block only intersects ITS row rect
+        # (closed-rect intersection would otherwise also hit the touching
+        # neighbor band and double-apply the fix)
+        y0, y1 = row * 10.0 + 1.0, row * 10.0 + 9.0
+        blocks.extend(split_char_run(chars, y0, y1))
+
+    overlaps = detect_overlaps(blocks)
+    if not overlaps:
+        return []
+    row_rects = [
+        (0.0, r * 10.0, n_cols * CELL_WIDTH, r * 10.0 + 10.0)
+        for r in range(n_rows)
+    ]
+    cell_rects = [
+        [
+            (c * CELL_WIDTH, r * 10.0, (c + 1) * CELL_WIDTH, r * 10.0 + 10.0)
+            for c in range(n_cols)
+        ]
+        for r in range(n_rows)
+    ]
+    return repair_overlaps_by_center(row_rects, cell_rects, overlaps)
+
+
+def build_table(
+    page: PageSpans,
+    spec: TableSpec,
+    errors: Optional[list[tuple[Severity, str]]] = None,
+) -> RowTable:
     """One table role -> RowTable, mirroring extract_table
     (table_extractor.py:433-519):
 
     - missing table  -> PageExtractionError (``No required table(s)...``)
     - column-count mismatch vs the configured header -> PageExtractionError
+    - raw ``char_run`` spans trigger the overlap split/repair pass
+      (``overlap_repair_fixes``); repaired cells overwrite the table with the
+      reference's INFO/WARNING error records (table_extractor.py:480-504)
     - ignored columns dropped; rows with no non-empty visible value dropped
       (row labels preserved)
     - per-column placeholder forward-fill (placeholder -> gap -> previous
@@ -101,14 +186,43 @@ def build_table(page: PageSpans, spec: TableSpec) -> RowTable:
             f"Expected {len(spec.columns)} columns, found {n_cols}"
         )
 
+    # full-width rows first: the overlap repair addresses columns by absolute
+    # position (incl. ignored ones), and its record text quotes the old value
+    full_rows: list[dict[str, Any]] = [
+        {c.name: cells.get((r, ci)) for ci, c in enumerate(spec.columns)}
+        for r in range(n_rows)
+    ]
+
+    fixes = overlap_repair_fixes(page, spec, n_rows)
+    if fixes:
+        col_names = [c.name for c in spec.columns]
+        for row_idx, repl1, repl2 in fixes:
+            # (our synthetic tables carry no header row, so no -1 shift;
+            #  reference subtracts the pymupdf header row + row_offset)
+            for repl in (repl1, repl2):
+                if repl is None:
+                    continue
+                col_idx, text = repl
+                old = full_rows[row_idx][col_names[col_idx]]
+                msg = (
+                    f"row #{row_idx} overlap detected: replaced col "
+                    f"#{col_idx}: {old} -> {text}"
+                )
+                if errors is not None:
+                    errors.append((Severity.INFO, msg))
+                full_rows[row_idx][col_names[col_idx]] = text
+            if not (repl1 and repl2):
+                msg = f"row #{row_idx} overlap detected: could not repair (fully)"
+                if errors is not None:
+                    errors.append((Severity.WARNING, msg))
+
     kept = [c for c in spec.columns if c.include]
     columns = [c.name for c in kept] + ["_loc"]
 
     labels: list[int] = []
     rows: list[dict[str, Any]] = []
     for r in range(n_rows):
-        row = {c.name: cells.get((r, c_idx)) for c_idx, c in enumerate(spec.columns)
-               if c.include}
+        row = {c.name: full_rows[r][c.name] for c in spec.columns if c.include}
         # keep only rows with at least one non-empty visible value
         if any(v is not None and v != "" for v in row.values()):
             row["_loc"] = row_loc(r)
@@ -139,10 +253,19 @@ def build_text_table(page: PageSpans, spec: TableSpec) -> RowTable:
     return RowTable([spec.key], [0], [{spec.key: value.strip()}])
 
 
-def build_page_tables(page: PageSpans, spec: PageSpec) -> dict[str, RowTable]:
-    """All table roles of a page (table_extractor.py:534-548)."""
+def build_page_tables(
+    page: PageSpans,
+    spec: PageSpec,
+    errors: Optional[list[tuple[Severity, str]]] = None,
+) -> dict[str, RowTable]:
+    """All table roles of a page (table_extractor.py:534-548); overlap-repair
+    records from each role's build append to ``errors``."""
     return {
-        t.key: (build_text_table(page, t) if t.text_only else build_table(page, t))
+        t.key: (
+            build_text_table(page, t)
+            if t.text_only
+            else build_table(page, t, errors)
+        )
         for t in spec.tables
     }
 
@@ -284,17 +407,18 @@ def extract_page_table(
     """Full page-table extraction with the reference's error envelope
     (table_extractor.py:183-216): ValueError-class failures become FAULT
     records, anything else UNKNOWN_ERROR; both yield ``df=None``."""
+    errs: list[tuple[Severity, str]] = []
     try:
-        dfs = build_page_tables(page, spec)
+        dfs = build_page_tables(page, spec, errs)
         pt = getattr(spec.page_type, "value", spec.page_type)  # str for JSON-only types
         shaper = SHAPERS.get(pt, shape_main)
-        return shaper(dfs), []
+        return shaper(dfs), errs
     except PageExtractionError as e:
-        return None, [(e.severity, str(e))]
+        return None, errs + [(e.severity, str(e))]
     except ValueError as e:
-        return None, [(Severity.FAULT, str(e))]
+        return None, errs + [(Severity.FAULT, str(e))]
     except Exception as e:  # noqa: BLE001 — mirrors the broad catch upstream
-        return None, [(Severity.UNKNOWN_ERROR, str(e))]
+        return None, errs + [(Severity.UNKNOWN_ERROR, str(e))]
 
 
 # ---------------------------------------------------------------------------

@@ -144,3 +144,93 @@ def test_overlap_detection_and_repair():
     cell_rects = [[(0.0, 0.0, 8.0, 20.0), (8.0, 0.0, 200.0, 20.0)]]
     fixes = repair_overlaps_by_center(row_rects, cell_rects, overlaps)
     assert fixes == [(0, (0, "a"), (1, "b"))]
+
+
+def test_split_char_run_overlap_dump():
+    """M4: the reference extract_spans char walk — an overlapping char dumps
+    the accumulated text as its own block (test_table_extractor.py:77-88)."""
+    from indu_doc_transformer_ray.tables import split_char_run
+
+    # plain run: chars concatenate into one block
+    chars = [("a", 0.0, 5.0), ("b", 6.0, 10.0)]
+    blocks = split_char_run(chars, 0.0, 10.0)
+    assert blocks == [(0.0, 0.0, 10.0, 10.0, "ab")]
+
+    # overlap: "cd" starts left of b's right edge -> "ab" dumps first
+    chars = [("a", 0.0, 5.0), ("b", 6.0, 10.0), ("c", 3.0, 12.0), ("d", 12.0, 15.0)]
+    blocks = split_char_run(chars, 0.0, 10.0)
+    assert blocks == [
+        (0.0, 0.0, 10.0, 10.0, "ab"),
+        (3.0, 0.0, 15.0, 10.0, "cd"),
+    ]
+
+
+def test_char_overlap_repair_end_to_end():
+    """M4+M5 wired: a page with colliding char runs repairs into the right
+    cells, overwriting tabled values with the reference's INFO records."""
+    from indu_doc_transformer_ray.spandoc import US, Span, split_pages
+
+    spans = [
+        Span("page_break", "", "", 0),
+        Span("cell", f"main{US}0{US}0{US}w1", "", 1),
+        Span("cell", f"main{US}0{US}1{US}=A:1", "", 2),
+        Span("cell", f"main{US}0{US}2{US}=B:2", "", 3),
+        Span("cell", f"main{US}0{US}3{US}??", "", 4),
+        Span("cell", f"main{US}0{US}4{US}??", "", 5),
+        # colliding runs over cols 3/4: "BK" then "1.5" starting left of
+        # BK's right edge -> split -> centers at ~350 (col 3) and ~405 (col 4)
+        Span(
+            "char_run",
+            f"main{US}0{US}"
+            + ";".join(
+                f"{ord(c)}:{x0:g}:{x1:g}"
+                for c, x0, x1 in [
+                    ("B", 330.0, 350.0), ("K", 350.0, 370.0),
+                    ("1", 365.0, 392.0), (".", 392.0, 419.0), ("5", 419.0, 445.0),
+                ]
+            ),
+            "", 6,
+        ),
+    ]
+    page = split_pages(spans)[0]
+    errs: list = []
+    t = build_table(page, CONN_SPEC, errs)
+    assert t.rows[0]["Color"] == "BK"
+    assert t.rows[0]["Cross-section"] == "1.5"
+    msgs = [m for _s, m in errs]
+    assert any("replaced col #3: ?? -> BK" in m for m in msgs)
+    assert any("replaced col #4: ?? -> 1.5" in m for m in msgs)
+    assert all(s.value == "INFO" for s, _m in errs)
+
+
+def test_char_overlap_unrepairable_half_warns():
+    """A colliding block whose center lands outside every cell produces the
+    reference's 'could not repair (fully)' WARNING."""
+    from indu_doc_transformer_ray.spandoc import US, Span, split_pages
+
+    spans = [
+        Span("page_break", "", "", 0),
+        Span("cell", f"main{US}0{US}0{US}w1", "", 1),
+        Span("cell", f"main{US}0{US}3{US}old", "", 2),
+        Span("cell", f"main{US}0{US}4{US}x", "", 3),
+        Span(
+            "char_run",
+            f"main{US}0{US}"
+            + ";".join(
+                f"{ord(c)}:{x0:g}:{x1:g}"
+                for c, x0, x1 in [
+                    ("B", 330.0, 350.0), ("K", 350.0, 370.0),
+                    # second block [340, 680]: center 510 > table edge 500
+                    ("9", 340.0, 360.0), ("9", 600.0, 680.0),
+                ]
+            ),
+            "", 4,
+        ),
+    ]
+    page = split_pages(spans)[0]
+    errs: list = []
+    t = build_table(page, CONN_SPEC, errs)
+    assert t.rows[0]["Color"] == "BK"  # repairable half applied
+    sevs = [s.value for s, _m in errs]
+    assert "WARNING" in sevs
+    assert any("could not repair (fully)" in m for _s, m in errs)
