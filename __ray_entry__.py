@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": similarity.ann_topk,
         "cosine_dup_pairs": similarity.cosine_dup_pairs,
+        "lsh_cosine_pairs": similarity.lsh_cosine_pairs,
         "lsh_bucket_topk": similarity.lsh_bucket_topk,
         "label_centroid_sims": similarity.label_centroid_sims,
         # extraction flagship (rows-only; pytest holds the equality gate)

@@ -110,32 +110,74 @@ ORDER BY query_id, rank
 """
 
 
-def cosine_dup_pairs(sf_dir: str, threshold: float = 0.42) -> "object":
-    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos >= t).
-    Brute-force per batch against the broadcast (normalized) corpus matrix —
-    viable while one side fits a worker; the LSH-bucketed variant below is
-    the larger-than-memory path."""
-    import pandas as pd
-    import pyarrow.parquet as pq
+def _norm_rows(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+    emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+    return ids, emb / np.linalg.norm(emb, axis=1, keepdims=True)
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    all_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
-    emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
-    alln = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-    ref = ray.put((all_ids, alln))
 
-    def score(batch: pa.Table) -> pa.Table:
-        ids_, mat = ray.get(ref)
-        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        emb_b = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-        bn = emb_b / np.linalg.norm(emb_b, axis=1, keepdims=True)
-        sims = bn @ mat.T
+def cosine_dup_pairs(
+    sf_dir: str, threshold: float = 0.42, n_blocks: int = 4
+) -> "object":
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos >= t),
+    EXACT, as a blocked distributed matrix product: vectors hash into
+    ``n_blocks`` blocks; each vector replicates to every block-pair group it
+    participates in; ``groupby(group).map_groups`` multiplies the two block
+    matrices and emits qualifying pairs.  O(B^2) independent tasks, each
+    holding 2/B of the corpus — no full-corpus broadcast, no driver hop.
+
+    Why not LSH here: the corpus's real duplicate pairs sit at cos 0.42-0.6
+    (measured), where hyperplane collision probability is ~0.64/plane — LSH
+    candidate volume approaches brute force while losing recall.  LSH is the
+    right trade at high thresholds (``lsh_cosine_pairs``) or for top-k
+    (``lsh_bucket_topk``); exact low-threshold pair mining is inherently
+    all-pairs, and blocking is how it distributes.
+    """
+    def replicate(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_pylist()
+        embs = t.column("embedding").to_pylist()
+        out_g, out_id, out_blk, out_emb = [], [], [], []
+        for vid, e in zip(ids, embs):
+            b = vid % n_blocks
+            groups = {(min(b, ob), max(b, ob)) for ob in range(n_blocks)}
+            for lo, hi in groups:
+                out_g.append(lo * n_blocks + hi)
+                out_id.append(vid)
+                out_blk.append(b)
+                out_emb.append(e)
+        return pa.table(
+            {
+                "gkey": pa.array(out_g, pa.int32()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "blk": pa.array(out_blk, pa.int32()),
+                "embedding": pa.array(out_emb, pa.list_(pa.float32())),
+            }
+        )
+
+    def group_pairs(g: pa.Table) -> pa.Table:
+        gkey = g.column("gkey")[0].as_py()
+        lo, hi = divmod(gkey, n_blocks)
+        ids, en = _norm_rows(g)
+        blk = np.asarray(g.column("blk").to_pylist())
         out_a, out_b = [], []
-        for i, va in enumerate(vec_ids):
-            hits = np.where((sims[i] >= threshold) & (ids_ > va))[0]
-            for j in hits:
-                out_a.append(int(va))
-                out_b.append(int(ids_[j]))
+        if lo == hi:
+            sims = en @ en.T
+            n = len(ids)
+            ii, jj = np.where(sims >= threshold)
+            for i, j in zip(ii, jj):
+                if ids[i] < ids[j]:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[j]))
+        else:
+            ai = np.where(blk == lo)[0]
+            bi = np.where(blk == hi)[0]
+            if len(ai) and len(bi):
+                sims = en[ai] @ en[bi].T
+                ii, jj = np.where(sims >= threshold)
+                for i, j in zip(ii, jj):
+                    a, b = int(ids[ai[i]]), int(ids[bi[j]])
+                    out_a.append(min(a, b))
+                    out_b.append(max(a, b))
         return pa.table(
             {
                 "vec_a": pa.array(out_a, pa.int64()),
@@ -143,8 +185,13 @@ def cosine_dup_pairs(sf_dir: str, threshold: float = 0.42) -> "object":
             }
         )
 
-    out = _read_emb(sf_dir).map_batches(score, batch_format="pyarrow").to_pandas()
-    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    return (
+        _read_emb(sf_dir)
+        .map_batches(replicate, batch_format="pyarrow")
+        .groupby("gkey")
+        .map_groups(group_pairs, batch_format="pyarrow")
+        .sort(["vec_a", "vec_b"])
+    )
 
 
 COSINE_DUP_PAIRS_SQL = """
@@ -237,6 +284,79 @@ def lsh_bucket_topk(sf_dir: str) -> "object":
     return pd.DataFrame(
         out_rows, columns=["query_id", "vec_id", "rank"]
     ).astype("int64")
+
+
+LSH_PAIR_TABLES = 24
+LSH_PAIR_PLANES = 4
+
+
+def _pair_tables(dim: int) -> np.ndarray:
+    rng = np.random.default_rng(99173)  # fixed seed: deterministic buckets
+    return rng.standard_normal((LSH_PAIR_TABLES, LSH_PAIR_PLANES, dim))
+
+
+def lsh_cosine_pairs(sf_dir: str, threshold: float = 0.42) -> "object":
+    """Cosine near-dup pairs via multi-table hyperplane LSH: each vector
+    hashes into one bucket per table (sign pattern of ``LSH_PAIR_PLANES``
+    projections, ``LSH_PAIR_TABLES`` independent tables); in-bucket exact
+    cosine verification emits qualifying pairs; a final groupby dedups pairs
+    found by several tables.  Candidate volume is bucket-local (no all-pairs
+    stage), making this the sub-quadratic path when duplicates are tight
+    clusters; recall vs the exact ``cosine_dup_pairs`` is measured in
+    tests/test_functions.py (deterministic planes => deterministic recall;
+    1.0 at sf0.001 and 33/34 = 0.97 at sf0.01 with this budget).
+
+    Expected recall for a pair at cos=t: 1-(1-p^k)^L with
+    p = 1 - arccos(t)/pi (Charikar, STOC 2002) — at t=0.42, k=4, L=24
+    that is ~0.988 per pair."""
+    from ray.data.aggregate import Count
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        ids, en = _norm_rows(t)
+        planes = _pair_tables(en.shape[1])
+        out_k, out_id, out_emb = [], [], []
+        embs = t.column("embedding").to_pylist()
+        for ti in range(LSH_PAIR_TABLES):
+            bits = (en @ planes[ti].T > 0).astype(np.int64)
+            buckets = (bits * (1 << np.arange(LSH_PAIR_PLANES))).sum(axis=1)
+            for i, vid in enumerate(ids):
+                out_k.append(ti * (1 << LSH_PAIR_PLANES) + int(buckets[i]))
+                out_id.append(int(vid))
+                out_emb.append(embs[i])
+        return pa.table(
+            {
+                "bkey": pa.array(out_k, pa.int32()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "embedding": pa.array(out_emb, pa.list_(pa.float32())),
+            }
+        )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids, en = _norm_rows(g)
+        sims = en @ en.T
+        ii, jj = np.where(sims >= threshold)
+        out_a, out_b = [], []
+        for i, j in zip(ii, jj):
+            if ids[i] < ids[j]:
+                out_a.append(int(ids[i]))
+                out_b.append(int(ids[j]))
+        return pa.table(
+            {
+                "vec_a": pa.array(out_a, pa.int64()),
+                "vec_b": pa.array(out_b, pa.int64()),
+            }
+        )
+
+    return (
+        _read_emb(sf_dir)
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bkey")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["vec_a", "vec_b"])
+        .aggregate(Count(alias_name="_n"))  # dedup across tables
+        .drop_columns(["_n"])
+        .sort(["vec_a", "vec_b"])
+    )
 
 
 def label_centroid_sims(sf_dir: str) -> "object":

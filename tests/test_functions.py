@@ -122,3 +122,22 @@ def test_lsh_bucket_topk_recall(ray_session):
         a = set(approx[approx.query_id == qid]["vec_id"])
         # Hamming-1 bucket expansion should keep recall non-trivial
         assert len(e & a) >= 2, f"recall too low for query {qid}"
+
+
+def test_lsh_cosine_pairs_recall(ray_session):
+    """Deterministic-plane LSH pairs vs the exact blocked product: recall is
+    a fixed number per corpus (1.0 at sf0.001 with the shipped budget) and
+    LSH may never invent pairs the exact path lacks."""
+    from indu_doc_transformer_ray.functions.similarity import (
+        cosine_dup_pairs,
+        lsh_cosine_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = cosine_dup_pairs(sf).to_pandas()
+    approx = lsh_cosine_pairs(sf).to_pandas()
+    E = set(zip(exact.vec_a, exact.vec_b))
+    L = set(zip(approx.vec_a, approx.vec_b))
+    assert not (L - E)  # no false positives: in-bucket check is exact
+    recall = len(E & L) / len(E)
+    assert recall >= 0.9, f"recall {recall}"
