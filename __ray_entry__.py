@@ -139,6 +139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_dist": text.lang_dist,
         "lang_id": text.lang_id,
         "winnow_fingerprint": text.winnow_fingerprint,
+        "vocab_topk": text.vocab_topk,
+        "doclen_percentiles": text.doclen_percentiles,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
@@ -189,6 +191,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_dist": text.LANG_DIST_SQL,
         "lang_id": text.LANG_ID_SQL,
         "winnow_fingerprint": text.WINNOW_SQL,
+        "vocab_topk": text.VOCAB_TOPK_SQL,
+        "doclen_percentiles": text.DOCLEN_PERCENTILES_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_prefix": dedup.DEDUP_PREFIX_SQL,
         "word_jaccard_pairs": dedup.WORD_JACCARD_SQL,

@@ -25,6 +25,7 @@ import sqlite3
 import xml.etree.ElementTree as ET
 from typing import Any, Optional
 
+from . import core
 from .core import AspectConfig, default_config, tag_parts
 from .deltas import TABLE_NAMES
 
@@ -46,6 +47,8 @@ _DDL = {
     "page_objects": "(doc_id TEXT, page_no INTEGER, object_kind TEXT, object_guid TEXT,"
                     " PRIMARY KEY (doc_id, page_no, object_kind, object_guid))",
     "errors": "(doc_id TEXT, page_no INTEGER, severity TEXT, message TEXT)",
+    "xtarget_aspects": "(xtarget_guid TEXT, aspect_guid TEXT, sort_order INTEGER,"
+                       " PRIMARY KEY (xtarget_guid, sort_order))",
 }
 
 _COLS = {
@@ -58,6 +61,7 @@ _COLS = {
     "object_attrs": ["owner_kind", "owner_guid", "attr_guid"],
     "page_objects": ["doc_id", "page_no", "object_kind", "object_guid"],
     "errors": ["doc_id", "page_no", "severity", "message"],
+    "xtarget_aspects": ["xtarget_guid", "aspect_guid", "sort_order"],
 }
 
 _JSON_COLS = {"pins": ("chain",)}
@@ -67,7 +71,47 @@ _JSON_COLS = {"pins": ("chain",)}
 _MAX_VARS = 999
 
 
+def xtarget_aspect_rows(
+    tables: Tables, config: AspectConfig = default_config
+) -> list[dict[str, Any]]:
+    """Ordered tag->aspect through rows (reference db.py:224-241): per
+    xtarget, enumerate its tag's aspects level by level in config priority
+    order (empty levels contribute their empty-value aspect, god.py:278-284);
+    ``sort_order`` is the running index the reference's DB reader sorts by
+    (db.py:541-543).  Derived purely from ``tag_str`` + the config, so the
+    relational surface exposes the ordering without widening the merge."""
+    pattern = core.compile_separator_pattern(config)
+    rows: list[dict[str, Any]] = []
+    for t in tables.get("xtargets", []):
+        parts = core.tag_parts(t["tag_str"], config, pattern)
+        if not parts:
+            continue
+        order = 0
+        for sep, values in parts.items():
+            for v in values if values else ("",):
+                rows.append(
+                    {
+                        "xtarget_guid": t["guid"],
+                        "aspect_guid": core.aspect_guid(sep, v),
+                        "sort_order": order,
+                    }
+                )
+                order += 1
+    return rows
+
+
+def with_derived(tables: Tables, config: AspectConfig = default_config) -> Tables:
+    """Return ``tables`` plus the derived ``xtarget_aspects`` through table
+    (computed when absent; non-mutating)."""
+    if "xtarget_aspects" in tables:
+        return tables
+    out = dict(tables)
+    out["xtarget_aspects"] = xtarget_aspect_rows(tables, config)
+    return out
+
+
 def save_sqlite(tables: Tables, path: str, config: AspectConfig = default_config) -> None:
+    tables = with_derived(tables, config)
     con = sqlite3.connect(path)
     try:
         con.execute("CREATE TABLE meta (key TEXT PRIMARY KEY, value TEXT)")

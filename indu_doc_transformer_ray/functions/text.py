@@ -251,6 +251,93 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
 """
 
 
+def vocab_topk(sf_dir: str, k: int = 50) -> Dataset:
+    """Corpus-wide top-k terms: per-batch partial token counts (Arrow
+    ``group_by`` inside map_batches — the combiner) feed a small global
+    groupby over the VOCABULARY (not the corpus), then sort+limit.
+    Deterministic tie-break (count desc, token asc) mirrored in the oracle."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for text in t.column("text").to_pylist():
+            counts.update(TOKEN_RE.findall(text.lower()))
+        return pa.table(
+            {
+                "token": pa.array(list(counts.keys()), pa.string()),
+                "partial_n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    return (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("partial_n", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
+VOCAB_TOPK_SQL = """
+SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+      FROM documents)
+GROUP BY tok ORDER BY n DESC, tok LIMIT 50
+"""
+
+
+def doclen_percentiles(sf_dir: str) -> "object":
+    """Exact token-length percentiles (p25/50/75/90/99) over the corpus via
+    the scale-safe histogram fold: a groupby over DISTINCT lengths (bounded
+    by the value domain, not the corpus) comes to the driver as a tiny
+    table; the percentile index math is integer-exact on both engines
+    (k = (N-1)*pct // 100, lower discrete quantile)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    def lengths(t: pa.Table) -> pa.Table:
+        n = [len(TOKEN_RE.findall(x.lower())) for x in t.column("text").to_pylist()]
+        return pa.table({"n_tokens": pa.array(n, pa.int64())})
+
+    hist = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(lengths, batch_format="pyarrow")
+        .groupby("n_tokens")
+        .aggregate(Count(alias_name="cnt"))
+        .to_pandas()  # one row per DISTINCT length — O(domain), not O(docs)
+        .sort_values("n_tokens")
+        .reset_index(drop=True)
+    )
+    total = int(hist["cnt"].sum())
+    cum = hist["cnt"].cumsum()
+    rows = []
+    for pct in (25, 50, 75, 90, 99):
+        k = (total - 1) * pct // 100
+        val = int(hist["n_tokens"][cum > k].iloc[0])
+        rows.append((pct, val))
+    return pd.DataFrame(rows, columns=["pct", "n_tokens"]).astype(
+        {"pct": "int64", "n_tokens": "int64"}
+    )
+
+
+DOCLEN_PERCENTILES_SQL = """
+WITH l AS (
+  SELECT len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n FROM documents
+), o AS (
+  SELECT n, row_number() OVER (ORDER BY n) - 1 AS rn FROM l
+), c AS (SELECT COUNT(*) AS total FROM l)
+SELECT CAST(p.pct AS BIGINT) AS pct, CAST(o.n AS BIGINT) AS n_tokens
+FROM (VALUES (25), (50), (75), (90), (99)) p(pct)
+JOIN c ON true
+JOIN o ON o.rn = (c.total - 1) * p.pct // 100
+ORDER BY pct
+"""
+
+
 def quality_flags(sf_dir: str) -> Dataset:
     """Quality scoring with integer outputs so the oracle hashes identically:
     token count, mean-token-length permille (floored), short-doc flag."""

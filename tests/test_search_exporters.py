@@ -138,11 +138,43 @@ def test_guide_trees(tables):
 
 
 def test_sqlite_roundtrip(tables, tmp_path):
+    from indu_doc_transformer_ray.exporters import with_derived
+
     path = str(tmp_path / "out.db")
     save_sqlite(tables, path)
     loaded, cfg = load_sqlite(path)
     assert cfg == default_config
-    assert tables_equal(tables, loaded)
+    # save derives the ordered xtarget_aspects through table (db.py:224-241)
+    assert tables_equal(with_derived(tables), loaded)
+
+
+def test_xtarget_aspect_sort_order(tables):
+    """Per xtarget the through rows enumerate the tag's aspects in config
+    priority order with a dense 0-based sort_order (reference db.py:541-543
+    reads them back ORDER BY sort_order to rebuild the tag)."""
+    from indu_doc_transformer_ray import core as _core
+    from indu_doc_transformer_ray.exporters import xtarget_aspect_rows
+
+    rows = xtarget_aspect_rows(tables)
+    by_target = {}
+    for r in rows:
+        by_target.setdefault(r["xtarget_guid"], []).append(r)
+    aspect_guids = {a["guid"] for a in tables["aspects"]}
+    for t in tables["xtargets"]:
+        parts = _core.tag_parts(t["tag_str"], default_config)
+        got = sorted(by_target.get(t["guid"], []), key=lambda r: r["sort_order"])
+        if not parts:
+            assert got == []
+            continue
+        assert [r["sort_order"] for r in got] == list(range(len(got)))
+        expect = [
+            _core.aspect_guid(sep, v)
+            for sep, values in parts.items()
+            for v in (values if values else ("",))
+        ]
+        assert [r["aspect_guid"] for r in got] == expect
+        # every referenced aspect exists in the aspects table
+        assert all(g in aspect_guids for g in expect)
 
 
 def test_stats_and_tree(tables):
