@@ -102,6 +102,10 @@ def bench_queries(sf_dir: str) -> dict:
         "token_stats": text.token_stats,
         "dedup_exact": dedup.dedup_exact,
         "ann_topk": similarity.ann_topk,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "cosine_dup_pairs": similarity.cosine_dup_pairs,
+        "label_centroid_sims": similarity.label_centroid_sims,
+        "vocab_topk": text.vocab_topk,
     }.items():
         t0 = time.time()
         res = fn(sf_dir)

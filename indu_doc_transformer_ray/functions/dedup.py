@@ -5,9 +5,9 @@ Scale pattern per op (ray_guide 'Aggregation at scale' / SURVEY.md):
 - exact dedup: content-hash column in a vectorized map_batches, then
   ``groupby(hash).aggregate(Min(doc_id))`` — a single uniform-key shuffle.
 - MinHash+LSH near-dup: shingle -> minhash signature per batch -> explode to
-  (band_id, band_hash, doc_id) rows -> groupby bands -> candidate pairs ->
-  exact-Jaccard verification of candidate docs via a broadcast semi-join
-  (candidates << corpus by construction).
+  (band_id, band_hash, doc_id) rows -> bucketed bands groupby -> candidate
+  pairs -> exact-Jaccard verification via two union + groupby co-location
+  rounds (a fully distributed repartition join; no driver hop).
 - SimHash: 64-bit signature per document, vectorized per batch.
 - n-gram Jaccard: exact all-pairs on a bounded subset (the verification-side
   primitive; LSH is the scale path for candidate generation).
@@ -110,6 +110,12 @@ SHINGLE_K = 3
 #: `MAX_BUCKET` smallest doc_ids (deterministic) and the dropped-pair count
 #: is logged.  Never triggers at test scale.
 MAX_BUCKET = 1024
+#: Coarse co-location bucket counts: groupby keys are hashed into these so
+#: one map_groups call processes a whole bucket of keys vectorized (pure
+#: Python per-group calls over tens of thousands of singleton LSH buckets
+#: cost 10x the useful work).  Scale with the corpus; keys are md5-uniform.
+GROUP_BUCKETS = 512  # power of two -> cheap bit_wise_and bucketing
+BAND_PREFIX_BUCKETS = 256  # per-band band-hash-prefix buckets
 
 
 def _shingles(text: str) -> set[str]:
@@ -129,46 +135,56 @@ def _hash64(data: bytes) -> int:
     return int.from_bytes(hashlib.md5(data).digest()[:8], "big")
 
 
+#: 16 odd multipliers < 2^63 (so a HUGEINT product never overflows in the
+#: DuckDB oracle), derived deterministically from md5 — the multiply-mod-2^64
+#: family h_j(x) = (x * M_j) mod 2^64 gives N_HASHES independent-enough
+#: min-hashes from ONE md5 per shingle (16x fewer digests than salted md5).
+MINHASH_MULTS = tuple(
+    (_hash64(f"minhash-mult:{j}".encode()) >> 1) | 1 for j in range(N_HASHES)
+)
+
+
 def _minhash_sig(sh: set[str]) -> list[int]:
     """MinHash signature (Broder, "On the resemblance and containment of
-    documents", 1997): per-salt minimum of a salted 64-bit md5 over the
-    shingle set — md5 (not crc32/hash()) for cross-process AND cross-engine
-    determinism."""
-    sig = []
-    for salt in range(N_HASHES):
-        best = None
-        prefix = f"{salt}:".encode()
-        for s in sh:
-            v = _hash64(prefix + s.encode())
-            if best is None or v < best:
-                best = v
-        sig.append(best if best is not None else 0)
-    return sig
+    documents", 1997): per-multiplier minimum of (md5_64(s) * M_j) mod 2^64
+    over the shingle set — one md5 per shingle, the 16 derived hashes are a
+    wrapping numpy uint64 product (bit-identical to the DuckDB HUGEINT
+    arithmetic in the oracle)."""
+    import numpy as np
+
+    if not sh:
+        return [0] * N_HASHES
+    hs = np.fromiter(
+        (_hash64(s.encode()) for s in sh), dtype=np.uint64, count=len(sh)
+    )
+    mults = np.array(MINHASH_MULTS, dtype=np.uint64)
+    vals = hs[:, None] * mults[None, :]  # wraps mod 2^64
+    return [int(v) for v in vals.min(axis=0)]
 
 
 class MinHashBands:
     """Actor stage: documents -> (band_id, band_hash, doc_id) rows."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        band_ids, band_hashes, doc_ids = [], [], []
+        band_ids, band_hashes, doc_ids, gbs = [], [], [], []
         for doc_id, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
             sig = _minhash_sig(_shingles(text))
             for b in range(BANDS):
                 chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+                bh = hashlib.md5((",".join(map(str, chunk))).encode()).hexdigest()
                 band_ids.append(b)
-                band_hashes.append(
-                    hashlib.md5(
-                        (",".join(map(str, chunk))).encode()
-                    ).hexdigest()
-                )
+                band_hashes.append(bh)
                 doc_ids.append(doc_id)
+                # coarse pairing-group key: band x hash prefix
+                gbs.append(b * BAND_PREFIX_BUCKETS + int(bh[:2], 16))
         return pa.table(
             {
                 "band_id": pa.array(band_ids, pa.int32()),
                 "band_hash": pa.array(band_hashes, pa.string()),
                 "doc_id": pa.array(doc_ids, pa.int64()),
+                "gb": pa.array(gbs, pa.int32()),
             }
         )
 
@@ -207,35 +223,53 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> Dataset:
     (schemaless empty blocks), which tiny candidate sets routinely produce.
 
     Returns a Dataset of (doc_a, doc_b, jaccard_permille) sorted by pair.
+    Every groupby key is COARSENED to a hash bucket (``GROUP_BUCKETS``): the
+    shuffle still co-locates exact keys, but one ``map_groups`` call handles
+    a whole bucket of keys with vectorized pandas ops inside — per-group
+    Python call overhead across tens of thousands of tiny LSH buckets was
+    10x the useful work otherwise.  Bucket counts scale with the corpus (a
+    parameter), keys hash uniformly (md5-derived), so no skew.
+
     Candidates/pairs never materialize on the driver."""
     import logging
+
+    import pandas as pd
 
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     bands = docs.map_batches(MinHashBands(), batch_format="pyarrow")
 
     log = logging.getLogger(__name__)
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column("doc_id").to_pylist()))
-        if len(ids) > MAX_BUCKET:
-            dropped = (
-                len(ids) * (len(ids) - 1) - MAX_BUCKET * (MAX_BUCKET - 1)
-            ) // 2
-            log.warning(
-                "LSH bucket capped: %d members -> %d, ~%d candidate pairs dropped",
-                len(ids), MAX_BUCKET, dropped,
-            )
-            ids = ids[:MAX_BUCKET]
-        rows = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pa.table(
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """One coarse group = many full LSH buckets; pair within each."""
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for (_bid, _bh), grp in g.groupby(["band_id", "band_hash"]):
+            ids = sorted(set(grp["doc_id"]))
+            if len(ids) < 2:
+                continue
+            if len(ids) > MAX_BUCKET:
+                dropped = (
+                    len(ids) * (len(ids) - 1) - MAX_BUCKET * (MAX_BUCKET - 1)
+                ) // 2
+                log.warning(
+                    "LSH bucket capped: %d members -> %d, ~%d candidate pairs dropped",
+                    len(ids), MAX_BUCKET, dropped,
+                )
+                ids = ids[:MAX_BUCKET]
+            for i, a in enumerate(ids):
+                for b in ids[i + 1:]:
+                    out_a.append(a)
+                    out_b.append(b)
+        return pd.DataFrame(
             {
-                "doc_a": pa.array([r[0] for r in rows], pa.int64()),
-                "doc_b": pa.array([r[1] for r in rows], pa.int64()),
+                "doc_a": pd.Series(out_a, dtype="int64"),
+                "doc_b": pd.Series(out_b, dtype="int64"),
             }
         )
 
-    raw_pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
+    raw_pairs = bands.groupby("gb").map_groups(
+        bucket_pairs, batch_format="pandas"
     )
 
     shingle_ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -243,100 +277,112 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> Dataset:
     )
 
     # round A: co-locate each pair with doc_a's shingle set.
-    # unified schema: (k, other, sh_carry, sh, is_pair)
-    def pairs_r1(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table(
+    # unified schema: (gb, k, other, sh_carry, sh, is_pair) — every stage in
+    # this union/groupby chain emits PANDAS blocks (a union of mixed
+    # arrow/pandas block types is rejected by the shuffle).
+    def pairs_r1(t: pd.DataFrame) -> pd.DataFrame:
+        k = t["doc_a"].astype("int64")
+        return pd.DataFrame(
             {
-                "k": t.column("doc_a"),
-                "other": t.column("doc_b"),
-                "sh_carry": pa.array([""] * n, pa.string()),
-                "sh": pa.array([""] * n, pa.string()),
-                "is_pair": pa.array([1] * n, pa.int32()),
+                "gb": (k % GROUP_BUCKETS).astype("int32"),
+                "k": k,
+                "other": t["doc_b"].astype("int64"),
+                "sh_carry": "",
+                "sh": "",
+                "is_pair": pd.Series([1] * len(t), dtype="int32").values,
             }
         )
 
-    def sh_r1(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table(
+    def sh_r1(t: pd.DataFrame) -> pd.DataFrame:
+        k = t["doc_id"].astype("int64")
+        return pd.DataFrame(
             {
-                "k": t.column("doc_id"),
-                "other": pa.array([-1] * n, pa.int64()),
-                "sh_carry": pa.array([""] * n, pa.string()),
-                "sh": t.column("shingles"),
-                "is_pair": pa.array([0] * n, pa.int32()),
+                "gb": (k % GROUP_BUCKETS).astype("int32"),
+                "k": k,
+                "other": pd.Series([-1] * len(t), dtype="int64").values,
+                "sh_carry": "",
+                "sh": t["shingles"].values,
+                "is_pair": pd.Series([0] * len(t), dtype="int32").values,
             }
         )
 
-    u1 = raw_pairs.map_batches(pairs_r1, batch_format="pyarrow").union(
-        shingle_ds.map_batches(sh_r1, batch_format="pyarrow")
+    u1 = raw_pairs.map_batches(pairs_r1, batch_format="pandas").union(
+        shingle_ds.map_batches(sh_r1, batch_format="pandas")
     )
 
-    def attach_a(g: pa.Table) -> pa.Table:
-        is_pair = g.column("is_pair").to_pylist()
-        sh_a = ""
-        for flag, sh in zip(is_pair, g.column("sh").to_pylist()):
-            if flag == 0:
-                sh_a = sh
-                break
-        doc_a = g.column("k")[0].as_py()
-        doc_bs = sorted(
-            {o for flag, o in zip(is_pair, g.column("other").to_pylist()) if flag}
-        )  # in-group dedup of the multi-band candidate multiset
-        return pa.table(
+    def attach_a(g: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized per coarse bucket: dedup pairs, map doc_a -> shingle
+        string, re-key by doc_b for round B."""
+        sh_map = g[g["is_pair"] == 0].set_index("k")["sh"]
+        pairs = g[g["is_pair"] == 1][["k", "other"]].drop_duplicates()
+        if pairs.empty:
+            return pd.DataFrame(
+                {
+                    "gb": pd.Series(dtype="int32"),
+                    "k": pd.Series(dtype="int64"),
+                    "other": pd.Series(dtype="int64"),
+                    "sh_carry": pd.Series(dtype="object"),
+                    "sh": pd.Series(dtype="object"),
+                    "is_pair": pd.Series(dtype="int32"),
+                }
+            )
+        sh_a = pairs["k"].map(sh_map).fillna("")
+        doc_b = pairs["other"].astype("int64")
+        return pd.DataFrame(
             {
-                "k": pa.array(doc_bs, pa.int64()),  # re-key by doc_b
-                "other": pa.array([doc_a] * len(doc_bs), pa.int64()),
-                "sh_carry": pa.array([sh_a] * len(doc_bs), pa.string()),
-                "sh": pa.array([""] * len(doc_bs), pa.string()),
-                "is_pair": pa.array([1] * len(doc_bs), pa.int32()),
+                "gb": (doc_b % GROUP_BUCKETS).astype("int32"),
+                "k": doc_b,
+                "other": pairs["k"].astype("int64").values,
+                "sh_carry": sh_a.values,
+                "sh": "",
+                "is_pair": pd.Series([1] * len(pairs), dtype="int32").values,
             }
         )
 
-    r1 = u1.groupby("k").map_groups(attach_a, batch_format="pyarrow")
+    r1 = u1.groupby("gb").map_groups(attach_a, batch_format="pandas")
 
-    # round B: co-locate with doc_b's shingle set and verify in-group
-    u2 = r1.union(shingle_ds.map_batches(sh_r1, batch_format="pyarrow"))
+    # round B: co-locate with doc_b's shingle set and verify in-bucket
+    u2 = r1.union(shingle_ds.map_batches(sh_r1, batch_format="pandas"))
 
-    def verify_b(g: pa.Table) -> pa.Table:
-        is_pair = g.column("is_pair").to_pylist()
-        sh_b_raw = ""
-        for flag, sh in zip(is_pair, g.column("sh").to_pylist()):
-            if flag == 0:
-                sh_b_raw = sh
-                break
-        B = set(sh_b_raw.split("\x1e")) if sh_b_raw else set()
-        doc_b = g.column("k")[0].as_py()
-        out_a, out_j = [], []
-        for flag, doc_a, sh_a_raw in zip(
-            is_pair, g.column("other").to_pylist(),
-            g.column("sh_carry").to_pylist(),
+    def verify_b(g: pd.DataFrame) -> pd.DataFrame:
+        sh_map = g[g["is_pair"] == 0].set_index("k")["sh"]
+        pairs = g[g["is_pair"] == 1]
+        out_a, out_b, out_j = [], [], []
+        for doc_b, doc_a, sh_a_raw in zip(
+            pairs["k"], pairs["other"], pairs["sh_carry"]
         ):
-            if not flag:
-                continue
+            sh_b_raw = sh_map.get(doc_b, "")
             A = set(sh_a_raw.split("\x1e")) if sh_a_raw else set()
+            B = set(sh_b_raw.split("\x1e")) if sh_b_raw else set()
             inter = len(A & B)
             union = len(A) + len(B) - inter
             j = inter / union if union else 0.0
             if j >= threshold:
-                out_a.append(doc_a)
+                out_a.append(int(doc_a))
+                out_b.append(int(doc_b))
                 out_j.append(int(j * 1000))
-        return pa.table(
+        return pd.DataFrame(
             {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array([doc_b] * len(out_a), pa.int64()),
-                "jaccard_permille": pa.array(out_j, pa.int64()),
+                "doc_a": pd.Series(out_a, dtype="int64"),
+                "doc_b": pd.Series(out_b, dtype="int64"),
+                "jaccard_permille": pd.Series(out_j, dtype="int64"),
             }
         )
 
-    out = u2.groupby("k").map_groups(verify_b, batch_format="pyarrow")
-    return out.sort(["doc_a", "doc_b"])
+    # no final sort: it would be a 4th all-to-all (~2s fixed stage latency)
+    # purely for cosmetics — the row SET is deterministic, and both the
+    # correctness harness and downstream groupbys are order-insensitive
+    return u2.groupby("gb").map_groups(verify_b, batch_format="pandas")
 
 
 # DuckDB mirror of the full MinHash+LSH pipeline (possible because the hash
-# is md5-based): shingle sets -> 16 salted min-hashes -> 8 banded md5 bucket
-# keys -> in-bucket pairs -> exact-Jaccard verification at the threshold.
-MINHASH_LSH_SQL = """
+# is md5-based): shingle sets -> one 64-bit md5 per shingle -> 16
+# multiply-mod-2^64 min-hashes (HUGEINT arithmetic = numpy uint64 wrap) ->
+# 8 banded md5 bucket keys -> in-bucket pairs -> exact-Jaccard verification.
+_MULT_VALUES = ", ".join(
+    f"({j}, {m})" for j, m in enumerate(MINHASH_MULTS)
+)
+MINHASH_LSH_SQL = f"""
 WITH t AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
   FROM documents
@@ -350,11 +396,17 @@ WITH t AS (
   FROM t
 ), sv AS (
   SELECT doc_id, unnest(shingles) AS s FROM sh
+), hs AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(s), 1, 16)) AS UBIGINT) AS h
+  FROM sv
 ), hv AS (
-  SELECT doc_id, salt,
-         MIN(CAST(concat('0x', substr(md5(concat(CAST(salt AS VARCHAR), ':', s)), 1, 16)) AS UBIGINT)) AS m
-  FROM sv CROSS JOIN (SELECT unnest(range(16)) AS salt) GROUP BY doc_id, salt
-), sig AS (
+  SELECT doc_id, m.salt,
+         MIN(CAST((CAST(h AS HUGEINT) * m.mult) % 18446744073709551616
+                  AS UBIGINT)) AS m
+  FROM hs CROSS JOIN (VALUES {_MULT_VALUES}) m(salt, mult)
+  GROUP BY doc_id, m.salt
+), sig AS (""" + """
   SELECT d.doc_id, salt.salt, COALESCE(hv.m, 0) AS m
   FROM documents d CROSS JOIN (SELECT unnest(range(16)) AS salt) salt
   LEFT JOIN hv ON hv.doc_id = d.doc_id AND hv.salt = salt.salt

@@ -117,11 +117,16 @@ def test_lsh_bucket_topk_recall(ray_session):
     sf = "/root/testdata/sf0.001"
     exact = ann_topk(sf)
     approx = lsh_bucket_topk(sf)
+    recalls = {}
     for qid in (0, 1, 2):
         e = set(exact[exact.query_id == qid]["vec_id"])
         a = set(approx[approx.query_id == qid]["vec_id"])
-        # Hamming-1 bucket expansion should keep recall non-trivial
-        assert len(e & a) >= 2, f"recall too low for query {qid}"
+        recalls[qid] = len(e & a) / len(e)
+    # deterministic planes => deterministic recall@10 per query; the
+    # Hamming-1 bucket expansion must keep mean recall useful
+    print(f"lsh_bucket_topk recall@10 per query: {recalls}")
+    assert min(recalls.values()) >= 0.2, recalls
+    assert sum(recalls.values()) / len(recalls) >= 0.5, recalls
 
 
 def test_lsh_cosine_pairs_recall(ray_session):
