@@ -12,6 +12,7 @@ for this split).
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -39,7 +40,8 @@ MEDIA_SCHEMA = pa.schema(
 
 def _decode_stub(ref: str) -> tuple[int, int, int, np.ndarray]:
     """Deterministic fake decode: dimensions + an 8-dim feature derived from
-    the md5 of the media ref.  Replaced by a real decoder when PIL exists."""
+    the md5 of the media ref.  Used when the ref does not resolve to a real
+    decodable file (always the case for the synthetic corpus)."""
     digest = hashlib.md5(ref.encode()).digest()
     width = 64 + digest[0] % 192
     height = 64 + digest[1] % 192
@@ -48,16 +50,43 @@ def _decode_stub(ref: str) -> tuple[int, int, int, np.ndarray]:
     return width, height, n_bytes, feat
 
 
+def _decode_pil(path: str) -> tuple[int, int, int, np.ndarray]:  # pragma: no cover — exercised only where the PIL wheel exists
+    """Real decode kernel: PIL open + an 8-dim summary feature (per-channel
+    mean/std, aspect ratio, log-area).  Deterministic for a fixed file."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        w, h = im.size
+        arr = np.asarray(im.convert("RGB"), dtype=np.float32) / 255.0
+    feat = np.array(
+        [
+            arr[..., 0].mean(), arr[..., 1].mean(), arr[..., 2].mean(),
+            arr[..., 0].std(), arr[..., 1].std(), arr[..., 2].std(),
+            w / (h or 1), np.log1p(float(w) * h) / 20.0,
+        ],
+        dtype=np.float32,
+    )
+    return w, h, os.path.getsize(path), feat
+
+
 class MediaFeatureExtractor:
     """Actor-pool stage over media spans: one 'model load' per actor in
-    __init__ (stubbed), per-batch decode + feature extraction in __call__.
-    Keep ``batch_size`` small for real binary payloads (ray_guide
-    memory-aware sizing)."""
+    __init__, per-batch decode + feature extraction in __call__.  A media
+    ref that resolves to an on-disk file decodes through PIL when the wheel
+    exists (``_decode_pil``, skipif-gated test); anything else uses the
+    deterministic stub.  Keep ``batch_size`` small for real binary payloads
+    (ray_guide memory-aware sizing)."""
 
-    def __init__(self):
-        if HAVE_PIL:  # pragma: no cover
-            self.decode = None  # a real decoder would be constructed here
-        self.decode = _decode_stub
+    def __init__(self, media_root: str = ""):
+        self.media_root = media_root
+        self.use_pil = HAVE_PIL
+
+    def decode(self, ref: str) -> tuple[int, int, int, np.ndarray]:
+        if self.use_pil:
+            path = os.path.join(self.media_root, ref) if self.media_root else ref
+            if os.path.isfile(path):
+                return _decode_pil(path)
+        return _decode_stub(ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids, refs, widths, heights, n_bytes, feats = [], [], [], [], [], []

@@ -146,3 +146,24 @@ def test_lsh_cosine_pairs_recall(ray_session):
     assert not (L - E)  # no false positives: in-bucket check is exact
     recall = len(E & L) / len(E)
     assert recall >= 0.9, f"recall {recall}"
+
+
+def test_media_pil_branch_real_decode(tmp_path):
+    """The real decode kernel, run wherever the PIL wheel exists (this
+    container has none, so the stub path is what the corpus exercises)."""
+    from indu_doc_transformer_ray.functions.multimodal import (
+        HAVE_PIL,
+        MediaFeatureExtractor,
+    )
+
+    if not HAVE_PIL:
+        pytest.skip("PIL wheel not installed")
+    from PIL import Image  # pragma: no cover
+
+    img = tmp_path / "img0.png"
+    Image.new("RGB", (20, 10), (255, 0, 0)).save(img)
+    ex = MediaFeatureExtractor(media_root=str(tmp_path))
+    w, h, nb, feat = ex.decode("img0.png")
+    assert (w, h) == (20, 10)
+    assert nb == img.stat().st_size
+    assert abs(feat[0] - 1.0) < 1e-6 and abs(feat[1]) < 1e-6  # pure red
