@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top2_orders_per_customer": relational.top2_orders_per_customer,
         "distinct_types_union": relational.distinct_types_union,
         "sample_docs_hash": relational.sample_docs_hash,
+        "customers_no_orders": relational.customers_no_orders,
         # stream-shaped (as-of join, session windows)
         "asof_prior_click": events.asof_prior_click,
         "sessionize": events.sessionize,
@@ -141,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprint": text.winnow_fingerprint,
         "vocab_topk": text.vocab_topk,
         "doclen_percentiles": text.doclen_percentiles,
+        "tfidf_top_terms": text.tfidf_top_terms,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
@@ -183,6 +185,7 @@ def oracle_sql() -> dict[str, str]:
         "top2_orders_per_customer": relational.TOP2_PER_CUSTOMER_SQL,
         "distinct_types_union": relational.DISTINCT_TYPES_UNION_SQL,
         "sample_docs_hash": relational.SAMPLE_DOCS_HASH_SQL,
+        "customers_no_orders": relational.CUSTOMERS_NO_ORDERS_SQL,
         "asof_prior_click": events.ASOF_PRIOR_CLICK_SQL,
         "sessionize": events.SESSIONIZE_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
@@ -193,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprint": text.WINNOW_SQL,
         "vocab_topk": text.VOCAB_TOPK_SQL,
         "doclen_percentiles": text.DOCLEN_PERCENTILES_SQL,
+        "tfidf_top_terms": text.TFIDF_TOP_TERMS_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_prefix": dedup.DEDUP_PREFIX_SQL,
         "word_jaccard_pairs": dedup.WORD_JACCARD_SQL,

@@ -309,6 +309,54 @@ FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
 """
 
 
+# -- anti-join: customers with no orders ------------------------------------
+
+def customers_no_orders(sf_dir: str) -> Dataset:
+    """Per-nation count of customers with NO pending ('P') orders — the
+    anti-join surface, built as filtered orders-per-customer aggregate +
+    ``Dataset.join(left_outer)`` + null filter (scales on both sides; the
+    aggregate side is |customers|, not |orders|).  The 'P' filter keeps the
+    anti set non-empty on the synthetic data (every customer has SOME
+    order)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    ordered = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+        .filter(expr="o_orderstatus == 'P'")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+    joined = cust.join(
+        ordered,
+        join_type="left_outer",
+        num_partitions=join_partitions(),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def no_orders(t: pa.Table) -> pa.Table:
+        mask = pc.is_null(t["n_orders"])
+        sub = t.filter(mask)
+        return pa.table(
+            {"c_nationkey": pc.cast(sub["c_nationkey"], pa.int64())}
+        )
+
+    return (
+        joined.map_batches(no_orders, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Count(alias_name="n_customers"))
+    )
+
+
+CUSTOMERS_NO_ORDERS_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer ANTI JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+  ON c_custkey = o.o_custkey
+GROUP BY c_nationkey
+"""
+
+
 # -- windowed aggregate over the event stream -------------------------------
 
 def events_hourly(sf_dir: str) -> Dataset:

@@ -338,6 +338,149 @@ ORDER BY pct
 """
 
 
+def tfidf_top_terms(sf_dir: str, k: int = 3) -> Dataset:
+    """Per-document top-k TF-IDF terms with INTEGER scoring
+    (score = tf * ((N*1000) // df) — exact on both engines, no cross-libm
+    log), fully distributed and broadcast-free:
+
+    1. map_batches emits (doc_id, token, tf) rows (docs are row-atomic, so
+       per-doc tf needs no shuffle);
+    2. df = groupby(token) count over those rows (vocabulary-sized);
+    3. df attaches back to the tf rows via union + bucketed-token groupby
+       co-location (the repartition join — the vocabulary is NOT broadcast:
+       at open-web scale it outgrows a worker);
+    4. per-doc top-k via a bucketed-doc groupby with a vectorized in-group
+       sort (score desc, term asc — deterministic ties).
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    n_docs = __import__("pyarrow.parquet", fromlist=["read_metadata"]).read_metadata(
+        f"{sf_dir}/documents.parquet"
+    ).num_rows
+    BUCKETS = 512
+
+    def _tok_bucket(tok: str) -> int:
+        # deterministic cross-process bucketing (builtin hash() is
+        # PYTHONHASHSEED-randomized and differs between Ray workers)
+        import zlib
+
+        return zlib.crc32(tok.encode()) % BUCKETS
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        doc_ids, toks, tfs = [], [], []
+        for doc_id, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            for tok, tf in Counter(TOKEN_RE.findall(text.lower())).items():
+                doc_ids.append(doc_id)
+                toks.append(tok)
+                tfs.append(tf)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "token": pa.array(toks, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    tf = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(tf_rows, batch_format="pyarrow")
+    )
+    df = tf.groupby("token").aggregate(Count(alias_name="df"))
+
+    # co-locate tf rows with their token's df row (pandas blocks throughout:
+    # a union of mixed arrow/pandas block types is rejected by the shuffle)
+    def tf_u(t: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "gb": t["token"].map(_tok_bucket).astype("int32"),
+                "token": t["token"].values,
+                "doc_id": t["doc_id"].astype("int64"),
+                "tf": t["tf"].astype("int64"),
+                "df": pd.Series([0] * len(t), dtype="int64").values,
+            }
+        )
+
+    def df_u(t: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "gb": t["token"].map(_tok_bucket).astype("int32"),
+                "token": t["token"].values,
+                "doc_id": pd.Series([-1] * len(t), dtype="int64").values,
+                "tf": pd.Series([0] * len(t), dtype="int64").values,
+                "df": t["df"].astype("int64"),
+            }
+        )
+
+    u = tf.map_batches(tf_u, batch_format="pandas").union(
+        df.map_batches(df_u, batch_format="pandas")
+    )
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        df_map = g[g["doc_id"] == -1].set_index("token")["df"]
+        rows = g[g["doc_id"] >= 0]
+        idf_milli = rows["token"].map(df_map).map(
+            lambda d: (n_docs * 1000) // int(d)
+        )
+        return pd.DataFrame(
+            {
+                "gb": (rows["doc_id"] % BUCKETS).astype("int32").values,
+                "doc_id": rows["doc_id"].values,
+                "term": rows["token"].values,
+                "score": (rows["tf"] * idf_milli.values).astype("int64").values,
+            }
+        )
+
+    scored = u.groupby("gb").map_groups(score, batch_format="pandas")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _doc, grp in g.groupby("doc_id"):
+            grp = grp.sort_values(
+                ["score", "term"], ascending=[False, True]
+            ).head(k)
+            grp = grp.assign(rank=range(1, len(grp) + 1))
+            out.append(grp[["doc_id", "term", "rank", "score"]])
+        if not out:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "term": pd.Series(dtype="object"),
+                    "rank": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="int64"),
+                }
+            )
+        res = pd.concat(out, ignore_index=True)
+        res["rank"] = res["rank"].astype("int64")
+        return res
+
+    return scored.groupby("gb").map_groups(topk, batch_format="pandas")
+
+
+TFIDF_TOP_TERMS_SQL = """
+WITH tok AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+    FROM documents
+  ) GROUP BY doc_id, tok
+), dfs AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, tok, tf * ((n.n * 1000) // dfs.df) AS score
+  FROM tok JOIN dfs USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok AS term, CAST(rk AS BIGINT) AS rank, CAST(score AS BIGINT) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rk
+      FROM scored)
+WHERE rk <= 3 ORDER BY doc_id, rk
+"""
+
+
 def quality_flags(sf_dir: str) -> Dataset:
     """Quality scoring with integer outputs so the oracle hashes identically:
     token count, mean-token-length permille (floored), short-doc flag."""

@@ -82,7 +82,11 @@ class DocumentExtractor:
     store, output = renumbered span sequence + merge-ready deltas + per-doc
     metrics columns (feeding the partition manifest)."""
 
-    def __init__(self, config_records: Optional[list[dict]] = None):
+    def __init__(
+        self,
+        config_records: Optional[list[dict]] = None,
+        page_settings_json: Optional[str] = None,
+    ):
         self.config = (
             AspectConfig.from_pairs(
                 [(r["Separator"], r["Aspect"]) for r in config_records]
@@ -90,6 +94,29 @@ class DocumentExtractor:
             if config_records
             else default_config
         )
+        if page_settings_json:
+            # register JSON page-spec overrides IN THIS WORKER PROCESS (the
+            # driver's module state does not propagate to Ray actors); only
+            # page types with a registered emitter take effect
+            from .. import emit
+            from ..pagesettings import PageSettings, page_specs_from_settings
+
+            st = PageSettings.__new__(PageSettings)
+            st.filename = "<inline>"
+            st.from_json(page_settings_json)
+            for key, spec in page_specs_from_settings(st).items():
+                emitter = emit.EMITTERS.get(key)
+                if emitter is not None:
+                    emit.register_page_type(spec, emitter)
+            # an override may RENAME a page type's search string: rebuild the
+            # classifier index from the final spec set so stale names drop
+            emit._NAME_INDEX.clear()
+            emit._NAME_INDEX.update(
+                {
+                    sp.search_name.strip().lower(): pt
+                    for pt, sp in emit.PAGE_SPECS.items()
+                }
+            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
@@ -214,6 +241,7 @@ def extract_documents(
     config: AspectConfig = default_config,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 32,
+    page_settings_json: "str | None" = None,
 ) -> Dataset:
     """docs(doc_id, spans) -> extracted(doc_id, spans, deltas, metrics).
 
@@ -230,7 +258,7 @@ def extract_documents(
         DocumentExtractor,
         batch_format="pyarrow",
         batch_size=batch_size,
-        fn_constructor_args=(config.to_records(),),
+        fn_constructor_args=(config.to_records(), page_settings_json),
         concurrency=concurrency,
     )
 

@@ -90,6 +90,7 @@ def run_extraction(
     batch_size: int = 64,
     concurrency=None,
     max_concurrent_shards: int = 8,
+    page_settings_json: "str | None" = None,
 ) -> list[ShardResult]:
     """Phase 1: per-shard extraction with checkpoint manifests.
 
@@ -136,7 +137,8 @@ def run_extraction(
         t0 = time.time()
         ds = ray.data.read_parquet(shard_files)
         extracted = extract_documents(
-            ds, config=config, batch_size=batch_size, concurrency=concurrency
+            ds, config=config, batch_size=batch_size, concurrency=concurrency,
+            page_settings_json=page_settings_json,
         )
         extracted.write_parquet(tmp_dir)
         stats = _shard_stats(tmp_dir)

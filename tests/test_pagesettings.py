@@ -133,3 +133,34 @@ def test_new_page_type_via_json_extracts_end_to_end(tmp_path):
         del emit.PAGE_SPECS["VALVE_LIST"]
         del emit.EMITTERS["VALVE_LIST"]
         del emit._NAME_INDEX["valve list"]
+
+
+def test_page_settings_override_through_pipeline(ray_session, tmp_path):
+    """--page-settings plumbing: a JSON override (here: CONNECTION_LIST's
+    search name) is applied inside the extraction actors, changing which
+    pages classify — the driver's module state never propagates to workers,
+    so this exercises the actor-side registration."""
+    import json as _json
+
+    import ray.data
+
+    from indu_doc_transformer_ray.fixtures import corpus_table
+    from indu_doc_transformer_ray.pipelines.extract import extract_documents
+
+    docs = ray.data.from_arrow(corpus_table(20, seed=11))
+    base = extract_documents(docs).to_pandas()
+
+    # retitle CONNECTION_LIST: no corpus page carries the new search name,
+    # so every connection-list page stops classifying -> fewer page objects
+    override = _json.dumps({
+        "CONNECTION_LIST": {
+            "tables": {"main": {"columns": {
+                "name": [True], "src_pin_tag": [True], "dst_pin_tag": [True],
+                "Color": [True], "Cross-section": [True],
+            }}},
+            "search_name": "Renamed connection list",
+        }
+    })
+    docs2 = ray.data.from_arrow(corpus_table(20, seed=11))
+    changed = extract_documents(docs2, page_settings_json=override).to_pandas()
+    assert changed["n_page_objects"].sum() < base["n_page_objects"].sum()

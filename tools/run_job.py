@@ -26,6 +26,12 @@ def main() -> None:
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--export", default="")
+    ap.add_argument(
+        "--page-settings", default=None,
+        help="JSON page-settings file overriding the shipped PAGE_SPECS "
+             "(pagesettings.PageSettings shape); applied inside every "
+             "extraction actor",
+    )
     args = ap.parse_args()
 
     import ray
@@ -47,8 +53,14 @@ def main() -> None:
         run_merge,
     )
 
+    psj = None
+    if args.page_settings:
+        psj = open(args.page_settings, encoding="utf-8").read()
+
     t0 = time.time()
-    shard_results = run_extraction(args.input, args.out, shards=args.shards)
+    shard_results = run_extraction(
+        args.input, args.out, shards=args.shards, page_settings_json=psj
+    )
     merge_manifest = run_merge(args.out)
     wall = time.time() - t0
 
