@@ -59,42 +59,68 @@ def _extract_spans(sf_dir: str):
 
 
 def _extract_object_stats(sf_dir: str):
-    """Object counts per table (the reference's get_stats, G12).  Deltas are
-    pre-combined per batch in the pipeline; the final fold happens on the
-    driver (the merged set is small at check scale) — the distributed merge
-    path itself is equality-tested in tests/test_pipeline_vs_oracle.py."""
+    """Object counts per table (the reference's get_stats, G12), fully
+    distributed: one extraction pass emits (table_name, key, n) partial rows
+    — one per pre-combined delta (n=1) plus per-batch doc-scoped sums under
+    a batch-unique key — then ``groupby(kind,key).Max`` deduplicates mkeys
+    across batches and ``groupby(kind).Sum`` folds to <=9 rows.  COUNT
+    DISTINCT and SUM ride the same two shuffles; nothing corpus-sized
+    touches the driver."""
     import pandas as pd
+    import pyarrow as pa
     import pyarrow.compute as pc
 
-    from indu_doc_transformer_ray.deltas import assemble_rows
+    from ray.data.aggregate import Max, Sum
+
+    from indu_doc_transformer_ray.deltas import US
     from indu_doc_transformer_ray.pipelines.extract import (
         _explode_deltas,
         extract_documents,
     )
 
-    extracted = extract_documents(_span_corpus(sf_dir))
-    counts: dict[str, int] = {"page_objects": 0, "errors": 0}
-    acc: dict[str, str] = {}
-    for batch in extracted.select_columns(
-        ["deltas", "n_errors", "n_page_objects"]
-    ).iter_batches(batch_size=4096, batch_format="pyarrow"):
-        counts["errors"] += pc.sum(batch.column("n_errors")).as_py() or 0
-        counts["page_objects"] += (
-            pc.sum(batch.column("n_page_objects")).as_py() or 0
-        )
+    _KIND_TO_TABLE = {
+        "xtarget": "xtargets", "aspect": "aspects", "attribute": "attributes",
+        "link": "links", "connection": "connections", "pin": "pins",
+        "xtarget_attr": "object_attrs", "aspect_attr": "object_attrs",
+        "link_attr": "object_attrs",
+        "page_object": "page_objects", "error": "errors",
+    }
+
+    def partials(batch: pa.Table) -> pa.Table:
         combined = _explode_deltas(batch)
-        for k, v in zip(
-            combined.column("mkey").to_pylist(),
-            combined.column("payload").to_pylist(),
-        ):
-            prev = acc.get(k)
-            if prev is None or v > prev:
-                acc[k] = v
-    for k, v in acc.items():
-        name, _row = assemble_rows(k, v)
-        counts[name] = counts.get(name, 0) + 1
-    rows = sorted(counts.items())
-    return pd.DataFrame(rows, columns=["table_name", "n"]).astype({"n": "int64"})
+        kinds, keys, ns = [], [], []
+        for k in combined.column("mkey").to_pylist():
+            kinds.append(_KIND_TO_TABLE[k.split(US, 1)[0]])
+            keys.append(k)
+            ns.append(1)
+        # doc-scoped sums: per-batch partials keyed by the batch's first
+        # doc_id (each doc lives in exactly one batch -> keys never collide)
+        uniq = str(batch.column("doc_id")[0].as_py())
+        for col, name in (("n_errors", "errors"),
+                          ("n_page_objects", "page_objects")):
+            kinds.append(name)
+            keys.append(f"\x00batch:{uniq}")
+            ns.append(pc.sum(batch.column(col)).as_py() or 0)
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.string()),
+                "key": pa.array(keys, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    extracted = extract_documents(_span_corpus(sf_dir))
+    out = (
+        extracted.select_columns(["doc_id", "deltas", "n_errors", "n_page_objects"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["kind", "key"])
+        .aggregate(Max("n", alias_name="m"))  # dedup mkeys across batches
+        .groupby("kind")
+        .aggregate(Sum("m", alias_name="n"))
+        .to_pandas()  # <= 9 rows
+    )
+    out = out.rename(columns={"kind": "table_name"}).astype({"n": "int64"})
+    return out.sort_values("table_name").reset_index(drop=True)
 
 
 def _media_features(sf_dir: str):
