@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_stats": relational.part_type_stats,
         "distinct_suppliers_per_nation": relational.distinct_suppliers_per_nation,
         "events_hourly": relational.events_hourly,
+        "events_hopping": relational.events_hopping,
         "user_event_counts": relational.user_event_counts,
         "q6_revenue_filtered": relational.q6_revenue_filtered,
         "top2_orders_per_customer": relational.top2_orders_per_customer,
@@ -206,6 +207,7 @@ def oracle_sql() -> dict[str, str]:
         "part_type_stats": relational.PART_TYPE_STATS_SQL,
         "distinct_suppliers_per_nation": relational.DISTINCT_SUPPLIERS_SQL,
         "events_hourly": relational.EVENTS_HOURLY_SQL,
+        "events_hopping": relational.EVENTS_HOPPING_SQL,
         "user_event_counts": relational.USER_EVENT_COUNTS_SQL,
         "q6_revenue_filtered": relational.Q6_SQL,
         "top2_orders_per_customer": relational.TOP2_PER_CUSTOMER_SQL,

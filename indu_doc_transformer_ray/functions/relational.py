@@ -396,6 +396,62 @@ GROUP BY event_type, hour_bucket
 """
 
 
+def events_hopping(sf_dir: str) -> Dataset:
+    """Hopping windows (1h length, 30min hop): every event lands in exactly
+    two overlapping windows, emitted vectorized as two window-start columns
+    concatenated per batch — window membership is computed map-side and the
+    window IS a groupby key, like ``events_hourly`` (no event-time runtime
+    needed)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    WIN = 3_600_000_000
+    HOP = 1_800_000_000
+
+    def windowed(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64())
+        base = pc.multiply(pc.divide(ts, HOP), HOP)
+        v = _cents(t["value"], 10_000)
+        parts = []
+        for off in (0, HOP):
+            parts.append(
+                pa.table(
+                    {
+                        "event_type": t["event_type"],
+                        "window_start": pc.subtract(base, off),
+                        "value_c4": v,
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return (
+        ds.map_batches(windowed, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_c4", alias_name="sum_value_c4"),
+        )
+    )
+
+
+# each event belongs to windows starting at floor(t/hop)*hop and that minus
+# one hop (window length = 2 hops, so membership needs no extra predicate)
+EVENTS_HOPPING_SQL = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS t,
+         CAST(ROUND(value*10000) AS BIGINT) AS v
+  FROM events
+), w AS (
+  SELECT event_type, v,
+         (t // 1800000000) * 1800000000 - s.off AS window_start
+  FROM e CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1800000000 AS BIGINT))) s(off)
+)
+SELECT event_type, window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(v) AS BIGINT) AS sum_value_c4
+FROM w GROUP BY event_type, window_start
+"""
+
+
 def user_event_counts(sf_dir: str) -> Dataset:
     """Per-user per-type event counts — the partial-aggregate push-down
     demo: combine inside map_batches first, then a small groupby over
