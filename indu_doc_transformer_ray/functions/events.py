@@ -5,6 +5,12 @@ the ray_guide pattern: partition by key, sort by timestamp WITHIN the group,
 and implement the window/join logic in ``groupby(key).map_groups`` — the
 ordering assumption (per-user ts order, event_id tie-break) is stated here
 and mirrored in the oracle SQL's OVER clauses.
+
+The groupby key is a COARSE user bucket (``USER_BUCKETS``), not the raw
+user id: the shuffle still co-locates each user's events, but one
+map_groups call handles a bucket of users with a vectorized pandas
+``groupby(user_id)`` inside — per-group Python call overhead across
+millions of users would otherwise dominate at scale.
 """
 
 from __future__ import annotations
@@ -15,6 +21,7 @@ import ray.data
 from ray.data import Dataset
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+USER_BUCKETS = 512  # coarse co-location buckets (uniform: user ids are dense)
 
 
 def _read_events(sf_dir: str, columns: list[str]) -> Dataset:
@@ -31,9 +38,14 @@ def asof_prior_click(sf_dir: str) -> Dataset:
     ds = _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
     ds = ds.filter(expr="event_type == 'error' or event_type == 'click'")
 
+    def add_bucket(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.copy()
+        t["ub"] = (t["user_id"] % USER_BUCKETS).astype("int32")
+        return t
+
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        errors = g[g["event_type"] == "error"].sort_values(["ts", "event_id"])
-        clicks = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
+        errors = g[g["event_type"] == "error"]
+        clicks = g[g["event_type"] == "click"]
         if errors.empty or clicks.empty:
             return pd.DataFrame(
                 {"event_id": pd.Series(dtype="int64"),
@@ -41,8 +53,12 @@ def asof_prior_click(sf_dir: str) -> Dataset:
                  "gap_us": pd.Series(dtype="int64")}
             )
         clicks = clicks.assign(ts_click=clicks["ts"])
+        # per-user as-of via merge_asof(by=...): one vectorized call covers
+        # every user in the bucket
         m = pd.merge_asof(
-            errors, clicks, on="ts", direction="backward",
+            errors.sort_values(["ts", "event_id"]),
+            clicks.sort_values(["ts", "event_id"]),
+            on="ts", by="user_id", direction="backward",
             suffixes=("", "_click"),
         )
         m = m[m["event_id_click"].notna()]
@@ -56,7 +72,11 @@ def asof_prior_click(sf_dir: str) -> Dataset:
             }
         )
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    out = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(per_user, batch_format="pandas")
+    )
     return out.sort("event_id")
 
 
@@ -78,23 +98,43 @@ def sessionize(sf_dir: str) -> Dataset:
 
     ds = _read_events(sf_dir, ["event_id", "ts", "user_id"])
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+    def add_bucket(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.copy()
+        t["ub"] = (t["user_id"] % USER_BUCKETS).astype("int32")
+        return t
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass over ALL users in the bucket: session breaks
+        # are per-user ts gaps (diff crosses user boundaries -> mask them)
+        g = g.sort_values(["user_id", "ts", "event_id"])
         ts = g["ts"].astype("int64")
-        new_session = (ts.diff() > SESSION_GAP_US).fillna(False)
-        sid = new_session.cumsum()
-        sizes = sid.value_counts()
-        spans = ts.groupby(sid).agg(["min", "max"])
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        new_session = (ts.diff() > SESSION_GAP_US) & same_user
+        # a new user also starts a new session id space
+        sid = (new_session | ~same_user).cumsum()
+        per_session = pd.DataFrame(
+            {"user_id": g["user_id"].values, "sid": sid.values, "ts": ts.values}
+        ).groupby(["user_id", "sid"])["ts"].agg(["count", "min", "max"])
+        per_session["dur"] = per_session["max"] - per_session["min"]
+        agg = per_session.groupby(level=0).agg(
+            n_sessions=("count", "size"),
+            max_session_events=("count", "max"),
+            longest_session_us=("dur", "max"),
+        ).reset_index()
         return pd.DataFrame(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_sessions": [int(sid.nunique())],
-                "max_session_events": [int(sizes.max())],
-                "longest_session_us": [int((spans["max"] - spans["min"]).max())],
+                "user_id": agg["user_id"].astype("int64"),
+                "n_sessions": agg["n_sessions"].astype("int64"),
+                "max_session_events": agg["max_session_events"].astype("int64"),
+                "longest_session_us": agg["longest_session_us"].astype("int64"),
             }
         )
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    out = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
     return out.sort("user_id")
 
 
