@@ -512,35 +512,50 @@ WHERE l_quantity < 24
 # -- top-k per group (window-function shape) --------------------------------
 
 def top2_orders_per_customer(sf_dir: str) -> Dataset:
-    """Top-2 orders per customer by total price: groupby + per-group head —
-    the distributed row_number()-per-partition pattern.  Groups stay Arrow
-    (zero pandas hop) and the result is returned as a sorted Dataset, never
-    materialized on the driver."""
+    """Top-2 orders per customer by total price — the distributed
+    row_number()-per-partition pattern.  The groupby key is a coarse
+    customer bucket; one map_groups call ranks every customer in the bucket
+    with ONE vectorized pandas groupby-rank (per-customer Python calls
+    would dominate at millions of customers).  Returned as a sorted
+    Dataset, never materialized on the driver."""
+    import pandas as pd
+
+    BUCKETS = 512
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
     def scale(t: pa.Table) -> pa.Table:
+        cust = pc.cast(t["o_custkey"], pa.int64())
         return pa.table(
             {
-                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "cb": pc.cast(
+                    pc.bit_wise_and(cust, BUCKETS - 1), pa.int32()
+                ),
+                "o_custkey": cust,
                 "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
                 "totalprice_c2": _cents(t["o_totalprice"]),
             }
         )
 
-    def top2(g: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            g,
-            sort_keys=[("totalprice_c2", "descending"), ("o_orderkey", "ascending")],
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "totalprice_c2", "o_orderkey"],
+            ascending=[True, False, True],
         )
-        sel = g.take(idx.slice(0, 2))
-        return sel.append_column(
-            "rk", pa.array(range(1, sel.num_rows + 1), pa.int64())
+        g = g.assign(rk=g.groupby("o_custkey").cumcount() + 1)
+        g = g[g["rk"] <= 2]
+        return pd.DataFrame(
+            {
+                "o_custkey": g["o_custkey"].astype("int64"),
+                "o_orderkey": g["o_orderkey"].astype("int64"),
+                "totalprice_c2": g["totalprice_c2"].astype("int64"),
+                "rk": g["rk"].astype("int64"),
+            }
         )
 
     return (
         ds.map_batches(scale, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .map_groups(top2, batch_format="pyarrow")
+        .groupby("cb")
+        .map_groups(top2, batch_format="pandas")
         .sort(["o_custkey", "rk"])
     )
 
