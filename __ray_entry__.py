@@ -7,9 +7,12 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
                       deterministically from /root/testdata/sf0.001.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
-- ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query;
-                      ops with no SQL equivalent (extraction semantics,
-                      MinHash/SimHash/LSH, model-ish scoring) are rows-only.
+- ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
+                      (34 of 39, incl. MinHash-LSH/SimHash/winnowing via
+                      md5-based hashing and integer-exact scoring); the five
+                      rows-only ops are extraction semantics (pytest holds
+                      their equality gate vs the single-process oracle) and
+                      recall-graded LSH approximations.
 """
 
 from __future__ import annotations
