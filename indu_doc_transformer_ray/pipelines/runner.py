@@ -91,13 +91,21 @@ def run_extraction(
     concurrency=None,
     max_concurrent_shards: int = 8,
     page_settings_json: "str | None" = None,
+    on_event=None,
 ) -> list[ShardResult]:
     """Phase 1: per-shard extraction with checkpoint manifests.
 
     Shards execute as independent streaming pipelines; up to
     ``max_concurrent_shards`` run concurrently (they share the cluster under
     Ray's scheduler), which overlaps per-pipeline startup while keeping the
-    shard the unit of resume/failure isolation."""
+    shard the unit of resume/failure isolation.
+
+    ``on_event`` (optional) mirrors the reference's plugin event emitter
+    (plugins/events.py:32-127): called with plain dicts of type
+    ``processing_started`` / ``shard_completed`` (the distributed analogue
+    of per-page progress) / ``processing_completed`` / ``processing_error``.
+    Callbacks fire from shard worker threads — keep them cheap and
+    thread-safe."""
     from concurrent.futures import ThreadPoolExecutor
 
     import ray
@@ -161,8 +169,29 @@ def run_extraction(
         return ShardResult(k, False, manifest["n_docs"], manifest["n_pages"],
                            manifest["n_spans_in"], manifest["n_errors"], wall)
 
+    def emit(ev: dict) -> None:
+        if on_event is not None:
+            on_event(ev)
+
+    emit({"type": "processing_started", "n_shards": shards,
+          "n_files": len(files)})
+
+    def run_shard_ev(k: int) -> ShardResult:
+        try:
+            r = run_shard(k)
+        except Exception as e:  # noqa: BLE001 — surface then re-raise
+            emit({"type": "processing_error", "shard": k, "error": str(e)})
+            raise
+        emit({"type": "shard_completed", "shard": k, "n_docs": r.n_docs,
+              "n_pages": r.n_pages, "skipped": r.skipped,
+              "wall_s": r.wall_s})
+        return r
+
     with ThreadPoolExecutor(max_workers=max_concurrent_shards) as pool:
-        results = list(pool.map(run_shard, range(shards)))
+        results = list(pool.map(run_shard_ev, range(shards)))
+    emit({"type": "processing_completed",
+          "n_docs": sum(r.n_docs for r in results),
+          "n_pages": sum(r.n_pages for r in results)})
     return results
 
 

@@ -78,3 +78,26 @@ def test_object_table_read(corpus_dir, tmp_path):
     assert set(xt.columns) == {"guid", "tag_str", "target_type"}
     assert len(xt) > 0
     assert xt["guid"].is_unique
+
+
+def test_run_extraction_progress_events(ray_session, tmp_path):
+    """The on_event surface mirrors the reference's plugin event emitter
+    (plugins/events.py:32-127): started -> per-shard completion -> completed."""
+    import ray.data
+
+    from indu_doc_transformer_ray.fixtures import corpus_table
+    from indu_doc_transformer_ray.pipelines.runner import run_extraction
+
+    src = tmp_path / "corpus"
+    ray.data.from_arrow(corpus_table(12, seed=3)).repartition(2).write_parquet(
+        str(src)
+    )
+    events = []
+    results = run_extraction(
+        str(src), str(tmp_path / "out"), shards=2, on_event=events.append
+    )
+    kinds = [e["type"] for e in events]
+    assert kinds[0] == "processing_started"
+    assert kinds[-1] == "processing_completed"
+    assert kinds.count("shard_completed") == 2
+    assert events[-1]["n_docs"] == sum(r.n_docs for r in results) == 12

@@ -32,6 +32,15 @@ def main() -> None:
              "(pagesettings.PageSettings shape); applied inside every "
              "extraction actor",
     )
+    ap.add_argument(
+        "--config", default=None,
+        help="aspects-config JSON file ({'aspects': [{'Separator','Aspect'}]},"
+             " the reference's -c shape); default = the shipped separators",
+    )
+    ap.add_argument("--stats", action="store_true",
+                    help="print per-table object counts after the merge")
+    ap.add_argument("--progress", action="store_true",
+                    help="print shard progress events to stderr")
     args = ap.parse_args()
 
     import ray
@@ -56,10 +65,20 @@ def main() -> None:
     psj = None
     if args.page_settings:
         psj = open(args.page_settings, encoding="utf-8").read()
+    from indu_doc_transformer_ray.core import AspectConfig, default_config
+    config = (
+        AspectConfig.from_json(open(args.config, encoding="utf-8").read())
+        if args.config else default_config
+    )
+
+    def on_event(ev: dict) -> None:
+        if args.progress:
+            print(json.dumps(ev), file=sys.stderr, flush=True)
 
     t0 = time.time()
     shard_results = run_extraction(
-        args.input, args.out, shards=args.shards, page_settings_json=psj
+        args.input, args.out, shards=args.shards, config=config,
+        page_settings_json=psj, on_event=on_event,
     )
     merge_manifest = run_merge(args.out)
     wall = time.time() - t0
@@ -71,6 +90,16 @@ def main() -> None:
         "objects": merge_manifest["n_objects"],
         "wall_s": round(wall, 2),
     }
+
+    if args.stats:
+        # per-table merged counts, computed distributed (filtered reads of
+        # the merged objects + lazily flattened doc-scoped columns)
+        from indu_doc_transformer_ray.deltas import TABLE_NAMES
+        from indu_doc_transformer_ray.pipelines.runner import object_table
+
+        summary["stats"] = {
+            name: object_table(args.out, name).count() for name in TABLE_NAMES
+        }
 
     if args.export:
         from indu_doc_transformer_ray import exporters
@@ -90,7 +119,7 @@ def main() -> None:
             if kind == "sqlite":
                 if os.path.exists(dest):
                     os.remove(dest)
-                exporters.save_sqlite(tables, dest)
+                exporters.save_sqlite(tables, dest, config=config)
             elif kind == "aml":
                 open(dest + ".xml", "w").write(exporters.export_aml(tables))
             elif kind == "json":
