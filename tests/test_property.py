@@ -91,3 +91,100 @@ def test_routing_guid_order_insensitive(tracks):
         for p in itertools.permutations(tracks)
     }
     assert len(guids) == 1
+
+
+@st.composite
+def char_runs(draw):
+    """Random monotone-ish char runs with planted overlaps."""
+    n = draw(st.integers(min_value=1, max_value=12))
+    chars = []
+    x = 0.0
+    for _ in range(n):
+        if chars and draw(st.booleans()) and draw(st.booleans()):
+            # overlap: jump left of the previous char's right edge
+            x = max(0.0, x - draw(st.floats(min_value=5.0, max_value=30.0)))
+        w = draw(st.floats(min_value=1.0, max_value=20.0))
+        c = draw(st.sampled_from(string.ascii_lowercase))
+        chars.append((c, x, x + w))
+        x = x + w
+    return chars
+
+
+@given(char_runs())
+@settings(max_examples=200)
+def test_split_char_run_preserves_text(chars):
+    """M4 invariant: the split never loses or reorders characters — the
+    concatenated block texts equal the input char sequence."""
+    from indu_doc_transformer_ray.tables import split_char_run
+
+    blocks = split_char_run(chars, 0.0, 10.0)
+    assert "".join(b[4] for b in blocks) == "".join(c for c, _x0, _x1 in chars)
+    # block x-extents are within the run's envelope
+    xs = [x for _c, x0, x1 in chars for x in (x0, x1)]
+    for x0, _y0, x1, _y1, _t in blocks:
+        assert min(xs) <= x0 and x1 <= max(xs)
+
+
+@given(st.sets(st.text(alphabet=string.ascii_lowercase, min_size=1,
+                       max_size=8), min_size=1, max_size=30))
+@settings(max_examples=100, deadline=None)  # first call pays numpy import
+def test_minhash_sig_deterministic_and_elementwise(sh):
+    """Signature is deterministic, order-insensitive, and each lane is the
+    min over singleton-lane signatures (the min-hash lattice property)."""
+    from indu_doc_transformer_ray.functions.dedup import N_HASHES, _minhash_sig
+
+    sig = _minhash_sig(sh)
+    assert sig == _minhash_sig(set(sorted(sh)))
+    assert len(sig) == N_HASHES
+    singles = [_minhash_sig({s}) for s in sh]
+    for lane in range(N_HASHES):
+        assert sig[lane] == min(s[lane] for s in singles)
+
+
+@given(st.dictionaries(
+    st.sampled_from(["CONNECTION_LIST", "CABLE_OVERVIEW", "PLC_DIAGRAM"]),
+    st.lists(st.tuples(
+        st.text(alphabet=string.ascii_letters, min_size=1, max_size=8),
+        st.booleans(),
+        st.one_of(st.none(), st.sampled_from(["", "="])),
+    ), min_size=1, max_size=6, unique_by=lambda t: t[0]),
+    min_size=1, max_size=3,
+))
+@settings(max_examples=100, deadline=None)
+def test_pagesettings_specs_roundtrip(cfg):
+    """Arbitrary spec sets survive specs -> settings -> JSON text ->
+    settings -> specs unchanged (S4 round-trip as a property,
+    filesystem-free)."""
+    from indu_doc_transformer_ray.pagemodel import (
+        ColumnSpec,
+        PageSpec,
+        PageType,
+        TableSpec,
+    )
+    from indu_doc_transformer_ray.pagesettings import (
+        PageSettings,
+        page_specs_from_settings,
+        settings_from_page_specs,
+    )
+
+    class _Mem(PageSettings):
+        def save(self):  # keep the property test filesystem-free
+            pass
+
+        def load(self):
+            self.pages_setup = {}
+
+    specs = {}
+    for name, cols in cfg.items():
+        pt = PageType[name]
+        specs[pt] = PageSpec(
+            pt, f"search {name}",
+            (TableSpec("main", tuple(ColumnSpec(*c) for c in cols)),),
+        )
+    m = _Mem("<mem>", pages_setup={})
+    m.pages_setup = settings_from_page_specs(
+        specs, "/tmp/_prop_pagesettings.json"
+    ).pages_setup
+    back = _Mem("<mem>", pages_setup={})
+    back.from_json(m.to_json())
+    assert page_specs_from_settings(back) == specs
