@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_prefix": dedup.dedup_prefix,
         "word_jaccard_pairs": dedup.word_jaccard_pairs,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "dedup_clusters": dedup.dedup_clusters,
         "simhash64": dedup.simhash64,
         # similarity search
         "ann_topk": similarity.ann_topk,
@@ -232,6 +233,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_prefix": dedup.DEDUP_PREFIX_SQL,
         "word_jaccard_pairs": dedup.WORD_JACCARD_SQL,
         "minhash_lsh_pairs": dedup.MINHASH_LSH_SQL,
+        "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
         "simhash64": dedup.SIMHASH64_SQL,
         "ann_topk": similarity.ANN_TOPK_SQL,
         "cosine_dup_pairs": similarity.COSINE_DUP_PAIRS_SQL,

@@ -430,6 +430,130 @@ FROM j WHERE jac >= 0.5 ORDER BY doc_a, doc_b
 """
 
 
+def dedup_clusters(sf_dir: str, max_iters: int = 25) -> Dataset:
+    """Duplicate-cluster assignment: connected components of the MinHash
+    near-dup graph by iterative min-label propagation (the map-reduce CC
+    construction of Rastogi et al., "Finding Connected Components in
+    Map-Reduce in Logarithmic Rounds", ICDE 2013): every node starts
+    labelled with itself; each round every node takes the min of its own
+    and its neighbors' labels (one union + bucketed-groupby co-location
+    round); fixpoint reached in <= graph-diameter rounds, detected by the
+    monotone label sum (a scalar ``Dataset.sum`` per round — the only
+    driver-side value).  Output: (doc_id, cluster_rep) for every document
+    in at least one near-dup pair; cluster_rep = min doc_id of the
+    component (the canonical keeper)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Min
+
+    # the LSH-pruned pair set is the small side; materialize once so the
+    # iteration doesn't re-run shingling+banding per round
+    pairs = minhash_lsh_pairs(sf_dir).materialize()
+
+    def to_edges(t: pd.DataFrame) -> pd.DataFrame:
+        a = t["doc_a"].astype("int64")
+        b = t["doc_b"].astype("int64")
+        return pd.DataFrame(
+            {
+                "node": pd.concat([a, b], ignore_index=True),
+                "nbr": pd.concat([b, a], ignore_index=True),
+            }
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pandas").materialize()
+
+    def init_labels(t: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": t["node"].astype("int64"), "lbl": t["node"].astype("int64")}
+        )
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pandas")
+        .groupby("node")
+        .aggregate(Min("lbl", alias_name="lbl"))  # distinct nodes
+        .materialize()
+    )
+    prev_sum = labels.sum("lbl")
+
+    def edge_u(t: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "gb": (t["nbr"] % GROUP_BUCKETS).astype("int32"),
+                "k": t["nbr"].astype("int64"),
+                "node": t["node"].astype("int64"),
+                "lbl": pd.Series([-1] * len(t), dtype="int64").values,
+                "is_lbl": pd.Series([0] * len(t), dtype="int32").values,
+            }
+        )
+
+    def lbl_u(t: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "gb": (t["node"] % GROUP_BUCKETS).astype("int32"),
+                "k": t["node"].astype("int64"),
+                "node": pd.Series([-1] * len(t), dtype="int64").values,
+                "lbl": t["lbl"].astype("int64"),
+                "is_lbl": pd.Series([1] * len(t), dtype="int32").values,
+            }
+        )
+
+    def send(g: pd.DataFrame) -> pd.DataFrame:
+        lbl_map = g[g["is_lbl"] == 1].set_index("k")["lbl"]
+        e = g[g["is_lbl"] == 0]
+        return pd.DataFrame(
+            {
+                "node": e["node"].astype("int64").values,
+                "lbl": e["k"].map(lbl_map).astype("int64").values,
+            }
+        )
+
+    for _ in range(max_iters):
+        msgs = (
+            edges.map_batches(edge_u, batch_format="pandas")
+            .union(labels.map_batches(lbl_u, batch_format="pandas"))
+            .groupby("gb")
+            .map_groups(send, batch_format="pandas")
+        )
+        labels = (
+            msgs.union(labels)
+            .groupby("node")
+            .aggregate(Min("lbl", alias_name="lbl"))
+            .materialize()
+        )
+        new_sum = labels.sum("lbl")
+        if new_sum == prev_sum:  # labels only decrease; equal sum = fixpoint
+            break
+        prev_sum = new_sum
+
+    def shape(t: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": t["node"].astype("int64"),
+                "cluster_rep": t["lbl"].astype("int64"),
+            }
+        )
+
+    return labels.map_batches(shape, batch_format="pandas")
+
+
+# recursive-CTE mirror: transitive closure over the (symmetric) near-dup
+# edge set, component rep = min reachable node (incl. self)
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({MINHASH_LSH_SQL.replace("ORDER BY doc_a, doc_b", "")}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_rep
+FROM reach GROUP BY a ORDER BY doc_id
+"""
+
+
 # -- SimHash ----------------------------------------------------------------
 
 class SimHash64:

@@ -167,3 +167,34 @@ def test_media_pil_branch_real_decode(tmp_path):
     assert (w, h) == (20, 10)
     assert nb == img.stat().st_size
     assert abs(feat[0] - 1.0) < 1e-6 and abs(feat[1]) < 1e-6  # pure red
+
+
+def test_dedup_clusters_transitive(ray_session, tmp_path):
+    """Label propagation must close chains: A~B and B~C (but A!~C directly)
+    still land in one cluster with rep = min doc_id."""
+    import pandas as pd
+
+    from indu_doc_transformer_ray.functions import dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    toks = base.split()
+    a = " ".join(toks)
+    b = " ".join(toks[:11] + ["CHANGED1"] + toks[12:])  # ~ a
+    c = " ".join(toks[:11] + ["CHANGED1"] + toks[12:17] + ["CHANGED2"]
+                 + toks[18:])  # ~ b, further from a
+    rows = [{"doc_id": 10, "text": a}, {"doc_id": 20, "text": b},
+            {"doc_id": 30, "text": c}]
+    for i in range(25):
+        rows.append({"doc_id": 100 + i,
+                     "text": f"unrelated {i} " + " ".join(
+                         f"z{i}_{j}" for j in range(20))})
+    pd.DataFrame(rows).to_parquet(f"{tmp_path}/documents.parquet")
+
+    pairs = dedup.minhash_lsh_pairs(str(tmp_path), threshold=0.5).to_pandas()
+    got = set(zip(pairs.doc_a, pairs.doc_b))
+    assert (10, 20) in got and (20, 30) in got
+
+    clusters = dedup.dedup_clusters(str(tmp_path)).to_pandas()
+    reps = clusters.set_index("doc_id")["cluster_rep"].to_dict()
+    assert reps[10] == reps[20] == reps[30] == 10
