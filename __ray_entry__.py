@@ -8,11 +8,12 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (34 of 39, incl. MinHash-LSH/SimHash/winnowing via
+                      (35 of 41, incl. MinHash-LSH/SimHash/winnowing via
                       md5-based hashing and integer-exact scoring); the five
                       rows-only ops are extraction semantics (pytest holds
-                      their equality gate vs the single-process oracle) and
-                      recall-graded LSH approximations.
+                      their equality gate vs the single-process oracle),
+                      recall-graded LSH approximations, and iterative
+                      k-means (pytest equality vs a local reference).
 """
 
 from __future__ import annotations
@@ -186,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_cosine_pairs": similarity.lsh_cosine_pairs,
         "lsh_bucket_topk": similarity.lsh_bucket_topk,
         "label_centroid_sims": similarity.label_centroid_sims,
+        "kmeans_assign": similarity.kmeans_assign,
         # extraction flagship (rows-only; pytest holds the equality gate)
         "extract_spans": _extract_spans,
         "extract_object_stats": _extract_object_stats,

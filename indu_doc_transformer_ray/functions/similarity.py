@@ -359,6 +359,82 @@ def lsh_cosine_pairs(sf_dir: str, threshold: float = 0.42) -> "object":
     )
 
 
+def kmeans_assign(sf_dir: str, k: int = 8, iters: int = 5) -> "object":
+    """Lloyd's k-means over the embeddings (deterministic: init = the k
+    lowest vec_ids' vectors), expressed as the classic broadcast-centroids
+    loop: each iteration ships the k x dim centroid matrix once
+    (``ray.put``), every batch emits per-cluster partial (sum, count), and
+    the driver folds k tiny partials into the next centroids — O(k*dim)
+    driver state, never a vector row.  Ties in the argmin break toward the
+    lower cluster id (numpy argmin), mirrored in the pytest oracle.
+    Returns (vec_id, cluster); equality-tested against a single-process
+    numpy implementation (tests/test_functions.py)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    init = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    )
+    order = np.argsort(np.asarray(init.column("vec_id").to_pylist()))
+    cents = np.array(init.column("embedding").to_pylist(), dtype=np.float64)[order]
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+            d2 = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            out_c, out_s, out_n = [], [], []
+            for ci in np.unique(assign):
+                m = emb[assign == ci]
+                out_c.append(int(ci))
+                out_s.append(m.sum(axis=0).tolist())
+                out_n.append(len(m))
+            return pa.table(
+                {
+                    "cluster": pa.array(out_c, pa.int64()),
+                    "vec_sum": pa.array(out_s, pa.list_(pa.float64())),
+                    "n": pa.array(out_n, pa.int64()),
+                }
+            )
+
+        p = (
+            _read_emb(sf_dir)
+            .map_batches(partial, batch_format="pyarrow")
+            .to_pandas()  # k x n_blocks rows
+        )
+        new = cents.copy()
+        for ci, grp in p.groupby("cluster"):
+            s = np.sum(np.array(grp["vec_sum"].tolist(), dtype=np.float64), axis=0)
+            new[int(ci)] = s / int(grp["n"].sum())
+        cents = new
+
+    ref = ray.put(cents)
+
+    def assign_final(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        d2 = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "cluster": pa.array(d2.argmin(axis=1), pa.int64()),
+            }
+        )
+
+    out = (
+        _read_emb(sf_dir)
+        .map_batches(assign_final, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("vec_id").reset_index(drop=True).astype(
+        {"vec_id": "int64", "cluster": "int64"}
+    )
+
+
 def label_centroid_sims(sf_dir: str) -> "object":
     """Per-label centroid then each label's intra-cluster mean cosine, as a
     TWO-PASS distributed aggregate (no label's vectors are ever co-located):

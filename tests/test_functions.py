@@ -198,3 +198,42 @@ def test_dedup_clusters_transitive(ray_session, tmp_path):
     clusters = dedup.dedup_clusters(str(tmp_path)).to_pandas()
     reps = clusters.set_index("doc_id")["cluster_rep"].to_dict()
     assert reps[10] == reps[20] == reps[30] == 10
+
+
+def test_kmeans_assign_matches_local(ray_session):
+    """Distributed broadcast-centroid Lloyd's vs a single-process numpy
+    reference: same init, same iteration count.  Assignments must agree on
+    (nearly) every vector — disagreement is only possible for points
+    ulp-close to a Voronoi boundary under different float summation orders."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from indu_doc_transformer_ray.functions.similarity import kmeans_assign
+
+    sf = "/root/testdata/sf0.001"
+    k, iters = 8, 5
+    got = kmeans_assign(sf, k=k, iters=iters)
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, emb = ids[order], emb[order]
+    cents = emb[ids < k]
+    for _ in range(iters):
+        d2 = ((emb[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = cents.copy()
+        for ci in range(k):
+            m = emb[assign == ci]
+            if len(m):
+                new[ci] = m.mean(axis=0)
+        cents = new
+    d2 = ((emb[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    want = d2.argmin(axis=1)
+
+    got_map = got.set_index("vec_id")["cluster"]
+    agree = sum(int(got_map[v]) == int(w) for v, w in zip(ids, want))
+    assert agree / len(ids) >= 0.995, f"{agree}/{len(ids)}"
+    # cluster sizes sane: every cluster non-empty on this corpus
+    assert got["cluster"].nunique() == k
