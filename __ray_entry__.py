@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (35 of 41, incl. MinHash-LSH/SimHash/winnowing via
+                      (36 of 42, incl. MinHash-LSH/SimHash/winnowing via
                       md5-based hashing and integer-exact scoring); the five
                       rows-only ops are extraction semantics (pytest holds
                       their equality gate vs the single-process oracle),
@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": text.vocab_topk,
         "doclen_percentiles": text.doclen_percentiles,
         "tfidf_top_terms": text.tfidf_top_terms,
+        "stratified_sample": text.stratified_sample,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
@@ -231,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": text.VOCAB_TOPK_SQL,
         "doclen_percentiles": text.DOCLEN_PERCENTILES_SQL,
         "tfidf_top_terms": text.TFIDF_TOP_TERMS_SQL,
+        "stratified_sample": text.STRATIFIED_SAMPLE_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_prefix": dedup.DEDUP_PREFIX_SQL,
         "word_jaccard_pairs": dedup.WORD_JACCARD_SQL,

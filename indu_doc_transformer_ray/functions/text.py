@@ -338,6 +338,61 @@ ORDER BY pct
 """
 
 
+def stratified_sample(sf_dir: str, per_lang: int = 3) -> Dataset:
+    """Deterministic stratified sample: the ``per_lang`` lowest
+    ``md5(doc_id)``-ranked documents of every language — the reproducible
+    per-stratum sampler (hash rank, not RNG, so re-runs and engines agree).
+    One bucketed-language groupby; in-group rank is a vectorized pandas
+    groupby-cumcount."""
+    import pandas as pd
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        hk = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "doc_id": pa.array(ids, pa.int64()),
+                "hk": pa.array(hk, pa.string()),
+            }
+        )
+
+    def topn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "hk", "doc_id"])
+        g = g.assign(rk=g.groupby("lang").cumcount() + 1)
+        g = g[g["rk"] <= per_lang]
+        return pd.DataFrame(
+            {
+                "lang": g["lang"].values,
+                "doc_id": g["doc_id"].astype("int64").values,
+                "rk": g["rk"].astype("int64").values,
+            }
+        )
+
+    # languages are a tiny domain -> one group per language is already
+    # coarse; groupby directly on lang
+    return (
+        _read_docs(sf_dir, ["doc_id", "lang"])
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(topn, batch_format="pandas")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= 3
+"""
+
+
 def tfidf_top_terms(sf_dir: str, k: int = 3) -> Dataset:
     """Per-document top-k TF-IDF terms with INTEGER scoring
     (score = tf * ((N*1000) // df) — exact on both engines, no cross-libm
