@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (36 of 42, incl. MinHash-LSH/SimHash/winnowing via
+                      (37 of 43, incl. MinHash-LSH/SimHash/winnowing via
                       md5-based hashing and integer-exact scoring); the five
                       rows-only ops are extraction semantics (pytest holds
                       their equality gate vs the single-process oracle),
@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_jaccard_pairs": dedup.word_jaccard_pairs,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "dedup_clusters": dedup.dedup_clusters,
+        "dedup_keep_list": dedup.dedup_keep_list,
         "simhash64": dedup.simhash64,
         # similarity search
         "ann_topk": similarity.ann_topk,
@@ -238,6 +239,7 @@ def oracle_sql() -> dict[str, str]:
         "word_jaccard_pairs": dedup.WORD_JACCARD_SQL,
         "minhash_lsh_pairs": dedup.MINHASH_LSH_SQL,
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
+        "dedup_keep_list": dedup.DEDUP_KEEP_LIST_SQL,
         "simhash64": dedup.SIMHASH64_SQL,
         "ann_topk": similarity.ANN_TOPK_SQL,
         "cosine_dup_pairs": similarity.COSINE_DUP_PAIRS_SQL,

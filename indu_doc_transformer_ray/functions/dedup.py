@@ -554,6 +554,117 @@ FROM reach GROUP BY a ORDER BY doc_id
 """
 
 
+def dedup_keep_list(sf_dir: str) -> Dataset:
+    """The end-to-end corpus dedup decision — the keep-list a training-data
+    pipeline actually consumes: a document survives unless it is (a) an
+    exact duplicate of a lower doc_id (md5 text hash) or (b) a member of a
+    MinHash near-dup cluster without being the cluster's rep (min doc_id).
+
+    Composition of ``dedup_exact`` semantics + ``dedup_clusters``; the final
+    fold is one bucketed co-location of (all docs, exact-drop markers,
+    near-drop markers).  Returns (doc_id) rows."""
+    import pandas as pd
+
+    # exact-dup DROPS: per md5(text) group, everything above the min doc_id
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        h = [
+            hashlib.md5(t.encode()).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        hb = [int(x[:2], 16) for x in h]  # coarse hash-prefix bucket
+        return pa.table(
+            {
+                "hb": pa.array(hb, pa.int32()),
+                "h": pa.array(h, pa.string()),
+                "doc_id": batch.column("doc_id"),
+            }
+        )
+
+    def exact_drops(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.groupby("h")["doc_id"].transform("min")
+        d = g[g["doc_id"] != keep]
+        return pd.DataFrame({"doc_id": d["doc_id"].astype("int64")})
+
+    ex_drop = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(hash_rows, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(exact_drops, batch_format="pandas")
+    )
+
+    # near-dup DROPS: cluster members that are not the rep
+    def near_drops(t: pd.DataFrame) -> pd.DataFrame:
+        d = t[t["doc_id"] != t["cluster_rep"]]
+        return pd.DataFrame({"doc_id": d["doc_id"].astype("int64")})
+
+    nd_drop = dedup_clusters(sf_dir).map_batches(
+        near_drops, batch_format="pandas"
+    )
+
+    # final fold: all docs minus both drop sets (bucketed co-location)
+    def all_docs(t: pd.DataFrame) -> pd.DataFrame:
+        k = t["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "gb": (k % GROUP_BUCKETS).astype("int32"),
+                "doc_id": k,
+                "is_drop": pd.Series([0] * len(t), dtype="int32").values,
+            }
+        )
+
+    def drop_rows(t: pd.DataFrame) -> pd.DataFrame:
+        k = t["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "gb": (k % GROUP_BUCKETS).astype("int32"),
+                "doc_id": k,
+                "is_drop": pd.Series([1] * len(t), dtype="int32").values,
+            }
+        )
+
+    u = (
+        _read_docs(sf_dir, ["doc_id"])
+        .map_batches(all_docs, batch_format="pandas")
+        .union(ex_drop.map_batches(drop_rows, batch_format="pandas"))
+        .union(nd_drop.map_batches(drop_rows, batch_format="pandas"))
+    )
+
+    def survivors(g: pd.DataFrame) -> pd.DataFrame:
+        dropped = set(g[g["is_drop"] == 1]["doc_id"])
+        keep = g[(g["is_drop"] == 0) & ~g["doc_id"].isin(dropped)]
+        return pd.DataFrame({"doc_id": keep["doc_id"].astype("int64")})
+
+    return u.groupby("gb").map_groups(survivors, batch_format="pandas")
+
+
+DEDUP_KEEP_LIST_SQL = f"""
+WITH RECURSIVE pairs AS ({MINHASH_LSH_SQL.replace("ORDER BY doc_a, doc_b", "")}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_rep FROM reach GROUP BY a
+),
+exact_drop AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+    FROM documents
+  ) WHERE doc_id != keep
+),
+near_drop AS (SELECT doc_id FROM clusters WHERE doc_id != cluster_rep)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM exact_drop)
+  AND doc_id NOT IN (SELECT doc_id FROM near_drop)
+ORDER BY doc_id
+"""
+
+
 # -- SimHash ----------------------------------------------------------------
 
 class SimHash64:
