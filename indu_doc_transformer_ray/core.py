@@ -209,15 +209,19 @@ def merge_tag_with_footer(
     footer_tags: Iterable[str],
     config: AspectConfig,
     pattern: re.Pattern | None = None,
+    foot: dict[str, str] | None = None,
 ) -> str:
     """Complete an incomplete page tag from the footer hierarchy
     (tag.py:178-224): walk separators in priority order, stop at the first
     level the page tag itself provides, and prepend footer values for the
     levels above it.  Returns the completed tag string (pin part stripped,
-    as the Tag constructor would)."""
+    as the Tag constructor would).  ``foot`` may carry a precomputed
+    ``footer_tag_parts`` result (pure-function cache hook: the same footer
+    recurs for every tag on a page)."""
     stripped = strip_pin(tag_str)
     page_parts = tag_parts(stripped, config, pattern)
-    foot = footer_tag_parts(footer_tags, config, pattern)
+    if foot is None:
+        foot = footer_tag_parts(footer_tags, config, pattern)
     prefix = ""
     for sep in config.separators:
         if sep in page_parts and page_parts[sep]:

@@ -122,6 +122,9 @@ class ExtractionStore:
         # merge re-parses several strings, and identical raw tags under the
         # same footer recur constantly within a document
         self._merge_cache: dict[tuple, str] = {}
+        # footer tuple -> parsed footer_tag_parts (each merge-cache MISS
+        # would otherwise re-parse every footer tag string)
+        self._footer_cache: dict[tuple, dict] = {}
         # successful aspect parses: aspect_str -> (sep, value); failures are
         # NOT cached because each failing call must emit its page error
         # (mirroring the reference's re-parse per call, god.py:302-340)
@@ -234,11 +237,18 @@ class ExtractionStore:
         """Footer-merge + parse + aspect side-effects; cached per final tag
         string.  Returns ``(final_tag_str, parts)``."""
         if page.footer:
-            mkey = (tag_str, tuple(page.footer.tags))
+            ftags = tuple(page.footer.tags)
+            mkey = (tag_str, ftags)
             final = self._merge_cache.get(mkey)
             if final is None:
+                foot = self._footer_cache.get(ftags)
+                if foot is None:
+                    foot = core.footer_tag_parts(
+                        ftags, self.config, self.pattern
+                    )
+                    self._footer_cache[ftags] = foot
                 final = core.merge_tag_with_footer(
-                    tag_str, page.footer.tags, self.config, self.pattern
+                    tag_str, ftags, self.config, self.pattern, foot=foot
                 )
                 self._merge_cache[mkey] = final
         else:
