@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (37 of 43, incl. MinHash-LSH/SimHash/winnowing via
+                      (38 of 44, incl. MinHash-LSH/SimHash/winnowing via
                       md5-based hashing and integer-exact scoring); the five
                       rows-only ops are extraction semantics (pytest holds
                       their equality gate vs the single-process oracle),
@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_keep_list": dedup.dedup_keep_list,
         "simhash64": dedup.simhash64,
+        "simhash_pairs": dedup.simhash_pairs,
         # similarity search
         "ann_topk": similarity.ann_topk,
         "cosine_dup_pairs": similarity.cosine_dup_pairs,
@@ -241,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
         "dedup_keep_list": dedup.DEDUP_KEEP_LIST_SQL,
         "simhash64": dedup.SIMHASH64_SQL,
+        "simhash_pairs": dedup.SIMHASH_PAIRS_SQL,
         "ann_topk": similarity.ANN_TOPK_SQL,
         "cosine_dup_pairs": similarity.COSINE_DUP_PAIRS_SQL,
         "label_centroid_sims": similarity.LABEL_CENTROID_SQL,

@@ -752,6 +752,96 @@ FROM documents d LEFT JOIN vals USING (doc_id) ORDER BY d.doc_id
 """
 
 
+SIMHASH_PAIR_BANDS = 9  # pigeonhole: hamming <= 8 => >= 1 of 9 bands equal
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> Dataset:
+    """SimHash near-dup pairs with EXACT recall, sub-quadratically: split
+    the 64-bit signature into ``SIMHASH_PAIR_BANDS`` disjoint bands — by
+    pigeonhole, any pair within ``max_hamming`` = bands-1 bits agrees on at
+    least one whole band — group by (band, band value), verify the true
+    Hamming distance in-bucket from the carried signatures (no join-back),
+    and dedupe pairs found via several bands with one aggregate.  Unlike
+    probabilistic LSH this misses NOTHING, so it shares an exact SQL
+    oracle.  Output: (doc_a, doc_b, hamming)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Min
+
+    # band bit layout: band 0 = bits 0-7 (8 bits), bands 1..8 = 7 bits each
+    widths = [8] + [7] * 8
+    offsets = np.cumsum([0] + widths[:-1]).tolist()
+
+    sig = simhash64(sf_dir)
+
+    def band_rows(t: pd.DataFrame) -> pd.DataFrame:
+        h = np.asarray(t["simhash"], dtype=np.int64).view(np.uint64)
+        ids = t["doc_id"].astype("int64").to_numpy()
+        frames = []
+        for b, (off, w) in enumerate(zip(offsets, widths)):
+            val = (h >> np.uint64(off)) & np.uint64((1 << w) - 1)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "gb": ((b * 257 + val.astype("int64")) % GROUP_BUCKETS)
+                              .astype("int32"),
+                        "band": pd.Series([b] * len(ids), dtype="int32").values,
+                        "val": val.astype("int64"),
+                        "doc_id": ids,
+                        "simhash": t["simhash"].astype("int64").to_numpy(),
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_h = [], [], []
+        for (_b, _v), grp in g.groupby(["band", "val"]):
+            if len(grp) < 2:
+                continue
+            grp = grp.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = grp["doc_id"].to_numpy()
+            hs = np.asarray(grp["simhash"], dtype=np.int64).view(np.uint64)
+            if len(ids) > MAX_BUCKET:
+                ids, hs = ids[:MAX_BUCKET], hs[:MAX_BUCKET]
+            for i in range(len(ids)):
+                x = hs[i] ^ hs[i + 1:]
+                ham = np.array(
+                    [bin(int(v)).count("1") for v in x], dtype=np.int64
+                )
+                hit = np.where(ham <= max_hamming)[0]
+                for j in hit:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[i + 1 + j]))
+                    out_h.append(int(ham[j]))
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(out_a, dtype="int64"),
+                "doc_b": pd.Series(out_b, dtype="int64"),
+                "hamming": pd.Series(out_h, dtype="int64"),
+            }
+        )
+
+    return (
+        sig.map_batches(band_rows, batch_format="pandas")
+        .groupby("gb")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))  # dedup across bands
+    )
+
+
+SIMHASH_PAIRS_SQL = f"""
+WITH s AS ({SIMHASH64_SQL.replace("ORDER BY d.doc_id", "")})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+ORDER BY doc_a, doc_b
+"""
+
+
 # -- exact word-set Jaccard pairs (bounded subset, SQL-checkable) -----------
 
 def word_jaccard_pairs(sf_dir: str, max_doc_id: int = 120, threshold: float = 0.5):
