@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (38 of 44, incl. MinHash-LSH/SimHash/winnowing via
+                      (39 of 45, incl. MinHash-LSH/SimHash/winnowing via
                       md5-based hashing and integer-exact scoring); the five
                       rows-only ops are extraction semantics (pytest holds
                       their equality gate vs the single-process oracle),
@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
         "q5_nation_revenue": relational.q5_nation_revenue,
+        "region_revenue": relational.region_revenue,
         "top_parts_by_price": relational.top_parts_by_price,
         "orders_per_status": relational.orders_per_status,
         "part_type_stats": relational.part_type_stats,
@@ -211,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,
+        "region_revenue": relational.REGION_REVENUE_SQL,
         "top_parts_by_price": relational.TOP_PARTS_SQL,
         "orders_per_status": relational.ORDERS_PER_STATUS_SQL,
         "part_type_stats": relational.PART_TYPE_STATS_SQL,

@@ -309,6 +309,65 @@ FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
 """
 
 
+# -- region rollup: q5 extended one dimension level --------------------------
+
+def region_revenue(sf_dir: str) -> "object":
+    """Revenue per REGION: the q5 join chain rolled up one more dimension
+    level.  The two scaling joins (orders x customer, lineitem x orders)
+    stay hash-partitioned ``Dataset.join``s; nation (25 rows) and region
+    (5 rows) decorate the 25-row aggregate on the driver."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    o_nation = orders.join(
+        cust, join_type="inner", num_partitions=join_partitions(),
+        on=("o_custkey",), right_on=("c_custkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]), pc.subtract(100, _cents(t["l_discount"]))
+        )
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue_c4": rev})
+
+    joined = li.map_batches(revenue, batch_format="pyarrow").join(
+        o_nation, join_type="inner", num_partitions=join_partitions(),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+    agg = (
+        joined.groupby("c_nationkey")
+        .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
+        .to_pandas()  # 25 rows
+    )
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    out = (
+        agg.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+        .groupby("r_name", as_index=False)["revenue_c4"].sum()
+        .sort_values("r_name")
+        .reset_index(drop=True)
+    )
+    out["revenue_c4"] = out["revenue_c4"].astype("int64")
+    return out
+
+
+REGION_REVENUE_SQL = """
+SELECT r_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
 # -- anti-join: customers with no orders ------------------------------------
 
 def customers_no_orders(sf_dir: str) -> Dataset:
