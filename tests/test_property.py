@@ -188,3 +188,79 @@ def test_pagesettings_specs_roundtrip(cfg):
     back = _Mem("<mem>", pages_setup={})
     back.from_json(m.to_json())
     assert page_specs_from_settings(back) == specs
+
+
+SPAN_KINDS = st.sampled_from(
+    ["page_break", "title", "footer_cell", "cell", "char_run", "text",
+     "media", "garbage_kind"]
+)
+SPAN_TEXT = st.text(
+    alphabet=string.printable + "\x1f\x1e", min_size=0, max_size=40
+)
+
+
+@st.composite
+def raw_spans(draw):
+    from indu_doc_transformer_ray.spandoc import Span
+
+    n = draw(st.integers(min_value=0, max_value=40))
+    return [
+        Span(draw(SPAN_KINDS), draw(SPAN_TEXT), "", i) for i in range(n)
+    ]
+
+
+@given(raw_spans())
+@settings(max_examples=300, deadline=None)
+def test_arbitrary_spans_never_crash(spans):
+    """Dirty-corpus guarantee: any byte-garbage span sequence flows through
+    split -> classify -> table build -> emit without raising — failures
+    surface as error RECORDS, never exceptions (the reference's error
+    envelope, table_extractor.py:183-216)."""
+    from indu_doc_transformer_ray import emit
+    from indu_doc_transformer_ray.core import default_config
+    from indu_doc_transformer_ray.spandoc import split_pages
+    from indu_doc_transformer_ray.store import ExtractionStore
+
+    store = ExtractionStore(default_config)
+    for page in split_pages(spans):
+        emit.process_page("doc-fuzz", page, store)
+    # error log rows are well-formed (doc, page, severity, message)
+    for d, p, sev, msg in store.error_log:
+        assert d == "doc-fuzz" and isinstance(p, int) and isinstance(msg, str)
+        assert sev in ("INFO", "WARNING", "FAULT", "UNKNOWN_ERROR")
+
+
+@st.composite
+def classified_garbage_pages(draw):
+    """Pages that PASS classification+footer, then hit the table builder
+    with garbage cell/char_run payloads."""
+    from indu_doc_transformer_ray.pagemodel import PAGE_SPECS
+    from indu_doc_transformer_ray.spandoc import US, Span
+
+    spans = [Span("page_break", "", "", 0)]
+    spec = draw(st.sampled_from(sorted(PAGE_SPECS.values(),
+                                       key=lambda s: str(s.page_type))))
+    spans.append(Span("title", spec.search_name, "", 1))
+    spans.append(Span("footer_cell", f"project{US}P", "", 2))
+    spans.append(Span("footer_cell", f"product{US}M", "", 3))
+    off = 4
+    n = draw(st.integers(min_value=0, max_value=25))
+    for _ in range(n):
+        kind = draw(st.sampled_from(["cell", "char_run", "text"]))
+        body = draw(st.text(alphabet=string.printable + "\x1f", max_size=30))
+        spans.append(Span(kind, body, "", off))
+        off += 1
+    return spans
+
+
+@given(classified_garbage_pages())
+@settings(max_examples=300, deadline=None)
+def test_classified_pages_with_garbage_tables_never_crash(spans):
+    from indu_doc_transformer_ray import emit
+    from indu_doc_transformer_ray.core import default_config
+    from indu_doc_transformer_ray.spandoc import split_pages
+    from indu_doc_transformer_ray.store import ExtractionStore
+
+    store = ExtractionStore(default_config)
+    for page in split_pages(spans):
+        emit.process_page("doc-fuzz2", page, store)
