@@ -116,6 +116,22 @@ def run_extraction(
     shards = min(shards, len(files))
     os.makedirs(os.path.join(out_dir, "manifests"), exist_ok=True)
 
+    # purge orphans from a previous run with MORE shards: their dirs would
+    # otherwise feed stale rows into the merge (which reads extracted/ whole)
+    ex_dir = os.path.join(out_dir, "extracted")
+    if os.path.isdir(ex_dir):
+        for d in os.listdir(ex_dir):
+            if d.startswith("shard="):
+                k = int(d.split("=")[1].split(".")[0])
+                if k >= shards:
+                    shutil.rmtree(os.path.join(ex_dir, d), ignore_errors=True)
+    man_dir = os.path.join(out_dir, "manifests")
+    for f in os.listdir(man_dir):
+        if f.startswith("shard-") and f.endswith(".json"):
+            k = int(f.removeprefix("shard-").removesuffix(".json"))
+            if k >= shards:
+                os.remove(os.path.join(man_dir, f))
+
     # Size concurrent pipelines + their fixed actor pools so the pools NEVER
     # reserve every CPU: concurrent pipelines do not coordinate reservations,
     # and a box fully held by (idle) pool actors starves the read/write
@@ -131,12 +147,16 @@ def run_extraction(
 
     def run_shard(k: int) -> ShardResult:
         mpath = _manifest_path(out_dir, k)
+        shard_files = files[k::shards]
         if os.path.exists(mpath):
             m = json.load(open(mpath))
-            if m.get("complete"):
+            # lineage check: a manifest only skips the shard when it covers
+            # the SAME input files — a grown/changed corpus (incremental
+            # ingest) invalidates the shard instead of silently dropping the
+            # new files
+            if m.get("complete") and m.get("input_files") == shard_files:
                 return ShardResult(k, True, m["n_docs"], m["n_pages"],
                                    m["n_spans_in"], m["n_errors"], m["wall_s"])
-        shard_files = files[k::shards]
         shard_dir = os.path.join(out_dir, "extracted", f"shard={k:05d}")
         tmp_dir = shard_dir + ".tmp"
         shutil.rmtree(tmp_dir, ignore_errors=True)
@@ -195,6 +215,22 @@ def run_extraction(
     return results
 
 
+def _shard_fingerprint(out_dir: str) -> str:
+    """Digest over every shard manifest's lineage + counts: the merge skips
+    only when the extraction it folded is bit-for-bit the current one."""
+    import hashlib
+
+    man_dir = os.path.join(out_dir, "manifests")
+    parts = []
+    for f in sorted(os.listdir(man_dir)):
+        if f.startswith("shard-"):
+            m = json.load(open(os.path.join(man_dir, f)))
+            parts.append(json.dumps(
+                [f, m.get("input_files"), m.get("n_docs"),
+                 m.get("n_spans_in")], sort_keys=True))
+    return hashlib.md5("\n".join(parts).encode()).hexdigest()
+
+
 def run_merge(out_dir: str, n_bucket_chars: int = 2) -> dict:
     """Phase 2: the object merge WITHOUT an all-to-all shuffle.
 
@@ -218,9 +254,12 @@ def run_merge(out_dir: str, n_bucket_chars: int = 2) -> dict:
     from .extract import _bucketize, _explode_deltas, _fold_bucket
 
     mpath = os.path.join(out_dir, "manifests", "merge.json")
+    fingerprint = _shard_fingerprint(out_dir)
     if os.path.exists(mpath):
         m = json.load(open(mpath))
-        if m.get("complete"):
+        # a merge is only reusable for the exact shard set it folded —
+        # re-extracted shards (incremental ingest) invalidate it
+        if m.get("complete") and m.get("shard_fingerprint") == fingerprint:
             return m
     t0 = time.time()
 
@@ -282,6 +321,7 @@ def run_merge(out_dir: str, n_bucket_chars: int = 2) -> dict:
         "complete": True,
         "n_objects": int(n_objects),
         "wall_s": time.time() - t0,
+        "shard_fingerprint": fingerprint,
     }
     with open(mpath + ".tmp", "w") as f:
         json.dump(manifest, f, indent=1)

@@ -101,3 +101,43 @@ def test_run_extraction_progress_events(ray_session, tmp_path):
     assert kinds[-1] == "processing_completed"
     assert kinds.count("shard_completed") == 2
     assert events[-1]["n_docs"] == sum(r.n_docs for r in results) == 12
+
+
+def test_incremental_ingest_invalidates_stale_state(ray_session, tmp_path):
+    """Growing the input corpus between runs must recompute affected shards
+    AND the merge — a stale manifest may only skip work for the exact file
+    list it covered."""
+    import ray.data
+
+    from indu_doc_transformer_ray.fixtures import corpus_table
+    from indu_doc_transformer_ray.pipelines.runner import (
+        run_extraction,
+        run_merge,
+    )
+
+    src = tmp_path / "corpus"
+    ray.data.from_arrow(corpus_table(10, seed=5)).repartition(2).write_parquet(
+        str(src)
+    )
+    out = str(tmp_path / "out")
+    r1 = run_extraction(str(src), out, shards=2)
+    m1 = run_merge(out)
+    assert sum(r.n_docs for r in r1) == 10
+
+    # incremental ingest: 6 new documents arrive as a new file
+    extra = corpus_table(16, seed=5).slice(10, 6)
+    import pyarrow.parquet as pq
+
+    pq.write_table(extra, str(src / "zz_new.parquet"))
+
+    r2 = run_extraction(str(src), out, shards=2)
+    m2 = run_merge(out)
+    assert sum(r.n_docs for r in r2) == 16
+    assert not all(r.skipped for r in r2)  # changed shards recomputed
+    assert m2["n_objects"] > m1["n_objects"]  # merge re-folded, not skipped
+
+    # from-scratch run over the grown corpus gives the identical result
+    out2 = str(tmp_path / "out2")
+    run_extraction(str(src), out2, shards=2)
+    m3 = run_merge(out2)
+    assert m3["n_objects"] == m2["n_objects"]
