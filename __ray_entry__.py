@@ -70,7 +70,6 @@ def _extract_object_stats(sf_dir: str):
     across batches and ``groupby(kind).Sum`` folds to <=9 rows.  COUNT
     DISTINCT and SUM ride the same two shuffles; nothing corpus-sized
     touches the driver."""
-    import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
 

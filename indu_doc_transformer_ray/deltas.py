@@ -35,7 +35,6 @@ Python, the thing a ``map_groups`` merge would cost at 10^12-doc scale.
 
 from __future__ import annotations
 
-import hashlib
 import json
 from typing import Any, Iterable
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 import json
 import sqlite3
 import xml.etree.ElementTree as ET
-from typing import Any, Optional
+from typing import Any
 
 from . import core
 from .core import AspectConfig, default_config, tag_parts

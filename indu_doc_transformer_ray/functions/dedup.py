@@ -19,7 +19,6 @@ import hashlib
 import re
 
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray.data
 from ray.data import Dataset

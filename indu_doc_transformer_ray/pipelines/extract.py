@@ -30,7 +30,6 @@ import pyarrow.compute as pc
 
 import ray.data
 from ray.data import Dataset
-from ray.data.aggregate import Max
 
 from ..core import AspectConfig, default_config
 from ..deltas import (

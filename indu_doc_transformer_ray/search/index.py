@@ -20,14 +20,13 @@ Search = a map_batches boolean filter evaluating the parsed query per doc
 from __future__ import annotations
 
 import json
-from typing import Any, Optional
 
 import pyarrow as pa
 
 from ray.data import Dataset
 
 from ..core import normalize_string
-from .query import Filter, matches, merge_search_tree, parse_query
+from .query import matches, merge_search_tree, parse_query
 
 
 # -- search-entry shaping (Attribute.get_search_entries per type) -----------

@@ -21,7 +21,7 @@ what guarantees bit-identical semantics between the two.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Optional
 
 from .pagemodel import PageSpec, Severity, TableSpec

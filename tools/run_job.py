@@ -103,9 +103,6 @@ def main() -> None:
 
     if args.export:
         from indu_doc_transformer_ray import exporters
-        from indu_doc_transformer_ray.pipelines.extract import (
-            decode_object_batch,
-        )
         from indu_doc_transformer_ray.pipelines.runner import object_table
 
         tables = {}
