@@ -93,6 +93,12 @@ class DocumentExtractor:
             if config_records
             else default_config
         )
+        # cross-document caches shared by every per-doc store this actor
+        # creates (pure-function results only); bounded by the distinct
+        # values the actor sees — cleared past a safety cap per batch
+        self.attr_memo: dict = {}
+        self.merge_memo: dict = {}
+        self.footer_memo: dict = {}
         if page_settings_json:
             # register JSON page-spec overrides IN THIS WORKER PROCESS (the
             # driver's module state does not propagate to Ray actors); only
@@ -118,6 +124,11 @@ class DocumentExtractor:
             )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # memory-safety cap: an adversarial corpus with unbounded distinct
+        # attrs/tags would otherwise grow the actor memos without limit
+        for memo in (self.attr_memo, self.merge_memo, self.footer_memo):
+            if len(memo) > 1_000_000:
+                memo.clear()
         doc_ids = batch.column("doc_id").to_pylist()
         # flat-column decode: four plain-list conversions + offset slicing
         # beat list<struct>.to_pylist's per-span dict materialization
@@ -156,7 +167,10 @@ class DocumentExtractor:
 
         for i, doc_id in enumerate(doc_ids):
             a, b = in_offsets[i], in_offsets[i + 1]
-            store = ExtractionStore(self.config)
+            store = ExtractionStore(
+                self.config, attr_memo=self.attr_memo,
+                merge_memo=self.merge_memo, footer_memo=self.footer_memo,
+            )
             spans = [
                 Span(k, t, r, o)
                 for k, t, r, o in zip(

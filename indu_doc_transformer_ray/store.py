@@ -108,8 +108,19 @@ class PageCtx:
 class ExtractionStore:
     """Create/dedup/merge factory for all extracted object kinds."""
 
-    def __init__(self, config: AspectConfig):
+    def __init__(
+        self,
+        config: AspectConfig,
+        attr_memo: Optional[dict] = None,
+        merge_memo: Optional[dict] = None,
+        footer_memo: Optional[dict] = None,
+    ):
         self.config = config
+        # optional CROSS-DOCUMENT memos shared by the owning actor — all
+        # pure-function results ((name,value)->attr, (tag,footer)->merged
+        # tag, footer->parsed parts): fresh per-doc stores re-derive the
+        # same few hundred entries for every document otherwise
+        self._attr_memo = attr_memo
         self.pattern = core.compile_separator_pattern(config)
         self.attributes: dict[str, AttrRec] = {}
         self.aspects: dict[str, AspectRec] = {}
@@ -121,10 +132,14 @@ class ExtractionStore:
         # (raw tag_str, footer tags) -> final merged tag string; the footer
         # merge re-parses several strings, and identical raw tags under the
         # same footer recur constantly within a document
-        self._merge_cache: dict[tuple, str] = {}
+        self._merge_cache: dict[tuple, str] = (
+            merge_memo if merge_memo is not None else {}
+        )
         # footer tuple -> parsed footer_tag_parts (each merge-cache MISS
         # would otherwise re-parse every footer tag string)
-        self._footer_cache: dict[tuple, dict] = {}
+        self._footer_cache: dict[tuple, dict] = (
+            footer_memo if footer_memo is not None else {}
+        )
         # successful aspect parses: aspect_str -> (sep, value); failures are
         # NOT cached because each failing call must emit its page error
         # (mirroring the reference's re-parse per call, god.py:302-340)
@@ -169,10 +184,24 @@ class ExtractionStore:
         return existing
 
     def simple_attr(self, name: str, value: str) -> AttrRec:
-        return self._attr(
+        memo = self._attr_memo
+        if memo is not None:
+            hit = memo.get((name, value))
+            if hit is not None:
+                guid, vj = hit
+                existing = self.attributes.get(guid)
+                if existing is not None:
+                    return existing
+                rec = AttrRec(guid, "SimpleAttribute", name, vj)
+                self.attributes[guid] = rec
+                return rec
+        rec = self._attr(
             core.simple_attr_guid(name, value),
             "SimpleAttribute", name, {"name": name, "value": value},
         )
+        if memo is not None:
+            memo[(name, value)] = (rec.guid, rec.value_json)
+        return rec
 
     def routing_attr(self, name: str, tracks_str: str, sep: str = ";") -> AttrRec:
         tracks = tracks_str.split(sep)
