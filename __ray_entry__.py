@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (39 of 45, incl. MinHash-LSH/SimHash/winnowing via
+                      (40 of 46, incl. MinHash-LSH/SimHash/winnowing via
                       md5-based hashing and integer-exact scoring); the five
                       rows-only ops are extraction semantics (pytest holds
                       their equality gate vs the single-process oracle),
@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_fingerprint": text.winnow_fingerprint,
         "vocab_topk": text.vocab_topk,
         "doclen_percentiles": text.doclen_percentiles,
+        "doclen_percentiles_by_lang": text.doclen_percentiles_by_lang,
         "tfidf_top_terms": text.tfidf_top_terms,
         "stratified_sample": text.stratified_sample,
         # dedup
@@ -234,6 +235,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprint": text.WINNOW_SQL,
         "vocab_topk": text.VOCAB_TOPK_SQL,
         "doclen_percentiles": text.DOCLEN_PERCENTILES_SQL,
+        "doclen_percentiles_by_lang": text.DOCLEN_BY_LANG_SQL,
         "tfidf_top_terms": text.TFIDF_TOP_TERMS_SQL,
         "stratified_sample": text.STRATIFIED_SAMPLE_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,

@@ -393,6 +393,59 @@ WHERE rk <= 3
 """
 
 
+def doclen_percentiles_by_lang(sf_dir: str) -> "object":
+    """Exact token-length percentiles (p50/p90) PER LANGUAGE stratum — the
+    grouped variant of ``doclen_percentiles``: one groupby over distinct
+    (lang, length) pairs (O(strata x domain), not O(docs)), folded to
+    per-stratum discrete quantiles with integer-exact index math."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    def lengths(t: pa.Table) -> pa.Table:
+        n = [len(TOKEN_RE.findall(x.lower())) for x in t.column("text").to_pylist()]
+        return pa.table(
+            {"lang": t.column("lang"), "n_tokens": pa.array(n, pa.int64())}
+        )
+
+    hist = (
+        _read_docs(sf_dir, ["text", "lang"])
+        .map_batches(lengths, batch_format="pyarrow")
+        .groupby(["lang", "n_tokens"])
+        .aggregate(Count(alias_name="cnt"))
+        .to_pandas()  # one row per distinct (lang, length)
+    )
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_tokens").reset_index(drop=True)
+        total = int(g["cnt"].sum())
+        cum = g["cnt"].cumsum()
+        for pct in (50, 90):
+            k = (total - 1) * pct // 100
+            val = int(g["n_tokens"][cum > k].iloc[0])
+            rows.append((lang, pct, val))
+    return pd.DataFrame(rows, columns=["lang", "pct", "n_tokens"]).astype(
+        {"pct": "int64", "n_tokens": "int64"}
+    ).sort_values(["lang", "pct"]).reset_index(drop=True)
+
+
+DOCLEN_BY_LANG_SQL = """
+WITH l AS (
+  SELECT lang, len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n
+  FROM documents
+), o AS (
+  SELECT lang, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS total
+  FROM l
+)
+SELECT lang, CAST(p.pct AS BIGINT) AS pct, CAST(o.n AS BIGINT) AS n_tokens
+FROM (VALUES (50), (90)) p(pct)
+JOIN o ON o.rn = (o.total - 1) * p.pct // 100
+ORDER BY lang, pct
+"""
+
+
 def tfidf_top_terms(sf_dir: str, k: int = 3) -> Dataset:
     """Per-document top-k TF-IDF terms with INTEGER scoring
     (score = tf * ((N*1000) // df) — exact on both engines, no cross-libm
