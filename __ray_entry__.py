@@ -156,6 +156,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "events_hopping": relational.events_hopping,
         "user_event_counts": relational.user_event_counts,
+        "q4_order_priority": relational.q4_order_priority,
+        "q10_returned_items": relational.q10_returned_items,
+        "q14_promo_revenue": relational.q14_promo_revenue,
+        "q18_large_orders": relational.q18_large_orders,
         "q6_revenue_filtered": relational.q6_revenue_filtered,
         "top2_orders_per_customer": relational.top2_orders_per_customer,
         "distinct_types_union": relational.distinct_types_union,
@@ -176,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doclen_percentiles_by_lang": text.doclen_percentiles_by_lang,
         "tfidf_top_terms": text.tfidf_top_terms,
         "stratified_sample": text.stratified_sample,
+        "repetition_stats": text.repetition_stats,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
@@ -190,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dup_pairs": similarity.cosine_dup_pairs,
         "lsh_cosine_pairs": similarity.lsh_cosine_pairs,
         "lsh_bucket_topk": similarity.lsh_bucket_topk,
+        "ivf_topk": similarity.ivf_topk,
         "label_centroid_sims": similarity.label_centroid_sims,
         "kmeans_assign": similarity.kmeans_assign,
         # extraction flagship (rows-only; pytest holds the equality gate)
@@ -220,6 +226,10 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": relational.EVENTS_HOURLY_SQL,
         "events_hopping": relational.EVENTS_HOPPING_SQL,
         "user_event_counts": relational.USER_EVENT_COUNTS_SQL,
+        "q4_order_priority": relational.Q4_SQL,
+        "q10_returned_items": relational.Q10_SQL,
+        "q14_promo_revenue": relational.Q14_SQL,
+        "q18_large_orders": relational.Q18_SQL,
         "q6_revenue_filtered": relational.Q6_SQL,
         "top2_orders_per_customer": relational.TOP2_PER_CUSTOMER_SQL,
         "distinct_types_union": relational.DISTINCT_TYPES_UNION_SQL,
@@ -238,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
         "doclen_percentiles_by_lang": text.DOCLEN_BY_LANG_SQL,
         "tfidf_top_terms": text.TFIDF_TOP_TERMS_SQL,
         "stratified_sample": text.STRATIFIED_SAMPLE_SQL,
+        "repetition_stats": text.REPETITION_STATS_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_prefix": dedup.DEDUP_PREFIX_SQL,
         "word_jaccard_pairs": dedup.WORD_JACCARD_SQL,

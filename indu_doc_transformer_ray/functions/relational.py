@@ -416,6 +416,238 @@ GROUP BY c_nationkey
 """
 
 
+# -- q4-style semi-join: order priority check -------------------------------
+
+def q4_order_priority(sf_dir: str) -> "object":
+    """Orders-per-priority where at least one lineitem shipped with quantity
+    > 45 — the distributed EXISTS/semi-join: a vectorized ``filter(expr=...)``
+    over lineitem, distinct orderkeys via groupby (no driver key set), then a
+    hash-partitioned inner ``Dataset.join`` back to orders.  Both join sides
+    scale with SF."""
+    import pandas as pd
+
+    hot = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .filter(expr="l_quantity > 45.0")
+        .groupby("l_orderkey")
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["l_orderkey"])
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    out = (
+        orders.join(
+            hot,
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("o_orderkey",),
+            right_on=("l_orderkey",),
+            aggregator_ray_remote_args={"num_cpus": 0},
+        )
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+        .to_pandas()  # 5 rows — one per priority
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+Q4_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders SEMI JOIN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45) l
+  ON o_orderkey = l.l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# -- q10-style returned-item report -----------------------------------------
+
+def q10_returned_items(sf_dir: str) -> "object":
+    """Top-20 customers by revenue on returned ('R') lineitems: lineitem ⋈
+    orders (both scale — hash-partitioned ``Dataset.join``), groupby custkey,
+    top-k sort+limit; only the FINAL 20 rows land on the driver, decorated
+    with c_name via a broadcast ``pc.is_in`` probe of customer (no
+    scaling-table materialization)."""
+    import pandas as pd
+
+    li = (
+        _read(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+        )
+        .filter(expr="l_returnflag == 'R'")
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]), pc.subtract(100, _cents(t["l_discount"]))
+        )
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue_c4": rev})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    top = (
+        li.map_batches(revenue, batch_format="pyarrow")
+        .join(
+            orders,
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+            aggregator_ray_remote_args={"num_cpus": 0},
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
+        .sort(["revenue_c4", "o_custkey"], descending=[True, False])
+        .limit(20)
+        .to_pandas()  # bounded: exactly 20 rows at any SF
+    )
+    keys = pa.array(top["o_custkey"].astype("int64"))
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(pc.cast(t["c_custkey"], pa.int64()), keys))
+
+    names = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()  # 20 rows
+    )
+    out = top.merge(names, left_on="o_custkey", right_on="c_custkey")
+    out = out[["c_custkey", "c_name", "revenue_c4"]]
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    out["revenue_c4"] = out["revenue_c4"].astype("int64")
+    return out.sort_values(
+        ["revenue_c4", "c_custkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+
+
+Q10_SQL = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue_c4 DESC, c_custkey
+LIMIT 20
+"""
+
+
+# -- q14-style promo revenue share ------------------------------------------
+
+def q14_promo_revenue(sf_dir: str) -> "object":
+    """Promo vs total revenue: lineitem ⋈ part on PARTKEY — the second join
+    key family (every other join here is orderkey/custkey), both sides
+    scaling with SF — then per-batch partial sums folded to one row (the
+    ratio stays integer-exact as a (promo_c4, total_c4) pair)."""
+    import pandas as pd
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    joined = li.join(
+        part,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]), pc.subtract(100, _cents(t["l_discount"]))
+        )
+        promo = pc.equal(t["p_type"], "PROMO")
+        promo_sum = pc.sum(pc.if_else(promo, rev, 0)).as_py() or 0
+        total_sum = pc.sum(rev).as_py() or 0
+        return pa.table(
+            {
+                "promo_c4": pa.array([promo_sum], pa.int64()),
+                "total_c4": pa.array([total_sum], pa.int64()),
+            }
+        )
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "promo_revenue_c4": [int(parts["promo_c4"].sum())],
+            "total_revenue_c4": [int(parts["total_c4"].sum())],
+        }
+    )
+
+
+Q14_SQL = """
+SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                THEN CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                ELSE 0 END) AS BIGINT) AS promo_revenue_c4,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS total_revenue_c4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+# -- q18-style large-volume orders ------------------------------------------
+
+def q18_large_orders(sf_dir: str) -> Dataset:
+    """Orders whose total lineitem quantity exceeds 150 (GROUP BY + HAVING),
+    joined back to orders for customer/price — aggregate-then-filter with a
+    vectorized ``filter(expr=...)`` on the aggregate, then a hash-partitioned
+    ``Dataset.join``.  Returned as a sorted Dataset (the result scales with
+    SF, so it never lands on the driver)."""
+    qty = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "qty": pc.cast(t["l_quantity"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("l_orderkey")
+        .aggregate(Sum("qty", alias_name="sum_qty"))
+        .filter(expr="sum_qty > 150")
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    joined = qty.join(
+        orders,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "sum_qty": pc.cast(t["sum_qty"], pa.int64()),
+                "totalprice_c2": _cents(t["o_totalprice"]),
+            }
+        )
+
+    return (
+        joined.map_batches(shape, batch_format="pyarrow")
+        .sort(["sum_qty", "o_orderkey"], descending=[True, False])
+    )
+
+
+Q18_SQL = """
+SELECT CAST(l_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_c2
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_orderkey, o_custkey, o_totalprice
+HAVING SUM(CAST(l_quantity AS BIGINT)) > 150
+ORDER BY sum_qty DESC, o_orderkey
+"""
+
+
 # -- windowed aggregate over the event stream -------------------------------
 
 def events_hourly(sf_dir: str) -> Dataset:

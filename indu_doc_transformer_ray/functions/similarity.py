@@ -359,17 +359,12 @@ def lsh_cosine_pairs(sf_dir: str, threshold: float = 0.42) -> "object":
     )
 
 
-def kmeans_assign(sf_dir: str, k: int = 8, iters: int = 5) -> "object":
-    """Lloyd's k-means over the embeddings (deterministic: init = the k
-    lowest vec_ids' vectors), expressed as the classic broadcast-centroids
-    loop: each iteration ships the k x dim centroid matrix once
+def _kmeans_centroids(sf_dir: str, k: int, iters: int) -> np.ndarray:
+    """Distributed Lloyd's centroid fit (deterministic: init = the k lowest
+    vec_ids' vectors): each iteration ships the k x dim centroid matrix once
     (``ray.put``), every batch emits per-cluster partial (sum, count), and
     the driver folds k tiny partials into the next centroids — O(k*dim)
-    driver state, never a vector row.  Ties in the argmin break toward the
-    lower cluster id (numpy argmin), mirrored in the pytest oracle.
-    Returns (vec_id, cluster); equality-tested against a single-process
-    numpy implementation (tests/test_functions.py)."""
-    import pandas as pd
+    driver state, never a vector row."""
     import pyarrow.parquet as pq
 
     init = pq.read_table(
@@ -411,7 +406,18 @@ def kmeans_assign(sf_dir: str, k: int = 8, iters: int = 5) -> "object":
             s = np.sum(np.array(grp["vec_sum"].tolist(), dtype=np.float64), axis=0)
             new[int(ci)] = s / int(grp["n"].sum())
         cents = new
+    return cents
 
+
+def kmeans_assign(sf_dir: str, k: int = 8, iters: int = 5) -> "object":
+    """Lloyd's k-means over the embeddings — broadcast-centroid loop via
+    ``_kmeans_centroids`` then one assignment pass.  Ties in the argmin
+    break toward the lower cluster id (numpy argmin), mirrored in the pytest
+    oracle.  Returns (vec_id, cluster); equality-tested against a
+    single-process numpy implementation (tests/test_functions.py)."""
+    import pandas as pd
+
+    cents = _kmeans_centroids(sf_dir, k, iters)
     ref = ray.put(cents)
 
     def assign_final(t: pa.Table) -> pa.Table:
@@ -433,6 +439,73 @@ def kmeans_assign(sf_dir: str, k: int = 8, iters: int = 5) -> "object":
     return out.sort_values("vec_id").reset_index(drop=True).astype(
         {"vec_id": "int64", "cluster": "int64"}
     )
+
+
+def ivf_topk(
+    sf_dir: str, k_cells: int = 8, iters: int = 5, nprobe: int = 3
+) -> "object":
+    """IVF (inverted-file) approximate top-k: k-means cells as the coarse
+    quantizer (Jégou, Douze, Schmid — "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011 — the IVF part, without PQ residuals).
+
+    Fit: ``_kmeans_centroids`` (broadcast Lloyd's, O(k*dim) driver state).
+    Probe: each query keeps its ``nprobe`` nearest cells; scoring broadcasts
+    (queries, centroids, probe sets) once and each batch scores ONLY the
+    vectors whose cell is probed by some query — at scale the cell id is a
+    persisted partition column and non-probed partitions are pruned at the
+    read, so the scan itself shrinks by ~nprobe/k_cells; here the one-shot
+    form recomputes the batch's cell assignment in the scoring pass (one
+    small matmul) instead of materializing an index table.
+
+    Output schema matches ``ann_topk`` (query_id, vec_id, rank); graded by a
+    recall-vs-exact pytest (tests/test_functions.py), rows-only at the
+    driver."""
+    import pandas as pd
+
+    cents = _kmeans_centroids(sf_dir, k_cells, iters)
+    q, qids = _query_matrix(sf_dir)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    # nprobe nearest cells per query by euclidean distance to the centroid
+    qd2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(qd2, axis=1)[:, :nprobe]  # (n_query, nprobe)
+    ref = ray.put((qn, qids, cents, probe))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qn_, qids_, cents_, probe_ = ray.get(ref)
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        d2 = ((emb[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)
+        cell = d2.argmin(axis=1)
+        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        out_q, out_v, out_s = [], [], []
+        for qi, qid in enumerate(qids_):
+            mask = np.isin(cell, probe_[qi]) & (vec_ids != qid)
+            if not mask.any():
+                continue
+            cand_ids = vec_ids[mask]
+            cand_sims = qn_[qi] @ en[mask].T
+            k = min(TOP_K, len(cand_ids))
+            top = np.argpartition(-cand_sims, k - 1)[:k]
+            out_q.extend([qid] * k)
+            out_v.extend(cand_ids[top].tolist())
+            out_s.extend(cand_sims[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cand = _read_emb(sf_dir).map_batches(score, batch_format="pyarrow").to_pandas()
+    out_rows = []
+    for qid, grp in cand.groupby("query_id"):
+        grp = grp.sort_values(["sim", "vec_id"], ascending=[False, True]).head(TOP_K)
+        for rank, r in enumerate(grp.itertuples(), start=1):
+            out_rows.append((qid, int(r.vec_id), rank))
+    return pd.DataFrame(
+        out_rows, columns=["query_id", "vec_id", "rank"]
+    ).astype("int64")
 
 
 def label_centroid_sims(sf_dir: str) -> "object":

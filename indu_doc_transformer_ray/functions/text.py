@@ -629,3 +629,75 @@ SELECT doc_id,
        CAST(CASE WHEN length(text) < 100 THEN 1 ELSE 0 END AS BIGINT) AS is_short
 FROM documents
 """
+
+# -- Gopher-style repetition statistics --------------------------------------
+
+def repetition_stats(sf_dir: str) -> Dataset:
+    """Per-document repetition signals (Rae et al., "Scaling Language Models:
+    Methods, Analysis & Insights from Training Gopher", 2021 — §A1.1.2
+    repetition filters): distinct-token and distinct-bigram counts plus the
+    count of the most frequent token.  All-integer outputs so the DuckDB
+    oracle hashes bit-identically; the downstream filter (e.g. drop docs with
+    dup-bigram fraction > 0.2) is one vectorized comparison on these columns.
+
+    Stateless vectorized batch stage — the per-doc token loop is the same
+    bounded-cost shape as ``token_stats`` (documents are the row unit)."""
+    from collections import Counter
+
+    def stats(batch: pa.Table) -> pa.Table:
+        n_tok, n_uniq, max_tok, n_bg, n_uniq_bg = [], [], [], [], []
+        for text in batch.column("text").to_pylist():
+            toks = TOKEN_RE.findall(text.lower())
+            n_tok.append(len(toks))
+            counts = Counter(toks)
+            n_uniq.append(len(counts))
+            max_tok.append(max(counts.values()) if counts else 0)
+            bigrams = list(zip(toks, toks[1:]))
+            n_bg.append(len(bigrams))
+            n_uniq_bg.append(len(set(bigrams)))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_uniq_tokens": pa.array(n_uniq, pa.int64()),
+                "max_token_count": pa.array(max_tok, pa.int64()),
+                "n_bigrams": pa.array(n_bg, pa.int64()),
+                "n_uniq_bigrams": pa.array(n_uniq_bg, pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+REPETITION_STATS_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+  FROM documents
+), tok AS (
+  SELECT doc_id, unnest(ws) AS w FROM t
+), freq AS (
+  SELECT doc_id, w, COUNT(*) AS n FROM tok GROUP BY doc_id, w
+), word_stats AS (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_uniq_tokens,
+         CAST(MAX(n) AS BIGINT) AS max_token_count
+  FROM freq GROUP BY doc_id
+), bg AS (
+  -- bigram as a joined string: tokens contain no spaces, so 'a b' is unique
+  SELECT doc_id,
+         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bgs
+  FROM t
+), bg_stats AS (
+  SELECT doc_id, CAST(len(bgs) AS BIGINT) AS n_bigrams,
+         CAST(len(list_distinct(bgs)) AS BIGINT) AS n_uniq_bigrams
+  FROM bg
+)
+SELECT t.doc_id,
+       COALESCE(word_stats.n_tokens, 0) AS n_tokens,
+       COALESCE(word_stats.n_uniq_tokens, 0) AS n_uniq_tokens,
+       COALESCE(word_stats.max_token_count, 0) AS max_token_count,
+       bg_stats.n_bigrams, bg_stats.n_uniq_bigrams
+FROM t LEFT JOIN word_stats USING (doc_id) JOIN bg_stats USING (doc_id)
+"""

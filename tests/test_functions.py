@@ -237,3 +237,49 @@ def test_kmeans_assign_matches_local(ray_session):
     assert agree / len(ids) >= 0.995, f"{agree}/{len(ids)}"
     # cluster sizes sane: every cluster non-empty on this corpus
     assert got["cluster"].nunique() == k
+
+
+def test_ivf_topk_recall(ray_session):
+    """IVF (k-means-cell) ANN vs exact top-k: deterministic centroids =>
+    deterministic recall; probing 3 of 8 cells must keep recall high on the
+    small corpus, and IVF may only return vectors the probed cells contain."""
+    from indu_doc_transformer_ray.functions.similarity import ann_topk, ivf_topk
+
+    sf = "/root/testdata/sf0.001"
+    exact = ann_topk(sf)
+    approx = ivf_topk(sf)
+    recalls = {}
+    for qid in (0, 1, 2):
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        a = set(approx[approx.query_id == qid]["vec_id"])
+        assert len(a) == len(e)  # enough candidates in the probed cells
+        recalls[qid] = len(e & a) / len(e)
+    print(f"ivf_topk recall@10 per query: {recalls}")
+    assert min(recalls.values()) >= 0.5, recalls
+    assert sum(recalls.values()) / len(recalls) >= 0.7, recalls
+
+
+def test_repetition_stats_matches_local(ray_session):
+    """Ray repetition_stats equals a single-process Counter reference."""
+    from collections import Counter
+
+    import duckdb
+
+    from indu_doc_transformer_ray.functions.text import TOKEN_RE, repetition_stats
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        repetition_stats(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf}/documents.parquet' ORDER BY doc_id"
+    ).df()
+    assert len(got) == len(docs)
+    for (_, g), (_, d) in zip(got.iterrows(), docs.iterrows()):
+        toks = TOKEN_RE.findall(d.text.lower())
+        c = Counter(toks)
+        bgs = list(zip(toks, toks[1:]))
+        assert (
+            int(g.n_tokens), int(g.n_uniq_tokens), int(g.max_token_count),
+            int(g.n_bigrams), int(g.n_uniq_bigrams),
+        ) == (len(toks), len(c), max(c.values()) if c else 0, len(bgs), len(set(bgs)))
