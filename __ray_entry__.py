@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         events,
         relational,
         similarity,
+        sketches,
         text,
     )
 
@@ -156,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "events_hopping": relational.events_hopping,
         "user_event_counts": relational.user_event_counts,
+        "distinct_users_daily": relational.distinct_users_daily,
         "q4_order_priority": relational.q4_order_priority,
         "q10_returned_items": relational.q10_returned_items,
         "q14_promo_revenue": relational.q14_promo_revenue,
@@ -181,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": text.tfidf_top_terms,
         "stratified_sample": text.stratified_sample,
         "repetition_stats": text.repetition_stats,
+        "bigram_topk": text.bigram_topk,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
@@ -198,6 +201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": similarity.ivf_topk,
         "label_centroid_sims": similarity.label_centroid_sims,
         "kmeans_assign": similarity.kmeans_assign,
+        # sketches (approximate by construction: error-bound pytest gate)
+        "hll_users_per_type": sketches.hll_users_per_type,
         # extraction flagship (rows-only; pytest holds the equality gate)
         "extract_spans": _extract_spans,
         "extract_object_stats": _extract_object_stats,
@@ -226,6 +231,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": relational.EVENTS_HOURLY_SQL,
         "events_hopping": relational.EVENTS_HOPPING_SQL,
         "user_event_counts": relational.USER_EVENT_COUNTS_SQL,
+        "distinct_users_daily": relational.DISTINCT_USERS_DAILY_SQL,
         "q4_order_priority": relational.Q4_SQL,
         "q10_returned_items": relational.Q10_SQL,
         "q14_promo_revenue": relational.Q14_SQL,
@@ -249,6 +255,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": text.TFIDF_TOP_TERMS_SQL,
         "stratified_sample": text.STRATIFIED_SAMPLE_SQL,
         "repetition_stats": text.REPETITION_STATS_SQL,
+        "bigram_topk": text.BIGRAM_TOPK_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_prefix": dedup.DEDUP_PREFIX_SQL,
         "word_jaccard_pairs": dedup.WORD_JACCARD_SQL,

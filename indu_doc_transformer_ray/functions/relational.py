@@ -743,6 +743,41 @@ FROM w GROUP BY event_type, window_start
 """
 
 
+def distinct_users_daily(sf_dir: str) -> Dataset:
+    """Exact distinct users per (day, event_type) — the two-level-groupby
+    COUNT(DISTINCT) pattern on a composite window key: dedup on the full
+    key first (shuffle keyed by user too, so no group ever co-locates all
+    its users in one task), then count the deduped rows."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "user_id"])
+
+    def windowed(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        return pa.table(
+            {
+                "day_bucket": day,
+                "event_type": t["event_type"],
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+            }
+        )
+
+    dedup = (
+        ds.map_batches(windowed, batch_format="pyarrow")
+        .groupby(["day_bucket", "event_type", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+    )
+    return (
+        dedup.groupby(["day_bucket", "event_type"])
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+DISTINCT_USERS_DAILY_SQL = """
+SELECT epoch_us(ts) // 86400000000 AS day_bucket, event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY day_bucket, event_type
+"""
+
+
 def user_event_counts(sf_dir: str) -> Dataset:
     """Per-user per-type event counts — the partial-aggregate push-down
     demo: combine inside map_batches first, then a small groupby over

@@ -1,0 +1,124 @@
+"""Mergeable cardinality sketches over the ``events`` table.
+
+HyperLogLog (Flajolet, Fusy, Gandouet, Meunier — "HyperLogLog: the analysis
+of a near-optimal cardinality estimation algorithm", AofA 2007) as a Ray
+Data aggregation: every batch folds its rows into per-group register
+partials (one ``(group, register_idx, rank)`` row per TOUCHED register),
+then ONE distributed ``groupby(group, reg).Max`` merges the partials —
+register merge is elementwise max, so the sketch is associative/commutative
+and the fold is exact regardless of partitioning.  Driver state is
+``n_groups x 2^p`` small integers (the sketch, never the data).
+
+The hash is md5-derived so estimates are deterministic across runs and
+processes (builtin ``hash()`` is seed-randomized — see the verify-skill
+pitfalls); the accuracy gate lives in tests/test_functions.py (relative
+error vs exact distinct counts, theoretical sigma = 1.04/sqrt(2^p)).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+from ray.data import Dataset
+from ray.data.aggregate import Max
+
+P_BITS = 12  # 4096 registers -> ~1.6% standard error
+M = 1 << P_BITS
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def _estimate(registers: np.ndarray) -> int:
+    """Bias-corrected HLL estimate with the small-range linear-counting
+    switch (the classic 2007 correction; the 64-bit hash makes the
+    large-range correction unnecessary below ~1e17)."""
+    m = len(registers)
+    e = _alpha(m) * m * m / float(np.sum(np.exp2(-registers.astype(np.float64))))
+    if e <= 2.5 * m:
+        zeros = int(np.count_nonzero(registers == 0))
+        if zeros:
+            e = m * math.log(m / zeros)
+    return int(round(e))
+
+
+def _hll_partials(batch: pa.Table, group_col: str, key_col: str) -> pa.Table:
+    """Per-batch register partials: md5-hash each key, split into register
+    index (low p bits) and rank (leading zeros of the remaining 64-p bits
+    + 1), keep the max rank per (group, register) seen in this batch."""
+    groups = batch.column(group_col).to_pylist()
+    keys = batch.column(key_col).to_pylist()
+    best: dict[tuple[str, int], int] = {}
+    for g, k in zip(groups, keys):
+        h = int.from_bytes(
+            hashlib.md5(str(k).encode()).digest()[:8], "big"
+        )
+        reg = h & (M - 1)
+        rest = h >> P_BITS  # (64 - P_BITS) significant bits
+        rank = (64 - P_BITS) - rest.bit_length() + 1
+        cur = best.get((g, reg), 0)
+        if rank > cur:
+            best[(g, reg)] = rank
+    gs, rs, ks = [], [], []
+    for (g, reg), rank in best.items():
+        gs.append(g)
+        rs.append(reg)
+        ks.append(rank)
+    return pa.table(
+        {
+            "grp": pa.array(gs, pa.string()),
+            "reg": pa.array(rs, pa.int32()),
+            "rank": pa.array(ks, pa.int32()),
+        }
+    )
+
+
+def hll_distinct(
+    ds: Dataset, group_col: str, key_col: str
+) -> "object":
+    """Approximate COUNT(DISTINCT key) per group as a DataFrame
+    (group, approx_distinct): batch partials -> one groupby(grp, reg).Max
+    shuffle over at most n_groups*4096 keys -> per-group register fold on
+    the driver (sketch-sized, independent of data volume)."""
+    import pandas as pd
+
+    folded = (
+        ds.map_batches(
+            lambda t: _hll_partials(t, group_col, key_col),
+            batch_format="pyarrow",
+        )
+        .groupby(["grp", "reg"])
+        .aggregate(Max("rank", alias_name="rank"))
+        .to_pandas()  # <= n_groups * 4096 rows: the sketch, not the data
+    )
+    out = []
+    for g, sub in folded.groupby("grp"):
+        regs = np.zeros(M, dtype=np.int32)
+        regs[sub["reg"].to_numpy()] = sub["rank"].to_numpy()
+        out.append((g, _estimate(regs)))
+    return pd.DataFrame(
+        sorted(out), columns=[group_col, "approx_distinct"]
+    ).astype({"approx_distinct": "int64"})
+
+
+def hll_users_per_type(sf_dir: str) -> "object":
+    """Approximate distinct users per event_type (the 100-TB shape of
+    COUNT DISTINCT: fixed-size mergeable sketch instead of a user-sized
+    shuffle).  Accuracy graded in pytest vs the exact two-level groupby;
+    rows-only at the driver (approximate by construction)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return hll_distinct(ds, "event_type", "user_id")

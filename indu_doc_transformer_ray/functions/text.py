@@ -701,3 +701,47 @@ SELECT t.doc_id,
        bg_stats.n_bigrams, bg_stats.n_uniq_bigrams
 FROM t LEFT JOIN word_stats USING (doc_id) JOIN bg_stats USING (doc_id)
 """
+
+
+def bigram_topk(sf_dir: str, k: int = 30) -> Dataset:
+    """Corpus-wide top-k token bigrams — same combiner shape as
+    ``vocab_topk`` (per-batch Counter partials, then a global groupby over
+    the BIGRAM VOCABULARY, not the corpus), the co-occurrence primitive for
+    collocation/PMI mining.  Bigram rendered as 'a b' (tokens contain no
+    spaces).  Deterministic tie-break (count desc, bigram asc)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for text in t.column("text").to_pylist():
+            toks = TOKEN_RE.findall(text.lower())
+            counts.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        return pa.table(
+            {
+                "bigram": pa.array(list(counts.keys()), pa.string()),
+                "partial_n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    return (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("partial_n", alias_name="n"))
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(k)
+    )
+
+
+BIGRAM_TOPK_SQL = """
+WITH t AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws FROM documents
+), bg AS (
+  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bigram
+  FROM t
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30
+"""

@@ -283,3 +283,39 @@ def test_repetition_stats_matches_local(ray_session):
             int(g.n_tokens), int(g.n_uniq_tokens), int(g.max_token_count),
             int(g.n_bigrams), int(g.n_uniq_bigrams),
         ) == (len(toks), len(c), max(c.values()) if c else 0, len(bgs), len(set(bgs)))
+
+
+def test_hll_users_per_type_accuracy(ray_session):
+    """HLL per-type distinct-user estimates vs exact: p=12 gives sigma
+    ~1.6%, gate at 5% (deterministic md5 hashing => a fixed number per
+    corpus, not a flaky bound)."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions.sketches import hll_users_per_type
+
+    sf = "/root/testdata/sf0.001"
+    got = hll_users_per_type(sf)
+    exact = duckdb.sql(
+        f"SELECT event_type, COUNT(DISTINCT user_id) AS n"
+        f" FROM '{sf}/events.parquet' GROUP BY event_type ORDER BY event_type"
+    ).df()
+    merged = got.merge(exact, on="event_type")
+    assert len(merged) == len(exact)
+    for r in merged.itertuples():
+        rel_err = abs(r.approx_distinct - r.n) / max(1, r.n)
+        assert rel_err < 0.05, (r.event_type, r.approx_distinct, r.n)
+
+
+def test_hll_merge_invariance(ray_session):
+    """The register fold is associative/commutative: estimates must be
+    identical across input partitionings (1 block vs 8)."""
+    import ray.data
+
+    from indu_doc_transformer_ray.functions.sketches import hll_distinct
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.001/events.parquet", columns=["event_type", "user_id"]
+    )
+    one = hll_distinct(ds.repartition(1), "event_type", "user_id")
+    many = hll_distinct(ds.repartition(8), "event_type", "user_id")
+    assert one.equals(many)
