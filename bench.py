@@ -92,12 +92,19 @@ def bench_headline(corpus_path: str) -> dict:
 
 
 def bench_queries(sf_dir: str) -> dict:
-    from indu_doc_transformer_ray.functions import dedup, relational, similarity, text
+    from indu_doc_transformer_ray.functions import (
+        dedup,
+        relational,
+        similarity,
+        sketches,
+        text,
+    )
 
     out = {}
     for name, fn in {
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
+        "q18_large_orders": relational.q18_large_orders,
         "events_hourly": relational.events_hourly,
         "token_stats": text.token_stats,
         "dedup_exact": dedup.dedup_exact,
@@ -106,6 +113,8 @@ def bench_queries(sf_dir: str) -> dict:
         "cosine_dup_pairs": similarity.cosine_dup_pairs,
         "label_centroid_sims": similarity.label_centroid_sims,
         "vocab_topk": text.vocab_topk,
+        "repetition_stats": text.repetition_stats,
+        "hll_users_per_type": sketches.hll_users_per_type,
     }.items():
         t0 = time.time()
         res = fn(sf_dir)
@@ -115,7 +124,7 @@ def bench_queries(sf_dir: str) -> dict:
     return out
 
 
-def run_once() -> dict:
+def _init_session() -> None:
     import ray
 
     ray.init(
@@ -131,11 +140,40 @@ def run_once() -> dict:
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
 
+
+def run_once() -> dict:
+    """Each phase (corpus materialization, headline job, query set) owns a
+    FRESH Ray session — the local-mode analogue of one ``ray job submit``
+    per pipeline.  Measured motivation: a heavy job degrades later
+    scheduling in the same session (~2x on q3-class join queries, decaying
+    over repeats; worker/actor churn, not compute — remote wall totals stay
+    <1s), so in-session timings would charge query N for job N-1's residue."""
+    import ray
+
+    _init_session()
     corpus_path = ensure_corpus(SF_DIR)
+    ray.shutdown()
+
+    _init_session()
     headline = bench_headline(corpus_path)
+    ray.shutdown()
+
+    _init_session()
+    # untimed warmup: spawn the full task-worker pool (one parallel pass)
+    # and one tiny hash join for the shuffle-aggregator actor path, so the
+    # first timed query isn't charged worker/actor first-spawn costs
+    import ray.data as _rd
+
+    _rd.range(NUM_CPUS * 1000, override_num_blocks=NUM_CPUS).map_batches(
+        lambda b: b
+    ).count()
+    _rd.range(64).join(
+        _rd.range(64), join_type="inner", num_partitions=2, on=("id",)
+    ).count()
     queries = bench_queries(SF_DIR)
     ray.shutdown()
     return {
+        "host_calibration": host_calibration(),
         "metric": "extraction pipeline wall time (read->extract->checkpoint->merge)",
         "value": headline["total_sec"],
         "unit": "sec",
@@ -143,6 +181,35 @@ def run_once() -> dict:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         **headline,
+    }
+
+
+def host_calibration() -> dict:
+    """Absolute single-core reference numbers emitted with every bench JSON:
+    the guest's delivered CPU swings >2x between rounds (shared host), so
+    cross-round comparisons must normalize by these, not by wall clock.
+    ``ms_per_doc`` = the pure-Python single-process extraction semantics on
+    a fixed 100-doc corpus (BASELINE.md's microbenchmark; 7.2 ms/doc when
+    round-1/2 records were measured)."""
+    import time as _t
+
+    n = 0
+    t0 = _t.time()
+    while _t.time() - t0 < 2.0:
+        n += 1
+    busy_m_iters_per_s = round(n / 2.0 / 1e6, 2)
+
+    from indu_doc_transformer_ray.fixtures import corpus_table
+    from indu_doc_transformer_ray.oracle import run_oracle
+
+    t = corpus_table(100, seed=7)
+    run_oracle(t.slice(0, 10))  # warm imports/caches
+    t0 = _t.time()
+    run_oracle(t)
+    ms_per_doc = round((_t.time() - t0) / 100 * 1000, 2)
+    return {
+        "busy_m_iters_per_s": busy_m_iters_per_s,
+        "ms_per_doc_single_core": ms_per_doc,
     }
 
 
