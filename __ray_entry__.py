@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": text.stratified_sample,
         "repetition_stats": text.repetition_stats,
         "bigram_topk": text.bigram_topk,
+        "oov_stats": text.oov_stats,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
@@ -200,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_bucket_topk": similarity.lsh_bucket_topk,
         "ivf_topk": similarity.ivf_topk,
         "label_centroid_sims": similarity.label_centroid_sims,
+        "lang_centroid_sims": similarity.lang_centroid_sims,
         "kmeans_assign": similarity.kmeans_assign,
         # sketches (approximate by construction: error-bound pytest gate)
         "hll_users_per_type": sketches.hll_users_per_type,
@@ -256,6 +258,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": text.STRATIFIED_SAMPLE_SQL,
         "repetition_stats": text.REPETITION_STATS_SQL,
         "bigram_topk": text.BIGRAM_TOPK_SQL,
+        "oov_stats": text.OOV_STATS_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_prefix": dedup.DEDUP_PREFIX_SQL,
         "word_jaccard_pairs": dedup.WORD_JACCARD_SQL,
@@ -267,4 +270,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": similarity.ANN_TOPK_SQL,
         "cosine_dup_pairs": similarity.COSINE_DUP_PAIRS_SQL,
         "label_centroid_sims": similarity.LABEL_CENTROID_SQL,
+        "lang_centroid_sims": similarity.LANG_CENTROID_SQL,
     }

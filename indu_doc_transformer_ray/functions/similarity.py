@@ -612,3 +612,124 @@ SELECT CAST(label AS BIGINT) AS label,
        CAST(FLOOR(AVG(sim) * 1000) AS BIGINT) AS mean_centroid_sim_permille
 FROM sims GROUP BY label ORDER BY label
 """
+
+
+def lang_centroid_sims(sf_dir: str) -> "object":
+    """Cross-table variant of ``label_centroid_sims``: group embeddings by
+    the LANGUAGE of their document (documents ⋈ embeddings on doc_id =
+    vec_id — a hash-partitioned ``Dataset.join`` of two SF-scaling tables),
+    then the same two-pass centroid aggregate.  Each pass re-derives the
+    joined stream (lazy recompute beats materializing a corpus-sized
+    intermediate; at 100 TB the joined+normalized table would be a persisted
+    partition-keyed checkpoint instead)."""
+    import pandas as pd
+
+    from ._util import join_partitions
+
+    def pack(t: pa.Table) -> pa.Table:
+        # acero hash joins reject list<float> payload columns — carry the
+        # vector as fixed-width binary through the shuffle (bit-exact)
+        emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        blobs = [row.tobytes() for row in emb]
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "emb_bytes": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    def joined() -> Dataset:
+        emb = _read_emb(sf_dir).map_batches(pack, batch_format="pyarrow")
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+        )
+        return emb.join(
+            docs,
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("vec_id",),
+            right_on=("doc_id",),
+            aggregator_ray_remote_args={"num_cpus": 0},
+        )
+
+    def _unpack(t: pa.Table) -> np.ndarray:
+        return np.stack(
+            [np.frombuffer(b, dtype=np.float64) for b in t.column("emb_bytes").to_pylist()]
+        )
+
+    def partial_sums(t: pa.Table) -> pa.Table:
+        labels = np.asarray(t.column("lang").to_pylist())
+        emb = _unpack(t)
+        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        out_l, out_s, out_n = [], [], []
+        for lab in np.unique(labels):
+            m = en[labels == lab]
+            out_l.append(str(lab))
+            out_s.append(m.sum(axis=0).tolist())
+            out_n.append(len(m))
+        return pa.table(
+            {
+                "lang": pa.array(out_l, pa.string()),
+                "vec_sum": pa.array(out_s, pa.list_(pa.float64())),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    p1 = joined().map_batches(partial_sums, batch_format="pyarrow").to_pandas()
+    cents: dict[str, np.ndarray] = {}
+    counts: dict[str, int] = {}
+    for lab, grp in p1.groupby("lang"):
+        s = np.sum(np.array(grp["vec_sum"].tolist(), dtype=np.float64), axis=0)
+        cents[str(lab)] = s / np.linalg.norm(s)
+        counts[str(lab)] = int(grp["n"].sum())
+    ref = ray.put(cents)
+
+    def partial_sims(t: pa.Table) -> pa.Table:
+        cents_ = ray.get(ref)
+        labels = np.asarray(t.column("lang").to_pylist())
+        emb = _unpack(t)
+        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        out_l, out_s = [], []
+        for lab in np.unique(labels):
+            m = en[labels == lab]
+            out_l.append(str(lab))
+            out_s.append(float((m @ cents_[str(lab)]).sum()))
+        return pa.table(
+            {
+                "lang": pa.array(out_l, pa.string()),
+                "sim_sum": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    p2 = joined().map_batches(partial_sims, batch_format="pyarrow").to_pandas()
+    sim_total = p2.groupby("lang")["sim_sum"].sum()
+    rows = [
+        (lab, counts[lab], int(sim_total[lab] / counts[lab] * 1000))
+        for lab in sorted(counts)
+    ]
+    return pd.DataFrame(
+        rows, columns=["lang", "n_vectors", "mean_centroid_sim_permille"]
+    ).astype({"n_vectors": "int64", "mean_centroid_sim_permille": "int64"})
+
+
+LANG_CENTROID_SQL = """
+WITH e AS (
+  SELECT d.lang, vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x*x))) AS nrm
+  FROM embeddings JOIN documents d ON vec_id = d.doc_id
+), comp AS (
+  SELECT lang, vec_id, u.i AS dim, embedding[u.i] / nrm AS x
+  FROM e, unnest(range(1, len(embedding) + 1)) AS u(i)
+), cent AS (
+  SELECT lang, dim, SUM(x) AS s FROM comp GROUP BY lang, dim
+), centn AS (
+  SELECT lang, dim, s / sqrt(SUM(s*s) OVER (PARTITION BY lang)) AS c FROM cent
+), sims AS (
+  SELECT comp.lang, comp.vec_id, SUM(x * c) AS sim
+  FROM comp JOIN centn ON comp.lang = centn.lang AND comp.dim = centn.dim
+  GROUP BY comp.lang, comp.vec_id
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(FLOOR(AVG(sim) * 1000) AS BIGINT) AS mean_centroid_sim_permille
+FROM sims GROUP BY lang ORDER BY lang
+"""

@@ -745,3 +745,58 @@ WITH t AS (
 SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
 FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30
 """
+
+
+def oov_stats(sf_dir: str, vocab_k: int = 100) -> Dataset:
+    """Out-of-vocabulary counts per doc against the corpus's own top-K
+    vocabulary — the KenLM-free stand-in for LM-based quality filtering:
+    phase 1 derives the top-K vocab DISTRIBUTED (combiner -> vocab-sized
+    groupby -> sort+limit; only K rows land on the driver), phase 2
+    broadcasts the K-token set once and counts membership per doc.
+    Deterministic vocab tie-break (count desc, token asc) on both sides."""
+    vocab_rows = vocab_topk(sf_dir, k=vocab_k).to_pandas()
+    vocab = frozenset(vocab_rows["token"])
+    import ray as _ray
+
+    ref = _ray.put(vocab)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        v = _ray.get(ref)
+        n_tok, n_oov = [], []
+        for text in batch.column("text").to_pylist():
+            toks = TOKEN_RE.findall(text.lower())
+            n_tok.append(len(toks))
+            n_oov.append(sum(1 for t in toks if t not in v))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_oov": pa.array(n_oov, pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+OOV_STATS_SQL = """
+WITH topv AS (
+  SELECT tok FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+    FROM documents
+  ) GROUP BY tok ORDER BY COUNT(*) DESC, tok LIMIT 100
+), t AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents
+), counted AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN topv.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM t LEFT JOIN topv ON t.tok = topv.tok
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id, COALESCE(c.n_tokens, 0) AS n_tokens,
+       COALESCE(c.n_oov, 0) AS n_oov
+FROM documents d LEFT JOIN counted c USING (doc_id)
+"""

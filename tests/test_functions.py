@@ -319,3 +319,24 @@ def test_hll_merge_invariance(ray_session):
     one = hll_distinct(ds.repartition(1), "event_type", "user_id")
     many = hll_distinct(ds.repartition(8), "event_type", "user_id")
     assert one.equals(many)
+
+
+def test_all_queries_run_at_smallest_scale(ray_session):
+    """Every queries() entry executes at sf0.001 and yields rows — the
+    small-scale guard for empty-join-partition/schema edge cases (the
+    driver's correctness gate runs at sf0.01; this catches the tail)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import __ray_entry__ as e
+
+    failures = []
+    for name, fn in e.queries().items():
+        try:
+            res = fn("/root/testdata/sf0.001")
+            n = len(res.to_pandas()) if hasattr(res, "to_pandas") else len(res)
+            if n <= 0:
+                failures.append((name, "0 rows"))
+        except Exception as ex:  # noqa: BLE001
+            failures.append((name, f"{type(ex).__name__}: {ex}"))
+    assert not failures, failures
