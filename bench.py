@@ -158,20 +158,22 @@ def run_once() -> dict:
     headline = bench_headline(corpus_path)
     ray.shutdown()
 
-    _init_session()
-    # untimed warmup: spawn the full task-worker pool (one parallel pass)
-    # and one tiny hash join for the shuffle-aggregator actor path, so the
-    # first timed query isn't charged worker/actor first-spawn costs
-    import ray.data as _rd
+    queries = {}
+    if os.environ.get("BENCH_SKIP_QUERIES") != "1":
+        _init_session()
+        # untimed warmup: spawn the full task-worker pool (one parallel
+        # pass) and one tiny hash join for the shuffle-aggregator actor
+        # path, so the first timed query isn't charged first-spawn costs
+        import ray.data as _rd
 
-    _rd.range(NUM_CPUS * 1000, override_num_blocks=NUM_CPUS).map_batches(
-        lambda b: b
-    ).count()
-    _rd.range(64).join(
-        _rd.range(64), join_type="inner", num_partitions=2, on=("id",)
-    ).count()
-    queries = bench_queries(SF_DIR)
-    ray.shutdown()
+        _rd.range(NUM_CPUS * 1000, override_num_blocks=NUM_CPUS).map_batches(
+            lambda b: b
+        ).count()
+        _rd.range(64).join(
+            _rd.range(64), join_type="inner", num_partitions=2, on=("id",)
+        ).count()
+        queries = bench_queries(SF_DIR)
+        ray.shutdown()
     return {
         "host_calibration": host_calibration(),
         "metric": "extraction pipeline wall time (read->extract->checkpoint->merge)",
@@ -240,7 +242,9 @@ def run_scaling() -> dict:
     the faster run counts (host-contention noise is ±30% run-to-run)."""
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling grades the HEADLINE pipeline; skip the query set so each
+        # level measures one job, not job + 15 unrelated pipelines
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_QUERIES="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

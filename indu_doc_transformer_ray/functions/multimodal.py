@@ -1,12 +1,14 @@
 """Multimodal column plumbing: opaque binary/media-ref columns with typed
 metadata, processed by actor-pool decode/feature stages.
 
-The container has no image/audio libraries, so the DECODE KERNEL is stubbed
-(`_decode_stub`, deterministic fake pixels from the ref hash; a real PIL
-decode slots into the same actor `__call__` behind the import-try).  The
-Ray-side plumbing — schema, batch sizing for large binary payloads, actor
-signature, output layout — is real and tested (the graft spec asks exactly
-for this split).
+Decode kernels, most-capable first: PIL for general formats (import-gated —
+the wheel is absent in this container), a zero-dependency numpy PPM (P6)
+parser for refs that resolve to real files (`_decode_ppm`, test-covered
+end-to-end through the actor stage), and a deterministic stub for
+unresolvable refs (always the case for the synthetic corpus, whose media
+refs are opaque strings).  The Ray-side plumbing — schema, batch sizing for
+large binary payloads, actor signature, output layout — is identical across
+kernels (the graft spec asks exactly for this split).
 """
 
 from __future__ import annotations
@@ -50,6 +52,51 @@ def _decode_stub(ref: str) -> tuple[int, int, int, np.ndarray]:
     return width, height, n_bytes, feat
 
 
+def _feature8(arr: np.ndarray, w: int, h: int) -> np.ndarray:
+    """The 8-dim summary feature shared by every real decode branch:
+    per-channel mean/std, aspect ratio, log-area."""
+    return np.array(
+        [
+            arr[..., 0].mean(), arr[..., 1].mean(), arr[..., 2].mean(),
+            arr[..., 0].std(), arr[..., 1].std(), arr[..., 2].std(),
+            w / (h or 1), np.log1p(float(w) * h) / 20.0,
+        ],
+        dtype=np.float32,
+    )
+
+
+def _decode_ppm(path: str) -> tuple[int, int, int, np.ndarray]:
+    """Real decode kernel, zero dependencies: binary PPM (P6) — header
+    'P6 <w> <h> <maxval>' with comment support, then raw RGB rows — parsed
+    with numpy.  This is the container-proof real path; PIL (below) covers
+    general formats where the wheel exists."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if not data.startswith(b"P6"):
+        raise ValueError(f"not a P6 PPM: {path}")
+    # tokenize header: magic, width, height, maxval (comments start with #)
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":
+            while i < len(data) and data[i] != 0x0A:
+                i += 1
+            continue
+        start = i
+        while i < len(data) and not data[i : i + 1].isspace():
+            i += 1
+        tokens.append(data[start:i])
+    i += 1  # single whitespace after maxval
+    w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i)
+    arr = px.reshape(h, w, 3).astype(np.float32) / 255.0
+    return w, h, os.path.getsize(path), _feature8(arr, w, h)
+
+
 def _decode_pil(path: str) -> tuple[int, int, int, np.ndarray]:  # pragma: no cover — exercised only where the PIL wheel exists
     """Real decode kernel: PIL open + an 8-dim summary feature (per-channel
     mean/std, aspect ratio, log-area).  Deterministic for a fixed file."""
@@ -58,15 +105,7 @@ def _decode_pil(path: str) -> tuple[int, int, int, np.ndarray]:  # pragma: no co
     with Image.open(path) as im:
         w, h = im.size
         arr = np.asarray(im.convert("RGB"), dtype=np.float32) / 255.0
-    feat = np.array(
-        [
-            arr[..., 0].mean(), arr[..., 1].mean(), arr[..., 2].mean(),
-            arr[..., 0].std(), arr[..., 1].std(), arr[..., 2].std(),
-            w / (h or 1), np.log1p(float(w) * h) / 20.0,
-        ],
-        dtype=np.float32,
-    )
-    return w, h, os.path.getsize(path), feat
+    return w, h, os.path.getsize(path), _feature8(arr, w, h)
 
 
 class MediaFeatureExtractor:
@@ -82,10 +121,13 @@ class MediaFeatureExtractor:
         self.use_pil = HAVE_PIL
 
     def decode(self, ref: str) -> tuple[int, int, int, np.ndarray]:
-        if self.use_pil:
-            path = os.path.join(self.media_root, ref) if self.media_root else ref
-            if os.path.isfile(path):
+        path = os.path.join(self.media_root, ref) if self.media_root else ref
+        if os.path.isfile(path):
+            if self.use_pil:
                 return _decode_pil(path)
+            with open(path, "rb") as f:
+                if f.read(2) == b"P6":
+                    return _decode_ppm(path)
         return _decode_stub(ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -118,11 +160,13 @@ class MediaFeatureExtractor:
         )
 
 
-def media_features(docs: Dataset) -> Dataset:
+def media_features(docs: Dataset, media_root: str = "") -> Dataset:
     """docs(doc_id, spans) -> one row per media span with decode metadata +
-    feature vector."""
+    feature vector.  ``media_root`` prefixes refs so refs that resolve to
+    real files decode for real (PPM always; any format where PIL exists)."""
     return docs.map_batches(
         MediaFeatureExtractor,
+        fn_constructor_kwargs={"media_root": media_root},
         batch_format="pyarrow",
         batch_size=16,  # small: real media payloads are large
         concurrency=(1, 8),

@@ -340,3 +340,58 @@ def test_all_queries_run_at_smallest_scale(ray_session):
         except Exception as ex:  # noqa: BLE001
             failures.append((name, f"{type(ex).__name__}: {ex}"))
     assert not failures, failures
+
+
+def test_media_ppm_real_decode(ray_session, tmp_path):
+    """The zero-dependency PPM decode kernel, end-to-end through the
+    actor-pool stage: refs resolving to real P6 files must yield TRUE
+    dimensions and pixel-derived features (not the stub's hash fakes)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from indu_doc_transformer_ray.functions.multimodal import (
+        HAVE_PIL,
+        _feature8,
+        media_features,
+    )
+
+    if HAVE_PIL:  # this container has no PIL; kernel preference differs with it
+        import pytest
+
+        pytest.skip("PIL present: PPMs route through the PIL branch")
+
+    rng = np.random.RandomState(11)
+    sizes = [(20, 12), (7, 31), (64, 3)]
+    expected = {}
+    for i, (w, h) in enumerate(sizes):
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        path = tmp_path / f"img{i}.ppm"
+        with open(path, "wb") as f:
+            f.write(b"P6\n# test comment\n%d %d\n255\n" % (w, h))
+            f.write(px.tobytes())
+        expected[f"img{i}.ppm"] = (
+            w, h, _feature8(px.astype(np.float32) / 255.0, w, h)
+        )
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(["d0"], pa.string()),
+                "spans": pa.array(
+                    [[
+                        {"kind": "media", "text": "", "media_ref": f"img{i}.ppm",
+                         "offset": i}
+                        for i in range(len(sizes))
+                    ]],
+                ),
+            }
+        )
+    )
+    out = media_features(docs, media_root=str(tmp_path)).to_pandas()
+    assert len(out) == len(sizes)
+    for r in out.itertuples():
+        w, h, feat = expected[r.media_ref]
+        assert (r.width, r.height) == (w, h)
+        assert np.allclose(np.asarray(r.feature), feat, atol=1e-6)
