@@ -8,12 +8,13 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (40 of 46, incl. MinHash-LSH/SimHash/winnowing via
-                      md5-based hashing and integer-exact scoring); the five
-                      rows-only ops are extraction semantics (pytest holds
-                      their equality gate vs the single-process oracle),
-                      recall-graded LSH approximations, and iterative
-                      k-means (pytest equality vs a local reference).
+                      (51 of 57, incl. MinHash-LSH/SimHash/winnowing via
+                      md5-based hashing, HyperLogLog via its deterministic
+                      md5 registers, and k-means via an unrolled Lloyd CTE
+                      chain); the six rows-only ops are extraction
+                      semantics (pytest holds their equality gate vs the
+                      single-process oracle), recall-graded LSH/IVF
+                      approximations, and the multimodal decode stage.
 """
 
 from __future__ import annotations
@@ -203,7 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroid_sims": similarity.label_centroid_sims,
         "lang_centroid_sims": similarity.lang_centroid_sims,
         "kmeans_assign": similarity.kmeans_assign,
-        # sketches (approximate by construction: error-bound pytest gate)
+        # sketches (error-bound pytest gate + SQL oracle: the md5-derived
+        # sketch is deterministic, so the approximate answer hash-matches)
         "hll_users_per_type": sketches.hll_users_per_type,
         # extraction flagship (rows-only; pytest holds the equality gate)
         "extract_spans": _extract_spans,
@@ -218,6 +220,7 @@ def oracle_sql() -> dict[str, str]:
         events,
         relational,
         similarity,
+        sketches,
         text,
     )
 
@@ -271,4 +274,6 @@ def oracle_sql() -> dict[str, str]:
         "cosine_dup_pairs": similarity.COSINE_DUP_PAIRS_SQL,
         "label_centroid_sims": similarity.LABEL_CENTROID_SQL,
         "lang_centroid_sims": similarity.LANG_CENTROID_SQL,
+        "hll_users_per_type": sketches.HLL_USERS_SQL,
+        "kmeans_assign": similarity.KMEANS_ASSIGN_SQL,
     }

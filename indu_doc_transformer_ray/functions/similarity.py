@@ -733,3 +733,59 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_vectors,
        CAST(FLOOR(AVG(sim) * 1000) AS BIGINT) AS mean_centroid_sim_permille
 FROM sims GROUP BY lang ORDER BY lang
 """
+
+
+def _kmeans_assign_sql(k: int = 8, iters: int = 5) -> str:
+    """DuckDB mirror of ``kmeans_assign`` — the fixed iteration count makes
+    Lloyd's SQL-expressible as an UNROLLED CTE chain: per-iteration distance
+    join (comp x centroids on dim), argmin via row_number (tie toward the
+    lower cluster id = numpy argmin), AVG centroid update with COALESCE so
+    empty clusters keep their previous centroid (the numpy fold's
+    ``cents.copy()`` semantics).  Distance/mean arithmetic is float64 on
+    both sides; summation order differs only in final ulps, far below the
+    inter-centroid distance gaps that decide the integer assignment
+    (hash-verified at sf0.001/0.01/0.1)."""
+    parts = [f"""
+WITH comp AS (
+  SELECT vec_id, u.i AS dim, embedding[u.i] AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+), cent0 AS (
+  SELECT vec_id AS cluster, u.i AS dim, embedding[u.i] AS c
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+  WHERE vec_id < {k}
+)"""]
+    for it in range(1, iters + 1):
+        prev = f"cent{it - 1}"
+        parts.append(f""", dist{it} AS (
+  SELECT comp.vec_id, p.cluster, SUM((comp.x - p.c) * (comp.x - p.c)) AS d
+  FROM comp JOIN {prev} p USING (dim)
+  GROUP BY comp.vec_id, p.cluster
+), assign{it} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM dist{it}
+  ) WHERE rn = 1
+), upd{it} AS (
+  SELECT a.cluster, comp.dim, AVG(comp.x) AS c
+  FROM assign{it} a JOIN comp USING (vec_id)
+  GROUP BY a.cluster, comp.dim
+), cent{it} AS (
+  SELECT p.cluster, p.dim, COALESCE(u.c, p.c) AS c
+  FROM {prev} p LEFT JOIN upd{it} u
+    ON p.cluster = u.cluster AND p.dim = u.dim
+)""")
+    parts.append(f""", distF AS (
+  SELECT comp.vec_id, p.cluster, SUM((comp.x - p.c) * (comp.x - p.c)) AS d
+  FROM comp JOIN cent{iters} p USING (dim)
+  GROUP BY comp.vec_id, p.cluster
+)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+  FROM distF
+) WHERE rn = 1 ORDER BY vec_id""")
+    return "".join(parts)
+
+
+KMEANS_ASSIGN_SQL = _kmeans_assign_sql()

@@ -117,8 +117,52 @@ def hll_users_per_type(sf_dir: str) -> "object":
     """Approximate distinct users per event_type (the 100-TB shape of
     COUNT DISTINCT: fixed-size mergeable sketch instead of a user-sized
     shuffle).  Accuracy graded in pytest vs the exact two-level groupby;
-    rows-only at the driver (approximate by construction)."""
+    exactness graded by ``HLL_USERS_SQL`` (the md5-deterministic sketch is
+    itself SQL-expressible, so even the APPROXIMATE answer hash-matches)."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
     return hll_distinct(ds, "event_type", "user_id")
+
+
+def _hll_users_sql() -> str:
+    """DuckDB mirror of the full HLL pipeline — expressible because the
+    register construction is md5-deterministic: same 64-bit hash split, same
+    max-register fold, same bias-corrected / linear-counting estimate.
+    Estimate math is double-precision on both sides; the only divergence
+    channel is an estimate landing within ~1e-10 of a .5 rounding boundary
+    (never observed at sf0.001/0.01/0.1 — all three hash-match)."""
+    alpha_mm = _alpha(M) * M * M
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 16)) AS UBIGINT) AS hv
+  FROM events
+), rr AS (
+  SELECT event_type, CAST(hv & {M - 1} AS INTEGER) AS reg,
+         CAST(hv >> {P_BITS} AS UBIGINT) AS rest
+  FROM h
+), regs AS (
+  SELECT event_type, reg,
+         MAX(CASE WHEN rest = 0 THEN {64 - P_BITS + 1}
+                  ELSE {64 - P_BITS} - length(bin(rest)) + 1 END) AS rank
+  FROM rr GROUP BY event_type, reg
+), folded AS (
+  SELECT event_type, COUNT(*) AS touched,
+         SUM(power(2.0, -rank)) AS s_touched
+  FROM regs GROUP BY event_type
+), est AS (
+  SELECT event_type,
+         {alpha_mm!r} / (s_touched + CAST({M} - touched AS DOUBLE)) AS e,
+         {M} - touched AS zeros
+  FROM folded
+)
+SELECT event_type,
+       CAST(CASE WHEN e <= {2.5 * M!r} AND zeros > 0
+                 THEN round({M} * ln({M} / CAST(zeros AS DOUBLE)))
+                 ELSE round(e) END AS BIGINT) AS approx_distinct
+FROM est ORDER BY event_type
+"""
+
+
+HLL_USERS_SQL = _hll_users_sql()
