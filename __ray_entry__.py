@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-shaped (as-of join, session windows)
         "asof_prior_click": events.asof_prior_click,
         "sessionize": events.sessionize,
+        "funnel_counts": events.funnel_counts,
+        "cohort_retention": events.cohort_retention,
         # text analysis
         "token_stats": text.token_stats,
         "doc_fingerprint": text.doc_fingerprint,
@@ -248,6 +250,8 @@ def oracle_sql() -> dict[str, str]:
         "customers_no_orders": relational.CUSTOMERS_NO_ORDERS_SQL,
         "asof_prior_click": events.ASOF_PRIOR_CLICK_SQL,
         "sessionize": events.SESSIONIZE_SQL,
+        "funnel_counts": events.FUNNEL_SQL,
+        "cohort_retention": events.COHORT_RETENTION_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
         "quality_flags": text.QUALITY_FLAGS_SQL,

@@ -160,3 +160,150 @@ SELECT user_id,
        CAST(MAX(dur_us) AS BIGINT) AS longest_session_us
 FROM per_session GROUP BY user_id ORDER BY user_id
 """
+
+
+def funnel_counts(sf_dir: str) -> "object":
+    """Ordered-sequence funnel view -> click -> purchase: a user advances a
+    stage only with a LATER event of the next type (first view, first click
+    strictly after it, first purchase strictly after that).  One bucketed
+    co-location shuffle; the in-group kernel is three vectorized
+    merge+filter+groupby-min passes over every user in the bucket; buckets
+    emit one partial row and the driver sums a bucket-count-sized frame.
+    Output: (n_view, n_view_click, n_full_funnel) — one row."""
+    ds = _read_events(sf_dir, ["ts", "user_id", "event_type"]).filter(
+        expr=(
+            "event_type == 'view' or event_type == 'click'"
+            " or event_type == 'purchase'"
+        )
+    )
+
+    def add_bucket(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.copy()
+        t["ub"] = (t["user_id"] % USER_BUCKETS).astype("int32")
+        return t
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("int64")
+        g = g.assign(ts_us=ts)
+        t1 = (
+            g[g["event_type"] == "view"].groupby("user_id")["ts_us"].min()
+        )
+        clicks = g[g["event_type"] == "click"].merge(
+            t1.rename("t1"), left_on="user_id", right_index=True
+        )
+        t2 = (
+            clicks[clicks["ts_us"] > clicks["t1"]]
+            .groupby("user_id")["ts_us"].min()
+        )
+        purch = g[g["event_type"] == "purchase"].merge(
+            t2.rename("t2"), left_on="user_id", right_index=True
+        )
+        t3 = (
+            purch[purch["ts_us"] > purch["t2"]]
+            .groupby("user_id")["ts_us"].min()
+        )
+        return pd.DataFrame(
+            {
+                "n_view": pd.Series([len(t1)], dtype="int64"),
+                "n_view_click": pd.Series([len(t2)], dtype="int64"),
+                "n_full_funnel": pd.Series([len(t3)], dtype="int64"),
+            }
+        )
+
+    parts = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # one row per user bucket
+    )
+    return pd.DataFrame(
+        {
+            "n_view": [int(parts["n_view"].sum())],
+            "n_view_click": [int(parts["n_view_click"].sum())],
+            "n_full_funnel": [int(parts["n_full_funnel"].sum())],
+        }
+    )
+
+
+FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_full_funnel
+"""
+
+
+def cohort_retention(sf_dir: str) -> Dataset:
+    """Weekly cohort retention matrix: users grouped by first-activity week
+    (cohort), counted in each later week they were active.  One bucketed
+    co-location shuffle keyed by user (cohort = per-user min week and the
+    user's distinct active weeks are computed together in-group, vectorized
+    across the bucket's users), then a small groupby over (cohort_week,
+    weeks_since).  Output: (cohort_week, weeks_since, n_users)."""
+    from ray.data.aggregate import Sum
+
+    WEEK_US = 7 * 86_400_000_000
+
+    ds = _read_events(sf_dir, ["ts", "user_id"])
+
+    def add_bucket(t: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "user_id": t["user_id"].astype("int64"),
+                "week": (t["ts"].astype("int64") // WEEK_US).astype("int64"),
+            }
+        )
+        out["ub"] = (out["user_id"] % USER_BUCKETS).astype("int32")
+        return out.drop_duplicates()  # batch-local (user, week) combine
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        uw = g[["user_id", "week"]].drop_duplicates()
+        cohort = uw.groupby("user_id")["week"].min().rename("cohort_week")
+        m = uw.merge(cohort, left_on="user_id", right_index=True)
+        out = (
+            m.assign(weeks_since=m["week"] - m["cohort_week"])
+            .groupby(["cohort_week", "weeks_since"])
+            .size()
+            .rename("partial_n")
+            .reset_index()
+        )
+        return out.astype(
+            {"cohort_week": "int64", "weeks_since": "int64", "partial_n": "int64"}
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["cohort_week", "weeks_since"])
+        .aggregate(Sum("partial_n", alias_name="n_users"))
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 604800000000 AS week
+  FROM events
+), cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+)
+SELECT cohort.cohort_week,
+       uw.week - cohort.cohort_week AS weeks_since,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM uw JOIN cohort ON uw.user_id = cohort.user_id
+GROUP BY cohort.cohort_week, weeks_since
+"""
