@@ -299,9 +299,11 @@ def run_stats() -> None:
     corpus_path = ensure_corpus(SF_DIR)
     ds = rd.read_parquet(corpus_path)
     extracted = extract_documents(ds)
-    n = extracted.count()
-    print(f"# docs={n}", file=sys.stderr)
-    print(extracted.stats(), file=sys.stderr)
+    # materialize() keeps the executed plan so .stats() reports it
+    # (count() collapses to an AggregateNumRows plan with no map stats)
+    mat = extracted.materialize()
+    print(f"# docs={mat.count()}", file=sys.stderr)
+    print(mat.stats(), file=sys.stderr)
     ray.shutdown()
 
 
