@@ -188,6 +188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": text.repetition_stats,
         "bigram_topk": text.bigram_topk,
         "oov_stats": text.oov_stats,
+        "chunk_documents": text.chunk_documents,
+        "pack_bins": text.pack_bins,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
@@ -266,6 +268,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": text.REPETITION_STATS_SQL,
         "bigram_topk": text.BIGRAM_TOPK_SQL,
         "oov_stats": text.OOV_STATS_SQL,
+        "chunk_documents": text.CHUNK_DOCUMENTS_SQL,
+        "pack_bins": text.PACK_BINS_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_prefix": dedup.DEDUP_PREFIX_SQL,
         "word_jaccard_pairs": dedup.WORD_JACCARD_SQL,

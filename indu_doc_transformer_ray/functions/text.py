@@ -800,3 +800,146 @@ SELECT d.doc_id, COALESCE(c.n_tokens, 0) AS n_tokens,
        COALESCE(c.n_oov, 0) AS n_oov
 FROM documents d LEFT JOIN counted c USING (doc_id)
 """
+
+
+def chunk_documents(
+    sf_dir: str, chunk_tokens: int = 64, stride: int = 48
+) -> Dataset:
+    """Fixed-size token chunking with overlap — the training-data prep
+    primitive (chunks for embedding/pretraining): each doc flat-maps to
+    ceil-covering windows of ``chunk_tokens`` tokens starting every
+    ``stride`` (last partial window kept iff it adds tokens).  One batch in,
+    many rows out; no shuffle.  Output integers/hashes only:
+    (doc_id, chunk_idx, start_token, n_tokens, chunk_hash)."""
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        d_ids, idxs, starts, lens, hashes = [], [], [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = TOKEN_RE.findall(text.lower())
+            if not toks:
+                continue
+            ci = 0
+            for start in range(0, len(toks), stride):
+                window = toks[start : start + chunk_tokens]
+                d_ids.append(doc_id)
+                idxs.append(ci)
+                starts.append(start)
+                lens.append(len(window))
+                hashes.append(hashlib.md5(" ".join(window).encode()).hexdigest())
+                ci += 1
+                if start + chunk_tokens >= len(toks):
+                    break
+        return pa.table(
+            {
+                "doc_id": pa.array(d_ids, pa.int64()),
+                "chunk_idx": pa.array(idxs, pa.int64()),
+                "start_token": pa.array(starts, pa.int64()),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "chunk_hash": pa.array(hashes, pa.string()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunks, batch_format="pyarrow"
+    )
+
+
+CHUNK_DOCUMENTS_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+  FROM documents
+), starts AS (
+  -- window starts: 0, 48, 96, ... while start < len; stop after the first
+  -- window that reaches the end (start + 64 >= len)
+  SELECT doc_id, ws, u.s AS start_token
+  FROM t, unnest(range(0, greatest(len(ws), 1), 48)) AS u(s)
+  WHERE len(ws) > 0
+    AND (u.s = 0 OR u.s - 48 + 64 < len(ws))
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_token) - 1
+            AS BIGINT) AS chunk_idx,
+       CAST(start_token AS BIGINT) AS start_token,
+       CAST(least(64, len(ws) - start_token) AS BIGINT) AS n_tokens,
+       md5(array_to_string(ws[start_token + 1 : start_token + 64], ' ')) AS chunk_hash
+FROM starts
+"""
+
+
+def pack_bins(sf_dir: str, budget: int = 512, range_docs: int = 4096) -> Dataset:
+    """Token-budget sequence packing (the pretraining batch-packing
+    primitive): docs in doc_id order fill bins of ``budget`` tokens; a doc's
+    bin = floor(tokens-before-it / budget).  The global running total is a
+    DISTRIBUTED PREFIX SCAN: pass 1 sums token counts per doc_id RANGE
+    (one small groupby — n_docs/range_docs rows), the driver prefix-folds
+    range offsets and broadcasts the dict; pass 2 co-locates each range
+    (groupby + in-group doc_id-ordered cumsum, vectorized) and adds its
+    offset.  ``range_docs`` scales the driver table; at extreme corpus
+    sizes the ranges themselves fold hierarchically (same two-pass shape).
+    Output: (doc_id, n_tokens, cum_before, bin_id)."""
+    import pandas as pd
+
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = [
+            len(TOKEN_RE.findall(t.lower()))
+            for t in batch.column("text").to_pylist()
+        ]
+        ids = batch.column("doc_id")
+        return pa.table(
+            {
+                "doc_id": ids,
+                "rng": pa.array(
+                    [int(i) // range_docs for i in ids.to_pylist()], pa.int64()
+                ),
+                "n_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+    per_doc = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        counts, batch_format="pyarrow"
+    )
+
+    range_sums = (
+        per_doc.groupby("rng").aggregate(Sum("n_tokens", alias_name="s"))
+        .to_pandas()  # n_docs / range_docs rows
+        .sort_values("rng")
+    )
+    offsets = dict(
+        zip(range_sums["rng"], range_sums["s"].cumsum() - range_sums["s"])
+    )
+    ref = _ray.put(offsets)
+
+    def scan_range(g: pd.DataFrame) -> pd.DataFrame:
+        off = _ray.get(ref)[int(g["rng"].iloc[0])]
+        g = g.sort_values("doc_id")
+        cum_before = g["n_tokens"].cumsum() - g["n_tokens"] + off
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "n_tokens": g["n_tokens"].astype("int64"),
+                "cum_before": cum_before.astype("int64"),
+                "bin_id": (cum_before // budget).astype("int64"),
+            }
+        )
+
+    return per_doc.groupby("rng").map_groups(scan_range, batch_format="pandas")
+
+
+PACK_BINS_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum_before,
+       CAST((SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS BIGINT) AS bin_id
+FROM n
+"""

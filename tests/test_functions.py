@@ -395,3 +395,23 @@ def test_media_ppm_real_decode(ray_session, tmp_path):
         w, h, feat = expected[r.media_ref]
         assert (r.width, r.height) == (w, h)
         assert np.allclose(np.asarray(r.feature), feat, atol=1e-6)
+
+
+def test_pack_bins_partitioning_invariance(ray_session):
+    """The distributed prefix scan must be a pure function of the data, not
+    the block layout: same totals at any read parallelism, contiguous bins,
+    and cum_before consistent with per-doc token counts."""
+    from indu_doc_transformer_ray.functions.text import pack_bins
+
+    sf = "/root/testdata/sf0.001"
+    a = pack_bins(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        pack_bins(sf, range_docs=16)  # many more ranges -> different layout
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    # prefix property: cum_before[i] = cum_before[i-1] + n_tokens[i-1]
+    assert (
+        a["cum_before"].iloc[1:].to_numpy()
+        == (a["cum_before"] + a["n_tokens"]).iloc[:-1].to_numpy()
+    ).all()
