@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_types_union": relational.distinct_types_union,
         "sample_docs_hash": relational.sample_docs_hash,
         "customers_no_orders": relational.customers_no_orders,
+        "profile_lineitem": relational.profile_lineitem,
         # stream-shaped (as-of join, session windows)
         "asof_prior_click": events.asof_prior_click,
         "sessionize": events.sessionize,
@@ -250,6 +251,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_types_union": relational.DISTINCT_TYPES_UNION_SQL,
         "sample_docs_hash": relational.SAMPLE_DOCS_HASH_SQL,
         "customers_no_orders": relational.CUSTOMERS_NO_ORDERS_SQL,
+        "profile_lineitem": relational.PROFILE_LINEITEM_SQL,
         "asof_prior_click": events.ASOF_PRIOR_CLICK_SQL,
         "sessionize": events.SESSIONIZE_SQL,
         "funnel_counts": events.FUNNEL_SQL,

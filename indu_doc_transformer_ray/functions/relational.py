@@ -952,3 +952,93 @@ SELECT doc_id, lang FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
 ORDER BY doc_id
 """
+
+
+# -- generic column profiler -------------------------------------------------
+
+def profile_columns(
+    ds: Dataset, numeric_cols: list[str], key_col: str
+) -> "object":
+    """Generic data-profiling aggregate: per numeric column (count, nulls,
+    min, max, integer-scaled sum) plus exact distinct count of ``key_col``
+    via the two-level groupby — one pass + one tiny shuffle, the profile
+    never exceeds a few rows.  The building block for ingest validation at
+    scale (schema drift, null explosions, range regressions)."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, counts, nulls, mins, maxs, sums = [], [], [], [], [], []
+        for c in numeric_cols:
+            col = t[c]
+            names.append(c)
+            counts.append(len(col))
+            nulls.append(col.null_count)
+            mins.append(float(pc.min(col).as_py() or 0))
+            maxs.append(float(pc.max(col).as_py() or 0))
+            sums.append(int(pc.sum(_cents(col)).as_py() or 0))
+        return pa.table(
+            {
+                "column": pa.array(names, pa.string()),
+                "n": pa.array(counts, pa.int64()),
+                "nulls": pa.array(nulls, pa.int64()),
+                "min_v": pa.array(mins, pa.float64()),
+                "max_v": pa.array(maxs, pa.float64()),
+                "sum_c2": pa.array(sums, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    prof = (
+        parts.groupby("column")
+        .agg(
+            n=("n", "sum"), nulls=("nulls", "sum"), min_v=("min_v", "min"),
+            max_v=("max_v", "max"), sum_c2=("sum_c2", "sum"),
+        )
+        .reset_index()
+    )
+    distinct = (
+        ds.groupby(key_col).aggregate(Count(alias_name="_c"))
+        .count()
+    )
+    prof["n_distinct_keys"] = int(distinct)
+    return prof.astype(
+        {"n": "int64", "nulls": "int64", "sum_c2": "int64",
+         "n_distinct_keys": "int64"}
+    ).sort_values("column").reset_index(drop=True)
+
+
+def profile_lineitem(sf_dir: str) -> "object":
+    """Profile of lineitem's numeric columns keyed by l_orderkey."""
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    return profile_columns(
+        ds, ["l_quantity", "l_extendedprice", "l_discount"], "l_orderkey"
+    )
+
+
+PROFILE_LINEITEM_SQL = """
+WITH d AS (SELECT COUNT(DISTINCT l_orderkey) AS nd FROM lineitem),
+p AS (
+  SELECT 'l_quantity' AS "column", COUNT(l_quantity) AS n,
+         COUNT(*) - COUNT(l_quantity) AS nulls,
+         CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
+         CAST(MAX(l_quantity) AS DOUBLE) AS max_v,
+         CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_c2
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', COUNT(l_extendedprice),
+         COUNT(*) - COUNT(l_extendedprice),
+         CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE),
+         CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', COUNT(l_discount), COUNT(*) - COUNT(l_discount),
+         CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE),
+         CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT)
+  FROM lineitem
+)
+SELECT p.*, CAST(d.nd AS BIGINT) AS n_distinct_keys
+FROM p CROSS JOIN d ORDER BY "column"
+"""
