@@ -114,6 +114,8 @@ def bench_queries(sf_dir: str) -> dict:
         "label_centroid_sims": similarity.label_centroid_sims,
         "vocab_topk": text.vocab_topk,
         "repetition_stats": text.repetition_stats,
+        "chunk_documents": text.chunk_documents,
+        "pack_bins": text.pack_bins,
         "hll_users_per_type": sketches.hll_users_per_type,
     }.items():
         t0 = time.time()
