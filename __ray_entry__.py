@@ -169,6 +169,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs_hash": relational.sample_docs_hash,
         "customers_no_orders": relational.customers_no_orders,
         "profile_lineitem": relational.profile_lineitem,
+        "orders_rollup": relational.orders_rollup,
+        "status_priority_pivot": relational.status_priority_pivot,
         # stream-shaped (as-of join, session windows)
         "asof_prior_click": events.asof_prior_click,
         "sessionize": events.sessionize,
@@ -252,6 +254,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_docs_hash": relational.SAMPLE_DOCS_HASH_SQL,
         "customers_no_orders": relational.CUSTOMERS_NO_ORDERS_SQL,
         "profile_lineitem": relational.PROFILE_LINEITEM_SQL,
+        "orders_rollup": relational.ORDERS_ROLLUP_SQL,
+        "status_priority_pivot": relational.STATUS_PRIORITY_PIVOT_SQL,
         "asof_prior_click": events.ASOF_PRIOR_CLICK_SQL,
         "sessionize": events.SESSIONIZE_SQL,
         "funnel_counts": events.FUNNEL_SQL,

@@ -1042,3 +1042,85 @@ p AS (
 SELECT p.*, CAST(d.nd AS BIGINT) AS n_distinct_keys
 FROM p CROSS JOIN d ORDER BY "column"
 """
+
+
+# -- rollup: hierarchical totals ---------------------------------------------
+
+def orders_rollup(sf_dir: str) -> "object":
+    """GROUP BY ROLLUP(status, priority): the hierarchical-aggregate shape —
+    ONE distributed groupby at the finest grain, then the coarser levels
+    re-aggregate the (tiny) finest result on the driver (classic rollup
+    push-down: never re-scan the fact table per level).  NULL grouping
+    columns are encoded as '' for hash-stable comparison."""
+    import pandas as pd
+
+    base = (
+        _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()  # |statuses| x |priorities| rows
+    )
+    lvl1 = (
+        base.groupby("o_orderstatus", as_index=False)["n"].sum()
+        .assign(o_orderpriority="")
+    )
+    total = pd.DataFrame(
+        {"o_orderstatus": [""], "o_orderpriority": [""], "n": [base["n"].sum()]}
+    )
+    out = pd.concat([base, lvl1, total], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(
+        ["o_orderstatus", "o_orderpriority"]
+    ).reset_index(drop=True)
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT COALESCE(o_orderstatus, '') AS o_orderstatus,
+       COALESCE(o_orderpriority, '') AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+# -- pivot: long -> wide -----------------------------------------------------
+
+def status_priority_pivot(sf_dir: str) -> "object":
+    """Pivot orders to a status x priority count matrix: map-side one-hot
+    columns (one int column per priority value, vectorized) + ONE groupby
+    Sum — the long->wide shape without a second pass or driver pivot of the
+    fact table.  Priority values are a fixed domain (dimension metadata at
+    scale)."""
+    PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    COLS = ["p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low"]
+
+    def one_hot(t: pa.Table) -> pa.Table:
+        cols = {"o_orderstatus": t["o_orderstatus"]}
+        for val, name in zip(PRIORITIES, COLS):
+            cols[name] = pc.cast(
+                pc.equal(t["o_orderpriority"], val), pa.int64()
+            )
+        return pa.table(cols)
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+        .map_batches(one_hot, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(*[Sum(c, alias_name=c) for c in COLS])
+        .to_pandas()  # |statuses| rows
+    )
+    for c in COLS:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+STATUS_PRIORITY_PIVOT_SQL = """
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1_urgent,
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2_high,
+       CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3_medium,
+       CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4_not_specified,
+       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5_low
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
