@@ -789,3 +789,73 @@ SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM (
 
 
 KMEANS_ASSIGN_SQL = _kmeans_assign_sql()
+
+
+def quantize_embeddings(sf_dir: str) -> "object":
+    """Symmetric int8 quantization per vector (the embedding-serving /
+    storage-compression prep): scale = max|x|, q_i = floor(x_i/scale*127
+    + 0.5).  Stateless vectorized batch stage, no shuffle.  Outputs are
+    integers + an md5 of the quantized vector so the DuckDB oracle
+    hash-matches bit-for-bit (identical IEEE double expression order on
+    both sides; floor(+0.5) instead of round() — numpy rounds half-to-even,
+    SQL half-away)."""
+    import hashlib
+    from math import floor as math_floor
+
+    import pandas as pd
+
+    def quant(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_pylist()
+        embs = t.column("embedding").to_pylist()
+        out_s, out_h, out_sum = [], [], []
+        for e in embs:
+            x = np.asarray(e, dtype=np.float64)
+            scale = float(np.max(np.abs(x)))
+            if scale == 0.0:
+                q = np.zeros(len(x), dtype=np.int64)
+            else:
+                q = np.floor(x / scale * 127.0 + 0.5).astype(np.int64)
+            out_s.append(int(math_floor(scale * 1_000_000)))
+            out_h.append(
+                hashlib.md5(",".join(str(int(v)) for v in q).encode()).hexdigest()
+            )
+            out_sum.append(int(q.sum()))
+        return pa.table(
+            {
+                "vec_id": pa.array([int(i) for i in ids], pa.int64()),
+                "scale_ppm": pa.array(out_s, pa.int64()),
+                "sum_q": pa.array(out_sum, pa.int64()),
+                "q_hash": pa.array(out_h, pa.string()),
+            }
+        )
+
+    out = (
+        _read_emb(sf_dir)
+        .map_batches(quant, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+# every operand is CAST to DOUBLE before arithmetic: the parquet column is
+# float32 and DuckDB would otherwise multiply/divide in single precision,
+# flipping floor() boundaries vs the numpy float64 path (observed +-1 ulp
+# on scale_ppm before the casts)
+QUANTIZE_EMBEDDINGS_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS scale
+  FROM embeddings
+), q AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127.0 + 0.5) AS BIGINT)) END AS qv
+  FROM s
+)
+SELECT vec_id,
+       CAST(floor(scale * CAST(1000000 AS DOUBLE)) AS BIGINT) AS scale_ppm,
+       CAST(list_sum(qv) AS BIGINT) AS sum_q,
+       md5(array_to_string(qv, ',')) AS q_hash
+FROM q ORDER BY vec_id
+"""
