@@ -943,3 +943,44 @@ SELECT doc_id, n_tokens,
             ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS BIGINT) AS bin_id
 FROM n
 """
+
+
+def dup_chunks(sf_dir: str) -> Dataset:
+    """Cross-document duplicate chunks: which fixed-size token windows occur
+    in more than one document (the chunk-granular form of exact-substring
+    train-data dedup, Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL 2022 — suffix-array full generality traded
+    for the shuffle-friendly window hash).  Reuses ``chunk_documents`` and
+    co-groups by chunk hash; output (chunk_hash, n_docs, min_doc_id) is the
+    removal worklist."""
+    from ray.data.aggregate import Count, Min
+
+    chunks = chunk_documents(sf_dir)
+
+    def combine(t: pa.Table) -> pa.Table:
+        # in-batch combiner only — exact (doc, hash) dedup happens in the
+        # two-level groupby below (a doc's chunks may straddle batches)
+        return t.group_by(["doc_id", "chunk_hash"]).aggregate([])
+
+    return (
+        chunks.select_columns(["doc_id", "chunk_hash"])
+        .map_batches(combine, batch_format="pyarrow")
+        .groupby(["chunk_hash", "doc_id"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("chunk_hash")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Min("doc_id", alias_name="min_doc_id"),
+        )
+        .filter(expr="n_docs > 1")
+    )
+
+
+DUP_CHUNKS_SQL = f"""
+WITH chunks AS ({CHUNK_DOCUMENTS_SQL}),
+per_doc AS (SELECT DISTINCT doc_id, chunk_hash FROM chunks)
+SELECT chunk_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+FROM per_doc GROUP BY chunk_hash HAVING COUNT(*) > 1
+"""
