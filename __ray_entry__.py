@@ -8,13 +8,14 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (51 of 57, incl. MinHash-LSH/SimHash/winnowing via
-                      md5-based hashing, HyperLogLog via its deterministic
-                      md5 registers, and k-means via an unrolled Lloyd CTE
-                      chain); the six rows-only ops are extraction
-                      semantics (pytest holds their equality gate vs the
-                      single-process oracle), recall-graded LSH/IVF
-                      approximations, and the multimodal decode stage.
+                      (63 of 66): every deterministic construction is
+                      mirrored — MinHash-LSH/SimHash/winnowing via
+                      md5-based hashing, HyperLogLog via its md5 registers,
+                      k-means and IVF via an unrolled Lloyd CTE chain,
+                      hyperplane-LSH ANN via plane literals.  The three
+                      rows-only ops are extraction semantics (pytest holds
+                      their span-equality gate vs the single-process
+                      oracle) and the multimodal decode stage.
 """
 
 from __future__ import annotations
@@ -294,4 +295,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_users_per_type": sketches.HLL_USERS_SQL,
         "kmeans_assign": similarity.KMEANS_ASSIGN_SQL,
         "quantize_embeddings": similarity.QUANTIZE_EMBEDDINGS_SQL,
+        "ivf_topk": similarity.IVF_TOPK_SQL,
+        "lsh_bucket_topk": similarity.LSH_BUCKET_TOPK_SQL,
+        "lsh_cosine_pairs": similarity.LSH_COSINE_PAIRS_SQL,
     }

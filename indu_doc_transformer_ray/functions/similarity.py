@@ -217,7 +217,8 @@ def lsh_bucket_topk(sf_dir: str) -> "object":
     query scores only its own bucket (plus Hamming-1 neighbors).  Trades
     recall for a corpus-size-independent candidate set; returns the same
     (query_id, vec_id, rank) shape as ann_topk for recall comparison.
-    Rows-only oracle (bucketing is not SQL-expressible)."""
+    Deterministic planes make even this approximation hash-checkable
+    (``LSH_BUCKET_TOPK_SQL`` embeds them as literals)."""
     import pandas as pd
 
     q, qids = _query_matrix(sf_dir)
@@ -735,16 +736,9 @@ FROM sims GROUP BY lang ORDER BY lang
 """
 
 
-def _kmeans_assign_sql(k: int = 8, iters: int = 5) -> str:
-    """DuckDB mirror of ``kmeans_assign`` — the fixed iteration count makes
-    Lloyd's SQL-expressible as an UNROLLED CTE chain: per-iteration distance
-    join (comp x centroids on dim), argmin via row_number (tie toward the
-    lower cluster id = numpy argmin), AVG centroid update with COALESCE so
-    empty clusters keep their previous centroid (the numpy fold's
-    ``cents.copy()`` semantics).  Distance/mean arithmetic is float64 on
-    both sides; summation order differs only in final ulps, far below the
-    inter-centroid distance gaps that decide the integer assignment
-    (hash-verified at sf0.001/0.01/0.1)."""
+def _kmeans_cte_prefix(k: int = 8, iters: int = 5) -> str:
+    """The unrolled Lloyd CTE chain (WITH comp/cent0 .. cent{iters}) shared
+    by the k-means and IVF oracles — ends after ``cent{iters}``."""
     parts = [f"""
 WITH comp AS (
   SELECT vec_id, u.i AS dim, embedding[u.i] AS x
@@ -775,7 +769,20 @@ WITH comp AS (
   FROM {prev} p LEFT JOIN upd{it} u
     ON p.cluster = u.cluster AND p.dim = u.dim
 )""")
-    parts.append(f""", distF AS (
+    return "".join(parts)
+
+
+def _kmeans_assign_sql(k: int = 8, iters: int = 5) -> str:
+    """DuckDB mirror of ``kmeans_assign`` — the fixed iteration count makes
+    Lloyd's SQL-expressible as an UNROLLED CTE chain: per-iteration distance
+    join (comp x centroids on dim), argmin via row_number (tie toward the
+    lower cluster id = numpy argmin), AVG centroid update with COALESCE so
+    empty clusters keep their previous centroid (the numpy fold's
+    ``cents.copy()`` semantics).  Distance/mean arithmetic is float64 on
+    both sides; summation order differs only in final ulps, far below the
+    inter-centroid distance gaps that decide the integer assignment
+    (hash-verified at sf0.001/0.01/0.1)."""
+    return _kmeans_cte_prefix(k, iters) + f""", distF AS (
   SELECT comp.vec_id, p.cluster, SUM((comp.x - p.c) * (comp.x - p.c)) AS d
   FROM comp JOIN cent{iters} p USING (dim)
   GROUP BY comp.vec_id, p.cluster
@@ -784,11 +791,64 @@ SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM (
   SELECT vec_id, cluster,
          row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
   FROM distF
-) WHERE rn = 1 ORDER BY vec_id""")
-    return "".join(parts)
+) WHERE rn = 1 ORDER BY vec_id"""
 
 
 KMEANS_ASSIGN_SQL = _kmeans_assign_sql()
+
+
+def _ivf_topk_sql(
+    k_cells: int = 8, iters: int = 5, nprobe: int = 3
+) -> str:
+    """DuckDB mirror of ``ivf_topk`` — fully deterministic, so the
+    APPROXIMATE result is hash-checkable: Lloyd centroids from the shared
+    CTE chain, per-query nprobe nearest cells (euclidean on raw vectors,
+    row_number tie toward the lower cell), per-vector cell assignment, then
+    exact cosine top-k within the probed cells (same ranking expression as
+    the ``ann_topk`` oracle)."""
+    return _kmeans_cte_prefix(k_cells, iters) + f""", q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id IN {QUERY_IDS}
+), qcomp AS (
+  SELECT query_id, u.i AS dim, qe[u.i] AS x
+  FROM q, unnest(range(1, len(qe) + 1)) AS u(i)
+), qdist AS (
+  SELECT qcomp.query_id, p.cluster, SUM((qcomp.x - p.c) * (qcomp.x - p.c)) AS d
+  FROM qcomp JOIN cent{iters} p USING (dim)
+  GROUP BY qcomp.query_id, p.cluster
+), probe AS (
+  SELECT query_id, cluster FROM (
+    SELECT query_id, cluster,
+           row_number() OVER (PARTITION BY query_id ORDER BY d, cluster) AS rn
+    FROM qdist
+  ) WHERE rn <= {nprobe}
+), vdist AS (
+  SELECT comp.vec_id, p.cluster, SUM((comp.x - p.c) * (comp.x - p.c)) AS d
+  FROM comp JOIN cent{iters} p USING (dim)
+  GROUP BY comp.vec_id, p.cluster
+), vcell AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM vdist
+  ) WHERE rn = 1
+), cand AS (
+  SELECT probe.query_id, vcell.vec_id
+  FROM probe JOIN vcell USING (cluster)
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT c.query_id, c.vec_id,
+         CAST(row_number() OVER (
+              PARTITION BY c.query_id
+              ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, c.vec_id
+         ) AS BIGINT) AS rank
+  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+              JOIN q ON c.query_id = q.query_id
+  WHERE c.vec_id != c.query_id
+) WHERE rank <= {TOP_K} ORDER BY query_id, rank"""
+
+
+IVF_TOPK_SQL = _ivf_topk_sql()
 
 
 def quantize_embeddings(sf_dir: str) -> "object":
@@ -859,3 +919,110 @@ SELECT vec_id,
        md5(array_to_string(qv, ',')) AS q_hash
 FROM q ORDER BY vec_id
 """
+
+
+def _plane_values_sql(planes: np.ndarray, with_table: bool) -> str:
+    """Render a hyperplane tensor as a DuckDB VALUES literal.  ``repr`` of a
+    Python float round-trips through DuckDB's double parser bit-exactly."""
+    rows = []
+    if with_table:
+        for t in range(planes.shape[0]):
+            for p in range(planes.shape[1]):
+                for d in range(planes.shape[2]):
+                    rows.append(f"({t},{p},{d + 1},{planes[t, p, d]!r})")
+        return ",".join(rows)
+    for p in range(planes.shape[0]):
+        for d in range(planes.shape[1]):
+            rows.append(f"({p},{d + 1},{planes[p, d]!r})")
+    return ",".join(rows)
+
+
+def _lsh_bucket_topk_sql(dim: int = 64) -> str:
+    """DuckDB mirror of ``lsh_bucket_topk`` — deterministic planes (fixed
+    seed, embedded as literals), so the LSH candidate generation itself is
+    SQL-checkable: sign-pattern buckets, global wanted set = query buckets
+    + all Hamming-1 flips, exact cosine top-k over the candidate union.
+    Sign flips would need a hyperplane dot within ~1e-13 of zero (summation
+    -order ulps) — never observed."""
+    planes = _hyperplanes(dim)
+    vals = _plane_values_sql(planes, with_table=False)
+    powers = ",".join(f"({p},{1 << p})" for p in range(N_PLANES))
+    flips = ",".join(f"({1 << p})" for p in range(N_PLANES))
+    return f"""
+WITH planes(plane_id, dim, p) AS (VALUES {vals}),
+pw(plane_id, w) AS (VALUES {powers}),
+comp AS (
+  SELECT vec_id, u.i AS dim, CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+), dots AS (
+  SELECT comp.vec_id, planes.plane_id, SUM(comp.x * planes.p) AS dot
+  FROM comp JOIN planes USING (dim)
+  GROUP BY comp.vec_id, planes.plane_id
+), buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot > 0 THEN w ELSE 0 END) AS INTEGER) AS b
+  FROM dots JOIN pw USING (plane_id) GROUP BY vec_id
+), qb AS (
+  SELECT b FROM buckets WHERE vec_id IN {QUERY_IDS}
+), wanted AS (
+  SELECT DISTINCT b FROM (
+    SELECT b FROM qb
+    UNION ALL
+    SELECT xor(qb.b, f.m) AS b FROM qb CROSS JOIN (VALUES {flips}) f(m)
+  )
+), cand AS (
+  SELECT vec_id FROM buckets WHERE b IN (SELECT b FROM wanted)
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id IN {QUERY_IDS}
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT q.query_id, c.vec_id,
+         CAST(row_number() OVER (
+              PARTITION BY q.query_id
+              ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, c.vec_id
+         ) AS BIGINT) AS rank
+  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+              CROSS JOIN q
+  WHERE c.vec_id != q.query_id
+) WHERE rank <= {TOP_K} ORDER BY query_id, rank"""
+
+
+LSH_BUCKET_TOPK_SQL = _lsh_bucket_topk_sql()
+
+
+def _lsh_cosine_pairs_sql(dim: int = 64, threshold: float = 0.42) -> str:
+    """DuckDB mirror of ``lsh_cosine_pairs`` — deterministic multi-table
+    planes as literals.  Bucketing signs are computed on RAW vectors (sign
+    is normalization-invariant); in-bucket verification reuses the
+    ``cosine_dup_pairs`` oracle's list_cosine_similarity expression."""
+    planes = _pair_tables(dim)
+    vals = _plane_values_sql(planes, with_table=True)
+    powers = ",".join(f"({p},{1 << p})" for p in range(LSH_PAIR_PLANES))
+    return f"""
+WITH planes(tbl, plane_id, dim, p) AS (VALUES {vals}),
+pw(plane_id, w) AS (VALUES {powers}),
+comp AS (
+  SELECT vec_id, u.i AS dim, CAST(embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+), dots AS (
+  SELECT comp.vec_id, planes.tbl, planes.plane_id, SUM(comp.x * planes.p) AS dot
+  FROM comp JOIN planes USING (dim)
+  GROUP BY comp.vec_id, planes.tbl, planes.plane_id
+), buckets AS (
+  SELECT vec_id, tbl,
+         CAST(SUM(CASE WHEN dot > 0 THEN w ELSE 0 END) AS INTEGER) AS b
+  FROM dots JOIN pw USING (plane_id) GROUP BY vec_id, tbl
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.b = b.b AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b
+FROM cand JOIN embeddings ea ON vec_a = ea.vec_id
+          JOIN embeddings eb ON vec_b = eb.vec_id
+WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {threshold!r}
+ORDER BY vec_a, vec_b"""
+
+
+LSH_COSINE_PAIRS_SQL = _lsh_cosine_pairs_sql()
