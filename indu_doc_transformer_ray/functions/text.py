@@ -868,17 +868,28 @@ FROM starts
 """
 
 
-def pack_bins(sf_dir: str, budget: int = 512, range_docs: int = 4096) -> Dataset:
+def pack_bins(
+    sf_dir: str, budget: int = 512, range_docs: int = 4096, fanout: int = 4096
+) -> Dataset:
     """Token-budget sequence packing (the pretraining batch-packing
     primitive): docs in doc_id order fill bins of ``budget`` tokens; a doc's
     bin = floor(tokens-before-it / budget).  The global running total is a
-    DISTRIBUTED PREFIX SCAN: pass 1 sums token counts per doc_id RANGE
-    (one small groupby — n_docs/range_docs rows), the driver prefix-folds
-    range offsets and broadcasts the dict; pass 2 co-locates each range
-    (groupby + in-group doc_id-ordered cumsum, vectorized) and adds its
-    offset.  ``range_docs`` scales the driver table; at extreme corpus
-    sizes the ranges themselves fold hierarchically (same two-pass shape).
-    Output: (doc_id, n_tokens, cum_before, bin_id)."""
+    HIERARCHICAL DISTRIBUTED PREFIX SCAN — no level materializes more than
+    n_docs/(range_docs*fanout) rows on the driver:
+
+    L1  per-range token sums (groupby) — stays a Dataset;
+    L2  per-SUPER-range sums (groupby over L1) — driver prefix-folds these
+        (n_docs/(range_docs*fanout) entries; add a level per extra 4096x)
+        and broadcasts the super offsets;
+    L3  per-range offsets = in-super cumsum of L1 + super offset — emitted
+        as a DATASET of (rng, off) rows, never collected;
+    L4  offset rows UNION the per-doc rows; one groupby(rng) co-locates a
+        range's docs WITH its offset row, and the in-group doc_id-ordered
+        cumsum finishes the scan (the same union+co-location trick the
+        minhash verify uses instead of a join).
+
+    Output: (doc_id, n_tokens, cum_before, bin_id); invariant across block
+    layouts and range sizes (tests/test_functions.py)."""
     import pandas as pd
 
     import ray as _ray
@@ -904,19 +915,75 @@ def pack_bins(sf_dir: str, budget: int = 512, range_docs: int = 4096) -> Dataset
         counts, batch_format="pyarrow"
     )
 
-    range_sums = (
-        per_doc.groupby("rng").aggregate(Sum("n_tokens", alias_name="s"))
-        .to_pandas()  # n_docs / range_docs rows
-        .sort_values("rng")
+    # L1: per-range sums (a Dataset — n_ranges rows, distributed)
+    l1 = per_doc.groupby("rng").aggregate(Sum("n_tokens", alias_name="s"))
+
+    # L2: super-range sums -> driver prefix fold (the only driver table)
+    def to_super(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                "sup": _pc.cast(
+                    _pc.divide(t["rng"], fanout), pa.int64()
+                ),
+                "s": t["s"],
+            }
+        )
+
+    super_sums = (
+        l1.map_batches(to_super, batch_format="pyarrow")
+        .groupby("sup").aggregate(Sum("s", alias_name="s"))
+        .to_pandas()  # n_docs / (range_docs * fanout) rows
+        .sort_values("sup")
     )
-    offsets = dict(
-        zip(range_sums["rng"], range_sums["s"].cumsum() - range_sums["s"])
+    super_offsets = dict(
+        zip(super_sums["sup"], super_sums["s"].cumsum() - super_sums["s"])
     )
-    ref = _ray.put(offsets)
+    sref = _ray.put(super_offsets)
+
+    # L3: per-range offsets as a Dataset (in-super cumsum + super offset)
+    def range_offsets(g: pd.DataFrame) -> pd.DataFrame:
+        off = _ray.get(sref)[int(g["rng"].iloc[0]) // fanout]
+        g = g.sort_values("rng")
+        return pd.DataFrame(
+            {
+                "rng": g["rng"].astype("int64"),
+                "doc_id": pd.Series([-1] * len(g), dtype="int64").values,
+                "n_tokens": pd.Series([0] * len(g), dtype="int64").values,
+                "off": (g["s"].cumsum() - g["s"] + off).astype("int64"),
+            }
+        )
+
+    def add_sup(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.copy()
+        t["sup"] = (t["rng"] // fanout).astype("int64")
+        return t
+
+    offsets_ds = (
+        l1.map_batches(add_sup, batch_format="pandas")
+        .groupby("sup")
+        .map_groups(range_offsets, batch_format="pandas")
+    )
+
+    # L4: union offset rows with doc rows; co-locate per range; final cumsum
+    def doc_rows(t: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "rng": t["rng"].astype("int64"),
+                "doc_id": t["doc_id"].astype("int64"),
+                "n_tokens": t["n_tokens"].astype("int64"),
+                "off": pd.Series([-1] * len(t), dtype="int64").values,
+            }
+        )
+
+    unioned = offsets_ds.union(
+        per_doc.map_batches(doc_rows, batch_format="pandas")
+    )
 
     def scan_range(g: pd.DataFrame) -> pd.DataFrame:
-        off = _ray.get(ref)[int(g["rng"].iloc[0])]
-        g = g.sort_values("doc_id")
+        off = int(g.loc[g["doc_id"] < 0, "off"].iloc[0])
+        g = g[g["doc_id"] >= 0].sort_values("doc_id")
         cum_before = g["n_tokens"].cumsum() - g["n_tokens"] + off
         return pd.DataFrame(
             {
@@ -927,7 +994,7 @@ def pack_bins(sf_dir: str, budget: int = 512, range_docs: int = 4096) -> Dataset
             }
         )
 
-    return per_doc.groupby("rng").map_groups(scan_range, batch_format="pandas")
+    return unioned.groupby("rng").map_groups(scan_range, batch_format="pandas")
 
 
 PACK_BINS_SQL = """
