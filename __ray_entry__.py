@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": text.chunk_documents,
         "pack_bins": text.pack_bins,
         "dup_chunks": text.dup_chunks,
+        "curation_pipeline": text.curation_pipeline,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
@@ -280,6 +281,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": text.CHUNK_DOCUMENTS_SQL,
         "pack_bins": text.PACK_BINS_SQL,
         "dup_chunks": text.DUP_CHUNKS_SQL,
+        "curation_pipeline": text.CURATION_PIPELINE_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_prefix": dedup.DEDUP_PREFIX_SQL,
         "word_jaccard_pairs": dedup.WORD_JACCARD_SQL,

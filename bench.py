@@ -116,6 +116,7 @@ def bench_queries(sf_dir: str) -> dict:
         "repetition_stats": text.repetition_stats,
         "chunk_documents": text.chunk_documents,
         "pack_bins": text.pack_bins,
+        "curation_pipeline": text.curation_pipeline,
         "hll_users_per_type": sketches.hll_users_per_type,
     }.items():
         t0 = time.time()

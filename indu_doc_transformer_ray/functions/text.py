@@ -868,14 +868,13 @@ FROM starts
 """
 
 
-def pack_bins(
-    sf_dir: str, budget: int = 512, range_docs: int = 4096, fanout: int = 4096
+def _prefix_scan(
+    per_doc: Dataset, budget: int, range_docs: int = 4096, fanout: int = 4096
 ) -> Dataset:
-    """Token-budget sequence packing (the pretraining batch-packing
-    primitive): docs in doc_id order fill bins of ``budget`` tokens; a doc's
-    bin = floor(tokens-before-it / budget).  The global running total is a
-    HIERARCHICAL DISTRIBUTED PREFIX SCAN — no level materializes more than
-    n_docs/(range_docs*fanout) rows on the driver:
+    """HIERARCHICAL DISTRIBUTED PREFIX SCAN over a (doc_id, n_tokens)
+    Dataset — the core shared by ``pack_bins`` and ``curation_pipeline``.
+    No level materializes more than n_docs/(range_docs*fanout) rows on the
+    driver:
 
     L1  per-range token sums (groupby) — stays a Dataset;
     L2  per-SUPER-range sums (groupby over L1) — driver prefix-folds these
@@ -895,25 +894,19 @@ def pack_bins(
     import ray as _ray
     from ray.data.aggregate import Sum
 
-    def counts(batch: pa.Table) -> pa.Table:
-        n = [
-            len(TOKEN_RE.findall(t.lower()))
-            for t in batch.column("text").to_pylist()
-        ]
-        ids = batch.column("doc_id")
+    def add_rng(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        ids = _pc.cast(t["doc_id"], pa.int64())
         return pa.table(
             {
                 "doc_id": ids,
-                "rng": pa.array(
-                    [int(i) // range_docs for i in ids.to_pylist()], pa.int64()
-                ),
-                "n_tokens": pa.array(n, pa.int64()),
+                "rng": _pc.cast(_pc.divide(ids, range_docs), pa.int64()),
+                "n_tokens": _pc.cast(t["n_tokens"], pa.int64()),
             }
         )
 
-    per_doc = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        counts, batch_format="pyarrow"
-    )
+    per_doc = per_doc.map_batches(add_rng, batch_format="pyarrow")
 
     # L1: per-range sums (a Dataset — n_ranges rows, distributed)
     l1 = per_doc.groupby("rng").aggregate(Sum("n_tokens", alias_name="s"))
@@ -997,6 +990,33 @@ def pack_bins(
     return unioned.groupby("rng").map_groups(scan_range, batch_format="pandas")
 
 
+def pack_bins(
+    sf_dir: str, budget: int = 512, range_docs: int = 4096, fanout: int = 4096
+) -> Dataset:
+    """Token-budget sequence packing (the pretraining batch-packing
+    primitive): docs in doc_id order fill bins of ``budget`` tokens; a doc's
+    bin = floor(tokens-before-it / budget).  Token counting is one
+    vectorized pass; the global running total is ``_prefix_scan`` (see its
+    docstring for the hierarchical construction)."""
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = [
+            len(TOKEN_RE.findall(t.lower()))
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+    per_doc = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        counts, batch_format="pyarrow"
+    )
+    return _prefix_scan(per_doc, budget, range_docs, fanout)
+
+
 PACK_BINS_SQL = """
 WITH n AS (
   SELECT doc_id,
@@ -1050,4 +1070,116 @@ SELECT chunk_hash,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
 FROM per_doc GROUP BY chunk_hash HAVING COUNT(*) > 1
+"""
+
+
+def curation_pipeline(
+    sf_dir: str,
+    min_tokens: int = 10,
+    min_chars: int = 100,
+    per_lang_cap: int = 50,
+    budget: int = 512,
+) -> Dataset:
+    """The end-to-end training-data curation flagship, composed from the
+    engine's own primitives — quality filter -> exact dedup -> stratified
+    per-language cap -> token-budget packing — every stage in its
+    scale-safe shape:
+
+    1. ONE vectorized pass derives (n_tokens, n_chars, fingerprint, lang)
+       per doc; short/low-token docs drop map-side (`quality_flags` rule).
+    2. Exact dedup keeps the LOWEST doc_id per normalized-text fingerprint
+       (`dedup_exact` rule) via a coarse fingerprint-bucket co-location —
+       one shuffle, vectorized in-group drop_duplicates.
+    3. Stratified cap keeps the ``per_lang_cap`` lowest md5(doc_id)-ranked
+       docs per language (`stratified_sample` rule) as a bounded-heap
+       top-K: each batch prunes locally to K per lang, the final per-lang
+       fold sees at most K x n_blocks candidate rows — a hot language
+       never co-locates its full stratum.
+    4. ``_prefix_scan`` packs survivors into ``budget``-token bins.
+
+    Output: (doc_id, n_tokens, cum_before, bin_id), the packed curated set.
+    """
+    import pandas as pd
+
+    FP_BUCKETS = 512
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids, langs = batch.column("doc_id").to_pylist(), batch.column("lang")
+        d_id, d_lang, d_nt, d_fp, d_fb = [], [], [], [], []
+        for i, text, lang in zip(ids, batch.column("text").to_pylist(), langs.to_pylist()):
+            toks = TOKEN_RE.findall(text.lower())
+            if len(toks) < min_tokens or len(text) < min_chars:
+                continue
+            fp = hashlib.md5(" ".join(toks).encode()).hexdigest()
+            d_id.append(int(i))
+            d_lang.append(lang)
+            d_nt.append(len(toks))
+            d_fp.append(fp)
+            d_fb.append(int(fp[:2], 16) % FP_BUCKETS)
+        return pa.table(
+            {
+                "doc_id": pa.array(d_id, pa.int64()),
+                "lang": pa.array(d_lang, pa.string()),
+                "n_tokens": pa.array(d_nt, pa.int64()),
+                "fp": pa.array(d_fp, pa.string()),
+                "fb": pa.array(d_fb, pa.int32()),
+            }
+        )
+
+    passed = _read_docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["fp", "doc_id"]).drop_duplicates("fp", keep="first")
+        return g[["doc_id", "lang", "n_tokens"]]
+
+    deduped = passed.groupby("fb").map_groups(dedup_bucket, batch_format="pandas")
+
+    def local_topk(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.copy()
+        t["hk"] = [
+            hashlib.md5(str(int(i)).encode()).hexdigest() for i in t["doc_id"]
+        ]
+        t = t.sort_values(["lang", "hk", "doc_id"])
+        t = t[t.groupby("lang").cumcount() < per_lang_cap]
+        return t
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "hk", "doc_id"])
+        g = g[g.groupby("lang").cumcount() < per_lang_cap]
+        return g[["doc_id", "n_tokens"]]
+
+    kept = (
+        deduped.map_batches(local_topk, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+    return _prefix_scan(kept, budget)
+
+
+CURATION_PIPELINE_SQL = """
+WITH derived AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS BIGINT) AS n_tokens,
+         md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9_]+'), ' ')) AS fp
+  FROM documents
+  WHERE len(regexp_extract_all(lower(text), '[a-z0-9_]+')) >= 10
+    AND length(text) >= 100
+), deduped AS (
+  SELECT doc_id, lang, n_tokens FROM derived
+  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+), kept AS (
+  SELECT doc_id, n_tokens FROM deduped
+  QUALIFY row_number() OVER (
+    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+  ) <= 50
+)
+SELECT doc_id, n_tokens,
+       CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum_before,
+       CAST((SUM(n_tokens) OVER (ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS BIGINT) AS bin_id
+FROM kept
 """
