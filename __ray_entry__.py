@@ -136,6 +136,12 @@ def _media_features(sf_dir: str):
     )
 
 
+def _search_targets_count(sf_dir: str):
+    from indu_doc_transformer_ray.search.index import search_targets_count
+
+    return search_targets_count(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from indu_doc_transformer_ray.functions import (
         dedup,
@@ -218,6 +224,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketches (error-bound pytest gate + SQL oracle: the md5-derived
         # sketch is deterministic, so the approximate answer hash-matches)
         "hll_users_per_type": sketches.hll_users_per_type,
+        # search subsystem end-to-end (rows-only; the equality gate vs the
+        # in-memory index lives in tests/test_search_distributed.py)
+        "search_targets_count": _search_targets_count,
         # extraction flagship (rows-only; pytest holds the equality gate)
         "extract_spans": _extract_spans,
         "extract_object_stats": _extract_object_stats,

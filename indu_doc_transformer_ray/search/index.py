@@ -463,3 +463,67 @@ def search_index_ds(index: Dataset, query: str) -> Dataset:
         return pa.table({"guid": pa.array(keep, pa.string())})
 
     return ds.map_batches(evaluate, batch_format="pyarrow")
+
+
+def search_targets_count(sf_dir: str) -> "object":
+    """Driver-visible end-to-end of the search subsystem (Q1-Q6 surface):
+    distributed extraction -> delta merge -> decoded object tables ->
+    distributed index build -> DSL queries, returning (query, n_matches).
+
+    Each object table re-derives the merged deltas (lazy recompute; a
+    persisted run reads them from the runner's checkpoint instead).  The
+    strong equality gate vs the in-memory SearchIndex lives in
+    tests/test_search_distributed.py; this entry makes the subsystem run
+    under the driver harness at sf scale (rows-only: extraction semantics
+    have no SQL form)."""
+    import pandas as pd
+    import pyarrow.compute as _pc
+
+    from ..spandoc import US
+    from ..pipelines.corpus import corpus_dataset
+    from ..pipelines.extract import (
+        decode_object_batch,
+        extract_documents,
+        merge_deltas,
+    )
+
+    import pyarrow.parquet as _pq
+
+    n_docs = max(20, _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows // 5)
+
+    # one extraction+merge, materialized: the in-session analogue of the
+    # runner's persisted object checkpoint (merged objects are orders of
+    # magnitude smaller than the corpus; a production run reads the
+    # checkpoint parquet here instead of holding blocks in the store)
+    merged_all = merge_deltas(
+        extract_documents(corpus_dataset(n_docs, seed=42))
+    ).materialize()
+
+    def table_ds(kinds: tuple[str, ...]) -> Dataset:
+        merged = merged_all
+
+        def pick(t):
+            import pyarrow as _pa
+
+            mk = t.column("mkey")
+            mask = None
+            for k in kinds:
+                m = _pc.starts_with(mk, k + US)
+                mask = m if mask is None else _pc.or_(mask, m)
+            return t.filter(mask)
+
+        return merged.map_batches(pick, batch_format="pyarrow").map_batches(
+            decode_object_batch, batch_format="pyarrow"
+        )
+
+    xt = table_ds(("xtarget",))
+    oa = table_ds(("xtarget_attr", "aspect_attr", "link_attr"))
+    at = table_ds(("attribute",))
+    index = build_target_index_ds(xt, oa, at, num_partitions=4)
+
+    rows = []
+    for q in ("@type=device", "@type=cable", "@type=pin"):
+        rows.append((q, int(search_index_ds(index, q).count())))
+    return pd.DataFrame(rows, columns=["query", "n_matches"]).astype(
+        {"n_matches": "int64"}
+    )
