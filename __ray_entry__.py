@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (64 of 68): every deterministic construction is
+                      (68 of 72): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog via its md5 registers,
                       k-means and IVF via an unrolled Lloyd CTE chain,
@@ -146,6 +146,7 @@ def _search_targets_count(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from indu_doc_transformer_ray.functions import (
+        curation,
         dedup,
         events,
         relational,
@@ -204,6 +205,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_bins": text.pack_bins,
         "dup_chunks": text.dup_chunks,
         "curation_pipeline": text.curation_pipeline,
+        "decontaminate": curation.decontaminate,
+        "mixture_weights": curation.mixture_weights,
+        "shard_assign": curation.shard_assign,
+        "blocklist_scrub": curation.blocklist_scrub,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
@@ -238,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from indu_doc_transformer_ray.functions import (
+        curation,
         dedup,
         events,
         relational,
@@ -293,6 +299,10 @@ def oracle_sql() -> dict[str, str]:
         "pack_bins": text.PACK_BINS_SQL,
         "dup_chunks": text.DUP_CHUNKS_SQL,
         "curation_pipeline": text.CURATION_PIPELINE_SQL,
+        "decontaminate": curation.DECONTAMINATE_SQL,
+        "mixture_weights": curation.MIXTURE_WEIGHTS_SQL,
+        "shard_assign": curation.SHARD_ASSIGN_SQL,
+        "blocklist_scrub": curation.BLOCKLIST_SCRUB_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_prefix": dedup.DEDUP_PREFIX_SQL,
         "word_jaccard_pairs": dedup.WORD_JACCARD_SQL,

@@ -93,6 +93,7 @@ def bench_headline(corpus_path: str) -> dict:
 
 def bench_queries(sf_dir: str) -> dict:
     from indu_doc_transformer_ray.functions import (
+        curation,
         dedup,
         relational,
         similarity,
@@ -118,6 +119,8 @@ def bench_queries(sf_dir: str) -> dict:
         "pack_bins": text.pack_bins,
         "curation_pipeline": text.curation_pipeline,
         "hll_users_per_type": sketches.hll_users_per_type,
+        "decontaminate": curation.decontaminate,
+        "shard_assign": curation.shard_assign,
     }.items():
         t0 = time.time()
         res = fn(sf_dir)

@@ -1,0 +1,322 @@
+"""Corpus-curation operators for training-data preparation that sit
+downstream of extraction: benchmark decontamination, temperature-based
+source-mixture weighting, deterministic global shuffle -> shard assignment,
+and blocklist scrubbing (the PII-redaction shape, exercised with a term
+blocklist because the synthetic corpus carries no real PII).
+
+Every op is a vectorized ``map_batches`` stage over a column-pruned read of
+the ``documents`` table, emits integers/hashes only (bit-exact DuckDB
+oracles), and documents its partitioning assumption for the 100-TB path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data import Dataset
+
+from .text import TOKEN_RE
+
+#: tokenizer mirrored in SQL as ``regexp_extract_all(lower(text), '[a-z0-9_]+')``
+_TOKEN_SQL = "regexp_extract_all(lower(text), '[a-z0-9_]+')"
+
+
+def _read_docs(sf_dir: str, columns: list[str]) -> Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# -- decontamination --------------------------------------------------------
+# At real scale the benchmark side is a FIXED, SMALL external artifact
+# (eval-set n-grams: thousands of docs, not the corpus), so collecting its
+# distinct shingles to the driver and broadcasting via ray.put is the
+# canonical shape — the corpus side streams and never shuffles.  Here the
+# "benchmark" is carved deterministically out of the corpus (doc_id % 97)
+# so the op is self-contained and oracle-checkable.
+
+def decontaminate(sf_dir: str, n: int = 5, bench_mod: int = 97) -> Dataset:
+    """Benchmark n-gram decontamination: flag every non-benchmark document
+    that shares at least one word ``n``-gram with the benchmark slice
+    (``doc_id % bench_mod == 0``).  Output per surviving doc:
+    (doc_id, n_overlap = distinct shared n-grams, contaminated = 0/1)."""
+
+    def grams_of(toks: list[str]) -> set[str]:
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    def _mod_mask(batch: pa.Table, keep_bench: bool) -> pa.Table:
+        # modulo isn't expressible in Dataset.filter(expr=...); mask
+        # vectorized with numpy instead
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = (ids % bench_mod == 0) == keep_bench
+        return batch.filter(pa.array(mask))
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        batch = _mod_mask(batch, keep_bench=True)
+        out: set[str] = set()
+        for text in batch.column("text").to_pylist():
+            out.update(grams_of(TOKEN_RE.findall(text.lower())))
+        return pa.table({"g": pa.array(sorted(out), pa.string())})
+
+    bench = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(bench_grams, batch_format="pyarrow")
+        .to_pandas()  # benchmark shingle set — small fixed artifact by design
+    )
+    bench_set = set(bench["g"])
+    bref = ray.put(bench_set)
+
+    def score(batch: pa.Table) -> pa.Table:
+        batch = _mod_mask(batch, keep_bench=False)
+        bset = ray.get(bref)
+        ids, n_over, flag = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            k = len(grams_of(TOKEN_RE.findall(text.lower())) & bset)
+            ids.append(doc_id)
+            n_over.append(k)
+            flag.append(1 if k else 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_overlap": pa.array(n_over, pa.int64()),
+                "contaminated": pa.array(flag, pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKEN_SQL} AS w FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(w[i : i + 4], ' ') AS g
+  FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT gr.doc_id, COUNT(DISTINCT gr.g) AS n_overlap
+  FROM grams gr JOIN bench b USING (g)
+  WHERE gr.doc_id % 97 <> 0
+  GROUP BY gr.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       CAST(CASE WHEN COALESCE(h.n_overlap, 0) > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+
+
+# -- source-mixture weighting ------------------------------------------------
+
+def mixture_weights(sf_dir: str) -> Dataset:
+    """Temperature-based source mixing weights (alpha = 0.5): per source,
+    token mass -> weight = sqrt(tokens), normalized to parts-per-million.
+    sqrt is IEEE-correctly-rounded, so ``floor(sqrt(n)*1e6 + 0.5)`` is
+    bit-identical across numpy/libm/DuckDB; normalization then happens in
+    INTEGER arithmetic (w * 1e6 // total) so the output is exact.  Token
+    counting is a partial aggregate inside ``map_batches`` (one int per
+    (batch, source)); the groupby touches O(sources) rows, and the final
+    normalization is over the tiny source domain."""
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg: dict[str, list[int]] = {}
+        for src, text in zip(
+            t.column("source").to_pylist(), t.column("text").to_pylist()
+        ):
+            c = agg.setdefault(src, [0, 0])
+            c[0] += 1
+            c[1] += len(TOKEN_RE.findall(text.lower()))
+        return pa.table(
+            {
+                "source": pa.array(list(agg), pa.string()),
+                "n_docs": pa.array([v[0] for v in agg.values()], pa.int64()),
+                "n_tokens": pa.array([v[1] for v in agg.values()], pa.int64()),
+            }
+        )
+
+    per_source = (
+        _read_docs(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+        )
+        .to_pandas()  # O(sources) rows — the mixture table itself
+    )
+    w = per_source["n_tokens"].map(
+        lambda x: int(math.floor(math.sqrt(float(x)) * 1_000_000 + 0.5))
+    )
+    total = int(w.sum())
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "source": per_source["source"],
+                "n_docs": per_source["n_docs"].astype("int64"),
+                "n_tokens": per_source["n_tokens"].astype("int64"),
+                "weight_scaled": w.astype("int64"),
+                "share_ppm": (w * 1_000_000 // total).astype("int64"),
+            }
+        )
+    )
+
+
+MIXTURE_WEIGHTS_SQL = f"""
+WITH per AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({_TOKEN_SQL})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5)
+              AS BIGINT) AS weight_scaled
+  FROM per
+)
+SELECT source, n_docs, n_tokens, weight_scaled,
+       CAST(weight_scaled * 1000000
+            // CAST(SUM(weight_scaled) OVER () AS BIGINT) AS BIGINT)
+         AS share_ppm
+FROM w
+"""
+
+
+# -- deterministic global shuffle -> shard assignment ------------------------
+
+def shard_assign(
+    sf_dir: str, n_shards: int = 8, prefix_hex: int = 3
+) -> Dataset:
+    """Deterministic global training-data shuffle: rank every document by
+    ``md5(doc_id)`` and deal ranks round-robin into ``n_shards`` shards
+    (shard sizes differ by at most 1; order within a shard is the hash
+    order).  The global rank is a bounded two-level scan: bucket by the
+    first ``prefix_hex`` hex chars of the hash (4096 fixed buckets — the
+    driver side is CONSTANT in corpus size; add a hex char per 16x more
+    parallelism), fold bucket counts into prefix offsets on the driver,
+    broadcast, then finish the rank per bucket with an in-group sort +
+    cumcount.  Output: (doc_id, shard, pos)."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        hk = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "hk": pa.array(hk, pa.string()),
+                "bkt": pa.array(
+                    [int(h[:prefix_hex], 16) for h in hk], pa.int64()
+                ),
+            }
+        )
+
+    keyed_ds = _read_docs(sf_dir, ["doc_id"]).map_batches(
+        keyed, batch_format="pyarrow"
+    )
+
+    counts = (
+        keyed_ds.groupby("bkt")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()  # <= 16^prefix_hex rows — constant in corpus size
+        .sort_values("bkt")
+    )
+    offsets = dict(zip(counts["bkt"], counts["c"].cumsum() - counts["c"]))
+    oref = ray.put(offsets)
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        off = int(ray.get(oref)[int(g["bkt"].iloc[0])])
+        g = g.sort_values(["hk", "doc_id"])
+        rk = off + pd.RangeIndex(len(g))
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64").values,
+                "shard": (rk % n_shards).astype("int64"),
+                "pos": (rk // n_shards).astype("int64"),
+            }
+        )
+
+    return keyed_ds.groupby("bkt").map_groups(rank_bucket, batch_format="pandas")
+
+
+SHARD_ASSIGN_SQL = """
+SELECT doc_id,
+       CAST((rn - 1) % 8 AS BIGINT) AS shard,
+       CAST((rn - 1) // 8 AS BIGINT) AS pos
+FROM (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+"""
+
+
+# -- blocklist scrubbing -----------------------------------------------------
+
+class _BlocklistScrubber:
+    """Stateful scrub stage: the (potentially large) blocklist compiles to
+    one alternation regex ONCE per actor; per batch it counts matches and
+    hashes the redacted text (the full scrubbed column would be the real
+    output — the hash keeps the equality surface compact)."""
+
+    def __init__(self, terms: tuple[str, ...]):
+        self.pat = re.compile(r"\b(" + "|".join(map(re.escape, terms)) + r")\b")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, n_red, hashes = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            ids.append(doc_id)
+            n_red.append(len(self.pat.findall(text)))
+            scrubbed = self.pat.sub("<scrubbed>", text)
+            hashes.append(hashlib.md5(scrubbed.encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_redacted": pa.array(n_red, pa.int64()),
+                "scrub_hash": pa.array(hashes, pa.string()),
+            }
+        )
+
+
+def blocklist_scrub(
+    sf_dir: str, terms: tuple[str, ...] = ("customer", "spark")
+) -> Dataset:
+    """Blocklist redaction over the corpus (the PII-scrub shape: compiled
+    pattern in actor state, streaming map_batches, no shuffle).  Output:
+    (doc_id, n_redacted, scrub_hash = md5 of the redacted text)."""
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _BlocklistScrubber,
+        fn_constructor_args=(terms,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+
+BLOCKLIST_SCRUB_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\b(customer|spark)\b'))
+            AS BIGINT) AS n_redacted,
+       md5(regexp_replace(text, '\b(customer|spark)\b', '<scrubbed>', 'g'))
+         AS scrub_hash
+FROM documents
+"""

@@ -1,0 +1,78 @@
+"""Curation-operator semantics beyond the DuckDB hash check: shard_assign
+is a balanced permutation, mixture weights normalize, decontamination flags
+a doc that verbatim-shares a benchmark n-gram, scrub hash matches a direct
+local computation."""
+
+import hashlib
+import re
+
+from indu_doc_transformer_ray.functions import curation
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_shard_assign_balanced_permutation(ray_session):
+    import pyarrow.parquet as pq
+
+    out = curation.shard_assign(SF, n_shards=8).to_pandas()
+    n = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert len(out) == n
+    assert out["doc_id"].is_unique
+    # round-robin deal: shard sizes differ by at most one
+    sizes = out.groupby("shard").size()
+    assert len(sizes) == 8 and sizes.max() - sizes.min() <= 1
+    # (shard, pos) is a bijection onto 0..n-1
+    ranks = (out["pos"] * 8 + out["shard"]).sort_values().to_numpy()
+    assert (ranks == range(n)).all()
+
+
+def test_mixture_weights_normalize(ray_session):
+    out = curation.mixture_weights(SF).to_pandas()
+    assert (out["weight_scaled"] > 0).all()
+    # integer-floored shares sum to at most 1e6 and within #sources of it
+    s = int(out["share_ppm"].sum())
+    assert 1_000_000 - len(out) < s <= 1_000_000
+
+
+def test_decontaminate_flags_shared_ngram(ray_session):
+    import pyarrow.parquet as pq
+
+    from indu_doc_transformer_ray.functions.text import TOKEN_RE
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    bench = docs[docs["doc_id"] % 97 == 0]
+    rest = docs[docs["doc_id"] % 97 != 0]
+
+    def grams(text):
+        t = TOKEN_RE.findall(text.lower())
+        return {" ".join(t[i : i + 5]) for i in range(len(t) - 4)}
+
+    bench_set = set().union(*(grams(t) for t in bench["text"]))
+    expect = {
+        int(r.doc_id): len(grams(r.text) & bench_set)
+        for r in rest.itertuples()
+    }
+    out = curation.decontaminate(SF).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_overlap"]))
+    assert got == expect
+    assert (out["contaminated"] == (out["n_overlap"] > 0).astype(int)).all()
+    # the op must be non-vacuous on this corpus: some overlap exists
+    assert out["contaminated"].sum() > 0
+
+
+def test_blocklist_scrub_matches_local(ray_session):
+    import pyarrow.parquet as pq
+
+    out = curation.blocklist_scrub(SF).to_pandas().set_index("doc_id")
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas()
+    pat = re.compile(r"\b(customer|spark)\b")
+    row = docs.iloc[docs["text"].str.len().idxmax()]
+    want_n = len(pat.findall(row["text"]))
+    want_h = hashlib.md5(pat.sub("<scrubbed>", row["text"]).encode()).hexdigest()
+    got = out.loc[int(row["doc_id"])]
+    assert int(got["n_redacted"]) == want_n and got["scrub_hash"] == want_h
+    assert out["n_redacted"].sum() > 0  # non-vacuous blocklist
