@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (68 of 72): every deterministic construction is
+                      (69 of 73): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog via its md5 registers,
                       k-means and IVF via an unrolled Lloyd CTE chain,
@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": events.sessionize,
         "funnel_counts": events.funnel_counts,
         "cohort_retention": events.cohort_retention,
+        "events_prior_window": events.events_prior_window,
         # text analysis
         "token_stats": text.token_stats,
         "doc_fingerprint": text.doc_fingerprint,
@@ -281,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": events.SESSIONIZE_SQL,
         "funnel_counts": events.FUNNEL_SQL,
         "cohort_retention": events.COHORT_RETENTION_SQL,
+        "events_prior_window": events.EVENTS_PRIOR_WINDOW_SQL,
         "token_stats": text.TOKEN_STATS_SQL,
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
         "quality_flags": text.QUALITY_FLAGS_SQL,

@@ -307,3 +307,65 @@ SELECT cohort.cohort_week,
 FROM uw JOIN cohort ON uw.user_id = cohort.user_id
 GROUP BY cohort.cohort_week, weeks_since
 """
+
+
+def events_prior_window(sf_dir: str) -> Dataset:
+    """Per-event sliding-window RANGE self-join: for every event, how many
+    events the same user produced in the preceding hour
+    (``ts - 1h <= other.ts < ts`` — strictly-before, so simultaneous events
+    don't count each other).  Unlike ``events_hopping`` the window slides
+    per ROW, which SQL expresses as a range self-join; here it is one
+    shuffle (user-bucket groupby) + a fully vectorized in-bucket kernel:
+    each user's sorted timestamps are offset onto a disjoint int64 keyline
+    (user_rank * span_padding + ts_norm) so ONE pair of
+    ``np.searchsorted`` calls answers every row's window count at once —
+    no per-user Python loop.  Output: (event_id, user_id, n_prior_1h)."""
+    import numpy as np
+
+    window_us = 3_600 * 1_000_000
+
+    ds = _read_events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def add_bucket(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.copy()
+        t["ub"] = (t["user_id"] % USER_BUCKETS).astype("int32")
+        return t
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        # normalize to us regardless of the parquet timestamp resolution
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        ts_norm = ts - ts.min()
+        uid = g["user_id"].to_numpy()
+        # dense per-bucket user rank -> disjoint keyline per user
+        urank = pd.factorize(uid)[0].astype("int64")
+        stride = int(ts_norm.max()) + 2 * window_us + 2
+        key = urank * stride + ts_norm
+        n = np.searchsorted(key, key, side="left") - np.searchsorted(
+            key, key - window_us, side="left"
+        )
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64").values,
+                "user_id": g["user_id"].astype("int64").values,
+                "n_prior_1h": n.astype("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+EVENTS_PRIOR_WINDOW_SQL = """
+SELECT e1.event_id, e1.user_id,
+       CAST(COUNT(e2.event_id) AS BIGINT) AS n_prior_1h
+FROM events e1
+LEFT JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e2.ts >= e1.ts - INTERVAL 1 HOUR
+ AND e2.ts <  e1.ts
+GROUP BY e1.event_id, e1.user_id
+"""
