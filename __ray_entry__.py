@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (69 of 73): every deterministic construction is
+                      (70 of 74): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog via its md5 registers,
                       k-means and IVF via an unrolled Lloyd CTE chain,
@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_weights": curation.mixture_weights,
         "shard_assign": curation.shard_assign,
         "blocklist_scrub": curation.blocklist_scrub,
+        "mixture_sample": curation.mixture_sample,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
@@ -305,6 +306,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_weights": curation.MIXTURE_WEIGHTS_SQL,
         "shard_assign": curation.SHARD_ASSIGN_SQL,
         "blocklist_scrub": curation.BLOCKLIST_SCRUB_SQL,
+        "mixture_sample": curation.MIXTURE_SAMPLE_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_prefix": dedup.DEDUP_PREFIX_SQL,
         "word_jaccard_pairs": dedup.WORD_JACCARD_SQL,

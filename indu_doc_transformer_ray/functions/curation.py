@@ -320,3 +320,71 @@ SELECT doc_id,
          AS scrub_hash
 FROM documents
 """
+
+
+def mixture_sample(sf_dir: str, n_total: int = 100) -> Dataset:
+    """Materialize the ``mixture_weights`` policy into an actual sample:
+    each source gets a quota of ``share_ppm * n_total // 1e6`` documents
+    (integer floor — the sum may undershoot ``n_total`` by < #sources,
+    deterministically), filled by the source's lowest-md5-ranked docs.
+    The quota table is O(sources) and broadcast via ``ray.put``; ranking
+    reuses the per-stratum md5-rank shape (one groupby over the small
+    source domain, vectorized in-group cumcount)."""
+    import pandas as pd
+
+    quotas = {
+        r["source"]: int(r["share_ppm"] * n_total // 1_000_000)
+        for _, r in mixture_weights(sf_dir).to_pandas().iterrows()
+    }
+    qref = ray.put(quotas)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "doc_id": pa.array(ids, pa.int64()),
+                "hk": pa.array(
+                    [hashlib.md5(str(i).encode()).hexdigest() for i in ids],
+                    pa.string(),
+                ),
+            }
+        )
+
+    def take_quota(g: pd.DataFrame) -> pd.DataFrame:
+        quota = ray.get(qref).get(str(g["source"].iloc[0]), 0)
+        g = g.sort_values(["hk", "doc_id"])
+        g = g.assign(rk=pd.RangeIndex(len(g)) + 1)
+        g = g[g["rk"] <= quota]
+        return pd.DataFrame(
+            {
+                "source": g["source"].values,
+                "doc_id": g["doc_id"].astype("int64").values,
+                "rk": g["rk"].astype("int64").values,
+            }
+        )
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "source"])
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(take_quota, batch_format="pandas")
+    )
+
+
+MIXTURE_SAMPLE_SQL = f"""
+WITH mw AS ({MIXTURE_WEIGHTS_SQL}),
+alloc AS (
+  SELECT source, CAST(share_ppm * 100 // 1000000 AS BIGINT) AS quota FROM mw
+), ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT r.source, r.doc_id, CAST(r.rk AS BIGINT) AS rk
+FROM ranked r JOIN alloc a USING (source)
+WHERE r.rk <= a.quota
+"""

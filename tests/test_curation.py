@@ -76,3 +76,15 @@ def test_blocklist_scrub_matches_local(ray_session):
     got = out.loc[int(row["doc_id"])]
     assert int(got["n_redacted"]) == want_n and got["scrub_hash"] == want_h
     assert out["n_redacted"].sum() > 0  # non-vacuous blocklist
+
+
+def test_mixture_sample_respects_quotas(ray_session):
+    weights = curation.mixture_weights(SF).to_pandas().set_index("source")
+    out = curation.mixture_sample(SF, n_total=50).to_pandas()
+    sizes = out.groupby("source").size()
+    for src, got in sizes.items():
+        quota = int(weights.loc[src, "share_ppm"] * 50 // 1_000_000)
+        assert got == quota
+    # floor allocation: total within #sources of the target
+    assert 50 - len(weights) < sizes.sum() <= 50
+    assert out["doc_id"].is_unique
