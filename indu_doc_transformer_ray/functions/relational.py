@@ -595,17 +595,22 @@ def q18_large_orders(sf_dir: str) -> Dataset:
     vectorized ``filter(expr=...)`` on the aggregate, then a hash-partitioned
     ``Dataset.join``.  Returned as a sorted Dataset (the result scales with
     SF, so it never lands on the driver)."""
+    def partial(t: pa.Table) -> pa.Table:
+        # map-side combine: lineitem is clustered by orderkey, so the
+        # per-batch Arrow group_by collapses ~7 rows/key before the shuffle
+        t = pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "qty": pc.cast(t["l_quantity"], pa.int64()),
+            }
+        )
+        return t.group_by("l_orderkey").aggregate([("qty", "sum")]).rename_columns(
+            ["l_orderkey", "qty"]
+        )
+
     qty = (
         _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "l_orderkey": t["l_orderkey"],
-                    "qty": pc.cast(t["l_quantity"], pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+        .map_batches(partial, batch_format="pyarrow")
         .groupby("l_orderkey")
         .aggregate(Sum("qty", alias_name="sum_qty"))
         .filter(expr="sum_qty > 150")
