@@ -327,9 +327,11 @@ def mixture_sample(sf_dir: str, n_total: int = 100) -> Dataset:
     each source gets a quota of ``share_ppm * n_total // 1e6`` documents
     (integer floor — the sum may undershoot ``n_total`` by < #sources,
     deterministically), filled by the source's lowest-md5-ranked docs.
-    The quota table is O(sources) and broadcast via ``ray.put``; ranking
-    reuses the per-stratum md5-rank shape (one groupby over the small
-    source domain, vectorized in-group cumcount)."""
+    The quota table is O(sources) and broadcast via ``ray.put``; the rank
+    is a BOUNDED-HEAP top-K (quota <= n_total): each batch prunes locally
+    to its source quota, so the per-source fold sees at most
+    quota x n_blocks candidate rows — a hot source never co-locates its
+    full document set in one task."""
     import pandas as pd
 
     quotas = {
@@ -338,20 +340,17 @@ def mixture_sample(sf_dir: str, n_total: int = 100) -> Dataset:
     }
     qref = ray.put(quotas)
 
-    def keyed(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        return pa.table(
-            {
-                "source": t.column("source"),
-                "doc_id": pa.array(ids, pa.int64()),
-                "hk": pa.array(
-                    [hashlib.md5(str(i).encode()).hexdigest() for i in ids],
-                    pa.string(),
-                ),
-            }
-        )
+    def local_cap(t: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(qref)
+        t = t.copy()
+        t["hk"] = [
+            hashlib.md5(str(int(i)).encode()).hexdigest() for i in t["doc_id"]
+        ]
+        t = t.sort_values(["source", "hk", "doc_id"])
+        t = t[t.groupby("source").cumcount() < t["source"].map(q).fillna(0)]
+        return t[["source", "doc_id", "hk"]]
 
-    def take_quota(g: pd.DataFrame) -> pd.DataFrame:
+    def final_cap(g: pd.DataFrame) -> pd.DataFrame:
         quota = ray.get(qref).get(str(g["source"].iloc[0]), 0)
         g = g.sort_values(["hk", "doc_id"])
         g = g.assign(rk=pd.RangeIndex(len(g)) + 1)
@@ -366,9 +365,9 @@ def mixture_sample(sf_dir: str, n_total: int = 100) -> Dataset:
 
     return (
         _read_docs(sf_dir, ["doc_id", "source"])
-        .map_batches(keyed, batch_format="pyarrow")
+        .map_batches(local_cap, batch_format="pandas")
         .groupby("source")
-        .map_groups(take_quota, batch_format="pandas")
+        .map_groups(final_cap, batch_format="pandas")
     )
 
 

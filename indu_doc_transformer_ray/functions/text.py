@@ -342,18 +342,31 @@ def stratified_sample(sf_dir: str, per_lang: int = 3) -> Dataset:
     """Deterministic stratified sample: the ``per_lang`` lowest
     ``md5(doc_id)``-ranked documents of every language — the reproducible
     per-stratum sampler (hash rank, not RNG, so re-runs and engines agree).
-    One bucketed-language groupby; in-group rank is a vectorized pandas
-    groupby-cumcount."""
+    Bounded-heap shape: each batch prunes locally to ``per_lang`` rows per
+    language BEFORE the shuffle, so the per-language fold sees at most
+    per_lang x n_blocks candidates — a hot language never co-locates its
+    full stratum in one task."""
     import pandas as pd
 
     def keyed(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_pylist()
         hk = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        local = (
+            pd.DataFrame(
+                {
+                    "lang": t.column("lang").to_pylist(),
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "hk": hk,
+                }
+            )
+            .sort_values(["lang", "hk", "doc_id"])
+        )
+        local = local[local.groupby("lang").cumcount() < per_lang]
         return pa.table(
             {
-                "lang": t.column("lang"),
-                "doc_id": pa.array(ids, pa.int64()),
-                "hk": pa.array(hk, pa.string()),
+                "lang": pa.array(local["lang"], pa.string()),
+                "doc_id": pa.array(local["doc_id"], pa.int64()),
+                "hk": pa.array(local["hk"], pa.string()),
             }
         )
 
