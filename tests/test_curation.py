@@ -88,3 +88,33 @@ def test_mixture_sample_respects_quotas(ray_session):
     # floor allocation: total within #sources of the target
     assert 50 - len(weights) < sizes.sum() <= 50
     assert out["doc_id"].is_unique
+
+
+def test_shard_assign_adversarial_ids_match_local_order(ray_session, tmp_path):
+    """Sparse/huge int64 doc_ids: the distributed two-level rank must equal
+    the local md5-order reference exactly."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    ids = np.unique(
+        np.concatenate(
+            [
+                np.array([0, 1, 7, 999_983, 10**12, 2**62], dtype="int64"),
+                rng.integers(0, 2**63 - 1, 300).astype("int64"),
+            ]
+        )
+    )
+    pd.DataFrame(
+        {"doc_id": ids, "text": "x", "lang": "en", "source": "s", "n_chars": 1}
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    got = (
+        curation.shard_assign(str(tmp_path), n_shards=5)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    for rk, i in enumerate(order):
+        assert int(got.loc[i, "shard"]) == rk % 5
+        assert int(got.loc[i, "pos"]) == rk // 5
