@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (70 of 74): every deterministic construction is
+                      (71 of 75): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog via its md5 registers,
                       k-means and IVF via an unrolled Lloyd CTE chain,
@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_assign": curation.shard_assign,
         "blocklist_scrub": curation.blocklist_scrub,
         "mixture_sample": curation.mixture_sample,
+        "incremental_dedup": _incremental_dedup,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
@@ -307,6 +308,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_assign": curation.SHARD_ASSIGN_SQL,
         "blocklist_scrub": curation.BLOCKLIST_SCRUB_SQL,
         "mixture_sample": curation.MIXTURE_SAMPLE_SQL,
+        "incremental_dedup": _INCREMENTAL_DEDUP_SQL_LAZY(),
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_prefix": dedup.DEDUP_PREFIX_SQL,
         "word_jaccard_pairs": dedup.WORD_JACCARD_SQL,
@@ -326,3 +328,15 @@ def oracle_sql() -> dict[str, str]:
         "lsh_bucket_topk": similarity.LSH_BUCKET_TOPK_SQL,
         "lsh_cosine_pairs": similarity.LSH_COSINE_PAIRS_SQL,
     }
+
+
+def _incremental_dedup(sf_dir: str):
+    from indu_doc_transformer_ray.state.dedup_index import incremental_dedup
+
+    return incremental_dedup(sf_dir)
+
+
+def _INCREMENTAL_DEDUP_SQL_LAZY() -> str:
+    from indu_doc_transformer_ray.state.dedup_index import INCREMENTAL_DEDUP_SQL
+
+    return INCREMENTAL_DEDUP_SQL
