@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (71 of 75): every deterministic construction is
+                      (72 of 76): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog via its md5 registers,
                       k-means and IVF via an unrolled Lloyd CTE chain,
@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": similarity.ann_topk,
         "cosine_dup_pairs": similarity.cosine_dup_pairs,
         "lsh_cosine_pairs": similarity.lsh_cosine_pairs,
+        "knn_graph": similarity.knn_graph,
         "lsh_bucket_topk": similarity.lsh_bucket_topk,
         "ivf_topk": similarity.ivf_topk,
         "label_centroid_sims": similarity.label_centroid_sims,
@@ -327,6 +328,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": similarity.IVF_TOPK_SQL,
         "lsh_bucket_topk": similarity.LSH_BUCKET_TOPK_SQL,
         "lsh_cosine_pairs": similarity.LSH_COSINE_PAIRS_SQL,
+        "knn_graph": similarity.KNN_GRAPH_SQL,
     }
 
 

@@ -1026,3 +1026,139 @@ ORDER BY vec_a, vec_b"""
 
 
 LSH_COSINE_PAIRS_SQL = _lsh_cosine_pairs_sql()
+
+
+def knn_graph(
+    sf_dir: str, k_cells: int = 8, iters: int = 5, nprobe: int = 3, k: int = 3
+) -> Dataset:
+    """IVF-probed k-NN GRAPH: top-``k`` cosine neighbors for EVERY vector
+    (not just the fixed query set) — the clustering/near-dup building
+    block.  Each vector probes its ``nprobe`` nearest k-means cells; a
+    cell's group computes one probes x members matmul and keeps per-probe
+    local top-k; a bucketed fold then reduces each vector's <= nprobe*k
+    candidates to the global top-k.  The per-cell group holds one IVF
+    partition — the standard IVF memory assumption; scale ``k_cells`` with
+    the corpus so partitions stay task-sized.  Deterministic (fixed seed
+    centroids, stable tie-breaks), so the APPROXIMATE graph carries a full
+    DuckDB oracle.  Output: (vec_id, nbr_id, rank)."""
+    import pandas as pd
+
+    cents = _kmeans_centroids(sf_dir, k_cells, iters)
+    cref = ray.put(cents)
+    vb_buckets = 512
+
+    def emit(t: pd.DataFrame) -> pd.DataFrame:
+        cents_ = ray.get(cref)
+        emb = np.array(t["embedding"].tolist(), dtype=np.float64)
+        ids = t["vec_id"].astype("int64").to_numpy()
+        d2 = ((emb[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)
+        own = d2.argmin(axis=1)
+        probes = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        cell, vid, role, vec = [], [], [], []
+        for i in range(len(ids)):
+            cell.append(int(own[i]))
+            vid.append(int(ids[i]))
+            role.append(0)  # member of its own cell
+            vec.append(en[i].tolist())
+            for p in probes[i]:
+                cell.append(int(p))
+                vid.append(int(ids[i]))
+                role.append(1)  # probe row
+                vec.append(en[i].tolist())
+        return pd.DataFrame(
+            {"cell": pd.array(cell, dtype="int32"), "vec_id": vid,
+             "role": pd.array(role, dtype="int32"), "vec": vec}
+        )
+
+    def cell_knn(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[g["role"] == 0]
+        p = g[g["role"] == 1]
+        if not len(m) or not len(p):
+            return pd.DataFrame(
+                {"vb": pd.Series(dtype="int32"),
+                 "vec_id": pd.Series(dtype="int64"),
+                 "nbr_id": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")}
+            )
+        M = np.array(m["vec"].tolist())
+        P = np.array(p["vec"].tolist())
+        mids = m["vec_id"].to_numpy()
+        pids = p["vec_id"].to_numpy()
+        sims = P @ M.T
+        out_v, out_n, out_s = [], [], []
+        for i in range(len(pids)):
+            mask = mids != pids[i]
+            if not mask.any():
+                continue
+            cand_n, cand_s = mids[mask], sims[i][mask]
+            order = np.lexsort((cand_n, -cand_s))[: k]
+            out_v.extend([int(pids[i])] * len(order))
+            out_n.extend(cand_n[order].tolist())
+            out_s.extend(cand_s[order].tolist())
+        return pd.DataFrame(
+            {"vb": pd.array([v % vb_buckets for v in out_v], dtype="int32"),
+             "vec_id": pd.array(out_v, dtype="int64"),
+             "nbr_id": pd.array(out_n, dtype="int64"),
+             "sim": pd.array(out_s, dtype="float64")}
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["vec_id", "sim", "nbr_id"],
+                          ascending=[True, False, True])
+        g = g[g.groupby("vec_id").cumcount() < k]
+        return pd.DataFrame(
+            {"vec_id": g["vec_id"].astype("int64").values,
+             "nbr_id": g["nbr_id"].astype("int64").values,
+             "rank": (g.groupby("vec_id").cumcount() + 1).astype("int64").values}
+        )
+
+    return (
+        _read_emb(sf_dir)
+        .map_batches(emit, batch_format="pandas")
+        .groupby("cell")
+        .map_groups(cell_knn, batch_format="pandas")
+        .groupby("vb")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def _knn_graph_sql(
+    k_cells: int = 8, iters: int = 5, nprobe: int = 3, k: int = 3
+) -> str:
+    """DuckDB mirror of ``knn_graph``: the shared Lloyd CTE chain, per-vector
+    cell + nprobe probe sets, exact cosine ranking within probed cells."""
+    return _kmeans_cte_prefix(k_cells, iters) + f""", vdist AS (
+  SELECT comp.vec_id, p.cluster, SUM((comp.x - p.c) * (comp.x - p.c)) AS d
+  FROM comp JOIN cent{iters} p USING (dim)
+  GROUP BY comp.vec_id, p.cluster
+), vcell AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM vdist
+  ) WHERE rn = 1
+), vprobe AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM vdist
+  ) WHERE rn <= {nprobe}
+), cand AS (
+  SELECT a.vec_id AS src, m.vec_id AS nbr
+  FROM vprobe a JOIN vcell m USING (cluster)
+  WHERE m.vec_id != a.vec_id
+)
+SELECT vec_id, nbr_id, rank FROM (
+  SELECT c.src AS vec_id, c.nbr AS nbr_id,
+         CAST(row_number() OVER (
+              PARTITION BY c.src
+              ORDER BY list_cosine_similarity(es.embedding, en.embedding)
+                       DESC, c.nbr
+         ) AS BIGINT) AS rank
+  FROM cand c JOIN embeddings es ON c.src = es.vec_id
+              JOIN embeddings en ON c.nbr = en.vec_id
+) WHERE rank <= {k} ORDER BY vec_id, rank"""
+
+
+KNN_GRAPH_SQL = _knn_graph_sql()
