@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (72 of 76): every deterministic construction is
+                      (73 of 77): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog via its md5 registers,
                       k-means and IVF via an unrolled Lloyd CTE chain,
@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cosine_dup_pairs": similarity.cosine_dup_pairs,
         "lsh_cosine_pairs": similarity.lsh_cosine_pairs,
         "knn_graph": similarity.knn_graph,
+        "vec_dup_clusters": similarity.vec_dup_clusters,
         "lsh_bucket_topk": similarity.lsh_bucket_topk,
         "ivf_topk": similarity.ivf_topk,
         "label_centroid_sims": similarity.label_centroid_sims,
@@ -329,6 +330,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_bucket_topk": similarity.LSH_BUCKET_TOPK_SQL,
         "lsh_cosine_pairs": similarity.LSH_COSINE_PAIRS_SQL,
         "knn_graph": similarity.KNN_GRAPH_SQL,
+        "vec_dup_clusters": similarity.VEC_DUP_CLUSTERS_SQL,
     }
 
 

@@ -429,29 +429,28 @@ FROM j WHERE jac >= 0.5 ORDER BY doc_a, doc_b
 """
 
 
-def dedup_clusters(sf_dir: str, max_iters: int = 25) -> Dataset:
-    """Duplicate-cluster assignment: connected components of the MinHash
-    near-dup graph by iterative min-label propagation (the map-reduce CC
-    construction of Rastogi et al., "Finding Connected Components in
-    Map-Reduce in Logarithmic Rounds", ICDE 2013): every node starts
-    labelled with itself; each round every node takes the min of its own
-    and its neighbors' labels (one union + bucketed-groupby co-location
+def label_components(
+    pairs: Dataset, col_a: str, col_b: str, max_iters: int = 25
+) -> Dataset:
+    """Generic connected components over a symmetric pair Dataset by
+    iterative min-label propagation (Rastogi et al., "Finding Connected
+    Components in Map-Reduce in Logarithmic Rounds", ICDE 2013): every node
+    starts labelled with itself; each round every node takes the min of its
+    own and its neighbors' labels (one union + bucketed-groupby co-location
     round); fixpoint reached in <= graph-diameter rounds, detected by the
     monotone label sum (a scalar ``Dataset.sum`` per round — the only
-    driver-side value).  Output: (doc_id, cluster_rep) for every document
-    in at least one near-dup pair; cluster_rep = min doc_id of the
-    component (the canonical keeper)."""
+    driver-side value).  Returns (node, lbl) for every node in at least one
+    pair; lbl = min node of the component.  Shared by the MinHash doc
+    clusters and the embedding-cosine vector clusters."""
     import pandas as pd
 
     from ray.data.aggregate import Min
 
-    # the LSH-pruned pair set is the small side; materialize once so the
-    # iteration doesn't re-run shingling+banding per round
-    pairs = minhash_lsh_pairs(sf_dir).materialize()
+    pairs = pairs.materialize()
 
     def to_edges(t: pd.DataFrame) -> pd.DataFrame:
-        a = t["doc_a"].astype("int64")
-        b = t["doc_b"].astype("int64")
+        a = t[col_a].astype("int64")
+        b = t[col_b].astype("int64")
         return pd.DataFrame(
             {
                 "node": pd.concat([a, b], ignore_index=True),
@@ -524,6 +523,21 @@ def dedup_clusters(sf_dir: str, max_iters: int = 25) -> Dataset:
             break
         prev_sum = new_sum
 
+    return labels
+
+
+def dedup_clusters(sf_dir: str, max_iters: int = 25) -> Dataset:
+    """Duplicate-cluster assignment: connected components of the MinHash
+    near-dup graph (see ``label_components`` for the propagation
+    construction).  Output: (doc_id, cluster_rep) for every document in at
+    least one near-dup pair; cluster_rep = min doc_id of the component (the
+    canonical keeper)."""
+    import pandas as pd
+
+    # the LSH-pruned pair set is the small side; materialize once so the
+    # iteration doesn't re-run shingling+banding per round
+    labels = label_components(minhash_lsh_pairs(sf_dir), "doc_a", "doc_b", max_iters)
+
     def shape(t: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
@@ -533,6 +547,7 @@ def dedup_clusters(sf_dir: str, max_iters: int = 25) -> Dataset:
         )
 
     return labels.map_batches(shape, batch_format="pandas")
+
 
 
 # recursive-CTE mirror: transitive closure over the (symmetric) near-dup

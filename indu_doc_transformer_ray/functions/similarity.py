@@ -1162,3 +1162,44 @@ SELECT vec_id, nbr_id, rank FROM (
 
 
 KNN_GRAPH_SQL = _knn_graph_sql()
+
+
+def vec_dup_clusters(sf_dir: str, threshold: float = 0.42) -> Dataset:
+    """Embedding-cosine near-duplicate CLUSTERS: connected components of the
+    hyperplane-LSH cosine-pair graph (``lsh_cosine_pairs``), by the shared
+    min-label-propagation construction (``dedup.label_components``).
+    Output: (vec_id, cluster_rep) for every vector in at least one pair;
+    cluster_rep = min vec_id of the component (the canonical keeper)."""
+    import pandas as pd
+
+    from .dedup import label_components
+
+    labels = label_components(
+        lsh_cosine_pairs(sf_dir, threshold=threshold), "vec_a", "vec_b"
+    )
+
+    def shape(t: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "vec_id": t["node"].astype("int64"),
+                "cluster_rep": t["lbl"].astype("int64"),
+            }
+        )
+
+    return labels.map_batches(shape, batch_format="pandas")
+
+
+VEC_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({LSH_COSINE_PAIRS_SQL.replace("ORDER BY vec_a, vec_b", "")}),
+edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION SELECT vec_b, vec_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS vec_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_rep
+FROM reach GROUP BY a ORDER BY vec_id
+"""
