@@ -121,6 +121,7 @@ def bench_queries(sf_dir: str) -> dict:
         "hll_users_per_type": sketches.hll_users_per_type,
         "decontaminate": curation.decontaminate,
         "shard_assign": curation.shard_assign,
+        "knn_graph": similarity.knn_graph,
     }.items():
         t0 = time.time()
         res = fn(sf_dir)
