@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (73 of 77): every deterministic construction is
+                      (74 of 78): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog via its md5 registers,
                       k-means and IVF via an unrolled Lloyd CTE chain,
@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_scrub": curation.blocklist_scrub,
         "mixture_sample": curation.mixture_sample,
         "incremental_dedup": _incremental_dedup,
+        "bloom_probe": sketches.bloom_probe,
         # dedup
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
@@ -311,6 +312,7 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_scrub": curation.BLOCKLIST_SCRUB_SQL,
         "mixture_sample": curation.MIXTURE_SAMPLE_SQL,
         "incremental_dedup": _INCREMENTAL_DEDUP_SQL_LAZY(),
+        "bloom_probe": sketches.BLOOM_PROBE_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_prefix": dedup.DEDUP_PREFIX_SQL,
         "word_jaccard_pairs": dedup.WORD_JACCARD_SQL,

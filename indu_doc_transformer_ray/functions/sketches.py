@@ -166,3 +166,87 @@ FROM est ORDER BY event_type
 
 
 HLL_USERS_SQL = _hll_users_sql()
+
+
+# -- Bloom-filter membership probe -------------------------------------------
+
+BLOOM_M = 1 << 17  # filter bits
+BLOOM_K = 3  # hash functions
+
+
+def _bloom_positions(text: str) -> list[int]:
+    return [
+        int(hashlib.md5(f"{text}#{j}".encode()).hexdigest()[:8], 16) % BLOOM_M
+        for j in range(1, BLOOM_K + 1)
+    ]
+
+
+def bloom_probe(sf_dir: str) -> Dataset:
+    """Broadcast Bloom-filter membership: the sketch-based complement of the
+    exact actor index (``state/dedup_index.py``).  The even-doc_id snapshot
+    builds a ``BLOOM_M``-bit / ``BLOOM_K``-hash filter (md5-derived
+    positions, so build and probe are deterministic across engines); the
+    filter is O(M) bits BY CONSTRUCTION — that is the point of the sketch —
+    so it broadcasts once via ``ray.put`` and the probe pass streams with
+    no shuffle.  Output per odd-doc_id document: (doc_id, maybe_dup) —
+    1 for every true duplicate plus a deterministic false-positive rate
+    set by M/K (compare ``incremental_dedup`` for ground truth)."""
+    import ray as _ray
+
+    def docs():
+        return ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = set()
+        for t in batch.filter(pa.array(ids % 2 == 0)).column("text").to_pylist():
+            pos.update(_bloom_positions(t))
+        return pa.table({"pos": pa.array(sorted(pos), pa.int64())})
+
+    parts = docs().map_batches(build, batch_format="pyarrow").to_pandas()
+    bits = np.zeros(BLOOM_M, dtype=bool)
+    bits[parts["pos"].to_numpy()] = True  # the sketch — O(M), never the data
+    bref = _ray.put(bits)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bits_ = _ray.get(bref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(ids % 2 == 1))
+        out_id, out_m = [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            out_id.append(doc_id)
+            out_m.append(1 if all(bits_[p] for p in _bloom_positions(t)) else 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "maybe_dup": pa.array(out_m, pa.int64()),
+            }
+        )
+
+    return docs().map_batches(probe, batch_format="pyarrow")
+
+
+BLOOM_PROBE_SQL = f"""
+WITH bits AS (
+  SELECT DISTINCT
+         CAST(concat('0x', substr(md5(text || '#' || CAST(j AS VARCHAR)), 1, 8))
+              AS UBIGINT) % {BLOOM_M} AS pos
+  FROM documents, UNNEST(range(1, {BLOOM_K + 1})) AS t(j)
+  WHERE doc_id % 2 = 0
+), probe AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(text || '#' || CAST(j AS VARCHAR)), 1, 8))
+              AS UBIGINT) % {BLOOM_M} AS pos
+  FROM documents, UNNEST(range(1, {BLOOM_K + 1})) AS t(j)
+  WHERE doc_id % 2 = 1
+)
+SELECT p.doc_id,
+       CAST(CASE WHEN COUNT(*) = COUNT(b.pos) THEN 1 ELSE 0 END AS BIGINT)
+         AS maybe_dup
+FROM probe p LEFT JOIN bits b USING (pos)
+GROUP BY p.doc_id
+"""

@@ -44,3 +44,20 @@ def test_incremental_dedup_planted_duplicates(ray_session, tmp_path):
     assert out[7] == 1  # text exists in the even snapshot
     assert out[9] == 0  # within-wave dup only: snapshot doesn't contain it
     assert out.drop([7, 9]).sum() == 0
+
+
+def test_bloom_probe_no_false_negatives(ray_session):
+    """Bloom membership must cover every true duplicate (no false
+    negatives) with a small deterministic false-positive rate."""
+    from indu_doc_transformer_ray.functions.sketches import bloom_probe
+    from indu_doc_transformer_ray.state.dedup_index import incremental_dedup
+
+    sf = "/root/testdata/sf0.001"
+    truth = incremental_dedup(sf).to_pandas().set_index("doc_id")["is_dup"]
+    maybe = bloom_probe(sf).to_pandas().set_index("doc_id")["maybe_dup"]
+    assert sorted(truth.index) == sorted(maybe.index)
+    # every exact dup is flagged by the filter
+    assert (maybe[truth == 1] == 1).all()
+    # false-positive rate bounded (3 hashes into 2^17 bits, tiny fill)
+    fp = ((maybe == 1) & (truth == 0)).sum() / max(1, (truth == 0).sum())
+    assert fp < 0.05, fp
