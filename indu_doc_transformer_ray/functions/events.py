@@ -263,7 +263,9 @@ def cohort_retention(sf_dir: str) -> Dataset:
         out = pd.DataFrame(
             {
                 "user_id": t["user_id"].astype("int64"),
-                "week": (t["ts"].astype("int64") // WEEK_US).astype("int64"),
+                "week": (
+                    t["ts"].astype("datetime64[us]").astype("int64") // WEEK_US
+                ).astype("int64"),
             }
         )
         out["ub"] = (out["user_id"] % USER_BUCKETS).astype("int32")

@@ -976,11 +976,16 @@ def profile_columns(
         for c in numeric_cols:
             col = t[c]
             names.append(c)
-            counts.append(len(col))
+            counts.append(len(col) - col.null_count)
             nulls.append(col.null_count)
-            mins.append(float(pc.min(col).as_py() or 0))
-            maxs.append(float(pc.max(col).as_py() or 0))
-            sums.append(int(pc.sum(_cents(col)).as_py() or 0))
+            mn, mx = pc.min(col).as_py(), pc.max(col).as_py()
+            # +/-inf sentinels for all-null/empty batches: a 0 coercion
+            # would corrupt the global min/max whenever the true column
+            # min > 0 or max < 0.  Mapped back to NaN after the reduce.
+            mins.append(float("inf") if mn is None else float(mn))
+            maxs.append(float("-inf") if mx is None else float(mx))
+            s = pc.sum(_cents(col)).as_py()
+            sums.append(0 if s is None else int(s))
         return pa.table(
             {
                 "column": pa.array(names, pa.string()),
@@ -1001,6 +1006,10 @@ def profile_columns(
         )
         .reset_index()
     )
+    import numpy as np
+
+    prof["min_v"] = prof["min_v"].replace(np.inf, np.nan)
+    prof["max_v"] = prof["max_v"].replace(-np.inf, np.nan)
     distinct = (
         ds.groupby(key_col).aggregate(Count(alias_name="_c"))
         .count()

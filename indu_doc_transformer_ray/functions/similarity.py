@@ -486,7 +486,10 @@ def ivf_topk(
             cand_ids = vec_ids[mask]
             cand_sims = qn_[qi] @ en[mask].T
             k = min(TOP_K, len(cand_ids))
-            top = np.argpartition(-cand_sims, k - 1)[:k]
+            # (sim DESC, vec_id ASC) tie-break so the per-batch prune is
+            # deterministic and partition-invariant, matching IVF_TOPK_SQL
+            # (equal sims at the k boundary would otherwise be arbitrary).
+            top = np.lexsort((cand_ids, -cand_sims))[:k]
             out_q.extend([qid] * k)
             out_v.extend(cand_ids[top].tolist())
             out_s.extend(cand_sims[top].tolist())
@@ -741,10 +744,10 @@ def _kmeans_cte_prefix(k: int = 8, iters: int = 5) -> str:
     by the k-means and IVF oracles — ends after ``cent{iters}``."""
     parts = [f"""
 WITH comp AS (
-  SELECT vec_id, u.i AS dim, embedding[u.i] AS x
+  SELECT vec_id, u.i AS dim, CAST(embedding[u.i] AS DOUBLE) AS x
   FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
 ), cent0 AS (
-  SELECT vec_id AS cluster, u.i AS dim, embedding[u.i] AS c
+  SELECT vec_id AS cluster, u.i AS dim, CAST(embedding[u.i] AS DOUBLE) AS c
   FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
   WHERE vec_id < {k}
 )"""]

@@ -1128,7 +1128,7 @@ def curation_pipeline(
             d_lang.append(lang)
             d_nt.append(len(toks))
             d_fp.append(fp)
-            d_fb.append(int(fp[:2], 16) % FP_BUCKETS)
+            d_fb.append(int(fp[:3], 16) % FP_BUCKETS)
         return pa.table(
             {
                 "doc_id": pa.array(d_id, pa.int64()),
