@@ -109,12 +109,25 @@ SHINGLE_K = 3
 #: `MAX_BUCKET` smallest doc_ids (deterministic) and the dropped-pair count
 #: is logged.  Never triggers at test scale.
 MAX_BUCKET = 1024
-#: Coarse co-location bucket counts: groupby keys are hashed into these so
-#: one map_groups call processes a whole bucket of keys vectorized (pure
-#: Python per-group calls over tens of thousands of singleton LSH buckets
-#: cost 10x the useful work).  Scale with the corpus; keys are md5-uniform.
-GROUP_BUCKETS = 512  # power of two -> cheap bit_wise_and bucketing
-BAND_PREFIX_BUCKETS = 256  # per-band band-hash-prefix buckets
+
+
+def _corpus_buckets(sf_dir: str) -> int:
+    """Coarse co-location bucket count DERIVED from the documents row count
+    (parquet metadata only — no scan): groupby keys are hashed into these so
+    one map_groups call processes a whole bucket of keys vectorized (pure
+    Python per-group calls over tens of thousands of singleton LSH buckets
+    cost 10x the useful work), while the derived count keeps one bucket's
+    pandas frame bounded at ~``_util.ROWS_PER_BUCKET`` rows at ANY corpus
+    scale (a fixed 512 meant corpus/512 rows per task — ~200 GB at 10^12
+    docs).  Keys are md5-uniform, so no skew; results are bucket-count
+    invariant (tests/test_functions.py)."""
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    return n_buckets(
+        pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    )
 
 
 def _shingles(text: str) -> set[str]:
@@ -162,7 +175,13 @@ def _minhash_sig(sh: set[str]) -> list[int]:
 
 
 class MinHashBands:
-    """Actor stage: documents -> (band_id, band_hash, doc_id) rows."""
+    """Actor stage: documents -> (band_id, band_hash, doc_id) rows.
+
+    ``prefix_buckets`` (per-band band-hash-prefix co-location buckets) is
+    derived from the corpus size by the caller — see ``_corpus_buckets``."""
+
+    def __init__(self, prefix_buckets: int = 256):
+        self.prefix_buckets = prefix_buckets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         band_ids, band_hashes, doc_ids, gbs = [], [], [], []
@@ -177,7 +196,10 @@ class MinHashBands:
                 band_hashes.append(bh)
                 doc_ids.append(doc_id)
                 # coarse pairing-group key: band x hash prefix
-                gbs.append(b * BAND_PREFIX_BUCKETS + int(bh[:2], 16))
+                gbs.append(
+                    b * self.prefix_buckets
+                    + int(bh[:8], 16) % self.prefix_buckets
+                )
         return pa.table(
             {
                 "band_id": pa.array(band_ids, pa.int32()),
@@ -222,20 +244,21 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> Dataset:
     (schemaless empty blocks), which tiny candidate sets routinely produce.
 
     Returns a Dataset of (doc_a, doc_b, jaccard_permille) sorted by pair.
-    Every groupby key is COARSENED to a hash bucket (``GROUP_BUCKETS``): the
-    shuffle still co-locates exact keys, but one ``map_groups`` call handles
-    a whole bucket of keys with vectorized pandas ops inside — per-group
-    Python call overhead across tens of thousands of tiny LSH buckets was
-    10x the useful work otherwise.  Bucket counts scale with the corpus (a
-    parameter), keys hash uniformly (md5-derived), so no skew.
+    Every groupby key is COARSENED to a hash bucket (count DERIVED from the
+    corpus row count — ``_corpus_buckets``): the shuffle still co-locates
+    exact keys, but one ``map_groups`` call handles a whole bucket of keys
+    with vectorized pandas ops inside — per-group Python call overhead
+    across tens of thousands of tiny LSH buckets was 10x the useful work
+    otherwise.  Keys hash uniformly (md5-derived), so no skew.
 
     Candidates/pairs never materialize on the driver."""
     import logging
 
     import pandas as pd
 
+    nb = _corpus_buckets(sf_dir)
     docs = _read_docs(sf_dir, ["doc_id", "text"])
-    bands = docs.map_batches(MinHashBands(), batch_format="pyarrow")
+    bands = docs.map_batches(MinHashBands(nb), batch_format="pyarrow")
 
     log = logging.getLogger(__name__)
 
@@ -283,7 +306,7 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> Dataset:
         k = t["doc_a"].astype("int64")
         return pd.DataFrame(
             {
-                "gb": (k % GROUP_BUCKETS).astype("int32"),
+                "gb": (k % nb).astype("int32"),
                 "k": k,
                 "other": t["doc_b"].astype("int64"),
                 "sh_carry": "",
@@ -296,7 +319,7 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> Dataset:
         k = t["doc_id"].astype("int64")
         return pd.DataFrame(
             {
-                "gb": (k % GROUP_BUCKETS).astype("int32"),
+                "gb": (k % nb).astype("int32"),
                 "k": k,
                 "other": pd.Series([-1] * len(t), dtype="int64").values,
                 "sh_carry": "",
@@ -329,7 +352,7 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> Dataset:
         doc_b = pairs["other"].astype("int64")
         return pd.DataFrame(
             {
-                "gb": (doc_b % GROUP_BUCKETS).astype("int32"),
+                "gb": (doc_b % nb).astype("int32"),
                 "k": doc_b,
                 "other": pairs["k"].astype("int64").values,
                 "sh_carry": sh_a.values,
@@ -614,6 +637,8 @@ def dedup_keep_list(sf_dir: str) -> Dataset:
     near-drop markers).  Returns (doc_id) rows."""
     import pandas as pd
 
+    nb = _corpus_buckets(sf_dir)
+
     # exact-dup DROPS: per md5(text) group, everything above the min doc_id
     def hash_rows(batch: pa.Table) -> pa.Table:
         h = [
@@ -655,7 +680,7 @@ def dedup_keep_list(sf_dir: str) -> Dataset:
         k = t["doc_id"].astype("int64")
         return pd.DataFrame(
             {
-                "gb": (k % GROUP_BUCKETS).astype("int32"),
+                "gb": (k % nb).astype("int32"),
                 "doc_id": k,
                 "is_drop": pd.Series([0] * len(t), dtype="int32").values,
             }
@@ -665,7 +690,7 @@ def dedup_keep_list(sf_dir: str) -> Dataset:
         k = t["doc_id"].astype("int64")
         return pd.DataFrame(
             {
-                "gb": (k % GROUP_BUCKETS).astype("int32"),
+                "gb": (k % nb).astype("int32"),
                 "doc_id": k,
                 "is_drop": pd.Series([1] * len(t), dtype="int32").values,
             }
@@ -822,6 +847,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> Dataset:
     widths = [8] + [7] * 8
     offsets = np.cumsum([0] + widths[:-1]).tolist()
 
+    nb = _corpus_buckets(sf_dir)
     sig = simhash64(sf_dir)
 
     def band_rows(t: pd.DataFrame) -> pd.DataFrame:
@@ -833,7 +859,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> Dataset:
             frames.append(
                 pd.DataFrame(
                     {
-                        "gb": ((b * 257 + val.astype("int64")) % GROUP_BUCKETS)
+                        "gb": ((b * 257 + val.astype("int64")) % nb)
                               .astype("int32"),
                         "band": pd.Series([b] * len(ids), dtype="int32").values,
                         "val": val.astype("int64"),

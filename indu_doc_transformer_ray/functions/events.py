@@ -6,11 +6,13 @@ and implement the window/join logic in ``groupby(key).map_groups`` — the
 ordering assumption (per-user ts order, event_id tie-break) is stated here
 and mirrored in the oracle SQL's OVER clauses.
 
-The groupby key is a COARSE user bucket (``USER_BUCKETS``), not the raw
-user id: the shuffle still co-locates each user's events, but one
-map_groups call handles a bucket of users with a vectorized pandas
-``groupby(user_id)`` inside — per-group Python call overhead across
-millions of users would otherwise dominate at scale.
+The groupby key is a COARSE user bucket (count DERIVED from the events
+row count — ``_user_buckets``), not the raw user id: the shuffle still
+co-locates each user's events, but one map_groups call handles a bucket of
+users with a vectorized pandas ``groupby(user_id)`` inside — per-group
+Python call overhead across millions of users would otherwise dominate at
+scale, while the derived count bounds one bucket's pandas frame at any
+corpus size (a fixed 512 meant corpus/512 rows per task).
 """
 
 from __future__ import annotations
@@ -21,7 +23,19 @@ import ray.data
 from ray.data import Dataset
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
-USER_BUCKETS = 512  # coarse co-location buckets (uniform: user ids are dense)
+
+
+def _user_buckets(sf_dir: str) -> int:
+    """Coarse user-bucket count derived from the events row count (parquet
+    metadata only, no scan) so one bucket's in-kernel pandas frame stays
+    ~``_util.ROWS_PER_BUCKET`` rows at any scale.  User ids are dense and
+    uniform, so modulo bucketing is skew-free; results are bucket-count
+    invariant (the kernel re-groups by the exact user id inside)."""
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    return n_buckets(pq.read_metadata(f"{sf_dir}/events.parquet").num_rows)
 
 
 def _read_events(sf_dir: str, columns: list[str]) -> Dataset:
@@ -36,11 +50,12 @@ def asof_prior_click(sf_dir: str) -> Dataset:
     gap_us) — integers only, so the DuckDB ASOF JOIN oracle hash-matches."""
 
     ds = _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    ubk = _user_buckets(sf_dir)
     ds = ds.filter(expr="event_type == 'error' or event_type == 'click'")
 
     def add_bucket(t: pd.DataFrame) -> pd.DataFrame:
         t = t.copy()
-        t["ub"] = (t["user_id"] % USER_BUCKETS).astype("int32")
+        t["ub"] = (t["user_id"] % ubk).astype("int32")
         return t
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
@@ -97,10 +112,11 @@ def sessionize(sf_dir: str) -> Dataset:
     (user_id, n_sessions, max_session_events, longest_session_us)."""
 
     ds = _read_events(sf_dir, ["event_id", "ts", "user_id"])
+    ubk = _user_buckets(sf_dir)
 
     def add_bucket(t: pd.DataFrame) -> pd.DataFrame:
         t = t.copy()
-        t["ub"] = (t["user_id"] % USER_BUCKETS).astype("int32")
+        t["ub"] = (t["user_id"] % ubk).astype("int32")
         return t
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -170,6 +186,7 @@ def funnel_counts(sf_dir: str) -> "object":
     merge+filter+groupby-min passes over every user in the bucket; buckets
     emit one partial row and the driver sums a bucket-count-sized frame.
     Output: (n_view, n_view_click, n_full_funnel) — one row."""
+    ubk = _user_buckets(sf_dir)
     ds = _read_events(sf_dir, ["ts", "user_id", "event_type"]).filter(
         expr=(
             "event_type == 'view' or event_type == 'click'"
@@ -179,7 +196,7 @@ def funnel_counts(sf_dir: str) -> "object":
 
     def add_bucket(t: pd.DataFrame) -> pd.DataFrame:
         t = t.copy()
-        t["ub"] = (t["user_id"] % USER_BUCKETS).astype("int32")
+        t["ub"] = (t["user_id"] % ubk).astype("int32")
         return t
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -258,6 +275,7 @@ def cohort_retention(sf_dir: str) -> Dataset:
     WEEK_US = 7 * 86_400_000_000
 
     ds = _read_events(sf_dir, ["ts", "user_id"])
+    ubk = _user_buckets(sf_dir)
 
     def add_bucket(t: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame(
@@ -268,7 +286,7 @@ def cohort_retention(sf_dir: str) -> Dataset:
                 ).astype("int64"),
             }
         )
-        out["ub"] = (out["user_id"] % USER_BUCKETS).astype("int32")
+        out["ub"] = (out["user_id"] % ubk).astype("int32")
         return out.drop_duplicates()  # batch-local (user, week) combine
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -327,10 +345,11 @@ def events_prior_window(sf_dir: str) -> Dataset:
     window_us = 3_600 * 1_000_000
 
     ds = _read_events(sf_dir, ["event_id", "ts", "user_id"])
+    ubk = _user_buckets(sf_dir)
 
     def add_bucket(t: pd.DataFrame) -> pd.DataFrame:
         t = t.copy()
-        t["ub"] = (t["user_id"] % USER_BUCKETS).astype("int32")
+        t["ub"] = (t["user_id"] % ubk).astype("int32")
         return t
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:

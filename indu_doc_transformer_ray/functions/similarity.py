@@ -1048,7 +1048,16 @@ def knn_graph(
 
     cents = _kmeans_centroids(sf_dir, k_cells, iters)
     cref = ray.put(cents)
-    vb_buckets = 512
+    # candidate-fold bucket count derived from the embeddings row count
+    # (parquet metadata, no scan): each fold bucket holds ~ROWS_PER_BUCKET
+    # candidate rows at any corpus scale instead of corpus/512
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    vb_buckets = n_buckets(
+        pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows * nprobe
+    )
 
     def emit(t: pd.DataFrame) -> pd.DataFrame:
         cents_ = ray.get(cref)

@@ -443,3 +443,50 @@ def test_knn_graph_structure_and_recall(ray_session):
     # structureless uniform embeddings are IVF's worst case; random-probe
     # baseline is nprobe/k_cells = 0.375 — require well above it
     assert recall > 0.6, recall
+
+
+def test_n_buckets_derivation():
+    """n_buckets: power-of-two count targeting ROWS_PER_BUCKET rows per
+    coarse bucket, clamped — the scale knob VERDICT r2 item 3 asked for."""
+    from indu_doc_transformer_ray.functions._util import (
+        ROWS_PER_BUCKET,
+        n_buckets,
+    )
+
+    assert n_buckets(None) == 64  # unknown size -> lo floor
+    assert n_buckets(0) == 64
+    assert n_buckets(1) == 64
+    assert n_buckets(ROWS_PER_BUCKET * 512) == 512
+    assert n_buckets(ROWS_PER_BUCKET * 512 + 1) == 1024
+    assert n_buckets(10**13) == 1 << 22  # hi clamp
+    assert n_buckets(10**7) == 256
+
+
+def test_bucket_count_invariance(ray_session, monkeypatch):
+    """Coarse co-location bucket counts shape the SHUFFLE, never the
+    answer: the same op forced to two different bucket counts is
+    row-identical (the in-kernel code always re-groups by the exact key)."""
+    import pandas as pd
+
+    from indu_doc_transformer_ray.functions import dedup, events
+
+    sf = "/root/testdata/sf0.001"
+
+    def run_sess():
+        return events.sessionize(sf).to_pandas().reset_index(drop=True)
+
+    monkeypatch.setattr(events, "_user_buckets", lambda _sf: 7)
+    a = run_sess()
+    monkeypatch.setattr(events, "_user_buckets", lambda _sf: 128)
+    b = run_sess()
+    pd.testing.assert_frame_equal(a, b)
+
+    def run_pairs():
+        p = dedup.minhash_lsh_pairs(sf, threshold=0.5).to_pandas()
+        return p.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    monkeypatch.setattr(dedup, "_corpus_buckets", lambda _sf: 5)
+    c = run_pairs()
+    monkeypatch.setattr(dedup, "_corpus_buckets", lambda _sf: 64)
+    d = run_pairs()
+    pd.testing.assert_frame_equal(c, d)
