@@ -108,15 +108,47 @@ def test_media_features_pipeline(ray_session):
 
 
 def test_lsh_bucket_topk_recall(ray_session):
-    """LSH ANN recall vs exact top-k on the driver embeddings."""
+    """LSH ANN recall vs exact top-k, plus the partition-pruned read: the
+    persisted hive index exists and the wanted directory set is a strict
+    subset of the index (the candidate read really prunes)."""
+    import glob
+    import os
+
     from indu_doc_transformer_ray.functions.similarity import (
         ann_topk,
+        build_lsh_index,
         lsh_bucket_topk,
     )
 
     sf = "/root/testdata/sf0.001"
     exact = ann_topk(sf)
     approx = lsh_bucket_topk(sf)
+
+    path, planes_n = build_lsh_index(sf)  # cached — no rebuild
+    assert os.path.exists(f"{path}/_SUCCESS")
+    all_dirs = glob.glob(f"{path}/tbl=*/bucket=*")
+    # 8 tables x 2^4 buckets of 500 vectors: nearly all populated; the
+    # 3 queries want at most 3 buckets per table
+    assert len(all_dirs) > 3 * 8
+    from indu_doc_transformer_ray.functions.similarity import (
+        LSH_TOPK_TABLES,
+        _query_matrix,
+        _topk_tables,
+        _wanted_dirs,
+    )
+    import numpy as np
+
+    q, _ = _query_matrix(sf)
+    planes = _topk_tables(q.shape[1], LSH_TOPK_TABLES, planes_n)
+    w = 1 << np.arange(planes_n)
+    wanted = {
+        (t, int(b))
+        for t in range(LSH_TOPK_TABLES)
+        for b in (((q @ planes[t].T) > 0) * w).sum(axis=1)
+    }
+    pruned = {os.path.dirname(f) for f in _wanted_dirs(path, wanted)}
+    assert 0 < len(pruned) <= 3 * LSH_TOPK_TABLES
+    assert len(pruned) < len(all_dirs)  # a strict subset is read
     recalls = {}
     for qid in (0, 1, 2):
         e = set(exact[exact.query_id == qid]["vec_id"])
