@@ -390,15 +390,111 @@ def merged_object_rows(extracted: Dataset) -> Dataset:
     )
 
 
-def decode_object_batch(batch: pa.Table) -> pa.Table:
-    """(mkey, payload) rows of ONE table -> typed rows."""
-    rows = [
-        assemble_rows(m, p)[1]
-        for m, p in zip(
-            batch.column("mkey").to_pylist(), batch.column("payload").to_pylist()
+def _json_rows(payload: pa.Array) -> pa.Table:
+    """COLUMNAR JSON decode of a payload column: one C++ join into an
+    NDJSON buffer, one ``pyarrow.json.read_json`` parse — no per-row
+    Python.  Canonical payloads (json.dumps) never contain raw newlines,
+    so line-delimited framing is safe."""
+    import io
+
+    import pyarrow.json as pajson
+
+    arr = (
+        payload.combine_chunks()
+        if isinstance(payload, pa.ChunkedArray)
+        else payload
+    )
+    la = pa.ListArray.from_arrays(pa.array([0, len(arr)], pa.int32()), arr)
+    buf = pc.binary_join(la, "\n")[0].as_py().encode()
+    return pajson.read_json(io.BytesIO(buf))
+
+
+def _const_col(value: str, n: int) -> pa.Array:
+    return pa.array([value] * n, pa.string())
+
+
+def _decode_kind(kind: str, parts, payload: pa.Array) -> pa.Table:
+    """Vectorized decode of ONE delta kind's (mkey parts, payload) columns —
+    the columnar mirror of ``deltas.assemble_rows`` (kept for the
+    driver-side/test path; equality is pinned by test_runner.py)."""
+    n = len(payload)
+    p1 = pc.list_element(parts, 1)
+    if kind == "xtarget":
+        ps = pc.split_pattern(payload, US, max_splits=2)
+        return pa.table(
+            {
+                "guid": p1,
+                "tag_str": pc.list_element(ps, 2),
+                "target_type": pc.list_element(ps, 1),
+            }
         )
-    ]
-    return pa.Table.from_pylist(rows) if rows else pa.table({})
+    if kind in ("xtarget_attr", "aspect_attr", "link_attr"):
+        return pa.table(
+            {
+                "owner_kind": _const_col(kind.removesuffix("_attr"), n),
+                "owner_guid": p1,
+                "attr_guid": pc.list_element(parts, 2),
+            }
+        )
+    if kind == "aspect":
+        jt = _json_rows(payload)
+        return pa.table(
+            {
+                "guid": p1,
+                "separator": jt.column("separator"),
+                "value": jt.column("value"),
+            }
+        )
+    if kind == "attribute":
+        jt = _json_rows(payload)
+        return pa.table(
+            {
+                "guid": p1,
+                "attr_type": jt.column("attr_type"),
+                "name": jt.column("name"),
+                "value_json": jt.column("value_json"),
+            }
+        )
+    if kind in ("link", "connection", "pin"):
+        jt = _json_rows(payload)
+        return pa.table(
+            {"guid": p1, **{c: jt.column(c) for c in jt.column_names}}
+        )
+    if kind == "page_object":
+        return pa.table(
+            {
+                "doc_id": p1,
+                "page_no": pc.cast(pc.list_element(parts, 2), pa.int64()),
+                "object_kind": pc.list_element(parts, 3),
+                "object_guid": pc.list_element(parts, 4),
+            }
+        )
+    if kind == "error":
+        return _json_rows(payload)
+    raise ValueError(f"unknown delta kind: {kind}")
+
+
+def decode_object_batch(batch: pa.Table) -> pa.Table:
+    """(mkey, payload) rows of ONE table -> typed rows, fully columnar:
+    split mkeys with Arrow kernels, dispatch per distinct kind (an
+    object_attrs batch carries up to three *_attr kinds; every other table
+    is single-kind), JSON payloads decode through one buffered
+    ``pyarrow.json`` parse per kind."""
+    if batch.num_rows == 0:
+        return pa.table({})
+    mkey = batch.column("mkey").combine_chunks()
+    payload = batch.column("payload").combine_chunks()
+    parts = pc.split_pattern(mkey, US)
+    kind0 = pc.list_element(parts, 0)
+    pieces = []
+    for kind in pc.unique(kind0).to_pylist():
+        mask = pc.equal(kind0, kind)
+        pieces.append(
+            _decode_kind(kind, parts.filter(mask), payload.filter(mask))
+        )
+    if len(pieces) == 1:
+        return pieces[0]
+    return pa.concat_tables(pieces, promote_options="permissive")
 
 
 def flatten_local_rows(extracted: Dataset, column: str) -> Dataset:
