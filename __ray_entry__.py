@@ -138,6 +138,18 @@ def _media_features(sf_dir: str):
     )
 
 
+def _media_resize(sf_dir: str):
+    from indu_doc_transformer_ray.functions.multimodal import media_resize
+
+    return media_resize(_span_corpus(sf_dir))
+
+
+def _frame_sample(sf_dir: str):
+    from indu_doc_transformer_ray.functions.multimodal import frame_sample
+
+    return frame_sample(_span_corpus(sf_dir))
+
+
 def _search_targets_count(sf_dir: str):
     from indu_doc_transformer_ray.search.index import search_targets_count
 
@@ -186,9 +198,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketch is deterministic, so the approximate answer hash-matches)
         "hll_users_per_type": sketches.hll_users_per_type,
         "bloom_probe": sketches.bloom_probe,
+        "count_min_probe": sketches.count_min_probe,
         # curation tail + shared-state dedup index
         "blocklist_scrub": curation.blocklist_scrub,
         "mixture_sample": curation.mixture_sample,
+        "weighted_sample": curation.weighted_sample,
         "incremental_dedup": _incremental_dedup,
         # search subsystem end-to-end (rows-only; the equality gate vs the
         # in-memory index lives in tests/test_search_distributed.py)
@@ -197,6 +211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_spans": _extract_spans,
         "extract_object_stats": _extract_object_stats,
         "media_features": _media_features,
+        "media_resize": _media_resize,
+        "frame_sample": _frame_sample,
         # relational / TPC-H-ish (SURVEY §2.6 aggregations + joins) — green
         # in CORRECTNESS_r02.json
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -318,8 +334,10 @@ def oracle_sql() -> dict[str, str]:
         "shard_assign": curation.SHARD_ASSIGN_SQL,
         "blocklist_scrub": curation.BLOCKLIST_SCRUB_SQL,
         "mixture_sample": curation.MIXTURE_SAMPLE_SQL,
+        "weighted_sample": curation.WEIGHTED_SAMPLE_SQL,
         "incremental_dedup": _INCREMENTAL_DEDUP_SQL_LAZY(),
         "bloom_probe": sketches.BLOOM_PROBE_SQL,
+        "count_min_probe": sketches.COUNT_MIN_PROBE_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_prefix": dedup.DEDUP_PREFIX_SQL,
         "word_jaccard_pairs": dedup.WORD_JACCARD_SQL,

@@ -516,3 +516,89 @@ SELECT r.source, r.doc_id, CAST(r.rk AS BIGINT) AS rk
 FROM ranked r JOIN alloc a USING (source)
 WHERE r.rk <= a.quota
 """
+
+
+# -- weighted sampling --------------------------------------------------------
+
+#: 2^52 — md5 prefix bits that fit a double EXACTLY, so the Ray and DuckDB
+#: sides compute bit-identical uniforms (the repo's md5-seeded-op oracle
+#: technique).
+_U52 = 4503599627370496.0
+
+
+def weighted_sample(sf_dir: str, k: int = 20) -> "object":
+    """Weighted sampling WITHOUT replacement via Efraimidis–Spirakis A-ES:
+    every document draws a deterministic uniform u from its md5 (52-bit
+    prefix, exactly representable as a double) and ranks by the key
+    ln(u)/w — the top-``k`` keys are a weighted sample where a document's
+    inclusion probability is proportional to its weight (here w = token
+    count + 1).  The distributed shape is the one-pass bounded-heap
+    selection: each batch prunes locally to its k best keys, the driver
+    folds the tiny candidate union — no shuffle, corpus never collected.
+    Deterministic hash math makes even the "random" sample hash-checkable
+    (WEIGHTED_SAMPLE_SQL mirrors the exact double arithmetic).  Output:
+    (doc_id, w, rk) — integers only."""
+    import math
+
+    import pandas as pd
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids, ws, keys = [], [], []
+        for doc_id, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            w = len(TOKEN_RE.findall(text.lower())) + 1
+            v = int(
+                hashlib.md5(str(doc_id).encode()).hexdigest()[:13], 16
+            )
+            # math.log (libm), NOT np.log: DuckDB's ln() is the same libm
+            # call, so the doubles match bit-for-bit
+            keys.append(math.log((v + 1) / _U52) / w)
+            ids.append(doc_id)
+            ws.append(w)
+        local = (
+            pd.DataFrame({"doc_id": ids, "w": ws, "key": keys})
+            .sort_values(["key", "doc_id"], ascending=[False, True])
+            .head(k)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(local["doc_id"].astype("int64"), pa.int64()),
+                "w": pa.array(local["w"].astype("int64"), pa.int64()),
+                "key": pa.array(local["key"], pa.float64()),
+            }
+        )
+
+    cand = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(keyed, batch_format="pyarrow")
+        .to_pandas()  # <= k x n_blocks rows — the tiny candidate union
+    )
+    cand = cand.sort_values(["key", "doc_id"], ascending=[False, True]).head(k)
+    cand = cand.reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "doc_id": cand["doc_id"].astype("int64"),
+            "w": cand["w"].astype("int64"),
+            "rk": pd.array(range(1, len(cand) + 1), dtype="int64"),
+        }
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         len({_TOKEN_SQL}) + 1 AS w
+  FROM documents
+), keyed AS (
+  SELECT doc_id, w,
+         ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                  AS UBIGINT) + 1) / {_U52!r}) / w AS key
+  FROM t
+)
+SELECT doc_id, CAST(w AS BIGINT) AS w,
+       CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS rk
+FROM keyed
+QUALIFY rk <= 20
+ORDER BY rk
+"""

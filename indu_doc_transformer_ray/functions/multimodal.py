@@ -171,3 +171,180 @@ def media_features(docs: Dataset, media_root: str = "") -> Dataset:
         batch_size=16,  # small: real media payloads are large
         concurrency=(1, 8),
     )
+
+
+# -- resize -------------------------------------------------------------------
+
+def _stub_pixels(ref: str, w: int, h: int) -> np.ndarray:
+    """Deterministic fake pixel plane for refs that resolve to no real file:
+    a seeded RNG image (pure function of the ref), so resize checksums are
+    reproducible across engines and runs."""
+    seed = int.from_bytes(hashlib.md5(ref.encode()).digest()[:4], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _nn_resize(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize as pure numpy fancy indexing — the REAL
+    vectorized kernel (no image library needed); PIL-backed decodes feed
+    the same kernel."""
+    h, w = px.shape[0], px.shape[1]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return px[ys][:, xs]
+
+
+RESIZE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("src_w", pa.int32()),
+        ("src_h", pa.int32()),
+        ("out_w", pa.int32()),
+        ("out_h", pa.int32()),
+        ("px_sum", pa.int64()),  # checksum of the resized plane
+    ]
+)
+
+
+class MediaResizer:
+    """Actor-pool resize stage: decode -> nearest-neighbor downscale ->
+    checksum.  Real files decode through PPM/PIL (where available); opaque
+    refs get the deterministic stub plane, so the Ray-side plumbing —
+    per-actor state, small batch size for binary payloads, output schema —
+    is identical and fully tested either way."""
+
+    def __init__(self, out_w: int = 32, out_h: int = 32, media_root: str = ""):
+        self.out_w, self.out_h = out_w, out_h
+        self.media_root = media_root
+        self._fx = MediaFeatureExtractor(media_root=media_root)
+
+    def pixels(self, ref: str) -> np.ndarray:
+        path = os.path.join(self.media_root, ref) if self.media_root else ref
+        if os.path.isfile(path):
+            if HAVE_PIL:  # pragma: no cover - wheel absent here
+                from PIL import Image
+
+                with Image.open(path) as im:
+                    return np.asarray(im.convert("RGB"), dtype=np.uint8)
+            with open(path, "rb") as f:
+                if f.read(2) == b"P6":
+                    w, h, _nb, _f = _decode_ppm(path)
+                    # re-read the raw plane (decode_ppm returns features)
+                    data = open(path, "rb").read()
+                    idx = 0
+                    fields = []
+                    while len(fields) < 4:
+                        nl = data.index(b"\n", idx)
+                        line = data[idx:nl]
+                        idx = nl + 1
+                        if not line.startswith(b"#"):
+                            fields.extend(line.split())
+                    return (
+                        np.frombuffer(data[idx:], dtype=np.uint8)[: w * h * 3]
+                        .reshape(h, w, 3)
+                    )
+        w, h, _nb, _f = _decode_stub(ref)
+        return _stub_pixels(ref, w, h)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in RESIZE_SCHEMA.names}
+        for doc_id, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            for s in spans:
+                if s["kind"] != "media":
+                    continue
+                px = self.pixels(s["media_ref"])
+                rs = _nn_resize(px, self.out_w, self.out_h)
+                rows["doc_id"].append(doc_id)
+                rows["media_ref"].append(s["media_ref"])
+                rows["src_w"].append(px.shape[1])
+                rows["src_h"].append(px.shape[0])
+                rows["out_w"].append(rs.shape[1])
+                rows["out_h"].append(rs.shape[0])
+                rows["px_sum"].append(int(rs.astype(np.int64).sum()))
+        return pa.Table.from_pydict(rows, schema=RESIZE_SCHEMA)
+
+
+def media_resize(
+    docs: Dataset, out_w: int = 32, out_h: int = 32, media_root: str = ""
+) -> Dataset:
+    """docs(doc_id, spans) -> one row per media span with resize metadata +
+    a checksum of the resized plane (deterministic for stub and real
+    decodes alike)."""
+    return docs.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={
+            "out_w": out_w, "out_h": out_h, "media_root": media_root,
+        },
+        batch_format="pyarrow",
+        batch_size=16,  # small: decoded pixel planes are large
+        concurrency=(1, 8),
+    )
+
+
+# -- video frame sampling -----------------------------------------------------
+
+FRAME_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("n_frames", pa.int32()),
+        ("frame_idx", pa.int32()),
+        ("frame_sum", pa.int64()),
+    ]
+)
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage for video-shaped media: every
+    ``every_n``-th frame decodes to a (stub) plane and emits a checksum
+    row.  Real video decode (pyav/ffmpeg) is NOT available in this
+    container, so the decoder is the clearly-marked deterministic fake
+    below; the Ray plumbing — flat_map-style row explosion, per-actor
+    state, bounded batch size — is the real thing a video pipeline needs."""
+
+    def __init__(self, every_n: int = 4, media_root: str = ""):
+        self.every_n = every_n
+        self.media_root = media_root
+
+    def n_frames(self, ref: str) -> int:
+        # FAKE decode: frame count derived from the ref hash (real path
+        # would read the container header)
+        return 8 + hashlib.md5(ref.encode()).digest()[2] % 56
+
+    def frame(self, ref: str, idx: int) -> np.ndarray:
+        # FAKE decode: per-frame stub plane seeded by (ref, idx)
+        return _stub_pixels(f"{ref}#f{idx}", 16, 16)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in FRAME_SCHEMA.names}
+        for doc_id, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            for s in spans:
+                if s["kind"] != "media":
+                    continue
+                ref = s["media_ref"]
+                nf = self.n_frames(ref)
+                for idx in range(0, nf, self.every_n):
+                    rows["doc_id"].append(doc_id)
+                    rows["media_ref"].append(ref)
+                    rows["n_frames"].append(nf)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_sum"].append(
+                        int(self.frame(ref, idx).astype(np.int64).sum())
+                    )
+        return pa.Table.from_pydict(rows, schema=FRAME_SCHEMA)
+
+
+def frame_sample(docs: Dataset, every_n: int = 4, media_root: str = "") -> Dataset:
+    """docs(doc_id, spans) -> one row per SAMPLED frame per media span."""
+    return docs.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every_n": every_n, "media_root": media_root},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=(1, 8),
+    )

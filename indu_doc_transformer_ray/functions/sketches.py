@@ -27,6 +27,8 @@ import ray.data
 from ray.data import Dataset
 from ray.data.aggregate import Max
 
+from .text import TOKEN_RE
+
 P_BITS = 12  # 4096 registers -> ~1.6% standard error
 M = 1 << P_BITS
 
@@ -249,4 +251,115 @@ SELECT p.doc_id,
          AS maybe_dup
 FROM probe p LEFT JOIN bits b USING (pos)
 GROUP BY p.doc_id
+"""
+
+
+# -- count-min sketch ---------------------------------------------------------
+
+CM_W = 1024  # columns per hash row
+CM_D = 4  # independent hash rows
+
+
+def _cm_cell(row: int, tok: str) -> int:
+    """Deterministic cell for (hash row, token): md5-derived, mirrored
+    bit-exactly by the SQL oracle."""
+    h = hashlib.md5(f"{row}:{tok}".encode()).hexdigest()[:16]
+    return row * CM_W + int(h, 16) % CM_W
+
+
+def count_min_probe(sf_dir: str) -> "object":
+    """Count-min sketch over the corpus token stream, then point-frequency
+    probes: the mergeable counting complement of Bloom (membership) and HLL
+    (distincts).  Build: every batch folds its token counts into partial
+    (cell, cnt) rows — a Counter per batch, CM_D cells per distinct token —
+    and ONE small groupby().sum() merges them into the <= CM_W x CM_D-cell
+    sketch (partials-before-shuffle; the shuffle moves sketch cells, never
+    tokens).  Probe: estimate(tok) = min over its CM_D cells — >= the true
+    count, == for tokens without collisions.  Deterministic md5 hashing
+    makes the approximate estimates themselves hash-checkable
+    (``COUNT_MIN_PROBE_SQL``).  Output: (token, cm_estimate) for the fixed
+    probe list."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch.column("text").to_pylist():
+            c.update(TOKEN_RE.findall(text.lower()))
+        cells: Counter = Counter()
+        for tok, n in c.items():
+            for r in range(CM_D):
+                cells[_cm_cell(r, tok)] += n
+        ks = sorted(cells)
+        return pa.table(
+            {
+                "cell": pa.array(ks, pa.int64()),
+                "cnt": pa.array([cells[k] for k in ks], pa.int64()),
+            }
+        )
+
+    sketch = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("cnt", alias_name="s"))
+        .to_pandas()  # <= CM_W x CM_D rows — the sketch itself, tiny
+    )
+    cm = dict(zip(sketch["cell"], sketch["s"]))
+
+    probes = CM_PROBE_TOKENS
+    return pd.DataFrame(
+        {
+            "token": list(probes),
+            "cm_estimate": pd.array(
+                [
+                    min(cm.get(_cm_cell(r, tok), 0) for r in range(CM_D))
+                    for tok in probes
+                ],
+                dtype="int64",
+            ),
+        }
+    ).sort_values("token").reset_index(drop=True)
+
+
+#: fixed probe list: common corpus words + one absent token (its estimate
+#: is whatever collisions put in its cells — deterministic either way)
+CM_PROBE_TOKENS = (
+    "data", "the", "vector", "join", "stream", "row", "zzz_not_a_token",
+)
+
+
+COUNT_MIN_PROBE_SQL = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+), rows AS (
+  SELECT CAST(i AS INTEGER) AS i FROM range({CM_D}) t(i)
+), cells AS (
+  SELECT i,
+         i * {CM_W}
+         + CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 16))
+                AS UBIGINT) % {CM_W} AS cell,
+         SUM(c) AS s
+  FROM cnt CROSS JOIN rows
+  GROUP BY 1, 2
+), probes(token) AS (
+  VALUES {", ".join(f"('{t}')" for t in ("data", "the", "vector", "join", "stream", "row", "zzz_not_a_token"))}
+), pc AS (
+  SELECT p.token, r.i,
+         r.i * {CM_W}
+         + CAST(concat('0x', substr(md5(CAST(r.i AS VARCHAR) || ':' || p.token), 1, 16))
+                AS UBIGINT) % {CM_W} AS cell
+  FROM probes p CROSS JOIN rows r
+)
+SELECT p.token,
+       CAST(MIN(COALESCE(cl.s, 0)) AS BIGINT) AS cm_estimate
+FROM pc p LEFT JOIN cells cl ON p.i = cl.i AND p.cell = cl.cell
+GROUP BY p.token
+ORDER BY p.token
 """

@@ -522,3 +522,86 @@ def test_bucket_count_invariance(ray_session, monkeypatch):
     monkeypatch.setattr(dedup, "_corpus_buckets", lambda _sf: 64)
     d = run_pairs()
     pd.testing.assert_frame_equal(c, d)
+
+
+def test_count_min_estimate_bounds(ray_session):
+    """CM guarantee: estimate >= true count for present tokens; exact for
+    collision-free ones (all, at this scale/width)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from indu_doc_transformer_ray.functions.sketches import (
+        CM_PROBE_TOKENS,
+        count_min_probe,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = count_min_probe(sf).set_index("token")["cm_estimate"]
+    texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"])
+    from collections import Counter
+
+    true = Counter()
+    for t in texts.column("text").to_pylist():
+        true.update(re.findall(r"[a-z0-9_]+", t.lower()))
+    for tok in CM_PROBE_TOKENS:
+        assert out[tok] >= true[tok], tok
+    assert true["zzz_not_a_token"] == 0
+    present = [t for t in CM_PROBE_TOKENS if true[t] > 0]
+    assert present, "probe list matches no corpus token"
+    # width 1024 x depth 4 over a small vocab: no collisions expected
+    assert all(out[t] == true[t] for t in present)
+
+
+def test_weighted_sample_deterministic_and_ranked(ray_session):
+    from indu_doc_transformer_ray.functions.curation import weighted_sample
+
+    sf = "/root/testdata/sf0.001"
+    a = weighted_sample(sf)
+    b = weighted_sample(sf)
+    assert a.equals(b)  # hash-derived, not RNG
+    assert list(a["rk"]) == list(range(1, len(a) + 1))
+    assert a["doc_id"].is_unique and (a["w"] >= 1).all()
+
+
+def test_media_resize_and_frame_sample(ray_session):
+    """Resize/frame-sample plumbing: declared schemas, deterministic
+    checksums, nearest-neighbor kernel correctness on a known plane."""
+    import numpy as np
+
+    from indu_doc_transformer_ray.fixtures import corpus_table
+    from indu_doc_transformer_ray.functions.multimodal import (
+        FRAME_SCHEMA,
+        RESIZE_SCHEMA,
+        _nn_resize,
+        frame_sample,
+        media_resize,
+    )
+
+    # kernel: downscaling a constant-quadrant plane keeps the quadrants
+    px = np.zeros((8, 8, 3), np.uint8)
+    px[:4, 4:] = 10
+    px[4:, :4] = 20
+    px[4:, 4:] = 30
+    small = _nn_resize(px, 2, 2)
+    assert small[0, 0].tolist() == [0, 0, 0]
+    assert small[0, 1].tolist() == [10, 10, 10]
+    assert small[1, 0].tolist() == [20, 20, 20]
+    assert small[1, 1].tolist() == [30, 30, 30]
+
+    ds = ray.data.from_arrow(corpus_table(10, seed=4))
+    rz = media_resize(ds).to_pandas()
+    assert list(rz.columns) == RESIZE_SCHEMA.names
+    assert len(rz) > 0
+    assert (rz["out_w"] == 32).all() and (rz["out_h"] == 32).all()
+    rz2 = media_resize(ray.data.from_arrow(corpus_table(10, seed=4))).to_pandas()
+    assert rz.sort_values("media_ref").reset_index(drop=True).equals(
+        rz2.sort_values("media_ref").reset_index(drop=True)
+    )
+
+    fs = frame_sample(ds, every_n=4).to_pandas()
+    assert list(fs.columns) == FRAME_SCHEMA.names
+    assert (fs["frame_idx"] % 4 == 0).all()
+    for _ref, g in fs.groupby("media_ref"):
+        nf = g["n_frames"].iloc[0]
+        assert sorted(g["frame_idx"]) == list(range(0, nf, 4))
