@@ -851,7 +851,15 @@ def top2_orders_per_customer(sf_dir: str) -> Dataset:
     Dataset, never materialized on the driver."""
     import pandas as pd
 
-    BUCKETS = 512
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    # derived from the orders row count (metadata only): ~64k rows per
+    # in-bucket pandas frame at any scale, power of two for the bit-and
+    BUCKETS = n_buckets(
+        pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    )
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
     def scale(t: pa.Table) -> pa.Table:

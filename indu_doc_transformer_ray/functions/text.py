@@ -480,7 +480,12 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> Dataset:
     n_docs = __import__("pyarrow.parquet", fromlist=["read_metadata"]).read_metadata(
         f"{sf_dir}/documents.parquet"
     ).num_rows
-    BUCKETS = 512
+    # the dominant shuffled table is the (doc, distinct token) tf rows:
+    # ~200 distinct tokens per web doc -> derive the bucket count from that
+    # estimate instead of a fixed 512 (corpus/512-sized tasks at 10^12 docs)
+    from ._util import n_buckets
+
+    BUCKETS = n_buckets(n_docs * 200)
 
     def _tok_bucket(tok: str) -> int:
         # deterministic cross-process bucketing (builtin hash() is
@@ -1114,7 +1119,14 @@ def curation_pipeline(
     """
     import pandas as pd
 
-    FP_BUCKETS = 512
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    # fingerprint-dedup co-location buckets derived from the corpus size
+    FP_BUCKETS = n_buckets(
+        pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    )
 
     def derive(batch: pa.Table) -> pa.Table:
         ids, langs = batch.column("doc_id").to_pylist(), batch.column("lang")
@@ -1128,7 +1140,8 @@ def curation_pipeline(
             d_lang.append(lang)
             d_nt.append(len(toks))
             d_fp.append(fp)
-            d_fb.append(int(fp[:3], 16) % FP_BUCKETS)
+            # 8 hex chars = 32 bits: full-width vs any derived bucket count
+            d_fb.append(int(fp[:8], 16) % FP_BUCKETS)
         return pa.table(
             {
                 "doc_id": pa.array(d_id, pa.int64()),
