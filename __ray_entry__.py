@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_scrub": curation.blocklist_scrub,
         "mixture_sample": curation.mixture_sample,
         "weighted_sample": curation.weighted_sample,
+        "bm25_topk": text.bm25_topk,
         "incremental_dedup": _incremental_dedup,
         # search subsystem end-to-end (rows-only; the equality gate vs the
         # in-memory index lives in tests/test_search_distributed.py)
@@ -335,6 +336,7 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_scrub": curation.BLOCKLIST_SCRUB_SQL,
         "mixture_sample": curation.MIXTURE_SAMPLE_SQL,
         "weighted_sample": curation.WEIGHTED_SAMPLE_SQL,
+        "bm25_topk": text.BM25_TOPK_SQL,
         "incremental_dedup": _INCREMENTAL_DEDUP_SQL_LAZY(),
         "bloom_probe": sketches.BLOOM_PROBE_SQL,
         "count_min_probe": sketches.COUNT_MIN_PROBE_SQL,

@@ -1209,3 +1209,151 @@ SELECT doc_id, n_tokens,
             ROWS UNBOUNDED PRECEDING) - n_tokens) // 512 AS BIGINT) AS bin_id
 FROM kept
 """
+
+
+# -- BM25 retrieval -----------------------------------------------------------
+
+#: fixed retrieval query — common corpus words, one rare
+BM25_QUERY = ("data", "stream", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(sf_dir: str, k: int = 10) -> "object":
+    """BM25 top-``k`` retrieval for a fixed term query — the classic
+    two-pass shape: pass 1 folds tiny per-batch partials (per-term document
+    frequency + total token count) on the driver, pass 2 scores every
+    document against the |Q|-sized broadcast stats and prunes batch-locally
+    to k before a tiny driver fold (no shuffle in either pass).
+
+    Scoring is INTEGER-exact across engines: the per-(doc, term) BM25
+    contribution idf * tf_part is a fixed double expression (same libm ln,
+    same multiply order) FLOORED to micro-units, and per-doc totals are
+    integer sums — order-independent, so the DuckDB oracle hash-matches
+    bit-for-bit despite the float core.  Output: (doc_id, score_mu, rk)."""
+    import math
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    qset = set(BM25_QUERY)
+
+    def pass1(t: pa.Table) -> pa.Table:
+        df = {q: 0 for q in BM25_QUERY}
+        dl_sum = 0
+        for text in t.column("text").to_pylist():
+            toks = TOKEN_RE.findall(text.lower())
+            dl_sum += len(toks)
+            for q in qset.intersection(toks):
+                df[q] += 1
+        terms = sorted(df) + [""]
+        vals = [df[x] for x in sorted(df)] + [dl_sum]
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "v": pa.array(vals, pa.int64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(pass1, batch_format="pyarrow")
+        .to_pandas()  # <= (|Q|+1) x n_blocks rows
+    )
+    agg = parts.groupby("term")["v"].sum()
+    avgdl = float(agg[""]) / n_docs
+    idf = {
+        q: math.log((n_docs - int(agg.get(q, 0)) + 0.5) / (int(agg.get(q, 0)) + 0.5) + 1.0)
+        for q in BM25_QUERY
+    }
+
+    def score(t: pa.Table) -> pa.Table:
+        ids, scores = [], []
+        for doc_id, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            toks = TOKEN_RE.findall(text.lower())
+            dl = len(toks)
+            s = 0
+            for q in BM25_QUERY:
+                tf = toks.count(q)
+                if not tf:
+                    continue
+                part = (
+                    idf[q]
+                    * (tf * (BM25_K1 + 1.0))
+                    / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+                )
+                s += math.floor(part * 1e6)  # micro-units: integer-exact sum
+            if s:
+                ids.append(doc_id)
+                scores.append(s)
+        local = (
+            pd.DataFrame({"doc_id": ids, "score_mu": scores})
+            .sort_values(["score_mu", "doc_id"], ascending=[False, True])
+            .head(k)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(local["doc_id"].astype("int64"), pa.int64()),
+                "score_mu": pa.array(
+                    local["score_mu"].astype("int64"), pa.int64()
+                ),
+            }
+        )
+
+    cand = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(score, batch_format="pyarrow")
+        .to_pandas()  # <= k x n_blocks candidate rows
+    )
+    cand = (
+        cand.sort_values(["score_mu", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pd.DataFrame(
+        {
+            "doc_id": cand["doc_id"].astype("int64"),
+            "score_mu": cand["score_mu"].astype("int64"),
+            "rk": pd.array(range(1, len(cand) + 1), dtype="int64"),
+        }
+    )
+
+
+BM25_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok FROM documents
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), q(term) AS (
+  VALUES {", ".join(f"('{t}')" for t in BM25_QUERY)}
+), stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n,
+         (SELECT SUM(dl) FROM dl) AS total
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df
+  FROM toks JOIN q ON tok = term GROUP BY term
+), tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM toks JOIN q ON tok = term GROUP BY doc_id, tok
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(SUM(FLOOR(
+           ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * ({BM25_K1!r} + 1.0))
+           / (tf.tf + {BM25_K1!r} * (1.0 - {BM25_B!r}
+              + {BM25_B!r} * dl.dl / (CAST(stats.total AS DOUBLE) / stats.n)))
+           * 1e6)) AS BIGINT) AS score_mu
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score_mu,
+       CAST(row_number() OVER (ORDER BY score_mu DESC, doc_id) AS BIGINT) AS rk
+FROM scored
+QUALIFY rk <= 10
+ORDER BY rk
+"""

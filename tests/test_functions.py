@@ -605,3 +605,23 @@ def test_media_resize_and_frame_sample(ray_session):
     for _ref, g in fs.groupby("media_ref"):
         nf = g["n_frames"].iloc[0]
         assert sorted(g["frame_idx"]) == list(range(0, nf, 4))
+
+
+def test_bm25_ranks_term_dense_docs_first(ray_session, tmp_path):
+    import pandas as pd
+
+    from indu_doc_transformer_ray.functions.text import bm25_topk
+
+    rows = [
+        {"doc_id": i, "text": "filler words only here nothing relevant " * 5}
+        for i in range(20)
+    ]
+    rows.append({"doc_id": 100, "text": "data stream vector " * 10})
+    rows.append({"doc_id": 101, "text": "data appears once amid filler " * 8})
+    pd.DataFrame(rows).to_parquet(f"{tmp_path}/documents.parquet")
+
+    out = bm25_topk(str(tmp_path), k=5)
+    assert out.loc[0, "doc_id"] == 100  # all three terms, high tf
+    assert 101 in set(out["doc_id"])
+    assert (out["score_mu"] > 0).all()
+    assert list(out["rk"]) == list(range(1, len(out) + 1))
