@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroid_sims": similarity.label_centroid_sims,
         "lang_centroid_sims": similarity.lang_centroid_sims,
         "kmeans_assign": similarity.kmeans_assign,
+        "hard_negatives": similarity.hard_negatives,
         "quantize_embeddings": similarity.quantize_embeddings,
         # sketches (error-bound pytest gate + SQL oracle: the md5-derived
         # sketch is deterministic, so the approximate answer hash-matches)
@@ -354,6 +355,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_centroid_sims": similarity.LANG_CENTROID_SQL,
         "hll_users_per_type": sketches.HLL_USERS_SQL,
         "kmeans_assign": similarity.KMEANS_ASSIGN_SQL,
+        "hard_negatives": similarity.HARD_NEGATIVES_SQL,
         "quantize_embeddings": similarity.QUANTIZE_EMBEDDINGS_SQL,
         "ivf_topk": similarity.IVF_TOPK_SQL,
         "lsh_bucket_topk": similarity.LSH_BUCKET_TOPK_SQL,

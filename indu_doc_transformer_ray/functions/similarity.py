@@ -723,10 +723,11 @@ def lang_centroid_sims(sf_dir: str) -> "object":
     """Cross-table variant of ``label_centroid_sims``: group embeddings by
     the LANGUAGE of their document (documents ⋈ embeddings on doc_id =
     vec_id — a hash-partitioned ``Dataset.join`` of two SF-scaling tables),
-    then the same two-pass centroid aggregate.  Each pass re-derives the
-    joined stream (lazy recompute beats materializing a corpus-sized
-    intermediate; at 100 TB the joined+normalized table would be a persisted
-    partition-keyed checkpoint instead)."""
+    then the same two-pass centroid aggregate.  The packed joined stream
+    (vec bytes + lang — embeddings-sized, NOT corpus-sized) is materialized
+    ONCE into the object store (spillable) and reused by both passes, so
+    the hash join runs once instead of twice; at 100 TB the same role is a
+    persisted partition-keyed checkpoint."""
     import pandas as pd
 
     from ._util import join_partitions
@@ -780,7 +781,8 @@ def lang_centroid_sims(sf_dir: str) -> "object":
             }
         )
 
-    p1 = joined().map_batches(partial_sums, batch_format="pyarrow").to_pandas()
+    jds = joined().materialize()  # both passes read this; spillable
+    p1 = jds.map_batches(partial_sums, batch_format="pyarrow").to_pandas()
     cents: dict[str, np.ndarray] = {}
     counts: dict[str, int] = {}
     for lab, grp in p1.groupby("lang"):
@@ -806,7 +808,7 @@ def lang_centroid_sims(sf_dir: str) -> "object":
             }
         )
 
-    p2 = joined().map_batches(partial_sims, batch_format="pyarrow").to_pandas()
+    p2 = jds.map_batches(partial_sims, batch_format="pyarrow").to_pandas()
     sim_total = p2.groupby("lang")["sim_sum"].sum()
     rows = [
         (lab, counts[lab], int(sim_total[lab] / counts[lab] * 1000))
@@ -1312,4 +1314,112 @@ reach(a, b) AS (
 )
 SELECT a AS vec_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_rep
 FROM reach GROUP BY a ORDER BY vec_id
+"""
+
+
+# -- hard-negative mining -----------------------------------------------------
+
+def hard_negatives(sf_dir: str, n_blocks: int = 4) -> Dataset:
+    """Contrastive-training hard-negative mining: for EVERY vector, the
+    single most-similar vector carrying a DIFFERENT label (the "hardest"
+    negative).  Exact, via the same blocked distributed matrix product as
+    ``cosine_dup_pairs`` — O(B^2) block-pair groups each holding 2/B of the
+    corpus, per-group label-masked argmax rows, then one bucketed fold to
+    the global best per vector (sim DESC, neg_id ASC tie-break, mirrored by
+    the oracle).  Output: (vec_id, neg_id) — integers only."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows)
+
+    def replicate(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_pylist()
+        labels = t.column("label").to_pylist()
+        embs = t.column("embedding").to_pylist()
+        out_g, out_id, out_lab, out_blk, out_emb = [], [], [], [], []
+        for vid, lab, e in zip(ids, labels, embs):
+            b = vid % n_blocks
+            groups = {(min(b, ob), max(b, ob)) for ob in range(n_blocks)}
+            for lo, hi in groups:
+                out_g.append(lo * n_blocks + hi)
+                out_id.append(vid)
+                out_lab.append(lab)
+                out_blk.append(b)
+                out_emb.append(e)
+        return pa.table(
+            {
+                "gkey": pa.array(out_g, pa.int32()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "label": pa.array(out_lab, pa.int32()),
+                "blk": pa.array(out_blk, pa.int32()),
+                "embedding": pa.array(out_emb, pa.list_(pa.float32())),
+            }
+        )
+
+    def group_best(g: pa.Table) -> pa.Table:
+        ids, en = _norm_rows(g)
+        labels = np.asarray(g.column("label").to_pylist())
+        sims = en @ en.T
+        # mask same-label (and self) pairs out of contention
+        same = labels[:, None] == labels[None, :]
+        sims[same] = -np.inf
+        out_v, out_n, out_s = [], [], []
+        for i in range(len(ids)):
+            row = sims[i]
+            best = np.max(row)
+            if best == -np.inf:
+                continue
+            # deterministic tie-break: smallest neg_id among the maxima
+            cand = ids[row == best]
+            out_v.append(int(ids[i]))
+            out_n.append(int(cand.min()))
+            out_s.append(float(best))
+        return pa.table(
+            {
+                "vb": pa.array(
+                    [int(v) % nb for v in out_v], pa.int32()
+                ),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "neg_id": pa.array(out_n, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def fold(t: pd.DataFrame) -> pd.DataFrame:
+        t = t.sort_values(
+            ["vec_id", "sim", "neg_id"], ascending=[True, False, True]
+        )
+        best = t.groupby("vec_id").head(1)
+        return pd.DataFrame(
+            {
+                "vec_id": best["vec_id"].astype("int64"),
+                "neg_id": best["neg_id"].astype("int64"),
+            }
+        )
+
+    return (
+        _read_emb(sf_dir)
+        .map_batches(replicate, batch_format="pyarrow")
+        .groupby("gkey")
+        .map_groups(group_best, batch_format="pyarrow")
+        .groupby("vb")
+        .map_groups(fold, batch_format="pandas")
+        .sort("vec_id")
+    )
+
+
+HARD_NEGATIVES_SQL = """
+SELECT vec_id, neg_id FROM (
+  SELECT a.vec_id, b.vec_id AS neg_id,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                    b.vec_id
+         ) AS rk
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id != b.vec_id AND a.label != b.label
+) WHERE rk = 1 ORDER BY vec_id
 """
