@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_centroid_sims": similarity.lang_centroid_sims,
         "kmeans_assign": similarity.kmeans_assign,
         "hard_negatives": similarity.hard_negatives,
+        "pagerank_knn": similarity.pagerank_knn,
         "quantize_embeddings": similarity.quantize_embeddings,
         # sketches (error-bound pytest gate + SQL oracle: the md5-derived
         # sketch is deterministic, so the approximate answer hash-matches)
@@ -356,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_users_per_type": sketches.HLL_USERS_SQL,
         "kmeans_assign": similarity.KMEANS_ASSIGN_SQL,
         "hard_negatives": similarity.HARD_NEGATIVES_SQL,
+        "pagerank_knn": similarity.PAGERANK_KNN_SQL,
         "quantize_embeddings": similarity.QUANTIZE_EMBEDDINGS_SQL,
         "ivf_topk": similarity.IVF_TOPK_SQL,
         "lsh_bucket_topk": similarity.LSH_BUCKET_TOPK_SQL,

@@ -122,6 +122,13 @@ def bench_queries(sf_dir: str) -> dict:
         "decontaminate": curation.decontaminate,
         "shard_assign": curation.shard_assign,
         "knn_graph": similarity.knn_graph,
+        # round-3 additions
+        "dedup_clusters": dedup.dedup_clusters,
+        "lsh_bucket_topk": similarity.lsh_bucket_topk,
+        "hard_negatives": similarity.hard_negatives,
+        "bm25_topk": text.bm25_topk,
+        "weighted_sample": curation.weighted_sample,
+        "count_min_probe": sketches.count_min_probe,
     }.items():
         t0 = time.time()
         res = fn(sf_dir)

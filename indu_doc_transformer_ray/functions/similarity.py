@@ -1423,3 +1423,174 @@ SELECT vec_id, neg_id FROM (
     ON a.vec_id != b.vec_id AND a.label != b.label
 ) WHERE rk = 1 ORDER BY vec_id
 """
+
+
+# -- PageRank over the k-NN graph ----------------------------------------------
+
+PAGERANK_MASS = 1_000_000_000  # total integer rank mass (micro-unit scale)
+
+
+def pagerank_knn(sf_dir: str, iters: int = 5) -> Dataset:
+    """PageRank power iteration over the IVF k-NN graph — the iterative-
+    algorithm shape on Ray Data: the edge table (with out-degrees attached
+    by one co-location shuffle) is materialized ONCE and reused; each of
+    ``iters`` rounds is two bucketed shuffles (ranks join edges by source
+    bucket -> contribution rows; contributions + zero rows fold by
+    destination bucket) with a materialize() between rounds, exactly the
+    ``label_components`` round structure.  All arithmetic is INTEGER
+    (initial mass ``PAGERANK_MASS // n``, damping 85/100 and teleport
+    15/100 as floor divisions), so five rounds of floor arithmetic are
+    bit-identical on any engine and the DuckDB oracle hash-matches the
+    APPROXIMATE algorithm end-to-end (k-means cells -> probes -> knn ->
+    pagerank).  Output: (vec_id, rank_mu)."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    S = PAGERANK_MASS
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    nb = n_buckets(n)
+    tp = (15 * (S // n)) // 100
+
+    def edge_rows(t: pd.DataFrame) -> pd.DataFrame:
+        src = t["vec_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "sb": (src % nb).astype("int32"),
+                "a": src,
+                "b": t["nbr_id"].astype("int64"),
+                "v": pd.Series([0] * len(t), dtype="int64").values,
+            }
+        )
+
+    def add_kout(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["v"] = g.groupby("a")["a"].transform("size").astype("int64")
+        return g
+
+    edges = (
+        knn_graph(sf_dir)
+        .map_batches(edge_rows, batch_format="pandas")
+        .groupby("sb")
+        .map_groups(add_kout, batch_format="pandas")
+        .materialize()  # static across iterations
+    )
+
+    def ids_ds() -> Dataset:
+        return ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+        )
+
+    def rank0(t: pd.DataFrame) -> pd.DataFrame:
+        v = t["vec_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "sb": (v % nb).astype("int32"),
+                "a": v,
+                "b": pd.Series([-1] * len(t), dtype="int64").values,
+                "v": pd.Series([S // n] * len(t), dtype="int64").values,
+            }
+        )
+
+    ranks = ids_ds().map_batches(rank0, batch_format="pandas").materialize()
+
+    def contribs(g: pd.DataFrame) -> pd.DataFrame:
+        # rank rows double as the zero seed for every node (ranks covers ALL
+        # nodes each round), so no per-iteration corpus read/union is needed
+        rk = g.loc[g["b"] < 0]
+        rmap = rk.set_index("a")["v"]
+        nodes = rk["a"].astype("int64")
+        frames = [
+            pd.DataFrame(
+                {
+                    "db": (nodes % nb).astype("int32"),
+                    "a": nodes.values,
+                    "c": pd.Series([0] * len(rk), dtype="int64").values,
+                }
+            )
+        ]
+        e = g[g["b"] >= 0]
+        if not e.empty:
+            r = e["a"].map(rmap).astype("int64")
+            c = (r // e["v"].astype("int64")).astype("int64")
+            dst = e["b"].astype("int64")
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "db": (dst % nb).astype("int32"),
+                        "a": dst.values,
+                        "c": c.values,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("a")["c"].sum().reset_index()
+        v = agg["a"].astype("int64")
+        return pd.DataFrame(
+            {
+                "sb": (v % nb).astype("int32"),
+                "a": v.values,
+                "b": pd.Series([-1] * len(agg), dtype="int64").values,
+                "v": (tp + (85 * agg["c"].astype("int64")) // 100).values,
+            }
+        )
+
+    for _ in range(iters):
+        ranks = (
+            edges.union(ranks)
+            .groupby("sb")
+            .map_groups(contribs, batch_format="pandas")
+            .groupby("db")
+            .map_groups(fold, batch_format="pandas")
+            .materialize()
+        )
+
+    def final(t: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "vec_id": t["a"].astype("int64"),
+                "rank_mu": t["v"].astype("int64"),
+            }
+        )
+
+    return ranks.map_batches(final, batch_format="pandas").sort("vec_id")
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    S = PAGERANK_MASS
+    prev = "r0"
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""r{i} AS (
+  SELECT n2.vec_id,
+         CAST((15 * ({S} // s.n)) // 100
+              + (85 * COALESCE(i{i}.in_sum, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n2 CROSS JOIN stats s LEFT JOIN (
+    SELECT e.dst AS vec_id, SUM({prev}.r // e.k_out) AS in_sum
+    FROM e JOIN {prev} ON e.src = {prev}.vec_id GROUP BY e.dst
+  ) i{i} USING (vec_id)
+)""")
+        prev = f"r{i}"
+    joined_steps = ",\n".join(steps)
+    return f"""
+WITH knn AS ({KNN_GRAPH_SQL}),
+stats AS (SELECT COUNT(*) AS n FROM embeddings),
+deg AS (SELECT vec_id AS src, COUNT(*) AS k_out FROM knn GROUP BY vec_id),
+e AS (
+  SELECT k.vec_id AS src, k.nbr_id AS dst, d.k_out
+  FROM knn k JOIN deg d ON k.vec_id = d.src
+),
+nodes AS (SELECT vec_id FROM embeddings),
+r0 AS (
+  SELECT vec_id, CAST({S} // s.n AS BIGINT) AS r
+  FROM nodes CROSS JOIN stats s
+),
+{joined_steps}
+SELECT vec_id, r AS rank_mu FROM {prev} ORDER BY vec_id"""
+
+
+PAGERANK_KNN_SQL = _pagerank_sql()
