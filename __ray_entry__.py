@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         similarity,
         sketches,
         text,
+        windows,
     )
 
     # Dict order matters: the driver's correctness snapshot samples queries
@@ -216,6 +217,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         "media_resize": _media_resize,
         "frame_sample": _frame_sample,
+        # round-3 additions: window functions, wide joins, semi-structured
+        "running_total_per_customer": windows.running_total_per_customer,
+        "order_gaps": windows.order_gaps,
+        "q7_nation_pairs": relational.q7_nation_pairs,
+        "q19_disjunctive": relational.q19_disjunctive,
+        "suppliers_per_type": relational.suppliers_per_type,
+        "props_extract_stats": events.props_extract_stats,
         # relational / TPC-H-ish (SURVEY §2.6 aggregations + joins) — green
         # in CORRECTNESS_r02.json
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -282,9 +290,16 @@ def oracle_sql() -> dict[str, str]:
         similarity,
         sketches,
         text,
+        windows,
     )
 
     return {
+        "running_total_per_customer": windows.RUNNING_TOTAL_SQL,
+        "order_gaps": windows.ORDER_GAPS_SQL,
+        "q7_nation_pairs": relational.Q7_NATION_PAIRS_SQL,
+        "q19_disjunctive": relational.Q19_DISJUNCTIVE_SQL,
+        "suppliers_per_type": relational.SUPPLIERS_PER_TYPE_SQL,
+        "props_extract_stats": events.PROPS_EXTRACT_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,

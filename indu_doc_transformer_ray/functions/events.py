@@ -390,3 +390,61 @@ LEFT JOIN events e2
  AND e2.ts <  e1.ts
 GROUP BY e1.event_id, e1.user_id
 """
+
+
+# -- semi-structured: JSON property extraction ------------------------------
+
+def props_extract_stats(sf_dir: str) -> "object":
+    """Parse the ``props`` JSON payload and aggregate the extracted field
+    per event type — the semi-structured-column pattern (the reference
+    stores free-form attribute dicts as JSON payloads the same way,
+    reference: src/indu_doc/god.py attribute maps).  Extraction is ONE
+    vectorized ``pc.extract_regex`` kernel per batch (no per-row
+    json.loads — at 100 TB the regex kernel is ~10× cheaper and the
+    payload shape is fixed); rows whose payload lacks the field drop out
+    as nulls.  Partials are per-batch ≤5-row aggregates, so the final
+    groupby exchanges a handful of rows per block."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max, Sum
+
+    ds = _read_events(sf_dir, ["event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t["props"], r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        sub = pa.table({"event_type": t["event_type"], "k": k}).filter(
+            pc.is_valid(k)
+        )
+        return (
+            sub.group_by(["event_type"])
+            .aggregate([("k", "sum"), ("k", "max"), ("k", "count")])
+            .rename_columns(["event_type", "sum_k", "max_k", "n_k"])
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("sum_k", alias_name="sum_k"),
+            Max("max_k", alias_name="max_k"),
+            Sum("n_k", alias_name="n_k"),
+        )
+        .to_pandas()  # ≤5 event types
+    )
+    for c in ("sum_k", "max_k", "n_k"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+PROPS_EXTRACT_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(COUNT(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '')) AS BIGINT) AS n_k
+FROM events
+WHERE props IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""

@@ -1146,3 +1146,239 @@ SELECT o_orderstatus,
        CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5_low
 FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
+
+
+# -- q7-ish: nation-pair trade matrix (5-way join) --------------------------
+
+def q7_nation_pairs(sf_dir: str) -> "object":
+    """Revenue between every (customer-nation, supplier-nation) pair where
+    the two differ — the widest join in the library (lineitem ⋈ orders ⋈
+    customer ⋈ supplier ⋈ nation², reference has nothing similar; TPC-H q7
+    shape adapted to the driver schema).  Both fact joins are
+    hash-partitioned ``Dataset.join``s; a per-batch Arrow ``group_by`` on
+    the ≤625 nation pairs combines BEFORE the final tiny groupby, so the
+    wide-row exchange is one shuffle of pre-reduced pair partials.  The
+    25-row nation dimension decorates the ≤625-row aggregate on the
+    driver."""
+    import pandas as pd
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    o_nat = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    li_nat = li.join(
+        supp,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("l_suppkey",),
+        right_on=("s_suppkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]), pc.subtract(100, _cents(t["l_discount"]))
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "s_nationkey": pc.cast(t["s_nationkey"], pa.int32()),
+                "revenue_c4": rev,
+            }
+        )
+
+    joined = li_nat.map_batches(revenue, batch_format="pyarrow").join(
+        o_nat,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        # map-side combine: ≤625 pairs per batch regardless of batch size
+        mask = pc.not_equal(
+            pc.cast(t["c_nationkey"], pa.int32()), t["s_nationkey"]
+        )
+        sub = t.filter(mask)
+        return sub.group_by(["c_nationkey", "s_nationkey"]).aggregate(
+            [("revenue_c4", "sum")]
+        ).rename_columns(["c_nationkey", "s_nationkey", "revenue_c4"])
+
+    agg = (
+        joined.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["c_nationkey", "s_nationkey"])
+        .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
+        .to_pandas()  # ≤625 rows
+    )
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    agg["cust_nation"] = agg["c_nationkey"].map(name)
+    agg["supp_nation"] = agg["s_nationkey"].map(name)
+    out = (
+        agg[["cust_nation", "supp_nation", "revenue_c4"]]
+        .sort_values(["cust_nation", "supp_nation"])
+        .reset_index(drop=True)
+    )
+    out["revenue_c4"] = out["revenue_c4"].astype("int64")
+    return out
+
+
+Q7_NATION_PAIRS_SQL = """
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation cn ON c_nationkey = cn.n_nationkey
+              JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE cn.n_nationkey <> sn.n_nationkey
+GROUP BY cn.n_name, sn.n_name
+ORDER BY cust_nation, supp_nation
+"""
+
+
+# -- q19-ish: disjunctive predicate join ------------------------------------
+
+def q19_disjunctive(sf_dir: str) -> "object":
+    """Revenue under an OR of brand/size/quantity conjunctions (TPC-H q19
+    shape adapted to the driver schema) — exercises disjunctive predicate
+    evaluation AFTER a join: the filter needs columns from both sides, so
+    it cannot be pushed below the join; it IS pushed into the first
+    map_batches above the join, and the per-clause masks are vectorized
+    Arrow kernels combined with ``pc.or_``."""
+    import pandas as pd
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    joined = li.join(
+        part,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    clauses = [
+        ("Brand#1", 1, 10, 1.0, 15.0),
+        ("Brand#2", 1, 20, 10.0, 25.0),
+        ("Brand#3", 1, 30, 20.0, 35.0),
+    ]
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = None
+        for brand, s_lo, s_hi, q_lo, q_hi in clauses:
+            m = pc.and_(
+                pc.equal(t["p_brand"], brand),
+                pc.and_(
+                    pc.and_(
+                        pc.greater_equal(t["p_size"], s_lo),
+                        pc.less_equal(t["p_size"], s_hi),
+                    ),
+                    pc.and_(
+                        pc.greater_equal(t["l_quantity"], q_lo),
+                        pc.less_equal(t["l_quantity"], q_hi),
+                    ),
+                ),
+            )
+            mask = m if mask is None else pc.or_(mask, m)
+        sub = t.filter(mask)
+        rev = pc.multiply(
+            _cents(sub["l_extendedprice"]), pc.subtract(100, _cents(sub["l_discount"]))
+        )
+        return pa.table(
+            {
+                "revenue_c4": pa.array([pc.sum(rev).as_py() or 0], pa.int64()),
+                "n_items": pa.array([sub.num_rows], pa.int64()),
+            }
+        )
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "revenue_c4": [int(parts["revenue_c4"].sum())],
+            "n_items": [int(parts["n_items"].sum())],
+        }
+    )
+
+
+Q19_DISJUNCTIVE_SQL = """
+SELECT CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))), 0) AS BIGINT) AS revenue_c4,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
+# -- q16-ish: distinct suppliers per part type over a join ------------------
+
+def suppliers_per_type(sf_dir: str) -> "object":
+    """COUNT(DISTINCT supplier) per part type ACROSS a fact join (TPC-H q16
+    shape on the driver schema): lineitem ⋈ part, then the two-level
+    dedup-then-count groupby (same scalable COUNT(DISTINCT) pattern as
+    distinct_suppliers_per_nation, but the dedup input scales with SF).  A
+    per-batch Arrow ``group_by`` pre-dedups (type, suppkey) pairs before
+    the shuffle — lineitem repeats each pair many times, so the exchange
+    carries near-distinct rows only."""
+    import pandas as pd
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    joined = li.join(
+        part,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def local_dedup(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["p_type", "l_suppkey"])
+            .group_by(["p_type", "l_suppkey"])
+            .aggregate([])
+        )
+
+    dedup = (
+        joined.map_batches(local_dedup, batch_format="pyarrow")
+        .groupby(["p_type", "l_suppkey"])
+        .aggregate(Count(alias_name="_c"))
+    )
+    out = (
+        dedup.groupby("p_type")
+        .aggregate(Count(alias_name="n_suppliers"))
+        .to_pandas()  # 6 part types
+    )
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return out.sort_values("p_type").reset_index(drop=True)[
+        ["p_type", "n_suppliers"]
+    ]
+
+
+SUPPLIERS_PER_TYPE_SQL = """
+SELECT p_type, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type ORDER BY p_type
+"""

@@ -625,3 +625,46 @@ def test_bm25_ranks_term_dense_docs_first(ray_session, tmp_path):
     assert 101 in set(out["doc_id"])
     assert (out["score_mu"] > 0).all()
     assert list(out["rk"]) == list(range(1, len(out) + 1))
+
+
+def test_round3_new_ops_match_oracle(ray_session):
+    """Window functions (running total, lag gaps), the 5-way nation-pair
+    join, the disjunctive-predicate join, distinct-count-over-join, and
+    JSON props extraction all hash-match their DuckDB oracles at sf0.001
+    (same order-insensitive compare as the driver gate)."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, ".")
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    names = [
+        "running_total_per_customer",
+        "order_gaps",
+        "q7_nation_pairs",
+        "q19_disjunctive",
+        "suppliers_per_type",
+        "props_extract_stats",
+    ]
+    qs, oracles = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "part", "supplier", "customer",
+              "nation", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
+        )
+    for name in names:
+        res = qs[name](sf)
+        got = res.to_pandas() if hasattr(res, "to_pandas") else res
+        want = con.execute(oracles[name]).df()
+        assert sorted(got.columns) == sorted(want.columns), name
+        cols = sorted(got.columns)
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(g) == len(w), (name, len(g), len(w))
+        for c in cols:
+            assert (g[c].astype(str).values == w[c].astype(str).values).all(), (
+                name, c,
+            )
