@@ -224,6 +224,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_disjunctive": relational.q19_disjunctive,
         "suppliers_per_type": relational.suppliers_per_type,
         "props_extract_stats": events.props_extract_stats,
+        "triangle_count": similarity.triangle_count,
+        "lang_top_terms": text.lang_top_terms,
         # relational / TPC-H-ish (SURVEY §2.6 aggregations + joins) — green
         # in CORRECTNESS_r02.json
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -300,6 +302,8 @@ def oracle_sql() -> dict[str, str]:
         "q19_disjunctive": relational.Q19_DISJUNCTIVE_SQL,
         "suppliers_per_type": relational.SUPPLIERS_PER_TYPE_SQL,
         "props_extract_stats": events.PROPS_EXTRACT_SQL,
+        "triangle_count": similarity.TRIANGLE_COUNT_SQL,
+        "lang_top_terms": text.LANG_TOP_TERMS_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,

@@ -1594,3 +1594,145 @@ SELECT vec_id, r AS rank_mu FROM {prev} ORDER BY vec_id"""
 
 
 PAGERANK_KNN_SQL = _pagerank_sql()
+
+
+# -- triangle counting over the k-NN graph ----------------------------------
+
+def triangle_count(sf_dir: str) -> "object":
+    """Global triangle count of the (symmetrized) IVF k-NN graph — the
+    wedge-check construction, the graph-analytics companion to
+    ``pagerank_knn``.  Three bucketed stages, no join operator:
+
+    1. canonicalize: each directed knn edge becomes (a,b)=(min,max), then a
+       bucketed groupby dedups to the undirected edge set;
+    2. wedges: adjacency rows (both directions) co-locate by CENTER node; a
+       vectorized in-bucket self-merge emits each neighbor pair (x<y) once
+       per center — per-node degree is bounded by 2k, so the blow-up is
+       O(k) per edge at any corpus size;
+    3. closure: wedges and canonical edges co-locate by an (x,y)-derived
+       bucket (union of SAME-format blocks, per the empty-partition join
+       gotcha); one in-bucket merge counts wedges whose endpoints are an
+       edge.  Each triangle closes exactly 3 wedges (one per center), so
+       the global count is closures // 3 — integer-exact, full oracle.
+
+    Output: one row (n_edges, n_triangles)."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows)
+    MIX = 2654435761  # Knuth multiplicative hash; deterministic, not hash()
+
+    def canon(t: pd.DataFrame) -> pd.DataFrame:
+        a = np.minimum(t["vec_id"].to_numpy(), t["nbr_id"].to_numpy())
+        b = np.maximum(t["vec_id"].to_numpy(), t["nbr_id"].to_numpy())
+        return pd.DataFrame(
+            {
+                "eb": ((a.astype(np.uint64) * MIX + b.astype(np.uint64)) % nb
+                       ).astype("int32"),
+                "a": a.astype("int64"),
+                "b": b.astype("int64"),
+            }
+        )
+
+    def dedup_edges(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])[["a", "b"]]
+
+    edges = (
+        knn_graph(sf_dir)
+        .map_batches(canon, batch_format="pandas")
+        .groupby("eb")
+        .map_groups(dedup_edges, batch_format="pandas")
+        .materialize()  # reused by stages 2 and 3
+    )
+
+    def adj(t: pd.DataFrame) -> pd.DataFrame:
+        u = np.concatenate([t["a"].to_numpy(), t["b"].to_numpy()])
+        v = np.concatenate([t["b"].to_numpy(), t["a"].to_numpy()])
+        return pd.DataFrame(
+            {"ub": (u % nb).astype("int32"), "u": u, "v": v}
+        )
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-bucket self-merge on the center column: emits each
+        # unordered neighbor pair once per center, no per-node Python loop
+        m = g[["u", "v"]].merge(g[["u", "v"]], on="u")
+        m = m[m["v_x"] < m["v_y"]]
+        x = m["v_x"].to_numpy(dtype=np.int64)
+        y = m["v_y"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "wb": ((x.astype(np.uint64) * MIX + y.astype(np.uint64)) % nb
+                       ).astype("int32"),
+                "x": x,
+                "y": y,
+                "kind": pd.Series(np.ones(len(x), dtype="int64")).values,
+            }
+        )
+
+    wedge_ds = edges.map_batches(adj, batch_format="pandas").groupby(
+        "ub"
+    ).map_groups(wedges, batch_format="pandas")
+
+    def edge_rows(t: pd.DataFrame) -> pd.DataFrame:
+        x = t["a"].to_numpy(dtype=np.int64)
+        y = t["b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "wb": ((x.astype(np.uint64) * MIX + y.astype(np.uint64)) % nb
+                       ).astype("int32"),
+                "x": x,
+                "y": y,
+                "kind": pd.Series(np.zeros(len(x), dtype="int64")).values,
+            }
+        )
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["kind"] == 0]
+        w = g[g["kind"] == 1]
+        n_closed = 0
+        if len(e) and len(w):
+            n_closed = len(w.merge(e[["x", "y"]], on=["x", "y"]))
+        return pd.DataFrame(
+            {
+                "n_edges": pd.Series([len(e)], dtype="int64"),
+                "closures": pd.Series([n_closed], dtype="int64"),
+            }
+        )
+
+    parts = (
+        wedge_ds.union(edges.map_batches(edge_rows, batch_format="pandas"))
+        .groupby("wb")
+        .map_groups(close, batch_format="pandas")
+        .to_pandas()  # one row per bucket
+    )
+    return pd.DataFrame(
+        {
+            "n_edges": [int(parts["n_edges"].sum())],
+            "n_triangles": [int(parts["closures"].sum()) // 3],
+        }
+    )
+
+
+TRIANGLE_COUNT_SQL = f"""
+WITH knn AS ({KNN_GRAPH_SQL}),
+ed AS (
+  SELECT DISTINCT LEAST(vec_id, nbr_id) AS a, GREATEST(vec_id, nbr_id) AS b
+  FROM knn
+),
+adj AS (
+  SELECT a AS u, b AS v FROM ed
+  UNION ALL
+  SELECT b AS u, a AS v FROM ed
+),
+wedge AS (
+  SELECT a1.v AS x, a2.v AS y
+  FROM adj a1 JOIN adj a2 ON a1.u = a2.u AND a1.v < a2.v
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ed) AS n_edges,
+       CAST((SELECT COUNT(*) FROM wedge w
+             JOIN ed e ON w.x = e.a AND w.y = e.b) // 3 AS BIGINT)
+         AS n_triangles
+"""

@@ -1357,3 +1357,72 @@ FROM scored
 QUALIFY rk <= 10
 ORDER BY rk
 """
+
+
+def lang_top_terms(sf_dir: str, k: int = 5) -> Dataset:
+    """Top-k terms PER LANGUAGE — group-wise heavy hitters.  Per-batch
+    partial (lang, token) counts combine before the shuffle (the exchange
+    carries vocabulary-sized rows, not corpus-sized), then the per-lang
+    ranking is ONE vectorized pandas groupby-rank over a lang-bucket
+    map_groups (languages are few, so each group is one vocab slice; with
+    millions of groups the same kernel runs per hash-bucket of groups,
+    exactly like top2_orders_per_customer).  Deterministic tie-break
+    (count desc, token asc) mirrored in the oracle."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        langs = t.column("lang").to_pylist()
+        for lang, text in zip(langs, t.column("text").to_pylist()):
+            for tok in TOKEN_RE.findall(text.lower()):
+                counts[(lang, tok)] += 1
+        ks = list(counts.keys())
+        return pa.table(
+            {
+                "lang": pa.array([a for a, _ in ks], pa.string()),
+                "token": pa.array([b for _, b in ks], pa.string()),
+                "partial_n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["lang", "n", "token"],
+                          ascending=[True, False, True])
+        g = g.assign(rk=g.groupby("lang").cumcount() + 1)
+        g = g[g["rk"] <= k]
+        return pd.DataFrame(
+            {
+                "lang": g["lang"].values,
+                "token": g["token"].values,
+                "n": g["n"].astype("int64").values,
+                "rk": g["rk"].astype("int64").values,
+            }
+        )
+
+    return (
+        _read_docs(sf_dir, ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("partial_n", alias_name="n"))
+        .groupby("lang")
+        .map_groups(topk, batch_format="pandas")
+        .sort(["lang", "rk"])
+    )
+
+
+LANG_TOP_TERMS_SQL = """
+SELECT lang, token, n, rk FROM (
+  SELECT lang, tok AS token, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(row_number() OVER (
+              PARTITION BY lang ORDER BY COUNT(*) DESC, tok
+         ) AS BIGINT) AS rk
+  FROM (SELECT lang,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+        FROM documents)
+  GROUP BY lang, tok
+) WHERE rk <= 5 ORDER BY lang, rk
+"""
