@@ -99,6 +99,7 @@ def bench_queries(sf_dir: str) -> dict:
         similarity,
         sketches,
         text,
+        windows,
     )
 
     out = {}
@@ -129,6 +130,11 @@ def bench_queries(sf_dir: str) -> dict:
         "bm25_topk": text.bm25_topk,
         "weighted_sample": curation.weighted_sample,
         "count_min_probe": sketches.count_min_probe,
+        "pagerank_knn": similarity.pagerank_knn,
+        "triangle_count": similarity.triangle_count,
+        "running_total_per_customer": windows.running_total_per_customer,
+        "q7_nation_pairs": relational.q7_nation_pairs,
+        "lang_top_terms": text.lang_top_terms,
     }.items():
         t0 = time.time()
         res = fn(sf_dir)

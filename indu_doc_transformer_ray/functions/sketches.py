@@ -363,3 +363,101 @@ FROM pc p LEFT JOIN cells cl ON p.i = cl.i AND p.cell = cl.cell
 GROUP BY p.token
 ORDER BY p.token
 """
+
+
+# -- sampled quantiles over a continuous domain -----------------------------
+
+def value_quantile_sample(sf_dir: str, target: int = 4096) -> "object":
+    """Approximate per-type quantiles of the CONTINUOUS ``value`` column by
+    deterministic uniform sampling — the scale path where the exact
+    histogram fold (``text.doclen_percentiles``) fails because a double
+    domain has corpus-many distinct values.  The md5(event_id) 52-bit key
+    admits a row when key < threshold, with the threshold derived from the
+    table row count (parquet metadata) to target a FIXED ~``target``-row
+    sample per corpus regardless of scale — the sample, not the data, is
+    what the per-type kernel and the driver ever hold.  Quantiles are the
+    lower discrete statistic on the (value, event_id)-sorted sample with
+    NO float arithmetic (values pass through bit-exact), so the
+    deterministic approximation carries a full DuckDB oracle
+    (``VALUE_QUANTILE_SQL`` — the threshold re-derives from COUNT(*) with
+    identical integer math).  Output: (event_type, pct, value)."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    thr = _sample_threshold(
+        pq.read_metadata(f"{sf_dir}/events.parquet").num_rows, target
+    )
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_pylist()
+        keep = [
+            i
+            for i, eid in enumerate(ids)
+            if int(hashlib.md5(str(eid).encode()).hexdigest()[:13], 16) < thr
+        ]
+        sub = t.take(keep)
+        return pa.table(
+            {
+                "event_type": sub["event_type"],
+                "event_id": sub["event_id"],
+                "value": sub["value"],
+            }
+        )
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"]).reset_index(drop=True)
+        n = len(g)
+        rows = []
+        for pct in (50, 90, 99):
+            k = (n - 1) * pct // 100
+            rows.append((g["event_type"].iloc[0], pct, float(g["value"].iloc[k])))
+        return pd.DataFrame(rows, columns=["event_type", "pct", "value"])
+
+    out = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "event_type", "value"],
+        )
+        .map_batches(sample, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(quantiles, batch_format="pandas")
+        .to_pandas()  # <= 3 rows per event type
+    )
+    out["pct"] = out["pct"].astype("int64")
+    return out.sort_values(["event_type", "pct"]).reset_index(drop=True)
+
+
+def _sample_threshold(n_rows: int, target: int = 4096) -> int:
+    """52-bit admission threshold targeting ~``target`` sampled rows."""
+    U52 = 1 << 52
+    if n_rows <= target:
+        return U52
+    return max(1, (U52 * target) // n_rows)
+
+
+# Static DuckDB mirror: the admission threshold derives from COUNT(*) with
+# the same integer math as _sample_threshold (metadata row count == COUNT(*)),
+# so one SQL string is correct at every scale factor.
+VALUE_QUANTILE_SQL = f"""
+WITH c AS (SELECT COUNT(*) AS n FROM events),
+thr AS (
+  SELECT CASE WHEN n <= 4096 THEN CAST({1 << 52} AS HUGEINT)
+         ELSE GREATEST(1, (CAST({1 << 52} AS HUGEINT) * 4096) // n) END AS t
+  FROM c
+), s AS (
+  SELECT event_type, event_id, value
+  FROM events
+  WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13))
+             AS UBIGINT) < (SELECT t FROM thr)
+), o AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (
+             PARTITION BY event_type ORDER BY value, event_id) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM s
+)
+SELECT event_type, CAST(p.pct AS BIGINT) AS pct, o.value
+FROM (VALUES (50), (90), (99)) p(pct)
+JOIN o ON o.rn = (o.n - 1) * p.pct // 100
+ORDER BY event_type, pct"""
