@@ -668,3 +668,27 @@ def test_round3_new_ops_match_oracle(ray_session):
             assert (g[c].astype(str).values == w[c].astype(str).values).all(), (
                 name, c,
             )
+
+
+def test_windows_bucket_invariance(ray_session, monkeypatch):
+    """Window results are invariant to the derived co-location bucket
+    count (buckets coarsen the shuffle key only; the kernel re-sorts by
+    the exact partition key)."""
+    import pandas as pd
+
+    from indu_doc_transformer_ray.functions import windows
+
+    sf = "/root/testdata/sf0.001"
+
+    def run():
+        return (
+            windows.running_total_per_customer(sf)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+
+    monkeypatch.setattr(windows, "n_buckets", lambda *a, **k: 3)
+    a = run()
+    monkeypatch.setattr(windows, "n_buckets", lambda *a, **k: 64)
+    b = run()
+    pd.testing.assert_frame_equal(a, b)
