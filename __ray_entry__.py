@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_count": similarity.triangle_count,
         "lang_top_terms": text.lang_top_terms,
         "value_quantile_sample": sketches.value_quantile_sample,
+        "pmi_bigrams": text.pmi_bigrams,
         # relational / TPC-H-ish (SURVEY §2.6 aggregations + joins) — green
         # in CORRECTNESS_r02.json
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -306,6 +307,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": similarity.TRIANGLE_COUNT_SQL,
         "lang_top_terms": text.LANG_TOP_TERMS_SQL,
         "value_quantile_sample": sketches.VALUE_QUANTILE_SQL,
+        "pmi_bigrams": text.PMI_BIGRAMS_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,

@@ -1426,3 +1426,117 @@ SELECT lang, token, n, rk FROM (
   GROUP BY lang, tok
 ) WHERE rk <= 5 ORDER BY lang, rk
 """
+
+
+def pmi_bigrams(sf_dir: str, top_by_count: int = 500, k: int = 50) -> "object":
+    """Pointwise-mutual-information collocations: PMI over the
+    ``top_by_count`` most frequent bigrams — the prune-then-decorate shape
+    for association mining at scale.  Pass A is the ``bigram_topk``
+    combiner + one vocabulary groupby, pruned to a FIXED-size candidate
+    set before anything reaches the driver; pass B streams unigram counts
+    for only the candidate tokens (a broadcast ≤2·top set, not the vocab)
+    plus the total token count.  PMI = ln((N·c_ab)/(c_a·c_b)) is a fixed
+    double expression (int operands < 2^53 stay exact through the
+    division, same libm ln) FLOORED to micro-units, so the float core is
+    hash-exact vs the oracle — the ``bm25_topk`` technique.
+    Output: (bigram, n_ab, pmi_mu, rk)."""
+    import math
+
+    from collections import Counter
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for text in t.column("text").to_pylist():
+            toks = TOKEN_RE.findall(text.lower())
+            counts.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        return pa.table(
+            {
+                "bigram": pa.array(list(counts.keys()), pa.string()),
+                "partial_n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    top = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(bigram_partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("partial_n", alias_name="n"))
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(top_by_count)
+        .to_pandas()  # fixed-size candidate set BY CONSTRUCTION
+    )
+    need = set()
+    for bg in top["bigram"]:
+        a, b = bg.split(" ")
+        need.add(a)
+        need.add(b)
+
+    def unigram_partial(t: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        total = 0
+        for text in t.column("text").to_pylist():
+            toks = TOKEN_RE.findall(text.lower())
+            total += len(toks)
+            counts.update(x for x in toks if x in need)
+        toks_out = list(counts.keys()) + [""]
+        vals = list(counts.values()) + [total]
+        return pa.table(
+            {
+                "tok": pa.array(toks_out, pa.string()),
+                "partial_n": pa.array(vals, pa.int64()),
+            }
+        )
+
+    uni = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(unigram_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("partial_n", alias_name="c"))
+        .to_pandas()  # <= 2*top_by_count + 1 rows
+    )
+    cmap = dict(zip(uni["tok"], uni["c"].astype(int)))
+    n_tok = cmap.pop("")
+    rows = []
+    for bg, c_ab in zip(top["bigram"], top["n"].astype(int)):
+        a, b = bg.split(" ")
+        pmi_mu = math.floor(
+            math.log((n_tok * c_ab) / (cmap[a] * cmap[b])) * 1e6
+        )
+        rows.append((bg, c_ab, pmi_mu))
+    out = pd.DataFrame(rows, columns=["bigram", "n_ab", "pmi_mu"])
+    out = out.sort_values(["pmi_mu", "bigram"], ascending=[False, True]).head(k)
+    out["rk"] = range(1, len(out) + 1)
+    return out.reset_index(drop=True).astype(
+        {"n_ab": "int64", "pmi_mu": "int64", "rk": "int64"}
+    )
+
+
+PMI_BIGRAMS_SQL = """
+WITH t AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws FROM documents
+), tok AS (
+  SELECT unnest(ws) AS tok FROM t
+), n AS (SELECT COUNT(*) AS n_tok FROM tok),
+uni AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bigram
+  FROM t
+), bgc AS (SELECT bigram, COUNT(*) AS c_ab FROM bg GROUP BY bigram),
+top AS (SELECT bigram, c_ab FROM bgc ORDER BY c_ab DESC, bigram LIMIT 500),
+pmi AS (
+  SELECT top.bigram, top.c_ab,
+         CAST(FLOOR(ln((n.n_tok * top.c_ab) / (ua.c * ub.c)) * 1e6)
+              AS BIGINT) AS pmi_mu
+  FROM top
+  JOIN uni ua ON ua.tok = split_part(top.bigram, ' ', 1)
+  JOIN uni ub ON ub.tok = split_part(top.bigram, ' ', 2)
+  CROSS JOIN n
+)
+SELECT bigram, c_ab AS n_ab, pmi_mu,
+       CAST(row_number() OVER (ORDER BY pmi_mu DESC, bigram) AS BIGINT) AS rk
+FROM pmi QUALIFY rk <= 50 ORDER BY rk
+"""
