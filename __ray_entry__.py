@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_top_terms": text.lang_top_terms,
         "value_quantile_sample": sketches.value_quantile_sample,
         "pmi_bigrams": text.pmi_bigrams,
+        "corr_qty_price": relational.corr_qty_price,
         # relational / TPC-H-ish (SURVEY §2.6 aggregations + joins) — green
         # in CORRECTNESS_r02.json
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -308,6 +309,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_top_terms": text.LANG_TOP_TERMS_SQL,
         "value_quantile_sample": sketches.VALUE_QUANTILE_SQL,
         "pmi_bigrams": text.PMI_BIGRAMS_SQL,
+        "corr_qty_price": relational.CORR_QTY_PRICE_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,

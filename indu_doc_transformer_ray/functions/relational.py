@@ -1382,3 +1382,80 @@ SELECT p_type, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_type ORDER BY p_type
 """
+
+
+# -- statistics: Pearson correlation ----------------------------------------
+
+def corr_qty_price(sf_dir: str) -> "object":
+    """Pearson correlation of quantity vs extended price over lineitem —
+    the single-pass distributed-statistics shape: each batch folds to ONE
+    row of integer-cent moment sums (Σx, Σy, Σxy, Σx², Σy², n), the driver
+    adds them as arbitrary-precision Python ints (the sums, not the data;
+    SQL mirrors with HUGEINT), and the final correlation is one fixed
+    double expression — num/sqrt(a)/sqrt(b), each operand an exact big-int
+    correctly rounded to double on both engines — FLOORED to micro-units
+    (the bm25 technique).  Output: one row (n, corr_mu)."""
+    import math
+
+    import pandas as pd
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64())
+        y = _cents(t["l_extendedprice"])
+        return pa.table(
+            {
+                "sx": pa.array([pc.sum(x).as_py() or 0], pa.int64()),
+                "sy": pa.array([pc.sum(y).as_py() or 0], pa.int64()),
+                "sxy": pa.array(
+                    [pc.sum(pc.multiply(x, y)).as_py() or 0], pa.int64()
+                ),
+                "sxx": pa.array(
+                    [pc.sum(pc.multiply(x, x)).as_py() or 0], pa.int64()
+                ),
+                "syy": pa.array(
+                    [pc.sum(pc.multiply(y, y)).as_py() or 0], pa.int64()
+                ),
+                "cnt": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # arbitrary-precision accumulation: at extreme scale int64 pandas sums
+    # of second moments would overflow; Python ints cannot
+    sx = sum(int(v) for v in parts["sx"])
+    sy = sum(int(v) for v in parts["sy"])
+    sxy = sum(int(v) for v in parts["sxy"])
+    sxx = sum(int(v) for v in parts["sxx"])
+    syy = sum(int(v) for v in parts["syy"])
+    n = sum(int(v) for v in parts["cnt"])
+    num = n * sxy - sx * sy
+    va = n * sxx - sx * sx
+    vb = n * syy - sy * sy
+    corr = num / math.sqrt(va) / math.sqrt(vb)
+    return pd.DataFrame(
+        {"n": [n], "corr_mu": [math.floor(corr * 1e6)]}
+    ).astype({"n": "int64", "corr_mu": "int64"})
+
+
+CORR_QTY_PRICE_SQL = """
+WITH m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(CAST(ROUND(l_quantity*100) AS BIGINT) AS HUGEINT)) AS sx,
+         SUM(CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) AS HUGEINT)) AS sy,
+         SUM(CAST(CAST(ROUND(l_quantity*100) AS BIGINT) AS HUGEINT)
+             * CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sxy,
+         SUM(CAST(CAST(ROUND(l_quantity*100) AS BIGINT) AS HUGEINT)
+             * CAST(ROUND(l_quantity*100) AS BIGINT)) AS sxx,
+         SUM(CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) AS HUGEINT)
+             * CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS syy
+  FROM lineitem
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  / sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+                  * 1e6) AS BIGINT) AS corr_mu
+FROM m
+"""
