@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantile_sample": sketches.value_quantile_sample,
         "pmi_bigrams": text.pmi_bigrams,
         "corr_qty_price": relational.corr_qty_price,
+        "daily_orders_events_outer": relational.daily_orders_events_outer,
         # relational / TPC-H-ish (SURVEY §2.6 aggregations + joins) — green
         # in CORRECTNESS_r02.json
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -310,6 +311,7 @@ def oracle_sql() -> dict[str, str]:
         "value_quantile_sample": sketches.VALUE_QUANTILE_SQL,
         "pmi_bigrams": text.PMI_BIGRAMS_SQL,
         "corr_qty_price": relational.CORR_QTY_PRICE_SQL,
+        "daily_orders_events_outer": relational.DAILY_OUTER_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,

@@ -1459,3 +1459,76 @@ SELECT CAST(n AS BIGINT) AS n,
                   * 1e6) AS BIGINT) AS corr_mu
 FROM m
 """
+
+
+# -- full-outer join (symmetric groupby form) -------------------------------
+
+def daily_orders_events_outer(sf_dir: str) -> Dataset:
+    """Per-day order count vs event count — FULL OUTER JOIN semantics
+    (unmatched days survive from BOTH sides with zero-filled counts).
+    Expressed as the symmetric-union groupby rather than a hash join: the
+    events side has only ~30 distinct days, and `Dataset.join` crashes on
+    hash partitions that receive zero rows (see the verify-skill gotcha);
+    union + one groupby is the crash-safe co-location for outer joins with
+    a potentially sparse side, and costs the same single exchange.  Both
+    sides pre-aggregate per batch, so the exchange carries day-sized rows."""
+    DAY_US = 86_400_000_000
+
+    def od_part(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.cast(t["o_orderdate"].cast(pa.timestamp("us")), pa.int64()),
+            DAY_US,
+        )
+        g = pa.table({"day": day}).group_by(["day"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "day": g["day"],
+                "n_orders": pc.cast(g["count_all"], pa.int64()),
+                "n_events": pa.array([0] * g.num_rows, pa.int64()),
+            }
+        )
+
+    def ev_part(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.cast(t["ts"].cast(pa.timestamp("us")), pa.int64()), DAY_US
+        )
+        g = pa.table({"day": day}).group_by(["day"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "day": g["day"],
+                "n_orders": pa.array([0] * g.num_rows, pa.int64()),
+                "n_events": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderdate"]).map_batches(
+        od_part, batch_format="pyarrow"
+    )
+    events = _read(sf_dir, "events", ["ts"]).map_batches(
+        ev_part, batch_format="pyarrow"
+    )
+    return (
+        orders.union(events)
+        .groupby("day")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("n_events", alias_name="n_events"),
+        )
+        .sort("day")
+    )
+
+
+DAILY_OUTER_SQL = """
+WITH od AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day, COUNT(*) AS n
+  FROM orders GROUP BY 1
+), ev AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT COALESCE(od.day, ev.day) AS day,
+       CAST(COALESCE(od.n, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(ev.n, 0) AS BIGINT) AS n_events
+FROM od FULL JOIN ev ON od.day = ev.day
+ORDER BY day
+"""
