@@ -1540,3 +1540,68 @@ SELECT bigram, c_ab AS n_ab, pmi_mu,
        CAST(row_number() OVER (ORDER BY pmi_mu DESC, bigram) AS BIGINT) AS rk
 FROM pmi QUALIFY rk <= 50 ORDER BY rk
 """
+
+
+def char_entropy(sf_dir: str) -> Dataset:
+    """Per-document character-distribution Shannon entropy — the classic
+    gibberish/low-quality filter signal (C4/Gopher-style pipelines).
+    Order-independence trick for the float core: entropy is summed as
+    per-(doc, char) INTEGER micro-unit terms floor(-(c/n)·log2(c/n)·1e6)
+    — each term a fixed double expression (same libm log2 on both
+    engines) — so the sum is exact under any partitioning/visit order and
+    hash-matches the oracle.  The kernel is one pass over each batch with
+    a per-doc Counter (the established tokenize-kernel shape); no shuffle
+    at all — per-doc rows are emitted directly.  Output:
+    (doc_id, n_chars, entropy_mu)."""
+    import math
+
+    from collections import Counter
+
+    ALPHA = set("abcdefghijklmnopqrstuvwxyz0123456789_")
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        ids, ns, ents = [], [], []
+        for doc_id, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            counts = Counter(c for c in text.lower() if c in ALPHA)
+            n = sum(counts.values())
+            mu = 0
+            for c in counts.values():
+                mu += math.floor(-(c / n) * math.log2(c / n) * 1e6)
+            ids.append(doc_id)
+            ns.append(n)
+            ents.append(mu)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chars": pa.array(ns, pa.int64()),
+                "entropy_mu": pa.array(ents, pa.int64()),
+            }
+        )
+
+    return (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(per_doc, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+CHAR_ENTROPY_SQL = """
+WITH ch AS (
+  SELECT doc_id, substr(lower(text), u.i, 1) AS c
+  FROM documents, unnest(range(1, len(text) + 1)) AS u(i)
+  WHERE substr(lower(text), u.i, 1) SIMILAR TO '[a-z0-9_]'
+), cc AS (
+  SELECT doc_id, c, COUNT(*) AS cnt FROM ch GROUP BY doc_id, c
+), n AS (
+  SELECT doc_id, SUM(cnt) AS n_chars FROM cc GROUP BY doc_id
+)
+SELECT cc.doc_id, CAST(n.n_chars AS BIGINT) AS n_chars,
+       CAST(SUM(FLOOR(-(cc.cnt / n.n_chars)
+                      * log2(cc.cnt / n.n_chars) * 1e6)) AS BIGINT)
+         AS entropy_mu
+FROM cc JOIN n USING (doc_id)
+GROUP BY cc.doc_id, n.n_chars
+ORDER BY cc.doc_id
+"""
