@@ -1532,3 +1532,91 @@ SELECT COALESCE(od.day, ev.day) AS day,
 FROM od FULL JOIN ev ON od.day = ev.day
 ORDER BY day
 """
+
+
+# -- market-basket co-occurrence --------------------------------------------
+
+def copurchase_type_pairs(sf_dir: str) -> "object":
+    """Order-level part-type co-occurrence counts (market-basket pairs):
+    in how many orders do two part types appear together?  lineitem ⋈ part
+    attaches the type, then order rows co-locate by a derived orderkey
+    bucket and ONE vectorized kernel per bucket dedups (order, type) and
+    expands per-order pairs via a self-merge — per-order distinct types
+    are bounded by the 6-value type domain, so the expansion is O(15) per
+    order.  Per-batch pair partials pre-combine (≤15 pairs) before the
+    final tiny groupby.  Output: (type_a, type_b, n_orders) — 15 rows."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    BUCKETS = n_buckets(pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    joined = li.join(
+        part,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        # map-side (order, type) dedup shrinks the exchange below one row
+        # per lineitem
+        sub = (
+            t.select(["l_orderkey", "p_type"])
+            .group_by(["l_orderkey", "p_type"])
+            .aggregate([])
+        )
+        ok = pc.cast(sub["l_orderkey"], pa.int64())
+        return pa.table(
+            {
+                "ob": pc.cast(pc.bit_wise_and(ok, BUCKETS - 1), pa.int32()),
+                "l_orderkey": ok,
+                "p_type": sub["p_type"],
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "p_type"])
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["p_type_x"] < m["p_type_y"]]
+        agg = (
+            m.groupby(["p_type_x", "p_type_y"], as_index=False)
+            .size()
+            .rename(columns={"p_type_x": "type_a", "p_type_y": "type_b",
+                             "size": "n"})
+        )
+        agg["n"] = agg["n"].astype("int64")
+        return agg
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("ob")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n", alias_name="n_orders"))
+        .to_pandas()  # <= 15 rows
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+COPURCHASE_SQL = """
+WITH ot AS (
+  SELECT DISTINCT l_orderkey, p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT a.p_type AS type_a, b.p_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM ot a JOIN ot b
+  ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+GROUP BY a.p_type, b.p_type
+ORDER BY type_a, type_b
+"""
