@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_orders_events_outer": relational.daily_orders_events_outer,
         "char_entropy": text.char_entropy,
         "copurchase_type_pairs": relational.copurchase_type_pairs,
+        "event_transitions": events.event_transitions,
         # relational / TPC-H-ish (SURVEY §2.6 aggregations + joins) — green
         # in CORRECTNESS_r02.json
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -316,6 +317,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_orders_events_outer": relational.DAILY_OUTER_SQL,
         "char_entropy": text.CHAR_ENTROPY_SQL,
         "copurchase_type_pairs": relational.COPURCHASE_SQL,
+        "event_transitions": events.EVENT_TRANSITIONS_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,

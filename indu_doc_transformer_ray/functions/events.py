@@ -448,3 +448,76 @@ FROM events
 WHERE props IS NOT NULL
 GROUP BY event_type ORDER BY event_type
 """
+
+
+# -- sequence mining: event-type transition matrix --------------------------
+
+def event_transitions(sf_dir: str) -> "object":
+    """First-order Markov transition counts over each user's time-ordered
+    event stream (sequence-bigram mining; the funnel's unordered cousin).
+    Users co-locate by the derived user bucket; ONE vectorized kernel per
+    bucket sorts (user, ts, event_id) and pairs each event with its
+    predecessor via ``groupby().shift()`` — no per-user Python.  Pair
+    partials pre-combine per bucket (≤|types|² rows), so the final groupby
+    exchanges a handful of rows per bucket.  Timestamps normalize to
+    int64 us BEFORE pandas (ns-promotion gotcha).  Output:
+    (from_type, to_type, n) — ≤25 rows."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    nb = _user_buckets(sf_dir)
+    ds = _read_events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+
+    def add_bucket(t: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "ub": (t["user_id"].to_numpy() % nb).astype("int32"),
+                "user_id": t["user_id"].astype("int64"),
+                "event_id": t["event_id"].astype("int64"),
+                "event_type": t["event_type"],
+                "ts_us": t["ts"].astype("datetime64[us]").astype("int64"),
+            }
+        )
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"])
+        prev = g.groupby("user_id")["event_type"].shift(1)
+        keep = prev.notna()
+        agg = (
+            pd.DataFrame(
+                {"from_type": prev[keep], "to_type": g.loc[keep, "event_type"]}
+            )
+            .groupby(["from_type", "to_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        agg["n"] = agg["n"].astype("int64")
+        return agg
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(transitions, batch_format="pandas")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # <= |event types|^2 rows
+    )
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type AS from_type, event_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+ORDER BY from_type, to_type
+"""
