@@ -647,11 +647,19 @@ def test_round3_new_ops_match_oracle(ray_session):
         "q19_disjunctive",
         "suppliers_per_type",
         "props_extract_stats",
+        "lang_top_terms",
+        "value_quantile_sample",
+        "pmi_bigrams",
+        "corr_qty_price",
+        "daily_orders_events_outer",
+        "char_entropy",
+        "copurchase_type_pairs",
+        "event_transitions",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
     for t in ("orders", "lineitem", "part", "supplier", "customer",
-              "nation", "events"):
+              "nation", "events", "documents", "embeddings"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
         )
