@@ -8,16 +8,16 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (74 of 78): every deterministic construction is
+                      (94 of 100): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog via its md5 registers,
                       k-means and IVF via an unrolled Lloyd CTE chain,
-                      hyperplane-LSH ANN via plane literals.  The four
+                      hyperplane-LSH ANN via plane literals.  The six
                       rows-only ops are extraction semantics (pytest holds
                       their span-equality gate vs the single-process
                       oracle — extract_spans, extract_object_stats,
-                      search_targets_count) and the multimodal decode
-                      stage.
+                      search_targets_count) and the multimodal
+                      decode/resize/frame-sample stages.
 """
 
 from __future__ import annotations
