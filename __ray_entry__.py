@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": text.char_entropy,
         "copurchase_type_pairs": relational.copurchase_type_pairs,
         "event_transitions": events.event_transitions,
+        "embedding_dim_stats": similarity.embedding_dim_stats,
         # relational / TPC-H-ish (SURVEY §2.6 aggregations + joins) — green
         # in CORRECTNESS_r02.json
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -318,6 +319,7 @@ def oracle_sql() -> dict[str, str]:
         "char_entropy": text.CHAR_ENTROPY_SQL,
         "copurchase_type_pairs": relational.COPURCHASE_SQL,
         "event_transitions": events.EVENT_TRANSITIONS_SQL,
+        "embedding_dim_stats": similarity.EMBEDDING_DIM_STATS_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,

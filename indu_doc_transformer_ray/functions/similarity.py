@@ -1736,3 +1736,67 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ed) AS n_edges,
              JOIN ed e ON w.x = e.a AND w.y = e.b) // 3 AS BIGINT)
          AS n_triangles
 """
+
+
+# -- per-dimension feature statistics ---------------------------------------
+
+def embedding_dim_stats(sf_dir: str) -> "object":
+    """Per-dimension mean/variance inputs over the embedding matrix — the
+    feature-normalization statistics pass (what a scaler / whitening stage
+    consumes).  Each float32 component is QUANTIZED to integer micro-units
+    (floor(x·1e6) after a float64 cast) so the per-batch per-dim sums and
+    sum-of-squares are exact integers — order-independent under any
+    partitioning — and the whole pass is one numpy kernel per batch + a
+    dim-sized driver fold (Python big-int accumulation; the SQL mirror
+    uses HUGEINT so second moments cannot overflow at corpus scale).
+    Output: (dim, n, sum_mu, sumsq_mu2) — one row per dimension."""
+    import pandas as pd
+
+    def partial(t: pd.DataFrame) -> pd.DataFrame:
+        emb = np.array(t["embedding"].tolist(), dtype=np.float64)
+        q = np.floor(emb * 1e6).astype(np.int64)
+        # per-batch int64 is safe: |q| <= ~1e6 so q^2 <= 1e12, and a batch
+        # holds <= ~1e4 rows -> per-batch ss <= ~1e16 << 2^63; only the
+        # DRIVER fold (Python big ints) and the SQL mirror (HUGEINT) must
+        # survive corpus-scale sums
+        return pd.DataFrame(
+            {
+                "dim": np.arange(1, q.shape[1] + 1, dtype=np.int64),
+                "n": np.full(q.shape[1], q.shape[0], dtype=np.int64),
+                "s": q.sum(axis=0),
+                "ss": (q * q).sum(axis=0),
+            }
+        )
+
+    parts = (
+        _read_emb(sf_dir)
+        .map_batches(partial, batch_format="pandas")
+        .to_pandas()  # n_blocks x 64 rows — dim-sized, not corpus-sized
+    )
+    rows = []
+    for dim, sub in parts.groupby("dim"):
+        rows.append(
+            (
+                int(dim),
+                sum(int(v) for v in sub["n"]),
+                sum(int(v) for v in sub["s"]),
+                sum(int(v) for v in sub["ss"]),
+            )
+        )
+    out = pd.DataFrame(rows, columns=["dim", "n", "sum_mu", "sumsq_mu2"])
+    return out.sort_values("dim").reset_index(drop=True).astype(
+        {"dim": "int64", "n": "int64", "sum_mu": "int64", "sumsq_mu2": "int64"}
+    )
+
+
+EMBEDDING_DIM_STATS_SQL = """
+WITH comp AS (
+  SELECT u.i AS dim,
+         CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * 1e6) AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(q) AS BIGINT) AS sum_mu,
+       CAST(SUM(CAST(q AS HUGEINT) * q) AS BIGINT) AS sumsq_mu2
+FROM comp GROUP BY dim ORDER BY dim
+"""
