@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_cosine_pairs": similarity.lsh_cosine_pairs,
         "knn_graph": similarity.knn_graph,
         "vec_dup_clusters": similarity.vec_dup_clusters,
+        "semdedup": similarity.semdedup,
         "lsh_bucket_topk": similarity.lsh_bucket_topk,
         "ivf_topk": similarity.ivf_topk,
         "label_centroid_sims": similarity.label_centroid_sims,
@@ -399,6 +400,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_cosine_pairs": similarity.LSH_COSINE_PAIRS_SQL,
         "knn_graph": similarity.KNN_GRAPH_SQL,
         "vec_dup_clusters": similarity.VEC_DUP_CLUSTERS_SQL,
+        "semdedup": similarity.SEMDEDUP_SQL,
     }
 
 

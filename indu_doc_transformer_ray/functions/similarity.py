@@ -1800,3 +1800,104 @@ SELECT CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(CAST(q AS HUGEINT) * q) AS BIGINT) AS sumsq_mu2
 FROM comp GROUP BY dim ORDER BY dim
 """
+
+
+# -- semantic dedup (SemDeDup) ------------------------------------------------
+
+def semdedup(
+    sf_dir: str, k: int = 8, iters: int = 5, threshold: float = 0.42
+) -> "object":
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication via k-means clustering + WITHIN-cluster cosine pruning —
+    the scale trick is that the O(n^2) similarity search collapses to
+    O(sum c_i^2) over cluster sizes, because semantic near-duplicates land
+    in the same k-means cell.
+
+    Fit: ``_kmeans_centroids`` (broadcast Lloyd's, O(k*dim) driver state,
+    deterministic lowest-vec_id init).  Assignment: one stateless
+    ``map_batches`` pass attaching the cluster id.  Prune: ONE
+    ``groupby(cluster).map_groups`` — per cell, a single normalized matmul
+    and the drop rule *drop i iff some j < i in the cell has
+    cos(i, j) >= threshold* (keeps the lowest vec_id of every semantic-dup
+    set; deterministic, no transitive chaining, mirrors a plain SQL
+    EXISTS).  At 100 TB the knob is ``k``: SemDeDup's own recipe sizes
+    k ~ n/target_cell so each cell's matmul is a bounded-memory task; the
+    groupby is the one shuffle and cells are the parallelism unit.
+
+    Output: (vec_id, cluster, kept) for every vector, kept in {0,1} —
+    integers only, hash-comparable."""
+    cents = _kmeans_centroids(sf_dir, k, iters)
+    ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        d2 = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "cluster": pa.array(d2.argmin(axis=1), pa.int64()),
+                "embedding": t.column("embedding"),
+            }
+        )
+
+    def prune(g: pa.Table) -> pa.Table:
+        ids, en = _norm_rows(g)
+        order = np.argsort(ids)
+        ids, en = ids[order], en[order]
+        sims = en @ en.T
+        jj, ii = np.triu_indices(len(ids), 1)  # jj < ii by construction
+        dropped = np.unique(ii[sims[jj, ii] >= threshold])
+        kept = np.ones(len(ids), dtype=np.int64)
+        kept[dropped] = 0
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(
+                    np.full(len(ids), g.column("cluster")[0].as_py()),
+                    pa.int64(),
+                ),
+                "kept": pa.array(kept, pa.int64()),
+            }
+        )
+
+    return (
+        _read_emb(sf_dir)
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(prune, batch_format="pyarrow")
+        .sort("vec_id")
+    )
+
+
+def _semdedup_sql(k: int = 8, iters: int = 5, threshold: float = 0.42) -> str:
+    """Oracle: the shared unrolled-Lloyd CTE assignment + an in-cluster
+    EXISTS against every lower vec_id at cosine >= threshold (DuckDB's
+    ``list_cosine_similarity`` vs the numpy float64 kernel — same pairs
+    decided far from the boundary, hash-verified like the other cosine
+    oracles)."""
+    return _kmeans_cte_prefix(k, iters) + f""", distF AS (
+  SELECT comp.vec_id, p.cluster, SUM((comp.x - p.c) * (comp.x - p.c)) AS d
+  FROM comp JOIN cent{iters} p USING (dim)
+  GROUP BY comp.vec_id, p.cluster
+), asg AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM distF
+  ) WHERE rn = 1
+), drops AS (
+  SELECT DISTINCT a.vec_id
+  FROM asg a
+  JOIN asg b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {threshold}
+)
+SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM asg a LEFT JOIN drops d ON a.vec_id = d.vec_id
+ORDER BY a.vec_id"""
+
+
+SEMDEDUP_SQL = _semdedup_sql()

@@ -656,6 +656,7 @@ def test_round3_new_ops_match_oracle(ray_session):
         "copurchase_type_pairs",
         "event_transitions",
         "embedding_dim_stats",
+        "semdedup",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
