@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_qty_price": relational.corr_qty_price,
         "daily_orders_events_outer": relational.daily_orders_events_outer,
         "char_entropy": text.char_entropy,
+        "charlm_quality": text.charlm_quality,
         "copurchase_type_pairs": relational.copurchase_type_pairs,
         "event_transitions": events.event_transitions,
         "embedding_dim_stats": similarity.embedding_dim_stats,
@@ -318,6 +319,7 @@ def oracle_sql() -> dict[str, str]:
         "corr_qty_price": relational.CORR_QTY_PRICE_SQL,
         "daily_orders_events_outer": relational.DAILY_OUTER_SQL,
         "char_entropy": text.CHAR_ENTROPY_SQL,
+        "charlm_quality": text.CHARLM_QUALITY_SQL,
         "copurchase_type_pairs": relational.COPURCHASE_SQL,
         "event_transitions": events.EVENT_TRANSITIONS_SQL,
         "embedding_dim_stats": similarity.EMBEDDING_DIM_STATS_SQL,

@@ -1605,3 +1605,113 @@ FROM cc JOIN n USING (doc_id)
 GROUP BY cc.doc_id, n.n_chars
 ORDER BY cc.doc_id
 """
+
+
+# -- char-bigram LM fluency score (the perplexity-filter analog) -------------
+
+def charlm_quality(sf_dir: str) -> "object":
+    """Character-bigram language-model fluency score per document — the
+    integer-exact analog of the KenLM-perplexity quality filter (CCNet,
+    Wenzek et al. 2020): docs whose character transitions are typical of
+    the corpus score high, noise/boilerplate scores low.
+
+    Pass A streams corpus-wide char-bigram counts (per-batch numpy
+    codepoint kernels, one alphabet-sized groupby fold on the driver —
+    the count table is O(|alphabet|^2), NEVER corpus-sized, so the
+    broadcast is a few KB at any corpus scale).  Prefix counts derive
+    from the bigram table (c_a = sum_b c_ab) — one corpus pass total.
+    Pass B broadcasts the quantized transition table floor(1e6*c_ab/c_a)
+    (exact: int operands < 2^53 through one double division, PMI/bm25
+    technique) and scores each doc as the INTEGER mean of its pair terms:
+    sum(int64 terms) // n_pairs.  No float ever crosses a partition
+    boundary, so the result is partitioning-invariant and hash-exact vs
+    the SQL mirror.  Output: (doc_id, n_pairs, score_mu)."""
+    import numpy as np
+
+    import pandas as pd
+
+    def pair_keys(text: str) -> np.ndarray:
+        codes = np.frombuffer(
+            text.encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        return (codes[:-1] << 21) | codes[1:]
+
+    def bigram_partial(t: pa.Table) -> pa.Table:
+        chunks = [
+            pair_keys(s) for s in t.column("text").to_pylist() if len(s) > 1
+        ]
+        if not chunks:
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        keys, counts = np.unique(np.concatenate(chunks), return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(bigram_partial, batch_format="pyarrow")
+        .to_pandas()  # n_blocks x |alphabet|^2 rows — alphabet-sized
+    )
+    folded = parts.groupby("key")["n"].sum()
+    keys = folded.index.to_numpy(dtype=np.int64)
+    c_ab = folded.to_numpy(dtype=np.int64)
+    prefix = pd.Series(c_ab).groupby(keys >> 21).sum()
+    c_a = prefix.loc[keys >> 21].to_numpy(dtype=np.int64)
+    terms = np.floor(1e6 * c_ab / c_a).astype(np.int64)
+    ref = ray.put((keys, terms))  # keys are sorted (np.unique/groupby order)
+
+    def score(t: pa.Table) -> pa.Table:
+        k, v = ray.get(ref)
+        out_id, out_n, out_s = [], [], []
+        for did, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            pk = pair_keys(text) if len(text) > 1 else np.empty(0, np.int64)
+            out_id.append(did)
+            out_n.append(len(pk))
+            out_s.append(
+                int(v[np.searchsorted(k, pk)].sum()) // len(pk) if len(pk)
+                else 0
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_pairs": pa.array(out_n, pa.int64()),
+                "score_mu": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    out = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+CHARLM_QUALITY_SQL = """
+WITH pairs AS (
+  SELECT doc_id, substr(text, CAST(u.i AS INTEGER), 2) AS ab,
+         substr(text, CAST(u.i AS INTEGER), 1) AS a
+  FROM documents, unnest(range(1, length(text))) AS u(i)
+), cab AS (
+  SELECT ab, COUNT(*) AS n_ab FROM pairs GROUP BY ab
+), ca AS (
+  SELECT a, COUNT(*) AS n_a FROM pairs GROUP BY a
+), term AS (
+  SELECT p.doc_id, CAST(FLOOR(1e6 * cab.n_ab / ca.n_a) AS BIGINT) AS t
+  FROM pairs p JOIN cab USING (ab) JOIN ca USING (a)
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_pairs, SUM(t) AS s
+  FROM term GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(agg.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(agg.s // agg.n_pairs, 0) AS BIGINT) AS score_mu
+FROM documents d LEFT JOIN agg USING (doc_id)
+ORDER BY d.doc_id
+"""

@@ -657,6 +657,7 @@ def test_round3_new_ops_match_oracle(ray_session):
         "event_transitions",
         "embedding_dim_stats",
         "semdedup",
+        "charlm_quality",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
