@@ -236,6 +236,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_type_pairs": relational.copurchase_type_pairs,
         "event_transitions": events.event_transitions,
         "embedding_dim_stats": similarity.embedding_dim_stats,
+        "q8_market_share": relational.q8_market_share,
+        "q13_order_distribution": relational.q13_order_distribution,
+        "q17_small_qty_revenue": relational.q17_small_qty_revenue,
+        "q22_dormant_balance": relational.q22_dormant_balance,
         # relational / TPC-H-ish (SURVEY §2.6 aggregations + joins) — green
         # in CORRECTNESS_r02.json
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -323,6 +327,10 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_type_pairs": relational.COPURCHASE_SQL,
         "event_transitions": events.EVENT_TRANSITIONS_SQL,
         "embedding_dim_stats": similarity.EMBEDDING_DIM_STATS_SQL,
+        "q8_market_share": relational.Q8_MARKET_SHARE_SQL,
+        "q13_order_distribution": relational.Q13_ORDER_DISTRIBUTION_SQL,
+        "q17_small_qty_revenue": relational.Q17_SMALL_QTY_SQL,
+        "q22_dormant_balance": relational.Q22_DORMANT_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,

@@ -1620,3 +1620,415 @@ FROM ot a JOIN ot b
 GROUP BY a.p_type, b.p_type
 ORDER BY type_a, type_b
 """
+
+
+# -- q8-style: per-year market share of one supplier nation ------------------
+
+def q8_market_share(sf_dir: str) -> "object":
+    """Per order-year PROMO-part revenue in region ASIA, split into the
+    share supplied by NATION_5 vs the total (TPC-H q8 shape adapted to the
+    driver schema; the reference has no relational surface).  All three
+    fact joins are hash-partitioned ``Dataset.join``s; nation/region (25 +
+    5 fixed rows) are driver-side lookups via ``ray.put`` broadcast.  The
+    ratio is emitted as two exact integer sums (nation_c4, total_c4) so the
+    oracle hash-matches — a float division would differ in the last ulp."""
+    import pandas as pd
+
+    # ASIA customer nations (<=25 keys) and the target supplier nation:
+    # tiny fixed dimensions -> resolved on the driver, broadcast into tasks.
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    asia_key = int(region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+    asia_nations = set(
+        int(k) for k in nation.loc[nation["n_regionkey"] == asia_key, "n_nationkey"]
+    )
+    target_nation = int(
+        nation.loc[nation["n_name"] == "NATION_5", "n_nationkey"].iloc[0]
+    )
+    asia_ref = ray.put(asia_nations)
+
+    promo_parts = (
+        _read(sf_dir, "part", ["p_partkey", "p_type"])
+        .filter(expr="p_type == 'PROMO'")
+        .select_columns(["p_partkey"])
+    )
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    li_promo = li.join(
+        promo_parts,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    li_supp = li_promo.join(
+        supp,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("l_suppkey",),
+        right_on=("s_suppkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    o_cust = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    class AsiaYears:
+        """Actor-pool stage: the ASIA nation-key set is fetched from the
+        object store once per actor, not re-shipped per batch."""
+
+        def __init__(self, asia_ref):
+            self.asia = ray.get(asia_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = pc.is_in(
+                pc.cast(t["c_nationkey"], pa.int64()),
+                value_set=pa.array(sorted(self.asia), pa.int64()),
+            )
+            sub = t.filter(mask)
+            year = pc.year(sub["o_orderdate"])
+            return pa.table(
+                {
+                    "o_orderkey": sub["o_orderkey"],
+                    "o_year": pc.cast(year, pa.int64()),
+                }
+            )
+
+    o_asia = o_cust.map_batches(
+        AsiaYears, fn_constructor_args=(asia_ref,),
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+
+    joined = li_supp.join(
+        o_asia,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def year_partial(t: pa.Table) -> pa.Table:
+        # map-side combine: <=7 years per batch regardless of batch size
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]), pc.subtract(100, _cents(t["l_discount"]))
+        )
+        is_target = pc.equal(pc.cast(t["s_nationkey"], pa.int64()), target_nation)
+        nat_rev = pc.if_else(is_target, rev, pa.scalar(0, pa.int64()))
+        part = pa.table(
+            {"o_year": t["o_year"], "nation_c4": nat_rev, "total_c4": rev}
+        )
+        return (
+            part.group_by("o_year")
+            .aggregate([("nation_c4", "sum"), ("total_c4", "sum")])
+            .rename_columns(["o_year", "nation_c4", "total_c4"])
+        )
+
+    out = (
+        joined.map_batches(year_partial, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(
+            Sum("nation_c4", alias_name="nation_c4"),
+            Sum("total_c4", alias_name="total_c4"),
+        )
+        .to_pandas()  # <=7 rows
+    )
+    for c in ("nation_c4", "total_c4"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_year").reset_index(drop=True)
+
+
+Q8_MARKET_SHARE_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
+                THEN CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                ELSE 0 END) AS BIGINT) AS nation_c4,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS total_c4
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+# -- q13-style: distribution of orders-per-customer --------------------------
+
+def q13_order_distribution(sf_dir: str) -> "object":
+    """How many customers placed exactly N orders, including N = 0 — the
+    distribution-of-aggregates pattern (TPC-H q13 without the comment
+    filter, which the driver schema lacks).  One |orders| groupby, then a
+    per-batch histogram combine so the second shuffle moves <=hundreds of
+    (count, customers) partials; the zero row is two O(1) dataset counts,
+    never a driver key set."""
+    import pandas as pd
+
+    per_cust = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="c_count"))
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        # map-side combine: one row per distinct order-count value
+        return (
+            pa.table({"c_count": t["c_count"]})
+            .group_by("c_count")
+            .aggregate([("c_count", "count")])
+            .rename_columns(["c_count", "custdist"])
+        )
+
+    dist = (
+        per_cust.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+        .to_pandas()  # <= max orders-per-customer rows
+    )
+    n_customers = _read(sf_dir, "customer", ["c_custkey"]).count()
+    n_with_orders = int(dist["custdist"].sum())
+    zero = n_customers - n_with_orders
+    if zero > 0:
+        dist = pd.concat(
+            [dist, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+            ignore_index=True,
+        )
+    dist["c_count"] = dist["c_count"].astype("int64")
+    dist["custdist"] = dist["custdist"].astype("int64")
+    return (
+        dist.sort_values(["custdist", "c_count"], ascending=[False, False])
+        .reset_index(drop=True)
+    )
+
+
+Q13_ORDER_DISTRIBUTION_SQL = """
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# -- q17-style: revenue from small-quantity orders of one brand --------------
+
+def q17_small_qty_revenue(sf_dir: str) -> "object":
+    """Total price of Brand#13 lineitems whose quantity is below 20% of
+    that part's average quantity — the correlated-scalar-subquery pattern
+    (TPC-H q17 adapted: p_container doesn't exist in the driver schema).
+    The per-part average is a second |lineitem_filtered| aggregate joined
+    back by partkey (NOT broadcast: the brand slice scales with SF); the
+    comparison runs in exact integers — qty < 0.2*avg  <=>
+    5*qty_c2*cnt < sum_qty_c2 — so the oracle hash-matches."""
+    import pandas as pd
+
+    brand_parts = (
+        _read(sf_dir, "part", ["p_partkey", "p_brand"])
+        .filter(expr="p_brand == 'Brand#13'")
+        .select_columns(["p_partkey"])
+    )
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+    )
+    li_brand = li.join(
+        brand_parts,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "qty_c2": _cents(t["l_quantity"]),
+                "price_c2": _cents(t["l_extendedprice"]),
+            }
+        )
+
+    li_q = li_brand.map_batches(qty_partial, batch_format="pyarrow")
+    per_part = li_q.groupby("l_partkey").aggregate(
+        Sum("qty_c2", alias_name="sum_qty_c2"),
+        Count(alias_name="n_li"),
+    )
+    joined = li_q.join(
+        per_part,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("l_partkey",),
+        right_on=("l_partkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def small_qty(t: pa.Table) -> pa.Table:
+        # qty < 0.2 * (sum/cnt)  <=>  5 * qty * cnt < sum   (exact integers)
+        lhs = pc.multiply(
+            pc.multiply(t["qty_c2"], pa.scalar(5, pa.int64())), t["n_li"]
+        )
+        mask = pc.less(lhs, t["sum_qty_c2"])
+        sub = t.filter(mask)
+        total = pc.sum(sub["price_c2"]).as_py() or 0
+        return pa.table(
+            {
+                "total_price_c2": pa.array([int(total)], pa.int64()),
+                "n_small": pa.array([sub.num_rows], pa.int64()),
+            }
+        )
+
+    agg = (
+        joined.map_batches(small_qty, batch_format="pyarrow")
+        .sum(["total_price_c2", "n_small"])
+    )
+    return pd.DataFrame(
+        {
+            "total_price_c2": [int(agg["sum(total_price_c2)"])],
+            "n_small": [int(agg["sum(n_small)"])],
+        }
+    )
+
+
+Q17_SMALL_QTY_SQL = """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(ROUND(l_quantity*100) AS BIGINT) AS qty_c2,
+         CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_c2
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#13'
+), pp AS (
+  SELECT l_partkey, SUM(qty_c2) AS sum_qty_c2, COUNT(*) AS n_li
+  FROM li GROUP BY l_partkey
+)
+SELECT CAST(COALESCE(SUM(price_c2), 0) AS BIGINT) AS total_price_c2,
+       CAST(COUNT(*) AS BIGINT) AS n_small
+FROM li JOIN pp USING (l_partkey)
+WHERE 5 * qty_c2 * n_li < sum_qty_c2
+"""
+
+
+# -- q22-style: dormant high-balance customers --------------------------------
+
+def q22_dormant_balance(sf_dir: str) -> "object":
+    """Per market segment: customers whose balance exceeds the global
+    positive-balance average AND who have no 'P'-status orders — global
+    scalar subquery + anti-join (TPC-H q22 adapted: c_phone doesn't exist,
+    the segment plays the country-code role).  The global average is two
+    O(1) scalars (sum, count) on the driver; the comparison is exact in
+    integers (bal_c2 * n_pos > sum_pos_c2); the anti side is the
+    orders-per-customer aggregate (|customers|, not |orders|) through a
+    left-outer ``Dataset.join`` + null filter, as customers_no_orders."""
+    import pandas as pd
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        bal = _cents(t["c_acctbal"])
+        pos = pc.greater(bal, 0)
+        s = pc.sum(pc.if_else(pos, bal, pa.scalar(0, pa.int64()))).as_py() or 0
+        n = pc.sum(pc.cast(pos, pa.int64())).as_py() or 0
+        return pa.table(
+            {
+                "sum_pos_c2": pa.array([int(s)], pa.int64()),
+                "n_pos": pa.array([int(n)], pa.int64()),
+            }
+        )
+
+    g = cust.map_batches(bal_partial, batch_format="pyarrow").sum(
+        ["sum_pos_c2", "n_pos"]
+    )
+    sum_pos = int(g["sum(sum_pos_c2)"])
+    n_pos = int(g["sum(n_pos)"])
+
+    pending = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+        .filter(expr="o_orderstatus == 'P'")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+    def rich(t: pa.Table) -> pa.Table:
+        bal = _cents(t["c_acctbal"])
+        # bal > sum/n  <=>  bal * n > sum   (exact integers, n > 0)
+        mask = pc.greater(
+            pc.multiply(bal, pa.scalar(n_pos, pa.int64())),
+            pa.scalar(sum_pos, pa.int64()),
+        )
+        sub = t.filter(mask)
+        return pa.table(
+            {
+                "c_custkey": sub["c_custkey"],
+                "c_mktsegment": sub["c_mktsegment"],
+                "bal_c2": _cents(sub["c_acctbal"]),
+            }
+        )
+
+    joined = cust.map_batches(rich, batch_format="pyarrow").join(
+        pending,
+        join_type="left_outer",
+        num_partitions=join_partitions(),
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def dormant(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.is_null(t["n_orders"]))
+        return pa.table(
+            {"c_mktsegment": sub["c_mktsegment"], "bal_c2": sub["bal_c2"]}
+        )
+
+    out = (
+        joined.map_batches(dormant, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="numcust"),
+            Sum("bal_c2", alias_name="totacctbal_c2"),
+        )
+        .to_pandas()  # <=5 rows
+    )
+    out["numcust"] = out["numcust"].astype("int64")
+    out["totacctbal_c2"] = out["totacctbal_c2"].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+Q22_DORMANT_SQL = """
+WITH avgbal AS (
+  SELECT SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS sum_pos_c2,
+         COUNT(*) AS n_pos
+  FROM customer WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) > 0
+)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS totacctbal_c2
+FROM customer, avgbal
+WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) * n_pos > sum_pos_c2
+  AND c_custkey NOT IN (
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

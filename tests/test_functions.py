@@ -658,11 +658,15 @@ def test_round3_new_ops_match_oracle(ray_session):
         "embedding_dim_stats",
         "semdedup",
         "charlm_quality",
+        "q8_market_share",
+        "q13_order_distribution",
+        "q17_small_qty_revenue",
+        "q22_dormant_balance",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
     for t in ("orders", "lineitem", "part", "supplier", "customer",
-              "nation", "events", "documents", "embeddings"):
+              "nation", "region", "events", "documents", "embeddings"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
         )
