@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.dedup_exact,
         "dedup_prefix": dedup.dedup_prefix,
         "word_jaccard_pairs": dedup.word_jaccard_pairs,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_keep_list": dedup.dedup_keep_list,
@@ -391,6 +392,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_prefix": dedup.DEDUP_PREFIX_SQL,
         "word_jaccard_pairs": dedup.WORD_JACCARD_SQL,
+        "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
         "minhash_lsh_pairs": dedup.MINHASH_LSH_SQL,
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
         "dedup_keep_list": dedup.DEDUP_KEEP_LIST_SQL,

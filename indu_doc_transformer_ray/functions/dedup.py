@@ -985,3 +985,229 @@ WHERE len(list_intersect(a.w, b.w))::DOUBLE
       / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.5
 ORDER BY doc_a, doc_b
 """
+
+
+# -- distributed n-gram Jaccard via inverted index ---------------------------
+
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    threshold_permille: int = 200,
+    max_df: int | None = None,
+) -> Dataset:
+    """All-pairs word-trigram Jaccard >= threshold over the WHOLE corpus —
+    the scale path that ``word_jaccard_pairs`` (bounded broadcast subset)
+    is the verification primitive for.  Inverted-index shape: shingle rows
+    fan out of each doc once, co-locate by a crc32 shingle bucket, and each
+    in-bucket kernel emits pre-summed candidate-pair partials — only docs
+    that SHARE a shingle ever meet, so the pair space is sparse, never
+    O(n^2).  Intersection sums and the two per-doc shingle counts then
+    attach through the union + bucketed-groupby co-location join (the
+    ``minhash_lsh_pairs`` round-A/B shape; ``Dataset.join`` would crash on
+    sparse partitions), with every carried value a scalar int — no set or
+    string payloads cross the shuffle.  All arithmetic is integer-exact
+    (inter*1000 >= t*union; permille = inter*1000 // union) so the result
+    hash-matches NGRAM_JACCARD_SQL.
+
+    ``max_df`` (production knob, default off so the oracle stays exact):
+    shingle groups seen in more than ``max_df`` docs are stop-shingles —
+    they contribute O(df^2) pairs — and are dropped WITH a logged count,
+    the same honesty contract as the MinHash ``MAX_BUCKET`` skew cap.
+    Three all-to-alls total; bucket counts derive from corpus size."""
+    import zlib
+
+    import pandas as pd
+
+    nb = _corpus_buckets(sf_dir)
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def shingle_rows(t: pa.Table) -> pd.DataFrame:
+        gbs, shs, ids = [], [], []
+        for did, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            toks = TOKEN_RE.findall(text.lower())
+            if len(toks) < SHINGLE_K:
+                continue
+            for i in range(len(toks) - SHINGLE_K + 1):
+                sh = " ".join(toks[i : i + SHINGLE_K])
+                gbs.append(zlib.crc32(sh.encode()) % nb)
+                shs.append(sh)
+                ids.append(did)
+        df = pd.DataFrame(
+            {
+                "gb": pd.Series(gbs, dtype="int32"),
+                "sh": pd.Series(shs, dtype="object"),
+                "doc_id": pd.Series(ids, dtype="int64"),
+            }
+        )
+        return df.drop_duplicates()  # distinct within doc (and batch)
+
+    shingles = docs.map_batches(shingle_rows, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Per shingle bucket: distinct (sh, doc), group by shingle, emit
+        every sorted doc pair with an in-kernel pre-sum — rows leaving the
+        kernel are (pair, partial_count), one per distinct pair per bucket."""
+        g = g[["sh", "doc_id"]].drop_duplicates()
+        sizes = g.groupby("sh")["doc_id"].transform("size")
+        if max_df is not None:
+            dropped = g[sizes > max_df]
+            if len(dropped):
+                print(
+                    f"ngram_jaccard: dropping {dropped['sh'].nunique()} "
+                    f"stop-shingles (df > {max_df})"
+                )
+            g = g[sizes <= max_df]
+            sizes = sizes[sizes <= max_df]
+        g = g[sizes > 1]
+        out_a, out_b = [], []
+        for _, grp in g.groupby("sh", sort=False):
+            ids = sorted(grp["doc_id"].tolist())
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    out_a.append(ids[x])
+                    out_b.append(ids[y])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "gb": pd.Series(dtype="int32"),
+                    "k": pd.Series(dtype="int64"),
+                    "other": pd.Series(dtype="int64"),
+                    "val": pd.Series(dtype="int64"),
+                    "carry": pd.Series(dtype="int64"),
+                    "is_pair": pd.Series(dtype="int32"),
+                }
+            )
+        p = (
+            pd.DataFrame({"k": out_a, "other": out_b})
+            .value_counts()
+            .reset_index(name="val")
+        )
+        return pd.DataFrame(
+            {
+                "gb": (p["k"] % nb).astype("int32"),
+                "k": p["k"].astype("int64"),
+                "other": p["other"].astype("int64"),
+                "val": p["val"].astype("int64"),
+                "carry": pd.Series([0] * len(p), dtype="int64").values,
+                "is_pair": pd.Series([1] * len(p), dtype="int32").values,
+            }
+        )
+
+    raw_pairs = shingles.groupby("gb").map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+
+    def count_rows(t: pa.Table) -> pd.DataFrame:
+        ids, ns = [], []
+        for did, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            toks = TOKEN_RE.findall(text.lower())
+            if len(toks) < SHINGLE_K:
+                continue
+            n = len(
+                {
+                    " ".join(toks[i : i + SHINGLE_K])
+                    for i in range(len(toks) - SHINGLE_K + 1)
+                }
+            )
+            ids.append(did)
+            ns.append(n)
+        k = pd.Series(ids, dtype="int64")
+        return pd.DataFrame(
+            {
+                "gb": (k % nb).astype("int32"),
+                "k": k,
+                "other": pd.Series([-1] * len(k), dtype="int64").values,
+                "val": pd.Series(ns, dtype="int64").values,
+                "carry": pd.Series([0] * len(k), dtype="int64").values,
+                "is_pair": pd.Series([0] * len(k), dtype="int32").values,
+            }
+        )
+
+    counts = docs.map_batches(count_rows, batch_format="pyarrow")
+
+    # round A: co-locate by doc_a — sum intersection partials across shingle
+    # buckets AND attach n_a in one kernel, re-key by doc_b.
+    u1 = raw_pairs.union(counts)
+
+    def attach_a(g: pd.DataFrame) -> pd.DataFrame:
+        n_map = g[g["is_pair"] == 0].set_index("k")["val"]
+        pairs = g[g["is_pair"] == 1]
+        if pairs.empty:
+            return g.iloc[0:0]
+        summed = (
+            pairs.groupby(["k", "other"], sort=False)["val"].sum().reset_index()
+        )
+        b = summed["other"].astype("int64")
+        return pd.DataFrame(
+            {
+                "gb": (b % nb).astype("int32"),
+                "k": b,
+                "other": summed["k"].astype("int64").values,
+                "val": summed["val"].astype("int64").values,  # inter
+                "carry": summed["k"].map(n_map).fillna(0).astype("int64").values,
+                "is_pair": pd.Series([1] * len(summed), dtype="int32").values,
+            }
+        )
+
+    r1 = u1.groupby("gb").map_groups(attach_a, batch_format="pandas")
+
+    # round B: co-locate by doc_b — attach n_b, finish the exact Jaccard.
+    u2 = r1.union(counts)
+
+    def finish_b(g: pd.DataFrame) -> pd.DataFrame:
+        n_map = g[g["is_pair"] == 0].set_index("k")["val"]
+        pairs = g[g["is_pair"] == 1]
+        if pairs.empty:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series(dtype="int64"),
+                    "doc_b": pd.Series(dtype="int64"),
+                    "jaccard_permille": pd.Series(dtype="int64"),
+                }
+            )
+        inter = pairs["val"].astype("int64")
+        n_a = pairs["carry"].astype("int64")
+        n_b = pairs["k"].map(n_map).fillna(0).astype("int64")
+        union = n_a + n_b - inter
+        keep = (union > 0) & (inter * 1000 >= threshold_permille * union)
+        sub = pairs[keep]
+        return pd.DataFrame(
+            {
+                "doc_a": sub["other"].astype("int64").values,
+                "doc_b": sub["k"].astype("int64").values,
+                "jaccard_permille": (
+                    (inter[keep] * 1000) // union[keep]
+                ).astype("int64").values,
+            }
+        )
+
+    # no final sort (cosmetic all-to-all); the row SET is deterministic.
+    return u2.groupby("gb").map_groups(finish_b, batch_format="pandas")
+
+
+NGRAM_JACCARD_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         ws[CAST(u.i AS INT)] || ' ' || ws[CAST(u.i AS INT)+1]
+           || ' ' || ws[CAST(u.i AS INT)+2] AS sh
+  FROM w, UNNEST(range(1, len(ws)-1)) AS u(i)
+  WHERE len(ws) >= 3
+), n AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), i AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(inter*1000 // (na.n_sh + nb.n_sh - inter) AS BIGINT)
+         AS jaccard_permille
+FROM i JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+WHERE inter*1000 >= 200 * (na.n_sh + nb.n_sh - inter)
+"""
