@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_type_pairs": relational.copurchase_type_pairs,
         "event_transitions": events.event_transitions,
         "embedding_dim_stats": similarity.embedding_dim_stats,
+        "embedding_covariance": similarity.embedding_covariance,
         "q8_market_share": relational.q8_market_share,
         "q13_order_distribution": relational.q13_order_distribution,
         "q17_small_qty_revenue": relational.q17_small_qty_revenue,
@@ -328,6 +329,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_type_pairs": relational.COPURCHASE_SQL,
         "event_transitions": events.EVENT_TRANSITIONS_SQL,
         "embedding_dim_stats": similarity.EMBEDDING_DIM_STATS_SQL,
+        "embedding_covariance": similarity.EMBEDDING_COVARIANCE_SQL,
         "q8_market_share": relational.Q8_MARKET_SHARE_SQL,
         "q13_order_distribution": relational.Q13_ORDER_DISTRIBUTION_SQL,
         "q17_small_qty_revenue": relational.Q17_SMALL_QTY_SQL,

@@ -1901,3 +1901,79 @@ ORDER BY a.vec_id"""
 
 
 SEMDEDUP_SQL = _semdedup_sql()
+
+
+# -- covariance / Gram-matrix fold (PCA & whitening input) -------------------
+
+def embedding_covariance(sf_dir: str) -> "object":
+    """Upper-triangle cross-moment (Gram) matrix over the embedding corpus
+    — the input a distributed PCA / ZCA-whitening stage consumes (together
+    with ``embedding_dim_stats`` for the mean subtraction).  Each batch
+    computes the full dim x dim integer cross-product in ONE numpy matmul
+    (q^T q over micro-unit-quantized components, exact int64 per batch:
+    |q| <= ~1e6, q_i*q_j <= 1e12, <=1e4 rows per batch -> <=1e16 << 2^63)
+    and emits only the dim*(dim+1)/2 upper-triangle partial rows.  The fold
+    is a DISTRIBUTED groupby over the (dim_i, dim_j) pairs whose kernel
+    sums in Python big ints — so per-pair totals are exact at any corpus
+    scale and nothing corpus-proportional ever reaches the driver (the
+    dim_stats driver fold pattern, pushed off-driver).  The SQL mirror
+    joins components on vec_id and sums in HUGEINT."""
+    import pandas as pd
+
+    def partial(t: pd.DataFrame) -> pd.DataFrame:
+        emb = np.array(t["embedding"].tolist(), dtype=np.float64)
+        q = np.floor(emb * 1e6).astype(np.int64)
+        gram = q.T @ q  # dim x dim, exact int64 at batch size
+        iu, ju = np.triu_indices(q.shape[1])
+        return pd.DataFrame(
+            {
+                "dim_i": (iu + 1).astype(np.int64),
+                "dim_j": (ju + 1).astype(np.int64),
+                "n": np.full(len(iu), q.shape[0], dtype=np.int64),
+                "sxy": gram[iu, ju],
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # Python-int summation: exact beyond int64 mid-fold; the final
+        # total is asserted back into int64 for the output schema.
+        n = sum(int(v) for v in g["n"])
+        s = sum(int(v) for v in g["sxy"])
+        assert abs(s) < (1 << 63), "covariance fold overflows int64 output"
+        return pd.DataFrame(
+            {
+                "dim_i": [int(g["dim_i"].iloc[0])],
+                "dim_j": [int(g["dim_j"].iloc[0])],
+                "n": [n],
+                "sxy_mu2": [s],
+            }
+        )
+
+    out = (
+        _read_emb(sf_dir)
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["dim_i", "dim_j"])
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # dim*(dim+1)/2 rows — dim-sized, corpus-independent
+    )
+    return (
+        out.sort_values(["dim_i", "dim_j"])
+        .reset_index(drop=True)
+        .astype({"dim_i": "int64", "dim_j": "int64", "n": "int64",
+                 "sxy_mu2": "int64"})
+    )
+
+
+EMBEDDING_COVARIANCE_SQL = """
+WITH comp AS (
+  SELECT vec_id, u.i AS dim,
+         CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * 1e6) AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+)
+SELECT CAST(a.dim AS BIGINT) AS dim_i, CAST(b.dim AS BIGINT) AS dim_j,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(a.q AS HUGEINT) * b.q) AS BIGINT) AS sxy_mu2
+FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -662,6 +662,8 @@ def test_round3_new_ops_match_oracle(ray_session):
         "q13_order_distribution",
         "q17_small_qty_revenue",
         "q22_dormant_balance",
+        "ngram_jaccard_pairs",
+        "embedding_covariance",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
