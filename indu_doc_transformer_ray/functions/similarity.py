@@ -1432,17 +1432,24 @@ PAGERANK_MASS = 1_000_000_000  # total integer rank mass (micro-unit scale)
 
 def pagerank_knn(sf_dir: str, iters: int = 5) -> Dataset:
     """PageRank power iteration over the IVF k-NN graph — the iterative-
-    algorithm shape on Ray Data: the edge table (with out-degrees attached
-    by one co-location shuffle) is materialized ONCE and reused; each of
-    ``iters`` rounds is two bucketed shuffles (ranks join edges by source
-    bucket -> contribution rows; contributions + zero rows fold by
-    destination bucket) with a materialize() between rounds, exactly the
-    ``label_components`` round structure.  All arithmetic is INTEGER
-    (initial mass ``PAGERANK_MASS // n``, damping 85/100 and teleport
-    15/100 as floor divisions), so five rounds of floor arithmetic are
-    bit-identical on any engine and the DuckDB oracle hash-matches the
-    APPROXIMATE algorithm end-to-end (k-means cells -> probes -> knn ->
-    pagerank).  Output: (vec_id, rank_mu)."""
+    graph shape on Ray Data, with the STATIC side pinned: the edge table is
+    pushed ONCE into a pool of sharded ``num_cpus=0`` edge actors (each
+    owning every out-edge of the nodes that route to it — the
+    ``state/dedup_index`` pattern: Dataset ops for per-record work, raw
+    actors only for state that outlives a Dataset execution), so the graph
+    NEVER crosses the shuffle again.  Each round is then a single
+    all-to-all: a plain ``map_batches`` over the rank vector computes
+    contributions via one batched RPC per touched shard (vectorized
+    searchsorted edge lookup inside the actor), and one bucketed groupby
+    folds them per destination.  Per round that moves O(n·k) contribution
+    rows and nothing else — the previous union-based formulation re-shuffled
+    the edge table every round and paid 2 all-to-alls + a materialize
+    (measured 28.8 s -> this shape at sf0.001/8 CPUs; see BENCH notes).
+    All arithmetic is INTEGER (initial mass ``PAGERANK_MASS // n``, damping
+    85/100 and teleport 15/100 as floor divisions), so ``iters`` rounds of
+    floor arithmetic are bit-identical on any engine and the DuckDB oracle
+    hash-matches the APPROXIMATE algorithm end-to-end (k-means cells ->
+    probes -> knn -> pagerank).  Output: (vec_id, rank_mu)."""
     import pandas as pd
 
     import pyarrow.parquet as pq
@@ -1454,99 +1461,132 @@ def pagerank_knn(sf_dir: str, iters: int = 5) -> Dataset:
     nb = n_buckets(n)
     tp = (15 * (S // n)) // 100
 
-    def edge_rows(t: pd.DataFrame) -> pd.DataFrame:
-        src = t["vec_id"].astype("int64")
-        return pd.DataFrame(
-            {
-                "sb": (src % nb).astype("int32"),
-                "a": src,
-                "b": t["nbr_id"].astype("int64"),
-                "v": pd.Series([0] * len(t), dtype="int64").values,
-            }
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_shards = max(2, min(16, ncpu // 2))
+
+    @ray.remote(num_cpus=0)
+    class EdgeShard:
+        """Owns every out-edge of the nodes with src % n_shards == shard id.
+        ``num_cpus=0``: lookups only — a CPU reservation would starve the
+        map tasks that call it (actor-pool deadlock gotcha)."""
+
+        def __init__(self):
+            self._src_parts: list[np.ndarray] = []
+            self._dst_parts: list[np.ndarray] = []
+            self._src = self._dst = self._kout = None
+
+        def add_batch(self, src: np.ndarray, dst: np.ndarray) -> int:
+            self._src_parts.append(src)
+            self._dst_parts.append(dst)
+            return len(src)
+
+        def seal(self) -> int:
+            """Sort edges by src and precompute per-edge out-degree."""
+            if self._src_parts:
+                src = np.concatenate(self._src_parts)
+                dst = np.concatenate(self._dst_parts)
+            else:
+                src = dst = np.empty(0, dtype=np.int64)
+            order = np.argsort(src, kind="stable")
+            self._src, self._dst = src[order], dst[order]
+            _, inv, cnt = np.unique(
+                self._src, return_inverse=True, return_counts=True
+            )
+            self._kout = cnt[inv].astype(np.int64)
+            self._src_parts = self._dst_parts = None
+            return len(self._src)
+
+        def contribs(self, ids: np.ndarray, ranks: np.ndarray):
+            """rank//k_out per out-edge of each queried node — vectorized
+            searchsorted slice gather, no Python loop over edges."""
+            lo = np.searchsorted(self._src, ids, side="left")
+            hi = np.searchsorted(self._src, ids, side="right")
+            cnt = hi - lo
+            total = int(cnt.sum())
+            if total == 0:
+                return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+            starts = np.repeat(
+                lo - np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt
+            )
+            idx = starts + np.arange(total)
+            c = np.repeat(ranks, cnt) // self._kout[idx]
+            return (self._dst[idx], c.astype(np.int64))
+
+    shards = [EdgeShard.remote() for _ in range(n_shards)]
+
+    def push_edges(t: pd.DataFrame) -> pd.DataFrame:
+        src = t["vec_id"].to_numpy(dtype=np.int64)
+        dst = t["nbr_id"].to_numpy(dtype=np.int64)
+        sh = src % n_shards
+        ray.get(
+            [
+                shards[s].add_batch.remote(src[sh == s], dst[sh == s])
+                for s in np.unique(sh)
+            ]
         )
+        return pd.DataFrame({"n": pd.Series([len(t)], dtype="int64")})
 
-    def add_kout(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["v"] = g.groupby("a")["a"].transform("size").astype("int64")
-        return g
-
-    edges = (
-        knn_graph(sf_dir)
-        .map_batches(edge_rows, batch_format="pandas")
-        .groupby("sb")
-        .map_groups(add_kout, batch_format="pandas")
-        .materialize()  # static across iterations
-    )
-
-    def ids_ds() -> Dataset:
-        return ray.data.read_parquet(
-            f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
-        )
+    # build barrier: every edge durable in its shard, then seal (sort +
+    # out-degree) once — the graph never moves again.
+    knn_graph(sf_dir).map_batches(push_edges, batch_format="pandas").count()
+    ray.get([s.seal.remote() for s in shards])
 
     def rank0(t: pd.DataFrame) -> pd.DataFrame:
         v = t["vec_id"].astype("int64")
         return pd.DataFrame(
-            {
-                "sb": (v % nb).astype("int32"),
-                "a": v,
-                "b": pd.Series([-1] * len(t), dtype="int64").values,
-                "v": pd.Series([S // n] * len(t), dtype="int64").values,
-            }
+            {"a": v, "v": pd.Series([S // n] * len(t), dtype="int64").values}
         )
 
-    ranks = ids_ds().map_batches(rank0, batch_format="pandas").materialize()
+    ranks = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+        )
+        .map_batches(rank0, batch_format="pandas")
+    )
 
-    def contribs(g: pd.DataFrame) -> pd.DataFrame:
-        # rank rows double as the zero seed for every node (ranks covers ALL
-        # nodes each round), so no per-iteration corpus read/union is needed
-        rk = g.loc[g["b"] < 0]
-        rmap = rk.set_index("a")["v"]
-        nodes = rk["a"].astype("int64")
+    def contrib_rows(t: pd.DataFrame) -> pd.DataFrame:
+        """Zero seed for the batch's own nodes (keeps every node alive in
+        the fold) + contribution rows fetched with one RPC per shard."""
+        ids = t["a"].to_numpy(dtype=np.int64)
+        rks = t["v"].to_numpy(dtype=np.int64)
         frames = [
             pd.DataFrame(
                 {
-                    "db": (nodes % nb).astype("int32"),
-                    "a": nodes.values,
-                    "c": pd.Series([0] * len(rk), dtype="int64").values,
+                    "db": (ids % nb).astype(np.int32),
+                    "a": ids,
+                    "c": np.zeros(len(ids), dtype=np.int64),
                 }
             )
         ]
-        e = g[g["b"] >= 0]
-        if not e.empty:
-            r = e["a"].map(rmap).astype("int64")
-            c = (r // e["v"].astype("int64")).astype("int64")
-            dst = e["b"].astype("int64")
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "db": (dst % nb).astype("int32"),
-                        "a": dst.values,
-                        "c": c.values,
-                    }
+        sh = ids % n_shards
+        touched = np.unique(sh)
+        refs = [
+            shards[s].contribs.remote(ids[sh == s], rks[sh == s])
+            for s in touched
+        ]
+        for dst, c in ray.get(refs):
+            if len(dst):
+                frames.append(
+                    pd.DataFrame(
+                        {"db": (dst % nb).astype(np.int32), "a": dst, "c": c}
+                    )
                 )
-            )
         return pd.concat(frames, ignore_index=True)
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         agg = g.groupby("a")["c"].sum().reset_index()
-        v = agg["a"].astype("int64")
         return pd.DataFrame(
             {
-                "sb": (v % nb).astype("int32"),
-                "a": v.values,
-                "b": pd.Series([-1] * len(agg), dtype="int64").values,
+                "a": agg["a"].astype("int64").values,
                 "v": (tp + (85 * agg["c"].astype("int64")) // 100).values,
             }
         )
 
     for _ in range(iters):
         ranks = (
-            edges.union(ranks)
-            .groupby("sb")
-            .map_groups(contribs, batch_format="pandas")
+            ranks.map_batches(contrib_rows, batch_format="pandas")
             .groupby("db")
             .map_groups(fold, batch_format="pandas")
-            .materialize()
         )
 
     def final(t: pd.DataFrame) -> pd.DataFrame:
