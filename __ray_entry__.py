@@ -242,6 +242,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q13_order_distribution": relational.q13_order_distribution,
         "q17_small_qty_revenue": relational.q17_small_qty_revenue,
         "q22_dormant_balance": relational.q22_dormant_balance,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q21_sole_returner": relational.q21_sole_returner,
         # relational / TPC-H-ish (SURVEY §2.6 aggregations + joins) — green
         # in CORRECTNESS_r02.json
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -334,6 +336,8 @@ def oracle_sql() -> dict[str, str]:
         "q13_order_distribution": relational.Q13_ORDER_DISTRIBUTION_SQL,
         "q17_small_qty_revenue": relational.Q17_SMALL_QTY_SQL,
         "q22_dormant_balance": relational.Q22_DORMANT_SQL,
+        "q15_top_supplier": relational.Q15_TOP_SUPPLIER_SQL,
+        "q21_sole_returner": relational.Q21_SOLE_RETURNER_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,

@@ -2032,3 +2032,222 @@ WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) * n_pos > sum_pos_c2
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+
+# -- q15: top supplier(s) by windowed revenue (view + global-max shape) ------
+
+def q15_top_supplier(sf_dir: str) -> "object":
+    """TPC-H q15 adaptation (no partsupp in the driver schema): revenue per
+    supplier over a 3-month shipdate window; return every supplier tied at
+    the maximum — the CREATE VIEW + MAX scalar-subquery shape.  Map-side
+    per-batch combiner folds (suppkey, rev) before the one small groupby;
+    the global max is a single driver scalar; winners are a tiny set, so
+    supplier names attach via a broadcast winner set instead of a
+    ``Dataset.join`` whose sparse side would leave hash partitions empty
+    (schemaless-empty-block crash, see verify notes).  Exact in c4 cents.
+    Reference parity: SURVEY §2.6 top-k / windowed-aggregate family."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    lo = pa.scalar(datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(datetime(1996, 4, 1), pa.timestamp("us"))
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].cast(pa.timestamp("us"))
+        sub = t.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        rev = pc.multiply(
+            _cents(sub["l_extendedprice"]), pc.subtract(100, _cents(sub["l_discount"]))
+        )
+        folded = pa.table(
+            {"l_suppkey": pc.cast(sub["l_suppkey"], pa.int64()), "rev_c4": rev}
+        )
+        return pa.TableGroupBy(folded, "l_suppkey").aggregate([("rev_c4", "sum")])
+
+    rev = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("rev_c4_sum", alias_name="total_revenue_c4"))
+        .materialize()  # reused twice: max scalar + winner filter
+    )
+    best = int(rev.max("total_revenue_c4"))
+    winners = {
+        int(r["l_suppkey"])
+        for r in rev.filter(
+            expr=f"total_revenue_c4 == {best}"
+        ).take_all()  # ties at the max: a handful of rows by construction
+    }
+    win_ref = ray.put(winners)
+
+    def names(t: pa.Table) -> pa.Table:
+        w = ray.get(win_ref)
+        keys = pc.cast(t["s_suppkey"], pa.int64())
+        mask = pc.is_in(keys, value_set=pa.array(sorted(w), pa.int64()))
+        sub = t.filter(mask)
+        return pa.table(
+            {
+                "s_suppkey": pc.cast(sub["s_suppkey"], pa.int64()),
+                "s_name": sub["s_name"],
+                "total_revenue_c4": pa.array(
+                    [best] * len(sub), pa.int64()
+                ),
+            }
+        )
+
+    out = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        .map_batches(names, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+Q15_TOP_SUPPLIER_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS total_revenue_c4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(total_revenue_c4 AS BIGINT) AS total_revenue_c4
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue_c4 = (SELECT MAX(total_revenue_c4) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# -- q21: sole-returner suppliers (multi-exists / not-exists shape) ----------
+
+def q21_sole_returner(sf_dir: str) -> "object":
+    """TPC-H q21 adaptation (no commit/receipt dates in the driver schema —
+    ``l_returnflag='R'`` plays the late-delivery role): suppliers counted
+    per order where they returned a line, the order touches >=2 distinct
+    suppliers (EXISTS other supplier), and NO other supplier returned
+    (NOT EXISTS) — the double-correlated-subquery shape as two distributed
+    aggregates over the same (order, supplier) grain plus one dense-dense
+    ``Dataset.join``.  Supplier names attach through the union + bucketed
+    groupby co-location fold (the sparse-side-safe join, see
+    functions/dedup.py::minhash_lsh_pairs); each bucket emits only its
+    local top-20 so the driver merge is O(buckets * 20).  Output: top 20
+    by (numwait DESC, s_name ASC) — a total order, s_name is unique."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def grain(t: pa.Table) -> pa.Table:
+        folded = pa.table(
+            {
+                "ok": pc.cast(t["l_orderkey"], pa.int64()),
+                "sk": pc.cast(t["l_suppkey"], pa.int64()),
+                "r": pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64()),
+            }
+        )
+        return pa.TableGroupBy(folded, ["ok", "sk"]).aggregate([("r", "max")])
+
+    los = (
+        li.map_batches(grain, batch_format="pyarrow")
+        .groupby(["ok", "sk"])
+        .aggregate(Max("r_max", alias_name="has_r"))
+        .materialize()  # reused: per-order stats + the probe side
+    )
+
+    per_order = los.groupby("ok").aggregate(
+        Count(alias_name="n_supp"), Sum("has_r", alias_name="n_ret")
+    )
+
+    waits = (
+        los.join(
+            per_order,
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("ok",),
+            right_on=("ok",),
+            aggregator_ray_remote_args={"num_cpus": 0},
+        )
+        .filter(expr="has_r == 1 and n_supp >= 2 and n_ret == 1")
+        .groupby("sk")
+        .aggregate(Count(alias_name="numwait"))
+    )
+
+    BUCKETS = n_buckets(
+        pq.read_metadata(f"{sf_dir}/supplier.parquet").num_rows
+    )
+
+    def wait_rows(t: pd.DataFrame) -> pd.DataFrame:
+        sk = t["sk"].astype("int64")
+        return pd.DataFrame(
+            {
+                "b": (sk % BUCKETS).astype("int32"),
+                "sk": sk,
+                "s_name": pd.Series([""] * len(t), dtype="object"),
+                "numwait": t["numwait"].astype("int64"),
+            }
+        )
+
+    def name_rows(t: pd.DataFrame) -> pd.DataFrame:
+        sk = t["s_suppkey"].astype("int64")
+        return pd.DataFrame(
+            {
+                "b": (sk % BUCKETS).astype("int32"),
+                "sk": sk,
+                "s_name": t["s_name"].astype("object"),
+                "numwait": pd.Series([-1] * len(t), dtype="int64"),
+            }
+        )
+
+    names = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        name_rows, batch_format="pandas"
+    )
+
+    def fold_top(g: pd.DataFrame) -> pd.DataFrame:
+        nm = g[g["numwait"] < 0].set_index("sk")["s_name"]
+        w = g[g["numwait"] >= 0]
+        out = pd.DataFrame(
+            {
+                "s_name": w["sk"].map(nm).astype("object"),
+                "numwait": w["numwait"].astype("int64"),
+            }
+        )
+        return out.sort_values(
+            ["numwait", "s_name"], ascending=[False, True]
+        ).head(20)
+
+    tops = (
+        waits.map_batches(wait_rows, batch_format="pandas")
+        .union(names)
+        .groupby("b")
+        .map_groups(fold_top, batch_format="pandas")
+        .to_pandas()  # <= 20 * BUCKETS rows
+    )
+    return (
+        tops.sort_values(["numwait", "s_name"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
+    )
+
+
+Q21_SOLE_RETURNER_SQL = """
+WITH los AS (
+  SELECT l_orderkey AS ok, l_suppkey AS sk,
+         MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+  FROM lineitem GROUP BY 1, 2),
+per_order AS (
+  SELECT ok, COUNT(*) AS n_supp, SUM(has_r) AS n_ret FROM los GROUP BY ok)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM los JOIN per_order USING (ok) JOIN supplier ON s_suppkey = sk
+WHERE has_r = 1 AND n_supp >= 2 AND n_ret = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
