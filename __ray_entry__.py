@@ -244,6 +244,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_dormant_balance": relational.q22_dormant_balance,
         "q15_top_supplier": relational.q15_top_supplier,
         "q21_sole_returner": relational.q21_sole_returner,
+        "value_outliers": events.value_outliers,
+        "exact_price_quantiles": sketches.exact_price_quantiles,
         # relational / TPC-H-ish (SURVEY §2.6 aggregations + joins) — green
         # in CORRECTNESS_r02.json
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -338,6 +340,8 @@ def oracle_sql() -> dict[str, str]:
         "q22_dormant_balance": relational.Q22_DORMANT_SQL,
         "q15_top_supplier": relational.Q15_TOP_SUPPLIER_SQL,
         "q21_sole_returner": relational.Q21_SOLE_RETURNER_SQL,
+        "value_outliers": events.VALUE_OUTLIERS_SQL,
+        "exact_price_quantiles": sketches.EXACT_PRICE_QUANTILES_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,

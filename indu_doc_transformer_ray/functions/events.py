@@ -521,3 +521,117 @@ FROM s WHERE prev_type IS NOT NULL
 GROUP BY prev_type, event_type
 ORDER BY from_type, to_type
 """
+
+
+def value_outliers(sf_dir: str) -> "object":
+    """Two-pass z-score outlier detection per event type — the canonical
+    distributed data-cleaning shape: pass 1 folds each batch to one row of
+    per-type integer moment sums (n, Σx, Σx² in c4 units), the driver adds
+    them as arbitrary-precision Python ints and derives EXACT integer cut
+    points for |x·n − Σx| > 2·sqrt(n·Σx² − Σx²) via ``math.isqrt``
+    (x ≥ ceil((S+r+1)/n) or x ≤ floor((S−r−1)/n) with r = isqrt(4D) is
+    exactly equivalent to the squared inequality — no float sqrt at any
+    scale, no int64 overflow: per-row compares stay in int64 against the
+    precomputed cut points).  Pass 2 is a streaming filter + count/sum per
+    type.  The oracle states the squared inequality directly in HUGEINT.
+    Output: (event_type, n, n_out, sum_out_c4)."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def _c4(col):
+        return pc.cast(pc.round(pc.multiply(col, 10_000.0)), pa.int64())
+
+    ds = _read_events(sf_dir, ["event_type", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = _c4(t["value"])
+        folded = pa.table(
+            {
+                "event_type": t["event_type"],
+                "x": x,
+                "xx": pc.multiply(x, x),
+            }
+        )
+        g = pa.TableGroupBy(folded, "event_type").aggregate(
+            [("x", "sum"), ("xx", "sum"), ([], "count_all")]
+        )
+        return g
+
+    parts = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    cuts: dict[str, tuple[int, int, int]] = {}
+    agg = parts.groupby("event_type")
+    for et, g in agg:
+        # big-int exact: second moments overflow int64 sums at extreme scale
+        n = sum(int(v) for v in g["count_all"])
+        s = sum(int(v) for v in g["x_sum"])
+        q = sum(int(v) for v in g["xx_sum"])
+        d = n * q - s * s
+        r = math.isqrt(4 * d)
+        hi = -(-(s + r + 1) // n)  # ceil
+        lo = (s - r - 1) // n      # floor
+        cuts[str(et)] = (lo, hi, n)
+
+    types = sorted(cuts)
+    lo_arr = {t: cuts[t][0] for t in types}
+    hi_arr = {t: cuts[t][1] for t in types}
+
+    def flag(t: pa.Table) -> pa.Table:
+        x = _c4(t["value"])
+        et = t["event_type"]
+        lo = pc.take(
+            pa.array([lo_arr[k] for k in types], pa.int64()),
+            pc.index_in(et, value_set=pa.array(types)),
+        )
+        hi = pc.take(
+            pa.array([hi_arr[k] for k in types], pa.int64()),
+            pc.index_in(et, value_set=pa.array(types)),
+        )
+        out = pc.or_(pc.greater_equal(x, hi), pc.less_equal(x, lo))
+        sub = pa.table({"event_type": et, "x": x}).filter(out)
+        g = pa.TableGroupBy(sub, "event_type").aggregate(
+            [("x", "sum"), ([], "count_all")]
+        )
+        return g
+
+    import pandas as pd
+
+    flat = ds.map_batches(flag, batch_format="pyarrow").to_pandas()
+    rows = []
+    for et in types:
+        g = flat[flat["event_type"] == et]
+        rows.append(
+            {
+                "event_type": et,
+                "n": cuts[et][2],
+                "n_out": int(g["count_all"].sum()),
+                "sum_out_c4": int(g["x_sum"].sum()),
+            }
+        )
+    return pd.DataFrame(rows).astype(
+        {"n": "int64", "n_out": "int64", "sum_out_c4": "int64"}
+    )
+
+
+VALUE_OUTLIERS_SQL = """
+WITH x AS (
+  SELECT event_type, CAST(ROUND(value*10000) AS BIGINT) AS x
+  FROM events),
+m AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(x AS HUGEINT)) AS s, SUM(CAST(x AS HUGEINT) * x) AS q
+  FROM x GROUP BY event_type)
+SELECT m.event_type, CAST(n AS BIGINT) AS n,
+       CAST(COALESCE(SUM(CASE WHEN (CAST(x.x AS HUGEINT)*n - s)
+                                   * (CAST(x.x AS HUGEINT)*n - s)
+                                   > 4*(n*q - s*s) THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_out,
+       CAST(COALESCE(SUM(CASE WHEN (CAST(x.x AS HUGEINT)*n - s)
+                                   * (CAST(x.x AS HUGEINT)*n - s)
+                                   > 4*(n*q - s*s) THEN x.x ELSE 0 END), 0)
+            AS BIGINT) AS sum_out_c4
+FROM m JOIN x ON x.event_type = m.event_type
+GROUP BY m.event_type, n
+ORDER BY m.event_type
+"""

@@ -461,3 +461,97 @@ SELECT event_type, CAST(p.pct AS BIGINT) AS pct, o.value
 FROM (VALUES (50), (90), (99)) p(pct)
 JOIN o ON o.rn = (o.n - 1) * p.pct // 100
 ORDER BY event_type, pct"""
+
+
+# -- exact distributed quantiles (two-pass counting histogram) ---------------
+
+PRICE_QUANTILES_MU = (250_000, 500_000, 750_000, 950_000, 990_000)
+_HIST_WIDTH = 4_096  # c2 cents per coarse bucket; <=4096 distinct values/bucket
+
+
+def exact_price_quantiles(sf_dir: str) -> "object":
+    """EXACT order statistics of l_extendedprice without a global sort —
+    the two-pass counting-histogram shape (contrast value_quantile_sample,
+    the SAMPLED variant): pass 1 folds each batch into coarse bucket counts
+    (``value_c2 // 4096``; the shuffle carries one row per touched bucket
+    per batch, the driver holds only the ~domain/4096 cumulative counts);
+    pass 2 re-reads ONLY rows in the few buckets that straddle a target
+    rank (column-pruned + bucket filter) and folds exact per-value counts
+    (<=4096 distinct values per bucket, so the driver reduce is O(1) per
+    quantile at any corpus size).  Rank convention: k = floor(q*(n-1)),
+    0-based — stated identically in the oracle's ROW_NUMBER form.
+    Output: (q_mu, value_c2)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        folded = pa.table({"b": pc.divide(v, _HIST_WIDTH)})
+        return pa.TableGroupBy(folded, "b").aggregate([([], "count_all")])
+
+    counts = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(ray.data.aggregate.Sum("count_all", alias_name="n"))
+        .to_pandas()  # <= domain / 4096 rows
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    n = int(counts["n"].sum())
+    cum = counts["n"].cumsum()
+
+    # bucket holding each target rank (0-based k)
+    targets = {q: (q * (n - 1)) // 1_000_000 for q in PRICE_QUANTILES_MU}
+    need: dict[int, list[tuple[int, int]]] = {}
+    for q, k in targets.items():
+        i = int((cum > k).idxmax())
+        b = int(counts.loc[i, "b"])
+        before = int(cum.iloc[i - 1]) if i > 0 else 0
+        need.setdefault(b, []).append((q, k - before))  # rank within bucket
+
+    wanted = pa.array(sorted(need), pa.int64())
+
+    def in_bucket(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        sub = pa.table({"b": pc.divide(v, _HIST_WIDTH), "v": v}).filter(
+            pc.is_in(pc.divide(v, _HIST_WIDTH), value_set=wanted)
+        )
+        return pa.TableGroupBy(sub, ["b", "v"]).aggregate([([], "count_all")])
+
+    fine = (
+        ds.map_batches(in_bucket, batch_format="pyarrow")
+        .groupby(["b", "v"])
+        .aggregate(ray.data.aggregate.Sum("count_all", alias_name="n"))
+        .to_pandas()  # <= |wanted| * 4096 rows
+    )
+
+    rows = []
+    for b, qs in need.items():
+        g = fine[fine["b"] == b].sort_values("v").reset_index(drop=True)
+        gc = g["n"].cumsum()
+        for q, rk in qs:
+            j = int((gc > rk).idxmax())
+            rows.append({"q_mu": q, "value_c2": int(g.loc[j, "v"])})
+    return (
+        pd.DataFrame(rows)
+        .astype({"q_mu": "int64", "value_c2": "int64"})
+        .sort_values("q_mu")
+        .reset_index(drop=True)
+    )
+
+
+EXACT_PRICE_QUANTILES_SQL = f"""
+WITH x AS (
+  SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS v FROM lineitem),
+nn AS (SELECT COUNT(*) AS n FROM x),
+o AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rk FROM x),
+qs(q_mu) AS (VALUES {",".join(f"({q})" for q in PRICE_QUANTILES_MU)})
+SELECT CAST(q_mu AS BIGINT) AS q_mu, CAST(o.v AS BIGINT) AS value_c2
+FROM qs, nn
+JOIN o ON o.rk = (q_mu * (n - 1)) // 1000000 + 1
+ORDER BY q_mu
+"""
