@@ -246,6 +246,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_sole_returner": relational.q21_sole_returner,
         "value_outliers": events.value_outliers,
         "exact_price_quantiles": sketches.exact_price_quantiles,
+        "source_overlap": dedup.source_overlap,
+        "dataset_split": curation.dataset_split,
         # relational / TPC-H-ish (SURVEY §2.6 aggregations + joins) — green
         # in CORRECTNESS_r02.json
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -342,6 +344,8 @@ def oracle_sql() -> dict[str, str]:
         "q21_sole_returner": relational.Q21_SOLE_RETURNER_SQL,
         "value_outliers": events.VALUE_OUTLIERS_SQL,
         "exact_price_quantiles": sketches.EXACT_PRICE_QUANTILES_SQL,
+        "source_overlap": dedup.SOURCE_OVERLAP_SQL,
+        "dataset_split": curation.DATASET_SPLIT_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,

@@ -602,3 +602,67 @@ FROM keyed
 QUALIFY rk <= 20
 ORDER BY rk
 """
+
+
+def dataset_split(sf_dir: str) -> "object":
+    """Deterministic hash-based train/val/test split — the assignment every
+    training pipeline needs to be stable across runs, machines and corpus
+    growth (a doc's split NEVER changes when other docs are added, unlike
+    rank-based splits): ``md5(doc_id) % 100`` -> <80 train, <90 val, else
+    test.  One streaming pass, per-batch combiner fold, final groupby is
+    |sources| x 3 rows.  Output: (source, split, n_docs, n_chars)."""
+    import pandas as pd
+
+    docs = _read_docs(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def assign(t: pa.Table) -> pd.DataFrame:
+        ids = t.column("doc_id").to_pylist()
+        h = [
+            int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16) % 100
+            for i in ids
+        ]
+        split = [
+            "train" if b < 80 else ("val" if b < 90 else "test") for b in h
+        ]
+        df = pd.DataFrame(
+            {
+                "source": t.column("source").to_pylist(),
+                "split": pd.Series(split, dtype="object"),
+                "n_docs": 1,
+                "n_chars": t.column("n_chars").to_pylist(),
+            }
+        )
+        return (
+            df.groupby(["source", "split"], as_index=False)[["n_docs", "n_chars"]]
+            .sum()
+            .astype({"n_docs": "int64", "n_chars": "int64"})
+        )
+
+    out = (
+        docs.map_batches(assign, batch_format="pyarrow")
+        .groupby(["source", "split"])
+        .aggregate(
+            ray.data.aggregate.Sum("n_docs", alias_name="n_docs"),
+            ray.data.aggregate.Sum("n_chars", alias_name="n_chars"),
+        )
+        .to_pandas()  # |sources| * 3 rows
+    )
+    out = out.astype({"n_docs": "int64", "n_chars": "int64"})
+    return out.sort_values(["source", "split"]).reset_index(drop=True)
+
+
+DATASET_SPLIT_SQL = """
+SELECT source,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+         AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM (
+  SELECT source, n_chars,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) % 100 AS b
+  FROM documents
+)
+GROUP BY 1, 2
+ORDER BY source, split
+"""

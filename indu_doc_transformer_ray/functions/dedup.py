@@ -1211,3 +1211,121 @@ SELECT doc_a, doc_b,
 FROM i JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
 WHERE inter*1000 >= 200 * (na.n_sh + nb.n_sh - inter)
 """
+
+
+# -- cross-source n-gram overlap matrix --------------------------------------
+
+def source_overlap(sf_dir: str) -> "object":
+    """Pairwise word-trigram Jaccard BETWEEN SOURCES — the corpus-level
+    contamination matrix a curation pipeline reads before fixing mixture
+    weights (which source pairs share content).  Same inverted-index shape
+    as ``ngram_jaccard_pairs`` but at source grain: distinct (shingle,
+    source) rows co-locate by crc32 shingle bucket, so in-bucket distinct
+    IS global distinct (every copy of a shingle lands in one bucket); each
+    kernel pre-sums per-source set sizes and per-pair intersections, and
+    only O(|sources|^2) scalar partials leave the kernel.  The driver fold
+    is |sources|^2 rows regardless of corpus size.  Integer-exact permille.
+    Output: (src_a, src_b, inter, jaccard_permille) for pairs sharing >=1
+    shingle."""
+    import zlib
+
+    import pandas as pd
+
+    nb = _corpus_buckets(sf_dir)
+    docs = _read_docs(sf_dir, ["source", "text"])
+
+    def shingle_rows(t: pa.Table) -> pd.DataFrame:
+        gbs, shs, srcs = [], [], []
+        for src, text in zip(
+            t.column("source").to_pylist(), t.column("text").to_pylist()
+        ):
+            toks = TOKEN_RE.findall(text.lower())
+            for i in range(len(toks) - SHINGLE_K + 1):
+                sh = " ".join(toks[i : i + SHINGLE_K])
+                gbs.append(zlib.crc32(sh.encode()) % nb)
+                shs.append(sh)
+                srcs.append(src)
+        return pd.DataFrame(
+            {
+                "gb": pd.Series(gbs, dtype="int32"),
+                "sh": pd.Series(shs, dtype="object"),
+                "source": pd.Series(srcs, dtype="object"),
+            }
+        ).drop_duplicates()
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["sh", "source"]].drop_duplicates()
+        sizes = g.groupby("source").size().reset_index(name="cnt")
+        sizes = pd.DataFrame(
+            {
+                "src_a": sizes["source"].astype("object"),
+                "src_b": pd.Series([""] * len(sizes), dtype="object"),
+                "cnt": sizes["cnt"].astype("int64"),
+            }
+        )
+        m = g.merge(g, on="sh")
+        m = m[m["source_x"] < m["source_y"]]
+        inter = (
+            m.groupby(["source_x", "source_y"]).size().reset_index(name="cnt")
+        )
+        inter = pd.DataFrame(
+            {
+                "src_a": inter["source_x"].astype("object"),
+                "src_b": inter["source_y"].astype("object"),
+                "cnt": inter["cnt"].astype("int64"),
+            }
+        )
+        return pd.concat([sizes, inter], ignore_index=True)
+
+    parts = (
+        docs.map_batches(shingle_rows, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(bucket_fold, batch_format="pandas")
+        .groupby(["src_a", "src_b"])
+        .aggregate(ray.data.aggregate.Sum("cnt", alias_name="n"))
+        .to_pandas()  # |sources|^2 rows
+    )
+    n_sh = (
+        parts[parts["src_b"] == ""].set_index("src_a")["n"].astype("int64")
+    )
+    pairs = parts[parts["src_b"] != ""].copy()
+    inter = pairs["n"].astype("int64")
+    union = (
+        pairs["src_a"].map(n_sh).astype("int64")
+        + pairs["src_b"].map(n_sh).astype("int64")
+        - inter
+    )
+    out = pd.DataFrame(
+        {
+            "src_a": pairs["src_a"].astype("object"),
+            "src_b": pairs["src_b"].astype("object"),
+            "inter": inter,
+            "jaccard_permille": (inter * 1000 // union).astype("int64"),
+        }
+    )
+    return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+
+
+SOURCE_OVERLAP_SQL = """
+WITH w AS (
+  SELECT source, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+  FROM documents
+), sh AS (
+  SELECT DISTINCT source,
+         ws[CAST(u.i AS INT)] || ' ' || ws[CAST(u.i AS INT)+1]
+           || ' ' || ws[CAST(u.i AS INT)+2] AS sh
+  FROM w, UNNEST(range(1, len(ws)-1)) AS u(i)
+  WHERE len(ws) >= 3
+), n AS (
+  SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY source
+), i AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
+       CAST(inter*1000 // (na.n_sh + nb.n_sh - inter) AS BIGINT)
+         AS jaccard_permille
+FROM i JOIN n na ON na.source = src_a JOIN n nb ON nb.source = src_b
+ORDER BY src_a, src_b
+"""
