@@ -519,7 +519,9 @@ def search_targets_count(sf_dir: str) -> "object":
     xt = table_ds(("xtarget",))
     oa = table_ds(("xtarget_attr", "aspect_attr", "link_attr"))
     at = table_ds(("attribute",))
-    index = build_target_index_ds(xt, oa, at, num_partitions=4)
+    # materialize: the index is probed by every query below — lazy, each
+    # count() would re-run the whole build join DAG (3x the build cost)
+    index = build_target_index_ds(xt, oa, at, num_partitions=4).materialize()
 
     rows = []
     for q in ("@type=device", "@type=cable", "@type=pin"):
