@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_price_quantiles": sketches.exact_price_quantiles,
         "source_overlap": dedup.source_overlap,
         "dataset_split": curation.dataset_split,
+        "whiten_embeddings": similarity.whiten_embeddings,
         # relational / TPC-H-ish (SURVEY §2.6 aggregations + joins) — green
         # in CORRECTNESS_r02.json
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -346,6 +347,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_price_quantiles": sketches.EXACT_PRICE_QUANTILES_SQL,
         "source_overlap": dedup.SOURCE_OVERLAP_SQL,
         "dataset_split": curation.DATASET_SPLIT_SQL,
+        "whiten_embeddings": similarity.WHITEN_EMBEDDINGS_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,

@@ -1792,25 +1792,13 @@ def embedding_dim_stats(sf_dir: str) -> "object":
     Output: (dim, n, sum_mu, sumsq_mu2) — one row per dimension."""
     import pandas as pd
 
-    def partial(t: pd.DataFrame) -> pd.DataFrame:
-        emb = np.array(t["embedding"].tolist(), dtype=np.float64)
-        q = np.floor(emb * 1e6).astype(np.int64)
-        # per-batch int64 is safe: |q| <= ~1e6 so q^2 <= 1e12, and a batch
-        # holds <= ~1e4 rows -> per-batch ss <= ~1e16 << 2^63; only the
-        # DRIVER fold (Python big ints) and the SQL mirror (HUGEINT) must
-        # survive corpus-scale sums
-        return pd.DataFrame(
-            {
-                "dim": np.arange(1, q.shape[1] + 1, dtype=np.int64),
-                "n": np.full(q.shape[1], q.shape[0], dtype=np.int64),
-                "s": q.sum(axis=0),
-                "ss": (q * q).sum(axis=0),
-            }
-        )
-
+    # per-batch int64 is safe: |q| <= ~1e6 so q^2 <= 1e12, and a batch
+    # holds <= ~1e4 rows -> per-batch ss <= ~1e16 << 2^63; only the
+    # DRIVER fold (Python big ints) and the SQL mirror (HUGEINT) must
+    # survive corpus-scale sums
     parts = (
         _read_emb(sf_dir)
-        .map_batches(partial, batch_format="pandas")
+        .map_batches(_dim_moment_partial, batch_format="pandas")
         .to_pandas()  # n_blocks x 64 rows — dim-sized, not corpus-sized
     )
     rows = []
@@ -2016,4 +2004,122 @@ SELECT CAST(a.dim AS BIGINT) AS dim_i, CAST(b.dim AS BIGINT) AS dim_j,
 FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.dim <= b.dim
 GROUP BY 1, 2
 ORDER BY 1, 2
+"""
+
+
+# -- whitening / standardization pass ----------------------------------------
+
+def whiten_embeddings(sf_dir: str) -> "object":
+    """Two-pass feature standardization — the stage that consumes
+    ``embedding_dim_stats``: pass 1 folds per-dim integer moment sums
+    (micro-unit quantized, driver holds dim-sized Python big ints), the
+    driver derives EXACT per-dim integer constants mean_mu = S//n and
+    s_mu = max(1, isqrt((n*Q - S^2) // n^2)) (``math.isqrt`` — no float
+    sqrt; constant dims clamp to 1), and pass 2 standardizes every
+    component vectorized (z = (q - mean_mu)*1e6 // s_mu, all int64-safe
+    because the constants are value-magnitude, not corpus-magnitude) and
+    folds each vector to (z_sum, z_abs_sum) so the output stays one row
+    per vector while still pinning every per-element value.  The oracle
+    mirrors isqrt with a float-sqrt + exact +/-1 integer correction and
+    Python FLOOR division semantics with an explicit negative-remainder
+    CASE (DuckDB ``//`` truncates).  Output: (vec_id, z_sum, z_abs_sum)."""
+    import math
+
+    import pandas as pd
+
+    parts = (
+        _read_emb(sf_dir)
+        .map_batches(_dim_moment_partial, batch_format="pandas")
+        .to_pandas()  # n_blocks x dim rows
+    )
+    dims = sorted(int(d) for d in parts["dim"].unique())
+    mean = np.empty(len(dims), dtype=np.int64)
+    smu = np.empty(len(dims), dtype=np.int64)
+    for j, d in enumerate(dims):
+        sub = parts[parts["dim"] == d]
+        n = sum(int(v) for v in sub["n"])
+        s = sum(int(v) for v in sub["s"])
+        q = sum(int(v) for v in sub["ss"])
+        mean[j] = s // n
+        smu[j] = max(1, math.isqrt((n * q - s * s) // (n * n)))
+
+    mean_ref = ray.put(mean)
+    smu_ref = ray.put(smu)
+
+    def standardize(t: pd.DataFrame) -> pd.DataFrame:
+        m, sd = ray.get(mean_ref), ray.get(smu_ref)
+        emb = np.array(t["embedding"].tolist(), dtype=np.float64)
+        qv = np.floor(emb * 1e6).astype(np.int64)
+        z = np.floor_divide((qv - m) * 1_000_000, sd)
+        return pd.DataFrame(
+            {
+                "vec_id": t["vec_id"].astype("int64"),
+                "z_sum": z.sum(axis=1),
+                "z_abs_sum": np.abs(z).sum(axis=1),
+            }
+        )
+
+    return (
+        _read_emb(sf_dir)
+        .map_batches(standardize, batch_format="pandas")
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+        .astype({"vec_id": "int64", "z_sum": "int64", "z_abs_sum": "int64"})
+    )
+
+
+def _dim_moment_partial(t):
+    """Shared per-batch per-dim integer moment fold (embedding_dim_stats /
+    whiten_embeddings)."""
+    import pandas as pd
+
+    emb = np.array(t["embedding"].tolist(), dtype=np.float64)
+    q = np.floor(emb * 1e6).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "dim": np.arange(1, q.shape[1] + 1, dtype=np.int64),
+            "n": np.full(q.shape[1], q.shape[0], dtype=np.int64),
+            "s": q.sum(axis=0),
+            "ss": (q * q).sum(axis=0),
+        }
+    )
+
+
+WHITEN_EMBEDDINGS_SQL = """
+WITH comp AS (
+  SELECT vec_id, u.i AS dim,
+         CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * 1e6) AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+), m AS (
+  SELECT dim, CAST(COUNT(*) AS HUGEINT) AS n, SUM(CAST(q AS HUGEINT)) AS s,
+         SUM(CAST(q AS HUGEINT) * q) AS qq
+  FROM comp GROUP BY dim
+), c AS (
+  SELECT dim,
+         -- Python floor division: correct DuckDB's truncation when the
+         -- (possibly negative) sum does not divide evenly
+         CAST(s // n - (CASE WHEN s % n <> 0 AND s < 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS mean_mu,
+         CAST((n*qq - s*s) // (n*n) AS HUGEINT) AS v
+  FROM m
+), sdev AS (
+  SELECT dim, mean_mu,
+         GREATEST(1, (CASE
+            WHEN (t+1)*(t+1) <= v THEN t+1
+            WHEN t*t > v THEN t-1
+            ELSE t END)) AS s_mu
+  FROM (SELECT dim, mean_mu, v,
+               CAST(FLOOR(SQRT(CAST(v AS DOUBLE))) AS HUGEINT) AS t
+        FROM c)
+), z AS (
+  SELECT comp.vec_id,
+         CAST((q - mean_mu) * 1000000 // s_mu
+              - (CASE WHEN (q - mean_mu) * 1000000 % s_mu <> 0
+                       AND q < mean_mu THEN 1 ELSE 0 END) AS BIGINT) AS z
+  FROM comp JOIN sdev USING (dim)
+)
+SELECT vec_id, CAST(SUM(z) AS BIGINT) AS z_sum,
+       CAST(SUM(ABS(z)) AS BIGINT) AS z_abs_sum
+FROM z GROUP BY vec_id ORDER BY vec_id
 """
