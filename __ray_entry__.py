@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (94 of 100): every deterministic construction is
+                      (111 of 117): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog via its md5 registers,
                       k-means and IVF via an unrolled Lloyd CTE chain,
@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": dedup.source_overlap,
         "dataset_split": curation.dataset_split,
         "whiten_embeddings": similarity.whiten_embeddings,
+        "label_propagation": similarity.label_propagation,
         # relational / TPC-H-ish (SURVEY §2.6 aggregations + joins) — green
         # in CORRECTNESS_r02.json
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -348,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
         "source_overlap": dedup.SOURCE_OVERLAP_SQL,
         "dataset_split": curation.DATASET_SPLIT_SQL,
         "whiten_embeddings": similarity.WHITEN_EMBEDDINGS_SQL,
+        "label_propagation": similarity.LABEL_PROPAGATION_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,

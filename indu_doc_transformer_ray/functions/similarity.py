@@ -2123,3 +2123,226 @@ SELECT vec_id, CAST(SUM(z) AS BIGINT) AS z_sum,
        CAST(SUM(ABS(z)) AS BIGINT) AS z_abs_sum
 FROM z GROUP BY vec_id ORDER BY vec_id
 """
+
+
+# -- semi-supervised label propagation over the k-NN graph -------------------
+
+LP_SEED_MOD = 10   # vec_id % 10 == 0 keeps its true label as a fixed seed
+LP_ROUNDS = 3
+
+
+def label_propagation(sf_dir: str, rounds: int = LP_ROUNDS) -> "object":
+    """Semi-supervised label propagation — the curation move that stretches
+    a small set of human-labeled documents over the whole corpus: 10% seed
+    nodes (``vec_id % 10 == 0``) keep their true ``label``; every round,
+    each node adopts the majority label among its k-NN out-neighbors
+    (ties -> smallest label; no labeled neighbor -> keep current; seeds
+    are clamped).  Same static-graph execution shape as ``pagerank_knn``:
+    the REVERSED edge set is pinned once in sharded ``num_cpus=0`` vote
+    actors (sorted by vote-source with a searchsorted slice gather), so
+    each round is one batched-RPC map over the label vector plus ONE
+    bucketed majority fold — the graph never re-enters the shuffle.
+    Integer labels, integer votes: bit-deterministic, fully oracled
+    through the unrolled-round CTE over the same IVF k-NN graph.
+    Output: (vec_id, lab) after ``rounds`` rounds (-1 = still unlabeled)."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    nb = n_buckets(n)
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_shards = max(2, min(16, ncpu // 2))
+
+    @ray.remote(num_cpus=0)
+    class VoteShard:
+        """Owns the reversed out-edges (vote source v -> voter u) of the
+        nodes with v % n_shards == shard id; num_cpus=0 — lookups only."""
+
+        def __init__(self):
+            self._v_parts: list[np.ndarray] = []
+            self._u_parts: list[np.ndarray] = []
+            self._v = self._u = None
+
+        def add_batch(self, v: np.ndarray, u: np.ndarray) -> int:
+            self._v_parts.append(v)
+            self._u_parts.append(u)
+            return len(v)
+
+        def seal(self) -> int:
+            if self._v_parts:
+                v = np.concatenate(self._v_parts)
+                u = np.concatenate(self._u_parts)
+            else:
+                v = u = np.empty(0, dtype=np.int64)
+            order = np.argsort(v, kind="stable")
+            self._v, self._u = v[order], u[order]
+            self._v_parts = self._u_parts = None
+            return len(self._v)
+
+        def votes(self, ids: np.ndarray, labs: np.ndarray):
+            """(voter u, label) per reversed out-edge of each labeled id."""
+            lo = np.searchsorted(self._v, ids, side="left")
+            hi = np.searchsorted(self._v, ids, side="right")
+            cnt = hi - lo
+            total = int(cnt.sum())
+            if total == 0:
+                return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+            starts = np.repeat(
+                lo - np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt
+            )
+            idx = starts + np.arange(total)
+            return (self._u[idx], np.repeat(labs, cnt))
+
+    shards = [VoteShard.remote() for _ in range(n_shards)]
+
+    def push_edges(t: pd.DataFrame) -> pd.DataFrame:
+        u = t["vec_id"].to_numpy(dtype=np.int64)   # voter (edge owner)
+        v = t["nbr_id"].to_numpy(dtype=np.int64)   # vote source
+        sh = v % n_shards
+        ray.get(
+            [
+                shards[s].add_batch.remote(v[sh == s], u[sh == s])
+                for s in np.unique(sh)
+            ]
+        )
+        return pd.DataFrame({"n": pd.Series([len(t)], dtype="int64")})
+
+    knn_graph(sf_dir).map_batches(push_edges, batch_format="pandas").count()
+    ray.get([s.seal.remote() for s in shards])
+
+    def seed_rows(t: pd.DataFrame) -> pd.DataFrame:
+        v = t["vec_id"].astype("int64")
+        seed = (v % LP_SEED_MOD == 0)
+        lab = t["label"].astype("int64").where(seed, -1)
+        return pd.DataFrame(
+            {
+                "vec_id": v,
+                "lab": lab.astype("int64"),
+                "seed": seed.astype("int8"),
+            }
+        )
+
+    labels = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    ).map_batches(seed_rows, batch_format="pandas")
+
+    def emit(t: pd.DataFrame) -> pd.DataFrame:
+        """Current-state carry rows + vote rows from the shard RPCs."""
+        ids = t["vec_id"].to_numpy(dtype=np.int64)
+        labs = t["lab"].to_numpy(dtype=np.int64)
+        frames = [
+            pd.DataFrame(
+                {
+                    "b": (ids % nb).astype(np.int32),
+                    "vec_id": ids,
+                    "lab": labs,
+                    "kind": np.repeat(
+                        np.int8(0), len(ids)
+                    ),  # 0 = carry (with seed flag in 'seed')
+                    "seed": t["seed"].to_numpy(dtype=np.int8),
+                }
+            )
+        ]
+        lm = labs != -1
+        lid, llab = ids[lm], labs[lm]
+        sh = lid % n_shards
+        refs = [
+            shards[s].votes.remote(lid[sh == s], llab[sh == s])
+            for s in np.unique(sh)
+        ]
+        for u, lab in ray.get(refs):
+            if len(u):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "b": (u % nb).astype(np.int32),
+                            "vec_id": u,
+                            "lab": lab,
+                            "kind": np.repeat(np.int8(1), len(u)),  # vote
+                            "seed": np.repeat(np.int8(0), len(u)),
+                        }
+                    )
+                )
+        return pd.concat(frames, ignore_index=True)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        carry = g[g["kind"] == 0].set_index("vec_id")
+        votes = g[g["kind"] == 1]
+        # majority: count desc, label asc — one vectorized groupby
+        vc = (
+            votes.groupby(["vec_id", "lab"]).size().reset_index(name="c")
+            .sort_values(["vec_id", "c", "lab"], ascending=[True, False, True])
+            .drop_duplicates("vec_id")
+            .set_index("vec_id")["lab"]
+        )
+        ids = carry.index.to_numpy(dtype=np.int64)
+        cur = carry["lab"].to_numpy(dtype=np.int64)
+        seed = carry["seed"].to_numpy(dtype=np.int8)
+        top = carry.index.map(vc)
+        new = np.where(
+            seed == 1, cur, np.where(top.isna(), cur, top.fillna(-1).astype("int64"))
+        )
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "lab": new.astype("int64"),
+                "seed": seed,
+            }
+        )
+
+    for _ in range(rounds):
+        labels = (
+            labels.map_batches(emit, batch_format="pandas")
+            .groupby("b")
+            .map_groups(fold, batch_format="pandas")
+        )
+
+    out = labels.to_pandas()[["vec_id", "lab"]]
+    return (
+        out.sort_values("vec_id")
+        .reset_index(drop=True)
+        .astype({"vec_id": "int64", "lab": "int64"})
+    )
+
+
+def _label_propagation_sql(rounds: int = LP_ROUNDS) -> str:
+    prev = "l0"
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""l{i} AS (
+  SELECT n.vec_id,
+         CASE WHEN n.seed = 1 THEN p.lab
+              ELSE COALESCE(v{i}.top_lab, p.lab) END AS lab,
+         n.seed
+  FROM seeds n JOIN {prev} p USING (vec_id) LEFT JOIN (
+    SELECT u, lab AS top_lab FROM (
+      SELECT e.vec_id AS u, p2.lab, COUNT(*) AS c,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id ORDER BY COUNT(*) DESC, p2.lab
+             ) AS rk
+      FROM knn e JOIN {prev} p2 ON e.nbr_id = p2.vec_id
+      WHERE p2.lab <> -1
+      GROUP BY e.vec_id, p2.lab) t WHERE rk = 1
+  ) v{i} ON v{i}.u = n.vec_id
+)"""
+        )
+        prev = f"l{i}"
+    joined = ",\n".join(steps)
+    return f"""
+WITH knn AS ({KNN_GRAPH_SQL}),
+seeds AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % {LP_SEED_MOD} = 0 THEN 1 ELSE 0 END AS seed,
+         CASE WHEN vec_id % {LP_SEED_MOD} = 0
+              THEN CAST(label AS BIGINT) ELSE -1 END AS lab0
+  FROM embeddings
+),
+l0 AS (SELECT vec_id, lab0 AS lab, seed FROM seeds),
+{joined}
+SELECT vec_id, CAST(lab AS BIGINT) AS lab FROM {prev} ORDER BY vec_id"""
+
+
+LABEL_PROPAGATION_SQL = _label_propagation_sql()

@@ -664,6 +664,14 @@ def test_round3_new_ops_match_oracle(ray_session):
         "q22_dormant_balance",
         "ngram_jaccard_pairs",
         "embedding_covariance",
+        "q15_top_supplier",
+        "q21_sole_returner",
+        "value_outliers",
+        "exact_price_quantiles",
+        "source_overlap",
+        "dataset_split",
+        "whiten_embeddings",
+        "label_propagation",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
