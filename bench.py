@@ -135,6 +135,12 @@ def bench_queries(sf_dir: str) -> dict:
         "running_total_per_customer": windows.running_total_per_customer,
         "q7_nation_pairs": relational.q7_nation_pairs,
         "lang_top_terms": text.lang_top_terms,
+        # round-3 late additions
+        "q21_sole_returner": relational.q21_sole_returner,
+        "exact_price_quantiles": sketches.exact_price_quantiles,
+        "source_overlap": dedup.source_overlap,
+        "whiten_embeddings": similarity.whiten_embeddings,
+        "label_propagation": similarity.label_propagation,
     }.items():
         t0 = time.time()
         res = fn(sf_dir)

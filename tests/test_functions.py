@@ -717,3 +717,19 @@ def test_windows_bucket_invariance(ray_session, monkeypatch):
     monkeypatch.setattr(windows, "n_buckets", lambda *a, **k: 64)
     b = run()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_shared_subdag_memoized(ray_session):
+    """knn_graph and the Lloyd fit are pure functions of (sf_dir, params);
+    within one Ray session repeat calls must return the SAME materialized
+    object so pagerank/triangle/label-propagation share one build."""
+    from indu_doc_transformer_ray.functions import similarity
+
+    sf = "/root/testdata/sf0.001"
+    c1 = similarity._kmeans_centroids(sf, 8, 5)
+    c2 = similarity._kmeans_centroids(sf, 8, 5)
+    assert c1 is c2
+    g1 = similarity.knn_graph(sf)
+    g2 = similarity.knn_graph(sf)
+    assert g1 is g2
+    assert similarity.knn_graph(sf, k=2) is not g1  # param-keyed
