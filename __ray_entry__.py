@@ -59,9 +59,9 @@ def entry() -> Any:
 #    oracle under span-sequence equality) ------------------------------------
 
 def _extract_spans(sf_dir: str):
-    from indu_doc_transformer_ray.pipelines.extract import extract_documents
+    from indu_doc_transformer_ray.pipelines.extract import extract_corpus_cached
 
-    return extract_documents(_span_corpus(sf_dir)).select_columns(
+    return extract_corpus_cached(sf_dir).select_columns(
         ["doc_id", "n_pages", "n_spans_in", "n_errors"]
     )
 
@@ -82,7 +82,7 @@ def _extract_object_stats(sf_dir: str):
     from indu_doc_transformer_ray.deltas import US
     from indu_doc_transformer_ray.pipelines.extract import (
         _explode_deltas,
-        extract_documents,
+        extract_corpus_cached,
     )
 
     _KIND_TO_TABLE = {
@@ -116,7 +116,7 @@ def _extract_object_stats(sf_dir: str):
             }
         )
 
-    extracted = extract_documents(_span_corpus(sf_dir))
+    extracted = extract_corpus_cached(sf_dir)
     out = (
         extracted.select_columns(["doc_id", "deltas", "n_errors", "n_page_objects"])
         .map_batches(partials, batch_format="pyarrow")

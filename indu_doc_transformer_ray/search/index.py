@@ -480,24 +480,19 @@ def search_targets_count(sf_dir: str) -> "object":
     import pyarrow.compute as _pc
 
     from ..spandoc import US
-    from ..pipelines.corpus import corpus_dataset
     from ..pipelines.extract import (
         decode_object_batch,
-        extract_documents,
+        extract_corpus_cached,
         merge_deltas,
     )
-
-    import pyarrow.parquet as _pq
-
-    n_docs = max(20, _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows // 5)
 
     # one extraction+merge, materialized: the in-session analogue of the
     # runner's persisted object checkpoint (merged objects are orders of
     # magnitude smaller than the corpus; a production run reads the
-    # checkpoint parquet here instead of holding blocks in the store)
-    merged_all = merge_deltas(
-        extract_documents(corpus_dataset(n_docs, seed=42))
-    ).materialize()
+    # checkpoint parquet here instead of holding blocks in the store).
+    # extraction itself is the session-cached corpus extraction shared
+    # with extract_spans / extract_object_stats.
+    merged_all = merge_deltas(extract_corpus_cached(sf_dir)).materialize()
 
     def table_ds(kinds: tuple[str, ...]) -> Dataset:
         merged = merged_all
