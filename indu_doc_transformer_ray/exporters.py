@@ -373,3 +373,71 @@ def export_aml(
             Name=f"link-{i}", RefPartnerSideA=a, RefPartnerSideB=b,
         )
     return ET.tostring(root, encoding="unicode")
+
+
+# -- whole-document blob persistence (reference db.py:360-376, 421-453) ------
+
+def save_document_blobs(docs, path: str) -> int:
+    """Persist whole source documents as SQLite blobs and return the count —
+    parity with the reference, which stores each original PDF's bytes in
+    the DB and can re-extract from them alone (reference: db.py:360-376
+    ``store_pdf``; 421-453 ``load_pdf`` + re-extraction).  Here the source
+    artifact is the span table, so each document serializes to one Arrow
+    IPC blob (schema included — self-describing, version-stable).  SQLite
+    is single-writer, so blobs stream driver-side via ``iter_batches``;
+    a cluster-scale archive would write one DB per shard the same way the
+    runner writes per-shard parquet (this surface is the reference-parity
+    small-archive path)."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    con = sqlite3.connect(path)
+    n = 0
+    try:
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS document_blobs"
+            " (doc_id TEXT PRIMARY KEY, blob BLOB)"
+        )
+        for batch in docs.iter_batches(batch_format="pyarrow"):
+            rows = []
+            for i in range(batch.num_rows):
+                one = batch.slice(i, 1)
+                buf = io.BytesIO()
+                with ipc.new_stream(buf, one.schema) as w:
+                    w.write_table(one)
+                rows.append((one.column("doc_id")[0].as_py(), buf.getvalue()))
+            con.executemany(
+                "INSERT OR REPLACE INTO document_blobs VALUES (?, ?)", rows
+            )
+            n += len(rows)
+        con.commit()
+    finally:
+        con.close()
+    return n
+
+
+def load_document_blobs(path: str):
+    """Blobs -> a Dataset with the original span schema (the re-extraction
+    input).  Deserializes driver-side (the archive is the small path, see
+    ``save_document_blobs``) and hands Ray one Arrow table."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    import ray.data
+
+    con = sqlite3.connect(path)
+    try:
+        parts = [
+            ipc.open_stream(io.BytesIO(b)).read_all()
+            for (b,) in con.execute(
+                "SELECT blob FROM document_blobs ORDER BY doc_id"
+            )
+        ]
+    finally:
+        con.close()
+    tab = pa.concat_tables(parts) if parts else pa.table({})
+    return ray.data.from_arrow(tab)

@@ -223,3 +223,36 @@ def test_export_aml(tables):
     # internal links reference declared external interfaces
     links = root.find("InternalLinks")
     assert links is not None and len(links) > 0
+
+
+def test_document_blob_round_trip(ray_session, tmp_path):
+    """Reference parity (db.py:360-376, 421-453): whole documents persist
+    as DB blobs and re-extract to the SAME objects as the originals."""
+    import ray.data
+
+    from indu_doc_transformer_ray.exporters import (
+        load_document_blobs,
+        save_document_blobs,
+    )
+    from indu_doc_transformer_ray.fixtures import corpus_table
+    from indu_doc_transformer_ray.pipelines.extract import (
+        extract_documents,
+        merge_deltas,
+    )
+
+    tab = corpus_table(12, seed=33)
+    db = str(tmp_path / "blobs.sqlite")
+    assert save_document_blobs(ray.data.from_arrow(tab), db) == 12
+
+    loaded = load_document_blobs(db)
+    got = loaded.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = tab.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == list(want["doc_id"])
+
+    def merged_map(t):
+        m = merge_deltas(extract_documents(t)).to_pandas()
+        return dict(zip(m["mkey"], m["payload"]))
+
+    assert merged_map(load_document_blobs(db)) == merged_map(
+        ray.data.from_arrow(tab)
+    )
