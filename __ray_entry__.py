@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": curation.dataset_split,
         "whiten_embeddings": similarity.whiten_embeddings,
         "label_propagation": similarity.label_propagation,
+        "bpe_pair_merges": text.bpe_pair_merges,
         # relational / TPC-H-ish (SURVEY §2.6 aggregations + joins) — green
         # in CORRECTNESS_r02.json
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -350,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": curation.DATASET_SPLIT_SQL,
         "whiten_embeddings": similarity.WHITEN_EMBEDDINGS_SQL,
         "label_propagation": similarity.LABEL_PROPAGATION_SQL,
+        "bpe_pair_merges": text.BPE_PAIR_MERGES_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,

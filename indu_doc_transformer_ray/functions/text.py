@@ -1715,3 +1715,64 @@ SELECT d.doc_id, CAST(COALESCE(agg.n_pairs, 0) AS BIGINT) AS n_pairs,
 FROM documents d LEFT JOIN agg USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+# -- tokenizer training: first BPE merge candidates ---------------------------
+
+def bpe_pair_merges(sf_dir: str, k: int = 20) -> "object":
+    """The first step of BPE tokenizer training — rank adjacent CHARACTER
+    pairs inside word tokens by corpus frequency (the pair a trainer would
+    merge first; contrast ``pmi_bigrams``, which is word-level).  Shape:
+    per-batch Counter combiner with a per-unique-token pair cache (the
+    alphabet is tiny, so partials are <= ~1.4k rows per batch regardless
+    of corpus size), one vocabulary-sized groupby, deterministic top-k
+    (count DESC, pair ASC).  Output: (pair, n, rk)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        tok_pairs: dict[str, list[str]] = {}
+        for text in t.column("text").to_pylist():
+            for tok in TOKEN_RE.findall(text.lower()):
+                ps = tok_pairs.get(tok)
+                if ps is None:
+                    ps = [tok[j : j + 2] for j in range(len(tok) - 1)]
+                    tok_pairs[tok] = ps
+                counts.update(ps)
+        return pa.table(
+            {
+                "pair": pa.array(list(counts.keys()), pa.string()),
+                "partial_n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    top = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("partial_n", alias_name="n"))
+        .sort(["n", "pair"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    top["rk"] = pd.RangeIndex(1, len(top) + 1)
+    return top.astype({"n": "int64", "rk": "int64"})
+
+
+BPE_PAIR_MERGES_SQL = """
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents
+), p AS (
+  SELECT substr(tok, CAST(u.i AS INT), 2) AS pair
+  FROM w, unnest(range(1, len(tok))) AS u(i)
+  WHERE len(tok) >= 2
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(row_number() OVER (ORDER BY COUNT(*) DESC, pair) AS BIGINT) AS rk
+FROM p GROUP BY pair ORDER BY rk LIMIT 20
+"""

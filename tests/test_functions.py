@@ -672,6 +672,7 @@ def test_round3_new_ops_match_oracle(ray_session):
         "dataset_split",
         "whiten_embeddings",
         "label_propagation",
+        "bpe_pair_merges",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
