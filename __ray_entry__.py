@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (112 of 118): every deterministic construction is
+                      (113 of 119): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog via its md5 registers,
                       k-means and IVF via an unrolled Lloyd CTE chain,
@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "whiten_embeddings": similarity.whiten_embeddings,
         "label_propagation": similarity.label_propagation,
         "bpe_pair_merges": text.bpe_pair_merges,
+        "bloom_semi_join": relational.bloom_semi_join,
         # relational / TPC-H-ish (SURVEY §2.6 aggregations + joins) — green
         # in CORRECTNESS_r02.json
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -352,6 +353,7 @@ def oracle_sql() -> dict[str, str]:
         "whiten_embeddings": similarity.WHITEN_EMBEDDINGS_SQL,
         "label_propagation": similarity.LABEL_PROPAGATION_SQL,
         "bpe_pair_merges": text.BPE_PAIR_MERGES_SQL,
+        "bloom_semi_join": relational.BLOOM_SEMI_JOIN_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,

@@ -2252,3 +2252,129 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 20
 """
+
+
+# -- Bloom-pushdown semi-join (sketch-accelerated shuffle join) ---------------
+
+_BLOOM_JOIN_M = 1 << 20  # bits; ~1e5 keys at sf0.1 -> fp ~1e-3 at k=3
+_BLOOM_JOIN_MULS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
+
+
+def bloom_semi_join(sf_dir: str) -> "object":
+    """Revenue of line items whose order belongs to a high-balance customer
+    — a two-hop semi-join executed with the SKETCH-PUSHDOWN idiom every
+    scale engine uses: the qualifying orderkey set folds into an O(M)-bit
+    Bloom filter (per-batch position partials, driver OR-fold, one
+    ``ray.put`` broadcast), the fact table pre-filters AGAINST THE BITS
+    before any shuffle (vectorized numpy multiply-shift hashes — no
+    per-row Python), and only survivors (true matches + ~1e-3 false
+    positives) enter the exact hash join that removes the FPs.  The join
+    therefore moves the semi-join's OUTPUT size, not the fact table.  The
+    result is EXACT — the sketch only prunes — so the oracle is the plain
+    nested semi-join.  Output: (l_returnflag, n_items, revenue_c4)."""
+    import pandas as pd
+
+    qual_cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+        .map_batches(
+            lambda t: pa.table(
+                {"c_custkey": pc.cast(t["c_custkey"], pa.int64())}
+            ).filter(pc.greater(_cents(t["c_acctbal"]), 500_000)),
+            batch_format="pyarrow",
+        )
+    )
+    okeys = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        .join(
+            qual_cust,
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+            aggregator_ray_remote_args={"num_cpus": 0},
+        )
+        .select_columns(["o_orderkey"])
+        .materialize()  # reused: bloom build + exact verify side
+    )
+
+    def _positions(keys):
+        import numpy as np
+
+        k = keys.astype(np.uint64)
+        return [
+            ((k + 1) * np.uint64(m) % np.uint64(_BLOOM_JOIN_M)).astype(np.int64)
+            for m in _BLOOM_JOIN_MULS
+        ]
+
+    def build(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        pos = np.unique(
+            np.concatenate(
+                _positions(t.column("o_orderkey").to_numpy(zero_copy_only=False))
+            )
+        )
+        return pa.table({"pos": pa.array(pos, pa.int64())})
+
+    import numpy as np
+
+    parts = okeys.map_batches(build, batch_format="pyarrow").to_pandas()
+    bits = np.zeros(_BLOOM_JOIN_M, dtype=bool)
+    for p in parts["pos"]:
+        bits[p] = True
+    bref = ray.put(bits)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        keys = pc.cast(t["l_orderkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        mask = np.ones(len(keys), dtype=bool)
+        for pos in _positions(keys):
+            mask &= b[pos]
+        sub = t.filter(pa.array(mask))
+        rev = pc.multiply(
+            _cents(sub["l_extendedprice"]), pc.subtract(100, _cents(sub["l_discount"]))
+        )
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(sub["l_orderkey"], pa.int64()),
+                "l_returnflag": sub["l_returnflag"],
+                "rev_c4": rev,
+            }
+        )
+
+    survivors = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
+    ).map_batches(prefilter, batch_format="pyarrow")
+
+    out = (
+        survivors.join(  # exact verify: removes the sketch's false positives
+            okeys,
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+            aggregator_ray_remote_args={"num_cpus": 0},
+        )
+        .groupby("l_returnflag")
+        .aggregate(
+            Count(alias_name="n_items"), Sum("rev_c4", alias_name="revenue_c4")
+        )
+        .to_pandas()  # 3 rows
+        .astype({"n_items": "int64", "revenue_c4": "int64"})
+    )
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+BLOOM_SEMI_JOIN_SQL = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+         AS revenue_c4
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_custkey IN (
+    SELECT c_custkey FROM customer
+    WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) > 500000))
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

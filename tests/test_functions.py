@@ -673,6 +673,7 @@ def test_round3_new_ops_match_oracle(ray_session):
         "whiten_embeddings",
         "label_propagation",
         "bpe_pair_merges",
+        "bloom_semi_join",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
