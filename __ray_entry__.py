@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (113 of 119): every deterministic construction is
+                      (115 of 121): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog via its md5 registers,
                       k-means and IVF via an unrolled Lloyd CTE chain,
@@ -252,6 +252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": similarity.label_propagation,
         "bpe_pair_merges": text.bpe_pair_merges,
         "bloom_semi_join": relational.bloom_semi_join,
+        "latest_event_per_user": events.latest_event_per_user,
+        "orders_cube": relational.orders_cube,
         # relational / TPC-H-ish (SURVEY §2.6 aggregations + joins) — green
         # in CORRECTNESS_r02.json
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -354,6 +356,8 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation": similarity.LABEL_PROPAGATION_SQL,
         "bpe_pair_merges": text.BPE_PAIR_MERGES_SQL,
         "bloom_semi_join": relational.BLOOM_SEMI_JOIN_SQL,
+        "latest_event_per_user": events.LATEST_EVENT_SQL,
+        "orders_cube": relational.ORDERS_CUBE_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,

@@ -635,3 +635,61 @@ FROM m JOIN x ON x.event_type = m.event_type
 GROUP BY m.event_type, n
 ORDER BY m.event_type
 """
+
+
+def latest_event_per_user(sf_dir: str) -> Dataset:
+    """CDC-style last-value compaction: each user's LATEST event (ts DESC,
+    event_id DESC tie-break) — the upsert-merge primitive a change-stream
+    consumer runs to materialize current state.  One user-bucket
+    co-location; the in-bucket kernel is a vectorized sort + head-per-user
+    (never a per-user Python call).  Output: (user_id, event_type, ts_us,
+    value_c4)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    nb = _user_buckets(sf_dir)
+    ds = _read_events(
+        sf_dir, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    def keyed(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        u = df["user_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "ub": (u % nb).astype("int32"),
+                "user_id": u,
+                "event_id": df["event_id"].astype("int64"),
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+                "event_type": df["event_type"].astype("object"),
+                "value_c4": (df["value"] * 10_000).round().astype("int64"),
+            }
+        )
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "ts_us", "event_id"], ascending=[True, False, False]
+        ).drop_duplicates("user_id")
+        return g[["user_id", "event_type", "ts_us", "value_c4"]].reset_index(
+            drop=True
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(latest, batch_format="pandas")
+        .sort("user_id")
+    )
+
+
+LATEST_EVENT_SQL = """
+SELECT user_id, event_type,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       CAST(ROUND(value*10000) AS BIGINT) AS value_c4
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events)
+WHERE rk = 1
+ORDER BY user_id
+"""

@@ -2378,3 +2378,74 @@ WHERE l_orderkey IN (
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+
+# -- CUBE grouping sets -------------------------------------------------------
+
+def orders_cube(sf_dir: str) -> "object":
+    """CUBE(status, priority) order counts + totalprice sums — the grouping-
+    sets shape done map-side: each batch emits partials for all FOUR
+    grouping sets at once (one pyarrow group_by per set over the batch,
+    'ALL' as the rolled-up sentinel), so a single small groupby folds the
+    whole cube; no per-set corpus pass, no driver pivot.  Output:
+    (o_orderstatus, o_orderpriority, n_orders, total_c2)."""
+    import pandas as pd
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        base = pa.table(
+            {
+                "s": t["o_orderstatus"],
+                "p": t["o_orderpriority"],
+                "c2": _cents(t["o_totalprice"]),
+            }
+        )
+        outs = []
+        n = len(base)
+        for keep_s, keep_p in (
+            (True, True), (True, False), (False, True), (False, False),
+        ):
+            g = pa.table(
+                {
+                    "s": base["s"] if keep_s
+                    else pa.array(["ALL"] * n, pa.string()),
+                    "p": base["p"] if keep_p
+                    else pa.array(["ALL"] * n, pa.string()),
+                    "c2": base["c2"],
+                }
+            )
+            outs.append(
+                pa.TableGroupBy(g, ["s", "p"]).aggregate(
+                    [("c2", "sum"), ([], "count_all")]
+                )
+            )
+        return pa.concat_tables(outs)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["s", "p"])
+        .aggregate(
+            Sum("count_all", alias_name="n_orders"),
+            Sum("c2_sum", alias_name="total_c2"),
+        )
+        .to_pandas()  # (|status|+1) x (|priority|+1) rows
+        .rename(columns={"s": "o_orderstatus", "p": "o_orderpriority"})
+        .astype({"n_orders": "int64", "total_c2": "int64"})
+    )
+    return out.sort_values(
+        ["o_orderstatus", "o_orderpriority"]
+    ).reset_index(drop=True)
+
+
+ORDERS_CUBE_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c2
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""

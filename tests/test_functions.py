@@ -674,6 +674,8 @@ def test_round3_new_ops_match_oracle(ray_session):
         "label_propagation",
         "bpe_pair_merges",
         "bloom_semi_join",
+        "latest_event_per_user",
+        "orders_cube",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
