@@ -254,6 +254,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": relational.bloom_semi_join,
         "latest_event_per_user": events.latest_event_per_user,
         "orders_cube": relational.orders_cube,
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q11_important_parts": relational.q11_important_parts,
+        "q16_supplier_counts": relational.q16_supplier_counts,
         # relational / TPC-H-ish (SURVEY §2.6 aggregations + joins) — green
         # in CORRECTNESS_r02.json
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -358,6 +361,9 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join": relational.BLOOM_SEMI_JOIN_SQL,
         "latest_event_per_user": events.LATEST_EVENT_SQL,
         "orders_cube": relational.ORDERS_CUBE_SQL,
+        "q2_min_cost_supplier": relational.Q2_MIN_COST_SQL,
+        "q11_important_parts": relational.Q11_IMPORTANT_PARTS_SQL,
+        "q16_supplier_counts": relational.Q16_SUPPLIER_COUNTS_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,

@@ -2449,3 +2449,382 @@ FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY o_orderstatus, o_orderpriority
 """
+
+
+# -- q2: min-cost supplier per part (correlated-MIN + 5-way join shape) ------
+
+def q2_min_cost_supplier(sf_dir: str) -> "object":
+    """TPC-H q2 adaptation (no partsupp in the driver schema): for each
+    LARGE part of size <= 10, the EUROPE supplier(s) offering it at the
+    minimum observed line price.  The correlated ``MIN`` subquery becomes a
+    single ``groupby(partkey).map_groups`` kernel that sees every
+    (supplier, min-price) pair for the part at once — one co-location
+    shuffle replaces the oracle's join-back-on-the-min.  Both fact-side
+    joins (lineitem ⋈ selected parts, ⋈ the full supplier projection) are
+    hash-partitioned ``Dataset.join``s since part and supplier scale with
+    the corpus; the EUROPE region filter runs post-join (a pre-filtered
+    supplier side leaves hash partitions empty — q15's schemaless-empty-
+    block crash); only nation/region (25 + 5 fixed rows) resolve on the
+    driver.  Winner decoration (names, brands, balances) attaches to the
+    <=100-row result via broadcast-filtered dimension reads, never a
+    shuffle.  Reference parity: SURVEY §2.5 join family."""
+    import pandas as pd
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    eur_key = int(region.loc[region["r_name"] == "EUROPE", "r_regionkey"].iloc[0])
+    eur_nations = sorted(
+        int(k) for k in nation.loc[nation["n_regionkey"] == eur_key, "n_nationkey"]
+    )
+    eur_arr = pa.array(eur_nations, pa.int64())
+
+    sel_parts = (
+        _read(sf_dir, "part", ["p_partkey", "p_type", "p_size"])
+        .filter(expr="p_type == 'LARGE' and p_size <= 10")
+        .select_columns(["p_partkey"])
+    )
+
+    # join the FULL supplier projection (dense right side — a
+    # region-filtered side leaves hash partitions empty, the schemaless-
+    # empty-block crash documented at q15) and filter EUROPE in the fold.
+    supp_keys = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+    li_parts = li.join(
+        sel_parts,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+    li_eur = li_parts.join(
+        supp_keys,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("l_suppkey",),
+        right_on=("s_suppkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        # EUROPE filter + map-side combine: one (part, supp) min per batch
+        t = t.filter(pc.is_in(pc.cast(t["s_nationkey"], pa.int64()), value_set=eur_arr))
+        folded = pa.table(
+            {
+                "p_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                "cost_c2": _cents(t["l_extendedprice"]),
+            }
+        )
+        return (
+            pa.TableGroupBy(folded, ["p_partkey", "s_suppkey"])
+            .aggregate([("cost_c2", "min")])
+            .rename_columns(["p_partkey", "s_suppkey", "cost_c2"])
+        )
+
+    def winners(g: "pd.DataFrame") -> "pd.DataFrame":
+        # all (supplier, min-cost) pairs of one part: pick the tied minimum
+        per_supp = g.groupby("s_suppkey")["cost_c2"].min()
+        best = int(per_supp.min())
+        win = per_supp[per_supp == best]
+        return pd.DataFrame(
+            {
+                "p_partkey": int(g["p_partkey"].iloc[0]),
+                "s_suppkey": win.index.astype("int64"),
+                "cost_c2": best,
+            }
+        )
+
+    win = (
+        li_eur.map_batches(fold, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .map_groups(winners, batch_format="pandas")
+        .to_pandas()  # <= |selected parts| x |tied suppliers|: tiny by filter
+    )
+    if len(win) == 0:
+        return pd.DataFrame(
+            {
+                "s_acctbal_c2": pd.Series([], dtype="int64"),
+                "s_name": pd.Series([], dtype="object"),
+                "n_name": pd.Series([], dtype="object"),
+                "p_partkey": pd.Series([], dtype="int64"),
+                "s_suppkey": pd.Series([], dtype="int64"),
+                "cost_c2": pd.Series([], dtype="int64"),
+            }
+        )
+
+    win_supp = pa.array(sorted(set(int(s) for s in win["s_suppkey"])), pa.int64())
+
+    def supp_pick(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.is_in(pc.cast(t["s_suppkey"], pa.int64()), value_set=win_supp))
+        return pa.table(
+            {
+                "s_suppkey": pc.cast(sub["s_suppkey"], pa.int64()),
+                "s_name": sub["s_name"],
+                "s_acctbal_c2": _cents(sub["s_acctbal"]),
+                "s_nationkey": pc.cast(sub["s_nationkey"], pa.int64()),
+            }
+        )
+
+    supp = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"])
+        .map_batches(supp_pick, batch_format="pyarrow")
+        .to_pandas()  # winners only
+    )
+    out = win.merge(supp, on="s_suppkey").merge(
+        nation[["n_nationkey", "n_name"]],
+        left_on="s_nationkey",
+        right_on="n_nationkey",
+    )
+    out = out[
+        ["s_acctbal_c2", "s_name", "n_name", "p_partkey", "s_suppkey", "cost_c2"]
+    ].astype({"s_acctbal_c2": "int64", "p_partkey": "int64",
+              "s_suppkey": "int64", "cost_c2": "int64"})
+    out = out.sort_values(
+        ["s_acctbal_c2", "n_name", "s_name", "p_partkey", "s_suppkey"],
+        ascending=[False, True, True, True, True],
+    ).head(100)
+    return out.reset_index(drop=True)
+
+
+Q2_MIN_COST_SQL = """
+WITH eur_supp AS (
+  SELECT s_suppkey, s_name, CAST(ROUND(s_acctbal*100) AS BIGINT) AS s_acctbal_c2,
+         n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+sel_parts AS (
+  SELECT p_partkey FROM part WHERE p_type = 'LARGE' AND p_size <= 10),
+cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS cost_c2
+  FROM lineitem JOIN sel_parts ON l_partkey = p_partkey
+                JOIN eur_supp  ON l_suppkey = s_suppkey
+  GROUP BY l_partkey, l_suppkey)
+SELECT es.s_acctbal_c2, es.s_name, es.n_name,
+       CAST(c.l_partkey AS BIGINT) AS p_partkey,
+       CAST(c.l_suppkey AS BIGINT) AS s_suppkey,
+       CAST(c.cost_c2 AS BIGINT) AS cost_c2
+FROM cost c JOIN eur_supp es ON c.l_suppkey = es.s_suppkey
+WHERE c.cost_c2 = (SELECT MIN(c2.cost_c2) FROM cost c2
+                   WHERE c2.l_partkey = c.l_partkey)
+ORDER BY es.s_acctbal_c2 DESC, es.n_name, es.s_name, p_partkey, s_suppkey
+LIMIT 100
+"""
+
+
+# -- q11: important parts (groupby + global-scalar HAVING shape) -------------
+
+def q11_important_parts(sf_dir: str) -> "object":
+    """TPC-H q11 adaptation: per-part line-revenue supplied by ASIA
+    suppliers, keeping parts whose value exceeds twice the mean per-part
+    value — the ``HAVING SUM(...) > (SELECT SUM(...) * f)`` global-scalar
+    shape with a corpus-free fraction (TPC-H's own 0.0001/SF scales the
+    cutoff with data size; a fixed fraction degenerates to 0 or all rows
+    as the part count grows).
+    lineitem ⋈ ASIA-suppliers is a hash-partitioned ``Dataset.join`` (the
+    supplier table scales); per-part value folds map-side before ONE small
+    groupby; the grand total is a driver scalar off the materialized
+    aggregate (reused for the filter — no second pass over lineitem); the
+    share test is exact integer (``value*500 > total``), so the result
+    hash-matches the oracle.  Reference parity: SURVEY §2.6."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    asia_key = int(region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+    asia_arr = pa.array(
+        sorted(int(k) for k in nation.loc[nation["n_regionkey"] == asia_key, "n_nationkey"]),
+        pa.int64(),
+    )
+
+    # full supplier projection as the join side (dense — a region-filtered
+    # side leaves hash partitions empty, see q15's schemaless-empty-block
+    # note); the ASIA filter runs in the fold.
+    supp_keys = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+    joined = li.join(
+        supp_keys,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("l_suppkey",),
+        right_on=("s_suppkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(pc.cast(t["s_nationkey"], pa.int64()), value_set=asia_arr))
+        folded = pa.table(
+            {
+                "p_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                "value_c2": _cents(t["l_extendedprice"]),
+            }
+        )
+        return (
+            pa.TableGroupBy(folded, "p_partkey")
+            .aggregate([("value_c2", "sum")])
+            .rename_columns(["p_partkey", "value_c2"])
+        )
+
+    val = (
+        joined.map_batches(fold, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .aggregate(Sum("value_c2", alias_name="value_c2"))
+        .materialize()  # reused: grand total + share filter
+    )
+    total = int(val.sum("value_c2") or 0)
+    n_parts = int(val.count())
+    # value*n > 2*total  <=>  value >= (2*total)//n + 1  (exact in integers)
+    out = (
+        val.filter(expr=f"value_c2 >= {(2 * total) // max(1, n_parts) + 1}")
+        .sort(["value_c2", "p_partkey"], descending=[True, False])
+        .to_pandas()
+    )
+    out["value_c2"] = out["value_c2"].astype("int64")
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    return out
+
+
+Q11_IMPORTANT_PARTS_SQL = """
+WITH asia_supp AS (
+  SELECT s_suppkey
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'),
+val AS (
+  SELECT l_partkey AS p_partkey,
+         SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS value_c2
+  FROM lineitem JOIN asia_supp ON l_suppkey = s_suppkey
+  GROUP BY l_partkey)
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey, CAST(value_c2 AS BIGINT) AS value_c2
+FROM val
+WHERE value_c2 * (SELECT COUNT(*) FROM val) > 2 * (SELECT SUM(value_c2) FROM val)
+ORDER BY value_c2 DESC, p_partkey
+"""
+
+
+# -- q16: supplier counts per part attribute (distinct-count + anti-join) ----
+
+def q16_supplier_counts(sf_dir: str) -> "object":
+    """TPC-H q16 adaptation: distinct suppliers per (brand, type, size) for
+    a filtered part family, excluding low-balance suppliers (the
+    complaints anti-join analog).  Both fact joins are hash-partitioned
+    ``Dataset.join``s; the distinct count is two groupbys on the SAME key
+    prefix — first (brand,type,size,suppkey) to dedup (with a map-side
+    pyarrow dedup fold so the shuffle carries unique combos only), then
+    (brand,type,size) to count — the partitioning-friendly way to express
+    COUNT(DISTINCT) over a join.  Reference parity: SURVEY §2.6 distinct
+    family (distinct_suppliers_per_nation is the 1-key version)."""
+    sizes = pa.array([1, 4, 9, 14, 19, 23, 36, 45], pa.int64())
+
+    def part_pick(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.not_equal(t["p_brand"], "Brand#5"),
+                pc.not_equal(t["p_type"], "PROMO"),
+            ),
+            pc.is_in(pc.cast(t["p_size"], pa.int64()), value_set=sizes),
+        )
+        sub = t.filter(mask)
+        return pa.table(
+            {
+                "p_partkey": pc.cast(sub["p_partkey"], pa.int64()),
+                "p_brand": sub["p_brand"],
+                "p_type": sub["p_type"],
+                "p_size": pc.cast(sub["p_size"], pa.int64()),
+            }
+        )
+
+    sel_parts = _read(
+        sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]
+    ).map_batches(part_pick, batch_format="pyarrow")
+
+    def supp_ok(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.greater_equal(_cents(t["s_acctbal"]), 100_000))
+        return pa.table({"s_suppkey": pc.cast(sub["s_suppkey"], pa.int64())})
+
+    ok_supp = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).map_batches(
+        supp_ok, batch_format="pyarrow"
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    li_parts = li.join(
+        sel_parts,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+    li_ok = li_parts.join(
+        ok_supp,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("l_suppkey",),
+        right_on=("s_suppkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def dedup_fold(t: pa.Table) -> pa.Table:
+        # map-side dedup: the shuffle ships unique combos, not lineitems
+        folded = pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "p_type": t["p_type"],
+                "p_size": pc.cast(t["p_size"], pa.int64()),
+                "s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+            }
+        )
+        return (
+            pa.TableGroupBy(folded, ["p_brand", "p_type", "p_size", "s_suppkey"])
+            .aggregate([])
+        )
+
+    uniq = (
+        li_ok.map_batches(dedup_fold, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type", "p_size", "s_suppkey"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def count_fold(t: pa.Table) -> pa.Table:
+        folded = pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "p_type": t["p_type"],
+                "p_size": t["p_size"],
+                "one": pa.array([1] * len(t), pa.int64()),
+            }
+        )
+        return (
+            pa.TableGroupBy(folded, ["p_brand", "p_type", "p_size"])
+            .aggregate([("one", "sum")])
+            .rename_columns(["p_brand", "p_type", "p_size", "supplier_cnt"])
+        )
+
+    out = (
+        uniq.map_batches(count_fold, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type", "p_size"])
+        .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
+        .to_pandas()  # |brands| x |types| x |sizes| upper bound: small
+    )
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    out["p_size"] = out["p_size"].astype("int64")
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True],
+    ).reset_index(drop=True)
+
+
+Q16_SUPPLIER_COUNTS_SQL = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND CAST(ROUND(s_acctbal*100) AS BIGINT) >= 100000
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
