@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (115 of 121): every deterministic construction is
+                      (121 of 127): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog via its md5 registers,
                       k-means and IVF via an unrolled Lloyd CTE chain,
@@ -257,6 +257,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q2_min_cost_supplier": relational.q2_min_cost_supplier,
         "q11_important_parts": relational.q11_important_parts,
         "q16_supplier_counts": relational.q16_supplier_counts,
+        "q9_nation_profit": relational.q9_nation_profit,
+        "q12_late_shipments": relational.q12_late_shipments,
+        "q20_excess_suppliers": relational.q20_excess_suppliers,
         # relational / TPC-H-ish (SURVEY §2.6 aggregations + joins) — green
         # in CORRECTNESS_r02.json
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -364,6 +367,9 @@ def oracle_sql() -> dict[str, str]:
         "q2_min_cost_supplier": relational.Q2_MIN_COST_SQL,
         "q11_important_parts": relational.Q11_IMPORTANT_PARTS_SQL,
         "q16_supplier_counts": relational.Q16_SUPPLIER_COUNTS_SQL,
+        "q9_nation_profit": relational.Q9_NATION_PROFIT_SQL,
+        "q12_late_shipments": relational.Q12_LATE_SHIPMENTS_SQL,
+        "q20_excess_suppliers": relational.Q20_EXCESS_SUPPLIERS_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,

@@ -2828,3 +2828,370 @@ WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
 GROUP BY p_brand, p_type, p_size
 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
 """
+
+
+# -- q9: profit by nation and year (4-way join + 2-key groupby shape) --------
+
+def q9_nation_profit(sf_dir: str) -> "object":
+    """TPC-H q9 adaptation (no partsupp): per (supplier-nation, order-year)
+    profit over 'bolt' parts, profit = line revenue minus a retail-price
+    cost proxy (``p_retailprice * l_quantity`` — supplycost is absent from
+    the driver schema).  Three hash-partitioned ``Dataset.join``s (part
+    filter, supplier nationkey, orders year) — the q9 join tree; the
+    2-key aggregate folds map-side to <=25*|years| rows per batch before
+    ONE small groupby; nation names decorate the tiny final frame on the
+    driver.  Exact in c4 cents (revenue and cost both scale to 1e4).
+    Reference parity: SURVEY §2.5/2.6 multi-join aggregate family."""
+
+    def part_pick(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.match_substring(t["p_name"], "bolt"))
+        return pa.table(
+            {
+                "p_partkey": pc.cast(sub["p_partkey"], pa.int64()),
+                "retail_c2": _cents(sub["p_retailprice"]),
+            }
+        )
+
+    bolt_parts = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).map_batches(
+        part_pick, batch_format="pyarrow"
+    )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+         "l_extendedprice", "l_discount"],
+    )
+    li_parts = li.join(
+        bolt_parts,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    li_supp = li_parts.join(
+        supp,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("l_suppkey",),
+        right_on=("s_suppkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def order_year(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        order_year, batch_format="pyarrow"
+    )
+    joined = li_supp.join(
+        orders,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]), pc.subtract(100, _cents(t["l_discount"]))
+        )
+        cost = pc.multiply(
+            pc.multiply(pc.cast(t["retail_c2"], pa.int64()), 100),
+            pc.cast(t["l_quantity"], pa.int64()),
+        )
+        folded = pa.table(
+            {
+                "s_nationkey": pc.cast(t["s_nationkey"], pa.int64()),
+                "o_year": t["o_year"],
+                "profit_c4": pc.subtract(rev, cost),
+            }
+        )
+        return (
+            pa.TableGroupBy(folded, ["s_nationkey", "o_year"])
+            .aggregate([("profit_c4", "sum")])
+            .rename_columns(["s_nationkey", "o_year", "profit_c4"])
+        )
+
+    agg = (
+        joined.map_batches(fold, batch_format="pyarrow")
+        .groupby(["s_nationkey", "o_year"])
+        .aggregate(Sum("profit_c4", alias_name="profit_c4"))
+        .to_pandas()  # <= 25 nations x |years|
+    )
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = agg.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    out = out[["n_name", "o_year", "profit_c4"]].astype(
+        {"o_year": "int64", "profit_c4": "int64"}
+    )
+    return out.sort_values(
+        ["n_name", "o_year"], ascending=[True, False]
+    ).reset_index(drop=True)
+
+
+Q9_NATION_PROFIT_SQL = """
+SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+                - CAST(ROUND(p_retailprice*100) AS BIGINT) * 100
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_c4
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+"""
+
+
+# -- q12: late shipments by return flag (join + conditional aggregate) -------
+
+def q12_late_shipments(sf_dir: str) -> "object":
+    """TPC-H q12 adaptation (no shipmode/commit/receipt dates in the driver
+    schema): lines shipped in 1997 at least 60 days after their order date,
+    grouped by ``l_returnflag`` (the 2-3-value mode analog), counting lines
+    of high- vs low-priority orders — the CASE-WHEN conditional-count
+    shape.  One hash-partitioned ``Dataset.join`` (lineitem ⋈ orders, both
+    scale); the year filter prunes lineitem BEFORE the shuffle; the
+    lateness predicate needs both sides so it runs post-join in the fold,
+    which emits <=3 partial rows per batch.  Reference parity: SURVEY
+    §2.6 conditional-aggregate family (status_priority_pivot is the
+    unjoined version)."""
+    from datetime import datetime
+
+    lo = pa.scalar(datetime(1997, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(datetime(1998, 1, 1), pa.timestamp("us"))
+    _LATE_US = 60 * 86_400_000_000
+
+    def li_pick(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].cast(pa.timestamp("us"))
+        mask = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        sub = t.filter(mask)
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(sub["l_orderkey"], pa.int64()),
+                "l_returnflag": sub["l_returnflag"],
+                "ship_us": pc.cast(sub["l_shipdate"].cast(pa.timestamp("us")), pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_shipdate"]
+    ).map_batches(li_pick, batch_format="pyarrow")
+
+    def o_pick(t: pa.Table) -> pa.Table:
+        pri = t["o_orderpriority"]
+        high = pc.or_(pc.equal(pri, "1-URGENT"), pc.equal(pri, "2-HIGH"))
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "order_us": pc.cast(t["o_orderdate"].cast(pa.timestamp("us")), pa.int64()),
+                "is_high": high,
+            }
+        )
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(o_pick, batch_format="pyarrow")
+
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        late = pc.greater_equal(
+            pc.subtract(t["ship_us"], t["order_us"]), _LATE_US
+        )
+        sub = t.filter(late)
+        high = pc.cast(sub["is_high"], pa.int64())
+        folded = pa.table(
+            {
+                "l_returnflag": sub["l_returnflag"],
+                "high_line_count": high,
+                "low_line_count": pc.subtract(1, high),
+            }
+        )
+        return (
+            pa.TableGroupBy(folded, "l_returnflag")
+            .aggregate([("high_line_count", "sum"), ("low_line_count", "sum")])
+            .rename_columns(["l_returnflag", "high_line_count", "low_line_count"])
+        )
+
+    out = (
+        joined.map_batches(fold, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("high_line_count", alias_name="high_line_count"),
+            Sum("low_line_count", alias_name="low_line_count"),
+        )
+        .to_pandas()  # <= 3 rows
+    )
+    for c in ("high_line_count", "low_line_count"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+Q12_LATE_SHIPMENTS_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# -- q20: excess-share suppliers (nested aggregate + semi-join shape) --------
+
+def q20_excess_suppliers(sf_dir: str) -> "object":
+    """TPC-H q20 adaptation (no partsupp availqty): AMERICA suppliers who
+    shipped more than 20% of the total 1996 volume of some STANDARD part —
+    the nested-aggregate semi-join shape (original: availqty > half the
+    yearly shipped quantity).  The per-(part, supplier) and per-part sums
+    both come out of ONE ``groupby(partkey).map_groups`` co-location (the
+    kernel sees every supplier of the part at once and applies the exact
+    integer share test ``5*qty > total``); lineitem ⋈ STANDARD parts is a
+    hash-partitioned ``Dataset.join``; the surviving supplier set is tiny
+    (bounded by 5 per part), so names/regions attach via broadcast-filtered
+    dimension reads.  Reference parity: SURVEY §2.5 semi-join family."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    am_key = int(region.loc[region["r_name"] == "AMERICA", "r_regionkey"].iloc[0])
+    am_nations = pa.array(
+        sorted(int(k) for k in nation.loc[nation["n_regionkey"] == am_key, "n_nationkey"]),
+        pa.int64(),
+    )
+
+    std_parts = (
+        _read(sf_dir, "part", ["p_partkey", "p_type"])
+        .filter(expr="p_type == 'STANDARD'")
+        .select_columns(["p_partkey"])
+    )
+
+    lo = pa.scalar(datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(datetime(1997, 1, 1), pa.timestamp("us"))
+
+    def li_pick(t: pa.Table) -> pa.Table:
+        d = t["l_shipdate"].cast(pa.timestamp("us"))
+        sub = t.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
+        return pa.table(
+            {
+                "l_partkey": pc.cast(sub["l_partkey"], pa.int64()),
+                "l_suppkey": pc.cast(sub["l_suppkey"], pa.int64()),
+                "qty": pc.cast(sub["l_quantity"], pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]
+    ).map_batches(li_pick, batch_format="pyarrow")
+
+    li_std = li.join(
+        std_parts,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        # map-side combine: one (part, supp) qty partial per batch
+        return (
+            pa.TableGroupBy(
+                t.select(["l_partkey", "l_suppkey", "qty"]), ["l_partkey", "l_suppkey"]
+            )
+            .aggregate([("qty", "sum")])
+            .rename_columns(["l_partkey", "l_suppkey", "qty"])
+        )
+
+    def excess(g: "pd.DataFrame") -> "pd.DataFrame":
+        per_supp = g.groupby("l_suppkey")["qty"].sum()
+        total = int(per_supp.sum())
+        win = per_supp[per_supp * 5 > total]
+        return pd.DataFrame({"s_suppkey": win.index.astype("int64")})
+
+    win = (
+        li_std.map_batches(fold, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .map_groups(excess, batch_format="pandas")
+        .groupby("s_suppkey")
+        .aggregate(Count(alias_name="n_parts"))  # distinct suppliers
+        .to_pandas()  # <= 5 winners per part, deduped: small
+    )
+    if len(win) == 0:
+        return pd.DataFrame(
+            {
+                "s_suppkey": pd.Series([], dtype="int64"),
+                "s_name": pd.Series([], dtype="object"),
+            }
+        )
+    win_arr = pa.array(sorted(int(s) for s in win["s_suppkey"]), pa.int64())
+
+    def supp_pick(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.is_in(pc.cast(t["s_suppkey"], pa.int64()), value_set=win_arr),
+            pc.is_in(pc.cast(t["s_nationkey"], pa.int64()), value_set=am_nations),
+        )
+        sub = t.filter(mask)
+        return pa.table(
+            {
+                "s_suppkey": pc.cast(sub["s_suppkey"], pa.int64()),
+                "s_name": sub["s_name"],
+            }
+        )
+
+    out = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+        .map_batches(supp_pick, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+Q20_EXCESS_SUPPLIERS_SQL = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'STANDARD'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey),
+tot AS (
+  SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY l_partkey),
+excess AS (
+  SELECT DISTINCT s.l_suppkey
+  FROM shipped s JOIN tot t ON s.l_partkey = t.l_partkey
+  WHERE s.qty * 5 > t.total_qty)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+FROM supplier
+JOIN excess ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'AMERICA'
+ORDER BY s_suppkey
+"""

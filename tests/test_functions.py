@@ -676,6 +676,12 @@ def test_round3_new_ops_match_oracle(ray_session):
         "bloom_semi_join",
         "latest_event_per_user",
         "orders_cube",
+        "q2_min_cost_supplier",
+        "q11_important_parts",
+        "q16_supplier_counts",
+        "q9_nation_profit",
+        "q12_late_shipments",
+        "q20_excess_suppliers",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
