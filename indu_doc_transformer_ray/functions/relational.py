@@ -3195,3 +3195,57 @@ JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'AMERICA'
 ORDER BY s_suppkey
 """
+
+
+# -- EXCEPT set op: customers active in 1997 but not 1998 --------------------
+
+def customers_1997_except_1998(sf_dir: str) -> "object":
+    """``EXCEPT`` as ONE shuffle: instead of materializing two distinct
+    sets and anti-joining (two all-to-alls + a sparse join side), each
+    batch folds (custkey, seen-in-1997, seen-in-1998) flag maxima map-side;
+    one groupby ORs the flags; a vectorized filter keeps 1997-only keys.
+    The same fold generalizes to INTERSECT (both flags set) and UNION (any
+    flag) — distinct_types_union covers the UNION shape.  Engine addition
+    (SURVEY §2.6 set-op family)."""
+
+    def fold(t: pa.Table) -> pa.Table:
+        y = pc.year(t["o_orderdate"])
+        sub = pa.table(
+            {
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "y97": pc.cast(pc.equal(y, 1997), pa.int64()),
+                "y98": pc.cast(pc.equal(y, 1998), pa.int64()),
+            }
+        )
+        return (
+            pa.TableGroupBy(sub, "o_custkey")
+            .aggregate([("y97", "max"), ("y98", "max")])
+            .rename_columns(["o_custkey", "y97", "y98"])
+        )
+
+    out = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+        .map_batches(fold, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Max("y97", alias_name="y97"),
+            Max("y98", alias_name="y98"),
+        )
+        .filter(expr="y97 == 1 and y98 == 0")
+        .select_columns(["o_custkey"])
+        .sort("o_custkey")
+        .to_pandas()
+    )
+    out["o_custkey"] = out["o_custkey"].astype("int64")
+    return out
+
+
+CUSTOMERS_EXCEPT_SQL = """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey
+FROM (
+  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1998
+)
+ORDER BY o_custkey
+"""

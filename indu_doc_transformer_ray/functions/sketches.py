@@ -555,3 +555,104 @@ FROM qs, nn
 JOIN o ON o.rk = (q_mu * (n - 1)) // 1000000 + 1
 ORDER BY q_mu
 """
+
+
+# -- group-wise exact median: the hot-group holistic-aggregate shape ---------
+
+def median_price_per_status(sf_dir: str) -> "object":
+    """EXACT per-group median of o_totalprice with only THREE groups — the
+    pathological-skew case for holistic aggregates: a naive
+    ``groupby(status).map_groups`` would drag a third of the corpus into
+    one task.  Instead the group key never co-locates raw rows: pass 1
+    folds (status, coarse-bucket) counts map-side (the shuffle carries one
+    row per touched bucket per batch); the driver finds each group's two
+    middle ranks in the ~domain/4096-row cumulative histogram; pass 2
+    re-reads ONLY the straddling (status, bucket) pairs and folds exact
+    per-value counts.  Driver state is O(groups x domain/4096), corpus-size
+    free.  The median is emitted as ``median_c2_x2`` = lower+upper middle
+    value (2x the interpolated median) so even-count groups stay integer-
+    exact vs the oracle's ``2*MEDIAN``.  Output: (o_orderstatus, n_orders,
+    median_c2_x2).  Engine addition (SURVEY §2.6 quantile family;
+    exact_price_quantiles is the ungrouped version)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_totalprice"]
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        folded = pa.table({"s": t["o_orderstatus"], "b": pc.divide(v, _HIST_WIDTH)})
+        return pa.TableGroupBy(folded, ["s", "b"]).aggregate([([], "count_all")])
+
+    counts = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["s", "b"])
+        .aggregate(ray.data.aggregate.Sum("count_all", alias_name="n"))
+        .to_pandas()  # <= |statuses| * domain/4096 rows
+        .sort_values(["s", "b"])
+        .reset_index(drop=True)
+    )
+
+    # per group: the bucket(s) holding the two middle ranks (0-based)
+    need: dict[tuple[str, int], list[int]] = {}
+    totals: dict[str, int] = {}
+    for s, g in counts.groupby("s"):
+        g = g.reset_index(drop=True)
+        n = int(g["n"].sum())
+        totals[str(s)] = n
+        cum = g["n"].cumsum()
+        for k in ((n - 1) // 2, n // 2):
+            i = int((cum > k).idxmax())
+            b = int(g.loc[i, "b"])
+            before = int(cum.iloc[i - 1]) if i > 0 else 0
+            need.setdefault((str(s), b), []).append(k - before)
+
+    keys = pa.array([f"{s}|{b}" for (s, b) in sorted(need)], pa.string())
+
+    def in_bucket(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        key = pc.binary_join_element_wise(
+            t["o_orderstatus"], pc.cast(pc.divide(v, _HIST_WIDTH), pa.string()), "|"
+        )
+        sub = pa.table({"s": t["o_orderstatus"], "v": v}).filter(
+            pc.is_in(key, value_set=keys)
+        )
+        return pa.TableGroupBy(sub, ["s", "v"]).aggregate([([], "count_all")])
+
+    fine = (
+        ds.map_batches(in_bucket, batch_format="pyarrow")
+        .groupby(["s", "v"])
+        .aggregate(ray.data.aggregate.Sum("count_all", alias_name="n"))
+        .to_pandas()  # <= |straddling buckets| * 4096 rows
+    )
+
+    med: dict[str, int] = {s: 0 for s in totals}
+    for (s, b), ranks in need.items():
+        g = (
+            fine[(fine["s"] == s) & (fine["v"] // _HIST_WIDTH == b)]
+            .sort_values("v")
+            .reset_index(drop=True)
+        )
+        cum = g["n"].cumsum()
+        for kk in ranks:  # rank WITHIN this bucket (pass-1 subtracted prefix)
+            i = int((cum > kk).idxmax())
+            med[s] += int(g.loc[i, "v"])
+    out = pd.DataFrame(
+        [
+            {"o_orderstatus": s, "n_orders": n, "median_c2_x2": med[s]}
+            for s, n in sorted(totals.items())
+        ]
+    ).astype({"n_orders": "int64", "median_c2_x2": "int64"})
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+MEDIAN_PRICE_PER_STATUS_SQL = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(2 * MEDIAN(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+         AS median_c2_x2
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

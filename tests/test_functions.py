@@ -682,6 +682,8 @@ def test_round3_new_ops_match_oracle(ray_session):
         "q9_nation_profit",
         "q12_late_shipments",
         "q20_excess_suppliers",
+        "median_price_per_status",
+        "customers_1997_except_1998",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
