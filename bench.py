@@ -91,7 +91,7 @@ def bench_headline(corpus_path: str) -> dict:
     }
 
 
-def bench_queries(sf_dir: str) -> dict:
+def _query_fns() -> dict:
     from indu_doc_transformer_ray.functions import (
         curation,
         dedup,
@@ -102,8 +102,7 @@ def bench_queries(sf_dir: str) -> dict:
         windows,
     )
 
-    out = {}
-    for name, fn in {
+    return {
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
         "q18_large_orders": relational.q18_large_orders,
@@ -123,7 +122,6 @@ def bench_queries(sf_dir: str) -> dict:
         "decontaminate": curation.decontaminate,
         "shard_assign": curation.shard_assign,
         "knn_graph": similarity.knn_graph,
-        # round-3 additions
         "dedup_clusters": dedup.dedup_clusters,
         "lsh_bucket_topk": similarity.lsh_bucket_topk,
         "hard_negatives": similarity.hard_negatives,
@@ -135,13 +133,51 @@ def bench_queries(sf_dir: str) -> dict:
         "running_total_per_customer": windows.running_total_per_customer,
         "q7_nation_pairs": relational.q7_nation_pairs,
         "lang_top_terms": text.lang_top_terms,
-        # round-3 late additions
         "q21_sole_returner": relational.q21_sole_returner,
         "exact_price_quantiles": sketches.exact_price_quantiles,
         "source_overlap": dedup.source_overlap,
         "whiten_embeddings": similarity.whiten_embeddings,
         "label_propagation": similarity.label_propagation,
-    }.items():
+        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
+        "q9_nation_profit": relational.q9_nation_profit,
+        "q16_supplier_counts": relational.q16_supplier_counts,
+        "median_price_per_status": sketches.median_price_per_status,
+        "customers_1997_except_1998": relational.customers_1997_except_1998,
+    }
+
+
+#: Query-phase chunks: each chunk runs in its OWN fresh Ray session (the
+#: local analogue of one ``ray job submit`` per pipeline group) so a
+#: join/actor-heavy query's worker churn can't inflate queries that happen
+#: to run after it (measured: q7 31.9s as query #29 of one long session vs
+#: 9.3s in a fresh session — pure dispatch residue, remote compute
+#: unchanged).  Queries that share a session-memoized sub-DAG (the IVF
+#: k-NN graph family; the MinHash CC labels) are kept IN the same chunk so
+#: the memo reuse the timings rely on is preserved.
+QUERY_CHUNKS = [
+    ["q1_pricing_summary", "q3_top_orders", "q18_large_orders",
+     "events_hourly", "token_stats", "dedup_exact", "ann_topk",
+     "minhash_lsh_pairs"],
+    ["cosine_dup_pairs", "label_centroid_sims", "vocab_topk",
+     "repetition_stats", "chunk_documents", "pack_bins",
+     "curation_pipeline", "hll_users_per_type"],
+    ["decontaminate", "shard_assign", "lsh_bucket_topk", "bm25_topk",
+     "weighted_sample", "count_min_probe", "dedup_clusters",
+     "running_total_per_customer"],
+    ["knn_graph", "pagerank_knn", "triangle_count", "label_propagation",
+     "hard_negatives", "whiten_embeddings", "source_overlap",
+     "exact_price_quantiles"],
+    ["q7_nation_pairs", "lang_top_terms", "q21_sole_returner",
+     "q2_min_cost_supplier", "q9_nation_profit", "q16_supplier_counts",
+     "median_price_per_status", "customers_1997_except_1998"],
+]
+
+
+def bench_queries(sf_dir: str, names: list | None = None) -> dict:
+    fns = _query_fns()
+    out = {}
+    for name in (names if names is not None else list(fns)):
+        fn = fns[name]
         t0 = time.time()
         res = fn(sf_dir)
         if hasattr(res, "to_pandas"):
@@ -186,20 +222,22 @@ def run_once() -> dict:
 
     queries = {}
     if os.environ.get("BENCH_SKIP_QUERIES") != "1":
-        _init_session()
-        # untimed warmup: spawn the full task-worker pool (one parallel
-        # pass) and one tiny hash join for the shuffle-aggregator actor
-        # path, so the first timed query isn't charged first-spawn costs
         import ray.data as _rd
 
-        _rd.range(NUM_CPUS * 1000, override_num_blocks=NUM_CPUS).map_batches(
-            lambda b: b
-        ).count()
-        _rd.range(64).join(
-            _rd.range(64), join_type="inner", num_partitions=2, on=("id",)
-        ).count()
-        queries = bench_queries(SF_DIR)
-        ray.shutdown()
+        for chunk in QUERY_CHUNKS:
+            _init_session()
+            # untimed warmup per session: spawn the full task-worker pool
+            # (one parallel pass) and one tiny hash join for the shuffle-
+            # aggregator actor path, so the first timed query isn't
+            # charged first-spawn costs
+            _rd.range(NUM_CPUS * 1000, override_num_blocks=NUM_CPUS).map_batches(
+                lambda b: b
+            ).count()
+            _rd.range(64).join(
+                _rd.range(64), join_type="inner", num_partitions=2, on=("id",)
+            ).count()
+            queries.update(bench_queries(SF_DIR, chunk))
+            ray.shutdown()
     return {
         "host_calibration": host_calibration(),
         "metric": "extraction pipeline wall time (read->extract->checkpoint->merge)",
