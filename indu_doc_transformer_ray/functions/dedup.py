@@ -484,10 +484,55 @@ def label_components(
 
     from ray.data.aggregate import Min
 
-    from ._util import n_buckets
+    from ._util import ROWS_PER_BUCKET, n_buckets
 
     pairs = pairs.materialize()
-    nb = n_buckets(2 * pairs.count())
+    n_pairs = pairs.count()
+
+    if n_pairs <= ROWS_PER_BUCKET:
+        # Size-adaptive escape: the star loop pays ~2 s of fixed stage
+        # latency per half-round regardless of edge count (measured 16 s
+        # for 256 edges at sf0.1/32 CPUs), so an edge set that fits ONE
+        # co-location bucket's budget is labeled on the driver in a single
+        # vectorized union-find pass instead of ~8 all-to-alls.  The bound
+        # is the same fixed per-task budget every bucketed kernel already
+        # assumes; above it the distributed alternation below is the path.
+        import ray.data as _rd
+
+        df = pairs.to_pandas()
+        if len(df) == 0:
+            return _rd.from_pandas(
+                pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                              "lbl": pd.Series([], dtype="int64")})
+            )
+        a = df[col_a].astype("int64").to_numpy()
+        b = df[col_b].astype("int64").to_numpy()
+        nodes, idx = np.unique(np.concatenate([a, b]), return_inverse=True)
+        parent = np.arange(len(nodes))
+        ia, ib = idx[: len(a)], idx[len(a):]
+
+        def find(p: np.ndarray, i: int) -> int:
+            while p[i] != i:
+                p[i] = p[p[i]]  # path halving
+                i = p[i]
+            return i
+
+        for x, y in zip(ia, ib):
+            rx, ry = find(parent, int(x)), find(parent, int(y))
+            if rx != ry:
+                # union by smaller ORIGINAL node id, so the root IS the
+                # component minimum (nodes[] is sorted by np.unique)
+                if rx < ry:
+                    parent[ry] = rx
+                else:
+                    parent[rx] = ry
+        roots = np.array([find(parent, i) for i in range(len(nodes))])
+        out = pd.DataFrame(
+            {"node": nodes.astype("int64"), "lbl": nodes[roots].astype("int64")}
+        )
+        return _rd.from_pandas(out)
+
+    nb = n_buckets(2 * n_pairs)
 
     def to_canonical(t: pd.DataFrame) -> pd.DataFrame:
         a = t[col_a].astype("int64").values

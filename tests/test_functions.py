@@ -232,6 +232,41 @@ def test_dedup_clusters_transitive(ray_session, tmp_path):
     assert reps[10] == reps[20] == reps[30] == 10
 
 
+def test_label_components_distributed_matches_driver(ray_session, monkeypatch):
+    """The size-adaptive escape (driver union-find below one bucket budget)
+    and the distributed large-star/small-star loop must produce identical
+    labels.  Forces the star path by shrinking the escape threshold, on a
+    graph with chains, a star, singleton-free isolates and a cycle."""
+    import pandas as pd
+
+    import ray.data
+
+    from indu_doc_transformer_ray.functions import _util, dedup
+
+    edges = pd.DataFrame(
+        {
+            "x": [1, 2, 3,   10, 10, 10,   20, 21, 22,   40, 41],
+            "y": [2, 3, 4,   11, 12, 13,   21, 22, 20,   41, 40],
+        }
+    )
+    ds = ray.data.from_pandas(edges).repartition(3)
+
+    fast = (
+        dedup.label_components(ds, "x", "y")
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    monkeypatch.setattr(_util, "ROWS_PER_BUCKET", 0)
+    monkeypatch.setattr(dedup, "ROWS_PER_BUCKET", 0, raising=False)
+    slow = (
+        dedup.label_components(ds, "x", "y")
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert fast.to_dict("list") == slow.to_dict("list")
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10,
+            20: 20, 21: 20, 22: 20, 40: 40, 41: 40}
+    assert dict(zip(fast["node"], fast["lbl"])) == want
+
+
 def test_kmeans_assign_matches_local(ray_session):
     """Distributed broadcast-centroid Lloyd's vs a single-process numpy
     reference: same init, same iteration count.  Assignments must agree on
