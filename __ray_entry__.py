@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (123 of 129): every deterministic construction is
+                      (127 of 133): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog via its md5 registers,
                       k-means and IVF via an unrolled Lloyd CTE chain,
@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         curation,
         dedup,
         events,
+        html,
         relational,
         similarity,
         sketches,
@@ -262,6 +263,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q20_excess_suppliers": relational.q20_excess_suppliers,
         "median_price_per_status": sketches.median_price_per_status,
         "customers_1997_except_1998": relational.customers_1997_except_1998,
+        "html_main_content": html.html_main_content,
+        "html_spans": html.html_spans,
         # relational / TPC-H-ish (SURVEY §2.6 aggregations + joins) — green
         # in CORRECTNESS_r02.json
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -324,6 +327,7 @@ def oracle_sql() -> dict[str, str]:
         curation,
         dedup,
         events,
+        html,
         relational,
         similarity,
         sketches,
@@ -374,6 +378,8 @@ def oracle_sql() -> dict[str, str]:
         "q20_excess_suppliers": relational.Q20_EXCESS_SUPPLIERS_SQL,
         "median_price_per_status": sketches.MEDIAN_PRICE_PER_STATUS_SQL,
         "customers_1997_except_1998": relational.CUSTOMERS_EXCEPT_SQL,
+        "html_main_content": html.HTML_MAIN_CONTENT_SQL,
+        "html_spans": html.HTML_SPANS_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "q3_top_orders": relational.Q3_SQL,
         "q5_nation_revenue": relational.Q5_SQL,

@@ -719,6 +719,8 @@ def test_round3_new_ops_match_oracle(ray_session):
         "q20_excess_suppliers",
         "median_price_per_status",
         "customers_1997_except_1998",
+        "html_main_content",
+        "html_spans",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
@@ -780,3 +782,42 @@ def test_shared_subdag_memoized(ray_session):
     g2 = similarity.knn_graph(sf)
     assert g1 is g2
     assert similarity.knn_graph(sf, k=2) is not g1  # param-keyed
+
+
+def test_html_boilerplate_strip(ray_session):
+    """The synthesized page really contains the adversarial boilerplate
+    (nav, link-heavy sidebar, cookie banner, footer, logo image, script)
+    and the extractor removes ALL of it by DOM suppression + link density —
+    while keeping every content word and every content image in order."""
+    from indu_doc_transformer_ray.functions.html import (
+        _MainContentParser,
+        synth_html,
+    )
+
+    text = " ".join(f"w{i}" for i in range(30))
+    page = synth_html(2, text, "srcZ")
+    # the trap is planted: page is several times the text, with boilerplate
+    assert len(page) > 3 * len(text)
+    for marker in ("cookies", "Home", "promo", "logo.png", "track()", "Terms"):
+        assert marker in page
+    p = _MainContentParser()
+    p.reset_doc()
+    p.feed(page)
+    spans = p.close_doc()
+    main = " ".join(x for k, x in spans if k == "text")
+    assert main == text
+    media = [x for k, x in spans if k == "media"]
+    assert media == ["media/img_2_0.png", "media/img_2_1.png"]
+    for junk in ("cookies", "Home", "promo", "logo", "Terms", "docId"):
+        assert junk not in main
+    # interleaving: first text, then alternating img after each early para
+    kinds = [k for k, _ in spans]
+    assert kinds[:4] == ["text", "media", "text", "media"]
+
+    # link density alone must kill an unlabeled link-farm div (no semantic
+    # tag to suppress): genuinely heuristic, not an inverse of synthesis
+    p.reset_doc()
+    p.feed('<body><div>pick <a href="/x">one two three four</a> '
+           '<a href="/y">five six seven</a></div><p>real content</p></body>')
+    spans2 = p.close_doc()
+    assert [x for k, x in spans2 if k == "text"] == ["real content"]
