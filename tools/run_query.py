@@ -25,6 +25,11 @@ def main() -> int:
     ap.add_argument("--out", default=None, help="parquet output path")
     ap.add_argument("--num-cpus", type=int, default=8)
     ap.add_argument("--list", action="store_true", help="list query names")
+    ap.add_argument(
+        "--stats", action="store_true",
+        help="print ray.data per-stage execution stats after the run "
+             "(Dataset results only) — the tuning feedback loop",
+    )
     args = ap.parse_args()
 
     import __ray_entry__ as entrymod
@@ -59,6 +64,8 @@ def main() -> int:
             df = res.to_pandas()
             print(df.head(20).to_string())
             print(f"... {len(df)} rows")
+        if args.stats:
+            print(res.stats())
     else:
         df = res.to_pandas() if hasattr(res, "to_pandas") else res
         if args.out:
