@@ -95,6 +95,7 @@ def _query_fns() -> dict:
     from indu_doc_transformer_ray.functions import (
         curation,
         dedup,
+        html,
         relational,
         similarity,
         sketches,
@@ -143,6 +144,8 @@ def _query_fns() -> dict:
         "q16_supplier_counts": relational.q16_supplier_counts,
         "median_price_per_status": sketches.median_price_per_status,
         "customers_1997_except_1998": relational.customers_1997_except_1998,
+        "html_main_content": html.html_main_content,
+        "html_spans": html.html_spans,
     }
 
 
@@ -170,6 +173,7 @@ QUERY_CHUNKS = [
     ["q7_nation_pairs", "lang_top_terms", "q21_sole_returner",
      "q2_min_cost_supplier", "q9_nation_profit", "q16_supplier_counts",
      "median_price_per_status", "customers_1997_except_1998"],
+    ["html_main_content", "html_spans"],
 ]
 
 
