@@ -25,8 +25,22 @@ from ray.data.aggregate import Count, Max, Min, Sum
 from ._util import join_partitions
 
 
-def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+def _read(
+    sf_dir: str,
+    table: str,
+    columns: list[str] | None = None,
+    filter: "object | None" = None,
+) -> Dataset:
+    """Column-pruned parquet read; ``filter`` (a ``pyarrow.dataset``
+    expression) pushes a row predicate INTO the scan — row groups whose
+    column statistics exclude the range never leave storage (at 100 TB a
+    date-window query reads the window, not the corpus).  Callers keep
+    their exact in-batch masks: the pushdown is a superset prune, the
+    batch mask stays the semantic truth."""
+    kwargs = {} if filter is None else {"filter": filter}
+    return ray.data.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=columns, **kwargs
+    )
 
 
 def _cents(col: pa.ChunkedArray | pa.Array, scale: int = 100) -> pa.Array:
@@ -426,9 +440,12 @@ def q4_order_priority(sf_dir: str) -> "object":
     scale with SF."""
     import pandas as pd
 
+    import pyarrow.dataset as pads
+
     hot = (
-        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-        .filter(expr="l_quantity > 45.0")
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"],
+              filter=pads.field("l_quantity") > 45.0)
+        .filter(expr="l_quantity > 45.0")  # kept: pushdown is a prune
         .groupby("l_orderkey")
         .aggregate(Count(alias_name="_c"))
         .select_columns(["l_orderkey"])
@@ -814,7 +831,16 @@ def q6_revenue_filtered(sf_dir: str) -> "object":
     Python)."""
     import pandas as pd
 
-    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount"])
+    import pyarrow.dataset as pads
+
+    # conservative scan prune (float bounds straddle the cent rounding);
+    # the exact cent-band mask below remains the semantic predicate
+    ds = _read(
+        sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_quantity") < 24.0)
+        & (pads.field("l_discount") >= 0.044)
+        & (pads.field("l_discount") <= 0.076),
+    )
 
     def partial(t: pa.Table) -> pa.Table:
         disc_c2 = _cents(t["l_discount"])
@@ -2050,12 +2076,16 @@ def q15_top_supplier(sf_dir: str) -> "object":
 
     import pandas as pd
 
+    import pyarrow.dataset as pads
+
     lo = pa.scalar(datetime(1996, 1, 1), pa.timestamp("us"))
     hi = pa.scalar(datetime(1996, 4, 1), pa.timestamp("us"))
 
     li = _read(
         sf_dir, "lineitem",
         ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= datetime(1996, 1, 1))
+        & (pads.field("l_shipdate") < datetime(1996, 4, 1)),
     )
 
     def partial(t: pa.Table) -> pa.Table:
@@ -2969,9 +2999,14 @@ def q12_late_shipments(sf_dir: str) -> "object":
     unjoined version)."""
     from datetime import datetime
 
+    import pyarrow.dataset as pads
+
     lo = pa.scalar(datetime(1997, 1, 1), pa.timestamp("us"))
     hi = pa.scalar(datetime(1998, 1, 1), pa.timestamp("us"))
     _LATE_US = 60 * 86_400_000_000
+    push = (pads.field("l_shipdate") >= datetime(1997, 1, 1)) & (
+        pads.field("l_shipdate") < datetime(1998, 1, 1)
+    )
 
     def li_pick(t: pa.Table) -> pa.Table:
         d = t["l_shipdate"].cast(pa.timestamp("us"))
@@ -2986,7 +3021,8 @@ def q12_late_shipments(sf_dir: str) -> "object":
         )
 
     li = _read(
-        sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_shipdate"]
+        sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_shipdate"],
+        filter=push,
     ).map_batches(li_pick, batch_format="pyarrow")
 
     def o_pick(t: pa.Table) -> pa.Table:
@@ -3092,8 +3128,13 @@ def q20_excess_suppliers(sf_dir: str) -> "object":
         .select_columns(["p_partkey"])
     )
 
+    import pyarrow.dataset as pads
+
     lo = pa.scalar(datetime(1996, 1, 1), pa.timestamp("us"))
     hi = pa.scalar(datetime(1997, 1, 1), pa.timestamp("us"))
+    push = (pads.field("l_shipdate") >= datetime(1996, 1, 1)) & (
+        pads.field("l_shipdate") < datetime(1997, 1, 1)
+    )
 
     def li_pick(t: pa.Table) -> pa.Table:
         d = t["l_shipdate"].cast(pa.timestamp("us"))
@@ -3107,7 +3148,8 @@ def q20_excess_suppliers(sf_dir: str) -> "object":
         )
 
     li = _read(
-        sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+        filter=push,
     ).map_batches(li_pick, batch_format="pyarrow")
 
     li_std = li.join(
