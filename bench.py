@@ -277,9 +277,16 @@ def host_calibration() -> dict:
     t0 = _t.time()
     run_oracle(t)
     ms_per_doc = round((_t.time() - t0) / 100 * 1000, 2)
+    # multi-core delivery: a calm single-core probe can coexist with
+    # throttled MULTI-core delivery (measured 2026-08-18: q7 38 s vs 9.5 s
+    # same-day at near-identical ms_per_doc); the 8-process aggregate
+    # exposes that mode.  parallel8_of_serial ~8x busy_m_iters_per_s when
+    # the host delivers; <<8x flags a starved window.
+    agg8 = cpu_probe(8, seconds=2.0)
     return {
         "busy_m_iters_per_s": busy_m_iters_per_s,
         "ms_per_doc_single_core": ms_per_doc,
+        "parallel8_of_serial": round(agg8 / max(busy_m_iters_per_s, 1e-9), 2),
     }
 
 
