@@ -935,6 +935,17 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> Dataset:
         return pd.concat(frames, ignore_index=True)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # NO MAX_BUCKET truncation here (found as an sf0.1 regression: a
+        # hot band silently dropped 89 true pairs): this op's contract is
+        # EXACT recall with an exact SQL oracle, so a hot band must pay its
+        # quadratic comparison cost — dropping is an approximation knob
+        # that belongs to the probabilistic MinHash path (where the oracle
+        # models the cap), never to an exact one.  The inner loop is fully
+        # vectorized (bytewise-LUT popcount over one xor row per anchor),
+        # so a 10k-member band costs ~50M vector popcounts, not Python.
+        popcnt = np.unpackbits(
+            np.arange(256, dtype=np.uint8)[:, None], axis=1
+        ).sum(axis=1).astype(np.int64)
         out_a, out_b, out_h = [], [], []
         for (_b, _v), grp in g.groupby(["band", "val"]):
             if len(grp) < 2:
@@ -942,13 +953,9 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> Dataset:
             grp = grp.drop_duplicates("doc_id").sort_values("doc_id")
             ids = grp["doc_id"].to_numpy()
             hs = np.asarray(grp["simhash"], dtype=np.int64).view(np.uint64)
-            if len(ids) > MAX_BUCKET:
-                ids, hs = ids[:MAX_BUCKET], hs[:MAX_BUCKET]
             for i in range(len(ids)):
                 x = hs[i] ^ hs[i + 1:]
-                ham = np.array(
-                    [bin(int(v)).count("1") for v in x], dtype=np.int64
-                )
+                ham = popcnt[x.view(np.uint8).reshape(-1, 8)].sum(axis=1)
                 hit = np.where(ham <= max_hamming)[0]
                 for j in hit:
                     out_a.append(int(ids[i]))
