@@ -534,77 +534,109 @@ def label_components(
 
     nb = n_buckets(2 * n_pairs)
 
-    def to_canonical(t: pd.DataFrame) -> pd.DataFrame:
-        a = t[col_a].astype("int64").values
-        b = t[col_b].astype("int64").values
-        out = pd.DataFrame(
-            {"a": np.maximum(a, b), "b": np.minimum(a, b),
-             "chg": np.zeros(len(a), dtype="int64")}
-        )
-        return out[out["a"] != out["b"]].drop_duplicates(["a", "b"])
+    # Every block SHIPPED between stages here is ARROW: a pandas block is
+    # ~13x slower through the sort/shuffle machinery (measured on the
+    # simhash dedup aggregate, see bucket_pairs) — the kernels still use
+    # pandas/numpy internally where that is the vectorized tool.
 
-    edges = pairs.map_batches(to_canonical, batch_format="pandas").materialize()
-
-    def _sentinel(chg: int) -> pd.DataFrame:
-        return pd.DataFrame({"a": [-1], "b": [-1], "chg": [chg]})
-
-    def large_dirs(t: pd.DataFrame) -> pd.DataFrame:
-        t = t[t["a"] >= 0]  # drop prior-round sentinels
-        u = pd.concat([t["a"], t["b"]], ignore_index=True)
-        v = pd.concat([t["b"], t["a"]], ignore_index=True)
-        return pd.DataFrame(
-            {"gb": (u % nb).astype("int32"), "u": u.values, "v": v.values}
+    def _edge_table(a: "np.ndarray", b: "np.ndarray", chg: int) -> pa.Table:
+        # appends the per-kernel sentinel row (a = -1) carrying `chg`
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate([a, [-1]]).astype("int64")),
+                "b": pa.array(np.concatenate([b, [-1]]).astype("int64")),
+                "chg": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(a), dtype="int64"), [chg]]
+                    )
+                ),
+            }
         )
 
-    def large_star(g: pd.DataFrame) -> pd.DataFrame:
+    def to_canonical(t: pa.Table) -> pa.Table:
+        a = np.asarray(t[col_a], dtype="int64")
+        b = np.asarray(t[col_b], dtype="int64")
+        hi, lo = np.maximum(a, b), np.minimum(a, b)
+        keep = hi != lo
+        hi, lo = hi[keep], lo[keep]
+        uniq = np.unique(np.stack([hi, lo], axis=1), axis=0)
+        return pa.table(
+            {
+                "a": pa.array(uniq[:, 0]),
+                "b": pa.array(uniq[:, 1]),
+                "chg": pa.array(np.zeros(len(uniq), dtype="int64")),
+            }
+        )
+
+    edges = pairs.map_batches(to_canonical, batch_format="pyarrow").materialize()
+
+    def large_dirs(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"], dtype="int64")
+        b = np.asarray(t["b"], dtype="int64")
+        keep = a >= 0  # drop prior-round sentinels
+        a, b = a[keep], b[keep]
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        return pa.table(
+            {
+                "gb": pa.array((u % nb).astype("int32")),
+                "u": pa.array(u),
+                "v": pa.array(v),
+            }
+        )
+
+    def large_star(g: pd.DataFrame) -> pa.Table:
         g = g.drop_duplicates(["u", "v"])  # global dedup (all copies co-bucket)
         mn = g.groupby("u")["v"].min()
         m = pd.Series(np.minimum(mn.values, mn.index.values), index=mn.index)
         sel = g[g["v"] > g["u"]]
         new_b = sel["u"].map(m).astype("int64")
         out = pd.DataFrame(
-            {"a": sel["v"].astype("int64").values, "b": new_b.values,
-             "chg": np.zeros(len(sel), dtype="int64")}
+            {"a": sel["v"].astype("int64").values, "b": new_b.values}
         ).drop_duplicates(["a", "b"])
-        return pd.concat(
-            [out, _sentinel(int((new_b.values != sel["u"].values).sum()))],
-            ignore_index=True,
+        return _edge_table(
+            out["a"].to_numpy(), out["b"].to_numpy(),
+            int((new_b.values != sel["u"].values).sum()),
         )
 
-    def small_dirs(t: pd.DataFrame) -> pd.DataFrame:
-        t = t[t["a"] >= 0]
-        return pd.DataFrame(
-            {"gb": (t["a"] % nb).astype("int32"),
-             "u": t["a"].values, "v": t["b"].values}
+    def small_dirs(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"], dtype="int64")
+        b = np.asarray(t["b"], dtype="int64")
+        keep = a >= 0
+        a, b = a[keep], b[keep]
+        return pa.table(
+            {
+                "gb": pa.array((a % nb).astype("int32")),
+                "u": pa.array(a),
+                "v": pa.array(b),
+            }
         )
 
-    def small_star(g: pd.DataFrame) -> pd.DataFrame:
+    def small_star(g: pd.DataFrame) -> pa.Table:
         g = g.drop_duplicates(["u", "v"])
         mn = g.groupby("u")["v"].min()
         m_of = g["u"].map(mn).astype("int64")
         leaves = g[g["v"].values != m_of.values]  # (v, m) for v in N - [m]
-        centers = pd.DataFrame({"a": mn.index.astype("int64"), "b": mn.values})
         out = pd.concat(
             [pd.DataFrame({"a": leaves["v"].astype("int64").values,
                            "b": m_of[leaves.index].values}),
-             centers],
+             pd.DataFrame({"a": mn.index.astype("int64"), "b": mn.values})],
             ignore_index=True,
         ).drop_duplicates(["a", "b"])
-        out["chg"] = np.zeros(len(out), dtype="int64")
-        return pd.concat(
-            [out, _sentinel(int(len(leaves)))], ignore_index=True
+        return _edge_table(
+            out["a"].to_numpy(), out["b"].to_numpy(), int(len(leaves))
         )
 
     for _ in range(max_iters):
         edges = (
-            edges.map_batches(large_dirs, batch_format="pandas")
+            edges.map_batches(large_dirs, batch_format="pyarrow")
             .groupby("gb")
             .map_groups(large_star, batch_format="pandas")
             .materialize()
         )
         chg_l = edges.sum("chg") or 0  # None on an empty edge set
         edges = (
-            edges.map_batches(small_dirs, batch_format="pandas")
+            edges.map_batches(small_dirs, batch_format="pyarrow")
             .groupby("gb")
             .map_groups(small_star, batch_format="pandas")
             .materialize()
@@ -613,17 +645,20 @@ def label_components(
         if not chg_l and not chg_s:  # full alternation with zero rewrites
             break
 
-    def star_labels(t: pd.DataFrame) -> pd.DataFrame:
-        t = t[t["a"] >= 0]
-        return pd.DataFrame(
+    def star_labels(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"], dtype="int64")
+        b = np.asarray(t["b"], dtype="int64")
+        keep = a >= 0
+        a, b = a[keep], b[keep]
+        return pa.table(
             {
-                "node": pd.concat([t["a"], t["b"]], ignore_index=True).values,
-                "lbl": pd.concat([t["b"], t["b"]], ignore_index=True).values,
+                "node": pa.array(np.concatenate([a, b])),
+                "lbl": pa.array(np.concatenate([b, b])),
             }
         )
 
     return (
-        edges.map_batches(star_labels, batch_format="pandas")
+        edges.map_batches(star_labels, batch_format="pyarrow")
         .groupby("node")
         .aggregate(Min("lbl", alias_name="lbl"))
     )
@@ -914,25 +949,35 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> Dataset:
     nb = _corpus_buckets(sf_dir)
     sig = simhash64(sf_dir)
 
-    def band_rows(t: pd.DataFrame) -> pd.DataFrame:
+    def band_rows(t: pd.DataFrame) -> pa.Table:
+        # emits ARROW: the gb co-location shuffle sorts whatever block
+        # type it is fed, and pandas blocks sort ~13x slower (see the
+        # bucket_pairs note)
         h = np.asarray(t["simhash"], dtype=np.int64).view(np.uint64)
         ids = t["doc_id"].astype("int64").to_numpy()
-        frames = []
+        sh = t["simhash"].astype("int64").to_numpy()
+        k = len(widths)
+        n = len(ids)
+        gb = np.empty(k * n, dtype=np.int32)
+        band = np.empty(k * n, dtype=np.int32)
+        vals = np.empty(k * n, dtype=np.int64)
         for b, (off, w) in enumerate(zip(offsets, widths)):
-            val = (h >> np.uint64(off)) & np.uint64((1 << w) - 1)
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "gb": ((b * 257 + val.astype("int64")) % nb)
-                              .astype("int32"),
-                        "band": pd.Series([b] * len(ids), dtype="int32").values,
-                        "val": val.astype("int64"),
-                        "doc_id": ids,
-                        "simhash": t["simhash"].astype("int64").to_numpy(),
-                    }
-                )
+            val = ((h >> np.uint64(off)) & np.uint64((1 << w) - 1)).astype(
+                np.int64
             )
-        return pd.concat(frames, ignore_index=True)
+            sl = slice(b * n, (b + 1) * n)
+            gb[sl] = (b * 257 + val) % nb
+            band[sl] = b
+            vals[sl] = val
+        return pa.table(
+            {
+                "gb": pa.array(gb),
+                "band": pa.array(band),
+                "val": pa.array(vals),
+                "doc_id": pa.array(np.tile(ids, k)),
+                "simhash": pa.array(np.tile(sh, k)),
+            }
+        )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         # NO MAX_BUCKET truncation here (found as an sf0.1 regression: a
@@ -943,9 +988,6 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> Dataset:
         # models the cap), never to an exact one.  The inner loop is fully
         # vectorized (bytewise-LUT popcount over one xor row per anchor),
         # so a 10k-member band costs ~50M vector popcounts, not Python.
-        popcnt = np.unpackbits(
-            np.arange(256, dtype=np.uint8)[:, None], axis=1
-        ).sum(axis=1).astype(np.int64)
         out_a, out_b, out_h = [], [], []
         for (_b, _v), grp in g.groupby(["band", "val"]):
             if len(grp) < 2:
@@ -953,19 +995,48 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> Dataset:
             grp = grp.drop_duplicates("doc_id").sort_values("doc_id")
             ids = grp["doc_id"].to_numpy()
             hs = np.asarray(grp["simhash"], dtype=np.int64).view(np.uint64)
-            for i in range(len(ids)):
-                x = hs[i] ^ hs[i + 1:]
-                ham = popcnt[x.view(np.uint8).reshape(-1, 8)].sum(axis=1)
-                hit = np.where(ham <= max_hamming)[0]
-                for j in hit:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[i + 1 + j]))
-                    out_h.append(int(ham[j]))
-        return pd.DataFrame(
+            n = len(ids)
+            # |x xor y| = |x| + |y| - 2*(x.y) over the 64-bit vectors: one
+            # float32 matmul per 512-anchor block replaces the per-anchor
+            # Python loop (a hot band is inherently quadratic — make every
+            # flop a BLAS flop)
+            bits = np.unpackbits(hs.view(np.uint8).reshape(n, 8), axis=1)
+            B = bits.astype(np.float32)
+            pop = B.sum(axis=1)
+            for s in range(0, n, 512):
+                e = min(s + 512, n)
+                ham = (
+                    pop[s:e, None] + pop[None, :] - 2.0 * (B[s:e] @ B.T)
+                ).astype(np.int64)
+                ii, jj = np.nonzero(ham <= max_hamming)
+                keep = jj > ii + s  # upper triangle only
+                ii, jj = ii[keep], jj[keep]
+                out_a.extend(ids[ii + s].tolist())
+                out_b.extend(ids[jj].tolist())
+                out_h.extend(ham[ii, jj].tolist())
+        # pair key FUSED to one int64 (doc ids < 2^31) and emitted as an
+        # ARROW block: a pandas-block groupby().aggregate() is ~13x slower
+        # than the arrow-block path (measured 13.4 s vs 1.0 s on the same
+        # 160k rows) — the kernel consumes pandas, but what it SHIPS into
+        # the dedup shuffle is arrow
+        a = np.asarray(out_a, dtype=np.int64)
+        b = np.asarray(out_b, dtype=np.int64)
+        return pa.table(
             {
-                "doc_a": pd.Series(out_a, dtype="int64"),
-                "doc_b": pd.Series(out_b, dtype="int64"),
-                "hamming": pd.Series(out_h, dtype="int64"),
+                "pk": pa.array((a << np.int64(32)) | b, pa.int64()),
+                "hamming": pa.array(out_h, pa.int64()),
+            }
+        )
+
+    import pyarrow.compute as pc
+
+    def decode(t: pa.Table) -> pa.Table:
+        pk = t["pk"]
+        return pa.table(
+            {
+                "doc_a": pc.shift_right(pk, 32),
+                "doc_b": pc.bit_wise_and(pk, 0xFFFFFFFF),
+                "hamming": pc.cast(t["hamming"], pa.int64()),
             }
         )
 
@@ -973,8 +1044,9 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> Dataset:
         sig.map_batches(band_rows, batch_format="pandas")
         .groupby("gb")
         .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
+        .groupby("pk")
         .aggregate(Min("hamming", alias_name="hamming"))  # dedup across bands
+        .map_batches(decode, batch_format="pyarrow")
     )
 
 
