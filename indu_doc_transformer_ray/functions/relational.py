@@ -2195,13 +2195,14 @@ def q21_sole_returner(sf_dir: str) -> "object":
             [("r", "max")]
         )
 
-    def order_fold(g: pd.DataFrame) -> pd.DataFrame:
+    def order_fold(g: pd.DataFrame) -> pa.Table:
         g = g.groupby(["ok", "sk"], as_index=False)["r_max"].max()
         by_ok = g.groupby("ok")["r_max"]
         n_supp = by_ok.transform("size")
         n_ret = by_ok.transform("sum")
         w = g[(g["r_max"] == 1) & (n_supp >= 2) & (n_ret == 1)]
-        return pd.DataFrame({"sk": w["sk"].astype("int64")})
+        # arrow out: the numwait Count shuffle sorts these blocks
+        return pa.table({"sk": pa.array(w["sk"].astype("int64").values)})
 
     waits = (
         li.map_batches(grain, batch_format="pyarrow")
@@ -2215,30 +2216,32 @@ def q21_sole_returner(sf_dir: str) -> "object":
         pq.read_metadata(f"{sf_dir}/supplier.parquet").num_rows
     )
 
-    def wait_rows(t: pd.DataFrame) -> pd.DataFrame:
-        sk = t["sk"].astype("int64")
-        return pd.DataFrame(
+    # the union sides both emit ARROW (a union rejects mixed block types,
+    # and pandas blocks pay ~13x through the bucket groupby)
+    def wait_rows(t: pa.Table) -> pa.Table:
+        sk = pc.cast(t["sk"], pa.int64())
+        return pa.table(
             {
-                "b": (sk % BUCKETS).astype("int32"),
+                "b": pc.cast(pc.bit_wise_and(sk, BUCKETS - 1), pa.int32()),
                 "sk": sk,
-                "s_name": pd.Series([""] * len(t), dtype="object"),
-                "numwait": t["numwait"].astype("int64"),
+                "s_name": pa.array([""] * len(t), pa.string()),
+                "numwait": pc.cast(t["numwait"], pa.int64()),
             }
         )
 
-    def name_rows(t: pd.DataFrame) -> pd.DataFrame:
-        sk = t["s_suppkey"].astype("int64")
-        return pd.DataFrame(
+    def name_rows(t: pa.Table) -> pa.Table:
+        sk = pc.cast(t["s_suppkey"], pa.int64())
+        return pa.table(
             {
-                "b": (sk % BUCKETS).astype("int32"),
+                "b": pc.cast(pc.bit_wise_and(sk, BUCKETS - 1), pa.int32()),
                 "sk": sk,
-                "s_name": t["s_name"].astype("object"),
-                "numwait": pd.Series([-1] * len(t), dtype="int64"),
+                "s_name": pc.cast(t["s_name"], pa.string()),
+                "numwait": pa.array([-1] * len(t), pa.int64()),
             }
         )
 
     names = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
-        name_rows, batch_format="pandas"
+        name_rows, batch_format="pyarrow"
     )
 
     def fold_top(g: pd.DataFrame) -> pd.DataFrame:
@@ -2255,7 +2258,7 @@ def q21_sole_returner(sf_dir: str) -> "object":
         ).head(20)
 
     tops = (
-        waits.map_batches(wait_rows, batch_format="pandas")
+        waits.map_batches(wait_rows, batch_format="pyarrow")
         .union(names)
         .groupby("b")
         .map_groups(fold_top, batch_format="pandas")

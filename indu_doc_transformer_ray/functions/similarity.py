@@ -1199,31 +1199,36 @@ def knn_graph(
         own = d2.argmin(axis=1)
         probes = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
         en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-        cell, vid, role, vec = [], [], [], []
-        for i in range(len(ids)):
-            cell.append(int(own[i]))
-            vid.append(int(ids[i]))
-            role.append(0)  # member of its own cell
-            vec.append(en[i].tolist())
-            for p in probes[i]:
-                cell.append(int(p))
-                vid.append(int(ids[i]))
-                role.append(1)  # probe row
-                vec.append(en[i].tolist())
-        return pd.DataFrame(
-            {"cell": pd.array(cell, dtype="int32"), "vec_id": vid,
-             "role": pd.array(role, dtype="int32"), "vec": vec}
+        # vectorized row explosion, emitted as ARROW (pandas blocks pay
+        # ~13x through the co-location shuffle — see dedup bucket_pairs);
+        # per row i: (own cell, role 0) then its nprobe probe cells
+        n, dim = en.shape
+        cells = np.column_stack([own[:, None], probes]).ravel().astype("int32")
+        vid = np.repeat(ids, 1 + nprobe)
+        role = np.tile(
+            np.array([0] + [1] * nprobe, dtype=np.int32), n
+        )
+        vecs = np.repeat(en, 1 + nprobe, axis=0)
+        return pa.table(
+            {
+                "cell": pa.array(cells),
+                "vec_id": pa.array(vid.astype("int64")),
+                "role": pa.array(role),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.ravel(), pa.float64()), dim
+                ),
+            }
         )
 
-    def cell_knn(g: pd.DataFrame) -> pd.DataFrame:
+    def cell_knn(g: pd.DataFrame) -> pa.Table:
         m = g[g["role"] == 0]
         p = g[g["role"] == 1]
         if not len(m) or not len(p):
-            return pd.DataFrame(
-                {"vb": pd.Series(dtype="int32"),
-                 "vec_id": pd.Series(dtype="int64"),
-                 "nbr_id": pd.Series(dtype="int64"),
-                 "sim": pd.Series(dtype="float64")}
+            return pa.table(
+                {"vb": pa.array([], pa.int32()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "nbr_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
             )
         M = np.array(m["vec"].tolist())
         P = np.array(p["vec"].tolist())
@@ -1240,21 +1245,24 @@ def knn_graph(
             out_v.extend([int(pids[i])] * len(order))
             out_n.extend(cand_n[order].tolist())
             out_s.extend(cand_s[order].tolist())
-        return pd.DataFrame(
-            {"vb": pd.array([v % vb_buckets for v in out_v], dtype="int32"),
-             "vec_id": pd.array(out_v, dtype="int64"),
-             "nbr_id": pd.array(out_n, dtype="int64"),
-             "sim": pd.array(out_s, dtype="float64")}
+        ov = np.asarray(out_v, dtype=np.int64)
+        return pa.table(
+            {"vb": pa.array((ov % vb_buckets).astype("int32")),
+             "vec_id": pa.array(ov),
+             "nbr_id": pa.array(np.asarray(out_n, dtype=np.int64)),
+             "sim": pa.array(np.asarray(out_s, dtype=np.float64))}
         )
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
+    def fold(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["vec_id", "sim", "nbr_id"],
                           ascending=[True, False, True])
         g = g[g.groupby("vec_id").cumcount() < k]
-        return pd.DataFrame(
-            {"vec_id": g["vec_id"].astype("int64").values,
-             "nbr_id": g["nbr_id"].astype("int64").values,
-             "rank": (g.groupby("vec_id").cumcount() + 1).astype("int64").values}
+        return pa.table(
+            {"vec_id": pa.array(g["vec_id"].astype("int64").values),
+             "nbr_id": pa.array(g["nbr_id"].astype("int64").values),
+             "rank": pa.array(
+                 (g.groupby("vec_id").cumcount() + 1).astype("int64").values
+             )}
         )
 
     graph = (

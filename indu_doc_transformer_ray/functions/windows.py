@@ -77,14 +77,16 @@ def running_total_per_customer(sf_dir: str) -> Dataset:
 
     bucketed, _ = _orders_bucketed(sf_dir, {"price_c2": "o_totalprice"})
 
-    def running(g: pd.DataFrame) -> pd.DataFrame:
+    def running(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["o_custkey", "od_us", "o_orderkey"])
         run = g.groupby("o_custkey")["price_c2"].cumsum()
-        return pd.DataFrame(
+        # arrow out: the final global sort shuffles these blocks, and
+        # pandas blocks pay ~13x through the sort machinery
+        return pa.table(
             {
-                "o_custkey": g["o_custkey"].astype("int64"),
-                "o_orderkey": g["o_orderkey"].astype("int64"),
-                "running_c2": run.astype("int64"),
+                "o_custkey": pa.array(g["o_custkey"].astype("int64").values),
+                "o_orderkey": pa.array(g["o_orderkey"].astype("int64").values),
+                "running_c2": pa.array(run.astype("int64").values),
             }
         )
 
@@ -115,16 +117,16 @@ def order_gaps(sf_dir: str) -> Dataset:
 
     bucketed, _ = _orders_bucketed(sf_dir, {})
 
-    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+    def gaps(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["o_custkey", "od_us", "o_orderkey"])
         prev = g.groupby("o_custkey")["od_us"].shift(1)
         keep = prev.notna()
         gap = ((g.loc[keep, "od_us"] - prev[keep]) // _DAY_US).astype("int64")
-        return pd.DataFrame(
+        return pa.table(
             {
-                "o_custkey": g.loc[keep, "o_custkey"].astype("int64"),
-                "o_orderkey": g.loc[keep, "o_orderkey"].astype("int64"),
-                "gap_days": gap,
+                "o_custkey": pa.array(g.loc[keep, "o_custkey"].astype("int64").values),
+                "o_orderkey": pa.array(g.loc[keep, "o_orderkey"].astype("int64").values),
+                "gap_days": pa.array(gap.values),
             }
         )
 
