@@ -18,6 +18,8 @@ corpus size (a fixed 512 meant corpus/512 rows per task).
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data import Dataset
@@ -53,19 +55,22 @@ def asof_prior_click(sf_dir: str) -> Dataset:
     ubk = _user_buckets(sf_dir)
     ds = ds.filter(expr="event_type == 'error' or event_type == 'click'")
 
-    def add_bucket(t: pd.DataFrame) -> pd.DataFrame:
-        t = t.copy()
-        t["ub"] = (t["user_id"] % ubk).astype("int32")
-        return t
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # arrow out: the user-bucket co-location shuffle sorts these
+        # blocks, and pandas blocks pay ~13x (BASELINE block-format note)
+        uid = pc.cast(t["user_id"], pa.int64())
+        return t.append_column(
+            "ub", pc.cast(pc.bit_wise_and(uid, ubk - 1), pa.int32())
+        )
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         errors = g[g["event_type"] == "error"]
         clicks = g[g["event_type"] == "click"]
         if errors.empty or clicks.empty:
-            return pd.DataFrame(
-                {"event_id": pd.Series(dtype="int64"),
-                 "click_id": pd.Series(dtype="int64"),
-                 "gap_us": pd.Series(dtype="int64")}
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()),
+                 "click_id": pa.array([], pa.int64()),
+                 "gap_us": pa.array([], pa.int64())}
             )
         clicks = clicks.assign(ts_click=clicks["ts"])
         # per-user as-of via merge_asof(by=...): one vectorized call covers
@@ -77,18 +82,19 @@ def asof_prior_click(sf_dir: str) -> Dataset:
             suffixes=("", "_click"),
         )
         m = m[m["event_id_click"].notna()]
-        return pd.DataFrame(
+        return pa.table(
             {
-                "event_id": m["event_id"].astype("int64"),
-                "click_id": m["event_id_click"].astype("int64"),
-                "gap_us": (
-                    m["ts"].astype("int64") - m["ts_click"].astype("int64")
-                ).astype("int64"),
+                "event_id": pa.array(m["event_id"].astype("int64").values),
+                "click_id": pa.array(m["event_id_click"].astype("int64").values),
+                "gap_us": pa.array(
+                    (m["ts"].astype("int64") - m["ts_click"].astype("int64"))
+                    .astype("int64").values
+                ),
             }
         )
 
     out = (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("ub")
         .map_groups(per_user, batch_format="pandas")
     )
@@ -114,10 +120,13 @@ def sessionize(sf_dir: str) -> Dataset:
     ds = _read_events(sf_dir, ["event_id", "ts", "user_id"])
     ubk = _user_buckets(sf_dir)
 
-    def add_bucket(t: pd.DataFrame) -> pd.DataFrame:
-        t = t.copy()
-        t["ub"] = (t["user_id"] % ubk).astype("int32")
-        return t
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # arrow out: the user-bucket co-location shuffle sorts these
+        # blocks, and pandas blocks pay ~13x (BASELINE block-format note)
+        uid = pc.cast(t["user_id"], pa.int64())
+        return t.append_column(
+            "ub", pc.cast(pc.bit_wise_and(uid, ubk - 1), pa.int32())
+        )
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # one vectorized pass over ALL users in the bucket: session breaks
@@ -137,17 +146,21 @@ def sessionize(sf_dir: str) -> Dataset:
             max_session_events=("count", "max"),
             longest_session_us=("dur", "max"),
         ).reset_index()
-        return pd.DataFrame(
+        return pa.table(
             {
-                "user_id": agg["user_id"].astype("int64"),
-                "n_sessions": agg["n_sessions"].astype("int64"),
-                "max_session_events": agg["max_session_events"].astype("int64"),
-                "longest_session_us": agg["longest_session_us"].astype("int64"),
+                "user_id": pa.array(agg["user_id"].astype("int64").values),
+                "n_sessions": pa.array(agg["n_sessions"].astype("int64").values),
+                "max_session_events": pa.array(
+                    agg["max_session_events"].astype("int64").values
+                ),
+                "longest_session_us": pa.array(
+                    agg["longest_session_us"].astype("int64").values
+                ),
             }
         )
 
     out = (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("ub")
         .map_groups(per_bucket, batch_format="pandas")
     )
@@ -194,10 +207,13 @@ def funnel_counts(sf_dir: str) -> "object":
         )
     )
 
-    def add_bucket(t: pd.DataFrame) -> pd.DataFrame:
-        t = t.copy()
-        t["ub"] = (t["user_id"] % ubk).astype("int32")
-        return t
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # arrow out: the user-bucket co-location shuffle sorts these
+        # blocks, and pandas blocks pay ~13x (BASELINE block-format note)
+        uid = pc.cast(t["user_id"], pa.int64())
+        return t.append_column(
+            "ub", pc.cast(pc.bit_wise_and(uid, ubk - 1), pa.int32())
+        )
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         ts = g["ts"].astype("int64")
@@ -228,7 +244,7 @@ def funnel_counts(sf_dir: str) -> "object":
         )
 
     parts = (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("ub")
         .map_groups(per_bucket, batch_format="pandas")
         .to_pandas()  # one row per user bucket
@@ -277,17 +293,20 @@ def cohort_retention(sf_dir: str) -> Dataset:
     ds = _read_events(sf_dir, ["ts", "user_id"])
     ubk = _user_buckets(sf_dir)
 
-    def add_bucket(t: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        week = pc.divide(
+            pc.cast(t["ts"].cast(pa.timestamp("us")), pa.int64()), WEEK_US
+        )
+        tab = pa.table(
             {
-                "user_id": t["user_id"].astype("int64"),
-                "week": (
-                    t["ts"].astype("datetime64[us]").astype("int64") // WEEK_US
-                ).astype("int64"),
+                "user_id": uid,
+                "week": pc.cast(week, pa.int64()),
+                "ub": pc.cast(pc.bit_wise_and(uid, ubk - 1), pa.int32()),
             }
         )
-        out["ub"] = (out["user_id"] % ubk).astype("int32")
-        return out.drop_duplicates()  # batch-local (user, week) combine
+        # batch-local (user, week) combine, arrow out for the shuffle
+        return pa.TableGroupBy(tab, ["user_id", "week", "ub"]).aggregate([])
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         uw = g[["user_id", "week"]].drop_duplicates()
@@ -305,7 +324,7 @@ def cohort_retention(sf_dir: str) -> Dataset:
         )
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("ub")
         .map_groups(per_bucket, batch_format="pandas")
         .groupby(["cohort_week", "weeks_since"])
@@ -347,10 +366,13 @@ def events_prior_window(sf_dir: str) -> Dataset:
     ds = _read_events(sf_dir, ["event_id", "ts", "user_id"])
     ubk = _user_buckets(sf_dir)
 
-    def add_bucket(t: pd.DataFrame) -> pd.DataFrame:
-        t = t.copy()
-        t["ub"] = (t["user_id"] % ubk).astype("int32")
-        return t
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # arrow out: the user-bucket co-location shuffle sorts these
+        # blocks, and pandas blocks pay ~13x (BASELINE block-format note)
+        uid = pc.cast(t["user_id"], pa.int64())
+        return t.append_column(
+            "ub", pc.cast(pc.bit_wise_and(uid, ubk - 1), pa.int32())
+        )
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
@@ -374,7 +396,7 @@ def events_prior_window(sf_dir: str) -> Dataset:
         )
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("ub")
         .map_groups(per_bucket, batch_format="pandas")
     )
@@ -470,14 +492,15 @@ def event_transitions(sf_dir: str) -> "object":
     nb = _user_buckets(sf_dir)
     ds = _read_events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
 
-    def add_bucket(t: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        return pa.table(
             {
-                "ub": (t["user_id"].to_numpy() % nb).astype("int32"),
-                "user_id": t["user_id"].astype("int64"),
-                "event_id": t["event_id"].astype("int64"),
+                "ub": pc.cast(pc.bit_wise_and(uid, nb - 1), pa.int32()),
+                "user_id": uid,
+                "event_id": pc.cast(t["event_id"], pa.int64()),
                 "event_type": t["event_type"],
-                "ts_us": t["ts"].astype("datetime64[us]").astype("int64"),
+                "ts_us": pc.cast(t["ts"].cast(pa.timestamp("us")), pa.int64()),
             }
         )
 
@@ -497,7 +520,7 @@ def event_transitions(sf_dir: str) -> "object":
         return agg
 
     out = (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("ub")
         .map_groups(transitions, batch_format="pandas")
         .groupby(["from_type", "to_type"])
