@@ -908,12 +908,15 @@ def top2_orders_per_customer(sf_dir: str) -> Dataset:
         )
         g = g.assign(rk=g.groupby("o_custkey").cumcount() + 1)
         g = g[g["rk"] <= 2]
-        return pd.DataFrame(
+        # arrow out: the final global sort shuffles these blocks
+        return pa.table(
             {
-                "o_custkey": g["o_custkey"].astype("int64"),
-                "o_orderkey": g["o_orderkey"].astype("int64"),
-                "totalprice_c2": g["totalprice_c2"].astype("int64"),
-                "rk": g["rk"].astype("int64"),
+                "o_custkey": pa.array(g["o_custkey"].astype("int64").values),
+                "o_orderkey": pa.array(g["o_orderkey"].astype("int64").values),
+                "totalprice_c2": pa.array(
+                    g["totalprice_c2"].astype("int64").values
+                ),
+                "rk": pa.array(g["rk"].astype("int64").values),
             }
         )
 

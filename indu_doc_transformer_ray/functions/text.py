@@ -519,27 +519,32 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> Dataset:
     )
     df = tf.groupby("token").aggregate(Count(alias_name="df"))
 
-    # co-locate tf rows with their token's df row (pandas blocks throughout:
-    # a union of mixed arrow/pandas block types is rejected by the shuffle)
-    def tf_u(t: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    # co-locate tf rows with their token's df row.  Both union sides emit
+    # ARROW (a union rejects MIXED block types; all-arrow also dodges the
+    # ~13x pandas penalty through the two gb shuffles — BASELINE note)
+    def tf_u(t: pd.DataFrame) -> pa.Table:
+        return pa.table(
             {
-                "gb": t["token"].map(_tok_bucket).astype("int32"),
-                "token": t["token"].values,
-                "doc_id": t["doc_id"].astype("int64"),
-                "tf": t["tf"].astype("int64"),
-                "df": pd.Series([0] * len(t), dtype="int64").values,
+                "gb": pa.array(
+                    t["token"].map(_tok_bucket).astype("int32").values
+                ),
+                "token": pa.array(t["token"].values, pa.string()),
+                "doc_id": pa.array(t["doc_id"].astype("int64").values),
+                "tf": pa.array(t["tf"].astype("int64").values),
+                "df": pa.array([0] * len(t), pa.int64()),
             }
         )
 
-    def df_u(t: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def df_u(t: pd.DataFrame) -> pa.Table:
+        return pa.table(
             {
-                "gb": t["token"].map(_tok_bucket).astype("int32"),
-                "token": t["token"].values,
-                "doc_id": pd.Series([-1] * len(t), dtype="int64").values,
-                "tf": pd.Series([0] * len(t), dtype="int64").values,
-                "df": t["df"].astype("int64"),
+                "gb": pa.array(
+                    t["token"].map(_tok_bucket).astype("int32").values
+                ),
+                "token": pa.array(t["token"].values, pa.string()),
+                "doc_id": pa.array([-1] * len(t), pa.int64()),
+                "tf": pa.array([0] * len(t), pa.int64()),
+                "df": pa.array(t["df"].astype("int64").values),
             }
         )
 
@@ -553,12 +558,16 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> Dataset:
         idf_milli = rows["token"].map(df_map).map(
             lambda d: (n_docs * 1000) // int(d)
         )
-        return pd.DataFrame(
+        return pa.table(
             {
-                "gb": (rows["doc_id"] % BUCKETS).astype("int32").values,
-                "doc_id": rows["doc_id"].values,
-                "term": rows["token"].values,
-                "score": (rows["tf"] * idf_milli.values).astype("int64").values,
+                "gb": pa.array(
+                    (rows["doc_id"] % BUCKETS).astype("int32").values
+                ),
+                "doc_id": pa.array(rows["doc_id"].astype("int64").values),
+                "term": pa.array(rows["token"].values, pa.string()),
+                "score": pa.array(
+                    (rows["tf"] * idf_milli.values).astype("int64").values
+                ),
             }
         )
 
@@ -1156,20 +1165,34 @@ def curation_pipeline(
         derive, batch_format="pyarrow"
     )
 
-    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def dedup_bucket(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["fp", "doc_id"]).drop_duplicates("fp", keep="first")
-        return g[["doc_id", "lang", "n_tokens"]]
+        # arrow out: this is corpus-sized and feeds the lang shuffle
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].astype("int64").values),
+                "lang": pa.array(g["lang"].values, pa.string()),
+                "n_tokens": pa.array(g["n_tokens"].astype("int64").values),
+            }
+        )
 
     deduped = passed.groupby("fb").map_groups(dedup_bucket, batch_format="pandas")
 
-    def local_topk(t: pd.DataFrame) -> pd.DataFrame:
+    def local_topk(t: pd.DataFrame) -> pa.Table:
         t = t.copy()
         t["hk"] = [
             hashlib.md5(str(int(i)).encode()).hexdigest() for i in t["doc_id"]
         ]
         t = t.sort_values(["lang", "hk", "doc_id"])
         t = t[t.groupby("lang").cumcount() < per_lang_cap]
-        return t
+        return pa.table(
+            {
+                "doc_id": pa.array(t["doc_id"].astype("int64").values),
+                "lang": pa.array(t["lang"].values, pa.string()),
+                "n_tokens": pa.array(t["n_tokens"].astype("int64").values),
+                "hk": pa.array(t["hk"].values, pa.string()),
+            }
+        )
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["lang", "hk", "doc_id"])
