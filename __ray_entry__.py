@@ -227,6 +227,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_disjunctive": relational.q19_disjunctive,
         "suppliers_per_type": relational.suppliers_per_type,
         "props_extract_stats": events.props_extract_stats,
+        "gopher_rules": text.gopher_rules,
+        "dsir_weights": curation.dsir_weights,
+        "rolling_window_orders": windows.rolling_window_orders,
+        "price_decile": windows.price_decile,
         "triangle_count": similarity.triangle_count,
         "lang_top_terms": text.lang_top_terms,
         "value_quantile_sample": sketches.value_quantile_sample,
@@ -342,6 +346,10 @@ def oracle_sql() -> dict[str, str]:
         "q19_disjunctive": relational.Q19_DISJUNCTIVE_SQL,
         "suppliers_per_type": relational.SUPPLIERS_PER_TYPE_SQL,
         "props_extract_stats": events.PROPS_EXTRACT_SQL,
+        "gopher_rules": text.GOPHER_RULES_SQL,
+        "dsir_weights": curation.DSIR_WEIGHTS_SQL,
+        "rolling_window_orders": windows.ROLLING_WINDOW_SQL,
+        "price_decile": windows.PRICE_DECILE_SQL,
         "triangle_count": similarity.TRIANGLE_COUNT_SQL,
         "lang_top_terms": text.LANG_TOP_TERMS_SQL,
         "value_quantile_sample": sketches.VALUE_QUANTILE_SQL,

@@ -666,3 +666,152 @@ FROM (
 GROUP BY 1, 2
 ORDER BY source, split
 """
+
+
+# -- DSIR-style hashed n-gram importance weights ------------------------------
+
+#: Feature-hash bucket count for the DSIR importance estimator.  The driver
+#: holds exactly two count vectors of this length regardless of corpus size.
+DSIR_BUCKETS = 256
+
+
+def dsir_weights(sf_dir: str, target_mod: int = 97) -> Dataset:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS 2023)
+    restated over hashed unigram features: documents matching
+    ``doc_id % target_mod == 0`` act as the target distribution (the
+    benchmark-like slice, same carve as ``decontaminate``); every other
+    document gets an importance weight
+
+        w(doc) = sum over tokens of  ln(p_target[b] / p_raw[b])
+
+    with md5-hashed token buckets ``b`` and +1 Laplace smoothing on both
+    distributions.  Two streaming passes, zero corpus shuffles:
+
+    - pass A folds per-batch (is_target, bucket) token counts into
+      2 x DSIR_BUCKETS partial rows; one tiny groupby lands the two count
+      vectors on the driver (O(DSIR_BUCKETS) state at any corpus size);
+    - the per-bucket log-ratios are floored to integer micro-units (the
+      ``bm25_topk``/``pmi_bigrams`` exact-float technique: exact-int
+      operands cast to double, one division, same libm ln) and broadcast;
+    - pass B scores each non-target document as an integer sum of its
+      tokens' bucket weights.
+
+    Output: (doc_id, n_tokens, dsir_mu) for every non-target document."""
+    import math
+
+    from collections import Counter
+
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    B = DSIR_BUCKETS
+
+    def _bucket(tok: str) -> int:
+        return int.from_bytes(
+            hashlib.md5(tok.encode()).digest()[:8], "big"
+        ) % B
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()  # key: (is_target, bucket)
+        for doc_id, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            is_t = 1 if doc_id % target_mod == 0 else 0
+            for tok in TOKEN_RE.findall(text.lower()):
+                cnt[(is_t, _bucket(tok))] += 1
+        keys = list(cnt.keys())
+        return pa.table(
+            {
+                "is_t": pa.array([k[0] for k in keys], pa.int64()),
+                "bk": pa.array([k[1] for k in keys], pa.int64()),
+                "partial_n": pa.array([cnt[k] for k in keys], pa.int64()),
+            }
+        )
+
+    counts = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["is_t", "bk"])
+        .aggregate(Sum("partial_n", alias_name="n"))
+        .to_pandas()  # <= 2*B rows BY CONSTRUCTION
+    )
+    t_n = np.zeros(B, dtype=np.int64)
+    r_n = np.zeros(B, dtype=np.int64)
+    for is_t, bk, n in counts.itertuples(index=False):
+        (t_n if is_t else r_n)[int(bk)] = int(n)
+    T, R = int(t_n.sum()), int(r_n.sum())
+    # float() on each exact-int product mirrors the oracle's ::DOUBLE casts
+    # bit-for-bit at any magnitude (int/int true division would differ past
+    # 2^53); ln is the same libm on both sides.
+    lam_mu = np.array(
+        [
+            math.floor(
+                math.log(
+                    float((int(t_n[b]) + 1) * (R + B))
+                    / float((int(r_n[b]) + 1) * (T + B))
+                )
+                * 1e6
+            )
+            for b in range(B)
+        ],
+        dtype=np.int64,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        ids, toks_n, mus = [], [], []
+        for doc_id, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            if doc_id % target_mod == 0:
+                continue
+            toks = TOKEN_RE.findall(text.lower())
+            ids.append(doc_id)
+            toks_n.append(len(toks))
+            mus.append(int(sum(int(lam_mu[_bucket(tok)]) for tok in toks)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(toks_n, pa.int64()),
+                "dsir_mu": pa.array(mus, pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+DSIR_WEIGHTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKEN_SQL}) AS t FROM documents
+), b AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(md5(t), 1, 16)) AS UBIGINT)
+              % {DSIR_BUCKETS} AS BIGINT) AS bk,
+         (doc_id % 97 = 0) AS is_t
+  FROM toks
+), grid AS (
+  SELECT unnest(range({DSIR_BUCKETS})) AS bk
+), cnt AS (
+  SELECT grid.bk,
+         COUNT(*) FILTER (WHERE b.is_t) AS t_n,
+         COUNT(*) FILTER (WHERE NOT b.is_t) AS r_n
+  FROM grid LEFT JOIN b ON grid.bk = b.bk GROUP BY grid.bk
+), tot AS (
+  SELECT SUM(t_n) AS tt, SUM(r_n) AS rr FROM cnt
+), lam AS (
+  SELECT bk,
+         CAST(FLOOR(ln(((t_n + 1) * (rr + {DSIR_BUCKETS}))::DOUBLE
+                       / ((r_n + 1) * (tt + {DSIR_BUCKETS}))::DOUBLE) * 1e6)
+              AS BIGINT) AS l_mu
+  FROM cnt, tot
+), sc AS (
+  SELECT b.doc_id, COUNT(*) AS n_tokens, SUM(lam.l_mu) AS mu
+  FROM b JOIN lam ON b.bk = lam.bk WHERE NOT b.is_t GROUP BY b.doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(sc.mu, 0) AS BIGINT) AS dsir_mu
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+WHERE d.doc_id % 97 <> 0
+"""

@@ -1799,3 +1799,95 @@ SELECT pair, CAST(COUNT(*) AS BIGINT) AS n,
        CAST(row_number() OVER (ORDER BY COUNT(*) DESC, pair) AS BIGINT) AS rk
 FROM p GROUP BY pair ORDER BY rk LIMIT 20
 """
+
+
+# -- Gopher-rules composite quality filter -----------------------------------
+
+#: The five Gopher-style document rules (Rae et al. 2021, "Scaling Language
+#: Models: ... Gopher", §A1.1 quality heuristics), restated as pure-integer
+#: inequalities so the oracle hashes exactly (cross-multiplied ratios, no
+#: float thresholds).  Word = whitespace token (not TOKEN_RE): the rules
+#: score raw layout, not normalized vocabulary.
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+
+
+def gopher_rules(sf_dir: str) -> Dataset:
+    """Composite Gopher-style quality filter: per document emit each rule
+    flag plus the conjunctive keep decision.  Rules (integer forms):
+
+    - r_wordcount:  GOPHER_MIN_WORDS <= n_words <= GOPHER_MAX_WORDS
+    - r_meanlen:    3 <= mean word length <= 10   (3*n <= total_len <= 10*n)
+    - r_symbols:    symbol-to-word ratio <= 0.1   (10*(#'#' + #'...') <= n)
+    - r_alpha:      >=80% of words contain a letter (5*n_alpha >= 4*n)
+    - r_stopwords:  >=2 distinct common stopwords present
+
+    Shuffle-free: one stateless vectorized pass, one output row per doc —
+    the filter composes with ``curation_pipeline``'s streaming shape at any
+    corpus size."""
+    stop = set(STOPWORDS)
+
+    def flags(batch: pa.Table) -> pa.Table:
+        cols: dict[str, list[int]] = {
+            "n_words": [], "r_wordcount": [], "r_meanlen": [],
+            "r_symbols": [], "r_alpha": [], "r_stopwords": [], "keep": [],
+        }
+        for text in batch.column("text").to_pylist():
+            words = text.split()
+            n = len(words)
+            total_len = sum(map(len, words))
+            n_alpha = sum(1 for w in words if any(c.isalpha() for c in w))
+            n_sym = text.count("#") + text.count("...")
+            n_stop = len({w.lower() for w in words} & stop)
+            r_wc = 1 if GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS else 0
+            r_ml = 1 if 3 * n <= total_len <= 10 * n else 0
+            r_sy = 1 if 10 * n_sym <= n else 0
+            r_al = 1 if 5 * n_alpha >= 4 * n else 0
+            r_st = 1 if n_stop >= 2 else 0
+            cols["n_words"].append(n)
+            cols["r_wordcount"].append(r_wc)
+            cols["r_meanlen"].append(r_ml)
+            cols["r_symbols"].append(r_sy)
+            cols["r_alpha"].append(r_al)
+            cols["r_stopwords"].append(r_st)
+            cols["keep"].append(r_wc & r_ml & r_sy & r_al & r_st)
+        return pa.table(
+            {"doc_id": batch.column("doc_id")}
+            | {k: pa.array(v, pa.int64()) for k, v in cols.items()}
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        flags, batch_format="pyarrow"
+    )
+
+
+GOPHER_RULES_SQL = f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '[^ \t]+') AS ws,
+         (length(text) - length(replace(text, '#', '')))
+         + (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym
+  FROM documents
+), m AS (
+  SELECT doc_id, len(ws) AS n, n_sym,
+         COALESCE(list_sum(list_transform(ws, x -> length(x))), 0) AS total_len,
+         COALESCE(list_sum(list_transform(ws,
+             x -> CASE WHEN regexp_matches(x, '[a-zA-Z]') THEN 1 ELSE 0 END)), 0)
+           AS n_alpha,
+         len(list_intersect(list_transform(ws, x -> lower(x)),
+                            ['the','a','of','and','to'])) AS n_stop
+  FROM w
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+  CAST(CASE WHEN n BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+       THEN 1 ELSE 0 END AS BIGINT) AS r_wordcount,
+  CAST(CASE WHEN 3*n <= total_len AND total_len <= 10*n
+       THEN 1 ELSE 0 END AS BIGINT) AS r_meanlen,
+  CAST(CASE WHEN 10*n_sym <= n THEN 1 ELSE 0 END AS BIGINT) AS r_symbols,
+  CAST(CASE WHEN 5*n_alpha >= 4*n THEN 1 ELSE 0 END AS BIGINT) AS r_alpha,
+  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stopwords,
+  CAST(CASE WHEN n BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+             AND 3*n <= total_len AND total_len <= 10*n
+             AND 10*n_sym <= n AND 5*n_alpha >= 4*n AND n_stop >= 2
+       THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM m
+"""

@@ -149,3 +149,152 @@ FROM (
 WHERE prev_dt IS NOT NULL
 ORDER BY o_custkey, o_orderkey
 """
+
+
+def rolling_window_orders(sf_dir: str) -> Dataset:
+    """3-row moving window per customer — the ``ROWS BETWEEN 2 PRECEDING
+    AND CURRENT ROW`` frame shape.  Same single bucketed shuffle as
+    ``running_total_per_customer``; the in-bucket kernel runs ONE
+    vectorized ``groupby().rolling(3)`` over every customer in the bucket.
+    Emitted as integer (window sum, window count) pairs instead of a float
+    average so the hash compare vs the oracle is exact."""
+    import pandas as pd
+
+    bucketed, _ = _orders_bucketed(sf_dir, {"price_c2": "o_totalprice"})
+
+    def roll(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["o_custkey", "od_us", "o_orderkey"])
+        r = g.groupby("o_custkey")["price_c2"].rolling(3, min_periods=1)
+        win_sum = r.sum().reset_index(level=0, drop=True)
+        win_n = r.count().reset_index(level=0, drop=True)
+        return pa.table(
+            {
+                "o_custkey": pa.array(g["o_custkey"].astype("int64").values),
+                "o_orderkey": pa.array(g["o_orderkey"].astype("int64").values),
+                "win_sum_c2": pa.array(win_sum.astype("int64").values),
+                "win_n": pa.array(win_n.astype("int64").values),
+            }
+        )
+
+    return (
+        bucketed.groupby("cb")
+        .map_groups(roll, batch_format="pandas")
+        .sort(["o_custkey", "o_orderkey"])
+    )
+
+
+ROLLING_WINDOW_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(price_c2) OVER w AS BIGINT) AS win_sum_c2,
+       CAST(COUNT(*) OVER w AS BIGINT) AS win_n
+FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c2 FROM orders)
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey
+"""
+
+#: Decile targets in rank micro-units, rank k = floor(q*(n-1)) 0-based —
+#: the exact_price_quantiles convention.
+_DECILE_MU = tuple(q * 100_000 for q in range(1, 10))
+_HIST_WIDTH = 4_096
+
+
+def price_decile(sf_dir: str) -> Dataset:
+    """Global value-decile assignment WITHOUT a global sort — the NTILE-by-
+    value shape (width_bucket over exact decile cut points, so ties get a
+    deterministic bucket, unlike NTILE's arbitrary tie splits).  Pass 1 is
+    the two-pass counting-histogram exact quantile (sketches.
+    exact_price_quantiles) over order price cents yielding the 9 cut
+    points (driver holds ~domain/4096 bucket counts, never rows); pass 2
+    streams the table once assigning decile = 1 + #cutpoints strictly
+    below the price.  Output: (o_orderkey, price_c2, decile)."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        folded = pa.table({"b": pc.divide(v, _HIST_WIDTH)})
+        return pa.TableGroupBy(folded, "b").aggregate([([], "count_all")])
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    n = int(counts["n"].sum())
+    cum = counts["n"].cumsum()
+    targets = {q: (q * (n - 1)) // 1_000_000 for q in _DECILE_MU}
+    need: dict[int, list[tuple[int, int]]] = {}
+    for q, k in targets.items():
+        i = int((cum > k).idxmax())
+        b = int(counts.loc[i, "b"])
+        before = int(cum.iloc[i - 1]) if i > 0 else 0
+        need.setdefault(b, []).append((q, k - before))
+    wanted = pa.array(sorted(need), pa.int64())
+
+    def in_bucket(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        sub = pa.table({"b": pc.divide(v, _HIST_WIDTH), "v": v}).filter(
+            pc.is_in(pc.divide(v, _HIST_WIDTH), value_set=wanted)
+        )
+        return pa.TableGroupBy(sub, ["b", "v"]).aggregate([([], "count_all")])
+
+    fine = (
+        ds.map_batches(in_bucket, batch_format="pyarrow")
+        .groupby(["b", "v"])
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()
+    )
+    cuts = []
+    for b, qs in need.items():
+        g = fine[fine["b"] == b].sort_values("v").reset_index(drop=True)
+        gc = g["n"].cumsum()
+        for _q, rk in qs:
+            j = int((gc > rk).idxmax())
+            cuts.append(int(g.loc[j, "v"]))
+    cut_arr = pa.array(sorted(cuts), pa.int64())
+
+    def assign(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+        ).to_numpy()
+        dec = 1 + np.searchsorted(
+            np.asarray(cut_arr), v, side="left"
+        ).astype("int64")
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "price_c2": pa.array(v),
+                "decile": pa.array(dec),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+PRICE_DECILE_SQL = f"""
+WITH x AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS v FROM orders),
+nn AS (SELECT COUNT(*) AS n FROM x),
+o AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rk FROM x),
+qs(q_mu) AS (VALUES {",".join(f"({q})" for q in _DECILE_MU)}),
+cuts AS (
+  SELECT o.v AS cut FROM qs, nn
+  JOIN o ON o.rk = (q_mu * (n - 1)) // 1000000 + 1
+)
+SELECT x.o_orderkey, CAST(x.v AS BIGINT) AS price_c2,
+       CAST(1 + COALESCE((SELECT COUNT(*) FROM cuts WHERE cut < x.v), 0)
+            AS BIGINT) AS decile
+FROM x
+"""

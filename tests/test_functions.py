@@ -721,6 +721,10 @@ def test_round3_new_ops_match_oracle(ray_session):
         "customers_1997_except_1998",
         "html_main_content",
         "html_spans",
+        "gopher_rules",
+        "dsir_weights",
+        "rolling_window_orders",
+        "price_decile",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
