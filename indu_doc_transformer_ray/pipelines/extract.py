@@ -85,7 +85,14 @@ class DocumentExtractor:
         self,
         config_records: Optional[list[dict]] = None,
         page_settings_json: Optional[str] = None,
+        progress: "tuple | None" = None,
     ):
+        # (progress_actor_handle, shard_id) or None: when set, every batch
+        # fire-and-forgets one (shard, docs, pages) increment to the zero-CPU
+        # progress actor — page-granular progress (the reference's
+        # per-page percentage events, plugins/events.py:46-72) at a
+        # one-RPC-per-batch cost instead of one-per-page
+        self.progress = progress
         self.config = (
             AspectConfig.from_pairs(
                 [(r["Separator"], r["Aspect"]) for r in config_records]
@@ -233,6 +240,9 @@ class DocumentExtractor:
              pa.array(er_sev, pa.string()), pa.array(er_msg, pa.string())],
             ["doc_id", "page_no", "severity", "message"],
         )
+        if self.progress is not None:
+            actor, shard = self.progress
+            actor.add.remote(shard, len(doc_ids), sum(n_pages))
         return pa.Table.from_arrays(
             [
                 pa.array(doc_ids, pa.string()),
@@ -255,6 +265,7 @@ def extract_documents(
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 32,
     page_settings_json: "str | None" = None,
+    progress: "tuple | None" = None,
 ) -> Dataset:
     """docs(doc_id, spans) -> extracted(doc_id, spans, deltas, metrics).
 
@@ -271,7 +282,7 @@ def extract_documents(
         DocumentExtractor,
         batch_format="pyarrow",
         batch_size=batch_size,
-        fn_constructor_args=(config.to_records(), page_settings_json),
+        fn_constructor_args=(config.to_records(), page_settings_json, progress),
         concurrency=concurrency,
     )
 

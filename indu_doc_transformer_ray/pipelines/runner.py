@@ -49,6 +49,24 @@ class ShardResult:
     wall_s: float
 
 
+@ray.remote(num_cpus=0)
+class _ProgressActor:
+    """Zero-CPU accumulator for page-granular progress: extraction batches
+    fire-and-forget (shard, docs, pages) increments; the driver poller
+    snapshots totals.  State is O(shards) — nothing row-sized."""
+
+    def __init__(self):
+        self.docs: dict[int, int] = {}
+        self.pages: dict[int, int] = {}
+
+    def add(self, shard: int, n_docs: int, n_pages: int) -> None:
+        self.docs[shard] = self.docs.get(shard, 0) + int(n_docs)
+        self.pages[shard] = self.pages.get(shard, 0) + int(n_pages)
+
+    def snapshot(self) -> tuple[int, int]:
+        return sum(self.docs.values()), sum(self.pages.values())
+
+
 def _manifest_path(out_dir: str, shard: int) -> str:
     return os.path.join(out_dir, "manifests", f"shard-{shard:05d}.json")
 
@@ -102,10 +120,15 @@ def run_extraction(
 
     ``on_event`` (optional) mirrors the reference's plugin event emitter
     (plugins/events.py:32-127): called with plain dicts of type
-    ``processing_started`` / ``shard_completed`` (the distributed analogue
-    of per-page progress) / ``processing_completed`` / ``processing_error``.
-    Callbacks fire from shard worker threads — keep them cheap and
-    thread-safe."""
+    ``processing_started`` / ``progress`` (page-granular: a zero-CPU
+    progress actor accumulates one fire-and-forget increment per
+    extraction batch, a driver poller emits cumulative docs/pages + pct —
+    the distributed restatement of the reference's per-page percentage
+    events) / ``shard_completed`` / ``processing_completed`` /
+    ``processing_error``.  Callbacks fire from shard worker or poller
+    threads — keep them cheap and thread-safe."""
+    import threading
+
     from concurrent.futures import ThreadPoolExecutor
 
     import ray
@@ -145,6 +168,13 @@ def run_extraction(
     if concurrency is None:
         concurrency = max(1, ncpu // max_concurrent_shards - 1)
 
+    # page-granular progress: only materialized when someone listens
+    progress_actor = None
+    total_docs = 0
+    if on_event is not None:
+        total_docs = sum(pq.read_metadata(f).num_rows for f in files)
+        progress_actor = _ProgressActor.remote()
+
     def run_shard(k: int) -> ShardResult:
         mpath = _manifest_path(out_dir, k)
         shard_files = files[k::shards]
@@ -155,6 +185,8 @@ def run_extraction(
             # ingest) invalidates the shard instead of silently dropping the
             # new files
             if m.get("complete") and m.get("input_files") == shard_files:
+                if progress_actor is not None:
+                    progress_actor.add.remote(k, m["n_docs"], m["n_pages"])
                 return ShardResult(k, True, m["n_docs"], m["n_pages"],
                                    m["n_spans_in"], m["n_errors"], m["wall_s"])
         shard_dir = os.path.join(out_dir, "extracted", f"shard={k:05d}")
@@ -167,6 +199,9 @@ def run_extraction(
         extracted = extract_documents(
             ds, config=config, batch_size=batch_size, concurrency=concurrency,
             page_settings_json=page_settings_json,
+            progress=(
+                (progress_actor, k) if progress_actor is not None else None
+            ),
         )
         extracted.write_parquet(tmp_dir)
         stats = _shard_stats(tmp_dir)
@@ -207,8 +242,47 @@ def run_extraction(
               "wall_s": r.wall_s})
         return r
 
-    with ThreadPoolExecutor(max_workers=max_concurrent_shards) as pool:
-        results = list(pool.map(run_shard_ev, range(shards)))
+    stop_poll = threading.Event()
+
+    def poll_progress() -> None:
+        last = (0, 0)
+        while not stop_poll.is_set():
+            stop_poll.wait(0.5)
+            try:
+                docs_done, pages_done = ray.get(
+                    progress_actor.snapshot.remote(), timeout=5
+                )
+            except Exception:  # noqa: BLE001 — actor gone at shutdown
+                return
+            if (docs_done, pages_done) != last:
+                last = (docs_done, pages_done)
+                emit({"type": "progress", "docs_done": docs_done,
+                      "pages_done": pages_done, "total_docs": total_docs,
+                      "pct": round(100.0 * docs_done / total_docs, 2)
+                      if total_docs else 0.0})
+
+    poller = None
+    if progress_actor is not None:
+        poller = threading.Thread(target=poll_progress, daemon=True)
+        poller.start()
+    try:
+        with ThreadPoolExecutor(max_workers=max_concurrent_shards) as pool:
+            results = list(pool.map(run_shard_ev, range(shards)))
+    finally:
+        if poller is not None:
+            stop_poll.set()
+            poller.join(timeout=10)
+            try:  # final drain: late in-flight increments from the last batches
+                docs_done, pages_done = ray.get(
+                    progress_actor.snapshot.remote(), timeout=5
+                )
+                emit({"type": "progress", "docs_done": docs_done,
+                      "pages_done": pages_done, "total_docs": total_docs,
+                      "pct": round(100.0 * docs_done / total_docs, 2)
+                      if total_docs else 0.0})
+            except Exception:  # noqa: BLE001
+                pass
+            ray.kill(progress_actor)
     emit({"type": "processing_completed",
           "n_docs": sum(r.n_docs for r in results),
           "n_pages": sum(r.n_pages for r in results)})

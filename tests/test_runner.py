@@ -101,6 +101,16 @@ def test_run_extraction_progress_events(ray_session, tmp_path):
     assert kinds[-1] == "processing_completed"
     assert kinds.count("shard_completed") == 2
     assert events[-1]["n_docs"] == sum(r.n_docs for r in results) == 12
+    # page-granular progress: the final drained snapshot accounts every doc
+    # and page (monotone cumulative counts, pct vs the metadata doc total)
+    prog = [e for e in events if e["type"] == "progress"]
+    assert prog, "no progress events emitted"
+    docs_seq = [p["docs_done"] for p in prog]
+    assert docs_seq == sorted(docs_seq)
+    assert prog[-1]["docs_done"] == 12
+    assert prog[-1]["total_docs"] == 12
+    assert prog[-1]["pct"] == 100.0
+    assert prog[-1]["pages_done"] == sum(r.n_pages for r in results)
 
 
 def test_incremental_ingest_invalidates_stale_state(ray_session, tmp_path):
