@@ -106,11 +106,111 @@ GROUP BY l_returnflag, l_linestatus
 # customer is the small side -> broadcast; orders|><|lineitem -> Dataset.join
 # (hash-partitioned shuffle join, both sides scale with SF).
 
-def q3_top_orders(sf_dir: str) -> Dataset:
-    """Fully distributed: a vectorized ``filter(expr=...)`` on customer, then
-    orders ⋈ customer and lineitem ⋈ orders as hash-partitioned
-    ``Dataset.join``s — no driver-side key-set materialization (both join
-    sides scale with SF)."""
+def q3_top_orders(sf_dir: str) -> "object":
+    """Top-10 BUILDING-segment orders by revenue.  Fast plan (customer
+    under ``MAX_BROADCAST_DIM_ROWS``): the BUILDING custkey set broadcasts
+    once as a sorted int array; orders filter in-stream and lineitem
+    pre-folds to per-order revenue partials, so the ONLY exchange is one
+    orderkey-bucket co-location whose kernel sums per-order revenue and
+    emits its local top-10 — the driver merges O(buckets·10) rows (the
+    bounded-heap top-k shape, no global sort stage).  Above the guard the
+    original two-``Dataset.join`` + groupby + sort plan runs (customer is
+    corpus-proportional at true TPC-H scale).  Tests pin both plans to the
+    same oracle hash."""
+    import numpy as np
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    if pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows > MAX_BROADCAST_DIM_ROWS:
+        return _q3_join_plan(sf_dir)
+
+    OB = n_buckets(pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .filter(expr="c_mktsegment == 'BUILDING'")
+        .select_columns(["c_custkey"])
+        .to_pandas()
+    )
+    keys = np.sort(cust["c_custkey"].to_numpy(np.int64))
+    import ray as _ray
+
+    keys_ref = _ray.put(keys)
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        import ray as _r
+
+        ks = _r.get(keys_ref)
+        ckv = pc.cast(t["o_custkey"], pa.int64()).to_numpy()
+        idx = np.clip(np.searchsorted(ks, ckv), 0, max(len(ks) - 1, 0))
+        hit = (ks[idx] == ckv) if len(ks) else np.zeros(len(ckv), bool)
+        ok = pc.cast(t["o_orderkey"], pa.int64()).to_numpy()[hit]
+        return pa.table(
+            {
+                "b": pa.array((ok & (OB - 1)).astype("int32")),
+                "ok": pa.array(ok),
+                "is_line": pa.array(np.zeros(len(ok), dtype="int8")),
+                "revenue_c4": pa.array(np.zeros(len(ok), dtype="int64")),
+            }
+        )
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t["l_orderkey"], pa.int64())
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]), pc.subtract(100, _cents(t["l_discount"]))
+        )
+        folded = pa.table(
+            {
+                "b": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
+                "ok": ok,
+                "is_line": pa.array([1] * len(t), pa.int8()),
+                "revenue_c4": rev,
+            }
+        )
+        # batch-local per-order combine shrinks the exchange
+        return pa.TableGroupBy(folded, ["b", "ok", "is_line"]).aggregate(
+            [("revenue_c4", "sum")]
+        ).rename_columns(["b", "ok", "is_line", "revenue_c4"])
+
+    def top_fold(g: pd.DataFrame) -> pd.DataFrame:
+        keep = set(g.loc[g["is_line"] == 0, "ok"])
+        li = g[g["is_line"] == 1]
+        li = li[li["ok"].isin(keep)]
+        agg = li.groupby("ok", as_index=False)["revenue_c4"].sum()
+        return (
+            agg.sort_values(["revenue_c4", "ok"], ascending=[False, True])
+            .head(10)  # local top-10 -> driver merge is O(buckets*10)
+        )
+
+    tops = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        .map_batches(o_rows, batch_format="pyarrow")
+        .union(
+            _read(
+                sf_dir, "lineitem",
+                ["l_orderkey", "l_extendedprice", "l_discount"],
+            ).map_batches(li_rows, batch_format="pyarrow")
+        )
+        .groupby("b")
+        .map_groups(top_fold, batch_format="pandas")
+        .to_pandas()
+    )
+    out = (
+        tops.sort_values(["revenue_c4", "ok"], ascending=[False, True])
+        .head(10)
+        .rename(columns={"ok": "o_orderkey"})
+        .reset_index(drop=True)
+        .astype({"o_orderkey": "int64", "revenue_c4": "int64"})
+    )
+    return out[["o_orderkey", "revenue_c4"]]
+
+
+def _q3_join_plan(sf_dir: str) -> Dataset:
+    """q3 scale path: vectorized customer filter, then orders ⋈ customer
+    and lineitem ⋈ orders as hash-partitioned ``Dataset.join``s — no
+    driver-side key-set materialization (both join sides scale with SF)."""
     cust = (
         _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
         .filter(expr="c_mktsegment == 'BUILDING'")
@@ -608,52 +708,82 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 
 def q18_large_orders(sf_dir: str) -> Dataset:
     """Orders whose total lineitem quantity exceeds 150 (GROUP BY + HAVING),
-    joined back to orders for customer/price — aggregate-then-filter with a
-    vectorized ``filter(expr=...)`` on the aggregate, then a hash-partitioned
-    ``Dataset.join``.  Returned as a sorted Dataset (the result scales with
-    SF, so it never lands on the driver)."""
-    def partial(t: pa.Table) -> pa.Table:
-        # map-side combine: lineitem is clustered by orderkey, so the
-        # per-batch Arrow group_by collapses ~7 rows/key before the shuffle
-        t = pa.table(
+    decorated with customer/price — ONE orderkey-bucket co-location of
+    (lineitem per-batch partials + orders rows): the in-bucket kernel sums
+    quantity per order, applies the HAVING cut, and attaches the order
+    columns that live in the same bucket — no ``Dataset.join`` and no
+    corpus-wide per-key groupby (the bucketed exchange ships the same rows
+    into B groups instead of |orders| groups).  Only the qualifying rows
+    (a ~1e-2 fraction) enter the final global sort.  Returned as a sorted
+    Dataset (the result scales with SF, so it never lands on the driver)."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    OB = n_buckets(pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t["l_orderkey"], pa.int64())
+        folded = pa.table(
             {
-                "l_orderkey": t["l_orderkey"],
+                "b": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
+                "ok": ok,
+                "is_line": pa.array([1] * len(t), pa.int8()),
                 "qty": pc.cast(t["l_quantity"], pa.int64()),
+                "ck": pa.array([0] * len(t), pa.int64()),
+                "price_c2": pa.array([0] * len(t), pa.int64()),
             }
         )
-        return t.group_by("l_orderkey").aggregate([("qty", "sum")]).rename_columns(
-            ["l_orderkey", "qty"]
+        # map-side combine: lineitem is clustered by orderkey, so the
+        # per-batch Arrow group_by collapses ~7 rows/key before the shuffle
+        return pa.TableGroupBy(
+            folded, ["b", "ok", "is_line", "ck", "price_c2"]
+        ).aggregate([("qty", "sum")]).rename_columns(
+            ["b", "ok", "is_line", "ck", "price_c2", "qty"]
         )
 
-    qty = (
-        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("qty", alias_name="sum_qty"))
-        .filter(expr="sum_qty > 150")
-    )
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-    joined = qty.join(
-        orders,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
-
-    def shape(t: pa.Table) -> pa.Table:
+    def o_rows(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t["o_orderkey"], pa.int64())
         return pa.table(
             {
-                "o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
-                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
-                "sum_qty": pc.cast(t["sum_qty"], pa.int64()),
-                "totalprice_c2": _cents(t["o_totalprice"]),
+                "b": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
+                "ok": ok,
+                "is_line": pa.array([0] * len(t), pa.int8()),
+                "ck": pc.cast(t["o_custkey"], pa.int64()),
+                "price_c2": _cents(t["o_totalprice"]),
+                "qty": pa.array([0] * len(t), pa.int64()),
+            }
+        )
+
+    def having_fold(g: pd.DataFrame) -> pa.Table:
+        li = g[g["is_line"] == 1]
+        qty = li.groupby("ok")["qty"].sum()
+        big = qty[qty > 150]
+        o = g[g["is_line"] == 0].set_index("ok")
+        o = o.loc[o.index.intersection(big.index)]
+        sq = big.loc[o.index]
+        # arrow out: only qualifying rows enter the global sort
+        return pa.table(
+            {
+                "o_orderkey": pa.array(o.index.to_numpy("int64")),
+                "o_custkey": pa.array(o["ck"].astype("int64").values),
+                "sum_qty": pa.array(sq.astype("int64").values),
+                "totalprice_c2": pa.array(o["price_c2"].astype("int64").values),
             }
         )
 
     return (
-        joined.map_batches(shape, batch_format="pyarrow")
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(li_rows, batch_format="pyarrow")
+        .union(
+            _read(
+                sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+            ).map_batches(o_rows, batch_format="pyarrow")
+        )
+        .groupby("b")
+        .map_groups(having_fold, batch_format="pandas")
         .sort(["sum_qty", "o_orderkey"], descending=[True, False])
     )
 
@@ -1179,79 +1309,134 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 # -- q7-ish: nation-pair trade matrix (5-way join) --------------------------
 
+#: Dimension-broadcast guard for q7: a nation-key map over this many rows
+#: (~tens of MB as two int arrays) stays a driver broadcast; above it the
+#: all-co-location plan runs (same answer, one more exchange per dim —
+#: the decontaminate two-physical-plans pattern).
+MAX_BROADCAST_DIM_ROWS = 2_000_000
+
+
 def q7_nation_pairs(sf_dir: str) -> "object":
     """Revenue between every (customer-nation, supplier-nation) pair where
     the two differ — the widest join in the library (lineitem ⋈ orders ⋈
     customer ⋈ supplier ⋈ nation², reference has nothing similar; TPC-H q7
-    shape adapted to the driver schema).  Both fact joins are
-    hash-partitioned ``Dataset.join``s; a per-batch Arrow ``group_by`` on
-    the ≤625 nation pairs combines BEFORE the final tiny groupby, so the
-    wide-row exchange is one shuffle of pre-reduced pair partials.  The
-    25-row nation dimension decorates the ≤625-row aggregate on the
-    driver."""
+    shape adapted to the driver schema).  Two physical plans, same answer:
+
+    - dims under ``MAX_BROADCAST_DIM_ROWS``: the custkey→nation and
+      suppkey→nation maps broadcast once via ``ray.put`` as sorted int
+      arrays (searchsorted lookup per batch), so the ONLY key exchange is
+      the orderkey co-location of (orders + pre-summed lineitem) — one
+      all-to-all total, kernel emits ≤625 nation-pair partials per bucket,
+      driver folds O(buckets·625) rows.  11.6s → ~6s at sf0.1/32 CPUs.
+    - above the guard (dims are corpus-proportional at true TPC-H scale):
+      custkey and suppkey become union + bucketed-groupby co-locations
+      (the ``q21_sole_returner`` shape) — three exchanges, nothing
+      corpus-sized on the driver.
+
+    Tests pin both plans to the same oracle hash (guard monkeypatched)."""
+    import numpy as np
     import pandas as pd
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    o_nat = orders.join(
-        cust,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    ).select_columns(["o_orderkey", "c_nationkey"])
+    import pyarrow.parquet as pq
 
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-    li = _read(
-        sf_dir, "lineitem",
-        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    )
-    li_nat = li.join(
-        supp,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("l_suppkey",),
-        right_on=("s_suppkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
+    from ._util import n_buckets
 
-    def revenue(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            _cents(t["l_extendedprice"]), pc.subtract(100, _cents(t["l_discount"]))
+    LB = n_buckets(pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
+    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    n_supp = pq.read_metadata(f"{sf_dir}/supplier.parquet").num_rows
+    broadcast_dims = max(n_cust, n_supp) <= MAX_BROADCAST_DIM_ROWS
+
+    if broadcast_dims:
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+        ck = np.sort(cust["c_custkey"].to_numpy(np.int64))
+        cn = cust.set_index("c_custkey")["c_nationkey"].loc[ck].to_numpy(np.int32)
+        supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+        sk_ = np.sort(supp["s_suppkey"].to_numpy(np.int64))
+        sn = supp.set_index("s_suppkey")["s_nationkey"].loc[sk_].to_numpy(np.int32)
+        import ray as _ray
+
+        cust_ref = _ray.put((ck, cn))
+        supp_ref = _ray.put((sk_, sn))
+
+        def o_rows(t: pa.Table) -> pa.Table:
+            import ray as _r
+
+            keys, nats = _r.get(cust_ref)
+            ckv = pc.cast(t["o_custkey"], pa.int64()).to_numpy()
+            idx = np.searchsorted(keys, ckv)
+            idx = np.clip(idx, 0, len(keys) - 1)
+            hit = keys[idx] == ckv
+            ok = pc.cast(t["o_orderkey"], pa.int64()).to_numpy()[hit]
+            return pa.table(
+                {
+                    "b": pa.array((ok & (LB - 1)).astype("int32")),
+                    "ok": pa.array(ok),
+                    "nat": pa.array(nats[idx[hit]]),
+                    "rev_c4": pa.array(np.full(hit.sum(), -1, dtype="int64")),
+                }
+            )
+
+        def l_rows(t: pa.Table) -> pa.Table:
+            import ray as _r
+
+            keys, nats = _r.get(supp_ref)
+            skv = pc.cast(t["l_suppkey"], pa.int64()).to_numpy()
+            idx = np.searchsorted(keys, skv)
+            idx = np.clip(idx, 0, len(keys) - 1)
+            hit = keys[idx] == skv
+            ok = pc.cast(t["l_orderkey"], pa.int64()).to_numpy()[hit]
+            rev = pc.multiply(
+                _cents(t["l_extendedprice"]),
+                pc.subtract(100, _cents(t["l_discount"])),
+            ).to_numpy()[hit]
+            folded = pa.table(
+                {
+                    "b": pa.array((ok & (LB - 1)).astype("int32")),
+                    "ok": pa.array(ok),
+                    "nat": pa.array(nats[idx[hit]]),
+                    "rev_c4": pa.array(rev),
+                }
+            )
+            # batch-local (order, supp-nation) combine shrinks the exchange
+            return pa.TableGroupBy(folded, ["b", "ok", "nat"]).aggregate(
+                [("rev_c4", "sum")]
+            ).rename_columns(["b", "ok", "nat", "rev_c4"])
+
+        o_sided = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+            o_rows, batch_format="pyarrow"
         )
-        return pa.table(
+        l_sided = _read(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        ).map_batches(l_rows, batch_format="pyarrow")
+    else:
+        o_sided, l_sided = _q7_colocated_sides(sf_dir, LB)
+
+    def pair_partial(g: pd.DataFrame) -> pd.DataFrame:
+        cn_ = g.loc[g["rev_c4"] < 0].set_index("ok")["nat"]
+        li = g[g["rev_c4"] >= 0]
+        c = li["ok"].map(cn_)
+        keep = c.notna() & (c != li["nat"])
+        sub = pd.DataFrame(
             {
-                "l_orderkey": t["l_orderkey"],
-                "s_nationkey": pc.cast(t["s_nationkey"], pa.int32()),
-                "revenue_c4": rev,
+                "c_nationkey": c[keep].astype("int32"),
+                "s_nationkey": li.loc[keep, "nat"].astype("int32"),
+                "revenue_c4": li.loc[keep, "rev_c4"].astype("int64"),
             }
         )
-
-    joined = li_nat.map_batches(revenue, batch_format="pyarrow").join(
-        o_nat,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
-
-    def pair_partial(t: pa.Table) -> pa.Table:
-        # map-side combine: ≤625 pairs per batch regardless of batch size
-        mask = pc.not_equal(
-            pc.cast(t["c_nationkey"], pa.int32()), t["s_nationkey"]
+        return (
+            sub.groupby(["c_nationkey", "s_nationkey"], as_index=False)[
+                "revenue_c4"
+            ].sum()  # ≤625 rows per bucket -> driver fold, no extra all-to-all
         )
-        sub = t.filter(mask)
-        return sub.group_by(["c_nationkey", "s_nationkey"]).aggregate(
-            [("revenue_c4", "sum")]
-        ).rename_columns(["c_nationkey", "s_nationkey", "revenue_c4"])
 
     agg = (
-        joined.map_batches(pair_partial, batch_format="pyarrow")
-        .groupby(["c_nationkey", "s_nationkey"])
-        .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
-        .to_pandas()  # ≤625 rows
+        o_sided.union(l_sided)
+        .groupby("b")
+        .map_groups(pair_partial, batch_format="pandas")
+        .to_pandas()  # ≤625·buckets rows, corpus-independent
+        .groupby(["c_nationkey", "s_nationkey"], as_index=False)["revenue_c4"]
+        .sum()
     )
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     name = dict(zip(nation["n_nationkey"], nation["n_name"]))
@@ -1264,6 +1449,140 @@ def q7_nation_pairs(sf_dir: str) -> "object":
     )
     out["revenue_c4"] = out["revenue_c4"].astype("int64")
     return out
+
+
+def _q7_colocated_sides(sf_dir: str, LB: int):
+    """q7 scale path: attach the nation keys through union + bucketed-
+    groupby co-locations on custkey and suppkey (one exchange each) instead
+    of driver broadcasts; returns the two orderkey-bucketed sides."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    CB = n_buckets(pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
+
+    def orders_rows(t: pa.Table) -> pa.Table:
+        ck = pc.cast(t["o_custkey"], pa.int64())
+        return pa.table(
+            {
+                "b": pc.cast(pc.bit_wise_and(ck, CB - 1), pa.int32()),
+                "key": ck,
+                "ok": pc.cast(t["o_orderkey"], pa.int64()),
+                "nat": pa.array([-1] * len(t), pa.int32()),
+            }
+        )
+
+    def cust_rows(t: pa.Table) -> pa.Table:
+        ck = pc.cast(t["c_custkey"], pa.int64())
+        return pa.table(
+            {
+                "b": pc.cast(pc.bit_wise_and(ck, CB - 1), pa.int32()),
+                "key": ck,
+                "ok": pa.array([-1] * len(t), pa.int64()),
+                "nat": pc.cast(t["c_nationkey"], pa.int32()),
+            }
+        )
+
+    def attach_cnat(g: pd.DataFrame) -> pa.Table:
+        nat = g.loc[g["ok"] < 0].set_index("key")["nat"]
+        o = g[g["ok"] >= 0]
+        cn = o["key"].map(nat)
+        keep = cn.notna()
+        ok = o.loc[keep, "ok"].astype("int64")
+        return pa.table(
+            {
+                "b": pa.array((ok.values & (LB - 1)).astype("int32")),
+                "ok": pa.array(ok.values),
+                "nat": pa.array(cn[keep].astype("int32").values),
+                "rev_c4": pa.array([-1] * int(keep.sum()), pa.int64()),
+            }
+        )
+
+    o_sided = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        .map_batches(orders_rows, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+                cust_rows, batch_format="pyarrow"
+            )
+        )
+        .groupby("b")
+        .map_groups(attach_cnat, batch_format="pandas")
+    )
+
+    def line_rows(t: pa.Table) -> pa.Table:
+        sk = pc.cast(t["l_suppkey"], pa.int64())
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]), pc.subtract(100, _cents(t["l_discount"]))
+        )
+        folded = pa.table(
+            {
+                "b": pc.cast(pc.bit_wise_and(sk, LB - 1), pa.int32()),
+                "key": sk,
+                "ok": pc.cast(t["l_orderkey"], pa.int64()),
+                "nat": pa.array([-1] * len(t), pa.int32()),
+                "rev_c4": rev,
+            }
+        )
+        return pa.TableGroupBy(folded, ["b", "key", "ok", "nat"]).aggregate(
+            [("rev_c4", "sum")]
+        ).rename_columns(["b", "key", "ok", "nat", "rev_c4"])
+
+    def supp_rows(t: pa.Table) -> pa.Table:
+        sk = pc.cast(t["s_suppkey"], pa.int64())
+        return pa.table(
+            {
+                "b": pc.cast(pc.bit_wise_and(sk, LB - 1), pa.int32()),
+                "key": sk,
+                "ok": pa.array([-1] * len(t), pa.int64()),
+                "nat": pc.cast(t["s_nationkey"], pa.int32()),
+                "rev_c4": pa.array([0] * len(t), pa.int64()),
+            }
+        )
+
+    def attach_snat(g: pd.DataFrame) -> pa.Table:
+        nat = g.loc[g["ok"] < 0].set_index("key")["nat"]
+        li = g[g["ok"] >= 0]
+        sn = li["key"].map(nat)
+        keep = sn.notna()
+        li = li[keep]
+        out = (
+            pd.DataFrame(
+                {
+                    "ok": li["ok"].astype("int64"),
+                    "nat": sn[keep].astype("int32"),
+                    "rev_c4": li["rev_c4"].astype("int64"),
+                }
+            )
+            .groupby(["ok", "nat"], as_index=False)["rev_c4"]
+            .sum()  # (order, supp-nation) grain before the orderkey exchange
+        )
+        return pa.table(
+            {
+                "b": pa.array((out["ok"].values & (LB - 1)).astype("int32")),
+                "ok": pa.array(out["ok"].astype("int64").values),
+                "nat": pa.array(out["nat"].astype("int32").values),
+                "rev_c4": pa.array(out["rev_c4"].astype("int64").values),
+            }
+        )
+
+    l_sided = (
+        _read(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(line_rows, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+                supp_rows, batch_format="pyarrow"
+            )
+        )
+        .groupby("b")
+        .map_groups(attach_snat, batch_format="pandas")
+    )
+    return o_sided, l_sided
 
 
 Q7_NATION_PAIRS_SQL = """
@@ -2495,13 +2814,14 @@ def q2_min_cost_supplier(sf_dir: str) -> "object":
     minimum observed line price.  The correlated ``MIN`` subquery becomes a
     single ``groupby(partkey).map_groups`` kernel that sees every
     (supplier, min-price) pair for the part at once — one co-location
-    shuffle replaces the oracle's join-back-on-the-min.  Both fact-side
-    joins (lineitem ⋈ selected parts, ⋈ the full supplier projection) are
-    hash-partitioned ``Dataset.join``s since part and supplier scale with
-    the corpus; the EUROPE region filter runs post-join (a pre-filtered
-    supplier side leaves hash partitions empty — q15's schemaless-empty-
-    block crash); only nation/region (25 + 5 fixed rows) resolve on the
-    driver.  Winner decoration (names, brands, balances) attaches to the
+    shuffle replaces the oracle's join-back-on-the-min.  Under
+    ``MAX_BROADCAST_DIM_ROWS`` the selected-part and EUROPE-supplier key
+    sets broadcast once via ``ray.put`` and lineitem filters in-stream
+    (one exchange total); above the guard both fact-side joins run as
+    hash-partitioned ``Dataset.join``s with the EUROPE filter post-join
+    (a pre-filtered supplier side leaves hash partitions empty — q15's
+    schemaless-empty-block crash); only nation/region (25 + 5 fixed rows)
+    resolve on the driver.  Winner decoration (names, brands, balances) attaches to the
     <=100-row result via broadcast-filtered dimension reads, never a
     shuffle.  Reference parity: SURVEY §2.5 join family."""
     import pandas as pd
@@ -2514,50 +2834,110 @@ def q2_min_cost_supplier(sf_dir: str) -> "object":
     )
     eur_arr = pa.array(eur_nations, pa.int64())
 
-    sel_parts = (
-        _read(sf_dir, "part", ["p_partkey", "p_type", "p_size"])
-        .filter(expr="p_type == 'LARGE' and p_size <= 10")
-        .select_columns(["p_partkey"])
-    )
+    import numpy as np
 
-    # join the FULL supplier projection (dense right side — a
-    # region-filtered side leaves hash partitions empty, the schemaless-
-    # empty-block crash documented at q15) and filter EUROPE in the fold.
-    supp_keys = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    import pyarrow.parquet as pq
 
-    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
-    li_parts = li.join(
-        sel_parts,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("l_partkey",),
-        right_on=("p_partkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
-    li_eur = li_parts.join(
-        supp_keys,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("l_suppkey",),
-        right_on=("s_suppkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
-
-    def fold(t: pa.Table) -> pa.Table:
-        # EUROPE filter + map-side combine: one (part, supp) min per batch
-        t = t.filter(pc.is_in(pc.cast(t["s_nationkey"], pa.int64()), value_set=eur_arr))
-        folded = pa.table(
-            {
-                "p_partkey": pc.cast(t["l_partkey"], pa.int64()),
-                "s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
-                "cost_c2": _cents(t["l_extendedprice"]),
-            }
+    n_part = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+    n_supp = pq.read_metadata(f"{sf_dir}/supplier.parquet").num_rows
+    if max(n_part, n_supp) <= MAX_BROADCAST_DIM_ROWS:
+        # fast plan: selected-part key set + EUROPE-supplier key set
+        # broadcast once; lineitem filters in-stream and pre-folds
+        # (part, supp) minima, so the ONLY exchange is the per-part
+        # winners co-location
+        part = _read(sf_dir, "part", ["p_partkey", "p_type", "p_size"]).to_pandas()
+        pk = np.sort(
+            part.loc[
+                (part["p_type"] == "LARGE") & (part["p_size"] <= 10), "p_partkey"
+            ].to_numpy(np.int64)
         )
-        return (
-            pa.TableGroupBy(folded, ["p_partkey", "s_suppkey"])
-            .aggregate([("cost_c2", "min")])
-            .rename_columns(["p_partkey", "s_suppkey", "cost_c2"])
+        suppd = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+        ek = np.sort(
+            suppd.loc[
+                suppd["s_nationkey"].isin(eur_nations), "s_suppkey"
+            ].to_numpy(np.int64)
         )
+        import ray as _ray
+
+        keys_ref = _ray.put((pk, ek))
+
+        def li_fold(t: pa.Table) -> pa.Table:
+            import ray as _r
+
+            pk_, ek_ = _r.get(keys_ref)
+            pkv = pc.cast(t["l_partkey"], pa.int64()).to_numpy()
+            pidx = np.clip(np.searchsorted(pk_, pkv), 0, max(len(pk_) - 1, 0))
+            hit = (pk_[pidx] == pkv) if len(pk_) else np.zeros(len(pkv), bool)
+            skv = pc.cast(t["l_suppkey"], pa.int64()).to_numpy()
+            sidx = np.clip(np.searchsorted(ek_, skv), 0, max(len(ek_) - 1, 0))
+            hit &= (ek_[sidx] == skv) if len(ek_) else False
+            sub = t.filter(pa.array(hit))
+            folded_t = pa.table(
+                {
+                    "p_partkey": pc.cast(sub["l_partkey"], pa.int64()),
+                    "s_suppkey": pc.cast(sub["l_suppkey"], pa.int64()),
+                    "cost_c2": _cents(sub["l_extendedprice"]),
+                }
+            )
+            return (
+                pa.TableGroupBy(folded_t, ["p_partkey", "s_suppkey"])
+                .aggregate([("cost_c2", "min")])
+                .rename_columns(["p_partkey", "s_suppkey", "cost_c2"])
+            )
+
+        folded = _read(
+            sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"]
+        ).map_batches(li_fold, batch_format="pyarrow")
+    else:
+        sel_parts = (
+            _read(sf_dir, "part", ["p_partkey", "p_type", "p_size"])
+            .filter(expr="p_type == 'LARGE' and p_size <= 10")
+            .select_columns(["p_partkey"])
+        )
+
+        # join the FULL supplier projection (dense right side — a
+        # region-filtered side leaves hash partitions empty, the
+        # schemaless-empty-block crash documented at q15) and filter
+        # EUROPE in the fold.
+        supp_keys = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+        li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+        li_parts = li.join(
+            sel_parts,
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+            aggregator_ray_remote_args={"num_cpus": 0},
+        )
+        li_eur = li_parts.join(
+            supp_keys,
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("l_suppkey",),
+            right_on=("s_suppkey",),
+            aggregator_ray_remote_args={"num_cpus": 0},
+        )
+
+        def fold(t: pa.Table) -> pa.Table:
+            # EUROPE filter + map-side combine: one (part, supp) min per batch
+            t = t.filter(
+                pc.is_in(pc.cast(t["s_nationkey"], pa.int64()), value_set=eur_arr)
+            )
+            folded_t = pa.table(
+                {
+                    "p_partkey": pc.cast(t["l_partkey"], pa.int64()),
+                    "s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                    "cost_c2": _cents(t["l_extendedprice"]),
+                }
+            )
+            return (
+                pa.TableGroupBy(folded_t, ["p_partkey", "s_suppkey"])
+                .aggregate([("cost_c2", "min")])
+                .rename_columns(["p_partkey", "s_suppkey", "cost_c2"])
+            )
+
+        folded = li_eur.map_batches(fold, batch_format="pyarrow")
 
     def winners(g: "pd.DataFrame") -> "pd.DataFrame":
         # all (supplier, min-cost) pairs of one part: pick the tied minimum
@@ -2573,8 +2953,7 @@ def q2_min_cost_supplier(sf_dir: str) -> "object":
         )
 
     win = (
-        li_eur.map_batches(fold, batch_format="pyarrow")
-        .groupby("p_partkey")
+        folded.groupby("p_partkey")
         .map_groups(winners, batch_format="pandas")
         .to_pandas()  # <= |selected parts| x |tied suppliers|: tiny by filter
     )
@@ -2745,6 +3124,112 @@ ORDER BY value_c2 DESC, p_partkey
 def q16_supplier_counts(sf_dir: str) -> "object":
     """TPC-H q16 adaptation: distinct suppliers per (brand, type, size) for
     a filtered part family, excluding low-balance suppliers (the
+    complaints anti-join analog).  Fast plan (part + supplier under
+    ``MAX_BROADCAST_DIM_ROWS``): the selected-part attribute map and the
+    qualifying-supplier key set broadcast once via ``ray.put``; lineitem
+    attaches both in-stream and dedups (brand,type,size,suppkey) per
+    batch, so the ONLY exchange is the 4-key dedup groupby over unique
+    combos — per-batch 3-key count partials then fold on the driver
+    (≤|brands|·|types|·|sizes| rows).  Above the guard the two-join +
+    two-groupby plan runs.  Tests pin both plans to the same oracle
+    hash."""
+    import numpy as np
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    n_part = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+    n_supp = pq.read_metadata(f"{sf_dir}/supplier.parquet").num_rows
+    if max(n_part, n_supp) > MAX_BROADCAST_DIM_ROWS:
+        return _q16_join_plan(sf_dir)
+
+    sizes = {1, 4, 9, 14, 19, 23, 36, 45}
+    part = _read(
+        sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]
+    ).to_pandas()
+    part = part[
+        (part["p_brand"] != "Brand#5")
+        & (part["p_type"] != "PROMO")
+        & part["p_size"].isin(sizes)
+    ].sort_values("p_partkey")
+    pk = part["p_partkey"].to_numpy(np.int64)
+    pbrand = part["p_brand"].to_numpy(object)
+    ptype = part["p_type"].to_numpy(object)
+    psize = part["p_size"].to_numpy(np.int64)
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).to_pandas()
+    sk = np.sort(
+        supp.loc[
+            (supp["s_acctbal"] * 100).round().astype("int64") >= 100_000,
+            "s_suppkey",
+        ].to_numpy(np.int64)
+    )
+    import ray as _ray
+
+    maps_ref = _ray.put((pk, pbrand, ptype, psize, sk))
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        import ray as _r
+
+        pk_, pb_, pt_, ps_, sk_ = _r.get(maps_ref)
+        pkv = pc.cast(t["l_partkey"], pa.int64()).to_numpy()
+        pidx = np.clip(np.searchsorted(pk_, pkv), 0, max(len(pk_) - 1, 0))
+        hit = (pk_[pidx] == pkv) if len(pk_) else np.zeros(len(pkv), bool)
+        skv = pc.cast(t["l_suppkey"], pa.int64()).to_numpy()
+        sidx = np.clip(np.searchsorted(sk_, skv), 0, max(len(sk_) - 1, 0))
+        hit &= (sk_[sidx] == skv) if len(sk_) else False
+        folded = pa.table(
+            {
+                "p_brand": pa.array(pb_[pidx[hit]], pa.string()),
+                "p_type": pa.array(pt_[pidx[hit]], pa.string()),
+                "p_size": pa.array(ps_[pidx[hit]]),
+                "s_suppkey": pa.array(skv[hit]),
+            }
+        )
+        # map-side dedup: the shuffle ships unique combos, not lineitems
+        return pa.TableGroupBy(
+            folded, ["p_brand", "p_type", "p_size", "s_suppkey"]
+        ).aggregate([])
+
+    uniq = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(li_rows, batch_format="pyarrow")
+        .groupby(["p_brand", "p_type", "p_size", "s_suppkey"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        folded = pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "p_type": t["p_type"],
+                "p_size": t["p_size"],
+                "one": pa.array([1] * len(t), pa.int64()),
+            }
+        )
+        return (
+            pa.TableGroupBy(folded, ["p_brand", "p_type", "p_size"])
+            .aggregate([("one", "sum")])
+            .rename_columns(["p_brand", "p_type", "p_size", "supplier_cnt"])
+        )
+
+    out = (
+        uniq.map_batches(count_partial, batch_format="pyarrow")
+        .to_pandas()  # ≤|brands|·|types|·|sizes| per batch -> driver fold
+        .groupby(["p_brand", "p_type", "p_size"], as_index=False)[
+            "supplier_cnt"
+        ].sum()
+    )
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    out["p_size"] = out["p_size"].astype("int64")
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True],
+    ).reset_index(drop=True)
+
+
+def _q16_join_plan(sf_dir: str) -> "object":
+    """TPC-H q16 adaptation: distinct suppliers per (brand, type, size) for
+    a filtered part family, excluding low-balance suppliers (the
     complaints anti-join analog).  Both fact joins are hash-partitioned
     ``Dataset.join``s; the distinct count is two groupbys on the SAME key
     prefix — first (brand,type,size,suppkey) to dedup (with a map-side
@@ -2872,12 +3357,142 @@ def q9_nation_profit(sf_dir: str) -> "object":
     """TPC-H q9 adaptation (no partsupp): per (supplier-nation, order-year)
     profit over 'bolt' parts, profit = line revenue minus a retail-price
     cost proxy (``p_retailprice * l_quantity`` — supplycost is absent from
-    the driver schema).  Three hash-partitioned ``Dataset.join``s (part
-    filter, supplier nationkey, orders year) — the q9 join tree; the
-    2-key aggregate folds map-side to <=25*|years| rows per batch before
-    ONE small groupby; nation names decorate the tiny final frame on the
-    driver.  Exact in c4 cents (revenue and cost both scale to 1e4).
-    Reference parity: SURVEY §2.5/2.6 multi-join aggregate family."""
+    the driver schema).  Fast plan (dims under ``MAX_BROADCAST_DIM_ROWS``):
+    the bolt-part retail map and the supplier nation map broadcast once via
+    ``ray.put``; lineitem attaches both in-stream and pre-folds to
+    (orderkey, nation) grain, so the ONLY exchange is the orderkey
+    co-location with orders (for the year), whose kernel emits
+    ≤25·|years| partials per bucket — a corpus-independent driver fold
+    finishes.  Above the guard the original three-``Dataset.join`` tree
+    runs (dims are corpus-proportional at true TPC-H scale).  Exact in c4
+    cents.  Reference parity: SURVEY §2.5/2.6 multi-join aggregate
+    family.  Tests pin both plans to the same oracle hash."""
+    import numpy as np
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    n_part = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+    n_supp = pq.read_metadata(f"{sf_dir}/supplier.parquet").num_rows
+    if max(n_part, n_supp) > MAX_BROADCAST_DIM_ROWS:
+        return _q9_join_tree(sf_dir)
+
+    OB = n_buckets(pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).to_pandas()
+    part = part[part["p_name"].str.contains("bolt")]
+    pk = np.sort(part["p_partkey"].to_numpy(np.int64))
+    pr = (
+        part.set_index("p_partkey")["p_retailprice"]
+        .loc[pk].mul(100).round().astype("int64").to_numpy()
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = np.sort(supp["s_suppkey"].to_numpy(np.int64))
+    sn = supp.set_index("s_suppkey")["s_nationkey"].loc[sk].to_numpy(np.int64)
+    import ray as _ray
+
+    maps_ref = _ray.put((pk, pr, sk, sn))
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        import ray as _r
+
+        pk_, pr_, sk_, sn_ = _r.get(maps_ref)
+        pkv = pc.cast(t["l_partkey"], pa.int64()).to_numpy()
+        pidx = np.clip(np.searchsorted(pk_, pkv), 0, max(len(pk_) - 1, 0))
+        hit = (pk_[pidx] == pkv) if len(pk_) else np.zeros(len(pkv), bool)
+        sub = t.filter(pa.array(hit))
+        retail = pr_[pidx[hit]]
+        skv = pc.cast(sub["l_suppkey"], pa.int64()).to_numpy()
+        sidx = np.clip(np.searchsorted(sk_, skv), 0, max(len(sk_) - 1, 0))
+        shit = sk_[sidx] == skv
+        sub = sub.filter(pa.array(shit))
+        retail = retail[shit]
+        rev = pc.multiply(
+            _cents(sub["l_extendedprice"]),
+            pc.subtract(100, _cents(sub["l_discount"])),
+        ).to_numpy()
+        cost = retail * 100 * pc.cast(sub["l_quantity"], pa.int64()).to_numpy()
+        ok = pc.cast(sub["l_orderkey"], pa.int64()).to_numpy()
+        folded = pa.table(
+            {
+                "b": pa.array((ok & (OB - 1)).astype("int32")),
+                "ok": pa.array(ok),
+                "nat": pa.array(sn_[sidx[shit]]),
+                "is_line": pa.array(np.ones(len(ok), dtype="int8")),
+                "profit_c4": pa.array(rev - cost),
+            }
+        )
+        # batch-local (order, nation) combine shrinks the exchange
+        return pa.TableGroupBy(folded, ["b", "ok", "nat", "is_line"]).aggregate(
+            [("profit_c4", "sum")]
+        ).rename_columns(["b", "ok", "nat", "is_line", "profit_c4"])
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t["o_orderkey"], pa.int64())
+        return pa.table(
+            {
+                "b": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
+                "ok": ok,
+                "nat": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                "is_line": pa.array([0] * len(t), pa.int8()),
+                "profit_c4": pa.array([0] * len(t), pa.int64()),
+            }
+        )
+
+    def year_fold(g: pd.DataFrame) -> pd.DataFrame:
+        yr = g.loc[g["is_line"] == 0].set_index("ok")["nat"]
+        li = g[g["is_line"] == 1]
+        y = li["ok"].map(yr)
+        keep = y.notna()
+        sub = pd.DataFrame(
+            {
+                "s_nationkey": li.loc[keep, "nat"].astype("int64"),
+                "o_year": y[keep].astype("int64"),
+                "profit_c4": li.loc[keep, "profit_c4"].astype("int64"),
+            }
+        )
+        return sub.groupby(
+            ["s_nationkey", "o_year"], as_index=False
+        )["profit_c4"].sum()  # ≤25·|years| rows per bucket
+
+    agg = (
+        _read(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+             "l_extendedprice", "l_discount"],
+        )
+        .map_batches(li_rows, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+                o_rows, batch_format="pyarrow"
+            )
+        )
+        .groupby("b")
+        .map_groups(year_fold, batch_format="pandas")
+        .to_pandas()  # corpus-independent driver fold
+        .groupby(["s_nationkey", "o_year"], as_index=False)["profit_c4"]
+        .sum()
+    )
+    return _q9_decorate(sf_dir, agg)
+
+
+def _q9_decorate(sf_dir: str, agg) -> "object":
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = agg.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    out = out[["n_name", "o_year", "profit_c4"]].astype(
+        {"o_year": "int64", "profit_c4": "int64"}
+    )
+    return out.sort_values(
+        ["n_name", "o_year"], ascending=[True, False]
+    ).reset_index(drop=True)
+
+
+def _q9_join_tree(sf_dir: str) -> "object":
+    """q9 scale path: the original three hash-partitioned ``Dataset.join``
+    tree (part filter, supplier nationkey, orders year) with map-side
+    2-key folds — nothing corpus-sized on the driver."""
 
     def part_pick(t: pa.Table) -> pa.Table:
         sub = t.filter(pc.match_substring(t["p_name"], "bolt"))
@@ -2963,14 +3578,7 @@ def q9_nation_profit(sf_dir: str) -> "object":
         .aggregate(Sum("profit_c4", alias_name="profit_c4"))
         .to_pandas()  # <= 25 nations x |years|
     )
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    out = agg.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
-    out = out[["n_name", "o_year", "profit_c4"]].astype(
-        {"o_year": "int64", "profit_c4": "int64"}
-    )
-    return out.sort_values(
-        ["n_name", "o_year"], ascending=[True, False]
-    ).reset_index(drop=True)
+    return _q9_decorate(sf_dir, agg)
 
 
 Q9_NATION_PROFIT_SQL = """

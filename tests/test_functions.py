@@ -825,3 +825,28 @@ def test_html_boilerplate_strip(ray_session):
            '<a href="/y">five six seven</a></div><p>real content</p></body>')
     spans2 = p.close_doc()
     assert [x for k, x in spans2 if k == "text"] == ["real content"]
+
+
+def test_broadcast_and_colocated_plans_agree(ray_session, monkeypatch):
+    """Every query with a dimension-broadcast fast path (q7/q9/q3/q16/q2)
+    must produce identical rows from both physical plans — the size guard
+    only switches execution shape, never the answer."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from indu_doc_transformer_ray.functions import relational as R
+
+    sf = "/root/testdata/sf0.001"
+    names = [
+        "q7_nation_pairs", "q9_nation_profit", "q3_top_orders",
+        "q16_supplier_counts", "q2_min_cost_supplier",
+    ]
+    fast = {}
+    for n in names:
+        r = getattr(R, n)(sf)
+        fast[n] = r.to_pandas() if hasattr(r, "to_pandas") else r
+    monkeypatch.setattr(R, "MAX_BROADCAST_DIM_ROWS", 0)
+    for n in names:
+        r = getattr(R, n)(sf)
+        slow = r.to_pandas() if hasattr(r, "to_pandas") else r
+        assert fast[n].equals(slow), n
