@@ -274,6 +274,99 @@ LIMIT 10
 # read onto the driver, to decorate the 25-row final aggregate.
 
 def q5_nation_revenue(sf_dir: str) -> "object":
+    """Revenue per customer nation.  Fast plan (customer under
+    ``MAX_BROADCAST_DIM_ROWS``): the custkey→nation map broadcasts once;
+    orders attach the nation in-stream and lineitem pre-folds per-order
+    revenue, so the ONLY exchange is one orderkey co-location whose kernel
+    emits ≤25 nation partials per bucket — driver fold finishes.  Above
+    the guard the two-``Dataset.join`` plan runs.  Tests pin both plans
+    to the same oracle hash."""
+    import numpy as np
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    if pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows > MAX_BROADCAST_DIM_ROWS:
+        return _q5_join_plan(sf_dir)
+
+    OB = n_buckets(pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    ck = np.sort(cust["c_custkey"].to_numpy(np.int64))
+    cn = cust.set_index("c_custkey")["c_nationkey"].loc[ck].to_numpy(np.int64)
+    maps_ref = ray.put((ck, cn))
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        ck_, cn_ = ray.get(maps_ref)
+        ckv = pc.cast(t["o_custkey"], pa.int64()).to_numpy()
+        idx = np.clip(np.searchsorted(ck_, ckv), 0, max(len(ck_) - 1, 0))
+        hit = (ck_[idx] == ckv) if len(ck_) else np.zeros(len(ckv), bool)
+        ok = pc.cast(t["o_orderkey"], pa.int64()).to_numpy()[hit]
+        return pa.table(
+            {
+                "b": pa.array((ok & (OB - 1)).astype("int32")),
+                "ok": pa.array(ok),
+                "is_line": pa.array(np.zeros(len(ok), dtype="int8")),
+                "v": pa.array(cn_[idx[hit]]),  # nation rides the value slot
+            }
+        )
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t["l_orderkey"], pa.int64())
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]), pc.subtract(100, _cents(t["l_discount"]))
+        )
+        folded = pa.table(
+            {
+                "b": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
+                "ok": ok,
+                "is_line": pa.array([1] * len(t), pa.int8()),
+                "v": rev,
+            }
+        )
+        # batch-local per-order combine shrinks the exchange
+        return pa.TableGroupBy(folded, ["b", "ok", "is_line"]).aggregate(
+            [("v", "sum")]
+        ).rename_columns(["b", "ok", "is_line", "v"])
+
+    def nation_fold(g: pd.DataFrame) -> pd.DataFrame:
+        nat = g.loc[g["is_line"] == 0].set_index("ok")["v"]
+        li = g[g["is_line"] == 1]
+        n = li["ok"].map(nat)
+        keep = n.notna()
+        sub = pd.DataFrame(
+            {
+                "c_nationkey": n[keep].astype("int64"),
+                "revenue_c4": li.loc[keep, "v"].astype("int64"),
+            }
+        )
+        return sub.groupby("c_nationkey", as_index=False)["revenue_c4"].sum()
+
+    agg = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(li_rows, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+                o_rows, batch_format="pyarrow"
+            )
+        )
+        .groupby("b")
+        .map_groups(nation_fold, batch_format="pandas")
+        .to_pandas()  # ≤25·buckets rows, corpus-independent
+        .groupby("c_nationkey", as_index=False)["revenue_c4"]
+        .sum()
+    )
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    out = agg.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    out = out[["n_name", "revenue_c4"]].sort_values("n_name").reset_index(drop=True)
+    out["revenue_c4"] = out["revenue_c4"].astype("int64")
+    return out
+
+
+def _q5_join_plan(sf_dir: str) -> "object":
+    """q5 scale path: two hash-partitioned ``Dataset.join``s (customer is
+    corpus-proportional at true TPC-H scale)."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     o_nation = orders.join(
@@ -484,41 +577,70 @@ ORDER BY r_name
 
 # -- anti-join: customers with no orders ------------------------------------
 
-def customers_no_orders(sf_dir: str) -> Dataset:
+def customers_no_orders(sf_dir: str) -> "object":
     """Per-nation count of customers with NO pending ('P') orders — the
-    anti-join surface, built as filtered orders-per-customer aggregate +
-    ``Dataset.join(left_outer)`` + null filter (scales on both sides; the
-    aggregate side is |customers|, not |orders|).  The 'P' filter keeps the
-    anti set non-empty on the synthetic data (every customer has SOME
-    order)."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    ordered = (
-        _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
-        .filter(expr="o_orderstatus == 'P'")
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="n_orders"))
-    )
-    joined = cust.join(
-        ordered,
-        join_type="left_outer",
-        num_partitions=join_partitions(),
-        on=("c_custkey",),
-        right_on=("o_custkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
+    anti-join surface as ONE custkey-bucket co-location: the filtered
+    orders side ships batch-deduped custkeys, customers co-locate by the
+    same bucket, and the kernel counts per nation the customers absent
+    from the pending set (≤25 partial rows per bucket — driver fold).
+    No ``Dataset.join`` and no |customers|-key aggregate exchange.  The
+    'P' filter keeps the anti set non-empty on the synthetic data (every
+    customer has SOME order)."""
+    import pandas as pd
 
-    def no_orders(t: pa.Table) -> pa.Table:
-        mask = pc.is_null(t["n_orders"])
-        sub = t.filter(mask)
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    CB = n_buckets(pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows)
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(t["o_orderstatus"], "P"))
+        ck = pc.cast(sub["o_custkey"], pa.int64())
+        folded = pa.table(
+            {
+                "b": pc.cast(pc.bit_wise_and(ck, CB - 1), pa.int32()),
+                "ck": ck,
+                "nat": pa.array([-1] * len(sub), pa.int64()),
+            }
+        )
+        # batch-local dedup: the exchange ships distinct pending custkeys
+        return pa.TableGroupBy(folded, ["b", "ck", "nat"]).aggregate([])
+
+    def c_rows(t: pa.Table) -> pa.Table:
+        ck = pc.cast(t["c_custkey"], pa.int64())
         return pa.table(
-            {"c_nationkey": pc.cast(sub["c_nationkey"], pa.int64())}
+            {
+                "b": pc.cast(pc.bit_wise_and(ck, CB - 1), pa.int32()),
+                "ck": ck,
+                "nat": pc.cast(t["c_nationkey"], pa.int64()),
+            }
         )
 
-    return (
-        joined.map_batches(no_orders, batch_format="pyarrow")
-        .groupby("c_nationkey")
-        .aggregate(Count(alias_name="n_customers"))
+    def anti_fold(g: pd.DataFrame) -> pd.DataFrame:
+        pending = set(g.loc[g["nat"] < 0, "ck"])
+        c = g[g["nat"] >= 0]
+        c = c[~c["ck"].isin(pending)]
+        out = c.groupby("nat", as_index=False).size()
+        out.columns = ["c_nationkey", "n_customers"]
+        return out  # ≤25 rows per bucket
+
+    out = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+        .map_batches(o_rows, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+                c_rows, batch_format="pyarrow"
+            )
+        )
+        .groupby("b")
+        .map_groups(anti_fold, batch_format="pandas")
+        .to_pandas()  # ≤25·buckets rows
+        .groupby("c_nationkey", as_index=False)["n_customers"]
+        .sum()
+        .astype({"c_nationkey": "int64", "n_customers": "int64"})
     )
+    return out.reset_index(drop=True)
 
 
 CUSTOMERS_NO_ORDERS_SQL = """
@@ -534,35 +656,67 @@ GROUP BY c_nationkey
 
 def q4_order_priority(sf_dir: str) -> "object":
     """Orders-per-priority where at least one lineitem shipped with quantity
-    > 45 — the distributed EXISTS/semi-join: a vectorized ``filter(expr=...)``
-    over lineitem, distinct orderkeys via groupby (no driver key set), then a
-    hash-partitioned inner ``Dataset.join`` back to orders.  Both join sides
-    scale with SF."""
+    > 45 — the distributed EXISTS/semi-join restated as ONE orderkey-bucket
+    co-location: the predicate-pushdown lineitem read emits hot orderkeys
+    (batch-deduped), orders co-locate by the same bucket, and the in-bucket
+    kernel intersects and counts per priority (≤5 partial rows per bucket
+    — driver fold).  No ``Dataset.join`` and no corpus-wide distinct
+    groupby; both exchange sides scale with SF but ship only (key, tag)
+    pairs."""
     import pandas as pd
 
     import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
 
-    hot = (
+    from ._util import n_buckets
+
+    OB = n_buckets(pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.greater(t["l_quantity"], 45.0))
+        ok = pc.cast(sub["l_orderkey"], pa.int64())
+        folded = pa.table(
+            {
+                "b": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
+                "ok": ok,
+                "pri": pa.array([""] * len(sub), pa.string()),
+            }
+        )
+        # batch-local dedup: the exchange ships distinct hot keys
+        return pa.TableGroupBy(folded, ["b", "ok", "pri"]).aggregate([])
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t["o_orderkey"], pa.int64())
+        return pa.table(
+            {
+                "b": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
+                "ok": ok,
+                "pri": pc.cast(t["o_orderpriority"], pa.string()),
+            }
+        )
+
+    def pri_fold(g: pd.DataFrame) -> pd.DataFrame:
+        hot = set(g.loc[g["pri"] == "", "ok"])
+        o = g[g["pri"] != ""]
+        o = o[o["ok"].isin(hot)]
+        out = o.groupby("pri", as_index=False).size()
+        out.columns = ["o_orderpriority", "n_orders"]
+        return out  # ≤5 rows per bucket
+
+    out = (
         _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"],
               filter=pads.field("l_quantity") > 45.0)
-        .filter(expr="l_quantity > 45.0")  # kept: pushdown is a prune
-        .groupby("l_orderkey")
-        .aggregate(Count(alias_name="_c"))
-        .select_columns(["l_orderkey"])
-    )
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    out = (
-        orders.join(
-            hot,
-            join_type="inner",
-            num_partitions=join_partitions(),
-            on=("o_orderkey",),
-            right_on=("l_orderkey",),
-            aggregator_ray_remote_args={"num_cpus": 0},
+        .map_batches(li_rows, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+                o_rows, batch_format="pyarrow"
+            )
         )
-        .groupby("o_orderpriority")
-        .aggregate(Count(alias_name="n_orders"))
-        .to_pandas()  # 5 rows — one per priority
+        .groupby("b")
+        .map_groups(pri_fold, batch_format="pandas")
+        .to_pandas()  # ≤5·buckets rows
+        .groupby("o_orderpriority", as_index=False)["n_orders"]
+        .sum()
     )
     out["n_orders"] = out["n_orders"].astype("int64")
     return out.sort_values("o_orderpriority").reset_index(drop=True)
@@ -580,43 +734,103 @@ ORDER BY o_orderpriority
 # -- q10-style returned-item report -----------------------------------------
 
 def q10_returned_items(sf_dir: str) -> "object":
-    """Top-20 customers by revenue on returned ('R') lineitems: lineitem ⋈
-    orders (both scale — hash-partitioned ``Dataset.join``), groupby custkey,
-    top-k sort+limit; only the FINAL 20 rows land on the driver, decorated
-    with c_name via a broadcast ``pc.is_in`` probe of customer (no
-    scaling-table materialization)."""
+    """Top-20 customers by revenue on returned ('R') lineitems — TWO
+    bucketed co-locations instead of join + corpus-wide groupby + global
+    sort: (1) the R-filtered lineitem per-order revenue partials co-locate
+    with orders by orderkey and emit (custkey, revenue) partials already
+    bucketed by custkey-hash; (2) the custkey buckets hold every order of
+    a customer, so the kernel computes full per-customer totals and emits
+    its LOCAL top-20 — the driver merges O(buckets·20) rows.  Only the
+    final 20 rows are decorated with c_name via a broadcast ``pc.is_in``
+    probe of customer (no scaling-table materialization)."""
     import pandas as pd
 
-    li = (
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    OB = n_buckets(pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
+    CB = n_buckets(pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(t["l_returnflag"], "R"))
+        ok = pc.cast(sub["l_orderkey"], pa.int64())
+        rev = pc.multiply(
+            _cents(sub["l_extendedprice"]), pc.subtract(100, _cents(sub["l_discount"]))
+        )
+        folded = pa.table(
+            {
+                "b": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
+                "ok": ok,
+                "is_line": pa.array([1] * len(sub), pa.int8()),
+                "v": rev,
+            }
+        )
+        return pa.TableGroupBy(folded, ["b", "ok", "is_line"]).aggregate(
+            [("v", "sum")]
+        ).rename_columns(["b", "ok", "is_line", "v"])
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t["o_orderkey"], pa.int64())
+        return pa.table(
+            {
+                "b": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
+                "ok": ok,
+                "is_line": pa.array([0] * len(t), pa.int8()),
+                "v": pc.cast(t["o_custkey"], pa.int64()),  # custkey rides v
+            }
+        )
+
+    def cust_partial(g: pd.DataFrame) -> pa.Table:
+        ck = g.loc[g["is_line"] == 0].set_index("ok")["v"]
+        li = g[g["is_line"] == 1]
+        c = li["ok"].map(ck)
+        keep = c.notna()
+        sub = (
+            pd.DataFrame(
+                {
+                    "ck": c[keep].astype("int64"),
+                    "rev": li.loc[keep, "v"].astype("int64"),
+                }
+            )
+            .groupby("ck", as_index=False)["rev"]
+            .sum()
+        )
+        ckv = sub["ck"].to_numpy("int64")
+        # arrow out, pre-bucketed by custkey for the second co-location
+        return pa.table(
+            {
+                "cb": pa.array((ckv & (CB - 1)).astype("int32")),
+                "o_custkey": pa.array(ckv),
+                "revenue_c4": pa.array(sub["rev"].to_numpy("int64")),
+            }
+        )
+
+    def top_fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("o_custkey", as_index=False)["revenue_c4"].sum()
+        return agg.sort_values(
+            ["revenue_c4", "o_custkey"], ascending=[False, True]
+        ).head(20)  # full per-customer totals live in one cb bucket
+
+    top = (
         _read(
             sf_dir, "lineitem",
             ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
         )
-        .filter(expr="l_returnflag == 'R'")
-    )
-
-    def revenue(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            _cents(t["l_extendedprice"]), pc.subtract(100, _cents(t["l_discount"]))
+        .map_batches(li_rows, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+                o_rows, batch_format="pyarrow"
+            )
         )
-        return pa.table({"l_orderkey": t["l_orderkey"], "revenue_c4": rev})
-
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    top = (
-        li.map_batches(revenue, batch_format="pyarrow")
-        .join(
-            orders,
-            join_type="inner",
-            num_partitions=join_partitions(),
-            on=("l_orderkey",),
-            right_on=("o_orderkey",),
-            aggregator_ray_remote_args={"num_cpus": 0},
-        )
-        .groupby("o_custkey")
-        .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
-        .sort(["revenue_c4", "o_custkey"], descending=[True, False])
-        .limit(20)
-        .to_pandas()  # bounded: exactly 20 rows at any SF
+        .groupby("b")
+        .map_groups(cust_partial, batch_format="pandas")
+        .groupby("cb")
+        .map_groups(top_fold, batch_format="pandas")
+        .to_pandas()  # ≤20·buckets rows
+        .sort_values(["revenue_c4", "o_custkey"], ascending=[False, True])
+        .head(20)
+        .reset_index(drop=True)
     )
     keys = pa.array(top["o_custkey"].astype("int64"))
 
@@ -1975,6 +2189,146 @@ ORDER BY type_a, type_b
 def q8_market_share(sf_dir: str) -> "object":
     """Per order-year PROMO-part revenue in region ASIA, split into the
     share supplied by NATION_5 vs the total (TPC-H q8 shape adapted to the
+    driver schema; the reference has no relational surface).  Fast plan
+    (dims under ``MAX_BROADCAST_DIM_ROWS``): the PROMO partkey set, the
+    supplier nation map, and the customer nation map broadcast once via
+    ``ray.put``; lineitem pre-folds (orderkey, is-target-nation) revenue
+    and orders pre-filter to ASIA years in-stream, so the ONLY exchange is
+    one orderkey co-location emitting ≤7-year partials per bucket — a
+    corpus-independent driver fold finishes.  Above the guard the original
+    four-``Dataset.join`` tree runs.  The ratio is emitted as two exact
+    integer sums (nation_c4, total_c4) so the oracle hash-matches — a
+    float division would differ in the last ulp."""
+    import numpy as np
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    n_part = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
+    n_supp = pq.read_metadata(f"{sf_dir}/supplier.parquet").num_rows
+    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    if max(n_part, n_supp, n_cust) > MAX_BROADCAST_DIM_ROWS:
+        return _q8_join_plan(sf_dir)
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    asia_key = int(region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+    asia_nations = set(
+        int(k) for k in nation.loc[nation["n_regionkey"] == asia_key, "n_nationkey"]
+    )
+    target_nation = int(
+        nation.loc[nation["n_name"] == "NATION_5", "n_nationkey"].iloc[0]
+    )
+
+    OB = n_buckets(pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    pk = np.sort(
+        part.loc[part["p_type"] == "PROMO", "p_partkey"].to_numpy(np.int64)
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = np.sort(supp["s_suppkey"].to_numpy(np.int64))
+    sn = supp.set_index("s_suppkey")["s_nationkey"].loc[sk].to_numpy(np.int64)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    ak = np.sort(
+        cust.loc[cust["c_nationkey"].isin(asia_nations), "c_custkey"].to_numpy(
+            np.int64
+        )
+    )
+    maps_ref = ray.put((pk, sk, sn, ak))
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        pk_, sk_, sn_, _ak = ray.get(maps_ref)
+        pkv = pc.cast(t["l_partkey"], pa.int64()).to_numpy()
+        pidx = np.clip(np.searchsorted(pk_, pkv), 0, max(len(pk_) - 1, 0))
+        hit = (pk_[pidx] == pkv) if len(pk_) else np.zeros(len(pkv), bool)
+        sub = t.filter(pa.array(hit))
+        skv = pc.cast(sub["l_suppkey"], pa.int64()).to_numpy()
+        sidx = np.clip(np.searchsorted(sk_, skv), 0, max(len(sk_) - 1, 0))
+        shit = (sk_[sidx] == skv) if len(sk_) else np.zeros(len(skv), bool)
+        sub = sub.filter(pa.array(shit))
+        rev = pc.multiply(
+            _cents(sub["l_extendedprice"]),
+            pc.subtract(100, _cents(sub["l_discount"])),
+        ).to_numpy()
+        is_t = sn_[sidx[shit]] == target_nation
+        ok = pc.cast(sub["l_orderkey"], pa.int64()).to_numpy()
+        folded = pa.table(
+            {
+                "b": pa.array((ok & (OB - 1)).astype("int32")),
+                "ok": pa.array(ok),
+                "is_line": pa.array(np.ones(len(ok), dtype="int8")),
+                "nation_c4": pa.array(np.where(is_t, rev, 0)),
+                "total_c4": pa.array(rev),
+            }
+        )
+        # batch-local per-order combine shrinks the exchange
+        return pa.TableGroupBy(folded, ["b", "ok", "is_line"]).aggregate(
+            [("nation_c4", "sum"), ("total_c4", "sum")]
+        ).rename_columns(["b", "ok", "is_line", "nation_c4", "total_c4"])
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        _pk, _sk, _sn, ak_ = ray.get(maps_ref)
+        ckv = pc.cast(t["o_custkey"], pa.int64()).to_numpy()
+        idx = np.clip(np.searchsorted(ak_, ckv), 0, max(len(ak_) - 1, 0))
+        hit = (ak_[idx] == ckv) if len(ak_) else np.zeros(len(ckv), bool)
+        sub = t.filter(pa.array(hit))
+        ok = pc.cast(sub["o_orderkey"], pa.int64()).to_numpy()
+        yr = pc.cast(pc.year(sub["o_orderdate"]), pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "b": pa.array((ok & (OB - 1)).astype("int32")),
+                "ok": pa.array(ok),
+                "is_line": pa.array(np.zeros(len(ok), dtype="int8")),
+                "nation_c4": pa.array(yr),  # year rides the nation slot
+                "total_c4": pa.array(np.zeros(len(ok), dtype="int64")),
+            }
+        )
+
+    def year_fold(g: pd.DataFrame) -> pd.DataFrame:
+        yr = g.loc[g["is_line"] == 0].set_index("ok")["nation_c4"]
+        li = g[g["is_line"] == 1]
+        y = li["ok"].map(yr)
+        keep = y.notna()
+        sub = pd.DataFrame(
+            {
+                "o_year": y[keep].astype("int64"),
+                "nation_c4": li.loc[keep, "nation_c4"].astype("int64"),
+                "total_c4": li.loc[keep, "total_c4"].astype("int64"),
+            }
+        )
+        return sub.groupby("o_year", as_index=False)[
+            ["nation_c4", "total_c4"]
+        ].sum()  # ≤7 rows per bucket
+
+    out = (
+        _read(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey",
+             "l_extendedprice", "l_discount"],
+        )
+        .map_batches(li_rows, batch_format="pyarrow")
+        .union(
+            _read(
+                sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+            ).map_batches(o_rows, batch_format="pyarrow")
+        )
+        .groupby("b")
+        .map_groups(year_fold, batch_format="pandas")
+        .to_pandas()  # corpus-independent driver fold
+        .groupby("o_year", as_index=False)[["nation_c4", "total_c4"]]
+        .sum()
+    )
+    for c in ("nation_c4", "total_c4"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_year").reset_index(drop=True)
+
+
+def _q8_join_plan(sf_dir: str) -> "object":
+    """Per order-year PROMO-part revenue in region ASIA, split into the
+    share supplied by NATION_5 vs the total (TPC-H q8 shape adapted to the
     driver schema; the reference has no relational surface).  All three
     fact joins are hash-partitioned ``Dataset.join``s; nation/region (25 +
     5 fixed rows) are driver-side lookups via ``ray.put`` broadcast.  The
@@ -2188,6 +2542,80 @@ def q17_small_qty_revenue(sf_dir: str) -> "object":
     """Total price of Brand#13 lineitems whose quantity is below 20% of
     that part's average quantity — the correlated-scalar-subquery pattern
     (TPC-H q17 adapted: p_container doesn't exist in the driver schema).
+    Fast plan (part under ``MAX_BROADCAST_DIM_ROWS``): the Brand#13
+    partkey set broadcasts once; every row of a part co-locates in ONE
+    partkey-bucket exchange whose kernel computes the per-part average AND
+    the small-quantity test together (the correlated aggregate never
+    leaves the bucket), emitting one partial row per bucket — driver sum
+    finishes.  Above the guard: brand join, per-part aggregate, join-back
+    (the original plan).  The comparison runs in exact integers —
+    qty < 0.2*avg  <=>  5*qty_c2*cnt < sum_qty_c2 — so the oracle
+    hash-matches."""
+    import numpy as np
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    if pq.read_metadata(f"{sf_dir}/part.parquet").num_rows > MAX_BROADCAST_DIM_ROWS:
+        return _q17_join_plan(sf_dir)
+
+    PB = n_buckets(pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    pk = np.sort(
+        part.loc[part["p_brand"] == "Brand#13", "p_partkey"].to_numpy(np.int64)
+    )
+    keys_ref = ray.put(pk)
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        pk_ = ray.get(keys_ref)
+        pkv = pc.cast(t["l_partkey"], pa.int64()).to_numpy()
+        idx = np.clip(np.searchsorted(pk_, pkv), 0, max(len(pk_) - 1, 0))
+        hit = (pk_[idx] == pkv) if len(pk_) else np.zeros(len(pkv), bool)
+        sub = t.filter(pa.array(hit))
+        key = pc.cast(sub["l_partkey"], pa.int64())
+        return pa.table(
+            {
+                "b": pc.cast(pc.bit_wise_and(key, PB - 1), pa.int32()),
+                "pk": key,
+                "qty_c2": _cents(sub["l_quantity"]),
+                "price_c2": _cents(sub["l_extendedprice"]),
+            }
+        )
+
+    def small_fold(g: pd.DataFrame) -> pd.DataFrame:
+        by = g.groupby("pk")["qty_c2"]
+        s = by.transform("sum")
+        n = by.transform("size")
+        # qty < 0.2 * (sum/cnt)  <=>  5 * qty * cnt < sum  (exact integers)
+        small = 5 * g["qty_c2"] * n < s
+        return pd.DataFrame(
+            {
+                "total_price_c2": [int(g.loc[small, "price_c2"].sum())],
+                "n_small": [int(small.sum())],
+            }
+        )
+
+    out = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(li_rows, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(small_fold, batch_format="pandas")
+        .to_pandas()  # one row per bucket
+    )
+    return pd.DataFrame(
+        {
+            "total_price_c2": [int(out["total_price_c2"].sum())],
+            "n_small": [int(out["n_small"].sum())],
+        }
+    )
+
+
+def _q17_join_plan(sf_dir: str) -> "object":
+    """Total price of Brand#13 lineitems whose quantity is below 20% of
+    that part's average quantity — the correlated-scalar-subquery pattern
+    (TPC-H q17 adapted: p_container doesn't exist in the driver schema).
     The per-part average is a second |lineitem_filtered| aggregate joined
     back by partkey (NOT broadcast: the brand slice scales with SF); the
     comparison runs in exact integers — qty < 0.2*avg  <=>
@@ -2288,8 +2716,9 @@ def q22_dormant_balance(sf_dir: str) -> "object":
     the segment plays the country-code role).  The global average is two
     O(1) scalars (sum, count) on the driver; the comparison is exact in
     integers (bal_c2 * n_pos > sum_pos_c2); the anti side is the
-    orders-per-customer aggregate (|customers|, not |orders|) through a
-    left-outer ``Dataset.join`` + null filter, as customers_no_orders."""
+    pending-custkey set co-located with the rich customers in ONE
+    custkey-bucket exchange (the anti-join never ships |orders| rows:
+    batch-deduped keys only), as customers_no_orders."""
     import pandas as pd
 
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
@@ -2312,14 +2741,29 @@ def q22_dormant_balance(sf_dir: str) -> "object":
     sum_pos = int(g["sum(sum_pos_c2)"])
     n_pos = int(g["sum(n_pos)"])
 
-    pending = (
-        _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
-        .filter(expr="o_orderstatus == 'P'")
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="n_orders"))
-    )
+    import pandas as pd
 
-    def rich(t: pa.Table) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    CB = n_buckets(pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows)
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(t["o_orderstatus"], "P"))
+        ck = pc.cast(sub["o_custkey"], pa.int64())
+        folded = pa.table(
+            {
+                "b": pc.cast(pc.bit_wise_and(ck, CB - 1), pa.int32()),
+                "ck": ck,
+                "seg": pa.array([""] * len(sub), pa.string()),
+                "bal_c2": pa.array([0] * len(sub), pa.int64()),
+            }
+        )
+        # batch-local dedup: the exchange ships distinct pending custkeys
+        return pa.TableGroupBy(folded, ["b", "ck", "seg", "bal_c2"]).aggregate([])
+
+    def rich_rows(t: pa.Table) -> pa.Table:
         bal = _cents(t["c_acctbal"])
         # bal > sum/n  <=>  bal * n > sum   (exact integers, n > 0)
         mask = pc.greater(
@@ -2327,37 +2771,35 @@ def q22_dormant_balance(sf_dir: str) -> "object":
             pa.scalar(sum_pos, pa.int64()),
         )
         sub = t.filter(mask)
+        ck = pc.cast(sub["c_custkey"], pa.int64())
         return pa.table(
             {
-                "c_custkey": sub["c_custkey"],
-                "c_mktsegment": sub["c_mktsegment"],
+                "b": pc.cast(pc.bit_wise_and(ck, CB - 1), pa.int32()),
+                "ck": ck,
+                "seg": pc.cast(sub["c_mktsegment"], pa.string()),
                 "bal_c2": _cents(sub["c_acctbal"]),
             }
         )
 
-    joined = cust.map_batches(rich, batch_format="pyarrow").join(
-        pending,
-        join_type="left_outer",
-        num_partitions=join_partitions(),
-        on=("c_custkey",),
-        right_on=("o_custkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
-
-    def dormant(t: pa.Table) -> pa.Table:
-        sub = t.filter(pc.is_null(t["n_orders"]))
-        return pa.table(
-            {"c_mktsegment": sub["c_mktsegment"], "bal_c2": sub["bal_c2"]}
+    def dormant_fold(g: pd.DataFrame) -> pd.DataFrame:
+        pending = set(g.loc[g["seg"] == "", "ck"])
+        c = g[g["seg"] != ""]
+        c = c[~c["ck"].isin(pending)]
+        out = c.groupby("seg", as_index=False).agg(
+            numcust=("ck", "size"), totacctbal_c2=("bal_c2", "sum")
         )
+        out.columns = ["c_mktsegment", "numcust", "totacctbal_c2"]
+        return out  # ≤|segments| rows per bucket
 
     out = (
-        joined.map_batches(dormant, batch_format="pyarrow")
-        .groupby("c_mktsegment")
-        .aggregate(
-            Count(alias_name="numcust"),
-            Sum("bal_c2", alias_name="totacctbal_c2"),
-        )
-        .to_pandas()  # <=5 rows
+        _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+        .map_batches(o_rows, batch_format="pyarrow")
+        .union(cust.map_batches(rich_rows, batch_format="pyarrow"))
+        .groupby("b")
+        .map_groups(dormant_fold, batch_format="pandas")
+        .to_pandas()  # ≤|segments|·buckets rows
+        .groupby("c_mktsegment", as_index=False)[["numcust", "totacctbal_c2"]]
+        .sum()
     )
     out["numcust"] = out["numcust"].astype("int64")
     out["totacctbal_c2"] = out["totacctbal_c2"].astype("int64")
@@ -3605,15 +4047,20 @@ def q12_late_shipments(sf_dir: str) -> "object":
     schema): lines shipped in 1997 at least 60 days after their order date,
     grouped by ``l_returnflag`` (the 2-3-value mode analog), counting lines
     of high- vs low-priority orders — the CASE-WHEN conditional-count
-    shape.  One hash-partitioned ``Dataset.join`` (lineitem ⋈ orders, both
-    scale); the year filter prunes lineitem BEFORE the shuffle; the
-    lateness predicate needs both sides so it runs post-join in the fold,
-    which emits <=3 partial rows per batch.  Reference parity: SURVEY
-    §2.6 conditional-aggregate family (status_priority_pivot is the
-    unjoined version)."""
+    shape.  ONE orderkey-bucket co-location (the year filter prunes
+    lineitem at the parquet scan BEFORE the exchange): the in-bucket
+    kernel joins ship and order dates, applies the lateness predicate, and
+    emits ≤3 partial rows per bucket — a corpus-independent driver fold
+    finishes.  Reference parity: SURVEY §2.6 conditional-aggregate family
+    (status_priority_pivot is the unjoined version)."""
     from datetime import datetime
 
+    import pandas as pd
+
     import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
 
     lo = pa.scalar(datetime(1997, 1, 1), pa.timestamp("us"))
     hi = pa.scalar(datetime(1998, 1, 1), pa.timestamp("us"))
@@ -3621,75 +4068,86 @@ def q12_late_shipments(sf_dir: str) -> "object":
     push = (pads.field("l_shipdate") >= datetime(1997, 1, 1)) & (
         pads.field("l_shipdate") < datetime(1998, 1, 1)
     )
+    OB = n_buckets(pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
+    FLAGS = {"A": 1, "N": 2, "R": 3}
 
-    def li_pick(t: pa.Table) -> pa.Table:
+    def li_rows(t: pa.Table) -> pa.Table:
         d = t["l_shipdate"].cast(pa.timestamp("us"))
         mask = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
         sub = t.filter(mask)
+        ok = pc.cast(sub["l_orderkey"], pa.int64())
+        flag = pc.case_when(
+            pc.make_struct(
+                pc.equal(sub["l_returnflag"], "A"),
+                pc.equal(sub["l_returnflag"], "N"),
+            ),
+            1, 2, 3,
+        )
         return pa.table(
             {
-                "l_orderkey": pc.cast(sub["l_orderkey"], pa.int64()),
-                "l_returnflag": sub["l_returnflag"],
-                "ship_us": pc.cast(sub["l_shipdate"].cast(pa.timestamp("us")), pa.int64()),
+                "b": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
+                "ok": ok,
+                "flag": pc.cast(flag, pa.int64()),
+                "us": pc.cast(sub["l_shipdate"].cast(pa.timestamp("us")), pa.int64()),
             }
         )
 
-    li = _read(
-        sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_shipdate"],
-        filter=push,
-    ).map_batches(li_pick, batch_format="pyarrow")
-
-    def o_pick(t: pa.Table) -> pa.Table:
+    def o_rows(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t["o_orderkey"], pa.int64())
         pri = t["o_orderpriority"]
         high = pc.or_(pc.equal(pri, "1-URGENT"), pc.equal(pri, "2-HIGH"))
         return pa.table(
             {
-                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
-                "order_us": pc.cast(t["o_orderdate"].cast(pa.timestamp("us")), pa.int64()),
-                "is_high": high,
+                "b": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
+                "ok": ok,
+                # flag slot: 0 marks the orders side; -1/-2 carries is_high
+                "flag": pc.cast(
+                    pc.if_else(high, pa.scalar(-2, pa.int64()),
+                               pa.scalar(-1, pa.int64())),
+                    pa.int64(),
+                ),
+                "us": pc.cast(t["o_orderdate"].cast(pa.timestamp("us")), pa.int64()),
             }
         )
 
-    orders = _read(
-        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
-    ).map_batches(o_pick, batch_format="pyarrow")
+    inv_flags = {v: k for k, v in FLAGS.items()}
 
-    joined = li.join(
-        orders,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
-
-    def fold(t: pa.Table) -> pa.Table:
-        late = pc.greater_equal(
-            pc.subtract(t["ship_us"], t["order_us"]), _LATE_US
-        )
-        sub = t.filter(late)
-        high = pc.cast(sub["is_high"], pa.int64())
-        folded = pa.table(
+    def late_fold(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["flag"] < 0].set_index("ok")
+        li = g[g["flag"] > 0]
+        ous = li["ok"].map(o["us"])
+        keep = ous.notna() & (li["us"] - ous >= _LATE_US)
+        sub = li[keep]
+        high = (sub["ok"].map(o["flag"]) == -2).astype("int64")
+        out = pd.DataFrame(
             {
-                "l_returnflag": sub["l_returnflag"],
+                "l_returnflag": sub["flag"].map(inv_flags),
                 "high_line_count": high,
-                "low_line_count": pc.subtract(1, high),
+                "low_line_count": 1 - high,
             }
         )
-        return (
-            pa.TableGroupBy(folded, "l_returnflag")
-            .aggregate([("high_line_count", "sum"), ("low_line_count", "sum")])
-            .rename_columns(["l_returnflag", "high_line_count", "low_line_count"])
-        )
+        return out.groupby("l_returnflag", as_index=False)[
+            ["high_line_count", "low_line_count"]
+        ].sum()  # ≤3 rows per bucket
 
     out = (
-        joined.map_batches(fold, batch_format="pyarrow")
-        .groupby("l_returnflag")
-        .aggregate(
-            Sum("high_line_count", alias_name="high_line_count"),
-            Sum("low_line_count", alias_name="low_line_count"),
+        _read(
+            sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_shipdate"],
+            filter=push,
         )
-        .to_pandas()  # <= 3 rows
+        .map_batches(li_rows, batch_format="pyarrow")
+        .union(
+            _read(
+                sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+            ).map_batches(o_rows, batch_format="pyarrow")
+        )
+        .groupby("b")
+        .map_groups(late_fold, batch_format="pandas")
+        .to_pandas()  # ≤3·buckets rows
+        .groupby("l_returnflag", as_index=False)[
+            ["high_line_count", "low_line_count"]
+        ]
+        .sum()
     )
     for c in ("high_line_count", "low_line_count"):
         out[c] = out[c].astype("int64")
@@ -3736,13 +4194,10 @@ def q20_excess_suppliers(sf_dir: str) -> "object":
         pa.int64(),
     )
 
-    std_parts = (
-        _read(sf_dir, "part", ["p_partkey", "p_type"])
-        .filter(expr="p_type == 'STANDARD'")
-        .select_columns(["p_partkey"])
-    )
+    import numpy as np
 
     import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
 
     lo = pa.scalar(datetime(1996, 1, 1), pa.timestamp("us"))
     hi = pa.scalar(datetime(1997, 1, 1), pa.timestamp("us"))
@@ -3766,14 +4221,38 @@ def q20_excess_suppliers(sf_dir: str) -> "object":
         filter=push,
     ).map_batches(li_pick, batch_format="pyarrow")
 
-    li_std = li.join(
-        std_parts,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("l_partkey",),
-        right_on=("p_partkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
+    if pq.read_metadata(f"{sf_dir}/part.parquet").num_rows <= MAX_BROADCAST_DIM_ROWS:
+        # fast plan: the STANDARD partkey set broadcasts once — the part
+        # join disappears and the per-part winners co-location is the only
+        # exchange
+        part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+        pk = np.sort(
+            part.loc[part["p_type"] == "STANDARD", "p_partkey"].to_numpy(np.int64)
+        )
+        pk_ref = ray.put(pk)
+
+        def std_filter(t: pa.Table) -> pa.Table:
+            pk_ = ray.get(pk_ref)
+            pkv = pc.cast(t["l_partkey"], pa.int64()).to_numpy()
+            idx = np.clip(np.searchsorted(pk_, pkv), 0, max(len(pk_) - 1, 0))
+            hit = (pk_[idx] == pkv) if len(pk_) else np.zeros(len(pkv), bool)
+            return t.filter(pa.array(hit))
+
+        li_std = li.map_batches(std_filter, batch_format="pyarrow")
+    else:
+        std_parts = (
+            _read(sf_dir, "part", ["p_partkey", "p_type"])
+            .filter(expr="p_type == 'STANDARD'")
+            .select_columns(["p_partkey"])
+        )
+        li_std = li.join(
+            std_parts,
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+            aggregator_ray_remote_args={"num_cpus": 0},
+        )
 
     def fold(t: pa.Table) -> pa.Table:
         # map-side combine: one (part, supp) qty partial per batch

@@ -839,7 +839,8 @@ def test_broadcast_and_colocated_plans_agree(ray_session, monkeypatch):
     sf = "/root/testdata/sf0.001"
     names = [
         "q7_nation_pairs", "q9_nation_profit", "q3_top_orders",
-        "q16_supplier_counts", "q2_min_cost_supplier",
+        "q16_supplier_counts", "q2_min_cost_supplier", "q8_market_share",
+        "q17_small_qty_revenue", "q5_nation_revenue", "q20_excess_suppliers",
     ]
     fast = {}
     for n in names:
