@@ -874,6 +874,40 @@ def q14_promo_revenue(sf_dir: str) -> "object":
     import pandas as pd
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+    if _dim_rows(sf_dir, "part") <= MAX_BROADCAST_DIM_ROWS:
+        # fast plan: partkey->is_promo broadcasts once; ZERO exchanges —
+        # per-batch scalar partials fold on the driver
+        import numpy as np
+
+        pk, vals = _dim_lookup(sf_dir, "part", "p_partkey", ["p_type"])
+        promo_flags = vals["p_type"] == "PROMO"
+        maps_ref = ray.put((pk, promo_flags))
+
+        def bpartial(t: pa.Table) -> pa.Table:
+            pk_, pf_ = ray.get(maps_ref)
+            pkv = pc.cast(t["l_partkey"], pa.int64()).to_numpy()
+            hit, hidx = _lookup_hits(pk_, pkv)
+            sub = t.filter(pa.array(hit))
+            rev = pc.multiply(
+                _cents(sub["l_extendedprice"]),
+                pc.subtract(100, _cents(sub["l_discount"])),
+            ).to_numpy()
+            promo = pf_[hidx]
+            return pa.table(
+                {
+                    "promo_c4": pa.array([int(rev[promo].sum())], pa.int64()),
+                    "total_c4": pa.array([int(rev.sum())], pa.int64()),
+                }
+            )
+
+        parts = li.map_batches(bpartial, batch_format="pyarrow").to_pandas()
+        return pd.DataFrame(
+            {
+                "promo_revenue_c4": [int(parts["promo_c4"].sum())],
+                "total_revenue_c4": [int(parts["total_c4"].sum())],
+            }
+        )
+
     part = _read(sf_dir, "part", ["p_partkey", "p_type"])
     joined = li.join(
         part,
@@ -1523,6 +1557,36 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 # -- q7-ish: nation-pair trade matrix (5-way join) --------------------------
 
+def _dim_rows(sf_dir: str, table: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+
+
+def _dim_lookup(sf_dir: str, table: str, key: str, cols: list[str]):
+    """Driver-side sorted-key lookup for a dimension table: returns
+    (sorted key ndarray, {col: aligned ndarray}) for one ``ray.put``
+    broadcast.  Callers guard on ``_dim_rows(...) <= MAX_BROADCAST_DIM_ROWS``
+    first — above the guard the co-location/join plan must run instead."""
+    import numpy as np
+
+    df = _read(sf_dir, table, [key, *cols]).to_pandas().sort_values(key)
+    keys = df[key].to_numpy(np.int64)
+    vals = {c: df[c].to_numpy() for c in cols}
+    return keys, vals
+
+
+def _lookup_hits(keys, probe):
+    """searchsorted membership probe: (hit_mask, index-into-keys[hit])."""
+    import numpy as np
+
+    if len(keys) == 0:
+        return np.zeros(len(probe), bool), np.zeros(0, np.int64)
+    idx = np.clip(np.searchsorted(keys, probe), 0, len(keys) - 1)
+    hit = keys[idx] == probe
+    return hit, idx[hit]
+
+
 #: Dimension-broadcast guard for q7: a nation-key map over this many rows
 #: (~tens of MB as two int arrays) stays a driver broadcast; above it the
 #: all-co-location plan runs (same answer, one more exchange per dim —
@@ -1829,6 +1893,11 @@ def q19_disjunctive(sf_dir: str) -> "object":
         sf_dir, "lineitem",
         ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
     )
+    if _dim_rows(sf_dir, "part") <= MAX_BROADCAST_DIM_ROWS:
+        # fast plan: the (brand, size) attribute map broadcasts once and
+        # the disjunction evaluates in-stream — ZERO exchanges; per-batch
+        # scalar partials fold on the driver
+        return _q19_broadcast(sf_dir, li)
     part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
     joined = li.join(
         part,
@@ -1882,6 +1951,51 @@ def q19_disjunctive(sf_dir: str) -> "object":
     )
 
 
+def _q19_broadcast(sf_dir: str, li: Dataset) -> "object":
+    import numpy as np
+    import pandas as pd
+
+    pk, vals = _dim_lookup(sf_dir, "part", "p_partkey", ["p_brand", "p_size"])
+    maps_ref = ray.put((pk, vals["p_brand"], vals["p_size"].astype("int64")))
+    clauses = [
+        ("Brand#1", 1, 10, 1.0, 15.0),
+        ("Brand#2", 1, 20, 10.0, 25.0),
+        ("Brand#3", 1, 30, 20.0, 35.0),
+    ]
+
+    def partial(t: pa.Table) -> pa.Table:
+        pk_, pb_, ps_ = ray.get(maps_ref)
+        pkv = pc.cast(t["l_partkey"], pa.int64()).to_numpy()
+        hit, hidx = _lookup_hits(pk_, pkv)
+        sub = t.filter(pa.array(hit))
+        brand, size = pb_[hidx], ps_[hidx]
+        qty = sub["l_quantity"].to_numpy()
+        mask = np.zeros(len(sub), bool)
+        for b, s_lo, s_hi, q_lo, q_hi in clauses:
+            mask |= (
+                (brand == b) & (size >= s_lo) & (size <= s_hi)
+                & (qty >= q_lo) & (qty <= q_hi)
+            )
+        rev = pc.multiply(
+            _cents(sub["l_extendedprice"]),
+            pc.subtract(100, _cents(sub["l_discount"])),
+        ).to_numpy()
+        return pa.table(
+            {
+                "revenue_c4": pa.array([int(rev[mask].sum())], pa.int64()),
+                "n_items": pa.array([int(mask.sum())], pa.int64()),
+            }
+        )
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "revenue_c4": [int(parts["revenue_c4"].sum())],
+            "n_items": [int(parts["n_items"].sum())],
+        }
+    )
+
+
 Q19_DISJUNCTIVE_SQL = """
 SELECT CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
                 * (100 - CAST(ROUND(l_discount*100) AS BIGINT))), 0) AS BIGINT) AS revenue_c4,
@@ -1906,25 +2020,48 @@ def suppliers_per_type(sf_dir: str) -> "object":
     import pandas as pd
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
-    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
-    joined = li.join(
-        part,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("l_partkey",),
-        right_on=("p_partkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
+    if _dim_rows(sf_dir, "part") <= MAX_BROADCAST_DIM_ROWS:
+        # fast plan: partkey->type broadcasts once; the one exchange is the
+        # dedup groupby over batch-pre-deduped (type, supp) combos
+        pk, vals = _dim_lookup(sf_dir, "part", "p_partkey", ["p_type"])
+        maps_ref = ray.put((pk, vals["p_type"]))
 
-    def local_dedup(t: pa.Table) -> pa.Table:
-        return (
-            t.select(["p_type", "l_suppkey"])
-            .group_by(["p_type", "l_suppkey"])
-            .aggregate([])
+        def local_dedup(t: pa.Table) -> pa.Table:
+            pk_, pt_ = ray.get(maps_ref)
+            pkv = pc.cast(t["l_partkey"], pa.int64()).to_numpy()
+            hit, hidx = _lookup_hits(pk_, pkv)
+            sub = t.filter(pa.array(hit))
+            folded = pa.table(
+                {
+                    "p_type": pa.array(pt_[hidx], pa.string()),
+                    "l_suppkey": pc.cast(sub["l_suppkey"], pa.int64()),
+                }
+            )
+            return folded.group_by(["p_type", "l_suppkey"]).aggregate([])
+
+        deduped_src = li.map_batches(local_dedup, batch_format="pyarrow")
+    else:
+        part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+        joined = li.join(
+            part,
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+            aggregator_ray_remote_args={"num_cpus": 0},
         )
 
+        def local_dedup(t: pa.Table) -> pa.Table:
+            return (
+                t.select(["p_type", "l_suppkey"])
+                .group_by(["p_type", "l_suppkey"])
+                .aggregate([])
+            )
+
+        deduped_src = joined.map_batches(local_dedup, batch_format="pyarrow")
+
     dedup = (
-        joined.map_batches(local_dedup, batch_format="pyarrow")
+        deduped_src
         .groupby(["p_type", "l_suppkey"])
         .aggregate(Count(alias_name="_c"))
     )
@@ -3495,23 +3632,46 @@ def q11_important_parts(sf_dir: str) -> "object":
         pa.int64(),
     )
 
-    # full supplier projection as the join side (dense — a region-filtered
-    # side leaves hash partitions empty, see q15's schemaless-empty-block
-    # note); the ASIA filter runs in the fold.
-    supp_keys = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
-    joined = li.join(
-        supp_keys,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("l_suppkey",),
-        right_on=("s_suppkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
+    if _dim_rows(sf_dir, "supplier") <= MAX_BROADCAST_DIM_ROWS:
+        # fast plan: the ASIA-supplier key set broadcasts once; lineitem
+        # filters in-stream, leaving ONE per-part groupby exchange
+        import numpy as np
+
+        sk, vals = _dim_lookup(sf_dir, "supplier", "s_suppkey", ["s_nationkey"])
+        asia_set = set(int(a) for a in asia_arr.to_pylist())
+        ak = sk[np.isin(vals["s_nationkey"].astype("int64"),
+                        np.array(sorted(asia_set), dtype="int64"))]
+        ak_ref = ray.put(ak)
+
+        def asia_filter(t: pa.Table) -> pa.Table:
+            ak_ = ray.get(ak_ref)
+            skv = pc.cast(t["l_suppkey"], pa.int64()).to_numpy()
+            hit, _ = _lookup_hits(ak_, skv)
+            return t.filter(pa.array(hit))
+
+        joined = li.map_batches(asia_filter, batch_format="pyarrow")
+        already_asia = True
+    else:
+        # full supplier projection as the join side (dense — a region-
+        # filtered side leaves hash partitions empty, see q15's
+        # schemaless-empty-block note); the ASIA filter runs in the fold.
+        supp_keys = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        joined = li.join(
+            supp_keys,
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("l_suppkey",),
+            right_on=("s_suppkey",),
+            aggregator_ray_remote_args={"num_cpus": 0},
+        )
+        already_asia = False
 
     def fold(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_in(pc.cast(t["s_nationkey"], pa.int64()), value_set=asia_arr))
+        if not already_asia:
+            t = t.filter(
+                pc.is_in(pc.cast(t["s_nationkey"], pa.int64()), value_set=asia_arr)
+            )
         folded = pa.table(
             {
                 "p_partkey": pc.cast(t["l_partkey"], pa.int64()),

@@ -841,6 +841,8 @@ def test_broadcast_and_colocated_plans_agree(ray_session, monkeypatch):
         "q7_nation_pairs", "q9_nation_profit", "q3_top_orders",
         "q16_supplier_counts", "q2_min_cost_supplier", "q8_market_share",
         "q17_small_qty_revenue", "q5_nation_revenue", "q20_excess_suppliers",
+        "q14_promo_revenue", "q11_important_parts", "q19_disjunctive",
+        "suppliers_per_type",
     ]
     fast = {}
     for n in names:
