@@ -146,6 +146,14 @@ def _query_fns() -> dict:
         "customers_1997_except_1998": relational.customers_1997_except_1998,
         "html_main_content": html.html_main_content,
         "html_spans": html.html_spans,
+        "q8_market_share": relational.q8_market_share,
+        "q17_small_qty_revenue": relational.q17_small_qty_revenue,
+        "q5_nation_revenue": relational.q5_nation_revenue,
+        "q10_returned_items": relational.q10_returned_items,
+        "gopher_rules": text.gopher_rules,
+        "dsir_weights": curation.dsir_weights,
+        "rolling_window_orders": windows.rolling_window_orders,
+        "price_decile": windows.price_decile,
     }
 
 
@@ -173,7 +181,10 @@ QUERY_CHUNKS = [
     ["q7_nation_pairs", "lang_top_terms", "q21_sole_returner",
      "q2_min_cost_supplier", "q9_nation_profit", "q16_supplier_counts",
      "median_price_per_status", "customers_1997_except_1998"],
-    ["html_main_content", "html_spans"],
+    ["html_main_content", "html_spans", "q8_market_share",
+     "q17_small_qty_revenue", "q5_nation_revenue", "q10_returned_items"],
+    ["gopher_rules", "dsir_weights", "rolling_window_orders",
+     "price_decile"],
 ]
 
 
