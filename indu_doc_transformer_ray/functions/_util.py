@@ -44,3 +44,40 @@ def n_buckets(
     want = (n_rows + rows_per_bucket - 1) // rows_per_bucket
     b = 1 << max(0, (want - 1).bit_length())
     return max(lo, min(hi, b))
+
+
+def read_num_blocks(n_rows: int, rows_per_block: int = 16_384):
+    """Read-block count for a SMALL table: Ray's default read parallelism
+    (2x CPUs) splinters a few thousand rows into ~64 micro-blocks, and
+    every downstream exchange then pays per-block scheduling for nothing
+    (measured: a 40k-row groupby costs 1.2s at 64 blocks vs 0.31s at <=16
+    on this host — pure sort-machinery fixed cost).  Returns ``None``
+    (keep Ray's default) once the table is big enough that default
+    parallelism yields >= ``rows_per_block`` rows per block, so corpus-
+    scale reads keep their streaming shape; row counts come from parquet
+    metadata, never a scan."""
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    default_blocks = ncpu * 2
+    if n_rows >= default_blocks * rows_per_block:
+        return None
+    want = (n_rows + rows_per_block - 1) // rows_per_block
+    # compute-parallelism floor: never serialize a table with real work in
+    # it onto one task — ~512 rows/block up to half the CPUs keeps per-doc
+    # kernels parallel while staying far under the micro-block regime
+    floor = min(max(ncpu // 2, 4), (n_rows + 511) // 512)
+    return max(1, min(default_blocks, max(want, floor)))
+
+
+def read_small_aware(path: str, columns=None, **kwargs):
+    """``ray.data.read_parquet`` with ``override_num_blocks`` derived from
+    the file's metadata row count via :func:`read_num_blocks`."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    nb = read_num_blocks(pq.read_metadata(path).num_rows)
+    if nb is not None:
+        kwargs.setdefault("override_num_blocks", nb)
+    return ray.data.read_parquet(path, columns=columns, **kwargs)

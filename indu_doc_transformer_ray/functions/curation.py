@@ -27,7 +27,9 @@ _TOKEN_SQL = "regexp_extract_all(lower(text), '[a-z0-9_]+')"
 
 
 def _read_docs(sf_dir: str, columns: list[str]) -> Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from ._util import read_small_aware
+
+    return read_small_aware(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 # -- decontamination --------------------------------------------------------

@@ -27,8 +27,19 @@ from ray.data.aggregate import Count, Min
 TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
 
 
-def _read_docs(sf_dir: str, columns: list[str]) -> Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+def _read_docs(
+    sf_dir: str, columns: list[str], small_aware: bool = True
+) -> Dataset:
+    from ._util import read_small_aware
+
+    if not small_aware:
+        # compute-heavy consumers (quadratic in-bucket verify kernels) keep
+        # Ray's default read parallelism — fewer, larger blocks would
+        # serialize their signature stage
+        return ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=columns
+        )
+    return read_small_aware(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 # -- exact dedup ------------------------------------------------------------
@@ -889,7 +900,7 @@ class SimHash64:
 
 
 def simhash64(sf_dir: str) -> Dataset:
-    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+    return _read_docs(sf_dir, ["doc_id", "text"], small_aware=False).map_batches(
         SimHash64, batch_format="pyarrow", concurrency=(1, 4)
     )
 

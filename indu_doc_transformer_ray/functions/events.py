@@ -41,7 +41,9 @@ def _user_buckets(sf_dir: str) -> int:
 
 
 def _read_events(sf_dir: str, columns: list[str]) -> Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+    from ._util import read_small_aware
+
+    return read_small_aware(f"{sf_dir}/events.parquet", columns=columns)
 
 
 def asof_prior_click(sf_dir: str) -> Dataset:

@@ -37,8 +37,10 @@ def _read(
     date-window query reads the window, not the corpus).  Callers keep
     their exact in-batch masks: the pushdown is a superset prune, the
     batch mask stays the semantic truth."""
+    from ._util import read_small_aware
+
     kwargs = {} if filter is None else {"filter": filter}
-    return ray.data.read_parquet(
+    return read_small_aware(
         f"{sf_dir}/{table}.parquet", columns=columns, **kwargs
     )
 

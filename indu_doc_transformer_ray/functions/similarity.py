@@ -21,7 +21,9 @@ TOP_K = 10
 
 
 def _read_emb(sf_dir: str) -> Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    from ._util import read_small_aware
+
+    return read_small_aware(f"{sf_dir}/embeddings.parquet")
 
 
 def _query_matrix(sf_dir: str, query_ids=QUERY_IDS) -> tuple[np.ndarray, list[int]]:

@@ -29,7 +29,9 @@ LANG_PROFILES = {
 
 
 def _read_docs(sf_dir: str, columns: list[str]) -> Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from ._util import read_small_aware
+
+    return read_small_aware(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 class TokenStats:
