@@ -960,13 +960,14 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> Dataset:
     nb = _corpus_buckets(sf_dir)
     sig = simhash64(sf_dir)
 
-    def band_rows(t: pd.DataFrame) -> pa.Table:
-        # emits ARROW: the gb co-location shuffle sorts whatever block
-        # type it is fed, and pandas blocks sort ~13x slower (see the
-        # bucket_pairs note)
-        h = np.asarray(t["simhash"], dtype=np.int64).view(np.uint64)
-        ids = t["doc_id"].astype("int64").to_numpy()
-        sh = t["simhash"].astype("int64").to_numpy()
+    def band_rows(t: pa.Table) -> pa.Table:
+        # consumes AND emits ARROW: a pandas-INPUT map_batches feeding the
+        # gb sort measured 16s vs 6s for the identical arrow-input stage
+        # (per-block pandas conversion upstream of the shuffle), on top of
+        # the 13x pandas-block sort penalty the bucket_pairs note covers
+        h = t["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        sh = t["simhash"].to_numpy().astype(np.int64)
         k = len(widths)
         n = len(ids)
         gb = np.empty(k * n, dtype=np.int32)
@@ -1052,7 +1053,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> Dataset:
         )
 
     return (
-        sig.map_batches(band_rows, batch_format="pandas")
+        sig.map_batches(band_rows, batch_format="pyarrow")
         .groupby("gb")
         .map_groups(bucket_pairs, batch_format="pandas")
         .groupby("pk")
