@@ -231,6 +231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": curation.dsir_weights,
         "rolling_window_orders": windows.rolling_window_orders,
         "price_decile": windows.price_decile,
+        "first_touch_attribution": events.first_touch_attribution,
+        "corpus_diff": curation.corpus_diff,
         "triangle_count": similarity.triangle_count,
         "lang_top_terms": text.lang_top_terms,
         "value_quantile_sample": sketches.value_quantile_sample,
@@ -350,6 +352,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": curation.DSIR_WEIGHTS_SQL,
         "rolling_window_orders": windows.ROLLING_WINDOW_SQL,
         "price_decile": windows.PRICE_DECILE_SQL,
+        "first_touch_attribution": events.FIRST_TOUCH_SQL,
+        "corpus_diff": curation.CORPUS_DIFF_SQL,
         "triangle_count": similarity.TRIANGLE_COUNT_SQL,
         "lang_top_terms": text.LANG_TOP_TERMS_SQL,
         "value_quantile_sample": sketches.VALUE_QUANTILE_SQL,

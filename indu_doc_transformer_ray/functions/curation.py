@@ -817,3 +817,106 @@ SELECT d.doc_id, CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
 FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
 WHERE d.doc_id % 97 <> 0
 """
+
+
+def corpus_diff(sf_dir: str) -> Dataset:
+    """Snapshot diff between two corpus versions (the CDC/delta-compare
+    shape for incremental recrawls): v1 is the documents table, v2 is a
+    deterministically derived second snapshot (docs with ``doc_id%17==0``
+    deleted, docs with ``doc_id%13==0`` rewritten — self-contained and
+    oracle-checkable like decontaminate's benchmark carve).  Both sides
+    emit (bucket, doc_id, md5-prefix fingerprint, side) rows — the
+    exchange ships 16-byte fingerprints, never text — and ONE doc-bucket
+    co-location classifies every key: present-in-both with equal hashes is
+    dropped, giving (doc_id, change) for change ∈ {modified, deleted}.
+    At real scale v2 is a second parquet/Lance snapshot path; the plan is
+    identical."""
+    import numpy as np
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows)
+
+    def _fp64(texts: list[str]) -> np.ndarray:
+        return np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                >> 1  # keep it in int64 range; both sides shift identically
+                for t in texts
+            ),
+            dtype=np.int64,
+        )
+
+    def v1_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        fp = _fp64(t.column("text").to_pylist())
+        return pa.table(
+            {
+                "b": pa.array((ids & (nb - 1)).astype("int32")),
+                "doc_id": pa.array(ids.astype("int64")),
+                "fp": pa.array(fp),
+                "side": pa.array(np.ones(len(ids), dtype="int8")),
+            }
+        )
+
+    def v2_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % 17 != 0
+        texts = [
+            tx[::-1] if i % 13 == 0 else tx
+            for i, tx in zip(
+                ids[keep], np.array(t.column("text").to_pylist(), object)[keep]
+            )
+        ]
+        fp = _fp64(texts)
+        return pa.table(
+            {
+                "b": pa.array((ids[keep] & (nb - 1)).astype("int32")),
+                "doc_id": pa.array(ids[keep].astype("int64")),
+                "fp": pa.array(fp),
+                "side": pa.array(np.full(int(keep.sum()), 2, dtype="int8")),
+            }
+        )
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        v1 = g[g["side"] == 1].set_index("doc_id")["fp"]
+        v2 = g[g["side"] == 2].set_index("doc_id")["fp"]
+        both = v1.index.intersection(v2.index)
+        modified = both[(v1.loc[both] != v2.loc[both]).values]
+        deleted = v1.index.difference(v2.index)
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(
+                    [modified.to_numpy("int64"), deleted.to_numpy("int64")]
+                ),
+                "change": ["modified"] * len(modified) + ["deleted"] * len(deleted),
+            }
+        )
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    return (
+        docs.map_batches(v1_rows, batch_format="pyarrow")
+        .union(docs.map_batches(v2_rows, batch_format="pyarrow"))
+        .groupby("b")
+        .map_groups(classify, batch_format="pandas")
+        .sort("doc_id")
+    )
+
+
+CORPUS_DIFF_SQL = """
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+), v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 13 = 0 THEN reverse(text) ELSE text END) AS h
+  FROM documents WHERE doc_id % 17 <> 0
+)
+SELECT v1.doc_id,
+       CASE WHEN v2.doc_id IS NULL THEN 'deleted' ELSE 'modified' END AS change
+FROM v1 LEFT JOIN v2 ON v1.doc_id = v2.doc_id
+WHERE v2.doc_id IS NULL OR v1.h <> v2.h
+ORDER BY v1.doc_id
+"""

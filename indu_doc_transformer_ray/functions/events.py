@@ -718,3 +718,104 @@ FROM (
 WHERE rk = 1
 ORDER BY user_id
 """
+
+
+def first_touch_attribution(sf_dir: str) -> Dataset:
+    """Marketing-style first-touch attribution over session windows: every
+    session (same 30-min gap rule as ``sessionize``) is attributed to the
+    event_type of its FIRST event, and the session's total value rides to
+    that channel.  One user-bucket co-location (sessions never span
+    users); the in-bucket kernel computes session ids, first-event
+    channels, and per-session value sums in three vectorized passes and
+    emits ≤|event_types| partial rows per bucket; a tiny groupby folds.
+    Value is floored to integer cents (FLOOR(value*100): floor of the
+    identical float64 product on both sides — no rounding-tie channel).
+    Output: (event_type, n_sessions, total_value_c2)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type", "value"])
+    ubk = _user_buckets(sf_dir)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        return pa.table(
+            {
+                "ub": pc.cast(pc.bit_wise_and(uid, ubk - 1), pa.int32()),
+                "user_id": uid,
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "ts_us": pc.cast(t["ts"].cast(pa.timestamp("us")), pa.int64()),
+                "event_type": t["event_type"],
+                "value_c2": pc.cast(
+                    pc.floor(pc.multiply(t["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_us", "event_id"])
+        ts = g["ts_us"]
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        new_session = (ts.diff() > SESSION_GAP_US) & same_user
+        sid = (new_session | ~same_user).cumsum()
+        f = pd.DataFrame(
+            {
+                "sid": sid.values,
+                "event_type": g["event_type"].values,
+                "value_c2": g["value_c2"].values,
+            }
+        )
+        per_s = f.groupby("sid").agg(
+            channel=("event_type", "first"),  # frame sorted: first = first touch
+            v=("value_c2", "sum"),
+        )
+        out = per_s.groupby("channel", as_index=False).agg(
+            n_sessions=("v", "size"), total_value_c2=("v", "sum")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(out["channel"].astype(str).values),
+                "n_sessions": pa.array(out["n_sessions"].astype("int64").values),
+                "total_value_c2": pa.array(
+                    out["total_value_c2"].astype("int64").values
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_sessions", alias_name="n_sessions"),
+            Sum("total_value_c2", alias_name="total_value_c2"),
+        )
+        .sort("event_type")
+    )
+
+
+FIRST_TOUCH_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(FLOOR(value*100) AS BIGINT) AS value_c2,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, event_id, event_type, value_c2,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM marked
+), per_session AS (
+  SELECT user_id, sid,
+         FIRST(event_type ORDER BY ts, event_id) AS channel,
+         SUM(value_c2) AS v
+  FROM sessions GROUP BY user_id, sid
+)
+SELECT channel AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(v) AS BIGINT) AS total_value_c2
+FROM per_session GROUP BY channel ORDER BY event_type
+"""

@@ -725,6 +725,8 @@ def test_round3_new_ops_match_oracle(ray_session):
         "dsir_weights",
         "rolling_window_orders",
         "price_decile",
+        "first_touch_attribution",
+        "corpus_diff",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
