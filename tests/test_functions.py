@@ -855,3 +855,23 @@ def test_broadcast_and_colocated_plans_agree(ray_session, monkeypatch):
         r = getattr(R, n)(sf)
         slow = r.to_pandas() if hasattr(r, "to_pandas") else r
         assert fast[n].equals(slow), n
+
+
+def test_read_num_blocks_derivation(ray_session):
+    """Small tables get few, larger blocks (micro-block shuffle tax);
+    compute parallelism keeps a floor; corpus-scale rows keep Ray's
+    default (None)."""
+    import ray as _ray
+
+    from indu_doc_transformer_ray.functions._util import read_num_blocks
+
+    ncpu = int(_ray.cluster_resources()["CPU"])
+    # tiny table: at least 1 block, never more than the default parallelism
+    assert read_num_blocks(100) >= 1
+    assert read_num_blocks(100) <= ncpu * 2
+    # mid-size: parallelism floor keeps per-doc kernels parallel
+    nb = read_num_blocks(5000)
+    assert nb >= min(max(ncpu // 2, 4), 5000 // 512)
+    # corpus-scale: default streaming shape untouched
+    assert read_num_blocks(ncpu * 2 * 16_384) is None
+    assert read_num_blocks(10**12) is None
