@@ -900,8 +900,8 @@ class SimHash64:
 
 
 def simhash64(sf_dir: str) -> Dataset:
-    return _read_docs(sf_dir, ["doc_id", "text"], small_aware=False).map_batches(
-        SimHash64, batch_format="pyarrow", concurrency=(1, 4)
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        SimHash64, batch_format="pyarrow", concurrency=(1, 8)
     )
 
 
