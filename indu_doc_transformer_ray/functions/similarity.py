@@ -1472,6 +1472,10 @@ SELECT vec_id, neg_id FROM (
 
 # -- PageRank over the k-NN graph ----------------------------------------------
 
+#: Edge budget for the pagerank/label-propagation driver escape: below it
+#: the static graph fits one driver ndarray pass per round (~16 bytes/edge).
+PAGERANK_DRIVER_EDGE_BUDGET = 4_000_000
+
 PAGERANK_MASS = 1_000_000_000  # total integer rank mass (micro-unit scale)
 
 
@@ -1505,6 +1509,38 @@ def pagerank_knn(sf_dir: str, iters: int = 5) -> Dataset:
     n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
     nb = n_buckets(n)
     tp = (15 * (S // n)) // 100
+
+    # size-adaptive escape (the label_components driver-union-find pattern):
+    # a k-NN graph under the edge budget is power-iterated on the driver in
+    # one numpy pass per round — identical integer arithmetic, zero
+    # all-to-alls — instead of ~2 fixed-latency exchanges per round.  Above
+    # the budget the sharded-edge-actor loop below runs unchanged
+    # (equality-tested against the escape).
+    edges_ds = knn_graph(sf_dir)
+    m_edges = edges_ds.count()
+    if m_edges <= PAGERANK_DRIVER_EDGE_BUDGET:
+        import pandas as pd
+
+        e = edges_ds.to_pandas()
+        src_a = e["vec_id"].to_numpy(np.int64)
+        dst_a = e["nbr_id"].to_numpy(np.int64)
+        order = np.argsort(src_a, kind="stable")
+        src_a, dst_a = src_a[order], dst_a[order]
+        _, inv, cnt = np.unique(src_a, return_inverse=True, return_counts=True)
+        kout = cnt[inv].astype(np.int64)
+        nodes = np.sort(
+            pq.read_table(
+                f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+            )["vec_id"].to_numpy().astype(np.int64)
+        )
+        dst_idx = np.searchsorted(nodes, dst_a)
+        src_idx = np.searchsorted(nodes, src_a)
+        rank = np.full(len(nodes), S // n, dtype=np.int64)
+        for _ in range(iters):
+            in_sum = np.zeros(len(nodes), dtype=np.int64)
+            np.add.at(in_sum, dst_idx, rank[src_idx] // kout)
+            rank = tp + (85 * in_sum) // 100
+        return pd.DataFrame({"vec_id": nodes, "rank_mu": rank})
 
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     n_shards = max(2, min(16, ncpu // 2))
@@ -1573,7 +1609,7 @@ def pagerank_knn(sf_dir: str, iters: int = 5) -> Dataset:
 
     # build barrier: every edge durable in its shard, then seal (sort +
     # out-degree) once — the graph never moves again.
-    knn_graph(sf_dir).map_batches(push_edges, batch_format="pandas").count()
+    edges_ds.map_batches(push_edges, batch_format="pandas").count()
     ray.get([s.seal.remote() for s in shards])
 
     def rank0(t: pd.DataFrame) -> pd.DataFrame:
@@ -2198,6 +2234,60 @@ def label_propagation(sf_dir: str, rounds: int = LP_ROUNDS) -> "object":
 
     n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
     nb = n_buckets(n)
+
+    # size-adaptive escape (same pattern + budget as pagerank_knn): under
+    # the edge budget, all rounds run as numpy passes on the driver with
+    # identical majority/tie/clamp semantics; above it the sharded
+    # vote-actor loop runs unchanged (equality-tested against the escape).
+    edges_ds = knn_graph(sf_dir)
+    if edges_ds.count() <= PAGERANK_DRIVER_EDGE_BUDGET:
+        e = edges_ds.to_pandas()
+        u_a = e["vec_id"].to_numpy(np.int64)   # voter (edge owner)
+        v_a = e["nbr_id"].to_numpy(np.int64)   # vote source
+        emb = (
+            pq.read_table(
+                f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        nodes = emb["vec_id"].to_numpy(np.int64)
+        lab0 = emb["label"].to_numpy(np.int64)
+        seed = nodes % LP_SEED_MOD == 0
+        lab = np.where(seed, lab0, -1)
+        ui = np.searchsorted(nodes, u_a)
+        vi = np.searchsorted(nodes, v_a)
+        for _ in range(rounds):
+            m = lab[vi] != -1
+            uu, ll = ui[m], lab[vi][m]
+            if len(uu) == 0:
+                continue
+            order = np.lexsort((ll, uu))
+            uu_s, ll_s = uu[order], ll[order]
+            newg = np.concatenate(
+                ([True], (uu_s[1:] != uu_s[:-1]) | (ll_s[1:] != ll_s[:-1]))
+            )
+            gidx = np.cumsum(newg) - 1
+            cnt = np.bincount(gidx)
+            g_u, g_l = uu_s[newg], ll_s[newg]
+            # majority: count desc, label asc
+            o2 = np.lexsort((g_l, -cnt, g_u))
+            gu2, gl2 = g_u[o2], g_l[o2]
+            first = np.concatenate(([True], gu2[1:] != gu2[:-1]))
+            top_u, top_l = gu2[first], gl2[first]
+            has = np.zeros(len(nodes), bool)
+            tl = np.zeros(len(nodes), np.int64)
+            has[top_u] = True
+            tl[top_u] = top_l
+            upd = (~seed) & has
+            lab = lab.copy()
+            lab[upd] = tl[upd]
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"vec_id": nodes, "lab": lab.astype(np.int64)}
+        )
+
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     n_shards = max(2, min(16, ncpu // 2))
 
@@ -2255,7 +2345,7 @@ def label_propagation(sf_dir: str, rounds: int = LP_ROUNDS) -> "object":
         )
         return pd.DataFrame({"n": pd.Series([len(t)], dtype="int64")})
 
-    knn_graph(sf_dir).map_batches(push_edges, batch_format="pandas").count()
+    edges_ds.map_batches(push_edges, batch_format="pandas").count()
     ray.get([s.seal.remote() for s in shards])
 
     def seed_rows(t: pd.DataFrame) -> pd.DataFrame:

@@ -875,3 +875,28 @@ def test_read_num_blocks_derivation(ray_session):
     # corpus-scale: default streaming shape untouched
     assert read_num_blocks(ncpu * 2 * 16_384) is None
     assert read_num_blocks(10**12) is None
+
+
+def test_graph_driver_escape_matches_distributed(ray_session, monkeypatch):
+    """pagerank_knn and label_propagation's driver escapes must produce
+    identical rows to the sharded-actor loops (budget forced to 0)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from indu_doc_transformer_ray.functions import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    fast_pr = S.pagerank_knn(sf)
+    fast_lp = S.label_propagation(sf)
+    monkeypatch.setattr(S, "PAGERANK_DRIVER_EDGE_BUDGET", 0)
+    slow_pr = S.pagerank_knn(sf)
+    slow_lp = S.label_propagation(sf)
+    to_df = lambda r: r.to_pandas() if hasattr(r, "to_pandas") else r
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        to_df(fast_pr).reset_index(drop=True), to_df(slow_pr).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        to_df(fast_lp).reset_index(drop=True), to_df(slow_lp).reset_index(drop=True)
+    )
