@@ -365,13 +365,18 @@ def run_merge(out_dir: str, n_bucket_chars: int = 2) -> dict:
     buckets = sorted(
         d for d in os.listdir(bucket_dir) if d.startswith("bucket=")
     )
-    futures = [
-        _fold_bucket.remote(
-            os.path.join(bucket_dir, b),
-            os.path.join(tmp_dir, f"{b}.parquet"),
-        )
+    pairs = [
+        (os.path.join(bucket_dir, b), os.path.join(tmp_dir, f"{b}.parquet"))
         for b in buckets
     ]
+    # group buckets into ~2x-CPU tasks: the fold is dispatch-bound at one
+    # task per bucket (256 x ~50ms dispatch serializes on a busy scheduler)
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_tasks = min(len(pairs), max(1, ncpu * 2))
+    groups = [pairs[i::n_tasks] for i in range(n_tasks)]
+    from .extract import _fold_bucket_group
+
+    futures = [_fold_bucket_group.remote(g) for g in groups if g]
     ray.get(futures)  # each fold is independent; a failed run just re-runs
     os.rename(tmp_dir, obj_dir)
 
