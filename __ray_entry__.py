@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_decile": windows.price_decile,
         "first_touch_attribution": events.first_touch_attribution,
         "corpus_diff": curation.corpus_diff,
+        "late_event_rates": events.late_event_rates,
         "triangle_count": similarity.triangle_count,
         "lang_top_terms": text.lang_top_terms,
         "value_quantile_sample": sketches.value_quantile_sample,
@@ -354,6 +355,7 @@ def oracle_sql() -> dict[str, str]:
         "price_decile": windows.PRICE_DECILE_SQL,
         "first_touch_attribution": events.FIRST_TOUCH_SQL,
         "corpus_diff": curation.CORPUS_DIFF_SQL,
+        "late_event_rates": events.LATE_EVENT_RATES_SQL,
         "triangle_count": similarity.TRIANGLE_COUNT_SQL,
         "lang_top_terms": text.LANG_TOP_TERMS_SQL,
         "value_quantile_sample": sketches.VALUE_QUANTILE_SQL,

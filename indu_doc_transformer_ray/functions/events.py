@@ -819,3 +819,118 @@ SELECT channel AS event_type,
        CAST(SUM(v) AS BIGINT) AS total_value_c2
 FROM per_session GROUP BY channel ORDER BY event_type
 """
+
+
+def late_event_rates(sf_dir: str, lateness_us: int = 600_000_000) -> "object":
+    """Streaming watermark / late-data accounting — the semantics the
+    reference never needed (SURVEY §2.8) restated exactly: events arrive
+    in a deterministic md5 permutation of ``event_id`` (the self-contained
+    network-reordering analogue, same spirit as decontaminate's benchmark
+    carve), the watermark is the running max event-time over the arrival
+    stream, and an event is LATE when its event-time sits more than
+    ``lateness_us`` behind the watermark at its arrival.  The running max
+    is a distributed PREFIX-MAX scan (the ``pack_bins`` prefix-sum shape):
+    arrival-order buckets are CONTIGUOUS md5-prefix ranges, so pass 1
+    folds per-bucket max event-times to the driver (O(buckets) state),
+    the exclusive prefix-max per bucket broadcasts back, and pass 2 runs
+    one vectorized in-bucket scan.  Output: (event_type, n_late, n_total)."""
+    import numpy as np
+
+    ds = _read_events(sf_dir, ["event_id", "ts", "event_type"])
+    nb = _user_buckets(sf_dir)  # same corpus-derived bucket budget
+    shift = 64 - (nb.bit_length() - 1)
+
+    def _h64(ids: np.ndarray) -> np.ndarray:
+        import hashlib
+
+        return np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(str(int(e)).encode()).digest()[:8], "big"
+                )
+                for e in ids
+            ),
+            dtype=np.uint64,
+            count=len(ids),
+        )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["event_id"], pa.int64()).to_numpy()
+        h = _h64(ids)
+        return pa.table(
+            {
+                "ab": pa.array((h >> np.uint64(shift)).astype("int64")),
+                "h": pa.array(h.view(np.int64)),  # same order as uint64? no —
+                # stored only for in-bucket ordering, compared as uint64 below
+                "event_id": pa.array(ids),
+                "ts_us": pc.cast(t["ts"].cast(pa.timestamp("us")), pa.int64()),
+                "event_type": t["event_type"],
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+
+    # pass 1: per-bucket max event-time -> exclusive prefix max on the driver
+    def bucket_max(t: pa.Table) -> pa.Table:
+        folded = pa.table({"ab": t["ab"], "ts_us": t["ts_us"]})
+        return pa.TableGroupBy(folded, "ab").aggregate([("ts_us", "max")]
+            ).rename_columns(["ab", "ts_us"])
+
+    bm = (
+        keyed_ds.map_batches(bucket_max, batch_format="pyarrow")
+        .to_pandas()  # ≤ buckets·blocks rows
+        .groupby("ab")["ts_us"].max().sort_index()
+    )
+    prefix = bm.cummax().shift(1)  # exclusive: max over strictly-lower buckets
+    offsets = {int(a): (None if pd.isna(v) else int(v)) for a, v in prefix.items()}
+    import ray as _ray
+
+    off_ref = _ray.put(offsets)
+
+    # pass 2: in-bucket running max (shifted: watermark excludes self)
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        import ray as _r
+
+        offs = _r.get(off_ref)
+        g = g.copy()
+        g["hu"] = g["h"].to_numpy().astype("int64").view("uint64")
+        g = g.sort_values(["hu", "event_id"])
+        run = g["ts_us"].cummax().shift(1)
+        off = offs.get(int(g["ab"].iloc[0]))
+        if off is not None:
+            run = run.fillna(off).clip(lower=off)
+        late = g["ts_us"] < run - lateness_us
+        out = pd.DataFrame(
+            {"event_type": g["event_type"].values, "late": late.astype("int64").values}
+        ).groupby("event_type", as_index=False).agg(
+            n_late=("late", "sum"), n_total=("late", "size")
+        )
+        return out  # ≤|event_types| rows per bucket
+
+    return (
+        keyed_ds.groupby("ab")
+        .map_groups(scan, batch_format="pandas")
+        .to_pandas()
+        .groupby("event_type", as_index=False)[["n_late", "n_total"]]
+        .sum()
+        .astype({"n_late": "int64", "n_total": "int64"})
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+
+
+LATE_EVENT_RATES_SQL = """
+WITH arr AS (
+  SELECT event_type, epoch_us(ts) AS ts_us,
+         MAX(epoch_us(ts)) OVER (
+             ORDER BY CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 16))
+                           AS UBIGINT), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN ts_us < wm - 600000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM arr GROUP BY event_type ORDER BY event_type
+"""

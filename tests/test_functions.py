@@ -727,6 +727,7 @@ def test_round3_new_ops_match_oracle(ray_session):
         "price_decile",
         "first_touch_attribution",
         "corpus_diff",
+        "late_event_rates",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
