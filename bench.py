@@ -95,6 +95,7 @@ def _query_fns() -> dict:
     from indu_doc_transformer_ray.functions import (
         curation,
         dedup,
+        events,
         html,
         relational,
         similarity,
@@ -154,6 +155,10 @@ def _query_fns() -> dict:
         "dsir_weights": curation.dsir_weights,
         "rolling_window_orders": windows.rolling_window_orders,
         "price_decile": windows.price_decile,
+        "first_touch_attribution": events.first_touch_attribution,
+        "corpus_diff": curation.corpus_diff,
+        "late_event_rates": events.late_event_rates,
+        "simhash_pairs": dedup.simhash_pairs,
     }
 
 
@@ -184,7 +189,8 @@ QUERY_CHUNKS = [
     ["html_main_content", "html_spans", "q8_market_share",
      "q17_small_qty_revenue", "q5_nation_revenue", "q10_returned_items"],
     ["gopher_rules", "dsir_weights", "rolling_window_orders",
-     "price_decile"],
+     "price_decile", "first_touch_attribution", "corpus_diff",
+     "late_event_rates", "simhash_pairs"],
 ]
 
 
