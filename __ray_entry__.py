@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_list": dedup.dedup_keep_list,
         "simhash64": dedup.simhash64,
         "simhash_pairs": dedup.simhash_pairs,
+        "substring_dup_coverage": dedup.substring_dup_coverage,
         # similarity search
         "ann_topk": similarity.ann_topk,
         "cosine_dup_pairs": similarity.cosine_dup_pairs,
@@ -460,6 +461,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_list": dedup.DEDUP_KEEP_LIST_SQL,
         "simhash64": dedup.SIMHASH64_SQL,
         "simhash_pairs": dedup.SIMHASH_PAIRS_SQL,
+        "substring_dup_coverage": dedup.SUBSTRING_DUP_SQL,
         "ann_topk": similarity.ANN_TOPK_SQL,
         "cosine_dup_pairs": similarity.COSINE_DUP_PAIRS_SQL,
         "label_centroid_sims": similarity.LABEL_CENTROID_SQL,

@@ -190,7 +190,7 @@ QUERY_CHUNKS = [
      "q17_small_qty_revenue", "q5_nation_revenue", "q10_returned_items"],
     ["gopher_rules", "dsir_weights", "rolling_window_orders",
      "price_decile", "first_touch_attribution", "corpus_diff",
-     "late_event_rates", "simhash_pairs"],
+     "late_event_rates", "simhash_pairs", "substring_dup_coverage"],
 ]
 
 

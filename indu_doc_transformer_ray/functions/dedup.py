@@ -1484,3 +1484,175 @@ SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
 FROM i JOIN n na ON na.source = src_a JOIN n nb ON nb.source = src_b
 ORDER BY src_a, src_b
 """
+
+
+# -- exact-substring duplication coverage ------------------------------------
+
+SUBSTR_K = 8  #: window length in word tokens (Lee et al. use 50 BPE tokens;
+#: 8 words keeps the op meaningful on the short synthetic docs — a parameter,
+#: not a semantic)
+
+
+def substring_dup_coverage(sf_dir: str) -> Dataset:
+    """Exact-substring duplication coverage per document — the
+    training-data analog of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (ACL 2022): a word position is *duplicated* if
+    it lies inside a ``SUBSTR_K``-token window whose exact token sequence
+    occurs >= 2 times in the whole corpus (across documents or repeated
+    within one).  Emits one row per document: total token count, duplicated
+    token count (union of overlapping duplicated windows, computed exactly),
+    and the duplicated fraction in basis points (integer-exact).
+
+    Distributed shape — two md5-uniform bucketed exchanges, both derived
+    from corpus size, rows proportional to the corpus token count (the
+    inherent cost of exact substring matching without a distributed suffix
+    array):
+
+    1. one corpus scan emits a row per window occurrence
+       ``(gb=h%NB_g, h, doc_id, i)`` (h = 64-bit md5 of the window) plus one
+       sentinel row per doc carrying its token count;
+    2. window-hash-bucket groupby: inside a bucket every occurrence of a
+       given h is present, so ``Series.duplicated(keep=False)`` IS the
+       global count>=2 test — duplicated rows forward as
+       ``(db=doc%NB_d, doc_id, i)``, sentinels pass through;
+    3. doc-bucket groupby: per-doc interval union of the fixed-length
+       windows via one vectorized sort + groupby.shift (covered =
+       sum(min(K, next_start - start)), last window = K).
+
+    A pathologically hot window (boilerplate repeated across the corpus)
+    concentrates its occurrences in one bucket, but the in-bucket kernel is
+    linear in rows (a duplicated-mask, no pairing), so skew degrades one
+    task's size, never its asymptotics.  Both kernels emit arrow (pandas
+    blocks cost ~13x through the sort/aggregate shuffle machinery)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    k = SUBSTR_K
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    # gram rows ~ token count; estimate 64 windows/doc for bucket sizing
+    # (sizing only — correctness is bucket-count invariant)
+    nb_g = n_buckets(n_docs * 64)
+    nb_d = n_buckets(n_docs)
+
+    tok_re = re.compile(r"[a-z0-9_]+")
+
+    def windows(batch: pa.Table) -> pa.Table:
+        gb, h, dids, pos, nw = [], [], [], [], []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            toks = tok_re.findall(text.lower())
+            for i in range(max(0, len(toks) - k + 1)):
+                hv = int.from_bytes(
+                    hashlib.md5(" ".join(toks[i : i + k]).encode()).digest()[:8],
+                    "big",
+                )
+                gb.append(hv % nb_g)
+                h.append(hv)
+                dids.append(did)
+                pos.append(i)
+                nw.append(0)
+            # sentinel row: carries the doc's token count through both
+            # exchanges (i = -1 marks it; gb routing is arbitrary)
+            gb.append(did % nb_g)
+            h.append(0)
+            dids.append(did)
+            pos.append(-1)
+            nw.append(len(toks))
+        return pa.table(
+            {
+                "gb": pa.array(gb, pa.int64()),
+                "h": pa.array(h, pa.uint64()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "i": pa.array(pos, pa.int32()),
+                "n_words": pa.array(nw, pa.int32()),
+            }
+        )
+
+    def dup_windows(g: pd.DataFrame) -> pa.Table:
+        sent = g["i"].to_numpy() < 0
+        grams = g[~sent]
+        keep = grams[grams["h"].duplicated(keep=False)]
+        doc_id = np.concatenate(
+            [keep["doc_id"].to_numpy(), g.loc[sent, "doc_id"].to_numpy()]
+        )
+        return pa.table(
+            {
+                "db": pa.array(doc_id % nb_d, pa.int64()),
+                "doc_id": pa.array(doc_id, pa.int64()),
+                "i": pa.array(
+                    np.concatenate(
+                        [keep["i"].to_numpy(), g.loc[sent, "i"].to_numpy()]
+                    ),
+                    pa.int32(),
+                ),
+                "n_words": pa.array(
+                    np.concatenate(
+                        [
+                            keep["n_words"].to_numpy(),
+                            g.loc[sent, "n_words"].to_numpy(),
+                        ]
+                    ),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def coverage(g: pd.DataFrame) -> pa.Table:
+        sent = g[g["i"] < 0][["doc_id", "n_words"]]
+        dup = g[g["i"] >= 0].sort_values(["doc_id", "i"])
+        nxt = dup.groupby("doc_id")["i"].shift(-1)
+        gap = (nxt - dup["i"]).fillna(k).clip(upper=k).astype("int64")
+        dw = gap.groupby(dup["doc_id"]).sum()
+        out = sent.set_index("doc_id")["n_words"].astype("int64").to_frame()
+        out["dup_words"] = dw.reindex(out.index).fillna(0).astype("int64")
+        nwv = out["n_words"].to_numpy()
+        dwv = out["dup_words"].to_numpy()
+        bp = np.where(nwv > 0, dwv * 10000 // np.maximum(nwv, 1), 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(out.index.to_numpy(), pa.int64()),
+                "n_words": pa.array(nwv, pa.int64()),
+                "dup_words": pa.array(dwv, pa.int64()),
+                "dup_bp": pa.array(bp, pa.int64()),
+            }
+        )
+
+    rows = _read_docs(sf_dir, ["doc_id", "text"], small_aware=False).map_batches(
+        windows, batch_format="pyarrow"
+    )
+    dups = rows.groupby("gb").map_groups(dup_windows, batch_format="pandas")
+    return dups.groupby("db").map_groups(coverage, batch_format="pandas")
+
+
+# DuckDB mirror: 1-based inclusive slices (toks[i:i+7] = 8 tokens), the same
+# truncated-md5 window hash, count>=2 over ALL occurrences, DISTINCT covered
+# positions instead of the interval-union formulation (equal by definition).
+SUBSTRING_DUP_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, i,
+         CAST(concat('0x', substr(md5(array_to_string(toks[i:i+{SUBSTR_K - 1}], ' ')), 1, 16)) AS UBIGINT) AS h
+  FROM t, unnest(range(1, greatest(len(toks) - {SUBSTR_K} + 1, 0) + 1)) AS u(i)
+), dup AS (
+  SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2
+), pos AS (
+  SELECT DISTINCT doc_id, i + v.j AS p
+  FROM g JOIN dup USING (h), unnest(range(0, {SUBSTR_K})) AS v(j)
+), dw AS (
+  SELECT doc_id, COUNT(*) AS dup_words FROM pos GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+       CAST(COALESCE(dw.dup_words, 0) AS BIGINT) AS dup_words,
+       CAST(CASE WHEN len(toks) > 0
+            THEN COALESCE(dw.dup_words, 0) * 10000 // len(toks)
+            ELSE 0 END AS BIGINT) AS dup_bp
+FROM t LEFT JOIN dw USING (doc_id)
+ORDER BY t.doc_id
+"""

@@ -728,6 +728,7 @@ def test_round3_new_ops_match_oracle(ray_session):
         "first_touch_attribution",
         "corpus_diff",
         "late_event_rates",
+        "substring_dup_coverage",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
