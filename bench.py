@@ -159,6 +159,7 @@ def _query_fns() -> dict:
         "corpus_diff": curation.corpus_diff,
         "late_event_rates": events.late_event_rates,
         "simhash_pairs": dedup.simhash_pairs,
+        "substring_dup_coverage": dedup.substring_dup_coverage,
     }
 
 
