@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (133 of 139): every deterministic construction is
+                      (134 of 140): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog via its md5 registers,
                       k-means and IVF via an unrolled Lloyd CTE chain,
@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup_coverage": dedup.substring_dup_coverage,
         # similarity search
         "ann_topk": similarity.ann_topk,
+        "mmr_diverse_topk": similarity.mmr_diverse_topk,
         "cosine_dup_pairs": similarity.cosine_dup_pairs,
         "lsh_cosine_pairs": similarity.lsh_cosine_pairs,
         "knn_graph": similarity.knn_graph,
@@ -463,6 +464,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": dedup.SIMHASH_PAIRS_SQL,
         "substring_dup_coverage": dedup.SUBSTRING_DUP_SQL,
         "ann_topk": similarity.ANN_TOPK_SQL,
+        "mmr_diverse_topk": similarity.MMR_TOPK_SQL,
         "cosine_dup_pairs": similarity.COSINE_DUP_PAIRS_SQL,
         "label_centroid_sims": similarity.LABEL_CENTROID_SQL,
         "lang_centroid_sims": similarity.LANG_CENTROID_SQL,

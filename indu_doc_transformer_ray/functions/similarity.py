@@ -2481,3 +2481,161 @@ SELECT vec_id, CAST(lab AS BIGINT) AS lab FROM {prev} ORDER BY vec_id"""
 
 
 LABEL_PROPAGATION_SQL = _label_propagation_sql()
+
+
+# -- MMR diversity selection --------------------------------------------------
+
+MMR_K = 6     #: selections per query
+MMR_M = 64    #: exact top-M candidate pool the greedy re-rank runs over
+#: MMR score = 7*sim(query) - 3*max(sim to already-selected) — the classic
+#: lambda=0.7 trade-off stated in integer multiples so the Python and SQL
+#: sides compute the identical float expression (no 0.7 literal rounding).
+
+
+def mmr_diverse_topk(sf_dir: str) -> "object":
+    """Maximal Marginal Relevance diverse top-k retrieval (Carbonell &
+    Goldstein, SIGIR 1998) — the diversity-selection pass a training-data
+    pipeline runs after ANN retrieval so near-duplicate neighbors don't
+    crowd the result list.  Per query vector: greedily pick MMR_K vectors
+    maximizing ``7*sim(q, c) - 3*max_{s in selected} sim(c, s)``, ties by
+    vec_id.
+
+    Scale shape — the greedy loop is INHERENTLY sequential in k, so the
+    distributed work is the candidate pool, not the re-rank: one streaming
+    corpus pass computes exact cosine top-``MMR_M`` per query (batch-local
+    top-M prune with the (sim DESC, vec_id ASC) tie-break, same as
+    ``ann_topk``), the driver folds Q x M x blocks tiny partials, and the
+    O(Q * K * M) re-rank runs on that corpus-size-independent pool.  At
+    10^12 docs the pool pass is the ivf_topk partition-pruned read; the
+    re-rank cost is unchanged.
+
+    Returns (query_id, sel_rank, vec_id) — all int64."""
+    import pandas as pd
+
+    q, qids = _query_matrix(sf_dir)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    ref = ray.put((qn, qids))
+
+    def topm(batch: pa.Table) -> pa.Table:
+        qn_, qids_ = ray.get(ref)
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        emb32 = np.array(batch.column("embedding").to_pylist(), dtype=np.float32)
+        emb = emb32.astype(np.float64)
+        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        sims = qn_ @ en.T
+        out_q, out_v, out_s, out_e = [], [], [], []
+        for qi, qid in enumerate(qids_):
+            mask = vec_ids != qid
+            cand_ids = vec_ids[mask]
+            cand_sims = sims[qi][mask]
+            m = min(MMR_M, len(cand_ids))
+            if m == 0:
+                continue
+            # deterministic prune: (sim DESC, vec_id ASC), not bare argpartition
+            order = np.lexsort((cand_ids, -cand_sims))[:m]
+            out_q.extend([qid] * m)
+            out_v.extend(cand_ids[order].tolist())
+            out_s.extend(cand_sims[order].tolist())
+            out_e.extend(emb32[mask][order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "simq": pa.array(out_s, pa.float64()),
+                "embedding": pa.array(out_e, pa.list_(pa.float32())),
+            }
+        )
+
+    cand = _read_emb(sf_dir).map_batches(topm, batch_format="pyarrow").to_pandas()
+    rows = []
+    for qid, grp in cand.groupby("query_id"):
+        grp = grp.sort_values(["simq", "vec_id"], ascending=[False, True]).head(MMR_M)
+        ids = grp["vec_id"].to_numpy()
+        simq = grp["simq"].to_numpy()
+        emb = np.array(list(grp["embedding"]), dtype=np.float32).astype(np.float64)
+        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        cc = en @ en.T  # candidate-candidate cosine
+        selected: list[int] = []
+        avail = np.ones(len(ids), dtype=bool)
+        for rank in range(1, min(MMR_K, len(ids)) + 1):
+            if selected:
+                max_sel = cc[:, selected].max(axis=1)
+                score = 7.0 * simq - 3.0 * max_sel
+            else:
+                score = 7.0 * simq
+            score = np.where(avail, score, -np.inf)
+            # argmax with vec_id tie-break
+            pick = np.lexsort((ids, -score))[0]
+            rows.append((int(qid), rank, int(ids[pick])))
+            selected.append(pick)
+            avail[pick] = False
+    import pandas as pd  # noqa: F811
+
+    return pd.DataFrame(rows, columns=["query_id", "sel_rank", "vec_id"]).astype(
+        "int64"
+    )
+
+
+def _mmr_sql() -> str:
+    """Unrolled greedy-selection CTE chain (the Lloyd-CTE technique): step i
+    joins the i-1 selected rows, excludes them, and takes the arg-max of
+    ``7*simq - 3*GREATEST(cosine to each selected)`` with the vec_id
+    tie-break.  Embeddings are float32 on disk; every cosine is CAST AS
+    DOUBLE so DuckDB arithmetic runs in the same precision as numpy."""
+    steps = []
+    for i in range(2, MMR_K + 1):
+        prev = list(range(1, i))
+        joins = "\n  ".join(
+            f"JOIN s{j} ON s{j}.query_id = c.query_id" for j in prev
+        )
+        excl = ", ".join(f"s{j}.vec_id" for j in prev)
+        greatest = ",\n         ".join(
+            f"CAST(list_cosine_similarity(c.embedding, s{j}.embedding) AS DOUBLE)"
+            for j in prev
+        )
+        steps.append(
+            f"""s{i} AS (
+  SELECT c.query_id, c.vec_id, c.simq, c.embedding
+  FROM cand c
+  {joins}
+  WHERE c.vec_id NOT IN ({excl})
+  QUALIFY row_number() OVER (
+    PARTITION BY c.query_id
+    ORDER BY 7*c.simq - 3*GREATEST({greatest}) DESC, c.vec_id
+  ) = 1
+)"""
+        )
+    chain = ",\n".join(steps)
+    sel = "\nUNION ALL\n".join(
+        f"SELECT query_id, {i} AS sel_rank, vec_id FROM s{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id IN {QUERY_IDS}
+), cand AS MATERIALIZED (
+  SELECT query_id, e.vec_id,
+         CAST(list_cosine_similarity(e.embedding, q.qe) AS DOUBLE) AS simq,
+         e.embedding
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY simq DESC, e.vec_id
+  ) <= {MMR_M}
+),
+s1 AS (
+  SELECT query_id, vec_id, simq, embedding FROM cand
+  QUALIFY row_number() OVER (
+    PARTITION BY query_id ORDER BY simq DESC, vec_id
+  ) = 1
+),
+{chain}
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(sel_rank AS BIGINT) AS sel_rank,
+       CAST(vec_id AS BIGINT) AS vec_id
+FROM ({sel}) ORDER BY query_id, sel_rank
+"""
+
+
+MMR_TOPK_SQL = _mmr_sql()

@@ -729,6 +729,7 @@ def test_round3_new_ops_match_oracle(ray_session):
         "corpus_diff",
         "late_event_rates",
         "substring_dup_coverage",
+        "mmr_diverse_topk",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
