@@ -223,6 +223,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": _media_resize,
         "frame_sample": _frame_sample,
         # round-3 additions: window functions, wide joins, semi-structured
+        "customers_both_years": relational.customers_both_years,
+        "stopword_scrub": text.stopword_scrub,
         "running_total_per_customer": windows.running_total_per_customer,
         "order_gaps": windows.order_gaps,
         "q7_nation_pairs": relational.q7_nation_pairs,
@@ -345,6 +347,8 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "customers_both_years": relational.CUSTOMERS_INTERSECT_SQL,
+        "stopword_scrub": text.STOPWORD_SCRUB_SQL,
         "running_total_per_customer": windows.RUNNING_TOTAL_SQL,
         "order_gaps": windows.ORDER_GAPS_SQL,
         "q7_nation_pairs": relational.Q7_NATION_PAIRS_SQL,

@@ -4546,3 +4546,53 @@ FROM (
 )
 ORDER BY o_custkey
 """
+
+
+def customers_both_years(sf_dir: str) -> "object":
+    """``INTERSECT`` companion of :func:`customers_1997_except_1998` —
+    the same single-shuffle flag-maxima fold (map-side (custkey, y97, y98)
+    per-batch maxima, one groupby OR), keeping keys with BOTH flags set.
+    Completes the set-op family: UNION (distinct_types_union), EXCEPT,
+    INTERSECT.  Engine addition (SURVEY §2.6)."""
+
+    def fold(t: pa.Table) -> pa.Table:
+        y = pc.year(t["o_orderdate"])
+        sub = pa.table(
+            {
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "y97": pc.cast(pc.equal(y, 1997), pa.int64()),
+                "y98": pc.cast(pc.equal(y, 1998), pa.int64()),
+            }
+        )
+        return (
+            pa.TableGroupBy(sub, "o_custkey")
+            .aggregate([("y97", "max"), ("y98", "max")])
+            .rename_columns(["o_custkey", "y97", "y98"])
+        )
+
+    out = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+        .map_batches(fold, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Max("y97", alias_name="y97"),
+            Max("y98", alias_name="y98"),
+        )
+        .filter(expr="y97 == 1 and y98 == 1")
+        .select_columns(["o_custkey"])
+        .sort("o_custkey")
+        .to_pandas()
+    )
+    out["o_custkey"] = out["o_custkey"].astype("int64")
+    return out
+
+
+CUSTOMERS_INTERSECT_SQL = """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey
+FROM (
+  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1998
+)
+ORDER BY o_custkey
+"""

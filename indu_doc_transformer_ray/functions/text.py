@@ -1893,3 +1893,48 @@ SELECT doc_id, CAST(n AS BIGINT) AS n_words,
        THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM m
 """
+
+
+def stopword_scrub(sf_dir: str) -> Dataset:
+    """Stopword-removal text transform (the normalization stage a curation
+    pipeline runs before n-gram dedup — CCNet/RefinedWeb drop function
+    words so boilerplate doesn't dominate shingles).  Per document: strip
+    the STOPWORDS set, emit kept/removed counts and the md5 of the
+    reconstructed residual text — the hash makes the transform's full
+    output comparable without shipping the text to the driver.  Shuffle-
+    free one-pass; regex compiled once per process, not per batch."""
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        stop = set(STOPWORDS)
+        kept_n, removed_n, hashes = [], [], []
+        for text in batch.column("text").to_pylist():
+            toks = TOKEN_RE.findall(text.lower())
+            kept = [t for t in toks if t not in stop]
+            kept_n.append(len(kept))
+            removed_n.append(len(toks) - len(kept))
+            hashes.append(hashlib.md5(" ".join(kept).encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_kept": pa.array(kept_n, pa.int64()),
+                "n_removed": pa.array(removed_n, pa.int64()),
+                "scrubbed_md5": pa.array(hashes, pa.string()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        scrub, batch_format="pyarrow"
+    )
+
+
+STOPWORD_SCRUB_SQL = f"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                x -> x NOT IN {STOPWORDS})) AS BIGINT) AS n_kept,
+       CAST(len(list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                x -> x IN {STOPWORDS})) AS BIGINT) AS n_removed,
+       md5(array_to_string(
+           list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
+                       x -> x NOT IN {STOPWORDS}), ' ')) AS scrubbed_md5
+FROM documents
+"""
