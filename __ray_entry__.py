@@ -225,6 +225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-3 additions: window functions, wide joins, semi-structured
         "customers_both_years": relational.customers_both_years,
         "stopword_scrub": text.stopword_scrub,
+        "lang_adaptive_filter": text.lang_adaptive_filter,
+        "source_drift_ks": text.source_drift_ks,
         "running_total_per_customer": windows.running_total_per_customer,
         "order_gaps": windows.order_gaps,
         "q7_nation_pairs": relational.q7_nation_pairs,
@@ -349,6 +351,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "customers_both_years": relational.CUSTOMERS_INTERSECT_SQL,
         "stopword_scrub": text.STOPWORD_SCRUB_SQL,
+        "lang_adaptive_filter": text.LANG_ADAPTIVE_FILTER_SQL,
+        "source_drift_ks": text.SOURCE_DRIFT_KS_SQL,
         "running_total_per_customer": windows.RUNNING_TOTAL_SQL,
         "order_gaps": windows.ORDER_GAPS_SQL,
         "q7_nation_pairs": relational.Q7_NATION_PAIRS_SQL,

@@ -11,6 +11,7 @@ import hashlib
 import re
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data import Dataset
@@ -1937,4 +1938,152 @@ SELECT doc_id,
            list_filter(regexp_extract_all(lower(text), '[a-z0-9_]+'),
                        x -> x NOT IN {STOPWORDS}), ' ')) AS scrubbed_md5
 FROM documents
+"""
+
+
+def lang_adaptive_filter(sf_dir: str) -> Dataset:
+    """Per-language ADAPTIVE quality cut (the FineWeb2 recalibration insight:
+    a global min-length threshold over-prunes terse languages, so each
+    language gets its own cutoff).  Pass 1 folds the exact (lang, n_tokens)
+    counting histogram — O(strata x length-domain) rows, corpus-size-free —
+    and the driver derives each language's lower-discrete P10; pass 2
+    streams the corpus once more, keeping docs at or above their own
+    language's threshold.  The threshold map is O(|langs|) and rides the
+    task closure; no shuffle touches corpus-sized data."""
+    from ray.data.aggregate import Count
+
+    def lengths(t: pa.Table) -> pa.Table:
+        n = [len(TOKEN_RE.findall(x.lower())) for x in t.column("text").to_pylist()]
+        return pa.table(
+            {"lang": t.column("lang"), "n_tokens": pa.array(n, pa.int64())}
+        )
+
+    hist = (
+        _read_docs(sf_dir, ["text", "lang"])
+        .map_batches(lengths, batch_format="pyarrow")
+        .groupby(["lang", "n_tokens"])
+        .aggregate(Count(alias_name="cnt"))
+        .to_pandas()  # one row per distinct (lang, length)
+    )
+    thresh: dict[str, int] = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_tokens").reset_index(drop=True)
+        total = int(g["cnt"].sum())
+        k = (total - 1) * 10 // 100
+        thresh[str(lang)] = int(g["n_tokens"][g["cnt"].cumsum() > k].iloc[0])
+
+    def keep(t: pa.Table) -> pa.Table:
+        langs = t.column("lang").to_pylist()
+        n = pa.array(
+            [len(TOKEN_RE.findall(x.lower())) for x in t.column("text").to_pylist()],
+            pa.int64(),
+        )
+        cuts = pa.array([thresh[l] for l in langs], pa.int64())
+        mask = pc.greater_equal(n, cuts)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "n_tokens": n,
+            }
+        ).filter(mask)
+
+    return _read_docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
+LANG_ADAPTIVE_FILTER_SQL = """
+WITH l AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n
+  FROM documents
+), o AS (
+  SELECT lang, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS total
+  FROM l
+), t AS (
+  SELECT lang, n AS thresh FROM o WHERE rn = (total - 1) * 10 // 100
+)
+SELECT l.doc_id, l.lang, CAST(l.n AS BIGINT) AS n_tokens
+FROM l JOIN t USING (lang)
+WHERE l.n >= t.thresh
+"""
+
+
+def source_drift_ks(sf_dir: str) -> "object":
+    """Distribution-drift monitor: exact two-sample Kolmogorov-Smirnov
+    distance between every source pair on the token-length distribution
+    (the check a crawl pipeline runs when a new snapshot lands — has this
+    source's length profile shifted?).  One corpus pass folds the
+    (source, n_tokens) counting histogram; the driver fold is
+    O(|sources| x length-domain), corpus-size-free.  The statistic is kept
+    integer-exact by cross-multiplying the CDFs: ks_cross =
+    max_n |cum_a(n) * tot_b - cum_b(n) * tot_a| (divide by tot_a*tot_b for
+    the classical D)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    def lengths(t: pa.Table) -> pa.Table:
+        n = [len(TOKEN_RE.findall(x.lower())) for x in t.column("text").to_pylist()]
+        return pa.table(
+            {"source": t.column("source"), "n_tokens": pa.array(n, pa.int64())}
+        )
+
+    hist = (
+        _read_docs(sf_dir, ["text", "source"])
+        .map_batches(lengths, batch_format="pyarrow")
+        .groupby(["source", "n_tokens"])
+        .aggregate(Count(alias_name="cnt"))
+        .to_pandas()
+    )
+    # cumulative counts on the shared length grid (missing cells = 0)
+    cdf = (
+        hist.pivot_table(index="n_tokens", columns="source", values="cnt",
+                         aggfunc="sum", fill_value=0)
+        .sort_index()
+        .cumsum()
+        .astype("int64")
+    )
+    tot = cdf.iloc[-1]
+    sources = sorted(cdf.columns)
+    rows = []
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            ks = int(
+                (cdf[a].to_numpy() * int(tot[b])
+                 - cdf[b].to_numpy() * int(tot[a])).__abs__().max()
+            )
+            rows.append((a, b, ks, int(tot[a]), int(tot[b])))
+    return pd.DataFrame(
+        rows, columns=["source_a", "source_b", "ks_cross", "n_a", "n_b"]
+    ).sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+SOURCE_DRIFT_KS_SQL = """
+WITH l AS (
+  SELECT source, len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n
+  FROM documents
+), h AS (
+  SELECT source, n, COUNT(*) AS c FROM l GROUP BY 1, 2
+), tot AS (
+  SELECT source, COUNT(*) AS tot FROM l GROUP BY 1
+), grid AS (
+  SELECT DISTINCT n FROM l
+), cum AS (
+  SELECT s.source, g.n, s.tot,
+         SUM(COALESCE(h.c, 0)) OVER (PARTITION BY s.source ORDER BY g.n) AS cum
+  FROM tot s CROSS JOIN grid g
+  LEFT JOIN h ON h.source = s.source AND h.n = g.n
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(MAX(ABS(a.cum * b.tot - b.cum * a.tot)) AS BIGINT) AS ks_cross,
+       CAST(MAX(a.tot) AS BIGINT) AS n_a,
+       CAST(MAX(b.tot) AS BIGINT) AS n_b
+FROM cum a
+JOIN cum b ON a.n = b.n AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
 """
