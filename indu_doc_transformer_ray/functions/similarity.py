@@ -2639,3 +2639,88 @@ FROM ({sel}) ORDER BY query_id, sel_rank
 
 
 MMR_TOPK_SQL = _mmr_sql()
+
+
+def cluster_cap_sample(sf_dir: str, k: int = 8, iters: int = 5, cap: int = 40) -> "object":
+    """Cluster-balanced subsampling (the diversity sampler behind
+    SemDeDup-style curation: cap every semantic cluster at ``cap`` members
+    so dominant topics can't crowd the training mix).  Fit = the shared
+    broadcast-Lloyd coarse quantizer; assignment is one streaming pass;
+    the per-cluster cap is the deterministic md5(vec_id) rank with the
+    bounded-heap shape — each batch prunes to ``cap`` rows per cluster
+    BEFORE the shuffle, so a hot cluster co-locates at most
+    cap x n_blocks candidate rows, never its full membership."""
+    import hashlib
+
+    import pandas as pd
+
+    cents = _kmeans_centroids(sf_dir, k, iters)
+    ref = ray.put(cents)
+
+    def assign_prune(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        cl = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        ids = t.column("vec_id").to_pylist()
+        local = pd.DataFrame(
+            {
+                "cluster": cl.astype("int64"),
+                "vec_id": pd.array(ids, dtype="int64"),
+                "hk": [hashlib.md5(str(i).encode()).hexdigest() for i in ids],
+            }
+        ).sort_values(["cluster", "hk", "vec_id"])
+        local = local[local.groupby("cluster").cumcount() < cap]
+        return pa.table(
+            {
+                "cluster": pa.array(local["cluster"], pa.int64()),
+                "vec_id": pa.array(local["vec_id"], pa.int64()),
+                "hk": pa.array(local["hk"], pa.string()),
+            }
+        )
+
+    def topn(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["cluster", "hk", "vec_id"])
+        g = g.assign(rk=g.groupby("cluster").cumcount() + 1)
+        g = g[g["rk"] <= cap]
+        return pd.DataFrame(
+            {
+                "vec_id": g["vec_id"].astype("int64").values,
+                "cluster": g["cluster"].astype("int64").values,
+                "rk": g["rk"].astype("int64").values,
+            }
+        )
+
+    out = (
+        _read_emb(sf_dir)
+        .map_batches(assign_prune, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(topn, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _cluster_cap_sample_sql(k: int = 8, iters: int = 5, cap: int = 40) -> str:
+    return _kmeans_cte_prefix(k, iters) + f""", distF AS (
+  SELECT comp.vec_id, p.cluster, SUM((comp.x - p.c) * (comp.x - p.c)) AS d
+  FROM comp JOIN cent{iters} p USING (dim)
+  GROUP BY comp.vec_id, p.cluster
+), asg AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM distF
+  ) WHERE rn = 1
+)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (
+           PARTITION BY cluster
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+  FROM asg
+) WHERE rk <= {cap}
+ORDER BY vec_id"""
+
+
+CLUSTER_CAP_SAMPLE_SQL = _cluster_cap_sample_sql()
