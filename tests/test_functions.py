@@ -730,6 +730,11 @@ def test_round3_new_ops_match_oracle(ray_session):
         "late_event_rates",
         "substring_dup_coverage",
         "mmr_diverse_topk",
+        "customers_both_years",
+        "stopword_scrub",
+        "lang_adaptive_filter",
+        "source_drift_ks",
+        "cluster_cap_sample",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
