@@ -2724,3 +2724,223 @@ ORDER BY vec_id"""
 
 
 CLUSTER_CAP_SAMPLE_SQL = _cluster_cap_sample_sql()
+
+
+BFS_SEED_MOD = 50   # vec_id % 50 == 0 are the BFS sources
+BFS_ROUNDS = 4
+
+
+def bfs_hops(sf_dir: str, rounds: int = BFS_ROUNDS) -> "object":
+    """Multi-source level-synchronous BFS over the IVF k-NN graph: hop
+    distance from the nearest seed (``vec_id % BFS_SEED_MOD == 0``) along
+    directed out-edges, ``rounds`` levels deep (-1 = unreached) — the
+    neighborhood-expansion primitive behind graph-based curation (label
+    cascade radius, contamination blast radius around a flagged doc).
+
+    Execution = the pagerank_knn shape: the static edge table is pinned
+    ONCE in sharded ``num_cpus=0`` neighbor actors; each level is one
+    ``map_batches`` over the dist vector (one batched RPC per touched
+    shard, ONLY frontier ids — nodes at distance r-1 — are queried) plus
+    one bucketed fold, so a level moves O(frontier out-degree) candidate
+    rows and the graph never re-enters the shuffle.  Under the edge budget
+    the levels run as driver numpy passes with identical semantics
+    (equality-tested, the shared graph driver-escape pattern).  Level-
+    synchronous BFS sets a node's distance the FIRST time it is reached,
+    so the fold is keep-if-set — no min over rounds needed."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    nb = n_buckets(n)
+
+    edges_ds = knn_graph(sf_dir)
+    if edges_ds.count() <= PAGERANK_DRIVER_EDGE_BUDGET:
+        e = edges_ds.to_pandas()
+        src_a = e["vec_id"].to_numpy(np.int64)
+        dst_a = e["nbr_id"].to_numpy(np.int64)
+        nodes = np.sort(
+            pq.read_table(
+                f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+            )["vec_id"].to_numpy().astype(np.int64)
+        )
+        ui = np.searchsorted(nodes, src_a)
+        vi = np.searchsorted(nodes, dst_a)
+        d = np.where(nodes % BFS_SEED_MOD == 0, 0, -1).astype(np.int64)
+        for r in range(1, rounds + 1):
+            tgt = vi[d[ui] == r - 1]
+            d[tgt[d[tgt] == -1]] = r
+        return pd.DataFrame({"vec_id": nodes, "hops": d})
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_shards = max(2, min(16, ncpu // 2))
+
+    @ray.remote(num_cpus=0)
+    class NeighborShard:
+        """Out-edges of the nodes with src % n_shards == shard id, sorted
+        by src for the vectorized searchsorted slice gather."""
+
+        def __init__(self):
+            self._src_parts: list[np.ndarray] = []
+            self._dst_parts: list[np.ndarray] = []
+            self._src = self._dst = None
+
+        def add_batch(self, src: np.ndarray, dst: np.ndarray) -> int:
+            self._src_parts.append(src)
+            self._dst_parts.append(dst)
+            return len(src)
+
+        def seal(self) -> int:
+            if self._src_parts:
+                src = np.concatenate(self._src_parts)
+                dst = np.concatenate(self._dst_parts)
+            else:
+                src = dst = np.empty(0, dtype=np.int64)
+            order = np.argsort(src, kind="stable")
+            self._src, self._dst = src[order], dst[order]
+            self._src_parts = self._dst_parts = None
+            return len(self._src)
+
+        def neighbors(self, ids: np.ndarray) -> np.ndarray:
+            lo = np.searchsorted(self._src, ids, side="left")
+            hi = np.searchsorted(self._src, ids, side="right")
+            cnt = hi - lo
+            total = int(cnt.sum())
+            if total == 0:
+                return np.empty(0, dtype=np.int64)
+            starts = np.repeat(
+                lo - np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt
+            )
+            return self._dst[starts + np.arange(total)]
+
+    shards = [NeighborShard.remote() for _ in range(n_shards)]
+
+    def push_edges(t: pd.DataFrame) -> pd.DataFrame:
+        src = t["vec_id"].to_numpy(dtype=np.int64)
+        dst = t["nbr_id"].to_numpy(dtype=np.int64)
+        sh = src % n_shards
+        ray.get(
+            [
+                shards[s].add_batch.remote(src[sh == s], dst[sh == s])
+                for s in np.unique(sh)
+            ]
+        )
+        return pd.DataFrame({"n": pd.Series([len(t)], dtype="int64")})
+
+    edges_ds.map_batches(push_edges, batch_format="pandas").count()
+    ray.get([s.seal.remote() for s in shards])
+
+    def dist0(t: pd.DataFrame) -> pd.DataFrame:
+        a = t["vec_id"].astype("int64")
+        return pd.DataFrame(
+            {"a": a, "d": np.where(a % BFS_SEED_MOD == 0, 0, -1).astype("int64")}
+        )
+
+    dists = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+        )
+        .map_batches(dist0, batch_format="pandas")
+    )
+
+    def make_step(r: int):
+        def step_rows(t: pd.DataFrame) -> pd.DataFrame:
+            """Self rows (c=0, carry current d) + candidate rows (c=1) for
+            the out-neighbors of this batch's FRONTIER (d == r-1) nodes."""
+            ids = t["a"].to_numpy(dtype=np.int64)
+            ds_ = t["d"].to_numpy(dtype=np.int64)
+            frames = [
+                pd.DataFrame(
+                    {
+                        "db": (ids % nb).astype(np.int32),
+                        "a": ids,
+                        "d": ds_,
+                        "c": np.zeros(len(ids), dtype=np.int64),
+                    }
+                )
+            ]
+            front = ids[ds_ == r - 1]
+            if len(front):
+                sh = front % n_shards
+                refs = [
+                    shards[s].neighbors.remote(front[sh == s])
+                    for s in np.unique(sh)
+                ]
+                for nbrs in ray.get(refs):
+                    if len(nbrs):
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    "db": (nbrs % nb).astype(np.int32),
+                                    "a": nbrs,
+                                    "d": np.full(len(nbrs), -1, dtype=np.int64),
+                                    "c": np.ones(len(nbrs), dtype=np.int64),
+                                }
+                            )
+                        )
+            return pd.concat(frames, ignore_index=True)
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            agg = g.groupby("a").agg(
+                cur=("d", "max"), cand=("c", "max")
+            ).reset_index()
+            # self rows carry d >= -1, candidate rows d == -1: max = current
+            new = np.where(
+                agg["cur"].to_numpy() != -1,
+                agg["cur"].to_numpy(),
+                np.where(agg["cand"].to_numpy() == 1, r, -1),
+            )
+            return pd.DataFrame(
+                {"a": agg["a"].astype("int64").values,
+                 "d": new.astype("int64")}
+            )
+
+        return step_rows, fold
+
+    for r in range(1, rounds + 1):
+        step_rows, fold = make_step(r)
+        dists = (
+            dists.map_batches(step_rows, batch_format="pandas")
+            .groupby("db")
+            .map_groups(fold, batch_format="pandas")
+        )
+
+    def final(t: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"vec_id": t["a"].astype("int64"), "hops": t["d"].astype("int64")}
+        )
+
+    return dists.map_batches(final, batch_format="pandas").sort("vec_id")
+
+
+def _bfs_hops_sql(rounds: int = BFS_ROUNDS) -> str:
+    """Unrolled level-synchronous BFS over the shared k-NN graph CTE —
+    level r reaches the unreached out-neighbors of the distance-(r-1)
+    frontier; keep-if-set, so no MIN over rounds is needed."""
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(f""", d{r} AS (
+  SELECT n.vec_id,
+         CASE WHEN n.d != -1 THEN n.d
+              WHEN f{r}.vec_id IS NOT NULL THEN {r}
+              ELSE -1 END AS d
+  FROM d{r - 1} n LEFT JOIN (
+    SELECT DISTINCT e.dst AS vec_id
+    FROM e JOIN d{r - 1} p ON p.vec_id = e.src
+    WHERE p.d = {r - 1}
+  ) f{r} USING (vec_id)
+)""")
+    return f"""
+WITH knn AS MATERIALIZED ({KNN_GRAPH_SQL}),
+e AS (SELECT vec_id AS src, nbr_id AS dst FROM knn),
+d0 AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % {BFS_SEED_MOD} = 0 THEN 0 ELSE -1 END AS d
+  FROM embeddings
+){''.join(steps)}
+SELECT vec_id, CAST(d AS BIGINT) AS hops FROM d{rounds} ORDER BY vec_id"""
+
+
+BFS_HOPS_SQL = _bfs_hops_sql()

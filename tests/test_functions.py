@@ -735,6 +735,7 @@ def test_round3_new_ops_match_oracle(ray_session):
         "lang_adaptive_filter",
         "source_drift_ks",
         "cluster_cap_sample",
+        "bfs_hops",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
@@ -896,9 +897,11 @@ def test_graph_driver_escape_matches_distributed(ray_session, monkeypatch):
     sf = "/root/testdata/sf0.001"
     fast_pr = S.pagerank_knn(sf)
     fast_lp = S.label_propagation(sf)
+    fast_bfs = S.bfs_hops(sf)
     monkeypatch.setattr(S, "PAGERANK_DRIVER_EDGE_BUDGET", 0)
     slow_pr = S.pagerank_knn(sf)
     slow_lp = S.label_propagation(sf)
+    slow_bfs = S.bfs_hops(sf)
     to_df = lambda r: r.to_pandas() if hasattr(r, "to_pandas") else r
     import pandas as pd
 
@@ -907,4 +910,7 @@ def test_graph_driver_escape_matches_distributed(ray_session, monkeypatch):
     )
     pd.testing.assert_frame_equal(
         to_df(fast_lp).reset_index(drop=True), to_df(slow_lp).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        to_df(fast_bfs).reset_index(drop=True), to_df(slow_bfs).reset_index(drop=True)
     )
