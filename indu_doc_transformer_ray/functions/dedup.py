@@ -1432,14 +1432,30 @@ def source_overlap(sf_dir: str) -> "object":
         )
         return pd.concat([sizes, inter], ignore_index=True)
 
-    parts = (
+    partials = (
         docs.map_batches(shingle_rows, batch_format="pyarrow")
         .groupby("gb")
         .map_groups(bucket_fold, batch_format="pandas")
-        .groupby(["src_a", "src_b"])
-        .aggregate(ray.data.aggregate.Sum("cnt", alias_name="n"))
-        .to_pandas()  # |sources|^2 rows
     )
+    # size-guarded driver fold (the decontaminate escape pattern): each
+    # bucket emits <= |sources| + |pairs-present| scalar rows, so under a
+    # small bucket count the whole partial set is a few thousand rows —
+    # folding them on the driver saves the second all-to-all (measured
+    # 5.6 s -> 3.4 s at sf0.001/8 CPUs, pure fixed exchange cost).  Above
+    # the guard (corpus-derived bucket counts) the distributed aggregate
+    # keeps the driver out of the data path.
+    if nb <= 4096:
+        parts = (
+            partials.to_pandas()
+            .groupby(["src_a", "src_b"], as_index=False)["cnt"].sum()
+            .rename(columns={"cnt": "n"})
+        )
+    else:
+        parts = (
+            partials.groupby(["src_a", "src_b"])
+            .aggregate(ray.data.aggregate.Sum("cnt", alias_name="n"))
+            .to_pandas()  # |sources|^2 rows
+        )
     n_sh = (
         parts[parts["src_b"] == ""].set_index("src_a")["n"].astype("int64")
     )
