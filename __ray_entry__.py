@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": _frame_sample,
         # round-3 additions: window functions, wide joins, semi-structured
         "customers_both_years": relational.customers_both_years,
+        "constraint_check": relational.constraint_check,
         "stopword_scrub": text.stopword_scrub,
         "lang_adaptive_filter": text.lang_adaptive_filter,
         "source_drift_ks": text.source_drift_ks,
@@ -352,6 +353,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "customers_both_years": relational.CUSTOMERS_INTERSECT_SQL,
+        "constraint_check": relational.CONSTRAINT_CHECK_SQL,
         "stopword_scrub": text.STOPWORD_SCRUB_SQL,
         "lang_adaptive_filter": text.LANG_ADAPTIVE_FILTER_SQL,
         "source_drift_ks": text.SOURCE_DRIFT_KS_SQL,

@@ -4596,3 +4596,166 @@ FROM (
 )
 ORDER BY o_custkey
 """
+
+
+def constraint_check(sf_dir: str) -> "object":
+    """Data-quality constraint audit — the expectation-suite pass a
+    production pipeline runs before publishing a snapshot (null / range /
+    referential-integrity / temporal-ordering violations), reported as one
+    (constraint_name, n_violations) row each.  The row-local checks fold
+    map-side to per-batch partial counts; the two CROSS-TABLE checks
+    (orphan lineitems, ship-before-order) ride ONE orderkey-bucket
+    co-location exchange — order rows carry their orderdate, line rows
+    their shipdate, the in-bucket kernel counts both violations
+    vectorized.  Scalar partials fold on the driver under the bucket
+    guard, distributed above it (the source_overlap escape)."""
+    import numpy as np
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    OB = n_buckets(pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t["o_orderkey"], pa.int64())
+        od = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64())
+        n_price = pc.sum(
+            pc.cast(pc.less_equal(t["o_totalprice"], 0.0), pa.int64())
+        ).as_py() or 0
+        n_null = t["o_orderpriority"].null_count
+        base = pa.table(
+            {
+                "b": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
+                "ok": ok,
+                "kind": pa.array([0] * len(t), pa.int8()),
+                "ts_us": od,
+                "name": pa.array([""] * len(t), pa.string()),
+                "n": pa.array([0] * len(t), pa.int64()),
+            }
+        )
+        part = pa.table(
+            {
+                "b": pa.array([0, 0], pa.int32()),
+                "ok": pa.array([-1, -1], pa.int64()),
+                "kind": pa.array([2, 2], pa.int8()),
+                "ts_us": pa.array([0, 0], pa.int64()),
+                "name": pa.array(
+                    ["order_totalprice_nonpositive", "order_null_priority"],
+                    pa.string(),
+                ),
+                "n": pa.array([n_price, n_null], pa.int64()),
+            }
+        )
+        return pa.concat_tables([base, part])
+
+    def l_rows(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t["l_orderkey"], pa.int64())
+        ship = pc.cast(pc.cast(t["l_shipdate"], pa.timestamp("us")), pa.int64())
+        q = t["l_quantity"]
+        n_range = pc.sum(
+            pc.cast(
+                pc.or_(pc.less(q, 1.0), pc.greater(q, 50.0)), pa.int64()
+            )
+        ).as_py() or 0
+        base = pa.table(
+            {
+                "b": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
+                "ok": ok,
+                "kind": pa.array([1] * len(t), pa.int8()),
+                "ts_us": ship,
+                "name": pa.array([""] * len(t), pa.string()),
+                "n": pa.array([0] * len(t), pa.int64()),
+            }
+        )
+        part = pa.table(
+            {
+                "b": pa.array([0], pa.int32()),
+                "ok": pa.array([-1], pa.int64()),
+                "kind": pa.array([2], pa.int8()),
+                "ts_us": pa.array([0], pa.int64()),
+                "name": pa.array(["lineitem_qty_out_of_range"], pa.string()),
+                "n": pa.array([n_range], pa.int64()),
+            }
+        )
+        return pa.concat_tables([base, part])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        names, ns = [], []
+        pass_thru = g[g["kind"] == 2]
+        if len(pass_thru):
+            agg = pass_thru.groupby("name")["n"].sum()
+            names.extend(agg.index.tolist())
+            ns.extend(int(v) for v in agg.values)
+        o = g[g["kind"] == 0]
+        l = g[g["kind"] == 1]
+        if len(l):
+            od = pd.Series(o["ts_us"].values, index=o["ok"].values)
+            mapped = l["ok"].map(od)
+            orphan = int(mapped.isna().sum())
+            before = int((l["ts_us"].values < mapped.fillna(-(2**62)).values).sum())
+            names.extend(["lineitem_orphan", "lineitem_ship_before_order"])
+            ns.extend([orphan, before])
+        return pd.DataFrame({"name": names, "n": pd.array(ns, dtype="int64")})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_totalprice",
+                    "o_orderpriority"]).map_batches(
+        o_rows, batch_format="pyarrow"
+    )
+    lines = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_shipdate", "l_quantity"]).map_batches(
+        l_rows, batch_format="pyarrow"
+    )
+    partials = (
+        orders.union(lines)
+        .groupby("b")
+        .map_groups(fold, batch_format="pandas")
+    )
+    if OB <= 4096:
+        parts = partials.to_pandas().groupby("name", as_index=False)["n"].sum()
+    else:
+        parts = (
+            partials.groupby("name")
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+    # every constraint reports, violated or not
+    all_names = [
+        "lineitem_orphan", "lineitem_qty_out_of_range",
+        "lineitem_ship_before_order", "order_null_priority",
+        "order_totalprice_nonpositive",
+    ]
+    out = (
+        parts.set_index("name").reindex(all_names, fill_value=0)["n"]
+        .reset_index()
+        .rename(columns={"name": "constraint_name", "n": "n_violations"})
+    )
+    out["n_violations"] = out["n_violations"].astype("int64")
+    return out.sort_values("constraint_name").reset_index(drop=True)
+
+
+CONSTRAINT_CHECK_SQL = """
+SELECT constraint_name, CAST(n_violations AS BIGINT) AS n_violations FROM (
+  SELECT 'lineitem_orphan' AS constraint_name,
+         (SELECT COUNT(*) FROM lineitem l
+          LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderkey IS NULL) AS n_violations
+  UNION ALL
+  SELECT 'lineitem_qty_out_of_range',
+         (SELECT COUNT(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50)
+  UNION ALL
+  SELECT 'lineitem_ship_before_order',
+         (SELECT COUNT(*) FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_shipdate < o.o_orderdate)
+  UNION ALL
+  SELECT 'order_null_priority',
+         (SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NULL)
+  UNION ALL
+  SELECT 'order_totalprice_nonpositive',
+         (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+)
+ORDER BY constraint_name
+"""
