@@ -270,6 +270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_merges": text.bpe_pair_merges,
         "bloom_semi_join": relational.bloom_semi_join,
         "latest_event_per_user": events.latest_event_per_user,
+        "ewma_user_value": events.ewma_user_value,
+        "scd2_intervals": events.scd2_intervals,
         "orders_cube": relational.orders_cube,
         "q2_min_cost_supplier": relational.q2_min_cost_supplier,
         "q11_important_parts": relational.q11_important_parts,
@@ -354,6 +356,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "customers_both_years": relational.CUSTOMERS_INTERSECT_SQL,
         "constraint_check": relational.CONSTRAINT_CHECK_SQL,
+        "ewma_user_value": events.EWMA_USER_VALUE_SQL,
+        "scd2_intervals": events.SCD2_INTERVALS_SQL,
         "stopword_scrub": text.STOPWORD_SCRUB_SQL,
         "lang_adaptive_filter": text.LANG_ADAPTIVE_FILTER_SQL,
         "source_drift_ks": text.SOURCE_DRIFT_KS_SQL,

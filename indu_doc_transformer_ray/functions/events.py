@@ -934,3 +934,154 @@ SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_total
 FROM arr GROUP BY event_type ORDER BY event_type
 """
+
+
+def ewma_user_value(sf_dir: str) -> Dataset:
+    """Per-user EWMA (alpha = 1/2) over the time-ordered event values —
+    the stateful sequential scan a feature pipeline keeps per entity
+    (fraud velocity scores, engagement decay).  The recurrence
+    e_t = trunc((e_{t-1} + v_t) / 2) is NONLINEAR under integer
+    truncation, so unlike running_total it cannot collapse into a cumsum:
+    the in-bucket kernel walks each user's sequence once (parallel across
+    users/buckets — the per-key scan is inherently sequential, the corpus
+    isn't).  Integer c4 units end-to-end; truncation toward zero mirrors
+    DuckDB's ``//`` exactly (values are sign-free here, but the helper is
+    sign-correct anyway).  One user-bucket co-location; full series out:
+    (user_id, seq, ewma_c4)."""
+    import numpy as np
+    import pyarrow as pa
+
+    nb = _user_buckets(sf_dir)
+    ds = _read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def keyed(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        u = df["user_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "ub": (u % nb).astype("int32"),
+                "user_id": u,
+                "event_id": df["event_id"].astype("int64"),
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+                "value_c4": (df["value"] * 10_000).round().astype("int64"),
+            }
+        )
+
+    def _trunc_half(q: int) -> int:
+        return q // 2 if q >= 0 else -((-q) // 2)
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"]).reset_index(drop=True)
+        users = g["user_id"].to_numpy(np.int64)
+        vals = g["value_c4"].to_numpy(np.int64)
+        out = np.empty(len(g), np.int64)
+        seq = np.empty(len(g), np.int64)
+        start = np.concatenate(([True], users[1:] != users[:-1]))
+        e = 0
+        s = 0
+        for i in range(len(g)):
+            if start[i]:
+                e = int(vals[i])
+                s = 1
+            else:
+                e = _trunc_half(e + int(vals[i]))
+                s += 1
+            out[i] = e
+            seq[i] = s
+        return pd.DataFrame(
+            {"user_id": users, "seq": seq, "ewma_c4": out}
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(scan, batch_format="pandas")
+        .sort(["user_id", "seq"])
+    )
+
+
+EWMA_USER_VALUE_SQL = """
+WITH RECURSIVE seq AS (
+  SELECT user_id,
+         CAST(ROUND(value*10000) AS BIGINT) AS v_c4,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), rec AS (
+  SELECT user_id, rn, v_c4 AS e FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, (r.e + s.v_c4) // 2
+  FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+)
+SELECT user_id, CAST(rn AS BIGINT) AS seq, CAST(e AS BIGINT) AS ewma_c4
+FROM rec
+ORDER BY user_id, seq
+"""
+
+
+def scd2_intervals(sf_dir: str) -> Dataset:
+    """Slowly-changing-dimension (type-2) compaction: collapse each user's
+    consecutive same-``event_type`` runs into validity intervals
+    (valid_from = run start, valid_to = next run's start, -1 = current) —
+    the history-table build a warehouse runs over a change stream.  One
+    user-bucket co-location; the kernel is vectorized shift/compare over
+    the whole bucket (change detection + per-user LEAD), never a per-user
+    Python call.  Output: (user_id, event_type, valid_from_us,
+    valid_to_us)."""
+    import numpy as np
+    import pyarrow as pa
+
+    nb = _user_buckets(sf_dir)
+    ds = _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        return t.append_column(
+            "ub", pc.cast(pc.bit_wise_and(uid, nb - 1), pa.int32())
+        )
+
+    def compact(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        ts = g["ts"].astype("datetime64[us]").astype("int64")
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        change = ~(same_user & g["event_type"].eq(g["event_type"].shift()))
+        s = pd.DataFrame(
+            {
+                "user_id": g.loc[change, "user_id"].astype("int64").values,
+                "event_type": g.loc[change, "event_type"].values,
+                "valid_from_us": ts[change].values,
+            }
+        )
+        nxt = s["valid_from_us"].shift(-1)
+        same_next = s["user_id"].eq(s["user_id"].shift(-1))
+        s["valid_to_us"] = (
+            nxt.where(same_next, -1).fillna(-1).astype("int64")
+        )
+        return s
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(compact, batch_format="pandas")
+        .sort(["user_id", "valid_from_us"])
+    )
+
+
+SCD2_INTERVALS_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_t
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), starts AS (
+  SELECT user_id, event_type, ts, event_id FROM o
+  WHERE prev_t IS NULL OR prev_t != event_type
+)
+SELECT user_id, event_type,
+       CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+       CAST(COALESCE(epoch_us(lead(ts) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id)), -1) AS BIGINT)
+         AS valid_to_us
+FROM starts
+ORDER BY user_id, valid_from_us
+"""

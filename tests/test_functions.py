@@ -736,6 +736,9 @@ def test_round3_new_ops_match_oracle(ray_session):
         "source_drift_ks",
         "cluster_cap_sample",
         "bfs_hops",
+        "constraint_check",
+        "ewma_user_value",
+        "scd2_intervals",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
