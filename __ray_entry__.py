@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": similarity.kmeans_assign,
         "cluster_cap_sample": similarity.cluster_cap_sample,
         "bfs_hops": similarity.bfs_hops,
+        "pca_project": similarity.pca_project,
         "hard_negatives": similarity.hard_negatives,
         "pagerank_knn": similarity.pagerank_knn,
         "quantize_embeddings": similarity.quantize_embeddings,
@@ -363,6 +364,7 @@ def oracle_sql() -> dict[str, str]:
         "source_drift_ks": text.SOURCE_DRIFT_KS_SQL,
         "cluster_cap_sample": similarity.CLUSTER_CAP_SAMPLE_SQL,
         "bfs_hops": similarity.BFS_HOPS_SQL,
+        "pca_project": similarity.PCA_PROJECT_SQL,
         "running_total_per_customer": windows.RUNNING_TOTAL_SQL,
         "order_gaps": windows.ORDER_GAPS_SQL,
         "q7_nation_pairs": relational.Q7_NATION_PAIRS_SQL,

@@ -2944,3 +2944,104 @@ SELECT vec_id, CAST(d AS BIGINT) AS hops FROM d{rounds} ORDER BY vec_id"""
 
 
 BFS_HOPS_SQL = _bfs_hops_sql()
+
+
+PCA_POWER_ITERS = 6
+PCA_V_SCALE = 1_000_000
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) for a positive divisor —
+    matches DuckDB's ``//`` on signed values (Python's ``//`` floors)."""
+    assert b > 0
+    return a // b if a >= 0 else -((-a) // b)
+
+
+def pca_project(sf_dir: str, iters: int = PCA_POWER_ITERS) -> "object":
+    """Top-principal-component projection — the dimensionality-reduction
+    stage after ``embedding_covariance``: power iteration on the dim x dim
+    integer Gram matrix finds the dominant eigenvector, then one streaming
+    pass projects every embedding onto it (the 1-D ordering used for
+    curriculum sorting / visualization binning of an embedded corpus).
+
+    The Gram fold is the existing distributed ``embedding_covariance``
+    (nothing corpus-sized on the driver); the power iteration is a driver
+    loop over a 64 x 64 INTEGER matrix — exact Python big ints, each round
+    renormalized to ``PCA_V_SCALE`` by truncating division (matching
+    DuckDB's ``//``), so ``iters`` rounds are bit-identical on any engine
+    and the fixed positive start vector pins the eigenvector's sign.  The
+    projection pass broadcasts the dim-sized int vector in the task
+    closure; proj = sum_d floor(emb_d * 1e6) * v_d stays well inside int64
+    (1e6 * 1e6 * 64).  Output: (vec_id, proj_mu)."""
+    import pandas as pd
+
+    tri = embedding_covariance(sf_dir)
+    dim = int(tri["dim_j"].max())
+    G = [[0] * dim for _ in range(dim)]
+    for i_, j_, s_ in zip(tri["dim_i"], tri["dim_j"], tri["sxy_mu2"]):
+        G[int(i_) - 1][int(j_) - 1] = int(s_)
+        G[int(j_) - 1][int(i_) - 1] = int(s_)
+    v = [PCA_V_SCALE] * dim
+    for _ in range(iters):
+        w = [sum(G[d][j] * v[j] for j in range(dim)) for d in range(dim)]
+        m = max(abs(x) for x in w)
+        v = [_tdiv(x * PCA_V_SCALE, m) for x in w]
+    v_arr = np.array(v, dtype=np.int64)
+
+    def project(t: pa.Table) -> pa.Table:
+        emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        q = np.floor(emb * 1e6).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "proj_mu": pa.array(q @ v_arr, pa.int64()),
+            }
+        )
+
+    out = (
+        _read_emb(sf_dir)
+        .map_batches(project, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("vec_id").reset_index(drop=True).astype(
+        {"vec_id": "int64", "proj_mu": "int64"}
+    )
+
+
+def _pca_project_sql(iters: int = PCA_POWER_ITERS) -> str:
+    S = PCA_V_SCALE
+    steps = []
+    prev = "v0"
+    for t in range(1, iters + 1):
+        steps.append(f""", w{t} AS (
+  SELECT g.dim_i AS dim, SUM(g.s * {prev}.v) AS w
+  FROM gram g JOIN {prev} ON g.dim_j = {prev}.dim GROUP BY 1
+), m{t} AS (
+  SELECT MAX(ABS(w)) AS m FROM w{t}
+), v{t} AS (
+  SELECT dim, (w * {S}) // m.m AS v FROM w{t} CROSS JOIN m{t} AS m
+)""")
+        prev = f"v{t}"
+    return f"""
+WITH comp AS (
+  SELECT vec_id, u.i AS dim,
+         CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * 1e6) AS BIGINT) AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+), gram AS (
+  SELECT a.dim AS dim_i, b.dim AS dim_j,
+         SUM(CAST(a.q AS HUGEINT) * b.q) AS s
+  FROM comp a JOIN comp b ON a.vec_id = b.vec_id
+  GROUP BY 1, 2
+), dims AS (
+  SELECT DISTINCT dim FROM comp
+), v0 AS (
+  SELECT dim, CAST({S} AS HUGEINT) AS v FROM dims
+){''.join(steps)}
+SELECT c.vec_id,
+       CAST(SUM(CAST(c.q AS HUGEINT) * v.v) AS BIGINT) AS proj_mu
+FROM comp c JOIN {prev} v USING (dim)
+GROUP BY c.vec_id
+ORDER BY c.vec_id"""
+
+
+PCA_PROJECT_SQL = _pca_project_sql()

@@ -739,6 +739,7 @@ def test_round3_new_ops_match_oracle(ray_session):
         "constraint_check",
         "ewma_user_value",
         "scd2_intervals",
+        "pca_project",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
