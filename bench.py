@@ -160,6 +160,16 @@ def _query_fns() -> dict:
         "late_event_rates": events.late_event_rates,
         "simhash_pairs": dedup.simhash_pairs,
         "substring_dup_coverage": dedup.substring_dup_coverage,
+        "customers_both_years": relational.customers_both_years,
+        "stopword_scrub": text.stopword_scrub,
+        "lang_adaptive_filter": text.lang_adaptive_filter,
+        "source_drift_ks": text.source_drift_ks,
+        "cluster_cap_sample": similarity.cluster_cap_sample,
+        "bfs_hops": similarity.bfs_hops,
+        "constraint_check": relational.constraint_check,
+        "ewma_user_value": events.ewma_user_value,
+        "scd2_intervals": events.scd2_intervals,
+        "pca_project": similarity.pca_project,
     }
 
 
@@ -192,6 +202,11 @@ QUERY_CHUNKS = [
     ["gopher_rules", "dsir_weights", "rolling_window_orders",
      "price_decile", "first_touch_attribution", "corpus_diff",
      "late_event_rates", "simhash_pairs", "substring_dup_coverage"],
+    # session-4 additions; bfs/cluster_cap/pca share the kmeans/knn memo
+    ["customers_both_years", "stopword_scrub", "lang_adaptive_filter",
+     "source_drift_ks", "constraint_check", "ewma_user_value",
+     "scd2_intervals"],
+    ["cluster_cap_sample", "bfs_hops", "pca_project"],
 ]
 
 

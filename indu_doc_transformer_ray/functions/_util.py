@@ -81,3 +81,19 @@ def read_small_aware(path: str, columns=None, **kwargs):
     if nb is not None:
         kwargs.setdefault("override_num_blocks", nb)
     return ray.data.read_parquet(path, columns=columns, **kwargs)
+
+
+def session_token() -> str:
+    """Unique token per Ray SESSION for session-scoped memo keys.  Job ids
+    alone restart at the same value every ``ray.init`` in repeated local
+    sessions (bench chunks, test modules), which let a memo hand a later
+    session a dead session's materialized blocks ("owner is unknown" on
+    fetch); the node id is regenerated per raylet start, so the pair is
+    unique across init/shutdown cycles."""
+    import ray
+
+    try:
+        ctx = ray.get_runtime_context()
+        return f"{ctx.get_node_id()}:{ctx.get_job_id()}"
+    except Exception:  # pragma: no cover - outside a Ray session
+        return ""

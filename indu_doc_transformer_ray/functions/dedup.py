@@ -691,10 +691,9 @@ def dedup_clusters(sf_dir: str, max_iters: int = 25) -> Dataset:
 
     import ray
 
-    try:
-        tok = str(ray.get_runtime_context().get_job_id())
-    except Exception:  # pragma: no cover - outside a Ray session
-        tok = ""
+    from ._util import session_token
+
+    tok = session_token()
     memo_key = (sf_dir, max_iters)
     hit = _CLUSTERS_MEMO.get(memo_key)
     if hit is not None and hit[0] == tok:

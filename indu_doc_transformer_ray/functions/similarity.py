@@ -476,10 +476,15 @@ _KNN_MEMO: dict[tuple, tuple[str, Dataset]] = {}
 
 
 def _session_token() -> str:
-    try:
-        return str(ray.get_runtime_context().get_job_id())
-    except Exception:  # pragma: no cover - outside a Ray session
-        return ""
+    """Unique token per Ray SESSION, not per job id: in repeated local
+    sessions within one process (bench chunks, test modules) job ids
+    restart at the same value every ``ray.init``, so a job-id-only token
+    let the k-NN memo hand a later session a dead session's materialized
+    blocks ("owner is unknown" on fetch).  The node id is regenerated per
+    raylet start, making the pair unique across init/shutdown cycles."""
+    from ._util import session_token
+
+    return session_token()
 
 
 def _kmeans_centroids(sf_dir: str, k: int, iters: int) -> np.ndarray:

@@ -583,10 +583,9 @@ def extract_corpus_cached(sf_dir: str) -> Dataset:
     n_docs = max(
         20, pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows // 5
     )
-    try:
-        tok = str(ray.get_runtime_context().get_job_id())
-    except Exception:  # pragma: no cover - outside a Ray session
-        tok = ""
+    from ..functions._util import session_token
+
+    tok = session_token()
     key = (sf_dir, n_docs)
     hit = _EXTRACT_MEMO.get(key)
     if hit is not None and hit[0] == tok:
