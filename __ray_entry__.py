@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (144 of 150): every deterministic construction is
+                      (145 of 151): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog via its md5 registers,
                       k-means and IVF via an unrolled Lloyd CTE chain,
@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stopword_scrub": text.stopword_scrub,
         "lang_adaptive_filter": text.lang_adaptive_filter,
         "source_drift_ks": text.source_drift_ks,
+        "langid_confusion": text.langid_confusion,
         "running_total_per_customer": windows.running_total_per_customer,
         "order_gaps": windows.order_gaps,
         "q7_nation_pairs": relational.q7_nation_pairs,
@@ -362,6 +363,7 @@ def oracle_sql() -> dict[str, str]:
         "stopword_scrub": text.STOPWORD_SCRUB_SQL,
         "lang_adaptive_filter": text.LANG_ADAPTIVE_FILTER_SQL,
         "source_drift_ks": text.SOURCE_DRIFT_KS_SQL,
+        "langid_confusion": text.LANGID_CONFUSION_SQL,
         "cluster_cap_sample": similarity.CLUSTER_CAP_SAMPLE_SQL,
         "bfs_hops": similarity.BFS_HOPS_SQL,
         "pca_project": similarity.PCA_PROJECT_SQL,

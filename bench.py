@@ -170,6 +170,7 @@ def _query_fns() -> dict:
         "ewma_user_value": events.ewma_user_value,
         "scd2_intervals": events.scd2_intervals,
         "pca_project": similarity.pca_project,
+        "langid_confusion": text.langid_confusion,
     }
 
 
@@ -205,7 +206,7 @@ QUERY_CHUNKS = [
     # session-4 additions; bfs/cluster_cap/pca share the kmeans/knn memo
     ["customers_both_years", "stopword_scrub", "lang_adaptive_filter",
      "source_drift_ks", "constraint_check", "ewma_user_value",
-     "scd2_intervals"],
+     "scd2_intervals", "langid_confusion"],
     ["cluster_cap_sample", "bfs_hops", "pca_project"],
 ]
 

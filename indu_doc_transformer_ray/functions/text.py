@@ -2087,3 +2087,69 @@ JOIN cum b ON a.n = b.n AND a.source < b.source
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def langid_confusion(sf_dir: str) -> Dataset:
+    """Classifier-evaluation confusion matrix: corpus counts per (true
+    ``lang``, predicted ``pred_lang``) for the LangId actor — the quality
+    check a curation pipeline runs on its language router before trusting
+    per-language branches.  The actor pool predicts per batch (model state
+    built once per actor), the batch combiner collapses to <=|langs|^2
+    partial rows, one tiny groupby folds them.  Output: (lang, pred_lang,
+    n)."""
+    from ray.data.aggregate import Sum
+
+    class ConfusionPartials(LangId):
+        def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D102
+            from collections import Counter
+
+            c: Counter = Counter()
+            for text, lang in zip(
+                batch.column("text").to_pylist(),
+                batch.column("lang").to_pylist(),
+            ):
+                toks = set(self.token_re.findall(text.lower()))
+                best_lang, best = "und", -1
+                for pl in sorted(self.profiles):
+                    s = len(toks & self.profiles[pl])
+                    if s > best:
+                        best_lang, best = pl, s
+                c[(lang, best_lang)] += 1
+            ks = sorted(c)
+            return pa.table(
+                {
+                    "lang": pa.array([k[0] for k in ks], pa.string()),
+                    "pred_lang": pa.array([k[1] for k in ks], pa.string()),
+                    "n": pa.array([c[k] for k in ks], pa.int64()),
+                }
+            )
+
+    return (
+        _read_docs(sf_dir, ["text", "lang"])
+        .map_batches(ConfusionPartials, batch_format="pyarrow",
+                     concurrency=(1, 4))
+        .groupby(["lang", "pred_lang"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["lang", "pred_lang"])
+    )
+
+
+LANGID_CONFUSION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w
+  FROM documents
+), profiles(pl, words) AS (VALUES {_lang_profile_values()}),
+scores AS (
+  SELECT doc_id, lang, pl, len(list_intersect(w, words)) AS s
+  FROM toks CROSS JOIN profiles
+), pred AS (
+  SELECT doc_id, lang, pl AS pred_lang
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY s DESC, pl) AS rn
+        FROM scores)
+  WHERE rn = 1
+)
+SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+"""
