@@ -232,6 +232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_adaptive_filter": text.lang_adaptive_filter,
         "source_drift_ks": text.source_drift_ks,
         "langid_confusion": text.langid_confusion,
+        "pareto_frontier": relational.pareto_frontier,
+        "fuzzy_name_pairs": dedup.fuzzy_name_pairs,
         "running_total_per_customer": windows.running_total_per_customer,
         "order_gaps": windows.order_gaps,
         "q7_nation_pairs": relational.q7_nation_pairs,
@@ -364,6 +366,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_adaptive_filter": text.LANG_ADAPTIVE_FILTER_SQL,
         "source_drift_ks": text.SOURCE_DRIFT_KS_SQL,
         "langid_confusion": text.LANGID_CONFUSION_SQL,
+        "pareto_frontier": relational.PARETO_FRONTIER_SQL,
+        "fuzzy_name_pairs": dedup.FUZZY_NAME_PAIRS_SQL,
         "cluster_cap_sample": similarity.CLUSTER_CAP_SAMPLE_SQL,
         "bfs_hops": similarity.BFS_HOPS_SQL,
         "pca_project": similarity.PCA_PROJECT_SQL,

@@ -1671,3 +1671,115 @@ SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_words,
 FROM t LEFT JOIN dw USING (doc_id)
 ORDER BY t.doc_id
 """
+
+
+# -- fuzzy key matching (edit-distance-1 entity resolution) ------------------
+
+def _is_edit1(a: str, b: str) -> bool:
+    """Exact edit-distance == 1 check for a candidate pair (a != b)."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) == 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    if lb - la != 1:
+        return False
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def fuzzy_name_pairs(sf_dir: str) -> Dataset:
+    """Typo-tolerant entity-resolution self-join: all DISTINCT customer-name
+    pairs at edit distance exactly 1 (one substituted / inserted / deleted
+    character — the OCR-noise / data-entry-error match an ER pipeline runs
+    before keying on names).  Exact recall via the deletion-neighborhood
+    pigeonhole (public SymSpell construction): two strings at edit distance
+    <= 1 share at least one member of their single-deletion neighborhoods
+    (identity included), so emitting |name|+1 variant rows per name and
+    grouping by variant finds every true pair; ``_is_edit1`` verifies
+    in-bucket so false candidates never leave the kernel.  Exchanges: one
+    crc32(variant)-bucket shuffle (rows = names x (len+1), each a few
+    bytes) + one distinct over the output-sized verified pairs (a pair can
+    share several variants).  Skew note: a variant group's candidate count
+    is C(g,2); g is bounded by the alphabet per edit position in key-like
+    data — free-text callers should pre-filter to keys/vocab.  Output:
+    (name_a, name_b)."""
+    import zlib
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets, read_small_aware
+
+    n_names = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    nb = n_buckets(n_names * 20)  # ~len(name)+1 variant rows per name
+    names = read_small_aware(
+        f"{sf_dir}/customer.parquet", columns=["c_name"]
+    )
+
+    def variants(t: pa.Table) -> pd.DataFrame:
+        gbs, vs, ns = [], [], []
+        for name in set(t.column("c_name").to_pylist()):
+            seen = {name}
+            for i in range(len(name)):
+                seen.add(name[:i] + name[i + 1:])
+            for v in seen:
+                gbs.append(zlib.crc32(v.encode()) % nb)
+                vs.append(v)
+                ns.append(name)
+        return pd.DataFrame(
+            {
+                "gb": pd.Series(gbs, dtype="int32"),
+                "var": pd.Series(vs, dtype="object"),
+                "name": pd.Series(ns, dtype="object"),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        # arrow output: the downstream distinct+sort exchanges sort arrow
+        # blocks ~13x faster than pandas blocks (BASELINE.md finding)
+        g = g[["var", "name"]].drop_duplicates()
+        out = set()
+        for _, grp in g.groupby("var", sort=False):
+            mem = sorted(set(grp["name"]))
+            if len(mem) < 2:
+                continue
+            for i in range(len(mem)):
+                for j in range(i + 1, len(mem)):
+                    if _is_edit1(mem[i], mem[j]):
+                        out.add((mem[i], mem[j]))
+        ks = sorted(out)
+        return pa.table(
+            {
+                "name_a": pa.array([k[0] for k in ks], pa.string()),
+                "name_b": pa.array([k[1] for k in ks], pa.string()),
+            }
+        )
+
+    return (
+        names.map_batches(variants, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["name_a", "name_b"])
+        .aggregate(Count(alias_name="nv"))
+        .drop_columns(["nv"])
+        .sort(["name_a", "name_b"])
+    )
+
+
+FUZZY_NAME_PAIRS_SQL = """
+WITH v AS (SELECT DISTINCT c_name AS n FROM customer),
+vars AS (
+  SELECT n, CASE WHEN i = 0 THEN n
+           ELSE substr(n, 1, i - 1) || substr(n, i + 1) END AS var
+  FROM v, range(0, 64) r(i) WHERE i <= len(n)
+), cand AS (
+  SELECT DISTINCT a.n AS name_a, b.n AS name_b
+  FROM vars a JOIN vars b ON a.var = b.var AND a.n < b.n
+)
+SELECT name_a, name_b FROM cand
+WHERE levenshtein(name_a, name_b) = 1
+ORDER BY name_a, name_b
+"""

@@ -4759,3 +4759,88 @@ SELECT constraint_name, CAST(n_violations AS BIGINT) AS n_violations FROM (
 )
 ORDER BY constraint_name
 """
+
+
+# -- pareto frontier (skyline over two objectives) ---------------------------
+
+def pareto_frontier(sf_dir: str) -> "object":
+    """Skyline query: parts not strictly dominated on (minimize price,
+    maximize size) — the multi-objective shortlist shape (cheapest part at
+    every size level).  Monotone tree fold: each batch prunes its own rows
+    to a local frontier (a locally dominated row is globally dominated, so
+    the prune is lossless), survivors regroup into a handful of blocks for
+    a second prune, and the driver folds the last few hundred rows.  No
+    all-to-all: the exchange ships only frontier candidates, which are
+    output-sized (worst case the frontier IS the output, and returning it
+    is the contract).  Output: (p_partkey, p_name, price_c2, p_size)."""
+    import numpy as np
+    import pandas as pd
+
+    def _frontier(price: "np.ndarray", size: "np.ndarray") -> "np.ndarray":
+        # keep iff size == max(size | price' <= price)  (not outsized by a
+        # cheaper-or-equal part) AND size > max(size | price' < price)
+        # (not matched by a strictly cheaper part) — vectorized via one
+        # lexsort + per-price-group running max.
+        order = np.lexsort((-size, price))
+        ps, ss = price[order], size[order]
+        new = np.empty(len(ps), dtype=bool)
+        new[0] = True
+        new[1:] = ps[1:] != ps[:-1]
+        gidx = np.cumsum(new) - 1
+        gmax = ss[new]                      # size sorts desc within price
+        run = np.maximum.accumulate(gmax)
+        mlt_g = np.empty_like(run)
+        mlt_g[0] = np.iinfo(np.int64).min
+        mlt_g[1:] = run[:-1]
+        keep_sorted = (ss == run[gidx]) & (ss > mlt_g[gidx])
+        mask = np.empty(len(ps), dtype=bool)
+        mask[order] = keep_sorted
+        return mask
+
+    def prune(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        if "price_c2" not in t.column_names:
+            t = t.append_column(
+                "price_c2", _cents(t.column("p_retailprice"))
+            ).drop_columns(["p_retailprice"])
+        mask = _frontier(
+            t.column("price_c2").to_numpy(zero_copy_only=False),
+            t.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        return t.filter(pa.array(mask))
+
+    partials = (
+        _read(sf_dir, "part",
+              ["p_partkey", "p_name", "p_retailprice", "p_size"])
+        .map_batches(prune, batch_format="pyarrow")
+        .repartition(4)
+        .map_batches(prune, batch_format="pyarrow")
+    )
+    df = partials.to_pandas()  # output-sized: local frontiers only
+    if len(df):
+        mask = _frontier(
+            df["price_c2"].to_numpy(), df["p_size"].to_numpy().astype("int64")
+        )
+        df = df[mask]
+    df = df[["p_partkey", "p_name", "price_c2", "p_size"]]
+    return df.sort_values(
+        ["price_c2", "p_size", "p_partkey"]
+    ).reset_index(drop=True)
+
+
+PARETO_FRONTIER_SQL = """
+WITH p AS (
+  SELECT p_partkey, p_name,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c2, p_size
+  FROM part
+)
+SELECT a.p_partkey, a.p_name, a.price_c2, a.p_size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_c2 <= a.price_c2 AND b.p_size >= a.p_size
+    AND (b.price_c2 < a.price_c2 OR b.p_size > a.p_size)
+)
+ORDER BY price_c2, p_size, p_partkey
+"""
