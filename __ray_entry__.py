@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (145 of 151): every deterministic construction is
+                      (148 of 154): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog via its md5 registers,
                       k-means and IVF via an unrolled Lloyd CTE chain,
@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_confusion": text.langid_confusion,
         "pareto_frontier": relational.pareto_frontier,
         "fuzzy_name_pairs": dedup.fuzzy_name_pairs,
+        "session_overlap": events.session_overlap,
         "running_total_per_customer": windows.running_total_per_customer,
         "order_gaps": windows.order_gaps,
         "q7_nation_pairs": relational.q7_nation_pairs,
@@ -368,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_confusion": text.LANGID_CONFUSION_SQL,
         "pareto_frontier": relational.PARETO_FRONTIER_SQL,
         "fuzzy_name_pairs": dedup.FUZZY_NAME_PAIRS_SQL,
+        "session_overlap": events.SESSION_OVERLAP_SQL,
         "cluster_cap_sample": similarity.CLUSTER_CAP_SAMPLE_SQL,
         "bfs_hops": similarity.BFS_HOPS_SQL,
         "pca_project": similarity.PCA_PROJECT_SQL,

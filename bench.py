@@ -171,6 +171,9 @@ def _query_fns() -> dict:
         "scd2_intervals": events.scd2_intervals,
         "pca_project": similarity.pca_project,
         "langid_confusion": text.langid_confusion,
+        "pareto_frontier": relational.pareto_frontier,
+        "fuzzy_name_pairs": dedup.fuzzy_name_pairs,
+        "session_overlap": events.session_overlap,
     }
 
 
@@ -207,6 +210,7 @@ QUERY_CHUNKS = [
     ["customers_both_years", "stopword_scrub", "lang_adaptive_filter",
      "source_drift_ks", "constraint_check", "ewma_user_value",
      "scd2_intervals", "langid_confusion"],
+    ["pareto_frontier", "fuzzy_name_pairs", "session_overlap"],
     ["cluster_cap_sample", "bfs_hops", "pca_project"],
 ]
 

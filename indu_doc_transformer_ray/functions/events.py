@@ -1085,3 +1085,231 @@ SELECT user_id, event_type,
 FROM starts
 ORDER BY user_id, valid_from_us
 """
+
+
+# -- interval-overlap join: concurrent-session counting ----------------------
+
+def _ts_bounds_us(path: str) -> tuple[int, int]:
+    """Global (min, max) of the ``ts`` column in integer microseconds from
+    parquet ROW-GROUP STATISTICS only — no scan, so deriving time buckets
+    from the corpus time span stays metadata-cheap at any scale."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(path)
+    lo, hi = None, None
+    for r in range(md.num_row_groups):
+        rg = md.row_group(r)
+        for c in range(rg.num_columns):
+            col = rg.column(c)
+            if col.path_in_schema == "ts" and col.statistics is not None:
+                s = col.statistics
+                mn = int(np.datetime64(s.min, "us").astype("int64"))
+                mx = int(np.datetime64(s.max, "us").astype("int64"))
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
+    if lo is None:  # pragma: no cover - stats always present on our data
+        raise ValueError(f"no ts statistics in {path}")
+    return lo, hi
+
+
+def session_overlap(sf_dir: str) -> Dataset:
+    """Interval-overlap join at session grain: for every user session
+    (30-min-gap windows, closed intervals) the number of OTHER sessions —
+    any user — it overlaps in time (the concurrency profile a capacity /
+    ab-test analysis reads).  The naive shape is an O(n^2) inequality
+    self-join; this uses the rank identity ``overlaps(i) = #{starts <=
+    end_i} - #{ends < start_i} - 1`` (valid because ends < start_i implies
+    the whole interval precedes i), turning the join into two global RANK
+    lookups.  Ranks are computed hierarchically, the prefix-scan pattern:
+    session endpoints and probes co-locate into contiguous time buckets
+    (span/width from parquet metadata, count derived via ``n_buckets``);
+    each bucket emits vectorized in-bucket ranks (searchsorted) plus its
+    endpoint counts; the driver folds ONLY the O(buckets) counts into
+    prefix offsets, broadcast back into a streaming adjust pass.  One
+    endpoint exchange + one per-session sum — no all-to-all join, no
+    corpus-sized driver state.  Output: (user_id, sess_n, n_overlap)."""
+    import numpy as np
+
+    from ._util import n_buckets
+
+    path = f"{sf_dir}/events.parquet"
+    ds = _read_events(sf_dir, ["event_id", "ts", "user_id"])
+    ubk = _user_buckets(sf_dir)
+    t0, t1 = _ts_bounds_us(path)
+    import pyarrow.parquet as pq
+
+    B = n_buckets(pq.read_metadata(path).num_rows)
+    width = max(1, (t1 - t0) // B + 1)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        return t.append_column(
+            "ub", pc.cast(pc.bit_wise_and(uid, ubk - 1), pa.int32())
+        )
+
+    def build_sessions(g: pd.DataFrame) -> pa.Table:
+        # per-user sorted scan -> (user_id, sess_n, s_us, e_us); a user's
+        # sessions never overlap each other (gaps > the window), so the
+        # global count needs no same-user exclusion
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        ts = g["ts"].astype("datetime64[us]").astype("int64")
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        new_session = (ts.diff() > SESSION_GAP_US) & same_user
+        sid = (new_session | ~same_user).cumsum()
+        per = pd.DataFrame(
+            {"user_id": g["user_id"].values, "sid": sid.values,
+             "ts": ts.values}
+        ).groupby(["user_id", "sid"], sort=True)["ts"].agg(["min", "max"])
+        per = per.reset_index()
+        sess_n = per.groupby("user_id").cumcount() + 1
+        return pa.table(
+            {
+                "user_id": pa.array(per["user_id"].astype("int64").values),
+                "sess_n": pa.array(sess_n.astype("int64").values),
+                "s_us": pa.array(per["min"].astype("int64").values),
+                "e_us": pa.array(per["max"].astype("int64").values),
+            }
+        )
+
+    def emit_points(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy()
+        sn = t.column("sess_n").to_numpy()
+        s = t.column("s_us").to_numpy()
+        e = t.column("e_us").to_numpy()
+        tb_s = np.minimum((s - t0) // width, B - 1).astype(np.int32)
+        tb_e = np.minimum((e - t0) // width, B - 1).astype(np.int32)
+        neg = np.full(len(u), -1, dtype=np.int64)
+        zero = np.zeros(len(u), dtype=np.int64)
+        return pa.table(
+            {
+                "tb": pa.array(np.concatenate([tb_s, tb_e, tb_e, tb_s])),
+                "kind": pa.array(
+                    np.repeat(np.array([0, 1, 2, 3], np.int32), len(u))
+                ),
+                "x": pa.array(np.concatenate([s, e, e, s])),
+                "user_id": pa.array(np.concatenate([neg, neg, u, u])),
+                "sess_n": pa.array(np.concatenate([zero, zero, sn, sn])),
+            }
+        )
+
+    def bucket_ranks(g: pd.DataFrame) -> pa.Table:
+        starts = np.sort(g.loc[g["kind"] == 0, "x"].to_numpy())
+        ends = np.sort(g.loc[g["kind"] == 1, "x"].to_numpy())
+        p2 = g[g["kind"] == 2]
+        p3 = g[g["kind"] == 3]
+        tb = int(g["tb"].iloc[0])
+        out_u = [p2["user_id"].to_numpy(), p3["user_id"].to_numpy(),
+                 np.array([-1, -1], np.int64)]
+        out_sn = [p2["sess_n"].to_numpy(), p3["sess_n"].to_numpy(),
+                  np.array([0, 0], np.int64)]
+        out_tb = [np.full(len(p2), tb, np.int32),
+                  np.full(len(p3), tb, np.int32),
+                  np.array([tb, tb], np.int32)]
+        out_kind = [np.full(len(p2), 2, np.int32),
+                    np.full(len(p3), 3, np.int32),
+                    np.array([8, 9], np.int32)]
+        out_val = [
+            np.searchsorted(starts, p2["x"].to_numpy(), side="right"),
+            -np.searchsorted(ends, p3["x"].to_numpy(), side="left"),
+            np.array([len(starts), len(ends)], np.int64),
+        ]
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate(out_u).astype(np.int64)),
+                "sess_n": pa.array(np.concatenate(out_sn).astype(np.int64)),
+                "tb": pa.array(np.concatenate(out_tb).astype(np.int32)),
+                "kind": pa.array(np.concatenate(out_kind).astype(np.int32)),
+                "val": pa.array(np.concatenate(out_val).astype(np.int64)),
+            }
+        )
+
+    partials = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(build_sessions, batch_format="pandas")
+        .map_batches(emit_points, batch_format="pyarrow")
+        .groupby("tb")
+        .map_groups(bucket_ranks, batch_format="pandas")
+        .materialize()  # session-scale (4 rows/session + 2/bucket)
+    )
+    counts = partials.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("kind"), 8)),
+        batch_format="pyarrow",
+    ).to_pandas()  # O(buckets) rows only
+    off_s = np.zeros(B + 1, np.int64)
+    off_e = np.zeros(B + 1, np.int64)
+    for _, row in counts.iterrows():
+        (off_s if row["kind"] == 8 else off_e)[int(row["tb"]) + 1] += int(
+            row["val"]
+        )
+    off_s = np.cumsum(off_s)
+    off_e = np.cumsum(off_e)
+
+    def adjust(t: pa.Table) -> pa.Table:
+        tb = t.column("tb").to_numpy()
+        kind = t.column("kind").to_numpy()
+        val = t.column("val").to_numpy()
+        adj = np.where(kind == 2, val + off_s[tb], val - off_e[tb])
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "sess_n": t.column("sess_n"),
+                "val": pa.array(adj.astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    ranked = (
+        partials.map_batches(
+            lambda t: t.filter(pc.less(t.column("kind"), 8)),
+            batch_format="pyarrow",
+        )
+        .map_batches(adjust, batch_format="pyarrow")
+        .groupby(["user_id", "sess_n"])
+        .aggregate(Sum("val", alias_name="rank_sum"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "sess_n": t.column("sess_n"),
+                "n_overlap": pc.subtract(
+                    pc.cast(t.column("rank_sum"), pa.int64()), 1
+                ),
+            }
+        )
+
+    return ranked.map_batches(finish, batch_format="pyarrow").sort(
+        ["user_id", "sess_n"]
+    )
+
+
+SESSION_OVERLAP_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM marked
+), sess AS (
+  SELECT user_id, sid, epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
+  FROM numbered GROUP BY user_id, sid
+), sess2 AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY s_us) AS sess_n,
+         s_us, e_us
+  FROM sess
+)
+SELECT a.user_id, CAST(a.sess_n AS BIGINT) AS sess_n,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_overlap
+FROM sess2 a JOIN sess2 b ON b.s_us <= a.e_us AND b.e_us >= a.s_us
+GROUP BY a.user_id, a.sess_n
+ORDER BY a.user_id, a.sess_n
+"""

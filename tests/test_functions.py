@@ -740,6 +740,10 @@ def test_round3_new_ops_match_oracle(ray_session):
         "ewma_user_value",
         "scd2_intervals",
         "pca_project",
+        "langid_confusion",
+        "pareto_frontier",
+        "fuzzy_name_pairs",
+        "session_overlap",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
