@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (148 of 154): every deterministic construction is
+                      (152 of 158): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog via its md5 registers,
                       k-means and IVF via an unrolled Lloyd CTE chain,
@@ -235,6 +235,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_frontier": relational.pareto_frontier,
         "fuzzy_name_pairs": dedup.fuzzy_name_pairs,
         "session_overlap": events.session_overlap,
+        "cumulative_unique_users": events.cumulative_unique_users,
+        "events_hourly_dense": events.events_hourly_dense,
+        "top_paths": events.top_paths,
+        "mad_outliers": sketches.mad_outliers,
         "running_total_per_customer": windows.running_total_per_customer,
         "order_gaps": windows.order_gaps,
         "q7_nation_pairs": relational.q7_nation_pairs,
@@ -370,6 +374,10 @@ def oracle_sql() -> dict[str, str]:
         "pareto_frontier": relational.PARETO_FRONTIER_SQL,
         "fuzzy_name_pairs": dedup.FUZZY_NAME_PAIRS_SQL,
         "session_overlap": events.SESSION_OVERLAP_SQL,
+        "cumulative_unique_users": events.CUMULATIVE_UNIQUE_USERS_SQL,
+        "events_hourly_dense": events.EVENTS_HOURLY_DENSE_SQL,
+        "top_paths": events.TOP_PATHS_SQL,
+        "mad_outliers": sketches.MAD_OUTLIERS_SQL,
         "cluster_cap_sample": similarity.CLUSTER_CAP_SAMPLE_SQL,
         "bfs_hops": similarity.BFS_HOPS_SQL,
         "pca_project": similarity.PCA_PROJECT_SQL,

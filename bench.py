@@ -174,6 +174,10 @@ def _query_fns() -> dict:
         "pareto_frontier": relational.pareto_frontier,
         "fuzzy_name_pairs": dedup.fuzzy_name_pairs,
         "session_overlap": events.session_overlap,
+        "cumulative_unique_users": events.cumulative_unique_users,
+        "events_hourly_dense": events.events_hourly_dense,
+        "top_paths": events.top_paths,
+        "mad_outliers": sketches.mad_outliers,
     }
 
 
@@ -210,7 +214,9 @@ QUERY_CHUNKS = [
     ["customers_both_years", "stopword_scrub", "lang_adaptive_filter",
      "source_drift_ks", "constraint_check", "ewma_user_value",
      "scd2_intervals", "langid_confusion"],
-    ["pareto_frontier", "fuzzy_name_pairs", "session_overlap"],
+    ["pareto_frontier", "fuzzy_name_pairs", "session_overlap",
+     "cumulative_unique_users", "events_hourly_dense", "top_paths",
+     "mad_outliers"],
     ["cluster_cap_sample", "bfs_hops", "pca_project"],
 ]
 

@@ -1313,3 +1313,222 @@ FROM sess2 a JOIN sess2 b ON b.s_us <= a.e_us AND b.e_us >= a.s_us
 GROUP BY a.user_id, a.sess_n
 ORDER BY a.user_id, a.sess_n
 """
+
+
+# -- growth accounting: cumulative distinct users ----------------------------
+
+def cumulative_unique_users(sf_dir: str) -> "object":
+    """Cumulative distinct users per day — the growth curve.  A naive
+    per-day COUNT(DISTINCT) over expanding windows rescans the corpus per
+    day; the scalable identity is ``cum_users(d) = #{users whose FIRST
+    event day <= d}``: one groupby(user).min(day) (map-side partial mins,
+    uniform key), then a per-day new-user count that is O(days) on the
+    driver, cumsummed against the observed-day spine.  Two small exchanges,
+    driver state O(days).  Output: (day_bucket, cum_users)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Min
+
+    ds = _read_events(sf_dir, ["ts", "user_id"])
+
+    def day_user(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        folded = pa.table(
+            {"user_id": pc.cast(t["user_id"], pa.int64()), "day": day}
+        )
+        # map-side partial min per user: the shuffle ships one row per
+        # (user, batch), not per event
+        return pa.TableGroupBy(folded, "user_id").aggregate([("day", "min")])
+
+    first_seen = (
+        ds.map_batches(day_user, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("day_min", alias_name="d0"))
+    )
+    new_per_day = (
+        first_seen.groupby("d0").aggregate(Count(alias_name="n"))
+        .to_pandas()  # O(days)
+    )
+
+    def day_only(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        return pa.TableGroupBy(pa.table({"day": day}), "day").aggregate(
+            [([], "count_all")]
+        )
+
+    days = (
+        ds.map_batches(day_only, batch_format="pyarrow")
+        .groupby("day").aggregate(Count(alias_name="_c"))
+        .to_pandas()  # O(days)
+    )
+    spine = days[["day"]].sort_values("day").reset_index(drop=True)
+    merged = spine.merge(
+        new_per_day.rename(columns={"d0": "day"}), on="day", how="left"
+    )
+    out = pd.DataFrame(
+        {
+            "day_bucket": merged["day"].astype("int64"),
+            "cum_users": merged["n"].fillna(0).cumsum().astype("int64"),
+        }
+    )
+    return out
+
+
+CUMULATIVE_UNIQUE_USERS_SQL = """
+WITH fs AS (
+  SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS d0
+  FROM events GROUP BY user_id
+), days AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_bucket FROM events
+)
+SELECT day_bucket,
+       CAST((SELECT COUNT(*) FROM fs WHERE fs.d0 <= days.day_bucket)
+            AS BIGINT) AS cum_users
+FROM days ORDER BY day_bucket
+"""
+
+
+# -- gap-filled time series (dense hourly spine) ------------------------------
+
+def events_hourly_dense(sf_dir: str) -> "object":
+    """Gap-filled hourly event counts: every hour between the corpus' first
+    and last event, zero rows included — the dense spine a time-series
+    model trains on (sparse groupby output silently drops quiet hours).
+    The spine bounds come from parquet row-group statistics (metadata, no
+    scan); counts fold map-side per batch, the groupby output is O(hours)
+    and the reindex against the spine happens on the driver (the spine is
+    time-span-sized, corpus-size free).  Output: (hour_bucket, n_events)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    path = f"{sf_dir}/events.parquet"
+    t0, t1 = _ts_bounds_us(path)
+    h0, h1 = t0 // 3_600_000_000, t1 // 3_600_000_000
+    ds = _read_events(sf_dir, ["ts"])
+
+    def hourly(t: pa.Table) -> pa.Table:
+        hour = pc.divide(pc.cast(t["ts"], pa.int64()), 3_600_000_000)
+        return pa.TableGroupBy(pa.table({"hour": hour}), "hour").aggregate(
+            [([], "count_all")]
+        )
+
+    counts = (
+        ds.map_batches(hourly, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()  # O(hours)
+    )
+    spine = pd.DataFrame({"hour_bucket": np.arange(h0, h1 + 1, dtype=np.int64)})
+    merged = spine.merge(
+        counts.rename(columns={"hour": "hour_bucket"}), on="hour_bucket",
+        how="left",
+    )
+    merged["n_events"] = merged["n"].fillna(0).astype("int64")
+    return merged[["hour_bucket", "n_events"]]
+
+
+EVENTS_HOURLY_DENSE_SQL = """
+WITH bounds AS (
+  SELECT epoch_us(MIN(ts)) // 3600000000 AS h0,
+         epoch_us(MAX(ts)) // 3600000000 AS h1
+  FROM events
+), spine AS (
+  SELECT unnest(range(h0, h1 + 1)) AS hour_bucket FROM bounds
+), c AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour_bucket, COUNT(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT spine.hour_bucket, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM spine LEFT JOIN c USING (hour_bucket)
+ORDER BY spine.hour_bucket
+"""
+
+
+# -- sequence mining: top session paths --------------------------------------
+
+PATH_PREFIX_LEN = 4
+TOP_PATHS_K = 20
+
+
+def top_paths(sf_dir: str) -> Dataset:
+    """Top-20 session paths: the ordered sequence of the first 4 event
+    types in each 30-min-gap session, counted across the corpus — the
+    navigation-pattern mining behind funnel design.  Sessions build inside
+    the user-bucket co-location (one vectorized pass per bucket); the
+    kernel pre-counts ITS paths so the exchange ships (path, n) partials,
+    bounded by the path domain per bucket, never per-session rows; one
+    small groupby folds them and the top-k is a sort+limit over the path
+    domain.  Ties at the k boundary break on path text, so the cut is
+    deterministic.  Output: (path, n)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    ubk = _user_buckets(sf_dir)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        return t.append_column(
+            "ub", pc.cast(pc.bit_wise_and(uid, ubk - 1), pa.int32())
+        )
+
+    def bucket_paths(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        ts = g["ts"].astype("datetime64[us]").astype("int64")
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        new_session = (ts.diff() > SESSION_GAP_US) & same_user
+        sid = (new_session | ~same_user).cumsum()
+        rn = g.groupby(sid.values).cumcount()
+        head = g[rn < PATH_PREFIX_LEN]
+        paths = (
+            head.groupby(sid.values[rn < PATH_PREFIX_LEN], sort=False)[
+                "event_type"
+            ].agg(">".join)
+        )
+        counts = paths.value_counts()
+        return pa.table(
+            {
+                "path": pa.array(counts.index.astype(str), pa.string()),
+                "n": pa.array(counts.values.astype("int64"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(bucket_paths, batch_format="pandas")
+        .groupby("path")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "path"], descending=[True, False])
+        .limit(TOP_PATHS_K)
+    )
+
+
+TOP_PATHS_SQL = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM marked
+), ranked AS (
+  SELECT user_id, sid, event_type, ts, event_id,
+         row_number() OVER (
+           PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+  FROM numbered
+), paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= {PATH_PREFIX_LEN}
+  GROUP BY user_id, sid
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+FROM paths GROUP BY path
+ORDER BY n DESC, path
+LIMIT {TOP_PATHS_K}
+"""

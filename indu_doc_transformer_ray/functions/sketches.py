@@ -656,3 +656,177 @@ FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+
+# -- robust anomaly accounting: median absolute deviation --------------------
+
+def mad_outliers(sf_dir: str) -> "object":
+    """Robust per-type outlier audit over ``events.value``: lower-discrete
+    median, MAD (median of |v - median|), and the count of values beyond
+    5 x MAD — the outlier gate a quality pipeline runs where mean/stddev
+    would be poisoned by the very outliers it hunts.  MAD needs TWO nested
+    holistic aggregates; each uses the two-pass counting-histogram shape of
+    ``median_price_per_status`` (coarse (type, bucket) counts map-side,
+    driver finds the straddling bucket in O(domain/4096) state, a pruned
+    second pass resolves the exact value), with the per-type medians
+    broadcast into the deviation passes as an O(|types|) closure.  Five
+    linear scans, zero corpus-sized exchanges, no per-type co-location of
+    raw rows (the hot-group-skew trap).  Output: (event_type, n,
+    median_c2, mad_c2, n_outliers)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def _lower_median(val_of):
+        """Two-pass exact lower-discrete median per type; ``val_of`` maps a
+        batch to an int64 array (identity for pass 1, |v - med| for the
+        MAD pass)."""
+
+        def hist(t: pa.Table) -> pa.Table:
+            v = val_of(t)
+            folded = pa.table(
+                {"s": t["event_type"], "b": pc.divide(v, _HIST_WIDTH)}
+            )
+            return pa.TableGroupBy(folded, ["s", "b"]).aggregate(
+                [([], "count_all")]
+            )
+
+        counts = (
+            ds.map_batches(hist, batch_format="pyarrow")
+            .groupby(["s", "b"])
+            .aggregate(ray.data.aggregate.Sum("count_all", alias_name="n"))
+            .to_pandas()
+            .sort_values(["s", "b"])
+            .reset_index(drop=True)
+        )
+        need: dict[tuple[str, int], int] = {}
+        totals: dict[str, int] = {}
+        for s, g in counts.groupby("s"):
+            g = g.reset_index(drop=True)
+            n = int(g["n"].sum())
+            totals[str(s)] = n
+            cum = g["n"].cumsum()
+            k = (n - 1) // 2
+            i = int((cum > k).idxmax())
+            before = int(cum.iloc[i - 1]) if i > 0 else 0
+            need[(str(s), int(g.loc[i, "b"]))] = k - before
+
+        keys = pa.array([f"{s}|{b}" for (s, b) in sorted(need)], pa.string())
+
+        def in_bucket(t: pa.Table) -> pa.Table:
+            v = val_of(t)
+            key = pc.binary_join_element_wise(
+                t["event_type"],
+                pc.cast(pc.divide(v, _HIST_WIDTH), pa.string()), "|",
+            )
+            sub = pa.table({"s": t["event_type"], "v": v}).filter(
+                pc.is_in(key, value_set=keys)
+            )
+            return pa.TableGroupBy(sub, ["s", "v"]).aggregate(
+                [([], "count_all")]
+            )
+
+        fine = (
+            ds.map_batches(in_bucket, batch_format="pyarrow")
+            .groupby(["s", "v"])
+            .aggregate(ray.data.aggregate.Sum("count_all", alias_name="n"))
+            .to_pandas()
+        )
+        med: dict[str, int] = {}
+        for (s, b), rk in need.items():
+            g = (
+                fine[(fine["s"] == s) & (fine["v"] // _HIST_WIDTH == b)]
+                .sort_values("v")
+                .reset_index(drop=True)
+            )
+            cum = g["n"].cumsum()
+            i = int((cum > rk).idxmax())
+            med[s] = int(g.loc[i, "v"])
+        return med, totals
+
+    def _v(t: pa.Table) -> pa.Array:
+        return pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+
+    med, totals = _lower_median(_v)
+
+    type_list = sorted(med)
+    types_arr = pa.array(type_list, pa.string())
+    med_arr = pa.array([med[s] for s in type_list], pa.int64())
+
+    def _dev(t: pa.Table) -> pa.Array:
+        # vectorized per-type lookup: index_in + take, no row loop
+        idx = pc.index_in(t["event_type"], value_set=types_arr)
+        return pc.abs(pc.subtract(_v(t), pc.take(med_arr, idx)))
+
+    mad, _ = _lower_median(_dev)
+    mad_arr = pa.array([5 * mad[s] for s in type_list], pa.int64())
+
+    def outlier_partial(t: pa.Table) -> pa.Table:
+        dev = _dev(t)
+        idx = pc.index_in(t["event_type"], value_set=types_arr)
+        thresh = pc.take(mad_arr, idx)
+        folded = pa.table(
+            {
+                "s": t["event_type"],
+                "o": pc.cast(pc.greater(dev, thresh), pa.int64()),
+            }
+        )
+        return pa.TableGroupBy(folded, "s").aggregate([("o", "sum")])
+
+    out_n = (
+        ds.map_batches(outlier_partial, batch_format="pyarrow")
+        .groupby("s")
+        .aggregate(ray.data.aggregate.Sum("o_sum", alias_name="n_outliers"))
+        .to_pandas()  # O(|types|)
+    )
+    rows = pd.DataFrame(
+        [
+            {
+                "event_type": s,
+                "n": totals[s],
+                "median_c2": med[s],
+                "mad_c2": mad[s],
+            }
+            for s in sorted(totals)
+        ]
+    )
+    out = rows.merge(
+        out_n.rename(columns={"s": "event_type"}), on="event_type"
+    )
+    for c in ("n", "median_c2", "mad_c2", "n_outliers"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+MAD_OUTLIERS_SQL = """
+WITH x AS (
+  SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS v FROM events
+), m AS (
+  SELECT event_type, v AS med FROM (
+    SELECT event_type, v,
+           row_number() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM x) WHERE rk = (n - 1) // 2 + 1
+), d AS (
+  SELECT x.event_type, x.v, abs(x.v - m.med) AS dev, m.med
+  FROM x JOIN m USING (event_type)
+), md AS (
+  SELECT event_type, dev AS mad FROM (
+    SELECT event_type, dev,
+           row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rk,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM d) WHERE rk = (n - 1) // 2 + 1
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(d.med) AS BIGINT) AS median_c2,
+       CAST(MIN(md.mad) AS BIGINT) AS mad_c2,
+       CAST(SUM(CASE WHEN d.dev > 5 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM d JOIN md USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""

@@ -744,6 +744,10 @@ def test_round3_new_ops_match_oracle(ray_session):
         "pareto_frontier",
         "fuzzy_name_pairs",
         "session_overlap",
+        "cumulative_unique_users",
+        "events_hourly_dense",
+        "top_paths",
+        "mad_outliers",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
