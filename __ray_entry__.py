@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (152 of 158): every deterministic construction is
+                      (153 of 159): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog via its md5 registers,
                       k-means and IVF via an unrolled Lloyd CTE chain,
@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_dense": events.events_hourly_dense,
         "top_paths": events.top_paths,
         "mad_outliers": sketches.mad_outliers,
+        "leakage_safe_split": curation.leakage_safe_split,
         "running_total_per_customer": windows.running_total_per_customer,
         "order_gaps": windows.order_gaps,
         "q7_nation_pairs": relational.q7_nation_pairs,
@@ -378,6 +379,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_dense": events.EVENTS_HOURLY_DENSE_SQL,
         "top_paths": events.TOP_PATHS_SQL,
         "mad_outliers": sketches.MAD_OUTLIERS_SQL,
+        "leakage_safe_split": curation.LEAKAGE_SAFE_SPLIT_SQL,
         "cluster_cap_sample": similarity.CLUSTER_CAP_SAMPLE_SQL,
         "bfs_hops": similarity.BFS_HOPS_SQL,
         "pca_project": similarity.PCA_PROJECT_SQL,

@@ -178,6 +178,7 @@ def _query_fns() -> dict:
         "events_hourly_dense": events.events_hourly_dense,
         "top_paths": events.top_paths,
         "mad_outliers": sketches.mad_outliers,
+        "leakage_safe_split": curation.leakage_safe_split,
     }
 
 
@@ -216,7 +217,7 @@ QUERY_CHUNKS = [
      "scd2_intervals", "langid_confusion"],
     ["pareto_frontier", "fuzzy_name_pairs", "session_overlap",
      "cumulative_unique_users", "events_hourly_dense", "top_paths",
-     "mad_outliers"],
+     "mad_outliers", "leakage_safe_split"],
     ["cluster_cap_sample", "bfs_hops", "pca_project"],
 ]
 

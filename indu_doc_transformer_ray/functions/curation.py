@@ -920,3 +920,124 @@ FROM v1 LEFT JOIN v2 ON v1.doc_id = v2.doc_id
 WHERE v2.doc_id IS NULL OR v1.h <> v2.h
 ORDER BY v1.doc_id
 """
+
+
+# -- leakage-safe split: near-dup clusters never straddle train/test ---------
+
+def leakage_safe_split(sf_dir: str) -> "object":
+    """GROUP-aware train/val/test split: a document's split is decided by
+    the md5 bucket of its near-dup CLUSTER REPRESENTATIVE (min doc_id of
+    its MinHash component), not its own id — so a near-duplicate of a
+    training document can never land in test (the contamination
+    ``dataset_split`` alone cannot prevent; cf. the eval-leakage motivation
+    of ``decontaminate``).  Reuses the session-memoized ``dedup_clusters``
+    labels; documents and labels co-locate by a doc_id bucket (union +
+    bucketed groupby — the empty-partition-safe join idiom), the kernel
+    resolves rep-or-self, hashes the rep, and emits (split, n) partials;
+    one 3-row groupby folds them.  Output: (split, n_docs)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+    from .dedup import dedup_clusters
+
+    nb = n_buckets(
+        pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    )
+    docs = _read_docs(sf_dir, ["doc_id"])
+    labels = dedup_clusters(sf_dir)
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = pc.cast(t["doc_id"], pa.int64())
+        return pa.table(
+            {
+                "bk": pc.cast(pc.bit_wise_and(ids, nb - 1), pa.int32()),
+                "doc_id": ids,
+                "rep": pa.array([-1] * t.num_rows, pa.int64()),
+                "kind": pa.array([0] * t.num_rows, pa.int8()),
+            }
+        )
+
+    def label_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = pc.cast(t["doc_id"], pa.int64())
+        return pa.table(
+            {
+                "bk": pc.cast(pc.bit_wise_and(ids, nb - 1), pa.int32()),
+                "doc_id": ids,
+                "rep": pc.cast(t["cluster_rep"], pa.int64()),
+                "kind": pa.array([1] * t.num_rows, pa.int8()),
+            }
+        )
+
+    def assign(g: pd.DataFrame) -> pa.Table:
+        reps = g[g["kind"] == 1].set_index("doc_id")["rep"]
+        d = g.loc[g["kind"] == 0, ["doc_id"]]
+        rep = d["doc_id"].map(reps).fillna(d["doc_id"]).astype("int64")
+        b = [
+            int(hashlib.md5(str(int(r)).encode()).hexdigest()[:8], 16) % 100
+            for r in rep
+        ]
+        split = pd.Series(
+            ["train" if x < 80 else ("val" if x < 90 else "test") for x in b],
+            dtype="object",
+        )
+        part = split.value_counts()
+        return pa.table(
+            {
+                "split": pa.array(part.index.astype(str), pa.string()),
+                "n": pa.array(part.values.astype("int64"), pa.int64()),
+            }
+        )
+
+    out = (
+        docs.map_batches(doc_rows, batch_format="pyarrow")
+        .union(labels.map_batches(label_rows, batch_format="pyarrow"))
+        .groupby("bk")
+        .map_groups(assign, batch_format="pandas")
+        .groupby("split")
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n_docs"))
+        .to_pandas()  # 3 rows
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("split").reset_index(drop=True)
+
+
+def _leakage_safe_split_sql() -> str:
+    from .dedup import MINHASH_LSH_SQL
+
+    return f"""
+WITH RECURSIVE pairs AS ({MINHASH_LSH_SQL.replace("ORDER BY doc_a, doc_b", "")}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (
+  SELECT a AS doc_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_rep
+  FROM reach GROUP BY a
+),
+r AS (
+  SELECT d.doc_id, COALESCE(c.cluster_rep, d.doc_id) AS rep
+  FROM documents d LEFT JOIN clusters c USING (doc_id)
+),
+bb AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(rep AS VARCHAR)), 1, 8))
+              AS UBIGINT) % 100 AS b
+  FROM r
+)
+SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+         AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM bb GROUP BY 1 ORDER BY split
+"""
+
+
+LEAKAGE_SAFE_SPLIT_SQL = _leakage_safe_split_sql()

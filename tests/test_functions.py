@@ -748,6 +748,7 @@ def test_round3_new_ops_match_oracle(ray_session):
         "events_hourly_dense",
         "top_paths",
         "mad_outliers",
+        "leakage_safe_split",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
