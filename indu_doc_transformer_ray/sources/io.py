@@ -28,24 +28,138 @@ def have_lance() -> bool:
         return False
 
 
-def read_documents(path: str, columns: list[str] | None = None) -> Dataset:
-    """Read a documents table (doc_id, spans) from Lance or parquet."""
+def _sniff_format(path: str) -> str:
+    """Infer the on-disk format of a documents table: explicit extension on
+    the path itself, else the extension of the first file inside a
+    directory (Ray sinks write directories of uniformly-suffixed files)."""
+    base = path.rstrip("/")
+    if base.endswith(".lance") or os.path.isdir(os.path.join(path, "_versions")):
+        return "lance"
+    for ext, fmt in ((".jsonl", "jsonl"), (".json", "jsonl"),
+                     (".csv", "csv"), (".parquet", "parquet")):
+        if base.endswith(ext):
+            return fmt
+    if os.path.isdir(base):
+        for name in sorted(os.listdir(base)):
+            for ext, fmt in ((".jsonl", "jsonl"), (".json", "jsonl"),
+                             (".csv", "csv"), (".parquet", "parquet")):
+                if name.endswith(ext):
+                    return fmt
+    return "parquet"
+
+
+#: Canonical arrow type of the spans column (mirrors fixtures.corpus_table /
+#: the BASELINE span-table input contract).
+def _spans_type():
+    import pyarrow as pa
+
+    return pa.list_(
+        pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+    )
+
+
+def _normalize_spans(ds: Dataset, columns: list[str]) -> Dataset:
+    """Cast a freshly-read documents table to the canonical span schema:
+    JSON readers infer int64 offsets and may reorder struct fields; the
+    cast keeps every downstream consumer format-agnostic."""
+    import pyarrow as pa
+
+    if "spans" not in columns:
+        return ds
+
+    target = _spans_type()
+
+    def canon(t: "pa.Table") -> "pa.Table":
+        idx = t.column_names.index("spans")
+        col = t.column("spans")
+        if col.type != target:
+            col = col.cast(target)
+            t = t.set_column(idx, "spans", col)
+        return t.select(columns)
+
+    return ds.map_batches(canon, batch_format="pyarrow")
+
+
+def _decode_csv_spans(columns: list[str]):
+    """CSV is flat: spans travel as a JSON-encoded string column and are
+    decoded back to list<struct> batch-side (vectorized json loads loop is
+    per-row but CSV is a small-corpus interchange format, not the scale
+    path — parquet/lance are)."""
+    import json
+
+    import pyarrow as pa
+
+    target = _spans_type()
+
+    def decode(t: "pa.Table") -> "pa.Table":
+        if "spans" in t.column_names:
+            vals = [
+                json.loads(s) if s is not None else None
+                for s in t.column("spans").to_pylist()
+            ]
+            idx = t.column_names.index("spans")
+            t = t.set_column(idx, "spans", pa.array(vals, target))
+        return t.select(columns)
+
+    return decode
+
+
+def read_documents(
+    path: str, columns: list[str] | None = None, fmt: str | None = None
+) -> Dataset:
+    """Read a documents table (doc_id, spans) from Lance, parquet, JSONL or
+    CSV; ``fmt`` overrides extension sniffing."""
     columns = columns or DOC_COLUMNS
-    if path.rstrip("/").endswith(".lance") or os.path.isdir(
-        os.path.join(path, "_versions")
-    ):
+    fmt = fmt or _sniff_format(path)
+    if fmt == "lance":
         if not have_lance():
             raise RuntimeError(
                 "input looks like a Lance dataset but the `lance` package is"
                 " not installed in this environment"
             )
         return ray.data.read_lance(path, columns=columns)
+    if fmt == "jsonl":
+        return _normalize_spans(ray.data.read_json(path), columns)
+    if fmt == "csv":
+        return ray.data.read_csv(path).map_batches(
+            _decode_csv_spans(columns), batch_format="pyarrow"
+        )
     return ray.data.read_parquet(path, columns=columns)
 
 
 def write_documents(ds: Dataset, path: str, fmt: str = "parquet") -> None:
-    """Write a documents table; Lance when requested and available."""
+    """Write a documents table: parquet (default), Lance when available,
+    JSONL, or CSV (spans JSON-encoded into a flat string column)."""
     if fmt == "lance" and have_lance():
         ds.write_lance(path)
+    elif fmt == "jsonl":
+        ds.write_json(path)
+    elif fmt == "csv":
+        import json
+
+        import pyarrow as pa
+
+        def encode(t: "pa.Table") -> "pa.Table":
+            if "spans" in t.column_names:
+                idx = t.column_names.index("spans")
+                enc = pa.array(
+                    [
+                        json.dumps(v, separators=(",", ":"))
+                        if v is not None else None
+                        for v in t.column("spans").to_pylist()
+                    ],
+                    pa.string(),
+                )
+                t = t.set_column(idx, "spans", enc)
+            return t
+
+        ds.map_batches(encode, batch_format="pyarrow").write_csv(path)
     else:
         ds.write_parquet(path)

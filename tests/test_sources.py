@@ -57,3 +57,46 @@ def test_lance_roundtrip(ray_session, tmp_path):
     orig = {r["doc_id"]: r["spans"] for r in tab.to_pylist()}
     for row in back.take_all():
         assert row["spans"] == orig[row["doc_id"]]
+
+
+def _span_maps(tab):
+    out = {}
+    for r in tab.to_pylist():
+        out[r["doc_id"]] = r["spans"]
+    return out
+
+
+def test_jsonl_roundtrip(ray_session, tmp_path):
+    tab = corpus_table(12, seed=9)
+    ds = ray.data.from_arrow(tab)
+    out = str(tmp_path / "docs_jsonl")
+    write_documents(ds, out, fmt="jsonl")
+    back = read_documents(out)  # format sniffed from the .json files
+    assert back.count() == 12
+    got = {r["doc_id"]: r["spans"] for r in back.take_all()}
+    assert got == _span_maps(tab)
+    # schema is canonical after normalization (offset back to int32)
+    import pyarrow as pa
+
+    sch = back.schema().base_schema
+    assert sch.field("spans").type.value_type.field("offset").type == pa.int32()
+
+
+def test_csv_roundtrip(ray_session, tmp_path):
+    tab = corpus_table(12, seed=11)
+    ds = ray.data.from_arrow(tab)
+    out = str(tmp_path / "docs_csv")
+    write_documents(ds, out, fmt="csv")
+    back = read_documents(out)
+    assert back.count() == 12
+    got = {r["doc_id"]: r["spans"] for r in back.take_all()}
+    assert got == _span_maps(tab)
+
+
+def test_format_override_beats_sniffing(ray_session, tmp_path):
+    tab = corpus_table(5, seed=13)
+    ds = ray.data.from_arrow(tab)
+    out = str(tmp_path / "plain_dir")
+    write_documents(ds, out, fmt="jsonl")
+    back = read_documents(out, fmt="jsonl")
+    assert back.count() == 5
