@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (153 of 159): every deterministic construction is
+                      (154 of 161): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog via its md5 registers,
                       k-means and IVF via an unrolled Lloyd CTE chain,
@@ -16,8 +16,10 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
                       rows-only ops are extraction semantics (pytest holds
                       their span-equality gate vs the single-process
                       oracle — extract_spans, extract_object_stats,
-                      search_targets_count) and the multimodal
-                      decode/resize/frame-sample stages.
+                      search_targets_count), the multimodal
+                      decode/resize/frame-sample stages, and
+                      compression_ratio (DuckDB has no zlib; pytest holds
+                      its equality vs a single-process pass).
 """
 
 from __future__ import annotations
@@ -240,6 +242,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_paths": events.top_paths,
         "mad_outliers": sketches.mad_outliers,
         "leakage_safe_split": curation.leakage_safe_split,
+        "compression_ratio": text.compression_ratio,
+        "user_modal_event": events.user_modal_event,
         "running_total_per_customer": windows.running_total_per_customer,
         "order_gaps": windows.order_gaps,
         "q7_nation_pairs": relational.q7_nation_pairs,
@@ -380,6 +384,7 @@ def oracle_sql() -> dict[str, str]:
         "top_paths": events.TOP_PATHS_SQL,
         "mad_outliers": sketches.MAD_OUTLIERS_SQL,
         "leakage_safe_split": curation.LEAKAGE_SAFE_SPLIT_SQL,
+        "user_modal_event": events.USER_MODAL_EVENT_SQL,
         "cluster_cap_sample": similarity.CLUSTER_CAP_SAMPLE_SQL,
         "bfs_hops": similarity.BFS_HOPS_SQL,
         "pca_project": similarity.PCA_PROJECT_SQL,

@@ -179,6 +179,8 @@ def _query_fns() -> dict:
         "top_paths": events.top_paths,
         "mad_outliers": sketches.mad_outliers,
         "leakage_safe_split": curation.leakage_safe_split,
+        "compression_ratio": text.compression_ratio,
+        "user_modal_event": events.user_modal_event,
     }
 
 
@@ -217,7 +219,8 @@ QUERY_CHUNKS = [
      "scd2_intervals", "langid_confusion"],
     ["pareto_frontier", "fuzzy_name_pairs", "session_overlap",
      "cumulative_unique_users", "events_hourly_dense", "top_paths",
-     "mad_outliers", "leakage_safe_split"],
+     "mad_outliers", "leakage_safe_split", "compression_ratio",
+     "user_modal_event"],
     ["cluster_cap_sample", "bfs_hops", "pca_project"],
 ]
 

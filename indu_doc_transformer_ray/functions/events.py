@@ -1532,3 +1532,79 @@ FROM paths GROUP BY path
 ORDER BY n DESC, path
 LIMIT {TOP_PATHS_K}
 """
+
+
+# -- grouped mode: modal event type per user ----------------------------------
+
+def user_modal_event(sf_dir: str) -> Dataset:
+    """Each user's most frequent event type (count DESC, type ASC on ties)
+    — the grouped-MODE holistic aggregate.  Never co-locates raw rows by
+    user: batches fold to (user, type, n) partials map-side, one groupby
+    sums them, and the argmax runs vectorized inside a user-bucket
+    co-location of the TINY (user x type) domain.  Output: (user_id,
+    modal_type, n)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["user_id", "event_type"])
+    ubk = _user_buckets(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        folded = pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "event_type": t["event_type"],
+            }
+        )
+        agg = pa.TableGroupBy(folded, ["user_id", "event_type"]).aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["user_id", "event_type", "n"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        return t.append_column(
+            "ub", pc.cast(pc.bit_wise_and(uid, ubk - 1), pa.int32())
+        )
+
+    def argmax(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True])
+        top = g.groupby("user_id", sort=True).head(1)
+        return pa.table(
+            {
+                "user_id": pa.array(top["user_id"].astype("int64").values),
+                "modal_type": pa.array(
+                    top["event_type"].astype(str).values, pa.string()
+                ),
+                "n": pa.array(top["n"].astype("int64").values),
+            }
+        )
+
+    return (
+        counts.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(argmax, batch_format="pandas")
+        .sort("user_id")
+    )
+
+
+USER_MODAL_EVENT_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, event_type AS modal_type, CAST(n AS BIGINT) AS n
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+      FROM c)
+WHERE rk = 1
+ORDER BY user_id
+"""

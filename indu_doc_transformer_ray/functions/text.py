@@ -2153,3 +2153,40 @@ scores AS (
 SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
 FROM pred GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# -- compression-ratio quality signal (rows-only: no zlib in SQL) -------------
+
+def compression_ratio(sf_dir: str) -> Dataset:
+    """Per-document zlib compression ratio — the redundancy signal
+    RefinedWeb-style curation uses alongside the repetition heuristics
+    (``repetition_stats``): highly compressible text is boilerplate/spam,
+    incompressible text is noise; both tails get reviewed.  Pure streaming
+    map (no exchange); zlib level pinned so the output is bit-deterministic
+    across machines.  No SQL oracle exists (DuckDB has no zlib), so the
+    correctness gate is the pytest equality vs a single-process pass plus
+    partitioning invariance.  Output: (doc_id, raw_len, comp_len,
+    ratio_bp) with ratio_bp = comp_len * 10000 // raw_len."""
+    import zlib
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def ratios(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        raw_l, comp_l, bp = [], [], []
+        for txt in t.column("text").to_pylist():
+            b = txt.encode()
+            c = zlib.compress(b, 6)
+            raw_l.append(len(b))
+            comp_l.append(len(c))
+            bp.append(len(c) * 10000 // max(len(b), 1))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "raw_len": pa.array(raw_l, pa.int64()),
+                "comp_len": pa.array(comp_l, pa.int64()),
+                "ratio_bp": pa.array(bp, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(ratios, batch_format="pyarrow")

@@ -749,6 +749,7 @@ def test_round3_new_ops_match_oracle(ray_session):
         "top_paths",
         "mad_outliers",
         "leakage_safe_split",
+        "user_modal_event",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
@@ -927,3 +928,59 @@ def test_graph_driver_escape_matches_distributed(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(
         to_df(fast_bfs).reset_index(drop=True), to_df(slow_bfs).reset_index(drop=True)
     )
+
+
+def test_compression_ratio_matches_single_process(ray_session):
+    """Rows-only op (no zlib in DuckDB): distributed result must equal the
+    single-process pass bit-for-bit, at two read partitionings."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from indu_doc_transformer_ray.functions.text import compression_ratio
+
+    sf = "/root/testdata/sf0.001"
+    tab = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    want = {}
+    for did, txt in zip(
+        tab.column("doc_id").to_pylist(), tab.column("text").to_pylist()
+    ):
+        b = txt.encode()
+        c = zlib.compress(b, 6)
+        want[did] = (len(b), len(c), len(c) * 10000 // max(len(b), 1))
+
+    got = compression_ratio(sf).to_pandas()
+    assert len(got) == len(want)
+    for row in got.itertuples(index=False):
+        assert (row.raw_len, row.comp_len, row.ratio_bp) == want[row.doc_id]
+
+    # partitioning invariance: a repartitioned read gives the same rows
+    import ray.data
+
+    ds2 = ray.data.read_parquet(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(7)
+    import zlib as _z
+
+    def ratios(t):
+        import pyarrow as pa
+
+        ids = t.column("doc_id").to_pylist()
+        rl, cl, bp = [], [], []
+        for txt in t.column("text").to_pylist():
+            b = txt.encode()
+            c = _z.compress(b, 6)
+            rl.append(len(b))
+            cl.append(len(c))
+            bp.append(len(c) * 10000 // max(len(b), 1))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "raw_len": pa.array(rl, pa.int64()),
+             "comp_len": pa.array(cl, pa.int64()),
+             "ratio_bp": pa.array(bp, pa.int64())}
+        )
+
+    got2 = ds2.map_batches(ratios, batch_format="pyarrow").to_pandas()
+    g1 = got.sort_values("doc_id").reset_index(drop=True)
+    g2 = got2.sort_values("doc_id").reset_index(drop=True)
+    assert g1.equals(g2)
