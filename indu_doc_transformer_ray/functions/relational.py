@@ -4763,6 +4763,33 @@ ORDER BY constraint_name
 
 # -- pareto frontier (skyline over two objectives) ---------------------------
 
+def _frontier_mask(price, size):
+    """Boolean keep-mask of the (minimize price, maximize size) pareto
+    frontier: keep iff size == max(size | price' <= price) (not outsized by
+    a cheaper-or-equal row) AND size > max(size | price' < price) (not
+    matched by a strictly cheaper row) — vectorized via one lexsort + a
+    per-price-group running max.  Idempotent and lossless under batching
+    (a locally dominated row is globally dominated), which is what makes
+    the distributed tree fold exact."""
+    import numpy as np
+
+    order = np.lexsort((-size, price))
+    ps, ss = price[order], size[order]
+    new = np.empty(len(ps), dtype=bool)
+    new[0] = True
+    new[1:] = ps[1:] != ps[:-1]
+    gidx = np.cumsum(new) - 1
+    gmax = ss[new]                          # size sorts desc within price
+    run = np.maximum.accumulate(gmax)
+    mlt_g = np.empty_like(run)
+    mlt_g[0] = np.iinfo(np.int64).min
+    mlt_g[1:] = run[:-1]
+    keep_sorted = (ss == run[gidx]) & (ss > mlt_g[gidx])
+    mask = np.empty(len(ps), dtype=bool)
+    mask[order] = keep_sorted
+    return mask
+
+
 def pareto_frontier(sf_dir: str) -> "object":
     """Skyline query: parts not strictly dominated on (minimize price,
     maximize size) — the multi-objective shortlist shape (cheapest part at
@@ -4776,26 +4803,7 @@ def pareto_frontier(sf_dir: str) -> "object":
     import numpy as np
     import pandas as pd
 
-    def _frontier(price: "np.ndarray", size: "np.ndarray") -> "np.ndarray":
-        # keep iff size == max(size | price' <= price)  (not outsized by a
-        # cheaper-or-equal part) AND size > max(size | price' < price)
-        # (not matched by a strictly cheaper part) — vectorized via one
-        # lexsort + per-price-group running max.
-        order = np.lexsort((-size, price))
-        ps, ss = price[order], size[order]
-        new = np.empty(len(ps), dtype=bool)
-        new[0] = True
-        new[1:] = ps[1:] != ps[:-1]
-        gidx = np.cumsum(new) - 1
-        gmax = ss[new]                      # size sorts desc within price
-        run = np.maximum.accumulate(gmax)
-        mlt_g = np.empty_like(run)
-        mlt_g[0] = np.iinfo(np.int64).min
-        mlt_g[1:] = run[:-1]
-        keep_sorted = (ss == run[gidx]) & (ss > mlt_g[gidx])
-        mask = np.empty(len(ps), dtype=bool)
-        mask[order] = keep_sorted
-        return mask
+    _frontier = _frontier_mask
 
     def prune(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

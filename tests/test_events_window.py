@@ -51,3 +51,79 @@ def test_events_prior_window_matches_bruteforce(ray_session, tmp_path):
     assert got[2] >= 2
     # simultaneous events never count each other
     assert got[0] == got[1]
+
+
+def test_session_overlap_matches_bruteforce(ray_session, tmp_path):
+    """session_overlap's rank-identity + bucketed prefix scan vs an O(n^2)
+    interval check, with planted edge cases: zero-length sessions (single
+    events), exact-boundary touching intervals (closed-interval overlap),
+    and a long session spanning many time buckets."""
+    from indu_doc_transformer_ray.functions.events import (
+        SESSION_GAP_US,
+        session_overlap,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 300
+    base = pd.Timestamp("2025-05-01").value // 1000
+    ts_us = base + rng.integers(0, 48 * HOUR_US, n).astype("int64")
+    user = rng.integers(0, 12, n).astype("int64")
+    # planted: a long session for user 0 spanning most of the range (events
+    # every 20 min keep one session alive across every time bucket)
+    n_long = 60
+    ts_us[:n_long] = base + np.arange(n_long, dtype="int64") * (20 * 60 * 1_000_000)
+    user[:n_long] = 0
+    # planted: two single-event sessions at the same instant (zero-length
+    # intervals overlap each other exactly at a point)
+    ts_us[n_long] = ts_us[n_long + 1] = base + 47 * HOUR_US
+    user[n_long] = 1
+    user[n_long + 1] = 2
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": pd.to_datetime(ts_us, unit="us"),
+            "user_id": user,
+            "event_type": "click",
+            "value": 0.0,
+            "props": "",
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet")
+
+    got = session_overlap(str(tmp_path)).to_pandas()
+
+    # brute force: build sessions, then O(n^2) closed-interval overlap
+    d = df.sort_values(["user_id", "ts", "event_id"])
+    t = d["ts"].astype("datetime64[us]").astype("int64")
+    same = d["user_id"].eq(d["user_id"].shift())
+    sid = ((t.diff() > SESSION_GAP_US) & same | ~same).cumsum()
+    sess = (
+        pd.DataFrame({"user_id": d["user_id"].values, "sid": sid.values,
+                      "t": t.values})
+        .groupby(["user_id", "sid"])["t"].agg(["min", "max"]).reset_index()
+    )
+    sess["sess_n"] = sess.groupby("user_id").cumcount() + 1
+    s, e = sess["min"].values, sess["max"].values
+    want = []
+    for i in range(len(sess)):
+        cnt = int(((s <= e[i]) & (e >= s[i])).sum()) - 1
+        want.append((int(sess["user_id"].iloc[i]),
+                     int(sess["sess_n"].iloc[i]), cnt))
+    want_df = (
+        pd.DataFrame(want, columns=["user_id", "sess_n", "n_overlap"])
+        .sort_values(["user_id", "sess_n"]).reset_index(drop=True)
+    )
+    got = got.sort_values(["user_id", "sess_n"]).reset_index(drop=True)
+    assert got["n_overlap"].astype("int64").tolist() == \
+        want_df["n_overlap"].tolist()
+    assert len(got) == len(want_df)
+    # the planted point-coincident sessions must see each other: for users
+    # 1 and 2, the session containing the planted instant has overlap >= 1
+    inst = int(ts_us[n_long])
+    for u in (1, 2):
+        su = sess[(sess.user_id == u) & (sess["min"] <= inst)
+                  & (sess["max"] >= inst)]
+        assert len(su) == 1
+        sn = int(su["sess_n"].iloc[0])
+        row = got[(got.user_id == u) & (got.sess_n == sn)]
+        assert int(row["n_overlap"].iloc[0]) >= 1

@@ -264,3 +264,119 @@ def test_classified_pages_with_garbage_tables_never_crash(spans):
     store = ExtractionStore(default_config)
     for page in split_pages(spans):
         emit.process_page("doc-fuzz2", page, store)
+
+
+# -- pareto frontier mask vs O(n^2) dominance --------------------------------
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=1, max_size=60,
+    )
+)
+@settings(max_examples=200)
+def test_frontier_mask_matches_bruteforce(points):
+    import numpy as np
+
+    from indu_doc_transformer_ray.functions.relational import _frontier_mask
+
+    price = np.array([p for p, _ in points], dtype=np.int64)
+    size = np.array([s for _, s in points], dtype=np.int64)
+    got = _frontier_mask(price, size)
+    for i in range(len(points)):
+        dominated = any(
+            (price[j] <= price[i] and size[j] >= size[i]
+             and (price[j] < price[i] or size[j] > size[i]))
+            for j in range(len(points))
+        )
+        assert got[i] == (not dominated), (i, points)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=1, max_size=60,
+    ),
+    st.integers(1, 5),
+)
+@settings(max_examples=100)
+def test_frontier_mask_batch_lossless(points, nchunks):
+    """Pruning per chunk then pruning the union equals pruning globally —
+    the property the distributed tree fold relies on."""
+    import numpy as np
+
+    from indu_doc_transformer_ray.functions.relational import _frontier_mask
+
+    price = np.array([p for p, _ in points], dtype=np.int64)
+    size = np.array([s for _, s in points], dtype=np.int64)
+    glob = {(int(p), int(s)) for p, s in
+            zip(price[_frontier_mask(price, size)],
+                size[_frontier_mask(price, size)])}
+    surv_p, surv_s = [], []
+    for c in range(nchunks):
+        pp, ss = price[c::nchunks], size[c::nchunks]
+        if len(pp) == 0:
+            continue
+        m = _frontier_mask(pp, ss)
+        surv_p.extend(pp[m])
+        surv_s.extend(ss[m])
+    sp = np.array(surv_p, dtype=np.int64)
+    ssz = np.array(surv_s, dtype=np.int64)
+    m = _frontier_mask(sp, ssz)
+    folded = {(int(p), int(s)) for p, s in zip(sp[m], ssz[m])}
+    assert folded == glob
+
+
+# -- edit-distance-1 verifier vs full DP --------------------------------------
+
+def _lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(
+                dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+            )
+    return dp[len(b)]
+
+
+@given(
+    st.text(alphabet="abc0", max_size=8),
+    st.text(alphabet="abc0", max_size=8),
+)
+@settings(max_examples=500)
+def test_is_edit1_matches_dp(a, b):
+    from indu_doc_transformer_ray.functions.dedup import _is_edit1
+
+    if a == b:
+        return  # callers only probe distinct strings
+    assert _is_edit1(a, b) == (_lev(a, b) == 1)
+
+
+@given(st.text(alphabet="abcd", min_size=1, max_size=10), st.data())
+@settings(max_examples=300)
+def test_deletion_neighborhood_blocks_every_edit1_pair(s, data):
+    """The SymSpell pigeonhole the exact-recall claim rests on: any string
+    at edit distance 1 from s shares a member of the two single-deletion
+    neighborhoods (identity included)."""
+    pos = data.draw(st.integers(0, len(s)))
+    op = data.draw(st.sampled_from(["sub", "ins", "del"]))
+    ch = data.draw(st.sampled_from("abcdX"))
+    if op == "sub" and pos < len(s):
+        t = s[:pos] + ch + s[pos + 1:]
+    elif op == "ins":
+        t = s[:pos] + ch + s[pos:]
+    elif op == "del" and len(s) > 0 and pos < len(s):
+        t = s[:pos] + s[pos + 1:]
+    else:
+        return
+    if t == s:
+        return
+
+    def hood(x):
+        out = {x}
+        for i in range(len(x)):
+            out.add(x[:i] + x[i + 1:])
+        return out
+
+    assert hood(s) & hood(t), (s, t)
