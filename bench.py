@@ -181,6 +181,9 @@ def _query_fns() -> dict:
         "leakage_safe_split": curation.leakage_safe_split,
         "compression_ratio": text.compression_ratio,
         "user_modal_event": events.user_modal_event,
+        "value_histogram": events.value_histogram,
+        "dau_wau_stickiness": events.dau_wau_stickiness,
+        "k_anonymity_audit": relational.k_anonymity_audit,
     }
 
 
@@ -220,7 +223,8 @@ QUERY_CHUNKS = [
     ["pareto_frontier", "fuzzy_name_pairs", "session_overlap",
      "cumulative_unique_users", "events_hourly_dense", "top_paths",
      "mad_outliers", "leakage_safe_split", "compression_ratio",
-     "user_modal_event"],
+     "user_modal_event", "value_histogram", "dau_wau_stickiness",
+     "k_anonymity_audit"],
     ["cluster_cap_sample", "bfs_hops", "pca_project"],
 ]
 

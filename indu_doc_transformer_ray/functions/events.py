@@ -1608,3 +1608,133 @@ FROM (SELECT *, row_number() OVER (
 WHERE rk = 1
 ORDER BY user_id
 """
+
+
+# -- equi-width value histogram -----------------------------------------------
+
+HIST_BIN_C2 = 5_000  # 50.00 per bin over value's [0, ~500] range
+
+
+def value_histogram(sf_dir: str) -> Dataset:
+    """Equi-width histogram of ``value`` per event type (cents / 5000 per
+    bin) — the profiling primitive behind every distribution dashboard.
+    Pure combiner shape: each batch folds to (type, bin, n) partials, one
+    tiny groupby sums them.  Output: (event_type, bin, n)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        folded = pa.table(
+            {"event_type": t["event_type"], "bin": pc.divide(v, HIST_BIN_C2)}
+        )
+        agg = pa.TableGroupBy(folded, ["event_type", "bin"]).aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["event_type", "bin", "n"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["event_type", "bin"])
+    )
+
+
+VALUE_HISTOGRAM_SQL = f"""
+SELECT event_type,
+       CAST(ROUND(value*100) AS BIGINT) // {HIST_BIN_C2} AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# -- DAU / WAU stickiness ------------------------------------------------------
+
+def dau_wau_stickiness(sf_dir: str) -> Dataset:
+    """Product-analytics stickiness: per day, DAU, the trailing-7-day WAU
+    (distinct users over the week ENDING that day) and DAU*1000//WAU.
+    Both distinct counts ride ONE dedup exchange: distinct (user, day)
+    rows; DAU counts them per day, and the trailing WAU re-counts each
+    distinct user-day under the 7 days it supports (a <=7x fan-out of the
+    already-deduped rows, then a per-(window, user) second dedup) — never a
+    per-window rescan of the corpus.  Windows clipped to days with events.
+    Output: (day_bucket, dau, wau, stickiness_permille)."""
+    from ray.data.aggregate import Count
+
+    ds = _read_events(sf_dir, ["ts", "user_id"])
+
+    def day_user(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        folded = pa.table(
+            {"user_id": pc.cast(t["user_id"], pa.int64()), "day": day}
+        )
+        return pa.TableGroupBy(folded, ["user_id", "day"]).aggregate(
+            [([], "count_all")]
+        ).drop_columns(["count_all"])
+
+    distinct_ud = (
+        ds.map_batches(day_user, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+        .materialize()  # reused by both counts; one row per (user, day)
+    )
+    dau = (
+        distinct_ud.groupby("day").aggregate(Count(alias_name="dau"))
+        .to_pandas()  # O(days)
+    )
+
+    def fan_week(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        u = t.column("user_id").to_numpy()
+        d = t.column("day").to_numpy()
+        outs_u = np.repeat(u, 7)
+        outs_w = (d[:, None] + np.arange(7)[None, :]).reshape(-1)
+        return pa.table(
+            {
+                "user_id": pa.array(outs_u, pa.int64()),
+                "wday": pa.array(outs_w, pa.int64()),
+            }
+        )
+
+    wau = (
+        distinct_ud.map_batches(fan_week, batch_format="pyarrow")
+        .groupby(["user_id", "wday"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+        .groupby("wday")
+        .aggregate(Count(alias_name="wau"))
+        .to_pandas()  # O(days)
+    )
+    out = dau.merge(
+        wau.rename(columns={"wday": "day"}), on="day", how="left"
+    ).sort_values("day").reset_index(drop=True)
+    out["stickiness_permille"] = (
+        out["dau"] * 1000 // out["wau"]
+    ).astype("int64")
+    out = out.rename(columns={"day": "day_bucket"})
+    for c in ("day_bucket", "dau", "wau"):
+        out[c] = out[c].astype("int64")
+    return out[["day_bucket", "dau", "wau", "stickiness_permille"]]
+
+
+DAU_WAU_STICKINESS_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), dau AS (
+  SELECT day, COUNT(*) AS dau FROM ud GROUP BY day
+), w AS (
+  SELECT DISTINCT ud.user_id, ud.day + o.i AS wday
+  FROM ud, range(0, 7) o(i)
+), wau AS (
+  SELECT wday, COUNT(*) AS wau FROM w GROUP BY wday
+)
+SELECT dau.day AS day_bucket, CAST(dau.dau AS BIGINT) AS dau,
+       CAST(wau.wau AS BIGINT) AS wau,
+       CAST(dau.dau * 1000 // wau.wau AS BIGINT) AS stickiness_permille
+FROM dau JOIN wau ON wau.wday = dau.day
+ORDER BY day_bucket
+"""

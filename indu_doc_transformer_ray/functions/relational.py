@@ -4852,3 +4852,62 @@ WHERE NOT EXISTS (
 )
 ORDER BY price_c2, p_size, p_partkey
 """
+
+
+# -- privacy: k-anonymity audit ------------------------------------------------
+
+K_ANON_THRESHOLDS = (2, 5, 10)
+
+
+def k_anonymity_audit(sf_dir: str) -> "object":
+    """k-anonymity audit of the customer table under the quasi-identifier
+    (nation, market segment): for each k, how many equivalence classes
+    have fewer than k members and how many ROWS sit in them — the re-
+    identification risk report a privacy review runs before releasing a
+    derived dataset.  One combiner groupby builds the class-size table
+    (|nations| x |segments| rows, corpus-size free); the threshold sweep is
+    a vectorized driver fold over that tiny table.  Output: (k,
+    n_classes_below, n_rows_at_risk)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(
+            t, ["c_nationkey", "c_mktsegment"]
+        ).aggregate([([], "count_all")])
+        return agg.rename_columns(["c_nationkey", "c_mktsegment", "n"])
+
+    classes = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["c_nationkey", "c_mktsegment"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # quasi-identifier domain, corpus-size free
+    )
+    rows = []
+    for k in K_ANON_THRESHOLDS:
+        below = classes[classes["n"] < k]
+        rows.append(
+            {
+                "k": k,
+                "n_classes_below": len(below),
+                "n_rows_at_risk": int(below["n"].sum()),
+            }
+        )
+    return pd.DataFrame(rows).astype(
+        {"k": "int64", "n_classes_below": "int64", "n_rows_at_risk": "int64"}
+    )
+
+
+K_ANONYMITY_AUDIT_SQL = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+  FROM customer GROUP BY 1, 2
+), ks(k) AS (VALUES {", ".join(f"({k})" for k in K_ANON_THRESHOLDS)})
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(COUNT(*) FILTER (WHERE n < k) AS BIGINT) AS n_classes_below,
+       CAST(COALESCE(SUM(n) FILTER (WHERE n < k), 0) AS BIGINT)
+         AS n_rows_at_risk
+FROM ks CROSS JOIN classes
+GROUP BY k ORDER BY k
+"""

@@ -750,6 +750,9 @@ def test_round3_new_ops_match_oracle(ray_session):
         "mad_outliers",
         "leakage_safe_split",
         "user_modal_event",
+        "value_histogram",
+        "dau_wau_stickiness",
+        "k_anonymity_audit",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
