@@ -1765,7 +1765,8 @@ def fuzzy_name_pairs(sf_dir: str) -> Dataset:
         .groupby(["name_a", "name_b"])
         .aggregate(Count(alias_name="nv"))
         .drop_columns(["nv"])
-        .sort(["name_a", "name_b"])
+        # no final sort: pair order is not part of the contract and the
+        # sort is a full extra all-to-all (the minhash_lsh_pairs precedent)
     )
 
 
