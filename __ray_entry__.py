@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (157 of 164): every deterministic construction is
+                      (158 of 165): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog via its md5 registers,
                       k-means and IVF via an unrolled Lloyd CTE chain,
@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": events.value_histogram,
         "dau_wau_stickiness": events.dau_wau_stickiness,
         "k_anonymity_audit": relational.k_anonymity_audit,
+        "event_state_lookup": events.event_state_lookup,
         "running_total_per_customer": windows.running_total_per_customer,
         "order_gaps": windows.order_gaps,
         "q7_nation_pairs": relational.q7_nation_pairs,
@@ -391,6 +392,7 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": events.VALUE_HISTOGRAM_SQL,
         "dau_wau_stickiness": events.DAU_WAU_STICKINESS_SQL,
         "k_anonymity_audit": relational.K_ANONYMITY_AUDIT_SQL,
+        "event_state_lookup": events.EVENT_STATE_LOOKUP_SQL,
         "cluster_cap_sample": similarity.CLUSTER_CAP_SAMPLE_SQL,
         "bfs_hops": similarity.BFS_HOPS_SQL,
         "pca_project": similarity.PCA_PROJECT_SQL,

@@ -184,6 +184,7 @@ def _query_fns() -> dict:
         "value_histogram": events.value_histogram,
         "dau_wau_stickiness": events.dau_wau_stickiness,
         "k_anonymity_audit": relational.k_anonymity_audit,
+        "event_state_lookup": events.event_state_lookup,
     }
 
 
@@ -224,7 +225,7 @@ QUERY_CHUNKS = [
      "cumulative_unique_users", "events_hourly_dense", "top_paths",
      "mad_outliers", "leakage_safe_split", "compression_ratio",
      "user_modal_event", "value_histogram", "dau_wau_stickiness",
-     "k_anonymity_audit"],
+     "k_anonymity_audit", "event_state_lookup"],
     ["cluster_cap_sample", "bfs_hops", "pca_project"],
 ]
 

@@ -1738,3 +1738,95 @@ SELECT dau.day AS day_bucket, CAST(dau.dau AS BIGINT) AS dau,
 FROM dau JOIN wau ON wau.wday = dau.day
 ORDER BY day_bucket
 """
+
+
+# -- SCD2 point-in-interval enrichment lookup ---------------------------------
+
+def event_state_lookup(sf_dir: str) -> Dataset:
+    """The classic warehouse SCD2 lookup: enrich every event with the
+    validity interval of its user's type-history that CONTAINS its
+    timestamp (``scd2_intervals`` semantics: valid_from <= ts < valid_to,
+    -1 = still current) — a keyed point-in-interval range join.  Intervals
+    and probes share one user-bucket co-location; the kernel rebuilds the
+    bucket's intervals from its own events (cheaper than shipping them
+    twice) and resolves each event with a vectorized per-user searchsorted
+    over run starts.  Output: (event_id, state_type, valid_from_us,
+    valid_to_us)."""
+    import numpy as np
+
+    nb = _user_buckets(sf_dir)
+    ds = _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        return t.append_column(
+            "ub", pc.cast(pc.bit_wise_and(uid, nb - 1), pa.int32())
+        )
+
+    def lookup(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        ts = g["ts"].astype("datetime64[us]").astype("int64")
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        change = ~(same_user & g["event_type"].eq(g["event_type"].shift()))
+        # run index per event: each event belongs to the run started at the
+        # latest change at-or-before it (rows are user-then-time sorted, so
+        # a cumsum over change flags IS the run id)
+        run = np.cumsum(change.values) - 1
+        starts_ts = ts[change.values].to_numpy()
+        starts_type = g.loc[change.values, "event_type"].to_numpy()
+        run_user = g.loc[change.values, "user_id"].to_numpy()
+        nxt = np.empty(len(starts_ts), dtype=np.int64)
+        nxt[:-1] = starts_ts[1:]
+        nxt[-1] = -1
+        same_next = np.empty(len(starts_ts), dtype=bool)
+        same_next[:-1] = run_user[1:] == run_user[:-1]
+        same_next[-1] = False
+        valid_to = np.where(same_next, nxt, -1)
+        return pa.table(
+            {
+                "event_id": pa.array(g["event_id"].astype("int64").values),
+                "state_type": pa.array(starts_type[run], pa.string()),
+                "valid_from_us": pa.array(starts_ts[run], pa.int64()),
+                "valid_to_us": pa.array(valid_to[run], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(lookup, batch_format="pandas")
+        .sort("event_id")
+    )
+
+
+# run-id equality join (not a ts-range predicate): membership is defined by
+# EVENT ORDER (ts, event_id), so simultaneous-timestamp type changes — which
+# produce zero-length intervals a BETWEEN join would skip — still resolve to
+# the run the event belongs to, exactly as the kernel's cumsum does.
+EVENT_STATE_LOOKUP_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w != event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT user_id, event_type, ts, event_id,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rid
+  FROM o
+), iv AS (
+  SELECT user_id, rid, MIN(event_type) AS state_type,
+         CAST(MIN(epoch_us(ts)) AS BIGINT) AS valid_from_us
+  FROM runs GROUP BY user_id, rid
+), iv2 AS (
+  SELECT user_id, rid, state_type, valid_from_us,
+         CAST(COALESCE(lead(valid_from_us) OVER (
+             PARTITION BY user_id ORDER BY rid), -1) AS BIGINT)
+           AS valid_to_us
+  FROM iv
+)
+SELECT r.event_id, iv2.state_type, iv2.valid_from_us, iv2.valid_to_us
+FROM runs r JOIN iv2 USING (user_id, rid)
+ORDER BY r.event_id
+"""

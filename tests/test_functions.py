@@ -753,6 +753,7 @@ def test_round3_new_ops_match_oracle(ray_session):
         "value_histogram",
         "dau_wau_stickiness",
         "k_anonymity_audit",
+        "event_state_lookup",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
