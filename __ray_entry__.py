@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (158 of 165): every deterministic construction is
+                      (161 of 168): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog via its md5 registers,
                       k-means and IVF via an unrolled Lloyd CTE chain,
@@ -248,6 +248,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dau_wau_stickiness": events.dau_wau_stickiness,
         "k_anonymity_audit": relational.k_anonymity_audit,
         "event_state_lookup": events.event_state_lookup,
+        "global_price_rank": windows.global_price_rank,
+        "orders_wide": relational.orders_wide,
+        "join_size_estimate": relational.join_size_estimate,
         "running_total_per_customer": windows.running_total_per_customer,
         "order_gaps": windows.order_gaps,
         "q7_nation_pairs": relational.q7_nation_pairs,
@@ -393,6 +396,9 @@ def oracle_sql() -> dict[str, str]:
         "dau_wau_stickiness": events.DAU_WAU_STICKINESS_SQL,
         "k_anonymity_audit": relational.K_ANONYMITY_AUDIT_SQL,
         "event_state_lookup": events.EVENT_STATE_LOOKUP_SQL,
+        "global_price_rank": windows.GLOBAL_PRICE_RANK_SQL,
+        "orders_wide": relational.ORDERS_WIDE_SQL,
+        "join_size_estimate": relational.JOIN_SIZE_ESTIMATE_SQL,
         "cluster_cap_sample": similarity.CLUSTER_CAP_SAMPLE_SQL,
         "bfs_hops": similarity.BFS_HOPS_SQL,
         "pca_project": similarity.PCA_PROJECT_SQL,

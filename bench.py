@@ -185,6 +185,9 @@ def _query_fns() -> dict:
         "dau_wau_stickiness": events.dau_wau_stickiness,
         "k_anonymity_audit": relational.k_anonymity_audit,
         "event_state_lookup": events.event_state_lookup,
+        "global_price_rank": windows.global_price_rank,
+        "orders_wide": relational.orders_wide,
+        "join_size_estimate": relational.join_size_estimate,
     }
 
 
@@ -225,7 +228,8 @@ QUERY_CHUNKS = [
      "cumulative_unique_users", "events_hourly_dense", "top_paths",
      "mad_outliers", "leakage_safe_split", "compression_ratio",
      "user_modal_event", "value_histogram", "dau_wau_stickiness",
-     "k_anonymity_audit", "event_state_lookup"],
+     "k_anonymity_audit", "event_state_lookup", "global_price_rank",
+     "orders_wide", "join_size_estimate"],
     ["cluster_cap_sample", "bfs_hops", "pca_project"],
 ]
 

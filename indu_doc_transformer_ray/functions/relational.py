@@ -4911,3 +4911,153 @@ SELECT CAST(k AS BIGINT) AS k,
 FROM ks CROSS JOIN classes
 GROUP BY k ORDER BY k
 """
+
+
+# -- star-schema denormalization (wide-table build) ---------------------------
+
+def orders_wide(sf_dir: str) -> Dataset:
+    """Star-flattening denormalization: every order enriched with its
+    customer's market segment and nation/region names — the wide-table
+    build that feeds BI extracts and feature stores.  Map-side broadcast
+    star join: the three dimension maps (customer->segment+nation,
+    nation->name+region, region->name) ship ONCE via ``ray.put`` as sorted
+    key arrays (under ``MAX_BROADCAST_DIM_ROWS``, their true shape — at
+    real scale the customer dim flips to the co-location plan per the q7
+    two-plans pattern); the fact table streams through one vectorized
+    searchsorted pass per batch and never shuffles AT ALL.  Output:
+    (o_orderkey, price_c2, c_mktsegment, n_name, r_name)."""
+    import numpy as np
+
+    ck, cv = _dim_lookup(
+        sf_dir, "customer", "c_custkey", ["c_mktsegment", "c_nationkey"]
+    )
+    nk, nv = _dim_lookup(
+        sf_dir, "nation", "n_nationkey", ["n_name", "n_regionkey"]
+    )
+    rk, rv = _dim_lookup(sf_dir, "region", "r_regionkey", ["r_name"])
+    ref = ray.put((ck, cv, nk, nv, rk, rv))
+
+    def widen(t: pa.Table) -> pa.Table:
+        ck, cv, nk, nv, rk, rv = ray.get(ref)
+        cust = pc.cast(t["o_custkey"], pa.int64()).to_numpy()
+        ci = np.searchsorted(ck, cust)
+        seg = cv["c_mktsegment"][ci]
+        nat = cv["c_nationkey"][ci].astype(np.int64)
+        ni = np.searchsorted(nk, nat)
+        nname = nv["n_name"][ni]
+        reg = nv["n_regionkey"][ni].astype(np.int64)
+        ri = np.searchsorted(rk, reg)
+        rname = rv["r_name"][ri]
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "price_c2": _cents(t["o_totalprice"]),
+                "c_mktsegment": pa.array(seg.astype(str), pa.string()),
+                "n_name": pa.array(nname.astype(str), pa.string()),
+                "r_name": pa.array(rname.astype(str), pa.string()),
+            }
+        )
+
+    return _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(widen, batch_format="pyarrow")
+
+
+ORDERS_WIDE_SQL = """
+SELECT o.o_orderkey,
+       CAST(ROUND(o.o_totalprice*100) AS BIGINT) AS price_c2,
+       c.c_mktsegment, n.n_name, r.r_name
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+# -- join-size accounting (planning primitive) --------------------------------
+
+def join_size_estimate(sf_dir: str) -> "object":
+    """EXACT cardinality of ``lineitem ⋈ orders`` on orderkey WITHOUT
+    materializing the join — the planner/capacity primitive run before
+    committing to a heavy join: |A ⋈ B| = Σ_k cA(k)·cB(k).  Map-side
+    per-key count partials from both sides ride ONE bucketed co-location
+    (union, the empty-partition-safe idiom); each kernel emits a single
+    scalar partial (its buckets' Σ products), so the driver folds
+    O(buckets) rows at any corpus size.  Also reports both input counts
+    and the max per-key fan-out (the skew number that decides salting).
+    Output: (n_left, n_right, join_rows, max_key_fanout)."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
+
+    def side(table: str, key: str, tag: int):
+        def partial(t: pa.Table) -> pa.Table:
+            k = pc.cast(t[key], pa.int64())
+            folded = pa.table({"k": k})
+            agg = pa.TableGroupBy(folded, "k").aggregate([([], "count_all")])
+            k2 = agg.column("k")
+            return pa.table(
+                {
+                    "bk": pc.cast(
+                        pc.bit_wise_and(k2, nb - 1), pa.int32()
+                    ),
+                    "k": k2,
+                    "side": pa.array([tag] * agg.num_rows, pa.int8()),
+                    "n": agg.column("count_all"),
+                }
+            )
+
+        return _read(sf_dir, table, [key]).map_batches(
+            partial, batch_format="pyarrow"
+        )
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        c = g.groupby(["k", "side"])["n"].sum().unstack(fill_value=0)
+        a = c[0] if 0 in c.columns else pd.Series(0, index=c.index)
+        b = c[1] if 1 in c.columns else pd.Series(0, index=c.index)
+        prod = a * b
+        return pa.table(
+            {
+                "join_rows": pa.array([int(prod.sum())], pa.int64()),
+                "n_left": pa.array([int(a.sum())], pa.int64()),
+                "n_right": pa.array([int(b.sum())], pa.int64()),
+                "max_key_fanout": pa.array(
+                    [int(prod.max()) if len(prod) else 0], pa.int64()
+                ),
+            }
+        )
+
+    parts = (
+        side("lineitem", "l_orderkey", 0)
+        .union(side("orders", "o_orderkey", 1))
+        .groupby("bk")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # O(buckets) scalar partials
+    )
+    out = pd.DataFrame(
+        [
+            {
+                "n_left": int(parts["n_left"].sum()),
+                "n_right": int(parts["n_right"].sum()),
+                "join_rows": int(parts["join_rows"].sum()),
+                "max_key_fanout": int(parts["max_key_fanout"].max()),
+            }
+        ]
+    )
+    return out.astype("int64")
+
+
+JOIN_SIZE_ESTIMATE_SQL = """
+WITH a AS (SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1),
+b AS (SELECT o_orderkey AS k, COUNT(*) AS n FROM orders GROUP BY 1),
+j AS (SELECT a.n * b.n AS rows FROM a JOIN b USING (k))
+SELECT CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_left,
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_right,
+       CAST(COALESCE(SUM(rows), 0) AS BIGINT) AS join_rows,
+       CAST(COALESCE(MAX(rows), 0) AS BIGINT) AS max_key_fanout
+FROM j
+"""

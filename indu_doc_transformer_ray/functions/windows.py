@@ -298,3 +298,87 @@ SELECT x.o_orderkey, CAST(x.v AS BIGINT) AS price_c2,
             AS BIGINT) AS decile
 FROM x
 """
+
+
+# -- distributed global ROW_NUMBER (rank without a global sort) ---------------
+
+_RANK_BUCKET_C2 = 4_096  # cents per counting bucket (the sketches.py width)
+
+
+def global_price_rank(sf_dir: str) -> Dataset:
+    """Global ROW_NUMBER over (o_totalprice DESC, o_orderkey ASC) WITHOUT a
+    global sort: the distributed rank-assignment primitive (leaderboards,
+    curriculum ordering, systematic sampling all sit on it).  Pass 1 folds
+    batch-side counting-histogram partials (``price // 4096`` buckets);
+    the driver turns the O(domain/4096) bucket counts into "rows above
+    this bucket" offsets; pass 2 co-locates each bucket's rows once,
+    sorts locally, and adds the offset — every rank is exact, contiguous
+    and unique, but no machine ever holds more than one bucket.  A global
+    ``Dataset.sort`` would ship the corpus through a range partitioner
+    AND materialize sorted blocks; this ships each row once and the
+    exchange key is the histogram bucket.  Output: (o_orderkey, price_c2,
+    rnk)."""
+    import numpy as np
+    import pandas as pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        folded = pa.table({"b": pc.divide(v, _RANK_BUCKET_C2)})
+        return pa.TableGroupBy(folded, "b").aggregate([([], "count_all")])
+
+    counts = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(ray.data.aggregate.Sum("count_all", alias_name="n"))
+        .to_pandas()  # O(domain / 4096)
+        .sort_values("b", ascending=False)
+        .reset_index(drop=True)
+    )
+    # offset[b] = rows in strictly HIGHER buckets (rank 1 = highest price)
+    above = counts["n"].cumsum().shift(1).fillna(0).astype("int64")
+    offsets = dict(zip(counts["b"].astype(int), above))
+
+    def keyed(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "b": pc.divide(v, _RANK_BUCKET_C2),
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "price_c2": v,
+            }
+        )
+
+    def rank_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(
+            ["price_c2", "o_orderkey"], ascending=[False, True]
+        ).reset_index(drop=True)
+        base = int(offsets[int(g["b"].iloc[0])])
+        return pa.table(
+            {
+                "o_orderkey": pa.array(g["o_orderkey"].values, pa.int64()),
+                "price_c2": pa.array(g["price_c2"].values, pa.int64()),
+                "rnk": pa.array(
+                    base + np.arange(1, len(g) + 1, dtype=np.int64)
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(rank_bucket, batch_format="pandas")
+    )
+
+
+GLOBAL_PRICE_RANK_SQL = """
+SELECT o_orderkey,
+       CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c2,
+       CAST(row_number() OVER (
+           ORDER BY ROUND(o_totalprice*100) DESC, o_orderkey) AS BIGINT)
+         AS rnk
+FROM orders
+"""

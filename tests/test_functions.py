@@ -754,6 +754,9 @@ def test_round3_new_ops_match_oracle(ray_session):
         "dau_wau_stickiness",
         "k_anonymity_audit",
         "event_state_lookup",
+        "global_price_rank",
+        "orders_wide",
+        "join_size_estimate",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
