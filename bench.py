@@ -188,6 +188,7 @@ def _query_fns() -> dict:
         "global_price_rank": windows.global_price_rank,
         "orders_wide": relational.orders_wide,
         "join_size_estimate": relational.join_size_estimate,
+        "zorder_parts": relational.zorder_parts,
     }
 
 
@@ -229,7 +230,7 @@ QUERY_CHUNKS = [
      "mad_outliers", "leakage_safe_split", "compression_ratio",
      "user_modal_event", "value_histogram", "dau_wau_stickiness",
      "k_anonymity_audit", "event_state_lookup", "global_price_rank",
-     "orders_wide", "join_size_estimate"],
+     "orders_wide", "join_size_estimate", "zorder_parts"],
     ["cluster_cap_sample", "bfs_hops", "pca_project"],
 ]
 

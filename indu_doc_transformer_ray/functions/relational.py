@@ -5061,3 +5061,74 @@ SELECT CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_left,
        CAST(COALESCE(MAX(rows), 0) AS BIGINT) AS max_key_fanout
 FROM j
 """
+
+
+# -- Z-order clustering key (multi-column locality) ----------------------------
+
+_Z_BITS = 16
+
+
+def _z_sql_interleave(col: str, shift: int) -> str:
+    """Unrolled SQL bit-interleave: spreads ``col``'s low 16 bits to even
+    positions, shifted left by ``shift`` (0 = even lanes, 1 = odd)."""
+    terms = [
+        f"((({col} >> {i}) & 1) << {2 * i + shift})" for i in range(_Z_BITS)
+    ]
+    return " + ".join(terms)
+
+
+def zorder_parts(sf_dir: str) -> Dataset:
+    """Z-order (Morton) clustering key over (p_size, price percentile-ish
+    scale) — the multi-column data-layout primitive behind Delta/Iceberg
+    Z-ORDER: rows close in BOTH dimensions get close keys, so range
+    predicates on either column prune contiguous key ranges.  Pure
+    streaming map (numpy bit interleave, no exchange); the companion
+    ``zbucket`` (top 8 bits) is the write-partition a clustered sink would
+    use.  Output: (p_partkey, p_size, price_c2, zval, zbucket)."""
+    import numpy as np
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    def zmap(t: pa.Table) -> pa.Table:
+        size = pc.cast(t["p_size"], pa.int64()).to_numpy()
+        price = pc.cast(
+            pc.round(pc.multiply(t["p_retailprice"], 100.0)), pa.int64()
+        ).to_numpy()
+        # clip both dims into the 16-bit z-domain; price uses a /256 scale
+        # so the full retail range fits
+        a = np.clip(size, 0, (1 << _Z_BITS) - 1).astype(np.uint64)
+        b = np.clip(price >> 8, 0, (1 << _Z_BITS) - 1).astype(np.uint64)
+        z = np.zeros(len(a), dtype=np.uint64)
+        for i in range(_Z_BITS):
+            z |= ((a >> np.uint64(i)) & np.uint64(1)) << np.uint64(2 * i)
+            z |= ((b >> np.uint64(i)) & np.uint64(1)) << np.uint64(2 * i + 1)
+        zv = z.astype(np.int64)
+        return pa.table(
+            {
+                "p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+                "p_size": pa.array(size, pa.int64()),
+                "price_c2": pa.array(price, pa.int64()),
+                "zval": pa.array(zv, pa.int64()),
+                "zbucket": pa.array(zv >> (2 * _Z_BITS - 8), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(zmap, batch_format="pyarrow")
+
+
+ZORDER_PARTS_SQL = f"""
+WITH x AS (
+  SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+         CAST(ROUND(p_retailprice*100) AS BIGINT) AS price_c2,
+         LEAST(GREATEST(CAST(p_size AS BIGINT), 0), {(1 << _Z_BITS) - 1}) AS a,
+         LEAST(GREATEST(CAST(ROUND(p_retailprice*100) AS BIGINT) >> 8, 0),
+               {(1 << _Z_BITS) - 1}) AS b
+  FROM part
+)
+SELECT p_partkey, p_size, price_c2,
+       CAST({_z_sql_interleave('a', 0)} + {_z_sql_interleave('b', 1)}
+            AS BIGINT) AS zval,
+       CAST(({_z_sql_interleave('a', 0)} + {_z_sql_interleave('b', 1)})
+            >> {2 * _Z_BITS - 8} AS BIGINT) AS zbucket
+FROM x
+"""

@@ -757,6 +757,7 @@ def test_round3_new_ops_match_oracle(ray_session):
         "global_price_rank",
         "orders_wide",
         "join_size_estimate",
+        "zorder_parts",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
