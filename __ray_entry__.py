@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (162 of 169): every deterministic construction is
+                      (163 of 170): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog via its md5 registers,
                       k-means and IVF via an unrolled Lloyd CTE chain,
@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_wide": relational.orders_wide,
         "join_size_estimate": relational.join_size_estimate,
         "zorder_parts": relational.zorder_parts,
+        "item_similarity_topk": relational.item_similarity_topk,
         "running_total_per_customer": windows.running_total_per_customer,
         "order_gaps": windows.order_gaps,
         "q7_nation_pairs": relational.q7_nation_pairs,
@@ -401,6 +402,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_wide": relational.ORDERS_WIDE_SQL,
         "join_size_estimate": relational.JOIN_SIZE_ESTIMATE_SQL,
         "zorder_parts": relational.ZORDER_PARTS_SQL,
+        "item_similarity_topk": relational.ITEM_SIMILARITY_TOPK_SQL,
         "cluster_cap_sample": similarity.CLUSTER_CAP_SAMPLE_SQL,
         "bfs_hops": similarity.BFS_HOPS_SQL,
         "pca_project": similarity.PCA_PROJECT_SQL,

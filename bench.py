@@ -189,6 +189,7 @@ def _query_fns() -> dict:
         "orders_wide": relational.orders_wide,
         "join_size_estimate": relational.join_size_estimate,
         "zorder_parts": relational.zorder_parts,
+        "item_similarity_topk": relational.item_similarity_topk,
     }
 
 
@@ -230,7 +231,8 @@ QUERY_CHUNKS = [
      "mad_outliers", "leakage_safe_split", "compression_ratio",
      "user_modal_event", "value_histogram", "dau_wau_stickiness",
      "k_anonymity_audit", "event_state_lookup", "global_price_rank",
-     "orders_wide", "join_size_estimate", "zorder_parts"],
+     "orders_wide", "join_size_estimate", "zorder_parts",
+     "item_similarity_topk"],
     ["cluster_cap_sample", "bfs_hops", "pca_project"],
 ]
 

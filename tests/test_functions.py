@@ -758,6 +758,7 @@ def test_round3_new_ops_match_oracle(ray_session):
         "orders_wide",
         "join_size_estimate",
         "zorder_parts",
+        "item_similarity_topk",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
