@@ -1321,32 +1321,51 @@ def cumulative_unique_users(sf_dir: str) -> "object":
     """Cumulative distinct users per day — the growth curve.  A naive
     per-day COUNT(DISTINCT) over expanding windows rescans the corpus per
     day; the scalable identity is ``cum_users(d) = #{users whose FIRST
-    event day <= d}``: one groupby(user).min(day) (map-side partial mins,
-    uniform key), then a per-day new-user count that is O(days) on the
-    driver, cumsummed against the observed-day spine.  Two small exchanges,
-    driver state O(days).  Output: (day_bucket, cum_users)."""
+    event day <= d}``.  Per-user mins reduce INSIDE a user-bucket kernel
+    (bounded groups — never a corpus-proportional-group Dataset.groupby,
+    the BASELINE session-5 finding), which emits O(days) new-user-count
+    partials; the driver folds days and cumsums against the observed-day
+    spine.  One bucketed co-location + two O(days) folds.  Output:
+    (day_bucket, cum_users)."""
     import pandas as pd
 
-    from ray.data.aggregate import Count, Min
+    from ray.data.aggregate import Count, Sum
 
+    ubk = _user_buckets(sf_dir)
     ds = _read_events(sf_dir, ["ts", "user_id"])
 
     def day_user(t: pa.Table) -> pa.Table:
         day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        uid = pc.cast(t["user_id"], pa.int64())
         folded = pa.table(
-            {"user_id": pc.cast(t["user_id"], pa.int64()), "day": day}
+            {
+                "ub": pc.cast(pc.bit_wise_and(uid, ubk - 1), pa.int32()),
+                "user_id": uid,
+                "day": day,
+            }
         )
         # map-side partial min per user: the shuffle ships one row per
         # (user, batch), not per event
-        return pa.TableGroupBy(folded, "user_id").aggregate([("day", "min")])
+        return pa.TableGroupBy(folded, ["ub", "user_id"]).aggregate(
+            [("day", "min")]
+        ).rename_columns(["ub", "user_id", "day"])
 
-    first_seen = (
-        ds.map_batches(day_user, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Min("day_min", alias_name="d0"))
-    )
+    def bucket_new_users(g: pd.DataFrame) -> pa.Table:
+        d0 = g.groupby("user_id")["day"].min()
+        c = d0.value_counts().sort_index()
+        return pa.table(
+            {
+                "d0": pa.array(c.index.to_numpy("int64")),
+                "n": pa.array(c.to_numpy("int64")),
+            }
+        )
+
     new_per_day = (
-        first_seen.groupby("d0").aggregate(Count(alias_name="n"))
+        ds.map_batches(day_user, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(bucket_new_users, batch_format="pandas")
+        .groupby("d0")
+        .aggregate(Sum("n", alias_name="n"))
         .to_pandas()  # O(days)
     )
 
@@ -1655,63 +1674,81 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 def dau_wau_stickiness(sf_dir: str) -> Dataset:
     """Product-analytics stickiness: per day, DAU, the trailing-7-day WAU
     (distinct users over the week ENDING that day) and DAU*1000//WAU.
-    Both distinct counts ride ONE dedup exchange: distinct (user, day)
-    rows; DAU counts them per day, and the trailing WAU re-counts each
-    distinct user-day under the 7 days it supports (a <=7x fan-out of the
-    already-deduped rows, then a per-(window, user) second dedup) — never a
-    per-window rescan of the corpus.  Windows clipped to days with events.
-    Output: (day_bucket, dau, wau, stickiness_permille)."""
-    from ray.data.aggregate import Count
+    Both distinct counts reduce INSIDE one user-bucket co-location (a
+    user's rows land in one bucket, so in-bucket distinct IS global
+    distinct; bounded groups per the BASELINE session-5 groupby finding):
+    the kernel dedups (user, day), counts its DAU partials, fans each
+    user-day to the <=7 windows it supports and counts its WAU partials —
+    only O(days) partial rows leave any kernel.  Windows clipped to days
+    with events.  Output: (day_bucket, dau, wau, stickiness_permille)."""
+    import numpy as np
+    import pandas as pd
 
+    from ray.data.aggregate import Sum
+
+    ubk = _user_buckets(sf_dir)
     ds = _read_events(sf_dir, ["ts", "user_id"])
 
     def day_user(t: pa.Table) -> pa.Table:
         day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        uid = pc.cast(t["user_id"], pa.int64())
         folded = pa.table(
-            {"user_id": pc.cast(t["user_id"], pa.int64()), "day": day}
+            {
+                "ub": pc.cast(pc.bit_wise_and(uid, ubk - 1), pa.int32()),
+                "user_id": uid,
+                "day": day,
+            }
         )
-        return pa.TableGroupBy(folded, ["user_id", "day"]).aggregate(
+        return pa.TableGroupBy(folded, ["ub", "user_id", "day"]).aggregate(
             [([], "count_all")]
         ).drop_columns(["count_all"])
 
-    distinct_ud = (
-        ds.map_batches(day_user, batch_format="pyarrow")
-        .groupby(["user_id", "day"])
-        .aggregate(Count(alias_name="_c"))
-        .drop_columns(["_c"])
-        .materialize()  # reused by both counts; one row per (user, day)
-    )
-    dau = (
-        distinct_ud.groupby("day").aggregate(Count(alias_name="dau"))
-        .to_pandas()  # O(days)
-    )
-
-    def fan_week(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        u = t.column("user_id").to_numpy()
-        d = t.column("day").to_numpy()
-        outs_u = np.repeat(u, 7)
-        outs_w = (d[:, None] + np.arange(7)[None, :]).reshape(-1)
+    def bucket_counts(g: pd.DataFrame) -> pa.Table:
+        d = g[["user_id", "day"]].drop_duplicates()
+        dau = d.groupby("day").size()
+        u = d["user_id"].to_numpy("int64")
+        dy = d["day"].to_numpy("int64")
+        w = pd.DataFrame(
+            {
+                "user_id": np.repeat(u, 7),
+                "wday": (dy[:, None] + np.arange(7)[None, :]).reshape(-1),
+            }
+        ).drop_duplicates()
+        wau = w.groupby("wday").size()
         return pa.table(
             {
-                "user_id": pa.array(outs_u, pa.int64()),
-                "wday": pa.array(outs_w, pa.int64()),
+                "day": pa.array(
+                    np.concatenate(
+                        [dau.index.to_numpy("int64"),
+                         wau.index.to_numpy("int64")]
+                    )
+                ),
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(dau), np.int8),
+                         np.ones(len(wau), np.int8)]
+                    )
+                ),
+                "n": pa.array(
+                    np.concatenate(
+                        [dau.to_numpy("int64"), wau.to_numpy("int64")]
+                    )
+                ),
             }
         )
 
-    wau = (
-        distinct_ud.map_batches(fan_week, batch_format="pyarrow")
-        .groupby(["user_id", "wday"])
-        .aggregate(Count(alias_name="_c"))
-        .drop_columns(["_c"])
-        .groupby("wday")
-        .aggregate(Count(alias_name="wau"))
-        .to_pandas()  # O(days)
+    parts = (
+        ds.map_batches(day_user, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(bucket_counts, batch_format="pandas")
+        .groupby(["day", "kind"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # O(days) x 2
     )
-    out = dau.merge(
-        wau.rename(columns={"wday": "day"}), on="day", how="left"
-    ).sort_values("day").reset_index(drop=True)
+    dau = parts[parts["kind"] == 0][["day", "n"]].rename(columns={"n": "dau"})
+    wau = parts[parts["kind"] == 1][["day", "n"]].rename(columns={"n": "wau"})
+    out = dau.merge(wau, on="day", how="left").sort_values("day")
+    out = out.reset_index(drop=True)
     out["stickiness_permille"] = (
         out["dau"] * 1000 // out["wau"]
     ).astype("int64")

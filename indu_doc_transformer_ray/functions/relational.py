@@ -1146,30 +1146,56 @@ FROM w GROUP BY event_type, window_start
 
 
 def distinct_users_daily(sf_dir: str) -> Dataset:
-    """Exact distinct users per (day, event_type) — the two-level-groupby
-    COUNT(DISTINCT) pattern on a composite window key: dedup on the full
-    key first (shuffle keyed by user too, so no group ever co-locates all
-    its users in one task), then count the deduped rows."""
+    """Exact distinct users per (day, event_type) — the two-level
+    COUNT(DISTINCT) pattern on a composite window key.  The dedup happens
+    INSIDE a user-bucket kernel (a user's rows all land in one bucket, so
+    in-bucket distinct IS global distinct) and only (day, type, partial
+    count) rows reach the final fold — group counts stay bounded by
+    days x types at any corpus size (a naive groupby on (day, type, user)
+    is corpus-proportional in GROUPS, and this Ray build's aggregate cost
+    scales with the group count — BASELINE session-5 finding)."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/events.parquet").num_rows)
     ds = _read(sf_dir, "events", ["ts", "event_type", "user_id"])
 
     def windowed(t: pa.Table) -> pa.Table:
         day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        uid = pc.cast(t["user_id"], pa.int64())
         return pa.table(
             {
+                "ub": pc.cast(pc.bit_wise_and(uid, nb - 1), pa.int32()),
                 "day_bucket": day,
                 "event_type": t["event_type"],
-                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "user_id": uid,
             }
         )
 
-    dedup = (
-        ds.map_batches(windowed, batch_format="pyarrow")
-        .groupby(["day_bucket", "event_type", "user_id"])
-        .aggregate(Count(alias_name="_c"))
-    )
+    def bucket_distinct(g: pd.DataFrame) -> pa.Table:
+        d = g[["day_bucket", "event_type", "user_id"]].drop_duplicates()
+        c = d.groupby(["day_bucket", "event_type"]).size().reset_index(
+            name="n"
+        )
+        return pa.table(
+            {
+                "day_bucket": pa.array(c["day_bucket"].to_numpy("int64")),
+                "event_type": pa.array(
+                    c["event_type"].astype(str).to_numpy(), pa.string()
+                ),
+                "n": pa.array(c["n"].to_numpy("int64")),
+            }
+        )
+
     return (
-        dedup.groupby(["day_bucket", "event_type"])
-        .aggregate(Count(alias_name="n_users"))
+        ds.map_batches(windowed, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(bucket_distinct, batch_format="pandas")
+        .groupby(["day_bucket", "event_type"])
+        .aggregate(Sum("n", alias_name="n_users"))
     )
 
 
