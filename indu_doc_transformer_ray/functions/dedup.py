@@ -46,26 +46,46 @@ def _read_docs(
 
 def dedup_exact(sf_dir: str) -> Dataset:
     """Keep the minimum doc_id per exact text; returns the kept doc ids with
-    their group size (hash-partition + per-group-first, SURVEY graft spec)."""
+    their group size (hash-partition + per-group-first, SURVEY graft spec).
+    The per-hash fold happens INSIDE a crc32(hash)-bucket kernel — a text
+    hash's rows all land in one bucket, so in-bucket min/count IS global —
+    keeping aggregate group counts bounded at any corpus size (a direct
+    groupby(md5) is corpus-proportional in GROUPS; this Ray build's
+    aggregate cost scales with the group count, BASELINE session-5)."""
+    import zlib
+
+    import pandas as pd
+
+    nb = _corpus_buckets(sf_dir)
 
     def hash_text(batch: pa.Table) -> pa.Table:
         h = [
             hashlib.md5(t.encode()).hexdigest()
             for t in batch.column("text").to_pylist()
         ]
+        hb = [zlib.crc32(x.encode()) % nb for x in h]
         return pa.table(
-            {"doc_id": batch.column("doc_id"), "h": pa.array(h, pa.string())}
+            {
+                "hb": pa.array(hb, pa.int32()),
+                "doc_id": batch.column("doc_id"),
+                "h": pa.array(h, pa.string()),
+            }
+        )
+
+    def bucket_fold(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("h")["doc_id"].agg(["min", "size"])
+        return pa.table(
+            {
+                "keep_doc_id": pa.array(agg["min"].to_numpy("int64")),
+                "group_size": pa.array(agg["size"].to_numpy("int64")),
+            }
         )
 
     return (
         _read_docs(sf_dir, ["doc_id", "text"])
         .map_batches(hash_text, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(
-            Min("doc_id", alias_name="keep_doc_id"),
-            Count(alias_name="group_size"),
-        )
-        .select_columns(["keep_doc_id", "group_size"])
+        .groupby("hb")
+        .map_groups(bucket_fold, batch_format="pandas")
     )
 
 
@@ -1758,13 +1778,41 @@ def fuzzy_name_pairs(sf_dir: str) -> Dataset:
             }
         )
 
+    def key_pair(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        pk = np.fromiter(
+            (
+                zlib.crc32(f"{a}|{b}".encode()) % nb
+                for a, b in zip(
+                    t.column("name_a").to_pylist(),
+                    t.column("name_b").to_pylist(),
+                )
+            ),
+            dtype=np.int32,
+            count=t.num_rows,
+        )
+        return t.append_column("pb", pa.array(pk))
+
+    def distinct_pairs(g: "object") -> pa.Table:
+        d = g[["name_a", "name_b"]].drop_duplicates()
+        return pa.table(
+            {
+                "name_a": pa.array(d["name_a"].astype(str), pa.string()),
+                "name_b": pa.array(d["name_b"].astype(str), pa.string()),
+            }
+        )
+
     return (
         names.map_batches(variants, batch_format="pyarrow")
         .groupby("gb")
         .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["name_a", "name_b"])
-        .aggregate(Count(alias_name="nv"))
-        .drop_columns(["nv"])
+        # pair dedup inside a pair-hash bucket kernel: a direct groupby on
+        # the pair is OUTPUT-proportional in groups and this Ray build's
+        # aggregate cost scales with group count (BASELINE session-5)
+        .map_batches(key_pair, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(distinct_pairs, batch_format="pandas")
         # no final sort: pair order is not part of the contract and the
         # sort is a full extra all-to-all (the minhash_lsh_pairs precedent)
     )

@@ -1261,29 +1261,38 @@ def session_overlap(sf_dir: str) -> Dataset:
 
     from ray.data.aggregate import Sum
 
-    ranked = (
+    def key_user(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "ub",
+            pc.cast(pc.bit_wise_and(t["user_id"], ubk - 1), pa.int32()),
+        )
+
+    def finish(g: pd.DataFrame) -> pa.Table:
+        # per-session sum INSIDE a user-bucket kernel: a direct groupby on
+        # (user, sess_n) is session-count-proportional in groups, and this
+        # Ray build's aggregate cost scales with the group count
+        # (BASELINE session-5 finding)
+        c = g.groupby(["user_id", "sess_n"], as_index=False)["val"].sum()
+        return pa.table(
+            {
+                "user_id": pa.array(c["user_id"].to_numpy("int64")),
+                "sess_n": pa.array(c["sess_n"].to_numpy("int64")),
+                "n_overlap": pa.array(
+                    (c["val"] - 1).to_numpy("int64")
+                ),
+            }
+        )
+
+    return (
         partials.map_batches(
             lambda t: t.filter(pc.less(t.column("kind"), 8)),
             batch_format="pyarrow",
         )
         .map_batches(adjust, batch_format="pyarrow")
-        .groupby(["user_id", "sess_n"])
-        .aggregate(Sum("val", alias_name="rank_sum"))
-    )
-
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "user_id": t.column("user_id"),
-                "sess_n": t.column("sess_n"),
-                "n_overlap": pc.subtract(
-                    pc.cast(t.column("rank_sum"), pa.int64()), 1
-                ),
-            }
-        )
-
-    return ranked.map_batches(finish, batch_format="pyarrow").sort(
-        ["user_id", "sess_n"]
+        .map_batches(key_user, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(finish, batch_format="pandas")
+        .sort(["user_id", "sess_n"])
     )
 
 

@@ -1207,19 +1207,52 @@ FROM events GROUP BY day_bucket, event_type
 
 
 def user_event_counts(sf_dir: str) -> Dataset:
-    """Per-user per-type event counts — the partial-aggregate push-down
-    demo: combine inside map_batches first, then a small groupby over
-    partials (ray_guide 'Aggregation at scale')."""
+    """Per-user per-type event counts — partial-aggregate push-down PLUS a
+    bucketed final fold: batches combine map-side, then the per-(user,
+    type) sums happen inside a user-bucket kernel (bounded groups — a
+    direct groupby on (user, type) is corpus-proportional in GROUPS, the
+    BASELINE session-5 finding)."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/events.parquet").num_rows)
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
 
     def partial(t: pa.Table) -> pa.Table:
-        agg = t.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
-        return agg.rename_columns(["user_id", "event_type", "partial_n"])
+        uid = pc.cast(t["user_id"], pa.int64())
+        folded = pa.table(
+            {
+                "ub": pc.cast(pc.bit_wise_and(uid, nb - 1), pa.int32()),
+                "user_id": uid,
+                "event_type": t["event_type"],
+            }
+        )
+        agg = pa.TableGroupBy(
+            folded, ["ub", "user_id", "event_type"]
+        ).aggregate([([], "count_all")])
+        return agg.rename_columns(["ub", "user_id", "event_type", "partial_n"])
+
+    def bucket_fold(g: pd.DataFrame) -> pa.Table:
+        c = g.groupby(["user_id", "event_type"], as_index=False)[
+            "partial_n"
+        ].sum()
+        return pa.table(
+            {
+                "user_id": pa.array(c["user_id"].to_numpy("int64")),
+                "event_type": pa.array(
+                    c["event_type"].astype(str).to_numpy(), pa.string()
+                ),
+                "n": pa.array(c["partial_n"].to_numpy("int64")),
+            }
+        )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["user_id", "event_type"])
-        .aggregate(Sum("partial_n", alias_name="n"))
+        .groupby("ub")
+        .map_groups(bucket_fold, batch_format="pandas")
     )
 
 
