@@ -109,14 +109,36 @@ def dedup_prefix(sf_dir: str) -> Dataset:
             {"doc_id": batch.column("doc_id"), "k": pa.array(ks, pa.string())}
         )
 
+    import zlib
+
+    import pandas as pd
+
+    nb = _corpus_buckets(sf_dir)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        hb = [
+            zlib.crc32(k.encode()) % nb for k in t.column("k").to_pylist()
+        ]
+        return t.append_column("hb", pa.array(hb, pa.int32()))
+
+    def bucket_fold(g: pd.DataFrame) -> pa.Table:
+        # per-key fold inside a key-hash bucket: a direct groupby(k) is
+        # key-domain-proportional in groups (BASELINE session-5 finding)
+        agg = g.groupby("k")["doc_id"].agg(["min", "size"]).reset_index()
+        return pa.table(
+            {
+                "k": pa.array(agg["k"].astype(str), pa.string()),
+                "keep_doc_id": pa.array(agg["min"].to_numpy("int64")),
+                "group_size": pa.array(agg["size"].to_numpy("int64")),
+            }
+        )
+
     return (
         _read_docs(sf_dir, ["doc_id", "text"])
         .map_batches(key, batch_format="pyarrow")
-        .groupby("k")
-        .aggregate(
-            Min("doc_id", alias_name="keep_doc_id"),
-            Count(alias_name="group_size"),
-        )
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(bucket_fold, batch_format="pandas")
     )
 
 
@@ -1071,12 +1093,34 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 8) -> Dataset:
             }
         )
 
+    def key_pk(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        pk = t.column("pk").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "pb",
+            pa.array((pk & (nb - 1)).astype(np.int32)),
+        )
+
+    def min_fold(g: "object") -> pa.Table:
+        # cross-band pair dedup inside a pair-hash bucket: a direct
+        # groupby(pk) is output-proportional in groups (BASELINE
+        # session-5 group-count finding)
+        agg = g.groupby("pk", as_index=False)["hamming"].min()
+        return pa.table(
+            {
+                "pk": pa.array(agg["pk"].to_numpy("int64")),
+                "hamming": pa.array(agg["hamming"].to_numpy("int64")),
+            }
+        )
+
     return (
         sig.map_batches(band_rows, batch_format="pyarrow")
         .groupby("gb")
         .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby("pk")
-        .aggregate(Min("hamming", alias_name="hamming"))  # dedup across bands
+        .map_batches(key_pk, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(min_fold, batch_format="pandas")
         .map_batches(decode, batch_format="pyarrow")
     )
 

@@ -1079,17 +1079,46 @@ def dup_chunks(sf_dir: str) -> Dataset:
         # two-level groupby below (a doc's chunks may straddle batches)
         return t.group_by(["doc_id", "chunk_hash"]).aggregate([])
 
+    import zlib
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows * 8)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        hb = [
+            zlib.crc32(h.encode()) % nb
+            for h in t.column("chunk_hash").to_pylist()
+        ]
+        return t.append_column("hb", pa.array(hb, pa.int32()))
+
+    def bucket_fold(g: pd.DataFrame) -> pa.Table:
+        # per-hash fold inside a hash bucket: a chunk hash's rows all land
+        # here, so in-bucket distinct/count IS global; direct groupbys on
+        # chunk_hash are chunk-count-proportional in groups (BASELINE
+        # session-5 group-count finding)
+        d = g[["chunk_hash", "doc_id"]].drop_duplicates()
+        agg = d.groupby("chunk_hash")["doc_id"].agg(["size", "min"])
+        agg = agg[agg["size"] > 1].reset_index()
+        return pa.table(
+            {
+                "chunk_hash": pa.array(
+                    agg["chunk_hash"].astype(str), pa.string()
+                ),
+                "n_docs": pa.array(agg["size"].to_numpy("int64")),
+                "min_doc_id": pa.array(agg["min"].to_numpy("int64")),
+            }
+        )
+
     return (
         chunks.select_columns(["doc_id", "chunk_hash"])
         .map_batches(combine, batch_format="pyarrow")
-        .groupby(["chunk_hash", "doc_id"])
-        .aggregate(Count(alias_name="_c"))
-        .groupby("chunk_hash")
-        .aggregate(
-            Count(alias_name="n_docs"),
-            Min("doc_id", alias_name="min_doc_id"),
-        )
-        .filter(expr="n_docs > 1")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(bucket_fold, batch_format="pandas")
     )
 
 
