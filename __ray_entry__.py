@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (163 of 170): every deterministic construction is
+                      (164 of 171): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog via its md5 registers,
                       k-means and IVF via an unrolled Lloyd CTE chain,
@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_estimate": relational.join_size_estimate,
         "zorder_parts": relational.zorder_parts,
         "item_similarity_topk": relational.item_similarity_topk,
+        "skew_report": relational.skew_report,
         "running_total_per_customer": windows.running_total_per_customer,
         "order_gaps": windows.order_gaps,
         "q7_nation_pairs": relational.q7_nation_pairs,
@@ -403,6 +404,7 @@ def oracle_sql() -> dict[str, str]:
         "join_size_estimate": relational.JOIN_SIZE_ESTIMATE_SQL,
         "zorder_parts": relational.ZORDER_PARTS_SQL,
         "item_similarity_topk": relational.ITEM_SIMILARITY_TOPK_SQL,
+        "skew_report": relational.SKEW_REPORT_SQL,
         "cluster_cap_sample": similarity.CLUSTER_CAP_SAMPLE_SQL,
         "bfs_hops": similarity.BFS_HOPS_SQL,
         "pca_project": similarity.PCA_PROJECT_SQL,

@@ -5368,3 +5368,81 @@ FROM (SELECT *, row_number() OVER (
 WHERE rn <= {ITEM_SIM_TOPK}
 ORDER BY p_partkey, score_mu DESC, rec_partkey
 """
+
+
+# -- join-key skew diagnostics --------------------------------------------------
+
+SKEW_TOP_K = 20
+
+
+def skew_report(sf_dir: str) -> "object":
+    """Heavy-key diagnostics for the lineitem⋈orders join column: the 20
+    heaviest orderkeys by lineitem fan-out plus each key's corpus share in
+    permille — the report that decides whether a join needs salting
+    (companion to ``join_size_estimate``).  Per-key counts fold inside a
+    key-bucket kernel (bounded groups) which pre-prunes to ITS top-20, so
+    only buckets x 20 candidate rows reach the driver.  Output:
+    (l_orderkey, n_rows, share_permille) ordered by (n_rows DESC, key)."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    total = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    nb = n_buckets(total)
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["l_orderkey"], pa.int64())
+        folded = pa.table(
+            {"kb": pc.cast(pc.bit_wise_and(k, nb - 1), pa.int32()), "k": k}
+        )
+        agg = pa.TableGroupBy(folded, ["kb", "k"]).aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["kb", "k", "n"])
+
+    def bucket_topk(g: pd.DataFrame) -> pa.Table:
+        c = g.groupby("k", as_index=False)["n"].sum()
+        c = c.sort_values(["n", "k"], ascending=[False, True]).head(
+            SKEW_TOP_K
+        )
+        return pa.table(
+            {
+                "k": pa.array(c["k"].to_numpy("int64")),
+                "n": pa.array(c["n"].to_numpy("int64")),
+            }
+        )
+
+    cand = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .to_pandas()  # <= buckets * K rows
+    )
+    top = cand.sort_values(["n", "k"], ascending=[False, True]).head(
+        SKEW_TOP_K
+    )
+    out = pd.DataFrame(
+        {
+            "l_orderkey": top["k"].astype("int64").values,
+            "n_rows": top["n"].astype("int64").values,
+            "share_permille": (
+                top["n"] * 1000 // total
+            ).astype("int64").values,
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+SKEW_REPORT_SQL = f"""
+WITH c AS (
+  SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY 1
+), t AS (SELECT COUNT(*) AS total FROM lineitem)
+SELECT l_orderkey, CAST(n AS BIGINT) AS n_rows,
+       CAST(n * 1000 // total AS BIGINT) AS share_permille
+FROM c, t
+ORDER BY n DESC, l_orderkey
+LIMIT {SKEW_TOP_K}
+"""

@@ -759,6 +759,7 @@ def test_round3_new_ops_match_oracle(ray_session):
         "join_size_estimate",
         "zorder_parts",
         "item_similarity_topk",
+        "skew_report",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
