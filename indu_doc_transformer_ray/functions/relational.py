@@ -5125,6 +5125,7 @@ FROM j
 # -- Z-order clustering key (multi-column locality) ----------------------------
 
 _Z_BITS = 16
+_Z_BUCKET_SHIFT = 24  # zbucket = top 8 of the 32 interleaved bits
 
 
 def _z_sql_interleave(col: str, shift: int) -> str:
@@ -5136,15 +5137,47 @@ def _z_sql_interleave(col: str, shift: int) -> str:
     return " + ".join(terms)
 
 
+def _col_bounds(sf_dir: str, table: str, col: str) -> tuple[int, int]:
+    """(min, max) of a numeric column from parquet ROW-GROUP STATISTICS —
+    exact for numeric columns, metadata-only at any corpus size."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(f"{sf_dir}/{table}.parquet")
+    lo = hi = None
+    for r in range(md.num_row_groups):
+        rg = md.row_group(r)
+        for c in range(rg.num_columns):
+            cc = rg.column(c)
+            if cc.path_in_schema == col and cc.statistics is not None:
+                s = cc.statistics
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+    if lo is None:  # pragma: no cover - stats always present on our data
+        raise ValueError(f"no statistics for {table}.{col}")
+    return lo, hi
+
+
 def zorder_parts(sf_dir: str) -> Dataset:
-    """Z-order (Morton) clustering key over (p_size, price percentile-ish
-    scale) — the multi-column data-layout primitive behind Delta/Iceberg
-    Z-ORDER: rows close in BOTH dimensions get close keys, so range
-    predicates on either column prune contiguous key ranges.  Pure
-    streaming map (numpy bit interleave, no exchange); the companion
-    ``zbucket`` (top 8 bits) is the write-partition a clustered sink would
-    use.  Output: (p_partkey, p_size, price_c2, zval, zbucket)."""
+    """Z-order (Morton) clustering key over (p_size, price) — the
+    multi-column data-layout primitive behind Delta/Iceberg Z-ORDER: rows
+    close in BOTH dimensions get close keys, so range predicates on either
+    column prune contiguous key ranges (``sources.io.write_clustered`` is
+    the matching sink).  Each dimension min-max-normalizes to 16 bits
+    first — bounds come from parquet row-group statistics (metadata-only,
+    exact for numerics), mirrored by the oracle's MIN/MAX — otherwise a
+    narrow dimension collapses the whole key into one bucket.  Pure
+    streaming map (numpy bit interleave, no exchange); ``zbucket`` (top 8
+    bits) is the write partition.  Output: (p_partkey, p_size, price_c2,
+    zval, zbucket)."""
     import numpy as np
+
+    s_lo, s_hi = _col_bounds(sf_dir, "part", "p_size")
+    p_lo_f, p_hi_f = _col_bounds(sf_dir, "part", "p_retailprice")
+    p_lo = int(round(p_lo_f * 100))
+    p_hi = int(round(p_hi_f * 100))
+    s_span = max(1, int(s_hi) - int(s_lo))
+    p_span = max(1, p_hi - p_lo)
+    M = (1 << _Z_BITS) - 1
 
     ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
 
@@ -5153,10 +5186,8 @@ def zorder_parts(sf_dir: str) -> Dataset:
         price = pc.cast(
             pc.round(pc.multiply(t["p_retailprice"], 100.0)), pa.int64()
         ).to_numpy()
-        # clip both dims into the 16-bit z-domain; price uses a /256 scale
-        # so the full retail range fits
-        a = np.clip(size, 0, (1 << _Z_BITS) - 1).astype(np.uint64)
-        b = np.clip(price >> 8, 0, (1 << _Z_BITS) - 1).astype(np.uint64)
+        a = ((size - int(s_lo)) * M // s_span).astype(np.uint64)
+        b = ((price - p_lo) * M // p_span).astype(np.uint64)
         z = np.zeros(len(a), dtype=np.uint64)
         for i in range(_Z_BITS):
             z |= ((a >> np.uint64(i)) & np.uint64(1)) << np.uint64(2 * i)
@@ -5168,7 +5199,7 @@ def zorder_parts(sf_dir: str) -> Dataset:
                 "p_size": pa.array(size, pa.int64()),
                 "price_c2": pa.array(price, pa.int64()),
                 "zval": pa.array(zv, pa.int64()),
-                "zbucket": pa.array(zv >> (2 * _Z_BITS - 8), pa.int64()),
+                "zbucket": pa.array(zv >> _Z_BUCKET_SHIFT, pa.int64()),
             }
         )
 
@@ -5176,19 +5207,29 @@ def zorder_parts(sf_dir: str) -> Dataset:
 
 
 ZORDER_PARTS_SQL = f"""
-WITH x AS (
+WITH bounds AS (
+  SELECT CAST(MIN(p_size) AS BIGINT) AS s_lo,
+         GREATEST(CAST(MAX(p_size) AS BIGINT)
+                  - CAST(MIN(p_size) AS BIGINT), 1) AS s_span,
+         CAST(ROUND(MIN(p_retailprice)*100) AS BIGINT) AS p_lo,
+         GREATEST(CAST(ROUND(MAX(p_retailprice)*100) AS BIGINT)
+                  - CAST(ROUND(MIN(p_retailprice)*100) AS BIGINT), 1)
+           AS p_span
+  FROM part
+), x AS (
   SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
          CAST(ROUND(p_retailprice*100) AS BIGINT) AS price_c2,
-         LEAST(GREATEST(CAST(p_size AS BIGINT), 0), {(1 << _Z_BITS) - 1}) AS a,
-         LEAST(GREATEST(CAST(ROUND(p_retailprice*100) AS BIGINT) >> 8, 0),
-               {(1 << _Z_BITS) - 1}) AS b
-  FROM part
+         (CAST(p_size AS BIGINT) - s_lo) * {(1 << _Z_BITS) - 1} // s_span
+           AS a,
+         (CAST(ROUND(p_retailprice*100) AS BIGINT) - p_lo)
+           * {(1 << _Z_BITS) - 1} // p_span AS b
+  FROM part, bounds
 )
 SELECT p_partkey, p_size, price_c2,
        CAST({_z_sql_interleave('a', 0)} + {_z_sql_interleave('b', 1)}
             AS BIGINT) AS zval,
        CAST(({_z_sql_interleave('a', 0)} + {_z_sql_interleave('b', 1)})
-            >> {2 * _Z_BITS - 8} AS BIGINT) AS zbucket
+            >> {_Z_BUCKET_SHIFT} AS BIGINT) AS zbucket
 FROM x
 """
 

