@@ -1876,3 +1876,67 @@ SELECT r.event_id, iv2.state_type, iv2.valid_from_us, iv2.valid_to_us
 FROM runs r JOIN iv2 USING (user_id, rid)
 ORDER BY r.event_id
 """
+
+
+# -- incremental view maintenance ----------------------------------------------
+
+def incremental_hourly_counts(sf_dir: str) -> Dataset:
+    """Incremental aggregate maintenance (delta-refresh of a materialized
+    view): yesterday's hourly-count STATE plus today's late-arriving delta
+    (``event_id % 10 == 9`` plays the delta batch) merge into the refreshed
+    view by summing per-key states — the base raw data is never rescanned
+    at refresh time (here the state is built in the same call only because
+    the demo owns no cross-run storage; ``pipelines.runner``'s manifests
+    are the persistent analogue).  Count states are self-mergeable; the
+    merge is a union + one bounded-domain groupby (hours x types).  The
+    refreshed view must equal the from-scratch aggregate — that equality
+    IS the oracle.  Output: (event_type, hour_bucket, n_events)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["event_id", "ts", "event_type"])
+
+    def split_partials(delta: bool):
+        def f(t: pa.Table) -> pa.Table:
+            eid = pc.cast(t["event_id"], pa.int64())
+            is_delta = pc.equal(
+                pc.subtract(eid, pc.multiply(pc.divide(eid, 10), 10)), 9
+            )
+            sub = t.filter(is_delta if delta else pc.invert(is_delta))
+            hour = pc.divide(pc.cast(sub["ts"], pa.int64()), 3_600_000_000)
+            folded = pa.table(
+                {"event_type": sub["event_type"], "hour_bucket": hour}
+            )
+            agg = pa.TableGroupBy(
+                folded, ["event_type", "hour_bucket"]
+            ).aggregate([([], "count_all")])
+            return agg.rename_columns(
+                ["event_type", "hour_bucket", "n"]
+            )
+
+        return f
+
+    base_state = (
+        ds.map_batches(split_partials(False), batch_format="pyarrow")
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # "yesterday's" persisted view state
+    )
+    delta_state = (
+        ds.map_batches(split_partials(True), batch_format="pyarrow")
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return (
+        base_state.union(delta_state)
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(Sum("n", alias_name="n_events"))
+    )
+
+
+INCREMENTAL_HOURLY_COUNTS_SQL = """
+SELECT event_type,
+       epoch_us(ts) // 3600000000 AS hour_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type, hour_bucket
+"""

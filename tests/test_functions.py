@@ -760,6 +760,7 @@ def test_round3_new_ops_match_oracle(ray_session):
         "zorder_parts",
         "item_similarity_topk",
         "skew_report",
+        "incremental_hourly_counts",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
