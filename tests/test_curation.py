@@ -139,3 +139,41 @@ def test_decontaminate_distributed_fallback_matches_broadcast(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_run_curation_writes_exact_keep_set(ray_session, tmp_path):
+    """tools/run_curation.py: the written corpus holds EXACTLY the
+    curation_pipeline keep set with its bin assignments, partitioned by
+    write shard; a second run skips on the manifest lineage."""
+    import glob
+    import sys
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "tools")
+    from run_curation import WRITE_SHARDS, curate_and_write
+
+    from indu_doc_transformer_ray.functions.text import curation_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "curated")
+    man = curate_and_write(sf, out)
+    assert man["complete"] and not man.get("skipped")
+
+    want = curation_pipeline(sf).to_pandas().set_index("doc_id")
+    got = pq.read_table(f"{out}/corpus").to_pandas()
+    assert sorted(got["doc_id"]) == sorted(want.index)
+    for row in got.itertuples(index=False):
+        assert row.bin_id == want.loc[row.doc_id, "bin_id"]
+        assert row.n_tokens == want.loc[row.doc_id, "n_tokens"]
+    # document payloads survive: text round-trips from the source table
+    src = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas().set_index("doc_id")
+    sample = got.head(20)
+    for row in sample.itertuples(index=False):
+        assert row.text == src.loc[row.doc_id, "text"]
+    # hive layout + manifest resume
+    assert glob.glob(f"{out}/corpus/shard=*")
+    man2 = curate_and_write(sf, out)
+    assert man2.get("skipped")
