@@ -380,3 +380,36 @@ def test_deletion_neighborhood_blocks_every_edit1_pair(s, data):
         return out
 
     assert hood(s) & hood(t), (s, t)
+
+
+# -- z-order interleave: per-dimension monotonicity ---------------------------
+
+@given(
+    st.integers(0, (1 << 16) - 1),
+    st.integers(0, (1 << 16) - 1),
+    st.integers(0, (1 << 16) - 1),
+)
+@settings(max_examples=300)
+def test_zorder_monotone_per_dimension(a, b, delta):
+    """Fixing one dimension, the Morton key strictly increases with the
+    other — the property that makes zbucket ranges prunable for
+    single-column predicates."""
+    import numpy as np
+
+    def z(x, y):
+        xv = np.array([x], dtype=np.uint64)
+        yv = np.array([y], dtype=np.uint64)
+        out = np.zeros(1, dtype=np.uint64)
+        for i in range(16):
+            out |= ((xv >> np.uint64(i)) & np.uint64(1)) << np.uint64(2 * i)
+            out |= ((yv >> np.uint64(i)) & np.uint64(1)) << np.uint64(
+                2 * i + 1
+            )
+        return int(out[0])
+
+    a2 = min(a + delta, (1 << 16) - 1)
+    b2 = min(b + delta, (1 << 16) - 1)
+    if a2 > a:
+        assert z(a2, b) > z(a, b)
+    if b2 > b:
+        assert z(a, b2) > z(a, b)
