@@ -192,6 +192,7 @@ def _query_fns() -> dict:
         "item_similarity_topk": relational.item_similarity_topk,
         "skew_report": relational.skew_report,
         "incremental_hourly_counts": events.incremental_hourly_counts,
+        "hll_wau": sketches.hll_wau,
     }
 
 
@@ -234,7 +235,8 @@ QUERY_CHUNKS = [
      "user_modal_event", "value_histogram", "dau_wau_stickiness",
      "k_anonymity_audit", "event_state_lookup", "global_price_rank",
      "orders_wide", "join_size_estimate", "zorder_parts",
-     "item_similarity_topk", "skew_report", "incremental_hourly_counts"],
+     "item_similarity_topk", "skew_report", "incremental_hourly_counts",
+     "hll_wau"],
     ["cluster_cap_sample", "bfs_hops", "pca_project"],
 ]
 

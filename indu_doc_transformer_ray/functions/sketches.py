@@ -830,3 +830,182 @@ FROM d JOIN md USING (event_type)
 GROUP BY d.event_type
 ORDER BY d.event_type
 """
+
+
+# -- windowed sketch merge: approximate trailing WAU ---------------------------
+
+def hll_wau(sf_dir: str) -> "object":
+    """Approximate trailing-7-day WAU per day via HLL REGISTER MERGE — the
+    streaming-window shape of COUNT DISTINCT at 100 TB: per-day sketches
+    are fixed-size and mergeable (elementwise max), so a trailing window
+    is 7 register merges, never a rescan and never a user-sized shuffle
+    (``dau_wau_stickiness`` is the exact twin; this is its sketch-path
+    scale story).  Shape: a user-bucket kernel dedups (user, day), hashes
+    each user ONCE, fans its register partial to the <=7 windows the day
+    supports and pre-merges per (window, register); a fused-key bucket
+    fold completes the merge (bounded groups, never a
+    windowsxregisters-proportional Dataset.groupby); the driver folds
+    days x 4096 sketch rows and estimates.  Windows clipped to days with
+    events.  Output: (day_bucket, approx_wau)."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    path = f"{sf_dir}/events.parquet"
+    nbu = n_buckets(pq.read_metadata(path).num_rows)
+    nbk = n_buckets(pq.read_metadata(path).num_rows)
+    ds = ray.data.read_parquet(path, columns=["ts", "user_id"])
+
+    import pyarrow.compute as pc
+
+    def day_user(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        uid = pc.cast(t["user_id"], pa.int64())
+        folded = pa.table(
+            {
+                "ub": pc.cast(pc.bit_wise_and(uid, nbu - 1), pa.int32()),
+                "user_id": uid,
+                "day": day,
+            }
+        )
+        return pa.TableGroupBy(folded, ["ub", "user_id", "day"]).aggregate(
+            [([], "count_all")]
+        ).drop_columns(["count_all"])
+
+    def bucket_sketch(g: pd.DataFrame) -> pa.Table:
+        d = g[["user_id", "day"]].drop_duplicates()
+        regs: dict[int, tuple[int, int]] = {}
+        best: dict[tuple[int, int], int] = {}
+        for u, day in zip(
+            d["user_id"].to_numpy("int64"), d["day"].to_numpy("int64")
+        ):
+            rr = regs.get(u)
+            if rr is None:
+                h = int.from_bytes(
+                    hashlib.md5(str(u).encode()).digest()[:8], "big"
+                )
+                reg = h & (M - 1)
+                rest = h >> P_BITS
+                rank = (64 - P_BITS) - rest.bit_length() + 1
+                rr = (reg, rank)
+                regs[u] = rr
+            reg, rank = rr
+            for i in range(7):
+                key = (int(day) + i, reg)
+                if rank > best.get(key, 0):
+                    best[key] = rank
+        wds, rs, ks = [], [], []
+        for (wd, reg), rank in best.items():
+            wds.append(wd)
+            rs.append(reg)
+            ks.append(rank)
+        import numpy as np
+
+        wda = np.array(wds, dtype=np.int64)
+        rga = np.array(rs, dtype=np.int64)
+        return pa.table(
+            {
+                "kb": pa.array(
+                    (((wda << P_BITS) | rga) & (nbk - 1)).astype("int32")
+                ),
+                "wd": pa.array(wda),
+                "reg": pa.array(rga.astype("int32")),
+                "rank": pa.array(np.array(ks, dtype=np.int32)),
+            }
+        )
+
+    def merge_fold(g: pd.DataFrame) -> pa.Table:
+        m = g.groupby(["wd", "reg"], as_index=False)["rank"].max()
+        return pa.table(
+            {
+                "wd": pa.array(m["wd"].to_numpy("int64")),
+                "reg": pa.array(m["reg"].to_numpy("int32")),
+                "rank": pa.array(m["rank"].to_numpy("int32")),
+            }
+        )
+
+    sketch = (
+        ds.map_batches(day_user, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(bucket_sketch, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(merge_fold, batch_format="pandas")
+        .to_pandas()  # <= days x 4096 rows: sketches, never users
+    )
+    days = set(
+        ds.map_batches(
+            lambda t: pa.TableGroupBy(
+                pa.table(
+                    {
+                        "day": pc.divide(
+                            pc.cast(t["ts"], pa.int64()), 86_400_000_000
+                        )
+                    }
+                ),
+                "day",
+            ).aggregate([([], "count_all")]).drop_columns(["count_all"]),
+            batch_format="pyarrow",
+        )
+        .groupby("day")
+        .aggregate(ray.data.aggregate.Count(alias_name="_c"))
+        .to_pandas()["day"]
+        .astype("int64")
+    )
+    out = []
+    for wd, sub in sketch.groupby("wd"):
+        if int(wd) not in days:
+            continue
+        regs_arr = np.zeros(M, dtype=np.int32)
+        regs_arr[sub["reg"].to_numpy()] = sub["rank"].to_numpy()
+        out.append((int(wd), _estimate(regs_arr)))
+    import pandas as pd
+
+    return pd.DataFrame(
+        sorted(out), columns=["day_bucket", "approx_wau"]
+    ).astype({"day_bucket": "int64", "approx_wau": "int64"})
+
+
+def _hll_wau_sql() -> str:
+    alpha_mm = _alpha(M) * M * M
+    return f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+), days AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS wd FROM events
+), w AS (
+  SELECT DISTINCT ud.user_id, ud.d + r.i AS wd FROM ud, range(0, 7) r(i)
+), h AS (
+  SELECT w.wd,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+              AS UBIGINT) AS hv
+  FROM w JOIN days USING (wd)
+), rr AS (
+  SELECT wd, CAST(hv & {M - 1} AS INTEGER) AS reg,
+         CAST(hv >> {P_BITS} AS UBIGINT) AS rest
+  FROM h
+), regs AS (
+  SELECT wd, reg,
+         MAX(CASE WHEN rest = 0 THEN {64 - P_BITS + 1}
+                  ELSE {64 - P_BITS} - length(bin(rest)) + 1 END) AS rank
+  FROM rr GROUP BY wd, reg
+), folded AS (
+  SELECT wd, COUNT(*) AS touched,
+         SUM(power(2.0, -rank)) AS s_touched
+  FROM regs GROUP BY wd
+), est AS (
+  SELECT wd,
+         {alpha_mm!r} / (s_touched + CAST({M} - touched AS DOUBLE)) AS e,
+         {M} - touched AS zeros
+  FROM folded
+)
+SELECT wd AS day_bucket,
+       CAST(CASE WHEN e <= {2.5 * M!r} AND zeros > 0
+                 THEN round({M} * ln({M} / CAST(zeros AS DOUBLE)))
+                 ELSE round(e) END AS BIGINT) AS approx_wau
+FROM est ORDER BY day_bucket
+"""
+
+
+HLL_WAU_SQL = _hll_wau_sql()

@@ -761,6 +761,7 @@ def test_round3_new_ops_match_oracle(ray_session):
         "item_similarity_topk",
         "skew_report",
         "incremental_hourly_counts",
+        "hll_wau",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
@@ -995,3 +996,18 @@ def test_compression_ratio_matches_single_process(ray_session):
     g1 = got.sort_values("doc_id").reset_index(drop=True)
     g2 = got2.sort_values("doc_id").reset_index(drop=True)
     assert g1.equals(g2)
+
+
+def test_hll_wau_accuracy_vs_exact(ray_session):
+    """The sketch-path WAU must track the exact trailing window within a
+    few sigma (1.04/sqrt(4096) ~ 1.6%) on every day."""
+    from indu_doc_transformer_ray.functions.events import dau_wau_stickiness
+    from indu_doc_transformer_ray.functions.sketches import hll_wau
+
+    sf = "/root/testdata/sf0.01"
+    exact = dau_wau_stickiness(sf).set_index("day_bucket")["wau"]
+    approx = hll_wau(sf).set_index("day_bucket")["approx_wau"]
+    assert set(exact.index) == set(approx.index)
+    for d in exact.index:
+        rel = abs(int(approx[d]) - int(exact[d])) / max(1, int(exact[d]))
+        assert rel <= 0.06, (d, int(exact[d]), int(approx[d]), rel)
