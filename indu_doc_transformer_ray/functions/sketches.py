@@ -854,8 +854,7 @@ def hll_wau(sf_dir: str) -> "object":
     from ._util import n_buckets
 
     path = f"{sf_dir}/events.parquet"
-    nbu = n_buckets(pq.read_metadata(path).num_rows)
-    nbk = n_buckets(pq.read_metadata(path).num_rows)
+    nb = n_buckets(pq.read_metadata(path).num_rows)
     ds = ray.data.read_parquet(path, columns=["ts", "user_id"])
 
     import pyarrow.compute as pc
@@ -865,7 +864,7 @@ def hll_wau(sf_dir: str) -> "object":
         uid = pc.cast(t["user_id"], pa.int64())
         folded = pa.table(
             {
-                "ub": pc.cast(pc.bit_wise_and(uid, nbu - 1), pa.int32()),
+                "ub": pc.cast(pc.bit_wise_and(uid, nb - 1), pa.int32()),
                 "user_id": uid,
                 "day": day,
             }
@@ -908,7 +907,7 @@ def hll_wau(sf_dir: str) -> "object":
         return pa.table(
             {
                 "kb": pa.array(
-                    (((wda << P_BITS) | rga) & (nbk - 1)).astype("int32")
+                    (((wda << P_BITS) | rga) & (nb - 1)).astype("int32")
                 ),
                 "wd": pa.array(wda),
                 "reg": pa.array(rga.astype("int32")),

@@ -143,16 +143,13 @@ def curate_and_write(
         os.path.join(out_dir, "corpus"), partition_cols=["shard"]
     )
 
-    import pyarrow.compute as _pc
-
     n_docs = curated.count()
     manifest = dict(lineage)
     manifest.update(
         {
             "complete": True,
             "n_docs_kept": int(n_docs),
-            "n_bins": int(packed.count() and
-                          packed.to_pandas()["bin_id"].nunique()),
+            "n_bins": int(packed.to_pandas()["bin_id"].nunique()),
             "wall_s": round(time.time() - t0, 2),
         }
     )
