@@ -193,6 +193,7 @@ def _query_fns() -> dict:
         "skew_report": relational.skew_report,
         "incremental_hourly_counts": events.incremental_hourly_counts,
         "hll_wau": sketches.hll_wau,
+        "value_trend_per_type": events.value_trend_per_type,
     }
 
 
@@ -236,7 +237,7 @@ QUERY_CHUNKS = [
      "k_anonymity_audit", "event_state_lookup", "global_price_rank",
      "orders_wide", "join_size_estimate", "zorder_parts",
      "item_similarity_topk", "skew_report", "incremental_hourly_counts",
-     "hll_wau"],
+     "hll_wau", "value_trend_per_type"],
     ["cluster_cap_sample", "bfs_hops", "pca_project"],
 ]
 

@@ -1940,3 +1940,88 @@ SELECT event_type,
 FROM events
 GROUP BY event_type, hour_bucket
 """
+
+
+# -- distributed regression via sufficient statistics ---------------------------
+
+def value_trend_per_type(sf_dir: str) -> "object":
+    """Per-type OLS trend of ``value`` over time — distributed REGRESSION
+    via sufficient statistics: each batch folds to (n, Σx, Σy, Σxy, Σxx)
+    per type, one tiny groupby sums the moments, and the slope is the
+    exact integer fraction ``(nΣxy − ΣxΣy) / (nΣxx − (Σx)²)`` — no
+    residual pass, no row ever leaves its batch.  x = hours since the
+    corpus start (bounds from parquet stats keep the products inside
+    int64; the oracle does the same arithmetic in HUGEINT and casts
+    back).  Output: (event_type, n, slope_num, slope_den)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    t0, _ = _ts_bounds_us(f"{sf_dir}/events.parquet")
+    h0 = t0 // 3_600_000_000
+    ds = _read_events(sf_dir, ["ts", "event_type", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = pc.subtract(
+            pc.divide(pc.cast(t["ts"], pa.int64()), 3_600_000_000), h0
+        )
+        y = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        folded = pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": pa.array([1] * t.num_rows, pa.int64()),
+                "sx": x,
+                "sy": y,
+                "sxy": pc.multiply(x, y),
+                "sxx": pc.multiply(x, x),
+            }
+        )
+        return pa.TableGroupBy(folded, "event_type").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum"), ("sxx", "sum")]
+        ).rename_columns(["event_type", "n", "sx", "sy", "sxy", "sxx"])
+
+    m = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .to_pandas()  # O(|types|)
+    )
+    out = pd.DataFrame(
+        {
+            "event_type": m["event_type"].astype(str),
+            "n": m["n"].astype("int64"),
+            "slope_num": (
+                m["n"] * m["sxy"] - m["sx"] * m["sy"]
+            ).astype("int64"),
+            "slope_den": (
+                m["n"] * m["sxx"] - m["sx"] * m["sx"]
+            ).astype("int64"),
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+VALUE_TREND_PER_TYPE_SQL = """
+WITH b AS (SELECT epoch_us(MIN(ts)) // 3600000000 AS h0 FROM events),
+x AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 3600000000 - h0 AS HUGEINT) AS x,
+         CAST(CAST(ROUND(value*100) AS BIGINT) AS HUGEINT) AS y
+  FROM events, b
+), m AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*y) AS sxy, SUM(x*x) AS sxx
+  FROM x GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+FROM m ORDER BY event_type
+"""

@@ -762,6 +762,7 @@ def test_round3_new_ops_match_oracle(ray_session):
         "skew_report",
         "incremental_hourly_counts",
         "hll_wau",
+        "value_trend_per_type",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
