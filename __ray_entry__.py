@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (167 of 174): every deterministic construction is
+                      (168 of 175): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog via its md5 registers,
                       k-means and IVF via an unrolled Lloyd CTE chain,
@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_hourly_counts": events.incremental_hourly_counts,
         "hll_wau": sketches.hll_wau,
         "value_trend_per_type": events.value_trend_per_type,
+        "knn_label_accuracy": similarity.knn_label_accuracy,
         "running_total_per_customer": windows.running_total_per_customer,
         "order_gaps": windows.order_gaps,
         "q7_nation_pairs": relational.q7_nation_pairs,
@@ -422,6 +423,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_hourly_counts": events.INCREMENTAL_HOURLY_COUNTS_SQL,
         "hll_wau": sketches.HLL_WAU_SQL,
         "value_trend_per_type": events.VALUE_TREND_PER_TYPE_SQL,
+        "knn_label_accuracy": similarity.KNN_LABEL_ACCURACY_SQL,
         "cluster_cap_sample": similarity.CLUSTER_CAP_SAMPLE_SQL,
         "bfs_hops": similarity.BFS_HOPS_SQL,
         "pca_project": similarity.PCA_PROJECT_SQL,

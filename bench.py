@@ -194,6 +194,7 @@ def _query_fns() -> dict:
         "incremental_hourly_counts": events.incremental_hourly_counts,
         "hll_wau": sketches.hll_wau,
         "value_trend_per_type": events.value_trend_per_type,
+        "knn_label_accuracy": similarity.knn_label_accuracy,
     }
 
 
@@ -238,7 +239,7 @@ QUERY_CHUNKS = [
      "orders_wide", "join_size_estimate", "zorder_parts",
      "item_similarity_topk", "skew_report", "incremental_hourly_counts",
      "hll_wau", "value_trend_per_type"],
-    ["cluster_cap_sample", "bfs_hops", "pca_project"],
+    ["cluster_cap_sample", "bfs_hops", "pca_project", "knn_label_accuracy"],
 ]
 
 

@@ -3050,3 +3050,149 @@ ORDER BY c.vec_id"""
 
 
 PCA_PROJECT_SQL = _pca_project_sql()
+
+
+# -- embedding-quality eval: leave-one-out k-NN classification ----------------
+
+def knn_label_accuracy(sf_dir: str) -> "object":
+    """Leave-one-out k-NN classification accuracy per label — the standard
+    embedding-quality eval (does neighborhood structure predict the
+    label?).  Reuses the session-memoized IVF k-NN graph; labels could be
+    corpus-proportional, so they ATTACH via two vec-bucket co-locations
+    (never a broadcast, never a high-cardinality groupby): pass 1 keys
+    edges by NEIGHBOR and attaches the neighbor's label; pass 2 keys by
+    SOURCE, majority-votes each vector's <=k neighbor labels (ties ->
+    smallest label) against its own, and emits per-label (n, n_correct)
+    partials; one |labels|-row fold finishes.  Output: (label, n,
+    n_correct)."""
+    import pandas as pd
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows)
+    g = knn_graph(sf_dir)
+    labels = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    )
+
+    def key_edges_by_nbr(t: pa.Table) -> pa.Table:
+        nbr = pc.cast(t["nbr_id"], pa.int64())
+        return pa.table(
+            {
+                "bk": pc.cast(pc.bit_wise_and(nbr, nb - 1), pa.int32()),
+                "vec_id": pc.cast(t["vec_id"], pa.int64()),
+                "nbr_id": nbr,
+                "lab": pa.array([-1] * t.num_rows, pa.int64()),
+                "kind": pa.array([0] * t.num_rows, pa.int8()),
+            }
+        )
+
+    def key_labels(t: pa.Table) -> pa.Table:
+        vid = pc.cast(t["vec_id"], pa.int64())
+        return pa.table(
+            {
+                "bk": pc.cast(pc.bit_wise_and(vid, nb - 1), pa.int32()),
+                "vec_id": vid,
+                "nbr_id": pa.array([-1] * t.num_rows, pa.int64()),
+                "lab": pc.cast(t["label"], pa.int64()),
+                "kind": pa.array([1] * t.num_rows, pa.int8()),
+            }
+        )
+
+    def attach_nbr_label(g_: pd.DataFrame) -> pa.Table:
+        lab = g_[g_["kind"] == 1].set_index("vec_id")["lab"]
+        e = g_[g_["kind"] == 0]
+        src = e["vec_id"].to_numpy("int64")
+        return pa.table(
+            {
+                "bk": pa.array(
+                    (src & (nb - 1)).astype("int32")
+                ),
+                "vec_id": pa.array(src),
+                "nbr_lab": pa.array(
+                    e["nbr_id"].map(lab).to_numpy("int64")
+                ),
+                "kind": pa.array([0] * len(e), pa.int8()),
+            }
+        )
+
+    def relabel_for_vote(t: pa.Table) -> pa.Table:
+        vid = pc.cast(t["vec_id"], pa.int64())
+        return pa.table(
+            {
+                "bk": pc.cast(pc.bit_wise_and(vid, nb - 1), pa.int32()),
+                "vec_id": vid,
+                "nbr_lab": pc.cast(t["label"], pa.int64()),
+                "kind": pa.array([1] * t.num_rows, pa.int8()),
+            }
+        )
+
+    def vote(g_: pd.DataFrame) -> pa.Table:
+        own = g_[g_["kind"] == 1].set_index("vec_id")["nbr_lab"]
+        e = g_[g_["kind"] == 0]
+        c = (
+            e.groupby(["vec_id", "nbr_lab"]).size().reset_index(name="c")
+            .sort_values(["vec_id", "c", "nbr_lab"],
+                         ascending=[True, False, True])
+        )
+        pred = c.groupby("vec_id", sort=True).head(1).set_index("vec_id")[
+            "nbr_lab"
+        ]
+        res = pd.DataFrame({"true_lab": own})
+        res["pred"] = res.index.map(pred)
+        # vectors with no in-graph neighbors count as incorrect
+        res["ok"] = (res["pred"] == res["true_lab"]).astype("int64")
+        agg = res.groupby("true_lab")["ok"].agg(["size", "sum"]).reset_index()
+        return pa.table(
+            {
+                "label": pa.array(agg["true_lab"].to_numpy("int64")),
+                "n": pa.array(agg["size"].to_numpy("int64")),
+                "n_correct": pa.array(agg["sum"].to_numpy("int64")),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        g.map_batches(key_edges_by_nbr, batch_format="pyarrow")
+        .union(labels.map_batches(key_labels, batch_format="pyarrow"))
+        .groupby("bk")
+        .map_groups(attach_nbr_label, batch_format="pandas")
+        .union(labels.map_batches(relabel_for_vote, batch_format="pyarrow"))
+        .groupby("bk")
+        .map_groups(vote, batch_format="pandas")
+        .groupby("label")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_correct", alias_name="n_correct"),
+        )
+        .to_pandas()  # O(|labels|)
+    )
+    for c in ("label", "n", "n_correct"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("label").reset_index(drop=True)
+
+
+KNN_LABEL_ACCURACY_SQL = f"""
+WITH knn AS MATERIALIZED ({KNN_GRAPH_SQL}),
+nl AS (
+  SELECT k.vec_id, e.label AS nbr_lab
+  FROM knn k JOIN embeddings e ON k.nbr_id = e.vec_id
+), votes AS (
+  SELECT vec_id, nbr_lab, COUNT(*) AS c FROM nl GROUP BY 1, 2
+), pred AS (
+  SELECT vec_id, nbr_lab AS pred FROM (
+    SELECT vec_id, nbr_lab, row_number() OVER (
+      PARTITION BY vec_id ORDER BY c DESC, nbr_lab) AS rk
+    FROM votes) WHERE rk = 1
+)
+SELECT CAST(e.label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct
+FROM embeddings e LEFT JOIN pred p USING (vec_id)
+GROUP BY e.label ORDER BY label
+"""

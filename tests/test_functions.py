@@ -763,6 +763,7 @@ def test_round3_new_ops_match_oracle(ray_session):
         "incremental_hourly_counts",
         "hll_wau",
         "value_trend_per_type",
+        "knn_label_accuracy",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
