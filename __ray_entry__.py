@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (168 of 175): every deterministic construction is
+                      (169 of 176): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog via its md5 registers,
                       k-means and IVF via an unrolled Lloyd CTE chain,
@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_wau": sketches.hll_wau,
         "value_trend_per_type": events.value_trend_per_type,
         "knn_label_accuracy": similarity.knn_label_accuracy,
+        "daily_value_median": sketches.daily_value_median,
         "running_total_per_customer": windows.running_total_per_customer,
         "order_gaps": windows.order_gaps,
         "q7_nation_pairs": relational.q7_nation_pairs,
@@ -424,6 +425,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_wau": sketches.HLL_WAU_SQL,
         "value_trend_per_type": events.VALUE_TREND_PER_TYPE_SQL,
         "knn_label_accuracy": similarity.KNN_LABEL_ACCURACY_SQL,
+        "daily_value_median": sketches.DAILY_VALUE_MEDIAN_SQL,
         "cluster_cap_sample": similarity.CLUSTER_CAP_SAMPLE_SQL,
         "bfs_hops": similarity.BFS_HOPS_SQL,
         "pca_project": similarity.PCA_PROJECT_SQL,

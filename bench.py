@@ -195,6 +195,7 @@ def _query_fns() -> dict:
         "hll_wau": sketches.hll_wau,
         "value_trend_per_type": events.value_trend_per_type,
         "knn_label_accuracy": similarity.knn_label_accuracy,
+        "daily_value_median": sketches.daily_value_median,
     }
 
 
@@ -238,7 +239,7 @@ QUERY_CHUNKS = [
      "k_anonymity_audit", "event_state_lookup", "global_price_rank",
      "orders_wide", "join_size_estimate", "zorder_parts",
      "item_similarity_topk", "skew_report", "incremental_hourly_counts",
-     "hll_wau", "value_trend_per_type"],
+     "hll_wau", "value_trend_per_type", "daily_value_median"],
     ["cluster_cap_sample", "bfs_hops", "pca_project", "knn_label_accuracy"],
 ]
 

@@ -1008,3 +1008,136 @@ FROM est ORDER BY day_bucket
 
 
 HLL_WAU_SQL = _hll_wau_sql()
+
+
+# -- windowed holistic aggregate: exact P50 per (type, day) --------------------
+
+def daily_value_median(sf_dir: str) -> "object":
+    """Exact lower-discrete median of ``value`` per (event_type, day) — the
+    windowed HOLISTIC aggregate a streaming dashboard needs (percentiles
+    don't decompose like sums, so the naive shape co-locates every
+    window's raw rows).  Same two-pass counting histogram as
+    ``median_price_per_status`` but on the composite (type, day) key:
+    pass 1 folds (type, day, coarse bucket) counts map-side; the driver
+    holds windows x domain/4096 cumulative counts (bounded: windows =
+    types x days, never corpus-sized); pass 2 re-reads only straddling
+    buckets for exact per-value counts.  Output: (event_type, day_bucket,
+    n, median_c2)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def keyed(t: pa.Table):
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        v = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return day, v
+
+    def hist(t: pa.Table) -> pa.Table:
+        day, v = keyed(t)
+        folded = pa.table(
+            {
+                "s": t["event_type"],
+                "d": day,
+                "b": pc.divide(v, _HIST_WIDTH),
+            }
+        )
+        return pa.TableGroupBy(folded, ["s", "d", "b"]).aggregate(
+            [([], "count_all")]
+        )
+
+    counts = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["s", "d", "b"])
+        .aggregate(ray.data.aggregate.Sum("count_all", alias_name="n"))
+        .to_pandas()  # <= windows * domain/4096 rows
+        .sort_values(["s", "d", "b"])
+        .reset_index(drop=True)
+    )
+    need: dict[tuple[str, int, int], int] = {}
+    totals: dict[tuple[str, int], int] = {}
+    for (s, d), g in counts.groupby(["s", "d"]):
+        g = g.reset_index(drop=True)
+        n = int(g["n"].sum())
+        totals[(str(s), int(d))] = n
+        cum = g["n"].cumsum()
+        k = (n - 1) // 2
+        i = int((cum > k).idxmax())
+        before = int(cum.iloc[i - 1]) if i > 0 else 0
+        need[(str(s), int(d), int(g.loc[i, "b"]))] = k - before
+
+    keys = pa.array(
+        [f"{s}|{d}|{b}" for (s, d, b) in sorted(need)], pa.string()
+    )
+
+    def in_bucket(t: pa.Table) -> pa.Table:
+        day, v = keyed(t)
+        key = pc.binary_join_element_wise(
+            t["event_type"],
+            pc.cast(day, pa.string()),
+            pc.cast(pc.divide(v, _HIST_WIDTH), pa.string()),
+            "|",
+        )
+        sub = pa.table(
+            {"s": t["event_type"], "d": day, "v": v}
+        ).filter(pc.is_in(key, value_set=keys))
+        return pa.TableGroupBy(sub, ["s", "d", "v"]).aggregate(
+            [([], "count_all")]
+        )
+
+    fine = (
+        ds.map_batches(in_bucket, batch_format="pyarrow")
+        .groupby(["s", "d", "v"])
+        .aggregate(ray.data.aggregate.Sum("count_all", alias_name="n"))
+        .to_pandas()
+    )
+    med: dict[tuple[str, int], int] = {}
+    for (s, d, b), rk in need.items():
+        g = (
+            fine[
+                (fine["s"] == s) & (fine["d"] == d)
+                & (fine["v"] // _HIST_WIDTH == b)
+            ]
+            .sort_values("v")
+            .reset_index(drop=True)
+        )
+        cum = g["n"].cumsum()
+        i = int((cum > rk).idxmax())
+        med[(s, d)] = int(g.loc[i, "v"])
+    out = pd.DataFrame(
+        [
+            {
+                "event_type": s,
+                "day_bucket": d,
+                "n": n,
+                "median_c2": med[(s, d)],
+            }
+            for (s, d), n in sorted(totals.items())
+        ]
+    )
+    for c in ("day_bucket", "n", "median_c2"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+DAILY_VALUE_MEDIAN_SQL = """
+WITH x AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day_bucket,
+         CAST(ROUND(value*100) AS BIGINT) AS v
+  FROM events
+)
+SELECT event_type, day_bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN rk = (n2 - 1) // 2 + 1 THEN v END) AS BIGINT)
+         AS median_c2
+FROM (
+  SELECT event_type, day_bucket, v,
+         row_number() OVER (
+           PARTITION BY event_type, day_bucket ORDER BY v) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type, day_bucket) AS n2
+  FROM x
+)
+GROUP BY event_type, day_bucket
+ORDER BY event_type, day_bucket
+"""

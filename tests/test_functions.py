@@ -764,6 +764,7 @@ def test_round3_new_ops_match_oracle(ray_session):
         "hll_wau",
         "value_trend_per_type",
         "knn_label_accuracy",
+        "daily_value_median",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
