@@ -96,27 +96,46 @@ def _extract_object_stats(sf_dir: str):
     }
 
     def partials(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
         combined = _explode_deltas(batch)
-        kinds, keys, ns = [], [], []
-        for k in combined.column("mkey").to_pylist():
-            kinds.append(_KIND_TO_TABLE[k.split(US, 1)[0]])
-            keys.append(k)
-            ns.append(1)
+        # vectorized kind->table mapping: split at the dictionary level
+        # (a handful of distinct kinds), never per row
+        mkey = combined.column("mkey").combine_chunks()
+        kind0 = pc.list_element(pc.split_pattern(mkey, US, max_splits=1), 0)
+        if isinstance(kind0, pa.ChunkedArray):
+            kind0 = kind0.combine_chunks()
+        enc = pc.dictionary_encode(kind0)
+        mapped = pa.array(
+            [_KIND_TO_TABLE[v] for v in enc.dictionary.to_pylist()], pa.string()
+        )
+        kinds = pc.cast(
+            pa.DictionaryArray.from_arrays(enc.indices, mapped), pa.string()
+        )
+        delta_rows = pa.table(
+            {
+                "kind": kinds,
+                "key": mkey,
+                "n": pa.array(np.ones(combined.num_rows, dtype=np.int64)),
+            }
+        )
         # doc-scoped sums: per-batch partials keyed by the batch's first
         # doc_id (each doc lives in exactly one batch -> keys never collide)
         uniq = str(batch.column("doc_id")[0].as_py())
-        for col, name in (("n_errors", "errors"),
-                          ("n_page_objects", "page_objects")):
-            kinds.append(name)
-            keys.append(f"\x00batch:{uniq}")
-            ns.append(pc.sum(batch.column(col)).as_py() or 0)
-        return pa.table(
+        local_rows = pa.table(
             {
-                "kind": pa.array(kinds, pa.string()),
-                "key": pa.array(keys, pa.string()),
-                "n": pa.array(ns, pa.int64()),
+                "kind": pa.array(["errors", "page_objects"], pa.string()),
+                "key": pa.array([f"\x00batch:{uniq}"] * 2, pa.string()),
+                "n": pa.array(
+                    [
+                        pc.sum(batch.column("n_errors")).as_py() or 0,
+                        pc.sum(batch.column("n_page_objects")).as_py() or 0,
+                    ],
+                    pa.int64(),
+                ),
             }
         )
+        return pa.concat_tables([delta_rows, local_rows])
 
     extracted = extract_corpus_cached(sf_dir)
     out = (
@@ -368,10 +387,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_weights": curation.mixture_weights,
         "shard_assign": curation.shard_assign,
     }
+    # Each family's RISKIEST members (newest / most intricate oracle) are
+    # promoted to the front of that family's pool, so the driver-sampled
+    # prefix (first ~50 of the interleave) always covers the weakest link
+    # of every family, not just an arbitrary member (round-3 verdict #9).
+    risk_first = [
+        "substring_dup_coverage", "minhash_lsh_pairs",       # dedup
+        "knn_label_accuracy", "pagerank_knn", "semdedup",    # similarity
+        "hll_wau", "daily_value_median", "mad_outliers",     # sketches
+        "q21_sole_returner", "item_similarity_topk",         # relational
+        "value_trend_per_type", "session_overlap",           # events
+        "leakage_safe_split",                                # curation
+        "bpe_pair_merges", "curation_pipeline",              # text
+        "global_price_rank", "price_decile",                 # windows
+        "html_spans",                                        # html
+    ]
+    rank = {n: i for i, n in enumerate(risk_first)}
     fams: dict[str, list[str]] = {}
     for name, fn in q.items():
         fams.setdefault(getattr(fn, "__module__", "x"), []).append(name)
-    pools = list(fams.values())
+    pools = [
+        sorted(pool, key=lambda n: rank.get(n, len(rank)))
+        for pool in fams.values()
+    ]
     order: list[str] = []
     while any(pools):
         for pool in pools:

@@ -449,10 +449,37 @@ def run_stats() -> None:
     ray.shutdown()
 
 
+def emit_record(rec: dict) -> None:
+    """Print ONE compact final JSON line (<~1500 chars) and write the full
+    per-query timing map to a side file.
+
+    The driver that records ``BENCH_r{N}.json`` keeps only the TAIL of
+    stdout; inlining all ~180 per-query timings pushed ``host_calibration``
+    (serialized first) past the capture window and left the official round
+    record unparseable (round-3 finding).  The final line therefore carries
+    headline + calibration + a top-slowest digest only; the complete map
+    goes to ``BENCH_QUERIES.json`` next to this script."""
+    queries = rec.pop("queries", {})
+    full = dict(rec, queries=queries)
+    side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_QUERIES.json")
+    try:
+        with open(side, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    except OSError:
+        print(json.dumps(full), file=sys.stderr)
+    slowest = sorted(queries.items(), key=lambda kv: -kv[1])[:5]
+    rec["queries"] = dict(slowest)
+    rec["queries_n"] = len(queries)
+    rec["queries_total_sec"] = round(sum(queries.values()), 2)
+    rec["queries_file"] = "BENCH_QUERIES.json"
+    print(json.dumps(rec))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--stats" in sys.argv:
         run_stats()
     else:
-        print(json.dumps(run_once()))
+        emit_record(run_once())

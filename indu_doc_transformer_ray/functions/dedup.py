@@ -1864,10 +1864,15 @@ def fuzzy_name_pairs(sf_dir: str) -> Dataset:
 
 FUZZY_NAME_PAIRS_SQL = """
 WITH v AS (SELECT DISTINCT c_name AS n FROM customer),
+pos AS (
+  -- per-name deletion positions 0..len(n): no fixed cap, so 64+-char
+  -- names keep their full variant neighborhood (round-3 ADVICE)
+  SELECT n, unnest(generate_series(0, len(n))) AS i FROM v
+),
 vars AS (
   SELECT n, CASE WHEN i = 0 THEN n
            ELSE substr(n, 1, i - 1) || substr(n, i + 1) END AS var
-  FROM v, range(0, 64) r(i) WHERE i <= len(n)
+  FROM pos
 ), cand AS (
   SELECT DISTINCT a.n AS name_a, b.n AS name_b
   FROM vars a JOIN vars b ON a.var = b.var AND a.n < b.n

@@ -1653,9 +1653,13 @@ def value_histogram(sf_dir: str) -> Dataset:
     ds = _read_events(sf_dir, ["event_type", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
+        from .sketches import _floor_bucket
+
         v = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        # FLOOR bucket (not pc.divide's trunc): the DuckDB // oracle floors,
+        # and the two disagree for negative values
         folded = pa.table(
-            {"event_type": t["event_type"], "bin": pc.divide(v, HIST_BIN_C2)}
+            {"event_type": t["event_type"], "bin": _floor_bucket(v, HIST_BIN_C2)}
         )
         agg = pa.TableGroupBy(folded, ["event_type", "bin"]).aggregate(
             [([], "count_all")]
@@ -1670,11 +1674,15 @@ def value_histogram(sf_dir: str) -> Dataset:
     )
 
 
+# bin is FLOOR division (DuckDB's // truncates toward zero, which would
+# give a double-width bin straddling zero on signed values): subtract the
+# non-negative remainder first so the // is exact
 VALUE_HISTOGRAM_SQL = f"""
+WITH c AS (SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS v FROM events)
 SELECT event_type,
-       CAST(ROUND(value*100) AS BIGINT) // {HIST_BIN_C2} AS bin,
+       (v - ((v % {HIST_BIN_C2}) + {HIST_BIN_C2}) % {HIST_BIN_C2}) // {HIST_BIN_C2} AS bin,
        CAST(COUNT(*) AS BIGINT) AS n
-FROM events GROUP BY 1, 2 ORDER BY 1, 2
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
@@ -1993,16 +2001,20 @@ def value_trend_per_type(sf_dir: str) -> "object":
         )
         .to_pandas()  # O(|types|)
     )
+    # final two products in PYTHON ints (object dtype): n is
+    # corpus-proportional and sxy grows with hours^2 x value, so int64
+    # products can wrap silently at large scale.  Exact arbitrary-precision
+    # arithmetic here, then the int64 cast RAISES on overflow — the faithful
+    # mirror of the oracle's HUGEINT math + BIGINT cast (which also errors
+    # rather than wrapping).
+    n_o, sx_o, sy_o = m["n"].astype(object), m["sx"].astype(object), m["sy"].astype(object)
+    sxy_o, sxx_o = m["sxy"].astype(object), m["sxx"].astype(object)
     out = pd.DataFrame(
         {
             "event_type": m["event_type"].astype(str),
             "n": m["n"].astype("int64"),
-            "slope_num": (
-                m["n"] * m["sxy"] - m["sx"] * m["sy"]
-            ).astype("int64"),
-            "slope_den": (
-                m["n"] * m["sxx"] - m["sx"] * m["sx"]
-            ).astype("int64"),
+            "slope_num": (n_o * sxy_o - sx_o * sy_o).astype("int64"),
+            "slope_den": (n_o * sxx_o - sx_o * sx_o).astype("int64"),
         }
     )
     return out.sort_values("event_type").reset_index(drop=True)

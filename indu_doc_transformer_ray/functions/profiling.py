@@ -1,0 +1,838 @@
+"""Profiling, data-quality and planning primitives (column profiler,
+rollup/cube/pivot, correlation, constraint audit, pareto frontier,
+k-anonymity, join-size estimate, skew report).
+
+Split out of relational.py; see functions/_relcommon.py.  The public
+surface is re-exported by ``functions.relational``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Min, Sum  # noqa: F401
+
+from . import _relcommon as _rc
+from ._relcommon import (  # noqa: F401
+    _cents,
+    _dim_lookup,
+    _dim_rows,
+    _lookup_hits,
+    _read,
+)
+from ._util import join_partitions  # noqa: F401
+
+
+# -- generic column profiler -------------------------------------------------
+
+def profile_columns(
+    ds: Dataset, numeric_cols: list[str], key_col: str
+) -> "object":
+    """Generic data-profiling aggregate: per numeric column (count, nulls,
+    min, max, integer-scaled sum) plus exact distinct count of ``key_col``
+    via the two-level groupby — one pass + one tiny shuffle, the profile
+    never exceeds a few rows.  The building block for ingest validation at
+    scale (schema drift, null explosions, range regressions)."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, counts, nulls, mins, maxs, sums = [], [], [], [], [], []
+        for c in numeric_cols:
+            col = t[c]
+            names.append(c)
+            counts.append(len(col) - col.null_count)
+            nulls.append(col.null_count)
+            mn, mx = pc.min(col).as_py(), pc.max(col).as_py()
+            # +/-inf sentinels for all-null/empty batches: a 0 coercion
+            # would corrupt the global min/max whenever the true column
+            # min > 0 or max < 0.  Mapped back to NaN after the reduce.
+            mins.append(float("inf") if mn is None else float(mn))
+            maxs.append(float("-inf") if mx is None else float(mx))
+            s = pc.sum(_cents(col)).as_py()
+            sums.append(0 if s is None else int(s))
+        return pa.table(
+            {
+                "column": pa.array(names, pa.string()),
+                "n": pa.array(counts, pa.int64()),
+                "nulls": pa.array(nulls, pa.int64()),
+                "min_v": pa.array(mins, pa.float64()),
+                "max_v": pa.array(maxs, pa.float64()),
+                "sum_c2": pa.array(sums, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    prof = (
+        parts.groupby("column")
+        .agg(
+            n=("n", "sum"), nulls=("nulls", "sum"), min_v=("min_v", "min"),
+            max_v=("max_v", "max"), sum_c2=("sum_c2", "sum"),
+        )
+        .reset_index()
+    )
+    import numpy as np
+
+    prof["min_v"] = prof["min_v"].replace(np.inf, np.nan)
+    prof["max_v"] = prof["max_v"].replace(-np.inf, np.nan)
+    distinct = (
+        ds.groupby(key_col).aggregate(Count(alias_name="_c"))
+        .count()
+    )
+    prof["n_distinct_keys"] = int(distinct)
+    return prof.astype(
+        {"n": "int64", "nulls": "int64", "sum_c2": "int64",
+         "n_distinct_keys": "int64"}
+    ).sort_values("column").reset_index(drop=True)
+
+
+def profile_lineitem(sf_dir: str) -> "object":
+    """Profile of lineitem's numeric columns keyed by l_orderkey."""
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    return profile_columns(
+        ds, ["l_quantity", "l_extendedprice", "l_discount"], "l_orderkey"
+    )
+
+
+PROFILE_LINEITEM_SQL = """
+WITH d AS (SELECT COUNT(DISTINCT l_orderkey) AS nd FROM lineitem),
+p AS (
+  SELECT 'l_quantity' AS "column", COUNT(l_quantity) AS n,
+         COUNT(*) - COUNT(l_quantity) AS nulls,
+         CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
+         CAST(MAX(l_quantity) AS DOUBLE) AS max_v,
+         CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_c2
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', COUNT(l_extendedprice),
+         COUNT(*) - COUNT(l_extendedprice),
+         CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE),
+         CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', COUNT(l_discount), COUNT(*) - COUNT(l_discount),
+         CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE),
+         CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT)
+  FROM lineitem
+)
+SELECT p.*, CAST(d.nd AS BIGINT) AS n_distinct_keys
+FROM p CROSS JOIN d ORDER BY "column"
+"""
+
+
+# -- rollup: hierarchical totals ---------------------------------------------
+
+def orders_rollup(sf_dir: str) -> "object":
+    """GROUP BY ROLLUP(status, priority): the hierarchical-aggregate shape —
+    ONE distributed groupby at the finest grain, then the coarser levels
+    re-aggregate the (tiny) finest result on the driver (classic rollup
+    push-down: never re-scan the fact table per level).  NULL grouping
+    columns are encoded as '' for hash-stable comparison."""
+    import pandas as pd
+
+    base = (
+        _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()  # |statuses| x |priorities| rows
+    )
+    lvl1 = (
+        base.groupby("o_orderstatus", as_index=False)["n"].sum()
+        .assign(o_orderpriority="")
+    )
+    total = pd.DataFrame(
+        {"o_orderstatus": [""], "o_orderpriority": [""], "n": [base["n"].sum()]}
+    )
+    out = pd.concat([base, lvl1, total], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(
+        ["o_orderstatus", "o_orderpriority"]
+    ).reset_index(drop=True)
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT COALESCE(o_orderstatus, '') AS o_orderstatus,
+       COALESCE(o_orderpriority, '') AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+# -- pivot: long -> wide -----------------------------------------------------
+
+def status_priority_pivot(sf_dir: str) -> "object":
+    """Pivot orders to a status x priority count matrix: map-side one-hot
+    columns (one int column per priority value, vectorized) + ONE groupby
+    Sum — the long->wide shape without a second pass or driver pivot of the
+    fact table.  Priority values are a fixed domain (dimension metadata at
+    scale)."""
+    PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    COLS = ["p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low"]
+
+    def one_hot(t: pa.Table) -> pa.Table:
+        cols = {"o_orderstatus": t["o_orderstatus"]}
+        for val, name in zip(PRIORITIES, COLS):
+            cols[name] = pc.cast(
+                pc.equal(t["o_orderpriority"], val), pa.int64()
+            )
+        return pa.table(cols)
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+        .map_batches(one_hot, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(*[Sum(c, alias_name=c) for c in COLS])
+        .to_pandas()  # |statuses| rows
+    )
+    for c in COLS:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+STATUS_PRIORITY_PIVOT_SQL = """
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1_urgent,
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2_high,
+       CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3_medium,
+       CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4_not_specified,
+       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5_low
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+# -- statistics: Pearson correlation ----------------------------------------
+
+def corr_qty_price(sf_dir: str) -> "object":
+    """Pearson correlation of quantity vs extended price over lineitem —
+    the single-pass distributed-statistics shape: each batch folds to ONE
+    row of integer-cent moment sums (Σx, Σy, Σxy, Σx², Σy², n), the driver
+    adds them as arbitrary-precision Python ints (the sums, not the data;
+    SQL mirrors with HUGEINT), and the final correlation is one fixed
+    double expression — num/sqrt(a)/sqrt(b), each operand an exact big-int
+    correctly rounded to double on both engines — FLOORED to micro-units
+    (the bm25 technique).  Output: one row (n, corr_mu)."""
+    import math
+
+    import pandas as pd
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64())
+        y = _cents(t["l_extendedprice"])
+        return pa.table(
+            {
+                "sx": pa.array([pc.sum(x).as_py() or 0], pa.int64()),
+                "sy": pa.array([pc.sum(y).as_py() or 0], pa.int64()),
+                "sxy": pa.array(
+                    [pc.sum(pc.multiply(x, y)).as_py() or 0], pa.int64()
+                ),
+                "sxx": pa.array(
+                    [pc.sum(pc.multiply(x, x)).as_py() or 0], pa.int64()
+                ),
+                "syy": pa.array(
+                    [pc.sum(pc.multiply(y, y)).as_py() or 0], pa.int64()
+                ),
+                "cnt": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # arbitrary-precision accumulation: at extreme scale int64 pandas sums
+    # of second moments would overflow; Python ints cannot
+    sx = sum(int(v) for v in parts["sx"])
+    sy = sum(int(v) for v in parts["sy"])
+    sxy = sum(int(v) for v in parts["sxy"])
+    sxx = sum(int(v) for v in parts["sxx"])
+    syy = sum(int(v) for v in parts["syy"])
+    n = sum(int(v) for v in parts["cnt"])
+    num = n * sxy - sx * sy
+    va = n * sxx - sx * sx
+    vb = n * syy - sy * sy
+    corr = num / math.sqrt(va) / math.sqrt(vb)
+    return pd.DataFrame(
+        {"n": [n], "corr_mu": [math.floor(corr * 1e6)]}
+    ).astype({"n": "int64", "corr_mu": "int64"})
+
+
+CORR_QTY_PRICE_SQL = """
+WITH m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(CAST(ROUND(l_quantity*100) AS BIGINT) AS HUGEINT)) AS sx,
+         SUM(CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) AS HUGEINT)) AS sy,
+         SUM(CAST(CAST(ROUND(l_quantity*100) AS BIGINT) AS HUGEINT)
+             * CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sxy,
+         SUM(CAST(CAST(ROUND(l_quantity*100) AS BIGINT) AS HUGEINT)
+             * CAST(ROUND(l_quantity*100) AS BIGINT)) AS sxx,
+         SUM(CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) AS HUGEINT)
+             * CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS syy
+  FROM lineitem
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  / sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+                  * 1e6) AS BIGINT) AS corr_mu
+FROM m
+"""
+
+
+# -- CUBE grouping sets -------------------------------------------------------
+
+def orders_cube(sf_dir: str) -> "object":
+    """CUBE(status, priority) order counts + totalprice sums — the grouping-
+    sets shape done map-side: each batch emits partials for all FOUR
+    grouping sets at once (one pyarrow group_by per set over the batch,
+    'ALL' as the rolled-up sentinel), so a single small groupby folds the
+    whole cube; no per-set corpus pass, no driver pivot.  Output:
+    (o_orderstatus, o_orderpriority, n_orders, total_c2)."""
+    import pandas as pd
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        base = pa.table(
+            {
+                "s": t["o_orderstatus"],
+                "p": t["o_orderpriority"],
+                "c2": _cents(t["o_totalprice"]),
+            }
+        )
+        outs = []
+        n = len(base)
+        for keep_s, keep_p in (
+            (True, True), (True, False), (False, True), (False, False),
+        ):
+            g = pa.table(
+                {
+                    "s": base["s"] if keep_s
+                    else pa.array(["ALL"] * n, pa.string()),
+                    "p": base["p"] if keep_p
+                    else pa.array(["ALL"] * n, pa.string()),
+                    "c2": base["c2"],
+                }
+            )
+            outs.append(
+                pa.TableGroupBy(g, ["s", "p"]).aggregate(
+                    [("c2", "sum"), ([], "count_all")]
+                )
+            )
+        return pa.concat_tables(outs)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["s", "p"])
+        .aggregate(
+            Sum("count_all", alias_name="n_orders"),
+            Sum("c2_sum", alias_name="total_c2"),
+        )
+        .to_pandas()  # (|status|+1) x (|priority|+1) rows
+        .rename(columns={"s": "o_orderstatus", "p": "o_orderpriority"})
+        .astype({"n_orders": "int64", "total_c2": "int64"})
+    )
+    return out.sort_values(
+        ["o_orderstatus", "o_orderpriority"]
+    ).reset_index(drop=True)
+
+
+ORDERS_CUBE_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c2
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def constraint_check(sf_dir: str) -> "object":
+    """Data-quality constraint audit — the expectation-suite pass a
+    production pipeline runs before publishing a snapshot (null / range /
+    referential-integrity / temporal-ordering violations), reported as one
+    (constraint_name, n_violations) row each.  The row-local checks fold
+    map-side to per-batch partial counts; the two CROSS-TABLE checks
+    (orphan lineitems, ship-before-order) ride ONE orderkey-bucket
+    co-location exchange — order rows carry their orderdate, line rows
+    their shipdate, the in-bucket kernel counts both violations
+    vectorized.  Scalar partials fold on the driver under the bucket
+    guard, distributed above it (the source_overlap escape)."""
+    import numpy as np
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    OB = n_buckets(pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t["o_orderkey"], pa.int64())
+        od = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64())
+        n_price = pc.sum(
+            pc.cast(pc.less_equal(t["o_totalprice"], 0.0), pa.int64())
+        ).as_py() or 0
+        n_null = t["o_orderpriority"].null_count
+        base = pa.table(
+            {
+                "b": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
+                "ok": ok,
+                "kind": pa.array([0] * len(t), pa.int8()),
+                "ts_us": od,
+                "name": pa.array([""] * len(t), pa.string()),
+                "n": pa.array([0] * len(t), pa.int64()),
+            }
+        )
+        part = pa.table(
+            {
+                "b": pa.array([0, 0], pa.int32()),
+                "ok": pa.array([-1, -1], pa.int64()),
+                "kind": pa.array([2, 2], pa.int8()),
+                "ts_us": pa.array([0, 0], pa.int64()),
+                "name": pa.array(
+                    ["order_totalprice_nonpositive", "order_null_priority"],
+                    pa.string(),
+                ),
+                "n": pa.array([n_price, n_null], pa.int64()),
+            }
+        )
+        return pa.concat_tables([base, part])
+
+    def l_rows(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t["l_orderkey"], pa.int64())
+        ship = pc.cast(pc.cast(t["l_shipdate"], pa.timestamp("us")), pa.int64())
+        q = t["l_quantity"]
+        n_range = pc.sum(
+            pc.cast(
+                pc.or_(pc.less(q, 1.0), pc.greater(q, 50.0)), pa.int64()
+            )
+        ).as_py() or 0
+        base = pa.table(
+            {
+                "b": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
+                "ok": ok,
+                "kind": pa.array([1] * len(t), pa.int8()),
+                "ts_us": ship,
+                "name": pa.array([""] * len(t), pa.string()),
+                "n": pa.array([0] * len(t), pa.int64()),
+            }
+        )
+        part = pa.table(
+            {
+                "b": pa.array([0], pa.int32()),
+                "ok": pa.array([-1], pa.int64()),
+                "kind": pa.array([2], pa.int8()),
+                "ts_us": pa.array([0], pa.int64()),
+                "name": pa.array(["lineitem_qty_out_of_range"], pa.string()),
+                "n": pa.array([n_range], pa.int64()),
+            }
+        )
+        return pa.concat_tables([base, part])
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        names, ns = [], []
+        pass_thru = g[g["kind"] == 2]
+        if len(pass_thru):
+            agg = pass_thru.groupby("name")["n"].sum()
+            names.extend(agg.index.tolist())
+            ns.extend(int(v) for v in agg.values)
+        o = g[g["kind"] == 0]
+        l = g[g["kind"] == 1]
+        if len(l):
+            od = pd.Series(o["ts_us"].values, index=o["ok"].values)
+            mapped = l["ok"].map(od)
+            orphan = int(mapped.isna().sum())
+            before = int((l["ts_us"].values < mapped.fillna(-(2**62)).values).sum())
+            names.extend(["lineitem_orphan", "lineitem_ship_before_order"])
+            ns.extend([orphan, before])
+        return pd.DataFrame({"name": names, "n": pd.array(ns, dtype="int64")})
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_totalprice",
+                    "o_orderpriority"]).map_batches(
+        o_rows, batch_format="pyarrow"
+    )
+    lines = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_shipdate", "l_quantity"]).map_batches(
+        l_rows, batch_format="pyarrow"
+    )
+    partials = (
+        orders.union(lines)
+        .groupby("b")
+        .map_groups(fold, batch_format="pandas")
+    )
+    if OB <= 4096:
+        parts = partials.to_pandas().groupby("name", as_index=False)["n"].sum()
+    else:
+        parts = (
+            partials.groupby("name")
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+    # every constraint reports, violated or not
+    all_names = [
+        "lineitem_orphan", "lineitem_qty_out_of_range",
+        "lineitem_ship_before_order", "order_null_priority",
+        "order_totalprice_nonpositive",
+    ]
+    out = (
+        parts.set_index("name").reindex(all_names, fill_value=0)["n"]
+        .reset_index()
+        .rename(columns={"name": "constraint_name", "n": "n_violations"})
+    )
+    out["n_violations"] = out["n_violations"].astype("int64")
+    return out.sort_values("constraint_name").reset_index(drop=True)
+
+
+CONSTRAINT_CHECK_SQL = """
+SELECT constraint_name, CAST(n_violations AS BIGINT) AS n_violations FROM (
+  SELECT 'lineitem_orphan' AS constraint_name,
+         (SELECT COUNT(*) FROM lineitem l
+          LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderkey IS NULL) AS n_violations
+  UNION ALL
+  SELECT 'lineitem_qty_out_of_range',
+         (SELECT COUNT(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50)
+  UNION ALL
+  SELECT 'lineitem_ship_before_order',
+         (SELECT COUNT(*) FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_shipdate < o.o_orderdate)
+  UNION ALL
+  SELECT 'order_null_priority',
+         (SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NULL)
+  UNION ALL
+  SELECT 'order_totalprice_nonpositive',
+         (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+)
+ORDER BY constraint_name
+"""
+
+
+# -- pareto frontier (skyline over two objectives) ---------------------------
+
+def _frontier_mask(price, size):
+    """Boolean keep-mask of the (minimize price, maximize size) pareto
+    frontier: keep iff size == max(size | price' <= price) (not outsized by
+    a cheaper-or-equal row) AND size > max(size | price' < price) (not
+    matched by a strictly cheaper row) — vectorized via one lexsort + a
+    per-price-group running max.  Idempotent and lossless under batching
+    (a locally dominated row is globally dominated), which is what makes
+    the distributed tree fold exact."""
+    import numpy as np
+
+    order = np.lexsort((-size, price))
+    ps, ss = price[order], size[order]
+    new = np.empty(len(ps), dtype=bool)
+    new[0] = True
+    new[1:] = ps[1:] != ps[:-1]
+    gidx = np.cumsum(new) - 1
+    gmax = ss[new]                          # size sorts desc within price
+    run = np.maximum.accumulate(gmax)
+    mlt_g = np.empty_like(run)
+    mlt_g[0] = np.iinfo(np.int64).min
+    mlt_g[1:] = run[:-1]
+    keep_sorted = (ss == run[gidx]) & (ss > mlt_g[gidx])
+    mask = np.empty(len(ps), dtype=bool)
+    mask[order] = keep_sorted
+    return mask
+
+
+def pareto_frontier(sf_dir: str) -> "object":
+    """Skyline query: parts not strictly dominated on (minimize price,
+    maximize size) — the multi-objective shortlist shape (cheapest part at
+    every size level).  Monotone tree fold: each batch prunes its own rows
+    to a local frontier (a locally dominated row is globally dominated, so
+    the prune is lossless), survivors regroup into a handful of blocks for
+    a second prune, and the driver folds the last few hundred rows.  No
+    all-to-all: the exchange ships only frontier candidates, which are
+    output-sized (worst case the frontier IS the output, and returning it
+    is the contract).  Output: (p_partkey, p_name, price_c2, p_size)."""
+    import numpy as np
+    import pandas as pd
+
+    _frontier = _frontier_mask
+
+    def prune(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        if "price_c2" not in t.column_names:
+            t = t.append_column(
+                "price_c2", _cents(t.column("p_retailprice"))
+            ).drop_columns(["p_retailprice"])
+        mask = _frontier(
+            t.column("price_c2").to_numpy(zero_copy_only=False),
+            t.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        return t.filter(pa.array(mask))
+
+    partials = (
+        _read(sf_dir, "part",
+              ["p_partkey", "p_name", "p_retailprice", "p_size"])
+        .map_batches(prune, batch_format="pyarrow")
+        .repartition(4)
+        .map_batches(prune, batch_format="pyarrow")
+    )
+    df = partials.to_pandas()  # output-sized: local frontiers only
+    if len(df):
+        mask = _frontier(
+            df["price_c2"].to_numpy(), df["p_size"].to_numpy().astype("int64")
+        )
+        df = df[mask]
+    df = df[["p_partkey", "p_name", "price_c2", "p_size"]]
+    return df.sort_values(
+        ["price_c2", "p_size", "p_partkey"]
+    ).reset_index(drop=True)
+
+
+PARETO_FRONTIER_SQL = """
+WITH p AS (
+  SELECT p_partkey, p_name,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c2, p_size
+  FROM part
+)
+SELECT a.p_partkey, a.p_name, a.price_c2, a.p_size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.price_c2 <= a.price_c2 AND b.p_size >= a.p_size
+    AND (b.price_c2 < a.price_c2 OR b.p_size > a.p_size)
+)
+ORDER BY price_c2, p_size, p_partkey
+"""
+
+
+# -- privacy: k-anonymity audit ------------------------------------------------
+
+K_ANON_THRESHOLDS = (2, 5, 10)
+
+
+def k_anonymity_audit(sf_dir: str) -> "object":
+    """k-anonymity audit of the customer table under the quasi-identifier
+    (nation, market segment): for each k, how many equivalence classes
+    have fewer than k members and how many ROWS sit in them — the re-
+    identification risk report a privacy review runs before releasing a
+    derived dataset.  One combiner groupby builds the class-size table
+    (|nations| x |segments| rows, corpus-size free); the threshold sweep is
+    a vectorized driver fold over that tiny table.  Output: (k,
+    n_classes_below, n_rows_at_risk)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(
+            t, ["c_nationkey", "c_mktsegment"]
+        ).aggregate([([], "count_all")])
+        return agg.rename_columns(["c_nationkey", "c_mktsegment", "n"])
+
+    classes = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["c_nationkey", "c_mktsegment"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # quasi-identifier domain, corpus-size free
+    )
+    rows = []
+    for k in K_ANON_THRESHOLDS:
+        below = classes[classes["n"] < k]
+        rows.append(
+            {
+                "k": k,
+                "n_classes_below": len(below),
+                "n_rows_at_risk": int(below["n"].sum()),
+            }
+        )
+    return pd.DataFrame(rows).astype(
+        {"k": "int64", "n_classes_below": "int64", "n_rows_at_risk": "int64"}
+    )
+
+
+K_ANONYMITY_AUDIT_SQL = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+  FROM customer GROUP BY 1, 2
+), ks(k) AS (VALUES {", ".join(f"({k})" for k in K_ANON_THRESHOLDS)})
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(COUNT(*) FILTER (WHERE n < k) AS BIGINT) AS n_classes_below,
+       CAST(COALESCE(SUM(n) FILTER (WHERE n < k), 0) AS BIGINT)
+         AS n_rows_at_risk
+FROM ks CROSS JOIN classes
+GROUP BY k ORDER BY k
+"""
+
+
+# -- join-size accounting (planning primitive) --------------------------------
+
+def join_size_estimate(sf_dir: str) -> "object":
+    """EXACT cardinality of ``lineitem ⋈ orders`` on orderkey WITHOUT
+    materializing the join — the planner/capacity primitive run before
+    committing to a heavy join: |A ⋈ B| = Σ_k cA(k)·cB(k).  Map-side
+    per-key count partials from both sides ride ONE bucketed co-location
+    (union, the empty-partition-safe idiom); each kernel emits a single
+    scalar partial (its buckets' Σ products), so the driver folds
+    O(buckets) rows at any corpus size.  Also reports both input counts
+    and the max per-key fan-out (the skew number that decides salting).
+    Output: (n_left, n_right, join_rows, max_key_fanout)."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
+
+    def side(table: str, key: str, tag: int):
+        def partial(t: pa.Table) -> pa.Table:
+            k = pc.cast(t[key], pa.int64())
+            folded = pa.table({"k": k})
+            agg = pa.TableGroupBy(folded, "k").aggregate([([], "count_all")])
+            k2 = agg.column("k")
+            return pa.table(
+                {
+                    "bk": pc.cast(
+                        pc.bit_wise_and(k2, nb - 1), pa.int32()
+                    ),
+                    "k": k2,
+                    "side": pa.array([tag] * agg.num_rows, pa.int8()),
+                    "n": agg.column("count_all"),
+                }
+            )
+
+        return _read(sf_dir, table, [key]).map_batches(
+            partial, batch_format="pyarrow"
+        )
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        c = g.groupby(["k", "side"])["n"].sum().unstack(fill_value=0)
+        a = c[0] if 0 in c.columns else pd.Series(0, index=c.index)
+        b = c[1] if 1 in c.columns else pd.Series(0, index=c.index)
+        prod = a * b
+        return pa.table(
+            {
+                "join_rows": pa.array([int(prod.sum())], pa.int64()),
+                "n_left": pa.array([int(a.sum())], pa.int64()),
+                "n_right": pa.array([int(b.sum())], pa.int64()),
+                "max_key_fanout": pa.array(
+                    [int(prod.max()) if len(prod) else 0], pa.int64()
+                ),
+            }
+        )
+
+    parts = (
+        side("lineitem", "l_orderkey", 0)
+        .union(side("orders", "o_orderkey", 1))
+        .groupby("bk")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # O(buckets) scalar partials
+    )
+    out = pd.DataFrame(
+        [
+            {
+                "n_left": int(parts["n_left"].sum()),
+                "n_right": int(parts["n_right"].sum()),
+                "join_rows": int(parts["join_rows"].sum()),
+                "max_key_fanout": int(parts["max_key_fanout"].max()),
+            }
+        ]
+    )
+    return out.astype("int64")
+
+
+JOIN_SIZE_ESTIMATE_SQL = """
+WITH a AS (SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1),
+b AS (SELECT o_orderkey AS k, COUNT(*) AS n FROM orders GROUP BY 1),
+j AS (SELECT a.n * b.n AS rows FROM a JOIN b USING (k))
+SELECT CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_left,
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_right,
+       CAST(COALESCE(SUM(rows), 0) AS BIGINT) AS join_rows,
+       CAST(COALESCE(MAX(rows), 0) AS BIGINT) AS max_key_fanout
+FROM j
+"""
+
+
+# -- join-key skew diagnostics --------------------------------------------------
+
+SKEW_TOP_K = 20
+
+
+def skew_report(sf_dir: str) -> "object":
+    """Heavy-key diagnostics for the lineitem⋈orders join column: the 20
+    heaviest orderkeys by lineitem fan-out plus each key's corpus share in
+    permille — the report that decides whether a join needs salting
+    (companion to ``join_size_estimate``).  Per-key counts fold inside a
+    key-bucket kernel (bounded groups) which pre-prunes to ITS top-20, so
+    only buckets x 20 candidate rows reach the driver.  Output:
+    (l_orderkey, n_rows, share_permille) ordered by (n_rows DESC, key)."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    total = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    nb = n_buckets(total)
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["l_orderkey"], pa.int64())
+        folded = pa.table(
+            {"kb": pc.cast(pc.bit_wise_and(k, nb - 1), pa.int32()), "k": k}
+        )
+        agg = pa.TableGroupBy(folded, ["kb", "k"]).aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["kb", "k", "n"])
+
+    def bucket_topk(g: pd.DataFrame) -> pa.Table:
+        c = g.groupby("k", as_index=False)["n"].sum()
+        c = c.sort_values(["n", "k"], ascending=[False, True]).head(
+            SKEW_TOP_K
+        )
+        return pa.table(
+            {
+                "k": pa.array(c["k"].to_numpy("int64")),
+                "n": pa.array(c["n"].to_numpy("int64")),
+            }
+        )
+
+    cand = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(bucket_topk, batch_format="pandas")
+        .to_pandas()  # <= buckets * K rows
+    )
+    top = cand.sort_values(["n", "k"], ascending=[False, True]).head(
+        SKEW_TOP_K
+    )
+    out = pd.DataFrame(
+        {
+            "l_orderkey": top["k"].astype("int64").values,
+            "n_rows": top["n"].astype("int64").values,
+            "share_permille": (
+                top["n"] * 1000 // total
+            ).astype("int64").values,
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+SKEW_REPORT_SQL = f"""
+WITH c AS (
+  SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY 1
+), t AS (SELECT COUNT(*) AS total FROM lineitem)
+SELECT l_orderkey, CAST(n AS BIGINT) AS n_rows,
+       CAST(n * 1000 // total AS BIGINT) AS share_permille
+FROM c, t
+ORDER BY n DESC, l_orderkey
+LIMIT {SKEW_TOP_K}
+"""

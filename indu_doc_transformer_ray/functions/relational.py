@@ -10,5480 +10,24 @@ Exactness contract: monetary aggregates are computed in integer-scaled
 cents (``*_c2`` = 1e2, ``*_c4`` = 1e4, ``*_c6`` = 1e6) so the Ray results
 hash-match the DuckDB oracle bit-for-bit — float SUMs would differ in the
 last ulp across summation orders.
+
+This module is the public FACADE: implementations live in tpch_scan /
+tpch_join / tpch_corr / setops / profiling / star (split round 4 — the
+single module had grown past 5 kLoC), with shared plumbing in
+``_relcommon``.  Every public name is re-exported here unchanged.
 """
 
-from __future__ import annotations
-
-import pyarrow as pa
-import pyarrow.compute as pc
-
-import ray
-import ray.data
-from ray.data import Dataset
-from ray.data.aggregate import Count, Max, Min, Sum
-
-from ._util import join_partitions
-
-
-def _read(
-    sf_dir: str,
-    table: str,
-    columns: list[str] | None = None,
-    filter: "object | None" = None,
-) -> Dataset:
-    """Column-pruned parquet read; ``filter`` (a ``pyarrow.dataset``
-    expression) pushes a row predicate INTO the scan — row groups whose
-    column statistics exclude the range never leave storage (at 100 TB a
-    date-window query reads the window, not the corpus).  Callers keep
-    their exact in-batch masks: the pushdown is a superset prune, the
-    batch mask stays the semantic truth."""
-    from ._util import read_small_aware
-
-    kwargs = {} if filter is None else {"filter": filter}
-    return read_small_aware(
-        f"{sf_dir}/{table}.parquet", columns=columns, **kwargs
-    )
-
-
-def _cents(col: pa.ChunkedArray | pa.Array, scale: int = 100) -> pa.Array:
-    return pc.cast(pc.round(pc.multiply(col, float(scale))), pa.int64())
-
-
-# -- q1: pricing summary (groupby + vectorized derived columns) -------------
-
-def q1_pricing_summary(sf_dir: str) -> Dataset:
-    ds = _read(
-        sf_dir, "lineitem",
-        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
-         "l_discount", "l_tax"],
-    )
-
-    def derive(t: pa.Table) -> pa.Table:
-        price_c2 = _cents(t["l_extendedprice"])
-        disc_c2 = _cents(t["l_discount"])
-        tax_c2 = _cents(t["l_tax"])
-        one_minus_disc = pc.subtract(100, disc_c2)
-        disc_price_c4 = pc.multiply(price_c2, one_minus_disc)
-        charge_c6 = pc.multiply(disc_price_c4, pc.add(100, tax_c2))
-        return pa.table(
-            {
-                "l_returnflag": t["l_returnflag"],
-                "l_linestatus": t["l_linestatus"],
-                "qty": pc.cast(t["l_quantity"], pa.int64()),
-                "price_c2": price_c2,
-                "disc_price_c4": disc_price_c4,
-                "charge_c6": charge_c6,
-            }
-        )
-
-    return (
-        ds.map_batches(derive, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("qty", alias_name="sum_qty"),
-            Sum("price_c2", alias_name="sum_base_price_c2"),
-            Sum("disc_price_c4", alias_name="sum_disc_price_c4"),
-            Sum("charge_c6", alias_name="sum_charge_c6"),
-            Count(alias_name="count_order"),
-        )
-    )
-
-
-Q1_SQL = """
-SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_price_c2,
-       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_price_c4,
-       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
-                * (100 + CAST(ROUND(l_tax*100) AS BIGINT))) AS BIGINT) AS sum_charge_c6,
-       CAST(COUNT(*) AS BIGINT) AS count_order
-FROM lineitem
-GROUP BY l_returnflag, l_linestatus
-"""
-
-
-# -- q3: top orders by revenue for one market segment -----------------------
-# customer is the small side -> broadcast; orders|><|lineitem -> Dataset.join
-# (hash-partitioned shuffle join, both sides scale with SF).
-
-def q3_top_orders(sf_dir: str) -> "object":
-    """Top-10 BUILDING-segment orders by revenue.  Fast plan (customer
-    under ``MAX_BROADCAST_DIM_ROWS``): the BUILDING custkey set broadcasts
-    once as a sorted int array; orders filter in-stream and lineitem
-    pre-folds to per-order revenue partials, so the ONLY exchange is one
-    orderkey-bucket co-location whose kernel sums per-order revenue and
-    emits its local top-10 — the driver merges O(buckets·10) rows (the
-    bounded-heap top-k shape, no global sort stage).  Above the guard the
-    original two-``Dataset.join`` + groupby + sort plan runs (customer is
-    corpus-proportional at true TPC-H scale).  Tests pin both plans to the
-    same oracle hash."""
-    import numpy as np
-    import pandas as pd
-
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    if pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows > MAX_BROADCAST_DIM_ROWS:
-        return _q3_join_plan(sf_dir)
-
-    OB = n_buckets(pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
-    cust = (
-        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-        .filter(expr="c_mktsegment == 'BUILDING'")
-        .select_columns(["c_custkey"])
-        .to_pandas()
-    )
-    keys = np.sort(cust["c_custkey"].to_numpy(np.int64))
-    import ray as _ray
-
-    keys_ref = _ray.put(keys)
-
-    def o_rows(t: pa.Table) -> pa.Table:
-        import ray as _r
-
-        ks = _r.get(keys_ref)
-        ckv = pc.cast(t["o_custkey"], pa.int64()).to_numpy()
-        idx = np.clip(np.searchsorted(ks, ckv), 0, max(len(ks) - 1, 0))
-        hit = (ks[idx] == ckv) if len(ks) else np.zeros(len(ckv), bool)
-        ok = pc.cast(t["o_orderkey"], pa.int64()).to_numpy()[hit]
-        return pa.table(
-            {
-                "b": pa.array((ok & (OB - 1)).astype("int32")),
-                "ok": pa.array(ok),
-                "is_line": pa.array(np.zeros(len(ok), dtype="int8")),
-                "revenue_c4": pa.array(np.zeros(len(ok), dtype="int64")),
-            }
-        )
-
-    def li_rows(t: pa.Table) -> pa.Table:
-        ok = pc.cast(t["l_orderkey"], pa.int64())
-        rev = pc.multiply(
-            _cents(t["l_extendedprice"]), pc.subtract(100, _cents(t["l_discount"]))
-        )
-        folded = pa.table(
-            {
-                "b": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
-                "ok": ok,
-                "is_line": pa.array([1] * len(t), pa.int8()),
-                "revenue_c4": rev,
-            }
-        )
-        # batch-local per-order combine shrinks the exchange
-        return pa.TableGroupBy(folded, ["b", "ok", "is_line"]).aggregate(
-            [("revenue_c4", "sum")]
-        ).rename_columns(["b", "ok", "is_line", "revenue_c4"])
-
-    def top_fold(g: pd.DataFrame) -> pd.DataFrame:
-        keep = set(g.loc[g["is_line"] == 0, "ok"])
-        li = g[g["is_line"] == 1]
-        li = li[li["ok"].isin(keep)]
-        agg = li.groupby("ok", as_index=False)["revenue_c4"].sum()
-        return (
-            agg.sort_values(["revenue_c4", "ok"], ascending=[False, True])
-            .head(10)  # local top-10 -> driver merge is O(buckets*10)
-        )
-
-    tops = (
-        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-        .map_batches(o_rows, batch_format="pyarrow")
-        .union(
-            _read(
-                sf_dir, "lineitem",
-                ["l_orderkey", "l_extendedprice", "l_discount"],
-            ).map_batches(li_rows, batch_format="pyarrow")
-        )
-        .groupby("b")
-        .map_groups(top_fold, batch_format="pandas")
-        .to_pandas()
-    )
-    out = (
-        tops.sort_values(["revenue_c4", "ok"], ascending=[False, True])
-        .head(10)
-        .rename(columns={"ok": "o_orderkey"})
-        .reset_index(drop=True)
-        .astype({"o_orderkey": "int64", "revenue_c4": "int64"})
-    )
-    return out[["o_orderkey", "revenue_c4"]]
-
-
-def _q3_join_plan(sf_dir: str) -> Dataset:
-    """q3 scale path: vectorized customer filter, then orders ⋈ customer
-    and lineitem ⋈ orders as hash-partitioned ``Dataset.join``s — no
-    driver-side key-set materialization (both join sides scale with SF)."""
-    cust = (
-        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-        .filter(expr="c_mktsegment == 'BUILDING'")
-        .select_columns(["c_custkey"])
-    )
-
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    building_orders = orders.join(
-        cust,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    ).select_columns(["o_orderkey"])
-
-    li = _read(
-        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
-    )
-
-    def revenue(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            _cents(t["l_extendedprice"]), pc.subtract(100, _cents(t["l_discount"]))
-        )
-        return pa.table({"l_orderkey": t["l_orderkey"], "revenue_c4": rev})
-
-    li_rev = li.map_batches(revenue, batch_format="pyarrow")
-    joined = li_rev.join(
-        building_orders,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
-    return (
-        joined.groupby("l_orderkey")
-        .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
-        .sort(["revenue_c4", "l_orderkey"], descending=[True, False])
-        .limit(10)
-        .rename_columns({"l_orderkey": "o_orderkey"})
-    )
-
-
-Q3_SQL = """
-SELECT o_orderkey,
-       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-              JOIN customer ON o_custkey = c_custkey
-WHERE c_mktsegment = 'BUILDING'
-GROUP BY o_orderkey
-ORDER BY revenue_c4 DESC, o_orderkey
-LIMIT 10
-"""
-
-
-# -- q5-ish: revenue per nation ---------------------------------------------
-# orders ⋈ customer and lineitem ⋈ orders are hash-partitioned Dataset.joins
-# (both sides scale with SF); only `nation` — a fixed 25-row dimension — is
-# read onto the driver, to decorate the 25-row final aggregate.
-
-def q5_nation_revenue(sf_dir: str) -> "object":
-    """Revenue per customer nation.  Fast plan (customer under
-    ``MAX_BROADCAST_DIM_ROWS``): the custkey→nation map broadcasts once;
-    orders attach the nation in-stream and lineitem pre-folds per-order
-    revenue, so the ONLY exchange is one orderkey co-location whose kernel
-    emits ≤25 nation partials per bucket — driver fold finishes.  Above
-    the guard the two-``Dataset.join`` plan runs.  Tests pin both plans
-    to the same oracle hash."""
-    import numpy as np
-    import pandas as pd
-
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    if pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows > MAX_BROADCAST_DIM_ROWS:
-        return _q5_join_plan(sf_dir)
-
-    OB = n_buckets(pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    ck = np.sort(cust["c_custkey"].to_numpy(np.int64))
-    cn = cust.set_index("c_custkey")["c_nationkey"].loc[ck].to_numpy(np.int64)
-    maps_ref = ray.put((ck, cn))
-
-    def o_rows(t: pa.Table) -> pa.Table:
-        ck_, cn_ = ray.get(maps_ref)
-        ckv = pc.cast(t["o_custkey"], pa.int64()).to_numpy()
-        idx = np.clip(np.searchsorted(ck_, ckv), 0, max(len(ck_) - 1, 0))
-        hit = (ck_[idx] == ckv) if len(ck_) else np.zeros(len(ckv), bool)
-        ok = pc.cast(t["o_orderkey"], pa.int64()).to_numpy()[hit]
-        return pa.table(
-            {
-                "b": pa.array((ok & (OB - 1)).astype("int32")),
-                "ok": pa.array(ok),
-                "is_line": pa.array(np.zeros(len(ok), dtype="int8")),
-                "v": pa.array(cn_[idx[hit]]),  # nation rides the value slot
-            }
-        )
-
-    def li_rows(t: pa.Table) -> pa.Table:
-        ok = pc.cast(t["l_orderkey"], pa.int64())
-        rev = pc.multiply(
-            _cents(t["l_extendedprice"]), pc.subtract(100, _cents(t["l_discount"]))
-        )
-        folded = pa.table(
-            {
-                "b": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
-                "ok": ok,
-                "is_line": pa.array([1] * len(t), pa.int8()),
-                "v": rev,
-            }
-        )
-        # batch-local per-order combine shrinks the exchange
-        return pa.TableGroupBy(folded, ["b", "ok", "is_line"]).aggregate(
-            [("v", "sum")]
-        ).rename_columns(["b", "ok", "is_line", "v"])
-
-    def nation_fold(g: pd.DataFrame) -> pd.DataFrame:
-        nat = g.loc[g["is_line"] == 0].set_index("ok")["v"]
-        li = g[g["is_line"] == 1]
-        n = li["ok"].map(nat)
-        keep = n.notna()
-        sub = pd.DataFrame(
-            {
-                "c_nationkey": n[keep].astype("int64"),
-                "revenue_c4": li.loc[keep, "v"].astype("int64"),
-            }
-        )
-        return sub.groupby("c_nationkey", as_index=False)["revenue_c4"].sum()
-
-    agg = (
-        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-        .map_batches(li_rows, batch_format="pyarrow")
-        .union(
-            _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
-                o_rows, batch_format="pyarrow"
-            )
-        )
-        .groupby("b")
-        .map_groups(nation_fold, batch_format="pandas")
-        .to_pandas()  # ≤25·buckets rows, corpus-independent
-        .groupby("c_nationkey", as_index=False)["revenue_c4"]
-        .sum()
-    )
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    out = agg.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-    out = out[["n_name", "revenue_c4"]].sort_values("n_name").reset_index(drop=True)
-    out["revenue_c4"] = out["revenue_c4"].astype("int64")
-    return out
-
-
-def _q5_join_plan(sf_dir: str) -> "object":
-    """q5 scale path: two hash-partitioned ``Dataset.join``s (customer is
-    corpus-proportional at true TPC-H scale)."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    o_nation = orders.join(
-        cust,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    ).select_columns(["o_orderkey", "c_nationkey"])
-
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-
-    def revenue(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            _cents(t["l_extendedprice"]), pc.subtract(100, _cents(t["l_discount"]))
-        )
-        return pa.table({"l_orderkey": t["l_orderkey"], "revenue_c4": rev})
-
-    joined = li.map_batches(revenue, batch_format="pyarrow").join(
-        o_nation,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
-    agg = (
-        joined.groupby("c_nationkey")
-        .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
-        .to_pandas()  # exactly 25 rows — one per nation
-    )
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    out = agg.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-    out = out[["n_name", "revenue_c4"]].sort_values("n_name").reset_index(drop=True)
-    out["revenue_c4"] = out["revenue_c4"].astype("int64")
-    return out
-
-
-Q5_SQL = """
-SELECT n_name,
-       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-              JOIN customer ON o_custkey = c_custkey
-              JOIN nation ON c_nationkey = n_nationkey
-GROUP BY n_name
-ORDER BY n_name
-"""
-
-
-# -- sort / top-k -----------------------------------------------------------
-
-def top_parts_by_price(sf_dir: str) -> Dataset:
-    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"])
-
-    def scale(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "p_partkey": t["p_partkey"],
-                "p_name": t["p_name"],
-                "price_c2": _cents(t["p_retailprice"]),
-            }
-        )
-
-    return (
-        ds.map_batches(scale, batch_format="pyarrow")
-        .sort(["price_c2", "p_partkey"], descending=[True, False])
-        .limit(20)
-    )
-
-
-TOP_PARTS_SQL = """
-SELECT p_partkey, p_name, CAST(ROUND(p_retailprice*100) AS BIGINT) AS price_c2
-FROM part
-ORDER BY price_c2 DESC, p_partkey
-LIMIT 20
-"""
-
-
-# -- simple global/grouped aggregates ---------------------------------------
-
-def orders_per_status(sf_dir: str) -> Dataset:
-    return (
-        _read(sf_dir, "orders", ["o_orderstatus"])
-        .groupby("o_orderstatus")
-        .aggregate(Count(alias_name="n"))
-    )
-
-
-ORDERS_PER_STATUS_SQL = """
-SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
-FROM orders GROUP BY o_orderstatus
-"""
-
-
-def part_type_stats(sf_dir: str) -> Dataset:
-    """Grouped min/max/count over part sizes (Min/Max aggregate coverage)."""
-    ds = _read(sf_dir, "part", ["p_type", "p_size"])
-
-    def widen(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {"p_type": t["p_type"], "p_size": pc.cast(t["p_size"], pa.int64())}
-        )
-
-    return (
-        ds.map_batches(widen, batch_format="pyarrow")
-        .groupby("p_type")
-        .aggregate(
-            Min("p_size", alias_name="min_size"),
-            Max("p_size", alias_name="max_size"),
-            Count(alias_name="n"),
-        )
-    )
-
-
-PART_TYPE_STATS_SQL = """
-SELECT p_type, CAST(MIN(p_size) AS BIGINT) AS min_size,
-       CAST(MAX(p_size) AS BIGINT) AS max_size,
-       CAST(COUNT(*) AS BIGINT) AS n
-FROM part GROUP BY p_type
-"""
-
-
-def distinct_suppliers_per_nation(sf_dir: str) -> "object":
-    """Exact distinct-count via two-level groupby (dedup then count) — the
-    scalable pattern for COUNT(DISTINCT) without a global set."""
-    import pandas as pd
-
-    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-    dedup = ds.groupby(["s_nationkey", "s_suppkey"]).aggregate(
-        Count(alias_name="_c")
-    )
-    out = (
-        dedup.groupby("s_nationkey")
-        .aggregate(Count(alias_name="n_suppliers"))
-        .to_pandas()
-    )
-    out["s_nationkey"] = out["s_nationkey"].astype("int32")
-    out["n_suppliers"] = out["n_suppliers"].astype("int64")
-    return out.sort_values("s_nationkey").reset_index(drop=True)
-
-
-DISTINCT_SUPPLIERS_SQL = """
-SELECT s_nationkey, CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers
-FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
-"""
-
-
-# -- region rollup: q5 extended one dimension level --------------------------
-
-def region_revenue(sf_dir: str) -> "object":
-    """Revenue per REGION: the q5 join chain rolled up one more dimension
-    level.  The two scaling joins (orders x customer, lineitem x orders)
-    stay hash-partitioned ``Dataset.join``s; nation (25 rows) and region
-    (5 rows) decorate the 25-row aggregate on the driver."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    o_nation = orders.join(
-        cust, join_type="inner", num_partitions=join_partitions(),
-        on=("o_custkey",), right_on=("c_custkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    ).select_columns(["o_orderkey", "c_nationkey"])
-
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-
-    def revenue(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            _cents(t["l_extendedprice"]), pc.subtract(100, _cents(t["l_discount"]))
-        )
-        return pa.table({"l_orderkey": t["l_orderkey"], "revenue_c4": rev})
-
-    joined = li.map_batches(revenue, batch_format="pyarrow").join(
-        o_nation, join_type="inner", num_partitions=join_partitions(),
-        on=("l_orderkey",), right_on=("o_orderkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
-    agg = (
-        joined.groupby("c_nationkey")
-        .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
-        .to_pandas()  # 25 rows
-    )
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
-    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    out = (
-        agg.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
-        .groupby("r_name", as_index=False)["revenue_c4"].sum()
-        .sort_values("r_name")
-        .reset_index(drop=True)
-    )
-    out["revenue_c4"] = out["revenue_c4"].astype("int64")
-    return out
-
-
-REGION_REVENUE_SQL = """
-SELECT r_name,
-       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-              JOIN customer ON o_custkey = c_custkey
-              JOIN nation ON c_nationkey = n_nationkey
-              JOIN region ON n_regionkey = r_regionkey
-GROUP BY r_name
-ORDER BY r_name
-"""
-
-
-# -- anti-join: customers with no orders ------------------------------------
-
-def customers_no_orders(sf_dir: str) -> "object":
-    """Per-nation count of customers with NO pending ('P') orders — the
-    anti-join surface as ONE custkey-bucket co-location: the filtered
-    orders side ships batch-deduped custkeys, customers co-locate by the
-    same bucket, and the kernel counts per nation the customers absent
-    from the pending set (≤25 partial rows per bucket — driver fold).
-    No ``Dataset.join`` and no |customers|-key aggregate exchange.  The
-    'P' filter keeps the anti set non-empty on the synthetic data (every
-    customer has SOME order)."""
-    import pandas as pd
-
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    CB = n_buckets(pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows)
-
-    def o_rows(t: pa.Table) -> pa.Table:
-        sub = t.filter(pc.equal(t["o_orderstatus"], "P"))
-        ck = pc.cast(sub["o_custkey"], pa.int64())
-        folded = pa.table(
-            {
-                "b": pc.cast(pc.bit_wise_and(ck, CB - 1), pa.int32()),
-                "ck": ck,
-                "nat": pa.array([-1] * len(sub), pa.int64()),
-            }
-        )
-        # batch-local dedup: the exchange ships distinct pending custkeys
-        return pa.TableGroupBy(folded, ["b", "ck", "nat"]).aggregate([])
-
-    def c_rows(t: pa.Table) -> pa.Table:
-        ck = pc.cast(t["c_custkey"], pa.int64())
-        return pa.table(
-            {
-                "b": pc.cast(pc.bit_wise_and(ck, CB - 1), pa.int32()),
-                "ck": ck,
-                "nat": pc.cast(t["c_nationkey"], pa.int64()),
-            }
-        )
-
-    def anti_fold(g: pd.DataFrame) -> pd.DataFrame:
-        pending = set(g.loc[g["nat"] < 0, "ck"])
-        c = g[g["nat"] >= 0]
-        c = c[~c["ck"].isin(pending)]
-        out = c.groupby("nat", as_index=False).size()
-        out.columns = ["c_nationkey", "n_customers"]
-        return out  # ≤25 rows per bucket
-
-    out = (
-        _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
-        .map_batches(o_rows, batch_format="pyarrow")
-        .union(
-            _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
-                c_rows, batch_format="pyarrow"
-            )
-        )
-        .groupby("b")
-        .map_groups(anti_fold, batch_format="pandas")
-        .to_pandas()  # ≤25·buckets rows
-        .groupby("c_nationkey", as_index=False)["n_customers"]
-        .sum()
-        .astype({"c_nationkey": "int64", "n_customers": "int64"})
-    )
-    return out.reset_index(drop=True)
-
-
-CUSTOMERS_NO_ORDERS_SQL = """
-SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
-       CAST(COUNT(*) AS BIGINT) AS n_customers
-FROM customer ANTI JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
-  ON c_custkey = o.o_custkey
-GROUP BY c_nationkey
-"""
-
-
-# -- q4-style semi-join: order priority check -------------------------------
-
-def q4_order_priority(sf_dir: str) -> "object":
-    """Orders-per-priority where at least one lineitem shipped with quantity
-    > 45 — the distributed EXISTS/semi-join restated as ONE orderkey-bucket
-    co-location: the predicate-pushdown lineitem read emits hot orderkeys
-    (batch-deduped), orders co-locate by the same bucket, and the in-bucket
-    kernel intersects and counts per priority (≤5 partial rows per bucket
-    — driver fold).  No ``Dataset.join`` and no corpus-wide distinct
-    groupby; both exchange sides scale with SF but ship only (key, tag)
-    pairs."""
-    import pandas as pd
-
-    import pyarrow.dataset as pads
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    OB = n_buckets(pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
-
-    def li_rows(t: pa.Table) -> pa.Table:
-        sub = t.filter(pc.greater(t["l_quantity"], 45.0))
-        ok = pc.cast(sub["l_orderkey"], pa.int64())
-        folded = pa.table(
-            {
-                "b": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
-                "ok": ok,
-                "pri": pa.array([""] * len(sub), pa.string()),
-            }
-        )
-        # batch-local dedup: the exchange ships distinct hot keys
-        return pa.TableGroupBy(folded, ["b", "ok", "pri"]).aggregate([])
-
-    def o_rows(t: pa.Table) -> pa.Table:
-        ok = pc.cast(t["o_orderkey"], pa.int64())
-        return pa.table(
-            {
-                "b": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
-                "ok": ok,
-                "pri": pc.cast(t["o_orderpriority"], pa.string()),
-            }
-        )
-
-    def pri_fold(g: pd.DataFrame) -> pd.DataFrame:
-        hot = set(g.loc[g["pri"] == "", "ok"])
-        o = g[g["pri"] != ""]
-        o = o[o["ok"].isin(hot)]
-        out = o.groupby("pri", as_index=False).size()
-        out.columns = ["o_orderpriority", "n_orders"]
-        return out  # ≤5 rows per bucket
-
-    out = (
-        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"],
-              filter=pads.field("l_quantity") > 45.0)
-        .map_batches(li_rows, batch_format="pyarrow")
-        .union(
-            _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
-                o_rows, batch_format="pyarrow"
-            )
-        )
-        .groupby("b")
-        .map_groups(pri_fold, batch_format="pandas")
-        .to_pandas()  # ≤5·buckets rows
-        .groupby("o_orderpriority", as_index=False)["n_orders"]
-        .sum()
-    )
-    out["n_orders"] = out["n_orders"].astype("int64")
-    return out.sort_values("o_orderpriority").reset_index(drop=True)
-
-
-Q4_SQL = """
-SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
-FROM orders SEMI JOIN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45) l
-  ON o_orderkey = l.l_orderkey
-GROUP BY o_orderpriority
-ORDER BY o_orderpriority
-"""
-
-
-# -- q10-style returned-item report -----------------------------------------
-
-def q10_returned_items(sf_dir: str) -> "object":
-    """Top-20 customers by revenue on returned ('R') lineitems — TWO
-    bucketed co-locations instead of join + corpus-wide groupby + global
-    sort: (1) the R-filtered lineitem per-order revenue partials co-locate
-    with orders by orderkey and emit (custkey, revenue) partials already
-    bucketed by custkey-hash; (2) the custkey buckets hold every order of
-    a customer, so the kernel computes full per-customer totals and emits
-    its LOCAL top-20 — the driver merges O(buckets·20) rows.  Only the
-    final 20 rows are decorated with c_name via a broadcast ``pc.is_in``
-    probe of customer (no scaling-table materialization)."""
-    import pandas as pd
-
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    OB = n_buckets(pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
-    CB = n_buckets(pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
-
-    def li_rows(t: pa.Table) -> pa.Table:
-        sub = t.filter(pc.equal(t["l_returnflag"], "R"))
-        ok = pc.cast(sub["l_orderkey"], pa.int64())
-        rev = pc.multiply(
-            _cents(sub["l_extendedprice"]), pc.subtract(100, _cents(sub["l_discount"]))
-        )
-        folded = pa.table(
-            {
-                "b": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
-                "ok": ok,
-                "is_line": pa.array([1] * len(sub), pa.int8()),
-                "v": rev,
-            }
-        )
-        return pa.TableGroupBy(folded, ["b", "ok", "is_line"]).aggregate(
-            [("v", "sum")]
-        ).rename_columns(["b", "ok", "is_line", "v"])
-
-    def o_rows(t: pa.Table) -> pa.Table:
-        ok = pc.cast(t["o_orderkey"], pa.int64())
-        return pa.table(
-            {
-                "b": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
-                "ok": ok,
-                "is_line": pa.array([0] * len(t), pa.int8()),
-                "v": pc.cast(t["o_custkey"], pa.int64()),  # custkey rides v
-            }
-        )
-
-    def cust_partial(g: pd.DataFrame) -> pa.Table:
-        ck = g.loc[g["is_line"] == 0].set_index("ok")["v"]
-        li = g[g["is_line"] == 1]
-        c = li["ok"].map(ck)
-        keep = c.notna()
-        sub = (
-            pd.DataFrame(
-                {
-                    "ck": c[keep].astype("int64"),
-                    "rev": li.loc[keep, "v"].astype("int64"),
-                }
-            )
-            .groupby("ck", as_index=False)["rev"]
-            .sum()
-        )
-        ckv = sub["ck"].to_numpy("int64")
-        # arrow out, pre-bucketed by custkey for the second co-location
-        return pa.table(
-            {
-                "cb": pa.array((ckv & (CB - 1)).astype("int32")),
-                "o_custkey": pa.array(ckv),
-                "revenue_c4": pa.array(sub["rev"].to_numpy("int64")),
-            }
-        )
-
-    def top_fold(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby("o_custkey", as_index=False)["revenue_c4"].sum()
-        return agg.sort_values(
-            ["revenue_c4", "o_custkey"], ascending=[False, True]
-        ).head(20)  # full per-customer totals live in one cb bucket
-
-    top = (
-        _read(
-            sf_dir, "lineitem",
-            ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
-        )
-        .map_batches(li_rows, batch_format="pyarrow")
-        .union(
-            _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
-                o_rows, batch_format="pyarrow"
-            )
-        )
-        .groupby("b")
-        .map_groups(cust_partial, batch_format="pandas")
-        .groupby("cb")
-        .map_groups(top_fold, batch_format="pandas")
-        .to_pandas()  # ≤20·buckets rows
-        .sort_values(["revenue_c4", "o_custkey"], ascending=[False, True])
-        .head(20)
-        .reset_index(drop=True)
-    )
-    keys = pa.array(top["o_custkey"].astype("int64"))
-
-    def pick(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(pc.cast(t["c_custkey"], pa.int64()), keys))
-
-    names = (
-        _read(sf_dir, "customer", ["c_custkey", "c_name"])
-        .map_batches(pick, batch_format="pyarrow")
-        .to_pandas()  # 20 rows
-    )
-    out = top.merge(names, left_on="o_custkey", right_on="c_custkey")
-    out = out[["c_custkey", "c_name", "revenue_c4"]]
-    out["c_custkey"] = out["c_custkey"].astype("int64")
-    out["revenue_c4"] = out["revenue_c4"].astype("int64")
-    return out.sort_values(
-        ["revenue_c4", "c_custkey"], ascending=[False, True]
-    ).reset_index(drop=True)
-
-
-Q10_SQL = """
-SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
-       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-              JOIN customer ON o_custkey = c_custkey
-WHERE l_returnflag = 'R'
-GROUP BY c_custkey, c_name
-ORDER BY revenue_c4 DESC, c_custkey
-LIMIT 20
-"""
-
-
-# -- q14-style promo revenue share ------------------------------------------
-
-def q14_promo_revenue(sf_dir: str) -> "object":
-    """Promo vs total revenue: lineitem ⋈ part on PARTKEY — the second join
-    key family (every other join here is orderkey/custkey), both sides
-    scaling with SF — then per-batch partial sums folded to one row (the
-    ratio stays integer-exact as a (promo_c4, total_c4) pair)."""
-    import pandas as pd
-
-    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
-    if _dim_rows(sf_dir, "part") <= MAX_BROADCAST_DIM_ROWS:
-        # fast plan: partkey->is_promo broadcasts once; ZERO exchanges —
-        # per-batch scalar partials fold on the driver
-        import numpy as np
-
-        pk, vals = _dim_lookup(sf_dir, "part", "p_partkey", ["p_type"])
-        promo_flags = vals["p_type"] == "PROMO"
-        maps_ref = ray.put((pk, promo_flags))
-
-        def bpartial(t: pa.Table) -> pa.Table:
-            pk_, pf_ = ray.get(maps_ref)
-            pkv = pc.cast(t["l_partkey"], pa.int64()).to_numpy()
-            hit, hidx = _lookup_hits(pk_, pkv)
-            sub = t.filter(pa.array(hit))
-            rev = pc.multiply(
-                _cents(sub["l_extendedprice"]),
-                pc.subtract(100, _cents(sub["l_discount"])),
-            ).to_numpy()
-            promo = pf_[hidx]
-            return pa.table(
-                {
-                    "promo_c4": pa.array([int(rev[promo].sum())], pa.int64()),
-                    "total_c4": pa.array([int(rev.sum())], pa.int64()),
-                }
-            )
-
-        parts = li.map_batches(bpartial, batch_format="pyarrow").to_pandas()
-        return pd.DataFrame(
-            {
-                "promo_revenue_c4": [int(parts["promo_c4"].sum())],
-                "total_revenue_c4": [int(parts["total_c4"].sum())],
-            }
-        )
-
-    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
-    joined = li.join(
-        part,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("l_partkey",),
-        right_on=("p_partkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
-
-    def partial(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            _cents(t["l_extendedprice"]), pc.subtract(100, _cents(t["l_discount"]))
-        )
-        promo = pc.equal(t["p_type"], "PROMO")
-        promo_sum = pc.sum(pc.if_else(promo, rev, 0)).as_py() or 0
-        total_sum = pc.sum(rev).as_py() or 0
-        return pa.table(
-            {
-                "promo_c4": pa.array([promo_sum], pa.int64()),
-                "total_c4": pa.array([total_sum], pa.int64()),
-            }
-        )
-
-    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
-    return pd.DataFrame(
-        {
-            "promo_revenue_c4": [int(parts["promo_c4"].sum())],
-            "total_revenue_c4": [int(parts["total_c4"].sum())],
-        }
-    )
-
-
-Q14_SQL = """
-SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
-                THEN CAST(ROUND(l_extendedprice*100) AS BIGINT)
-                     * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
-                ELSE 0 END) AS BIGINT) AS promo_revenue_c4,
-       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS total_revenue_c4
-FROM lineitem JOIN part ON l_partkey = p_partkey
-"""
-
-
-# -- q18-style large-volume orders ------------------------------------------
-
-def q18_large_orders(sf_dir: str) -> Dataset:
-    """Orders whose total lineitem quantity exceeds 150 (GROUP BY + HAVING),
-    decorated with customer/price — ONE orderkey-bucket co-location of
-    (lineitem per-batch partials + orders rows): the in-bucket kernel sums
-    quantity per order, applies the HAVING cut, and attaches the order
-    columns that live in the same bucket — no ``Dataset.join`` and no
-    corpus-wide per-key groupby (the bucketed exchange ships the same rows
-    into B groups instead of |orders| groups).  Only the qualifying rows
-    (a ~1e-2 fraction) enter the final global sort.  Returned as a sorted
-    Dataset (the result scales with SF, so it never lands on the driver)."""
-    import pandas as pd
-
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    OB = n_buckets(pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
-
-    def li_rows(t: pa.Table) -> pa.Table:
-        ok = pc.cast(t["l_orderkey"], pa.int64())
-        folded = pa.table(
-            {
-                "b": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
-                "ok": ok,
-                "is_line": pa.array([1] * len(t), pa.int8()),
-                "qty": pc.cast(t["l_quantity"], pa.int64()),
-                "ck": pa.array([0] * len(t), pa.int64()),
-                "price_c2": pa.array([0] * len(t), pa.int64()),
-            }
-        )
-        # map-side combine: lineitem is clustered by orderkey, so the
-        # per-batch Arrow group_by collapses ~7 rows/key before the shuffle
-        return pa.TableGroupBy(
-            folded, ["b", "ok", "is_line", "ck", "price_c2"]
-        ).aggregate([("qty", "sum")]).rename_columns(
-            ["b", "ok", "is_line", "ck", "price_c2", "qty"]
-        )
-
-    def o_rows(t: pa.Table) -> pa.Table:
-        ok = pc.cast(t["o_orderkey"], pa.int64())
-        return pa.table(
-            {
-                "b": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
-                "ok": ok,
-                "is_line": pa.array([0] * len(t), pa.int8()),
-                "ck": pc.cast(t["o_custkey"], pa.int64()),
-                "price_c2": _cents(t["o_totalprice"]),
-                "qty": pa.array([0] * len(t), pa.int64()),
-            }
-        )
-
-    def having_fold(g: pd.DataFrame) -> pa.Table:
-        li = g[g["is_line"] == 1]
-        qty = li.groupby("ok")["qty"].sum()
-        big = qty[qty > 150]
-        o = g[g["is_line"] == 0].set_index("ok")
-        o = o.loc[o.index.intersection(big.index)]
-        sq = big.loc[o.index]
-        # arrow out: only qualifying rows enter the global sort
-        return pa.table(
-            {
-                "o_orderkey": pa.array(o.index.to_numpy("int64")),
-                "o_custkey": pa.array(o["ck"].astype("int64").values),
-                "sum_qty": pa.array(sq.astype("int64").values),
-                "totalprice_c2": pa.array(o["price_c2"].astype("int64").values),
-            }
-        )
-
-    return (
-        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-        .map_batches(li_rows, batch_format="pyarrow")
-        .union(
-            _read(
-                sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
-            ).map_batches(o_rows, batch_format="pyarrow")
-        )
-        .groupby("b")
-        .map_groups(having_fold, batch_format="pandas")
-        .sort(["sum_qty", "o_orderkey"], descending=[True, False])
-    )
-
-
-Q18_SQL = """
-SELECT CAST(l_orderkey AS BIGINT) AS o_orderkey,
-       CAST(o_custkey AS BIGINT) AS o_custkey,
-       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-       CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_c2
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-GROUP BY l_orderkey, o_custkey, o_totalprice
-HAVING SUM(CAST(l_quantity AS BIGINT)) > 150
-ORDER BY sum_qty DESC, o_orderkey
-"""
-
-
-# -- windowed aggregate over the event stream -------------------------------
-
-def events_hourly(sf_dir: str) -> Dataset:
-    """Tumbling 1-hour window per event type: Ray Data has no event-time
-    windows, so the window key is computed vectorized (epoch-us integer
-    division) and the window IS a groupby key (ray_guide streaming-shaped
-    pattern)."""
-    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
-
-    def windowed(t: pa.Table) -> pa.Table:
-        hour = pc.divide(pc.cast(t["ts"], pa.int64()), 3_600_000_000)
-        return pa.table(
-            {
-                "event_type": t["event_type"],
-                "hour_bucket": hour,
-                "value_c4": _cents(t["value"], 10_000),
-            }
-        )
-
-    return (
-        ds.map_batches(windowed, batch_format="pyarrow")
-        .groupby(["event_type", "hour_bucket"])
-        .aggregate(
-            Count(alias_name="n_events"),
-            Sum("value_c4", alias_name="sum_value_c4"),
-        )
-    )
-
-
-EVENTS_HOURLY_SQL = """
-SELECT event_type,
-       epoch_us(ts) // 3600000000 AS hour_bucket,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(ROUND(value*10000) AS BIGINT)) AS BIGINT) AS sum_value_c4
-FROM events
-GROUP BY event_type, hour_bucket
-"""
-
-
-def events_hopping(sf_dir: str) -> Dataset:
-    """Hopping windows (1h length, 30min hop): every event lands in exactly
-    two overlapping windows, emitted vectorized as two window-start columns
-    concatenated per batch — window membership is computed map-side and the
-    window IS a groupby key, like ``events_hourly`` (no event-time runtime
-    needed)."""
-    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
-    WIN = 3_600_000_000
-    HOP = 1_800_000_000
-
-    def windowed(t: pa.Table) -> pa.Table:
-        ts = pc.cast(t["ts"], pa.int64())
-        base = pc.multiply(pc.divide(ts, HOP), HOP)
-        v = _cents(t["value"], 10_000)
-        parts = []
-        for off in (0, HOP):
-            parts.append(
-                pa.table(
-                    {
-                        "event_type": t["event_type"],
-                        "window_start": pc.subtract(base, off),
-                        "value_c4": v,
-                    }
-                )
-            )
-        return pa.concat_tables(parts)
-
-    return (
-        ds.map_batches(windowed, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
-        .aggregate(
-            Count(alias_name="n_events"),
-            Sum("value_c4", alias_name="sum_value_c4"),
-        )
-    )
-
-
-# each event belongs to windows starting at floor(t/hop)*hop and that minus
-# one hop (window length = 2 hops, so membership needs no extra predicate)
-EVENTS_HOPPING_SQL = """
-WITH e AS (
-  SELECT event_type, epoch_us(ts) AS t,
-         CAST(ROUND(value*10000) AS BIGINT) AS v
-  FROM events
-), w AS (
-  SELECT event_type, v,
-         (t // 1800000000) * 1800000000 - s.off AS window_start
-  FROM e CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1800000000 AS BIGINT))) s(off)
+from ._relcommon import (  # noqa: F401
+    MAX_BROADCAST_DIM_ROWS,
+    _cents,
+    _dim_lookup,
+    _dim_rows,
+    _lookup_hits,
+    _read,
 )
-SELECT event_type, window_start,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(v) AS BIGINT) AS sum_value_c4
-FROM w GROUP BY event_type, window_start
-"""
-
-
-def distinct_users_daily(sf_dir: str) -> Dataset:
-    """Exact distinct users per (day, event_type) — the two-level
-    COUNT(DISTINCT) pattern on a composite window key.  The dedup happens
-    INSIDE a user-bucket kernel (a user's rows all land in one bucket, so
-    in-bucket distinct IS global distinct) and only (day, type, partial
-    count) rows reach the final fold — group counts stay bounded by
-    days x types at any corpus size (a naive groupby on (day, type, user)
-    is corpus-proportional in GROUPS, and this Ray build's aggregate cost
-    scales with the group count — BASELINE session-5 finding)."""
-    import pandas as pd
-
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    nb = n_buckets(pq.read_metadata(f"{sf_dir}/events.parquet").num_rows)
-    ds = _read(sf_dir, "events", ["ts", "event_type", "user_id"])
-
-    def windowed(t: pa.Table) -> pa.Table:
-        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
-        uid = pc.cast(t["user_id"], pa.int64())
-        return pa.table(
-            {
-                "ub": pc.cast(pc.bit_wise_and(uid, nb - 1), pa.int32()),
-                "day_bucket": day,
-                "event_type": t["event_type"],
-                "user_id": uid,
-            }
-        )
-
-    def bucket_distinct(g: pd.DataFrame) -> pa.Table:
-        d = g[["day_bucket", "event_type", "user_id"]].drop_duplicates()
-        c = d.groupby(["day_bucket", "event_type"]).size().reset_index(
-            name="n"
-        )
-        return pa.table(
-            {
-                "day_bucket": pa.array(c["day_bucket"].to_numpy("int64")),
-                "event_type": pa.array(
-                    c["event_type"].astype(str).to_numpy(), pa.string()
-                ),
-                "n": pa.array(c["n"].to_numpy("int64")),
-            }
-        )
-
-    return (
-        ds.map_batches(windowed, batch_format="pyarrow")
-        .groupby("ub")
-        .map_groups(bucket_distinct, batch_format="pandas")
-        .groupby(["day_bucket", "event_type"])
-        .aggregate(Sum("n", alias_name="n_users"))
-    )
-
-
-DISTINCT_USERS_DAILY_SQL = """
-SELECT epoch_us(ts) // 86400000000 AS day_bucket, event_type,
-       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-FROM events GROUP BY day_bucket, event_type
-"""
-
-
-def user_event_counts(sf_dir: str) -> Dataset:
-    """Per-user per-type event counts — partial-aggregate push-down PLUS a
-    bucketed final fold: batches combine map-side, then the per-(user,
-    type) sums happen inside a user-bucket kernel (bounded groups — a
-    direct groupby on (user, type) is corpus-proportional in GROUPS, the
-    BASELINE session-5 finding)."""
-    import pandas as pd
-
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    nb = n_buckets(pq.read_metadata(f"{sf_dir}/events.parquet").num_rows)
-    ds = _read(sf_dir, "events", ["user_id", "event_type"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        uid = pc.cast(t["user_id"], pa.int64())
-        folded = pa.table(
-            {
-                "ub": pc.cast(pc.bit_wise_and(uid, nb - 1), pa.int32()),
-                "user_id": uid,
-                "event_type": t["event_type"],
-            }
-        )
-        agg = pa.TableGroupBy(
-            folded, ["ub", "user_id", "event_type"]
-        ).aggregate([([], "count_all")])
-        return agg.rename_columns(["ub", "user_id", "event_type", "partial_n"])
-
-    def bucket_fold(g: pd.DataFrame) -> pa.Table:
-        c = g.groupby(["user_id", "event_type"], as_index=False)[
-            "partial_n"
-        ].sum()
-        return pa.table(
-            {
-                "user_id": pa.array(c["user_id"].to_numpy("int64")),
-                "event_type": pa.array(
-                    c["event_type"].astype(str).to_numpy(), pa.string()
-                ),
-                "n": pa.array(c["partial_n"].to_numpy("int64")),
-            }
-        )
-
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("ub")
-        .map_groups(bucket_fold, batch_format="pandas")
-    )
-
-
-USER_EVENT_COUNTS_SQL = """
-SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
-FROM events GROUP BY user_id, event_type
-"""
-
-
-# -- q6-style filtered global aggregate -------------------------------------
-
-def q6_revenue_filtered(sf_dir: str) -> "object":
-    """Single-row filtered revenue sum — vectorized predicate inside
-    map_batches (pushing the filter into the batch beats ds.filter's per-row
-    Python)."""
-    import pandas as pd
-
-    import pyarrow.dataset as pads
-
-    # conservative scan prune (float bounds straddle the cent rounding);
-    # the exact cent-band mask below remains the semantic predicate
-    ds = _read(
-        sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount"],
-        filter=(pads.field("l_quantity") < 24.0)
-        & (pads.field("l_discount") >= 0.044)
-        & (pads.field("l_discount") <= 0.076),
-    )
-
-    def partial(t: pa.Table) -> pa.Table:
-        disc_c2 = _cents(t["l_discount"])
-        mask = pc.and_(
-            pc.less(t["l_quantity"], 24.0),
-            pc.and_(pc.greater_equal(disc_c2, 5), pc.less_equal(disc_c2, 7)),
-        )
-        sub = t.filter(mask)
-        rev = pc.multiply(_cents(sub["l_extendedprice"]), _cents(sub["l_discount"]))
-        total = pc.sum(rev).as_py() or 0
-        return pa.table({"partial_c4": pa.array([total], pa.int64())})
-
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    return pd.DataFrame({"revenue_c4": [int(parts["partial_c4"].sum())]})
-
-
-Q6_SQL = """
-SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-                * CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_c4
-FROM lineitem
-WHERE l_quantity < 24
-  AND CAST(ROUND(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
-"""
-
-
-# -- top-k per group (window-function shape) --------------------------------
-
-def top2_orders_per_customer(sf_dir: str) -> Dataset:
-    """Top-2 orders per customer by total price — the distributed
-    row_number()-per-partition pattern.  The groupby key is a coarse
-    customer bucket; one map_groups call ranks every customer in the bucket
-    with ONE vectorized pandas groupby-rank (per-customer Python calls
-    would dominate at millions of customers).  Returned as a sorted
-    Dataset, never materialized on the driver."""
-    import pandas as pd
-
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    # derived from the orders row count (metadata only): ~64k rows per
-    # in-bucket pandas frame at any scale, power of two for the bit-and
-    BUCKETS = n_buckets(
-        pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
-    )
-    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-
-    def scale(t: pa.Table) -> pa.Table:
-        cust = pc.cast(t["o_custkey"], pa.int64())
-        return pa.table(
-            {
-                "cb": pc.cast(
-                    pc.bit_wise_and(cust, BUCKETS - 1), pa.int32()
-                ),
-                "o_custkey": cust,
-                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
-                "totalprice_c2": _cents(t["o_totalprice"]),
-            }
-        )
-
-    def top2(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["o_custkey", "totalprice_c2", "o_orderkey"],
-            ascending=[True, False, True],
-        )
-        g = g.assign(rk=g.groupby("o_custkey").cumcount() + 1)
-        g = g[g["rk"] <= 2]
-        # arrow out: the final global sort shuffles these blocks
-        return pa.table(
-            {
-                "o_custkey": pa.array(g["o_custkey"].astype("int64").values),
-                "o_orderkey": pa.array(g["o_orderkey"].astype("int64").values),
-                "totalprice_c2": pa.array(
-                    g["totalprice_c2"].astype("int64").values
-                ),
-                "rk": pa.array(g["rk"].astype("int64").values),
-            }
-        )
-
-    return (
-        ds.map_batches(scale, batch_format="pyarrow")
-        .groupby("cb")
-        .map_groups(top2, batch_format="pandas")
-        .sort(["o_custkey", "rk"])
-    )
-
-
-TOP2_PER_CUSTOMER_SQL = """
-SELECT o_custkey, o_orderkey,
-       CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_c2,
-       CAST(row_number() OVER (
-            PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
-       ) AS BIGINT) AS rk
-FROM orders
-QUALIFY rk <= 2
-ORDER BY o_custkey, rk
-"""
-
-
-# -- set ops: union + distinct ----------------------------------------------
-
-def distinct_types_union(sf_dir: str) -> "object":
-    """`ds.union` of two filtered projections, then `ds.unique` — the set-op
-    surface of the Dataset API."""
-    import pandas as pd
-
-    high_value = _read(sf_dir, "events", ["event_type", "value"]).filter(
-        expr="value > 100.0"
-    ).select_columns(["event_type"])
-    early_users = _read(sf_dir, "events", ["event_type", "user_id"]).filter(
-        expr="user_id < 50"
-    ).select_columns(["event_type"])
-    values = sorted(high_value.union(early_users).unique("event_type"))
-    return pd.DataFrame({"event_type": values})
-
-
-DISTINCT_TYPES_UNION_SQL = """
-SELECT DISTINCT event_type FROM (
-  SELECT event_type FROM events WHERE value > 100.0
-  UNION ALL
-  SELECT event_type FROM events WHERE user_id < 50
-) ORDER BY event_type
-"""
-
-
-# -- deterministic hash sampling --------------------------------------------
-
-def sample_docs_hash(sf_dir: str) -> Dataset:
-    """Deterministic ~1/16 sample: md5(doc_id) first hex char — the
-    reproducible alternative to random_sample for pipelines that must be
-    re-runnable bit-identically.  Returned as a sorted Dataset (the sample
-    scales with SF, so it never lands on the driver)."""
-    import hashlib
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
-    )
-
-    def pick(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        mask = pa.array(
-            [hashlib.md5(str(i).encode()).hexdigest()[0] == "0" for i in ids]
-        )
-        return t.filter(mask)
-
-    return ds.map_batches(pick, batch_format="pyarrow").sort("doc_id")
-
-
-SAMPLE_DOCS_HASH_SQL = """
-SELECT doc_id, lang FROM documents
-WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
-ORDER BY doc_id
-"""
-
-
-# -- generic column profiler -------------------------------------------------
-
-def profile_columns(
-    ds: Dataset, numeric_cols: list[str], key_col: str
-) -> "object":
-    """Generic data-profiling aggregate: per numeric column (count, nulls,
-    min, max, integer-scaled sum) plus exact distinct count of ``key_col``
-    via the two-level groupby — one pass + one tiny shuffle, the profile
-    never exceeds a few rows.  The building block for ingest validation at
-    scale (schema drift, null explosions, range regressions)."""
-    import pandas as pd
-
-    def partial(t: pa.Table) -> pa.Table:
-        names, counts, nulls, mins, maxs, sums = [], [], [], [], [], []
-        for c in numeric_cols:
-            col = t[c]
-            names.append(c)
-            counts.append(len(col) - col.null_count)
-            nulls.append(col.null_count)
-            mn, mx = pc.min(col).as_py(), pc.max(col).as_py()
-            # +/-inf sentinels for all-null/empty batches: a 0 coercion
-            # would corrupt the global min/max whenever the true column
-            # min > 0 or max < 0.  Mapped back to NaN after the reduce.
-            mins.append(float("inf") if mn is None else float(mn))
-            maxs.append(float("-inf") if mx is None else float(mx))
-            s = pc.sum(_cents(col)).as_py()
-            sums.append(0 if s is None else int(s))
-        return pa.table(
-            {
-                "column": pa.array(names, pa.string()),
-                "n": pa.array(counts, pa.int64()),
-                "nulls": pa.array(nulls, pa.int64()),
-                "min_v": pa.array(mins, pa.float64()),
-                "max_v": pa.array(maxs, pa.float64()),
-                "sum_c2": pa.array(sums, pa.int64()),
-            }
-        )
-
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    prof = (
-        parts.groupby("column")
-        .agg(
-            n=("n", "sum"), nulls=("nulls", "sum"), min_v=("min_v", "min"),
-            max_v=("max_v", "max"), sum_c2=("sum_c2", "sum"),
-        )
-        .reset_index()
-    )
-    import numpy as np
-
-    prof["min_v"] = prof["min_v"].replace(np.inf, np.nan)
-    prof["max_v"] = prof["max_v"].replace(-np.inf, np.nan)
-    distinct = (
-        ds.groupby(key_col).aggregate(Count(alias_name="_c"))
-        .count()
-    )
-    prof["n_distinct_keys"] = int(distinct)
-    return prof.astype(
-        {"n": "int64", "nulls": "int64", "sum_c2": "int64",
-         "n_distinct_keys": "int64"}
-    ).sort_values("column").reset_index(drop=True)
-
-
-def profile_lineitem(sf_dir: str) -> "object":
-    """Profile of lineitem's numeric columns keyed by l_orderkey."""
-    ds = _read(
-        sf_dir, "lineitem",
-        ["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"],
-    )
-    return profile_columns(
-        ds, ["l_quantity", "l_extendedprice", "l_discount"], "l_orderkey"
-    )
-
-
-PROFILE_LINEITEM_SQL = """
-WITH d AS (SELECT COUNT(DISTINCT l_orderkey) AS nd FROM lineitem),
-p AS (
-  SELECT 'l_quantity' AS "column", COUNT(l_quantity) AS n,
-         COUNT(*) - COUNT(l_quantity) AS nulls,
-         CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
-         CAST(MAX(l_quantity) AS DOUBLE) AS max_v,
-         CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_c2
-  FROM lineitem
-  UNION ALL
-  SELECT 'l_extendedprice', COUNT(l_extendedprice),
-         COUNT(*) - COUNT(l_extendedprice),
-         CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE),
-         CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
-  FROM lineitem
-  UNION ALL
-  SELECT 'l_discount', COUNT(l_discount), COUNT(*) - COUNT(l_discount),
-         CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE),
-         CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT)
-  FROM lineitem
-)
-SELECT p.*, CAST(d.nd AS BIGINT) AS n_distinct_keys
-FROM p CROSS JOIN d ORDER BY "column"
-"""
-
-
-# -- rollup: hierarchical totals ---------------------------------------------
-
-def orders_rollup(sf_dir: str) -> "object":
-    """GROUP BY ROLLUP(status, priority): the hierarchical-aggregate shape —
-    ONE distributed groupby at the finest grain, then the coarser levels
-    re-aggregate the (tiny) finest result on the driver (classic rollup
-    push-down: never re-scan the fact table per level).  NULL grouping
-    columns are encoded as '' for hash-stable comparison."""
-    import pandas as pd
-
-    base = (
-        _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
-        .groupby(["o_orderstatus", "o_orderpriority"])
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()  # |statuses| x |priorities| rows
-    )
-    lvl1 = (
-        base.groupby("o_orderstatus", as_index=False)["n"].sum()
-        .assign(o_orderpriority="")
-    )
-    total = pd.DataFrame(
-        {"o_orderstatus": [""], "o_orderpriority": [""], "n": [base["n"].sum()]}
-    )
-    out = pd.concat([base, lvl1, total], ignore_index=True)
-    out["n"] = out["n"].astype("int64")
-    return out.sort_values(
-        ["o_orderstatus", "o_orderpriority"]
-    ).reset_index(drop=True)
-
-
-ORDERS_ROLLUP_SQL = """
-SELECT COALESCE(o_orderstatus, '') AS o_orderstatus,
-       COALESCE(o_orderpriority, '') AS o_orderpriority,
-       CAST(COUNT(*) AS BIGINT) AS n
-FROM orders
-GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
-ORDER BY o_orderstatus, o_orderpriority
-"""
-
-
-# -- pivot: long -> wide -----------------------------------------------------
-
-def status_priority_pivot(sf_dir: str) -> "object":
-    """Pivot orders to a status x priority count matrix: map-side one-hot
-    columns (one int column per priority value, vectorized) + ONE groupby
-    Sum — the long->wide shape without a second pass or driver pivot of the
-    fact table.  Priority values are a fixed domain (dimension metadata at
-    scale)."""
-    PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
-    COLS = ["p1_urgent", "p2_high", "p3_medium", "p4_not_specified", "p5_low"]
-
-    def one_hot(t: pa.Table) -> pa.Table:
-        cols = {"o_orderstatus": t["o_orderstatus"]}
-        for val, name in zip(PRIORITIES, COLS):
-            cols[name] = pc.cast(
-                pc.equal(t["o_orderpriority"], val), pa.int64()
-            )
-        return pa.table(cols)
-
-    out = (
-        _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
-        .map_batches(one_hot, batch_format="pyarrow")
-        .groupby("o_orderstatus")
-        .aggregate(*[Sum(c, alias_name=c) for c in COLS])
-        .to_pandas()  # |statuses| rows
-    )
-    for c in COLS:
-        out[c] = out[c].astype("int64")
-    return out.sort_values("o_orderstatus").reset_index(drop=True)
-
-
-STATUS_PRIORITY_PIVOT_SQL = """
-SELECT o_orderstatus,
-       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1_urgent,
-       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2_high,
-       CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3_medium,
-       CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4_not_specified,
-       CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5_low
-FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
-"""
-
-
-# -- q7-ish: nation-pair trade matrix (5-way join) --------------------------
-
-def _dim_rows(sf_dir: str, table: str) -> int:
-    import pyarrow.parquet as pq
-
-    return pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
-
-
-def _dim_lookup(sf_dir: str, table: str, key: str, cols: list[str]):
-    """Driver-side sorted-key lookup for a dimension table: returns
-    (sorted key ndarray, {col: aligned ndarray}) for one ``ray.put``
-    broadcast.  Callers guard on ``_dim_rows(...) <= MAX_BROADCAST_DIM_ROWS``
-    first — above the guard the co-location/join plan must run instead."""
-    import numpy as np
-
-    df = _read(sf_dir, table, [key, *cols]).to_pandas().sort_values(key)
-    keys = df[key].to_numpy(np.int64)
-    vals = {c: df[c].to_numpy() for c in cols}
-    return keys, vals
-
-
-def _lookup_hits(keys, probe):
-    """searchsorted membership probe: (hit_mask, index-into-keys[hit])."""
-    import numpy as np
-
-    if len(keys) == 0:
-        return np.zeros(len(probe), bool), np.zeros(0, np.int64)
-    idx = np.clip(np.searchsorted(keys, probe), 0, len(keys) - 1)
-    hit = keys[idx] == probe
-    return hit, idx[hit]
-
-
-#: Dimension-broadcast guard for q7: a nation-key map over this many rows
-#: (~tens of MB as two int arrays) stays a driver broadcast; above it the
-#: all-co-location plan runs (same answer, one more exchange per dim —
-#: the decontaminate two-physical-plans pattern).
-MAX_BROADCAST_DIM_ROWS = 2_000_000
-
-
-def q7_nation_pairs(sf_dir: str) -> "object":
-    """Revenue between every (customer-nation, supplier-nation) pair where
-    the two differ — the widest join in the library (lineitem ⋈ orders ⋈
-    customer ⋈ supplier ⋈ nation², reference has nothing similar; TPC-H q7
-    shape adapted to the driver schema).  Two physical plans, same answer:
-
-    - dims under ``MAX_BROADCAST_DIM_ROWS``: the custkey→nation and
-      suppkey→nation maps broadcast once via ``ray.put`` as sorted int
-      arrays (searchsorted lookup per batch), so the ONLY key exchange is
-      the orderkey co-location of (orders + pre-summed lineitem) — one
-      all-to-all total, kernel emits ≤625 nation-pair partials per bucket,
-      driver folds O(buckets·625) rows.  11.6s → ~6s at sf0.1/32 CPUs.
-    - above the guard (dims are corpus-proportional at true TPC-H scale):
-      custkey and suppkey become union + bucketed-groupby co-locations
-      (the ``q21_sole_returner`` shape) — three exchanges, nothing
-      corpus-sized on the driver.
-
-    Tests pin both plans to the same oracle hash (guard monkeypatched)."""
-    import numpy as np
-    import pandas as pd
-
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    LB = n_buckets(pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
-    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
-    n_supp = pq.read_metadata(f"{sf_dir}/supplier.parquet").num_rows
-    broadcast_dims = max(n_cust, n_supp) <= MAX_BROADCAST_DIM_ROWS
-
-    if broadcast_dims:
-        cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-        ck = np.sort(cust["c_custkey"].to_numpy(np.int64))
-        cn = cust.set_index("c_custkey")["c_nationkey"].loc[ck].to_numpy(np.int32)
-        supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-        sk_ = np.sort(supp["s_suppkey"].to_numpy(np.int64))
-        sn = supp.set_index("s_suppkey")["s_nationkey"].loc[sk_].to_numpy(np.int32)
-        import ray as _ray
-
-        cust_ref = _ray.put((ck, cn))
-        supp_ref = _ray.put((sk_, sn))
-
-        def o_rows(t: pa.Table) -> pa.Table:
-            import ray as _r
-
-            keys, nats = _r.get(cust_ref)
-            ckv = pc.cast(t["o_custkey"], pa.int64()).to_numpy()
-            idx = np.searchsorted(keys, ckv)
-            idx = np.clip(idx, 0, len(keys) - 1)
-            hit = keys[idx] == ckv
-            ok = pc.cast(t["o_orderkey"], pa.int64()).to_numpy()[hit]
-            return pa.table(
-                {
-                    "b": pa.array((ok & (LB - 1)).astype("int32")),
-                    "ok": pa.array(ok),
-                    "nat": pa.array(nats[idx[hit]]),
-                    "rev_c4": pa.array(np.full(hit.sum(), -1, dtype="int64")),
-                }
-            )
-
-        def l_rows(t: pa.Table) -> pa.Table:
-            import ray as _r
-
-            keys, nats = _r.get(supp_ref)
-            skv = pc.cast(t["l_suppkey"], pa.int64()).to_numpy()
-            idx = np.searchsorted(keys, skv)
-            idx = np.clip(idx, 0, len(keys) - 1)
-            hit = keys[idx] == skv
-            ok = pc.cast(t["l_orderkey"], pa.int64()).to_numpy()[hit]
-            rev = pc.multiply(
-                _cents(t["l_extendedprice"]),
-                pc.subtract(100, _cents(t["l_discount"])),
-            ).to_numpy()[hit]
-            folded = pa.table(
-                {
-                    "b": pa.array((ok & (LB - 1)).astype("int32")),
-                    "ok": pa.array(ok),
-                    "nat": pa.array(nats[idx[hit]]),
-                    "rev_c4": pa.array(rev),
-                }
-            )
-            # batch-local (order, supp-nation) combine shrinks the exchange
-            return pa.TableGroupBy(folded, ["b", "ok", "nat"]).aggregate(
-                [("rev_c4", "sum")]
-            ).rename_columns(["b", "ok", "nat", "rev_c4"])
-
-        o_sided = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
-            o_rows, batch_format="pyarrow"
-        )
-        l_sided = _read(
-            sf_dir, "lineitem",
-            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-        ).map_batches(l_rows, batch_format="pyarrow")
-    else:
-        o_sided, l_sided = _q7_colocated_sides(sf_dir, LB)
-
-    def pair_partial(g: pd.DataFrame) -> pd.DataFrame:
-        cn_ = g.loc[g["rev_c4"] < 0].set_index("ok")["nat"]
-        li = g[g["rev_c4"] >= 0]
-        c = li["ok"].map(cn_)
-        keep = c.notna() & (c != li["nat"])
-        sub = pd.DataFrame(
-            {
-                "c_nationkey": c[keep].astype("int32"),
-                "s_nationkey": li.loc[keep, "nat"].astype("int32"),
-                "revenue_c4": li.loc[keep, "rev_c4"].astype("int64"),
-            }
-        )
-        return (
-            sub.groupby(["c_nationkey", "s_nationkey"], as_index=False)[
-                "revenue_c4"
-            ].sum()  # ≤625 rows per bucket -> driver fold, no extra all-to-all
-        )
-
-    agg = (
-        o_sided.union(l_sided)
-        .groupby("b")
-        .map_groups(pair_partial, batch_format="pandas")
-        .to_pandas()  # ≤625·buckets rows, corpus-independent
-        .groupby(["c_nationkey", "s_nationkey"], as_index=False)["revenue_c4"]
-        .sum()
-    )
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    name = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    agg["cust_nation"] = agg["c_nationkey"].map(name)
-    agg["supp_nation"] = agg["s_nationkey"].map(name)
-    out = (
-        agg[["cust_nation", "supp_nation", "revenue_c4"]]
-        .sort_values(["cust_nation", "supp_nation"])
-        .reset_index(drop=True)
-    )
-    out["revenue_c4"] = out["revenue_c4"].astype("int64")
-    return out
-
-
-def _q7_colocated_sides(sf_dir: str, LB: int):
-    """q7 scale path: attach the nation keys through union + bucketed-
-    groupby co-locations on custkey and suppkey (one exchange each) instead
-    of driver broadcasts; returns the two orderkey-bucketed sides."""
-    import pandas as pd
-
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    CB = n_buckets(pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
-
-    def orders_rows(t: pa.Table) -> pa.Table:
-        ck = pc.cast(t["o_custkey"], pa.int64())
-        return pa.table(
-            {
-                "b": pc.cast(pc.bit_wise_and(ck, CB - 1), pa.int32()),
-                "key": ck,
-                "ok": pc.cast(t["o_orderkey"], pa.int64()),
-                "nat": pa.array([-1] * len(t), pa.int32()),
-            }
-        )
-
-    def cust_rows(t: pa.Table) -> pa.Table:
-        ck = pc.cast(t["c_custkey"], pa.int64())
-        return pa.table(
-            {
-                "b": pc.cast(pc.bit_wise_and(ck, CB - 1), pa.int32()),
-                "key": ck,
-                "ok": pa.array([-1] * len(t), pa.int64()),
-                "nat": pc.cast(t["c_nationkey"], pa.int32()),
-            }
-        )
-
-    def attach_cnat(g: pd.DataFrame) -> pa.Table:
-        nat = g.loc[g["ok"] < 0].set_index("key")["nat"]
-        o = g[g["ok"] >= 0]
-        cn = o["key"].map(nat)
-        keep = cn.notna()
-        ok = o.loc[keep, "ok"].astype("int64")
-        return pa.table(
-            {
-                "b": pa.array((ok.values & (LB - 1)).astype("int32")),
-                "ok": pa.array(ok.values),
-                "nat": pa.array(cn[keep].astype("int32").values),
-                "rev_c4": pa.array([-1] * int(keep.sum()), pa.int64()),
-            }
-        )
-
-    o_sided = (
-        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-        .map_batches(orders_rows, batch_format="pyarrow")
-        .union(
-            _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
-                cust_rows, batch_format="pyarrow"
-            )
-        )
-        .groupby("b")
-        .map_groups(attach_cnat, batch_format="pandas")
-    )
-
-    def line_rows(t: pa.Table) -> pa.Table:
-        sk = pc.cast(t["l_suppkey"], pa.int64())
-        rev = pc.multiply(
-            _cents(t["l_extendedprice"]), pc.subtract(100, _cents(t["l_discount"]))
-        )
-        folded = pa.table(
-            {
-                "b": pc.cast(pc.bit_wise_and(sk, LB - 1), pa.int32()),
-                "key": sk,
-                "ok": pc.cast(t["l_orderkey"], pa.int64()),
-                "nat": pa.array([-1] * len(t), pa.int32()),
-                "rev_c4": rev,
-            }
-        )
-        return pa.TableGroupBy(folded, ["b", "key", "ok", "nat"]).aggregate(
-            [("rev_c4", "sum")]
-        ).rename_columns(["b", "key", "ok", "nat", "rev_c4"])
-
-    def supp_rows(t: pa.Table) -> pa.Table:
-        sk = pc.cast(t["s_suppkey"], pa.int64())
-        return pa.table(
-            {
-                "b": pc.cast(pc.bit_wise_and(sk, LB - 1), pa.int32()),
-                "key": sk,
-                "ok": pa.array([-1] * len(t), pa.int64()),
-                "nat": pc.cast(t["s_nationkey"], pa.int32()),
-                "rev_c4": pa.array([0] * len(t), pa.int64()),
-            }
-        )
-
-    def attach_snat(g: pd.DataFrame) -> pa.Table:
-        nat = g.loc[g["ok"] < 0].set_index("key")["nat"]
-        li = g[g["ok"] >= 0]
-        sn = li["key"].map(nat)
-        keep = sn.notna()
-        li = li[keep]
-        out = (
-            pd.DataFrame(
-                {
-                    "ok": li["ok"].astype("int64"),
-                    "nat": sn[keep].astype("int32"),
-                    "rev_c4": li["rev_c4"].astype("int64"),
-                }
-            )
-            .groupby(["ok", "nat"], as_index=False)["rev_c4"]
-            .sum()  # (order, supp-nation) grain before the orderkey exchange
-        )
-        return pa.table(
-            {
-                "b": pa.array((out["ok"].values & (LB - 1)).astype("int32")),
-                "ok": pa.array(out["ok"].astype("int64").values),
-                "nat": pa.array(out["nat"].astype("int32").values),
-                "rev_c4": pa.array(out["rev_c4"].astype("int64").values),
-            }
-        )
-
-    l_sided = (
-        _read(
-            sf_dir, "lineitem",
-            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-        )
-        .map_batches(line_rows, batch_format="pyarrow")
-        .union(
-            _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
-                supp_rows, batch_format="pyarrow"
-            )
-        )
-        .groupby("b")
-        .map_groups(attach_snat, batch_format="pandas")
-    )
-    return o_sided, l_sided
-
-
-Q7_NATION_PAIRS_SQL = """
-SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
-       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-              JOIN customer ON o_custkey = c_custkey
-              JOIN supplier ON l_suppkey = s_suppkey
-              JOIN nation cn ON c_nationkey = cn.n_nationkey
-              JOIN nation sn ON s_nationkey = sn.n_nationkey
-WHERE cn.n_nationkey <> sn.n_nationkey
-GROUP BY cn.n_name, sn.n_name
-ORDER BY cust_nation, supp_nation
-"""
-
-
-# -- q19-ish: disjunctive predicate join ------------------------------------
-
-def q19_disjunctive(sf_dir: str) -> "object":
-    """Revenue under an OR of brand/size/quantity conjunctions (TPC-H q19
-    shape adapted to the driver schema) — exercises disjunctive predicate
-    evaluation AFTER a join: the filter needs columns from both sides, so
-    it cannot be pushed below the join; it IS pushed into the first
-    map_batches above the join, and the per-clause masks are vectorized
-    Arrow kernels combined with ``pc.or_``."""
-    import pandas as pd
-
-    li = _read(
-        sf_dir, "lineitem",
-        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
-    )
-    if _dim_rows(sf_dir, "part") <= MAX_BROADCAST_DIM_ROWS:
-        # fast plan: the (brand, size) attribute map broadcasts once and
-        # the disjunction evaluates in-stream — ZERO exchanges; per-batch
-        # scalar partials fold on the driver
-        return _q19_broadcast(sf_dir, li)
-    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
-    joined = li.join(
-        part,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("l_partkey",),
-        right_on=("p_partkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
-
-    clauses = [
-        ("Brand#1", 1, 10, 1.0, 15.0),
-        ("Brand#2", 1, 20, 10.0, 25.0),
-        ("Brand#3", 1, 30, 20.0, 35.0),
-    ]
-
-    def partial(t: pa.Table) -> pa.Table:
-        mask = None
-        for brand, s_lo, s_hi, q_lo, q_hi in clauses:
-            m = pc.and_(
-                pc.equal(t["p_brand"], brand),
-                pc.and_(
-                    pc.and_(
-                        pc.greater_equal(t["p_size"], s_lo),
-                        pc.less_equal(t["p_size"], s_hi),
-                    ),
-                    pc.and_(
-                        pc.greater_equal(t["l_quantity"], q_lo),
-                        pc.less_equal(t["l_quantity"], q_hi),
-                    ),
-                ),
-            )
-            mask = m if mask is None else pc.or_(mask, m)
-        sub = t.filter(mask)
-        rev = pc.multiply(
-            _cents(sub["l_extendedprice"]), pc.subtract(100, _cents(sub["l_discount"]))
-        )
-        return pa.table(
-            {
-                "revenue_c4": pa.array([pc.sum(rev).as_py() or 0], pa.int64()),
-                "n_items": pa.array([sub.num_rows], pa.int64()),
-            }
-        )
-
-    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
-    return pd.DataFrame(
-        {
-            "revenue_c4": [int(parts["revenue_c4"].sum())],
-            "n_items": [int(parts["n_items"].sum())],
-        }
-    )
-
-
-def _q19_broadcast(sf_dir: str, li: Dataset) -> "object":
-    import numpy as np
-    import pandas as pd
-
-    pk, vals = _dim_lookup(sf_dir, "part", "p_partkey", ["p_brand", "p_size"])
-    maps_ref = ray.put((pk, vals["p_brand"], vals["p_size"].astype("int64")))
-    clauses = [
-        ("Brand#1", 1, 10, 1.0, 15.0),
-        ("Brand#2", 1, 20, 10.0, 25.0),
-        ("Brand#3", 1, 30, 20.0, 35.0),
-    ]
-
-    def partial(t: pa.Table) -> pa.Table:
-        pk_, pb_, ps_ = ray.get(maps_ref)
-        pkv = pc.cast(t["l_partkey"], pa.int64()).to_numpy()
-        hit, hidx = _lookup_hits(pk_, pkv)
-        sub = t.filter(pa.array(hit))
-        brand, size = pb_[hidx], ps_[hidx]
-        qty = sub["l_quantity"].to_numpy()
-        mask = np.zeros(len(sub), bool)
-        for b, s_lo, s_hi, q_lo, q_hi in clauses:
-            mask |= (
-                (brand == b) & (size >= s_lo) & (size <= s_hi)
-                & (qty >= q_lo) & (qty <= q_hi)
-            )
-        rev = pc.multiply(
-            _cents(sub["l_extendedprice"]),
-            pc.subtract(100, _cents(sub["l_discount"])),
-        ).to_numpy()
-        return pa.table(
-            {
-                "revenue_c4": pa.array([int(rev[mask].sum())], pa.int64()),
-                "n_items": pa.array([int(mask.sum())], pa.int64()),
-            }
-        )
-
-    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
-    return pd.DataFrame(
-        {
-            "revenue_c4": [int(parts["revenue_c4"].sum())],
-            "n_items": [int(parts["n_items"].sum())],
-        }
-    )
-
-
-Q19_DISJUNCTIVE_SQL = """
-SELECT CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))), 0) AS BIGINT) AS revenue_c4,
-       CAST(COUNT(*) AS BIGINT) AS n_items
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
-   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 25)
-   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 35)
-"""
-
-
-# -- q16-ish: distinct suppliers per part type over a join ------------------
-
-def suppliers_per_type(sf_dir: str) -> "object":
-    """COUNT(DISTINCT supplier) per part type ACROSS a fact join (TPC-H q16
-    shape on the driver schema): lineitem ⋈ part, then the two-level
-    dedup-then-count groupby (same scalable COUNT(DISTINCT) pattern as
-    distinct_suppliers_per_nation, but the dedup input scales with SF).  A
-    per-batch Arrow ``group_by`` pre-dedups (type, suppkey) pairs before
-    the shuffle — lineitem repeats each pair many times, so the exchange
-    carries near-distinct rows only."""
-    import pandas as pd
-
-    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
-    if _dim_rows(sf_dir, "part") <= MAX_BROADCAST_DIM_ROWS:
-        # fast plan: partkey->type broadcasts once; the one exchange is the
-        # dedup groupby over batch-pre-deduped (type, supp) combos
-        pk, vals = _dim_lookup(sf_dir, "part", "p_partkey", ["p_type"])
-        maps_ref = ray.put((pk, vals["p_type"]))
-
-        def local_dedup(t: pa.Table) -> pa.Table:
-            pk_, pt_ = ray.get(maps_ref)
-            pkv = pc.cast(t["l_partkey"], pa.int64()).to_numpy()
-            hit, hidx = _lookup_hits(pk_, pkv)
-            sub = t.filter(pa.array(hit))
-            folded = pa.table(
-                {
-                    "p_type": pa.array(pt_[hidx], pa.string()),
-                    "l_suppkey": pc.cast(sub["l_suppkey"], pa.int64()),
-                }
-            )
-            return folded.group_by(["p_type", "l_suppkey"]).aggregate([])
-
-        deduped_src = li.map_batches(local_dedup, batch_format="pyarrow")
-    else:
-        part = _read(sf_dir, "part", ["p_partkey", "p_type"])
-        joined = li.join(
-            part,
-            join_type="inner",
-            num_partitions=join_partitions(),
-            on=("l_partkey",),
-            right_on=("p_partkey",),
-            aggregator_ray_remote_args={"num_cpus": 0},
-        )
-
-        def local_dedup(t: pa.Table) -> pa.Table:
-            return (
-                t.select(["p_type", "l_suppkey"])
-                .group_by(["p_type", "l_suppkey"])
-                .aggregate([])
-            )
-
-        deduped_src = joined.map_batches(local_dedup, batch_format="pyarrow")
-
-    dedup = (
-        deduped_src
-        .groupby(["p_type", "l_suppkey"])
-        .aggregate(Count(alias_name="_c"))
-    )
-    out = (
-        dedup.groupby("p_type")
-        .aggregate(Count(alias_name="n_suppliers"))
-        .to_pandas()  # 6 part types
-    )
-    out["n_suppliers"] = out["n_suppliers"].astype("int64")
-    return out.sort_values("p_type").reset_index(drop=True)[
-        ["p_type", "n_suppliers"]
-    ]
-
-
-SUPPLIERS_PER_TYPE_SQL = """
-SELECT p_type, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
-FROM lineitem JOIN part ON l_partkey = p_partkey
-GROUP BY p_type ORDER BY p_type
-"""
-
-
-# -- statistics: Pearson correlation ----------------------------------------
-
-def corr_qty_price(sf_dir: str) -> "object":
-    """Pearson correlation of quantity vs extended price over lineitem —
-    the single-pass distributed-statistics shape: each batch folds to ONE
-    row of integer-cent moment sums (Σx, Σy, Σxy, Σx², Σy², n), the driver
-    adds them as arbitrary-precision Python ints (the sums, not the data;
-    SQL mirrors with HUGEINT), and the final correlation is one fixed
-    double expression — num/sqrt(a)/sqrt(b), each operand an exact big-int
-    correctly rounded to double on both engines — FLOORED to micro-units
-    (the bm25 technique).  Output: one row (n, corr_mu)."""
-    import math
-
-    import pandas as pd
-
-    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        x = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64())
-        y = _cents(t["l_extendedprice"])
-        return pa.table(
-            {
-                "sx": pa.array([pc.sum(x).as_py() or 0], pa.int64()),
-                "sy": pa.array([pc.sum(y).as_py() or 0], pa.int64()),
-                "sxy": pa.array(
-                    [pc.sum(pc.multiply(x, y)).as_py() or 0], pa.int64()
-                ),
-                "sxx": pa.array(
-                    [pc.sum(pc.multiply(x, x)).as_py() or 0], pa.int64()
-                ),
-                "syy": pa.array(
-                    [pc.sum(pc.multiply(y, y)).as_py() or 0], pa.int64()
-                ),
-                "cnt": pa.array([t.num_rows], pa.int64()),
-            }
-        )
-
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    # arbitrary-precision accumulation: at extreme scale int64 pandas sums
-    # of second moments would overflow; Python ints cannot
-    sx = sum(int(v) for v in parts["sx"])
-    sy = sum(int(v) for v in parts["sy"])
-    sxy = sum(int(v) for v in parts["sxy"])
-    sxx = sum(int(v) for v in parts["sxx"])
-    syy = sum(int(v) for v in parts["syy"])
-    n = sum(int(v) for v in parts["cnt"])
-    num = n * sxy - sx * sy
-    va = n * sxx - sx * sx
-    vb = n * syy - sy * sy
-    corr = num / math.sqrt(va) / math.sqrt(vb)
-    return pd.DataFrame(
-        {"n": [n], "corr_mu": [math.floor(corr * 1e6)]}
-    ).astype({"n": "int64", "corr_mu": "int64"})
-
-
-CORR_QTY_PRICE_SQL = """
-WITH m AS (
-  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
-         SUM(CAST(CAST(ROUND(l_quantity*100) AS BIGINT) AS HUGEINT)) AS sx,
-         SUM(CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) AS HUGEINT)) AS sy,
-         SUM(CAST(CAST(ROUND(l_quantity*100) AS BIGINT) AS HUGEINT)
-             * CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sxy,
-         SUM(CAST(CAST(ROUND(l_quantity*100) AS BIGINT) AS HUGEINT)
-             * CAST(ROUND(l_quantity*100) AS BIGINT)) AS sxx,
-         SUM(CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) AS HUGEINT)
-             * CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS syy
-  FROM lineitem
-)
-SELECT CAST(n AS BIGINT) AS n,
-       CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
-                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                  / sqrt(CAST(n * syy - sy * sy AS DOUBLE))
-                  * 1e6) AS BIGINT) AS corr_mu
-FROM m
-"""
-
-
-# -- full-outer join (symmetric groupby form) -------------------------------
-
-def daily_orders_events_outer(sf_dir: str) -> Dataset:
-    """Per-day order count vs event count — FULL OUTER JOIN semantics
-    (unmatched days survive from BOTH sides with zero-filled counts).
-    Expressed as the symmetric-union groupby rather than a hash join: the
-    events side has only ~30 distinct days, and `Dataset.join` crashes on
-    hash partitions that receive zero rows (see the verify-skill gotcha);
-    union + one groupby is the crash-safe co-location for outer joins with
-    a potentially sparse side, and costs the same single exchange.  Both
-    sides pre-aggregate per batch, so the exchange carries day-sized rows."""
-    DAY_US = 86_400_000_000
-
-    def od_part(t: pa.Table) -> pa.Table:
-        day = pc.divide(
-            pc.cast(t["o_orderdate"].cast(pa.timestamp("us")), pa.int64()),
-            DAY_US,
-        )
-        g = pa.table({"day": day}).group_by(["day"]).aggregate([([], "count_all")])
-        return pa.table(
-            {
-                "day": g["day"],
-                "n_orders": pc.cast(g["count_all"], pa.int64()),
-                "n_events": pa.array([0] * g.num_rows, pa.int64()),
-            }
-        )
-
-    def ev_part(t: pa.Table) -> pa.Table:
-        day = pc.divide(
-            pc.cast(t["ts"].cast(pa.timestamp("us")), pa.int64()), DAY_US
-        )
-        g = pa.table({"day": day}).group_by(["day"]).aggregate([([], "count_all")])
-        return pa.table(
-            {
-                "day": g["day"],
-                "n_orders": pa.array([0] * g.num_rows, pa.int64()),
-                "n_events": pc.cast(g["count_all"], pa.int64()),
-            }
-        )
-
-    orders = _read(sf_dir, "orders", ["o_orderdate"]).map_batches(
-        od_part, batch_format="pyarrow"
-    )
-    events = _read(sf_dir, "events", ["ts"]).map_batches(
-        ev_part, batch_format="pyarrow"
-    )
-    return (
-        orders.union(events)
-        .groupby("day")
-        .aggregate(
-            Sum("n_orders", alias_name="n_orders"),
-            Sum("n_events", alias_name="n_events"),
-        )
-        .sort("day")
-    )
-
-
-DAILY_OUTER_SQL = """
-WITH od AS (
-  SELECT epoch_us(o_orderdate) // 86400000000 AS day, COUNT(*) AS n
-  FROM orders GROUP BY 1
-), ev AS (
-  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
-  FROM events GROUP BY 1
-)
-SELECT COALESCE(od.day, ev.day) AS day,
-       CAST(COALESCE(od.n, 0) AS BIGINT) AS n_orders,
-       CAST(COALESCE(ev.n, 0) AS BIGINT) AS n_events
-FROM od FULL JOIN ev ON od.day = ev.day
-ORDER BY day
-"""
-
-
-# -- market-basket co-occurrence --------------------------------------------
-
-def copurchase_type_pairs(sf_dir: str) -> "object":
-    """Order-level part-type co-occurrence counts (market-basket pairs):
-    in how many orders do two part types appear together?  lineitem ⋈ part
-    attaches the type, then order rows co-locate by a derived orderkey
-    bucket and ONE vectorized kernel per bucket dedups (order, type) and
-    expands per-order pairs via a self-merge — per-order distinct types
-    are bounded by the 6-value type domain, so the expansion is O(15) per
-    order.  Per-batch pair partials pre-combine (≤15 pairs) before the
-    final tiny groupby.  Output: (type_a, type_b, n_orders) — 15 rows."""
-    import pandas as pd
-
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    BUCKETS = n_buckets(pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
-
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
-    joined = li.join(
-        part,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("l_partkey",),
-        right_on=("p_partkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
-
-    def bucketed(t: pa.Table) -> pa.Table:
-        # map-side (order, type) dedup shrinks the exchange below one row
-        # per lineitem
-        sub = (
-            t.select(["l_orderkey", "p_type"])
-            .group_by(["l_orderkey", "p_type"])
-            .aggregate([])
-        )
-        ok = pc.cast(sub["l_orderkey"], pa.int64())
-        return pa.table(
-            {
-                "ob": pc.cast(pc.bit_wise_and(ok, BUCKETS - 1), pa.int32()),
-                "l_orderkey": ok,
-                "p_type": sub["p_type"],
-            }
-        )
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["l_orderkey", "p_type"])
-        m = g.merge(g, on="l_orderkey")
-        m = m[m["p_type_x"] < m["p_type_y"]]
-        agg = (
-            m.groupby(["p_type_x", "p_type_y"], as_index=False)
-            .size()
-            .rename(columns={"p_type_x": "type_a", "p_type_y": "type_b",
-                             "size": "n"})
-        )
-        agg["n"] = agg["n"].astype("int64")
-        return agg
-
-    from ray.data.aggregate import Sum
-
-    out = (
-        joined.map_batches(bucketed, batch_format="pyarrow")
-        .groupby("ob")
-        .map_groups(pairs, batch_format="pandas")
-        .groupby(["type_a", "type_b"])
-        .aggregate(Sum("n", alias_name="n_orders"))
-        .to_pandas()  # <= 15 rows
-    )
-    out["n_orders"] = out["n_orders"].astype("int64")
-    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
-
-
-COPURCHASE_SQL = """
-WITH ot AS (
-  SELECT DISTINCT l_orderkey, p_type
-  FROM lineitem JOIN part ON l_partkey = p_partkey
-)
-SELECT a.p_type AS type_a, b.p_type AS type_b,
-       CAST(COUNT(*) AS BIGINT) AS n_orders
-FROM ot a JOIN ot b
-  ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
-GROUP BY a.p_type, b.p_type
-ORDER BY type_a, type_b
-"""
-
-
-# -- q8-style: per-year market share of one supplier nation ------------------
-
-def q8_market_share(sf_dir: str) -> "object":
-    """Per order-year PROMO-part revenue in region ASIA, split into the
-    share supplied by NATION_5 vs the total (TPC-H q8 shape adapted to the
-    driver schema; the reference has no relational surface).  Fast plan
-    (dims under ``MAX_BROADCAST_DIM_ROWS``): the PROMO partkey set, the
-    supplier nation map, and the customer nation map broadcast once via
-    ``ray.put``; lineitem pre-folds (orderkey, is-target-nation) revenue
-    and orders pre-filter to ASIA years in-stream, so the ONLY exchange is
-    one orderkey co-location emitting ≤7-year partials per bucket — a
-    corpus-independent driver fold finishes.  Above the guard the original
-    four-``Dataset.join`` tree runs.  The ratio is emitted as two exact
-    integer sums (nation_c4, total_c4) so the oracle hash-matches — a
-    float division would differ in the last ulp."""
-    import numpy as np
-    import pandas as pd
-
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    n_part = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
-    n_supp = pq.read_metadata(f"{sf_dir}/supplier.parquet").num_rows
-    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
-    if max(n_part, n_supp, n_cust) > MAX_BROADCAST_DIM_ROWS:
-        return _q8_join_plan(sf_dir)
-
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
-    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    asia_key = int(region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0])
-    asia_nations = set(
-        int(k) for k in nation.loc[nation["n_regionkey"] == asia_key, "n_nationkey"]
-    )
-    target_nation = int(
-        nation.loc[nation["n_name"] == "NATION_5", "n_nationkey"].iloc[0]
-    )
-
-    OB = n_buckets(pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
-
-    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
-    pk = np.sort(
-        part.loc[part["p_type"] == "PROMO", "p_partkey"].to_numpy(np.int64)
-    )
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    sk = np.sort(supp["s_suppkey"].to_numpy(np.int64))
-    sn = supp.set_index("s_suppkey")["s_nationkey"].loc[sk].to_numpy(np.int64)
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    ak = np.sort(
-        cust.loc[cust["c_nationkey"].isin(asia_nations), "c_custkey"].to_numpy(
-            np.int64
-        )
-    )
-    maps_ref = ray.put((pk, sk, sn, ak))
-
-    def li_rows(t: pa.Table) -> pa.Table:
-        pk_, sk_, sn_, _ak = ray.get(maps_ref)
-        pkv = pc.cast(t["l_partkey"], pa.int64()).to_numpy()
-        pidx = np.clip(np.searchsorted(pk_, pkv), 0, max(len(pk_) - 1, 0))
-        hit = (pk_[pidx] == pkv) if len(pk_) else np.zeros(len(pkv), bool)
-        sub = t.filter(pa.array(hit))
-        skv = pc.cast(sub["l_suppkey"], pa.int64()).to_numpy()
-        sidx = np.clip(np.searchsorted(sk_, skv), 0, max(len(sk_) - 1, 0))
-        shit = (sk_[sidx] == skv) if len(sk_) else np.zeros(len(skv), bool)
-        sub = sub.filter(pa.array(shit))
-        rev = pc.multiply(
-            _cents(sub["l_extendedprice"]),
-            pc.subtract(100, _cents(sub["l_discount"])),
-        ).to_numpy()
-        is_t = sn_[sidx[shit]] == target_nation
-        ok = pc.cast(sub["l_orderkey"], pa.int64()).to_numpy()
-        folded = pa.table(
-            {
-                "b": pa.array((ok & (OB - 1)).astype("int32")),
-                "ok": pa.array(ok),
-                "is_line": pa.array(np.ones(len(ok), dtype="int8")),
-                "nation_c4": pa.array(np.where(is_t, rev, 0)),
-                "total_c4": pa.array(rev),
-            }
-        )
-        # batch-local per-order combine shrinks the exchange
-        return pa.TableGroupBy(folded, ["b", "ok", "is_line"]).aggregate(
-            [("nation_c4", "sum"), ("total_c4", "sum")]
-        ).rename_columns(["b", "ok", "is_line", "nation_c4", "total_c4"])
-
-    def o_rows(t: pa.Table) -> pa.Table:
-        _pk, _sk, _sn, ak_ = ray.get(maps_ref)
-        ckv = pc.cast(t["o_custkey"], pa.int64()).to_numpy()
-        idx = np.clip(np.searchsorted(ak_, ckv), 0, max(len(ak_) - 1, 0))
-        hit = (ak_[idx] == ckv) if len(ak_) else np.zeros(len(ckv), bool)
-        sub = t.filter(pa.array(hit))
-        ok = pc.cast(sub["o_orderkey"], pa.int64()).to_numpy()
-        yr = pc.cast(pc.year(sub["o_orderdate"]), pa.int64()).to_numpy()
-        return pa.table(
-            {
-                "b": pa.array((ok & (OB - 1)).astype("int32")),
-                "ok": pa.array(ok),
-                "is_line": pa.array(np.zeros(len(ok), dtype="int8")),
-                "nation_c4": pa.array(yr),  # year rides the nation slot
-                "total_c4": pa.array(np.zeros(len(ok), dtype="int64")),
-            }
-        )
-
-    def year_fold(g: pd.DataFrame) -> pd.DataFrame:
-        yr = g.loc[g["is_line"] == 0].set_index("ok")["nation_c4"]
-        li = g[g["is_line"] == 1]
-        y = li["ok"].map(yr)
-        keep = y.notna()
-        sub = pd.DataFrame(
-            {
-                "o_year": y[keep].astype("int64"),
-                "nation_c4": li.loc[keep, "nation_c4"].astype("int64"),
-                "total_c4": li.loc[keep, "total_c4"].astype("int64"),
-            }
-        )
-        return sub.groupby("o_year", as_index=False)[
-            ["nation_c4", "total_c4"]
-        ].sum()  # ≤7 rows per bucket
-
-    out = (
-        _read(
-            sf_dir, "lineitem",
-            ["l_orderkey", "l_partkey", "l_suppkey",
-             "l_extendedprice", "l_discount"],
-        )
-        .map_batches(li_rows, batch_format="pyarrow")
-        .union(
-            _read(
-                sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
-            ).map_batches(o_rows, batch_format="pyarrow")
-        )
-        .groupby("b")
-        .map_groups(year_fold, batch_format="pandas")
-        .to_pandas()  # corpus-independent driver fold
-        .groupby("o_year", as_index=False)[["nation_c4", "total_c4"]]
-        .sum()
-    )
-    for c in ("nation_c4", "total_c4"):
-        out[c] = out[c].astype("int64")
-    return out.sort_values("o_year").reset_index(drop=True)
-
-
-def _q8_join_plan(sf_dir: str) -> "object":
-    """Per order-year PROMO-part revenue in region ASIA, split into the
-    share supplied by NATION_5 vs the total (TPC-H q8 shape adapted to the
-    driver schema; the reference has no relational surface).  All three
-    fact joins are hash-partitioned ``Dataset.join``s; nation/region (25 +
-    5 fixed rows) are driver-side lookups via ``ray.put`` broadcast.  The
-    ratio is emitted as two exact integer sums (nation_c4, total_c4) so the
-    oracle hash-matches — a float division would differ in the last ulp."""
-    import pandas as pd
-
-    # ASIA customer nations (<=25 keys) and the target supplier nation:
-    # tiny fixed dimensions -> resolved on the driver, broadcast into tasks.
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
-    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    asia_key = int(region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0])
-    asia_nations = set(
-        int(k) for k in nation.loc[nation["n_regionkey"] == asia_key, "n_nationkey"]
-    )
-    target_nation = int(
-        nation.loc[nation["n_name"] == "NATION_5", "n_nationkey"].iloc[0]
-    )
-    asia_ref = ray.put(asia_nations)
-
-    promo_parts = (
-        _read(sf_dir, "part", ["p_partkey", "p_type"])
-        .filter(expr="p_type == 'PROMO'")
-        .select_columns(["p_partkey"])
-    )
-    li = _read(
-        sf_dir, "lineitem",
-        ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    )
-    li_promo = li.join(
-        promo_parts,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("l_partkey",),
-        right_on=("p_partkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
-
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-    li_supp = li_promo.join(
-        supp,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("l_suppkey",),
-        right_on=("s_suppkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
-
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-    o_cust = orders.join(
-        cust,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
-
-    class AsiaYears:
-        """Actor-pool stage: the ASIA nation-key set is fetched from the
-        object store once per actor, not re-shipped per batch."""
-
-        def __init__(self, asia_ref):
-            self.asia = ray.get(asia_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mask = pc.is_in(
-                pc.cast(t["c_nationkey"], pa.int64()),
-                value_set=pa.array(sorted(self.asia), pa.int64()),
-            )
-            sub = t.filter(mask)
-            year = pc.year(sub["o_orderdate"])
-            return pa.table(
-                {
-                    "o_orderkey": sub["o_orderkey"],
-                    "o_year": pc.cast(year, pa.int64()),
-                }
-            )
-
-    o_asia = o_cust.map_batches(
-        AsiaYears, fn_constructor_args=(asia_ref,),
-        batch_format="pyarrow", concurrency=(1, 4),
-    )
-
-    joined = li_supp.join(
-        o_asia,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
-
-    def year_partial(t: pa.Table) -> pa.Table:
-        # map-side combine: <=7 years per batch regardless of batch size
-        rev = pc.multiply(
-            _cents(t["l_extendedprice"]), pc.subtract(100, _cents(t["l_discount"]))
-        )
-        is_target = pc.equal(pc.cast(t["s_nationkey"], pa.int64()), target_nation)
-        nat_rev = pc.if_else(is_target, rev, pa.scalar(0, pa.int64()))
-        part = pa.table(
-            {"o_year": t["o_year"], "nation_c4": nat_rev, "total_c4": rev}
-        )
-        return (
-            part.group_by("o_year")
-            .aggregate([("nation_c4", "sum"), ("total_c4", "sum")])
-            .rename_columns(["o_year", "nation_c4", "total_c4"])
-        )
-
-    out = (
-        joined.map_batches(year_partial, batch_format="pyarrow")
-        .groupby("o_year")
-        .aggregate(
-            Sum("nation_c4", alias_name="nation_c4"),
-            Sum("total_c4", alias_name="total_c4"),
-        )
-        .to_pandas()  # <=7 rows
-    )
-    for c in ("nation_c4", "total_c4"):
-        out[c] = out[c].astype("int64")
-    return out.sort_values("o_year").reset_index(drop=True)
-
-
-Q8_MARKET_SHARE_SQL = """
-SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-       CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
-                THEN CAST(ROUND(l_extendedprice*100) AS BIGINT)
-                     * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
-                ELSE 0 END) AS BIGINT) AS nation_c4,
-       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS total_c4
-FROM lineitem
-JOIN part     ON l_partkey = p_partkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation n2 ON s_nationkey = n2.n_nationkey
-JOIN orders   ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation n1 ON c_nationkey = n1.n_nationkey
-JOIN region   ON n1.n_regionkey = r_regionkey
-WHERE p_type = 'PROMO' AND r_name = 'ASIA'
-GROUP BY o_year
-ORDER BY o_year
-"""
-
-
-# -- q13-style: distribution of orders-per-customer --------------------------
-
-def q13_order_distribution(sf_dir: str) -> "object":
-    """How many customers placed exactly N orders, including N = 0 — the
-    distribution-of-aggregates pattern (TPC-H q13 without the comment
-    filter, which the driver schema lacks).  One |orders| groupby, then a
-    per-batch histogram combine so the second shuffle moves <=hundreds of
-    (count, customers) partials; the zero row is two O(1) dataset counts,
-    never a driver key set."""
-    import pandas as pd
-
-    per_cust = (
-        _read(sf_dir, "orders", ["o_custkey"])
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="c_count"))
-    )
-
-    def hist_partial(t: pa.Table) -> pa.Table:
-        # map-side combine: one row per distinct order-count value
-        return (
-            pa.table({"c_count": t["c_count"]})
-            .group_by("c_count")
-            .aggregate([("c_count", "count")])
-            .rename_columns(["c_count", "custdist"])
-        )
-
-    dist = (
-        per_cust.map_batches(hist_partial, batch_format="pyarrow")
-        .groupby("c_count")
-        .aggregate(Sum("custdist", alias_name="custdist"))
-        .to_pandas()  # <= max orders-per-customer rows
-    )
-    n_customers = _read(sf_dir, "customer", ["c_custkey"]).count()
-    n_with_orders = int(dist["custdist"].sum())
-    zero = n_customers - n_with_orders
-    if zero > 0:
-        dist = pd.concat(
-            [dist, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
-            ignore_index=True,
-        )
-    dist["c_count"] = dist["c_count"].astype("int64")
-    dist["custdist"] = dist["custdist"].astype("int64")
-    return (
-        dist.sort_values(["custdist", "c_count"], ascending=[False, False])
-        .reset_index(drop=True)
-    )
-
-
-Q13_ORDER_DISTRIBUTION_SQL = """
-SELECT CAST(c_count AS BIGINT) AS c_count,
-       CAST(COUNT(*) AS BIGINT) AS custdist
-FROM (
-  SELECT c_custkey, COUNT(o_orderkey) AS c_count
-  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-  GROUP BY c_custkey
-) t
-GROUP BY c_count
-ORDER BY custdist DESC, c_count DESC
-"""
-
-
-# -- q17-style: revenue from small-quantity orders of one brand --------------
-
-def q17_small_qty_revenue(sf_dir: str) -> "object":
-    """Total price of Brand#13 lineitems whose quantity is below 20% of
-    that part's average quantity — the correlated-scalar-subquery pattern
-    (TPC-H q17 adapted: p_container doesn't exist in the driver schema).
-    Fast plan (part under ``MAX_BROADCAST_DIM_ROWS``): the Brand#13
-    partkey set broadcasts once; every row of a part co-locates in ONE
-    partkey-bucket exchange whose kernel computes the per-part average AND
-    the small-quantity test together (the correlated aggregate never
-    leaves the bucket), emitting one partial row per bucket — driver sum
-    finishes.  Above the guard: brand join, per-part aggregate, join-back
-    (the original plan).  The comparison runs in exact integers —
-    qty < 0.2*avg  <=>  5*qty_c2*cnt < sum_qty_c2 — so the oracle
-    hash-matches."""
-    import numpy as np
-    import pandas as pd
-
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    if pq.read_metadata(f"{sf_dir}/part.parquet").num_rows > MAX_BROADCAST_DIM_ROWS:
-        return _q17_join_plan(sf_dir)
-
-    PB = n_buckets(pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
-    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
-    pk = np.sort(
-        part.loc[part["p_brand"] == "Brand#13", "p_partkey"].to_numpy(np.int64)
-    )
-    keys_ref = ray.put(pk)
-
-    def li_rows(t: pa.Table) -> pa.Table:
-        pk_ = ray.get(keys_ref)
-        pkv = pc.cast(t["l_partkey"], pa.int64()).to_numpy()
-        idx = np.clip(np.searchsorted(pk_, pkv), 0, max(len(pk_) - 1, 0))
-        hit = (pk_[idx] == pkv) if len(pk_) else np.zeros(len(pkv), bool)
-        sub = t.filter(pa.array(hit))
-        key = pc.cast(sub["l_partkey"], pa.int64())
-        return pa.table(
-            {
-                "b": pc.cast(pc.bit_wise_and(key, PB - 1), pa.int32()),
-                "pk": key,
-                "qty_c2": _cents(sub["l_quantity"]),
-                "price_c2": _cents(sub["l_extendedprice"]),
-            }
-        )
-
-    def small_fold(g: pd.DataFrame) -> pd.DataFrame:
-        by = g.groupby("pk")["qty_c2"]
-        s = by.transform("sum")
-        n = by.transform("size")
-        # qty < 0.2 * (sum/cnt)  <=>  5 * qty * cnt < sum  (exact integers)
-        small = 5 * g["qty_c2"] * n < s
-        return pd.DataFrame(
-            {
-                "total_price_c2": [int(g.loc[small, "price_c2"].sum())],
-                "n_small": [int(small.sum())],
-            }
-        )
-
-    out = (
-        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
-        .map_batches(li_rows, batch_format="pyarrow")
-        .groupby("b")
-        .map_groups(small_fold, batch_format="pandas")
-        .to_pandas()  # one row per bucket
-    )
-    return pd.DataFrame(
-        {
-            "total_price_c2": [int(out["total_price_c2"].sum())],
-            "n_small": [int(out["n_small"].sum())],
-        }
-    )
-
-
-def _q17_join_plan(sf_dir: str) -> "object":
-    """Total price of Brand#13 lineitems whose quantity is below 20% of
-    that part's average quantity — the correlated-scalar-subquery pattern
-    (TPC-H q17 adapted: p_container doesn't exist in the driver schema).
-    The per-part average is a second |lineitem_filtered| aggregate joined
-    back by partkey (NOT broadcast: the brand slice scales with SF); the
-    comparison runs in exact integers — qty < 0.2*avg  <=>
-    5*qty_c2*cnt < sum_qty_c2 — so the oracle hash-matches."""
-    import pandas as pd
-
-    brand_parts = (
-        _read(sf_dir, "part", ["p_partkey", "p_brand"])
-        .filter(expr="p_brand == 'Brand#13'")
-        .select_columns(["p_partkey"])
-    )
-    li = _read(
-        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
-    )
-    li_brand = li.join(
-        brand_parts,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("l_partkey",),
-        right_on=("p_partkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
-
-    def qty_partial(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "l_partkey": t["l_partkey"],
-                "qty_c2": _cents(t["l_quantity"]),
-                "price_c2": _cents(t["l_extendedprice"]),
-            }
-        )
-
-    li_q = li_brand.map_batches(qty_partial, batch_format="pyarrow")
-    per_part = li_q.groupby("l_partkey").aggregate(
-        Sum("qty_c2", alias_name="sum_qty_c2"),
-        Count(alias_name="n_li"),
-    )
-    joined = li_q.join(
-        per_part,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("l_partkey",),
-        right_on=("l_partkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
-
-    def small_qty(t: pa.Table) -> pa.Table:
-        # qty < 0.2 * (sum/cnt)  <=>  5 * qty * cnt < sum   (exact integers)
-        lhs = pc.multiply(
-            pc.multiply(t["qty_c2"], pa.scalar(5, pa.int64())), t["n_li"]
-        )
-        mask = pc.less(lhs, t["sum_qty_c2"])
-        sub = t.filter(mask)
-        total = pc.sum(sub["price_c2"]).as_py() or 0
-        return pa.table(
-            {
-                "total_price_c2": pa.array([int(total)], pa.int64()),
-                "n_small": pa.array([sub.num_rows], pa.int64()),
-            }
-        )
-
-    agg = (
-        joined.map_batches(small_qty, batch_format="pyarrow")
-        .sum(["total_price_c2", "n_small"])
-    )
-    return pd.DataFrame(
-        {
-            "total_price_c2": [int(agg["sum(total_price_c2)"])],
-            "n_small": [int(agg["sum(n_small)"])],
-        }
-    )
-
-
-Q17_SMALL_QTY_SQL = """
-WITH li AS (
-  SELECT l_partkey,
-         CAST(ROUND(l_quantity*100) AS BIGINT) AS qty_c2,
-         CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_c2
-  FROM lineitem JOIN part ON l_partkey = p_partkey
-  WHERE p_brand = 'Brand#13'
-), pp AS (
-  SELECT l_partkey, SUM(qty_c2) AS sum_qty_c2, COUNT(*) AS n_li
-  FROM li GROUP BY l_partkey
-)
-SELECT CAST(COALESCE(SUM(price_c2), 0) AS BIGINT) AS total_price_c2,
-       CAST(COUNT(*) AS BIGINT) AS n_small
-FROM li JOIN pp USING (l_partkey)
-WHERE 5 * qty_c2 * n_li < sum_qty_c2
-"""
-
-
-# -- q22-style: dormant high-balance customers --------------------------------
-
-def q22_dormant_balance(sf_dir: str) -> "object":
-    """Per market segment: customers whose balance exceeds the global
-    positive-balance average AND who have no 'P'-status orders — global
-    scalar subquery + anti-join (TPC-H q22 adapted: c_phone doesn't exist,
-    the segment plays the country-code role).  The global average is two
-    O(1) scalars (sum, count) on the driver; the comparison is exact in
-    integers (bal_c2 * n_pos > sum_pos_c2); the anti side is the
-    pending-custkey set co-located with the rich customers in ONE
-    custkey-bucket exchange (the anti-join never ships |orders| rows:
-    batch-deduped keys only), as customers_no_orders."""
-    import pandas as pd
-
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
-
-    def bal_partial(t: pa.Table) -> pa.Table:
-        bal = _cents(t["c_acctbal"])
-        pos = pc.greater(bal, 0)
-        s = pc.sum(pc.if_else(pos, bal, pa.scalar(0, pa.int64()))).as_py() or 0
-        n = pc.sum(pc.cast(pos, pa.int64())).as_py() or 0
-        return pa.table(
-            {
-                "sum_pos_c2": pa.array([int(s)], pa.int64()),
-                "n_pos": pa.array([int(n)], pa.int64()),
-            }
-        )
-
-    g = cust.map_batches(bal_partial, batch_format="pyarrow").sum(
-        ["sum_pos_c2", "n_pos"]
-    )
-    sum_pos = int(g["sum(sum_pos_c2)"])
-    n_pos = int(g["sum(n_pos)"])
-
-    import pandas as pd
-
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    CB = n_buckets(pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows)
-
-    def o_rows(t: pa.Table) -> pa.Table:
-        sub = t.filter(pc.equal(t["o_orderstatus"], "P"))
-        ck = pc.cast(sub["o_custkey"], pa.int64())
-        folded = pa.table(
-            {
-                "b": pc.cast(pc.bit_wise_and(ck, CB - 1), pa.int32()),
-                "ck": ck,
-                "seg": pa.array([""] * len(sub), pa.string()),
-                "bal_c2": pa.array([0] * len(sub), pa.int64()),
-            }
-        )
-        # batch-local dedup: the exchange ships distinct pending custkeys
-        return pa.TableGroupBy(folded, ["b", "ck", "seg", "bal_c2"]).aggregate([])
-
-    def rich_rows(t: pa.Table) -> pa.Table:
-        bal = _cents(t["c_acctbal"])
-        # bal > sum/n  <=>  bal * n > sum   (exact integers, n > 0)
-        mask = pc.greater(
-            pc.multiply(bal, pa.scalar(n_pos, pa.int64())),
-            pa.scalar(sum_pos, pa.int64()),
-        )
-        sub = t.filter(mask)
-        ck = pc.cast(sub["c_custkey"], pa.int64())
-        return pa.table(
-            {
-                "b": pc.cast(pc.bit_wise_and(ck, CB - 1), pa.int32()),
-                "ck": ck,
-                "seg": pc.cast(sub["c_mktsegment"], pa.string()),
-                "bal_c2": _cents(sub["c_acctbal"]),
-            }
-        )
-
-    def dormant_fold(g: pd.DataFrame) -> pd.DataFrame:
-        pending = set(g.loc[g["seg"] == "", "ck"])
-        c = g[g["seg"] != ""]
-        c = c[~c["ck"].isin(pending)]
-        out = c.groupby("seg", as_index=False).agg(
-            numcust=("ck", "size"), totacctbal_c2=("bal_c2", "sum")
-        )
-        out.columns = ["c_mktsegment", "numcust", "totacctbal_c2"]
-        return out  # ≤|segments| rows per bucket
-
-    out = (
-        _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
-        .map_batches(o_rows, batch_format="pyarrow")
-        .union(cust.map_batches(rich_rows, batch_format="pyarrow"))
-        .groupby("b")
-        .map_groups(dormant_fold, batch_format="pandas")
-        .to_pandas()  # ≤|segments|·buckets rows
-        .groupby("c_mktsegment", as_index=False)[["numcust", "totacctbal_c2"]]
-        .sum()
-    )
-    out["numcust"] = out["numcust"].astype("int64")
-    out["totacctbal_c2"] = out["totacctbal_c2"].astype("int64")
-    return out.sort_values("c_mktsegment").reset_index(drop=True)
-
-
-Q22_DORMANT_SQL = """
-WITH avgbal AS (
-  SELECT SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS sum_pos_c2,
-         COUNT(*) AS n_pos
-  FROM customer WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) > 0
-)
-SELECT c_mktsegment,
-       CAST(COUNT(*) AS BIGINT) AS numcust,
-       CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS totacctbal_c2
-FROM customer, avgbal
-WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) * n_pos > sum_pos_c2
-  AND c_custkey NOT IN (
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
-GROUP BY c_mktsegment
-ORDER BY c_mktsegment
-"""
-
-
-# -- q15: top supplier(s) by windowed revenue (view + global-max shape) ------
-
-def q15_top_supplier(sf_dir: str) -> "object":
-    """TPC-H q15 adaptation (no partsupp in the driver schema): revenue per
-    supplier over a 3-month shipdate window; return every supplier tied at
-    the maximum — the CREATE VIEW + MAX scalar-subquery shape.  Map-side
-    per-batch combiner folds (suppkey, rev) before the one small groupby;
-    the global max is a single driver scalar; winners are a tiny set, so
-    supplier names attach via a broadcast winner set instead of a
-    ``Dataset.join`` whose sparse side would leave hash partitions empty
-    (schemaless-empty-block crash, see verify notes).  Exact in c4 cents.
-    Reference parity: SURVEY §2.6 top-k / windowed-aggregate family."""
-    from datetime import datetime
-
-    import pandas as pd
-
-    import pyarrow.dataset as pads
-
-    lo = pa.scalar(datetime(1996, 1, 1), pa.timestamp("us"))
-    hi = pa.scalar(datetime(1996, 4, 1), pa.timestamp("us"))
-
-    li = _read(
-        sf_dir, "lineitem",
-        ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
-        filter=(pads.field("l_shipdate") >= datetime(1996, 1, 1))
-        & (pads.field("l_shipdate") < datetime(1996, 4, 1)),
-    )
-
-    def partial(t: pa.Table) -> pa.Table:
-        d = t["l_shipdate"].cast(pa.timestamp("us"))
-        sub = t.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
-        rev = pc.multiply(
-            _cents(sub["l_extendedprice"]), pc.subtract(100, _cents(sub["l_discount"]))
-        )
-        folded = pa.table(
-            {"l_suppkey": pc.cast(sub["l_suppkey"], pa.int64()), "rev_c4": rev}
-        )
-        return pa.TableGroupBy(folded, "l_suppkey").aggregate([("rev_c4", "sum")])
-
-    rev = (
-        li.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_suppkey")
-        .aggregate(Sum("rev_c4_sum", alias_name="total_revenue_c4"))
-        .materialize()  # reused twice: max scalar + winner filter
-    )
-    best = int(rev.max("total_revenue_c4"))
-    winners = {
-        int(r["l_suppkey"])
-        for r in rev.filter(
-            expr=f"total_revenue_c4 == {best}"
-        ).take_all()  # ties at the max: a handful of rows by construction
-    }
-    win_ref = ray.put(winners)
-
-    def names(t: pa.Table) -> pa.Table:
-        w = ray.get(win_ref)
-        keys = pc.cast(t["s_suppkey"], pa.int64())
-        mask = pc.is_in(keys, value_set=pa.array(sorted(w), pa.int64()))
-        sub = t.filter(mask)
-        return pa.table(
-            {
-                "s_suppkey": pc.cast(sub["s_suppkey"], pa.int64()),
-                "s_name": sub["s_name"],
-                "total_revenue_c4": pa.array(
-                    [best] * len(sub), pa.int64()
-                ),
-            }
-        )
-
-    out = (
-        _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
-        .map_batches(names, batch_format="pyarrow")
-        .to_pandas()
-    )
-    return out.sort_values("s_suppkey").reset_index(drop=True)
-
-
-Q15_TOP_SUPPLIER_SQL = """
-WITH revenue AS (
-  SELECT l_suppkey,
-         SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-             * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS total_revenue_c4
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-    AND l_shipdate <  TIMESTAMP '1996-04-01'
-  GROUP BY l_suppkey)
-SELECT s_suppkey, s_name, CAST(total_revenue_c4 AS BIGINT) AS total_revenue_c4
-FROM supplier JOIN revenue ON s_suppkey = l_suppkey
-WHERE total_revenue_c4 = (SELECT MAX(total_revenue_c4) FROM revenue)
-ORDER BY s_suppkey
-"""
-
-
-# -- q21: sole-returner suppliers (multi-exists / not-exists shape) ----------
-
-def q21_sole_returner(sf_dir: str) -> "object":
-    """TPC-H q21 adaptation (no commit/receipt dates in the driver schema —
-    ``l_returnflag='R'`` plays the late-delivery role): suppliers counted
-    per order where they returned a line, the order touches >=2 distinct
-    suppliers (EXISTS other supplier), and NO other supplier returned
-    (NOT EXISTS) — the double-correlated-subquery shape.  Both correlated
-    aggregates live at the same (order, supplier) grain, so ONE order-
-    bucket co-location answers them: the in-bucket kernel dedups (ok, sk)
-    exactly, computes per-order supplier/return counts with vectorized
-    groupby-transforms, and emits only winning supplier rows — no
-    ``Dataset.join``, no second aggregate pass (the first version paid a
-    2-sided shuffle join + extra groupby: 28.8s at sf0.1/32 CPUs; this is
-    3 all-to-alls total).  Supplier names attach through the union +
-    bucketed groupby co-location fold (the sparse-side-safe join, see
-    functions/dedup.py::minhash_lsh_pairs); each bucket emits only its
-    local top-20 so the driver merge is O(buckets * 20).  Output: top 20
-    by (numwait DESC, s_name ASC) — a total order, s_name is unique."""
-    import pandas as pd
-
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag"])
-    OB = n_buckets(pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
-
-    def grain(t: pa.Table) -> pa.Table:
-        ok = pc.cast(t["l_orderkey"], pa.int64())
-        folded = pa.table(
-            {
-                "ob": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
-                "ok": ok,
-                "sk": pc.cast(t["l_suppkey"], pa.int64()),
-                "r": pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64()),
-            }
-        )
-        return pa.TableGroupBy(folded, ["ob", "ok", "sk"]).aggregate(
-            [("r", "max")]
-        )
-
-    def order_fold(g: pd.DataFrame) -> pa.Table:
-        g = g.groupby(["ok", "sk"], as_index=False)["r_max"].max()
-        by_ok = g.groupby("ok")["r_max"]
-        n_supp = by_ok.transform("size")
-        n_ret = by_ok.transform("sum")
-        w = g[(g["r_max"] == 1) & (n_supp >= 2) & (n_ret == 1)]
-        # arrow out: the numwait Count shuffle sorts these blocks
-        return pa.table({"sk": pa.array(w["sk"].astype("int64").values)})
-
-    waits = (
-        li.map_batches(grain, batch_format="pyarrow")
-        .groupby("ob")
-        .map_groups(order_fold, batch_format="pandas")
-        .groupby("sk")
-        .aggregate(Count(alias_name="numwait"))
-    )
-
-    BUCKETS = n_buckets(
-        pq.read_metadata(f"{sf_dir}/supplier.parquet").num_rows
-    )
-
-    # the union sides both emit ARROW (a union rejects mixed block types,
-    # and pandas blocks pay ~13x through the bucket groupby)
-    def wait_rows(t: pa.Table) -> pa.Table:
-        sk = pc.cast(t["sk"], pa.int64())
-        return pa.table(
-            {
-                "b": pc.cast(pc.bit_wise_and(sk, BUCKETS - 1), pa.int32()),
-                "sk": sk,
-                "s_name": pa.array([""] * len(t), pa.string()),
-                "numwait": pc.cast(t["numwait"], pa.int64()),
-            }
-        )
-
-    def name_rows(t: pa.Table) -> pa.Table:
-        sk = pc.cast(t["s_suppkey"], pa.int64())
-        return pa.table(
-            {
-                "b": pc.cast(pc.bit_wise_and(sk, BUCKETS - 1), pa.int32()),
-                "sk": sk,
-                "s_name": pc.cast(t["s_name"], pa.string()),
-                "numwait": pa.array([-1] * len(t), pa.int64()),
-            }
-        )
-
-    names = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
-        name_rows, batch_format="pyarrow"
-    )
-
-    def fold_top(g: pd.DataFrame) -> pd.DataFrame:
-        nm = g[g["numwait"] < 0].set_index("sk")["s_name"]
-        w = g[g["numwait"] >= 0]
-        out = pd.DataFrame(
-            {
-                "s_name": w["sk"].map(nm).astype("object"),
-                "numwait": w["numwait"].astype("int64"),
-            }
-        )
-        return out.sort_values(
-            ["numwait", "s_name"], ascending=[False, True]
-        ).head(20)
-
-    tops = (
-        waits.map_batches(wait_rows, batch_format="pyarrow")
-        .union(names)
-        .groupby("b")
-        .map_groups(fold_top, batch_format="pandas")
-        .to_pandas()  # <= 20 * BUCKETS rows
-    )
-    return (
-        tops.sort_values(["numwait", "s_name"], ascending=[False, True])
-        .head(20)
-        .reset_index(drop=True)
-    )
-
-
-Q21_SOLE_RETURNER_SQL = """
-WITH los AS (
-  SELECT l_orderkey AS ok, l_suppkey AS sk,
-         MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
-  FROM lineitem GROUP BY 1, 2),
-per_order AS (
-  SELECT ok, COUNT(*) AS n_supp, SUM(has_r) AS n_ret FROM los GROUP BY ok)
-SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
-FROM los JOIN per_order USING (ok) JOIN supplier ON s_suppkey = sk
-WHERE has_r = 1 AND n_supp >= 2 AND n_ret = 1
-GROUP BY s_name
-ORDER BY numwait DESC, s_name
-LIMIT 20
-"""
-
-
-# -- Bloom-pushdown semi-join (sketch-accelerated shuffle join) ---------------
-
-_BLOOM_JOIN_M = 1 << 20  # bits; ~1e5 keys at sf0.1 -> fp ~1e-3 at k=3
-_BLOOM_JOIN_MULS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
-
-
-def bloom_semi_join(sf_dir: str) -> "object":
-    """Revenue of line items whose order belongs to a high-balance customer
-    — a two-hop semi-join executed with the SKETCH-PUSHDOWN idiom every
-    scale engine uses: the qualifying orderkey set folds into an O(M)-bit
-    Bloom filter (per-batch position partials, driver OR-fold, one
-    ``ray.put`` broadcast), the fact table pre-filters AGAINST THE BITS
-    before any shuffle (vectorized numpy multiply-shift hashes — no
-    per-row Python), and only survivors (true matches + ~1e-3 false
-    positives) enter the exact hash join that removes the FPs.  The join
-    therefore moves the semi-join's OUTPUT size, not the fact table.  The
-    result is EXACT — the sketch only prunes — so the oracle is the plain
-    nested semi-join.  Output: (l_returnflag, n_items, revenue_c4)."""
-    import pandas as pd
-
-    qual_cust = (
-        _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
-        .map_batches(
-            lambda t: pa.table(
-                {"c_custkey": pc.cast(t["c_custkey"], pa.int64())}
-            ).filter(pc.greater(_cents(t["c_acctbal"]), 500_000)),
-            batch_format="pyarrow",
-        )
-    )
-    okeys = (
-        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-        .join(
-            qual_cust,
-            join_type="inner",
-            num_partitions=join_partitions(),
-            on=("o_custkey",),
-            right_on=("c_custkey",),
-            aggregator_ray_remote_args={"num_cpus": 0},
-        )
-        .select_columns(["o_orderkey"])
-        .materialize()  # reused: bloom build + exact verify side
-    )
-
-    def _positions(keys):
-        import numpy as np
-
-        k = keys.astype(np.uint64)
-        return [
-            ((k + 1) * np.uint64(m) % np.uint64(_BLOOM_JOIN_M)).astype(np.int64)
-            for m in _BLOOM_JOIN_MULS
-        ]
-
-    def build(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        pos = np.unique(
-            np.concatenate(
-                _positions(t.column("o_orderkey").to_numpy(zero_copy_only=False))
-            )
-        )
-        return pa.table({"pos": pa.array(pos, pa.int64())})
-
-    import numpy as np
-
-    parts = okeys.map_batches(build, batch_format="pyarrow").to_pandas()
-    bits = np.zeros(_BLOOM_JOIN_M, dtype=bool)
-    for p in parts["pos"]:
-        bits[p] = True
-    bref = ray.put(bits)
-
-    def prefilter(t: pa.Table) -> pa.Table:
-        b = ray.get(bref)
-        keys = pc.cast(t["l_orderkey"], pa.int64()).to_numpy(zero_copy_only=False)
-        mask = np.ones(len(keys), dtype=bool)
-        for pos in _positions(keys):
-            mask &= b[pos]
-        sub = t.filter(pa.array(mask))
-        rev = pc.multiply(
-            _cents(sub["l_extendedprice"]), pc.subtract(100, _cents(sub["l_discount"]))
-        )
-        return pa.table(
-            {
-                "l_orderkey": pc.cast(sub["l_orderkey"], pa.int64()),
-                "l_returnflag": sub["l_returnflag"],
-                "rev_c4": rev,
-            }
-        )
-
-    survivors = _read(
-        sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
-    ).map_batches(prefilter, batch_format="pyarrow")
-
-    out = (
-        survivors.join(  # exact verify: removes the sketch's false positives
-            okeys,
-            join_type="inner",
-            num_partitions=join_partitions(),
-            on=("l_orderkey",),
-            right_on=("o_orderkey",),
-            aggregator_ray_remote_args={"num_cpus": 0},
-        )
-        .groupby("l_returnflag")
-        .aggregate(
-            Count(alias_name="n_items"), Sum("rev_c4", alias_name="revenue_c4")
-        )
-        .to_pandas()  # 3 rows
-        .astype({"n_items": "int64", "revenue_c4": "int64"})
-    )
-    return out.sort_values("l_returnflag").reset_index(drop=True)
-
-
-BLOOM_SEMI_JOIN_SQL = """
-SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
-       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
-         AS revenue_c4
-FROM lineitem
-WHERE l_orderkey IN (
-  SELECT o_orderkey FROM orders WHERE o_custkey IN (
-    SELECT c_custkey FROM customer
-    WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) > 500000))
-GROUP BY l_returnflag
-ORDER BY l_returnflag
-"""
-
-
-# -- CUBE grouping sets -------------------------------------------------------
-
-def orders_cube(sf_dir: str) -> "object":
-    """CUBE(status, priority) order counts + totalprice sums — the grouping-
-    sets shape done map-side: each batch emits partials for all FOUR
-    grouping sets at once (one pyarrow group_by per set over the batch,
-    'ALL' as the rolled-up sentinel), so a single small groupby folds the
-    whole cube; no per-set corpus pass, no driver pivot.  Output:
-    (o_orderstatus, o_orderpriority, n_orders, total_c2)."""
-    import pandas as pd
-
-    ds = _read(
-        sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"]
-    )
-
-    def partial(t: pa.Table) -> pa.Table:
-        base = pa.table(
-            {
-                "s": t["o_orderstatus"],
-                "p": t["o_orderpriority"],
-                "c2": _cents(t["o_totalprice"]),
-            }
-        )
-        outs = []
-        n = len(base)
-        for keep_s, keep_p in (
-            (True, True), (True, False), (False, True), (False, False),
-        ):
-            g = pa.table(
-                {
-                    "s": base["s"] if keep_s
-                    else pa.array(["ALL"] * n, pa.string()),
-                    "p": base["p"] if keep_p
-                    else pa.array(["ALL"] * n, pa.string()),
-                    "c2": base["c2"],
-                }
-            )
-            outs.append(
-                pa.TableGroupBy(g, ["s", "p"]).aggregate(
-                    [("c2", "sum"), ([], "count_all")]
-                )
-            )
-        return pa.concat_tables(outs)
-
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["s", "p"])
-        .aggregate(
-            Sum("count_all", alias_name="n_orders"),
-            Sum("c2_sum", alias_name="total_c2"),
-        )
-        .to_pandas()  # (|status|+1) x (|priority|+1) rows
-        .rename(columns={"s": "o_orderstatus", "p": "o_orderpriority"})
-        .astype({"n_orders": "int64", "total_c2": "int64"})
-    )
-    return out.sort_values(
-        ["o_orderstatus", "o_orderpriority"]
-    ).reset_index(drop=True)
-
-
-ORDERS_CUBE_SQL = """
-SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
-       COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
-       CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c2
-FROM orders
-GROUP BY CUBE (o_orderstatus, o_orderpriority)
-ORDER BY o_orderstatus, o_orderpriority
-"""
-
-
-# -- q2: min-cost supplier per part (correlated-MIN + 5-way join shape) ------
-
-def q2_min_cost_supplier(sf_dir: str) -> "object":
-    """TPC-H q2 adaptation (no partsupp in the driver schema): for each
-    LARGE part of size <= 10, the EUROPE supplier(s) offering it at the
-    minimum observed line price.  The correlated ``MIN`` subquery becomes a
-    single ``groupby(partkey).map_groups`` kernel that sees every
-    (supplier, min-price) pair for the part at once — one co-location
-    shuffle replaces the oracle's join-back-on-the-min.  Under
-    ``MAX_BROADCAST_DIM_ROWS`` the selected-part and EUROPE-supplier key
-    sets broadcast once via ``ray.put`` and lineitem filters in-stream
-    (one exchange total); above the guard both fact-side joins run as
-    hash-partitioned ``Dataset.join``s with the EUROPE filter post-join
-    (a pre-filtered supplier side leaves hash partitions empty — q15's
-    schemaless-empty-block crash); only nation/region (25 + 5 fixed rows)
-    resolve on the driver.  Winner decoration (names, brands, balances) attaches to the
-    <=100-row result via broadcast-filtered dimension reads, never a
-    shuffle.  Reference parity: SURVEY §2.5 join family."""
-    import pandas as pd
-
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
-    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    eur_key = int(region.loc[region["r_name"] == "EUROPE", "r_regionkey"].iloc[0])
-    eur_nations = sorted(
-        int(k) for k in nation.loc[nation["n_regionkey"] == eur_key, "n_nationkey"]
-    )
-    eur_arr = pa.array(eur_nations, pa.int64())
-
-    import numpy as np
-
-    import pyarrow.parquet as pq
-
-    n_part = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
-    n_supp = pq.read_metadata(f"{sf_dir}/supplier.parquet").num_rows
-    if max(n_part, n_supp) <= MAX_BROADCAST_DIM_ROWS:
-        # fast plan: selected-part key set + EUROPE-supplier key set
-        # broadcast once; lineitem filters in-stream and pre-folds
-        # (part, supp) minima, so the ONLY exchange is the per-part
-        # winners co-location
-        part = _read(sf_dir, "part", ["p_partkey", "p_type", "p_size"]).to_pandas()
-        pk = np.sort(
-            part.loc[
-                (part["p_type"] == "LARGE") & (part["p_size"] <= 10), "p_partkey"
-            ].to_numpy(np.int64)
-        )
-        suppd = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-        ek = np.sort(
-            suppd.loc[
-                suppd["s_nationkey"].isin(eur_nations), "s_suppkey"
-            ].to_numpy(np.int64)
-        )
-        import ray as _ray
-
-        keys_ref = _ray.put((pk, ek))
-
-        def li_fold(t: pa.Table) -> pa.Table:
-            import ray as _r
-
-            pk_, ek_ = _r.get(keys_ref)
-            pkv = pc.cast(t["l_partkey"], pa.int64()).to_numpy()
-            pidx = np.clip(np.searchsorted(pk_, pkv), 0, max(len(pk_) - 1, 0))
-            hit = (pk_[pidx] == pkv) if len(pk_) else np.zeros(len(pkv), bool)
-            skv = pc.cast(t["l_suppkey"], pa.int64()).to_numpy()
-            sidx = np.clip(np.searchsorted(ek_, skv), 0, max(len(ek_) - 1, 0))
-            hit &= (ek_[sidx] == skv) if len(ek_) else False
-            sub = t.filter(pa.array(hit))
-            folded_t = pa.table(
-                {
-                    "p_partkey": pc.cast(sub["l_partkey"], pa.int64()),
-                    "s_suppkey": pc.cast(sub["l_suppkey"], pa.int64()),
-                    "cost_c2": _cents(sub["l_extendedprice"]),
-                }
-            )
-            return (
-                pa.TableGroupBy(folded_t, ["p_partkey", "s_suppkey"])
-                .aggregate([("cost_c2", "min")])
-                .rename_columns(["p_partkey", "s_suppkey", "cost_c2"])
-            )
-
-        folded = _read(
-            sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"]
-        ).map_batches(li_fold, batch_format="pyarrow")
-    else:
-        sel_parts = (
-            _read(sf_dir, "part", ["p_partkey", "p_type", "p_size"])
-            .filter(expr="p_type == 'LARGE' and p_size <= 10")
-            .select_columns(["p_partkey"])
-        )
-
-        # join the FULL supplier projection (dense right side — a
-        # region-filtered side leaves hash partitions empty, the
-        # schemaless-empty-block crash documented at q15) and filter
-        # EUROPE in the fold.
-        supp_keys = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-
-        li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
-        li_parts = li.join(
-            sel_parts,
-            join_type="inner",
-            num_partitions=join_partitions(),
-            on=("l_partkey",),
-            right_on=("p_partkey",),
-            aggregator_ray_remote_args={"num_cpus": 0},
-        )
-        li_eur = li_parts.join(
-            supp_keys,
-            join_type="inner",
-            num_partitions=join_partitions(),
-            on=("l_suppkey",),
-            right_on=("s_suppkey",),
-            aggregator_ray_remote_args={"num_cpus": 0},
-        )
-
-        def fold(t: pa.Table) -> pa.Table:
-            # EUROPE filter + map-side combine: one (part, supp) min per batch
-            t = t.filter(
-                pc.is_in(pc.cast(t["s_nationkey"], pa.int64()), value_set=eur_arr)
-            )
-            folded_t = pa.table(
-                {
-                    "p_partkey": pc.cast(t["l_partkey"], pa.int64()),
-                    "s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
-                    "cost_c2": _cents(t["l_extendedprice"]),
-                }
-            )
-            return (
-                pa.TableGroupBy(folded_t, ["p_partkey", "s_suppkey"])
-                .aggregate([("cost_c2", "min")])
-                .rename_columns(["p_partkey", "s_suppkey", "cost_c2"])
-            )
-
-        folded = li_eur.map_batches(fold, batch_format="pyarrow")
-
-    def winners(g: "pd.DataFrame") -> "pd.DataFrame":
-        # all (supplier, min-cost) pairs of one part: pick the tied minimum
-        per_supp = g.groupby("s_suppkey")["cost_c2"].min()
-        best = int(per_supp.min())
-        win = per_supp[per_supp == best]
-        return pd.DataFrame(
-            {
-                "p_partkey": int(g["p_partkey"].iloc[0]),
-                "s_suppkey": win.index.astype("int64"),
-                "cost_c2": best,
-            }
-        )
-
-    win = (
-        folded.groupby("p_partkey")
-        .map_groups(winners, batch_format="pandas")
-        .to_pandas()  # <= |selected parts| x |tied suppliers|: tiny by filter
-    )
-    if len(win) == 0:
-        return pd.DataFrame(
-            {
-                "s_acctbal_c2": pd.Series([], dtype="int64"),
-                "s_name": pd.Series([], dtype="object"),
-                "n_name": pd.Series([], dtype="object"),
-                "p_partkey": pd.Series([], dtype="int64"),
-                "s_suppkey": pd.Series([], dtype="int64"),
-                "cost_c2": pd.Series([], dtype="int64"),
-            }
-        )
-
-    win_supp = pa.array(sorted(set(int(s) for s in win["s_suppkey"])), pa.int64())
-
-    def supp_pick(t: pa.Table) -> pa.Table:
-        sub = t.filter(pc.is_in(pc.cast(t["s_suppkey"], pa.int64()), value_set=win_supp))
-        return pa.table(
-            {
-                "s_suppkey": pc.cast(sub["s_suppkey"], pa.int64()),
-                "s_name": sub["s_name"],
-                "s_acctbal_c2": _cents(sub["s_acctbal"]),
-                "s_nationkey": pc.cast(sub["s_nationkey"], pa.int64()),
-            }
-        )
-
-    supp = (
-        _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_acctbal", "s_nationkey"])
-        .map_batches(supp_pick, batch_format="pyarrow")
-        .to_pandas()  # winners only
-    )
-    out = win.merge(supp, on="s_suppkey").merge(
-        nation[["n_nationkey", "n_name"]],
-        left_on="s_nationkey",
-        right_on="n_nationkey",
-    )
-    out = out[
-        ["s_acctbal_c2", "s_name", "n_name", "p_partkey", "s_suppkey", "cost_c2"]
-    ].astype({"s_acctbal_c2": "int64", "p_partkey": "int64",
-              "s_suppkey": "int64", "cost_c2": "int64"})
-    out = out.sort_values(
-        ["s_acctbal_c2", "n_name", "s_name", "p_partkey", "s_suppkey"],
-        ascending=[False, True, True, True, True],
-    ).head(100)
-    return out.reset_index(drop=True)
-
-
-Q2_MIN_COST_SQL = """
-WITH eur_supp AS (
-  SELECT s_suppkey, s_name, CAST(ROUND(s_acctbal*100) AS BIGINT) AS s_acctbal_c2,
-         n_name
-  FROM supplier JOIN nation ON s_nationkey = n_nationkey
-                JOIN region ON n_regionkey = r_regionkey
-  WHERE r_name = 'EUROPE'),
-sel_parts AS (
-  SELECT p_partkey FROM part WHERE p_type = 'LARGE' AND p_size <= 10),
-cost AS (
-  SELECT l_partkey, l_suppkey,
-         MIN(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS cost_c2
-  FROM lineitem JOIN sel_parts ON l_partkey = p_partkey
-                JOIN eur_supp  ON l_suppkey = s_suppkey
-  GROUP BY l_partkey, l_suppkey)
-SELECT es.s_acctbal_c2, es.s_name, es.n_name,
-       CAST(c.l_partkey AS BIGINT) AS p_partkey,
-       CAST(c.l_suppkey AS BIGINT) AS s_suppkey,
-       CAST(c.cost_c2 AS BIGINT) AS cost_c2
-FROM cost c JOIN eur_supp es ON c.l_suppkey = es.s_suppkey
-WHERE c.cost_c2 = (SELECT MIN(c2.cost_c2) FROM cost c2
-                   WHERE c2.l_partkey = c.l_partkey)
-ORDER BY es.s_acctbal_c2 DESC, es.n_name, es.s_name, p_partkey, s_suppkey
-LIMIT 100
-"""
-
-
-# -- q11: important parts (groupby + global-scalar HAVING shape) -------------
-
-def q11_important_parts(sf_dir: str) -> "object":
-    """TPC-H q11 adaptation: per-part line-revenue supplied by ASIA
-    suppliers, keeping parts whose value exceeds twice the mean per-part
-    value — the ``HAVING SUM(...) > (SELECT SUM(...) * f)`` global-scalar
-    shape with a corpus-free fraction (TPC-H's own 0.0001/SF scales the
-    cutoff with data size; a fixed fraction degenerates to 0 or all rows
-    as the part count grows).
-    lineitem ⋈ ASIA-suppliers is a hash-partitioned ``Dataset.join`` (the
-    supplier table scales); per-part value folds map-side before ONE small
-    groupby; the grand total is a driver scalar off the materialized
-    aggregate (reused for the filter — no second pass over lineitem); the
-    share test is exact integer (``value*500 > total``), so the result
-    hash-matches the oracle.  Reference parity: SURVEY §2.6."""
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
-    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    asia_key = int(region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0])
-    asia_arr = pa.array(
-        sorted(int(k) for k in nation.loc[nation["n_regionkey"] == asia_key, "n_nationkey"]),
-        pa.int64(),
-    )
-
-    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
-    if _dim_rows(sf_dir, "supplier") <= MAX_BROADCAST_DIM_ROWS:
-        # fast plan: the ASIA-supplier key set broadcasts once; lineitem
-        # filters in-stream, leaving ONE per-part groupby exchange
-        import numpy as np
-
-        sk, vals = _dim_lookup(sf_dir, "supplier", "s_suppkey", ["s_nationkey"])
-        asia_set = set(int(a) for a in asia_arr.to_pylist())
-        ak = sk[np.isin(vals["s_nationkey"].astype("int64"),
-                        np.array(sorted(asia_set), dtype="int64"))]
-        ak_ref = ray.put(ak)
-
-        def asia_filter(t: pa.Table) -> pa.Table:
-            ak_ = ray.get(ak_ref)
-            skv = pc.cast(t["l_suppkey"], pa.int64()).to_numpy()
-            hit, _ = _lookup_hits(ak_, skv)
-            return t.filter(pa.array(hit))
-
-        joined = li.map_batches(asia_filter, batch_format="pyarrow")
-        already_asia = True
-    else:
-        # full supplier projection as the join side (dense — a region-
-        # filtered side leaves hash partitions empty, see q15's
-        # schemaless-empty-block note); the ASIA filter runs in the fold.
-        supp_keys = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-        joined = li.join(
-            supp_keys,
-            join_type="inner",
-            num_partitions=join_partitions(),
-            on=("l_suppkey",),
-            right_on=("s_suppkey",),
-            aggregator_ray_remote_args={"num_cpus": 0},
-        )
-        already_asia = False
-
-    def fold(t: pa.Table) -> pa.Table:
-        if not already_asia:
-            t = t.filter(
-                pc.is_in(pc.cast(t["s_nationkey"], pa.int64()), value_set=asia_arr)
-            )
-        folded = pa.table(
-            {
-                "p_partkey": pc.cast(t["l_partkey"], pa.int64()),
-                "value_c2": _cents(t["l_extendedprice"]),
-            }
-        )
-        return (
-            pa.TableGroupBy(folded, "p_partkey")
-            .aggregate([("value_c2", "sum")])
-            .rename_columns(["p_partkey", "value_c2"])
-        )
-
-    val = (
-        joined.map_batches(fold, batch_format="pyarrow")
-        .groupby("p_partkey")
-        .aggregate(Sum("value_c2", alias_name="value_c2"))
-        .materialize()  # reused: grand total + share filter
-    )
-    total = int(val.sum("value_c2") or 0)
-    n_parts = int(val.count())
-    # value*n > 2*total  <=>  value >= (2*total)//n + 1  (exact in integers)
-    out = (
-        val.filter(expr=f"value_c2 >= {(2 * total) // max(1, n_parts) + 1}")
-        .sort(["value_c2", "p_partkey"], descending=[True, False])
-        .to_pandas()
-    )
-    out["value_c2"] = out["value_c2"].astype("int64")
-    out["p_partkey"] = out["p_partkey"].astype("int64")
-    return out
-
-
-Q11_IMPORTANT_PARTS_SQL = """
-WITH asia_supp AS (
-  SELECT s_suppkey
-  FROM supplier JOIN nation ON s_nationkey = n_nationkey
-                JOIN region ON n_regionkey = r_regionkey
-  WHERE r_name = 'ASIA'),
-val AS (
-  SELECT l_partkey AS p_partkey,
-         SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS value_c2
-  FROM lineitem JOIN asia_supp ON l_suppkey = s_suppkey
-  GROUP BY l_partkey)
-SELECT CAST(p_partkey AS BIGINT) AS p_partkey, CAST(value_c2 AS BIGINT) AS value_c2
-FROM val
-WHERE value_c2 * (SELECT COUNT(*) FROM val) > 2 * (SELECT SUM(value_c2) FROM val)
-ORDER BY value_c2 DESC, p_partkey
-"""
-
-
-# -- q16: supplier counts per part attribute (distinct-count + anti-join) ----
-
-def q16_supplier_counts(sf_dir: str) -> "object":
-    """TPC-H q16 adaptation: distinct suppliers per (brand, type, size) for
-    a filtered part family, excluding low-balance suppliers (the
-    complaints anti-join analog).  Fast plan (part + supplier under
-    ``MAX_BROADCAST_DIM_ROWS``): the selected-part attribute map and the
-    qualifying-supplier key set broadcast once via ``ray.put``; lineitem
-    attaches both in-stream and dedups (brand,type,size,suppkey) per
-    batch, so the ONLY exchange is the 4-key dedup groupby over unique
-    combos — per-batch 3-key count partials then fold on the driver
-    (≤|brands|·|types|·|sizes| rows).  Above the guard the two-join +
-    two-groupby plan runs.  Tests pin both plans to the same oracle
-    hash."""
-    import numpy as np
-    import pandas as pd
-
-    import pyarrow.parquet as pq
-
-    n_part = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
-    n_supp = pq.read_metadata(f"{sf_dir}/supplier.parquet").num_rows
-    if max(n_part, n_supp) > MAX_BROADCAST_DIM_ROWS:
-        return _q16_join_plan(sf_dir)
-
-    sizes = {1, 4, 9, 14, 19, 23, 36, 45}
-    part = _read(
-        sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]
-    ).to_pandas()
-    part = part[
-        (part["p_brand"] != "Brand#5")
-        & (part["p_type"] != "PROMO")
-        & part["p_size"].isin(sizes)
-    ].sort_values("p_partkey")
-    pk = part["p_partkey"].to_numpy(np.int64)
-    pbrand = part["p_brand"].to_numpy(object)
-    ptype = part["p_type"].to_numpy(object)
-    psize = part["p_size"].to_numpy(np.int64)
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).to_pandas()
-    sk = np.sort(
-        supp.loc[
-            (supp["s_acctbal"] * 100).round().astype("int64") >= 100_000,
-            "s_suppkey",
-        ].to_numpy(np.int64)
-    )
-    import ray as _ray
-
-    maps_ref = _ray.put((pk, pbrand, ptype, psize, sk))
-
-    def li_rows(t: pa.Table) -> pa.Table:
-        import ray as _r
-
-        pk_, pb_, pt_, ps_, sk_ = _r.get(maps_ref)
-        pkv = pc.cast(t["l_partkey"], pa.int64()).to_numpy()
-        pidx = np.clip(np.searchsorted(pk_, pkv), 0, max(len(pk_) - 1, 0))
-        hit = (pk_[pidx] == pkv) if len(pk_) else np.zeros(len(pkv), bool)
-        skv = pc.cast(t["l_suppkey"], pa.int64()).to_numpy()
-        sidx = np.clip(np.searchsorted(sk_, skv), 0, max(len(sk_) - 1, 0))
-        hit &= (sk_[sidx] == skv) if len(sk_) else False
-        folded = pa.table(
-            {
-                "p_brand": pa.array(pb_[pidx[hit]], pa.string()),
-                "p_type": pa.array(pt_[pidx[hit]], pa.string()),
-                "p_size": pa.array(ps_[pidx[hit]]),
-                "s_suppkey": pa.array(skv[hit]),
-            }
-        )
-        # map-side dedup: the shuffle ships unique combos, not lineitems
-        return pa.TableGroupBy(
-            folded, ["p_brand", "p_type", "p_size", "s_suppkey"]
-        ).aggregate([])
-
-    uniq = (
-        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
-        .map_batches(li_rows, batch_format="pyarrow")
-        .groupby(["p_brand", "p_type", "p_size", "s_suppkey"])
-        .aggregate(Count(alias_name="n"))
-    )
-
-    def count_partial(t: pa.Table) -> pa.Table:
-        folded = pa.table(
-            {
-                "p_brand": t["p_brand"],
-                "p_type": t["p_type"],
-                "p_size": t["p_size"],
-                "one": pa.array([1] * len(t), pa.int64()),
-            }
-        )
-        return (
-            pa.TableGroupBy(folded, ["p_brand", "p_type", "p_size"])
-            .aggregate([("one", "sum")])
-            .rename_columns(["p_brand", "p_type", "p_size", "supplier_cnt"])
-        )
-
-    out = (
-        uniq.map_batches(count_partial, batch_format="pyarrow")
-        .to_pandas()  # ≤|brands|·|types|·|sizes| per batch -> driver fold
-        .groupby(["p_brand", "p_type", "p_size"], as_index=False)[
-            "supplier_cnt"
-        ].sum()
-    )
-    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
-    out["p_size"] = out["p_size"].astype("int64")
-    return out.sort_values(
-        ["supplier_cnt", "p_brand", "p_type", "p_size"],
-        ascending=[False, True, True, True],
-    ).reset_index(drop=True)
-
-
-def _q16_join_plan(sf_dir: str) -> "object":
-    """TPC-H q16 adaptation: distinct suppliers per (brand, type, size) for
-    a filtered part family, excluding low-balance suppliers (the
-    complaints anti-join analog).  Both fact joins are hash-partitioned
-    ``Dataset.join``s; the distinct count is two groupbys on the SAME key
-    prefix — first (brand,type,size,suppkey) to dedup (with a map-side
-    pyarrow dedup fold so the shuffle carries unique combos only), then
-    (brand,type,size) to count — the partitioning-friendly way to express
-    COUNT(DISTINCT) over a join.  Reference parity: SURVEY §2.6 distinct
-    family (distinct_suppliers_per_nation is the 1-key version)."""
-    sizes = pa.array([1, 4, 9, 14, 19, 23, 36, 45], pa.int64())
-
-    def part_pick(t: pa.Table) -> pa.Table:
-        mask = pc.and_(
-            pc.and_(
-                pc.not_equal(t["p_brand"], "Brand#5"),
-                pc.not_equal(t["p_type"], "PROMO"),
-            ),
-            pc.is_in(pc.cast(t["p_size"], pa.int64()), value_set=sizes),
-        )
-        sub = t.filter(mask)
-        return pa.table(
-            {
-                "p_partkey": pc.cast(sub["p_partkey"], pa.int64()),
-                "p_brand": sub["p_brand"],
-                "p_type": sub["p_type"],
-                "p_size": pc.cast(sub["p_size"], pa.int64()),
-            }
-        )
-
-    sel_parts = _read(
-        sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"]
-    ).map_batches(part_pick, batch_format="pyarrow")
-
-    def supp_ok(t: pa.Table) -> pa.Table:
-        sub = t.filter(pc.greater_equal(_cents(t["s_acctbal"]), 100_000))
-        return pa.table({"s_suppkey": pc.cast(sub["s_suppkey"], pa.int64())})
-
-    ok_supp = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).map_batches(
-        supp_ok, batch_format="pyarrow"
-    )
-
-    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
-    li_parts = li.join(
-        sel_parts,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("l_partkey",),
-        right_on=("p_partkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
-    li_ok = li_parts.join(
-        ok_supp,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("l_suppkey",),
-        right_on=("s_suppkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
-
-    def dedup_fold(t: pa.Table) -> pa.Table:
-        # map-side dedup: the shuffle ships unique combos, not lineitems
-        folded = pa.table(
-            {
-                "p_brand": t["p_brand"],
-                "p_type": t["p_type"],
-                "p_size": pc.cast(t["p_size"], pa.int64()),
-                "s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
-            }
-        )
-        return (
-            pa.TableGroupBy(folded, ["p_brand", "p_type", "p_size", "s_suppkey"])
-            .aggregate([])
-        )
-
-    uniq = (
-        li_ok.map_batches(dedup_fold, batch_format="pyarrow")
-        .groupby(["p_brand", "p_type", "p_size", "s_suppkey"])
-        .aggregate(Count(alias_name="n"))
-    )
-
-    def count_fold(t: pa.Table) -> pa.Table:
-        folded = pa.table(
-            {
-                "p_brand": t["p_brand"],
-                "p_type": t["p_type"],
-                "p_size": t["p_size"],
-                "one": pa.array([1] * len(t), pa.int64()),
-            }
-        )
-        return (
-            pa.TableGroupBy(folded, ["p_brand", "p_type", "p_size"])
-            .aggregate([("one", "sum")])
-            .rename_columns(["p_brand", "p_type", "p_size", "supplier_cnt"])
-        )
-
-    out = (
-        uniq.map_batches(count_fold, batch_format="pyarrow")
-        .groupby(["p_brand", "p_type", "p_size"])
-        .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
-        .to_pandas()  # |brands| x |types| x |sizes| upper bound: small
-    )
-    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
-    out["p_size"] = out["p_size"].astype("int64")
-    return out.sort_values(
-        ["supplier_cnt", "p_brand", "p_type", "p_size"],
-        ascending=[False, True, True, True],
-    ).reset_index(drop=True)
-
-
-Q16_SUPPLIER_COUNTS_SQL = """
-SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
-       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-FROM lineitem
-JOIN part ON l_partkey = p_partkey
-JOIN supplier ON l_suppkey = s_suppkey
-WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
-  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
-  AND CAST(ROUND(s_acctbal*100) AS BIGINT) >= 100000
-GROUP BY p_brand, p_type, p_size
-ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
-"""
-
-
-# -- q9: profit by nation and year (4-way join + 2-key groupby shape) --------
-
-def q9_nation_profit(sf_dir: str) -> "object":
-    """TPC-H q9 adaptation (no partsupp): per (supplier-nation, order-year)
-    profit over 'bolt' parts, profit = line revenue minus a retail-price
-    cost proxy (``p_retailprice * l_quantity`` — supplycost is absent from
-    the driver schema).  Fast plan (dims under ``MAX_BROADCAST_DIM_ROWS``):
-    the bolt-part retail map and the supplier nation map broadcast once via
-    ``ray.put``; lineitem attaches both in-stream and pre-folds to
-    (orderkey, nation) grain, so the ONLY exchange is the orderkey
-    co-location with orders (for the year), whose kernel emits
-    ≤25·|years| partials per bucket — a corpus-independent driver fold
-    finishes.  Above the guard the original three-``Dataset.join`` tree
-    runs (dims are corpus-proportional at true TPC-H scale).  Exact in c4
-    cents.  Reference parity: SURVEY §2.5/2.6 multi-join aggregate
-    family.  Tests pin both plans to the same oracle hash."""
-    import numpy as np
-    import pandas as pd
-
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    n_part = pq.read_metadata(f"{sf_dir}/part.parquet").num_rows
-    n_supp = pq.read_metadata(f"{sf_dir}/supplier.parquet").num_rows
-    if max(n_part, n_supp) > MAX_BROADCAST_DIM_ROWS:
-        return _q9_join_tree(sf_dir)
-
-    OB = n_buckets(pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
-
-    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).to_pandas()
-    part = part[part["p_name"].str.contains("bolt")]
-    pk = np.sort(part["p_partkey"].to_numpy(np.int64))
-    pr = (
-        part.set_index("p_partkey")["p_retailprice"]
-        .loc[pk].mul(100).round().astype("int64").to_numpy()
-    )
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    sk = np.sort(supp["s_suppkey"].to_numpy(np.int64))
-    sn = supp.set_index("s_suppkey")["s_nationkey"].loc[sk].to_numpy(np.int64)
-    import ray as _ray
-
-    maps_ref = _ray.put((pk, pr, sk, sn))
-
-    def li_rows(t: pa.Table) -> pa.Table:
-        import ray as _r
-
-        pk_, pr_, sk_, sn_ = _r.get(maps_ref)
-        pkv = pc.cast(t["l_partkey"], pa.int64()).to_numpy()
-        pidx = np.clip(np.searchsorted(pk_, pkv), 0, max(len(pk_) - 1, 0))
-        hit = (pk_[pidx] == pkv) if len(pk_) else np.zeros(len(pkv), bool)
-        sub = t.filter(pa.array(hit))
-        retail = pr_[pidx[hit]]
-        skv = pc.cast(sub["l_suppkey"], pa.int64()).to_numpy()
-        sidx = np.clip(np.searchsorted(sk_, skv), 0, max(len(sk_) - 1, 0))
-        shit = sk_[sidx] == skv
-        sub = sub.filter(pa.array(shit))
-        retail = retail[shit]
-        rev = pc.multiply(
-            _cents(sub["l_extendedprice"]),
-            pc.subtract(100, _cents(sub["l_discount"])),
-        ).to_numpy()
-        cost = retail * 100 * pc.cast(sub["l_quantity"], pa.int64()).to_numpy()
-        ok = pc.cast(sub["l_orderkey"], pa.int64()).to_numpy()
-        folded = pa.table(
-            {
-                "b": pa.array((ok & (OB - 1)).astype("int32")),
-                "ok": pa.array(ok),
-                "nat": pa.array(sn_[sidx[shit]]),
-                "is_line": pa.array(np.ones(len(ok), dtype="int8")),
-                "profit_c4": pa.array(rev - cost),
-            }
-        )
-        # batch-local (order, nation) combine shrinks the exchange
-        return pa.TableGroupBy(folded, ["b", "ok", "nat", "is_line"]).aggregate(
-            [("profit_c4", "sum")]
-        ).rename_columns(["b", "ok", "nat", "is_line", "profit_c4"])
-
-    def o_rows(t: pa.Table) -> pa.Table:
-        ok = pc.cast(t["o_orderkey"], pa.int64())
-        return pa.table(
-            {
-                "b": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
-                "ok": ok,
-                "nat": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
-                "is_line": pa.array([0] * len(t), pa.int8()),
-                "profit_c4": pa.array([0] * len(t), pa.int64()),
-            }
-        )
-
-    def year_fold(g: pd.DataFrame) -> pd.DataFrame:
-        yr = g.loc[g["is_line"] == 0].set_index("ok")["nat"]
-        li = g[g["is_line"] == 1]
-        y = li["ok"].map(yr)
-        keep = y.notna()
-        sub = pd.DataFrame(
-            {
-                "s_nationkey": li.loc[keep, "nat"].astype("int64"),
-                "o_year": y[keep].astype("int64"),
-                "profit_c4": li.loc[keep, "profit_c4"].astype("int64"),
-            }
-        )
-        return sub.groupby(
-            ["s_nationkey", "o_year"], as_index=False
-        )["profit_c4"].sum()  # ≤25·|years| rows per bucket
-
-    agg = (
-        _read(
-            sf_dir, "lineitem",
-            ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
-             "l_extendedprice", "l_discount"],
-        )
-        .map_batches(li_rows, batch_format="pyarrow")
-        .union(
-            _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
-                o_rows, batch_format="pyarrow"
-            )
-        )
-        .groupby("b")
-        .map_groups(year_fold, batch_format="pandas")
-        .to_pandas()  # corpus-independent driver fold
-        .groupby(["s_nationkey", "o_year"], as_index=False)["profit_c4"]
-        .sum()
-    )
-    return _q9_decorate(sf_dir, agg)
-
-
-def _q9_decorate(sf_dir: str, agg) -> "object":
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    out = agg.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
-    out = out[["n_name", "o_year", "profit_c4"]].astype(
-        {"o_year": "int64", "profit_c4": "int64"}
-    )
-    return out.sort_values(
-        ["n_name", "o_year"], ascending=[True, False]
-    ).reset_index(drop=True)
-
-
-def _q9_join_tree(sf_dir: str) -> "object":
-    """q9 scale path: the original three hash-partitioned ``Dataset.join``
-    tree (part filter, supplier nationkey, orders year) with map-side
-    2-key folds — nothing corpus-sized on the driver."""
-
-    def part_pick(t: pa.Table) -> pa.Table:
-        sub = t.filter(pc.match_substring(t["p_name"], "bolt"))
-        return pa.table(
-            {
-                "p_partkey": pc.cast(sub["p_partkey"], pa.int64()),
-                "retail_c2": _cents(sub["p_retailprice"]),
-            }
-        )
-
-    bolt_parts = _read(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).map_batches(
-        part_pick, batch_format="pyarrow"
-    )
-
-    li = _read(
-        sf_dir, "lineitem",
-        ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
-         "l_extendedprice", "l_discount"],
-    )
-    li_parts = li.join(
-        bolt_parts,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("l_partkey",),
-        right_on=("p_partkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
-
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-    li_supp = li_parts.join(
-        supp,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("l_suppkey",),
-        right_on=("s_suppkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
-
-    def order_year(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
-                "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
-            }
-        )
-
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
-        order_year, batch_format="pyarrow"
-    )
-    joined = li_supp.join(
-        orders,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
-
-    def fold(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            _cents(t["l_extendedprice"]), pc.subtract(100, _cents(t["l_discount"]))
-        )
-        cost = pc.multiply(
-            pc.multiply(pc.cast(t["retail_c2"], pa.int64()), 100),
-            pc.cast(t["l_quantity"], pa.int64()),
-        )
-        folded = pa.table(
-            {
-                "s_nationkey": pc.cast(t["s_nationkey"], pa.int64()),
-                "o_year": t["o_year"],
-                "profit_c4": pc.subtract(rev, cost),
-            }
-        )
-        return (
-            pa.TableGroupBy(folded, ["s_nationkey", "o_year"])
-            .aggregate([("profit_c4", "sum")])
-            .rename_columns(["s_nationkey", "o_year", "profit_c4"])
-        )
-
-    agg = (
-        joined.map_batches(fold, batch_format="pyarrow")
-        .groupby(["s_nationkey", "o_year"])
-        .aggregate(Sum("profit_c4", alias_name="profit_c4"))
-        .to_pandas()  # <= 25 nations x |years|
-    )
-    return _q9_decorate(sf_dir, agg)
-
-
-Q9_NATION_PROFIT_SQL = """
-SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
-                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
-                - CAST(ROUND(p_retailprice*100) AS BIGINT) * 100
-                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_c4
-FROM lineitem
-JOIN part     ON l_partkey = p_partkey
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation   ON s_nationkey = n_nationkey
-JOIN orders   ON l_orderkey = o_orderkey
-WHERE p_name LIKE '%bolt%'
-GROUP BY n_name, o_year
-ORDER BY n_name, o_year DESC
-"""
-
-
-# -- q12: late shipments by return flag (join + conditional aggregate) -------
-
-def q12_late_shipments(sf_dir: str) -> "object":
-    """TPC-H q12 adaptation (no shipmode/commit/receipt dates in the driver
-    schema): lines shipped in 1997 at least 60 days after their order date,
-    grouped by ``l_returnflag`` (the 2-3-value mode analog), counting lines
-    of high- vs low-priority orders — the CASE-WHEN conditional-count
-    shape.  ONE orderkey-bucket co-location (the year filter prunes
-    lineitem at the parquet scan BEFORE the exchange): the in-bucket
-    kernel joins ship and order dates, applies the lateness predicate, and
-    emits ≤3 partial rows per bucket — a corpus-independent driver fold
-    finishes.  Reference parity: SURVEY §2.6 conditional-aggregate family
-    (status_priority_pivot is the unjoined version)."""
-    from datetime import datetime
-
-    import pandas as pd
-
-    import pyarrow.dataset as pads
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    lo = pa.scalar(datetime(1997, 1, 1), pa.timestamp("us"))
-    hi = pa.scalar(datetime(1998, 1, 1), pa.timestamp("us"))
-    _LATE_US = 60 * 86_400_000_000
-    push = (pads.field("l_shipdate") >= datetime(1997, 1, 1)) & (
-        pads.field("l_shipdate") < datetime(1998, 1, 1)
-    )
-    OB = n_buckets(pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
-    FLAGS = {"A": 1, "N": 2, "R": 3}
-
-    def li_rows(t: pa.Table) -> pa.Table:
-        d = t["l_shipdate"].cast(pa.timestamp("us"))
-        mask = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
-        sub = t.filter(mask)
-        ok = pc.cast(sub["l_orderkey"], pa.int64())
-        flag = pc.case_when(
-            pc.make_struct(
-                pc.equal(sub["l_returnflag"], "A"),
-                pc.equal(sub["l_returnflag"], "N"),
-            ),
-            1, 2, 3,
-        )
-        return pa.table(
-            {
-                "b": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
-                "ok": ok,
-                "flag": pc.cast(flag, pa.int64()),
-                "us": pc.cast(sub["l_shipdate"].cast(pa.timestamp("us")), pa.int64()),
-            }
-        )
-
-    def o_rows(t: pa.Table) -> pa.Table:
-        ok = pc.cast(t["o_orderkey"], pa.int64())
-        pri = t["o_orderpriority"]
-        high = pc.or_(pc.equal(pri, "1-URGENT"), pc.equal(pri, "2-HIGH"))
-        return pa.table(
-            {
-                "b": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
-                "ok": ok,
-                # flag slot: 0 marks the orders side; -1/-2 carries is_high
-                "flag": pc.cast(
-                    pc.if_else(high, pa.scalar(-2, pa.int64()),
-                               pa.scalar(-1, pa.int64())),
-                    pa.int64(),
-                ),
-                "us": pc.cast(t["o_orderdate"].cast(pa.timestamp("us")), pa.int64()),
-            }
-        )
-
-    inv_flags = {v: k for k, v in FLAGS.items()}
-
-    def late_fold(g: pd.DataFrame) -> pd.DataFrame:
-        o = g[g["flag"] < 0].set_index("ok")
-        li = g[g["flag"] > 0]
-        ous = li["ok"].map(o["us"])
-        keep = ous.notna() & (li["us"] - ous >= _LATE_US)
-        sub = li[keep]
-        high = (sub["ok"].map(o["flag"]) == -2).astype("int64")
-        out = pd.DataFrame(
-            {
-                "l_returnflag": sub["flag"].map(inv_flags),
-                "high_line_count": high,
-                "low_line_count": 1 - high,
-            }
-        )
-        return out.groupby("l_returnflag", as_index=False)[
-            ["high_line_count", "low_line_count"]
-        ].sum()  # ≤3 rows per bucket
-
-    out = (
-        _read(
-            sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_shipdate"],
-            filter=push,
-        )
-        .map_batches(li_rows, batch_format="pyarrow")
-        .union(
-            _read(
-                sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
-            ).map_batches(o_rows, batch_format="pyarrow")
-        )
-        .groupby("b")
-        .map_groups(late_fold, batch_format="pandas")
-        .to_pandas()  # ≤3·buckets rows
-        .groupby("l_returnflag", as_index=False)[
-            ["high_line_count", "low_line_count"]
-        ]
-        .sum()
-    )
-    for c in ("high_line_count", "low_line_count"):
-        out[c] = out[c].astype("int64")
-    return out.sort_values("l_returnflag").reset_index(drop=True)
-
-
-Q12_LATE_SHIPMENTS_SQL = """
-SELECT l_returnflag,
-       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-  AND l_shipdate <  TIMESTAMP '1998-01-01'
-  AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
-GROUP BY l_returnflag
-ORDER BY l_returnflag
-"""
-
-
-# -- q20: excess-share suppliers (nested aggregate + semi-join shape) --------
-
-def q20_excess_suppliers(sf_dir: str) -> "object":
-    """TPC-H q20 adaptation (no partsupp availqty): AMERICA suppliers who
-    shipped more than 20% of the total 1996 volume of some STANDARD part —
-    the nested-aggregate semi-join shape (original: availqty > half the
-    yearly shipped quantity).  The per-(part, supplier) and per-part sums
-    both come out of ONE ``groupby(partkey).map_groups`` co-location (the
-    kernel sees every supplier of the part at once and applies the exact
-    integer share test ``5*qty > total``); lineitem ⋈ STANDARD parts is a
-    hash-partitioned ``Dataset.join``; the surviving supplier set is tiny
-    (bounded by 5 per part), so names/regions attach via broadcast-filtered
-    dimension reads.  Reference parity: SURVEY §2.5 semi-join family."""
-    from datetime import datetime
-
-    import pandas as pd
-
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
-    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    am_key = int(region.loc[region["r_name"] == "AMERICA", "r_regionkey"].iloc[0])
-    am_nations = pa.array(
-        sorted(int(k) for k in nation.loc[nation["n_regionkey"] == am_key, "n_nationkey"]),
-        pa.int64(),
-    )
-
-    import numpy as np
-
-    import pyarrow.dataset as pads
-    import pyarrow.parquet as pq
-
-    lo = pa.scalar(datetime(1996, 1, 1), pa.timestamp("us"))
-    hi = pa.scalar(datetime(1997, 1, 1), pa.timestamp("us"))
-    push = (pads.field("l_shipdate") >= datetime(1996, 1, 1)) & (
-        pads.field("l_shipdate") < datetime(1997, 1, 1)
-    )
-
-    def li_pick(t: pa.Table) -> pa.Table:
-        d = t["l_shipdate"].cast(pa.timestamp("us"))
-        sub = t.filter(pc.and_(pc.greater_equal(d, lo), pc.less(d, hi)))
-        return pa.table(
-            {
-                "l_partkey": pc.cast(sub["l_partkey"], pa.int64()),
-                "l_suppkey": pc.cast(sub["l_suppkey"], pa.int64()),
-                "qty": pc.cast(sub["l_quantity"], pa.int64()),
-            }
-        )
-
-    li = _read(
-        sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
-        filter=push,
-    ).map_batches(li_pick, batch_format="pyarrow")
-
-    if pq.read_metadata(f"{sf_dir}/part.parquet").num_rows <= MAX_BROADCAST_DIM_ROWS:
-        # fast plan: the STANDARD partkey set broadcasts once — the part
-        # join disappears and the per-part winners co-location is the only
-        # exchange
-        part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
-        pk = np.sort(
-            part.loc[part["p_type"] == "STANDARD", "p_partkey"].to_numpy(np.int64)
-        )
-        pk_ref = ray.put(pk)
-
-        def std_filter(t: pa.Table) -> pa.Table:
-            pk_ = ray.get(pk_ref)
-            pkv = pc.cast(t["l_partkey"], pa.int64()).to_numpy()
-            idx = np.clip(np.searchsorted(pk_, pkv), 0, max(len(pk_) - 1, 0))
-            hit = (pk_[idx] == pkv) if len(pk_) else np.zeros(len(pkv), bool)
-            return t.filter(pa.array(hit))
-
-        li_std = li.map_batches(std_filter, batch_format="pyarrow")
-    else:
-        std_parts = (
-            _read(sf_dir, "part", ["p_partkey", "p_type"])
-            .filter(expr="p_type == 'STANDARD'")
-            .select_columns(["p_partkey"])
-        )
-        li_std = li.join(
-            std_parts,
-            join_type="inner",
-            num_partitions=join_partitions(),
-            on=("l_partkey",),
-            right_on=("p_partkey",),
-            aggregator_ray_remote_args={"num_cpus": 0},
-        )
-
-    def fold(t: pa.Table) -> pa.Table:
-        # map-side combine: one (part, supp) qty partial per batch
-        return (
-            pa.TableGroupBy(
-                t.select(["l_partkey", "l_suppkey", "qty"]), ["l_partkey", "l_suppkey"]
-            )
-            .aggregate([("qty", "sum")])
-            .rename_columns(["l_partkey", "l_suppkey", "qty"])
-        )
-
-    def excess(g: "pd.DataFrame") -> "pd.DataFrame":
-        per_supp = g.groupby("l_suppkey")["qty"].sum()
-        total = int(per_supp.sum())
-        win = per_supp[per_supp * 5 > total]
-        return pd.DataFrame({"s_suppkey": win.index.astype("int64")})
-
-    win = (
-        li_std.map_batches(fold, batch_format="pyarrow")
-        .groupby("l_partkey")
-        .map_groups(excess, batch_format="pandas")
-        .groupby("s_suppkey")
-        .aggregate(Count(alias_name="n_parts"))  # distinct suppliers
-        .to_pandas()  # <= 5 winners per part, deduped: small
-    )
-    if len(win) == 0:
-        return pd.DataFrame(
-            {
-                "s_suppkey": pd.Series([], dtype="int64"),
-                "s_name": pd.Series([], dtype="object"),
-            }
-        )
-    win_arr = pa.array(sorted(int(s) for s in win["s_suppkey"]), pa.int64())
-
-    def supp_pick(t: pa.Table) -> pa.Table:
-        mask = pc.and_(
-            pc.is_in(pc.cast(t["s_suppkey"], pa.int64()), value_set=win_arr),
-            pc.is_in(pc.cast(t["s_nationkey"], pa.int64()), value_set=am_nations),
-        )
-        sub = t.filter(mask)
-        return pa.table(
-            {
-                "s_suppkey": pc.cast(sub["s_suppkey"], pa.int64()),
-                "s_name": sub["s_name"],
-            }
-        )
-
-    out = (
-        _read(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
-        .map_batches(supp_pick, batch_format="pyarrow")
-        .to_pandas()
-    )
-    return out.sort_values("s_suppkey").reset_index(drop=True)
-
-
-Q20_EXCESS_SUPPLIERS_SQL = """
-WITH shipped AS (
-  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS qty
-  FROM lineitem JOIN part ON l_partkey = p_partkey
-  WHERE p_type = 'STANDARD'
-    AND l_shipdate >= TIMESTAMP '1996-01-01'
-    AND l_shipdate <  TIMESTAMP '1997-01-01'
-  GROUP BY l_partkey, l_suppkey),
-tot AS (
-  SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY l_partkey),
-excess AS (
-  SELECT DISTINCT s.l_suppkey
-  FROM shipped s JOIN tot t ON s.l_partkey = t.l_partkey
-  WHERE s.qty * 5 > t.total_qty)
-SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
-FROM supplier
-JOIN excess ON s_suppkey = l_suppkey
-JOIN nation ON s_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-WHERE r_name = 'AMERICA'
-ORDER BY s_suppkey
-"""
-
-
-# -- EXCEPT set op: customers active in 1997 but not 1998 --------------------
-
-def customers_1997_except_1998(sf_dir: str) -> "object":
-    """``EXCEPT`` as ONE shuffle: instead of materializing two distinct
-    sets and anti-joining (two all-to-alls + a sparse join side), each
-    batch folds (custkey, seen-in-1997, seen-in-1998) flag maxima map-side;
-    one groupby ORs the flags; a vectorized filter keeps 1997-only keys.
-    The same fold generalizes to INTERSECT (both flags set) and UNION (any
-    flag) — distinct_types_union covers the UNION shape.  Engine addition
-    (SURVEY §2.6 set-op family)."""
-
-    def fold(t: pa.Table) -> pa.Table:
-        y = pc.year(t["o_orderdate"])
-        sub = pa.table(
-            {
-                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
-                "y97": pc.cast(pc.equal(y, 1997), pa.int64()),
-                "y98": pc.cast(pc.equal(y, 1998), pa.int64()),
-            }
-        )
-        return (
-            pa.TableGroupBy(sub, "o_custkey")
-            .aggregate([("y97", "max"), ("y98", "max")])
-            .rename_columns(["o_custkey", "y97", "y98"])
-        )
-
-    out = (
-        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
-        .map_batches(fold, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(
-            Max("y97", alias_name="y97"),
-            Max("y98", alias_name="y98"),
-        )
-        .filter(expr="y97 == 1 and y98 == 0")
-        .select_columns(["o_custkey"])
-        .sort("o_custkey")
-        .to_pandas()
-    )
-    out["o_custkey"] = out["o_custkey"].astype("int64")
-    return out
-
-
-CUSTOMERS_EXCEPT_SQL = """
-SELECT CAST(o_custkey AS BIGINT) AS o_custkey
-FROM (
-  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
-  EXCEPT
-  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1998
-)
-ORDER BY o_custkey
-"""
-
-
-def customers_both_years(sf_dir: str) -> "object":
-    """``INTERSECT`` companion of :func:`customers_1997_except_1998` —
-    the same single-shuffle flag-maxima fold (map-side (custkey, y97, y98)
-    per-batch maxima, one groupby OR), keeping keys with BOTH flags set.
-    Completes the set-op family: UNION (distinct_types_union), EXCEPT,
-    INTERSECT.  Engine addition (SURVEY §2.6)."""
-
-    def fold(t: pa.Table) -> pa.Table:
-        y = pc.year(t["o_orderdate"])
-        sub = pa.table(
-            {
-                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
-                "y97": pc.cast(pc.equal(y, 1997), pa.int64()),
-                "y98": pc.cast(pc.equal(y, 1998), pa.int64()),
-            }
-        )
-        return (
-            pa.TableGroupBy(sub, "o_custkey")
-            .aggregate([("y97", "max"), ("y98", "max")])
-            .rename_columns(["o_custkey", "y97", "y98"])
-        )
-
-    out = (
-        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
-        .map_batches(fold, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(
-            Max("y97", alias_name="y97"),
-            Max("y98", alias_name="y98"),
-        )
-        .filter(expr="y97 == 1 and y98 == 1")
-        .select_columns(["o_custkey"])
-        .sort("o_custkey")
-        .to_pandas()
-    )
-    out["o_custkey"] = out["o_custkey"].astype("int64")
-    return out
-
-
-CUSTOMERS_INTERSECT_SQL = """
-SELECT CAST(o_custkey AS BIGINT) AS o_custkey
-FROM (
-  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
-  INTERSECT
-  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1998
-)
-ORDER BY o_custkey
-"""
-
-
-def constraint_check(sf_dir: str) -> "object":
-    """Data-quality constraint audit — the expectation-suite pass a
-    production pipeline runs before publishing a snapshot (null / range /
-    referential-integrity / temporal-ordering violations), reported as one
-    (constraint_name, n_violations) row each.  The row-local checks fold
-    map-side to per-batch partial counts; the two CROSS-TABLE checks
-    (orphan lineitems, ship-before-order) ride ONE orderkey-bucket
-    co-location exchange — order rows carry their orderdate, line rows
-    their shipdate, the in-bucket kernel counts both violations
-    vectorized.  Scalar partials fold on the driver under the bucket
-    guard, distributed above it (the source_overlap escape)."""
-    import numpy as np
-    import pandas as pd
-
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    OB = n_buckets(pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
-
-    def o_rows(t: pa.Table) -> pa.Table:
-        ok = pc.cast(t["o_orderkey"], pa.int64())
-        od = pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64())
-        n_price = pc.sum(
-            pc.cast(pc.less_equal(t["o_totalprice"], 0.0), pa.int64())
-        ).as_py() or 0
-        n_null = t["o_orderpriority"].null_count
-        base = pa.table(
-            {
-                "b": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
-                "ok": ok,
-                "kind": pa.array([0] * len(t), pa.int8()),
-                "ts_us": od,
-                "name": pa.array([""] * len(t), pa.string()),
-                "n": pa.array([0] * len(t), pa.int64()),
-            }
-        )
-        part = pa.table(
-            {
-                "b": pa.array([0, 0], pa.int32()),
-                "ok": pa.array([-1, -1], pa.int64()),
-                "kind": pa.array([2, 2], pa.int8()),
-                "ts_us": pa.array([0, 0], pa.int64()),
-                "name": pa.array(
-                    ["order_totalprice_nonpositive", "order_null_priority"],
-                    pa.string(),
-                ),
-                "n": pa.array([n_price, n_null], pa.int64()),
-            }
-        )
-        return pa.concat_tables([base, part])
-
-    def l_rows(t: pa.Table) -> pa.Table:
-        ok = pc.cast(t["l_orderkey"], pa.int64())
-        ship = pc.cast(pc.cast(t["l_shipdate"], pa.timestamp("us")), pa.int64())
-        q = t["l_quantity"]
-        n_range = pc.sum(
-            pc.cast(
-                pc.or_(pc.less(q, 1.0), pc.greater(q, 50.0)), pa.int64()
-            )
-        ).as_py() or 0
-        base = pa.table(
-            {
-                "b": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
-                "ok": ok,
-                "kind": pa.array([1] * len(t), pa.int8()),
-                "ts_us": ship,
-                "name": pa.array([""] * len(t), pa.string()),
-                "n": pa.array([0] * len(t), pa.int64()),
-            }
-        )
-        part = pa.table(
-            {
-                "b": pa.array([0], pa.int32()),
-                "ok": pa.array([-1], pa.int64()),
-                "kind": pa.array([2], pa.int8()),
-                "ts_us": pa.array([0], pa.int64()),
-                "name": pa.array(["lineitem_qty_out_of_range"], pa.string()),
-                "n": pa.array([n_range], pa.int64()),
-            }
-        )
-        return pa.concat_tables([base, part])
-
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        names, ns = [], []
-        pass_thru = g[g["kind"] == 2]
-        if len(pass_thru):
-            agg = pass_thru.groupby("name")["n"].sum()
-            names.extend(agg.index.tolist())
-            ns.extend(int(v) for v in agg.values)
-        o = g[g["kind"] == 0]
-        l = g[g["kind"] == 1]
-        if len(l):
-            od = pd.Series(o["ts_us"].values, index=o["ok"].values)
-            mapped = l["ok"].map(od)
-            orphan = int(mapped.isna().sum())
-            before = int((l["ts_us"].values < mapped.fillna(-(2**62)).values).sum())
-            names.extend(["lineitem_orphan", "lineitem_ship_before_order"])
-            ns.extend([orphan, before])
-        return pd.DataFrame({"name": names, "n": pd.array(ns, dtype="int64")})
-
-    orders = _read(sf_dir, "orders",
-                   ["o_orderkey", "o_orderdate", "o_totalprice",
-                    "o_orderpriority"]).map_batches(
-        o_rows, batch_format="pyarrow"
-    )
-    lines = _read(sf_dir, "lineitem",
-                  ["l_orderkey", "l_shipdate", "l_quantity"]).map_batches(
-        l_rows, batch_format="pyarrow"
-    )
-    partials = (
-        orders.union(lines)
-        .groupby("b")
-        .map_groups(fold, batch_format="pandas")
-    )
-    if OB <= 4096:
-        parts = partials.to_pandas().groupby("name", as_index=False)["n"].sum()
-    else:
-        parts = (
-            partials.groupby("name")
-            .aggregate(Sum("n", alias_name="n"))
-            .to_pandas()
-        )
-    # every constraint reports, violated or not
-    all_names = [
-        "lineitem_orphan", "lineitem_qty_out_of_range",
-        "lineitem_ship_before_order", "order_null_priority",
-        "order_totalprice_nonpositive",
-    ]
-    out = (
-        parts.set_index("name").reindex(all_names, fill_value=0)["n"]
-        .reset_index()
-        .rename(columns={"name": "constraint_name", "n": "n_violations"})
-    )
-    out["n_violations"] = out["n_violations"].astype("int64")
-    return out.sort_values("constraint_name").reset_index(drop=True)
-
-
-CONSTRAINT_CHECK_SQL = """
-SELECT constraint_name, CAST(n_violations AS BIGINT) AS n_violations FROM (
-  SELECT 'lineitem_orphan' AS constraint_name,
-         (SELECT COUNT(*) FROM lineitem l
-          LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
-          WHERE o.o_orderkey IS NULL) AS n_violations
-  UNION ALL
-  SELECT 'lineitem_qty_out_of_range',
-         (SELECT COUNT(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50)
-  UNION ALL
-  SELECT 'lineitem_ship_before_order',
-         (SELECT COUNT(*) FROM lineitem l
-          JOIN orders o ON l.l_orderkey = o.o_orderkey
-          WHERE l.l_shipdate < o.o_orderdate)
-  UNION ALL
-  SELECT 'order_null_priority',
-         (SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NULL)
-  UNION ALL
-  SELECT 'order_totalprice_nonpositive',
-         (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
-)
-ORDER BY constraint_name
-"""
-
-
-# -- pareto frontier (skyline over two objectives) ---------------------------
-
-def _frontier_mask(price, size):
-    """Boolean keep-mask of the (minimize price, maximize size) pareto
-    frontier: keep iff size == max(size | price' <= price) (not outsized by
-    a cheaper-or-equal row) AND size > max(size | price' < price) (not
-    matched by a strictly cheaper row) — vectorized via one lexsort + a
-    per-price-group running max.  Idempotent and lossless under batching
-    (a locally dominated row is globally dominated), which is what makes
-    the distributed tree fold exact."""
-    import numpy as np
-
-    order = np.lexsort((-size, price))
-    ps, ss = price[order], size[order]
-    new = np.empty(len(ps), dtype=bool)
-    new[0] = True
-    new[1:] = ps[1:] != ps[:-1]
-    gidx = np.cumsum(new) - 1
-    gmax = ss[new]                          # size sorts desc within price
-    run = np.maximum.accumulate(gmax)
-    mlt_g = np.empty_like(run)
-    mlt_g[0] = np.iinfo(np.int64).min
-    mlt_g[1:] = run[:-1]
-    keep_sorted = (ss == run[gidx]) & (ss > mlt_g[gidx])
-    mask = np.empty(len(ps), dtype=bool)
-    mask[order] = keep_sorted
-    return mask
-
-
-def pareto_frontier(sf_dir: str) -> "object":
-    """Skyline query: parts not strictly dominated on (minimize price,
-    maximize size) — the multi-objective shortlist shape (cheapest part at
-    every size level).  Monotone tree fold: each batch prunes its own rows
-    to a local frontier (a locally dominated row is globally dominated, so
-    the prune is lossless), survivors regroup into a handful of blocks for
-    a second prune, and the driver folds the last few hundred rows.  No
-    all-to-all: the exchange ships only frontier candidates, which are
-    output-sized (worst case the frontier IS the output, and returning it
-    is the contract).  Output: (p_partkey, p_name, price_c2, p_size)."""
-    import numpy as np
-    import pandas as pd
-
-    _frontier = _frontier_mask
-
-    def prune(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return t
-        if "price_c2" not in t.column_names:
-            t = t.append_column(
-                "price_c2", _cents(t.column("p_retailprice"))
-            ).drop_columns(["p_retailprice"])
-        mask = _frontier(
-            t.column("price_c2").to_numpy(zero_copy_only=False),
-            t.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64),
-        )
-        return t.filter(pa.array(mask))
-
-    partials = (
-        _read(sf_dir, "part",
-              ["p_partkey", "p_name", "p_retailprice", "p_size"])
-        .map_batches(prune, batch_format="pyarrow")
-        .repartition(4)
-        .map_batches(prune, batch_format="pyarrow")
-    )
-    df = partials.to_pandas()  # output-sized: local frontiers only
-    if len(df):
-        mask = _frontier(
-            df["price_c2"].to_numpy(), df["p_size"].to_numpy().astype("int64")
-        )
-        df = df[mask]
-    df = df[["p_partkey", "p_name", "price_c2", "p_size"]]
-    return df.sort_values(
-        ["price_c2", "p_size", "p_partkey"]
-    ).reset_index(drop=True)
-
-
-PARETO_FRONTIER_SQL = """
-WITH p AS (
-  SELECT p_partkey, p_name,
-         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c2, p_size
-  FROM part
-)
-SELECT a.p_partkey, a.p_name, a.price_c2, a.p_size
-FROM p a
-WHERE NOT EXISTS (
-  SELECT 1 FROM p b
-  WHERE b.price_c2 <= a.price_c2 AND b.p_size >= a.p_size
-    AND (b.price_c2 < a.price_c2 OR b.p_size > a.p_size)
-)
-ORDER BY price_c2, p_size, p_partkey
-"""
-
-
-# -- privacy: k-anonymity audit ------------------------------------------------
-
-K_ANON_THRESHOLDS = (2, 5, 10)
-
-
-def k_anonymity_audit(sf_dir: str) -> "object":
-    """k-anonymity audit of the customer table under the quasi-identifier
-    (nation, market segment): for each k, how many equivalence classes
-    have fewer than k members and how many ROWS sit in them — the re-
-    identification risk report a privacy review runs before releasing a
-    derived dataset.  One combiner groupby builds the class-size table
-    (|nations| x |segments| rows, corpus-size free); the threshold sweep is
-    a vectorized driver fold over that tiny table.  Output: (k,
-    n_classes_below, n_rows_at_risk)."""
-    import pandas as pd
-
-    ds = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        agg = pa.TableGroupBy(
-            t, ["c_nationkey", "c_mktsegment"]
-        ).aggregate([([], "count_all")])
-        return agg.rename_columns(["c_nationkey", "c_mktsegment", "n"])
-
-    classes = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["c_nationkey", "c_mktsegment"])
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()  # quasi-identifier domain, corpus-size free
-    )
-    rows = []
-    for k in K_ANON_THRESHOLDS:
-        below = classes[classes["n"] < k]
-        rows.append(
-            {
-                "k": k,
-                "n_classes_below": len(below),
-                "n_rows_at_risk": int(below["n"].sum()),
-            }
-        )
-    return pd.DataFrame(rows).astype(
-        {"k": "int64", "n_classes_below": "int64", "n_rows_at_risk": "int64"}
-    )
-
-
-K_ANONYMITY_AUDIT_SQL = f"""
-WITH classes AS (
-  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
-  FROM customer GROUP BY 1, 2
-), ks(k) AS (VALUES {", ".join(f"({k})" for k in K_ANON_THRESHOLDS)})
-SELECT CAST(k AS BIGINT) AS k,
-       CAST(COUNT(*) FILTER (WHERE n < k) AS BIGINT) AS n_classes_below,
-       CAST(COALESCE(SUM(n) FILTER (WHERE n < k), 0) AS BIGINT)
-         AS n_rows_at_risk
-FROM ks CROSS JOIN classes
-GROUP BY k ORDER BY k
-"""
-
-
-# -- star-schema denormalization (wide-table build) ---------------------------
-
-def orders_wide(sf_dir: str) -> Dataset:
-    """Star-flattening denormalization: every order enriched with its
-    customer's market segment and nation/region names — the wide-table
-    build that feeds BI extracts and feature stores.  Map-side broadcast
-    star join: the three dimension maps (customer->segment+nation,
-    nation->name+region, region->name) ship ONCE via ``ray.put`` as sorted
-    key arrays (under ``MAX_BROADCAST_DIM_ROWS``, their true shape — at
-    real scale the customer dim flips to the co-location plan per the q7
-    two-plans pattern); the fact table streams through one vectorized
-    searchsorted pass per batch and never shuffles AT ALL.  Output:
-    (o_orderkey, price_c2, c_mktsegment, n_name, r_name)."""
-    import numpy as np
-
-    ck, cv = _dim_lookup(
-        sf_dir, "customer", "c_custkey", ["c_mktsegment", "c_nationkey"]
-    )
-    nk, nv = _dim_lookup(
-        sf_dir, "nation", "n_nationkey", ["n_name", "n_regionkey"]
-    )
-    rk, rv = _dim_lookup(sf_dir, "region", "r_regionkey", ["r_name"])
-    ref = ray.put((ck, cv, nk, nv, rk, rv))
-
-    def widen(t: pa.Table) -> pa.Table:
-        ck, cv, nk, nv, rk, rv = ray.get(ref)
-        cust = pc.cast(t["o_custkey"], pa.int64()).to_numpy()
-        ci = np.searchsorted(ck, cust)
-        seg = cv["c_mktsegment"][ci]
-        nat = cv["c_nationkey"][ci].astype(np.int64)
-        ni = np.searchsorted(nk, nat)
-        nname = nv["n_name"][ni]
-        reg = nv["n_regionkey"][ni].astype(np.int64)
-        ri = np.searchsorted(rk, reg)
-        rname = rv["r_name"][ri]
-        return pa.table(
-            {
-                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
-                "price_c2": _cents(t["o_totalprice"]),
-                "c_mktsegment": pa.array(seg.astype(str), pa.string()),
-                "n_name": pa.array(nname.astype(str), pa.string()),
-                "r_name": pa.array(rname.astype(str), pa.string()),
-            }
-        )
-
-    return _read(
-        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
-    ).map_batches(widen, batch_format="pyarrow")
-
-
-ORDERS_WIDE_SQL = """
-SELECT o.o_orderkey,
-       CAST(ROUND(o.o_totalprice*100) AS BIGINT) AS price_c2,
-       c.c_mktsegment, n.n_name, r.r_name
-FROM orders o
-JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN nation n ON c.c_nationkey = n.n_nationkey
-JOIN region r ON n.n_regionkey = r.r_regionkey
-"""
-
-
-# -- join-size accounting (planning primitive) --------------------------------
-
-def join_size_estimate(sf_dir: str) -> "object":
-    """EXACT cardinality of ``lineitem ⋈ orders`` on orderkey WITHOUT
-    materializing the join — the planner/capacity primitive run before
-    committing to a heavy join: |A ⋈ B| = Σ_k cA(k)·cB(k).  Map-side
-    per-key count partials from both sides ride ONE bucketed co-location
-    (union, the empty-partition-safe idiom); each kernel emits a single
-    scalar partial (its buckets' Σ products), so the driver folds
-    O(buckets) rows at any corpus size.  Also reports both input counts
-    and the max per-key fan-out (the skew number that decides salting).
-    Output: (n_left, n_right, join_rows, max_key_fanout)."""
-    import pandas as pd
-
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    nb = n_buckets(pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
-
-    def side(table: str, key: str, tag: int):
-        def partial(t: pa.Table) -> pa.Table:
-            k = pc.cast(t[key], pa.int64())
-            folded = pa.table({"k": k})
-            agg = pa.TableGroupBy(folded, "k").aggregate([([], "count_all")])
-            k2 = agg.column("k")
-            return pa.table(
-                {
-                    "bk": pc.cast(
-                        pc.bit_wise_and(k2, nb - 1), pa.int32()
-                    ),
-                    "k": k2,
-                    "side": pa.array([tag] * agg.num_rows, pa.int8()),
-                    "n": agg.column("count_all"),
-                }
-            )
-
-        return _read(sf_dir, table, [key]).map_batches(
-            partial, batch_format="pyarrow"
-        )
-
-    def fold(g: pd.DataFrame) -> pa.Table:
-        c = g.groupby(["k", "side"])["n"].sum().unstack(fill_value=0)
-        a = c[0] if 0 in c.columns else pd.Series(0, index=c.index)
-        b = c[1] if 1 in c.columns else pd.Series(0, index=c.index)
-        prod = a * b
-        return pa.table(
-            {
-                "join_rows": pa.array([int(prod.sum())], pa.int64()),
-                "n_left": pa.array([int(a.sum())], pa.int64()),
-                "n_right": pa.array([int(b.sum())], pa.int64()),
-                "max_key_fanout": pa.array(
-                    [int(prod.max()) if len(prod) else 0], pa.int64()
-                ),
-            }
-        )
-
-    parts = (
-        side("lineitem", "l_orderkey", 0)
-        .union(side("orders", "o_orderkey", 1))
-        .groupby("bk")
-        .map_groups(fold, batch_format="pandas")
-        .to_pandas()  # O(buckets) scalar partials
-    )
-    out = pd.DataFrame(
-        [
-            {
-                "n_left": int(parts["n_left"].sum()),
-                "n_right": int(parts["n_right"].sum()),
-                "join_rows": int(parts["join_rows"].sum()),
-                "max_key_fanout": int(parts["max_key_fanout"].max()),
-            }
-        ]
-    )
-    return out.astype("int64")
-
-
-JOIN_SIZE_ESTIMATE_SQL = """
-WITH a AS (SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem GROUP BY 1),
-b AS (SELECT o_orderkey AS k, COUNT(*) AS n FROM orders GROUP BY 1),
-j AS (SELECT a.n * b.n AS rows FROM a JOIN b USING (k))
-SELECT CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_left,
-       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_right,
-       CAST(COALESCE(SUM(rows), 0) AS BIGINT) AS join_rows,
-       CAST(COALESCE(MAX(rows), 0) AS BIGINT) AS max_key_fanout
-FROM j
-"""
-
-
-# -- Z-order clustering key (multi-column locality) ----------------------------
-
-_Z_BITS = 16
-_Z_BUCKET_SHIFT = 24  # zbucket = top 8 of the 32 interleaved bits
-
-
-def _z_sql_interleave(col: str, shift: int) -> str:
-    """Unrolled SQL bit-interleave: spreads ``col``'s low 16 bits to even
-    positions, shifted left by ``shift`` (0 = even lanes, 1 = odd)."""
-    terms = [
-        f"((({col} >> {i}) & 1) << {2 * i + shift})" for i in range(_Z_BITS)
-    ]
-    return " + ".join(terms)
-
-
-def _col_bounds(sf_dir: str, table: str, col: str) -> tuple[int, int]:
-    """(min, max) of a numeric column from parquet ROW-GROUP STATISTICS —
-    exact for numeric columns, metadata-only at any corpus size."""
-    import pyarrow.parquet as pq
-
-    md = pq.read_metadata(f"{sf_dir}/{table}.parquet")
-    lo = hi = None
-    for r in range(md.num_row_groups):
-        rg = md.row_group(r)
-        for c in range(rg.num_columns):
-            cc = rg.column(c)
-            if cc.path_in_schema == col and cc.statistics is not None:
-                s = cc.statistics
-                lo = s.min if lo is None else min(lo, s.min)
-                hi = s.max if hi is None else max(hi, s.max)
-    if lo is None:  # pragma: no cover - stats always present on our data
-        raise ValueError(f"no statistics for {table}.{col}")
-    return lo, hi
-
-
-def zorder_parts(sf_dir: str) -> Dataset:
-    """Z-order (Morton) clustering key over (p_size, price) — the
-    multi-column data-layout primitive behind Delta/Iceberg Z-ORDER: rows
-    close in BOTH dimensions get close keys, so range predicates on either
-    column prune contiguous key ranges (``sources.io.write_clustered`` is
-    the matching sink).  Each dimension min-max-normalizes to 16 bits
-    first — bounds come from parquet row-group statistics (metadata-only,
-    exact for numerics), mirrored by the oracle's MIN/MAX — otherwise a
-    narrow dimension collapses the whole key into one bucket.  Pure
-    streaming map (numpy bit interleave, no exchange); ``zbucket`` (top 8
-    bits) is the write partition.  Output: (p_partkey, p_size, price_c2,
-    zval, zbucket)."""
-    import numpy as np
-
-    s_lo, s_hi = _col_bounds(sf_dir, "part", "p_size")
-    p_lo_f, p_hi_f = _col_bounds(sf_dir, "part", "p_retailprice")
-    p_lo = int(round(p_lo_f * 100))
-    p_hi = int(round(p_hi_f * 100))
-    s_span = max(1, int(s_hi) - int(s_lo))
-    p_span = max(1, p_hi - p_lo)
-    M = (1 << _Z_BITS) - 1
-
-    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
-
-    def zmap(t: pa.Table) -> pa.Table:
-        size = pc.cast(t["p_size"], pa.int64()).to_numpy()
-        price = pc.cast(
-            pc.round(pc.multiply(t["p_retailprice"], 100.0)), pa.int64()
-        ).to_numpy()
-        a = ((size - int(s_lo)) * M // s_span).astype(np.uint64)
-        b = ((price - p_lo) * M // p_span).astype(np.uint64)
-        z = np.zeros(len(a), dtype=np.uint64)
-        for i in range(_Z_BITS):
-            z |= ((a >> np.uint64(i)) & np.uint64(1)) << np.uint64(2 * i)
-            z |= ((b >> np.uint64(i)) & np.uint64(1)) << np.uint64(2 * i + 1)
-        zv = z.astype(np.int64)
-        return pa.table(
-            {
-                "p_partkey": pc.cast(t["p_partkey"], pa.int64()),
-                "p_size": pa.array(size, pa.int64()),
-                "price_c2": pa.array(price, pa.int64()),
-                "zval": pa.array(zv, pa.int64()),
-                "zbucket": pa.array(zv >> _Z_BUCKET_SHIFT, pa.int64()),
-            }
-        )
-
-    return ds.map_batches(zmap, batch_format="pyarrow")
-
-
-ZORDER_PARTS_SQL = f"""
-WITH bounds AS (
-  SELECT CAST(MIN(p_size) AS BIGINT) AS s_lo,
-         GREATEST(CAST(MAX(p_size) AS BIGINT)
-                  - CAST(MIN(p_size) AS BIGINT), 1) AS s_span,
-         CAST(ROUND(MIN(p_retailprice)*100) AS BIGINT) AS p_lo,
-         GREATEST(CAST(ROUND(MAX(p_retailprice)*100) AS BIGINT)
-                  - CAST(ROUND(MIN(p_retailprice)*100) AS BIGINT), 1)
-           AS p_span
-  FROM part
-), x AS (
-  SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
-         CAST(ROUND(p_retailprice*100) AS BIGINT) AS price_c2,
-         (CAST(p_size AS BIGINT) - s_lo) * {(1 << _Z_BITS) - 1} // s_span
-           AS a,
-         (CAST(ROUND(p_retailprice*100) AS BIGINT) - p_lo)
-           * {(1 << _Z_BITS) - 1} // p_span AS b
-  FROM part, bounds
-)
-SELECT p_partkey, p_size, price_c2,
-       CAST({_z_sql_interleave('a', 0)} + {_z_sql_interleave('b', 1)}
-            AS BIGINT) AS zval,
-       CAST(({_z_sql_interleave('a', 0)} + {_z_sql_interleave('b', 1)})
-            >> {_Z_BUCKET_SHIFT} AS BIGINT) AS zbucket
-FROM x
-"""
-
-
-# -- item-item collaborative filtering -----------------------------------------
-
-ITEM_SIM_TOPK = 5
-_ITEM_SIM_SCALE = 1_000_000
-
-
-def item_similarity_topk(sf_dir: str) -> Dataset:
-    """Item-item collaborative filtering (the classic Amazon-style
-    recommender build): for every part, the 5 most-similar parts by
-    co-purchase cosine ``cooc / sqrt(n_a * n_b)`` over order baskets.
-    Ranking stays integer-exact via the scaled square
-    ``cooc^2 * 1e6 // (n_a * n_b)`` (monotone in the cosine up to the
-    stated quantization, mirrored verbatim in the oracle).  Fully
-    broadcast-free — item counts could be corpus-proportional, so they
-    ATTACH via co-locations instead — and it never runs a high-cardinality
-    ``Dataset.groupby`` (this Ray version's aggregate cost scales with the
-    GROUP count: a measured ~20 s for 276k groups at any row count; every
-    per-pair sum here happens vectorized INSIDE a coarse-bucket kernel):
-    (1) order-bucket kernel dedups baskets, emits directed pair partials
-    plus per-item basket-count partials in one schema (dst = -1 marks
-    count rows); (2) a src-bucket co-location sums each (src, dst) —
-    complete there by construction — and attaches n_src, passing count
-    rows through; (3) a dst-bucket co-location attaches n_dst and scores;
-    (4) a final src-bucket top-k prunes to 5.  Four bounded exchanges, no
-    corpus-sized driver state.  Output: (p_partkey, rec_partkey, cooc,
-    score_mu)."""
-    import numpy as np
-    import pandas as pd
-
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    OB = n_buckets(pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
-    PB = n_buckets(pq.read_metadata(f"{sf_dir}/part.parquet").num_rows)
-
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-
-    def keyed(t: pa.Table) -> pa.Table:
-        ok = pc.cast(t["l_orderkey"], pa.int64())
-        return pa.table(
-            {
-                "ob": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
-                "o": ok,
-                "p": pc.cast(t["l_partkey"], pa.int64()),
-            }
-        )
-
-    def basket_pairs(g: pd.DataFrame) -> pa.Table:
-        g = g[["o", "p"]].drop_duplicates()
-        m = g.merge(g, on="o")
-        m = m[m["p_x"] != m["p_y"]]
-        pairs = m.groupby(["p_x", "p_y"]).size().reset_index(name="c")
-        items = g.groupby("p").size().reset_index(name="c")
-        src = np.concatenate(
-            [pairs["p_x"].to_numpy(np.int64), items["p"].to_numpy(np.int64)]
-        )
-        dst = np.concatenate(
-            [pairs["p_y"].to_numpy(np.int64),
-             np.full(len(items), -1, np.int64)]
-        )
-        c = np.concatenate(
-            [pairs["c"].to_numpy(np.int64), items["c"].to_numpy(np.int64)]
-        )
-        return pa.table(
-            {
-                # next co-location: by the src item (count rows carry the
-                # item in src, so one key column serves both row kinds)
-                "kb": pa.array((src & (PB - 1)).astype(np.int32)),
-                "src": pa.array(src),
-                "dst": pa.array(dst),
-                "c": pa.array(c),
-            }
-        )
-
-    def attach_src(g: pd.DataFrame) -> pa.Table:
-        # every partial for a given (src, dst) — and every count partial
-        # for a given item — is in THIS bucket, so local sums are global
-        g = g.groupby(["src", "dst"], as_index=False)["c"].sum()
-        n_src = g[g["dst"] == -1].set_index("src")["c"]
-        p = g[g["dst"] != -1]
-        src = p["src"].to_numpy("int64")
-        dst = p["dst"].to_numpy("int64")
-        rows_src = np.concatenate([src, n_src.index.to_numpy("int64")])
-        rows_dst = np.concatenate(
-            [dst, np.full(len(n_src), -1, np.int64)]
-        )
-        rows_c = np.concatenate(
-            [p["c"].to_numpy("int64"), n_src.to_numpy("int64")]
-        )
-        rows_ns = np.concatenate(
-            [p["src"].map(n_src).to_numpy("int64"),
-             np.zeros(len(n_src), np.int64)]
-        )
-        # rekey: pairs by dst bucket, count rows by their item's bucket
-        key_item = np.where(rows_dst == -1, rows_src, rows_dst)
-        return pa.table(
-            {
-                "kb": pa.array((key_item & (PB - 1)).astype(np.int32)),
-                "src": pa.array(rows_src),
-                "dst": pa.array(rows_dst),
-                "c": pa.array(rows_c),
-                "n_src": pa.array(rows_ns),
-            }
-        )
-
-    def attach_dst(g: pd.DataFrame) -> pa.Table:
-        n_dst = g[g["dst"] == -1].set_index("src")["c"]
-        p = g[g["dst"] != -1]
-        cc = p["c"].to_numpy("int64")
-        ns = p["n_src"].to_numpy("int64")
-        nd = p["dst"].map(n_dst).to_numpy("int64")
-        score = cc * cc * _ITEM_SIM_SCALE // (ns * nd)
-        src = p["src"].to_numpy("int64")
-        return pa.table(
-            {
-                "kb": pa.array((src & (PB - 1)).astype(np.int32)),
-                "src": pa.array(src),
-                "dst": pa.array(p["dst"].to_numpy("int64")),
-                "c": pa.array(cc),
-                "score_mu": pa.array(score.astype("int64")),
-            }
-        )
-
-    def topk(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["src", "score_mu", "dst"],
-                          ascending=[True, False, True])
-        top = g.groupby("src", sort=True).head(ITEM_SIM_TOPK)
-        return pa.table(
-            {
-                "p_partkey": pa.array(top["src"].to_numpy("int64")),
-                "rec_partkey": pa.array(top["dst"].to_numpy("int64")),
-                "cooc": pa.array(top["c"].to_numpy("int64")),
-                "score_mu": pa.array(top["score_mu"].to_numpy("int64")),
-            }
-        )
-
-    return (
-        li.map_batches(keyed, batch_format="pyarrow")
-        .groupby("ob")
-        .map_groups(basket_pairs, batch_format="pandas")
-        .groupby("kb")
-        .map_groups(attach_src, batch_format="pandas")
-        .groupby("kb")
-        .map_groups(attach_dst, batch_format="pandas")
-        .groupby("kb")
-        .map_groups(topk, batch_format="pandas")
-        .sort(["p_partkey", "score_mu", "rec_partkey"],
-              descending=[False, True, False])
-    )
-
-
-ITEM_SIMILARITY_TOPK_SQL = f"""
-WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-n AS (SELECT p, COUNT(*) AS n FROM b GROUP BY p),
-pairs AS (
-  SELECT a.p AS src, c.p AS dst, COUNT(*) AS cooc
-  FROM b a JOIN b c ON a.o = c.o AND a.p != c.p
-  GROUP BY 1, 2
-), scored AS (
-  SELECT pairs.src, pairs.dst, pairs.cooc,
-         pairs.cooc * pairs.cooc * {_ITEM_SIM_SCALE} // (ns.n * nd.n)
-           AS score_mu
-  FROM pairs
-  JOIN n ns ON ns.p = pairs.src
-  JOIN n nd ON nd.p = pairs.dst
-)
-SELECT src AS p_partkey, dst AS rec_partkey,
-       CAST(cooc AS BIGINT) AS cooc, CAST(score_mu AS BIGINT) AS score_mu
-FROM (SELECT *, row_number() OVER (
-        PARTITION BY src ORDER BY score_mu DESC, dst) AS rn
-      FROM scored)
-WHERE rn <= {ITEM_SIM_TOPK}
-ORDER BY p_partkey, score_mu DESC, rec_partkey
-"""
-
-
-# -- join-key skew diagnostics --------------------------------------------------
-
-SKEW_TOP_K = 20
-
-
-def skew_report(sf_dir: str) -> "object":
-    """Heavy-key diagnostics for the lineitem⋈orders join column: the 20
-    heaviest orderkeys by lineitem fan-out plus each key's corpus share in
-    permille — the report that decides whether a join needs salting
-    (companion to ``join_size_estimate``).  Per-key counts fold inside a
-    key-bucket kernel (bounded groups) which pre-prunes to ITS top-20, so
-    only buckets x 20 candidate rows reach the driver.  Output:
-    (l_orderkey, n_rows, share_permille) ordered by (n_rows DESC, key)."""
-    import pandas as pd
-
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    total = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
-    nb = n_buckets(total)
-    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        k = pc.cast(t["l_orderkey"], pa.int64())
-        folded = pa.table(
-            {"kb": pc.cast(pc.bit_wise_and(k, nb - 1), pa.int32()), "k": k}
-        )
-        agg = pa.TableGroupBy(folded, ["kb", "k"]).aggregate(
-            [([], "count_all")]
-        )
-        return agg.rename_columns(["kb", "k", "n"])
-
-    def bucket_topk(g: pd.DataFrame) -> pa.Table:
-        c = g.groupby("k", as_index=False)["n"].sum()
-        c = c.sort_values(["n", "k"], ascending=[False, True]).head(
-            SKEW_TOP_K
-        )
-        return pa.table(
-            {
-                "k": pa.array(c["k"].to_numpy("int64")),
-                "n": pa.array(c["n"].to_numpy("int64")),
-            }
-        )
-
-    cand = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("kb")
-        .map_groups(bucket_topk, batch_format="pandas")
-        .to_pandas()  # <= buckets * K rows
-    )
-    top = cand.sort_values(["n", "k"], ascending=[False, True]).head(
-        SKEW_TOP_K
-    )
-    out = pd.DataFrame(
-        {
-            "l_orderkey": top["k"].astype("int64").values,
-            "n_rows": top["n"].astype("int64").values,
-            "share_permille": (
-                top["n"] * 1000 // total
-            ).astype("int64").values,
-        }
-    )
-    return out.reset_index(drop=True)
-
-
-SKEW_REPORT_SQL = f"""
-WITH c AS (
-  SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY 1
-), t AS (SELECT COUNT(*) AS total FROM lineitem)
-SELECT l_orderkey, CAST(n AS BIGINT) AS n_rows,
-       CAST(n * 1000 // total AS BIGINT) AS share_permille
-FROM c, t
-ORDER BY n DESC, l_orderkey
-LIMIT {SKEW_TOP_K}
-"""
+from .profiling import *  # noqa: F401,F403
+from .setops import *  # noqa: F401,F403
+from .star import *  # noqa: F401,F403
+from .tpch_corr import *  # noqa: F401,F403
+from .tpch_join import *  # noqa: F401,F403
+from .tpch_scan import *  # noqa: F401,F403

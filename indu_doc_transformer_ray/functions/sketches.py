@@ -469,6 +469,21 @@ PRICE_QUANTILES_MU = (250_000, 500_000, 750_000, 950_000, 990_000)
 _HIST_WIDTH = 4_096  # c2 cents per coarse bucket; <=4096 distinct values/bucket
 
 
+def _floor_bucket(v: "pa.Array", width: int = _HIST_WIDTH) -> "pa.Array":
+    """Exact integer FLOOR division bucket (width > 0).  Arrow's
+    ``pc.divide`` truncates toward zero, but every fine-pass re-filter
+    (pandas ``//``) and every DuckDB ``//`` oracle FLOORS — for negative
+    values trunc(-5/4096)=0 vs floor=-1 would silently drop rows from the
+    straddling bucket and corrupt the median.  Integer-exact (no float64
+    detour, safe past 2**53): correct the truncated quotient wherever the
+    remainder is negative."""
+    import pyarrow.compute as pc
+
+    q = pc.divide(v, width)
+    r = pc.subtract(v, pc.multiply(q, width))
+    return pc.if_else(pc.less(r, 0), pc.subtract(q, 1), q)
+
+
 def exact_price_quantiles(sf_dir: str) -> "object":
     """EXACT order statistics of l_extendedprice without a global sort —
     the two-pass counting-histogram shape (contrast value_quantile_sample,
@@ -490,7 +505,7 @@ def exact_price_quantiles(sf_dir: str) -> "object":
 
     def hist(t: pa.Table) -> pa.Table:
         v = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
-        folded = pa.table({"b": pc.divide(v, _HIST_WIDTH)})
+        folded = pa.table({"b": _floor_bucket(v)})
         return pa.TableGroupBy(folded, "b").aggregate([([], "count_all")])
 
     counts = (
@@ -517,8 +532,8 @@ def exact_price_quantiles(sf_dir: str) -> "object":
 
     def in_bucket(t: pa.Table) -> pa.Table:
         v = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
-        sub = pa.table({"b": pc.divide(v, _HIST_WIDTH), "v": v}).filter(
-            pc.is_in(pc.divide(v, _HIST_WIDTH), value_set=wanted)
+        sub = pa.table({"b": _floor_bucket(v), "v": v}).filter(
+            pc.is_in(_floor_bucket(v), value_set=wanted)
         )
         return pa.TableGroupBy(sub, ["b", "v"]).aggregate([([], "count_all")])
 
@@ -583,7 +598,7 @@ def median_price_per_status(sf_dir: str) -> "object":
 
     def hist(t: pa.Table) -> pa.Table:
         v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
-        folded = pa.table({"s": t["o_orderstatus"], "b": pc.divide(v, _HIST_WIDTH)})
+        folded = pa.table({"s": t["o_orderstatus"], "b": _floor_bucket(v)})
         return pa.TableGroupBy(folded, ["s", "b"]).aggregate([([], "count_all")])
 
     counts = (
@@ -614,7 +629,7 @@ def median_price_per_status(sf_dir: str) -> "object":
     def in_bucket(t: pa.Table) -> pa.Table:
         v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
         key = pc.binary_join_element_wise(
-            t["o_orderstatus"], pc.cast(pc.divide(v, _HIST_WIDTH), pa.string()), "|"
+            t["o_orderstatus"], pc.cast(_floor_bucket(v), pa.string()), "|"
         )
         sub = pa.table({"s": t["o_orderstatus"], "v": v}).filter(
             pc.is_in(key, value_set=keys)
@@ -688,7 +703,7 @@ def mad_outliers(sf_dir: str) -> "object":
         def hist(t: pa.Table) -> pa.Table:
             v = val_of(t)
             folded = pa.table(
-                {"s": t["event_type"], "b": pc.divide(v, _HIST_WIDTH)}
+                {"s": t["event_type"], "b": _floor_bucket(v)}
             )
             return pa.TableGroupBy(folded, ["s", "b"]).aggregate(
                 [([], "count_all")]
@@ -720,7 +735,7 @@ def mad_outliers(sf_dir: str) -> "object":
             v = val_of(t)
             key = pc.binary_join_element_wise(
                 t["event_type"],
-                pc.cast(pc.divide(v, _HIST_WIDTH), pa.string()), "|",
+                pc.cast(_floor_bucket(v), pa.string()), "|",
             )
             sub = pa.table({"s": t["event_type"], "v": v}).filter(
                 pc.is_in(key, value_set=keys)
@@ -1041,7 +1056,7 @@ def daily_value_median(sf_dir: str) -> "object":
             {
                 "s": t["event_type"],
                 "d": day,
-                "b": pc.divide(v, _HIST_WIDTH),
+                "b": _floor_bucket(v),
             }
         )
         return pa.TableGroupBy(folded, ["s", "d", "b"]).aggregate(
@@ -1077,7 +1092,7 @@ def daily_value_median(sf_dir: str) -> "object":
         key = pc.binary_join_element_wise(
             t["event_type"],
             pc.cast(day, pa.string()),
-            pc.cast(pc.divide(v, _HIST_WIDTH), pa.string()),
+            pc.cast(_floor_bucket(v), pa.string()),
             "|",
         )
         sub = pa.table(

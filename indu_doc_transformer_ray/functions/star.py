@@ -1,0 +1,880 @@
+"""Star-schema / stream aggregates and clustering layout primitives
+(simple grouped aggregates, region rollup, event-stream windows,
+full-outer join, co-purchase, orders_wide, Z-order, item-item CF).
+
+Split out of relational.py; see functions/_relcommon.py.  The public
+surface is re-exported by ``functions.relational``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Min, Sum  # noqa: F401
+
+from . import _relcommon as _rc
+from ._relcommon import (  # noqa: F401
+    _cents,
+    _dim_lookup,
+    _dim_rows,
+    _lookup_hits,
+    _read,
+)
+from ._util import join_partitions  # noqa: F401
+
+
+# -- simple global/grouped aggregates ---------------------------------------
+
+def orders_per_status(sf_dir: str) -> Dataset:
+    return (
+        _read(sf_dir, "orders", ["o_orderstatus"])
+        .groupby("o_orderstatus")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+ORDERS_PER_STATUS_SQL = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def part_type_stats(sf_dir: str) -> Dataset:
+    """Grouped min/max/count over part sizes (Min/Max aggregate coverage)."""
+    ds = _read(sf_dir, "part", ["p_type", "p_size"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"p_type": t["p_type"], "p_size": pc.cast(t["p_size"], pa.int64())}
+        )
+
+    return (
+        ds.map_batches(widen, batch_format="pyarrow")
+        .groupby("p_type")
+        .aggregate(
+            Min("p_size", alias_name="min_size"),
+            Max("p_size", alias_name="max_size"),
+            Count(alias_name="n"),
+        )
+    )
+
+
+PART_TYPE_STATS_SQL = """
+SELECT p_type, CAST(MIN(p_size) AS BIGINT) AS min_size,
+       CAST(MAX(p_size) AS BIGINT) AS max_size,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM part GROUP BY p_type
+"""
+
+
+def distinct_suppliers_per_nation(sf_dir: str) -> "object":
+    """Exact distinct-count via two-level groupby (dedup then count) — the
+    scalable pattern for COUNT(DISTINCT) without a global set."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    dedup = ds.groupby(["s_nationkey", "s_suppkey"]).aggregate(
+        Count(alias_name="_c")
+    )
+    out = (
+        dedup.groupby("s_nationkey")
+        .aggregate(Count(alias_name="n_suppliers"))
+        .to_pandas()
+    )
+    out["s_nationkey"] = out["s_nationkey"].astype("int32")
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return out.sort_values("s_nationkey").reset_index(drop=True)
+
+
+DISTINCT_SUPPLIERS_SQL = """
+SELECT s_nationkey, CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers
+FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
+# -- region rollup: q5 extended one dimension level --------------------------
+
+def region_revenue(sf_dir: str) -> "object":
+    """Revenue per REGION: the q5 join chain rolled up one more dimension
+    level.  The two scaling joins (orders x customer, lineitem x orders)
+    stay hash-partitioned ``Dataset.join``s; nation (25 rows) and region
+    (5 rows) decorate the 25-row aggregate on the driver."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    o_nation = orders.join(
+        cust, join_type="inner", num_partitions=join_partitions(),
+        on=("o_custkey",), right_on=("c_custkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]), pc.subtract(100, _cents(t["l_discount"]))
+        )
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue_c4": rev})
+
+    joined = li.map_batches(revenue, batch_format="pyarrow").join(
+        o_nation, join_type="inner", num_partitions=join_partitions(),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+    agg = (
+        joined.groupby("c_nationkey")
+        .aggregate(Sum("revenue_c4", alias_name="revenue_c4"))
+        .to_pandas()  # 25 rows
+    )
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    out = (
+        agg.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+        .groupby("r_name", as_index=False)["revenue_c4"].sum()
+        .sort_values("r_name")
+        .reset_index(drop=True)
+    )
+    out["revenue_c4"] = out["revenue_c4"].astype("int64")
+    return out
+
+
+REGION_REVENUE_SQL = """
+SELECT r_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS revenue_c4
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+# -- windowed aggregate over the event stream -------------------------------
+
+def events_hourly(sf_dir: str) -> Dataset:
+    """Tumbling 1-hour window per event type: Ray Data has no event-time
+    windows, so the window key is computed vectorized (epoch-us integer
+    division) and the window IS a groupby key (ray_guide streaming-shaped
+    pattern)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def windowed(t: pa.Table) -> pa.Table:
+        hour = pc.divide(pc.cast(t["ts"], pa.int64()), 3_600_000_000)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour_bucket": hour,
+                "value_c4": _cents(t["value"], 10_000),
+            }
+        )
+
+    return (
+        ds.map_batches(windowed, batch_format="pyarrow")
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_c4", alias_name="sum_value_c4"),
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type,
+       epoch_us(ts) // 3600000000 AS hour_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value*10000) AS BIGINT)) AS BIGINT) AS sum_value_c4
+FROM events
+GROUP BY event_type, hour_bucket
+"""
+
+
+def events_hopping(sf_dir: str) -> Dataset:
+    """Hopping windows (1h length, 30min hop): every event lands in exactly
+    two overlapping windows, emitted vectorized as two window-start columns
+    concatenated per batch — window membership is computed map-side and the
+    window IS a groupby key, like ``events_hourly`` (no event-time runtime
+    needed)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    WIN = 3_600_000_000
+    HOP = 1_800_000_000
+
+    def windowed(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64())
+        base = pc.multiply(pc.divide(ts, HOP), HOP)
+        v = _cents(t["value"], 10_000)
+        parts = []
+        for off in (0, HOP):
+            parts.append(
+                pa.table(
+                    {
+                        "event_type": t["event_type"],
+                        "window_start": pc.subtract(base, off),
+                        "value_c4": v,
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return (
+        ds.map_batches(windowed, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value_c4", alias_name="sum_value_c4"),
+        )
+    )
+
+
+# each event belongs to windows starting at floor(t/hop)*hop and that minus
+# one hop (window length = 2 hops, so membership needs no extra predicate)
+EVENTS_HOPPING_SQL = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS t,
+         CAST(ROUND(value*10000) AS BIGINT) AS v
+  FROM events
+), w AS (
+  SELECT event_type, v,
+         (t // 1800000000) * 1800000000 - s.off AS window_start
+  FROM e CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1800000000 AS BIGINT))) s(off)
+)
+SELECT event_type, window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(v) AS BIGINT) AS sum_value_c4
+FROM w GROUP BY event_type, window_start
+"""
+
+
+def distinct_users_daily(sf_dir: str) -> Dataset:
+    """Exact distinct users per (day, event_type) — the two-level
+    COUNT(DISTINCT) pattern on a composite window key.  The dedup happens
+    INSIDE a user-bucket kernel (a user's rows all land in one bucket, so
+    in-bucket distinct IS global distinct) and only (day, type, partial
+    count) rows reach the final fold — group counts stay bounded by
+    days x types at any corpus size (a naive groupby on (day, type, user)
+    is corpus-proportional in GROUPS, and this Ray build's aggregate cost
+    scales with the group count — BASELINE session-5 finding)."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/events.parquet").num_rows)
+    ds = _read(sf_dir, "events", ["ts", "event_type", "user_id"])
+
+    def windowed(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        uid = pc.cast(t["user_id"], pa.int64())
+        return pa.table(
+            {
+                "ub": pc.cast(pc.bit_wise_and(uid, nb - 1), pa.int32()),
+                "day_bucket": day,
+                "event_type": t["event_type"],
+                "user_id": uid,
+            }
+        )
+
+    def bucket_distinct(g: pd.DataFrame) -> pa.Table:
+        d = g[["day_bucket", "event_type", "user_id"]].drop_duplicates()
+        c = d.groupby(["day_bucket", "event_type"]).size().reset_index(
+            name="n"
+        )
+        return pa.table(
+            {
+                "day_bucket": pa.array(c["day_bucket"].to_numpy("int64")),
+                "event_type": pa.array(
+                    c["event_type"].astype(str).to_numpy(), pa.string()
+                ),
+                "n": pa.array(c["n"].to_numpy("int64")),
+            }
+        )
+
+    return (
+        ds.map_batches(windowed, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(bucket_distinct, batch_format="pandas")
+        .groupby(["day_bucket", "event_type"])
+        .aggregate(Sum("n", alias_name="n_users"))
+    )
+
+
+DISTINCT_USERS_DAILY_SQL = """
+SELECT epoch_us(ts) // 86400000000 AS day_bucket, event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY day_bucket, event_type
+"""
+
+
+def user_event_counts(sf_dir: str) -> Dataset:
+    """Per-user per-type event counts — partial-aggregate push-down PLUS a
+    bucketed final fold: batches combine map-side, then the per-(user,
+    type) sums happen inside a user-bucket kernel (bounded groups — a
+    direct groupby on (user, type) is corpus-proportional in GROUPS, the
+    BASELINE session-5 finding)."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/events.parquet").num_rows)
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        folded = pa.table(
+            {
+                "ub": pc.cast(pc.bit_wise_and(uid, nb - 1), pa.int32()),
+                "user_id": uid,
+                "event_type": t["event_type"],
+            }
+        )
+        agg = pa.TableGroupBy(
+            folded, ["ub", "user_id", "event_type"]
+        ).aggregate([([], "count_all")])
+        return agg.rename_columns(["ub", "user_id", "event_type", "partial_n"])
+
+    def bucket_fold(g: pd.DataFrame) -> pa.Table:
+        c = g.groupby(["user_id", "event_type"], as_index=False)[
+            "partial_n"
+        ].sum()
+        return pa.table(
+            {
+                "user_id": pa.array(c["user_id"].to_numpy("int64")),
+                "event_type": pa.array(
+                    c["event_type"].astype(str).to_numpy(), pa.string()
+                ),
+                "n": pa.array(c["partial_n"].to_numpy("int64")),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(bucket_fold, batch_format="pandas")
+    )
+
+
+USER_EVENT_COUNTS_SQL = """
+SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY user_id, event_type
+"""
+
+
+# -- full-outer join (symmetric groupby form) -------------------------------
+
+def daily_orders_events_outer(sf_dir: str) -> Dataset:
+    """Per-day order count vs event count — FULL OUTER JOIN semantics
+    (unmatched days survive from BOTH sides with zero-filled counts).
+    Expressed as the symmetric-union groupby rather than a hash join: the
+    events side has only ~30 distinct days, and `Dataset.join` crashes on
+    hash partitions that receive zero rows (see the verify-skill gotcha);
+    union + one groupby is the crash-safe co-location for outer joins with
+    a potentially sparse side, and costs the same single exchange.  Both
+    sides pre-aggregate per batch, so the exchange carries day-sized rows."""
+    DAY_US = 86_400_000_000
+
+    def od_part(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.cast(t["o_orderdate"].cast(pa.timestamp("us")), pa.int64()),
+            DAY_US,
+        )
+        g = pa.table({"day": day}).group_by(["day"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "day": g["day"],
+                "n_orders": pc.cast(g["count_all"], pa.int64()),
+                "n_events": pa.array([0] * g.num_rows, pa.int64()),
+            }
+        )
+
+    def ev_part(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            pc.cast(t["ts"].cast(pa.timestamp("us")), pa.int64()), DAY_US
+        )
+        g = pa.table({"day": day}).group_by(["day"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "day": g["day"],
+                "n_orders": pa.array([0] * g.num_rows, pa.int64()),
+                "n_events": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderdate"]).map_batches(
+        od_part, batch_format="pyarrow"
+    )
+    events = _read(sf_dir, "events", ["ts"]).map_batches(
+        ev_part, batch_format="pyarrow"
+    )
+    return (
+        orders.union(events)
+        .groupby("day")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("n_events", alias_name="n_events"),
+        )
+        .sort("day")
+    )
+
+
+DAILY_OUTER_SQL = """
+WITH od AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS day, COUNT(*) AS n
+  FROM orders GROUP BY 1
+), ev AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT COALESCE(od.day, ev.day) AS day,
+       CAST(COALESCE(od.n, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(ev.n, 0) AS BIGINT) AS n_events
+FROM od FULL JOIN ev ON od.day = ev.day
+ORDER BY day
+"""
+
+
+# -- market-basket co-occurrence --------------------------------------------
+
+def copurchase_type_pairs(sf_dir: str) -> "object":
+    """Order-level part-type co-occurrence counts (market-basket pairs):
+    in how many orders do two part types appear together?  lineitem ⋈ part
+    attaches the type, then order rows co-locate by a derived orderkey
+    bucket and ONE vectorized kernel per bucket dedups (order, type) and
+    expands per-order pairs via a self-merge — per-order distinct types
+    are bounded by the 6-value type domain, so the expansion is O(15) per
+    order.  Per-batch pair partials pre-combine (≤15 pairs) before the
+    final tiny groupby.  Output: (type_a, type_b, n_orders) — 15 rows."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    BUCKETS = n_buckets(pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    joined = li.join(
+        part,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        # map-side (order, type) dedup shrinks the exchange below one row
+        # per lineitem
+        sub = (
+            t.select(["l_orderkey", "p_type"])
+            .group_by(["l_orderkey", "p_type"])
+            .aggregate([])
+        )
+        ok = pc.cast(sub["l_orderkey"], pa.int64())
+        return pa.table(
+            {
+                "ob": pc.cast(pc.bit_wise_and(ok, BUCKETS - 1), pa.int32()),
+                "l_orderkey": ok,
+                "p_type": sub["p_type"],
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "p_type"])
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["p_type_x"] < m["p_type_y"]]
+        agg = (
+            m.groupby(["p_type_x", "p_type_y"], as_index=False)
+            .size()
+            .rename(columns={"p_type_x": "type_a", "p_type_y": "type_b",
+                             "size": "n"})
+        )
+        agg["n"] = agg["n"].astype("int64")
+        return agg
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("ob")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["type_a", "type_b"])
+        .aggregate(Sum("n", alias_name="n_orders"))
+        .to_pandas()  # <= 15 rows
+    )
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+COPURCHASE_SQL = """
+WITH ot AS (
+  SELECT DISTINCT l_orderkey, p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT a.p_type AS type_a, b.p_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM ot a JOIN ot b
+  ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+GROUP BY a.p_type, b.p_type
+ORDER BY type_a, type_b
+"""
+
+
+# -- star-schema denormalization (wide-table build) ---------------------------
+
+def orders_wide(sf_dir: str) -> Dataset:
+    """Star-flattening denormalization: every order enriched with its
+    customer's market segment and nation/region names — the wide-table
+    build that feeds BI extracts and feature stores.  Map-side broadcast
+    star join: the three dimension maps (customer->segment+nation,
+    nation->name+region, region->name) ship ONCE via ``ray.put`` as sorted
+    key arrays (under ``MAX_BROADCAST_DIM_ROWS``, their true shape — at
+    real scale the customer dim flips to the co-location plan per the q7
+    two-plans pattern); the fact table streams through one vectorized
+    searchsorted pass per batch and never shuffles AT ALL.  Output:
+    (o_orderkey, price_c2, c_mktsegment, n_name, r_name)."""
+    import numpy as np
+
+    ck, cv = _dim_lookup(
+        sf_dir, "customer", "c_custkey", ["c_mktsegment", "c_nationkey"]
+    )
+    nk, nv = _dim_lookup(
+        sf_dir, "nation", "n_nationkey", ["n_name", "n_regionkey"]
+    )
+    rk, rv = _dim_lookup(sf_dir, "region", "r_regionkey", ["r_name"])
+    ref = ray.put((ck, cv, nk, nv, rk, rv))
+
+    def widen(t: pa.Table) -> pa.Table:
+        ck, cv, nk, nv, rk, rv = ray.get(ref)
+        cust = pc.cast(t["o_custkey"], pa.int64()).to_numpy()
+        ci = np.searchsorted(ck, cust)
+        seg = cv["c_mktsegment"][ci]
+        nat = cv["c_nationkey"][ci].astype(np.int64)
+        ni = np.searchsorted(nk, nat)
+        nname = nv["n_name"][ni]
+        reg = nv["n_regionkey"][ni].astype(np.int64)
+        ri = np.searchsorted(rk, reg)
+        rname = rv["r_name"][ri]
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "price_c2": _cents(t["o_totalprice"]),
+                "c_mktsegment": pa.array(seg.astype(str), pa.string()),
+                "n_name": pa.array(nname.astype(str), pa.string()),
+                "r_name": pa.array(rname.astype(str), pa.string()),
+            }
+        )
+
+    return _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(widen, batch_format="pyarrow")
+
+
+ORDERS_WIDE_SQL = """
+SELECT o.o_orderkey,
+       CAST(ROUND(o.o_totalprice*100) AS BIGINT) AS price_c2,
+       c.c_mktsegment, n.n_name, r.r_name
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+# -- Z-order clustering key (multi-column locality) ----------------------------
+
+_Z_BITS = 16
+_Z_BUCKET_SHIFT = 24  # zbucket = top 8 of the 32 interleaved bits
+
+
+def _z_sql_interleave(col: str, shift: int) -> str:
+    """Unrolled SQL bit-interleave: spreads ``col``'s low 16 bits to even
+    positions, shifted left by ``shift`` (0 = even lanes, 1 = odd)."""
+    terms = [
+        f"((({col} >> {i}) & 1) << {2 * i + shift})" for i in range(_Z_BITS)
+    ]
+    return " + ".join(terms)
+
+
+def _col_bounds(sf_dir: str, table: str, col: str) -> tuple[int, int]:
+    """(min, max) of a numeric column from parquet ROW-GROUP STATISTICS —
+    exact for numeric columns, metadata-only at any corpus size."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(f"{sf_dir}/{table}.parquet")
+    lo = hi = None
+    for r in range(md.num_row_groups):
+        rg = md.row_group(r)
+        for c in range(rg.num_columns):
+            cc = rg.column(c)
+            if cc.path_in_schema == col and cc.statistics is not None:
+                s = cc.statistics
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+    if lo is None:  # pragma: no cover - stats always present on our data
+        raise ValueError(f"no statistics for {table}.{col}")
+    return lo, hi
+
+
+def zorder_parts(sf_dir: str) -> Dataset:
+    """Z-order (Morton) clustering key over (p_size, price) — the
+    multi-column data-layout primitive behind Delta/Iceberg Z-ORDER: rows
+    close in BOTH dimensions get close keys, so range predicates on either
+    column prune contiguous key ranges (``sources.io.write_clustered`` is
+    the matching sink).  Each dimension min-max-normalizes to 16 bits
+    first — bounds come from parquet row-group statistics (metadata-only,
+    exact for numerics), mirrored by the oracle's MIN/MAX — otherwise a
+    narrow dimension collapses the whole key into one bucket.  Pure
+    streaming map (numpy bit interleave, no exchange); ``zbucket`` (top 8
+    bits) is the write partition.  Output: (p_partkey, p_size, price_c2,
+    zval, zbucket)."""
+    import numpy as np
+
+    s_lo, s_hi = _col_bounds(sf_dir, "part", "p_size")
+    p_lo_f, p_hi_f = _col_bounds(sf_dir, "part", "p_retailprice")
+    p_lo = int(round(p_lo_f * 100))
+    p_hi = int(round(p_hi_f * 100))
+    s_span = max(1, int(s_hi) - int(s_lo))
+    p_span = max(1, p_hi - p_lo)
+    M = (1 << _Z_BITS) - 1
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+
+    def zmap(t: pa.Table) -> pa.Table:
+        size = pc.cast(t["p_size"], pa.int64()).to_numpy()
+        price = pc.cast(
+            pc.round(pc.multiply(t["p_retailprice"], 100.0)), pa.int64()
+        ).to_numpy()
+        a = ((size - int(s_lo)) * M // s_span).astype(np.uint64)
+        b = ((price - p_lo) * M // p_span).astype(np.uint64)
+        z = np.zeros(len(a), dtype=np.uint64)
+        for i in range(_Z_BITS):
+            z |= ((a >> np.uint64(i)) & np.uint64(1)) << np.uint64(2 * i)
+            z |= ((b >> np.uint64(i)) & np.uint64(1)) << np.uint64(2 * i + 1)
+        zv = z.astype(np.int64)
+        return pa.table(
+            {
+                "p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+                "p_size": pa.array(size, pa.int64()),
+                "price_c2": pa.array(price, pa.int64()),
+                "zval": pa.array(zv, pa.int64()),
+                "zbucket": pa.array(zv >> _Z_BUCKET_SHIFT, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(zmap, batch_format="pyarrow")
+
+
+ZORDER_PARTS_SQL = f"""
+WITH bounds AS (
+  SELECT CAST(MIN(p_size) AS BIGINT) AS s_lo,
+         GREATEST(CAST(MAX(p_size) AS BIGINT)
+                  - CAST(MIN(p_size) AS BIGINT), 1) AS s_span,
+         CAST(ROUND(MIN(p_retailprice)*100) AS BIGINT) AS p_lo,
+         GREATEST(CAST(ROUND(MAX(p_retailprice)*100) AS BIGINT)
+                  - CAST(ROUND(MIN(p_retailprice)*100) AS BIGINT), 1)
+           AS p_span
+  FROM part
+), x AS (
+  SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+         CAST(ROUND(p_retailprice*100) AS BIGINT) AS price_c2,
+         (CAST(p_size AS BIGINT) - s_lo) * {(1 << _Z_BITS) - 1} // s_span
+           AS a,
+         (CAST(ROUND(p_retailprice*100) AS BIGINT) - p_lo)
+           * {(1 << _Z_BITS) - 1} // p_span AS b
+  FROM part, bounds
+)
+SELECT p_partkey, p_size, price_c2,
+       CAST({_z_sql_interleave('a', 0)} + {_z_sql_interleave('b', 1)}
+            AS BIGINT) AS zval,
+       CAST(({_z_sql_interleave('a', 0)} + {_z_sql_interleave('b', 1)})
+            >> {_Z_BUCKET_SHIFT} AS BIGINT) AS zbucket
+FROM x
+"""
+
+
+# -- item-item collaborative filtering -----------------------------------------
+
+ITEM_SIM_TOPK = 5
+_ITEM_SIM_SCALE = 1_000_000
+
+
+def item_similarity_topk(sf_dir: str) -> Dataset:
+    """Item-item collaborative filtering (the classic Amazon-style
+    recommender build): for every part, the 5 most-similar parts by
+    co-purchase cosine ``cooc / sqrt(n_a * n_b)`` over order baskets.
+    Ranking stays integer-exact via the scaled square
+    ``cooc^2 * 1e6 // (n_a * n_b)`` (monotone in the cosine up to the
+    stated quantization, mirrored verbatim in the oracle).  Fully
+    broadcast-free — item counts could be corpus-proportional, so they
+    ATTACH via co-locations instead — and it never runs a high-cardinality
+    ``Dataset.groupby`` (this Ray version's aggregate cost scales with the
+    GROUP count: a measured ~20 s for 276k groups at any row count; every
+    per-pair sum here happens vectorized INSIDE a coarse-bucket kernel):
+    (1) order-bucket kernel dedups baskets, emits directed pair partials
+    plus per-item basket-count partials in one schema (dst = -1 marks
+    count rows); (2) a src-bucket co-location sums each (src, dst) —
+    complete there by construction — and attaches n_src, passing count
+    rows through; (3) a dst-bucket co-location attaches n_dst and scores;
+    (4) a final src-bucket top-k prunes to 5.  Four bounded exchanges, no
+    corpus-sized driver state.  Output: (p_partkey, rec_partkey, cooc,
+    score_mu)."""
+    import numpy as np
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    OB = n_buckets(pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
+    PB = n_buckets(pq.read_metadata(f"{sf_dir}/part.parquet").num_rows)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t["l_orderkey"], pa.int64())
+        return pa.table(
+            {
+                "ob": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
+                "o": ok,
+                "p": pc.cast(t["l_partkey"], pa.int64()),
+            }
+        )
+
+    def basket_pairs(g: pd.DataFrame) -> pa.Table:
+        g = g[["o", "p"]].drop_duplicates()
+        m = g.merge(g, on="o")
+        m = m[m["p_x"] != m["p_y"]]
+        pairs = m.groupby(["p_x", "p_y"]).size().reset_index(name="c")
+        items = g.groupby("p").size().reset_index(name="c")
+        src = np.concatenate(
+            [pairs["p_x"].to_numpy(np.int64), items["p"].to_numpy(np.int64)]
+        )
+        dst = np.concatenate(
+            [pairs["p_y"].to_numpy(np.int64),
+             np.full(len(items), -1, np.int64)]
+        )
+        c = np.concatenate(
+            [pairs["c"].to_numpy(np.int64), items["c"].to_numpy(np.int64)]
+        )
+        return pa.table(
+            {
+                # next co-location: by the src item (count rows carry the
+                # item in src, so one key column serves both row kinds)
+                "kb": pa.array((src & (PB - 1)).astype(np.int32)),
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+                "c": pa.array(c),
+            }
+        )
+
+    def attach_src(g: pd.DataFrame) -> pa.Table:
+        # every partial for a given (src, dst) — and every count partial
+        # for a given item — is in THIS bucket, so local sums are global
+        g = g.groupby(["src", "dst"], as_index=False)["c"].sum()
+        n_src = g[g["dst"] == -1].set_index("src")["c"]
+        p = g[g["dst"] != -1]
+        src = p["src"].to_numpy("int64")
+        dst = p["dst"].to_numpy("int64")
+        rows_src = np.concatenate([src, n_src.index.to_numpy("int64")])
+        rows_dst = np.concatenate(
+            [dst, np.full(len(n_src), -1, np.int64)]
+        )
+        rows_c = np.concatenate(
+            [p["c"].to_numpy("int64"), n_src.to_numpy("int64")]
+        )
+        rows_ns = np.concatenate(
+            [p["src"].map(n_src).to_numpy("int64"),
+             np.zeros(len(n_src), np.int64)]
+        )
+        # rekey: pairs by dst bucket, count rows by their item's bucket
+        key_item = np.where(rows_dst == -1, rows_src, rows_dst)
+        return pa.table(
+            {
+                "kb": pa.array((key_item & (PB - 1)).astype(np.int32)),
+                "src": pa.array(rows_src),
+                "dst": pa.array(rows_dst),
+                "c": pa.array(rows_c),
+                "n_src": pa.array(rows_ns),
+            }
+        )
+
+    def attach_dst(g: pd.DataFrame) -> pa.Table:
+        n_dst = g[g["dst"] == -1].set_index("src")["c"]
+        p = g[g["dst"] != -1]
+        cc = p["c"].to_numpy("int64")
+        ns = p["n_src"].to_numpy("int64")
+        nd = p["dst"].map(n_dst).to_numpy("int64")
+        score = cc * cc * _ITEM_SIM_SCALE // (ns * nd)
+        src = p["src"].to_numpy("int64")
+        return pa.table(
+            {
+                "kb": pa.array((src & (PB - 1)).astype(np.int32)),
+                "src": pa.array(src),
+                "dst": pa.array(p["dst"].to_numpy("int64")),
+                "c": pa.array(cc),
+                "score_mu": pa.array(score.astype("int64")),
+            }
+        )
+
+    def topk(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["src", "score_mu", "dst"],
+                          ascending=[True, False, True])
+        top = g.groupby("src", sort=True).head(ITEM_SIM_TOPK)
+        return pa.table(
+            {
+                "p_partkey": pa.array(top["src"].to_numpy("int64")),
+                "rec_partkey": pa.array(top["dst"].to_numpy("int64")),
+                "cooc": pa.array(top["c"].to_numpy("int64")),
+                "score_mu": pa.array(top["score_mu"].to_numpy("int64")),
+            }
+        )
+
+    return (
+        li.map_batches(keyed, batch_format="pyarrow")
+        .groupby("ob")
+        .map_groups(basket_pairs, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(attach_src, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(attach_dst, batch_format="pandas")
+        .groupby("kb")
+        .map_groups(topk, batch_format="pandas")
+        .sort(["p_partkey", "score_mu", "rec_partkey"],
+              descending=[False, True, False])
+    )
+
+
+ITEM_SIMILARITY_TOPK_SQL = f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT p, COUNT(*) AS n FROM b GROUP BY p),
+pairs AS (
+  SELECT a.p AS src, c.p AS dst, COUNT(*) AS cooc
+  FROM b a JOIN b c ON a.o = c.o AND a.p != c.p
+  GROUP BY 1, 2
+), scored AS (
+  SELECT pairs.src, pairs.dst, pairs.cooc,
+         pairs.cooc * pairs.cooc * {_ITEM_SIM_SCALE} // (ns.n * nd.n)
+           AS score_mu
+  FROM pairs
+  JOIN n ns ON ns.p = pairs.src
+  JOIN n nd ON nd.p = pairs.dst
+)
+SELECT src AS p_partkey, dst AS rec_partkey,
+       CAST(cooc AS BIGINT) AS cooc, CAST(score_mu AS BIGINT) AS score_mu
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY src ORDER BY score_mu DESC, dst) AS rn
+      FROM scored)
+WHERE rn <= {ITEM_SIM_TOPK}
+ORDER BY p_partkey, score_mu DESC, rec_partkey
+"""
+
+

@@ -216,8 +216,10 @@ def price_decile(sf_dir: str) -> Dataset:
     )
 
     def hist(t: pa.Table) -> pa.Table:
+        from .sketches import _floor_bucket
+
         v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
-        folded = pa.table({"b": pc.divide(v, _HIST_WIDTH)})
+        folded = pa.table({"b": _floor_bucket(v, _HIST_WIDTH)})
         return pa.TableGroupBy(folded, "b").aggregate([([], "count_all")])
 
     from ray.data.aggregate import Sum
@@ -242,9 +244,11 @@ def price_decile(sf_dir: str) -> Dataset:
     wanted = pa.array(sorted(need), pa.int64())
 
     def in_bucket(t: pa.Table) -> pa.Table:
+        from .sketches import _floor_bucket
+
         v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
-        sub = pa.table({"b": pc.divide(v, _HIST_WIDTH), "v": v}).filter(
-            pc.is_in(pc.divide(v, _HIST_WIDTH), value_set=wanted)
+        sub = pa.table({"b": _floor_bucket(v, _HIST_WIDTH), "v": v}).filter(
+            pc.is_in(_floor_bucket(v, _HIST_WIDTH), value_set=wanted)
         )
         return pa.TableGroupBy(sub, ["b", "v"]).aggregate([([], "count_all")])
 
@@ -304,6 +308,10 @@ FROM x
 
 _RANK_BUCKET_C2 = 4_096  # cents per counting bucket (the sketches.py width)
 
+#: max rows ONE rank task may co-locate; a value bucket over this splits by
+#: the tie-break key (override in tests to force the salted path)
+RANK_TASK_BOUND = 1 << 18
+
 
 def global_price_rank(sf_dir: str) -> Dataset:
     """Global ROW_NUMBER over (o_totalprice DESC, o_orderkey ASC) WITHOUT a
@@ -316,10 +324,23 @@ def global_price_rank(sf_dir: str) -> Dataset:
     and unique, but no machine ever holds more than one bucket.  A global
     ``Dataset.sort`` would ship the corpus through a range partitioner
     AND materialize sorted blocks; this ships each row once and the
-    exchange key is the histogram bucket.  Output: (o_orderkey, price_c2,
-    rnk)."""
+    exchange key is the histogram bucket.
+
+    Skew guard (a near-constant value distribution would collapse the
+    corpus into ONE bucket): any bucket whose pass-1 count exceeds
+    ``RANK_TASK_BOUND`` is SALTED by the tie-break key — an extra counting
+    pass folds (value, orderkey // 4096) partials for just those buckets,
+    the driver derives exact per-group offsets from the counts (ordering
+    within equal values is by orderkey, and the orderkey bucket is
+    monotone in orderkey, so groups concatenate exactly), and pass 2
+    exchanges on the salted key.  Per-task rows are then bounded by
+    max(bound, rows per (value, 4096-wide orderkey range)); driver state is
+    O(buckets + fine groups), counts only, never rows.  Output:
+    (o_orderkey, price_c2, rnk)."""
     import numpy as np
     import pandas as pd
+
+    from .sketches import _floor_bucket
 
     ds = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
@@ -327,7 +348,7 @@ def global_price_rank(sf_dir: str) -> Dataset:
 
     def hist(t: pa.Table) -> pa.Table:
         v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
-        folded = pa.table({"b": pc.divide(v, _RANK_BUCKET_C2)})
+        folded = pa.table({"b": _floor_bucket(v, _RANK_BUCKET_C2)})
         return pa.TableGroupBy(folded, "b").aggregate([([], "count_all")])
 
     counts = (
@@ -340,23 +361,81 @@ def global_price_rank(sf_dir: str) -> Dataset:
     )
     # offset[b] = rows in strictly HIGHER buckets (rank 1 = highest price)
     above = counts["n"].cumsum().shift(1).fillna(0).astype("int64")
-    offsets = dict(zip(counts["b"].astype(int), above))
+    bucket_offsets = dict(zip(counts["b"].astype(int), above))
+    overfull = {
+        int(b)
+        for b, n in zip(counts["b"], counts["n"])
+        if int(n) > RANK_TASK_BOUND
+    }
+
+    # group key -> rank offset; normal buckets key "b<b>", salted fine
+    # groups key "f<v>|<okb>"
+    offsets: dict[str, int] = {
+        f"b{b}": int(off) for b, off in bucket_offsets.items()
+        if b not in overfull
+    }
+    if overfull:
+        over_arr = pa.array(sorted(overfull), pa.int64())
+
+        def fine_hist(t: pa.Table) -> pa.Table:
+            v = pc.cast(
+                pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+            )
+            ok = pc.cast(t["o_orderkey"], pa.int64())
+            sub = pa.table(
+                {
+                    "b": _floor_bucket(v, _RANK_BUCKET_C2),
+                    "v": v,
+                    "okb": _floor_bucket(ok, _RANK_BUCKET_C2),
+                }
+            ).filter(pc.is_in(_floor_bucket(v, _RANK_BUCKET_C2),
+                              value_set=over_arr))
+            return pa.TableGroupBy(sub, ["b", "v", "okb"]).aggregate(
+                [([], "count_all")]
+            )
+
+        fine = (
+            ds.map_batches(fine_hist, batch_format="pyarrow")
+            .groupby(["b", "v", "okb"])
+            .aggregate(ray.data.aggregate.Sum("count_all", alias_name="n"))
+            .to_pandas()  # counts per (value, orderkey-range), never rows
+        )
+        for b, sub in fine.groupby("b"):
+            sub = sub.sort_values(
+                ["v", "okb"], ascending=[False, True]
+            ).reset_index(drop=True)
+            above_in_bucket = (
+                sub["n"].cumsum().shift(1).fillna(0).astype("int64")
+            )
+            base = int(bucket_offsets[int(b)])
+            for v, okb, off in zip(sub["v"], sub["okb"], above_in_bucket):
+                offsets[f"f{int(v)}|{int(okb)}"] = base + int(off)
+
+    overfull_arr = pa.array(sorted(overfull), pa.int64())
 
     def keyed(t: pa.Table) -> pa.Table:
         v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
-        return pa.table(
-            {
-                "b": pc.divide(v, _RANK_BUCKET_C2),
-                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
-                "price_c2": v,
-            }
+        ok = pc.cast(t["o_orderkey"], pa.int64())
+        b = _floor_bucket(v, _RANK_BUCKET_C2)
+        gk = pc.binary_join_element_wise(
+            "b", pc.cast(b, pa.string()), ""
         )
+        if overfull:
+            salted = pc.binary_join_element_wise(
+                "f",
+                pc.cast(v, pa.string()),
+                "|",
+                pc.cast(_floor_bucket(ok, _RANK_BUCKET_C2), pa.string()),
+                "",
+            )
+            gk = pc.if_else(pc.is_in(b, value_set=overfull_arr), salted, gk)
+        return pa.table({"gk": gk, "o_orderkey": ok, "price_c2": v})
 
     def rank_bucket(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(
             ["price_c2", "o_orderkey"], ascending=[False, True]
         ).reset_index(drop=True)
-        base = int(offsets[int(g["b"].iloc[0])])
+        base = int(offsets[str(g["gk"].iloc[0])])
         return pa.table(
             {
                 "o_orderkey": pa.array(g["o_orderkey"].values, pa.int64()),
@@ -369,7 +448,7 @@ def global_price_rank(sf_dir: str) -> Dataset:
 
     return (
         ds.map_batches(keyed, batch_format="pyarrow")
-        .groupby("b")
+        .groupby("gk")
         .map_groups(rank_bucket, batch_format="pandas")
     )
 

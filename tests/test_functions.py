@@ -874,6 +874,7 @@ def test_broadcast_and_colocated_plans_agree(ray_session, monkeypatch):
     import sys
 
     sys.path.insert(0, ".")
+    from indu_doc_transformer_ray.functions import _relcommon as RC
     from indu_doc_transformer_ray.functions import relational as R
 
     sf = "/root/testdata/sf0.001"
@@ -888,7 +889,9 @@ def test_broadcast_and_colocated_plans_agree(ray_session, monkeypatch):
     for n in names:
         r = getattr(R, n)(sf)
         fast[n] = r.to_pandas() if hasattr(r, "to_pandas") else r
-    monkeypatch.setattr(R, "MAX_BROADCAST_DIM_ROWS", 0)
+    # the guard lives in _relcommon since the round-4 module split; query
+    # code reads it dynamically (_rc.MAX_BROADCAST_DIM_ROWS)
+    monkeypatch.setattr(RC, "MAX_BROADCAST_DIM_ROWS", 0)
     for n in names:
         r = getattr(R, n)(sf)
         slow = r.to_pandas() if hasattr(r, "to_pandas") else r
@@ -1014,3 +1017,100 @@ def test_hll_wau_accuracy_vs_exact(ray_session):
     for d in exact.index:
         rel = abs(int(approx[d]) - int(exact[d])) / max(1, int(exact[d]))
         assert rel <= 0.06, (d, int(exact[d]), int(approx[d]), rel)
+
+
+def _tiny_gif(frames) -> bytes:
+    """Minimal GIF89a writer for the round-trip test: 256-entry grayscale
+    global color table, full-canvas frames, 'uncompressed' LZW (literal
+    codes with periodic clear codes so the width never exceeds 9 bits)."""
+    import struct
+
+    h, w = frames[0].shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0xF7, 0, 0])  # GCT flag + 256 entries
+    for i in range(256):
+        out += bytes([i, i, i])
+    for fr in frames:
+        out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += bytes([8])  # LZW min code size
+        codes = [256]
+        count = 0
+        for px in fr.flatten():
+            codes.append(int(px))
+            count += 1
+            if count == 250:
+                codes.append(256)
+                count = 0
+        codes.append(257)
+        acc = nbits = 0
+        data = bytearray()
+        for c in codes:
+            acc |= c << nbits
+            nbits += 9
+            while nbits >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            data.append(acc & 0xFF)
+        for j in range(0, len(data), 255):
+            chunk = data[j : j + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
+def test_frame_sample_real_gif_decode(ray_session, tmp_path):
+    """frame_sample's REAL container path: a 3-frame GIF written by the
+    test's own minimal encoder decodes through the pure-Python LZW decoder
+    end-to-end in the actor pool — true frame count, per-frame checksums
+    equal to the encoded planes (stub refs in the same batch still stub)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from indu_doc_transformer_ray.functions.multimodal import (
+        _decode_gif_frames,
+        frame_sample,
+    )
+
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 256, size=(13, 16), dtype=np.uint8)
+              for _ in range(3)]
+    gif_path = tmp_path / "clip.gif"
+    gif_path.write_bytes(_tiny_gif(frames))
+
+    # decoder unit check: exact palette round-trip per frame
+    decoded = _decode_gif_frames(str(gif_path))
+    assert len(decoded) == 3
+    for fr, dec in zip(frames, decoded):
+        assert dec.shape == (13, 16, 3)
+        assert (dec == np.repeat(fr[:, :, None], 3, axis=2)).all()
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(["d0"], pa.string()),
+                "spans": pa.array(
+                    [[
+                        {"kind": "media", "text": "", "media_ref": "clip.gif",
+                         "offset": 0},
+                        {"kind": "media", "text": "", "media_ref": "no-file",
+                         "offset": 1},
+                    ]],
+                ),
+            }
+        )
+    )
+    out = frame_sample(docs, every_n=2, media_root=str(tmp_path)).to_pandas()
+    gif_rows = out[out["media_ref"] == "clip.gif"].sort_values("frame_idx")
+    assert list(gif_rows["frame_idx"]) == [0, 2]
+    assert (gif_rows["n_frames"] == 3).all()
+    for _, r in gif_rows.iterrows():
+        want = int(frames[r.frame_idx].astype(np.int64).sum()) * 3
+        assert int(r.frame_sum) == want
+    # the unresolvable ref still rides the deterministic stub path
+    assert (out[out["media_ref"] == "no-file"]["n_frames"] > 0).all()

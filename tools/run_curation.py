@@ -138,10 +138,21 @@ def curate_and_write(
         .map_groups(enrich, batch_format="pandas")
         .materialize()
     )
+    # atomic corpus publish: write into a temp dir and rename into place.
+    # write_parquet generates uniquely-named files, so writing straight into
+    # an existing corpus/ after a partial failure (crash before
+    # manifest.json) or a params change would APPEND a second full copy —
+    # readers of the hive layout would see duplicated documents while the
+    # manifest reports only the fresh count.
+    import shutil
+
     os.makedirs(out_dir, exist_ok=True)
-    curated.write_parquet(
-        os.path.join(out_dir, "corpus"), partition_cols=["shard"]
-    )
+    corpus_dir = os.path.join(out_dir, "corpus")
+    tmp_corpus = corpus_dir + ".tmp"
+    shutil.rmtree(tmp_corpus, ignore_errors=True)
+    curated.write_parquet(tmp_corpus, partition_cols=["shard"])
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    os.rename(tmp_corpus, corpus_dir)
 
     n_docs = curated.count()
     manifest = dict(lineage)
