@@ -279,6 +279,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_trend_per_type": events.value_trend_per_type,
         "knn_label_accuracy": similarity.knn_label_accuracy,
         "daily_value_median": sketches.daily_value_median,
+        # round-4 additions
+        "events_trailing_density": events.events_trailing_density,
+        "customer_order_seq": windows.customer_order_seq,
         "running_total_per_customer": windows.running_total_per_customer,
         "order_gaps": windows.order_gaps,
         "q7_nation_pairs": relational.q7_nation_pairs,
@@ -396,10 +399,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_accuracy", "pagerank_knn", "semdedup",    # similarity
         "hll_wau", "daily_value_median", "mad_outliers",     # sketches
         "q21_sole_returner", "item_similarity_topk",         # relational
-        "value_trend_per_type", "session_overlap",           # events
+        "events_trailing_density", "value_trend_per_type",   # events
+        "session_overlap",
         "leakage_safe_split",                                # curation
         "bpe_pair_merges", "curation_pipeline",              # text
-        "global_price_rank", "price_decile",                 # windows
+        "global_price_rank", "customer_order_seq",           # windows
         "html_spans",                                        # html
     ]
     rank = {n: i for i, n in enumerate(risk_first)}
@@ -464,6 +468,8 @@ def oracle_sql() -> dict[str, str]:
         "value_trend_per_type": events.VALUE_TREND_PER_TYPE_SQL,
         "knn_label_accuracy": similarity.KNN_LABEL_ACCURACY_SQL,
         "daily_value_median": sketches.DAILY_VALUE_MEDIAN_SQL,
+        "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
+        "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "cluster_cap_sample": similarity.CLUSTER_CAP_SAMPLE_SQL,
         "bfs_hops": similarity.BFS_HOPS_SQL,
         "pca_project": similarity.PCA_PROJECT_SQL,

@@ -196,6 +196,8 @@ def _query_fns() -> dict:
         "value_trend_per_type": events.value_trend_per_type,
         "knn_label_accuracy": similarity.knn_label_accuracy,
         "daily_value_median": sketches.daily_value_median,
+        "events_trailing_density": events.events_trailing_density,
+        "customer_order_seq": windows.customer_order_seq,
     }
 
 
@@ -241,6 +243,7 @@ QUERY_CHUNKS = [
      "item_similarity_topk", "skew_report", "incremental_hourly_counts",
      "hll_wau", "value_trend_per_type", "daily_value_median"],
     ["cluster_cap_sample", "bfs_hops", "pca_project", "knn_label_accuracy"],
+    ["events_trailing_density", "customer_order_seq"],
 ]
 
 

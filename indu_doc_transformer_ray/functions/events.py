@@ -2037,3 +2037,150 @@ SELECT event_type, CAST(n AS BIGINT) AS n,
        CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
 FROM m ORDER BY event_type
 """
+
+
+# -- continuous-window range self-join (global trailing density) --------------
+
+#: time-bucket width for the rank identity (us); window << bucket so most
+#: probe pairs co-locate, and driver state is O(span / width)
+_DENSITY_BUCKET_US = 4_096_000_000
+_DENSITY_WINDOW_US = 300_000_000  # 5 minutes
+
+
+def events_trailing_density(sf_dir: str) -> Dataset:
+    """For every event: how many events (ANY user) fell in the continuous
+    window ``[ts - 5min, ts)`` — the GLOBAL range self-join, at microsecond
+    precision with non-aligned boundaries, so it does NOT decompose into
+    pre-bucketed counts (contrast ``events_hourly``; the per-user variant
+    is ``events_prior_window``).
+
+    Rank identity, no global sort and no O(n·window) pair blowup:
+    ``count[a,b) = n_before(b) − n_before(a)``, where ``n_before(x)`` =
+    events with ts < x.  Pass 1 folds time-bucket histogram counts (driver
+    holds the O(span/width) cumulative offsets).  Pass 2 co-locates each
+    bucket's events with every PROBE point that falls in it (two probes
+    per event: ts with +1, ts−W with −1 — probe points need not be event
+    times); one vectorized searchsorted per bucket yields exact global
+    ranks.  A final event-bucket co-location sums the two signed ranks per
+    event.  Exchanges: 1 tiny groupby + 2 bounded co-locations.  Output:
+    (event_id, n_prior_5m)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ._util import n_buckets
+
+    ds = _read_events(sf_dir, ["event_id", "ts"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64())
+        folded = pa.table({"tb": pc.divide(ts, _DENSITY_BUCKET_US)})
+        agg = pa.TableGroupBy(folded, "tb").aggregate([([], "count_all")])
+        return agg.rename_columns(["tb", "n"])
+
+    counts = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("tb")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # O(corpus span / bucket width)
+        .sort_values("tb")
+        .reset_index(drop=True)
+    )
+    # base(tb) = events in buckets strictly BELOW tb — valid for ANY tb,
+    # including buckets no event touched (a ts−W probe can land in one)
+    bucket_ids = counts["tb"].to_numpy("int64")
+    bucket_ends = counts["n"].cumsum().to_numpy("int64")
+
+    def _base(tb: int) -> int:
+        i = int(np.searchsorted(bucket_ids, tb, side="left"))
+        return int(bucket_ends[i - 1]) if i > 0 else 0
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64())
+        eid = pc.cast(t["event_id"], pa.int64())
+        n = t.num_rows
+        lo = pc.subtract(ts, _DENSITY_WINDOW_US)
+        # kind 0 = data row (an event time), kind 1 = probe row; ts values
+        # are non-negative epoch-us so trunc == floor here
+        data = pa.table(
+            {
+                "tb": pc.divide(ts, _DENSITY_BUCKET_US),
+                "t": ts,
+                "event_id": eid,
+                "kind": pa.array(np.zeros(n, dtype=np.int8)),
+                "sign": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+        hi_probe = pa.table(
+            {
+                "tb": pc.divide(ts, _DENSITY_BUCKET_US),
+                "t": ts,
+                "event_id": eid,
+                "kind": pa.array(np.ones(n, dtype=np.int8)),
+                "sign": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+        lo_probe = pa.table(
+            {
+                "tb": pc.divide(lo, _DENSITY_BUCKET_US),
+                "t": lo,
+                "event_id": eid,
+                "kind": pa.array(np.ones(n, dtype=np.int8)),
+                "sign": pa.array(np.full(n, -1, dtype=np.int8)),
+            }
+        )
+        return pa.concat_tables([data, hi_probe, lo_probe])
+
+    def rank_bucket(g: pd.DataFrame) -> pa.Table:
+        base = _base(int(g["tb"].iloc[0]))
+        data_ts = np.sort(g.loc[g["kind"] == 0, "t"].to_numpy("int64"))
+        probes = g[g["kind"] == 1]
+        ranks = base + np.searchsorted(
+            data_ts, probes["t"].to_numpy("int64"), side="left"
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(probes["event_id"].to_numpy("int64")),
+                "part": pa.array(
+                    ranks * probes["sign"].to_numpy("int64"), pa.int64()
+                ),
+            }
+        )
+
+    import pyarrow.parquet as pq
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/events.parquet").num_rows)
+
+    def ebucket(t: pa.Table) -> pa.Table:
+        eid = pc.cast(t["event_id"], pa.int64())
+        return t.append_column(
+            "eb", pc.cast(pc.bit_wise_and(eid, nb - 1), pa.int32())
+        )
+
+    def combine(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("event_id")["part"].sum()
+        return pa.table(
+            {
+                "event_id": pa.array(s.index.to_numpy("int64")),
+                "n_prior_5m": pa.array(s.to_numpy("int64")),
+            }
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("tb")
+        .map_groups(rank_bucket, batch_format="pandas")
+        .map_batches(ebucket, batch_format="pyarrow")
+        .groupby("eb")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+EVENTS_TRAILING_DENSITY_SQL = f"""
+SELECT e1.event_id,
+       CAST((SELECT COUNT(*) FROM events e2
+             WHERE epoch_us(e2.ts) >= epoch_us(e1.ts) - {_DENSITY_WINDOW_US}
+               AND epoch_us(e2.ts) < epoch_us(e1.ts)) AS BIGINT) AS n_prior_5m
+FROM events e1 ORDER BY e1.event_id
+"""

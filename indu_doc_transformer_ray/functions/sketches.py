@@ -471,14 +471,17 @@ _HIST_WIDTH = 4_096  # c2 cents per coarse bucket; <=4096 distinct values/bucket
 
 def _floor_bucket(v: "pa.Array", width: int = _HIST_WIDTH) -> "pa.Array":
     """Exact integer FLOOR division bucket (width > 0).  Arrow's
-    ``pc.divide`` truncates toward zero, but every fine-pass re-filter
-    (pandas ``//``) and every DuckDB ``//`` oracle FLOORS — for negative
-    values trunc(-5/4096)=0 vs floor=-1 would silently drop rows from the
-    straddling bucket and corrupt the median.  Integer-exact (no float64
-    detour, safe past 2**53): correct the truncated quotient wherever the
-    remainder is negative."""
+    ``pc.divide`` truncates toward zero, but the fine-pass re-filters
+    (pandas ``//``) FLOOR — for negative values trunc(-5/4096)=0 vs
+    floor=-1 would silently drop rows from the straddling bucket and
+    corrupt the median.  Integer-exact (no float64 detour, safe past
+    2**53).  Power-of-two widths (the common _HIST_WIDTH case) floor in
+    ONE kernel via arithmetic right shift; otherwise correct the truncated
+    quotient wherever the remainder is negative."""
     import pyarrow.compute as pc
 
+    if width > 0 and (width & (width - 1)) == 0:
+        return pc.shift_right(v, width.bit_length() - 1)
     q = pc.divide(v, width)
     r = pc.subtract(v, pc.multiply(q, width))
     return pc.if_else(pc.less(r, 0), pc.subtract(q, 1), q)

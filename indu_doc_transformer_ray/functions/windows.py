@@ -417,25 +417,27 @@ def global_price_rank(sf_dir: str) -> Dataset:
         v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
         ok = pc.cast(t["o_orderkey"], pa.int64())
         b = _floor_bucket(v, _RANK_BUCKET_C2)
-        gk = pc.binary_join_element_wise(
-            "b", pc.cast(b, pa.string()), ""
+        if not overfull:
+            # common path: the exchange key stays a plain int64 (a string
+            # key measurably slows the co-location shuffle)
+            return pa.table({"gk": b, "o_orderkey": ok, "price_c2": v})
+        gk = pc.binary_join_element_wise("b", pc.cast(b, pa.string()), "")
+        salted = pc.binary_join_element_wise(
+            "f",
+            pc.cast(v, pa.string()),
+            "|",
+            pc.cast(_floor_bucket(ok, _RANK_BUCKET_C2), pa.string()),
+            "",
         )
-        if overfull:
-            salted = pc.binary_join_element_wise(
-                "f",
-                pc.cast(v, pa.string()),
-                "|",
-                pc.cast(_floor_bucket(ok, _RANK_BUCKET_C2), pa.string()),
-                "",
-            )
-            gk = pc.if_else(pc.is_in(b, value_set=overfull_arr), salted, gk)
+        gk = pc.if_else(pc.is_in(b, value_set=overfull_arr), salted, gk)
         return pa.table({"gk": gk, "o_orderkey": ok, "price_c2": v})
 
     def rank_bucket(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(
             ["price_c2", "o_orderkey"], ascending=[False, True]
         ).reset_index(drop=True)
-        base = int(offsets[str(g["gk"].iloc[0])])
+        k = g["gk"].iloc[0]
+        base = int(offsets[f"b{int(k)}" if not overfull else str(k)])
         return pa.table(
             {
                 "o_orderkey": pa.array(g["o_orderkey"].values, pa.int64()),
@@ -460,4 +462,40 @@ SELECT o_orderkey,
            ORDER BY ROUND(o_totalprice*100) DESC, o_orderkey) AS BIGINT)
          AS rnk
 FROM orders
+"""
+
+
+# -- ordered string aggregation (sequence build per key) ----------------------
+
+def customer_order_seq(sf_dir: str) -> Dataset:
+    """Per-customer '|'-joined orderkey sequence in (o_orderdate,
+    o_orderkey) order — the ordered STRING_AGG shape (sequence features
+    for behavioral models ride exactly this).  Same single bucketed
+    exchange as the other window ops; the in-bucket kernel sorts once and
+    joins per customer (the join itself is C-level; group count per bucket
+    is bounded by the derived bucket sizing).  Output: (o_custkey, seq)."""
+    import pandas as pd
+
+    bucketed, _ = _orders_bucketed(sf_dir, {})
+
+    def seq(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["o_custkey", "od_us", "o_orderkey"])
+        s = g.groupby("o_custkey")["o_orderkey"].agg(
+            lambda k: "|".join(map(str, k))
+        )
+        return pa.table(
+            {
+                "o_custkey": pa.array(s.index.to_numpy("int64")),
+                "seq": pa.array(s.to_numpy(), pa.string()),
+            }
+        )
+
+    return bucketed.groupby("cb").map_groups(seq, batch_format="pandas")
+
+
+CUSTOMER_ORDER_SEQ_SQL = """
+SELECT o_custkey,
+       STRING_AGG(CAST(o_orderkey AS VARCHAR), '|'
+                  ORDER BY o_orderdate, o_orderkey) AS seq
+FROM orders GROUP BY o_custkey ORDER BY o_custkey
 """
