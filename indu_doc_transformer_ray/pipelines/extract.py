@@ -326,33 +326,42 @@ def _fold_bucket_table(t: pa.Table) -> pa.Table:
 import ray as _ray
 
 
+def _read_bucket_dirs(dirs: "str | list[str]") -> pa.Table:
+    """One bucket's combined deltas, possibly spread over several per-shard
+    partition dirs (runner._write_shard_delta_buckets layout)."""
+    import pyarrow.dataset as pads
+
+    if isinstance(dirs, str):
+        dirs = [dirs]
+    parts = [
+        pads.dataset(d).to_table(columns=["mkey", "payload"]) for d in dirs
+    ]
+    return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+
+
 @_ray.remote
-def _fold_bucket(bucket_dir: str, dest_file: str) -> int:
+def _fold_bucket(bucket_dirs, dest_file: str) -> int:
     """Fold one delta bucket into its merged objects file (vectorized Arrow
     group_by; the bucket is the unit of merge parallelism)."""
-    import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
-    t = pads.dataset(bucket_dir).to_table(columns=["mkey", "payload"])
-    out = _fold_bucket_table(t)
+    out = _fold_bucket_table(_read_bucket_dirs(bucket_dirs))
     pq.write_table(out, dest_file)
     return out.num_rows
 
 
 @_ray.remote
 def _fold_bucket_group(pairs: list) -> int:
-    """Fold SEVERAL (bucket_dir, dest_file) pairs in one task: buckets stay
+    """Fold SEVERAL (bucket_dirs, dest_file) pairs in one task: buckets stay
     the unit of merge correctness/resume, but one Ray task per bucket makes
     the fold phase dispatch-bound when bucket count >> CPUs (256 tasks of
     ~50ms each serialize under a degraded scheduler).  Grouping keeps
     task count ~2x CPUs with identical outputs."""
-    import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
     total = 0
-    for bucket_dir, dest_file in pairs:
-        t = pads.dataset(bucket_dir).to_table(columns=["mkey", "payload"])
-        out = _fold_bucket_table(t)
+    for bucket_dirs, dest_file in pairs:
+        out = _fold_bucket_table(_read_bucket_dirs(bucket_dirs))
         pq.write_table(out, dest_file)
         total += out.num_rows
     return total

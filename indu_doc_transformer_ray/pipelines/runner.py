@@ -100,6 +100,52 @@ def _shard_stats(shard_dir: str) -> dict[str, int]:
     }
 
 
+def _shard_bucket_dir(out_dir: str, shard: int) -> str:
+    return os.path.join(out_dir, "delta_buckets", f"shard={shard:05d}")
+
+
+def _write_shard_delta_buckets(
+    out_dir: str, shard: int, n_bucket_chars: int = 2
+) -> None:
+    """Merge phase 2a, PER SHARD: read only the just-written checkpoint's
+    ``deltas`` column, explode + batch-combine (vectorized Arrow group_by
+    max), write hash-partitioned by the GUID-derived bucket.  Runs inside
+    ``run_shard`` right after the checkpoint commit, so the bucketing of
+    shard K overlaps the still-running extraction of shards K+1.. — the
+    merge phase then only folds.  Idempotent (tmp dir + atomic rename);
+    ``run_merge`` regenerates any shard whose bucket dir is missing (crash
+    between checkpoint and bucket commit)."""
+    import functools
+
+    import ray
+
+    from .extract import _bucketize, _explode_deltas
+
+    bdir = _shard_bucket_dir(out_dir, shard)
+    if os.path.isdir(bdir):
+        return
+    btmp = bdir + ".tmp"
+    shutil.rmtree(btmp, ignore_errors=True)
+    shard_dir = os.path.join(out_dir, "extracted", f"shard={shard:05d}")
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    # few, larger blocks per shard: files written = blocks x touched
+    # buckets, and 8 concurrent shards still keep ~ncpu explode tasks live
+    nb = max(2, ncpu // 8)
+    deltas = ray.data.read_parquet(
+        shard_dir, columns=["deltas"], override_num_blocks=nb
+    )
+    (
+        deltas.map_batches(_explode_deltas, batch_format="pyarrow")
+        .map_batches(
+            functools.partial(_bucketize, chars=n_bucket_chars),
+            batch_format="pyarrow",
+        )
+        .write_parquet(btmp, partition_cols=["bucket"])
+    )
+    os.makedirs(os.path.dirname(bdir), exist_ok=True)
+    os.rename(btmp, bdir)
+
+
 def run_extraction(
     input_path: str,
     out_dir: str,
@@ -141,13 +187,15 @@ def run_extraction(
 
     # purge orphans from a previous run with MORE shards: their dirs would
     # otherwise feed stale rows into the merge (which reads extracted/ whole)
-    ex_dir = os.path.join(out_dir, "extracted")
-    if os.path.isdir(ex_dir):
-        for d in os.listdir(ex_dir):
-            if d.startswith("shard="):
-                k = int(d.split("=")[1].split(".")[0])
-                if k >= shards:
-                    shutil.rmtree(os.path.join(ex_dir, d), ignore_errors=True)
+    for sub in ("extracted", "delta_buckets"):
+        ex_dir = os.path.join(out_dir, sub)
+        if os.path.isdir(ex_dir):
+            for d in os.listdir(ex_dir):
+                if d.startswith("shard="):
+                    k = int(d.split("=")[1].split(".")[0])
+                    if k >= shards:
+                        shutil.rmtree(os.path.join(ex_dir, d),
+                                      ignore_errors=True)
     man_dir = os.path.join(out_dir, "manifests")
     for f in os.listdir(man_dir):
         if f.startswith("shard-") and f.endswith(".json"):
@@ -193,6 +241,9 @@ def run_extraction(
         tmp_dir = shard_dir + ".tmp"
         shutil.rmtree(tmp_dir, ignore_errors=True)
         shutil.rmtree(shard_dir, ignore_errors=True)
+        # a recompute invalidates the shard's delta buckets too (they are
+        # regenerated below; a crash in between leaves them to run_merge)
+        shutil.rmtree(_shard_bucket_dir(out_dir, k), ignore_errors=True)
 
         t0 = time.time()
         ds = ray.data.read_parquet(shard_files)
@@ -206,6 +257,9 @@ def run_extraction(
         extracted.write_parquet(tmp_dir)
         stats = _shard_stats(tmp_dir)
         os.rename(tmp_dir, shard_dir)
+        # bucket this shard's deltas NOW (overlaps later shards' extraction;
+        # the just-written checkpoint is page-cache warm)
+        _write_shard_delta_buckets(out_dir, k)
         wall = time.time() - t0
         manifest = {
             "shard": k,
@@ -308,25 +362,24 @@ def _shard_fingerprint(out_dir: str) -> str:
 def run_merge(out_dir: str, n_bucket_chars: int = 2) -> dict:
     """Phase 2: the object merge WITHOUT an all-to-all shuffle.
 
-    2a. Map-side partitioning: read only the checkpoint's ``deltas`` column,
-        explode + batch-combine (vectorized Arrow group_by max), and write
-        hash-partitioned by the GUID-derived bucket — a streaming partitioned
-        write, every task independent.
-    2b. Per-bucket fold: each bucket dir is read by one Ray task that runs a
-        single vectorized group_by(max), tags table names, and writes its
-        objects file.  Buckets are uniform (md5 prefix), so no skew; bucket
-        count (16^n_bucket_chars) scales with corpus size so one bucket fits
-        a fold task — default 256 buckets keeps every core of a 32-CPU node
-        busy through the fold (16 left half the node idle: measured
-        5.1s -> 2.5s); push to 3-4 chars on a real cluster.
+    2a. Map-side partitioning happens PER SHARD during extraction
+        (``_write_shard_delta_buckets``: read only the checkpoint's
+        ``deltas`` column, explode + batch-combine, write hash-partitioned
+        by the GUID-derived bucket) — so by the time the merge runs, most
+        of 2a has already overlapped the extraction phase.  Here we only
+        regenerate shards whose bucket dir is missing (crash between the
+        checkpoint commit and the bucket commit, or a pre-refactor layout).
+    2b. Per-bucket fold: each bucket B is read ACROSS shard dirs by one Ray
+        task that runs a single vectorized group_by(max), tags table names,
+        and writes its objects file.  Buckets are uniform (md5 prefix), so
+        no skew; bucket count (16^n_bucket_chars) scales with corpus size
+        so one bucket fits a fold task — default 256 buckets keeps every
+        core of a 32-CPU node busy through the fold; push to 3-4 chars on
+        a real cluster.
 
     Doc-scoped page_objects/errors stay as checkpoint columns: already
     persisted columnar + sharded, consumers flatten them lazily
     (object_table) — rewriting them would be a second copy of the data."""
-    import functools
-
-    from .extract import _bucketize, _explode_deltas, _fold_bucket
-
     mpath = os.path.join(out_dir, "manifests", "merge.json")
     fingerprint = _shard_fingerprint(out_dir)
     if os.path.exists(mpath):
@@ -337,38 +390,46 @@ def run_merge(out_dir: str, n_bucket_chars: int = 2) -> dict:
             return m
     t0 = time.time()
 
-    # 2a: bucketed combined deltas
-    bucket_dir = os.path.join(out_dir, "delta_buckets")
-    btmp = bucket_dir + ".tmp"
-    shutil.rmtree(btmp, ignore_errors=True)
-    shutil.rmtree(bucket_dir, ignore_errors=True)
-    extracted = ray.data.read_parquet(
-        os.path.join(out_dir, "extracted"), columns=["deltas"]
-    )
-    (
-        extracted.map_batches(_explode_deltas, batch_format="pyarrow")
-        .map_batches(
-            functools.partial(_bucketize, chars=n_bucket_chars),
-            batch_format="pyarrow",
-        )
-        .write_parquet(btmp, partition_cols=["bucket"])
-    )
-    os.rename(btmp, bucket_dir)
+    # legacy layout guard: a pre-refactor flat delta_buckets/bucket=* tree
+    # (no shard level) cannot be trusted against the current shard set
+    flat_dir = os.path.join(out_dir, "delta_buckets")
+    if os.path.isdir(flat_dir) and any(
+        d.startswith("bucket=") for d in os.listdir(flat_dir)
+    ):
+        shutil.rmtree(flat_dir, ignore_errors=True)
 
-    # 2b: independent per-bucket folds (raw tasks: a deterministic
-    # partitioned fold the Dataset API has no shuffle-free primitive for)
+    # 2a catch-up: ensure every manifested shard has its bucket dir
+    man_dir = os.path.join(out_dir, "manifests")
+    shard_ids = sorted(
+        int(f.removeprefix("shard-").removesuffix(".json"))
+        for f in os.listdir(man_dir)
+        if f.startswith("shard-") and f.endswith(".json")
+    )
+    for k in shard_ids:
+        _write_shard_delta_buckets(out_dir, k, n_bucket_chars)
+
+    # 2b: independent per-bucket folds across shard dirs (raw tasks: a
+    # deterministic partitioned fold the Dataset API has no shuffle-free
+    # primitive for)
     obj_dir = os.path.join(out_dir, "objects")
     tmp_dir = obj_dir + ".tmp"
     shutil.rmtree(tmp_dir, ignore_errors=True)
     shutil.rmtree(obj_dir, ignore_errors=True)
     os.makedirs(tmp_dir, exist_ok=True)
-    buckets = sorted(
-        d for d in os.listdir(bucket_dir) if d.startswith("bucket=")
-    )
-    pairs = [
-        (os.path.join(bucket_dir, b), os.path.join(tmp_dir, f"{b}.parquet"))
-        for b in buckets
-    ]
+    bucket_names: set[str] = set()
+    for k in shard_ids:
+        bdir = _shard_bucket_dir(out_dir, k)
+        bucket_names.update(
+            d for d in os.listdir(bdir) if d.startswith("bucket=")
+        )
+    pairs = []
+    for b in sorted(bucket_names):
+        dirs = [
+            os.path.join(_shard_bucket_dir(out_dir, k), b)
+            for k in shard_ids
+            if os.path.isdir(os.path.join(_shard_bucket_dir(out_dir, k), b))
+        ]
+        pairs.append((dirs, os.path.join(tmp_dir, f"{b}.parquet")))
     # group buckets into ~2x-CPU tasks: the fold is dispatch-bound at one
     # task per bucket (256 x ~50ms dispatch serializes on a busy scheduler)
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
