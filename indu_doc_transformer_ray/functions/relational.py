@@ -26,6 +26,7 @@ from ._relcommon import (  # noqa: F401
     _read,
 )
 from .profiling import *  # noqa: F401,F403
+from .profiling import _frontier_mask  # noqa: F401  (property-tested helper)
 from .setops import *  # noqa: F401,F403
 from .star import *  # noqa: F401,F403
 from .tpch_corr import *  # noqa: F401,F403

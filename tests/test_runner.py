@@ -151,3 +151,31 @@ def test_incremental_ingest_invalidates_stale_state(ray_session, tmp_path):
     run_extraction(str(src), out2, shards=2)
     m3 = run_merge(out2)
     assert m3["n_objects"] == m2["n_objects"]
+
+
+def test_shard_count_invariance(corpus_dir, tmp_path):
+    """The WHOLE job is a pure function of the input, not the partitioning:
+    different shard counts must yield byte-identical span sequences and the
+    identical merged object set (the 256-node-vs-8-node contract)."""
+    import pyarrow.dataset as pads
+
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    run_extraction(corpus_dir, out_a, shards=3)
+    run_extraction(corpus_dir, out_b, shards=8)
+    ma = run_merge(out_a)
+    mb = run_merge(out_b)
+    assert ma["n_objects"] == mb["n_objects"]
+
+    sa = {r["doc_id"]: r["spans"] for r in spans_output(out_a).take_all()}
+    sb = {r["doc_id"]: r["spans"] for r in spans_output(out_b).take_all()}
+    assert sa == sb
+
+    def merged_rows(out):
+        t = pads.dataset(os.path.join(out, "objects")).to_table(
+            columns=["table_name", "mkey", "payload"]
+        )
+        return sorted(zip(*[t.column(c).to_pylist()
+                            for c in ("table_name", "mkey", "payload")]))
+
+    assert merged_rows(out_a) == merged_rows(out_b)
