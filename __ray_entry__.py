@@ -8,11 +8,11 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (169 of 176): every deterministic construction is
+                      (173 of 180): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog via its md5 registers,
                       k-means and IVF via an unrolled Lloyd CTE chain,
-                      hyperplane-LSH ANN via plane literals.  The six
+                      hyperplane-LSH ANN via plane literals.  The seven
                       rows-only ops are extraction semantics (pytest holds
                       their span-equality gate vs the single-process
                       oracle — extract_spans, extract_object_stats,
@@ -282,6 +282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 additions
         "events_trailing_density": events.events_trailing_density,
         "customer_order_seq": windows.customer_order_seq,
+        "weighted_median_price": sketches.weighted_median_price,
+        "cusum_drift": events.cusum_drift,
         "running_total_per_customer": windows.running_total_per_customer,
         "order_gaps": windows.order_gaps,
         "q7_nation_pairs": relational.q7_nation_pairs,
@@ -470,6 +472,8 @@ def oracle_sql() -> dict[str, str]:
         "daily_value_median": sketches.DAILY_VALUE_MEDIAN_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
+        "weighted_median_price": sketches.WEIGHTED_MEDIAN_PRICE_SQL,
+        "cusum_drift": events.CUSUM_DRIFT_SQL,
         "cluster_cap_sample": similarity.CLUSTER_CAP_SAMPLE_SQL,
         "bfs_hops": similarity.BFS_HOPS_SQL,
         "pca_project": similarity.PCA_PROJECT_SQL,

@@ -198,6 +198,8 @@ def _query_fns() -> dict:
         "daily_value_median": sketches.daily_value_median,
         "events_trailing_density": events.events_trailing_density,
         "customer_order_seq": windows.customer_order_seq,
+        "weighted_median_price": sketches.weighted_median_price,
+        "cusum_drift": events.cusum_drift,
     }
 
 
@@ -243,7 +245,8 @@ QUERY_CHUNKS = [
      "item_similarity_topk", "skew_report", "incremental_hourly_counts",
      "hll_wau", "value_trend_per_type", "daily_value_median"],
     ["cluster_cap_sample", "bfs_hops", "pca_project", "knn_label_accuracy"],
-    ["events_trailing_density", "customer_order_seq"],
+    ["events_trailing_density", "customer_order_seq", "weighted_median_price",
+     "cusum_drift"],
 ]
 
 

@@ -2184,3 +2184,142 @@ SELECT e1.event_id,
                AND epoch_us(e2.ts) < epoch_us(e1.ts)) AS BIGINT) AS n_prior_5m
 FROM events e1 ORDER BY e1.event_id
 """
+
+
+# -- distributed CUSUM drift detection (prefix-scan identity) -----------------
+
+_CUSUM_K_C2 = 5_500   # reference level (cents): slightly above the ~50.00 mean
+_CUSUM_H_C2 = 20_000  # alarm threshold (cents of cumulative excess)
+
+
+def cusum_drift(sf_dir: str) -> "object":
+    """Per-type CUSUM drift/changepoint statistic over the event stream —
+    ``s_t = max(0, s_{t-1} + (x_t − K))`` with an alarm when ``s_t > H``.
+    The recurrence looks inherently sequential, but unrolls to the PREFIX
+    IDENTITY ``s_t = max(0, prefix_t − min(0, min_{j<t} prefix_j))``, so
+    it distributes as a hierarchical scan (the pack_bins/ewma pattern):
+
+    - stage 1: per (type, time-bucket) kernel sorts its slice and emits
+      ONE summary row (bucket d-sum, bucket min-prefix);
+    - driver: O(buckets) fold turns summaries into each bucket's entry
+      offset and entering running-min;
+    - stage 2: the same co-location recomputes local prefixes and counts
+      alarms / max excursion vectorized; a tiny per-type fold finishes.
+
+    Exchanges: two (type, time-bucket) co-locations + one |types|-row
+    fold; driver state is counts-per-bucket, never rows.  Output:
+    (event_type, n_events, n_alarms, max_cusum_c2)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Max, Sum
+
+    ds = _read_events(sf_dir, ["event_id", "ts", "event_type", "value"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64())
+        v = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "s": t["event_type"],
+                "tb": pc.divide(ts, 3_600_000_000 * 24),  # day buckets
+                "ts": ts,
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "d": pc.subtract(v, _CUSUM_K_C2),
+            }
+        )
+
+    def summarize(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["ts", "event_id"])
+        lp = g["d"].to_numpy("int64").cumsum()
+        return pa.table(
+            {
+                "s": pa.array([str(g["s"].iloc[0])], pa.string()),
+                "tb": pa.array([int(g["tb"].iloc[0])], pa.int64()),
+                "dsum": pa.array([int(lp[-1])], pa.int64()),
+                "minp": pa.array([int(lp.min())], pa.int64()),
+            }
+        )
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow")
+    summaries = (
+        keyed_ds.groupby(["s", "tb"])
+        .map_groups(summarize, batch_format="pandas")
+        .to_pandas()  # O(types x day-buckets)
+        .sort_values(["s", "tb"])
+        .reset_index(drop=True)
+    )
+
+    # driver fold: entry offset + entering running-min per (type, bucket)
+    enter: dict[tuple[str, int], tuple[int, int]] = {}
+    for s, g in summaries.groupby("s"):
+        off = 0
+        m = 0  # min(0, prefixes seen so far) — prefix_0 = 0 included
+        for _, row in g.iterrows():
+            enter[(str(s), int(row["tb"]))] = (off, m)
+            m = min(m, off + int(row["minp"]))
+            off += int(row["dsum"])
+
+    def alarms(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["ts", "event_id"])
+        off, m_in = enter[(str(g["s"].iloc[0]), int(g["tb"].iloc[0]))]
+        gp = off + g["d"].to_numpy("int64").cumsum()  # global prefixes
+        # running min of prefixes STRICTLY before each row: the entering
+        # min (m_in, which already folds 0 and all earlier buckets) clipped
+        # against the in-bucket prefixes seen so far
+        m = np.empty_like(gp)
+        m[0] = m_in
+        if len(gp) > 1:
+            m[1:] = np.minimum(m_in, np.minimum.accumulate(gp[:-1]))
+        s_t = np.maximum(0, gp - m)
+        return pa.table(
+            {
+                "s": pa.array([str(g["s"].iloc[0])], pa.string()),
+                "n": pa.array([len(g)], pa.int64()),
+                "n_alarms": pa.array([int((s_t > _CUSUM_H_C2).sum())], pa.int64()),
+                "max_s": pa.array([int(s_t.max())], pa.int64()),
+            }
+        )
+
+    folded = (
+        keyed_ds.groupby(["s", "tb"])
+        .map_groups(alarms, batch_format="pandas")
+        .groupby("s")
+        .aggregate(
+            Sum("n", alias_name="n_events"),
+            Sum("n_alarms", alias_name="n_alarms"),
+            Max("max_s", alias_name="max_cusum_c2"),
+        )
+        .to_pandas()  # O(|types|)
+    )
+    out = folded.rename(columns={"s": "event_type"}).astype(
+        {"n_events": "int64", "n_alarms": "int64", "max_cusum_c2": "int64"}
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+CUSUM_DRIFT_SQL = f"""
+WITH x AS (
+  SELECT event_type, ts, event_id,
+         CAST(ROUND(value*100) AS BIGINT) - {_CUSUM_K_C2} AS d
+  FROM events
+), p AS (
+  SELECT event_type, ts, event_id,
+         SUM(d) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS pre
+  FROM x
+), q AS (
+  SELECT event_type, pre,
+         LEAST(0, COALESCE(MIN(pre) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS m
+  FROM p
+), s AS (
+  SELECT event_type, GREATEST(0, pre - m) AS st FROM q
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN st > {_CUSUM_H_C2} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms,
+       CAST(MAX(st) AS BIGINT) AS max_cusum_c2
+FROM s GROUP BY event_type ORDER BY event_type
+"""

@@ -1159,3 +1159,116 @@ FROM (
 GROUP BY event_type, day_bucket
 ORDER BY event_type, day_bucket
 """
+
+
+# -- exact WEIGHTED median (holistic aggregate with weights) ------------------
+
+def weighted_median_price(sf_dir: str) -> "object":
+    """Exact QUANTITY-WEIGHTED median of l_extendedprice per l_returnflag —
+    the weighted holistic aggregate (fair price levels, demand-weighted
+    cut points).  Same two-pass counting-histogram shape as
+    ``median_price_per_status``, but the histogram accumulates WEIGHT SUMS
+    instead of row counts: pass 1 folds per-(flag, bucket) Σw partials
+    (driver holds flags × domain/4096 integers), pass 2 re-reads only the
+    straddling buckets for per-(flag, value) Σw.  Convention (mirrored
+    verbatim in the oracle): the weighted median is the smallest v with
+    2·cumweight(v) ≥ W — integer arithmetic only, no halving.  Output:
+    (l_returnflag, total_qty, wmedian_c2)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        w = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        folded = pa.table(
+            {"s": t["l_returnflag"], "b": _floor_bucket(v), "w": w}
+        )
+        agg = pa.TableGroupBy(folded, ["s", "b"]).aggregate([("w", "sum")])
+        return agg.rename_columns(["s", "b", "w"])
+
+    counts = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["s", "b"])
+        .aggregate(ray.data.aggregate.Sum("w", alias_name="w"))
+        .to_pandas()  # <= |flags| * domain/4096 rows
+        .sort_values(["s", "b"])
+        .reset_index(drop=True)
+    )
+
+    # per flag: the bucket where cumulative weight first reaches W/2
+    need: dict[tuple[str, int], int] = {}
+    totals: dict[str, int] = {}
+    for s, g in counts.groupby("s"):
+        g = g.reset_index(drop=True)
+        W = int(g["w"].sum())
+        totals[str(s)] = W
+        cum = g["w"].cumsum()
+        i = int((2 * cum >= W).idxmax())
+        b = int(g.loc[i, "b"])
+        before = int(cum.iloc[i - 1]) if i > 0 else 0
+        need[(str(s), b)] = before  # weight in strictly lower buckets
+
+    keys = pa.array([f"{s}|{b}" for (s, b) in sorted(need)], pa.string())
+
+    def in_bucket(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        w = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        key = pc.binary_join_element_wise(
+            t["l_returnflag"], pc.cast(_floor_bucket(v), pa.string()), "|"
+        )
+        sub = pa.table({"s": t["l_returnflag"], "v": v, "w": w}).filter(
+            pc.is_in(key, value_set=keys)
+        )
+        agg = pa.TableGroupBy(sub, ["s", "v"]).aggregate([("w", "sum")])
+        return agg.rename_columns(["s", "v", "w"])
+
+    fine = (
+        ds.map_batches(in_bucket, batch_format="pyarrow")
+        .groupby(["s", "v"])
+        .aggregate(ray.data.aggregate.Sum("w", alias_name="w"))
+        .to_pandas()  # <= |flags| * 4096 rows
+    )
+
+    med: dict[str, int] = {}
+    for (s, b), before in need.items():
+        g = (
+            fine[(fine["s"] == s) & (fine["v"] // _HIST_WIDTH == b)]
+            .sort_values("v")
+            .reset_index(drop=True)
+        )
+        cum = before + g["w"].cumsum()
+        W = totals[s]
+        i = int((2 * cum >= W).idxmax())
+        med[s] = int(g.loc[i, "v"])
+    out = pd.DataFrame(
+        [
+            {"l_returnflag": s, "total_qty": W, "wmedian_c2": med[s]}
+            for s, W in sorted(totals.items())
+        ]
+    ).astype({"total_qty": "int64", "wmedian_c2": "int64"})
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+WEIGHTED_MEDIAN_PRICE_SQL = """
+WITH x AS (
+  SELECT l_returnflag AS f,
+         CAST(ROUND(l_extendedprice*100) AS BIGINT) AS v,
+         CAST(ROUND(l_quantity) AS BIGINT) AS w
+  FROM lineitem
+), tot AS (SELECT f, SUM(w) AS W FROM x GROUP BY f),
+pv AS (SELECT f, v, SUM(w) AS wv FROM x GROUP BY f, v),
+c AS (
+  SELECT f, v, SUM(wv) OVER (PARTITION BY f ORDER BY v) AS cw FROM pv
+)
+SELECT c.f AS l_returnflag, CAST(tot.W AS BIGINT) AS total_qty,
+       CAST(MIN(c.v) AS BIGINT) AS wmedian_c2
+FROM c JOIN tot ON c.f = tot.f
+WHERE 2 * c.cw >= tot.W
+GROUP BY c.f, tot.W
+ORDER BY c.f
+"""
