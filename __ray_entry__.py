@@ -8,16 +8,16 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (173 of 180): every deterministic construction is
+                      (173 of 181): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog via its md5 registers,
                       k-means and IVF via an unrolled Lloyd CTE chain,
-                      hyperplane-LSH ANN via plane literals.  The seven
+                      hyperplane-LSH ANN via plane literals.  The eight
                       rows-only ops are extraction semantics (pytest holds
                       their span-equality gate vs the single-process
                       oracle — extract_spans, extract_object_stats,
                       search_targets_count), the multimodal
-                      decode/resize/frame-sample stages, and
+                      decode/resize/frame-sample/context stages, and
                       compression_ratio (DuckDB has no zlib; pytest holds
                       its equality vs a single-process pass).
 """
@@ -171,6 +171,12 @@ def _frame_sample(sf_dir: str):
     return frame_sample(_span_corpus(sf_dir))
 
 
+def _media_text_context(sf_dir: str):
+    from indu_doc_transformer_ray.functions.multimodal import media_text_context
+
+    return media_text_context(_span_corpus(sf_dir))
+
+
 def _search_targets_count(sf_dir: str):
     from indu_doc_transformer_ray.search.index import search_targets_count
 
@@ -247,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         "media_resize": _media_resize,
         "frame_sample": _frame_sample,
+        "media_text_context": _media_text_context,
         # round-3 additions: window functions, wide joins, semi-structured
         "customers_both_years": relational.customers_both_years,
         "constraint_check": relational.constraint_check,

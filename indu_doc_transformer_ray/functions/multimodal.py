@@ -479,3 +479,79 @@ def frame_sample(docs: Dataset, every_n: int = 4, media_root: str = "") -> Datas
         batch_size=16,
         concurrency=(1, 8),
     )
+
+
+# -- interleaved text/media alignment ----------------------------------------
+
+CONTEXT_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("n_text_before", pa.int32()),
+        ("prev_text_tokens", pa.int32()),
+        ("next_text_tokens", pa.int32()),
+    ]
+)
+
+
+def _media_context_batch(batch: pa.Table) -> pa.Table:
+    """One batch of (doc_id, spans) -> one row per MEDIA span with its
+    interleaving context: texts seen before it in the doc, and the token
+    counts of the nearest text span on each side (caption-candidate
+    signals for interleaved training data).  Fully index-vectorized over
+    the flattened span arrays (cumsum + searchsorted); Python touches only
+    the selected neighbor strings for tokenization."""
+    spans = batch.column("spans").combine_chunks()
+    flat = spans.flatten()
+    kinds = np.asarray(flat.field("kind").to_pylist())
+    texts = flat.field("text").to_pylist()
+    refs = flat.field("media_ref").to_pylist()
+    offs = np.asarray(spans.offsets.to_pylist(), dtype=np.int64)
+    doc_ids = batch.column("doc_id").to_pylist()
+
+    is_text = kinds == "text"
+    ctext = np.zeros(len(kinds) + 1, dtype=np.int64)
+    np.cumsum(is_text, out=ctext[1:])  # exclusive prefix count of texts
+    text_pos = np.flatnonzero(is_text)
+    media_pos = np.flatnonzero(kinds == "media")
+
+    doc_of = np.searchsorted(offs, media_pos, side="right") - 1
+    doc_start = offs[doc_of]
+    doc_end = offs[doc_of + 1]
+    n_before = ctext[media_pos] - ctext[doc_start]
+
+    j = np.searchsorted(text_pos, media_pos, side="left") - 1
+    jj = np.maximum(j, 0)
+    prev_ok = (j >= 0) & (text_pos[jj] >= doc_start)
+    k = np.searchsorted(text_pos, media_pos, side="right")
+    kk = np.minimum(k, max(len(text_pos) - 1, 0))
+    next_ok = (k < len(text_pos)) & (
+        text_pos[kk] < doc_end if len(text_pos) else np.zeros_like(k, bool)
+    )
+
+    prev_toks = [
+        len(texts[text_pos[a]].split()) if ok else 0
+        for a, ok in zip(jj, prev_ok)
+    ]
+    next_toks = [
+        len(texts[text_pos[a]].split()) if ok else 0
+        for a, ok in zip(kk, next_ok)
+    ]
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([doc_ids[d] for d in doc_of], pa.string()),
+            "media_ref": pa.array([refs[p] for p in media_pos], pa.string()),
+            "n_text_before": pa.array(n_before, pa.int32()),
+            "prev_text_tokens": pa.array(prev_toks, pa.int32()),
+            "next_text_tokens": pa.array(next_toks, pa.int32()),
+        },
+        schema=CONTEXT_SCHEMA,
+    )
+
+
+def media_text_context(docs: "Dataset") -> "Dataset":
+    """docs(doc_id, spans) -> one row per media span with interleaving
+    context (see _media_context_batch).  Pure streaming map, no shuffle —
+    the per-doc span list is the unit of work, so the operator is
+    embarrassingly parallel at any corpus size."""
+    return docs.map_batches(_media_context_batch, batch_format="pyarrow")

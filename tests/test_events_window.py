@@ -127,3 +127,54 @@ def test_session_overlap_matches_bruteforce(ray_session, tmp_path):
         sn = int(su["sess_n"].iloc[0])
         row = got[(got.user_id == u) & (got.sess_n == sn)]
         assert int(row["n_overlap"].iloc[0]) >= 1
+
+
+def test_cusum_drift_matches_sequential_recurrence(ray_session, tmp_path):
+    """The distributed prefix-scan identity must equal the literal
+    sequential CUSUM recurrence s_t = max(0, s_{t-1} + d_t) — including
+    planted drift bursts that span day-bucket boundaries (the hierarchical
+    hand-off is exactly what the identity must survive)."""
+    import numpy as np
+    import pandas as pd
+
+    from indu_doc_transformer_ray.functions.events import (
+        _CUSUM_H_C2,
+        _CUSUM_K_C2,
+        cusum_drift,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 5_000
+    base = pd.to_datetime("2024-05-01")
+    ts = base + pd.to_timedelta(np.sort(rng.integers(0, 10 * 86_400, n)), unit="s")
+    value = rng.uniform(0.0, 100.0, n).round(2)
+    # planted drift: a burst of high values straddling a midnight boundary
+    burst = (ts > base + pd.Timedelta("2 days 22:00:00")) & (
+        ts < base + pd.Timedelta("3 days 02:00:00")
+    )
+    value[burst] = rng.uniform(300.0, 500.0, int(burst.sum())).round(2)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.Series(ts).astype("datetime64[us]"),
+            "event_type": rng.choice(["click", "view"], size=n),
+            "user_id": rng.integers(1, 40, n).astype(np.int64),
+            "value": value,
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet")
+
+    got = cusum_drift(str(tmp_path)).set_index("event_type")
+
+    for et, g in df.sort_values(["ts", "event_id"]).groupby("event_type"):
+        s = 0
+        alarms = 0
+        max_s = 0
+        for v in g["value"]:
+            s = max(0, s + int(round(v * 100)) - _CUSUM_K_C2)
+            alarms += s > _CUSUM_H_C2
+            max_s = max(max_s, s)
+        assert int(got.loc[et, "n_events"]) == len(g)
+        assert int(got.loc[et, "n_alarms"]) == alarms, et
+        assert int(got.loc[et, "max_cusum_c2"]) == max_s, et
+    assert (got["n_alarms"] > 0).any()  # the planted drift actually fired

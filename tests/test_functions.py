@@ -1114,3 +1114,52 @@ def test_frame_sample_real_gif_decode(ray_session, tmp_path):
         assert int(r.frame_sum) == want
     # the unresolvable ref still rides the deterministic stub path
     assert (out[out["media_ref"] == "no-file"]["n_frames"] > 0).all()
+
+
+def test_media_text_context_matches_naive(ray_session):
+    """The index-vectorized interleaving context must equal a literal
+    per-row walk over the same span lists, at two read parallelisms
+    (partitioning invariance of the flattened-offsets arithmetic)."""
+    import pandas as pd
+
+    import ray.data
+
+    from indu_doc_transformer_ray.fixtures import corpus_table
+    from indu_doc_transformer_ray.functions.multimodal import media_text_context
+
+    tab = corpus_table(60, seed=17)
+    want_rows = []
+    for r in tab.to_pylist():
+        spans = r["spans"]
+        for i, s in enumerate(spans):
+            if s["kind"] != "media":
+                continue
+            before = [x for x in spans[:i] if x["kind"] == "text"]
+            nxt = next((x for x in spans[i + 1:] if x["kind"] == "text"), None)
+            want_rows.append(
+                {
+                    "doc_id": r["doc_id"],
+                    "media_ref": s["media_ref"],
+                    "n_text_before": len(before),
+                    "prev_text_tokens": len(before[-1]["text"].split())
+                    if before else 0,
+                    "next_text_tokens": len(nxt["text"].split()) if nxt else 0,
+                }
+            )
+    want = (
+        pd.DataFrame(want_rows)
+        .sort_values(["doc_id", "media_ref", "n_text_before"])
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0
+
+    for nblocks in (1, 7):
+        ds = ray.data.from_arrow(tab).repartition(nblocks)
+        got = (
+            media_text_context(ds)
+            .to_pandas()
+            .sort_values(["doc_id", "media_ref", "n_text_before"])
+            .reset_index(drop=True)
+            .astype(want.dtypes.to_dict())
+        )
+        assert got.equals(want), nblocks
