@@ -121,7 +121,9 @@ def hll_users_per_type(sf_dir: str) -> "object":
     shuffle).  Accuracy graded in pytest vs the exact two-level groupby;
     exactness graded by ``HLL_USERS_SQL`` (the md5-deterministic sketch is
     itself SQL-expressible, so even the APPROXIMATE answer hash-matches)."""
-    ds = ray.data.read_parquet(
+    from ._util import read_small_aware
+
+    ds = read_small_aware(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
     return hll_distinct(ds, "event_type", "user_id")
@@ -502,7 +504,9 @@ def exact_price_quantiles(sf_dir: str) -> "object":
     import pandas as pd
     import pyarrow.compute as pc
 
-    ds = ray.data.read_parquet(
+    from ._util import read_small_aware
+
+    ds = read_small_aware(
         f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
     )
 
@@ -595,7 +599,9 @@ def median_price_per_status(sf_dir: str) -> "object":
     import pandas as pd
     import pyarrow.compute as pc
 
-    ds = ray.data.read_parquet(
+    from ._util import read_small_aware
+
+    ds = read_small_aware(
         f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_totalprice"]
     )
 
@@ -694,7 +700,9 @@ def mad_outliers(sf_dir: str) -> "object":
     import pandas as pd
     import pyarrow.compute as pc
 
-    ds = ray.data.read_parquet(
+    from ._util import read_small_aware
+
+    ds = read_small_aware(
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]
     )
 
@@ -873,7 +881,9 @@ def hll_wau(sf_dir: str) -> "object":
 
     path = f"{sf_dir}/events.parquet"
     nb = n_buckets(pq.read_metadata(path).num_rows)
-    ds = ray.data.read_parquet(path, columns=["ts", "user_id"])
+    from ._util import read_small_aware
+
+    ds = read_small_aware(path, columns=["ts", "user_id"])
 
     import pyarrow.compute as pc
 
@@ -1044,7 +1054,9 @@ def daily_value_median(sf_dir: str) -> "object":
     import pandas as pd
     import pyarrow.compute as pc
 
-    ds = ray.data.read_parquet(
+    from ._util import read_small_aware
+
+    ds = read_small_aware(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
 
@@ -1177,7 +1189,9 @@ def weighted_median_price(sf_dir: str) -> "object":
     import pandas as pd
     import pyarrow.compute as pc
 
-    ds = ray.data.read_parquet(
+    from ._util import read_small_aware
+
+    ds = read_small_aware(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_extendedprice", "l_quantity"],
     )

@@ -47,7 +47,9 @@ def _orders_bucketed(sf_dir: str, value_cols: dict[str, str]) -> tuple[Dataset, 
 
     buckets = n_buckets(pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
     cols = ["o_orderkey", "o_custkey", "o_orderdate", *value_cols.values()]
-    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+    from ._util import read_small_aware
+
+    ds = read_small_aware(f"{sf_dir}/orders.parquet", columns=cols)
 
     def scale(t: pa.Table) -> pa.Table:
         cust = pc.cast(t["o_custkey"], pa.int64())
@@ -211,7 +213,9 @@ def price_decile(sf_dir: str) -> Dataset:
     below the price.  Output: (o_orderkey, price_c2, decile)."""
     import pandas as pd
 
-    ds = ray.data.read_parquet(
+    from ._util import read_small_aware
+
+    ds = read_small_aware(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
     )
 
@@ -342,7 +346,9 @@ def global_price_rank(sf_dir: str) -> Dataset:
 
     from .sketches import _floor_bucket
 
-    ds = ray.data.read_parquet(
+    from ._util import read_small_aware
+
+    ds = read_small_aware(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
     )
 
