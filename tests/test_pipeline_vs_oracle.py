@@ -141,3 +141,50 @@ def test_edge_case_documents(ray_session):
     assert [s["kind"] for s in out["unknown-kind"]] == ["page_break", "mystery"]
     # no-break: content before any break is page 0; passthrough preserved
     assert [s["kind"] for s in out["no-break"]] == ["title", "media"]
+
+
+def test_pathological_multi_hundred_page_document(ray_session):
+    """Document skew (the north-rule's multi-hundred-page schematic): one
+    ~400-page monster among tiny docs must extract with exact span-sequence
+    equality vs the oracle — the per-document unit of work absorbs the
+    tail via small batches + dynamic block splitting, and a monster doc
+    may never perturb its batch-mates."""
+    import pyarrow as pa
+
+    from indu_doc_transformer_ray.fixtures import DOCS_SCHEMA, corpus_table
+
+    small = corpus_table(6, seed=31)
+    donor = small.to_pylist()
+    # build the monster by cycling the small docs' page contents: slice
+    # each doc's span list at page_break boundaries and concatenate until
+    # ~400 pages, renumbering offsets
+    pages = []
+    for r in donor:
+        cur = []
+        for s in r["spans"]:
+            if s["kind"] == "page_break" and cur:
+                pages.append(cur)
+                cur = []
+            cur.append(s)
+        if cur:
+            pages.append(cur)
+    monster_spans = []
+    i = 0
+    while sum(1 for s in monster_spans if s["kind"] == "page_break") < 400:
+        for s in pages[i % len(pages)]:
+            monster_spans.append(dict(s, offset=len(monster_spans)))
+        i += 1
+    rows = donor + [{"doc_id": "zz-monster", "spans": monster_spans}]
+    tab = pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
+
+    want, _tables = run_oracle(tab)
+    ds = ray.data.from_arrow(tab)
+    got = {
+        r["doc_id"]: r["spans"]
+        for r in extract_documents(ds, batch_size=4).take_all()
+    }
+    assert got.keys() == want.keys()
+    for d in want:
+        assert got[d] == want[d], d
+    n_breaks = sum(1 for s in got["zz-monster"] if s["kind"] == "page_break")
+    assert n_breaks >= 400
