@@ -111,3 +111,22 @@ def test_read_pdf_documents_real_binding(ray_session, tmp_path):
     )
     # offsets are the contract's running sequence
     assert [s["offset"] for s in spans] == list(range(len(spans)))
+
+
+def test_pdf_fixture_bytes_wellformed():
+    """Ungated structural check of the handcrafted fixture (runs in every
+    container): xref offsets must point at their objects and startxref at
+    the xref table, so the gated test never fails on a malformed fixture
+    where the wheel exists."""
+    data = _pdf_bytes([[(100.0, 90.0, 24.0, "T")], [(10.0, 10.0, 8.0, "x")]])
+    assert data.startswith(b"%PDF-1.4")
+    sx = data.rindex(b"startxref")
+    xref_at = int(data[sx:].split()[1])
+    assert data[xref_at : xref_at + 4] == b"xref"
+    # parse the xref entries and check each object header
+    lines = data[xref_at:].split(b"\n")
+    n_objs = int(lines[1].split()[1]) - 1
+    for i in range(n_objs):
+        off = int(lines[3 + i].split()[0])
+        assert data[off:].startswith(b"%d 0 obj" % (i + 1)), i + 1
+    assert data.rstrip().endswith(b"%%EOF")
