@@ -289,6 +289,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 additions
         "events_trailing_density": events.events_trailing_density,
         "customer_order_seq": windows.customer_order_seq,
+        "heavy_hitters": sketches.heavy_hitters,
+        "hybrid_rrf_topk": similarity.hybrid_rrf_topk,
         "weighted_median_price": sketches.weighted_median_price,
         "cusum_drift": events.cusum_drift,
         "running_total_per_customer": windows.running_total_per_customer,
@@ -405,8 +407,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # of every family, not just an arbitrary member (round-3 verdict #9).
     risk_first = [
         "substring_dup_coverage", "minhash_lsh_pairs",       # dedup
-        "knn_label_accuracy", "pagerank_knn", "semdedup",    # similarity
-        "hll_wau", "daily_value_median", "mad_outliers",     # sketches
+        "hybrid_rrf_topk", "knn_label_accuracy", "pagerank_knn", "semdedup",
+        "heavy_hitters", "hll_wau", "daily_value_median", "mad_outliers",
         "q21_sole_returner", "item_similarity_topk",         # relational
         "events_trailing_density", "value_trend_per_type",   # events
         "session_overlap",
@@ -481,6 +483,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "weighted_median_price": sketches.WEIGHTED_MEDIAN_PRICE_SQL,
         "cusum_drift": events.CUSUM_DRIFT_SQL,
+        "heavy_hitters": sketches.HEAVY_HITTERS_SQL,
+        "hybrid_rrf_topk": similarity.HYBRID_RRF_TOPK_SQL,
         "cluster_cap_sample": similarity.CLUSTER_CAP_SAMPLE_SQL,
         "bfs_hops": similarity.BFS_HOPS_SQL,
         "pca_project": similarity.PCA_PROJECT_SQL,

@@ -3196,3 +3196,138 @@ SELECT CAST(e.label AS BIGINT) AS label,
 FROM embeddings e LEFT JOIN pred p USING (vec_id)
 GROUP BY e.label ORDER BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 (lexical) + dense cosine fused by reciprocal-rank
+# fusion (Cormack, Clarke, Buettcher — "Reciprocal Rank Fusion outperforms
+# Condorcet and individual Rank Learning Methods", SIGIR 2009)
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_SCALE = 1_000_000_000  # RRF contribution = SCALE // (K + rank): integer
+HYBRID_POOL = 50
+HYBRID_QVEC = 0  # dense query = embedding of vec_id 0 (vec_id == doc_id)
+HYBRID_TOPK = 10
+
+
+def hybrid_rrf_topk(sf_dir: str) -> "object":
+    """Hybrid search over the document corpus: the lexical leg ranks by
+    BM25 for the fixed term query, the dense leg ranks by cosine to a fixed
+    query embedding, and the two top-``HYBRID_POOL`` lists fuse by
+    reciprocal-rank fusion.  Each leg is the established shuffle-free
+    two-pass shape (batch-local top-k prune, tiny driver fold); the fusion
+    itself touches only 2 x POOL rows.  RRF contributions are floored
+    integer reciprocals (SCALE // (K + rank)) so the fused score is
+    integer-exact across engines.  Output: (doc_id, rrf_mu, rk)."""
+    import pandas as pd
+
+    from .text import bm25_topk
+
+    lex = bm25_topk(sf_dir, k=HYBRID_POOL)  # (doc_id, score_mu, rk)
+
+    q, _ids = _query_matrix(sf_dir, query_ids=(HYBRID_QVEC,))
+    qv = (q / np.linalg.norm(q, axis=1, keepdims=True))[0]
+    ref = ray.put(qv)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv_ = ray.get(ref)
+        ids, en = _norm_rows(batch)
+        sims = en @ qv_
+        k = min(HYBRID_POOL, len(ids))
+        if k < len(ids):
+            keep = np.argpartition(-sims, k - 1)[:k]
+        else:
+            keep = np.arange(len(ids))
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep], pa.int64()),
+                "sim": pa.array(sims[keep], pa.float64()),
+            }
+        )
+
+    cand = (
+        _read_emb(sf_dir)
+        .map_batches(score, batch_format="pyarrow")
+        .to_pandas()  # <= POOL x n_blocks rows
+    )
+    dense = (
+        cand.sort_values(["sim", "vec_id"], ascending=[False, True])
+        .head(HYBRID_POOL)
+        .reset_index(drop=True)
+    )
+
+    fused: dict[int, int] = {}
+    for doc, rk in zip(lex["doc_id"], lex["rk"]):
+        fused[int(doc)] = fused.get(int(doc), 0) + RRF_SCALE // (RRF_K + int(rk))
+    for drk, doc in enumerate(dense["vec_id"], start=1):
+        fused[int(doc)] = fused.get(int(doc), 0) + RRF_SCALE // (RRF_K + drk)
+
+    top = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:HYBRID_TOPK]
+    return pd.DataFrame(
+        {
+            "doc_id": pd.array([d for d, _ in top], dtype="int64"),
+            "rrf_mu": pd.array([m for _, m in top], dtype="int64"),
+            "rk": pd.array(range(1, len(top) + 1), dtype="int64"),
+        }
+    )
+
+
+def _hybrid_sql() -> str:
+    from .text import BM25_B, BM25_K1, BM25_QUERY
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), q(term) AS (
+  VALUES {", ".join(f"('{t}')" for t in BM25_QUERY)}
+), stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n,
+         (SELECT SUM(dl) FROM dl) AS total
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df
+  FROM toks JOIN q ON tok = term GROUP BY term
+), tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM toks JOIN q ON tok = term GROUP BY doc_id, tok
+), scored AS (
+  SELECT tf.doc_id,
+         CAST(SUM(FLOOR(
+           ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * ({BM25_K1!r} + 1.0))
+           / (tf.tf + {BM25_K1!r} * (1.0 - {BM25_B!r}
+              + {BM25_B!r} * dl.dl / (CAST(stats.total AS DOUBLE) / stats.n)))
+           * 1e6)) AS BIGINT) AS score_mu
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+), lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score_mu DESC, doc_id) AS BIGINT)
+           AS lrk
+  FROM scored QUALIFY lrk <= {HYBRID_POOL}
+), dense AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (
+              ORDER BY list_cosine_similarity(
+                  embedding,
+                  (SELECT embedding FROM embeddings
+                   WHERE vec_id = {HYBRID_QVEC})) DESC, vec_id
+         ) AS BIGINT) AS drk
+  FROM embeddings QUALIFY drk <= {HYBRID_POOL}
+), fused AS (
+  SELECT doc_id,
+         COALESCE({RRF_SCALE} // ({RRF_K} + l.lrk), 0)
+       + COALESCE({RRF_SCALE} // ({RRF_K} + d.drk), 0) AS rrf_mu
+  FROM lex l FULL OUTER JOIN dense d USING (doc_id)
+)
+SELECT doc_id, CAST(rrf_mu AS BIGINT) AS rrf_mu,
+       CAST(row_number() OVER (ORDER BY rrf_mu DESC, doc_id) AS BIGINT) AS rk
+FROM fused QUALIFY rk <= {HYBRID_TOPK}
+ORDER BY rk
+"""
+
+
+HYBRID_RRF_TOPK_SQL = _hybrid_sql()

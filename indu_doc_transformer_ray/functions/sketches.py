@@ -1286,3 +1286,123 @@ WHERE 2 * c.cw >= tot.W
 GROUP BY c.f, tot.W
 ORDER BY c.f
 """
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable frequency summary + exact verify pass)
+# ---------------------------------------------------------------------------
+
+HH_K = 30  # report tokens whose corpus frequency exceeds n_tokens / HH_K
+HH_CAPACITY = 32  # counters per summary; guarantee covers freq > n/(C+1)
+
+
+def _mg_fold(counts: dict, capacity: int) -> dict:
+    """Misra-Gries prune: if more than ``capacity`` entries survive, subtract
+    the (capacity+1)-th largest count from every entry and drop the
+    non-positive ones.  This is the mergeable-summaries combine step
+    (Agarwal, Cormode, Huang, Phillips, Wei, Yi — "Mergeable Summaries",
+    PODS 2012): any merge tree of fold(sum(...)) underestimates each true
+    count by at most n / (capacity + 1), so every token with true frequency
+    above that bound is guaranteed to survive into the candidate set."""
+    if len(counts) <= capacity:
+        return dict(counts)
+    vals = sorted(counts.values(), reverse=True)
+    dec = vals[capacity]
+    return {t: c - dec for t, c in counts.items() if c > dec}
+
+
+def heavy_hitters(sf_dir: str) -> "object":
+    """EXACT corpus heavy hitters (tokens with frequency > n/HH_K) via the
+    two-pass sketch-then-verify shape: pass 1 folds each batch's token
+    counts into a Misra-Gries summary of HH_CAPACITY entries (per-task
+    memory is O(capacity), NOT vocabulary-sized — the property that matters
+    when the corpus vocabulary outgrows a worker), one vocabulary-pruned
+    ``groupby(tok).Sum`` merges the summaries, and the driver's final MG
+    prune yields a candidate set of <= HH_CAPACITY tokens that provably
+    contains every true heavy hitter (capacity 32 > HH_K guarantees
+    superset).  Pass 2 streams the corpus once more counting ONLY the
+    broadcast candidates (<= capacity rows leave each task) and keeps the
+    exact counts that clear the threshold — so the output is exact, the
+    sketch only bounded the candidate set.  Output: (tok, cnt)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from .text import _read_docs
+
+    def pass1(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        total = 0
+        for text in t.column("text").to_pylist():
+            toks = TOKEN_RE.findall(text.lower())
+            total += len(toks)
+            c.update(toks)
+        kept = _mg_fold(c, HH_CAPACITY)
+        toks_out = sorted(kept) + [""]
+        vals_out = [kept[x] for x in sorted(kept)] + [total]
+        return pa.table(
+            {
+                "tok": pa.array(toks_out, pa.string()),
+                "v": pa.array(vals_out, pa.int64()),
+            }
+        )
+
+    merged = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(pass1, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("v", alias_name="v"))
+        .to_pandas()  # <= union of summary tokens: summary-pruned, tiny
+    )
+    n_total = int(merged.loc[merged["tok"] == "", "v"].iloc[0])
+    cand_counts = {
+        t: int(v) for t, v in zip(merged["tok"], merged["v"]) if t != ""
+    }
+    candidates = tuple(sorted(_mg_fold(cand_counts, HH_CAPACITY)))
+
+    def pass2(t: pa.Table) -> pa.Table:
+        cset = set(candidates)
+        from collections import Counter
+
+        c: Counter = Counter()
+        for text in t.column("text").to_pylist():
+            c.update(x for x in TOKEN_RE.findall(text.lower()) if x in cset)
+        toks_out = sorted(c)
+        return pa.table(
+            {
+                "tok": pa.array(toks_out, pa.string()),
+                "cnt": pa.array([c[x] for x in toks_out], pa.int64()),
+            }
+        )
+
+    exact = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(pass2, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # <= HH_CAPACITY rows
+    )
+    out = exact[exact["cnt"] * HH_K > n_total].sort_values(
+        ["cnt", "tok"], ascending=[False, True]
+    )
+    return pd.DataFrame(
+        {
+            "tok": out["tok"].astype(str),
+            "cnt": out["cnt"].astype("int64"),
+        }
+    ).reset_index(drop=True)
+
+
+HEAVY_HITTERS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents
+), tot AS (SELECT COUNT(*) AS n FROM toks)
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks CROSS JOIN tot
+GROUP BY tok, tot.n
+HAVING COUNT(*) * {HH_K} > tot.n
+ORDER BY cnt DESC, tok
+"""

@@ -1163,3 +1163,78 @@ def test_media_text_context_matches_naive(ray_session):
             .astype(want.dtypes.to_dict())
         )
         assert got.equals(want), nblocks
+
+
+def test_mg_fold_superset_guarantee():
+    """Misra-Gries prune law on a planted skewed stream whose vocabulary
+    exceeds the capacity: every item with true frequency > n/(capacity+1)
+    survives an arbitrary merge tree of fold(sum(...)), and surviving
+    counts never exceed the true counts (the one-sided error bound)."""
+    import random
+
+    from indu_doc_transformer_ray.functions.sketches import _mg_fold
+
+    rng = random.Random(7)
+    # 200 rare items + 5 genuinely heavy ones, capacity far below vocab
+    stream = [f"rare{i}" for i in range(200) for _ in range(rng.randint(1, 3))]
+    for h in range(5):
+        stream += [f"heavy{h}"] * 120
+    rng.shuffle(stream)
+    n, cap = len(stream), 16
+
+    from collections import Counter
+
+    true = Counter(stream)
+    # simulate distributed batches: fold each chunk, sum summaries, fold once
+    merged: Counter = Counter()
+    for i in range(0, n, 97):
+        chunk = Counter(stream[i : i + 97])
+        merged.update(_mg_fold(chunk, cap))
+    cand = _mg_fold(merged, cap)
+    assert len(cand) <= cap
+    for item, cnt in true.items():
+        if cnt > n / (cap + 1):
+            assert item in cand, item
+    for item, kept in cand.items():
+        assert kept <= true[item]
+
+
+def test_round4_new_ops_match_oracle(ray_session):
+    """Round-4 additions hash-match their DuckDB oracles at sf0.001 (same
+    order-insensitive compare as the driver gate): trailing-density range
+    self-join, ordered string-agg, weighted holistic median, CUSUM scan,
+    Misra-Gries exact heavy hitters, and hybrid RRF retrieval."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, ".")
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    names = [
+        "events_trailing_density",
+        "customer_order_seq",
+        "weighted_median_price",
+        "cusum_drift",
+        "heavy_hitters",
+        "hybrid_rrf_topk",
+    ]
+    qs, oracles = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "part", "supplier", "customer",
+              "nation", "region", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    for name in names:
+        res = qs[name](sf)
+        got = res.to_pandas() if hasattr(res, "to_pandas") else res
+        want = con.execute(oracles[name]).df()
+        assert sorted(got.columns) == sorted(want.columns), name
+        cols = sorted(got.columns)
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(g) == len(w), (name, len(g), len(w))
+        for c in cols:
+            assert (g[c].astype(str).values == w[c].astype(str).values).all(), (
+                name, c,
+            )
