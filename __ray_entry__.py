@@ -291,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_seq": windows.customer_order_seq,
         "heavy_hitters": sketches.heavy_hitters,
         "hybrid_rrf_topk": similarity.hybrid_rrf_topk,
+        "mutual_knn_pairs": similarity.mutual_knn_pairs,
         "weighted_median_price": sketches.weighted_median_price,
         "cusum_drift": events.cusum_drift,
         "running_total_per_customer": windows.running_total_per_customer,
@@ -485,6 +486,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_drift": events.CUSUM_DRIFT_SQL,
         "heavy_hitters": sketches.HEAVY_HITTERS_SQL,
         "hybrid_rrf_topk": similarity.HYBRID_RRF_TOPK_SQL,
+        "mutual_knn_pairs": similarity.MUTUAL_KNN_PAIRS_SQL,
         "cluster_cap_sample": similarity.CLUSTER_CAP_SAMPLE_SQL,
         "bfs_hops": similarity.BFS_HOPS_SQL,
         "pca_project": similarity.PCA_PROJECT_SQL,

@@ -246,7 +246,7 @@ QUERY_CHUNKS = [
      "hll_wau", "value_trend_per_type", "daily_value_median"],
     ["cluster_cap_sample", "bfs_hops", "pca_project", "knn_label_accuracy"],
     ["events_trailing_density", "customer_order_seq", "weighted_median_price",
-     "cusum_drift"],
+     "cusum_drift", "heavy_hitters", "hybrid_rrf_topk", "mutual_knn_pairs"],
 ]
 
 

@@ -3331,3 +3331,68 @@ ORDER BY rk
 
 
 HYBRID_RRF_TOPK_SQL = _hybrid_sql()
+
+
+def mutual_knn_pairs(sf_dir: str) -> Dataset:
+    """Mutual k-nearest-neighbor pairs over the IVF k-NN graph — the
+    reciprocity filter parallel-pair mining runs before margin scoring
+    (Artetxe, Schwenk — "Margin-based Parallel Corpus Mining with
+    Multilingual Sentence Embeddings", ACL 2019): keep (a, b) iff b is in
+    knn(a) AND a is in knn(b).  Each directed edge canonicalizes to
+    (lo, hi) plus a direction bit, every copy of an edge co-locates by an
+    edge-derived bucket (no join operator — the empty-partition gotcha),
+    and a vectorized in-bucket fold keeps pairs seen in BOTH directions.
+    Edge volume is n*k rows, per-bucket frames are bounded by the
+    ``n_buckets`` derivation, and the graph build itself is the memoized
+    ``knn_graph``.  Output: (vec_a, vec_b)."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows)
+    MIX = 2654435761  # deterministic multiplicative mix, never builtin hash()
+
+    def canon(t: pd.DataFrame) -> pd.DataFrame:
+        v = t["vec_id"].to_numpy()
+        n = t["nbr_id"].to_numpy()
+        a = np.minimum(v, n)
+        b = np.maximum(v, n)
+        return pd.DataFrame(
+            {
+                "eb": ((a.astype(np.uint64) * MIX + b.astype(np.uint64)) % nb
+                       ).astype("int32"),
+                "a": a.astype("int64"),
+                "b": b.astype("int64"),
+                "fwd": v < n,
+            }
+        )
+
+    def mutual(g: pd.DataFrame) -> pd.DataFrame:
+        # a directed knn list is duplicate-free, so each (a, b) group has at
+        # most one fwd and one bwd row; mutual == both directions present
+        piv = g.groupby(["a", "b"])["fwd"].agg(["min", "max"]).reset_index()
+        m = piv[piv["max"] & ~piv["min"]]
+        return pd.DataFrame(
+            {
+                "vec_a": m["a"].astype("int64"),
+                "vec_b": m["b"].astype("int64"),
+            }
+        )
+
+    return (
+        knn_graph(sf_dir)
+        .map_batches(canon, batch_format="pandas")
+        .groupby("eb")
+        .map_groups(mutual, batch_format="pandas")
+    )
+
+
+MUTUAL_KNN_PAIRS_SQL = f"""
+WITH g AS MATERIALIZED ({KNN_GRAPH_SQL})
+SELECT g1.vec_id AS vec_a, g1.nbr_id AS vec_b
+FROM g g1 JOIN g g2 ON g1.vec_id = g2.nbr_id AND g1.nbr_id = g2.vec_id
+WHERE g1.vec_id < g1.nbr_id
+ORDER BY vec_a, vec_b
+"""

@@ -1219,6 +1219,7 @@ def test_round4_new_ops_match_oracle(ray_session):
         "cusum_drift",
         "heavy_hitters",
         "hybrid_rrf_topk",
+        "mutual_knn_pairs",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
