@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash64": dedup.simhash64,
         "simhash_pairs": dedup.simhash_pairs,
         "substring_dup_coverage": dedup.substring_dup_coverage,
+        "line_dedup": dedup.line_dedup,
         # similarity search
         "ann_topk": similarity.ann_topk,
         "mmr_diverse_topk": similarity.mmr_diverse_topk,
@@ -608,6 +609,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash64": dedup.SIMHASH64_SQL,
         "simhash_pairs": dedup.SIMHASH_PAIRS_SQL,
         "substring_dup_coverage": dedup.SUBSTRING_DUP_SQL,
+        "line_dedup": dedup.LINE_DEDUP_SQL,
         "ann_topk": similarity.ANN_TOPK_SQL,
         "mmr_diverse_topk": similarity.MMR_TOPK_SQL,
         "cosine_dup_pairs": similarity.COSINE_DUP_PAIRS_SQL,

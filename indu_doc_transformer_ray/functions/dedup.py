@@ -890,6 +890,184 @@ ORDER BY doc_id
 """
 
 
+# -- C4/CCNet line-level dedup with rewrite ---------------------------------
+
+#: tokens per pseudo-line.  The corpus text carries no newlines, so the
+#: line unit of C4/CCNet line-dedup is stood in for by non-overlapping
+#: 8-token windows (the last window may be shorter); the machinery is
+#: identical for real newline-delimited text — only this splitter changes.
+LINE_UNIT_W = 8
+
+
+def _doc_units(text: str) -> list[str]:
+    toks = TOKEN_RE.findall(text.lower())
+    return [
+        " ".join(toks[i : i + LINE_UNIT_W])
+        for i in range(0, len(toks), LINE_UNIT_W)
+    ]
+
+
+def line_dedup(sf_dir: str) -> Dataset:
+    """C4/CCNet-style duplicated-line REMOVAL — the rewrite stage that
+    ``dup_chunks`` (worklist) and ``substring_dup_coverage`` (stats) stop
+    short of (C4: Raffel et al., JMLR 2020 §2.2 "three-sentence span"
+    dedup; CCNet: Wenzek et al., LREC 2020 per-shard line dedup).  A
+    document keeps a pseudo-line unit iff it is the unit's KEEPER (the
+    minimum doc_id containing it); every other document drops all its
+    occurrences.  Output one row per document: unit count, dropped count,
+    and the md5 of the kept units re-joined in original order — the
+    residual-text hash makes the full rewrite comparable to the oracle
+    without shipping rewritten text to the driver.
+
+    Distributed shape (100 TB): two md5-uniform bucketed exchanges, both
+    with derived bucket counts (``_util.n_buckets``) so per-task frames
+    stay bounded at any corpus size.  Pass 1 ships only (bucket, unit-md5,
+    doc_id) distinct pairs; the in-bucket fold computes the global keeper
+    (all rows of a unit hash co-locate) and forwards drop pairs — rows
+    proportional to the DUPLICATED unit count, not the corpus.  Pass 2
+    co-locates each doc's text with its drop pairs by doc-id bucket (the
+    one exchange the rewrite inherently needs — a broadcast of the drop
+    set would be corpus-proportional driver state) and rewrites in-kernel.
+    No driver-side state at all; reference analogue: none (beyond-reference
+    training-data op)."""
+    import zlib
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    # unit rows ~ 1 per LINE_UNIT_W tokens; docs avg ~10 units at this shape
+    nbh = n_buckets(
+        pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows * 8
+    )
+    nbd = _corpus_buckets(sf_dir)
+
+    def unit_rows(t: pa.Table) -> pa.Table:
+        hbs, hs, ids = [], [], []
+        for doc_id, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            seen: set[str] = set()
+            for u in _doc_units(text):
+                h = hashlib.md5(u.encode()).hexdigest()
+                if h in seen:
+                    continue  # (doc, unit) decision is per-pair: one row
+                seen.add(h)
+                hbs.append(zlib.crc32(h.encode()) % nbh)
+                hs.append(h)
+                ids.append(doc_id)
+        return pa.table(
+            {
+                "hb": pa.array(hbs, pa.int32()),
+                "h": pa.array(hs, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    def drop_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a unit hash are in this bucket: in-bucket min IS the
+        # global keeper; non-keeper (doc, unit) pairs forward as drops
+        keeper = g.groupby("h")["doc_id"].transform("min")
+        d = g[g["doc_id"] != keeper]
+        k = d["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "db": (k % nbd).astype("int32"),
+                "doc_id": k,
+                "h": d["h"].astype(str),
+                "text": pd.Series([""] * len(d), dtype=str).values,
+                "role": pd.Series([1] * len(d), dtype="int32").values,
+            }
+        )
+
+    drops = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(unit_rows, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(drop_pairs, batch_format="pandas")
+    )
+
+    def doc_rows(t: pd.DataFrame) -> pd.DataFrame:
+        k = t["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "db": (k % nbd).astype("int32"),
+                "doc_id": k,
+                "h": pd.Series([""] * len(t), dtype=str).values,
+                "text": t["text"].astype(str),
+                "role": pd.Series([0] * len(t), dtype="int32").values,
+            }
+        )
+
+    u = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(doc_rows, batch_format="pandas")
+        .union(drops)
+    )
+
+    def rewrite(g: pd.DataFrame) -> pa.Table:
+        dr = g[g["role"] == 1]
+        dropset: dict[int, set[str]] = {
+            int(doc): set(sub["h"])
+            for doc, sub in dr.groupby("doc_id")
+        }
+        ids, n_units, n_dropped, md5s = [], [], [], []
+        docs = g[g["role"] == 0]
+        for doc_id, text in zip(docs["doc_id"], docs["text"]):
+            units = _doc_units(text)
+            bad = dropset.get(int(doc_id), ())
+            kept = [
+                x
+                for x in units
+                if not bad or hashlib.md5(x.encode()).hexdigest() not in bad
+            ]
+            ids.append(int(doc_id))
+            n_units.append(len(units))
+            n_dropped.append(len(units) - len(kept))
+            md5s.append(hashlib.md5(" ".join(kept).encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_units": pa.array(n_units, pa.int64()),
+                "n_dropped": pa.array(n_dropped, pa.int64()),
+                "residual_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return u.groupby("db").map_groups(rewrite, batch_format="pandas")
+
+
+LINE_DEDUP_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+  FROM documents
+),
+units AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS unit_idx,
+         array_to_string(list_slice(ws, u.i*8+1, u.i*8+8), ' ') AS unit
+  FROM toks, LATERAL (SELECT unnest(range((len(ws)+7)//8)) AS i) u
+),
+keep AS (SELECT unit, MIN(doc_id) AS keeper FROM units GROUP BY unit),
+agg AS (
+  SELECT u.doc_id,
+         COUNT(*) AS n_units,
+         SUM(CASE WHEN u.doc_id <> k.keeper THEN 1 ELSE 0 END) AS n_dropped,
+         md5(COALESCE(string_agg(
+             CASE WHEN u.doc_id = k.keeper THEN u.unit END, ' '
+             ORDER BY u.unit_idx), '')) AS residual_md5
+  FROM units u JOIN keep k USING (unit)
+  GROUP BY u.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_units, 0) AS BIGINT) AS n_units,
+       CAST(COALESCE(a.n_dropped, 0) AS BIGINT) AS n_dropped,
+       COALESCE(a.residual_md5, md5('')) AS residual_md5
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # -- SimHash ----------------------------------------------------------------
 
 class SimHash64:

@@ -729,6 +729,7 @@ def test_round3_new_ops_match_oracle(ray_session):
         "corpus_diff",
         "late_event_rates",
         "substring_dup_coverage",
+        "line_dedup",
         "mmr_diverse_topk",
         "customers_both_years",
         "stopword_scrub",
@@ -810,6 +811,32 @@ def test_windows_bucket_invariance(ray_session, monkeypatch):
     monkeypatch.setattr(windows, "n_buckets", lambda *a, **k: 64)
     b = run()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_line_dedup_bucket_invariance(ray_session, monkeypatch):
+    """line_dedup's two derived bucket counts (unit-hash co-location and
+    doc-bucket rewrite co-location) only coarsen the shuffle keys — the
+    rewrite output must be identical at any bucket count."""
+    import pandas as pd
+
+    from indu_doc_transformer_ray.functions import _util, dedup
+
+    sf = "/root/testdata/sf0.001"
+
+    def run():
+        return (
+            dedup.line_dedup(sf)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    monkeypatch.setattr(_util, "n_buckets", lambda *a, **k: 3)
+    a = run()
+    monkeypatch.setattr(_util, "n_buckets", lambda *a, **k: 64)
+    b = run()
+    pd.testing.assert_frame_equal(a, b)
+    assert a["n_dropped"].sum() > 0  # the fixture corpus really has dups
 
 
 def test_shared_subdag_memoized(ray_session):
