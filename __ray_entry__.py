@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_orders_events_outer": relational.daily_orders_events_outer,
         "char_entropy": text.char_entropy,
         "charlm_quality": text.charlm_quality,
+        "bigram_surprisal": text.bigram_surprisal,
         "copurchase_type_pairs": relational.copurchase_type_pairs,
         "event_transitions": events.event_transitions,
         "embedding_dim_stats": similarity.embedding_dim_stats,
@@ -512,6 +513,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_orders_events_outer": relational.DAILY_OUTER_SQL,
         "char_entropy": text.CHAR_ENTROPY_SQL,
         "charlm_quality": text.CHARLM_QUALITY_SQL,
+        "bigram_surprisal": text.BIGRAM_SURPRISAL_SQL,
         "copurchase_type_pairs": relational.COPURCHASE_SQL,
         "event_transitions": events.EVENT_TRANSITIONS_SQL,
         "embedding_dim_stats": similarity.EMBEDDING_DIM_STATS_SQL,

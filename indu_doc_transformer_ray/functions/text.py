@@ -1662,6 +1662,148 @@ ORDER BY cc.doc_id
 """
 
 
+# -- word-bigram surprisal mass (the distributed-count-table LM filter) ------
+
+def bigram_surprisal(sf_dir: str) -> Dataset:
+    """Word-bigram surprisal mass per document — the WORD-level sibling of
+    ``charlm_quality``'s perplexity filter (CCNet, Wenzek et al., LREC
+    2020), integer-exact by scoring each bigram occurrence with the BIT
+    LENGTH of its corpus count (floor(log2 c)+1: a doc full of common
+    transitions carries high mass, one full of hapax transitions carries
+    the minimum 1 per pair plus a hapax count — both strong quality/
+    novelty signals).  Unlike the char-bigram table (O(alphabet^2),
+    broadcastable), the word-bigram count table is Heaps-bounded but
+    corpus-DERIVED — far too large to broadcast — so this op exercises the
+    distributed count-table shape: counts and per-doc partials come out of
+    ONE bigram-hash-bucketed exchange (all rows of a bigram co-locate, so
+    in-bucket sum of per-doc multiplicities IS the global count), then one
+    doc-bucket fold assembles per-doc totals.  Rows shipped: one per
+    DISTINCT (doc, bigram) — the in-batch Counter is the map-side
+    combiner.  Output: (doc_id, n_bigrams, surprisal_mass, n_hapax).
+    Bit length is computed exactly via searchsorted against the power-of-
+    two table (float log2 rounds up at 2^k-1 for large k)."""
+    import zlib
+
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    nbh = n_buckets(n_docs * 32)  # ~distinct (doc, bigram) rows per doc
+    nbd = n_buckets(n_docs)
+    POW2 = 1 << np.arange(63, dtype=np.int64)
+
+    def occ_rows(t: pa.Table) -> pd.DataFrame:
+        hbs, hs, ids, mults = [], [], [], []
+        for doc_id, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            toks = TOKEN_RE.findall(text.lower())
+            c = Counter(
+                toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+            )
+            for b, m in c.items():
+                h = hashlib.md5(b.encode()).hexdigest()
+                hbs.append(zlib.crc32(h.encode()) % nbh)
+                hs.append(h)
+                ids.append(doc_id)
+                mults.append(m)
+        return pd.DataFrame(
+            {
+                "hb": pd.Series(hbs, dtype="int32"),
+                "h": pd.Series(hs, dtype=str),
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "mult": pd.Series(mults, dtype="int64"),
+            }
+        )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        # every occurrence row of a bigram hash is in this bucket, so the
+        # in-bucket multiplicity sum IS the corpus count
+        cnt = g.groupby("h")["mult"].transform("sum").to_numpy("int64")
+        mult = g["mult"].to_numpy("int64")
+        bitlen = np.searchsorted(POW2, cnt, side="right").astype("int64")
+        part = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy("int64"),
+                "nb": mult,
+                "mass": mult * bitlen,
+                "hapax": np.where(cnt == 1, mult, 0).astype("int64"),
+            }
+        )
+        out = part.groupby("doc_id", as_index=False).sum()
+        out.insert(0, "db", (out["doc_id"] % nbd).astype("int32"))
+        return out
+
+    partials = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(occ_rows, batch_format="pyarrow")
+        .groupby("hb")
+        .map_groups(attach, batch_format="pandas")
+        .select_columns(["db", "doc_id", "nb", "mass", "hapax"])
+    )
+
+    def zero_rows(t: pd.DataFrame) -> pd.DataFrame:
+        k = t["doc_id"].astype("int64")
+        z = pd.Series([0] * len(t), dtype="int64").values
+        return pd.DataFrame(
+            {
+                "db": (k % nbd).astype("int32"),
+                "doc_id": k,
+                "nb": z,
+                "mass": z,
+                "hapax": z,
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        out = g.groupby("doc_id", as_index=False)[["nb", "mass", "hapax"]].sum()
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy("int64")),
+                "n_bigrams": pa.array(out["nb"].to_numpy("int64")),
+                "surprisal_mass": pa.array(out["mass"].to_numpy("int64")),
+                "n_hapax": pa.array(out["hapax"].to_numpy("int64")),
+            }
+        )
+
+    u = (
+        _read_docs(sf_dir, ["doc_id"])
+        .map_batches(zero_rows, batch_format="pandas")
+        .union(partials)
+    )
+    return u.groupby("db").map_groups(fold, batch_format="pandas")
+
+
+BIGRAM_SURPRISAL_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         ws[CAST(u.i+1 AS BIGINT)] || ' ' || ws[CAST(u.i+2 AS BIGINT)] AS b
+  FROM toks, LATERAL (SELECT unnest(range(len(ws)-1)) AS i) u
+),
+c AS (SELECT b, COUNT(*) AS cnt FROM bg GROUP BY b),
+agg AS (
+  SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+         SUM(length(printf('%b', cnt))) AS mass,
+         SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS hapax
+  FROM bg JOIN c USING (b) GROUP BY bg.doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(mass, 0) AS BIGINT) AS surprisal_mass,
+       CAST(COALESCE(hapax, 0) AS BIGINT) AS n_hapax
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # -- char-bigram LM fluency score (the perplexity-filter analog) -------------
 
 def charlm_quality(sf_dir: str) -> "object":

@@ -693,6 +693,7 @@ def test_round3_new_ops_match_oracle(ray_session):
         "embedding_dim_stats",
         "semdedup",
         "charlm_quality",
+        "bigram_surprisal",
         "q8_market_share",
         "q13_order_distribution",
         "q17_small_qty_revenue",
