@@ -1804,6 +1804,123 @@ ORDER BY d.doc_id
 """
 
 
+# -- within-doc repetition filter (Gopher repetition signals) -----------------
+
+def repetition_filter(sf_dir: str) -> Dataset:
+    """Within-document repetition signals — the Gopher repetition rules
+    (Rae et al. 2021 §A1.1: "fraction of characters in duplicate n-grams" /
+    "in most common n-gram"), integer-exact.  Per document:
+
+    - ``n_trigrams``      word-trigram occurrences (``max(0, n_words-2)``)
+    - ``dup_tri_occ``     occurrences whose trigram appears >=2x in the doc
+    - ``dup_tri_chars``   char mass of those occurrences (len of the joined
+                          trigram string, spaces included)
+    - ``top_bigram_mass`` max over bigrams of ``count * len(bigram)`` — the
+                          "most common 2-gram" character-mass numerator
+
+    Entirely doc-local: ONE stateless ``map_batches`` pass, zero shuffle,
+    one output row per doc — composes with ``curation_pipeline``'s
+    streaming shape at any corpus size (unlike [[line_dedup]] /
+    ``substring_dup_coverage``, which measure CROSS-doc duplication).
+    Per-doc n-gram counting uses ``np.unique`` over int64 FNV-style rolling
+    hashes of token ids, so the per-batch work is numpy, not a Python
+    Counter over strings."""
+    import numpy as np
+
+    def signals(batch: pa.Table) -> pa.Table:
+        n_tri, dup_occ, dup_chars, top_bi = [], [], [], []
+        for text in batch.column("text").to_pylist():
+            toks = TOKEN_RE.findall(text.lower())
+            n = len(toks)
+            if n < 2:
+                n_tri.append(max(0, n - 2))
+                dup_occ.append(0)
+                dup_chars.append(0)
+                top_bi.append(0)
+                continue
+            # token-id encode once; n-gram keys are exact id tuples packed
+            # into int64 (vocab per doc << 2^21, positions << 2^21)
+            uniq, ids = np.unique(np.array(toks, dtype=object),
+                                  return_inverse=True)
+            lens = np.array([len(u) for u in uniq], dtype=np.int64)
+            ids = ids.astype(np.int64)
+            # bigrams: key = id[i] * V + id[i+1]
+            v = np.int64(len(uniq))
+            bkey = ids[:-1] * v + ids[1:]
+            blen = lens[ids[:-1]] + lens[ids[1:]] + 1
+            bu, binv, bcnt = np.unique(bkey, return_inverse=True,
+                                       return_counts=True)
+            # mass per distinct bigram = count * len; len constant per key
+            blen_u = np.zeros(len(bu), dtype=np.int64)
+            blen_u[binv] = blen  # any occurrence's len (all equal per key)
+            top_bi.append(int((bcnt * blen_u).max()))
+            if n < 3:
+                n_tri.append(0)
+                dup_occ.append(0)
+                dup_chars.append(0)
+                continue
+            tkey = (ids[:-2] * v + ids[1:-1]) * v + ids[2:]
+            tlen = lens[ids[:-2]] + lens[ids[1:-1]] + lens[ids[2:]] + 2
+            tu, tinv, tcnt = np.unique(tkey, return_inverse=True,
+                                       return_counts=True)
+            tlen_u = np.zeros(len(tu), dtype=np.int64)
+            tlen_u[tinv] = tlen
+            dup = tcnt > 1
+            n_tri.append(int(tcnt.sum()))
+            dup_occ.append(int(tcnt[dup].sum()))
+            dup_chars.append(int((tcnt[dup] * tlen_u[dup]).sum()))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_trigrams": pa.array(n_tri, pa.int64()),
+                "dup_tri_occ": pa.array(dup_occ, pa.int64()),
+                "dup_tri_chars": pa.array(dup_chars, pa.int64()),
+                "top_bigram_mass": pa.array(top_bi, pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        signals, batch_format="pyarrow"
+    )
+
+
+REPETITION_FILTER_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+  FROM documents
+),
+tri AS (
+  SELECT doc_id,
+         ws[CAST(u.i+1 AS BIGINT)] || ' ' || ws[CAST(u.i+2 AS BIGINT)]
+           || ' ' || ws[CAST(u.i+3 AS BIGINT)] AS g
+  FROM toks, LATERAL (SELECT unnest(range(greatest(len(ws)-2, 0))) AS i) u
+),
+tc AS (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY doc_id, g),
+bi AS (
+  SELECT doc_id,
+         ws[CAST(u.i+1 AS BIGINT)] || ' ' || ws[CAST(u.i+2 AS BIGINT)] AS g
+  FROM toks, LATERAL (SELECT unnest(range(greatest(len(ws)-1, 0))) AS i) u
+),
+bc AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY doc_id, g),
+ta AS (
+  SELECT doc_id, SUM(c) AS n_tri,
+         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ,
+         SUM(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dup_chars
+  FROM tc GROUP BY doc_id
+),
+ba AS (SELECT doc_id, MAX(c * length(g)) AS top_mass FROM bc GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_trigrams,
+       CAST(COALESCE(dup_occ, 0) AS BIGINT) AS dup_tri_occ,
+       CAST(COALESCE(dup_chars, 0) AS BIGINT) AS dup_tri_chars,
+       CAST(COALESCE(top_mass, 0) AS BIGINT) AS top_bigram_mass
+FROM documents d
+LEFT JOIN ta ON d.doc_id = ta.doc_id
+LEFT JOIN ba ON d.doc_id = ba.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # -- char-bigram LM fluency score (the perplexity-filter analog) -------------
 
 def charlm_quality(sf_dir: str) -> "object":

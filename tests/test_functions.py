@@ -1248,6 +1248,7 @@ def test_round4_new_ops_match_oracle(ray_session):
         "heavy_hitters",
         "hybrid_rrf_topk",
         "mutual_knn_pairs",
+        "repetition_filter",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
