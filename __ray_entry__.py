@@ -171,6 +171,22 @@ def _frame_sample(sf_dir: str):
     return frame_sample(_span_corpus(sf_dir))
 
 
+def _media_dhash(sf_dir: str):
+    from indu_doc_transformer_ray.functions.multimodal import media_dhash
+
+    return media_dhash(_span_corpus(sf_dir))
+
+
+def _media_phash_pairs(sf_dir: str):
+    # the synthetic corpus has unique media refs (no planted image dups),
+    # so the expected result here is EMPTY; the recall/dedup gate is
+    # tests/test_functions.py::test_media_phash_pairs_planted_neardups,
+    # which plants real PPM near-copies and checks exact Hamming output.
+    from indu_doc_transformer_ray.functions.multimodal import media_phash_pairs
+
+    return media_phash_pairs(_span_corpus(sf_dir))
+
+
 def _media_text_context(sf_dir: str):
     from indu_doc_transformer_ray.functions.multimodal import media_text_context
 
@@ -254,6 +270,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         "media_resize": _media_resize,
         "frame_sample": _frame_sample,
+        "media_dhash": _media_dhash,
+        "media_phash_pairs": _media_phash_pairs,
         "media_text_context": _media_text_context,
         # round-3 additions: window functions, wide joins, semi-structured
         "customers_both_years": relational.customers_both_years,

@@ -555,3 +555,185 @@ def media_text_context(docs: "Dataset") -> "Dataset":
     the per-doc span list is the unit of work, so the operator is
     embarrassingly parallel at any corpus size."""
     return docs.map_batches(_media_context_batch, batch_format="pyarrow")
+
+
+# -- perceptual-hash near-duplicate images ------------------------------------
+
+DHASH_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("media_ref", pa.string()),
+        ("dhash", pa.int64()),
+    ]
+)
+
+#: band layout for max_hamming=6: 7 disjoint bands covering 64 bits — by
+#: pigeonhole any pair within 6 bit flips agrees on at least one full band.
+_DHASH_BAND_WIDTHS = (10, 9, 9, 9, 9, 9, 9)
+
+
+def _dhash64(px: np.ndarray) -> int:
+    """64-bit difference hash of an RGB uint8 plane: integer luma
+    (299r+587g+114b), nearest-neighbor downscale to 9x8, then bit
+    (y*8+x) = luma[y,x] > luma[y,x+1], packed big-endian.  Pure integer —
+    bit-identical on every platform."""
+    luma = (
+        px[..., 0].astype(np.int64) * 299
+        + px[..., 1].astype(np.int64) * 587
+        + px[..., 2].astype(np.int64) * 114
+    )
+    small = _nn_resize(luma, 9, 8)
+    bits = (small[:, :-1] > small[:, 1:]).flatten()
+    v = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+class MediaDHasher:
+    """Actor-pool stage: decode (real PPM/PIL file, else deterministic stub
+    plane) -> 64-bit dHash per media span.  Decode state (the resizer's
+    kernel dispatch) lives in __init__; __call__ is per-batch."""
+
+    def __init__(self, media_root: str = ""):
+        self._rz = MediaResizer(media_root=media_root)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids, refs, hashes = [], [], []
+        for doc_id, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            for s in spans:
+                if s["kind"] != "media":
+                    continue
+                px = self._rz.pixels(s["media_ref"])
+                doc_ids.append(doc_id)
+                refs.append(s["media_ref"])
+                hashes.append(_dhash64(px))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "media_ref": pa.array(refs, pa.string()),
+                "dhash": pa.array(hashes, pa.int64()),
+            },
+            schema=DHASH_SCHEMA,
+        )
+
+
+def media_dhash(docs: Dataset, media_root: str = "") -> Dataset:
+    """docs(doc_id, spans) -> one row per media span with its 64-bit
+    perceptual difference-hash (the image twin of ``simhash64``)."""
+    return docs.map_batches(
+        MediaDHasher,
+        fn_constructor_kwargs={"media_root": media_root},
+        batch_format="pyarrow",
+        batch_size=16,  # small: decoded pixel planes are large
+        concurrency=(1, 8),
+    )
+
+
+def media_phash_pairs(
+    docs: Dataset,
+    max_hamming: int = 6,
+    media_root: str = "",
+    n_pair_buckets: int = 64,
+    n_band_buckets: int = 256,
+) -> Dataset:
+    """Near-duplicate IMAGE pairs by perceptual hash with EXACT recall at
+    ``max_hamming`` <= 6: dHash each media span, split the 64 bits into 7
+    disjoint bands (pigeonhole: a pair within 6 flips agrees on >=1 whole
+    band), co-locate by (band, value), verify true Hamming distance
+    in-bucket, and dedupe pairs found via several bands with one
+    pair-bucketed fold.  Output: (ref_a, ref_b, hamming), ref_a < ref_b.
+
+    Scale shape mirrors ``dedup.simhash_pairs`` (dedup.py:1161): band
+    buckets bound the quadratic verify to hash-equal cohorts; the dedup
+    exchange is output-proportional.  ``n_band_buckets`` sizes the
+    band exchange (~7*n_media/n_band_buckets rows per fold task — size it
+    like ``_util.n_buckets`` from the expected media count) and
+    ``n_pair_buckets`` the pair fold (near-dup PAIR volume, not corpus
+    volume, is its unit)."""
+    import zlib
+
+    import pandas as pd
+
+    offsets = np.cumsum((0,) + _DHASH_BAND_WIDTHS[:-1]).tolist()
+    sig = media_dhash(docs, media_root=media_root)
+    nbands = len(_DHASH_BAND_WIDTHS)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        h = t.column("dhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        refs = t.column("media_ref").to_pylist()
+        n = len(refs)
+        gb = np.empty(nbands * n, dtype=np.int32)
+        band = np.empty(nbands * n, dtype=np.int32)
+        vals = np.empty(nbands * n, dtype=np.int64)
+        for b, (off, w) in enumerate(zip(offsets, _DHASH_BAND_WIDTHS)):
+            val = ((h >> np.uint64(off)) & np.uint64((1 << w) - 1)).astype(
+                np.int64
+            )
+            sl = slice(b * n, (b + 1) * n)
+            gb[sl] = (b * 257 + val) % n_band_buckets
+            band[sl] = b
+            vals[sl] = val
+        return pa.table(
+            {
+                "gb": pa.array(gb),
+                "band": pa.array(band),
+                "val": pa.array(vals),
+                "media_ref": pa.array(refs * nbands, pa.string()),
+                "dhash": pa.array(np.tile(h.view(np.int64), nbands)),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        out_a, out_b, out_h = [], [], []
+        for (_b, _v), grp in g.groupby(["band", "val"]):
+            if len(grp) < 2:
+                continue
+            grp = grp.drop_duplicates("media_ref").sort_values("media_ref")
+            refs = grp["media_ref"].tolist()
+            hs = np.asarray(grp["dhash"], dtype=np.int64).view(np.uint64)
+            n = len(refs)
+            bits = np.unpackbits(hs.view(np.uint8).reshape(n, 8), axis=1)
+            B = bits.astype(np.float32)
+            pop = B.sum(axis=1)
+            for s in range(0, n, 512):
+                e = min(s + 512, n)
+                ham = (
+                    pop[s:e, None] + pop[None, :] - 2.0 * (B[s:e] @ B.T)
+                ).astype(np.int64)
+                ii, jj = np.nonzero(ham <= max_hamming)
+                keep = jj > ii + s
+                ii, jj = ii[keep], jj[keep]
+                out_a.extend(refs[i + s] for i in ii)
+                out_b.extend(refs[j] for j in jj)
+                out_h.extend(ham[ii, jj].tolist())
+        pb = [
+            zlib.crc32((a + "\x1f" + b).encode()) % n_pair_buckets
+            for a, b in zip(out_a, out_b)
+        ]
+        return pa.table(
+            {
+                "pb": pa.array(pb, pa.int32()),
+                "ref_a": pa.array(out_a, pa.string()),
+                "ref_b": pa.array(out_b, pa.string()),
+                "hamming": pa.array(out_h, pa.int64()),
+            }
+        )
+
+    def dedup_fold(g: pd.DataFrame) -> pa.Table:
+        agg = g.drop_duplicates(["ref_a", "ref_b"])
+        return pa.table(
+            {
+                "ref_a": pa.array(agg["ref_a"].tolist(), pa.string()),
+                "ref_b": pa.array(agg["ref_b"].tolist(), pa.string()),
+                "hamming": pa.array(agg["hamming"].to_numpy("int64")),
+            }
+        )
+
+    return (
+        sig.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(dedup_fold, batch_format="pandas")
+    )

@@ -1268,3 +1268,79 @@ def test_round4_new_ops_match_oracle(ray_session):
             assert (g[c].astype(str).values == w[c].astype(str).values).all(), (
                 name, c,
             )
+
+
+def test_media_phash_pairs_planted_neardups(ray_session, tmp_path):
+    """Perceptual-hash image dedup end-to-end over REAL PPM files: a base
+    image, a near-copy (one corner patch brightened — few dHash bits flip),
+    and an unrelated image.  The (base, copy) pair must surface with the
+    exact Hamming distance an independent single-process dHash computes;
+    the unrelated image must not pair.  Also checks the cross-band dedup
+    (a 0-distance clone pairs via all 7 bands but must emit once)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from indu_doc_transformer_ray.functions.multimodal import (
+        _dhash64,
+        media_dhash,
+        media_phash_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    # base: smooth gradient + noise so dHash bits are stable under the patch
+    yy, xx = np.mgrid[0:40, 0:60]
+    base = ((xx * 4 + yy) % 256).astype(np.uint8)
+    base = np.stack([base, base // 2, 255 - base], axis=-1)
+    near = base.copy()
+    near[:5, :7] = 255  # one resized-grid cell flips a handful of bits
+    clone = base.copy()
+    other = rng.randint(0, 256, size=(40, 60, 3), dtype=np.uint8)
+
+    planes = {"a_base.ppm": base, "b_near.ppm": near,
+              "c_clone.ppm": clone, "d_other.ppm": other}
+    for name, px in planes.items():
+        with open(tmp_path / name, "wb") as f:
+            f.write(b"P6\n60 40\n255\n" + px.tobytes())
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(["d0"], pa.string()),
+                "spans": pa.array(
+                    [[
+                        {"kind": "media", "text": "", "media_ref": n,
+                         "offset": i}
+                        for i, n in enumerate(sorted(planes))
+                    ]],
+                ),
+            }
+        )
+    )
+
+    # single-process reference: hash each plane directly, brute-force pairs
+    ref_hash = {n: _dhash64(px) for n, px in planes.items()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    want = {
+        tuple(sorted((x, y))): ham(ref_hash[x], ref_hash[y])
+        for x in planes for y in planes
+        if x < y and ham(ref_hash[x], ref_hash[y]) <= 6
+    }
+    assert ("a_base.ppm", "b_near.ppm") in want  # the plant worked
+    assert 1 <= want[("a_base.ppm", "b_near.ppm")] <= 6
+    assert want[("a_base.ppm", "c_clone.ppm")] == 0
+
+    hashes = media_dhash(docs, media_root=str(tmp_path)).to_pandas()
+    got_hashes = dict(zip(hashes["media_ref"], hashes["dhash"]))
+    assert got_hashes == ref_hash
+
+    pairs = media_phash_pairs(docs, media_root=str(tmp_path)).to_pandas()
+    got = {
+        (r.ref_a, r.ref_b): r.hamming for r in pairs.itertuples()
+    }
+    assert got == want
+    assert len(pairs) == len(pairs.drop_duplicates(["ref_a", "ref_b"]))
