@@ -92,115 +92,18 @@ def bench_headline(corpus_path: str) -> dict:
 
 
 def _query_fns() -> dict:
-    from indu_doc_transformer_ray.functions import (
-        curation,
-        dedup,
-        events,
-        html,
-        relational,
-        similarity,
-        sketches,
-        text,
-        windows,
-    )
+    """The registry IS `__ray_entry__.queries()` — bench loads it directly
+    so the benched set can never drift from what the driver checks (a
+    hand-maintained copy here missed session additions like
+    heavy_hitters)."""
+    import importlib.util
 
-    return {
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "q3_top_orders": relational.q3_top_orders,
-        "q18_large_orders": relational.q18_large_orders,
-        "events_hourly": relational.events_hourly,
-        "token_stats": text.token_stats,
-        "dedup_exact": dedup.dedup_exact,
-        "ann_topk": similarity.ann_topk,
-        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
-        "cosine_dup_pairs": similarity.cosine_dup_pairs,
-        "label_centroid_sims": similarity.label_centroid_sims,
-        "vocab_topk": text.vocab_topk,
-        "repetition_stats": text.repetition_stats,
-        "chunk_documents": text.chunk_documents,
-        "pack_bins": text.pack_bins,
-        "curation_pipeline": text.curation_pipeline,
-        "hll_users_per_type": sketches.hll_users_per_type,
-        "decontaminate": curation.decontaminate,
-        "shard_assign": curation.shard_assign,
-        "knn_graph": similarity.knn_graph,
-        "dedup_clusters": dedup.dedup_clusters,
-        "lsh_bucket_topk": similarity.lsh_bucket_topk,
-        "hard_negatives": similarity.hard_negatives,
-        "bm25_topk": text.bm25_topk,
-        "weighted_sample": curation.weighted_sample,
-        "count_min_probe": sketches.count_min_probe,
-        "pagerank_knn": similarity.pagerank_knn,
-        "triangle_count": similarity.triangle_count,
-        "running_total_per_customer": windows.running_total_per_customer,
-        "q7_nation_pairs": relational.q7_nation_pairs,
-        "lang_top_terms": text.lang_top_terms,
-        "q21_sole_returner": relational.q21_sole_returner,
-        "exact_price_quantiles": sketches.exact_price_quantiles,
-        "source_overlap": dedup.source_overlap,
-        "whiten_embeddings": similarity.whiten_embeddings,
-        "label_propagation": similarity.label_propagation,
-        "q2_min_cost_supplier": relational.q2_min_cost_supplier,
-        "q9_nation_profit": relational.q9_nation_profit,
-        "q16_supplier_counts": relational.q16_supplier_counts,
-        "median_price_per_status": sketches.median_price_per_status,
-        "customers_1997_except_1998": relational.customers_1997_except_1998,
-        "html_main_content": html.html_main_content,
-        "html_spans": html.html_spans,
-        "q8_market_share": relational.q8_market_share,
-        "q17_small_qty_revenue": relational.q17_small_qty_revenue,
-        "q5_nation_revenue": relational.q5_nation_revenue,
-        "q10_returned_items": relational.q10_returned_items,
-        "gopher_rules": text.gopher_rules,
-        "dsir_weights": curation.dsir_weights,
-        "rolling_window_orders": windows.rolling_window_orders,
-        "price_decile": windows.price_decile,
-        "first_touch_attribution": events.first_touch_attribution,
-        "corpus_diff": curation.corpus_diff,
-        "late_event_rates": events.late_event_rates,
-        "simhash_pairs": dedup.simhash_pairs,
-        "substring_dup_coverage": dedup.substring_dup_coverage,
-        "customers_both_years": relational.customers_both_years,
-        "stopword_scrub": text.stopword_scrub,
-        "lang_adaptive_filter": text.lang_adaptive_filter,
-        "source_drift_ks": text.source_drift_ks,
-        "cluster_cap_sample": similarity.cluster_cap_sample,
-        "bfs_hops": similarity.bfs_hops,
-        "constraint_check": relational.constraint_check,
-        "ewma_user_value": events.ewma_user_value,
-        "scd2_intervals": events.scd2_intervals,
-        "pca_project": similarity.pca_project,
-        "langid_confusion": text.langid_confusion,
-        "pareto_frontier": relational.pareto_frontier,
-        "fuzzy_name_pairs": dedup.fuzzy_name_pairs,
-        "session_overlap": events.session_overlap,
-        "cumulative_unique_users": events.cumulative_unique_users,
-        "events_hourly_dense": events.events_hourly_dense,
-        "top_paths": events.top_paths,
-        "mad_outliers": sketches.mad_outliers,
-        "leakage_safe_split": curation.leakage_safe_split,
-        "compression_ratio": text.compression_ratio,
-        "user_modal_event": events.user_modal_event,
-        "value_histogram": events.value_histogram,
-        "dau_wau_stickiness": events.dau_wau_stickiness,
-        "k_anonymity_audit": relational.k_anonymity_audit,
-        "event_state_lookup": events.event_state_lookup,
-        "global_price_rank": windows.global_price_rank,
-        "orders_wide": relational.orders_wide,
-        "join_size_estimate": relational.join_size_estimate,
-        "zorder_parts": relational.zorder_parts,
-        "item_similarity_topk": relational.item_similarity_topk,
-        "skew_report": relational.skew_report,
-        "incremental_hourly_counts": events.incremental_hourly_counts,
-        "hll_wau": sketches.hll_wau,
-        "value_trend_per_type": events.value_trend_per_type,
-        "knn_label_accuracy": similarity.knn_label_accuracy,
-        "daily_value_median": sketches.daily_value_median,
-        "events_trailing_density": events.events_trailing_density,
-        "customer_order_seq": windows.customer_order_seq,
-        "weighted_median_price": sketches.weighted_median_price,
-        "cusum_drift": events.cusum_drift,
-    }
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", os.path.join(os.path.dirname(__file__), "__ray_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.queries()
 
 
 #: Query-phase chunks: each chunk runs in its OWN fresh Ray session (the
