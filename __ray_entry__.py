@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "charlm_quality": text.charlm_quality,
         "bigram_surprisal": text.bigram_surprisal,
         "repetition_filter": text.repetition_filter,
+        "kmv_distinct_users": sketches.kmv_distinct_users,
         "copurchase_type_pairs": relational.copurchase_type_pairs,
         "event_transitions": events.event_transitions,
         "embedding_dim_stats": similarity.embedding_dim_stats,
@@ -534,6 +535,7 @@ def oracle_sql() -> dict[str, str]:
         "charlm_quality": text.CHARLM_QUALITY_SQL,
         "bigram_surprisal": text.BIGRAM_SURPRISAL_SQL,
         "repetition_filter": text.REPETITION_FILTER_SQL,
+        "kmv_distinct_users": sketches.KMV_DISTINCT_SQL,
         "copurchase_type_pairs": relational.COPURCHASE_SQL,
         "event_transitions": events.EVENT_TRANSITIONS_SQL,
         "embedding_dim_stats": similarity.EMBEDDING_DIM_STATS_SQL,

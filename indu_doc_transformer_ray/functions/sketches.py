@@ -1406,3 +1406,163 @@ GROUP BY tok, tot.n
 HAVING COUNT(*) * {HH_K} > tot.n
 ORDER BY cnt DESC, tok
 """
+
+
+# -- KMV (k-minimum-values) distinct sketch + exact verify --------------------
+
+KMV_K = 256
+_KMV_DOMAIN = 1 << 60  # 15 md5 hex chars: BIGINT-safe on the oracle side
+
+
+def _kmv_hash_batch(users: "np.ndarray") -> list[int]:
+    """60-bit md5 hash of each (already deduplicated) user id — the KMV
+    value space, deterministic and SQL-mirrorable."""
+    return [
+        int.from_bytes(hashlib.md5(str(u).encode()).digest()[:8], "big") >> 4
+        for u in users
+    ]
+
+
+def kmv_distinct_users(sf_dir: str) -> "object":
+    """Distinct users per event_type two ways side by side: a KMV
+    (k-minimum-values / bottom-k) sketch estimate (Bar-Yossef et al. 2002;
+    the mergeable bottom-k form of Beyer et al., SIGMOD 2007) and the exact
+    count — the sketch-accuracy audit shape, like ``heavy_hitters``.
+
+    KMV state is the K smallest distinct 60-bit md5 hashes per group;
+    estimate = (K-1) * 2^60 // h_K (pure integers, so the APPROXIMATE
+    answer hash-matches its SQL mirror — same trick as ``hll_users_per_type``).
+    Scale shape: batch partials emit <= K rows per (group, batch); a
+    combine ``map_batches`` re-sketches ~256 partial blocks per task before
+    the per-group fold, so the fold's input is blocks/256 * K rows — a
+    tree reduce, never corpus-proportional.  The exact side is the
+    user-bucket co-location of [[distinct-users-daily]] (in-bucket distinct
+    is global distinct; only (bucket, group, count) partials reach the
+    5-group aggregate).  Output: (event_type, exact_distinct,
+    kmv_estimate); ``exact_distinct`` counts distinct HASHES (= distinct
+    users absent 60-bit collisions, which both sides share by
+    construction)."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from ._util import n_buckets, read_small_aware
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/events.parquet").num_rows)
+    ds = read_small_aware(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": t.column("event_type").to_pylist(),
+                "u": t.column("user_id").to_pylist(),
+            }
+        ).drop_duplicates()
+        gs, hs = [], []
+        for g, sub in df.groupby("g"):
+            hv = sorted(set(_kmv_hash_batch(sub["u"].to_numpy())))[:KMV_K]
+            gs.extend([g] * len(hv))
+            hs.extend(hv)
+        return pa.table(
+            {"g": pa.array(gs, pa.string()), "hv": pa.array(hs, pa.int64())}
+        )
+
+    def resketch(t: pa.Table) -> pa.Table:
+        # combine stage: merge many batch partials into one K-sketch per
+        # group (pure pandas nsmallest over distinct hashes)
+        df = t.to_pandas().drop_duplicates()
+        out_g, out_h = [], []
+        for g, sub in df.groupby("g"):
+            keep = sub["hv"].nsmallest(KMV_K)
+            out_g.extend([g] * len(keep))
+            out_h.extend(keep.tolist())
+        return pa.table(
+            {
+                "g": pa.array(out_g, pa.string()),
+                "hv": pa.array(out_h, pa.int64()),
+            }
+        )
+
+    sketch = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .map_batches(resketch, batch_format="pyarrow", batch_size=KMV_K * 256)
+        .groupby("g")
+        .map_groups(resketch, batch_format="pyarrow")
+        .to_pandas()  # <= n_groups * K rows: the sketch, not the data
+    )
+
+    # exact pass: user-bucket co-location over the same 60-bit hash space
+    def hash_rows(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": t.column("event_type").to_pylist(),
+                "u": t.column("user_id").to_pylist(),
+            }
+        ).drop_duplicates()
+        hv = np.array(_kmv_hash_batch(df["u"].to_numpy()), dtype=np.int64)
+        return pa.table(
+            {
+                "ub": pa.array((hv & (nb - 1)).astype(np.int32)),
+                "g": pa.array(df["g"].to_numpy(), pa.string()),
+                "hv": pa.array(hv),
+            }
+        )
+
+    def bucket_distinct(g: pd.DataFrame) -> pa.Table:
+        c = g[["g", "hv"]].drop_duplicates().groupby("g").size()
+        return pa.table(
+            {
+                "g": pa.array(c.index.to_numpy(), pa.string()),
+                "n": pa.array(c.to_numpy("int64")),
+            }
+        )
+
+    exact = (
+        ds.map_batches(hash_rows, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(bucket_distinct, batch_format="pandas")
+        .groupby("g")
+        .aggregate(Sum("n", alias_name="nd"))
+        .to_pandas()  # n_groups rows
+    )
+
+    rows = []
+    nd_by_g = dict(zip(exact["g"], exact["nd"]))
+    for g, sub in sketch.groupby("g"):
+        hv = sorted(sub["hv"].tolist())
+        if len(hv) < KMV_K:
+            est = len(hv)
+        else:
+            est = (KMV_K - 1) * _KMV_DOMAIN // int(hv[KMV_K - 1])
+        rows.append((g, int(nd_by_g[g]), int(est)))
+    return pd.DataFrame(
+        sorted(rows), columns=["event_type", "exact_distinct", "kmv_estimate"]
+    ).astype({"exact_distinct": "int64", "kmv_estimate": "int64"})
+
+
+KMV_DISTINCT_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+              AS UBIGINT) >> 4 AS hv
+  FROM events
+), r AS (
+  SELECT event_type, CAST(hv AS BIGINT) AS hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS nd
+  FROM h
+)
+SELECT event_type,
+       CAST(MAX(nd) AS BIGINT) AS exact_distinct,
+       CAST(CASE WHEN MAX(nd) >= {KMV_K}
+                 THEN CAST({KMV_K - 1} AS HUGEINT)
+                      * CAST({_KMV_DOMAIN} AS HUGEINT)
+                      // CAST(MAX(CASE WHEN rn = {KMV_K} THEN hv END)
+                              AS HUGEINT)
+                 ELSE MAX(nd) END AS BIGINT) AS kmv_estimate
+FROM r GROUP BY event_type ORDER BY event_type
+"""

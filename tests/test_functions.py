@@ -1249,6 +1249,7 @@ def test_round4_new_ops_match_oracle(ray_session):
         "hybrid_rrf_topk",
         "mutual_knn_pairs",
         "repetition_filter",
+        "kmv_distinct_users",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
@@ -1344,3 +1345,19 @@ def test_media_phash_pairs_planted_neardups(ray_session, tmp_path):
     }
     assert got == want
     assert len(pairs) == len(pairs.drop_duplicates(["ref_a", "ref_b"]))
+
+
+def test_kmv_estimate_accuracy(ray_session):
+    """KMV bottom-k estimate vs exact distinct at a scale where every group
+    exceeds K=256 distinct users: relative error must be within the
+    sketch's theoretical band (~1/sqrt(K-2) ≈ 6.3%; assert a loose 4x).
+    sf0.1 is the smallest corpus whose groups exceed K (1500 distinct
+    users/type; sf0.01 has 150, where KMV degenerates to the exact set)."""
+    from indu_doc_transformer_ray.functions.sketches import kmv_distinct_users
+
+    out = kmv_distinct_users("/root/testdata/sf0.1")
+    assert (out["exact_distinct"] > 256).all()  # sketch branch exercised
+    rel = (out["kmv_estimate"] - out["exact_distinct"]).abs() / out[
+        "exact_distinct"
+    ]
+    assert rel.max() <= 0.25, out.to_dict("records")
