@@ -338,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_filter": text.repetition_filter,
         "kmv_distinct_users": sketches.kmv_distinct_users,
         "pq_topk": similarity.pq_topk,
+        "bpe_fertility": text.bpe_fertility,
         "copurchase_type_pairs": relational.copurchase_type_pairs,
         "event_transitions": events.event_transitions,
         "embedding_dim_stats": similarity.embedding_dim_stats,

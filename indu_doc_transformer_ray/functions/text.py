@@ -2478,3 +2478,157 @@ def compression_ratio(sf_dir: str) -> Dataset:
         )
 
     return docs.map_batches(ratios, batch_format="pyarrow")
+
+
+# -- BPE training (iterative) + tokenizer fertility ---------------------------
+
+_BPE_MEMO: dict[tuple, list] = {}
+
+
+def _bpe_apply(word: str, merges: list, ranks: dict) -> list:
+    """Greedy BPE segmentation (Sennrich et al., ACL 2016): repeatedly merge
+    the adjacent symbol pair with the LOWEST merge rank, all occurrences
+    left-to-right, until no learned pair remains."""
+    syms = list(word)
+    big = 1 << 30
+    while len(syms) > 1:
+        best = big
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]), big)
+            if r < best:
+                best = r
+        if best == big:
+            break
+        a, b = merges[best]
+        out = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_train(sf_dir: str, n_merges: int = 12) -> list:
+    """Full iterative BPE training as a Ray Data pipeline, the way real
+    trainers scale it: train over the WORD-FREQUENCY table, not the corpus
+    (one corpus pass builds (word, n); every merge iteration is then a pass
+    over the vocabulary — Heaps-bounded — with the current merge list
+    broadcast, emitting per-batch weighted pair partials into a tiny
+    (pairs-in-segmentation)-sized groupby; the driver picks the argmax
+    (count DESC, pair ASC) and appends one merge).  The vocab table is
+    materialized ONCE (it is sketch-sized relative to the corpus), so T
+    iterations never rescan the corpus.  Memoized per (sf_dir, n_merges).
+    Contrast ``bpe_pair_merges``, which ranks only the FIRST merge."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    memo_key = (sf_dir, n_merges)
+    if memo_key in _BPE_MEMO:
+        return _BPE_MEMO[memo_key]
+
+    def wf_partial(t: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for text in t.column("text").to_pylist():
+            counts.update(TOKEN_RE.findall(text.lower()))
+        return pa.table(
+            {
+                "token": pa.array(list(counts.keys()), pa.string()),
+                "partial_n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    wf = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(wf_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("partial_n", alias_name="n"))
+        .materialize()  # vocabulary-sized, reused by every iteration
+    )
+
+    merges: list = []
+    for _ in range(n_merges):
+        ref = ray.put(list(merges))
+
+        def pair_partial(t: pa.Table) -> pa.Table:
+            ms = ray.get(ref)
+            ranks = {p: i for i, p in enumerate(ms)}
+            c: Counter = Counter()
+            for w, n in zip(
+                t.column("token").to_pylist(), t.column("n").to_pylist()
+            ):
+                syms = _bpe_apply(w, ms, ranks)
+                for a, b in zip(syms, syms[1:]):
+                    c[(a, b)] += n
+            return pa.table(
+                {
+                    "a": pa.array([k[0] for k in c], pa.string()),
+                    "b": pa.array([k[1] for k in c], pa.string()),
+                    "pn": pa.array(list(c.values()), pa.int64()),
+                }
+            )
+
+        agg = (
+            wf.map_batches(pair_partial, batch_format="pyarrow")
+            .groupby(["a", "b"])
+            .aggregate(Sum("pn", alias_name="n"))
+            .to_pandas()  # pairs present in the current segmentation
+        )
+        if agg.empty:
+            break
+        agg = agg.sort_values(
+            ["n", "a", "b"], ascending=[False, True, True]
+        )
+        merges.append((agg.iloc[0]["a"], agg.iloc[0]["b"]))
+    _BPE_MEMO[memo_key] = merges
+    return merges
+
+
+def bpe_fertility(sf_dir: str, n_merges: int = 12) -> Dataset:
+    """Tokenizer-fertility audit: apply the learned BPE merge table
+    (broadcast once) to every document and report
+    (doc_id, n_words, n_subtokens, fertility_bp = 10000*subtokens//words)
+    — the tokens-per-word statistic that decides whether a tokenizer suits
+    a corpus.  One streaming pass; segmentation per UNIQUE word is cached
+    per batch.  Rows-only for the driver (iterative BPE has no SQL form);
+    equality vs an independent single-process BPE is the pytest gate."""
+    merges = bpe_train(sf_dir, n_merges)
+    ref = ray.put(merges)
+
+    def stats(t: pa.Table) -> pa.Table:
+        ms = ray.get(ref)
+        ranks = {p: i for i, p in enumerate(ms)}
+        cache: dict = {}
+        ids, nw, ns, fb = [], [], [], []
+        for doc_id, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            toks = TOKEN_RE.findall(text.lower())
+            total = 0
+            for w in toks:
+                n = cache.get(w)
+                if n is None:
+                    n = len(_bpe_apply(w, ms, ranks))
+                    cache[w] = n
+                total += n
+            ids.append(doc_id)
+            nw.append(len(toks))
+            ns.append(total)
+            fb.append(10000 * total // len(toks) if toks else 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(nw, pa.int64()),
+                "n_subtokens": pa.array(ns, pa.int64()),
+                "fertility_bp": pa.array(fb, pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )

@@ -1381,3 +1381,90 @@ def test_pq_topk_recall(ray_session):
         recalls[qid] = len(e & a) / len(e)
     assert min(recalls.values()) >= 0.7, recalls
     assert sum(recalls.values()) / 3 >= 0.9, recalls
+
+
+def test_bpe_train_and_fertility_match_reference(ray_session):
+    """The distributed iterative BPE trainer and the fertility pass must
+    equal an INDEPENDENT single-process BPE (Sennrich semantics: weighted
+    overlapping pair counts over the word-frequency table, merge all
+    occurrences left-to-right, tie-break count DESC then pair ASC) on the
+    real sf0.001 corpus — merges list and per-doc stats, exactly."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from indu_doc_transformer_ray.functions.text import (
+        TOKEN_RE,
+        bpe_fertility,
+        bpe_train,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    merges = bpe_train(sf)
+    assert len(merges) == 12
+
+    def ref_apply(word, ms, ranks):
+        syms = list(word)
+        while len(syms) > 1:
+            cand = [
+                (ranks[(syms[i], syms[i + 1])], i)
+                for i in range(len(syms) - 1)
+                if (syms[i], syms[i + 1]) in ranks
+            ]
+            if not cand:
+                break
+            r = min(cand)[0]
+            a, b = ms[r]
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == (a, b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    wf: Counter = Counter()
+    for t in docs["text"]:
+        wf.update(TOKEN_RE.findall(t.lower()))
+    ref_merges = []
+    for _ in range(12):
+        ranks = {p: i for i, p in enumerate(ref_merges)}
+        pc: Counter = Counter()
+        for w, n in wf.items():
+            syms = ref_apply(w, ref_merges, ranks)
+            for pair in zip(syms, syms[1:]):
+                pc[pair] += n
+        if not pc:
+            break
+        ref_merges.append(
+            sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        )
+    assert merges == ref_merges
+
+    got = (
+        bpe_fertility(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+    ranks = {p: i for i, p in enumerate(ref_merges)}
+    rows = []
+    for doc_id, t in zip(docs["doc_id"], docs["text"]):
+        toks = TOKEN_RE.findall(t.lower())
+        total = sum(len(ref_apply(w, ref_merges, ranks)) for w in toks)
+        rows.append(
+            (doc_id, len(toks), total,
+             10000 * total // len(toks) if toks else 0)
+        )
+    want = pd.DataFrame(
+        rows, columns=["doc_id", "n_words", "n_subtokens", "fertility_bp"]
+    ).sort_values("doc_id").reset_index(drop=True).astype("int64")
+    assert got.equals(want)
+    # merges strictly reduce token counts vs character segmentation
+    assert (got["n_subtokens"] < docs.set_index("doc_id")["text"].str.len()
+            .reindex(got["doc_id"]).to_numpy()).all()
