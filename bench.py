@@ -150,6 +150,11 @@ QUERY_CHUNKS = [
     ["cluster_cap_sample", "bfs_hops", "pca_project", "knn_label_accuracy"],
     ["events_trailing_density", "customer_order_seq", "weighted_median_price",
      "cusum_drift", "heavy_hitters", "hybrid_rrf_topk", "mutual_knn_pairs"],
+    # session-3 additions (line_dedup rides the documents scan; media ops
+    # ride the span corpus; pq shares no memo with the ivf family)
+    ["line_dedup", "bigram_surprisal", "repetition_filter",
+     "kmv_distinct_users", "pq_topk", "bpe_fertility",
+     "media_dhash", "media_phash_pairs"],
 ]
 
 
