@@ -878,3 +878,105 @@ ORDER BY p_partkey, score_mu DESC, rec_partkey
 """
 
 
+
+
+# -- CDC upsert/delete materialization (the lakehouse MERGE shape) -----------
+
+def cdc_upsert_snapshot(sf_dir: str) -> Dataset:
+    """Materialize a current snapshot from a base table + a changelog of
+    upserts and deletes — the Delta-Lake/Iceberg MERGE INTO shape.  The
+    changelog is derived deterministically from orders so the op is
+    self-contained: version 0 = every base row, version 1 = an upsert
+    doubling o_totalprice for o_orderkey % 7 == 0, version 2 = a delete
+    for o_orderkey % 11 == 0.  Semantics: per key, the highest version
+    wins; a winning delete drops the key.
+
+    Scale shape: base and changelog are UNIONED as one stream tagged
+    (version, op) and resolved in ONE key-bucket co-location — per-key
+    latest is computed vectorized inside ``groupby(kb).map_groups``
+    (sort + tail(1) per key in-kernel, never a key-proportional Dataset
+    groupby), so the exchange volume is base + changelog rows and driver
+    state is zero.  A real changelog source would replace the two derived
+    map_batches; the resolve stage is unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
+    base = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def tag(version: int):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t.column("o_orderkey")
+            price = t.column("o_totalprice")
+            if version == 0:
+                keep = np.ones(len(t), dtype=bool)
+                pr = price.to_numpy(zero_copy_only=False)
+                op = "i"
+            elif version == 1:
+                keep = k.to_numpy(zero_copy_only=False) % 7 == 0
+                pr = price.to_numpy(zero_copy_only=False) * 2.0
+                op = "u"
+            else:
+                keep = k.to_numpy(zero_copy_only=False) % 11 == 0
+                pr = np.zeros(len(t), dtype=np.float64)
+                op = "d"
+            kk = k.to_numpy(zero_copy_only=False)[keep]
+            return pa.table(
+                {
+                    "kb": pa.array((kk % nb).astype(np.int32)),
+                    "k": pa.array(kk.astype(np.int64)),
+                    "price": pa.array(np.asarray(pr)[keep].astype(np.float64)),
+                    "version": pa.array(
+                        np.full(keep.sum(), version, dtype=np.int64)
+                    ),
+                    "op": pa.array([op] * int(keep.sum()), pa.string()),
+                }
+            )
+
+        return fn
+
+    stream = (
+        base.map_batches(tag(0), batch_format="pyarrow")
+        .union(base.map_batches(tag(1), batch_format="pyarrow"))
+        .union(base.map_batches(tag(2), batch_format="pyarrow"))
+    )
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        latest = (
+            g.sort_values(["k", "version"]).groupby("k", as_index=False)
+            .tail(1)
+        )
+        live = latest[latest["op"] != "d"]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(live["k"].to_numpy("int64")),
+                "price": pa.array(live["price"].to_numpy("float64")),
+                "version": pa.array(live["version"].to_numpy("int64")),
+            }
+        )
+
+    return stream.groupby("kb").map_groups(resolve, batch_format="pandas")
+
+
+CDC_UPSERT_SQL = """
+WITH all_rows AS (
+  SELECT o_orderkey AS k, o_totalprice AS price, 0 AS version, 'i' AS op
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_totalprice * 2, 1, 'u' FROM orders
+  WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, 0.0, 2, 'd' FROM orders WHERE o_orderkey % 11 = 0
+),
+latest AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+  FROM all_rows
+)
+SELECT k AS o_orderkey, price, CAST(version AS BIGINT) AS version
+FROM latest WHERE rn = 1 AND op <> 'd'
+ORDER BY o_orderkey
+"""

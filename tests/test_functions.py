@@ -1250,6 +1250,7 @@ def test_round4_new_ops_match_oracle(ray_session):
         "mutual_knn_pairs",
         "repetition_filter",
         "kmv_distinct_users",
+        "cdc_upsert_snapshot",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
