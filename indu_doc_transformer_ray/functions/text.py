@@ -1806,6 +1806,44 @@ ORDER BY d.doc_id
 
 # -- within-doc repetition filter (Gopher repetition signals) -----------------
 
+
+def _repetition_signals(toks: list) -> tuple:
+    """(n_trigrams, dup_tri_occ, dup_tri_chars, top_bigram_mass) for one
+    token list — token-id encode once, n-gram keys packed as exact int64
+    id tuples (vocab per doc << 2^21), np.unique as the counter.  Shared
+    by the operator kernel and the hypothesis property test."""
+    import numpy as np
+
+    n = len(toks)
+    if n < 2:
+        return (max(0, n - 2), 0, 0, 0)
+    uniq, ids = np.unique(np.array(toks, dtype=object), return_inverse=True)
+    lens = np.array([len(u) for u in uniq], dtype=np.int64)
+    ids = ids.astype(np.int64)
+    v = np.int64(len(uniq))
+    bkey = ids[:-1] * v + ids[1:]
+    blen = lens[ids[:-1]] + lens[ids[1:]] + 1
+    bu, binv, bcnt = np.unique(bkey, return_inverse=True, return_counts=True)
+    blen_u = np.zeros(len(bu), dtype=np.int64)
+    blen_u[binv] = blen  # any occurrence's len (all equal per key)
+    top_bi = int((bcnt * blen_u).max())
+    if n < 3:
+        return (0, 0, 0, top_bi)
+    tkey = (ids[:-2] * v + ids[1:-1]) * v + ids[2:]
+    tlen = lens[ids[:-2]] + lens[ids[1:-1]] + lens[ids[2:]] + 2
+    tu, tinv, tcnt = np.unique(tkey, return_inverse=True, return_counts=True)
+    tlen_u = np.zeros(len(tu), dtype=np.int64)
+    tlen_u[tinv] = tlen
+    dup = tcnt > 1
+    return (
+        int(tcnt.sum()),
+        int(tcnt[dup].sum()),
+        int((tcnt[dup] * tlen_u[dup]).sum()),
+        top_bi,
+    )
+
+
+
 def repetition_filter(sf_dir: str) -> Dataset:
     """Within-document repetition signals — the Gopher repetition rules
     (Rae et al. 2021 §A1.1: "fraction of characters in duplicate n-grams" /
@@ -1825,50 +1863,14 @@ def repetition_filter(sf_dir: str) -> Dataset:
     Per-doc n-gram counting uses ``np.unique`` over int64 FNV-style rolling
     hashes of token ids, so the per-batch work is numpy, not a Python
     Counter over strings."""
-    import numpy as np
-
     def signals(batch: pa.Table) -> pa.Table:
         n_tri, dup_occ, dup_chars, top_bi = [], [], [], []
         for text in batch.column("text").to_pylist():
-            toks = TOKEN_RE.findall(text.lower())
-            n = len(toks)
-            if n < 2:
-                n_tri.append(max(0, n - 2))
-                dup_occ.append(0)
-                dup_chars.append(0)
-                top_bi.append(0)
-                continue
-            # token-id encode once; n-gram keys are exact id tuples packed
-            # into int64 (vocab per doc << 2^21, positions << 2^21)
-            uniq, ids = np.unique(np.array(toks, dtype=object),
-                                  return_inverse=True)
-            lens = np.array([len(u) for u in uniq], dtype=np.int64)
-            ids = ids.astype(np.int64)
-            # bigrams: key = id[i] * V + id[i+1]
-            v = np.int64(len(uniq))
-            bkey = ids[:-1] * v + ids[1:]
-            blen = lens[ids[:-1]] + lens[ids[1:]] + 1
-            bu, binv, bcnt = np.unique(bkey, return_inverse=True,
-                                       return_counts=True)
-            # mass per distinct bigram = count * len; len constant per key
-            blen_u = np.zeros(len(bu), dtype=np.int64)
-            blen_u[binv] = blen  # any occurrence's len (all equal per key)
-            top_bi.append(int((bcnt * blen_u).max()))
-            if n < 3:
-                n_tri.append(0)
-                dup_occ.append(0)
-                dup_chars.append(0)
-                continue
-            tkey = (ids[:-2] * v + ids[1:-1]) * v + ids[2:]
-            tlen = lens[ids[:-2]] + lens[ids[1:-1]] + lens[ids[2:]] + 2
-            tu, tinv, tcnt = np.unique(tkey, return_inverse=True,
-                                       return_counts=True)
-            tlen_u = np.zeros(len(tu), dtype=np.int64)
-            tlen_u[tinv] = tlen
-            dup = tcnt > 1
-            n_tri.append(int(tcnt.sum()))
-            dup_occ.append(int(tcnt[dup].sum()))
-            dup_chars.append(int((tcnt[dup] * tlen_u[dup]).sum()))
+            a, b, c, d = _repetition_signals(TOKEN_RE.findall(text.lower()))
+            n_tri.append(a)
+            dup_occ.append(b)
+            dup_chars.append(c)
+            top_bi.append(d)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

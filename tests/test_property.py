@@ -413,3 +413,37 @@ def test_zorder_monotone_per_dimension(a, b, delta):
         assert z(a2, b) > z(a, b)
     if b2 > b:
         assert z(a, b2) > z(a, b)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_repetition_kernel_matches_naive_counter(texts):
+    """The production np.unique packed-token-id kernel
+    (text._repetition_signals, the exact function the operator maps) must
+    equal a naive Counter reference on arbitrary small texts (ties, empty
+    docs, single tokens, all-identical tokens)."""
+    from collections import Counter
+
+    from indu_doc_transformer_ray.functions.text import (
+        TOKEN_RE,
+        _repetition_signals,
+    )
+
+    for t in texts:
+        toks = TOKEN_RE.findall(t.lower())
+        tris = [" ".join(toks[i : i + 3]) for i in range(max(0, len(toks) - 2))]
+        bis = [" ".join(toks[i : i + 2]) for i in range(max(0, len(toks) - 1))]
+        tc, bc = Counter(tris), Counter(bis)
+        want = (
+            len(tris) if len(toks) >= 2 else max(0, len(toks) - 2),
+            sum(c for c in tc.values() if c > 1),
+            sum(c * len(g) for g, c in tc.items() if c > 1),
+            max((c * len(g) for g, c in bc.items()), default=0),
+        )
+        assert _repetition_signals(toks) == want, (t, want)
