@@ -3544,3 +3544,138 @@ def pq_topk(sf_dir: str) -> "object":
     return pd.DataFrame(
         out_rows, columns=["query_id", "vec_id", "rank"]
     ).astype("int64")
+
+
+# -- link prediction: common-neighbors over the k-NN graph --------------------
+
+def common_neighbors_topk(sf_dir: str, k: int = 20) -> Dataset:
+    """Link prediction by common-neighbor counting (Liben-Nowell &
+    Kleinberg, CIKM 2003) over the undirected view of the memoized IVF
+    k-NN graph: for every NON-adjacent pair, score = |N(a) ∩ N(b)|; emit
+    the global top-``k`` (score DESC, pair ASC).
+
+    Distributed shape — wedge enumeration, the triangle-counting sibling:
+    each directed edge ships both orientations into a CENTER-bucket
+    co-location (a node's whole neighbor list lands in one task), each
+    center emits its neighbor-pair wedges vectorized (triu indices over
+    the sorted unique list — wedge volume is Σ deg², bounded by the knn
+    fan-in, never all-pairs); wedges AND canonical edges then co-locate by
+    PAIR bucket, where score = wedge count and any edge row kills the
+    pair.  Per-bucket top-k prune means the final sort+limit sees
+    O(k * n_buckets) rows, not the pair population."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows)
+    MIX = 2654435761
+
+    def both_dirs(t: pd.DataFrame) -> pd.DataFrame:
+        v = t["vec_id"].to_numpy(dtype=np.int64)
+        n = t["nbr_id"].to_numpy(dtype=np.int64)
+        c = np.concatenate([v, n])
+        o = np.concatenate([n, v])
+        return pd.DataFrame(
+            {
+                "cb": (c % nb).astype("int32"),
+                "center": c,
+                "nbr": o,
+            }
+        )
+
+    def wedges(g: pd.DataFrame) -> pa.Table:
+        out_x, out_y, out_f = [], [], []
+        for c, sub in g.groupby("center"):
+            nbrs = np.unique(sub["nbr"].to_numpy())
+            m = len(nbrs)
+            if m >= 2:  # wedge rows (is_edge=0): every neighbor pair
+                ii, jj = np.triu_indices(m, 1)
+                out_x.append(nbrs[ii])
+                out_y.append(nbrs[jj])
+                out_f.append(np.zeros(len(ii), dtype=np.int8))
+            # canonical edge rows (is_edge=1) for the exclusion stream:
+            # both orientations reach some center bucket, so each
+            # undirected edge is emitted at least once as (min, max)
+            e = nbrs[nbrs > c]
+            if len(e):
+                out_x.append(np.full(len(e), c, dtype=np.int64))
+                out_y.append(e)
+                out_f.append(np.ones(len(e), dtype=np.int8))
+        if not out_x:
+            return pa.table(
+                {
+                    "pb": pa.array([], pa.int32()),
+                    "x": pa.array([], pa.int64()),
+                    "y": pa.array([], pa.int64()),
+                    "is_edge": pa.array([], pa.int8()),
+                }
+            )
+        x = np.concatenate(out_x)
+        y = np.concatenate(out_y)
+        f = np.concatenate(out_f)
+        pb = ((x.astype(np.uint64) * MIX + y.astype(np.uint64)) % nb).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "pb": pa.array(pb),
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "is_edge": pa.array(f),
+            }
+        )
+
+    def pair_fold(g: pd.DataFrame) -> pa.Table:
+        # score = wedge rows only; any edge row kills the pair.  Per-bucket
+        # top-k under the same total order as the global sort is a lossless
+        # prune: a global top-k pair is top-k within its bucket a fortiori.
+        sc = g[g["is_edge"] == 0].groupby(["x", "y"]).size()
+        ed = g[g["is_edge"] == 1][["x", "y"]].drop_duplicates()
+        sc = sc.reset_index(name="score")
+        merged = sc.merge(ed.assign(e=1), on=["x", "y"], how="left")
+        live = merged[merged["e"].isna()].nlargest(
+            k, ["score"], keep="all"
+        ).sort_values(["score", "x", "y"], ascending=[False, True, True]).head(k)
+        return pa.table(
+            {
+                "vec_a": pa.array(live["x"].to_numpy("int64")),
+                "vec_b": pa.array(live["y"].to_numpy("int64")),
+                "common_neighbors": pa.array(live["score"].to_numpy("int64")),
+            }
+        )
+
+    return (
+        knn_graph(sf_dir)
+        .map_batches(both_dirs, batch_format="pandas")
+        .groupby("cb")
+        .map_groups(wedges, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(pair_fold, batch_format="pandas")
+        .sort(
+            ["common_neighbors", "vec_a", "vec_b"],
+            descending=[True, False, False],
+        )
+        .limit(k)
+    )
+
+
+COMMON_NEIGHBORS_SQL = f"""
+WITH g AS MATERIALIZED ({KNN_GRAPH_SQL}),
+und AS (
+  SELECT vec_id AS a, nbr_id AS b FROM g
+  UNION
+  SELECT nbr_id, vec_id FROM g
+),
+wedge AS (
+  SELECT u1.b AS x, u2.b AS y
+  FROM und u1 JOIN und u2 ON u1.a = u2.a AND u1.b < u2.b
+),
+cn AS (SELECT x, y, COUNT(*) AS score FROM wedge GROUP BY x, y)
+SELECT cn.x AS vec_a, cn.y AS vec_b, CAST(cn.score AS BIGINT) AS common_neighbors
+FROM cn LEFT JOIN und e ON cn.x = e.a AND cn.y = e.b
+WHERE e.a IS NULL
+ORDER BY common_neighbors DESC, vec_a, vec_b
+LIMIT 20
+"""

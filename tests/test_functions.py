@@ -1251,6 +1251,7 @@ def test_round4_new_ops_match_oracle(ray_session):
         "repetition_filter",
         "kmv_distinct_users",
         "cdc_upsert_snapshot",
+        "common_neighbors_topk",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
