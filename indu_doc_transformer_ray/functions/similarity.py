@@ -472,7 +472,6 @@ def lsh_cosine_pairs(sf_dir: str, threshold: float = 0.42) -> "object":
 #: Dataset whose block refs die with the Ray session, so entries carry the
 #: job id and are dropped when the session changed.
 _CENT_MEMO: dict[tuple, np.ndarray] = {}
-_KNN_MEMO: dict[tuple, tuple[str, Dataset]] = {}
 
 
 def _session_token() -> str:
@@ -1162,213 +1161,6 @@ ORDER BY vec_a, vec_b"""
 LSH_COSINE_PAIRS_SQL = _lsh_cosine_pairs_sql()
 
 
-def knn_graph(
-    sf_dir: str, k_cells: int = 8, iters: int = 5, nprobe: int = 3, k: int = 3
-) -> Dataset:
-    """IVF-probed k-NN GRAPH: top-``k`` cosine neighbors for EVERY vector
-    (not just the fixed query set) — the clustering/near-dup building
-    block.  Each vector probes its ``nprobe`` nearest k-means cells; a
-    cell's group computes one probes x members matmul and keeps per-probe
-    local top-k; a bucketed fold then reduces each vector's <= nprobe*k
-    candidates to the global top-k.  The per-cell group holds one IVF
-    partition — the standard IVF memory assumption; scale ``k_cells`` with
-    the corpus so partitions stay task-sized.  Deterministic (fixed seed
-    centroids, stable tie-breaks), so the APPROXIMATE graph carries a full
-    DuckDB oracle.  Output: (vec_id, nbr_id, rank).  Memoized
-    (materialized) per params + Ray session — pagerank / triangle_count /
-    label_propagation reuse one build when run back-to-back."""
-    import pandas as pd
-
-    memo_key = (sf_dir, k_cells, iters, nprobe, k)
-    tok = _session_token()
-    hit = _KNN_MEMO.get(memo_key)
-    if hit is not None and hit[0] == tok:
-        return hit[1]
-
-    cents = _kmeans_centroids(sf_dir, k_cells, iters)
-    cref = ray.put(cents)
-    # candidate-fold bucket count derived from the embeddings row count
-    # (parquet metadata, no scan): each fold bucket holds ~ROWS_PER_BUCKET
-    # candidate rows at any corpus scale instead of corpus/512
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    vb_buckets = n_buckets(
-        pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows * nprobe
-    )
-
-    def emit(t: pd.DataFrame) -> pd.DataFrame:
-        cents_ = ray.get(cref)
-        emb = np.array(t["embedding"].tolist(), dtype=np.float64)
-        ids = t["vec_id"].astype("int64").to_numpy()
-        d2 = ((emb[:, None, :] - cents_[None, :, :]) ** 2).sum(axis=2)
-        own = d2.argmin(axis=1)
-        probes = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
-        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-        # vectorized row explosion, emitted as ARROW (pandas blocks pay
-        # ~13x through the co-location shuffle — see dedup bucket_pairs);
-        # per row i: (own cell, role 0) then its nprobe probe cells
-        n, dim = en.shape
-        cells = np.column_stack([own[:, None], probes]).ravel().astype("int32")
-        vid = np.repeat(ids, 1 + nprobe)
-        role = np.tile(
-            np.array([0] + [1] * nprobe, dtype=np.int32), n
-        )
-        vecs = np.repeat(en, 1 + nprobe, axis=0)
-        return pa.table(
-            {
-                "cell": pa.array(cells),
-                "vec_id": pa.array(vid.astype("int64")),
-                "role": pa.array(role),
-                "vec": pa.FixedSizeListArray.from_arrays(
-                    pa.array(vecs.ravel(), pa.float64()), dim
-                ),
-            }
-        )
-
-    def cell_knn(g: pd.DataFrame) -> pa.Table:
-        m = g[g["role"] == 0]
-        p = g[g["role"] == 1]
-        if not len(m) or not len(p):
-            return pa.table(
-                {"vb": pa.array([], pa.int32()),
-                 "vec_id": pa.array([], pa.int64()),
-                 "nbr_id": pa.array([], pa.int64()),
-                 "sim": pa.array([], pa.float64())}
-            )
-        M = np.array(m["vec"].tolist())
-        P = np.array(p["vec"].tolist())
-        mids = m["vec_id"].to_numpy()
-        pids = p["vec_id"].to_numpy()
-        sims = P @ M.T
-        out_v, out_n, out_s = [], [], []
-        for i in range(len(pids)):
-            mask = mids != pids[i]
-            if not mask.any():
-                continue
-            cand_n, cand_s = mids[mask], sims[i][mask]
-            order = np.lexsort((cand_n, -cand_s))[: k]
-            out_v.extend([int(pids[i])] * len(order))
-            out_n.extend(cand_n[order].tolist())
-            out_s.extend(cand_s[order].tolist())
-        ov = np.asarray(out_v, dtype=np.int64)
-        return pa.table(
-            {"vb": pa.array((ov % vb_buckets).astype("int32")),
-             "vec_id": pa.array(ov),
-             "nbr_id": pa.array(np.asarray(out_n, dtype=np.int64)),
-             "sim": pa.array(np.asarray(out_s, dtype=np.float64))}
-        )
-
-    def fold(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["vec_id", "sim", "nbr_id"],
-                          ascending=[True, False, True])
-        g = g[g.groupby("vec_id").cumcount() < k]
-        return pa.table(
-            {"vec_id": pa.array(g["vec_id"].astype("int64").values),
-             "nbr_id": pa.array(g["nbr_id"].astype("int64").values),
-             "rank": pa.array(
-                 (g.groupby("vec_id").cumcount() + 1).astype("int64").values
-             )}
-        )
-
-    graph = (
-        _read_emb(sf_dir)
-        .map_batches(emit, batch_format="pandas")
-        .groupby("cell")
-        .map_groups(cell_knn, batch_format="pandas")
-        .groupby("vb")
-        .map_groups(fold, batch_format="pandas")
-        .materialize()
-    )
-    _KNN_MEMO[memo_key] = (tok, graph)
-    return graph
-
-
-def _knn_graph_sql(
-    k_cells: int = 8, iters: int = 5, nprobe: int = 3, k: int = 3
-) -> str:
-    """DuckDB mirror of ``knn_graph``: the shared Lloyd CTE chain, per-vector
-    cell + nprobe probe sets, exact cosine ranking within probed cells."""
-    return _kmeans_cte_prefix(k_cells, iters) + f""", vdist AS (
-  SELECT comp.vec_id, p.cluster, SUM((comp.x - p.c) * (comp.x - p.c)) AS d
-  FROM comp JOIN cent{iters} p USING (dim)
-  GROUP BY comp.vec_id, p.cluster
-), vcell AS (
-  SELECT vec_id, cluster FROM (
-    SELECT vec_id, cluster,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
-    FROM vdist
-  ) WHERE rn = 1
-), vprobe AS (
-  SELECT vec_id, cluster FROM (
-    SELECT vec_id, cluster,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
-    FROM vdist
-  ) WHERE rn <= {nprobe}
-), cand AS (
-  SELECT a.vec_id AS src, m.vec_id AS nbr
-  FROM vprobe a JOIN vcell m USING (cluster)
-  WHERE m.vec_id != a.vec_id
-)
-SELECT vec_id, nbr_id, rank FROM (
-  SELECT c.src AS vec_id, c.nbr AS nbr_id,
-         CAST(row_number() OVER (
-              PARTITION BY c.src
-              ORDER BY list_cosine_similarity(es.embedding, en.embedding)
-                       DESC, c.nbr
-         ) AS BIGINT) AS rank
-  FROM cand c JOIN embeddings es ON c.src = es.vec_id
-              JOIN embeddings en ON c.nbr = en.vec_id
-) WHERE rank <= {k} ORDER BY vec_id, rank"""
-
-
-KNN_GRAPH_SQL = _knn_graph_sql()
-
-
-def vec_dup_clusters(sf_dir: str, threshold: float = 0.42) -> Dataset:
-    """Embedding-cosine near-duplicate CLUSTERS: connected components of the
-    hyperplane-LSH cosine-pair graph (``lsh_cosine_pairs``), by the shared
-    min-label-propagation construction (``dedup.label_components``).
-    Output: (vec_id, cluster_rep) for every vector in at least one pair;
-    cluster_rep = min vec_id of the component (the canonical keeper)."""
-    import pandas as pd
-
-    from .dedup import label_components
-
-    labels = label_components(
-        lsh_cosine_pairs(sf_dir, threshold=threshold), "vec_a", "vec_b"
-    )
-
-    def shape(t: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "vec_id": t["node"].astype("int64"),
-                "cluster_rep": t["lbl"].astype("int64"),
-            }
-        )
-
-    return labels.map_batches(shape, batch_format="pandas")
-
-
-VEC_DUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE pairs AS ({LSH_COSINE_PAIRS_SQL.replace("ORDER BY vec_a, vec_b", "")}),
-edges AS (
-  SELECT vec_a AS a, vec_b AS b FROM pairs
-  UNION SELECT vec_b, vec_a FROM pairs
-),
-reach(a, b) AS (
-  SELECT a, b FROM edges
-  UNION
-  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-)
-SELECT a AS vec_id, CAST(LEAST(a, MIN(b)) AS BIGINT) AS cluster_rep
-FROM reach GROUP BY a ORDER BY vec_id
-"""
-
-
-# -- hard-negative mining -----------------------------------------------------
-
 def hard_negatives(sf_dir: str, n_blocks: int = 4) -> Dataset:
     """Contrastive-training hard-negative mining: for EVERY vector, the
     single most-similar vector carrying a DIFFERENT label (the "hardest"
@@ -1474,397 +1266,6 @@ SELECT vec_id, neg_id FROM (
 ) WHERE rk = 1 ORDER BY vec_id
 """
 
-
-# -- PageRank over the k-NN graph ----------------------------------------------
-
-#: Edge budget for the pagerank/label-propagation driver escape: below it
-#: the static graph fits one driver ndarray pass per round (~16 bytes/edge).
-PAGERANK_DRIVER_EDGE_BUDGET = 4_000_000
-
-PAGERANK_MASS = 1_000_000_000  # total integer rank mass (micro-unit scale)
-
-
-def pagerank_knn(sf_dir: str, iters: int = 5) -> Dataset:
-    """PageRank power iteration over the IVF k-NN graph — the iterative-
-    graph shape on Ray Data, with the STATIC side pinned: the edge table is
-    pushed ONCE into a pool of sharded ``num_cpus=0`` edge actors (each
-    owning every out-edge of the nodes that route to it — the
-    ``state/dedup_index`` pattern: Dataset ops for per-record work, raw
-    actors only for state that outlives a Dataset execution), so the graph
-    NEVER crosses the shuffle again.  Each round is then a single
-    all-to-all: a plain ``map_batches`` over the rank vector computes
-    contributions via one batched RPC per touched shard (vectorized
-    searchsorted edge lookup inside the actor), and one bucketed groupby
-    folds them per destination.  Per round that moves O(n·k) contribution
-    rows and nothing else — the previous union-based formulation re-shuffled
-    the edge table every round and paid 2 all-to-alls + a materialize
-    (measured 28.8 s -> this shape at sf0.001/8 CPUs; see BENCH notes).
-    All arithmetic is INTEGER (initial mass ``PAGERANK_MASS // n``, damping
-    85/100 and teleport 15/100 as floor divisions), so ``iters`` rounds of
-    floor arithmetic are bit-identical on any engine and the DuckDB oracle
-    hash-matches the APPROXIMATE algorithm end-to-end (k-means cells ->
-    probes -> knn -> pagerank).  Output: (vec_id, rank_mu)."""
-    import pandas as pd
-
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    S = PAGERANK_MASS
-    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
-    nb = n_buckets(n)
-    tp = (15 * (S // n)) // 100
-
-    # size-adaptive escape (the label_components driver-union-find pattern):
-    # a k-NN graph under the edge budget is power-iterated on the driver in
-    # one numpy pass per round — identical integer arithmetic, zero
-    # all-to-alls — instead of ~2 fixed-latency exchanges per round.  Above
-    # the budget the sharded-edge-actor loop below runs unchanged
-    # (equality-tested against the escape).
-    edges_ds = knn_graph(sf_dir)
-    m_edges = edges_ds.count()
-    if m_edges <= PAGERANK_DRIVER_EDGE_BUDGET:
-        import pandas as pd
-
-        e = edges_ds.to_pandas()
-        src_a = e["vec_id"].to_numpy(np.int64)
-        dst_a = e["nbr_id"].to_numpy(np.int64)
-        order = np.argsort(src_a, kind="stable")
-        src_a, dst_a = src_a[order], dst_a[order]
-        _, inv, cnt = np.unique(src_a, return_inverse=True, return_counts=True)
-        kout = cnt[inv].astype(np.int64)
-        nodes = np.sort(
-            pq.read_table(
-                f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
-            )["vec_id"].to_numpy().astype(np.int64)
-        )
-        dst_idx = np.searchsorted(nodes, dst_a)
-        src_idx = np.searchsorted(nodes, src_a)
-        rank = np.full(len(nodes), S // n, dtype=np.int64)
-        for _ in range(iters):
-            in_sum = np.zeros(len(nodes), dtype=np.int64)
-            np.add.at(in_sum, dst_idx, rank[src_idx] // kout)
-            rank = tp + (85 * in_sum) // 100
-        return pd.DataFrame({"vec_id": nodes, "rank_mu": rank})
-
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    n_shards = max(2, min(16, ncpu // 2))
-
-    @ray.remote(num_cpus=0)
-    class EdgeShard:
-        """Owns every out-edge of the nodes with src % n_shards == shard id.
-        ``num_cpus=0``: lookups only — a CPU reservation would starve the
-        map tasks that call it (actor-pool deadlock gotcha)."""
-
-        def __init__(self):
-            self._src_parts: list[np.ndarray] = []
-            self._dst_parts: list[np.ndarray] = []
-            self._src = self._dst = self._kout = None
-
-        def add_batch(self, src: np.ndarray, dst: np.ndarray) -> int:
-            self._src_parts.append(src)
-            self._dst_parts.append(dst)
-            return len(src)
-
-        def seal(self) -> int:
-            """Sort edges by src and precompute per-edge out-degree."""
-            if self._src_parts:
-                src = np.concatenate(self._src_parts)
-                dst = np.concatenate(self._dst_parts)
-            else:
-                src = dst = np.empty(0, dtype=np.int64)
-            order = np.argsort(src, kind="stable")
-            self._src, self._dst = src[order], dst[order]
-            _, inv, cnt = np.unique(
-                self._src, return_inverse=True, return_counts=True
-            )
-            self._kout = cnt[inv].astype(np.int64)
-            self._src_parts = self._dst_parts = None
-            return len(self._src)
-
-        def contribs(self, ids: np.ndarray, ranks: np.ndarray):
-            """rank//k_out per out-edge of each queried node — vectorized
-            searchsorted slice gather, no Python loop over edges."""
-            lo = np.searchsorted(self._src, ids, side="left")
-            hi = np.searchsorted(self._src, ids, side="right")
-            cnt = hi - lo
-            total = int(cnt.sum())
-            if total == 0:
-                return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
-            starts = np.repeat(
-                lo - np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt
-            )
-            idx = starts + np.arange(total)
-            c = np.repeat(ranks, cnt) // self._kout[idx]
-            return (self._dst[idx], c.astype(np.int64))
-
-    shards = [EdgeShard.remote() for _ in range(n_shards)]
-
-    def push_edges(t: pd.DataFrame) -> pd.DataFrame:
-        src = t["vec_id"].to_numpy(dtype=np.int64)
-        dst = t["nbr_id"].to_numpy(dtype=np.int64)
-        sh = src % n_shards
-        ray.get(
-            [
-                shards[s].add_batch.remote(src[sh == s], dst[sh == s])
-                for s in np.unique(sh)
-            ]
-        )
-        return pd.DataFrame({"n": pd.Series([len(t)], dtype="int64")})
-
-    # build barrier: every edge durable in its shard, then seal (sort +
-    # out-degree) once — the graph never moves again.
-    edges_ds.map_batches(push_edges, batch_format="pandas").count()
-    ray.get([s.seal.remote() for s in shards])
-
-    def rank0(t: pd.DataFrame) -> pd.DataFrame:
-        v = t["vec_id"].astype("int64")
-        return pd.DataFrame(
-            {"a": v, "v": pd.Series([S // n] * len(t), dtype="int64").values}
-        )
-
-    ranks = (
-        ray.data.read_parquet(
-            f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
-        )
-        .map_batches(rank0, batch_format="pandas")
-    )
-
-    def contrib_rows(t: pd.DataFrame) -> pd.DataFrame:
-        """Zero seed for the batch's own nodes (keeps every node alive in
-        the fold) + contribution rows fetched with one RPC per shard."""
-        ids = t["a"].to_numpy(dtype=np.int64)
-        rks = t["v"].to_numpy(dtype=np.int64)
-        frames = [
-            pd.DataFrame(
-                {
-                    "db": (ids % nb).astype(np.int32),
-                    "a": ids,
-                    "c": np.zeros(len(ids), dtype=np.int64),
-                }
-            )
-        ]
-        sh = ids % n_shards
-        touched = np.unique(sh)
-        refs = [
-            shards[s].contribs.remote(ids[sh == s], rks[sh == s])
-            for s in touched
-        ]
-        for dst, c in ray.get(refs):
-            if len(dst):
-                frames.append(
-                    pd.DataFrame(
-                        {"db": (dst % nb).astype(np.int32), "a": dst, "c": c}
-                    )
-                )
-        return pd.concat(frames, ignore_index=True)
-
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby("a")["c"].sum().reset_index()
-        return pd.DataFrame(
-            {
-                "a": agg["a"].astype("int64").values,
-                "v": (tp + (85 * agg["c"].astype("int64")) // 100).values,
-            }
-        )
-
-    for _ in range(iters):
-        ranks = (
-            ranks.map_batches(contrib_rows, batch_format="pandas")
-            .groupby("db")
-            .map_groups(fold, batch_format="pandas")
-        )
-
-    def final(t: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "vec_id": t["a"].astype("int64"),
-                "rank_mu": t["v"].astype("int64"),
-            }
-        )
-
-    return ranks.map_batches(final, batch_format="pandas").sort("vec_id")
-
-
-def _pagerank_sql(iters: int = 5) -> str:
-    S = PAGERANK_MASS
-    prev = "r0"
-    steps = []
-    for i in range(1, iters + 1):
-        steps.append(f"""r{i} AS (
-  SELECT n2.vec_id,
-         CAST((15 * ({S} // s.n)) // 100
-              + (85 * COALESCE(i{i}.in_sum, 0)) // 100 AS BIGINT) AS r
-  FROM nodes n2 CROSS JOIN stats s LEFT JOIN (
-    SELECT e.dst AS vec_id, SUM({prev}.r // e.k_out) AS in_sum
-    FROM e JOIN {prev} ON e.src = {prev}.vec_id GROUP BY e.dst
-  ) i{i} USING (vec_id)
-)""")
-        prev = f"r{i}"
-    joined_steps = ",\n".join(steps)
-    return f"""
-WITH knn AS MATERIALIZED ({KNN_GRAPH_SQL}),
-stats AS (SELECT COUNT(*) AS n FROM embeddings),
-deg AS (SELECT vec_id AS src, COUNT(*) AS k_out FROM knn GROUP BY vec_id),
-e AS MATERIALIZED (
-  SELECT k.vec_id AS src, k.nbr_id AS dst, d.k_out
-  FROM knn k JOIN deg d ON k.vec_id = d.src
-),
-nodes AS (SELECT vec_id FROM embeddings),
-r0 AS (
-  SELECT vec_id, CAST({S} // s.n AS BIGINT) AS r
-  FROM nodes CROSS JOIN stats s
-),
-{joined_steps}
-SELECT vec_id, r AS rank_mu FROM {prev} ORDER BY vec_id"""
-
-
-PAGERANK_KNN_SQL = _pagerank_sql()
-
-
-# -- triangle counting over the k-NN graph ----------------------------------
-
-def triangle_count(sf_dir: str) -> "object":
-    """Global triangle count of the (symmetrized) IVF k-NN graph — the
-    wedge-check construction, the graph-analytics companion to
-    ``pagerank_knn``.  Three bucketed stages, no join operator:
-
-    1. canonicalize: each directed knn edge becomes (a,b)=(min,max), then a
-       bucketed groupby dedups to the undirected edge set;
-    2. wedges: adjacency rows (both directions) co-locate by CENTER node; a
-       vectorized in-bucket self-merge emits each neighbor pair (x<y) once
-       per center — per-node degree is bounded by 2k, so the blow-up is
-       O(k) per edge at any corpus size;
-    3. closure: wedges and canonical edges co-locate by an (x,y)-derived
-       bucket (union of SAME-format blocks, per the empty-partition join
-       gotcha); one in-bucket merge counts wedges whose endpoints are an
-       edge.  Each triangle closes exactly 3 wedges (one per center), so
-       the global count is closures // 3 — integer-exact, full oracle.
-
-    Output: one row (n_edges, n_triangles)."""
-    import pandas as pd
-
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    nb = n_buckets(pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows)
-    MIX = 2654435761  # Knuth multiplicative hash; deterministic, not hash()
-
-    def canon(t: pd.DataFrame) -> pd.DataFrame:
-        a = np.minimum(t["vec_id"].to_numpy(), t["nbr_id"].to_numpy())
-        b = np.maximum(t["vec_id"].to_numpy(), t["nbr_id"].to_numpy())
-        return pd.DataFrame(
-            {
-                "eb": ((a.astype(np.uint64) * MIX + b.astype(np.uint64)) % nb
-                       ).astype("int32"),
-                "a": a.astype("int64"),
-                "b": b.astype("int64"),
-            }
-        )
-
-    def dedup_edges(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["a", "b"])[["a", "b"]]
-
-    edges = (
-        knn_graph(sf_dir)
-        .map_batches(canon, batch_format="pandas")
-        .groupby("eb")
-        .map_groups(dedup_edges, batch_format="pandas")
-        .materialize()  # reused by stages 2 and 3
-    )
-
-    def adj(t: pd.DataFrame) -> pd.DataFrame:
-        u = np.concatenate([t["a"].to_numpy(), t["b"].to_numpy()])
-        v = np.concatenate([t["b"].to_numpy(), t["a"].to_numpy()])
-        return pd.DataFrame(
-            {"ub": (u % nb).astype("int32"), "u": u, "v": v}
-        )
-
-    def wedges(g: pd.DataFrame) -> pd.DataFrame:
-        # vectorized per-bucket self-merge on the center column: emits each
-        # unordered neighbor pair once per center, no per-node Python loop
-        m = g[["u", "v"]].merge(g[["u", "v"]], on="u")
-        m = m[m["v_x"] < m["v_y"]]
-        x = m["v_x"].to_numpy(dtype=np.int64)
-        y = m["v_y"].to_numpy(dtype=np.int64)
-        return pd.DataFrame(
-            {
-                "wb": ((x.astype(np.uint64) * MIX + y.astype(np.uint64)) % nb
-                       ).astype("int32"),
-                "x": x,
-                "y": y,
-                "kind": pd.Series(np.ones(len(x), dtype="int64")).values,
-            }
-        )
-
-    wedge_ds = edges.map_batches(adj, batch_format="pandas").groupby(
-        "ub"
-    ).map_groups(wedges, batch_format="pandas")
-
-    def edge_rows(t: pd.DataFrame) -> pd.DataFrame:
-        x = t["a"].to_numpy(dtype=np.int64)
-        y = t["b"].to_numpy(dtype=np.int64)
-        return pd.DataFrame(
-            {
-                "wb": ((x.astype(np.uint64) * MIX + y.astype(np.uint64)) % nb
-                       ).astype("int32"),
-                "x": x,
-                "y": y,
-                "kind": pd.Series(np.zeros(len(x), dtype="int64")).values,
-            }
-        )
-
-    def close(g: pd.DataFrame) -> pd.DataFrame:
-        e = g[g["kind"] == 0]
-        w = g[g["kind"] == 1]
-        n_closed = 0
-        if len(e) and len(w):
-            n_closed = len(w.merge(e[["x", "y"]], on=["x", "y"]))
-        return pd.DataFrame(
-            {
-                "n_edges": pd.Series([len(e)], dtype="int64"),
-                "closures": pd.Series([n_closed], dtype="int64"),
-            }
-        )
-
-    parts = (
-        wedge_ds.union(edges.map_batches(edge_rows, batch_format="pandas"))
-        .groupby("wb")
-        .map_groups(close, batch_format="pandas")
-        .to_pandas()  # one row per bucket
-    )
-    return pd.DataFrame(
-        {
-            "n_edges": [int(parts["n_edges"].sum())],
-            "n_triangles": [int(parts["closures"].sum()) // 3],
-        }
-    )
-
-
-TRIANGLE_COUNT_SQL = f"""
-WITH knn AS MATERIALIZED ({KNN_GRAPH_SQL}),
-ed AS (
-  SELECT DISTINCT LEAST(vec_id, nbr_id) AS a, GREATEST(vec_id, nbr_id) AS b
-  FROM knn
-),
-adj AS (
-  SELECT a AS u, b AS v FROM ed
-  UNION ALL
-  SELECT b AS u, a AS v FROM ed
-),
-wedge AS (
-  SELECT a1.v AS x, a2.v AS y
-  FROM adj a1 JOIN adj a2 ON a1.u = a2.u AND a1.v < a2.v
-)
-SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ed) AS n_edges,
-       CAST((SELECT COUNT(*) FROM wedge w
-             JOIN ed e ON w.x = e.a AND w.y = e.b) // 3 AS BIGINT)
-         AS n_triangles
-"""
-
-
-# -- per-dimension feature statistics ---------------------------------------
 
 def embedding_dim_stats(sf_dir: str) -> "object":
     """Per-dimension mean/variance inputs over the embedding matrix — the
@@ -2211,285 +1612,6 @@ FROM z GROUP BY vec_id ORDER BY vec_id
 """
 
 
-# -- semi-supervised label propagation over the k-NN graph -------------------
-
-LP_SEED_MOD = 10   # vec_id % 10 == 0 keeps its true label as a fixed seed
-LP_ROUNDS = 3
-
-
-def label_propagation(sf_dir: str, rounds: int = LP_ROUNDS) -> "object":
-    """Semi-supervised label propagation — the curation move that stretches
-    a small set of human-labeled documents over the whole corpus: 10% seed
-    nodes (``vec_id % 10 == 0``) keep their true ``label``; every round,
-    each node adopts the majority label among its k-NN out-neighbors
-    (ties -> smallest label; no labeled neighbor -> keep current; seeds
-    are clamped).  Same static-graph execution shape as ``pagerank_knn``:
-    the REVERSED edge set is pinned once in sharded ``num_cpus=0`` vote
-    actors (sorted by vote-source with a searchsorted slice gather), so
-    each round is one batched-RPC map over the label vector plus ONE
-    bucketed majority fold — the graph never re-enters the shuffle.
-    Integer labels, integer votes: bit-deterministic, fully oracled
-    through the unrolled-round CTE over the same IVF k-NN graph.
-    Output: (vec_id, lab) after ``rounds`` rounds (-1 = still unlabeled)."""
-    import pandas as pd
-
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
-    nb = n_buckets(n)
-
-    # size-adaptive escape (same pattern + budget as pagerank_knn): under
-    # the edge budget, all rounds run as numpy passes on the driver with
-    # identical majority/tie/clamp semantics; above it the sharded
-    # vote-actor loop runs unchanged (equality-tested against the escape).
-    edges_ds = knn_graph(sf_dir)
-    if edges_ds.count() <= PAGERANK_DRIVER_EDGE_BUDGET:
-        e = edges_ds.to_pandas()
-        u_a = e["vec_id"].to_numpy(np.int64)   # voter (edge owner)
-        v_a = e["nbr_id"].to_numpy(np.int64)   # vote source
-        emb = (
-            pq.read_table(
-                f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
-            )
-            .to_pandas()
-            .sort_values("vec_id")
-        )
-        nodes = emb["vec_id"].to_numpy(np.int64)
-        lab0 = emb["label"].to_numpy(np.int64)
-        seed = nodes % LP_SEED_MOD == 0
-        lab = np.where(seed, lab0, -1)
-        ui = np.searchsorted(nodes, u_a)
-        vi = np.searchsorted(nodes, v_a)
-        for _ in range(rounds):
-            m = lab[vi] != -1
-            uu, ll = ui[m], lab[vi][m]
-            if len(uu) == 0:
-                continue
-            order = np.lexsort((ll, uu))
-            uu_s, ll_s = uu[order], ll[order]
-            newg = np.concatenate(
-                ([True], (uu_s[1:] != uu_s[:-1]) | (ll_s[1:] != ll_s[:-1]))
-            )
-            gidx = np.cumsum(newg) - 1
-            cnt = np.bincount(gidx)
-            g_u, g_l = uu_s[newg], ll_s[newg]
-            # majority: count desc, label asc
-            o2 = np.lexsort((g_l, -cnt, g_u))
-            gu2, gl2 = g_u[o2], g_l[o2]
-            first = np.concatenate(([True], gu2[1:] != gu2[:-1]))
-            top_u, top_l = gu2[first], gl2[first]
-            has = np.zeros(len(nodes), bool)
-            tl = np.zeros(len(nodes), np.int64)
-            has[top_u] = True
-            tl[top_u] = top_l
-            upd = (~seed) & has
-            lab = lab.copy()
-            lab[upd] = tl[upd]
-        import pandas as pd
-
-        return pd.DataFrame(
-            {"vec_id": nodes, "lab": lab.astype(np.int64)}
-        )
-
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    n_shards = max(2, min(16, ncpu // 2))
-
-    @ray.remote(num_cpus=0)
-    class VoteShard:
-        """Owns the reversed out-edges (vote source v -> voter u) of the
-        nodes with v % n_shards == shard id; num_cpus=0 — lookups only."""
-
-        def __init__(self):
-            self._v_parts: list[np.ndarray] = []
-            self._u_parts: list[np.ndarray] = []
-            self._v = self._u = None
-
-        def add_batch(self, v: np.ndarray, u: np.ndarray) -> int:
-            self._v_parts.append(v)
-            self._u_parts.append(u)
-            return len(v)
-
-        def seal(self) -> int:
-            if self._v_parts:
-                v = np.concatenate(self._v_parts)
-                u = np.concatenate(self._u_parts)
-            else:
-                v = u = np.empty(0, dtype=np.int64)
-            order = np.argsort(v, kind="stable")
-            self._v, self._u = v[order], u[order]
-            self._v_parts = self._u_parts = None
-            return len(self._v)
-
-        def votes(self, ids: np.ndarray, labs: np.ndarray):
-            """(voter u, label) per reversed out-edge of each labeled id."""
-            lo = np.searchsorted(self._v, ids, side="left")
-            hi = np.searchsorted(self._v, ids, side="right")
-            cnt = hi - lo
-            total = int(cnt.sum())
-            if total == 0:
-                return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
-            starts = np.repeat(
-                lo - np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt
-            )
-            idx = starts + np.arange(total)
-            return (self._u[idx], np.repeat(labs, cnt))
-
-    shards = [VoteShard.remote() for _ in range(n_shards)]
-
-    def push_edges(t: pd.DataFrame) -> pd.DataFrame:
-        u = t["vec_id"].to_numpy(dtype=np.int64)   # voter (edge owner)
-        v = t["nbr_id"].to_numpy(dtype=np.int64)   # vote source
-        sh = v % n_shards
-        ray.get(
-            [
-                shards[s].add_batch.remote(v[sh == s], u[sh == s])
-                for s in np.unique(sh)
-            ]
-        )
-        return pd.DataFrame({"n": pd.Series([len(t)], dtype="int64")})
-
-    edges_ds.map_batches(push_edges, batch_format="pandas").count()
-    ray.get([s.seal.remote() for s in shards])
-
-    def seed_rows(t: pd.DataFrame) -> pd.DataFrame:
-        v = t["vec_id"].astype("int64")
-        seed = (v % LP_SEED_MOD == 0)
-        lab = t["label"].astype("int64").where(seed, -1)
-        return pd.DataFrame(
-            {
-                "vec_id": v,
-                "lab": lab.astype("int64"),
-                "seed": seed.astype("int8"),
-            }
-        )
-
-    labels = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
-    ).map_batches(seed_rows, batch_format="pandas")
-
-    def emit(t: pd.DataFrame) -> pd.DataFrame:
-        """Current-state carry rows + vote rows from the shard RPCs."""
-        ids = t["vec_id"].to_numpy(dtype=np.int64)
-        labs = t["lab"].to_numpy(dtype=np.int64)
-        frames = [
-            pd.DataFrame(
-                {
-                    "b": (ids % nb).astype(np.int32),
-                    "vec_id": ids,
-                    "lab": labs,
-                    "kind": np.repeat(
-                        np.int8(0), len(ids)
-                    ),  # 0 = carry (with seed flag in 'seed')
-                    "seed": t["seed"].to_numpy(dtype=np.int8),
-                }
-            )
-        ]
-        lm = labs != -1
-        lid, llab = ids[lm], labs[lm]
-        sh = lid % n_shards
-        refs = [
-            shards[s].votes.remote(lid[sh == s], llab[sh == s])
-            for s in np.unique(sh)
-        ]
-        for u, lab in ray.get(refs):
-            if len(u):
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "b": (u % nb).astype(np.int32),
-                            "vec_id": u,
-                            "lab": lab,
-                            "kind": np.repeat(np.int8(1), len(u)),  # vote
-                            "seed": np.repeat(np.int8(0), len(u)),
-                        }
-                    )
-                )
-        return pd.concat(frames, ignore_index=True)
-
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        carry = g[g["kind"] == 0].set_index("vec_id")
-        votes = g[g["kind"] == 1]
-        # majority: count desc, label asc — one vectorized groupby
-        vc = (
-            votes.groupby(["vec_id", "lab"]).size().reset_index(name="c")
-            .sort_values(["vec_id", "c", "lab"], ascending=[True, False, True])
-            .drop_duplicates("vec_id")
-            .set_index("vec_id")["lab"]
-        )
-        ids = carry.index.to_numpy(dtype=np.int64)
-        cur = carry["lab"].to_numpy(dtype=np.int64)
-        seed = carry["seed"].to_numpy(dtype=np.int8)
-        top = carry.index.map(vc)
-        new = np.where(
-            seed == 1, cur, np.where(top.isna(), cur, top.fillna(-1).astype("int64"))
-        )
-        return pd.DataFrame(
-            {
-                "vec_id": ids,
-                "lab": new.astype("int64"),
-                "seed": seed,
-            }
-        )
-
-    for _ in range(rounds):
-        labels = (
-            labels.map_batches(emit, batch_format="pandas")
-            .groupby("b")
-            .map_groups(fold, batch_format="pandas")
-        )
-
-    out = labels.to_pandas()[["vec_id", "lab"]]
-    return (
-        out.sort_values("vec_id")
-        .reset_index(drop=True)
-        .astype({"vec_id": "int64", "lab": "int64"})
-    )
-
-
-def _label_propagation_sql(rounds: int = LP_ROUNDS) -> str:
-    prev = "l0"
-    steps = []
-    for i in range(1, rounds + 1):
-        steps.append(f"""l{i} AS MATERIALIZED (
-  SELECT n.vec_id,
-         CASE WHEN n.seed = 1 THEN p.lab
-              ELSE COALESCE(v{i}.top_lab, p.lab) END AS lab,
-         n.seed
-  FROM seeds n JOIN {prev} p USING (vec_id) LEFT JOIN (
-    SELECT u, lab AS top_lab FROM (
-      SELECT e.vec_id AS u, p2.lab, COUNT(*) AS c,
-             ROW_NUMBER() OVER (
-               PARTITION BY e.vec_id ORDER BY COUNT(*) DESC, p2.lab
-             ) AS rk
-      FROM knn e JOIN {prev} p2 ON e.nbr_id = p2.vec_id
-      WHERE p2.lab <> -1
-      GROUP BY e.vec_id, p2.lab) t WHERE rk = 1
-  ) v{i} ON v{i}.u = n.vec_id
-)"""
-        )
-        prev = f"l{i}"
-    joined = ",\n".join(steps)
-    return f"""
-WITH knn AS MATERIALIZED ({KNN_GRAPH_SQL}),
-seeds AS MATERIALIZED (
-  SELECT vec_id,
-         CASE WHEN vec_id % {LP_SEED_MOD} = 0 THEN 1 ELSE 0 END AS seed,
-         CASE WHEN vec_id % {LP_SEED_MOD} = 0
-              THEN CAST(label AS BIGINT) ELSE -1 END AS lab0
-  FROM embeddings
-),
-l0 AS MATERIALIZED (SELECT vec_id, lab0 AS lab, seed FROM seeds),
-{joined}
-SELECT vec_id, CAST(lab AS BIGINT) AS lab FROM {prev} ORDER BY vec_id"""
-
-
-LABEL_PROPAGATION_SQL = _label_propagation_sql()
-
-
-# -- MMR diversity selection --------------------------------------------------
-
 MMR_K = 6     #: selections per query
 MMR_M = 64    #: exact top-M candidate pool the greedy re-rank runs over
 #: MMR score = 7*sim(query) - 3*max(sim to already-selected) — the classic
@@ -2731,226 +1853,6 @@ ORDER BY vec_id"""
 CLUSTER_CAP_SAMPLE_SQL = _cluster_cap_sample_sql()
 
 
-BFS_SEED_MOD = 50   # vec_id % 50 == 0 are the BFS sources
-BFS_ROUNDS = 4
-
-
-def bfs_hops(sf_dir: str, rounds: int = BFS_ROUNDS) -> "object":
-    """Multi-source level-synchronous BFS over the IVF k-NN graph: hop
-    distance from the nearest seed (``vec_id % BFS_SEED_MOD == 0``) along
-    directed out-edges, ``rounds`` levels deep (-1 = unreached) — the
-    neighborhood-expansion primitive behind graph-based curation (label
-    cascade radius, contamination blast radius around a flagged doc).
-
-    Execution = the pagerank_knn shape: the static edge table is pinned
-    ONCE in sharded ``num_cpus=0`` neighbor actors; each level is one
-    ``map_batches`` over the dist vector (one batched RPC per touched
-    shard, ONLY frontier ids — nodes at distance r-1 — are queried) plus
-    one bucketed fold, so a level moves O(frontier out-degree) candidate
-    rows and the graph never re-enters the shuffle.  Under the edge budget
-    the levels run as driver numpy passes with identical semantics
-    (equality-tested, the shared graph driver-escape pattern).  Level-
-    synchronous BFS sets a node's distance the FIRST time it is reached,
-    so the fold is keep-if-set — no min over rounds needed."""
-    import pandas as pd
-
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
-    nb = n_buckets(n)
-
-    edges_ds = knn_graph(sf_dir)
-    if edges_ds.count() <= PAGERANK_DRIVER_EDGE_BUDGET:
-        e = edges_ds.to_pandas()
-        src_a = e["vec_id"].to_numpy(np.int64)
-        dst_a = e["nbr_id"].to_numpy(np.int64)
-        nodes = np.sort(
-            pq.read_table(
-                f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
-            )["vec_id"].to_numpy().astype(np.int64)
-        )
-        ui = np.searchsorted(nodes, src_a)
-        vi = np.searchsorted(nodes, dst_a)
-        d = np.where(nodes % BFS_SEED_MOD == 0, 0, -1).astype(np.int64)
-        for r in range(1, rounds + 1):
-            tgt = vi[d[ui] == r - 1]
-            d[tgt[d[tgt] == -1]] = r
-        return pd.DataFrame({"vec_id": nodes, "hops": d})
-
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    n_shards = max(2, min(16, ncpu // 2))
-
-    @ray.remote(num_cpus=0)
-    class NeighborShard:
-        """Out-edges of the nodes with src % n_shards == shard id, sorted
-        by src for the vectorized searchsorted slice gather."""
-
-        def __init__(self):
-            self._src_parts: list[np.ndarray] = []
-            self._dst_parts: list[np.ndarray] = []
-            self._src = self._dst = None
-
-        def add_batch(self, src: np.ndarray, dst: np.ndarray) -> int:
-            self._src_parts.append(src)
-            self._dst_parts.append(dst)
-            return len(src)
-
-        def seal(self) -> int:
-            if self._src_parts:
-                src = np.concatenate(self._src_parts)
-                dst = np.concatenate(self._dst_parts)
-            else:
-                src = dst = np.empty(0, dtype=np.int64)
-            order = np.argsort(src, kind="stable")
-            self._src, self._dst = src[order], dst[order]
-            self._src_parts = self._dst_parts = None
-            return len(self._src)
-
-        def neighbors(self, ids: np.ndarray) -> np.ndarray:
-            lo = np.searchsorted(self._src, ids, side="left")
-            hi = np.searchsorted(self._src, ids, side="right")
-            cnt = hi - lo
-            total = int(cnt.sum())
-            if total == 0:
-                return np.empty(0, dtype=np.int64)
-            starts = np.repeat(
-                lo - np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt
-            )
-            return self._dst[starts + np.arange(total)]
-
-    shards = [NeighborShard.remote() for _ in range(n_shards)]
-
-    def push_edges(t: pd.DataFrame) -> pd.DataFrame:
-        src = t["vec_id"].to_numpy(dtype=np.int64)
-        dst = t["nbr_id"].to_numpy(dtype=np.int64)
-        sh = src % n_shards
-        ray.get(
-            [
-                shards[s].add_batch.remote(src[sh == s], dst[sh == s])
-                for s in np.unique(sh)
-            ]
-        )
-        return pd.DataFrame({"n": pd.Series([len(t)], dtype="int64")})
-
-    edges_ds.map_batches(push_edges, batch_format="pandas").count()
-    ray.get([s.seal.remote() for s in shards])
-
-    def dist0(t: pd.DataFrame) -> pd.DataFrame:
-        a = t["vec_id"].astype("int64")
-        return pd.DataFrame(
-            {"a": a, "d": np.where(a % BFS_SEED_MOD == 0, 0, -1).astype("int64")}
-        )
-
-    dists = (
-        ray.data.read_parquet(
-            f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
-        )
-        .map_batches(dist0, batch_format="pandas")
-    )
-
-    def make_step(r: int):
-        def step_rows(t: pd.DataFrame) -> pd.DataFrame:
-            """Self rows (c=0, carry current d) + candidate rows (c=1) for
-            the out-neighbors of this batch's FRONTIER (d == r-1) nodes."""
-            ids = t["a"].to_numpy(dtype=np.int64)
-            ds_ = t["d"].to_numpy(dtype=np.int64)
-            frames = [
-                pd.DataFrame(
-                    {
-                        "db": (ids % nb).astype(np.int32),
-                        "a": ids,
-                        "d": ds_,
-                        "c": np.zeros(len(ids), dtype=np.int64),
-                    }
-                )
-            ]
-            front = ids[ds_ == r - 1]
-            if len(front):
-                sh = front % n_shards
-                refs = [
-                    shards[s].neighbors.remote(front[sh == s])
-                    for s in np.unique(sh)
-                ]
-                for nbrs in ray.get(refs):
-                    if len(nbrs):
-                        frames.append(
-                            pd.DataFrame(
-                                {
-                                    "db": (nbrs % nb).astype(np.int32),
-                                    "a": nbrs,
-                                    "d": np.full(len(nbrs), -1, dtype=np.int64),
-                                    "c": np.ones(len(nbrs), dtype=np.int64),
-                                }
-                            )
-                        )
-            return pd.concat(frames, ignore_index=True)
-
-        def fold(g: pd.DataFrame) -> pd.DataFrame:
-            agg = g.groupby("a").agg(
-                cur=("d", "max"), cand=("c", "max")
-            ).reset_index()
-            # self rows carry d >= -1, candidate rows d == -1: max = current
-            new = np.where(
-                agg["cur"].to_numpy() != -1,
-                agg["cur"].to_numpy(),
-                np.where(agg["cand"].to_numpy() == 1, r, -1),
-            )
-            return pd.DataFrame(
-                {"a": agg["a"].astype("int64").values,
-                 "d": new.astype("int64")}
-            )
-
-        return step_rows, fold
-
-    for r in range(1, rounds + 1):
-        step_rows, fold = make_step(r)
-        dists = (
-            dists.map_batches(step_rows, batch_format="pandas")
-            .groupby("db")
-            .map_groups(fold, batch_format="pandas")
-        )
-
-    def final(t: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"vec_id": t["a"].astype("int64"), "hops": t["d"].astype("int64")}
-        )
-
-    return dists.map_batches(final, batch_format="pandas").sort("vec_id")
-
-
-def _bfs_hops_sql(rounds: int = BFS_ROUNDS) -> str:
-    """Unrolled level-synchronous BFS over the shared k-NN graph CTE —
-    level r reaches the unreached out-neighbors of the distance-(r-1)
-    frontier; keep-if-set, so no MIN over rounds is needed."""
-    steps = []
-    for r in range(1, rounds + 1):
-        steps.append(f""", d{r} AS (
-  SELECT n.vec_id,
-         CASE WHEN n.d != -1 THEN n.d
-              WHEN f{r}.vec_id IS NOT NULL THEN {r}
-              ELSE -1 END AS d
-  FROM d{r - 1} n LEFT JOIN (
-    SELECT DISTINCT e.dst AS vec_id
-    FROM e JOIN d{r - 1} p ON p.vec_id = e.src
-    WHERE p.d = {r - 1}
-  ) f{r} USING (vec_id)
-)""")
-    return f"""
-WITH knn AS MATERIALIZED ({KNN_GRAPH_SQL}),
-e AS (SELECT vec_id AS src, nbr_id AS dst FROM knn),
-d0 AS (
-  SELECT vec_id,
-         CASE WHEN vec_id % {BFS_SEED_MOD} = 0 THEN 0 ELSE -1 END AS d
-  FROM embeddings
-){''.join(steps)}
-SELECT vec_id, CAST(d AS BIGINT) AS hops FROM d{rounds} ORDER BY vec_id"""
-
-
-BFS_HOPS_SQL = _bfs_hops_sql()
-
-
 PCA_POWER_ITERS = 6
 PCA_V_SCALE = 1_000_000
 
@@ -3051,158 +1953,6 @@ ORDER BY c.vec_id"""
 
 PCA_PROJECT_SQL = _pca_project_sql()
 
-
-# -- embedding-quality eval: leave-one-out k-NN classification ----------------
-
-def knn_label_accuracy(sf_dir: str) -> "object":
-    """Leave-one-out k-NN classification accuracy per label — the standard
-    embedding-quality eval (does neighborhood structure predict the
-    label?).  Reuses the session-memoized IVF k-NN graph; labels could be
-    corpus-proportional, so they ATTACH via two vec-bucket co-locations
-    (never a broadcast, never a high-cardinality groupby): pass 1 keys
-    edges by NEIGHBOR and attaches the neighbor's label; pass 2 keys by
-    SOURCE, majority-votes each vector's <=k neighbor labels (ties ->
-    smallest label) against its own, and emits per-label (n, n_correct)
-    partials; one |labels|-row fold finishes.  Output: (label, n,
-    n_correct)."""
-    import pandas as pd
-
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    nb = n_buckets(pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows)
-    g = knn_graph(sf_dir)
-    labels = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
-    )
-
-    def key_edges_by_nbr(t: pa.Table) -> pa.Table:
-        nbr = pc.cast(t["nbr_id"], pa.int64())
-        return pa.table(
-            {
-                "bk": pc.cast(pc.bit_wise_and(nbr, nb - 1), pa.int32()),
-                "vec_id": pc.cast(t["vec_id"], pa.int64()),
-                "nbr_id": nbr,
-                "lab": pa.array([-1] * t.num_rows, pa.int64()),
-                "kind": pa.array([0] * t.num_rows, pa.int8()),
-            }
-        )
-
-    def key_labels(t: pa.Table) -> pa.Table:
-        vid = pc.cast(t["vec_id"], pa.int64())
-        return pa.table(
-            {
-                "bk": pc.cast(pc.bit_wise_and(vid, nb - 1), pa.int32()),
-                "vec_id": vid,
-                "nbr_id": pa.array([-1] * t.num_rows, pa.int64()),
-                "lab": pc.cast(t["label"], pa.int64()),
-                "kind": pa.array([1] * t.num_rows, pa.int8()),
-            }
-        )
-
-    def attach_nbr_label(g_: pd.DataFrame) -> pa.Table:
-        lab = g_[g_["kind"] == 1].set_index("vec_id")["lab"]
-        e = g_[g_["kind"] == 0]
-        src = e["vec_id"].to_numpy("int64")
-        return pa.table(
-            {
-                "bk": pa.array(
-                    (src & (nb - 1)).astype("int32")
-                ),
-                "vec_id": pa.array(src),
-                "nbr_lab": pa.array(
-                    e["nbr_id"].map(lab).to_numpy("int64")
-                ),
-                "kind": pa.array([0] * len(e), pa.int8()),
-            }
-        )
-
-    def relabel_for_vote(t: pa.Table) -> pa.Table:
-        vid = pc.cast(t["vec_id"], pa.int64())
-        return pa.table(
-            {
-                "bk": pc.cast(pc.bit_wise_and(vid, nb - 1), pa.int32()),
-                "vec_id": vid,
-                "nbr_lab": pc.cast(t["label"], pa.int64()),
-                "kind": pa.array([1] * t.num_rows, pa.int8()),
-            }
-        )
-
-    def vote(g_: pd.DataFrame) -> pa.Table:
-        own = g_[g_["kind"] == 1].set_index("vec_id")["nbr_lab"]
-        e = g_[g_["kind"] == 0]
-        c = (
-            e.groupby(["vec_id", "nbr_lab"]).size().reset_index(name="c")
-            .sort_values(["vec_id", "c", "nbr_lab"],
-                         ascending=[True, False, True])
-        )
-        pred = c.groupby("vec_id", sort=True).head(1).set_index("vec_id")[
-            "nbr_lab"
-        ]
-        res = pd.DataFrame({"true_lab": own})
-        res["pred"] = res.index.map(pred)
-        # vectors with no in-graph neighbors count as incorrect
-        res["ok"] = (res["pred"] == res["true_lab"]).astype("int64")
-        agg = res.groupby("true_lab")["ok"].agg(["size", "sum"]).reset_index()
-        return pa.table(
-            {
-                "label": pa.array(agg["true_lab"].to_numpy("int64")),
-                "n": pa.array(agg["size"].to_numpy("int64")),
-                "n_correct": pa.array(agg["sum"].to_numpy("int64")),
-            }
-        )
-
-    from ray.data.aggregate import Sum
-
-    out = (
-        g.map_batches(key_edges_by_nbr, batch_format="pyarrow")
-        .union(labels.map_batches(key_labels, batch_format="pyarrow"))
-        .groupby("bk")
-        .map_groups(attach_nbr_label, batch_format="pandas")
-        .union(labels.map_batches(relabel_for_vote, batch_format="pyarrow"))
-        .groupby("bk")
-        .map_groups(vote, batch_format="pandas")
-        .groupby("label")
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("n_correct", alias_name="n_correct"),
-        )
-        .to_pandas()  # O(|labels|)
-    )
-    for c in ("label", "n", "n_correct"):
-        out[c] = out[c].astype("int64")
-    return out.sort_values("label").reset_index(drop=True)
-
-
-KNN_LABEL_ACCURACY_SQL = f"""
-WITH knn AS MATERIALIZED ({KNN_GRAPH_SQL}),
-nl AS (
-  SELECT k.vec_id, e.label AS nbr_lab
-  FROM knn k JOIN embeddings e ON k.nbr_id = e.vec_id
-), votes AS (
-  SELECT vec_id, nbr_lab, COUNT(*) AS c FROM nl GROUP BY 1, 2
-), pred AS (
-  SELECT vec_id, nbr_lab AS pred FROM (
-    SELECT vec_id, nbr_lab, row_number() OVER (
-      PARTITION BY vec_id ORDER BY c DESC, nbr_lab) AS rk
-    FROM votes) WHERE rk = 1
-)
-SELECT CAST(e.label AS BIGINT) AS label,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_correct
-FROM embeddings e LEFT JOIN pred p USING (vec_id)
-GROUP BY e.label ORDER BY label
-"""
-
-
-# ---------------------------------------------------------------------------
-# Hybrid retrieval: BM25 (lexical) + dense cosine fused by reciprocal-rank
-# fusion (Cormack, Clarke, Buettcher — "Reciprocal Rank Fusion outperforms
-# Condorcet and individual Rank Learning Methods", SIGIR 2009)
-# ---------------------------------------------------------------------------
 
 RRF_K = 60
 RRF_SCALE = 1_000_000_000  # RRF contribution = SCALE // (K + rank): integer
@@ -3332,73 +2082,6 @@ ORDER BY rk
 
 HYBRID_RRF_TOPK_SQL = _hybrid_sql()
 
-
-def mutual_knn_pairs(sf_dir: str) -> Dataset:
-    """Mutual k-nearest-neighbor pairs over the IVF k-NN graph — the
-    reciprocity filter parallel-pair mining runs before margin scoring
-    (Artetxe, Schwenk — "Margin-based Parallel Corpus Mining with
-    Multilingual Sentence Embeddings", ACL 2019): keep (a, b) iff b is in
-    knn(a) AND a is in knn(b).  Each directed edge canonicalizes to
-    (lo, hi) plus a direction bit, every copy of an edge co-locates by an
-    edge-derived bucket (no join operator — the empty-partition gotcha),
-    and a vectorized in-bucket fold keeps pairs seen in BOTH directions.
-    Edge volume is n*k rows, per-bucket frames are bounded by the
-    ``n_buckets`` derivation, and the graph build itself is the memoized
-    ``knn_graph``.  Output: (vec_a, vec_b)."""
-    import pandas as pd
-
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    nb = n_buckets(pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows)
-    MIX = 2654435761  # deterministic multiplicative mix, never builtin hash()
-
-    def canon(t: pd.DataFrame) -> pd.DataFrame:
-        v = t["vec_id"].to_numpy()
-        n = t["nbr_id"].to_numpy()
-        a = np.minimum(v, n)
-        b = np.maximum(v, n)
-        return pd.DataFrame(
-            {
-                "eb": ((a.astype(np.uint64) * MIX + b.astype(np.uint64)) % nb
-                       ).astype("int32"),
-                "a": a.astype("int64"),
-                "b": b.astype("int64"),
-                "fwd": v < n,
-            }
-        )
-
-    def mutual(g: pd.DataFrame) -> pd.DataFrame:
-        # a directed knn list is duplicate-free, so each (a, b) group has at
-        # most one fwd and one bwd row; mutual == both directions present
-        piv = g.groupby(["a", "b"])["fwd"].agg(["min", "max"]).reset_index()
-        m = piv[piv["max"] & ~piv["min"]]
-        return pd.DataFrame(
-            {
-                "vec_a": m["a"].astype("int64"),
-                "vec_b": m["b"].astype("int64"),
-            }
-        )
-
-    return (
-        knn_graph(sf_dir)
-        .map_batches(canon, batch_format="pandas")
-        .groupby("eb")
-        .map_groups(mutual, batch_format="pandas")
-    )
-
-
-MUTUAL_KNN_PAIRS_SQL = f"""
-WITH g AS MATERIALIZED ({KNN_GRAPH_SQL})
-SELECT g1.vec_id AS vec_a, g1.nbr_id AS vec_b
-FROM g g1 JOIN g g2 ON g1.vec_id = g2.nbr_id AND g1.nbr_id = g2.vec_id
-WHERE g1.vec_id < g1.nbr_id
-ORDER BY vec_a, vec_b
-"""
-
-
-# -- product quantization (PQ) ADC top-k --------------------------------------
 
 PQ_M = 8        # subspaces (dim 64 -> 8 dims each)
 PQ_KS = 256     # centroids per subspace: the standard 8-bit codes
@@ -3546,136 +2229,32 @@ def pq_topk(sf_dir: str) -> "object":
     ).astype("int64")
 
 
-# -- link prediction: common-neighbors over the k-NN graph --------------------
-
-def common_neighbors_topk(sf_dir: str, k: int = 20) -> Dataset:
-    """Link prediction by common-neighbor counting (Liben-Nowell &
-    Kleinberg, CIKM 2003) over the undirected view of the memoized IVF
-    k-NN graph: for every NON-adjacent pair, score = |N(a) ∩ N(b)|; emit
-    the global top-``k`` (score DESC, pair ASC).
-
-    Distributed shape — wedge enumeration, the triangle-counting sibling:
-    each directed edge ships both orientations into a CENTER-bucket
-    co-location (a node's whole neighbor list lands in one task), each
-    center emits its neighbor-pair wedges vectorized (triu indices over
-    the sorted unique list — wedge volume is Σ deg², bounded by the knn
-    fan-in, never all-pairs); wedges AND canonical edges then co-locate by
-    PAIR bucket, where score = wedge count and any edge row kills the
-    pair.  Per-bucket top-k prune means the final sort+limit sees
-    O(k * n_buckets) rows, not the pair population."""
-    import pandas as pd
-
-    import pyarrow.parquet as pq
-
-    from ._util import n_buckets
-
-    nb = n_buckets(pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows)
-    MIX = 2654435761
-
-    def both_dirs(t: pd.DataFrame) -> pd.DataFrame:
-        v = t["vec_id"].to_numpy(dtype=np.int64)
-        n = t["nbr_id"].to_numpy(dtype=np.int64)
-        c = np.concatenate([v, n])
-        o = np.concatenate([n, v])
-        return pd.DataFrame(
-            {
-                "cb": (c % nb).astype("int32"),
-                "center": c,
-                "nbr": o,
-            }
-        )
-
-    def wedges(g: pd.DataFrame) -> pa.Table:
-        out_x, out_y, out_f = [], [], []
-        for c, sub in g.groupby("center"):
-            nbrs = np.unique(sub["nbr"].to_numpy())
-            m = len(nbrs)
-            if m >= 2:  # wedge rows (is_edge=0): every neighbor pair
-                ii, jj = np.triu_indices(m, 1)
-                out_x.append(nbrs[ii])
-                out_y.append(nbrs[jj])
-                out_f.append(np.zeros(len(ii), dtype=np.int8))
-            # canonical edge rows (is_edge=1) for the exclusion stream:
-            # both orientations reach some center bucket, so each
-            # undirected edge is emitted at least once as (min, max)
-            e = nbrs[nbrs > c]
-            if len(e):
-                out_x.append(np.full(len(e), c, dtype=np.int64))
-                out_y.append(e)
-                out_f.append(np.ones(len(e), dtype=np.int8))
-        if not out_x:
-            return pa.table(
-                {
-                    "pb": pa.array([], pa.int32()),
-                    "x": pa.array([], pa.int64()),
-                    "y": pa.array([], pa.int64()),
-                    "is_edge": pa.array([], pa.int8()),
-                }
-            )
-        x = np.concatenate(out_x)
-        y = np.concatenate(out_y)
-        f = np.concatenate(out_f)
-        pb = ((x.astype(np.uint64) * MIX + y.astype(np.uint64)) % nb).astype(
-            np.int32
-        )
-        return pa.table(
-            {
-                "pb": pa.array(pb),
-                "x": pa.array(x),
-                "y": pa.array(y),
-                "is_edge": pa.array(f),
-            }
-        )
-
-    def pair_fold(g: pd.DataFrame) -> pa.Table:
-        # score = wedge rows only; any edge row kills the pair.  Per-bucket
-        # top-k under the same total order as the global sort is a lossless
-        # prune: a global top-k pair is top-k within its bucket a fortiori.
-        sc = g[g["is_edge"] == 0].groupby(["x", "y"]).size()
-        ed = g[g["is_edge"] == 1][["x", "y"]].drop_duplicates()
-        sc = sc.reset_index(name="score")
-        merged = sc.merge(ed.assign(e=1), on=["x", "y"], how="left")
-        live = merged[merged["e"].isna()].nlargest(
-            k, ["score"], keep="all"
-        ).sort_values(["score", "x", "y"], ascending=[False, True, True]).head(k)
-        return pa.table(
-            {
-                "vec_a": pa.array(live["x"].to_numpy("int64")),
-                "vec_b": pa.array(live["y"].to_numpy("int64")),
-                "common_neighbors": pa.array(live["score"].to_numpy("int64")),
-            }
-        )
-
-    return (
-        knn_graph(sf_dir)
-        .map_batches(both_dirs, batch_format="pandas")
-        .groupby("cb")
-        .map_groups(wedges, batch_format="pandas")
-        .groupby("pb")
-        .map_groups(pair_fold, batch_format="pandas")
-        .sort(
-            ["common_neighbors", "vec_a", "vec_b"],
-            descending=[True, False, False],
-        )
-        .limit(k)
-    )
-
-
-COMMON_NEIGHBORS_SQL = f"""
-WITH g AS MATERIALIZED ({KNN_GRAPH_SQL}),
-und AS (
-  SELECT vec_id AS a, nbr_id AS b FROM g
-  UNION
-  SELECT nbr_id, vec_id FROM g
-),
-wedge AS (
-  SELECT u1.b AS x, u2.b AS y
-  FROM und u1 JOIN und u2 ON u1.a = u2.a AND u1.b < u2.b
-),
-cn AS (SELECT x, y, COUNT(*) AS score FROM wedge GROUP BY x, y)
-SELECT cn.x AS vec_a, cn.y AS vec_b, CAST(cn.score AS BIGINT) AS common_neighbors
-FROM cn LEFT JOIN und e ON cn.x = e.a AND cn.y = e.b
-WHERE e.a IS NULL
-ORDER BY common_neighbors DESC, vec_a, vec_b
-LIMIT 20
-"""
+# -- graph analytics facade ---------------------------------------------------
+# The graph family lives in functions/graph.py (round-4 split); re-export
+# every public name here so the registry and existing imports are stable.
+from .graph import (  # noqa: E402,F401
+    BFS_HOPS_SQL,
+    BFS_ROUNDS,
+    BFS_SEED_MOD,
+    COMMON_NEIGHBORS_SQL,
+    KNN_GRAPH_SQL,
+    KNN_LABEL_ACCURACY_SQL,
+    LABEL_PROPAGATION_SQL,
+    LP_ROUNDS,
+    LP_SEED_MOD,
+    MUTUAL_KNN_PAIRS_SQL,
+    PAGERANK_DRIVER_EDGE_BUDGET,
+    PAGERANK_KNN_SQL,
+    PAGERANK_MASS,
+    TRIANGLE_COUNT_SQL,
+    VEC_DUP_CLUSTERS_SQL,
+    bfs_hops,
+    common_neighbors_topk,
+    knn_graph,
+    knn_label_accuracy,
+    label_propagation,
+    mutual_knn_pairs,
+    pagerank_knn,
+    triangle_count,
+    vec_dup_clusters,
+)

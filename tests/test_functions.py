@@ -397,12 +397,16 @@ def test_all_queries_run_at_smallest_scale(ray_session):
     sys.path.insert(0, ".")
     import __ray_entry__ as e
 
+    # legitimately empty on the synthetic corpus: media refs are unique per
+    # doc/page, so there are no image near-dups to pair (the operator's
+    # recall gate is test_media_phash_pairs_planted_neardups)
+    may_be_empty = {"media_phash_pairs"}
     failures = []
     for name, fn in e.queries().items():
         try:
             res = fn("/root/testdata/sf0.001")
             n = len(res.to_pandas()) if hasattr(res, "to_pandas") else len(res)
-            if n <= 0:
+            if n <= 0 and name not in may_be_empty:
                 failures.append((name, "0 rows"))
         except Exception as ex:  # noqa: BLE001
             failures.append((name, f"{type(ex).__name__}: {ex}"))
