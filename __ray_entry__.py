@@ -433,14 +433,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # prefix (first ~50 of the interleave) always covers the weakest link
     # of every family, not just an arbitrary member (round-3 verdict #9).
     risk_first = [
-        "substring_dup_coverage", "minhash_lsh_pairs",       # dedup
-        "hybrid_rrf_topk", "knn_label_accuracy", "pagerank_knn", "semdedup",
-        "heavy_hitters", "hll_wau", "daily_value_median", "mad_outliers",
+        "line_dedup", "substring_dup_coverage", "minhash_lsh_pairs",  # dedup
+        "hybrid_rrf_topk", "semdedup",                       # similarity
+        "common_neighbors_topk", "knn_label_accuracy",       # graph
+        "pagerank_knn", "mutual_knn_pairs",
+        "kmv_distinct_users", "heavy_hitters", "hll_wau",    # sketches
+        "daily_value_median", "mad_outliers",
+        "cdc_upsert_snapshot",                               # star
         "q21_sole_returner", "item_similarity_topk",         # relational
         "events_trailing_density", "value_trend_per_type",   # events
         "session_overlap",
         "leakage_safe_split",                                # curation
-        "bpe_pair_merges", "curation_pipeline",              # text
+        "bigram_surprisal", "repetition_filter",             # text
+        "bpe_pair_merges", "curation_pipeline",
         "global_price_rank", "customer_order_seq",           # windows
         "html_spans",                                        # html
     ]
