@@ -341,6 +341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_fertility": text.bpe_fertility,
         "cdc_upsert_snapshot": relational.cdc_upsert_snapshot,
         "common_neighbors_topk": similarity.common_neighbors_topk,
+        "substring_dedup_rewrite": dedup.substring_dedup_rewrite,
         "copurchase_type_pairs": relational.copurchase_type_pairs,
         "event_transitions": events.event_transitions,
         "embedding_dim_stats": similarity.embedding_dim_stats,
@@ -547,6 +548,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct_users": sketches.KMV_DISTINCT_SQL,
         "cdc_upsert_snapshot": relational.CDC_UPSERT_SQL,
         "common_neighbors_topk": similarity.COMMON_NEIGHBORS_SQL,
+        "substring_dedup_rewrite": dedup.SUBSTRING_DEDUP_REWRITE_SQL,
         "copurchase_type_pairs": relational.COPURCHASE_SQL,
         "event_transitions": events.EVENT_TRANSITIONS_SQL,
         "embedding_dim_stats": similarity.EMBEDDING_DIM_STATS_SQL,

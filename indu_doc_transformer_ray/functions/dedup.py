@@ -2059,3 +2059,207 @@ SELECT name_a, name_b FROM cand
 WHERE levenshtein(name_a, name_b) = 1
 ORDER BY name_a, name_b
 """
+
+
+# -- exact-substring dedup REWRITE (keep one copy, Lee et al. 2022) -----------
+
+def substring_dedup_rewrite(sf_dir: str) -> Dataset:
+    """Exact-substring deduplication with REWRITE — the acting half of Lee
+    et al. (ACL 2022), where [[substring-dup-coverage]] is the measuring
+    half: every corpus-duplicated ``SUBSTR_K``-token window keeps exactly
+    ONE copy (the keeper = lexicographically smallest (doc_id, position)
+    occurrence, elected exactly because all occurrences of a window hash
+    co-locate in its bucket) and every other occurrence is removed.  A
+    token position is removed iff it is covered by >=1 duplicated-window
+    occurrence and NOT covered by any keeper occurrence — so the surviving
+    copy stays intact even where it overlaps removed windows.  Output per
+    doc: (doc_id, n_words, n_removed, residual_md5) where residual is the
+    kept tokens joined by single spaces (md5 instead of shipping rewritten
+    text to the driver; ``tools/run_curation.py``-style jobs would write
+    the residual column instead).
+
+    Distributed shape: the [[substring-dup-coverage]] scan + window-hash
+    bucket exchange, plus keeper election (an in-bucket argmin) and ONE
+    doc-bucket co-location where dup/keeper intervals meet the doc text
+    (text routed once, flag-unioned — the line_dedup rebuild pattern);
+    interval painting is two np.add.at difference arrays, linear in rows."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    k = SUBSTR_K
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    nb_g = n_buckets(n_docs * 64)
+    nb_d = n_buckets(n_docs)
+    tok_re = re.compile(r"[a-z0-9_]+")
+
+    def windows(batch: pa.Table) -> pa.Table:
+        gb, h, dids, pos = [], [], [], []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            toks = tok_re.findall(text.lower())
+            for i in range(max(0, len(toks) - k + 1)):
+                hv = int.from_bytes(
+                    hashlib.md5(
+                        " ".join(toks[i : i + k]).encode()
+                    ).digest()[:8],
+                    "big",
+                )
+                gb.append(hv % nb_g)
+                h.append(hv)
+                dids.append(did)
+                pos.append(i)
+        return pa.table(
+            {
+                "gb": pa.array(gb, pa.int64()),
+                "h": pa.array(h, pa.uint64()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "i": pa.array(pos, pa.int32()),
+            }
+        )
+
+    def elect(g: pd.DataFrame) -> pa.Table:
+        # all occurrences of a window hash are in this bucket: count>=2 is
+        # the dup test and the min (doc_id, i) key is the global keeper
+        dup = g[g["h"].duplicated(keep=False)].copy()
+        if not len(dup):
+            # emit the FULL union schema even when empty: a downstream
+            # map_batches would skip empty blocks, so they could never be
+            # padded later (the map_batches empty-block gotcha)
+            return pa.table(
+                {
+                    "db": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "i": pa.array([], pa.int32()),
+                    "is_keeper": pa.array([], pa.int8()),
+                    "text": pa.array([], pa.string()),
+                }
+            )
+        key = dup["doc_id"].to_numpy(np.int64) * np.int64(1 << 32) + dup[
+            "i"
+        ].to_numpy(np.int64)
+        dup["kk"] = key
+        kmin = dup.groupby("h")["kk"].transform("min")
+        isk = (dup["kk"] == kmin).to_numpy()
+        did = dup["doc_id"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "db": pa.array(did % nb_d, pa.int64()),
+                "doc_id": pa.array(did),
+                "i": pa.array(dup["i"].to_numpy(np.int32)),
+                "is_keeper": pa.array(isk.astype(np.int8)),
+                "text": pa.array([""] * len(did), pa.string()),
+            }
+        )
+
+    def text_rows(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "db": pa.array(did % nb_d, pa.int64()),
+                "doc_id": pa.array(did.astype(np.int64)),
+                "i": pa.array(np.full(len(did), -1, dtype=np.int32)),
+                "is_keeper": pa.array(np.zeros(len(did), dtype=np.int8)),
+                "text": batch.column("text"),
+            }
+        )
+
+    def rewrite(g: pd.DataFrame) -> pa.Table:
+        occ = g[g["i"] >= 0]
+        texts = g[g["i"] < 0]
+        ids, nw, nr, md = [], [], [], []
+        occ_by_doc = dict(iter(occ.groupby("doc_id"))) if len(occ) else {}
+        for did, text in zip(texts["doc_id"], texts["text"]):
+            toks = tok_re.findall(text.lower())
+            n = len(toks)
+            o = occ_by_doc.get(did)
+            if o is None or not n:
+                ids.append(did)
+                nw.append(n)
+                nr.append(0)
+                md.append(hashlib.md5(" ".join(toks).encode()).hexdigest())
+                continue
+            # interval painting via difference arrays: dup coverage and
+            # keeper coverage, each one np.add.at + cumsum
+            cov = np.zeros(n + 1, dtype=np.int64)
+            kee = np.zeros(n + 1, dtype=np.int64)
+            st = o["i"].to_numpy(np.int64)
+            en = np.minimum(st + k, n)
+            isk = o["is_keeper"].to_numpy(np.int8).astype(bool)
+            np.add.at(cov, st, 1)
+            np.add.at(cov, en, -1)
+            if isk.any():
+                np.add.at(kee, st[isk], 1)
+                np.add.at(kee, en[isk], -1)
+            removed = (np.cumsum(cov[:-1]) > 0) & ~(np.cumsum(kee[:-1]) > 0)
+            kept = [t_ for t_, r_ in zip(toks, removed) if not r_]
+            ids.append(did)
+            nw.append(n)
+            nr.append(int(removed.sum()))
+            md.append(hashlib.md5(" ".join(kept).encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(nw, pa.int64()),
+                "n_removed": pa.array(nr, pa.int64()),
+                "residual_md5": pa.array(md, pa.string()),
+            }
+        )
+
+    occ = (
+        _read_docs(sf_dir, ["doc_id", "text"], small_aware=False)
+        .map_batches(windows, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(elect, batch_format="pandas")
+    )
+    txt = _read_docs(sf_dir, ["doc_id", "text"], small_aware=False).map_batches(
+        text_rows, batch_format="pyarrow"
+    )
+    return occ.union(txt).groupby("db").map_groups(
+        rewrite, batch_format="pandas"
+    )
+
+
+SUBSTRING_DEDUP_REWRITE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, u.i - 1 AS i0,
+         CAST(concat('0x', substr(md5(array_to_string(toks[u.i:u.i+{SUBSTR_K - 1}], ' ')), 1, 16)) AS UBIGINT) AS h
+  FROM t, unnest(range(1, greatest(len(toks) - {SUBSTR_K} + 1, 0) + 1)) AS u(i)
+), c AS (
+  SELECT h, COUNT(*) AS cnt,
+         MIN(doc_id * 4294967296 + i0) AS kk
+  FROM g GROUP BY h
+), d AS (
+  SELECT g.doc_id, g.i0,
+         (g.doc_id * 4294967296 + g.i0) = c.kk AS isk
+  FROM g JOIN c USING (h) WHERE c.cnt >= 2
+), pos AS (
+  SELECT doc_id, i0 + u.off AS p, BOOL_OR(isk) AS anyk
+  FROM d, unnest(range({SUBSTR_K})) AS u(off)
+  GROUP BY doc_id, p
+), rem AS (SELECT doc_id, p FROM pos WHERE NOT anyk),
+tokpos AS (
+  SELECT doc_id, u.i - 1 AS p, toks[u.i] AS tok
+  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+), keptt AS (
+  SELECT tp.doc_id, tp.p, tp.tok
+  FROM tokpos tp LEFT JOIN rem ON tp.doc_id = rem.doc_id AND tp.p = rem.p
+  WHERE rem.doc_id IS NULL
+), res AS (
+  SELECT doc_id, COALESCE(string_agg(tok, ' ' ORDER BY p), '') AS r,
+         COUNT(*) AS n_kept
+  FROM keptt GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+       CAST(len(toks) - COALESCE(res.n_kept, 0) AS BIGINT) AS n_removed,
+       md5(COALESCE(res.r, '')) AS residual_md5
+FROM t LEFT JOIN res USING (doc_id)
+ORDER BY t.doc_id
+"""

@@ -1256,6 +1256,7 @@ def test_round4_new_ops_match_oracle(ray_session):
         "kmv_distinct_users",
         "cdc_upsert_snapshot",
         "common_neighbors_topk",
+        "substring_dedup_rewrite",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
@@ -1474,3 +1475,41 @@ def test_bpe_train_and_fertility_match_reference(ray_session):
     # merges strictly reduce token counts vs character segmentation
     assert (got["n_subtokens"] < docs.set_index("doc_id")["text"].str.len()
             .reindex(got["doc_id"]).to_numpy()).all()
+
+
+def test_substring_dedup_rewrite_keeps_one_copy(ray_session, tmp_path):
+    """A passage shared by two docs survives ONLY in the keeper (the
+    lexicographically first occurrence): doc 0 keeps it intact, doc 1
+    loses exactly the passage tokens and its residual equals its unique
+    prefix — the Lee et al. keep-one-copy contract."""
+    import hashlib
+
+    import pandas as pd
+
+    from indu_doc_transformer_ray.functions.dedup import (
+        SUBSTR_K,
+        substring_dedup_rewrite,
+    )
+
+    passage = " ".join(f"shared{i}" for i in range(SUBSTR_K + 4))
+    rows = [
+        {"doc_id": 0, "text": "alpha beta gamma " + passage},
+        {"doc_id": 1, "text": "delta epsilon zeta " + passage},
+        {"doc_id": 2, "text": "eta theta iota kappa"},
+    ]
+    pd.DataFrame(rows).to_parquet(f"{tmp_path}/documents.parquet")
+    out = (
+        substring_dedup_rewrite(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "n_removed"] == 0  # keeper doc intact
+    assert out.loc[0, "residual_md5"] == hashlib.md5(
+        ("alpha beta gamma " + passage).encode()
+    ).hexdigest()
+    assert out.loc[1, "n_removed"] == SUBSTR_K + 4  # the whole passage
+    assert out.loc[1, "residual_md5"] == hashlib.md5(
+        b"delta epsilon zeta"
+    ).hexdigest()
+    assert out.loc[2, "n_removed"] == 0
