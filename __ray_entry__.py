@@ -434,7 +434,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # prefix (first ~50 of the interleave) always covers the weakest link
     # of every family, not just an arbitrary member (round-3 verdict #9).
     risk_first = [
-        "line_dedup", "substring_dup_coverage", "minhash_lsh_pairs",  # dedup
+        "substring_dedup_rewrite", "line_dedup",             # dedup
+        "substring_dup_coverage", "minhash_lsh_pairs",
         "hybrid_rrf_topk", "semdedup",                       # similarity
         "common_neighbors_topk", "knn_label_accuracy",       # graph
         "pagerank_knn", "mutual_knn_pairs",

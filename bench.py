@@ -155,6 +155,8 @@ QUERY_CHUNKS = [
     ["line_dedup", "bigram_surprisal", "repetition_filter",
      "kmv_distinct_users", "pq_topk", "bpe_fertility",
      "media_dhash", "media_phash_pairs"],
+    ["substring_dedup_rewrite", "cdc_upsert_snapshot",
+     "common_neighbors_topk"],
 ]
 
 
