@@ -2063,7 +2063,7 @@ ORDER BY name_a, name_b
 
 # -- exact-substring dedup REWRITE (keep one copy, Lee et al. 2022) -----------
 
-def substring_dedup_rewrite(sf_dir: str) -> Dataset:
+def substring_dedup_rewrite(sf_dir: str, emit: str = "md5") -> Dataset:
     """Exact-substring deduplication with REWRITE — the acting half of Lee
     et al. (ACL 2022), where [[substring-dup-coverage]] is the measuring
     half: every corpus-duplicated ``SUBSTR_K``-token window keeps exactly
@@ -2074,9 +2074,10 @@ def substring_dedup_rewrite(sf_dir: str) -> Dataset:
     occurrence and NOT covered by any keeper occurrence — so the surviving
     copy stays intact even where it overlaps removed windows.  Output per
     doc: (doc_id, n_words, n_removed, residual_md5) where residual is the
-    kept tokens joined by single spaces (md5 instead of shipping rewritten
-    text to the driver; ``tools/run_curation.py``-style jobs would write
-    the residual column instead).
+    kept tokens joined by single spaces; the md5 keeps the QUERY surface
+    driver-light, while ``emit="text"`` adds the rewritten ``residual``
+    column itself — the form ``tools/run_dedup.py`` streams straight into
+    a deduplicated corpus write (never through the driver).
 
     Distributed shape: the [[substring-dup-coverage]] scan + window-hash
     bucket exchange, plus keeper election (an in-bucket argmin) and ONE
@@ -2181,7 +2182,9 @@ def substring_dedup_rewrite(sf_dir: str) -> Dataset:
                 ids.append(did)
                 nw.append(n)
                 nr.append(0)
-                md.append(hashlib.md5(" ".join(toks).encode()).hexdigest())
+                res0 = " ".join(toks)
+                md.append(res0 if emit == "text"
+                          else hashlib.md5(res0.encode()).hexdigest())
                 continue
             # interval painting via difference arrays: dup coverage and
             # keeper coverage, each one np.add.at + cumsum
@@ -2200,7 +2203,18 @@ def substring_dedup_rewrite(sf_dir: str) -> Dataset:
             ids.append(did)
             nw.append(n)
             nr.append(int(removed.sum()))
-            md.append(hashlib.md5(" ".join(kept).encode()).hexdigest())
+            res = " ".join(kept)
+            md.append(res if emit == "text"
+                      else hashlib.md5(res.encode()).hexdigest())
+        if emit == "text":
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_words": pa.array(nw, pa.int64()),
+                    "n_removed": pa.array(nr, pa.int64()),
+                    "residual": pa.array(md, pa.string()),
+                }
+            )
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),

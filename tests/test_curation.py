@@ -177,3 +177,46 @@ def test_run_curation_writes_exact_keep_set(ray_session, tmp_path):
     assert glob.glob(f"{out}/corpus/shard=*")
     man2 = curate_and_write(sf, out)
     assert man2.get("skipped")
+
+
+def test_run_dedup_job_end_to_end(ray_session, tmp_path):
+    """tools/run_dedup.py writes the REWRITTEN corpus (keep-one-copy):
+    planted shared passage survives only in the keeper doc, metadata is
+    re-attached, the hive layout is readable, and a re-run skips via
+    lineage."""
+    import sys
+
+    import pandas as pd
+
+    from indu_doc_transformer_ray.functions.dedup import SUBSTR_K
+
+    sys.path.insert(0, "tools")
+    from run_dedup import dedup_and_write
+
+    passage = " ".join(f"shared{i}" for i in range(SUBSTR_K + 4))
+    rows = [
+        {"doc_id": 0, "text": "alpha beta gamma " + passage,
+         "lang": "en", "source": "web"},
+        {"doc_id": 1, "text": "delta epsilon zeta " + passage,
+         "lang": "de", "source": "pdf"},
+        {"doc_id": 2, "text": "eta theta iota kappa",
+         "lang": "fr", "source": "web"},
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pd.DataFrame(rows).to_parquet(f"{sf}/documents.parquet")
+    out = tmp_path / "out"
+
+    m = dedup_and_write(str(sf), str(out), write_shards=4)
+    assert m["complete"] and m["n_docs"] == 3
+    assert m["n_words_removed"] == SUBSTR_K + 4
+
+    corpus = pd.read_parquet(f"{out}/corpus").set_index("doc_id").sort_index()
+    assert corpus.loc[0, "residual"] == "alpha beta gamma " + passage
+    assert corpus.loc[1, "residual"] == "delta epsilon zeta"
+    assert corpus.loc[1, "lang"] == "de" and corpus.loc[1, "source"] == "pdf"
+    assert corpus.loc[2, "residual"] == "eta theta iota kappa"
+    assert set(corpus["shard"]) <= {0, 1, 2, 3}
+
+    m2 = dedup_and_write(str(sf), str(out), write_shards=4)
+    assert m2.get("skipped") is True
