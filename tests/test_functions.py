@@ -1513,3 +1513,41 @@ def test_substring_dedup_rewrite_keeps_one_copy(ray_session, tmp_path):
         b"delta epsilon zeta"
     ).hexdigest()
     assert out.loc[2, "n_removed"] == 0
+
+
+def test_session3_ops_bucket_invariance(ray_session, monkeypatch):
+    """The session-3 hash-co-location ops (bigram count table, KMV distinct,
+    substring rewrite, CDC resolve) only use bucket counts to coarsen
+    shuffle keys — results must be identical at any bucket count (the
+    in-bucket kernels' correctness depends on CO-LOCATION, never on the
+    count)."""
+    import pandas as pd
+
+    from indu_doc_transformer_ray.functions import _util, dedup, sketches, text
+    from indu_doc_transformer_ray.functions import star
+
+    sf = "/root/testdata/sf0.001"
+
+    def snap():
+        out = {}
+        out["bigram"] = (
+            text.bigram_surprisal(sf).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        out["kmv"] = sketches.kmv_distinct_users(sf).reset_index(drop=True)
+        out["rewrite"] = (
+            dedup.substring_dedup_rewrite(sf).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True)
+        )
+        out["cdc"] = (
+            star.cdc_upsert_snapshot(sf).to_pandas()
+            .sort_values("o_orderkey").reset_index(drop=True)
+        )
+        return out
+
+    monkeypatch.setattr(_util, "n_buckets", lambda *a, **k: 3)
+    a = snap()
+    monkeypatch.setattr(_util, "n_buckets", lambda *a, **k: 128)
+    b = snap()
+    for key in a:
+        pd.testing.assert_frame_equal(a[key], b[key]), key
