@@ -171,10 +171,26 @@ def _frame_sample(sf_dir: str):
     return frame_sample(_span_corpus(sf_dir))
 
 
-def _media_dhash(sf_dir: str):
-    from indu_doc_transformer_ray.functions.multimodal import media_dhash
+_DHASH_MEMO: dict = {}
 
-    return media_dhash(_span_corpus(sf_dir))
+
+def _media_dhash_ds(sf_dir: str):
+    # session-memoized like similarity's knn graph: media_dhash and
+    # media_phash_pairs share one decode+hash pass when run back-to-back
+    from indu_doc_transformer_ray.functions.multimodal import media_dhash
+    from indu_doc_transformer_ray.functions.similarity import _session_token
+
+    tok = _session_token()
+    hit = _DHASH_MEMO.get(sf_dir)
+    if hit is not None and hit[0] == tok:
+        return hit[1]
+    sig = media_dhash(_span_corpus(sf_dir)).materialize()
+    _DHASH_MEMO[sf_dir] = (tok, sig)
+    return sig
+
+
+def _media_dhash(sf_dir: str):
+    return _media_dhash_ds(sf_dir)
 
 
 def _media_phash_pairs(sf_dir: str):
@@ -184,7 +200,9 @@ def _media_phash_pairs(sf_dir: str):
     # which plants real PPM near-copies and checks exact Hamming output.
     from indu_doc_transformer_ray.functions.multimodal import media_phash_pairs
 
-    return media_phash_pairs(_span_corpus(sf_dir))
+    return media_phash_pairs(
+        _span_corpus(sf_dir), sig=_media_dhash_ds(sf_dir)
+    )
 
 
 def _media_text_context(sf_dir: str):

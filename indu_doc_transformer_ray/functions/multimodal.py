@@ -636,6 +636,7 @@ def media_phash_pairs(
     media_root: str = "",
     n_pair_buckets: int = 64,
     n_band_buckets: int = 256,
+    sig: "Dataset | None" = None,
 ) -> Dataset:
     """Near-duplicate IMAGE pairs by perceptual hash with EXACT recall at
     ``max_hamming`` <= 6: dHash each media span, split the 64 bits into 7
@@ -656,7 +657,8 @@ def media_phash_pairs(
     import pandas as pd
 
     offsets = np.cumsum((0,) + _DHASH_BAND_WIDTHS[:-1]).tolist()
-    sig = media_dhash(docs, media_root=media_root)
+    if sig is None:  # callers with a materialized hash table pass it in
+        sig = media_dhash(docs, media_root=media_root)
     nbands = len(_DHASH_BAND_WIDTHS)
 
     def band_rows(t: pa.Table) -> pa.Table:
