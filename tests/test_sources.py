@@ -141,3 +141,54 @@ def test_write_clustered_prunes_and_roundtrips(ray_session, tmp_path):
     )
     got = got[got["p_size"] <= 8].sort_values("p_partkey")
     assert got["p_partkey"].tolist() == want["p_partkey"].tolist()
+
+
+def test_read_media_files_decodes_real_ppm(ray_session, tmp_path):
+    """read_binary_files media source: raw PPM bytes decode IN MEMORY to
+    true dimensions + pixel features; non-image bytes fall to the
+    deterministic stub keyed by path."""
+    import numpy as np
+
+    from indu_doc_transformer_ray.functions.multimodal import (
+        HAVE_PIL,
+        _feature8,
+    )
+    from indu_doc_transformer_ray.sources.media import read_media_files
+
+    if HAVE_PIL:
+        pytest.skip("PIL present: PPM routes through the PIL branch")
+
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, size=(12, 20, 3), dtype=np.uint8)
+    (tmp_path / "a.ppm").write_bytes(b"P6\n20 12\n255\n" + px.tobytes())
+    (tmp_path / "b.bin").write_bytes(b"not an image")
+
+    out = (
+        read_media_files(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (out.loc["a.ppm", "width"], out.loc["a.ppm", "height"]) == (20, 12)
+    want = _feature8(px.astype(np.float32) / 255.0, 20, 12)
+    assert np.allclose(np.asarray(out.loc["a.ppm", "feature"]), want, atol=1e-6)
+    assert out.loc["b.bin", "n_bytes"] > 0  # stub path, deterministic
+
+
+def test_training_feed_exactly_once(ray_session):
+    """streaming_split feed: every corpus row reaches exactly one of the
+    concurrent consumers; token totals match a direct scan."""
+    import duckdb
+
+    from indu_doc_transformer_ray.pipelines.feed import training_feed_counts
+
+    sf = "/root/testdata/sf0.001"
+    counts = training_feed_counts(sf, n_consumers=3)
+    total_rows = sum(c["rows"] for c in counts)
+    total_tokens = sum(c["tokens"] for c in counts)
+    want = duckdb.sql(
+        f"SELECT COUNT(*), SUM(len(string_split(text, ' ')))"
+        f" FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchone()
+    assert total_rows == want[0]
+    assert total_tokens == int(want[1])
