@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_upsert_snapshot": relational.cdc_upsert_snapshot,
         "common_neighbors_topk": similarity.common_neighbors_topk,
         "substring_dedup_rewrite": dedup.substring_dedup_rewrite,
+        "pii_scrub": text.pii_scrub,
         "copurchase_type_pairs": relational.copurchase_type_pairs,
         "event_transitions": events.event_transitions,
         "embedding_dim_stats": similarity.embedding_dim_stats,
@@ -568,6 +569,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_upsert_snapshot": relational.CDC_UPSERT_SQL,
         "common_neighbors_topk": similarity.COMMON_NEIGHBORS_SQL,
         "substring_dedup_rewrite": dedup.SUBSTRING_DEDUP_REWRITE_SQL,
+        "pii_scrub": text.PII_SCRUB_SQL,
         "copurchase_type_pairs": relational.COPURCHASE_SQL,
         "event_transitions": events.EVENT_TRANSITIONS_SQL,
         "embedding_dim_stats": similarity.EMBEDDING_DIM_STATS_SQL,

@@ -2634,3 +2634,82 @@ def bpe_fertility(sf_dir: str, n_merges: int = 12) -> Dataset:
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         stats, batch_format="pyarrow"
     )
+
+
+# -- PII scrubbing with rewrite (the C4-style masking pass) -------------------
+
+#: RE2-compatible (no \b, no lookaround) so the DuckDB oracle runs the SAME
+#: patterns; applied in this order, counting before each replacement.
+PII_PATTERNS = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("phone", r"\d{3}[-.]\d{3}[-.]\d{4}", "<PHONE>"),
+    ("ip", r"(\d{1,3}\.){3}\d{1,3}", "<IP>"),
+)
+
+
+class PiiScrubber:
+    """Actor-pool stage: the three compiled patterns live in actor state;
+    per batch, each doc is scrubbed in PATTERN ORDER (emails first, so a
+    phone-looking fragment inside an address never double-masks), counting
+    matches before each replacement."""
+
+    def __init__(self):
+        self.pats = [
+            (name, re.compile(pat), sub) for name, pat, sub in PII_PATTERNS
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, counts, md = [], {n: [] for n, _, _ in PII_PATTERNS}, []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            cur = text
+            for name, cre, sub in self.pats:
+                cur, n = cre.subn(sub, cur)
+                counts[name].append(n)
+            ids.append(doc_id)
+            md.append(hashlib.md5(cur.encode()).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_emails": pa.array(counts["email"], pa.int64()),
+                "n_phones": pa.array(counts["phone"], pa.int64()),
+                "n_ips": pa.array(counts["ip"], pa.int64()),
+                "scrubbed_md5": pa.array(md, pa.string()),
+            }
+        )
+
+
+def pii_scrub(sf_dir: str) -> Dataset:
+    """PII masking pass (the C4/Dolma-style scrub): emails, phones and
+    IPv4s replaced by typed tokens, per-doc match counts + an md5 of the
+    scrubbed text (rewrite jobs would write the scrubbed column itself).
+    Zero shuffle — one actor-pool streaming pass; patterns are
+    RE2-compatible so the DuckDB oracle applies the IDENTICAL regexes in
+    the IDENTICAL order.  The synthetic corpus contains no PII (all-zero
+    counts, md5 == original md5) — the planted-PII gate is
+    tests/test_functions.py::test_pii_scrub_planted."""
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        PiiScrubber, batch_format="pyarrow", concurrency=(1, 8)
+    )
+
+
+def _pii_sql() -> str:
+    cur = "text"
+    count_cols = []
+    for name, pat, sub in PII_PATTERNS:
+        count_cols.append(
+            f"CAST(length(regexp_extract_all({cur}, '{pat}')) AS BIGINT)"
+            f" AS n_{name}s"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '{sub}', 'g')"
+    return f"""
+SELECT doc_id,
+       {', '.join(count_cols)},
+       md5({cur}) AS scrubbed_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
+PII_SCRUB_SQL = _pii_sql()

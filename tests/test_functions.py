@@ -1551,3 +1551,46 @@ def test_session3_ops_bucket_invariance(ray_session, monkeypatch):
     b = snap()
     for key in a:
         pd.testing.assert_frame_equal(a[key], b[key]), key
+
+
+def test_pii_scrub_planted(ray_session, tmp_path):
+    """Planted PII is masked with correct per-type counts and the scrubbed
+    md5 reflects the masked text; the staged order (emails first) means a
+    phone-shaped fragment inside an address never double-masks.  The
+    planted corpus also drives the DuckDB oracle to hash-equality, proving
+    the regex semantics agree BEYOND the PII-free driver testdata."""
+    import hashlib
+
+    import duckdb
+    import pandas as pd
+
+    from indu_doc_transformer_ray.functions.text import (
+        PII_SCRUB_SQL,
+        pii_scrub,
+    )
+
+    rows = [
+        {"doc_id": 0,
+         "text": "reach me at jane.doe@corp.example.com or 555-123-4567"},
+        {"doc_id": 1, "text": "server 10.0.255.7 and mirror 192.168.0.1"},
+        {"doc_id": 2, "text": "nothing sensitive here"},
+    ]
+    pd.DataFrame(rows).to_parquet(f"{tmp_path}/documents.parquet")
+    out = pii_scrub(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+
+    assert out.loc[0, "n_emails"] == 1 and out.loc[0, "n_phones"] == 1
+    assert out.loc[0, "scrubbed_md5"] == hashlib.md5(
+        b"reach me at <EMAIL> or <PHONE>"
+    ).hexdigest()
+    assert out.loc[1, "n_ips"] == 2
+    assert out.loc[1, "scrubbed_md5"] == hashlib.md5(
+        b"server <IP> and mirror <IP>"
+    ).hexdigest()
+    assert out.loc[2, ["n_emails", "n_phones", "n_ips"]].sum() == 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    want = con.execute(PII_SCRUB_SQL).df().set_index("doc_id").sort_index()
+    assert (out["scrubbed_md5"] == want["scrubbed_md5"]).all()
