@@ -1257,6 +1257,7 @@ def test_round4_new_ops_match_oracle(ray_session):
         "cdc_upsert_snapshot",
         "common_neighbors_topk",
         "substring_dedup_rewrite",
+        "pii_scrub",
     ]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
