@@ -8,16 +8,20 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (173 of 181): every deterministic construction is
+                      (184 of 196): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
-                      md5-based hashing, HyperLogLog via its md5 registers,
-                      k-means and IVF via an unrolled Lloyd CTE chain,
-                      hyperplane-LSH ANN via plane literals.  The eight
-                      rows-only ops are extraction semantics (pytest holds
-                      their span-equality gate vs the single-process
-                      oracle — extract_spans, extract_object_stats,
-                      search_targets_count), the multimodal
-                      decode/resize/frame-sample/context stages, and
+                      md5-based hashing, HyperLogLog + KMV via their md5
+                      registers/hashes, k-means and IVF via an unrolled
+                      Lloyd CTE chain, hyperplane-LSH ANN via plane
+                      literals.  The twelve rows-only ops are extraction
+                      semantics (pytest holds their span-equality gate vs
+                      the single-process oracle — extract_spans,
+                      extract_object_stats, search_targets_count), the
+                      multimodal decode/resize/frame-sample/context/dhash
+                      stages (their gates: planted-PPM e2e pytests),
+                      pq_topk (float ADC scores; recall pytest),
+                      bpe_fertility (iterative BPE; independent
+                      single-process equality pytest), and
                       compression_ratio (DuckDB has no zlib; pytest holds
                       its equality vs a single-process pass).
 """
