@@ -12,7 +12,6 @@ not a `queries()` entry."""
 
 from __future__ import annotations
 
-import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
