@@ -8,12 +8,12 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (184 of 196): every deterministic construction is
+                      (184 of 197): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog + KMV via their md5
                       registers/hashes, k-means and IVF via an unrolled
                       Lloyd CTE chain, hyperplane-LSH ANN via plane
-                      literals.  The twelve rows-only ops are extraction
+                      literals.  The thirteen rows-only ops are extraction
                       semantics (pytest holds their span-equality gate vs
                       the single-process oracle — extract_spans,
                       extract_object_stats, search_targets_count), the
@@ -209,6 +209,18 @@ def _media_phash_pairs(sf_dir: str):
     )
 
 
+def _media_phash_clusters(sf_dir: str):
+    # empty on the synthetic corpus (unique refs — see _media_phash_pairs);
+    # the cluster gate is test_media_phash_clusters_planted
+    from indu_doc_transformer_ray.functions.multimodal import (
+        media_phash_clusters,
+    )
+
+    return media_phash_clusters(
+        _span_corpus(sf_dir), sig=_media_dhash_ds(sf_dir)
+    )
+
+
 def _media_text_context(sf_dir: str):
     from indu_doc_transformer_ray.functions.multimodal import media_text_context
 
@@ -294,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sample": _frame_sample,
         "media_dhash": _media_dhash,
         "media_phash_pairs": _media_phash_pairs,
+        "media_phash_clusters": _media_phash_clusters,
         "media_text_context": _media_text_context,
         # round-3 additions: window functions, wide joins, semi-structured
         "customers_both_years": relational.customers_both_years,

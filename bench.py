@@ -156,7 +156,7 @@ QUERY_CHUNKS = [
      "kmv_distinct_users", "pq_topk", "bpe_fertility",
      "media_dhash", "media_phash_pairs"],
     ["substring_dedup_rewrite", "cdc_upsert_snapshot",
-     "common_neighbors_topk", "pii_scrub"],
+     "common_neighbors_topk", "pii_scrub", "media_phash_clusters"],
 ]
 
 

@@ -739,3 +739,99 @@ def media_phash_pairs(
         .groupby("pb")
         .map_groups(dedup_fold, batch_format="pandas")
     )
+
+
+def media_phash_clusters(
+    docs: Dataset,
+    max_hamming: int = 6,
+    media_root: str = "",
+    sig: "Dataset | None" = None,
+) -> Dataset:
+    """Near-duplicate IMAGE clusters: transitive closure over
+    ``media_phash_pairs`` via the shared large-star/small-star connected
+    components (dedup.label_components) — the image twin of the text
+    ``dedup_clusters``.  Refs map to 63-bit md5 node ids for the CC
+    rounds; the (id -> ref) decode rides one node-bucket co-location of
+    the pair-endpoint stream against the label stream.  Output: one row
+    per ref that appears in >=1 near-dup pair — (media_ref, cluster_id),
+    cluster_id = the component's minimum node id (opaque, deterministic).
+    Singleton images emit nothing (they need no dedup decision)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .dedup import label_components
+
+    pairs = media_phash_pairs(
+        docs, max_hamming=max_hamming, media_root=media_root, sig=sig
+    ).materialize()  # pair-volume-sized; reused by two consumers below
+
+    def _hash(refs) -> np.ndarray:
+        return np.array(
+            [
+                int.from_bytes(hashlib.md5(r.encode()).digest()[:8], "big")
+                >> 1
+                for r in refs
+            ],
+            dtype=np.int64,
+        )
+
+    def to_ids(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pa.array(_hash(t.column("ref_a").to_pylist())),
+                "b": pa.array(_hash(t.column("ref_b").to_pylist())),
+            }
+        )
+
+    labels = label_components(
+        pairs.map_batches(to_ids, batch_format="pyarrow"), "a", "b"
+    )
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        refs = t.column("ref_a").to_pylist() + t.column("ref_b").to_pylist()
+        ids = _hash(refs)
+        return pa.table(
+            {
+                "node": pa.array(ids),
+                "media_ref": pa.array(refs, pa.string()),
+                "lbl": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+            }
+        )
+
+    def lab_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "media_ref": pa.array([""] * t.num_rows, pa.string()),
+                "lbl": pc.cast(t.column("lbl"), pa.int64()),
+            }
+        )
+
+    def nb_key(t: pa.Table) -> pa.Table:
+        nd = t.column("node").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "nb", pa.array((nd % 1024).astype(np.int32))
+        )
+
+    def decode(g: pd.DataFrame) -> pa.Table:
+        lbl = g[g["media_ref"] == ""].drop_duplicates("node").set_index(
+            "node"
+        )["lbl"]
+        refs = g[g["media_ref"] != ""].drop_duplicates("media_ref")
+        return pa.table(
+            {
+                "media_ref": pa.array(
+                    refs["media_ref"].tolist(), pa.string()
+                ),
+                "cluster_id": pa.array(
+                    refs["node"].map(lbl).to_numpy("int64")
+                ),
+            }
+        )
+
+    stream = (
+        pairs.map_batches(endpoints, batch_format="pyarrow")
+        .union(labels.map_batches(lab_rows, batch_format="pyarrow"))
+        .map_batches(nb_key, batch_format="pyarrow")
+    )
+    return stream.groupby("nb").map_groups(decode, batch_format="pandas")

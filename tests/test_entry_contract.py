@@ -23,7 +23,8 @@ def test_registry_consistency():
     assert rows_only == {
         "compression_ratio", "extract_spans", "extract_object_stats",
         "frame_sample", "media_features", "media_resize",
-        "media_dhash", "media_phash_pairs", "pq_topk", "bpe_fertility",
+        "media_dhash", "media_phash_pairs", "media_phash_clusters",
+        "pq_topk", "bpe_fertility",
         "media_text_context", "search_targets_count",
     }
     # interleave keeps every entry exactly once

@@ -400,7 +400,7 @@ def test_all_queries_run_at_smallest_scale(ray_session):
     # legitimately empty on the synthetic corpus: media refs are unique per
     # doc/page, so there are no image near-dups to pair (the operator's
     # recall gate is test_media_phash_pairs_planted_neardups)
-    may_be_empty = {"media_phash_pairs"}
+    may_be_empty = {"media_phash_pairs", "media_phash_clusters"}
     failures = []
     for name, fn in e.queries().items():
         try:
@@ -1595,3 +1595,52 @@ def test_pii_scrub_planted(ray_session, tmp_path):
     )
     want = con.execute(PII_SCRUB_SQL).df().set_index("doc_id").sort_index()
     assert (out["scrubbed_md5"] == want["scrubbed_md5"]).all()
+
+
+def test_media_phash_clusters_planted(ray_session, tmp_path):
+    """Image near-dup clusters: a base image, its near-copy and a clone of
+    the near-copy land in ONE cluster (transitive closure over phash
+    pairs); an unrelated image emits nothing (singletons need no dedup
+    decision)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from indu_doc_transformer_ray.functions.multimodal import (
+        media_phash_clusters,
+    )
+
+    yy, xx = np.mgrid[0:40, 0:60]
+    base = ((xx * 4 + yy) % 256).astype(np.uint8)
+    base = np.stack([base, base // 2, 255 - base], axis=-1)
+    near = base.copy()
+    near[:5, :7] = 255
+    clone = near.copy()
+    rng = np.random.RandomState(7)
+    other = rng.randint(0, 256, size=(40, 60, 3), dtype=np.uint8)
+    planes = {"a.ppm": base, "b.ppm": near, "c.ppm": clone, "d.ppm": other}
+    for n, px in planes.items():
+        (tmp_path / n).write_bytes(b"P6\n60 40\n255\n" + px.tobytes())
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(["d0"], pa.string()),
+                "spans": pa.array(
+                    [[
+                        {"kind": "media", "text": "", "media_ref": n,
+                         "offset": i}
+                        for i, n in enumerate(sorted(planes))
+                    ]],
+                ),
+            }
+        )
+    )
+    out = (
+        media_phash_clusters(docs, media_root=str(tmp_path))
+        .to_pandas()
+        .set_index("media_ref")
+    )
+    assert set(out.index) == {"a.ppm", "b.ppm", "c.ppm"}
+    assert out["cluster_id"].nunique() == 1
