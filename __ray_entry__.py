@@ -8,12 +8,12 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (184 of 197): every deterministic construction is
+                      (185 of 199): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog + KMV via their md5
                       registers/hashes, k-means and IVF via an unrolled
                       Lloyd CTE chain, hyperplane-LSH ANN via plane
-                      literals.  The thirteen rows-only ops are extraction
+                      literals.  The fourteen rows-only ops are extraction
                       semantics (pytest holds their span-equality gate vs
                       the single-process oracle — extract_spans,
                       extract_object_stats, search_targets_count), the
@@ -21,9 +21,12 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
                       stages (their gates: planted-PPM e2e pytests),
                       pq_topk (float ADC scores; recall pytest),
                       bpe_fertility (iterative BPE; independent
-                      single-process equality pytest), and
+                      single-process equality pytest),
                       compression_ratio (DuckDB has no zlib; pytest holds
-                      its equality vs a single-process pass).
+                      its equality vs a single-process pass), and
+                      logreg_train (iterative IRLS; coefficients match a
+                      single-process fit to 1e-15 in pytest, integer
+                      confusion-count output keeps the query hash-stable).
 """
 
 from __future__ import annotations
@@ -239,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         events,
         html,
+        ml,
         relational,
         similarity,
         sketches,
@@ -464,6 +468,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": curation.decontaminate,
         "mixture_weights": curation.mixture_weights,
         "shard_assign": curation.shard_assign,
+        # model eval / training (round-4: distributed IRLS + exact AUC)
+        "auc_by_type": ml.auc_by_type,
+        "logreg_train": ml.logreg_train,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -486,6 +493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_merges", "curation_pipeline",
         "global_price_rank", "customer_order_seq",           # windows
         "html_spans",                                        # html
+        "auc_by_type", "logreg_train",                       # ml
     ]
     rank = {n: i for i, n in enumerate(risk_first)}
     fams: dict[str, list[str]] = {}
@@ -509,6 +517,7 @@ def oracle_sql() -> dict[str, str]:
         dedup,
         events,
         html,
+        ml,
         relational,
         similarity,
         sketches,
@@ -527,6 +536,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_confusion": text.LANGID_CONFUSION_SQL,
         "pareto_frontier": relational.PARETO_FRONTIER_SQL,
         "fuzzy_name_pairs": dedup.FUZZY_NAME_PAIRS_SQL,
+        "auc_by_type": ml.AUC_BY_TYPE_SQL,
         "session_overlap": events.SESSION_OVERLAP_SQL,
         "cumulative_unique_users": events.CUMULATIVE_UNIQUE_USERS_SQL,
         "events_hourly_dense": events.EVENTS_HOURLY_DENSE_SQL,

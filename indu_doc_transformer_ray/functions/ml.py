@@ -1,0 +1,344 @@
+"""Distributed model-evaluation / model-training operators.
+
+The reference engine has no ML surface (SURVEY.md §2.8) — this is the
+engine-addition family a training-data pipeline needs once the corpus
+feeds an actual model: exact ranking-quality evaluation (ROC AUC) and a
+from-scratch distributed classifier fit (logistic regression by IRLS),
+both expressed as bounded-state folds over streaming Dataset passes.
+
+Scale notes
+-----------
+- ``auc_by_type`` is the [[global-price-rank]] histogram-offset shape:
+  ONE value-bucket co-location computes in-bucket pair contributions,
+  the driver holds only ``O(value_domain / 4096 × n_types)`` count rows
+  and folds the cross-bucket term with exact Python-int products (the
+  pair count ``P·N`` overflows int64 past ~3e9 rows — the same reason
+  ``value_trend_per_type`` does its final products in object dtype).
+- ``logreg_train`` never ships rows anywhere: each IRLS iteration is one
+  streaming pass emitting per-bucket sufficient statistics
+  ``(X^T(y-p), X^T W X)`` — 65 + 2145 float64s per bucket — tree-combined
+  through a 256-way second-level fold so the driver reads ≤256 rows no
+  matter the corpus size.  Determinism (the repo-wide hash-equality
+  contract) holds because bucket membership is a pure function of
+  ``vec_id``, in-bucket rows are sorted before the matmul, and every
+  combine level sums in sorted-key order — no float sum ever depends on
+  Ray's scheduling order.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data import Dataset
+
+from ._util import n_buckets, read_small_aware
+
+# -- exact ROC AUC per class (one-vs-rest), Mann-Whitney form ----------------
+
+#: coarse value bucket width in cents: power of two so the arithmetic
+#: right-shift floors identically for signed values (round-3 ADVICE on the
+#: trunc-vs-floor histogram family).
+_AUC_SHIFT = 12
+
+
+def auc_by_type(sf_dir: str) -> "pa.Table":
+    """Exact one-vs-rest ROC AUC of ``value`` as a score for each
+    ``event_type``: for class t, AUC = P(value_pos > value_neg) + ½·P(tie)
+    over all (positive, negative) pairs — the Mann-Whitney U statistic.
+    Ties use the standard ½ credit, kept integer-exact by accumulating
+    ``auc_num2 = 2·U`` so ``auc_bp = 10000·num2 // (2·P·N)`` floors the
+    same way in the Ray path and the DuckDB window-function oracle.
+
+    Distributed shape: values floor to integer cents, bucket by an
+    arithmetic right-shift (floor-consistent for signed values); ONE
+    ``groupby(bucket)`` co-location pivots each bucket to a
+    (distinct value × type) count frame and folds the in-bucket pair term
+    vectorized; the driver sees only (bucket × type) partial rows —
+    ``O(domain/4096 × 5)`` at any corpus size — and adds the cross-bucket
+    term ``2·c_pos(b,t)·neg_before(b,t)`` from a prefix scan over bucket
+    totals, in exact Python ints (``P·N ≈ n²/4`` overflows int64 past
+    ~6e9 rows; the int64 guard on the emitted partials raises loudly
+    rather than wrapping if a single 40.96-unit value band ever holds
+    >~2e9 rows)."""
+    import pandas as pd
+
+    ds = read_small_aware(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def project(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "vb": pc.shift_right(v, _AUC_SHIFT),
+                "v": v,
+                "event_type": t["event_type"],
+            }
+        )
+
+    def bucket_partials(g: "pd.DataFrame") -> "pd.DataFrame":
+        vb = int(g["vb"].iloc[0])
+        piv = (
+            g.groupby(["v", "event_type"], sort=True)
+            .size()
+            .unstack(fill_value=0)
+            .sort_index()
+        )
+        total = piv.sum(axis=1)
+        rows = []
+        # event_type is a tiny closed domain (≤ a handful of classes), so a
+        # per-class loop over VECTORIZED column ops is not a row loop.
+        for t_name in piv.columns:
+            pos = piv[t_name].to_numpy()
+            neg = total.to_numpy() - pos
+            negs_less = neg.cumsum() - neg  # exclusive prefix within bucket
+            num2 = int(
+                (
+                    pos.astype(object) * (2 * negs_less.astype(object) + neg.astype(object))
+                ).sum()
+            )
+            if num2 >= 1 << 62:  # pragma: no cover - >~2e9 rows in one band
+                raise OverflowError("auc_by_type: in-bucket pair term exceeds int64")
+            rows.append(
+                {"vb": vb, "event_type": t_name, "num2_in": num2, "c_pos": int(pos.sum())}
+            )
+        return pd.DataFrame(rows)
+
+    parts = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("vb")
+        .map_groups(bucket_partials, batch_format="pandas")
+    )
+    # driver fold: O(buckets × types) rows, exact Python-int products
+    pdf = parts.to_pandas().sort_values(["vb", "event_type"])
+    piv_pos = pdf.pivot(index="vb", columns="event_type", values="c_pos").fillna(0).astype("int64").sort_index()
+    piv_num = pdf.pivot(index="vb", columns="event_type", values="num2_in").fillna(0).astype("int64").sort_index()
+    bucket_tot = piv_pos.sum(axis=1)
+    out = []
+    grand_total = int(bucket_tot.sum())
+    for t_name in sorted(piv_pos.columns):
+        pos = piv_pos[t_name].to_numpy().astype(object)
+        neg = bucket_tot.to_numpy().astype(object) - pos
+        neg_before = neg.cumsum() - neg
+        num2 = int(piv_num[t_name].astype(object).sum() + (2 * pos * neg_before).sum())
+        p = int(pos.sum())
+        n = grand_total - p
+        out.append(
+            {
+                "event_type": t_name,
+                "n_pos": p,
+                "n_neg": n,
+                "auc_num2": num2,
+                "auc_bp": (10_000 * num2) // (2 * p * n) if p and n else 0,
+            }
+        )
+    tbl = pa.Table.from_pylist(out)
+    return tbl.cast(
+        pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("n_pos", pa.int64()),
+                ("n_neg", pa.int64()),
+                ("auc_num2", pa.int64()),
+                ("auc_bp", pa.int64()),
+            ]
+        )
+    )
+
+
+AUC_BY_TYPE_SQL = """
+WITH s AS (
+  SELECT CAST(FLOOR(value * 100) AS BIGINT) AS v, event_type FROM events
+),
+agg AS (
+  SELECT v, event_type, COUNT(*) AS c FROM s GROUP BY 1, 2
+),
+allv AS (
+  SELECT v, SUM(c) AS ca FROM agg GROUP BY 1
+),
+pos AS (
+  SELECT t.event_type, a.v, COALESCE(g.c, 0) AS cp, a.ca
+  FROM (SELECT DISTINCT event_type FROM s) t
+  CROSS JOIN allv a
+  LEFT JOIN agg g ON g.v = a.v AND g.event_type = t.event_type
+),
+sc AS (
+  SELECT event_type, v, cp, ca - cp AS cn,
+         COALESCE(SUM(ca - cp) OVER (
+           PARTITION BY event_type ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nl
+  FROM pos
+),
+fin AS (
+  SELECT event_type, SUM(cp) AS p, SUM(cp * (2 * nl + cn)) AS num2
+  FROM sc GROUP BY 1
+),
+tot AS (SELECT COUNT(*) AS n_all FROM s)
+SELECT f.event_type,
+       CAST(f.p AS BIGINT)                          AS n_pos,
+       CAST(t.n_all - f.p AS BIGINT)                AS n_neg,
+       CAST(f.num2 AS BIGINT)                       AS auc_num2,
+       CAST((10000 * f.num2) // (2 * f.p * (t.n_all - f.p)) AS BIGINT) AS auc_bp
+FROM fin f, tot t
+ORDER BY f.event_type
+"""
+
+
+# -- distributed logistic regression (IRLS over sufficient statistics) -------
+
+_LR_ITERS = 6
+_LR_RIDGE = 1e-3  # Tikhonov term added to X^T W X: keeps Newton steps stable
+_LR_SUPER = 256   # second-level combine fan-in (driver reads ≤ this many rows)
+
+
+def _emb_matrix(t: "pa.Table", col: str = "embedding"):
+    """(n, dim) float64 matrix from an Arrow list column — flat-values
+    reshape (one copy of the contiguous child buffer), never a per-row
+    ``to_pylist`` walk."""
+    import numpy as np
+
+    arr = t.column(col).combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(arr), -1)
+
+
+def _logreg_fit(sf_dir: str, iters: int = _LR_ITERS):
+    """Fit ``P(label is odd | embedding)`` by IRLS (Newton) and return the
+    (dim+1,) float64 coefficient vector (intercept first).
+
+    Each iteration is one streaming pass over ``embeddings``: per
+    vec_id-derived bucket, rows sort by ``vec_id`` and fold to the exact
+    Newton sufficient statistics ``g = X^T (y - p)`` and
+    ``H = X^T diag(p(1-p)) X`` (upper triangle packed); a 256-way
+    second-level ``groupby`` sums buckets in sorted order so the driver
+    fold is ≤256 rows and every float sum has a fixed order — the result
+    is bit-deterministic under any scheduling/partitioning (asserted by
+    tests/test_ml.py against a single-process reference)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/embeddings.parquet"
+    meta = pq.read_metadata(path)
+    buckets = n_buckets(meta.num_rows, rows_per_bucket=16_384)
+    dim = None
+    beta = None
+
+    for _ in range(iters):
+        beta_ref = None if beta is None else beta.copy()
+
+        def project(t: pa.Table) -> pa.Table:
+            vid = pc.cast(t["vec_id"], pa.int64())
+            return pa.table(
+                {
+                    "vb": pc.bit_wise_and(vid, buckets - 1),
+                    "vec_id": vid,
+                    "embedding": t["embedding"],
+                    "y": pc.cast(pc.bit_wise_and(pc.cast(t["label"], pa.int64()), 1), pa.float64()),
+                }
+            )
+
+        def bucket_stats(g):
+            import pandas as pd
+
+            g = g.sort_values("vec_id")
+            X = np.stack(g["embedding"].to_numpy())
+            X = np.hstack([np.ones((len(X), 1)), X]).astype(np.float64)
+            y = g["y"].to_numpy(dtype=np.float64)
+            d = X.shape[1]
+            b = np.zeros(d) if beta_ref is None else beta_ref
+            z = np.clip(X @ b, -30.0, 30.0)
+            p = 1.0 / (1.0 + np.exp(-z))
+            grad = X.T @ (y - p)
+            H = (X * (p * (1.0 - p))[:, None]).T @ X
+            iu = np.triu_indices(d)
+            vb = int(g["vb"].iloc[0])
+            return pd.DataFrame(
+                {
+                    "sb": [vb % _LR_SUPER],
+                    "vb": [vb],
+                    "g": [grad.tolist()],
+                    "h": [H[iu].tolist()],
+                }
+            )
+
+        def super_sum(g):
+            import pandas as pd
+
+            g = g.sort_values("vb")
+            return pd.DataFrame(
+                {
+                    "sb": [int(g["sb"].iloc[0])],
+                    "vb": [int(g["vb"].iloc[0])],
+                    "g": [np.add.reduce(np.stack(g["g"].to_numpy()), axis=0).tolist()],
+                    "h": [np.add.reduce(np.stack(g["h"].to_numpy()), axis=0).tolist()],
+                }
+            )
+
+        parts = (
+            read_small_aware(path, columns=["vec_id", "embedding", "label"])
+            .map_batches(project, batch_format="pyarrow")
+            .groupby("vb")
+            .map_groups(bucket_stats, batch_format="pandas")
+            .groupby("sb")
+            .map_groups(super_sum, batch_format="pandas")
+        )
+        pdf = parts.to_pandas().sort_values("sb")  # ≤ _LR_SUPER rows
+        grad = np.add.reduce(np.stack(pdf["g"].to_numpy()), axis=0)
+        hsum = np.add.reduce(np.stack(pdf["h"].to_numpy()), axis=0)
+        dim = grad.shape[0]
+        iu = np.triu_indices(dim)
+        H = np.zeros((dim, dim))
+        H[iu] = hsum
+        H = H + H.T - np.diag(np.diag(H))
+        H[np.diag_indices(dim)] += _LR_RIDGE
+        step = np.linalg.solve(H, grad)
+        beta = (np.zeros(dim) if beta is None else beta) + step
+    return beta
+
+
+def logreg_train(sf_dir: str) -> "pa.Table":
+    """Train the odd-label logistic classifier with :func:`_logreg_fit`,
+    then score the corpus in one broadcast pass and report the per-class
+    confusion counts — integer outputs so the result is hash-stable even
+    though the coefficients carry float rounding.  Output:
+    (y, n, n_correct, accuracy_bp) for y ∈ {0, 1}."""
+    import numpy as np
+
+    beta = _logreg_fit(sf_dir)
+
+    def score(t: pa.Table) -> pa.Table:
+        X = _emb_matrix(t)
+        X = np.hstack([np.ones((len(X), 1)), X])
+        y = t.column("label").combine_chunks().to_numpy(zero_copy_only=False) & 1
+        y = y.astype(np.int64)
+        pred = (X @ beta > 0.0).astype(np.int64)
+        out = {"y": [], "n": [], "n_correct": []}
+        for cls in (0, 1):
+            m = y == cls
+            out["y"].append(cls)
+            out["n"].append(int(m.sum()))
+            out["n_correct"].append(int((pred[m] == cls).sum()))
+        return pa.table(
+            {k: pa.array(v, type=pa.int64()) for k, v in out.items()}
+        )
+
+    from ray.data.aggregate import Sum
+
+    folded = (
+        read_small_aware(f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"])
+        .map_batches(score, batch_format="pyarrow")
+        .groupby("y")
+        .aggregate(Sum("n", alias_name="n"), Sum("n_correct", alias_name="n_correct"))
+    )
+    pdf = folded.to_pandas().sort_values("y")  # 2 rows
+    pdf["accuracy_bp"] = (10_000 * pdf["n_correct"]) // pdf["n"]
+    return pa.Table.from_pandas(pdf.reset_index(drop=True)).cast(
+        pa.schema(
+            [
+                ("y", pa.int64()),
+                ("n", pa.int64()),
+                ("n_correct", pa.int64()),
+                ("accuracy_bp", pa.int64()),
+            ]
+        )
+    )

@@ -1,0 +1,83 @@
+"""ml.py gates: exact-AUC equality vs a naive pairwise reference and the
+DuckDB window oracle; distributed IRLS equality vs a single-process fit."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from indu_doc_transformer_ray.functions import ml
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_auc_by_type_matches_naive_pairwise(ray_session):
+    out = ml.auc_by_type(SF).to_pandas().set_index("event_type")
+
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    v = np.floor(ev["value"].to_numpy() * 100).astype(np.int64)
+    types = sorted(ev["event_type"].unique())
+    assert list(out.index) == types
+    for cls in types:
+        yp = (ev["event_type"] == cls).to_numpy()
+        pv, nv = v[yp], v[~yp]
+        # O(P*N) literal Mann-Whitney count — only viable at sf0.001
+        num2 = int(2 * (pv[:, None] > nv[None, :]).sum() + (pv[:, None] == nv[None, :]).sum())
+        row = out.loc[cls]
+        assert int(row["auc_num2"]) == num2
+        assert int(row["n_pos"]) == len(pv) and int(row["n_neg"]) == len(nv)
+        assert int(row["auc_bp"]) == (10_000 * num2) // (2 * len(pv) * len(nv))
+
+
+def test_auc_by_type_matches_duckdb_oracle(ray_session):
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    oracle = con.sql(ml.AUC_BY_TYPE_SQL).df()
+    got = ml.auc_by_type(SF).to_pandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        oracle.astype(got.dtypes.to_dict()).reset_index(drop=True),
+    )
+
+
+def _reference_irls(sf_dir: str, iters: int) -> np.ndarray:
+    df = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    X = np.hstack(
+        [np.ones((len(df), 1)), np.stack(df["embedding"].to_numpy()).astype(np.float64)]
+    )
+    y = (df["label"].to_numpy().astype(np.int64) & 1).astype(np.float64)
+    b = np.zeros(X.shape[1])
+    for _ in range(iters):
+        z = np.clip(X @ b, -30.0, 30.0)
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = X.T @ (y - p)
+        H = (X * (p * (1.0 - p))[:, None]).T @ X
+        H[np.diag_indices(len(b))] += ml._LR_RIDGE
+        b = b + np.linalg.solve(H, g)
+    return b
+
+
+def test_logreg_fit_matches_single_process(ray_session):
+    beta = ml._logreg_fit(SF, iters=3)
+    ref = _reference_irls(SF, iters=3)
+    # distributed partials differ from one global matmul only by float
+    # summation grouping; the sorted-order folds keep that at epsilon scale
+    assert np.allclose(beta, ref, rtol=1e-8, atol=1e-10)
+
+
+def test_logreg_train_confusion_counts(ray_session):
+    out = ml.logreg_train(SF).to_pandas()
+    assert list(out["y"]) == [0, 1]
+    df = pd.read_parquet(f"{SF}/embeddings.parquet")
+    X = np.hstack(
+        [np.ones((len(df), 1)), np.stack(df["embedding"].to_numpy()).astype(np.float64)]
+    )
+    y = df["label"].to_numpy().astype(np.int64) & 1
+    pred = (X @ _reference_irls(SF, iters=ml._LR_ITERS) > 0.0).astype(np.int64)
+    for cls in (0, 1):
+        m = y == cls
+        row = out[out["y"] == cls].iloc[0]
+        assert int(row["n"]) == int(m.sum())
+        assert int(row["n_correct"]) == int((pred[m] == cls).sum())
+        assert int(row["accuracy_bp"]) == (10_000 * int(row["n_correct"])) // int(row["n"])
