@@ -8,12 +8,12 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (185 of 199): every deterministic construction is
+                      (185 of 200): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog + KMV via their md5
                       registers/hashes, k-means and IVF via an unrolled
                       Lloyd CTE chain, hyperplane-LSH ANN via plane
-                      literals.  The fourteen rows-only ops are extraction
+                      literals.  The fifteen rows-only ops are extraction
                       semantics (pytest holds their span-equality gate vs
                       the single-process oracle — extract_spans,
                       extract_object_stats, search_targets_count), the
@@ -24,9 +24,10 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
                       single-process equality pytest),
                       compression_ratio (DuckDB has no zlib; pytest holds
                       its equality vs a single-process pass), and
-                      logreg_train (iterative IRLS; coefficients match a
-                      single-process fit to 1e-15 in pytest, integer
-                      confusion-count output keeps the query hash-stable).
+                      logreg_train + calibration_bins (iterative IRLS;
+                      coefficients match a single-process fit to 1e-15 in
+                      pytest, integer confusion/bin-count outputs keep the
+                      queries hash-stable).
 """
 
 from __future__ import annotations
@@ -471,6 +472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # model eval / training (round-4: distributed IRLS + exact AUC)
         "auc_by_type": ml.auc_by_type,
         "logreg_train": ml.logreg_train,
+        "calibration_bins": ml.calibration_bins,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled

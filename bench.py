@@ -157,8 +157,9 @@ QUERY_CHUNKS = [
      "media_dhash", "media_phash_pairs"],
     ["substring_dedup_rewrite", "cdc_upsert_snapshot",
      "common_neighbors_topk", "pii_scrub", "media_phash_clusters"],
-    # session-4 ml family (logreg is 6 sequential IRLS passes by design)
-    ["auc_by_type", "logreg_train"],
+    # session-4 ml family (logreg is 6 sequential IRLS passes by design;
+    # calibration_bins rides the memoized fit)
+    ["auc_by_type", "logreg_train", "calibration_bins"],
 ]
 
 

@@ -202,6 +202,22 @@ def _emb_matrix(t: "pa.Table", col: str = "embedding"):
     return flat.reshape(len(arr), -1)
 
 
+#: session-scoped coefficient memo so logreg_train and calibration_bins
+#: share ONE 6-pass fit when they run in the same Ray session (the IVF
+#: k-NN graph memo pattern, similarity.py:474).
+_LR_MEMO: dict[tuple, "object"] = {}
+
+
+def _logreg_fit_memo(sf_dir: str, iters: int = _LR_ITERS):
+    from ._util import session_token
+
+    key = (session_token(), sf_dir, iters)
+    if key not in _LR_MEMO:
+        _LR_MEMO.clear()  # one live session at a time; drop dead-session keys
+        _LR_MEMO[key] = _logreg_fit(sf_dir, iters)
+    return _LR_MEMO[key]
+
+
 def _logreg_fit(sf_dir: str, iters: int = _LR_ITERS):
     """Fit ``P(label is odd | embedding)`` by IRLS (Newton) and return the
     (dim+1,) float64 coefficient vector (intercept first).
@@ -304,7 +320,7 @@ def logreg_train(sf_dir: str) -> "pa.Table":
     (y, n, n_correct, accuracy_bp) for y ∈ {0, 1}."""
     import numpy as np
 
-    beta = _logreg_fit(sf_dir)
+    beta = _logreg_fit_memo(sf_dir)
 
     def score(t: pa.Table) -> pa.Table:
         X = _emb_matrix(t)
@@ -339,6 +355,69 @@ def logreg_train(sf_dir: str) -> "pa.Table":
                 ("n", pa.int64()),
                 ("n_correct", pa.int64()),
                 ("accuracy_bp", pa.int64()),
+            ]
+        )
+    )
+
+
+def calibration_bins(sf_dir: str) -> "pa.Table":
+    """Reliability diagram for the odd-label classifier: predicted
+    probabilities fall into 10 equal-width bins and each bin reports how
+    often the positive class actually occurred — the calibration check a
+    quality-scoring model needs before its scores gate corpus admission.
+    Outputs stay integer so the result is hash-stable despite the float
+    fit: per-row confidence floors to 1e-6 units BEFORE the fold, so the
+    sum is order-independent.  Output: (bin, n, n_pos, pos_rate_bp,
+    avg_conf_bp) for the non-empty bins, ascending.
+
+    Distributed shape: the (memoized) :func:`_logreg_fit` coefficients are
+    closure-broadcast; one streaming pass folds per-batch (bin, n, n_pos,
+    sum_conf_e6) partials; the final ``groupby`` touches ≤10 groups."""
+    import numpy as np
+
+    beta = _logreg_fit_memo(sf_dir)
+
+    def partials(t: pa.Table) -> pa.Table:
+        X = _emb_matrix(t)
+        X = np.hstack([np.ones((len(X), 1)), X])
+        y = t.column("label").combine_chunks().to_numpy(zero_copy_only=False) & 1
+        z = np.clip(X @ beta, -30.0, 30.0)
+        p = 1.0 / (1.0 + np.exp(-z))
+        b = np.minimum((p * 10).astype(np.int64), 9)
+        conf_e6 = np.floor(p * 1_000_000).astype(np.int64)
+        out = {"bin": [], "n": [], "n_pos": [], "sum_conf_e6": []}
+        for k in np.unique(b):  # ≤10 iterations — bin domain, not rows
+            m = b == k
+            out["bin"].append(int(k))
+            out["n"].append(int(m.sum()))
+            out["n_pos"].append(int(y[m].sum()))
+            out["sum_conf_e6"].append(int(conf_e6[m].sum()))
+        return pa.table({k: pa.array(v, type=pa.int64()) for k, v in out.items()})
+
+    from ray.data.aggregate import Sum
+
+    folded = (
+        read_small_aware(f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_pos", alias_name="n_pos"),
+            Sum("sum_conf_e6", alias_name="sum_conf_e6"),
+        )
+    )
+    pdf = folded.to_pandas().sort_values("bin").reset_index(drop=True)  # ≤10 rows
+    pdf["pos_rate_bp"] = (10_000 * pdf["n_pos"]) // pdf["n"]
+    pdf["avg_conf_bp"] = pdf["sum_conf_e6"] // (100 * pdf["n"])
+    pdf = pdf.drop(columns=["sum_conf_e6"])
+    return pa.Table.from_pandas(pdf).cast(
+        pa.schema(
+            [
+                ("bin", pa.int64()),
+                ("n", pa.int64()),
+                ("n_pos", pa.int64()),
+                ("pos_rate_bp", pa.int64()),
+                ("avg_conf_bp", pa.int64()),
             ]
         )
     )

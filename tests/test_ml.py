@@ -81,3 +81,25 @@ def test_logreg_train_confusion_counts(ray_session):
         assert int(row["n"]) == int(m.sum())
         assert int(row["n_correct"]) == int((pred[m] == cls).sum())
         assert int(row["accuracy_bp"]) == (10_000 * int(row["n_correct"])) // int(row["n"])
+
+
+def test_calibration_bins_matches_single_process(ray_session):
+    out = ml.calibration_bins(SF).to_pandas()
+    beta = _reference_irls(SF, iters=ml._LR_ITERS)
+    df = pd.read_parquet(f"{SF}/embeddings.parquet")
+    X = np.hstack(
+        [np.ones((len(df), 1)), np.stack(df["embedding"].to_numpy()).astype(np.float64)]
+    )
+    y = df["label"].to_numpy().astype(np.int64) & 1
+    p = 1.0 / (1.0 + np.exp(-np.clip(X @ beta, -30.0, 30.0)))
+    b = np.minimum((p * 10).astype(np.int64), 9)
+    conf = np.floor(p * 1_000_000).astype(np.int64)
+    assert (out["n"].sum()) == len(df)
+    for _, row in out.iterrows():
+        m = b == row["bin"]
+        assert int(row["n"]) == int(m.sum())
+        assert int(row["n_pos"]) == int(y[m].sum())
+        assert int(row["avg_conf_bp"]) == int(conf[m].sum()) // (100 * int(m.sum()))
+        assert int(row["pos_rate_bp"]) == (10_000 * int(y[m].sum())) // int(m.sum())
+    # every non-empty bin present
+    assert set(out["bin"]) == set(np.unique(b).tolist())
