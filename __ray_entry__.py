@@ -8,12 +8,12 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (185 of 200): every deterministic construction is
+                      (185 of 201): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog + KMV via their md5
                       registers/hashes, k-means and IVF via an unrolled
                       Lloyd CTE chain, hyperplane-LSH ANN via plane
-                      literals.  The fifteen rows-only ops are extraction
+                      literals.  The sixteen rows-only ops are extraction
                       semantics (pytest holds their span-equality gate vs
                       the single-process oracle — extract_spans,
                       extract_object_stats, search_targets_count), the
@@ -27,7 +27,9 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
                       logreg_train + calibration_bins (iterative IRLS;
                       coefficients match a single-process fit to 1e-15 in
                       pytest, integer confusion/bin-count outputs keep the
-                      queries hash-stable).
+                      queries hash-stable), and bt_supplier_strengths
+                      (iterative Bradley-Terry MM; single-process and
+                      forced-actor-path equality pytests).
 """
 
 from __future__ import annotations
@@ -473,6 +475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auc_by_type": ml.auc_by_type,
         "logreg_train": ml.logreg_train,
         "calibration_bins": ml.calibration_bins,
+        "bt_supplier_strengths": ml.bt_supplier_strengths,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -495,7 +498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_merges", "curation_pipeline",
         "global_price_rank", "customer_order_seq",           # windows
         "html_spans",                                        # html
-        "auc_by_type", "logreg_train",                       # ml
+        "bt_supplier_strengths", "auc_by_type",              # ml
     ]
     rank = {n: i for i, n in enumerate(risk_first)}
     fams: dict[str, list[str]] = {}

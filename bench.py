@@ -154,12 +154,13 @@ QUERY_CHUNKS = [
     # ride the span corpus; pq shares no memo with the ivf family)
     ["line_dedup", "bigram_surprisal", "repetition_filter",
      "kmv_distinct_users", "pq_topk", "bpe_fertility",
-     "media_dhash", "media_phash_pairs"],
+     "media_dhash", "media_phash_pairs", "media_phash_clusters"],
     ["substring_dedup_rewrite", "cdc_upsert_snapshot",
-     "common_neighbors_topk", "pii_scrub", "media_phash_clusters"],
+     "common_neighbors_topk", "pii_scrub"],
     # session-4 ml family (logreg is 6 sequential IRLS passes by design;
     # calibration_bins rides the memoized fit)
-    ["auc_by_type", "logreg_train", "calibration_bins"],
+    ["auc_by_type", "logreg_train", "calibration_bins",
+     "bt_supplier_strengths"],
 ]
 
 

@@ -421,3 +421,262 @@ def calibration_bins(sf_dir: str) -> "pa.Table":
             ]
         )
     )
+
+
+# -- Bradley-Terry ranking from pairwise outcomes (MM algorithm) --------------
+
+_BT_ITERS = 15
+#: pair tables at or under this row count run the MM loop on the driver in
+#: one numpy pass per iteration (the pagerank_knn driver-escape pattern);
+#: above it the static pair table is pinned ONCE in sharded num_cpus=0
+#: actors and each iteration is k batched RPCs — the table never crosses
+#: an exchange again.  Equality between the two paths is pytest-gated.
+_BT_DRIVER_PAIR_BUDGET = 2_000_000
+
+
+def _bt_pair_table(sf_dir: str) -> Dataset:
+    """(lo, hi, n, w_lo) supplier-pair outcome table from lineitem: within
+    each part, supplier A beats supplier B when A's cheapest observed unit
+    price (micro-units, floor) for that part is strictly lower — ties
+    contribute no game.  Two bounded co-locations: a part-bucket kernel
+    reduces to per-(part,supplier) minima and enumerates that part's
+    supplier pairs (fan-out Σ s_p² over suppliers-per-part, never raw
+    lineitems²), then a pair-bucket kernel folds duplicate pairs across
+    part buckets so the output holds one row per distinct supplier pair."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
+
+    def project(t: pa.Table) -> pa.Table:
+        part = pc.cast(t["l_partkey"], pa.int64())
+        u = pc.cast(
+            pc.floor(
+                pc.multiply(pc.divide(t["l_extendedprice"], t["l_quantity"]), 1e6)
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "pb": pc.cast(pc.bit_wise_and(part, nb - 1), pa.int32()),
+                "p": part,
+                "s": pc.cast(t["l_suppkey"], pa.int64()),
+                "u": u,
+            }
+        )
+
+    def part_pairs(g: "pd.DataFrame") -> "pd.DataFrame":
+        best = g.groupby(["p", "s"], sort=True)["u"].min().reset_index()
+        m = best.merge(best, on="p", suffixes=("_a", "_b"))
+        m = m[m["s_a"] < m["s_b"]]
+        m = m[m["u_a"] != m["u_b"]]  # ties: no game
+        if not len(m):
+            return pd.DataFrame(
+                {"lo": pd.Series([], dtype="int64"),
+                 "hi": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64"),
+                 "w_lo": pd.Series([], dtype="int64")}
+            )
+        m["w"] = (m["u_a"] < m["u_b"]).astype("int64")
+        out = (
+            m.groupby(["s_a", "s_b"], sort=True)
+            .agg(n=("w", "size"), w_lo=("w", "sum"))
+            .reset_index()
+            .rename(columns={"s_a": "lo", "s_b": "hi"})
+        )
+        return out.astype({"lo": "int64", "hi": "int64", "n": "int64", "w_lo": "int64"})
+
+    def key_pair(t: pa.Table) -> pa.Table:
+        qb = pc.bit_wise_and(
+            pc.add(pc.multiply(t["lo"], 1_000_003), t["hi"]), nb - 1
+        )
+        return t.append_column("qb", pc.cast(qb, pa.int32()))
+
+    def fold_pairs(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = (
+            g.groupby(["lo", "hi"], sort=True)[["n", "w_lo"]].sum().reset_index()
+        )
+        return out.astype({"lo": "int64", "hi": "int64", "n": "int64", "w_lo": "int64"})
+
+    return (
+        read_small_aware(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+        )
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(part_pairs, batch_format="pandas")
+        .map_batches(key_pair, batch_format="pyarrow")
+        .groupby("qb")
+        .map_groups(fold_pairs, batch_format="pandas")
+    )
+
+
+def _bt_mm(lo, hi, n, w_lo, n_sup: int, iters: int):
+    """Regularized Bradley-Terry MM updates (Hunter 2004) over dense
+    supplier-indexed arrays: each supplier also plays one virtual half-win
+    / half-loss game against a fixed γ=1 dummy, which keeps never-winners
+    finite and the solution unique without a normalization constraint."""
+    import numpy as np
+
+    gamma = np.ones(n_sup, dtype=np.float64)
+    wins = np.zeros(n_sup, dtype=np.float64)
+    np.add.at(wins, lo, w_lo.astype(np.float64))
+    np.add.at(wins, hi, (n - w_lo).astype(np.float64))
+    for _ in range(iters):
+        denom = np.zeros(n_sup, dtype=np.float64)
+        inv = n.astype(np.float64) / (gamma[lo] + gamma[hi])
+        np.add.at(denom, lo, inv)
+        np.add.at(denom, hi, inv)
+        gamma = (wins + 0.5) / (denom + 1.0 / (gamma + 1.0))
+    return gamma, wins
+
+
+def bt_supplier_strengths(
+    sf_dir: str, topk: int = 20, driver_pair_budget: int = _BT_DRIVER_PAIR_BUDGET
+) -> "pa.Table":
+    """Bradley-Terry supplier strength from pairwise cheaper-for-the-
+    same-part outcomes — learning-to-rank from comparisons, the preference-
+    aggregation shape an RLHF data pipeline runs over annotator votes.
+    Output: top-``topk`` suppliers by strength, (s_suppkey, games, wins,
+    strength_e6) with the strength floored to 1e-6 units; integer columns
+    and a fully order-fixed float path keep the result hash-stable.
+
+    Distributed shape: the pair table comes from :func:`_bt_pair_table`
+    (two bounded co-locations); suppliers are the DIMENSION side (the
+    broadcast-bound assumption every dim lookup in relational.py documents:
+    a dense supplier-indexed vector must fit one worker — ~8 MB per 10⁶
+    suppliers).  The MM loop never re-shuffles the pair table: at or under
+    ``driver_pair_budget`` rows it runs on the driver (one vectorized
+    numpy pass per iteration); above it the sorted pair shards pin in
+    ``num_cpus=0`` actors and each iteration is one batched RPC per shard,
+    with the driver summing shard partials in shard order — float folds
+    deterministic at every level (pytest forces both paths and asserts
+    exact equality)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import ray
+
+    pairs = _bt_pair_table(sf_dir).materialize()
+    n_pairs = pairs.count()
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    n_sup = int(pc.max(sup["s_suppkey"]).as_py()) + 1
+
+    if n_pairs <= driver_pair_budget:
+        pdf = pairs.to_pandas().sort_values(["lo", "hi"])
+        lo = pdf["lo"].to_numpy(np.int64)
+        hi = pdf["hi"].to_numpy(np.int64)
+        nn = pdf["n"].to_numpy(np.int64)
+        wl = pdf["w_lo"].to_numpy(np.int64)
+        gamma, wins = _bt_mm(lo, hi, nn, wl, n_sup, _BT_ITERS)
+        games = np.zeros(n_sup, dtype=np.int64)
+        np.add.at(games, lo, nn)
+        np.add.at(games, hi, nn)
+    else:  # pragma: no branch - exercised via driver_pair_budget=0 in tests
+        ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        n_shards = max(2, min(16, ncpu // 2))
+
+        @ray.remote(num_cpus=0)
+        class PairShard:
+            """Owns the pair rows with (lo*1000003+hi) % n_shards == id,
+            sorted by (lo, hi) at seal — num_cpus=0: arithmetic only."""
+
+            def __init__(self):
+                self._parts = []
+                self._lo = self._hi = self._n = self._w = None
+
+            def add(self, lo, hi, n, w):
+                self._parts.append((lo, hi, n, w))
+                return len(lo)
+
+            def seal(self):
+                import numpy as np
+
+                if self._parts:
+                    lo = np.concatenate([p[0] for p in self._parts])
+                    hi = np.concatenate([p[1] for p in self._parts])
+                    n = np.concatenate([p[2] for p in self._parts])
+                    w = np.concatenate([p[3] for p in self._parts])
+                else:
+                    lo = hi = n = w = np.empty(0, dtype=np.int64)
+                order = np.lexsort((hi, lo))
+                self._lo, self._hi = lo[order], hi[order]
+                self._n, self._w = n[order], w[order]
+                self._parts = None
+                return len(self._lo)
+
+            def wins_games(self, n_sup):
+                import numpy as np
+
+                wins = np.zeros(n_sup, dtype=np.float64)
+                games = np.zeros(n_sup, dtype=np.int64)
+                np.add.at(wins, self._lo, self._w.astype(np.float64))
+                np.add.at(wins, self._hi, (self._n - self._w).astype(np.float64))
+                np.add.at(games, self._lo, self._n)
+                np.add.at(games, self._hi, self._n)
+                return wins, games
+
+            def denom(self, gamma):
+                import numpy as np
+
+                d = np.zeros(len(gamma), dtype=np.float64)
+                inv = self._n.astype(np.float64) / (
+                    gamma[self._lo] + gamma[self._hi]
+                )
+                np.add.at(d, self._lo, inv)
+                np.add.at(d, self._hi, inv)
+                return d
+
+        shards = [PairShard.remote() for _ in range(n_shards)]
+
+        def push(t: "pd.DataFrame") -> "pd.DataFrame":
+            lo = t["lo"].to_numpy(np.int64)
+            sh = (lo * 1_000_003 + t["hi"].to_numpy(np.int64)) % n_shards
+            ray.get(
+                [
+                    shards[s].add.remote(
+                        lo[sh == s],
+                        t["hi"].to_numpy(np.int64)[sh == s],
+                        t["n"].to_numpy(np.int64)[sh == s],
+                        t["w_lo"].to_numpy(np.int64)[sh == s],
+                    )
+                    for s in np.unique(sh)
+                ]
+            )
+            return pd.DataFrame({"n": pd.Series([len(t)], dtype="int64")})
+
+        pairs.map_batches(push, batch_format="pandas").materialize()
+        ray.get([s.seal.remote() for s in shards])
+        wg = ray.get([s.wins_games.remote(n_sup) for s in shards])
+        wins = np.add.reduce([w for w, _ in wg])  # shard order: deterministic
+        games = np.add.reduce([g for _, g in wg])
+        gamma = np.ones(n_sup, dtype=np.float64)
+        for _ in range(_BT_ITERS):
+            ds_ = ray.get([s.denom.remote(gamma) for s in shards])
+            denom = np.add.reduce(ds_)
+            gamma = (wins + 0.5) / (denom + 1.0 / (gamma + 1.0))
+
+    played = games > 0
+    idx = np.flatnonzero(played)
+    strength_e6 = np.floor(gamma[idx] * 1e6).astype(np.int64)
+    out = pd.DataFrame(
+        {
+            "s_suppkey": idx.astype(np.int64),
+            "games": games[idx],
+            "wins": wins[idx].astype(np.int64),
+            "strength_e6": strength_e6,
+        }
+    ).sort_values(["strength_e6", "s_suppkey"], ascending=[False, True]).head(topk)
+    return pa.Table.from_pandas(out.reset_index(drop=True)).cast(
+        pa.schema(
+            [
+                ("s_suppkey", pa.int64()),
+                ("games", pa.int64()),
+                ("wins", pa.int64()),
+                ("strength_e6", pa.int64()),
+            ]
+        )
+    )

@@ -26,7 +26,7 @@ def test_registry_consistency():
         "media_dhash", "media_phash_pairs", "media_phash_clusters",
         "pq_topk", "bpe_fertility",
         "media_text_context", "search_targets_count",
-        "logreg_train", "calibration_bins",
+        "logreg_train", "calibration_bins", "bt_supplier_strengths",
     }
     # interleave keeps every entry exactly once
     assert len(q) == len(set(q))

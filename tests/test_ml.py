@@ -103,3 +103,83 @@ def test_calibration_bins_matches_single_process(ray_session):
         assert int(row["pos_rate_bp"]) == (10_000 * int(y[m].sum())) // int(m.sum())
     # every non-empty bin present
     assert set(out["bin"]) == set(np.unique(b).tolist())
+
+
+def _reference_bt(sf_dir=SF, iters=None):
+    iters = iters or ml._BT_ITERS
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+    )
+    li["u"] = np.floor(li["l_extendedprice"] / li["l_quantity"] * 1e6).astype(np.int64)
+    best = li.groupby(["l_partkey", "l_suppkey"])["u"].min().reset_index()
+    m = best.merge(best, on="l_partkey", suffixes=("_a", "_b"))
+    m = m[(m["l_suppkey_a"] < m["l_suppkey_b"]) & (m["u_a"] != m["u_b"])]
+    m["w"] = (m["u_a"] < m["u_b"]).astype(np.int64)
+    pt = (
+        m.groupby(["l_suppkey_a", "l_suppkey_b"])
+        .agg(n=("w", "size"), w_lo=("w", "sum"))
+        .reset_index()
+        .sort_values(["l_suppkey_a", "l_suppkey_b"])
+    )
+    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    n_sup = int(sup["s_suppkey"].max()) + 1
+    lo = pt["l_suppkey_a"].to_numpy(np.int64)
+    hi = pt["l_suppkey_b"].to_numpy(np.int64)
+    gamma, wins = ml._bt_mm(
+        lo, hi, pt["n"].to_numpy(np.int64), pt["w_lo"].to_numpy(np.int64), n_sup, iters
+    )
+    games = np.zeros(n_sup, dtype=np.int64)
+    np.add.at(games, lo, pt["n"].to_numpy(np.int64))
+    np.add.at(games, hi, pt["n"].to_numpy(np.int64))
+    return gamma, wins, games
+
+
+def test_bt_pair_table_matches_single_process(ray_session):
+    got = (
+        ml._bt_pair_table(SF)
+        .to_pandas()
+        .sort_values(["lo", "hi"])
+        .reset_index(drop=True)[["lo", "hi", "n", "w_lo"]]
+    )
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+    )
+    li["u"] = np.floor(li["l_extendedprice"] / li["l_quantity"] * 1e6).astype(np.int64)
+    best = li.groupby(["l_partkey", "l_suppkey"])["u"].min().reset_index()
+    m = best.merge(best, on="l_partkey", suffixes=("_a", "_b"))
+    m = m[(m["l_suppkey_a"] < m["l_suppkey_b"]) & (m["u_a"] != m["u_b"])]
+    m["w"] = (m["u_a"] < m["u_b"]).astype(np.int64)
+    ref = (
+        m.groupby(["l_suppkey_a", "l_suppkey_b"])
+        .agg(n=("w", "size"), w_lo=("w", "sum"))
+        .reset_index()
+        .rename(columns={"l_suppkey_a": "lo", "l_suppkey_b": "hi"})
+        .astype({"lo": "int64", "hi": "int64", "n": "int64", "w_lo": "int64"})
+        .sort_values(["lo", "hi"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ref)
+
+
+def test_bt_strengths_match_single_process(ray_session):
+    out = ml.bt_supplier_strengths(SF).to_pandas()
+    gamma, wins, games = _reference_bt()
+    for _, r in out.iterrows():
+        k = int(r["s_suppkey"])
+        assert int(r["games"]) == int(games[k])
+        assert int(r["wins"]) == int(wins[k])
+        # same fold order on both sides -> identical floats
+        assert int(r["strength_e6"]) == int(np.floor(gamma[k] * 1e6))
+
+
+def test_bt_actor_path_equals_driver_escape(ray_session):
+    esc = ml.bt_supplier_strengths(SF).to_pandas()
+    act = ml.bt_supplier_strengths(SF, driver_pair_budget=0).to_pandas()
+    # integer outcome columns are exact across paths; strengths may differ
+    # by float summation grouping only (per-shard vs global order)
+    pd.testing.assert_frame_equal(
+        esc[["s_suppkey", "games", "wins"]], act[["s_suppkey", "games", "wins"]]
+    )
+    assert (np.abs(esc["strength_e6"] - act["strength_e6"]) <= 1).all()
