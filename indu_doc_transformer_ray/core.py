@@ -263,6 +263,12 @@ def _charjoin(s: str) -> list[str]:
     return list(s)
 
 
+def _cj(s: str) -> str:
+    """``':'.join(_charjoin(s))`` without the intermediate list — interleaves
+    ':' between every character (hot path: every connection/link/pin GUID)."""
+    return ":".join(s)
+
+
 def xtarget_guid(tag_str: str) -> str:
     """md5 of the (footer-merged, pin-stripped, UNstripped) tag string
     (xtarget.py:141-154)."""
@@ -302,12 +308,14 @@ def connection_guid(
     src_guid: Optional[str], dest_guid: Optional[str], through_guid: Optional[str]
 ) -> str:
     """``CONN:`` + char-joined src/dest/through GUIDs, ``SRC:None`` etc. for
-    absent ends (connection.py:359-372)."""
-    e: list[str] = []
-    e += _charjoin(src_guid) if src_guid else ["SRC:None"]
-    e += _charjoin(dest_guid) if dest_guid else ["DEST:None"]
-    e += _charjoin(through_guid) if through_guid else ["THROUGH:None"]
-    return _md5_uuid("CONN:" + ":".join(e))
+    absent ends (connection.py:359-372).  Spelled as pre-joined chunks —
+    ``':'.join(a_chars + b_chars)`` == ``':'.join(a) + ':' + ':'.join(b)``."""
+    return _md5_uuid(
+        "CONN:"
+        + (_cj(src_guid) if src_guid else "SRC:None")
+        + ":" + (_cj(dest_guid) if dest_guid else "DEST:None")
+        + ":" + (_cj(through_guid) if through_guid else "THROUGH:None")
+    )
 
 
 def link_guid(
@@ -319,11 +327,12 @@ def link_guid(
     """``LINK:`` + name + char-joined ``SRC:<pin>`` / ``DEST:<pin>`` /
     parent-connection GUID (connection.py:233-247).  Pin names keep their
     leading ':'."""
-    e: list[str] = [name]
-    e += _charjoin("SRC:" + src_pin_name) if src_pin_name else ["SRC:None"]
-    e += _charjoin("DEST:" + dest_pin_name) if dest_pin_name else ["DEST:None"]
-    e += _charjoin(parent_conn_guid) if parent_conn_guid else ["PARENT:None"]
-    return _md5_uuid("LINK:" + ":".join(e))
+    return _md5_uuid(
+        "LINK:" + name
+        + ":" + (_cj("SRC:" + src_pin_name) if src_pin_name else "SRC:None")
+        + ":" + (_cj("DEST:" + dest_pin_name) if dest_pin_name else "DEST:None")
+        + ":" + (_cj(parent_conn_guid) if parent_conn_guid else "PARENT:None")
+    )
 
 
 def pin_guid(
@@ -334,11 +343,14 @@ def pin_guid(
 ) -> str:
     """``PIN:`` + name + char-joined role + child GUID + parent-link GUID
     (connection.py:93-106)."""
-    e: list[str] = [name]
-    e += _charjoin(role)
-    e += _charjoin(child_guid) if child_guid else ["CHILD:None"]
-    e += _charjoin(parent_link_guid) if parent_link_guid else ["PARENT:None"]
-    return _md5_uuid("PIN:" + ":".join(e))
+    return _md5_uuid(
+        "PIN:" + name
+        # an empty role contributed NO list element in the char-join form,
+        # hence no ':' either — preserve that byte-for-byte
+        + ((":" + _cj(role)) if role else "")
+        + ":" + (_cj(child_guid) if child_guid else "CHILD:None")
+        + ":" + (_cj(parent_link_guid) if parent_link_guid else "PARENT:None")
+    )
 
 
 def pin_chain_guids(

@@ -36,10 +36,17 @@ Python, the thing a ``map_groups`` merge would cost at 10^12-doc scale.
 from __future__ import annotations
 
 import json
+from json.encoder import encode_basestring_ascii as _esc
 from typing import Any, Iterable
 
 from .spandoc import US
 from .store import ExtractionStore, TYPE_PRIORITY, canonical_json
+
+# ``_esc`` is CPython's C string escaper (the one json.dumps uses with its
+# default ensure_ascii=True); the hand-assembled payloads below are
+# byte-identical to ``canonical_json`` on these fixed flat all-string shapes
+# (keys pre-sorted, separators (",", ":")) at ~1/10 the cost — pinned by
+# tests/test_deltas.py::test_fast_payloads_match_canonical_json.
 
 
 def store_to_deltas(store: ExtractionStore) -> list[tuple[str, str]]:
@@ -54,10 +61,8 @@ def store_to_deltas(store: ExtractionStore) -> list[tuple[str, str]]:
         add(
             (
                 f"attribute{US}{a.guid}",
-                canonical_json(
-                    {"attr_type": a.attr_type, "name": a.name,
-                     "value_json": a.value_json}
-                ),
+                f'{{"attr_type":{_esc(a.attr_type)},"name":{_esc(a.name)}'
+                f',"value_json":{_esc(a.value_json)}}}',
             )
         )
     for t in store.targets.values():
@@ -73,7 +78,7 @@ def store_to_deltas(store: ExtractionStore) -> list[tuple[str, str]]:
         add(
             (
                 f"aspect{US}{asp.guid}",
-                canonical_json({"separator": asp.separator, "value": asp.value}),
+                f'{{"separator":{_esc(asp.separator)},"value":{_esc(asp.value)}}}',
             )
         )
         for g in asp.attr_guids:
@@ -82,14 +87,10 @@ def store_to_deltas(store: ExtractionStore) -> list[tuple[str, str]]:
         add(
             (
                 f"link{US}{l.guid}",
-                canonical_json(
-                    {
-                        "name": l.name,
-                        "connection_guid": l.connection_guid,
-                        "src_pin_name": l.src_pin_name,
-                        "dst_pin_name": l.dst_pin_name,
-                    }
-                ),
+                f'{{"connection_guid":{_esc(l.connection_guid)}'
+                f',"dst_pin_name":{_esc(l.dst_pin_name)}'
+                f',"name":{_esc(l.name)}'
+                f',"src_pin_name":{_esc(l.src_pin_name)}}}',
             )
         )
         for g in l.attr_guids:
@@ -98,12 +99,11 @@ def store_to_deltas(store: ExtractionStore) -> list[tuple[str, str]]:
         add(
             (
                 f"connection{US}{c.guid}",
-                canonical_json(
-                    {
-                        "src_guid": c.src_guid,
-                        "dst_guid": c.dst_guid,
-                        "through_guid": c.through_guid,
-                    }
+                '{"dst_guid":%s,"src_guid":%s,"through_guid":%s}'
+                % (
+                    _esc(c.dst_guid) if c.dst_guid is not None else "null",
+                    _esc(c.src_guid) if c.src_guid is not None else "null",
+                    _esc(c.through_guid) if c.through_guid is not None else "null",
                 ),
             )
         )
@@ -111,28 +111,40 @@ def store_to_deltas(store: ExtractionStore) -> list[tuple[str, str]]:
         add(
             (
                 f"pin{US}{p.guid}",
-                canonical_json(
-                    {"name": p.name, "role": p.role, "chain": p.chain,
-                     "link_guid": p.link_guid}
-                ),
+                f'{{"chain":[{",".join(map(_esc, p.chain))}]'
+                f',"link_guid":{_esc(p.link_guid)}'
+                f',"name":{_esc(p.name)},"role":{_esc(p.role)}}}',
             )
         )
     return out
 
 
+def store_to_local_tuples(
+    store: ExtractionStore,
+) -> tuple[list[tuple], list[tuple]]:
+    """Doc-scoped output rows as plain tuples, set-deduplicated like the
+    reference's mapper sets (god.py:91-144): ``(page_objects, errors)`` —
+    page_objects as ``(doc_id, page_no, kind, guid)``, errors as
+    ``(doc_id, page_no, severity, message)``."""
+    page_objects = [
+        t for t in sorted(set(store.mapping_log)) if t[2] != "error"
+    ]
+    errors = sorted(set(store.error_log))
+    return page_objects, errors
+
+
 def store_to_local_rows(
     store: ExtractionStore,
 ) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
-    """Doc-scoped output rows, set-deduplicated like the reference's mapper
-    sets (god.py:91-144): ``(page_objects, errors)``."""
+    """Dict-shaped view of ``store_to_local_tuples`` (test/oracle paths)."""
+    pobjs, errs = store_to_local_tuples(store)
     page_objects = [
         {"doc_id": d, "page_no": p, "object_kind": k, "object_guid": g}
-        for d, p, k, g in sorted(set(store.mapping_log))
-        if k != "error"
+        for d, p, k, g in pobjs
     ]
     errors = [
         {"doc_id": d, "page_no": p, "severity": s, "message": m}
-        for d, p, s, m in sorted(set(store.error_log))
+        for d, p, s, m in errs
     ]
     return page_objects, errors
 

@@ -310,7 +310,8 @@ def process_page(doc_id: str, page: PageSpans, store: ExtractionStore) -> None:
 
 
 def process_document(
-    doc_id: str, spans: list[Span], store: ExtractionStore
+    doc_id: str, spans: list[Span], store: ExtractionStore,
+    renumber: bool = True,
 ) -> list[Span]:
     """Run every page of one document and return the document's output span
     sequence — the per-row equality surface (BASELINE input_hint):
@@ -319,6 +320,11 @@ def process_document(
     per page<->object mapping call (text ``"<kind>\\x1f<guid>"``) and one
     ``error`` span per error record (text ``"<severity>\\x1f<message>"``), in
     emission order.  Offsets are renumbered to list positions.
+
+    ``renumber=False`` skips the final Span-rebuild pass and returns spans
+    whose ``offset`` fields are stale — for callers (the columnar extractor)
+    that write positional offsets themselves; the renumbered offset is by
+    construction just the list index.
     """
     pages = split_pages(spans)
     out: list[Span] = []
@@ -335,6 +341,7 @@ def process_document(
                 out.append(Span("error", f"{sev}\x1f{msg}", "", 0))
             else:
                 out.append(Span("object", f"{kind}\x1f{guid}", "", 0))
-    for i, sp in enumerate(out):
-        out[i] = Span(sp.kind, sp.text, sp.media_ref, i)
+    if renumber:
+        for i, sp in enumerate(out):
+            out[i] = Span(sp.kind, sp.text, sp.media_ref, i)
     return out

@@ -36,7 +36,7 @@ from ..deltas import (
     TABLE_NAMES,
     assemble_rows,
     store_to_deltas,
-    store_to_local_rows,
+    store_to_local_tuples,
 )
 from ..emit import process_document
 from ..fixtures import SPAN_STRUCT
@@ -106,6 +106,8 @@ class DocumentExtractor:
         self.attr_memo: dict = {}
         self.merge_memo: dict = {}
         self.footer_memo: dict = {}
+        self.parse_memo: dict = {}  # aspect_str -> (sep, value, guid)
+        self.parts_memo: dict = {}  # final tag -> parsed parts
         if page_settings_json:
             # register JSON page-spec overrides IN THIS WORKER PROCESS (the
             # driver's module state does not propagate to Ray actors); only
@@ -133,7 +135,8 @@ class DocumentExtractor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         # memory-safety cap: an adversarial corpus with unbounded distinct
         # attrs/tags would otherwise grow the actor memos without limit
-        for memo in (self.attr_memo, self.merge_memo, self.footer_memo):
+        for memo in (self.attr_memo, self.merge_memo, self.footer_memo,
+                     self.parse_memo, self.parts_memo):
             if len(memo) > 1_000_000:
                 memo.clear()
         doc_ids = batch.column("doc_id").to_pylist()
@@ -177,6 +180,7 @@ class DocumentExtractor:
             store = ExtractionStore(
                 self.config, attr_memo=self.attr_memo,
                 merge_memo=self.merge_memo, footer_memo=self.footer_memo,
+                parse_memo=self.parse_memo, parts_memo=self.parts_memo,
             )
             spans = [
                 Span(k, t, r, o)
@@ -184,29 +188,36 @@ class DocumentExtractor:
                     in_kind[a:b], in_text[a:b], in_ref[a:b], in_off[a:b]
                 )
             ]
-            out = process_document(doc_id, spans, store)
-            for s in out:
-                sp_kind.append(s.kind)
-                sp_text.append(s.text)
-                sp_ref.append(s.media_ref)
-                sp_off.append(s.offset)
+            # renumber=False: output offsets are positional by construction,
+            # filled below via range() — skips a per-span Span rebuild
+            out = process_document(doc_id, spans, store, renumber=False)
+            if out:
+                o_kind, o_text, o_ref, _stale = zip(*out)
+                sp_kind.extend(o_kind)
+                sp_text.extend(o_text)
+                sp_ref.extend(o_ref)
+                sp_off.extend(range(len(out)))
             sp_offsets.append(len(sp_kind))
-            for k, v in store_to_deltas(store):
-                d_mkey.append(k)
-                d_payload.append(v)
+            dl = store_to_deltas(store)
+            if dl:
+                mk, pl = zip(*dl)
+                d_mkey.extend(mk)
+                d_payload.extend(pl)
             d_offsets.append(len(d_mkey))
-            pobjs, errs = store_to_local_rows(store)
-            for r in pobjs:
-                po_doc.append(r["doc_id"])
-                po_page.append(r["page_no"])
-                po_kind.append(r["object_kind"])
-                po_guid.append(r["object_guid"])
+            pobjs, errs = store_to_local_tuples(store)
+            if pobjs:
+                p_doc, p_page, p_kind, p_guid = zip(*pobjs)
+                po_doc.extend(p_doc)
+                po_page.extend(p_page)
+                po_kind.extend(p_kind)
+                po_guid.extend(p_guid)
             po_offsets.append(len(po_doc))
-            for r in errs:
-                er_doc.append(r["doc_id"])
-                er_page.append(r["page_no"])
-                er_sev.append(r["severity"])
-                er_msg.append(r["message"])
+            if errs:
+                e_doc, e_page, e_sev, e_msg = zip(*errs)
+                er_doc.extend(e_doc)
+                er_page.extend(e_page)
+                er_sev.extend(e_sev)
+                er_msg.extend(e_msg)
             er_offsets.append(len(er_doc))
             n_pages.append(in_kind[a:b].count("page_break"))
             n_spans_in.append(b - a)

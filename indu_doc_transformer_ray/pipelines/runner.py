@@ -104,45 +104,79 @@ def _shard_bucket_dir(out_dir: str, shard: int) -> str:
     return os.path.join(out_dir, "delta_buckets", f"shard={shard:05d}")
 
 
+@ray.remote
+def _bucket_task(
+    files: list[str], btmp: str, n_bucket_chars: int, task_id: int
+) -> None:
+    """Explode + combine one group of checkpoint files and write the result
+    partitioned by the GUID-derived bucket — a single sort-then-slice pass
+    (NOT 256 filter scans), one file per (task, touched bucket)."""
+    from .extract import _bucketize, _explode_deltas
+
+    parts = []
+    for f in files:
+        t = pq.read_table(f, columns=["deltas"])
+        parts.append(_explode_deltas(t))
+    combined = _explode_deltas_combined(parts)
+    combined = _bucketize(combined, chars=n_bucket_chars).sort_by("bucket")
+    vc = combined.column("bucket").combine_chunks().value_counts()
+    offset = 0
+    for i in range(len(vc)):
+        b = vc.field("values")[i].as_py()
+        cnt = vc.field("counts")[i].as_py()
+        sub = combined.slice(offset, cnt).select(["mkey", "payload"])
+        offset += cnt
+        d = os.path.join(btmp, f"bucket={b}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(sub, os.path.join(d, f"part-{task_id:04d}.parquet"))
+
+
+def _explode_deltas_combined(parts: list):
+    """Concat pre-exploded (mkey, payload) tables and combine once more."""
+    import pyarrow as pa
+
+    t = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+    merged = t.group_by("mkey").aggregate([("payload", "max")])
+    return merged.rename_columns(["mkey", "payload"])
+
+
 def _write_shard_delta_buckets(
     out_dir: str, shard: int, n_bucket_chars: int = 2
 ) -> None:
     """Merge phase 2a, PER SHARD: read only the just-written checkpoint's
-    ``deltas`` column, explode + batch-combine (vectorized Arrow group_by
-    max), write hash-partitioned by the GUID-derived bucket.  Runs inside
+    ``deltas`` column, explode + combine (vectorized Arrow group_by max),
+    write hash-partitioned by the GUID-derived bucket.  Runs inside
     ``run_shard`` right after the checkpoint commit, so the bucketing of
     shard K overlaps the still-running extraction of shards K+1.. — the
-    merge phase then only folds.  Idempotent (tmp dir + atomic rename);
-    ``run_merge`` regenerates any shard whose bucket dir is missing (crash
-    between checkpoint and bucket commit)."""
-    import functools
-
+    merge phase then only folds.  Plain Ray tasks over checkpoint-file
+    groups (a per-shard Dataset pipeline here cost ~1s of executor startup
+    × shards, round-3 regression finding).  Idempotent (tmp dir + atomic
+    rename); ``run_merge`` regenerates any shard whose bucket dir is
+    missing (crash between checkpoint and bucket commit)."""
     import ray
-
-    from .extract import _bucketize, _explode_deltas
 
     bdir = _shard_bucket_dir(out_dir, shard)
     if os.path.isdir(bdir):
         return
     btmp = bdir + ".tmp"
     shutil.rmtree(btmp, ignore_errors=True)
+    os.makedirs(btmp, exist_ok=True)
     shard_dir = os.path.join(out_dir, "extracted", f"shard={shard:05d}")
+    files = sorted(
+        os.path.join(shard_dir, f)
+        for f in os.listdir(shard_dir)
+        if f.endswith(".parquet")
+    )
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    # few, larger blocks per shard: files written = blocks x touched
-    # buckets, and 8 concurrent shards still keep ~ncpu explode tasks live
-    nb = max(2, ncpu // 8)
-    deltas = ray.data.read_parquet(
-        shard_dir, columns=["deltas"], override_num_blocks=nb
-    )
-    (
-        deltas.map_batches(_explode_deltas, batch_format="pyarrow")
-        .map_batches(
-            functools.partial(_bucketize, chars=n_bucket_chars),
-            batch_format="pyarrow",
-        )
-        .write_parquet(btmp, partition_cols=["bucket"])
-    )
-    os.makedirs(os.path.dirname(bdir), exist_ok=True)
+    # few, larger groups per shard: files written = groups x touched
+    # buckets, and 8 concurrent shards still keep ~ncpu bucket tasks live
+    nb = min(len(files), max(2, ncpu // 8)) or 1
+    groups = [files[i::nb] for i in range(nb)]
+    ray.get([
+        _bucket_task.remote(g, btmp, n_bucket_chars, i)
+        for i, g in enumerate(groups)
+        if g
+    ])
     os.rename(btmp, bdir)
 
 

@@ -27,6 +27,7 @@ oracle.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from operator import itemgetter
 from typing import NamedTuple, Optional
 
 US = "\x1f"  # unit separator used by the fixture encoding
@@ -82,7 +83,9 @@ def split_pages(spans: list[Span]) -> list[PageSpans]:
         pages.append(cur)
         cur = PageSpans(page_no=len(pages))
 
-    for sp in sorted(spans, key=lambda s: s.offset):
+    # itemgetter(3) == .offset but stays in C — this sort touches every span
+    # of the corpus, and the input is usually already offset-ordered
+    for sp in sorted(spans, key=itemgetter(3)):
         if sp.kind == "page_break":
             if started:
                 flush()

@@ -114,6 +114,8 @@ class ExtractionStore:
         attr_memo: Optional[dict] = None,
         merge_memo: Optional[dict] = None,
         footer_memo: Optional[dict] = None,
+        parse_memo: Optional[dict] = None,
+        parts_memo: Optional[dict] = None,
     ):
         self.config = config
         # optional CROSS-DOCUMENT memos shared by the owning actor — all
@@ -140,10 +142,19 @@ class ExtractionStore:
         self._footer_cache: dict[tuple, dict] = (
             footer_memo if footer_memo is not None else {}
         )
-        # successful aspect parses: aspect_str -> (sep, value); failures are
-        # NOT cached because each failing call must emit its page error
-        # (mirroring the reference's re-parse per call, god.py:302-340)
-        self._aspect_parse_cache: dict[str, tuple[str, str]] = {}
+        # successful aspect parses: aspect_str -> (sep, value, guid); failures
+        # are NOT cached because each failing call must emit its page error
+        # (mirroring the reference's re-parse per call, god.py:302-340).
+        # Shareable across documents (pure function of the string + config).
+        self._aspect_parse_cache: dict[str, tuple[str, str, str]] = (
+            parse_memo if parse_memo is not None else {}
+        )
+        # final tag string -> parsed parts (pure function; shareable across
+        # documents).  Per-DOC registration side effects (aspect records,
+        # invalid-tag errors) are still gated by the per-doc ``tag_cache``.
+        self._parts_memo: dict[str, dict[str, tuple[str, ...]]] = (
+            parts_memo if parts_memo is not None else {}
+        )
         # ordered log of page<->object mapping calls; drives both the
         # page_objects edge table and the per-page emitted "object" spans
         self.mapping_log: list[tuple[str, int, str, str]] = []
@@ -235,7 +246,7 @@ class ExtractionStore:
     ) -> Optional[AspectRec]:
         cached = self._aspect_parse_cache.get(aspect_str)
         if cached is not None:
-            sep, value = cached
+            sep, value, guid = cached
         else:
             parts = core.try_parse_tag(aspect_str, self.config, self.pattern)
             if not parts:
@@ -251,8 +262,8 @@ class ExtractionStore:
                 self.error(page, msg, Severity.WARNING)
                 return None
             value = vals[0]
-            self._aspect_parse_cache[aspect_str] = (sep, value)
-        guid = core.aspect_guid(sep, value)
+            guid = core.aspect_guid(sep, value)
+            self._aspect_parse_cache[aspect_str] = (sep, value, guid)
         rec = self.aspects.get(guid)
         if rec is None:
             rec = AspectRec(guid, sep, value)
@@ -284,7 +295,10 @@ class ExtractionStore:
             final = core.strip_pin(tag_str)
         if final in self.tag_cache:
             return final, self.tag_cache[final]
-        parts = core.tag_parts(final, self.config, self.pattern)
+        parts = self._parts_memo.get(final)
+        if parts is None:
+            parts = core.tag_parts(final, self.config, self.pattern)
+            self._parts_memo[final] = parts
         for sep, values in parts.items():
             if values:
                 for v in values:
