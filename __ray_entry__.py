@@ -27,9 +27,11 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
                       logreg_train + calibration_bins (iterative IRLS;
                       coefficients match a single-process fit to 1e-15 in
                       pytest, integer confusion/bin-count outputs keep the
-                      queries hash-stable), and bt_supplier_strengths
+                      queries hash-stable), bt_supplier_strengths
                       (iterative Bradley-Terry MM; single-process and
-                      forced-actor-path equality pytests).
+                      forced-actor-path equality pytests), and
+                      als_factorize (iterative ALS; single-process and
+                      forced-actor-path BIT-equality pytests).
 """
 
 from __future__ import annotations
@@ -476,6 +478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logreg_train": ml.logreg_train,
         "calibration_bins": ml.calibration_bins,
         "bt_supplier_strengths": ml.bt_supplier_strengths,
+        "als_factorize": ml.als_factorize,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -498,7 +501,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_merges", "curation_pipeline",
         "global_price_rank", "customer_order_seq",           # windows
         "html_spans",                                        # html
-        "bt_supplier_strengths", "auc_by_type",              # ml
+        "als_factorize", "bt_supplier_strengths",            # ml
+        "auc_by_type",
     ]
     rank = {n: i for i, n in enumerate(risk_first)}
     fams: dict[str, list[str]] = {}

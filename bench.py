@@ -160,7 +160,7 @@ QUERY_CHUNKS = [
     # session-4 ml family (logreg is 6 sequential IRLS passes by design;
     # calibration_bins rides the memoized fit)
     ["auc_by_type", "logreg_train", "calibration_bins",
-     "bt_supplier_strengths"],
+     "bt_supplier_strengths", "als_factorize"],
 ]
 
 

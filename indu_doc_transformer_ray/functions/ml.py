@@ -680,3 +680,313 @@ def bt_supplier_strengths(
             ]
         )
     )
+
+
+# -- ALS matrix factorization (implicit customer x part ratings) --------------
+
+_ALS_K = 8           # latent rank
+_ALS_ITERS = 4       # alternating rounds
+_ALS_LAM = 0.1       # L2 regularization
+#: FIXED shard count (not CPU-derived): the cross-shard float reduction
+#: order is part of the numeric result, so the shard layout must be a pure
+#: function of the DATA for the bit-equality contract to hold on any host.
+_ALS_SHARDS = 8
+#: at or under this many rating rows the fit runs on the driver — same
+#: virtual-shard math, zero actors (tests force the actor path with 0)
+_ALS_DRIVER_BUDGET = 2_000_000
+
+
+def _als_ratings(sf_dir: str) -> Dataset:
+    """Implicit (custkey, partkey, r) ratings: r = total l_quantity the
+    customer ever ordered of the part.  Two bounded co-locations, no
+    corpus-sized groupby key: an orderkey-bucket kernel attaches o_custkey
+    to lineitems (both sides of the order join land in the bucket by
+    construction) and pre-sums within the bucket; a custkey-bucket kernel
+    completes the (c, p) sums (every rating partial for a customer lands
+    in that customer's bucket).  Output columns: (cb, c, p, r)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    OB = n_buckets(pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
+    CB = n_buckets(
+        pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows,
+        rows_per_bucket=4_096,
+    )
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t["l_orderkey"], pa.int64())
+        return pa.table(
+            {
+                "ob": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
+                "o": ok,
+                "c": pa.array(np.full(t.num_rows, -1, np.int64)),
+                "p": pc.cast(t["l_partkey"], pa.int64()),
+                "q": pc.cast(t["l_quantity"], pa.int64()),
+            }
+        )
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t["o_orderkey"], pa.int64())
+        return pa.table(
+            {
+                "ob": pc.cast(pc.bit_wise_and(ok, OB - 1), pa.int32()),
+                "o": ok,
+                "c": pc.cast(t["o_custkey"], pa.int64()),
+                "p": pa.array(np.full(t.num_rows, -1, np.int64)),
+                "q": pa.array(np.zeros(t.num_rows, np.int64)),
+            }
+        )
+
+    def attach(g: "pd.DataFrame") -> "pd.DataFrame":
+        omap = g[g["p"] == -1].set_index("o")["c"]
+        li = g[g["p"] != -1]
+        out = (
+            pd.DataFrame(
+                {
+                    "c": li["o"].map(omap).astype("int64"),
+                    "p": li["p"],
+                    "q": li["q"],
+                }
+            )
+            .groupby(["c", "p"], sort=True)["q"]
+            .sum()
+            .reset_index(name="r")
+        )
+        out["cb"] = (out["c"] % CB).astype("int32")
+        return out.astype({"c": "int64", "p": "int64", "r": "int64"})
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = g.groupby(["c", "p"], sort=True)["r"].sum().reset_index()
+        out["cb"] = (out["c"] % CB).astype("int32")
+        return out.astype({"c": "int64", "p": "int64", "r": "int64"})
+
+    li = read_small_aware(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    ).map_batches(li_rows, batch_format="pyarrow")
+    orders = read_small_aware(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(o_rows, batch_format="pyarrow")
+    return (
+        li.union(orders)
+        .groupby("ob")
+        .map_groups(attach, batch_format="pandas")
+        .groupby("cb")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+def _als_init_y(n_items: int, k: int = _ALS_K):
+    """Deterministic pseudo-random item-factor init: a per-(item, j) LCG
+    hash mapped to [-0.05, 0.05) — no RNG state, identical on every host."""
+    import numpy as np
+
+    i = np.arange(n_items, dtype=np.int64)[:, None]
+    j = np.arange(k, dtype=np.int64)[None, :]
+    h = (i * 2_654_435_761 + j * 40_503 + 12_345) % (1 << 31)
+    return (h.astype(np.float64) / (1 << 31) - 0.5) * 0.1
+
+
+def _als_shard_step(c, p, r, Y, lam: float = _ALS_LAM):
+    """One shard's half-iteration: solve this shard's user factors against
+    the broadcast item factors ``Y``, then return the shard's item-step
+    partials + quality partials.  Rows MUST be pre-sorted by (c, p) — all
+    accumulation (``np.ufunc.at`` is unbuffered and in argument order, and
+    ``np.dot`` pairwise-sums a fixed array) is order-fixed, which is what
+    makes the distributed fit bit-equal to the single-process one.
+    Returns (Ap, bp, sse, xnorm, n_users)."""
+    import numpy as np
+
+    k = Y.shape[1]
+    n_items = Y.shape[0]
+    if len(c) == 0:
+        return (
+            np.zeros((n_items, k, k)), np.zeros((n_items, k)), 0.0, 0.0, 0
+        )
+    uc, uidx = np.unique(c, return_inverse=True)
+    Yp = Y[p]
+    outer = Yp[:, :, None] * Yp[:, None, :]
+    A = np.zeros((len(uc), k, k))
+    np.add.at(A, uidx, outer)
+    A += lam * np.eye(k)[None, :, :]
+    b = np.zeros((len(uc), k))
+    np.add.at(b, uidx, r[:, None] * Yp)
+    X = np.linalg.solve(A, b)
+    Xc = X[uidx]
+    err = r - np.einsum("ij,ij->i", Xc, Yp)
+    sse = float(np.dot(err, err))
+    xnorm = float(np.dot(X.ravel(), X.ravel()))
+    outer_x = Xc[:, :, None] * Xc[:, None, :]
+    Ap = np.zeros((n_items, k, k))
+    np.add.at(Ap, p, outer_x)
+    bp = np.zeros((n_items, k))
+    np.add.at(bp, p, r[:, None] * Xc)
+    return Ap, bp, sse, xnorm, len(uc)
+
+
+def als_factorize(
+    sf_dir: str,
+    k: int = _ALS_K,
+    iters: int = _ALS_ITERS,
+    lam: float = _ALS_LAM,
+    driver_row_budget: int = _ALS_DRIVER_BUDGET,
+) -> "pa.Table":
+    """Alternating-least-squares matrix factorization of the implicit
+    customer x part quantity matrix — the collaborative-filtering trainer
+    a recommendation data pipeline runs after [[item-similarity-topk]]'s
+    neighborhood model.  Output: one row per iteration,
+    (iteration, n_ratings, n_users, mse_u6, x_norm_u6, y_norm_u6) — floats
+    floored to 1e-6 units; hash-stable because the whole float path is
+    order-fixed.
+
+    Distributed shape: ratings come from :func:`_als_ratings` (two bounded
+    co-locations); parts are the DIMENSION side (catalog-small: dense
+    item-indexed partials, ~``n_items x k x (k+1)`` float64 per shard,
+    must fit a worker — the same broadcast-bound assumption every dim
+    lookup documents), customers are UNBOUNDED (their factors never leave
+    the shard that owns them).  The iteration loop never re-shuffles:
+    rating rows pin once in ``_ALS_SHARDS`` zero-CPU actors sharded by
+    ``c % _ALS_SHARDS`` and sorted by (c, p); each iteration broadcasts Y
+    (one ``ray.put``), every shard solves its users and returns item-step
+    normal-equation partials, and the driver folds the partials IN SHARD
+    ORDER and batch-solves the item factors.  The shard count is a fixed
+    constant, not CPU-derived, so the reduction order — hence every output
+    bit — is a pure function of the data; at or under
+    ``driver_row_budget`` rows the same virtual-shard math runs on the
+    driver with zero actors (pytest forces both paths and asserts exact
+    equality)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import ray
+
+    n_items = (
+        int(
+            pc.max(
+                pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey"])[
+                    "p_partkey"
+                ]
+            ).as_py()
+        )
+        + 1
+    )
+    ratings = _als_ratings(sf_dir).materialize()
+    n_ratings = ratings.count()
+    Y = _als_init_y(n_items, k)
+
+    if n_ratings <= driver_row_budget:
+        pdf = ratings.to_pandas()
+        sh = (pdf["c"].to_numpy(np.int64) % _ALS_SHARDS).astype(np.int64)
+        shard_rows = []
+        for s in range(_ALS_SHARDS):
+            g = pdf[sh == s].sort_values(["c", "p"])
+            shard_rows.append(
+                (
+                    g["c"].to_numpy(np.int64),
+                    g["p"].to_numpy(np.int64),
+                    g["r"].to_numpy(np.float64),
+                )
+            )
+
+        def round_partials(Ycur):
+            return [
+                _als_shard_step(c_, p_, r_, Ycur, lam)
+                for c_, p_, r_ in shard_rows
+            ]
+
+    else:  # pragma: no branch - forced via driver_row_budget=0 in tests
+
+        @ray.remote(num_cpus=0)
+        class RatingShard:
+            """Owns the rating rows with c % _ALS_SHARDS == id, sorted by
+            (c, p) at seal — num_cpus=0: arithmetic only."""
+
+            def __init__(self):
+                self._parts = []
+                self._c = self._p = self._r = None
+
+            def add(self, c, p, r):
+                self._parts.append((c, p, r))
+                return len(c)
+
+            def seal(self):
+                import numpy as np
+
+                if self._parts:
+                    c = np.concatenate([x[0] for x in self._parts])
+                    p = np.concatenate([x[1] for x in self._parts])
+                    r = np.concatenate([x[2] for x in self._parts])
+                else:
+                    c = p = np.empty(0, np.int64)
+                    r = np.empty(0, np.float64)
+                order = np.lexsort((p, c))
+                self._c, self._p, self._r = c[order], p[order], r[order]
+                self._parts = None
+                return len(self._c)
+
+            def step(self, Ycur, lam_):
+                return _als_shard_step(self._c, self._p, self._r, Ycur, lam_)
+
+        shards = [RatingShard.remote() for _ in range(_ALS_SHARDS)]
+
+        def push(t: "pd.DataFrame") -> "pd.DataFrame":
+            c = t["c"].to_numpy(np.int64)
+            p = t["p"].to_numpy(np.int64)
+            r = t["r"].to_numpy(np.float64)
+            sh = c % _ALS_SHARDS
+            ray.get(
+                [
+                    shards[s].add.remote(c[sh == s], p[sh == s], r[sh == s])
+                    for s in np.unique(sh)
+                ]
+            )
+            return pd.DataFrame({"n": pd.Series([len(t)], dtype="int64")})
+
+        ratings.map_batches(push, batch_format="pandas").materialize()
+        ray.get([s.seal.remote() for s in shards])
+
+        def round_partials(Ycur):
+            ref = ray.put(Ycur)
+            return ray.get([s.step.remote(ref, lam) for s in shards])
+
+    rows = []
+    for it in range(iters):
+        parts = round_partials(Y)
+        A = np.add.reduce([x[0] for x in parts])  # shard order: fixed
+        B = np.add.reduce([x[1] for x in parts])
+        sse = 0.0
+        xnorm = 0.0
+        n_users = 0
+        for x in parts:  # shard order: fixed
+            sse += x[2]
+            xnorm += x[3]
+            n_users += x[4]
+        A += lam * np.eye(k)[None, :, :]
+        Y = np.linalg.solve(A, B)
+        rows.append(
+            {
+                "iteration": it,
+                "n_ratings": int(n_ratings),
+                "n_users": int(n_users),
+                "mse_u6": int(np.floor(1e6 * sse / max(1, n_ratings))),
+                "x_norm_u6": int(np.floor(1e6 * xnorm)),
+                "y_norm_u6": int(
+                    np.floor(1e6 * float(np.dot(Y.ravel(), Y.ravel())))
+                ),
+            }
+        )
+    out = pd.DataFrame(rows)
+    return pa.Table.from_pandas(out).cast(
+        pa.schema(
+            [
+                ("iteration", pa.int64()),
+                ("n_ratings", pa.int64()),
+                ("n_users", pa.int64()),
+                ("mse_u6", pa.int64()),
+                ("x_norm_u6", pa.int64()),
+                ("y_norm_u6", pa.int64()),
+            ]
+        )
+    )

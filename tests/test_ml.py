@@ -183,3 +183,84 @@ def test_bt_actor_path_equals_driver_escape(ray_session):
         esc[["s_suppkey", "games", "wins"]], act[["s_suppkey", "games", "wins"]]
     )
     assert (np.abs(esc["strength_e6"] - act["strength_e6"]) <= 1).all()
+
+
+def _reference_als_ratings():
+    """Single-process (c, p, r) ratings straight off the parquet files."""
+    import pyarrow.parquet as pq
+
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    ).to_pandas()
+    o = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).to_pandas()
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    return (
+        m.groupby(["o_custkey", "l_partkey"], sort=True)["l_quantity"]
+        .sum()
+        .reset_index()
+        .rename(columns={"o_custkey": "c", "l_partkey": "p", "l_quantity": "r"})
+        .astype({"c": "int64", "p": "int64", "r": "int64"})
+    )
+
+
+def test_als_ratings_match_single_process(ray_session):
+    got = (
+        ml._als_ratings(SF)
+        .to_pandas()[["c", "p", "r"]]
+        .sort_values(["c", "p"])
+        .reset_index(drop=True)
+        .astype({"c": "int64", "p": "int64", "r": "int64"})
+    )
+    pd.testing.assert_frame_equal(got, _reference_als_ratings())
+
+
+def test_als_fit_matches_single_process(ray_session):
+    """Full bit-equality: the distributed fit must reproduce a from-scratch
+    single-process ALS that uses the same shard layout / fold order."""
+    import pyarrow.parquet as pq
+
+    pdf = _reference_als_ratings()
+    n_items = (
+        int(
+            pq.read_table(f"{SF}/part.parquet", columns=["p_partkey"])[
+                "p_partkey"
+            ].combine_chunks().to_numpy().max()
+        )
+        + 1
+    )
+    Y = ml._als_init_y(n_items)
+    sh = pdf["c"].to_numpy(np.int64) % ml._ALS_SHARDS
+    shard_rows = []
+    for s in range(ml._ALS_SHARDS):
+        g = pdf[sh == s].sort_values(["c", "p"])
+        shard_rows.append(
+            (g["c"].to_numpy(np.int64), g["p"].to_numpy(np.int64),
+             g["r"].to_numpy(np.float64))
+        )
+    want = []
+    for _ in range(ml._ALS_ITERS):
+        parts = [ml._als_shard_step(c, p, r, Y) for c, p, r in shard_rows]
+        A = np.add.reduce([x[0] for x in parts]) + ml._ALS_LAM * np.eye(ml._ALS_K)
+        B = np.add.reduce([x[1] for x in parts])
+        sse = sum(x[2] for x in parts)
+        Y = np.linalg.solve(A, B)
+        want.append(int(np.floor(1e6 * sse / len(pdf))))
+
+    got = ml.als_factorize(SF).to_pandas()
+    assert got["mse_u6"].tolist() == want
+    assert (got["n_ratings"] == len(pdf)).all()
+
+
+def test_als_actor_path_equals_driver_escape(ray_session):
+    esc = ml.als_factorize(SF).to_pandas()
+    act = ml.als_factorize(SF, driver_row_budget=0).to_pandas()
+    # fixed shard count + order-fixed folds: BIT-equal across paths
+    pd.testing.assert_frame_equal(esc, act)
+
+
+def test_als_converges(ray_session):
+    out = ml.als_factorize(SF).to_pandas()
+    assert out["mse_u6"].iloc[-1] < out["mse_u6"].iloc[0] // 2
