@@ -356,8 +356,10 @@ def _fold_bucket(bucket_dirs, dest_file: str) -> int:
     group_by; the bucket is the unit of merge parallelism)."""
     import pyarrow.parquet as pq
 
+    from .runner import PQ_WRITE_KW
+
     out = _fold_bucket_table(_read_bucket_dirs(bucket_dirs))
-    pq.write_table(out, dest_file)
+    pq.write_table(out, dest_file, **PQ_WRITE_KW)
     return out.num_rows
 
 
@@ -370,10 +372,12 @@ def _fold_bucket_group(pairs: list) -> int:
     task count ~2x CPUs with identical outputs."""
     import pyarrow.parquet as pq
 
+    from .runner import PQ_WRITE_KW
+
     total = 0
     for bucket_dirs, dest_file in pairs:
         out = _fold_bucket_table(_read_bucket_dirs(bucket_dirs))
-        pq.write_table(out, dest_file)
+        pq.write_table(out, dest_file, **PQ_WRITE_KW)
         total += out.num_rows
     return total
 

@@ -38,6 +38,13 @@ from ..core import AspectConfig, default_config
 from .extract import extract_documents
 
 
+#: checkpoint / delta-bucket / objects write codec: zstd-1 halves the bytes
+#: vs snappy on this payload (span+JSON text) and encodes FASTER (measured
+#: 0.7 MB @ 0.05 s vs 1.4 MB @ 0.08 s per 78-doc file) — less CPU in the
+#: write stage and fewer bytes for the fold phase to decode.
+PQ_WRITE_KW = {"compression": "zstd", "compression_level": 1}
+
+
 @dataclass
 class ShardResult:
     shard: int
@@ -128,7 +135,9 @@ def _bucket_task(
         offset += cnt
         d = os.path.join(btmp, f"bucket={b}")
         os.makedirs(d, exist_ok=True)
-        pq.write_table(sub, os.path.join(d, f"part-{task_id:04d}.parquet"))
+        pq.write_table(
+            sub, os.path.join(d, f"part-{task_id:04d}.parquet"), **PQ_WRITE_KW
+        )
 
 
 def _explode_deltas_combined(parts: list):
@@ -288,7 +297,7 @@ def run_extraction(
                 (progress_actor, k) if progress_actor is not None else None
             ),
         )
-        extracted.write_parquet(tmp_dir)
+        extracted.write_parquet(tmp_dir, **PQ_WRITE_KW)
         stats = _shard_stats(tmp_dir)
         os.rename(tmp_dir, shard_dir)
         # bucket this shard's deltas NOW (overlaps later shards' extraction;
