@@ -347,11 +347,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_hourly_counts": events.incremental_hourly_counts,
         "hll_wau": sketches.hll_wau,
         "value_trend_per_type": events.value_trend_per_type,
+        "dow_chisq_by_type": events.dow_chisq_by_type,
         "knn_label_accuracy": similarity.knn_label_accuracy,
         "daily_value_median": sketches.daily_value_median,
         # round-4 additions
         "events_trailing_density": events.events_trailing_density,
         "customer_order_seq": windows.customer_order_seq,
+        "gini_by_status": windows.gini_by_status,
         "heavy_hitters": sketches.heavy_hitters,
         "hybrid_rrf_topk": similarity.hybrid_rrf_topk,
         "mutual_knn_pairs": similarity.mutual_knn_pairs,
@@ -479,6 +481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "calibration_bins": ml.calibration_bins,
         "bt_supplier_strengths": ml.bt_supplier_strengths,
         "als_factorize": ml.als_factorize,
+        "nb_lang_confusion": ml.nb_lang_confusion,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -499,10 +502,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_safe_split",                                # curation
         "bigram_surprisal", "repetition_filter",             # text
         "bpe_pair_merges", "curation_pipeline",
-        "global_price_rank", "customer_order_seq",           # windows
+        "global_price_rank", "gini_by_status",               # windows
+        "customer_order_seq",
         "html_spans",                                        # html
-        "als_factorize", "bt_supplier_strengths",            # ml
-        "auc_by_type",
+        "nb_lang_confusion", "als_factorize",                # ml
+        "bt_supplier_strengths", "auc_by_type",
     ]
     rank = {n: i for i, n in enumerate(risk_first)}
     fams: dict[str, list[str]] = {}
@@ -566,10 +570,13 @@ def oracle_sql() -> dict[str, str]:
         "incremental_hourly_counts": events.INCREMENTAL_HOURLY_COUNTS_SQL,
         "hll_wau": sketches.HLL_WAU_SQL,
         "value_trend_per_type": events.VALUE_TREND_PER_TYPE_SQL,
+        "dow_chisq_by_type": events.DOW_CHISQ_BY_TYPE_SQL,
         "knn_label_accuracy": similarity.KNN_LABEL_ACCURACY_SQL,
         "daily_value_median": sketches.DAILY_VALUE_MEDIAN_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
+        "gini_by_status": windows.GINI_BY_STATUS_SQL,
+        "nb_lang_confusion": ml.NB_LANG_CONFUSION_SQL,
         "weighted_median_price": sketches.WEIGHTED_MEDIAN_PRICE_SQL,
         "cusum_drift": events.CUSUM_DRIFT_SQL,
         "heavy_hitters": sketches.HEAVY_HITTERS_SQL,

@@ -2323,3 +2323,64 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(MAX(st) AS BIGINT) AS max_cusum_c2
 FROM s GROUP BY event_type ORDER BY event_type
 """
+
+
+# -- day-of-week uniformity audit (chi-square, integer-exact) -----------------
+
+def dow_chisq_by_type(sf_dir: str) -> "pd.DataFrame":
+    """Chi-square uniformity statistic of the day-of-week distribution per
+    event type — the seasonality/skew audit a pipeline owner runs before
+    trusting time-based sampling.  chi² against the uniform null is
+    Σ_d (o_d − n/7)² / (n/7) = (7·Σ o_d² − n²) / n, a pure function of the
+    7 per-dow counts, so the whole operator is one tiny
+    (type, dow)-combined groupby: per-batch Arrow partials → a
+    |types|×7-row exchange → driver arithmetic in Python ints (n² exceeds
+    int64 at ~3·10^9 rows).  Zero-count days drop out of Σ o² exactly as
+    the identity requires, so missing dows need no densification.
+
+    Day-of-week convention: DuckDB's EXTRACT(dow) counts Sunday=0;
+    Arrow's day_of_week counts Monday=0 — shifted here, asserted by the
+    oracle equality test.  Output: (event_type, n, chi2_u) with
+    chi2_u = floor(chi²·1e6) in exact integer arithmetic (numerator ≥ 0 by
+    Cauchy–Schwarz, so DuckDB's truncating // is floor).
+    Beyond-reference engine addition (SURVEY.md §2.8)."""
+    ds = _read_events(sf_dir, ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        # Arrow: Monday=0 .. Sunday=6  ->  DuckDB dow: Sunday=0 .. Saturday=6
+        dow = pc.cast(
+            pc.add(pc.day_of_week(t["ts"]), 1), pa.int64()
+        )
+        dow = pc.subtract(dow, pc.multiply(pc.divide(dow, 7), 7))
+        folded = pa.table({"event_type": t["event_type"], "d": dow})
+        return pa.TableGroupBy(folded, ["event_type", "d"]).aggregate(
+            [([], "count_all")]
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "d"])
+        .aggregate(ray.data.aggregate.Sum("count_all", alias_name="o"))
+        .to_pandas()  # O(|types| × 7)
+    )
+    out = []
+    for et, sub in counts.groupby("event_type"):
+        o = [int(x) for x in sub["o"]]
+        n = sum(o)
+        chi2_u = ((7 * sum(c * c for c in o) - n * n) * 1_000_000) // n
+        out.append({"event_type": et, "n": n, "chi2_u": chi2_u})
+    return pd.DataFrame(sorted(out, key=lambda r: r["event_type"]))
+
+
+DOW_CHISQ_BY_TYPE_SQL = """
+WITH c AS (
+  SELECT event_type, EXTRACT(dow FROM ts) AS d,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(SUM(o) AS BIGINT) AS n,
+       CAST(((7*SUM(o*o) - SUM(o)*SUM(o)) * 1000000) // SUM(o) AS BIGINT)
+         AS chi2_u
+FROM c GROUP BY event_type ORDER BY event_type
+"""

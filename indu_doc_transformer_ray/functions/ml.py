@@ -990,3 +990,181 @@ def als_factorize(
             ]
         )
     )
+
+
+# -- multinomial naive Bayes language classifier (trained on-corpus) ----------
+
+def nb_lang_confusion(sf_dir: str) -> "pd.DataFrame":
+    """Train a multinomial naive-Bayes language classifier on the corpus's
+    own char-bigram counts (add-one smoothing over the observed bigram
+    vocabulary, log-prior from class frequencies) and report its
+    self-classification confusion matrix — the trained-classifier
+    counterpart to the fixed-wordlist heuristic in
+    ``text.langid_confusion`` (CLD/fastText-style quality gates are
+    exactly this shape).
+
+    Distributed plan: ONE streaming pass folds per-batch Arrow
+    (lang, bigram) count partials through a vocab-bounded groupby — the
+    bigram domain is charset², Heaps-capped like ``text.vocab_topk``, so
+    the driver-side weight table is O(|langs| × charset²), corpus-size
+    independent.  The driver quantizes log-probabilities to INTEGER
+    micro-nats — q = floor(ln((c+1)/(tot+V))·1e6), the pmi_bigrams
+    convention (same double division, same libm ln as the DuckDB oracle) —
+    and broadcasts (vocab index, weight matrix, priors) once via
+    ``ray.put``; the scoring pass is per-doc sparse·dense int64 dot
+    products (no floats ⇒ no scheduling-order nondeterminism), and the
+    confusion matrix folds as tiny (lang, pred) count partials.
+    Tie-break: ``np.argmax`` takes the FIRST maximum and lang rows are
+    sorted, matching the oracle's ORDER BY s DESC, pl.  Counts stay exact
+    in int64 up to ~10^12-char docs per (doc, gram) product; class totals
+    convert exactly to float64 below 2^53 grams per class.
+
+    Output: (lang, pred_lang, n).  Beyond-reference engine addition
+    (SURVEY.md §2.8)."""
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    docs = read_small_aware(f"{sf_dir}/documents.parquet",
+                            columns=["lang", "text"])
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        per_lang: dict[str, Counter] = {}
+        for lang, txt in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            c = per_lang.setdefault(lang, Counter())
+            c.update(zip(txt, txt[1:]))
+        ls, gs, cs = [], [], []
+        for lang, c in per_lang.items():
+            for (a, b), n in c.items():
+                ls.append(lang)
+                gs.append(a + b)
+                cs.append(n)
+        return pa.table({
+            "l": pa.array(ls, pa.string()),
+            "gm": pa.array(gs, pa.string()),
+            "c": pa.array(cs, pa.int64()),
+        })
+
+    counts = (
+        docs.map_batches(gram_partial, batch_format="pyarrow")
+        .groupby(["l", "gm"])
+        .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
+        .to_pandas()  # O(|langs| × charset²), corpus-size independent
+    )
+    ndocs = (
+        read_small_aware(f"{sf_dir}/documents.parquet", columns=["lang"])
+        .groupby("lang")
+        .count()
+        .to_pandas()  # O(|langs|)
+    )
+    langs = sorted(ndocs["lang"])
+    vocab = sorted(counts["gm"].unique())
+    v = len(vocab)
+    lidx = {l: i for i, l in enumerate(langs)}
+    gidx = {g: i for i, g in enumerate(vocab)}
+    cmat = np.zeros((len(langs), v), dtype=np.int64)
+    cmat[
+        counts["l"].map(lidx).to_numpy(np.int64),
+        counts["gm"].map(gidx).to_numpy(np.int64),
+    ] = counts["c"].to_numpy(np.int64)
+    tot = cmat.sum(axis=1)
+    # integer micro-nat weights: same double ratio, same libm ln, same
+    # floor as the oracle's FLOOR(LN((c+1.0)/(tot+V))*1e6)
+    w = np.floor(
+        np.log((cmat + 1.0) / (tot[:, None] + float(v))) * 1e6
+    ).astype(np.int64)
+    n_by_lang = dict(zip(ndocs["lang"], ndocs["count()"]))
+    n_total = int(sum(n_by_lang.values()))
+    prior = np.array(
+        [np.floor(np.log(int(n_by_lang[l]) / n_total) * 1e6) for l in langs],
+        dtype=np.int64,
+    )
+    model = ray.put((gidx, w, prior, langs))
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        gi_map, W, p, ls = ray.get(model)
+        conf: Counter = Counter()
+        for lang, txt in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            c = Counter(zip(txt, txt[1:]))
+            if c:
+                gi = np.fromiter(
+                    (gi_map[a + b] for a, b in c), np.int64, count=len(c)
+                )
+                cv = np.fromiter(c.values(), np.int64, count=len(c))
+                s = p + W[:, gi] @ cv
+            else:
+                s = p
+            conf[(lang, ls[int(np.argmax(s))])] += 1
+        ks = sorted(conf)
+        return pa.table({
+            "lang": pa.array([k[0] for k in ks], pa.string()),
+            "pred_lang": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([conf[k] for k in ks], pa.int64()),
+        })
+
+    out = (
+        docs.map_batches(score_partial, batch_format="pyarrow")
+        .groupby(["lang", "pred_lang"])
+        .aggregate(ray.data.aggregate.Sum("n", alias_name="n"))
+        .to_pandas()  # O(|langs|²)
+        .sort_values(["lang", "pred_lang"])
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+NB_LANG_CONFUSION_SQL = """
+WITH g AS (
+  SELECT doc_id, lang,
+         substr(text, CAST(i AS INTEGER), 2) AS gm
+  FROM (SELECT doc_id, lang, text,
+               unnest(range(1, length(text))) AS i
+        FROM documents)
+),
+c AS (SELECT lang AS l, gm, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1, 2),
+tot AS (SELECT l, SUM(c) AS tot FROM c GROUP BY 1),
+vocab AS (SELECT DISTINCT gm FROM g),
+nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+langs AS (SELECT DISTINCT lang AS l FROM documents),
+w AS (
+  SELECT langs.l, vocab.gm,
+         CAST(FLOOR(LN((COALESCE(c.c, 0) + 1.0) / (tot.tot + nv.v))
+                    * 1000000) AS BIGINT) AS q
+  FROM langs CROSS JOIN vocab CROSS JOIN nv
+  JOIN tot ON tot.l = langs.l
+  LEFT JOIN c ON c.l = langs.l AND c.gm = vocab.gm
+),
+prior AS (
+  SELECT lang AS l,
+         CAST(FLOOR(LN(CAST(COUNT(*) AS DOUBLE)
+                       / (SELECT COUNT(*) FROM documents)) * 1000000)
+              AS BIGINT) AS p
+  FROM documents GROUP BY 1
+),
+dg AS (SELECT doc_id, gm, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2),
+sc AS (
+  SELECT dg.doc_id, w.l AS pl, SUM(dg.cnt * w.q) AS s
+  FROM dg JOIN w ON w.gm = dg.gm
+  GROUP BY 1, 2
+),
+all_s AS (
+  SELECT d.doc_id, d.lang, langs.l AS pl,
+         COALESCE(sc.s, 0) + prior.p AS st
+  FROM documents d CROSS JOIN langs
+  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.pl = langs.l
+  JOIN prior ON prior.l = langs.l
+),
+pred AS (
+  SELECT doc_id, lang, pl AS pred_lang
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY st DESC, pl) AS rn
+        FROM all_s)
+  WHERE rn = 1
+)
+SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+"""

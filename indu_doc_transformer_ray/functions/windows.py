@@ -505,3 +505,161 @@ SELECT o_custkey,
                   ORDER BY o_orderdate, o_orderkey) AS seq
 FROM orders GROUP BY o_custkey ORDER BY o_custkey
 """
+
+# -- exact distributed Gini coefficient (inequality audit) --------------------
+
+_GINI_SPLIT = 1 << 62  # hi/lo carry base for 128-bit-exact int64 transport
+
+
+def gini_by_status(sf_dir: str):
+    """EXACT Gini coefficient of ``o_totalprice`` per ``o_orderstatus``
+    WITHOUT a global sort and WITHOUT shuffling a single corpus row — the
+    inequality/concentration audit a corpus curator runs over source sizes
+    or spend distributions.  Uses the identity
+    G = (2·Σ i·v_i − (n+1)·Σv) / (n·Σv) with v ascending (1-based rank i);
+    Σ i·v_i is tie-order invariant, so it is a pure function of the
+    per-VALUE counts: a run of c equal values v occupying ranks
+    a+1..a+c contributes v·(a·c + c(c+1)/2).
+
+    Distributed plan (one count-row exchange, total):  per-batch Arrow
+    partials fold (status, bucket, value) → count with bucket =
+    value // 4096 cents; ONE coarse ``groupby(cb).map_groups`` co-locates
+    the count rows, keyed by ``b mod n_buckets`` — NOT by (s, b) raw,
+    because domain/4096 × statuses separate groups would pay one Python
+    kernel call each (the measured group-count groupby cost this repo
+    buckets everything for); the kernel separates its (s, b) groups
+    itself.  Per-task rows stay bounded: ≤4096 distinct values per
+    4096-cent bucket × the buckets hashed together — corpus-size
+    independent, so the skew salting the row-shuffling rank ops need does
+    not arise.  The kernel computes each bucket's Σ i·v with in-bucket
+    offsets starting at 0 in PYTHON ints (offset×count×value exceeds
+    int64 past ~10^9 rows — the value_trend_per_type overflow lesson) and
+    emits it hi/lo-split on base 2^62 so the int64 transport stays exact;
+    the driver adds the cross-bucket term below_b·Σv_b from the bucket
+    counts it already holds (O(statuses × domain/4096) driver state,
+    counts only) and scales to micro-units in exact integer arithmetic —
+    the result hash-matches the DuckDB oracle with no float anywhere.
+
+    Output: (o_orderstatus, n, gini_u) with gini_u = floor(G·1e6).
+    Beyond-reference engine addition (SURVEY.md §2.8)."""
+    import numpy as np
+    import pandas as pd
+
+    from ._util import read_small_aware
+    from .sketches import _floor_bucket
+
+    ds = read_small_aware(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice", "o_orderstatus"]
+    )
+
+    import pyarrow.parquet as pq
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
+
+    def vcounts(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        folded = pa.table(
+            {
+                "s": t["o_orderstatus"],
+                "b": _floor_bucket(v, _RANK_BUCKET_C2),
+                "v": v,
+            }
+        )
+        out = pa.TableGroupBy(folded, ["s", "b", "v"]).aggregate(
+            [([], "count_all")]
+        )
+        return out.append_column(
+            "cb",
+            pc.cast(pc.bit_wise_and(out["b"], nb - 1), pa.int32()),
+        )
+
+    def bucket_partial(g: pd.DataFrame) -> pa.Table:
+        g = (
+            g.groupby(["s", "b", "v"], as_index=False)["count_all"]
+            .sum()
+            .sort_values(["s", "b", "v"])
+        )
+        ss, bs = [], []
+        iv_hi, iv_lo, sv_hi, sv_lo, cnt = [], [], [], [], []
+        iv = sv = off = 0
+        prev = None
+        rows = zip(g["s"], g["b"], g["v"], g["count_all"])
+
+        def flush(key):
+            ss.append(key[0])
+            bs.append(int(key[1]))
+            h, l = divmod(iv, _GINI_SPLIT)
+            iv_hi.append(h)
+            iv_lo.append(l)
+            h, l = divmod(sv, _GINI_SPLIT)
+            sv_hi.append(h)
+            sv_lo.append(l)
+            cnt.append(off)
+
+        for s, b, v, cc in rows:  # Python-int exact; rows/task bounded
+            v, cc = int(v), int(cc)
+            if prev is not None and (s, b) != prev:
+                flush(prev)
+                iv = sv = off = 0
+            prev = (s, b)
+            iv += v * (off * cc + cc * (cc + 1) // 2)
+            sv += v * cc
+            off += cc
+        if prev is not None:
+            flush(prev)
+        return pa.table(
+            {
+                "s": pa.array(ss, pa.string()),
+                "b": pa.array(bs, pa.int64()),
+                "iv_hi": pa.array(iv_hi, pa.int64()),
+                "iv_lo": pa.array(iv_lo, pa.int64()),
+                "sv_hi": pa.array(sv_hi, pa.int64()),
+                "sv_lo": pa.array(sv_lo, pa.int64()),
+                "c": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(vcounts, batch_format="pyarrow")
+        .groupby("cb")
+        .map_groups(bucket_partial, batch_format="pandas")
+        .to_pandas()  # one row per (status, bucket): O(domain/4096)
+    )
+
+    out = []
+    for s, sub in partials.groupby("s"):
+        sub = sub.sort_values("b").reset_index(drop=True)
+        T = S = n = 0
+        below = 0
+        for iv_hi, iv_lo, sv_hi, sv_lo, c in zip(
+            sub["iv_hi"], sub["iv_lo"], sub["sv_hi"], sub["sv_lo"], sub["c"]
+        ):
+            iv = int(iv_hi) * _GINI_SPLIT + int(iv_lo)
+            sv = int(sv_hi) * _GINI_SPLIT + int(sv_lo)
+            T += iv + below * sv
+            S += sv
+            below += int(c)
+            n += int(c)
+        gini_u = ((2 * T - (n + 1) * S) * 1_000_000) // (n * S)
+        out.append({"o_orderstatus": s, "n": n, "gini_u": int(gini_u)})
+    return pd.DataFrame(sorted(out, key=lambda r: r["o_orderstatus"]))
+
+
+#: numerator ≥ 0 (Chebyshev/rearrangement: ascending ranks maximize Σ i·v),
+#: so DuckDB's truncating // equals floor here; SUM(BIGINT) is HUGEINT so
+#: the products stay exact.
+GINI_BY_STATUS_SQL = """
+WITH x AS (
+  SELECT o_orderstatus AS s,
+         CAST(ROUND(o_totalprice*100) AS BIGINT) AS v,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY ROUND(o_totalprice*100), o_orderkey)
+           AS i
+  FROM orders
+)
+SELECT s AS o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(((2*SUM(i*v) - (COUNT(*)+1)*SUM(v)) * 1000000)
+            // (COUNT(*)*SUM(v)) AS BIGINT) AS gini_u
+FROM x GROUP BY s ORDER BY s
+"""

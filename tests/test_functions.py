@@ -1644,3 +1644,36 @@ def test_media_phash_clusters_planted(ray_session, tmp_path):
     )
     assert set(out.index) == {"a.ppm", "b.ppm", "c.ppm"}
     assert out["cluster_id"].nunique() == 1
+
+
+def test_round4_session5_ops_match_oracle(ray_session):
+    """Round-4 session-5 additions hash-match their DuckDB oracles at
+    sf0.001: exact distributed Gini (rank identity, no global sort),
+    chi-square day-of-week uniformity audit, and the trained multinomial
+    naive-Bayes language-confusion matrix (integer micro-nat weights)."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, ".")
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    names = ["gini_by_status", "dow_chisq_by_type", "nb_lang_confusion"]
+    qs, oracles = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    for t in ("orders", "events", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    for name in names:
+        res = qs[name](sf)
+        got = res.to_pandas() if hasattr(res, "to_pandas") else res
+        want = con.execute(oracles[name]).df()
+        assert sorted(got.columns) == sorted(want.columns), name
+        cols = sorted(got.columns)
+        g = got[cols].sort_values(cols).reset_index(drop=True)
+        w = want[cols].sort_values(cols).reset_index(drop=True)
+        assert len(g) == len(w), (name, len(g), len(w))
+        for c in cols:
+            assert (g[c].astype(str).values == w[c].astype(str).values).all(), (
+                name, c,
+            )

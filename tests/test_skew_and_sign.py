@@ -149,3 +149,36 @@ def test_floor_bucket_kernel():
     arr = pa.array(vals, pa.int64())
     got = _floor_bucket(arr, 4096).to_pylist()
     assert got == [v // 4096 for v in vals]
+
+
+def test_gini_by_status_constant_value(ray_session, tmp_path):
+    """Gini with a near-constant price distribution: every row lands in
+    ONE histogram bucket, but the count-based kernel's per-task rows are
+    bounded by DISTINCT VALUES per 4096-cent bucket (not corpus rows), so
+    unlike the row-shuffling rank ops no salting is needed — the run
+    formula v·(a·c + c(c+1)/2) must handle the giant equal-value run
+    exactly."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import windows
+
+    rng = np.random.default_rng(11)
+    n = 300
+    keys = rng.choice(np.arange(1, 400_000), size=n, replace=False)
+    df = pd.DataFrame(
+        {
+            "o_orderkey": np.sort(keys),
+            "o_totalprice": [123.45] * (n - 20) + [50.0] * 10
+            + [99_999.99] * 10,
+            "o_orderstatus": ["F", "O", "P"] * 100,
+        }
+    )
+    df.to_parquet(tmp_path / "orders.parquet")
+
+    got = windows.gini_by_status(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet'"
+    )
+    _compare_vs_oracle(got, con, windows.GINI_BY_STATUS_SQL,
+                       "gini_by_status_salted")
