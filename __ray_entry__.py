@@ -292,6 +292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_project": similarity.pca_project,
         "hard_negatives": similarity.hard_negatives,
         "pagerank_knn": similarity.pagerank_knn,
+        "kcore_decompose": similarity.kcore_decompose,
         "quantize_embeddings": similarity.quantize_embeddings,
         # sketches (error-bound pytest gate + SQL oracle: the md5-derived
         # sketch is deterministic, so the approximate answer hash-matches)
@@ -350,6 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dow_chisq_by_type": events.dow_chisq_by_type,
         "knn_label_accuracy": similarity.knn_label_accuracy,
         "daily_value_median": sketches.daily_value_median,
+        "ddsketch_price_quantiles": sketches.ddsketch_price_quantiles,
         # round-4 additions
         "events_trailing_density": events.events_trailing_density,
         "customer_order_seq": windows.customer_order_seq,
@@ -482,6 +484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bt_supplier_strengths": ml.bt_supplier_strengths,
         "als_factorize": ml.als_factorize,
         "nb_lang_confusion": ml.nb_lang_confusion,
+        "loo_target_encode": ml.loo_target_encode,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -491,9 +494,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup_rewrite", "line_dedup",             # dedup
         "substring_dup_coverage", "minhash_lsh_pairs",
         "hybrid_rrf_topk", "semdedup",                       # similarity
-        "common_neighbors_topk", "knn_label_accuracy",       # graph
-        "pagerank_knn", "mutual_knn_pairs",
-        "kmv_distinct_users", "heavy_hitters", "hll_wau",    # sketches
+        "kcore_decompose", "common_neighbors_topk",          # graph
+        "knn_label_accuracy", "pagerank_knn", "mutual_knn_pairs",
+        "ddsketch_price_quantiles", "kmv_distinct_users",    # sketches
+        "heavy_hitters", "hll_wau",
         "daily_value_median", "mad_outliers",
         "cdc_upsert_snapshot",                               # star
         "q21_sole_returner", "item_similarity_topk",         # relational
@@ -573,6 +577,8 @@ def oracle_sql() -> dict[str, str]:
         "dow_chisq_by_type": events.DOW_CHISQ_BY_TYPE_SQL,
         "knn_label_accuracy": similarity.KNN_LABEL_ACCURACY_SQL,
         "daily_value_median": sketches.DAILY_VALUE_MEDIAN_SQL,
+        "ddsketch_price_quantiles": sketches.DDSKETCH_PRICE_QUANTILES_SQL,
+        "loo_target_encode": ml.LOO_TARGET_ENCODE_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,
@@ -720,6 +726,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_assign": similarity.KMEANS_ASSIGN_SQL,
         "hard_negatives": similarity.HARD_NEGATIVES_SQL,
         "pagerank_knn": similarity.PAGERANK_KNN_SQL,
+        "kcore_decompose": similarity.KCORE_SQL,
         "quantize_embeddings": similarity.QUANTIZE_EMBEDDINGS_SQL,
         "ivf_topk": similarity.IVF_TOPK_SQL,
         "lsh_bucket_topk": similarity.LSH_BUCKET_TOPK_SQL,

@@ -161,6 +161,10 @@ QUERY_CHUNKS = [
     # calibration_bins rides the memoized fit)
     ["auc_by_type", "logreg_train", "calibration_bins",
      "bt_supplier_strengths", "als_factorize"],
+    # session-5 additions (kcore rides the knn-graph memo chunk rules but
+    # builds its own here; gini/dow/ddsketch/loo are single-exchange scans)
+    ["gini_by_status", "dow_chisq_by_type", "nb_lang_confusion",
+     "kcore_decompose", "ddsketch_price_quantiles", "loo_target_encode"],
 ]
 
 

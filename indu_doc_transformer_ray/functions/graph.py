@@ -1484,3 +1484,282 @@ WHERE e.a IS NULL
 ORDER BY common_neighbors DESC, vec_a, vec_b
 LIMIT 20
 """
+
+
+# -- k-core decomposition (coreness via the h-index fixed point) --------------
+
+KCORE_ROUNDS = 8
+#: initial h value: any upper bound on degree works — round 1 then yields
+#: exactly the degree (min(rn, INF) = rn), so an explicit degree pass is
+#: unnecessary and BOTH sides share one per-round formula.
+_KCORE_INF = 1 << 40
+
+
+def _hindex_fold_arrays(uu: np.ndarray, vals: np.ndarray):
+    """(owner id, neighbor h) pairs → per-owner H-index, vectorized:
+    sort (u asc, h desc), rank within group, max(min(rank, h))."""
+    order = np.lexsort((-vals, uu))
+    uu_s, vv_s = uu[order], vals[order]
+    newg = np.concatenate(([True], uu_s[1:] != uu_s[:-1]))
+    starts = np.flatnonzero(newg)
+    rn = np.arange(len(uu_s), dtype=np.int64) - np.repeat(
+        starts, np.diff(np.concatenate((starts, [len(uu_s)])))
+    ) + 1
+    m = np.minimum(rn, vv_s)
+    return uu_s[newg], np.maximum.reduceat(m, starts)
+
+
+def _kcore_numpy(
+    nodes: np.ndarray, a: np.ndarray, b: np.ndarray, rounds: int
+) -> np.ndarray:
+    """Driver-escape h-index rounds over directed edges (a → b), shared
+    with the planted-graph pytest: symmetrize + dedup, then ``rounds``
+    vectorized h-index folds from the INF start."""
+    u = np.concatenate((a, b))
+    v = np.concatenate((b, a))
+    span = int(nodes.max()) + 1  # packed dedup key (ids ≪ 2^31)
+    key = np.unique(u * span + v)
+    ui = np.searchsorted(nodes, key // span)
+    vi = np.searchsorted(nodes, key % span)
+    h = np.full(len(nodes), _KCORE_INF, dtype=np.int64)
+    for _ in range(rounds):
+        owners, hnew = _hindex_fold_arrays(ui, h[vi])
+        nxt = np.zeros(len(nodes), dtype=np.int64)
+        nxt[owners] = hnew
+        h = nxt
+    return h
+
+
+def kcore_decompose(sf_dir: str, rounds: int = KCORE_ROUNDS) -> "object":
+    """Coreness of every node in the (symmetrized) IVF k-NN graph — the
+    density peel that separates a corpus's tightly-duplicated cores from
+    its sparse fringe (dedup triage and community seeding both start
+    here).  Uses the Lü-et-al h-index fixed point: starting from any
+    upper bound, repeatedly set h(v) to the H-index of its neighbors'
+    h values (the largest h with ≥h neighbors at ≥h); the sequence
+    decreases monotonically to the exact coreness.  A FIXED ``rounds``
+    unroll keeps the Ray path and the DuckDB oracle equal even before
+    convergence (the label_propagation/bfs_hops contract) — the pytest
+    additionally pins the fixed point itself against an exact
+    single-process peel on a planted clique-plus-chain graph.
+
+    Execution shape is ``label_propagation``'s: the symmetrized edge set
+    is pinned ONCE in sharded ``num_cpus=0`` lookup actors (deduped at
+    seal; both copies of an undirected pair hash to the same shard by
+    source id), each round is one batched-RPC map over the h vector plus
+    ONE bucketed vectorized h-index fold, and the graph never re-enters
+    the shuffle.  Below ``PAGERANK_DRIVER_EDGE_BUDGET`` edges the same
+    rounds run as numpy passes on the driver (equality-tested against the
+    actor path).  Integer state end-to-end — bit-deterministic.
+
+    Output: (vec_id, core) after ``rounds`` h-index rounds.
+    Beyond-reference engine addition (SURVEY.md §2.8)."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows)
+
+    edges_ds = knn_graph(sf_dir)
+
+    if edges_ds.count() <= PAGERANK_DRIVER_EDGE_BUDGET:
+        e = edges_ds.to_pandas()
+        emb = (
+            pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        nodes = emb["vec_id"].to_numpy(np.int64)
+        h = _kcore_numpy(
+            nodes,
+            e["vec_id"].to_numpy(np.int64),
+            e["nbr_id"].to_numpy(np.int64),
+            rounds,
+        )
+        return pd.DataFrame({"vec_id": nodes, "core": h})
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_shards = max(2, min(16, ncpu // 2))
+
+    @ray.remote(num_cpus=0)
+    class EdgeShard:
+        """Owns undirected adjacency keyed by SOURCE id (w → its
+        neighbors u) for w % n_shards == shard id; deduped at seal —
+        both copies of an undirected pair share w, so per-shard dedup is
+        global.  num_cpus=0: lookups only."""
+
+        def __init__(self):
+            self._parts: list[np.ndarray] = []
+            self._v = self._u = None
+
+        def add_batch(self, v: np.ndarray, u: np.ndarray) -> int:
+            self._parts.append(
+                v.astype(np.int64) * (1 << 32) + u.astype(np.int64)
+            )
+            return len(v)
+
+        def seal(self) -> int:
+            key = (
+                np.unique(np.concatenate(self._parts))
+                if self._parts
+                else np.empty(0, dtype=np.int64)
+            )
+            self._v = key >> 32
+            self._u = key & ((1 << 32) - 1)
+            self._parts = None
+            return len(self._v)
+
+        def neighbor_h(self, ids: np.ndarray, hs: np.ndarray):
+            """(owner u, h of source w) per undirected edge w—u."""
+            lo = np.searchsorted(self._v, ids, side="left")
+            hi = np.searchsorted(self._v, ids, side="right")
+            cnt = hi - lo
+            total = int(cnt.sum())
+            if total == 0:
+                return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+            starts = np.repeat(
+                lo - np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt
+            )
+            idx = starts + np.arange(total)
+            return (self._u[idx], np.repeat(hs, cnt))
+
+    shards = [EdgeShard.remote() for _ in range(n_shards)]
+
+    def push_edges(t: pd.DataFrame) -> pd.DataFrame:
+        a = t["vec_id"].to_numpy(dtype=np.int64)
+        b = t["nbr_id"].to_numpy(dtype=np.int64)
+        v = np.concatenate((a, b))   # lookup source (h owner)
+        u = np.concatenate((b, a))   # edge owner receiving the value
+        sh = v % n_shards
+        ray.get(
+            [
+                shards[s].add_batch.remote(v[sh == s], u[sh == s])
+                for s in np.unique(sh)
+            ]
+        )
+        return pd.DataFrame({"n": pd.Series([len(t)], dtype="int64")})
+
+    edges_ds.map_batches(push_edges, batch_format="pandas").count()
+    ray.get([s.seal.remote() for s in shards])
+
+    state = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    ).map_batches(
+        lambda t: pd.DataFrame(
+            {
+                "vec_id": t["vec_id"].astype("int64"),
+                "h": np.full(len(t), _KCORE_INF, dtype=np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def emit(t: pd.DataFrame) -> pd.DataFrame:
+        ids = t["vec_id"].to_numpy(dtype=np.int64)
+        hs = t["h"].to_numpy(dtype=np.int64)
+        frames = [
+            pd.DataFrame(
+                {
+                    "b": (ids % nb).astype(np.int32),
+                    "vec_id": ids,
+                    "h": hs,
+                    "kind": np.repeat(np.int8(0), len(ids)),  # carry
+                }
+            )
+        ]
+        sh = ids % n_shards
+        refs = [
+            shards[s].neighbor_h.remote(ids[sh == s], hs[sh == s])
+            for s in np.unique(sh)
+        ]
+        for u, hv in ray.get(refs):
+            if len(u):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "b": (u % nb).astype(np.int32),
+                            "vec_id": u,
+                            "h": hv,
+                            "kind": np.repeat(np.int8(1), len(u)),  # value
+                        }
+                    )
+                )
+        return pd.concat(frames, ignore_index=True)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # h-index body inlined (not a call to _hindex_fold_arrays): a
+        # module-level helper referenced from this closure pickles BY
+        # REFERENCE and re-imports graph.py on the worker, tripping the
+        # graph<->similarity facade cycle (the run_pack fault-injection
+        # lesson generalized to library closures).
+        carry = g[g["kind"] == 0]
+        votes = g[g["kind"] == 1]
+        ids = carry["vec_id"].to_numpy(dtype=np.int64)
+        if len(votes):
+            uu = votes["vec_id"].to_numpy(dtype=np.int64)
+            vals = votes["h"].to_numpy(dtype=np.int64)
+            order = np.lexsort((-vals, uu))
+            uu_s, vv_s = uu[order], vals[order]
+            newg = np.concatenate(([True], uu_s[1:] != uu_s[:-1]))
+            starts = np.flatnonzero(newg)
+            rn = np.arange(len(uu_s), dtype=np.int64) - np.repeat(
+                starts, np.diff(np.concatenate((starts, [len(uu_s)])))
+            ) + 1
+            owners = uu_s[newg]
+            hnew = np.maximum.reduceat(np.minimum(rn, vv_s), starts)
+            vals = (
+                pd.Series(hnew, index=owners)
+                .reindex(ids)
+                .fillna(0)
+                .to_numpy(dtype=np.int64)
+            )
+        else:
+            vals = np.zeros(len(ids), dtype=np.int64)
+        return pd.DataFrame({"vec_id": ids, "h": vals})
+
+    for _ in range(rounds):
+        state = (
+            state.map_batches(emit, batch_format="pandas")
+            .groupby("b")
+            .map_groups(fold, batch_format="pandas")
+        )
+
+    out = state.to_pandas()
+    return (
+        out.rename(columns={"h": "core"})
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+        .astype({"vec_id": "int64", "core": "int64"})
+    )
+
+
+def _kcore_sql(rounds: int = KCORE_ROUNDS) -> str:
+    prev = "h0"
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f"""h{i} AS MATERIALIZED (
+  SELECT n.vec_id, COALESCE(t.h, 0) AS h
+  FROM nodes n LEFT JOIN (
+    SELECT u AS vec_id, MAX(LEAST(rn, hh)) AS h FROM (
+      SELECT e.u, p.h AS hh,
+             ROW_NUMBER() OVER (PARTITION BY e.u ORDER BY p.h DESC, e.v)
+               AS rn
+      FROM und e JOIN {prev} p ON p.vec_id = e.v) s
+    GROUP BY u) t ON t.vec_id = n.vec_id
+)""")
+        prev = f"h{i}"
+    joined = ",\n".join(steps)
+    return f"""
+WITH knn AS MATERIALIZED ({KNN_GRAPH_SQL}),
+und AS (
+  SELECT vec_id AS u, nbr_id AS v FROM knn
+  UNION
+  SELECT nbr_id, vec_id FROM knn
+),
+nodes AS (SELECT vec_id FROM embeddings),
+h0 AS (SELECT vec_id, CAST({_KCORE_INF} AS BIGINT) AS h FROM embeddings),
+{joined}
+SELECT vec_id, CAST(h AS BIGINT) AS core FROM {prev} ORDER BY vec_id"""
+
+
+KCORE_SQL = _kcore_sql()

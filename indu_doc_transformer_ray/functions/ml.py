@@ -1168,3 +1168,85 @@ pred AS (
 SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
 FROM pred GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# -- leave-one-out target encoding (categorical feature building) --------------
+
+def loo_target_encode(sf_dir: str) -> Dataset:
+    """Leave-one-out target encoding of ``o_orderpriority`` against the
+    order value — the categorical-feature primitive for tree/linear
+    models that avoids self-leakage by excluding each row's own target
+    from its category mean: loo = (S_cat − v) / (n_cat − 1).
+
+    Distributed plan: one |categories|-row aggregate (category → (Σv, n)
+    in cents), the tiny map broadcast into a vectorized streaming pass —
+    no corpus-row exchange at all, output streams as a Dataset.  Kept
+    integer end-to-end: loo_c2 = (S − v) // (n − 1) floors in cents
+    (numerator ≥ 0, so numpy floor_divide, DuckDB's truncating // and
+    Python // all agree).  int64-safe while a category's Σv stays under
+    2^63 (~10^11 orders at TPC-H prices); past that the per-category sums
+    must carry hi/lo like gini_by_status.  Singleton categories (n = 1)
+    have no leave-one-out mean and are dropped on both sides.
+
+    Output: (o_orderkey, loo_c2).  Beyond-reference engine addition
+    (SURVEY.md §2.8)."""
+    import numpy as np
+
+    ds = read_small_aware(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+
+    def cat_partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        folded = pa.table({"p": t["o_orderpriority"], "v": v})
+        return pa.TableGroupBy(folded, "p").aggregate(
+            [("v", "sum"), ([], "count_all")]
+        )
+
+    cats = (
+        ds.map_batches(cat_partial, batch_format="pyarrow")
+        .groupby("p")
+        .aggregate(
+            ray.data.aggregate.Sum("v_sum", alias_name="s"),
+            ray.data.aggregate.Sum("count_all", alias_name="n"),
+        )
+        .to_pandas()  # O(|categories|)
+    )
+    smap = {p: (int(s), int(n)) for p, s, n in zip(cats["p"], cats["s"], cats["n"])}
+
+    def encode(t: pa.Table) -> pa.Table:
+        v = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        ps = t["o_orderpriority"].to_pylist()
+        s = np.fromiter((smap[p][0] for p in ps), np.int64, count=len(ps))
+        n = np.fromiter((smap[p][1] for p in ps), np.int64, count=len(ps))
+        keep = n > 1
+        loo = (s[keep] - v[keep]) // (n[keep] - 1)
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()).filter(
+                    pa.array(keep)
+                ),
+                "loo_c2": pa.array(loo, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+LOO_TARGET_ENCODE_SQL = """
+WITH c AS (
+  SELECT o_orderpriority AS p,
+         SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+)
+SELECT o.o_orderkey,
+       CAST((c.s - CAST(ROUND(o.o_totalprice*100) AS BIGINT)) // (c.n - 1)
+            AS BIGINT) AS loo_c2
+FROM orders o JOIN c ON c.p = o.o_orderpriority
+WHERE c.n > 1
+ORDER BY o.o_orderkey
+"""

@@ -2237,6 +2237,8 @@ from .graph import (  # noqa: E402,F401
     BFS_ROUNDS,
     BFS_SEED_MOD,
     COMMON_NEIGHBORS_SQL,
+    KCORE_ROUNDS,
+    KCORE_SQL,
     KNN_GRAPH_SQL,
     KNN_LABEL_ACCURACY_SQL,
     LABEL_PROPAGATION_SQL,
@@ -2250,6 +2252,7 @@ from .graph import (  # noqa: E402,F401
     VEC_DUP_CLUSTERS_SQL,
     bfs_hops,
     common_neighbors_topk,
+    kcore_decompose,
     knn_graph,
     knn_label_accuracy,
     label_propagation,

@@ -1566,3 +1566,120 @@ SELECT event_type,
                  ELSE MAX(nd) END AS BIGINT) AS kmv_estimate
 FROM r GROUP BY event_type ORDER BY event_type
 """
+
+
+# -- DDSketch-style relative-error quantile sketch (integer-exact) ------------
+
+#: quantiles reported, in basis points
+DDSKETCH_QS = (5000, 9000, 9900, 9990)
+
+
+def _dd_rep(idx: int) -> int:
+    """Bucket lower bound from the bucket index (the reported estimate)."""
+    if idx < 32:
+        return idx
+    bl = 6 + (idx - 32) // 16
+    sub = (idx - 32) % 16
+    return (16 + sub) << (bl - 5)
+
+
+def ddsketch_price_quantiles(sf_dir: str) -> "pd.DataFrame":
+    """Relative-error quantile sketch over ``l_extendedprice`` — the
+    DDSketch shape (log-spaced buckets, counts mergeable by addition)
+    rebuilt on INTEGER bit arithmetic so the approximate answer is
+    DETERMINISTIC and hash-matches a DuckDB oracle: no ``ln`` boundary
+    ulps, no merge-order dependence (bucket counts commute), unlike
+    KLL/t-digest whose compaction is sample-order dependent and would
+    break this repo's partitioning-invariance contract.
+
+    Bucketing (positive cents v): v < 32 → exact bucket v; else with
+    bl = bit_length(v), bucket = (bl, top-4-bits-after-msb), lower bound
+    (16+sub)·2^(bl-5) — ≤ 1/16 relative bucket width, ~16 buckets per
+    octave, ≤ ~500 buckets for any int64 domain.  bit_length is exact on
+    both sides (numpy ``frexp`` exponent below 2^53; DuckDB
+    ``length(bin(v))``), so the sketch needs no float anywhere.
+
+    Distributed plan: per-batch numpy partials (bucket → count), one
+    ~500-group aggregate (far under the group-count groupby cliff), a
+    driver fold in exact integer arithmetic.  Reported estimate per
+    quantile q: the lower bound of the first bucket whose cumulative
+    count reaches ceil(q·n) — guaranteed est ≤ true < est·17/16
+    (error-bound pytest vs the exact sorted quantile).
+
+    Output: (q_bp, est_c2).  Beyond-reference engine addition
+    (SURVEY.md §2.8)."""
+    import numpy as np
+    import pandas as pd
+
+    from ._util import read_small_aware
+
+    ds = read_small_aware(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = pc.cast(
+            pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        # exact bit length below 2^53: frexp exponent of the float image
+        bl = np.frexp(v.astype(np.float64))[1].astype(np.int64)
+        sub = (v >> np.maximum(bl - 5, 0)) & 15
+        idx = np.where(v < 32, v, 32 + (bl - 6) * 16 + sub)
+        u, c = np.unique(idx, return_counts=True)
+        return pa.table({"idx": pa.array(u, pa.int64()),
+                         "c": pa.array(c, pa.int64())})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("idx")
+        .aggregate(ray.data.aggregate.Sum("c", alias_name="c"))
+        .to_pandas()  # ≤ ~500 rows for any corpus
+        .sort_values("idx")
+        .reset_index(drop=True)
+    )
+    idxs = [int(x) for x in counts["idx"]]
+    cs = [int(x) for x in counts["c"]]
+    n = sum(cs)
+    cum = 0
+    cums = []
+    for c in cs:
+        cum += c
+        cums.append(cum)
+    out = []
+    for q in DDSKETCH_QS:
+        target = (q * n + 9999) // 10000  # ceil(q·n/1e4), Python-int exact
+        pos = next(i for i, cm in enumerate(cums) if cm >= target)
+        out.append({"q_bp": q, "est_c2": _dd_rep(idxs[pos])})
+    return pd.DataFrame(out)
+
+
+DDSKETCH_PRICE_QUANTILES_SQL = f"""
+WITH v AS (
+  SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS v FROM lineitem
+),
+b AS (
+  SELECT CASE WHEN v < 32 THEN v
+              ELSE 32 + (length(bin(v)) - 6) * 16
+                   + ((v >> (length(bin(v)) - 5)) & 15)
+         END AS idx, CAST(COUNT(*) AS BIGINT) AS c
+  FROM v GROUP BY 1
+),
+cum AS (
+  SELECT idx, SUM(c) OVER (ORDER BY idx) AS cum,
+         (SELECT SUM(c) FROM b) AS n
+  FROM b
+),
+qs(q_bp) AS (VALUES {", ".join(f"({q})" for q in DDSKETCH_QS)}),
+pick AS (
+  SELECT q_bp, MIN(idx) AS idx
+  FROM qs JOIN cum ON cum.cum >= (q_bp * cum.n + 9999) // 10000
+  GROUP BY q_bp
+)
+SELECT CAST(q_bp AS BIGINT) AS q_bp,
+       CAST(CASE WHEN idx < 32 THEN idx
+                 ELSE (16 + (idx - 32) % 16) << ((6 + (idx - 32) // 16) - 5)
+            END AS BIGINT) AS est_c2
+FROM pick ORDER BY q_bp
+"""

@@ -1659,10 +1659,11 @@ def test_round4_session5_ops_match_oracle(ray_session):
     import __ray_entry__ as e
 
     sf = "/root/testdata/sf0.001"
-    names = ["gini_by_status", "dow_chisq_by_type", "nb_lang_confusion"]
+    names = ["gini_by_status", "dow_chisq_by_type", "nb_lang_confusion",
+             "ddsketch_price_quantiles", "loo_target_encode"]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
-    for t in ("orders", "events", "documents"):
+    for t in ("orders", "events", "documents", "lineitem"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     for name in names:
         res = qs[name](sf)
@@ -1677,3 +1678,88 @@ def test_round4_session5_ops_match_oracle(ray_session):
             assert (g[c].astype(str).values == w[c].astype(str).values).all(), (
                 name, c,
             )
+
+
+def test_kcore_decompose(ray_session, monkeypatch):
+    """k-core decomposition, three gates: (1) the h-index fixed point on a
+    planted clique+chain graph equals an exact single-process peel (the
+    fixed ROUNDS unroll must have converged there); (2) the sf0.001 run
+    hash-matches the unrolled-CTE DuckDB oracle; (3) the sharded
+    edge-actor path is bit-identical to the driver escape."""
+    import duckdb
+    import numpy as np
+
+    from indu_doc_transformer_ray.functions import similarity  # facade
+    from indu_doc_transformer_ray.functions import graph
+
+    # (1) planted: 5-clique (coreness 4) + a 3-node chain off node 0
+    # (coreness 1) + an isolated pair (coreness 1)
+    edges = [(a, b) for a in range(5) for b in range(5) if a < b]
+    edges += [(0, 5), (5, 6), (6, 7), (8, 9)]
+    a = np.array([e[0] for e in edges], np.int64)
+    b = np.array([e[1] for e in edges], np.int64)
+    nodes = np.arange(10, dtype=np.int64)
+    got = graph._kcore_numpy(nodes, a, b, rounds=30)
+
+    adj = {int(v): set() for v in nodes}
+    for x, y in edges:
+        adj[x].add(y)
+        adj[y].add(x)
+    deg = {v: len(adj[v]) for v in adj}
+    remaining = set(adj)
+    core, k = {}, 0
+    while remaining:
+        v = min(remaining, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        remaining.remove(v)
+        for w in adj[v]:
+            if w in remaining:
+                deg[w] -= 1
+    assert got.tolist() == [core[int(v)] for v in nodes]
+    assert got.tolist() == [4, 4, 4, 4, 4, 1, 1, 1, 1, 1]
+
+    # (2) oracle equality at sf0.001 (driver-escape path)
+    sf = "/root/testdata/sf0.001"
+    res = graph.kcore_decompose(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    want = con.execute(graph.KCORE_SQL).df()
+    assert res["vec_id"].tolist() == want["vec_id"].tolist()
+    assert res["core"].tolist() == want["core"].tolist()
+
+    # (3) actor path == escape path
+    monkeypatch.setattr(graph, "PAGERANK_DRIVER_EDGE_BUDGET", 0)
+    res2 = graph.kcore_decompose(sf)
+    assert res2.values.tolist() == res.values.tolist()
+
+
+def test_ddsketch_error_bound(ray_session):
+    """The DDSketch-style quantile estimates are lower bucket bounds with
+    ≤1/16 relative bucket width: exact sorted quantile q_true must satisfy
+    est ≤ q_true < est·17/16 for every reported quantile."""
+    import duckdb
+    import numpy as np
+
+    from indu_doc_transformer_ray.functions import sketches as sk
+
+    sf = "/root/testdata/sf0.001"
+    got = sk.ddsketch_price_quantiles(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'"
+    )
+    v = np.sort(
+        np.round(
+            con.sql("SELECT l_extendedprice FROM lineitem")
+            .df()["l_extendedprice"]
+            .to_numpy()
+            * 100
+        ).astype(np.int64)
+    )
+    for q, est in got.values.tolist():
+        exact = int(v[(q * len(v) + 9999) // 10000 - 1])
+        assert est <= exact, (q, est, exact)
+        assert exact * 16 < est * 17, (q, est, exact)
