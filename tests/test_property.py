@@ -447,3 +447,60 @@ def test_repetition_kernel_matches_naive_counter(texts):
             max((c * len(g) for g, c in bc.items()), default=0),
         )
         assert _repetition_signals(toks) == want, (t, want)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_hindex_fold_matches_naive(pairs):
+    """The vectorized grouped H-index kernel (kcore's per-round fold)
+    equals the naive per-owner definition: largest h with ≥h values ≥ h."""
+    import numpy as np
+
+    from indu_doc_transformer_ray.functions import similarity  # facade
+    from indu_doc_transformer_ray.functions.graph import _hindex_fold_arrays
+
+    uu = np.array([p[0] for p in pairs], np.int64)
+    vals = np.array([p[1] for p in pairs], np.int64)
+    owners, hs = _hindex_fold_arrays(uu, vals)
+    got = dict(zip(owners.tolist(), hs.tolist()))
+
+    want = {}
+    for o in set(uu.tolist()):
+        vs = sorted((int(v) for u, v in pairs if u == o), reverse=True)
+        want[o] = max(
+            (min(i + 1, v) for i, v in enumerate(vs)), default=0
+        )
+    assert got == want
+
+
+@given(st.integers(min_value=1, max_value=(1 << 52)))
+@settings(max_examples=300, deadline=None)
+def test_ddsketch_bucket_invariants(v):
+    """DDSketch bucket laws for any positive value: the index is monotone
+    in v (via rep ≤ v), rep is the bucket's lower bound, and the bucket's
+    relative width is ≤ 1/16 (v < rep·17/16 for large buckets, exact for
+    small)."""
+    import numpy as np
+
+    from indu_doc_transformer_ray.functions.sketches import _dd_rep
+
+    bl = int(np.frexp(np.float64(v))[1])
+    if v < 32:
+        idx = v
+    else:
+        idx = 32 + (bl - 6) * 16 + ((v >> (bl - 5)) & 15)
+    rep = _dd_rep(int(idx))
+    assert rep <= v
+    if v < 32:
+        assert rep == v
+    else:
+        assert v * 16 < rep * 17
