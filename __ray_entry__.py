@@ -349,6 +349,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_wau": sketches.hll_wau,
         "value_trend_per_type": events.value_trend_per_type,
         "dow_chisq_by_type": events.dow_chisq_by_type,
+        "rfm_scores": events.rfm_scores,
+        "seasonal_error_by_type": events.seasonal_error_by_type,
         "knn_label_accuracy": similarity.knn_label_accuracy,
         "daily_value_median": sketches.daily_value_median,
         "ddsketch_price_quantiles": sketches.ddsketch_price_quantiles,
@@ -501,7 +503,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_value_median", "mad_outliers",
         "cdc_upsert_snapshot",                               # star
         "q21_sole_returner", "item_similarity_topk",         # relational
-        "events_trailing_density", "value_trend_per_type",   # events
+        "rfm_scores", "events_trailing_density",             # events
+        "value_trend_per_type",
         "session_overlap",
         "leakage_safe_split",                                # curation
         "bigram_surprisal", "repetition_filter",             # text
@@ -575,6 +578,8 @@ def oracle_sql() -> dict[str, str]:
         "hll_wau": sketches.HLL_WAU_SQL,
         "value_trend_per_type": events.VALUE_TREND_PER_TYPE_SQL,
         "dow_chisq_by_type": events.DOW_CHISQ_BY_TYPE_SQL,
+        "rfm_scores": events.RFM_SCORES_SQL,
+        "seasonal_error_by_type": events.SEASONAL_ERROR_BY_TYPE_SQL,
         "knn_label_accuracy": similarity.KNN_LABEL_ACCURACY_SQL,
         "daily_value_median": sketches.DAILY_VALUE_MEDIAN_SQL,
         "ddsketch_price_quantiles": sketches.DDSKETCH_PRICE_QUANTILES_SQL,

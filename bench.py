@@ -164,7 +164,8 @@ QUERY_CHUNKS = [
     # session-5 additions (kcore rides the knn-graph memo chunk rules but
     # builds its own here; gini/dow/ddsketch/loo are single-exchange scans)
     ["gini_by_status", "dow_chisq_by_type", "nb_lang_confusion",
-     "kcore_decompose", "ddsketch_price_quantiles", "loo_target_encode"],
+     "kcore_decompose", "ddsketch_price_quantiles", "loo_target_encode",
+     "rfm_scores", "seasonal_error_by_type"],
 ]
 
 

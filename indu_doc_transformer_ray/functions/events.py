@@ -2384,3 +2384,294 @@ SELECT event_type,
          AS chi2_u
 FROM c GROUP BY event_type ORDER BY event_type
 """
+
+
+# -- RFM feature scores (recency / frequency / monetary quintiles) ------------
+
+#: quintile ranks in micro-quantile units (the price_decile convention)
+_RFM_QS = (200_000, 400_000, 600_000, 800_000)
+_RFM_HIST_W = 4_096
+
+
+def rfm_scores(sf_dir: str) -> Dataset:
+    """Per-user RFM feature table — recency (days since the user's last
+    event, against the corpus max), frequency (event count) and monetary
+    (Σ value in c4 units) plus a 1–5 quintile score per dimension: the
+    classic behavioral-feature block a ranking model consumes.
+
+    Three stages, all bounded: (1) per-user aggregates in ONE user-bucket
+    co-location (per-batch Arrow partials combine map-side, the in-bucket
+    kernel folds per user vectorized), materialized once — user rows are
+    far smaller than the corpus and spill like any Dataset; (2) exact
+    quintile cut points PER DIMENSION via the counting-histogram two-pass
+    (windows.price_decile machinery; one tagged (dim, bucket) aggregate —
+    driver state O(3 × domain/4096) counts, fine pass touches only the
+    cut buckets); (3) one streaming score-assignment pass
+    (1 + #cut-points strictly below, duplicates counted — deterministic
+    under ties, unlike NTILE).  Higher recency score = STALER user (raw
+    days since last event; flip downstream if needed).
+
+    Output: (user_id, r_days, f, m_c4, r_score, f_score, m_score).
+    Beyond-reference engine addition (SURVEY.md §2.8)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from .sketches import _floor_bucket
+
+    nb = _user_buckets(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = pc.cast(t["user_id"], pa.int64())
+        folded = pa.table(
+            {
+                "user_id": u,
+                "ts_us": pc.cast(t["ts"].cast(pa.timestamp("us")), pa.int64()),
+                "m": pc.cast(pc.round(pc.multiply(t["value"], 10_000.0)),
+                             pa.int64()),
+            }
+        )
+        g = pa.TableGroupBy(folded, "user_id").aggregate(
+            [("ts_us", "max"), ("m", "sum"), ([], "count_all")]
+        )
+        return g.append_column(
+            "ub",
+            pc.cast(pc.bit_wise_and(g["user_id"], nb - 1), pa.int32()),
+        )
+
+    def fold(g: "pd.DataFrame") -> pa.Table:
+        agg = g.groupby("user_id").agg(
+            last=("ts_us_max", "max"), m=("m_sum", "sum"),
+            f=("count_all", "sum"),
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(agg.index.to_numpy(np.int64)),
+                "last_us": pa.array(agg["last"].to_numpy(np.int64)),
+                "f": pa.array(agg["f"].to_numpy(np.int64)),
+                "m_c4": pa.array(agg["m"].to_numpy(np.int64)),
+            }
+        )
+
+    users = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(fold, batch_format="pandas")
+        .materialize()  # reused by the histogram pass and the score pass
+    )
+    gmax = int(users.max("last_us"))
+
+    def dim_hist(t: pa.Table) -> pa.Table:
+        r = pc.divide(pc.subtract(gmax, t["last_us"]), 86_400_000_000)
+        frames = []
+        for dim, col in ((0, r), (1, t["f"]), (2, t["m_c4"])):
+            frames.append(
+                pa.table(
+                    {
+                        "dim": pa.array([dim] * len(t), pa.int32()),
+                        "b": _floor_bucket(pc.cast(col, pa.int64()),
+                                           _RFM_HIST_W),
+                    }
+                )
+            )
+        allb = pa.concat_tables(frames)
+        return pa.TableGroupBy(allb, ["dim", "b"]).aggregate(
+            [([], "count_all")]
+        )
+
+    counts = (
+        users.map_batches(dim_hist, batch_format="pyarrow")
+        .groupby(["dim", "b"])
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()  # O(3 × domain/4096)
+    )
+    need: dict[tuple[int, int], list[int]] = {}
+    for dim, sub in counts.groupby("dim"):
+        sub = sub.sort_values("b").reset_index(drop=True)
+        n = int(sub["n"].sum())
+        cum = sub["n"].cumsum()
+        for q in _RFM_QS:
+            k = (q * (n - 1)) // 1_000_000
+            i = int((cum > k).idxmax())
+            before = int(cum.iloc[i - 1]) if i > 0 else 0
+            need.setdefault((int(dim), int(sub.loc[i, "b"])), []).append(
+                k - before
+            )
+    wanted = {d: pa.array(sorted(b for dd, b in need if dd == d), pa.int64())
+              for d in (0, 1, 2)}
+
+    def fine_hist(t: pa.Table) -> pa.Table:
+        r = pc.cast(
+            pc.divide(pc.subtract(gmax, t["last_us"]), 86_400_000_000),
+            pa.int64(),
+        )
+        frames = []
+        for dim, col in ((0, r), (1, pc.cast(t["f"], pa.int64())),
+                         (2, pc.cast(t["m_c4"], pa.int64()))):
+            b = _floor_bucket(col, _RFM_HIST_W)
+            sub = pa.table(
+                {
+                    "dim": pa.array([dim] * len(t), pa.int32()),
+                    "b": b,
+                    "v": col,
+                }
+            ).filter(pc.is_in(b, value_set=wanted[dim]))
+            frames.append(sub)
+        allf = pa.concat_tables(frames)
+        return pa.TableGroupBy(allf, ["dim", "b", "v"]).aggregate(
+            [([], "count_all")]
+        )
+
+    fine = (
+        users.map_batches(fine_hist, batch_format="pyarrow")
+        .groupby(["dim", "b", "v"])
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()  # distinct values inside cut buckets only
+    )
+    cuts: dict[int, list[int]] = {0: [], 1: [], 2: []}
+    for (dim, b), ranks in need.items():
+        g = (
+            fine[(fine["dim"] == dim) & (fine["b"] == b)]
+            .sort_values("v")
+            .reset_index(drop=True)
+        )
+        gc = g["n"].cumsum()
+        for rk in ranks:
+            j = int((gc > rk).idxmax())
+            cuts[dim].append(int(g.loc[j, "v"]))
+    cut_arrs = {d: np.sort(np.array(cuts[d], np.int64)) for d in cuts}
+
+    def assign(t: pa.Table) -> pa.Table:
+        r = pc.cast(
+            pc.divide(pc.subtract(gmax, t["last_us"]), 86_400_000_000),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        f = pc.cast(t["f"], pa.int64()).to_numpy(zero_copy_only=False)
+        m = pc.cast(t["m_c4"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "r_days": pa.array(r),
+                "f": t["f"],
+                "m_c4": t["m_c4"],
+                "r_score": pa.array(
+                    1 + np.searchsorted(cut_arrs[0], r, side="left"), pa.int64()
+                ),
+                "f_score": pa.array(
+                    1 + np.searchsorted(cut_arrs[1], f, side="left"), pa.int64()
+                ),
+                "m_score": pa.array(
+                    1 + np.searchsorted(cut_arrs[2], m, side="left"), pa.int64()
+                ),
+            }
+        )
+
+    return users.map_batches(assign, batch_format="pyarrow")
+
+
+def _rfm_cut_sql(dim_expr: str, alias: str) -> str:
+    ranks = ", ".join(
+        f"(SELECT (({q} * (COUNT(*) - 1)) // 1000000) FROM u)"
+        for q in _RFM_QS
+    )
+    return f"""{alias} AS (
+  SELECT v FROM (
+    SELECT {dim_expr} AS v,
+           ROW_NUMBER() OVER (ORDER BY {dim_expr}) - 1 AS rk
+    FROM u)
+  WHERE rk IN ({ranks})
+)"""
+
+
+RFM_SCORES_SQL = f"""
+WITH u AS (
+  SELECT user_id,
+         (SELECT MAX(epoch_us(ts)) FROM events) - MAX(epoch_us(ts)) AS age_us,
+         CAST(COUNT(*) AS BIGINT) AS f,
+         CAST(SUM(CAST(ROUND(value*10000) AS BIGINT)) AS BIGINT) AS m_c4
+  FROM events GROUP BY user_id
+),
+{_rfm_cut_sql("age_us // 86400000000", "cr")},
+{_rfm_cut_sql("f", "cf")},
+{_rfm_cut_sql("m_c4", "cm")}
+SELECT user_id,
+       CAST(age_us // 86400000000 AS BIGINT) AS r_days, f, m_c4,
+       CAST(1 + (SELECT COUNT(*) FROM cr WHERE cr.v < u.age_us // 86400000000)
+            AS BIGINT) AS r_score,
+       CAST(1 + (SELECT COUNT(*) FROM cf WHERE cf.v < u.f) AS BIGINT)
+         AS f_score,
+       CAST(1 + (SELECT COUNT(*) FROM cm WHERE cm.v < u.m_c4) AS BIGINT)
+         AS m_score
+FROM u ORDER BY user_id
+"""
+
+
+# -- seasonal-naive forecast backtest (lag-7 MAE) ------------------------------
+
+def seasonal_error_by_type(sf_dir: str) -> "pd.DataFrame":
+    """Backtest error of the seasonal-naive forecast (ŝ_d = s_{d−7}) on
+    per-type daily value totals — the baseline every capacity/volume
+    forecasting effort must beat, and the drift alarm when it suddenly
+    degrades.  One bounded (type, day) aggregate — O(types × days)
+    groups, a time-domain constant at any corpus size — then a driver
+    fold in Python ints: MAE over the days whose lag-7 day was observed
+    (no spine densification; the sparse join is mirrored in the oracle).
+    mae_c4 floors in c4 units (|Δ| ≥ 0, so DuckDB's truncating // agrees).
+
+    Output: (event_type, n_days, mae_c4).  Beyond-reference engine
+    addition (SURVEY.md §2.8)."""
+    ds = _read_events(sf_dir, ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        folded = pa.table(
+            {
+                "event_type": t["event_type"],
+                "day": pc.divide(
+                    pc.cast(t["ts"].cast(pa.timestamp("us")), pa.int64()),
+                    86_400_000_000,
+                ),
+                "s": pc.cast(pc.round(pc.multiply(t["value"], 10_000.0)),
+                             pa.int64()),
+            }
+        )
+        return pa.TableGroupBy(folded, ["event_type", "day"]).aggregate(
+            [("s", "sum")]
+        )
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(ray.data.aggregate.Sum("s_sum", alias_name="s"))
+        .to_pandas()  # O(types × days) — time-domain bounded
+    )
+    out = []
+    for et, sub in daily.groupby("event_type"):
+        series = {int(d): int(s) for d, s in zip(sub["day"], sub["s"])}
+        errs = [
+            abs(s - series[d - 7]) for d, s in series.items()
+            if d - 7 in series
+        ]
+        if not errs:
+            continue
+        out.append(
+            {
+                "event_type": et,
+                "n_days": len(errs),
+                "mae_c4": sum(errs) // len(errs),
+            }
+        )
+    return pd.DataFrame(sorted(out, key=lambda r: r["event_type"]))
+
+
+SEASONAL_ERROR_BY_TYPE_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         SUM(CAST(ROUND(value*10000) AS BIGINT)) AS s
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(ABS(a.s - b.s)) // COUNT(*) AS BIGINT) AS mae_c4
+FROM d a JOIN d b ON a.event_type = b.event_type AND b.day = a.day - 7
+GROUP BY 1 ORDER BY 1
+"""
