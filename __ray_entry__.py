@@ -8,12 +8,12 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (185 of 201): every deterministic construction is
+                      (194 of 211): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog + KMV via their md5
                       registers/hashes, k-means and IVF via an unrolled
                       Lloyd CTE chain, hyperplane-LSH ANN via plane
-                      literals.  The sixteen rows-only ops are extraction
+                      literals.  The seventeen rows-only ops are extraction
                       semantics (pytest holds their span-equality gate vs
                       the single-process oracle — extract_spans,
                       extract_object_stats, search_targets_count), the
@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": dedup.simhash_pairs,
         "substring_dup_coverage": dedup.substring_dup_coverage,
         "line_dedup": dedup.line_dedup,
+        "sorted_neighborhood_pairs": dedup.sorted_neighborhood_pairs,
         # similarity search
         "ann_topk": similarity.ann_topk,
         "mmr_diverse_topk": similarity.mmr_diverse_topk,
@@ -493,7 +494,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # prefix (first ~50 of the interleave) always covers the weakest link
     # of every family, not just an arbitrary member (round-3 verdict #9).
     risk_first = [
-        "substring_dedup_rewrite", "line_dedup",             # dedup
+        "sorted_neighborhood_pairs", "substring_dedup_rewrite",  # dedup
+        "line_dedup",
         "substring_dup_coverage", "minhash_lsh_pairs",
         "hybrid_rrf_topk", "semdedup",                       # similarity
         "kcore_decompose", "common_neighbors_topk",          # graph
@@ -556,6 +558,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_confusion": text.LANGID_CONFUSION_SQL,
         "pareto_frontier": relational.PARETO_FRONTIER_SQL,
         "fuzzy_name_pairs": dedup.FUZZY_NAME_PAIRS_SQL,
+        "sorted_neighborhood_pairs": dedup.SORTED_NEIGHBORHOOD_SQL,
         "auc_by_type": ml.AUC_BY_TYPE_SQL,
         "session_overlap": events.SESSION_OVERLAP_SQL,
         "cumulative_unique_users": events.CUMULATIVE_UNIQUE_USERS_SQL,

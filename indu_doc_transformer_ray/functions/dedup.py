@@ -2277,3 +2277,215 @@ SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_words,
 FROM t LEFT JOIN res USING (doc_id)
 ORDER BY t.doc_id
 """
+
+
+# -- sorted-neighborhood ER blocking (rank-segment halo exchange) --------------
+
+#: window size: candidate pairs at rank distance 1..SN_WINDOW-1
+SN_WINDOW = 8
+#: rank-segment width; rows per pair task ≤ _SN_SEG + SN_WINDOW - 1
+_SN_SEG = 1 << 16
+#: max rows one rank task may co-locate (the windows.py salting bound)
+SN_RANK_TASK_BOUND = 1 << 18
+_SN_BUCKET_C2 = 4_096
+
+
+def sorted_neighborhood_pairs(sf_dir: str) -> Dataset:
+    """Sorted-neighborhood entity-resolution blocking over customers: sort
+    by (account balance, custkey), slide a ``SN_WINDOW``-row window, and
+    emit same-market-segment candidate pairs with their rank gap — the
+    classic ER blocking strategy complementary to this module's
+    deletion-neighborhood (SymSpell) and LSH blockers: it catches
+    near-misses on a CONTINUOUS attribute that token/shingle blockers
+    cannot see.
+
+    Distributed plan, three bounded exchanges and a new pattern for this
+    repo — the RANK-SEGMENT HALO:
+
+    1. counting-histogram pass over balance-cents buckets gives the
+       driver exact "rows below" offsets (O(domain/4096) counts; buckets
+       over ``SN_RANK_TASK_BOUND`` are salted by the custkey range with
+       exact fine-count offsets — the windows.global_price_rank guard,
+       here in ASCENDING order);
+    2. one bucket co-location assigns exact global ranks and re-keys each
+       row to rank segment ``rnk // 65536`` — plus a HALO copy into the
+       next segment for the last ``SN_WINDOW−1`` ranks of each segment,
+       so every window fits inside one task (w ≪ segment ⇒ one halo hop
+       suffices; ranks are contiguous, so a segment's frame is a closed
+       rank interval);
+    3. the per-segment kernel sorts its ≤ 65543 rows once and emits the
+       d = 1..7 pairs by aligned slices; a pair is emitted only where its
+       HIGHER-rank row is segment-native, so halo duplicates drop exactly.
+
+    Output: (cust_a, cust_b, gap), same-mktsegment pairs only.
+    Beyond-reference engine addition (SURVEY.md §2.8)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ._util import read_small_aware
+    from .sketches import _floor_bucket
+
+    cols = ["c_custkey", "c_acctbal", "c_mktsegment"]
+    ds = read_small_aware(f"{sf_dir}/customer.parquet", columns=cols)
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100.0)), pa.int64())
+        folded = pa.table({"b": _floor_bucket(v, _SN_BUCKET_C2)})
+        return pa.TableGroupBy(folded, "b").aggregate([([], "count_all")])
+
+    counts = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(ray.data.aggregate.Sum("count_all", alias_name="n"))
+        .to_pandas()  # O(domain/4096)
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    below = counts["n"].cumsum().shift(1).fillna(0).astype("int64")
+    bucket_offsets = dict(zip(counts["b"].astype(int), below))
+    overfull = {
+        int(b)
+        for b, n in zip(counts["b"], counts["n"])
+        if int(n) > SN_RANK_TASK_BOUND
+    }
+    offsets: dict[str, int] = {
+        f"b{b}": int(off) for b, off in bucket_offsets.items()
+        if b not in overfull
+    }
+    if overfull:
+        over_arr = pa.array(sorted(overfull), pa.int64())
+
+        def fine_hist(t: pa.Table) -> pa.Table:
+            v = pc.cast(
+                pc.round(pc.multiply(t["c_acctbal"], 100.0)), pa.int64()
+            )
+            ck = pc.cast(t["c_custkey"], pa.int64())
+            sub = pa.table(
+                {
+                    "b": _floor_bucket(v, _SN_BUCKET_C2),
+                    "v": v,
+                    "ckb": _floor_bucket(ck, _SN_BUCKET_C2),
+                }
+            ).filter(pc.is_in(_floor_bucket(v, _SN_BUCKET_C2),
+                              value_set=over_arr))
+            return pa.TableGroupBy(sub, ["b", "v", "ckb"]).aggregate(
+                [([], "count_all")]
+            )
+
+        fine = (
+            ds.map_batches(fine_hist, batch_format="pyarrow")
+            .groupby(["b", "v", "ckb"])
+            .aggregate(ray.data.aggregate.Sum("count_all", alias_name="n"))
+            .to_pandas()  # counts per (value, custkey-range), never rows
+        )
+        for b, sub in fine.groupby("b"):
+            sub = sub.sort_values(["v", "ckb"]).reset_index(drop=True)
+            run = int(bucket_offsets[int(b)])
+            for v, ckb, n in zip(sub["v"], sub["ckb"], sub["n"]):
+                offsets[f"f{int(v)}|{int(ckb)}"] = run
+                run += int(n)
+
+    overfull_arr = (
+        pa.array(sorted(overfull), pa.int64()) if overfull else None
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100.0)), pa.int64())
+        ck = pc.cast(t["c_custkey"], pa.int64())
+        b = _floor_bucket(v, _SN_BUCKET_C2)
+        if overfull_arr is None:
+            return pa.table(
+                {"gk": pc.cast(b, pa.string()), "c_custkey": ck, "v": v,
+                 "seg_col": t["c_mktsegment"]}
+            )
+        gk = pc.binary_join_element_wise("b", pc.cast(b, pa.string()), "")
+        salted = pc.binary_join_element_wise(
+            "f", pc.cast(v, pa.string()), "|",
+            pc.cast(_floor_bucket(ck, _SN_BUCKET_C2), pa.string()), "",
+        )
+        gk = pc.if_else(pc.is_in(b, value_set=overfull_arr), salted, gk)
+        return pa.table(
+            {"gk": gk, "c_custkey": ck, "v": v, "seg_col": t["c_mktsegment"]}
+        )
+
+    w = SN_WINDOW
+    seg_w = _SN_SEG  # local capture: closures ship the patched test value
+
+    def rank_and_segment(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["v", "c_custkey"]).reset_index(drop=True)
+        k = g["gk"].iloc[0]
+        key = f"b{int(k)}" if overfull_arr is None else str(k)
+        base = int(offsets[key])
+        rnk = base + np.arange(1, len(g) + 1, dtype=np.int64)
+        seg = rnk // seg_w
+        halo = (rnk % seg_w) >= seg_w - (w - 1)
+        ck = g["c_custkey"].to_numpy(np.int64)
+        ms = g["seg_col"].to_numpy()
+        out_seg = np.concatenate((seg, seg[halo] + 1))
+        out_rnk = np.concatenate((rnk, rnk[halo]))
+        out_ck = np.concatenate((ck, ck[halo]))
+        out_ms = np.concatenate((ms, ms[halo]))
+        return pa.table(
+            {
+                "seg": pa.array(out_seg, pa.int64()),
+                "rnk": pa.array(out_rnk, pa.int64()),
+                "c_custkey": pa.array(out_ck, pa.int64()),
+                "mkt": pa.array(out_ms, pa.string()),
+            }
+        )
+
+    def window_pairs(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("rnk").reset_index(drop=True)
+        seg = int(g["seg"].iloc[0])
+        rnk = g["rnk"].to_numpy(np.int64)
+        ck = g["c_custkey"].to_numpy(np.int64)
+        ms = g["mkt"].to_numpy()
+        a_l, b_l, gap_l = [], [], []
+        for d in range(1, w):
+            if len(rnk) <= d:
+                break
+            ra, rb = rnk[:-d], rnk[d:]
+            # ranks are contiguous inside the frame, but guard anyway;
+            # dedup: the HIGHER-rank row must be native to this segment
+            m = (rb - ra == d) & (rb // seg_w == seg) & (ms[:-d] == ms[d:])
+            a_l.append(ck[:-d][m])
+            b_l.append(ck[d:][m])
+            gap_l.append(np.full(int(m.sum()), d, dtype=np.int64))
+        if a_l:
+            aa = np.concatenate(a_l)
+            bb = np.concatenate(b_l)
+            gg = np.concatenate(gap_l)
+        else:
+            aa = bb = gg = np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "cust_a": pa.array(aa, pa.int64()),
+                "cust_b": pa.array(bb, pa.int64()),
+                "gap": pa.array(gg, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("gk")
+        .map_groups(rank_and_segment, batch_format="pandas")
+        .groupby("seg")
+        .map_groups(window_pairs, batch_format="pandas")
+    )
+
+
+SORTED_NEIGHBORHOOD_SQL = f"""
+WITH r AS (
+  SELECT c_custkey, c_mktsegment,
+         ROW_NUMBER() OVER (
+           ORDER BY ROUND(c_acctbal*100), c_custkey) AS rnk
+  FROM customer
+)
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       CAST(b.rnk - a.rnk AS BIGINT) AS gap
+FROM r a JOIN r b
+  ON b.rnk > a.rnk AND b.rnk < a.rnk + {SN_WINDOW}
+WHERE a.c_mktsegment = b.c_mktsegment
+ORDER BY cust_a, cust_b, gap
+"""

@@ -1661,10 +1661,11 @@ def test_round4_session5_ops_match_oracle(ray_session):
     sf = "/root/testdata/sf0.001"
     names = ["gini_by_status", "dow_chisq_by_type", "nb_lang_confusion",
              "ddsketch_price_quantiles", "loo_target_encode",
-             "rfm_scores", "seasonal_error_by_type"]
+             "rfm_scores", "seasonal_error_by_type",
+             "sorted_neighborhood_pairs"]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
-    for t in ("orders", "events", "documents", "lineitem"):
+    for t in ("orders", "events", "documents", "lineitem", "customer"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     for name in names:
         res = qs[name](sf)

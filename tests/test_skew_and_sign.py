@@ -182,3 +182,36 @@ def test_gini_by_status_constant_value(ray_session, tmp_path):
     )
     _compare_vs_oracle(got, con, windows.GINI_BY_STATUS_SQL,
                        "gini_by_status_salted")
+
+
+def test_sorted_neighborhood_halo_and_salt(ray_session, monkeypatch, tmp_path):
+    """Sorted-neighborhood blocking with BOTH guards forced: a tiny rank
+    segment (so windows straddle many segment boundaries and the halo
+    copies + native-high-rank dedup must be exact) and a tiny task bound
+    over near-constant balances (so the salted (value, custkey-range)
+    rank path runs).  Output must equal the oracle's window self-join."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import dedup
+
+    rng = np.random.default_rng(23)
+    n = 600
+    bal = np.where(rng.random(n) < 0.8, 123.45, rng.integers(1, 9999, n) / 100.0)
+    df = pd.DataFrame(
+        {
+            "c_custkey": np.sort(rng.choice(np.arange(1, 500_000), n, replace=False)),
+            "c_acctbal": np.round(bal, 2),
+            "c_mktsegment": rng.choice(["A", "B", "C"], n),
+        }
+    )
+    df.to_parquet(tmp_path / "customer.parquet")
+
+    monkeypatch.setattr(dedup, "_SN_SEG", 64)
+    monkeypatch.setattr(dedup, "SN_RANK_TASK_BOUND", 32)
+    got = dedup.sorted_neighborhood_pairs(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{tmp_path}/customer.parquet'"
+    )
+    _compare_vs_oracle(got, con, dedup.SORTED_NEIGHBORHOOD_SQL,
+                       "sorted_neighborhood_halo_salt")
