@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dow_chisq_by_type": events.dow_chisq_by_type,
         "rfm_scores": events.rfm_scores,
         "seasonal_error_by_type": events.seasonal_error_by_type,
+        "mann_kendall_by_type": events.mann_kendall_by_type,
         "knn_label_accuracy": similarity.knn_label_accuracy,
         "daily_value_median": sketches.daily_value_median,
         "ddsketch_price_quantiles": sketches.ddsketch_price_quantiles,
@@ -583,6 +584,7 @@ def oracle_sql() -> dict[str, str]:
         "dow_chisq_by_type": events.DOW_CHISQ_BY_TYPE_SQL,
         "rfm_scores": events.RFM_SCORES_SQL,
         "seasonal_error_by_type": events.SEASONAL_ERROR_BY_TYPE_SQL,
+        "mann_kendall_by_type": events.MANN_KENDALL_SQL,
         "knn_label_accuracy": similarity.KNN_LABEL_ACCURACY_SQL,
         "daily_value_median": sketches.DAILY_VALUE_MEDIAN_SQL,
         "ddsketch_price_quantiles": sketches.DDSKETCH_PRICE_QUANTILES_SQL,

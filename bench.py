@@ -165,7 +165,8 @@ QUERY_CHUNKS = [
     # builds its own here; gini/dow/ddsketch/loo are single-exchange scans)
     ["gini_by_status", "dow_chisq_by_type", "nb_lang_confusion",
      "kcore_decompose", "ddsketch_price_quantiles", "loo_target_encode",
-     "rfm_scores", "seasonal_error_by_type", "sorted_neighborhood_pairs"],
+     "rfm_scores", "seasonal_error_by_type", "sorted_neighborhood_pairs",
+     "mann_kendall_by_type"],
 ]
 
 

@@ -2675,3 +2675,96 @@ SELECT a.event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
 FROM d a JOIN d b ON a.event_type = b.event_type AND b.day = a.day - 7
 GROUP BY 1 ORDER BY 1
 """
+
+
+# -- Mann-Kendall trend test (integer-exact S and Var[S]) ----------------------
+
+def mann_kendall_by_type(sf_dir: str) -> "pd.DataFrame":
+    """Mann-Kendall monotonic-trend test on per-type daily value totals —
+    the nonparametric drift detector that complements ``cusum_drift``
+    (mean shifts) and ``value_trend_per_type`` (OLS slope): S =
+    Σ_{i<j} sign(s_j − s_i) over the time-ordered daily series, with the
+    tie-corrected null variance Var[S] = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5))
+    / 18.  S is an integer and the variance is emitted as its ×18 integer
+    NUMERATOR (the /18 need not divide evenly), so the result hash-matches
+    the oracle with no float anywhere; consumers form
+    z = (S∓1)/sqrt(var18/18) downstream.
+
+    Distributed plan: identical to ``seasonal_error_by_type`` — ONE
+    bounded (type, day) aggregate (O(types × days) groups, a time-domain
+    constant at any corpus size), then a driver fold in Python ints; the
+    O(d log d) inversion count runs on the day-domain series, never on
+    rows.  Output: (event_type, n_days, s_stat, var18).
+    Beyond-reference engine addition (SURVEY.md §2.8)."""
+    ds = _read_events(sf_dir, ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        folded = pa.table(
+            {
+                "event_type": t["event_type"],
+                "day": pc.divide(
+                    pc.cast(t["ts"].cast(pa.timestamp("us")), pa.int64()),
+                    86_400_000_000,
+                ),
+                "s": pc.cast(pc.round(pc.multiply(t["value"], 10_000.0)),
+                             pa.int64()),
+            }
+        )
+        return pa.TableGroupBy(folded, ["event_type", "day"]).aggregate(
+            [("s", "sum")]
+        )
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(ray.data.aggregate.Sum("s_sum", alias_name="s"))
+        .to_pandas()  # O(types × days)
+    )
+    out = []
+    for et, sub in daily.groupby("event_type"):
+        sub = sub.sort_values("day")
+        vals = [int(v) for v in sub["s"]]
+        n = len(vals)
+        s_stat = 0
+        for i in range(n):  # day-domain O(d²) with tiny d; never row-level
+            for j in range(i + 1, n):
+                s_stat += (vals[j] > vals[i]) - (vals[j] < vals[i])
+        from collections import Counter
+
+        ties = Counter(vals)
+        var18 = n * (n - 1) * (2 * n + 5) - sum(
+            t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1
+        )
+        out.append(
+            {"event_type": et, "n_days": n, "s_stat": s_stat, "var18": var18}
+        )
+    return pd.DataFrame(sorted(out, key=lambda r: r["event_type"]))
+
+
+MANN_KENDALL_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         SUM(CAST(ROUND(value*10000) AS BIGINT)) AS s
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         SUM(CASE WHEN b.s > a.s THEN 1 WHEN b.s < a.s THEN -1 ELSE 0 END)
+           AS s_stat
+  FROM d a JOIN d b ON a.event_type = b.event_type AND b.day > a.day
+  GROUP BY 1
+),
+nn AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+tie AS (
+  SELECT event_type,
+         COALESCE(SUM(t*(t-1)*(2*t+5)), 0) AS corr
+  FROM (SELECT event_type, s, COUNT(*) AS t FROM d GROUP BY 1, 2)
+  WHERE t > 1 GROUP BY 1
+)
+SELECT nn.event_type, nn.n AS n_days,
+       CAST(COALESCE(pairs.s_stat, 0) AS BIGINT) AS s_stat,
+       CAST(nn.n*(nn.n-1)*(2*nn.n+5) - COALESCE(tie.corr, 0) AS BIGINT)
+         AS var18
+FROM nn LEFT JOIN pairs USING (event_type) LEFT JOIN tie USING (event_type)
+ORDER BY nn.event_type
+"""
