@@ -220,3 +220,39 @@ def test_run_dedup_job_end_to_end(ray_session, tmp_path):
 
     m2 = dedup_and_write(str(sf), str(out), write_shards=4)
     assert m2.get("skipped") is True
+
+
+def test_audit_job_report_and_resume(ray_session, tmp_path):
+    """run_audit composes SQL-oracled audit queries into one atomic
+    report: (1) payload keys and bounded row counts present; (2) a second
+    run with unchanged inputs skips via lineage and returns the identical
+    payloads; (3) a changed input row count invalidates the lineage and
+    recomputes."""
+    import json
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.run_audit import AUDIT_QUERIES, audit
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "audit")
+    first = audit(sf, out)
+    assert first["complete"] and not first.get("skipped")
+    assert set(first["payloads"]) == set(AUDIT_QUERIES)
+    for name, rows in first["payloads"].items():
+        assert 1 <= len(rows) <= 64, name
+
+    second = audit(sf, out)
+    assert second.get("skipped") is True
+    assert second["payloads"] == json.load(
+        open(f"{out}/report.json")
+    )["payloads"]
+
+    # lineage break: claim a different input row count in the manifest
+    rpt = json.load(open(f"{out}/report.json"))
+    rpt["input_rows"]["documents"] += 1
+    with open(f"{out}/report.json", "w") as f:
+        json.dump(rpt, f)
+    third = audit(sf, out)
+    assert third["complete"] and not third.get("skipped")
+    assert third["payloads"] == first["payloads"]
