@@ -353,6 +353,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_scores": events.rfm_scores,
         "seasonal_error_by_type": events.seasonal_error_by_type,
         "mann_kendall_by_type": events.mann_kendall_by_type,
+        "benford_digits_by_type": events.benford_digits_by_type,
+        "interarrival_quantiles_by_type": events.interarrival_quantiles_by_type,
         "knn_label_accuracy": similarity.knn_label_accuracy,
         "daily_value_median": sketches.daily_value_median,
         "ddsketch_price_quantiles": sketches.ddsketch_price_quantiles,
@@ -506,7 +508,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_value_median", "mad_outliers",
         "cdc_upsert_snapshot",                               # star
         "q21_sole_returner", "item_similarity_topk",         # relational
-        "rfm_scores", "events_trailing_density",             # events
+        "interarrival_quantiles_by_type", "rfm_scores",      # events
+        "events_trailing_density",
         "value_trend_per_type",
         "session_overlap",
         "leakage_safe_split",                                # curation
@@ -585,6 +588,8 @@ def oracle_sql() -> dict[str, str]:
         "rfm_scores": events.RFM_SCORES_SQL,
         "seasonal_error_by_type": events.SEASONAL_ERROR_BY_TYPE_SQL,
         "mann_kendall_by_type": events.MANN_KENDALL_SQL,
+        "benford_digits_by_type": events.BENFORD_DIGITS_SQL,
+        "interarrival_quantiles_by_type": events.INTERARRIVAL_QUANTILES_SQL,
         "knn_label_accuracy": similarity.KNN_LABEL_ACCURACY_SQL,
         "daily_value_median": sketches.DAILY_VALUE_MEDIAN_SQL,
         "ddsketch_price_quantiles": sketches.DDSKETCH_PRICE_QUANTILES_SQL,

@@ -166,7 +166,8 @@ QUERY_CHUNKS = [
     ["gini_by_status", "dow_chisq_by_type", "nb_lang_confusion",
      "kcore_decompose", "ddsketch_price_quantiles", "loo_target_encode",
      "rfm_scores", "seasonal_error_by_type", "sorted_neighborhood_pairs",
-     "mann_kendall_by_type"],
+     "mann_kendall_by_type", "benford_digits_by_type",
+     "interarrival_quantiles_by_type"],
 ]
 
 

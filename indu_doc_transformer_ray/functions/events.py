@@ -2768,3 +2768,256 @@ SELECT nn.event_type, nn.n AS n_days,
 FROM nn LEFT JOIN pairs USING (event_type) LEFT JOIN tie USING (event_type)
 ORDER BY nn.event_type
 """
+
+
+# -- Benford first-digit audit --------------------------------------------------
+
+def benford_digits_by_type(sf_dir: str) -> "pd.DataFrame":
+    """First-significant-digit distribution of event values per type —
+    the Benford's-law forensic audit that flags fabricated or truncated
+    numeric feeds (a conforming natural-value column leads with digit d
+    at rate log10(1+1/d); a synthetic or clipped one does not).  Counts
+    only — exact integers, no irrational expected-rate arithmetic — so
+    the output hash-matches; consumers fit the Benford curve downstream.
+
+    The digit comes from the exact decimal rendering of the integer c4
+    value (Arrow int64→string cast, first code unit), not from a float
+    log10 whose ulp at powers of ten would disagree with the oracle's
+    string slice.  Zero values have no significant digit and are dropped
+    on both sides.  One |types|×9 aggregate; no other exchange.
+
+    Output: (event_type, digit, n).  Beyond-reference engine addition
+    (SURVEY.md §2.8)."""
+    ds = _read_events(sf_dir, ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(pc.abs(t["value"]), 10_000.0)),
+                    pa.int64())
+        folded = pa.table(
+            {
+                "event_type": t["event_type"],
+                "digit": pc.utf8_slice_codeunits(
+                    pc.cast(v, pa.string()), 0, 1
+                ),
+            }
+        ).filter(pc.greater(v, 0))
+        return pa.TableGroupBy(folded, ["event_type", "digit"]).aggregate(
+            [([], "count_all")]
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "digit"])
+        .aggregate(ray.data.aggregate.Sum("count_all", alias_name="n"))
+        .to_pandas()  # O(|types| × 9)
+        .sort_values(["event_type", "digit"])
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+BENFORD_DIGITS_SQL = """
+SELECT event_type,
+       substr(CAST(CAST(ROUND(ABS(value)*10000) AS BIGINT) AS VARCHAR), 1, 1)
+         AS digit,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+WHERE CAST(ROUND(ABS(value)*10000) AS BIGINT) > 0
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# -- inter-arrival-time quantiles (user stream cadence audit) ------------------
+
+_IAT_HIST_W = 4_096  # seconds per coarse counting bucket
+
+
+def interarrival_quantiles_by_type(sf_dir: str) -> "pd.DataFrame":
+    """Exact p50/p90 of the inter-arrival time (whole seconds between a
+    user's consecutive events, attributed to the LATER event's type) —
+    the stream-cadence audit behind session-gap tuning and bot
+    detection.  The gap multiset is invariant to tie order at equal
+    timestamps, so the oracle's ROW_NUMBER tie-break cannot diverge.
+
+    Shape: (1) one user-bucket co-location computes within-user diffs
+    vectorized and folds them to (type, gap_s) count partials; (2) one
+    coarse count-table co-location (gini_by_status's ``b mod n_buckets``
+    key — never one Python call per (type, bucket) group) exactifies the
+    counts, MATERIALIZED once; (3) the exact-quantile two-pass then runs
+    over count rows only — a coarse fold for driver offsets
+    (O(types × gap-domain/4096) counts) and a filtered fine read of just
+    the cut buckets.  No corpus row is ever shuffled twice.
+
+    Output: (event_type, n, p50_s, p90_s).  Beyond-reference engine
+    addition (SURVEY.md §2.8)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from ._util import n_buckets
+    from .sketches import _floor_bucket
+
+    nb_u = _user_buckets(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "ts", "event_type", "event_id"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        u = pc.cast(t["user_id"], pa.int64())
+        return pa.table(
+            {
+                "ub": pc.cast(pc.bit_wise_and(u, nb_u - 1), pa.int32()),
+                "user_id": u,
+                "ts_us": pc.cast(t["ts"].cast(pa.timestamp("us")), pa.int64()),
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "event_type": t["event_type"],
+            }
+        )
+
+    def gaps(g: "pd.DataFrame") -> pa.Table:
+        g = g.sort_values(["user_id", "ts_us", "event_id"])
+        prev = g.groupby("user_id")["ts_us"].shift(1)
+        keep = prev.notna()
+        gap_s = ((g["ts_us"][keep] - prev[keep]) // 1_000_000).astype("int64")
+        sub = pd.DataFrame(
+            {"event_type": g["event_type"][keep], "gap_s": gap_s}
+        )
+        c = sub.groupby(["event_type", "gap_s"]).size().reset_index(name="n")
+        return pa.table(
+            {
+                "event_type": pa.array(c["event_type"], pa.string()),
+                "gap_s": pa.array(c["gap_s"].to_numpy("int64")),
+                "n": pa.array(c["n"].to_numpy("int64")),
+            }
+        )
+
+    partials = (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(gaps, batch_format="pandas")
+    )
+
+    nb_c = n_buckets(int(1e6))  # count-table rows ≤ types × gap domain
+
+    def coarse_key(t: pa.Table) -> pa.Table:
+        gb = _floor_bucket(t["gap_s"], _IAT_HIST_W)
+        return pa.table(
+            {
+                "cb": pc.cast(pc.bit_wise_and(gb, nb_c - 1), pa.int32()),
+                "event_type": t["event_type"],
+                "gb": gb,
+                "gap_s": t["gap_s"],
+                "n": t["n"],
+            }
+        )
+
+    def exactify(g: "pd.DataFrame") -> pa.Table:
+        c = (
+            g.groupby(["event_type", "gb", "gap_s"], as_index=False)["n"]
+            .sum()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(c["event_type"], pa.string()),
+                "gb": pa.array(c["gb"].to_numpy("int64")),
+                "gap_s": pa.array(c["gap_s"].to_numpy("int64")),
+                "n": pa.array(c["n"].to_numpy("int64")),
+            }
+        )
+
+    counts = (
+        partials.map_batches(coarse_key, batch_format="pyarrow")
+        .groupby("cb")
+        .map_groups(exactify, batch_format="pandas")
+        .materialize()  # exact (type, gap_s) counts; reused twice below
+    )
+
+    def coarse_fold(t: pa.Table) -> pa.Table:
+        folded = pa.table(
+            {"event_type": t["event_type"], "gb": t["gb"], "n": t["n"]}
+        )
+        return pa.TableGroupBy(folded, ["event_type", "gb"]).aggregate(
+            [("n", "sum")]
+        )
+
+    coarse = (
+        counts.map_batches(coarse_fold, batch_format="pyarrow")
+        .groupby(["event_type", "gb"])
+        .aggregate(Sum("n_sum", alias_name="n"))
+        .to_pandas()  # O(types × gap-domain/4096)
+    )
+    qs = (500_000, 900_000)
+    need: dict[str, dict[int, list[tuple[int, int]]]] = {}
+    totals: dict[str, int] = {}
+    for et, sub in coarse.groupby("event_type"):
+        sub = sub.sort_values("gb").reset_index(drop=True)
+        n = int(sub["n"].sum())
+        totals[et] = n
+        cum = sub["n"].cumsum()
+        for q in qs:
+            k = (q * (n - 1)) // 1_000_000
+            i = int((cum > k).idxmax())
+            before = int(cum.iloc[i - 1]) if i > 0 else 0
+            need.setdefault(et, {}).setdefault(
+                int(sub.loc[i, "gb"]), []
+            ).append((q, k - before))
+
+    wanted = pa.array(
+        sorted(f"{et}|{gb}" for et, m in need.items() for gb in m),
+        pa.string(),
+    )
+
+    def fine_filter(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t["event_type"], pa.string()),
+            pc.cast(t["gb"], pa.string()),
+            "|",
+        )
+        return t.filter(pc.is_in(key, value_set=wanted))
+
+    fine = counts.map_batches(
+        fine_filter, batch_format="pyarrow"
+    ).to_pandas()  # distinct gap values inside cut buckets only
+
+    res: dict[str, dict[int, int]] = {}
+    for (et, gb), sub in fine.groupby(["event_type", "gb"]):
+        if et not in need or int(gb) not in need[et]:
+            continue
+        sub = sub.sort_values("gap_s").reset_index(drop=True)
+        gc = sub["n"].cumsum()
+        for q, rk in need[et][int(gb)]:
+            j = int((gc > rk).idxmax())
+            res.setdefault(et, {})[q] = int(sub.loc[j, "gap_s"])
+
+    out = [
+        {
+            "event_type": et,
+            "n": totals[et],
+            "p50_s": res[et][500_000],
+            "p90_s": res[et][900_000],
+        }
+        for et in sorted(res)
+    ]
+    return pd.DataFrame(out)
+
+
+INTERARRIVAL_QUANTILES_SQL = """
+WITH g AS (
+  SELECT event_type,
+         (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap_s
+  FROM events
+),
+gg AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL),
+r AS (
+  SELECT event_type, gap_s,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gap_s) - 1 AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM gg
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(CASE WHEN rk = (500000*(n-1))//1000000 THEN gap_s END)
+            AS BIGINT) AS p50_s,
+       CAST(MAX(CASE WHEN rk = (900000*(n-1))//1000000 THEN gap_s END)
+            AS BIGINT) AS p90_s
+FROM r GROUP BY event_type ORDER BY event_type
+"""

@@ -1662,7 +1662,8 @@ def test_round4_session5_ops_match_oracle(ray_session):
     names = ["gini_by_status", "dow_chisq_by_type", "nb_lang_confusion",
              "ddsketch_price_quantiles", "loo_target_encode",
              "rfm_scores", "seasonal_error_by_type",
-             "sorted_neighborhood_pairs", "mann_kendall_by_type"]
+             "sorted_neighborhood_pairs", "mann_kendall_by_type",
+             "benford_digits_by_type", "interarrival_quantiles_by_type"]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
     for t in ("orders", "events", "documents", "lineitem", "customer"):
