@@ -355,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_kendall_by_type": events.mann_kendall_by_type,
         "benford_digits_by_type": events.benford_digits_by_type,
         "interarrival_quantiles_by_type": events.interarrival_quantiles_by_type,
+        "theil_sen_by_type": events.theil_sen_by_type,
         "knn_label_accuracy": similarity.knn_label_accuracy,
         "daily_value_median": sketches.daily_value_median,
         "ddsketch_price_quantiles": sketches.ddsketch_price_quantiles,
@@ -590,6 +591,7 @@ def oracle_sql() -> dict[str, str]:
         "mann_kendall_by_type": events.MANN_KENDALL_SQL,
         "benford_digits_by_type": events.BENFORD_DIGITS_SQL,
         "interarrival_quantiles_by_type": events.INTERARRIVAL_QUANTILES_SQL,
+        "theil_sen_by_type": events.THEIL_SEN_SQL,
         "knn_label_accuracy": similarity.KNN_LABEL_ACCURACY_SQL,
         "daily_value_median": sketches.DAILY_VALUE_MEDIAN_SQL,
         "ddsketch_price_quantiles": sketches.DDSKETCH_PRICE_QUANTILES_SQL,

@@ -3021,3 +3021,110 @@ SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
             AS BIGINT) AS p90_s
 FROM r GROUP BY event_type ORDER BY event_type
 """
+
+
+# -- Theil-Sen robust trend slope ----------------------------------------------
+
+def theil_sen_by_type(sf_dir: str) -> "pd.DataFrame":
+    """Theil–Sen robust trend slope of per-type daily value totals — the
+    median of all pairwise slopes, the outlier-proof companion to the
+    OLS ``value_trend_per_type`` and the Mann-Kendall S test (a single
+    corrupted day moves OLS arbitrarily but this at most one rank).
+
+    Same bounded shape as the other daily-series stats: ONE
+    O(types × days) aggregate, then a day-domain driver fold.  Slopes
+    quantize to integer micro-units with FLOOR division on both sides —
+    numerators go negative, numpy's floor_divide floors natively, and
+    the oracle emulates floor with the non-negative-remainder identity
+    ``(num − ((num % den) + den) % den) // den`` because DuckDB's native
+    ``//`` truncates.  The reported value is the lower median (0-based
+    rank (n−1)//2), deterministic under ties.  int64-safe while a daily
+    total stays under ~4·10^12 c4 (|Δs|·10^6 < 2^62); the guard asserts
+    and falls back to exact Python ints past that.
+
+    Output: (event_type, n_pairs, slope_u).  Beyond-reference engine
+    addition (SURVEY.md §2.8)."""
+    import numpy as np
+
+    ds = _read_events(sf_dir, ["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        folded = pa.table(
+            {
+                "event_type": t["event_type"],
+                "day": pc.divide(
+                    pc.cast(t["ts"].cast(pa.timestamp("us")), pa.int64()),
+                    86_400_000_000,
+                ),
+                "s": pc.cast(pc.round(pc.multiply(t["value"], 10_000.0)),
+                             pa.int64()),
+            }
+        )
+        return pa.TableGroupBy(folded, ["event_type", "day"]).aggregate(
+            [("s", "sum")]
+        )
+
+    daily = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(ray.data.aggregate.Sum("s_sum", alias_name="s"))
+        .to_pandas()  # O(types × days)
+    )
+    out = []
+    for et, sub in daily.groupby("event_type"):
+        sub = sub.sort_values("day")
+        d = sub["day"].to_numpy(np.int64)
+        s = sub["s"].to_numpy(np.int64)
+        if len(d) < 2:
+            continue
+        if int(np.abs(s).max()) * 2_000_000 < (1 << 62):
+            num = (s[None, :] - s[:, None]) * 1_000_000
+            den = d[None, :] - d[:, None]
+            iu = np.triu_indices(len(d), k=1)
+            slopes = np.floor_divide(num[iu], den[iu])
+            slopes.sort()
+            n_pairs = len(slopes)
+            med = int(slopes[(n_pairs - 1) // 2])
+        else:  # pragma: no cover - beyond-int64 daily totals
+            sl = sorted(
+                (int(s[j]) - int(s[i])) * 1_000_000 // (int(d[j]) - int(d[i]))
+                for i in range(len(d))
+                for j in range(i + 1, len(d))
+            )
+            n_pairs = len(sl)
+            med = sl[(n_pairs - 1) // 2]
+        out.append(
+            {"event_type": et, "n_pairs": n_pairs, "slope_u": med}
+        )
+    return pd.DataFrame(sorted(out, key=lambda r: r["event_type"]))
+
+
+THEIL_SEN_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         SUM(CAST(ROUND(value*10000) AS BIGINT)) AS s
+  FROM events GROUP BY 1, 2
+),
+p AS (
+  SELECT a.event_type,
+         (b.s - a.s) * 1000000 AS num,
+         (b.day - a.day) AS den
+  FROM d a JOIN d b ON a.event_type = b.event_type AND b.day > a.day
+),
+sl AS (
+  SELECT event_type,
+         (num - ((num % den) + den) % den) // den AS slope_u
+  FROM p
+),
+r AS (
+  SELECT event_type, slope_u,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope_u) - 1
+           AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM sl
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_pairs,
+       CAST(MAX(CASE WHEN rk = (n-1)//2 THEN slope_u END) AS BIGINT)
+         AS slope_u
+FROM r GROUP BY event_type ORDER BY event_type
+"""

@@ -542,7 +542,6 @@ def gini_by_status(sf_dir: str):
 
     Output: (o_orderstatus, n, gini_u) with gini_u = floor(G·1e6).
     Beyond-reference engine addition (SURVEY.md §2.8)."""
-    import numpy as np
     import pandas as pd
 
     from ._util import read_small_aware
