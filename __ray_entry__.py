@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trailing_density": events.events_trailing_density,
         "customer_order_seq": windows.customer_order_seq,
         "gini_by_status": windows.gini_by_status,
+        "lorenz_by_status": windows.lorenz_by_status,
         "heavy_hitters": sketches.heavy_hitters,
         "hybrid_rrf_topk": similarity.hybrid_rrf_topk,
         "mutual_knn_pairs": similarity.mutual_knn_pairs,
@@ -599,6 +600,7 @@ def oracle_sql() -> dict[str, str]:
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,
+        "lorenz_by_status": windows.LORENZ_BY_STATUS_SQL,
         "nb_lang_confusion": ml.NB_LANG_CONFUSION_SQL,
         "weighted_median_price": sketches.WEIGHTED_MEDIAN_PRICE_SQL,
         "cusum_drift": events.CUSUM_DRIFT_SQL,

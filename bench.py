@@ -167,7 +167,8 @@ QUERY_CHUNKS = [
      "kcore_decompose", "ddsketch_price_quantiles", "loo_target_encode",
      "rfm_scores", "seasonal_error_by_type", "sorted_neighborhood_pairs",
      "mann_kendall_by_type", "benford_digits_by_type",
-     "interarrival_quantiles_by_type", "theil_sen_by_type"],
+     "interarrival_quantiles_by_type", "theil_sen_by_type",
+     "lorenz_by_status"],
 ]
 
 

@@ -662,3 +662,156 @@ SELECT s AS o_orderstatus,
             // (COUNT(*)*SUM(v)) AS BIGINT) AS gini_u
 FROM x GROUP BY s ORDER BY s
 """
+
+
+# -- Lorenz-curve points (value share at row deciles) --------------------------
+
+_LORENZ_QS = tuple(q * 100_000 for q in range(1, 10))
+
+
+def lorenz_by_status(sf_dir: str):
+    """Lorenz-curve points per order status — the cumulative VALUE share
+    held by the cheapest q of rows, at the nine row-count deciles: the
+    curve whose unit-square area the Gini summarizes
+    (``gini_by_status``), reported point-wise for concentration audits
+    ("the top 10 % of orders carry X % of spend").
+
+    Count-only like its Gini sibling: one coarse pass folds
+    (status, bucket) → (count, Σv) so the driver knows every bucket's
+    cumulative rows/value; a fine (bucket, value) count pass touches only
+    the nine boundary buckets per status; cumvalue(k) = full buckets +
+    full runs + value·(k − rows_below) for the straddling run — the k
+    cheapest of an equal-value run contribute the same sum under any tie
+    order, so the oracle's ROW_NUMBER tie-break cannot diverge.  All
+    arithmetic is exact Python ints; share_u = (cumvalue·1e6) // total.
+
+    Output: (o_orderstatus, q_mu, share_u).  Beyond-reference engine
+    addition (SURVEY.md §2.8)."""
+    import pandas as pd
+
+    from ._util import read_small_aware
+    from .sketches import _floor_bucket
+
+    from ray.data.aggregate import Sum
+
+    ds = read_small_aware(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice", "o_orderstatus"]
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        folded = pa.table(
+            {"s": t["o_orderstatus"], "b": _floor_bucket(v, _RANK_BUCKET_C2),
+             "v": v}
+        )
+        return pa.TableGroupBy(folded, ["s", "b"]).aggregate(
+            [("v", "sum"), ([], "count_all")]
+        )
+
+    coarse = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["s", "b"])
+        .aggregate(
+            Sum("v_sum", alias_name="sv"),
+            Sum("count_all", alias_name="c"),
+        )
+        .to_pandas()  # O(statuses × domain/4096)
+    )
+    # per status: totals + which bucket each decile boundary lands in
+    need: dict[tuple[str, int], list[tuple[int, int, int]]] = {}
+    totals: dict[str, tuple[int, int]] = {}
+    for s, sub in coarse.groupby("s"):
+        sub = sub.sort_values("b").reset_index(drop=True)
+        n = int(sub["c"].sum())
+        total_v = int(sub["sv"].sum())
+        totals[s] = (n, total_v)
+        cum_c = sub["c"].cumsum()
+        cum_v = sub["sv"].cumsum()
+        for q in _LORENZ_QS:
+            k = (q * n) // 1_000_000
+            if k <= 0:
+                need.setdefault((s, -1), []).append((q, 0, 0))
+                continue
+            i = int((cum_c >= k).idxmax())
+            rows_below = int(cum_c.iloc[i - 1]) if i > 0 else 0
+            val_below = int(cum_v.iloc[i - 1]) if i > 0 else 0
+            need.setdefault((s, int(sub.loc[i, "b"])), []).append(
+                (q, k - rows_below, val_below)
+            )
+
+    wanted = pa.array(
+        sorted(f"{s}|{b}" for s, b in need if b >= 0), pa.string()
+    )
+
+    def fine(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        b = _floor_bucket(v, _RANK_BUCKET_C2)
+        key = pc.binary_join_element_wise(
+            pc.cast(t["o_orderstatus"], pa.string()),
+            pc.cast(b, pa.string()), "|",
+        )
+        sub = pa.table(
+            {"s": t["o_orderstatus"], "b": b, "v": v}
+        ).filter(pc.is_in(key, value_set=wanted))
+        return pa.TableGroupBy(sub, ["s", "b", "v"]).aggregate(
+            [([], "count_all")]
+        )
+
+    fined = (
+        ds.map_batches(fine, batch_format="pyarrow")
+        .groupby(["s", "b", "v"])
+        .aggregate(Sum("count_all", alias_name="c"))
+        .to_pandas()  # distinct values inside boundary buckets only
+    )
+    out = []
+    for (s, b), entries in need.items():
+        n, total_v = totals[s]
+        if b < 0:
+            for q, _, _ in entries:
+                out.append({"o_orderstatus": s, "q_mu": q, "share_u": 0})
+            continue
+        sub = (
+            fined[(fined["s"] == s) & (fined["b"] == b)]
+            .sort_values("v")
+            .reset_index(drop=True)
+        )
+        for q, rows_into_bucket, val_below in entries:
+            remaining = rows_into_bucket
+            cumv = val_below
+            for v, c in zip(sub["v"], sub["c"]):
+                take = min(int(c), remaining)
+                cumv += int(v) * take
+                remaining -= take
+                if remaining == 0:
+                    break
+            out.append(
+                {
+                    "o_orderstatus": s,
+                    "q_mu": q,
+                    "share_u": (cumv * 1_000_000) // total_v,
+                }
+            )
+    return pd.DataFrame(
+        sorted(out, key=lambda r: (r["o_orderstatus"], r["q_mu"]))
+    )
+
+
+LORENZ_BY_STATUS_SQL = f"""
+WITH x AS (
+  SELECT o_orderstatus AS s,
+         CAST(ROUND(o_totalprice*100) AS BIGINT) AS v,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY ROUND(o_totalprice*100), o_orderkey)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n,
+         SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))
+           OVER (PARTITION BY o_orderstatus) AS total
+  FROM orders
+),
+qs(q_mu) AS (VALUES {", ".join(f"({q})" for q in _LORENZ_QS)})
+SELECT s AS o_orderstatus, CAST(q_mu AS BIGINT) AS q_mu,
+       CAST((SUM(CASE WHEN rn <= (q_mu * n) // 1000000 THEN v ELSE 0 END)
+             * 1000000) // MAX(total) AS BIGINT) AS share_u
+FROM x CROSS JOIN qs
+GROUP BY s, q_mu ORDER BY s, q_mu
+"""
