@@ -1250,3 +1250,152 @@ FROM orders o JOIN c ON c.p = o.o_orderpriority
 WHERE c.n > 1
 ORDER BY o.o_orderkey
 """
+
+
+# -- histogram-based best-split finding (the GBDT/XGBoost inner loop) ---------
+
+#: price-feature histogram width: power of two so the arithmetic right
+#: shift floors identically for signed values (the _floor_bucket contract).
+_SPLIT_SHIFT = 12
+#: fixed-point scale for the variance-reduction gain.
+_SPLIT_MU = 1_000_000
+
+
+def gbdt_split_gain(sf_dir: str) -> "object":
+    """Histogram-based best-split finding — the inner loop of every
+    distributed gradient-boosted-tree trainer (XGBoost's approx/hist mode,
+    LightGBM): bin each feature, build per-bin (count, positive-count)
+    histograms in ONE streaming pass over all features at once, then scan
+    bin boundaries for the split maximizing impurity reduction.  Label
+    ``y = 1`` iff ``o_orderpriority`` is urgent/high; features are the
+    binned price (4096-cent bins), ISO weekday and month of
+    ``o_orderdate``.
+
+    Scale shape: the fold emits one (feature, bin) partial per batch —
+    the shuffle carries histograms, never rows — and the driver holds only
+    ``O(Σ feature domains)`` count rows (price domain/4096 + 7 + 12); the
+    boundary scan is exact Python-int arithmetic.  The gain is the
+    variance-reduction numerator for 0/1 labels in fixed micro-units,
+    ``(P_L²·10⁶)//n_L + (P_R²·10⁶)//n_R − (P²·10⁶)//n`` — floored integer
+    division on both sides, so the DuckDB HUGEINT oracle hash-matches
+    (all per-term numerators are non-negative, where ``//`` trunc ==
+    floor).  Per-term products stay under HUGEINT's 1.7e38 up to ~1e15
+    rows; ``gain_fp ≤ 10⁶·n`` keeps the int64 output safe past 1e12.
+
+    Output: one row per feature — (feature, split_b, n_left, pos_left,
+    gain_fp, is_best) with rows going left iff ``bin ≤ split_b``; ties
+    break toward the smaller bin, the cross-feature winner toward the
+    lexicographically smaller feature name.  Beyond-reference engine
+    addition (SURVEY.md §2.8)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = read_small_aware(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_totalprice", "o_orderpriority", "o_orderdate"],
+    )
+    pos_set = pa.array(["1-URGENT", "2-HIGH"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        y = pc.cast(pc.is_in(t["o_orderpriority"], value_set=pos_set), pa.int64())
+        v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        feats = (
+            ("month", pc.cast(pc.month(t["o_orderdate"]), pa.int64())),
+            ("price_bucket", pc.shift_right(v, _SPLIT_SHIFT)),
+            # Arrow day_of_week counts Monday=0 — mirrored as isodow()-1.
+            ("weekday", pc.cast(pc.day_of_week(t["o_orderdate"]), pa.int64())),
+        )
+        folded = pa.concat_tables(
+            pa.table({"f": pa.array([name] * t.num_rows, pa.string()),
+                      "b": col, "y": y})
+            for name, col in feats
+        )
+        return pa.TableGroupBy(folded, ["f", "b"]).aggregate(
+            [("y", "sum"), ([], "count_all")]
+        )
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["f", "b"])
+        .aggregate(Sum("y_sum", alias_name="p"), Sum("count_all", alias_name="c"))
+        .to_pandas()  # O(sum of feature bin domains)
+    )
+    rows = []
+    for f, sub in h.groupby("f"):
+        sub = sub.sort_values("b").reset_index(drop=True)
+        n, pt = int(sub["c"].sum()), int(sub["p"].sum())
+        total_term = (pt * pt * _SPLIT_MU) // n
+        nl = pl = 0
+        best = None  # (gain, b, nl, pl)
+        for b, c, p in zip(sub["b"], sub["c"], sub["p"]):
+            nl += int(c)
+            pl += int(p)
+            if nl >= n:
+                break
+            gain = (
+                (pl * pl * _SPLIT_MU) // nl
+                + ((pt - pl) * (pt - pl) * _SPLIT_MU) // (n - nl)
+                - total_term
+            )
+            if best is None or gain > best[0]:
+                best = (gain, int(b), nl, pl)
+        if best is not None:
+            rows.append(
+                {"feature": f, "split_b": best[1], "n_left": best[2],
+                 "pos_left": best[3], "gain_fp": best[0]}
+            )
+    winner = min(rows, key=lambda r: (-r["gain_fp"], r["feature"]))["feature"]
+    out = pd.DataFrame(sorted(rows, key=lambda r: r["feature"]))
+    out["is_best"] = (out["feature"] == winner).astype("int64")
+    return out.reset_index(drop=True)
+
+
+GBDT_SPLIT_GAIN_SQL = f"""
+WITH x AS (
+  SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS v,
+         isodow(o_orderdate) - 1 AS dw,
+         month(o_orderdate) AS mo,
+         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+              THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+long AS (
+  SELECT 'price_bucket' AS f, v // {1 << _SPLIT_SHIFT} AS b, y FROM x
+  UNION ALL SELECT 'weekday', dw, y FROM x
+  UNION ALL SELECT 'month', mo, y FROM x
+),
+h AS (SELECT f, b, CAST(COUNT(*) AS HUGEINT) AS c,
+             CAST(SUM(y) AS HUGEINT) AS p
+      FROM long GROUP BY f, b),
+cum AS (
+  SELECT f, b,
+         SUM(c) OVER (PARTITION BY f ORDER BY b) AS nl,
+         SUM(p) OVER (PARTITION BY f ORDER BY b) AS pl,
+         SUM(c) OVER (PARTITION BY f) AS n,
+         SUM(p) OVER (PARTITION BY f) AS pt
+  FROM h
+),
+g AS (
+  SELECT f, b, nl, pl,
+         (pl*pl*{_SPLIT_MU})//nl
+         + ((pt-pl)*(pt-pl)*{_SPLIT_MU})//(n-nl)
+         - (pt*pt*{_SPLIT_MU})//n AS gain
+  FROM cum WHERE nl < n
+),
+best AS (
+  SELECT f, b, nl, pl, gain,
+         ROW_NUMBER() OVER (PARTITION BY f ORDER BY gain DESC, b) AS rk
+  FROM g
+),
+ranked AS (
+  SELECT f, b, nl, pl, gain,
+         ROW_NUMBER() OVER (ORDER BY gain DESC, f) AS rk2
+  FROM best WHERE rk = 1
+)
+SELECT f AS feature, CAST(b AS BIGINT) AS split_b,
+       CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS pos_left,
+       CAST(gain AS BIGINT) AS gain_fp,
+       CAST(CASE WHEN rk2 = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_best
+FROM ranked ORDER BY feature
+"""
