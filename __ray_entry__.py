@@ -494,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang_confusion": ml.nb_lang_confusion,
         "loo_target_encode": ml.loo_target_encode,
         "gbdt_split_gain": ml.gbdt_split_gain,
+        "kendall_tau_counts": ml.kendall_tau_counts,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -599,6 +600,7 @@ def oracle_sql() -> dict[str, str]:
         "ddsketch_price_quantiles": sketches.DDSKETCH_PRICE_QUANTILES_SQL,
         "loo_target_encode": ml.LOO_TARGET_ENCODE_SQL,
         "gbdt_split_gain": ml.GBDT_SPLIT_GAIN_SQL,
+        "kendall_tau_counts": ml.KENDALL_TAU_COUNTS_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

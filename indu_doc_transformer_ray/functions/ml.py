@@ -1399,3 +1399,110 @@ SELECT f AS feature, CAST(b AS BIGINT) AS split_b,
        CAST(CASE WHEN rk2 = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_best
 FROM ranked ORDER BY feature
 """
+
+
+# -- Kendall rank-correlation concordance counts ------------------------------
+
+def kendall_tau_counts(sf_dir: str) -> "object":
+    """Exact Kendall rank-correlation ingredients per return flag between
+    ``l_quantity`` and ``l_discount`` — concordant / discordant / tied pair
+    counts, from which τ-a and τ-b are one division away.  Both columns
+    have SMALL finite domains (quantity 1..50, discount 0..10 cents), so
+    the n² pair sums collapse onto the joint (flag, qty, disc) histogram:
+    the streaming fold ships ≤ |flags|·550 count cells, the global groupby
+    has ~1650 groups, and the driver does the O(cells²) concordance scan
+    in exact Python ints.  No row pair is ever materialized.
+
+    int64 bound: pair counts reach n²/2 per flag — exact in the int64
+    output to ~4.3e9 rows per flag (the ``auc_by_type`` Mann-Whitney
+    caveat; the Python driver is arbitrary-precision, only the final cast
+    saturates, and it RAISES rather than wraps).
+
+    Output: (l_returnflag, n, concordant, discordant, ties_x, ties_y,
+    ties_xy).  Beyond-reference engine addition (SURVEY.md §2.8)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = read_small_aware(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        j = pa.table(
+            {
+                "f": t["l_returnflag"],
+                "x": pc.cast(t["l_quantity"], pa.int64()),
+                "y": pc.cast(
+                    pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64()
+                ),
+            }
+        )
+        return pa.TableGroupBy(j, ["f", "x", "y"]).aggregate([([], "count_all")])
+
+    j = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(["f", "x", "y"])
+        .aggregate(Sum("count_all", alias_name="c"))
+        .to_pandas()  # O(|flags| x 50 x 11) cells
+    )
+    rows = []
+    for f, sub in j.groupby("f"):
+        cells = sorted(
+            (int(x), int(y), int(c))
+            for x, y, c in zip(sub["x"], sub["y"], sub["c"])
+        )
+        n = sum(c for _, _, c in cells)
+        con = dis = tx = ty = 0
+        for i in range(len(cells)):
+            x1, y1, c1 = cells[i]
+            for x2, y2, c2 in cells[i + 1:]:
+                d = (x1 - x2) * (y1 - y2)
+                if d > 0:
+                    con += c1 * c2
+                elif d < 0:
+                    dis += c1 * c2
+                elif x1 == x2:
+                    tx += c1 * c2
+                else:
+                    ty += c1 * c2
+        txy = sum(c * (c - 1) // 2 for _, _, c in cells)
+        rows.append(
+            {"l_returnflag": f, "n": n, "concordant": con, "discordant": dis,
+             "ties_x": tx, "ties_y": ty, "ties_xy": txy}
+        )
+    return (
+        pd.DataFrame(sorted(rows, key=lambda r: r["l_returnflag"]))
+        .astype({c: "int64" for c in
+                 ("n", "concordant", "discordant", "ties_x", "ties_y", "ties_xy")})
+        .reset_index(drop=True)
+    )
+
+
+KENDALL_TAU_COUNTS_SQL = """
+WITH j AS (
+  SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS x,
+         CAST(ROUND(l_discount*100) AS BIGINT) AS y,
+         CAST(COUNT(*) AS HUGEINT) AS c
+  FROM lineitem GROUP BY 1, 2, 3
+),
+p AS (
+  SELECT a.f,
+    SUM(CASE WHEN (a.x-b.x)*(a.y-b.y) > 0 THEN a.c*b.c ELSE 0 END) AS con,
+    SUM(CASE WHEN (a.x-b.x)*(a.y-b.y) < 0 THEN a.c*b.c ELSE 0 END) AS dis,
+    SUM(CASE WHEN a.x = b.x AND a.y <> b.y THEN a.c*b.c ELSE 0 END) AS tx,
+    SUM(CASE WHEN a.y = b.y AND a.x <> b.x THEN a.c*b.c ELSE 0 END) AS ty
+  FROM j a JOIN j b
+    ON a.f = b.f AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+  GROUP BY a.f
+),
+t AS (SELECT f, SUM(c) AS n, SUM(c*(c-1)//2) AS txy FROM j GROUP BY f)
+SELECT t.f AS l_returnflag, CAST(t.n AS BIGINT) AS n,
+       CAST(COALESCE(p.con, 0) AS BIGINT) AS concordant,
+       CAST(COALESCE(p.dis, 0) AS BIGINT) AS discordant,
+       CAST(COALESCE(p.tx, 0) AS BIGINT) AS ties_x,
+       CAST(COALESCE(p.ty, 0) AS BIGINT) AS ties_y,
+       CAST(t.txy AS BIGINT) AS ties_xy
+FROM t LEFT JOIN p ON p.f = t.f ORDER BY l_returnflag
+"""

@@ -1664,7 +1664,8 @@ def test_round4_session5_ops_match_oracle(ray_session):
              "rfm_scores", "seasonal_error_by_type",
              "sorted_neighborhood_pairs", "mann_kendall_by_type",
              "benford_digits_by_type", "interarrival_quantiles_by_type",
-             "theil_sen_by_type", "lorenz_by_status", "gbdt_split_gain"]
+             "theil_sen_by_type", "lorenz_by_status", "gbdt_split_gain",
+             "kendall_tau_counts"]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
     for t in ("orders", "events", "documents", "lineitem", "customer"):
