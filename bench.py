@@ -168,7 +168,8 @@ QUERY_CHUNKS = [
      "rfm_scores", "seasonal_error_by_type", "sorted_neighborhood_pairs",
      "mann_kendall_by_type", "benford_digits_by_type",
      "interarrival_quantiles_by_type", "theil_sen_by_type",
-     "lorenz_by_status", "gbdt_split_gain", "kendall_tau_counts"],
+     "lorenz_by_status", "gbdt_split_gain", "kendall_tau_counts",
+     "fano_factor_by_type"],
 ]
 
 

@@ -3128,3 +3128,77 @@ SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_pairs,
          AS slope_u
 FROM r GROUP BY event_type ORDER BY event_type
 """
+
+
+# -- Fano-factor burstiness audit ---------------------------------------------
+
+def fano_factor_by_type(sf_dir: str) -> "pd.DataFrame":
+    """Burstiness of each event type as the exact Fano-factor ingredients —
+    population variance-to-mean of the zero-filled DAILY count series over
+    the corpus's global day span (a Poisson process gives F = 1; F >> 1
+    flags bursty types, F < 1 regular ones).  One (type, day) count fold
+    is the only exchange (group count = |types| x days, corpus-size-free);
+    the global span and all moments come off that same count table, with
+    the day-count products done in Python ints (zero-filled days contribute
+    nothing to S1/S2, so only observed cells are touched).  Output keeps
+    the ratio exact: F = fano_num / fano_den with
+    fano_num = m·ΣC² − (ΣC)², fano_den = m·ΣC over m span days.
+
+    int64 bound: ΣC² ≤ n² per type — exact output to ~3e9 rows/type (the
+    ``auc_by_type`` caveat; the driver is arbitrary-precision and the final
+    cast RAISES rather than wraps).  Output: (event_type, n_days,
+    days_active, total, fano_num, fano_den).  Beyond-reference engine
+    addition (SURVEY.md §2.8)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["ts", "event_type"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        folded = pa.table({"e": t["event_type"], "day": day})
+        return pa.TableGroupBy(folded, ["e", "day"]).aggregate(
+            [([], "count_all")]
+        )
+
+    d = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(["e", "day"])
+        .aggregate(Sum("count_all", alias_name="c"))
+        .to_pandas()  # O(|types| x span days)
+    )
+    m = int(d["day"].max()) - int(d["day"].min()) + 1
+    rows = []
+    for e, sub in d.groupby("e"):
+        cs = [int(c) for c in sub["c"]]
+        s1, s2 = sum(cs), sum(c * c for c in cs)
+        rows.append(
+            {"event_type": e, "n_days": m, "days_active": len(cs),
+             "total": s1, "fano_num": m * s2 - s1 * s1, "fano_den": m * s1}
+        )
+    return (
+        pd.DataFrame(sorted(rows, key=lambda r: r["event_type"]))
+        .astype({c: "int64" for c in
+                 ("n_days", "days_active", "total", "fano_num", "fano_den")})
+        .reset_index(drop=True)
+    )
+
+
+FANO_FACTOR_BY_TYPE_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT MAX(day) - MIN(day) + 1 AS m FROM d),
+s AS (
+  SELECT event_type, COUNT(*) AS days_active,
+         CAST(SUM(c) AS HUGEINT) AS s1,
+         SUM(CAST(c AS HUGEINT) * c) AS s2
+  FROM d GROUP BY 1
+)
+SELECT event_type, CAST(span.m AS BIGINT) AS n_days,
+       CAST(days_active AS BIGINT) AS days_active,
+       CAST(s1 AS BIGINT) AS total,
+       CAST(span.m * s2 - s1 * s1 AS BIGINT) AS fano_num,
+       CAST(span.m * s1 AS BIGINT) AS fano_den
+FROM s, span ORDER BY event_type
+"""
