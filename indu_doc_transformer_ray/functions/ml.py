@@ -1506,3 +1506,179 @@ SELECT t.f AS l_returnflag, CAST(t.n AS BIGINT) AS n,
        CAST(t.txy AS BIGINT) AS ties_xy
 FROM t LEFT JOIN p ON p.f = t.f ORDER BY l_returnflag
 """
+
+
+# -- two-round gradient-boosted stumps ----------------------------------------
+
+def gbdt_boost_rounds(sf_dir: str) -> "object":
+    """Two rounds of gradient boosting with depth-1 trees (stumps) under
+    squared loss — the iterative half of the GBDT family whose single-split
+    inner loop is :func:`gbdt_split_gain`: round 1 fits a price-bin stump
+    to the 0/1 urgent-priority label, round 2 fits a weekday stump to the
+    RESIDUALS of round 1.  Because the label is binary and each round uses
+    one binned feature, the residual of a row is a pure function of its
+    (price_bin, weekday, y) cell — so ONE streaming pass folding the joint
+    histogram (≤ bins×7×2 cells shuffled, never rows) feeds BOTH rounds,
+    and the driver replays the boosting recurrence over cells in exact
+    Python ints.  Leaf values and residuals live in fixed micro-units
+    (ŷ_mu = (ΣY·10⁶)//n_leaf, r_mu = y·10⁶ − ŷ_mu), so round-2 sums stay
+    integers; round-2 leaf means are FLOOR divisions of possibly negative
+    sums — Python ``//`` floors natively, the oracle uses the
+    non-negative-remainder emulation (DuckDB ``//`` truncates).
+
+    Round-2 gain is in micro² units: ≤ 10¹²·n, int64-exact to ~9e6 rows —
+    past that only the gain column saturates its cast (and RAISES); at
+    cluster scale report it scaled down or widen the column.
+
+    Output: (boost_round, feature, split_b, n_left, gain_fp, leaf_lo_mu,
+    leaf_hi_mu).  Beyond-reference engine addition (SURVEY.md §2.8)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = read_small_aware(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_totalprice", "o_orderpriority", "o_orderdate"],
+    )
+    pos_set = pa.array(["1-URGENT", "2-HIGH"])
+    MU = 1_000_000
+
+    def joint(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        folded = pa.table(
+            {
+                "pb": pc.shift_right(v, _SPLIT_SHIFT),
+                "dw": pc.cast(pc.day_of_week(t["o_orderdate"]), pa.int64()),
+                "y": pc.cast(
+                    pc.is_in(t["o_orderpriority"], value_set=pos_set), pa.int64()
+                ),
+            }
+        )
+        return pa.TableGroupBy(folded, ["pb", "dw", "y"]).aggregate(
+            [([], "count_all")]
+        )
+
+    j = (
+        ds.map_batches(joint, batch_format="pyarrow")
+        .groupby(["pb", "dw", "y"])
+        .aggregate(Sum("count_all", alias_name="c"))
+        .to_pandas()  # O(price bins x 7 x 2)
+    )
+    cells = [
+        (int(pb), int(dw), int(y), int(c))
+        for pb, dw, y, c in zip(j["pb"], j["dw"], j["y"], j["c"])
+    ]
+    # round 1: price-bin stump on y
+    h1: dict[int, list[int]] = {}
+    for pb, _, y, c in cells:
+        e = h1.setdefault(pb, [0, 0])
+        e[0] += c
+        e[1] += c * y
+    n = sum(e[0] for e in h1.values())
+    pt = sum(e[1] for e in h1.values())
+    total1 = (pt * pt * MU) // n
+    nl = pl = 0
+    best1 = None  # (gain, pb, nl, pl)
+    for pb in sorted(h1):
+        nl += h1[pb][0]
+        pl += h1[pb][1]
+        if nl >= n:
+            break
+        gain = (pl * pl * MU) // nl + ((pt - pl) * (pt - pl) * MU) // (n - nl) - total1
+        if best1 is None or gain > best1[0]:
+            best1 = (gain, pb, nl, pl)
+    g1, b1, nl1, pl1 = best1
+    lo1 = (pl1 * MU) // nl1
+    hi1 = ((pt - pl1) * MU) // (n - nl1)
+    # round 2: weekday stump on micro-residuals
+    h2: dict[int, list[int]] = {}
+    for pb, dw, y, c in cells:
+        rv = y * MU - (lo1 if pb <= b1 else hi1)
+        e = h2.setdefault(dw, [0, 0])
+        e[0] += c
+        e[1] += c * rv
+    st = sum(e[1] for e in h2.values())
+    total2 = (st * st) // n
+    nl = sl = 0
+    best2 = None
+    for dw in sorted(h2):
+        nl += h2[dw][0]
+        sl += h2[dw][1]
+        if nl >= n:
+            break
+        gain = (sl * sl) // nl + ((st - sl) * (st - sl)) // (n - nl) - total2
+        if best2 is None or gain > best2[0]:
+            best2 = (gain, dw, nl, sl)
+    g2, b2, nl2, sl2 = best2
+    return pd.DataFrame(
+        [
+            {"boost_round": 1, "feature": "price_bucket", "split_b": b1,
+             "n_left": nl1, "gain_fp": g1, "leaf_lo_mu": lo1,
+             "leaf_hi_mu": hi1},
+            {"boost_round": 2, "feature": "weekday", "split_b": b2,
+             "n_left": nl2, "gain_fp": g2, "leaf_lo_mu": sl2 // nl2,
+             "leaf_hi_mu": (st - sl2) // (n - nl2)},
+        ]
+    ).astype({c: "int64" for c in
+              ("boost_round", "split_b", "n_left", "gain_fp",
+               "leaf_lo_mu", "leaf_hi_mu")})
+
+
+GBDT_BOOST_ROUNDS_SQL = f"""
+WITH x AS (
+  SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) // {1 << _SPLIT_SHIFT} AS pb,
+         isodow(o_orderdate) - 1 AS dw,
+         CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+              THEN 1 ELSE 0 END AS y
+  FROM orders
+),
+j AS (SELECT pb, dw, y, CAST(COUNT(*) AS HUGEINT) AS c FROM x GROUP BY 1,2,3),
+h1 AS (SELECT pb, SUM(c) AS c, SUM(c*y) AS p FROM j GROUP BY pb),
+cum1 AS (
+  SELECT pb, SUM(c) OVER (ORDER BY pb) AS nl, SUM(p) OVER (ORDER BY pb) AS pl,
+         SUM(c) OVER () AS n, SUM(p) OVER () AS pt
+  FROM h1
+),
+g1 AS (
+  SELECT pb, nl, pl, n, pt,
+         (pl*pl*{1_000_000})//nl + ((pt-pl)*(pt-pl)*{1_000_000})//(n-nl)
+         - (pt*pt*{1_000_000})//n AS gain
+  FROM cum1 WHERE nl < n
+),
+w1 AS (
+  SELECT *, (pl*{1_000_000})//nl AS lo1,
+         ((pt-pl)*{1_000_000})//(n-nl) AS hi1
+  FROM g1 ORDER BY gain DESC, pb LIMIT 1
+),
+r AS (
+  SELECT j.dw, j.c,
+         CAST(j.y AS HUGEINT)*{1_000_000}
+         - CASE WHEN j.pb <= w1.pb THEN w1.lo1 ELSE w1.hi1 END AS rv
+  FROM j, w1
+),
+h2 AS (SELECT dw, SUM(c) AS cw, SUM(c*rv) AS sw FROM r GROUP BY dw),
+cum2 AS (
+  SELECT dw, SUM(cw) OVER (ORDER BY dw) AS nl, SUM(sw) OVER (ORDER BY dw) AS sl,
+         SUM(cw) OVER () AS n, SUM(sw) OVER () AS st
+  FROM h2
+),
+g2 AS (
+  SELECT dw, nl, sl, n, st,
+         (sl*sl)//nl + ((st-sl)*(st-sl))//(n-nl) - (st*st)//n AS gain
+  FROM cum2 WHERE nl < n
+),
+w2 AS (SELECT * FROM g2 ORDER BY gain DESC, dw LIMIT 1)
+SELECT CAST(1 AS BIGINT) AS boost_round, 'price_bucket' AS feature,
+       CAST(pb AS BIGINT) AS split_b, CAST(nl AS BIGINT) AS n_left,
+       CAST(gain AS BIGINT) AS gain_fp, CAST(lo1 AS BIGINT) AS leaf_lo_mu,
+       CAST(hi1 AS BIGINT) AS leaf_hi_mu
+FROM w1
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'weekday', CAST(dw AS BIGINT), CAST(nl AS BIGINT),
+       CAST(gain AS BIGINT),
+       CAST((sl - ((sl % nl) + nl) % nl) // nl AS BIGINT),
+       CAST(((st-sl) - (((st-sl) % (n-nl)) + (n-nl)) % (n-nl)) // (n-nl)
+            AS BIGINT)
+FROM w2
+ORDER BY boost_round
+"""
