@@ -3202,3 +3202,91 @@ SELECT event_type, CAST(span.m AS BIGINT) AS n_days,
        CAST(span.m * s1 AS BIGINT) AS fano_den
 FROM s, span ORDER BY event_type
 """
+
+
+# -- running-peak maximum drawdown per user -----------------------------------
+
+def user_drawdown(sf_dir: str) -> Dataset:
+    """Maximum drawdown of each user's cumulative event value — the
+    running-peak-minus-current statistic risk pipelines keep per entity
+    (max dip below the high-water mark of a value stream).  One user-bucket
+    co-location is the only exchange; the in-bucket kernel is fully
+    vectorized (groupby-cumsum, groupby-cummax, one max per user — no
+    Python loop, unlike the truncating-EWMA recurrence).  Exact integer
+    cents; ordering (ts, event_id) is deterministic because event ids are
+    unique.  Output: (user_id, n_events, final_c2, peak_c2,
+    max_drawdown_c2)."""
+    import numpy as np
+
+    nb = _user_buckets(sf_dir)
+    ds = _read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def keyed(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        u = df["user_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "ub": (u % nb).astype("int32"),
+                "user_id": u,
+                "event_id": df["event_id"].astype("int64"),
+                "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+                "v_c2": (df["value"] * 100).round().astype("int64"),
+            }
+        )
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"]).reset_index(drop=True)
+        by = g.groupby("user_id", sort=True)
+        cum = by["v_c2"].cumsum()
+        peak = cum.groupby(g["user_id"]).cummax()
+        dd = peak - cum
+        out = pd.DataFrame(
+            {
+                "user_id": g["user_id"],
+                "cum": cum.astype("int64"),
+                "peak": peak.astype("int64"),
+                "dd": dd.astype("int64"),
+            }
+        )
+        agg = out.groupby("user_id", sort=True).agg(
+            n_events=("cum", "size"),
+            final_c2=("cum", "last"),
+            peak_c2=("peak", "max"),
+            max_drawdown_c2=("dd", "max"),
+        ).reset_index()
+        return agg.astype(
+            {c: "int64" for c in
+             ("n_events", "final_c2", "peak_c2", "max_drawdown_c2")}
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(scan, batch_format="pandas")
+        .sort("user_id")
+    )
+
+
+USER_DRAWDOWN_SQL = """
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         SUM(CAST(ROUND(value*100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+  FROM events
+),
+p AS (
+  SELECT user_id, ts, event_id, cum,
+         MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS peak
+  FROM c
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(CASE WHEN rn_desc = 1 THEN cum END) AS BIGINT) AS final_c2,
+       CAST(MAX(peak) AS BIGINT) AS peak_c2,
+       CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_c2
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn_desc
+      FROM p)
+GROUP BY user_id ORDER BY user_id
+"""
