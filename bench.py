@@ -169,7 +169,8 @@ QUERY_CHUNKS = [
      "mann_kendall_by_type", "benford_digits_by_type",
      "interarrival_quantiles_by_type", "theil_sen_by_type",
      "lorenz_by_status", "gbdt_split_gain", "kendall_tau_counts",
-     "fano_factor_by_type", "gbdt_boost_rounds", "user_drawdown"],
+     "fano_factor_by_type", "gbdt_boost_rounds", "user_drawdown",
+     "kmv_type_overlap"],
 ]
 
 

@@ -1683,3 +1683,194 @@ SELECT CAST(q_bp AS BIGINT) AS q_bp,
             END AS BIGINT) AS est_c2
 FROM pick ORDER BY q_bp
 """
+
+
+# -- KMV sketch set-algebra: pairwise distinct-user overlap --------------------
+
+def kmv_type_overlap(sf_dir: str) -> "object":
+    """Distinct-user OVERLAP between every pair of event types, two ways:
+    the KMV set-intersection estimator (Beyer et al., SIGMOD 2007 — the
+    sketch-algebra trick that makes bottom-k mergeable ACROSS set
+    operations, which HLL union-only state cannot do) next to the exact
+    count.  Per pair: union sketch = K smallest hashes of S_a ∪ S_b,
+    ρ = members of that union sketch present in BOTH input sketches, and
+    ``est = ρ·((K−1)·2⁶⁰//h_K)//K`` — pure integers end-to-end, so the
+    APPROXIMATE answer hash-matches its SQL mirror (the
+    ``kmv_distinct_users`` contract).  When the union holds < K hashes the
+    sketch IS the exact hash set and the estimate degrades to ρ itself.
+
+    Scale shape: sketches reuse the tree-combined bottom-k fold (≤ K rows
+    per group per combine block); the exact side is ONE user-bucket
+    co-location whose in-bucket kernel forms the boolean user×type
+    presence matrix and emits all pair counts via one M^T·M matmul — only
+    (type_a, type_b, count) partials reach the final |pairs|-row fold.
+    Output: (type_a, type_b, exact_overlap, kmv_estimate)."""
+    import itertools
+
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from ._util import n_buckets, read_small_aware
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/events.parquet").num_rows)
+    ds = read_small_aware(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": t.column("event_type").to_pylist(),
+                "u": t.column("user_id").to_pylist(),
+            }
+        ).drop_duplicates()
+        gs, hs = [], []
+        for g, sub in df.groupby("g"):
+            hv = sorted(set(_kmv_hash_batch(sub["u"].to_numpy())))[:KMV_K]
+            gs.extend([g] * len(hv))
+            hs.extend(hv)
+        return pa.table(
+            {"g": pa.array(gs, pa.string()), "hv": pa.array(hs, pa.int64())}
+        )
+
+    def resketch(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().drop_duplicates()
+        out_g, out_h = [], []
+        for g, sub in df.groupby("g"):
+            keep = sub["hv"].nsmallest(KMV_K)
+            out_g.extend([g] * len(keep))
+            out_h.extend(keep.tolist())
+        return pa.table(
+            {
+                "g": pa.array(out_g, pa.string()),
+                "hv": pa.array(out_h, pa.int64()),
+            }
+        )
+
+    sketch = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .map_batches(resketch, batch_format="pyarrow", batch_size=KMV_K * 256)
+        .groupby("g")
+        .map_groups(resketch, batch_format="pyarrow")
+        .to_pandas()  # <= n_groups * K rows
+    )
+    sk = {g: set(sub["hv"].tolist()) for g, sub in sketch.groupby("g")}
+
+    # exact pairwise overlap: ONE user-bucket co-location, matmul kernel
+    def hash_rows(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": t.column("event_type").to_pylist(),
+                "u": t.column("user_id").to_pylist(),
+            }
+        ).drop_duplicates()
+        hv = np.array(_kmv_hash_batch(df["u"].to_numpy()), dtype=np.int64)
+        return pa.table(
+            {
+                "ub": pa.array((hv & (nb - 1)).astype(np.int32)),
+                "g": pa.array(df["g"].to_numpy(), pa.string()),
+                "hv": pa.array(hv),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        m = (
+            g[["hv", "g"]].drop_duplicates()
+            .assign(one=1)
+            .pivot_table(index="hv", columns="g", values="one",
+                         fill_value=0, aggfunc="max")
+        )
+        types = sorted(m.columns)
+        mat = m[types].to_numpy(dtype=np.int64)
+        cc = mat.T @ mat
+        ga, gb, n = [], [], []
+        for i, j in itertools.combinations(range(len(types)), 2):
+            ga.append(types[i])
+            gb.append(types[j])
+            n.append(int(cc[i, j]))
+        return pa.table(
+            {
+                "ga": pa.array(ga, pa.string()),
+                "gb": pa.array(gb, pa.string()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    exact = (
+        ds.map_batches(hash_rows, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["ga", "gb"])
+        .aggregate(Sum("n", alias_name="ov"))
+        .to_pandas()  # |type pairs| rows
+    )
+    ov = {(a, b): int(n) for a, b, n in zip(exact["ga"], exact["gb"], exact["ov"])}
+
+    rows = []
+    for a, b in itertools.combinations(sorted(sk), 2):
+        union = sorted(sk[a] | sk[b])
+        top = union[:KMV_K]
+        rho = sum(1 for h in top if h in sk[a] and h in sk[b])
+        if len(union) >= KMV_K:
+            hk = int(top[KMV_K - 1])
+            est = rho * ((KMV_K - 1) * _KMV_DOMAIN // hk) // KMV_K
+        else:
+            est = rho
+        rows.append((a, b, ov.get((a, b), 0), est))
+    return pd.DataFrame(
+        rows, columns=["type_a", "type_b", "exact_overlap", "kmv_estimate"]
+    ).astype({"exact_overlap": "int64", "kmv_estimate": "int64"})
+
+
+KMV_TYPE_OVERLAP_SQL = f"""
+WITH h AS (
+  SELECT DISTINCT event_type AS g,
+         CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+              AS UBIGINT) >> 4 AS BIGINT) AS hv
+  FROM events
+),
+r AS (SELECT g, hv, ROW_NUMBER() OVER (PARTITION BY g ORDER BY hv) AS rn
+      FROM h),
+sk AS (SELECT g, hv FROM r WHERE rn <= {KMV_K}),
+tp AS (SELECT DISTINCT g FROM sk),
+pairs AS (SELECT a.g AS ga, b.g AS gb FROM tp a JOIN tp b ON a.g < b.g),
+u AS (
+  SELECT p.ga, p.gb, s.hv,
+         MAX(CASE WHEN s.g = p.ga THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s.g = p.gb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sk s ON s.g IN (p.ga, p.gb)
+  GROUP BY p.ga, p.gb, s.hv
+),
+ur AS (
+  SELECT ga, gb, hv, in_a, in_b,
+         ROW_NUMBER() OVER (PARTITION BY ga, gb ORDER BY hv) AS rn,
+         COUNT(*) OVER (PARTITION BY ga, gb) AS nu
+  FROM u
+),
+est AS (
+  SELECT ga, gb,
+         SUM(CASE WHEN rn <= {KMV_K} AND in_a = 1 AND in_b = 1
+                  THEN 1 ELSE 0 END) AS rho,
+         MAX(CASE WHEN rn = {KMV_K} THEN hv END) AS hk,
+         MAX(nu) AS nu
+  FROM ur GROUP BY ga, gb
+),
+ex AS (
+  SELECT a.g AS ga, b.g AS gb, COUNT(*) AS ov
+  FROM h a JOIN h b ON a.hv = b.hv AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT e.ga AS type_a, e.gb AS type_b,
+       CAST(COALESCE(ex.ov, 0) AS BIGINT) AS exact_overlap,
+       CAST(CASE WHEN e.nu >= {KMV_K}
+                 THEN CAST(e.rho AS HUGEINT)
+                      * (CAST({KMV_K - 1} AS HUGEINT)
+                         * CAST({_KMV_DOMAIN} AS HUGEINT) // e.hk)
+                      // {KMV_K}
+                 ELSE e.rho END AS BIGINT) AS kmv_estimate
+FROM est e LEFT JOIN ex ON ex.ga = e.ga AND ex.gb = e.gb
+ORDER BY type_a, type_b
+"""
