@@ -3290,3 +3290,117 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id
       FROM p)
 GROUP BY user_id ORDER BY user_id
 """
+
+
+# -- exact autocorrelation of the daily count series ---------------------------
+
+ACF_LAGS = (1, 7)
+
+
+def acf_daily_by_type(sf_dir: str) -> "pd.DataFrame":
+    """Exact autocorrelation ingredients of each type's ZERO-FILLED daily
+    count series at lags 1 and 7 (the daily/weekly persistence audit that
+    complements ``fano_factor_by_type``'s dispersion and
+    ``mann_kendall_by_type``'s monotone trend).  Uses the standard ACF
+    convention: r_k = Σ(c_t−c̄)(c_{t+k}−c̄) / Σ(c_t−c̄)² with the GLOBAL
+    series mean in both factors.  Kept exact by clearing denominators:
+    with S = Σc over m span days, acf_num = m²·Σ c_t·c_{t+k}
+    − m·S·(pre_k + post_k) + (m−k)·S², acf_den = m²·Σc² − m·S² where
+    pre/post are the series sums excluding the last/first k days — all
+    integer, zero-filled days contributing only through m (the lag products
+    touch observed-day pairs only, found by an O(days) two-pointer walk).
+
+    One (type, day) count fold is the only exchange (the
+    ``fano_factor_by_type`` table); the driver folds Python ints.  Output:
+    (event_type, lag, n_days, acf_num, acf_den) — r_k = acf_num/acf_den.
+    Beyond-reference engine addition (SURVEY.md §2.8)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["ts", "event_type"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        folded = pa.table({"e": t["event_type"], "day": day})
+        return pa.TableGroupBy(folded, ["e", "day"]).aggregate(
+            [([], "count_all")]
+        )
+
+    d = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(["e", "day"])
+        .aggregate(Sum("count_all", alias_name="c"))
+        .to_pandas()  # O(|types| x span days)
+    )
+    d0, d1 = int(d["day"].min()), int(d["day"].max())
+    m = d1 - d0 + 1
+    rows = []
+    for e, sub in d.groupby("e"):
+        series = sorted((int(day), int(c)) for day, c in zip(sub["day"], sub["c"]))
+        days = [x[0] for x in series]
+        cs = [x[1] for x in series]
+        s1 = sum(cs)
+        s2 = sum(c * c for c in cs)
+        den = m * m * s2 - m * s1 * s1
+        for k in ACF_LAGS:
+            cross = 0
+            j = 0
+            for i, day in enumerate(days):
+                # two-pointer: find day+k among observed days
+                while j < len(days) and days[j] < day + k:
+                    j += 1
+                if j < len(days) and days[j] == day + k:
+                    cross += cs[i] * cs[j]
+            pre = sum(c for day, c in series if day <= d1 - k)
+            post = sum(c for day, c in series if day >= d0 + k)
+            num = m * m * cross - m * s1 * (pre + post) + (m - k) * s1 * s1
+            rows.append(
+                {"event_type": e, "lag": k, "n_days": m,
+                 "acf_num": num, "acf_den": den}
+            )
+    return (
+        pd.DataFrame(sorted(rows, key=lambda r: (r["event_type"], r["lag"])))
+        .astype({c: "int64" for c in ("lag", "n_days", "acf_num", "acf_den")})
+        .reset_index(drop=True)
+    )
+
+
+ACF_DAILY_BY_TYPE_SQL = f"""
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1,
+                MAX(day) - MIN(day) + 1 AS m FROM d),
+s AS (
+  SELECT event_type, CAST(SUM(c) AS HUGEINT) AS s1,
+         SUM(CAST(c AS HUGEINT) * c) AS s2
+  FROM d GROUP BY 1
+),
+lags(k) AS (VALUES {", ".join(f"({k})" for k in ACF_LAGS)}),
+cross_k AS (
+  SELECT a.event_type, l.k,
+         SUM(CAST(a.c AS HUGEINT) * b.c) AS cross_sum
+  FROM d a JOIN lags l ON TRUE
+  JOIN d b ON b.event_type = a.event_type AND b.day = a.day + l.k
+  GROUP BY 1, 2
+),
+edge AS (
+  SELECT d.event_type, l.k,
+         CAST(SUM(CASE WHEN d.day <= span.d1 - l.k THEN d.c ELSE 0 END)
+              AS HUGEINT) AS pre_sum,
+         CAST(SUM(CASE WHEN d.day >= span.d0 + l.k THEN d.c ELSE 0 END)
+              AS HUGEINT) AS post_sum
+  FROM d, span, lags l GROUP BY 1, 2
+)
+SELECT e.event_type AS event_type, CAST(e.k AS BIGINT) AS lag,
+       CAST(span.m AS BIGINT) AS n_days,
+       CAST(span.m * span.m * COALESCE(c.cross_sum, 0)
+            - span.m * s.s1 * (e.pre_sum + e.post_sum)
+            + (span.m - e.k) * s.s1 * s.s1 AS BIGINT) AS acf_num,
+       CAST(span.m * span.m * s.s2 - span.m * s.s1 * s.s1 AS BIGINT) AS acf_den
+FROM edge e
+JOIN s ON s.event_type = e.event_type
+LEFT JOIN cross_k c ON c.event_type = e.event_type AND c.k = e.k
+CROSS JOIN span
+ORDER BY e.event_type, lag
+"""
