@@ -500,6 +500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_drawdown": events.user_drawdown,
         "kmv_type_overlap": sketches.kmv_type_overlap,
         "acf_daily_by_type": events.acf_daily_by_type,
+        "user_features": events.user_features,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -611,6 +612,7 @@ def oracle_sql() -> dict[str, str]:
         "user_drawdown": events.USER_DRAWDOWN_SQL,
         "kmv_type_overlap": sketches.KMV_TYPE_OVERLAP_SQL,
         "acf_daily_by_type": events.ACF_DAILY_BY_TYPE_SQL,
+        "user_features": events.USER_FEATURES_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

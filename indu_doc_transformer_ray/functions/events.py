@@ -3404,3 +3404,174 @@ LEFT JOIN cross_k c ON c.event_type = e.event_type AND c.k = e.k
 CROSS JOIN span
 ORDER BY e.event_type, lag
 """
+
+
+# -- one-pass per-user feature-store build -------------------------------------
+
+SESSION_BREAK_US = 30 * 60 * 1_000_000
+
+
+def user_features(sf_dir: str) -> Dataset:
+    """The feature-store build: TWELVE per-user behavioral features in ONE
+    user-bucket co-location — the entity-feature materialization a training
+    pipeline runs nightly, where computing each feature as its own
+    operator would cost one shuffle apiece.  Everything the in-bucket
+    kernel does is vectorized pandas over the bucket's sorted frame
+    (group sizes, distinct days/types, min/max, modal type with the
+    deterministic (count DESC, type ASC) tie-break, running-peak drawdown,
+    30-minute session breaks) — no per-user Python loop.
+
+    Exact integer outputs end-to-end (cents, epoch-us, counts);
+    ``mean_gap_us`` is a floor division of non-negative spans, so the
+    DuckDB oracle's ``//`` agrees.  Output, sorted by user: (user_id,
+    n_events, n_active_days, first_ts_us, last_ts_us, total_value_c2,
+    max_value_c2, n_types, modal_event, modal_count, max_drawdown_c2,
+    mean_gap_us, sessions_30m).  Consumed by ``tools/run_features.py``,
+    which publishes it as a lineage-guarded hive-partitioned table.
+    Beyond-reference engine addition (SURVEY.md §2.8)."""
+    import numpy as np
+
+    nb = _user_buckets(sf_dir)
+    ds = _read_events(
+        sf_dir, ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    def keyed(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        u = df["user_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "ub": (u % nb).astype("int32"),
+                "user_id": u,
+                "event_id": df["event_id"].astype("int64"),
+                "tu": df["ts"].astype("datetime64[us]").astype("int64"),
+                "event_type": df["event_type"].astype(str),
+                "v_c2": (df["value"] * 100).round().astype("int64"),
+            }
+        )
+
+    def featurize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "tu", "event_id"]).reset_index(drop=True)
+        g["day"] = g["tu"] // 86_400_000_000
+        by = g.groupby("user_id", sort=True)
+        base = by.agg(
+            n_events=("tu", "size"),
+            n_active_days=("day", "nunique"),
+            first_ts_us=("tu", "min"),
+            last_ts_us=("tu", "max"),
+            total_value_c2=("v_c2", "sum"),
+            max_value_c2=("v_c2", "max"),
+            n_types=("event_type", "nunique"),
+        )
+        # modal type: deterministic (count DESC, type ASC) tie-break
+        mc = (
+            g.groupby(["user_id", "event_type"], sort=True)
+            .size()
+            .reset_index(name="cnt")
+            .sort_values(
+                ["user_id", "cnt", "event_type"],
+                ascending=[True, False, True],
+            )
+            .drop_duplicates("user_id")
+            .set_index("user_id")
+        )
+        base["modal_event"] = mc["event_type"]
+        base["modal_count"] = mc["cnt"]
+        # running-peak drawdown (the user_drawdown kernel)
+        cum = by["v_c2"].cumsum()
+        peak = cum.groupby(g["user_id"]).cummax()
+        base["max_drawdown_c2"] = (peak - cum).groupby(g["user_id"]).max()
+        # mean inter-event gap (floor) + 30-minute session count
+        span = base["last_ts_us"] - base["first_ts_us"]
+        n1 = (base["n_events"] - 1).clip(lower=1)
+        base["mean_gap_us"] = np.where(
+            base["n_events"] > 1, span // n1, 0
+        ).astype("int64")
+        gap = by["tu"].diff()
+        base["sessions_30m"] = (
+            (gap > SESSION_BREAK_US).groupby(g["user_id"]).sum().astype("int64")
+            + 1
+        )
+        out = base.reset_index()
+        intcols = [c for c in out.columns if c not in ("modal_event",)]
+        return out.astype({c: "int64" for c in intcols})
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(featurize, batch_format="pandas")
+        .sort("user_id")
+    )
+
+
+USER_FEATURES_SQL = f"""
+WITH x AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(ROUND(value*100) AS BIGINT) AS v,
+         epoch_us(ts) AS tu,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+base AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         COUNT(DISTINCT day) AS n_active_days,
+         MIN(tu) AS first_ts_us, MAX(tu) AS last_ts_us,
+         SUM(v) AS total_value_c2, MAX(v) AS max_value_c2,
+         COUNT(DISTINCT event_type) AS n_types
+  FROM x GROUP BY user_id
+),
+modal AS (
+  SELECT user_id, event_type AS modal_event, cnt AS modal_count
+  FROM (SELECT user_id, event_type, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY COUNT(*) DESC, event_type) AS rk
+        FROM x GROUP BY user_id, event_type)
+  WHERE rk = 1
+),
+c AS (
+  SELECT user_id,
+         SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM x
+),
+p AS (
+  SELECT user_id, cum,
+         MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS peak
+  FROM (SELECT user_id, ts, event_id, cum,
+               ts AS o_ts, event_id AS o_eid
+        FROM (SELECT user_id, ts, event_id,
+                     SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+              FROM x))
+),
+dd AS (SELECT user_id, MAX(peak - cum) AS max_drawdown_c2 FROM p
+       GROUP BY user_id),
+gaps AS (
+  SELECT user_id,
+         SUM(CASE WHEN gap > {SESSION_BREAK_US} THEN 1 ELSE 0 END) AS breaks
+  FROM (SELECT user_id,
+               tu - LAG(tu) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS gap
+        FROM x)
+  WHERE gap IS NOT NULL GROUP BY user_id
+)
+SELECT b.user_id, CAST(b.n_events AS BIGINT) AS n_events,
+       CAST(b.n_active_days AS BIGINT) AS n_active_days,
+       CAST(b.first_ts_us AS BIGINT) AS first_ts_us,
+       CAST(b.last_ts_us AS BIGINT) AS last_ts_us,
+       CAST(b.total_value_c2 AS BIGINT) AS total_value_c2,
+       CAST(b.max_value_c2 AS BIGINT) AS max_value_c2,
+       CAST(b.n_types AS BIGINT) AS n_types,
+       m.modal_event, CAST(m.modal_count AS BIGINT) AS modal_count,
+       CAST(dd.max_drawdown_c2 AS BIGINT) AS max_drawdown_c2,
+       CAST(CASE WHEN b.n_events > 1
+                 THEN (b.last_ts_us - b.first_ts_us) // (b.n_events - 1)
+                 ELSE 0 END AS BIGINT) AS mean_gap_us,
+       CAST(COALESCE(g.breaks, 0) + 1 AS BIGINT) AS sessions_30m
+FROM base b
+JOIN modal m ON m.user_id = b.user_id
+JOIN dd ON dd.user_id = b.user_id
+LEFT JOIN gaps g ON g.user_id = b.user_id
+ORDER BY b.user_id
+"""

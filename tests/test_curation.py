@@ -256,3 +256,52 @@ def test_audit_job_report_and_resume(ray_session, tmp_path):
     third = audit(sf, out)
     assert third["complete"] and not third.get("skipped")
     assert third["payloads"] == first["payloads"]
+
+
+def test_features_job_oracle_resume_and_invalidation(ray_session, tmp_path):
+    """run_features publishes the SQL-oracled user_features table
+    hive-partitioned: (1) the written table hash-equals the DuckDB oracle
+    at sf0.001; (2) a second run skips via lineage; (3) a params change
+    invalidates and recomputes (no stale shards — the publish replaces the
+    whole directory)."""
+    import json
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, ".")
+    from tools.run_features import build_features
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "features")
+    first = build_features(sf, out, shards=8)
+    assert first["complete"] and not first.get("skipped")
+    assert first["n_features"] == 12
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+    )
+    want = con.execute(entrymod.oracle_sql()["user_features"]).df()
+    got = (
+        duckdb.sql(f"SELECT * FROM read_parquet('{out}/features/*/*.parquet', hive_partitioning=true)")
+        .df()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == first["n_users"]
+    assert (got["shard"] == got["user_id"] % 8).all()
+    for c in want.columns:
+        assert (got[c].astype(str).values == want[c].astype(str).values).all(), c
+
+    second = build_features(sf, out, shards=8)
+    assert second.get("skipped") is True
+
+    third = build_features(sf, out, shards=4)
+    assert third["complete"] and not third.get("skipped")
+    got2 = duckdb.sql(
+        f"SELECT max(shard) m, count(*) n FROM read_parquet('{out}/features/*/*.parquet', hive_partitioning=true)"
+    ).df()
+    assert int(got2.loc[0, "m"]) <= 3 and int(got2.loc[0, "n"]) == first["n_users"]
