@@ -170,7 +170,8 @@ QUERY_CHUNKS = [
      "interarrival_quantiles_by_type", "theil_sen_by_type",
      "lorenz_by_status", "gbdt_split_gain", "kendall_tau_counts",
      "fano_factor_by_type", "gbdt_boost_rounds", "user_drawdown",
-     "kmv_type_overlap", "acf_daily_by_type", "user_features"],
+     "kmv_type_overlap", "acf_daily_by_type", "user_features",
+     "trimmed_mean_by_type"],
 ]
 
 

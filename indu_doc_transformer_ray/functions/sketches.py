@@ -1874,3 +1874,158 @@ SELECT e.ga AS type_a, e.gb AS type_b,
 FROM est e LEFT JOIN ex ON ex.ga = e.ga AND ex.gb = e.gb
 ORDER BY type_a, type_b
 """
+
+
+# -- exact trimmed mean (robust location) --------------------------------------
+
+TRIM_BP = 1_000  # basis points trimmed off EACH tail (10%)
+
+
+def trimmed_mean_by_type(sf_dir: str) -> "object":
+    """Exact 10%-trimmed mean ingredients of event value per type — the
+    robust location estimate that tolerates a tail of corrupt records
+    (complements ``mad_outliers``'s robust scale): drop the ⌊n/10⌋
+    cheapest and ⌊n/10⌋ most expensive rows by rank, report the exact sum
+    and count of what is kept.  Tie-order invariant: the k cheapest of an
+    equal-value run contribute the same sum under any tie permutation.
+
+    The [[counting-histogram-rank-identity]] two-pass shape: a coarse
+    (type, bucket) count+sum fold locates the two trim boundaries per
+    type; a fine per-value count pass touches ONLY those boundary buckets;
+    kept_sum = cumvalue(n−k) − cumvalue(k) with straddling-run arithmetic
+    in Python ints.  No corpus row is shuffled twice and the driver holds
+    O(types × domain/4096) rows.  Output: (event_type, n, kept_n,
+    kept_sum_c2, trimmed_mean_mu = (kept_sum_c2·10⁶)//kept_n).
+    Beyond-reference engine addition (SURVEY.md §2.8)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ._util import read_small_aware
+
+    ds = read_small_aware(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        folded = pa.table(
+            {"s": t["event_type"], "b": _floor_bucket(v), "v": v}
+        )
+        return pa.TableGroupBy(folded, ["s", "b"]).aggregate(
+            [("v", "sum"), ([], "count_all")]
+        )
+
+    coarse = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["s", "b"])
+        .aggregate(
+            Sum("v_sum", alias_name="sv"), Sum("count_all", alias_name="c")
+        )
+        .to_pandas()  # O(types x domain/4096)
+    )
+    # per type: the two rank targets k and n-k, and which buckets straddle
+    need: dict[tuple[str, int], list[int]] = {}
+    info: dict[str, tuple[int, int, int]] = {}  # n, total, k
+    cums: dict[str, tuple] = {}
+    for s, sub in coarse.groupby("s"):
+        sub = sub.sort_values("b").reset_index(drop=True)
+        n = int(sub["c"].sum())
+        total = int(sub["sv"].sum())
+        k = (n * TRIM_BP) // 10_000
+        info[s] = (n, total, k)
+        cums[s] = sub
+        for target in (k, n - k):
+            if target <= 0:
+                continue
+            cum_c = sub["c"].cumsum()
+            i = int((cum_c >= target).idxmax())
+            need.setdefault((s, int(sub.loc[i, "b"])), []).append(target)
+
+    wanted = pa.array(sorted(f"{s}|{b}" for s, b in need), pa.string())
+
+    def fine(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        b = _floor_bucket(v)
+        key = pc.binary_join_element_wise(
+            pc.cast(t["event_type"], pa.string()), pc.cast(b, pa.string()), "|"
+        )
+        sub = pa.table({"s": t["event_type"], "b": b, "v": v}).filter(
+            pc.is_in(key, value_set=wanted)
+        )
+        return pa.TableGroupBy(sub, ["s", "b", "v"]).aggregate(
+            [([], "count_all")]
+        )
+
+    fined = (
+        ds.map_batches(fine, batch_format="pyarrow")
+        .groupby(["s", "b", "v"])
+        .aggregate(Sum("count_all", alias_name="c"))
+        .to_pandas()  # distinct values inside boundary buckets only
+    )
+
+    def cumvalue(s: str, target: int) -> int:
+        if target <= 0:
+            return 0
+        sub = cums[s]
+        cum_c = sub["c"].cumsum()
+        i = int((cum_c >= target).idxmax())
+        rows_below = int(cum_c.iloc[i - 1]) if i > 0 else 0
+        val_below = int(sub["sv"].cumsum().iloc[i - 1]) if i > 0 else 0
+        bb = int(sub.loc[i, "b"])
+        fsub = (
+            fined[(fined["s"] == s) & (fined["b"] == bb)]
+            .sort_values("v")
+            .reset_index(drop=True)
+        )
+        remaining = target - rows_below
+        cumv = val_below
+        for v, c in zip(fsub["v"], fsub["c"]):
+            take = min(int(c), remaining)
+            cumv += int(v) * take
+            remaining -= take
+            if remaining == 0:
+                break
+        return cumv
+
+    rows = []
+    for s, (n, total, k) in info.items():
+        kept_sum = cumvalue(s, n - k) - cumvalue(s, k)
+        kept_n = n - 2 * k
+        rows.append(
+            {"event_type": s, "n": n, "kept_n": kept_n,
+             "kept_sum_c2": kept_sum,
+             "trimmed_mean_mu": (kept_sum * 1_000_000) // kept_n}
+        )
+    return (
+        pd.DataFrame(sorted(rows, key=lambda r: r["event_type"]))
+        .astype({c: "int64" for c in
+                 ("n", "kept_n", "kept_sum_c2", "trimmed_mean_mu")})
+        .reset_index(drop=True)
+    )
+
+
+TRIMMED_MEAN_BY_TYPE_SQL = f"""
+WITH x AS (
+  SELECT event_type AS s, CAST(ROUND(value*100) AS BIGINT) AS v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ROUND(value*100))
+           AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT s AS event_type, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(n) - 2 * ((MAX(n) * {TRIM_BP}) // 10000) AS BIGINT) AS kept_n,
+       CAST(SUM(CASE WHEN rn > (n * {TRIM_BP}) // 10000
+                      AND rn <= n - (n * {TRIM_BP}) // 10000
+                     THEN v ELSE 0 END) AS BIGINT) AS kept_sum_c2,
+       CAST(SUM(CASE WHEN rn > (n * {TRIM_BP}) // 10000
+                      AND rn <= n - (n * {TRIM_BP}) // 10000
+                     THEN CAST(v AS HUGEINT) ELSE 0 END) * 1000000
+            // (MAX(n) - 2 * ((MAX(n) * {TRIM_BP}) // 10000)) AS BIGINT)
+         AS trimmed_mean_mu
+FROM x GROUP BY s ORDER BY s
+"""
