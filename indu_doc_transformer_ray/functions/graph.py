@@ -1763,3 +1763,145 @@ SELECT vec_id, CAST(h AS BIGINT) AS core FROM {prev} ORDER BY vec_id"""
 
 
 KCORE_SQL = _kcore_sql()
+
+
+# -- resource-allocation link prediction (fixed-point) -------------------------
+
+def resource_allocation_topk(sf_dir: str, k: int = 20) -> Dataset:
+    """Link prediction by the resource-allocation index (Zhou, Lü &
+    Zhang, EPJ B 2009) over the undirected memoized k-NN graph — the
+    degree-penalized refinement of ``common_neighbors_topk``: a shared
+    neighbor z contributes 1/deg(z), so hub wedges count less.  Kept
+    deterministic/hash-exact by scoring in fixed micro-units,
+    ``w(z) = 10⁶ // deg(z)`` (floored integer division on both sides —
+    documented next to the oracle, which applies the identical floor).
+
+    Same two-exchange wedge shape as common-neighbors: the center bucket
+    sees each node's whole neighbor list, so deg(z) is LOCAL to the wedge
+    kernel (len of the unique neighbor list — no extra degree pass or
+    join); wedges carry their weight to the pair bucket, where the sum,
+    the edge kill and the lossless per-bucket top-k prune happen.  Output:
+    (vec_a, vec_b, ra_score_mu), global top-k (score DESC, pair ASC)."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows)
+    MIX = 2654435761
+
+    def both_dirs(t: pd.DataFrame) -> pd.DataFrame:
+        v = t["vec_id"].to_numpy(dtype=np.int64)
+        n = t["nbr_id"].to_numpy(dtype=np.int64)
+        c = np.concatenate([v, n])
+        o = np.concatenate([n, v])
+        return pd.DataFrame(
+            {"cb": (c % nb).astype("int32"), "center": c, "nbr": o}
+        )
+
+    def wedges(g: pd.DataFrame) -> pa.Table:
+        out_x, out_y, out_w, out_f = [], [], [], []
+        for c, sub in g.groupby("center"):
+            nbrs = np.unique(sub["nbr"].to_numpy())
+            m = len(nbrs)
+            if m >= 2:
+                ii, jj = np.triu_indices(m, 1)
+                out_x.append(nbrs[ii])
+                out_y.append(nbrs[jj])
+                out_w.append(
+                    np.full(len(ii), 1_000_000 // m, dtype=np.int64)
+                )
+                out_f.append(np.zeros(len(ii), dtype=np.int8))
+            e = nbrs[nbrs > c]
+            if len(e):
+                out_x.append(np.full(len(e), c, dtype=np.int64))
+                out_y.append(e)
+                out_w.append(np.zeros(len(e), dtype=np.int64))
+                out_f.append(np.ones(len(e), dtype=np.int8))
+        if not out_x:
+            return pa.table(
+                {
+                    "pb": pa.array([], pa.int32()),
+                    "x": pa.array([], pa.int64()),
+                    "y": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                    "is_edge": pa.array([], pa.int8()),
+                }
+            )
+        x = np.concatenate(out_x)
+        y = np.concatenate(out_y)
+        w = np.concatenate(out_w)
+        f = np.concatenate(out_f)
+        pb = ((x.astype(np.uint64) * MIX + y.astype(np.uint64)) % nb).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "pb": pa.array(pb),
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "w": pa.array(w),
+                "is_edge": pa.array(f),
+            }
+        )
+
+    def pair_fold(g: pd.DataFrame) -> pa.Table:
+        sc = (
+            g[g["is_edge"] == 0]
+            .groupby(["x", "y"])["w"]
+            .sum()
+            .reset_index(name="score")
+        )
+        ed = g[g["is_edge"] == 1][["x", "y"]].drop_duplicates()
+        merged = sc.merge(ed.assign(e=1), on=["x", "y"], how="left")
+        live = (
+            merged[merged["e"].isna()]
+            .nlargest(k, ["score"], keep="all")
+            .sort_values(["score", "x", "y"], ascending=[False, True, True])
+            .head(k)
+        )
+        return pa.table(
+            {
+                "vec_a": pa.array(live["x"].to_numpy("int64")),
+                "vec_b": pa.array(live["y"].to_numpy("int64")),
+                "ra_score_mu": pa.array(live["score"].to_numpy("int64")),
+            }
+        )
+
+    return (
+        knn_graph(sf_dir)
+        .map_batches(both_dirs, batch_format="pandas")
+        .groupby("cb")
+        .map_groups(wedges, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(pair_fold, batch_format="pandas")
+        .sort(
+            ["ra_score_mu", "vec_a", "vec_b"],
+            descending=[True, False, False],
+        )
+        .limit(k)
+    )
+
+
+RESOURCE_ALLOCATION_SQL = f"""
+WITH g AS MATERIALIZED ({KNN_GRAPH_SQL}),
+und AS (
+  SELECT vec_id AS a, nbr_id AS b FROM g
+  UNION
+  SELECT nbr_id, vec_id FROM g
+),
+deg AS (SELECT a, COUNT(*) AS d FROM und GROUP BY a),
+wedge AS (
+  SELECT u1.b AS x, u2.b AS y, dg.d AS d
+  FROM und u1
+  JOIN und u2 ON u1.a = u2.a AND u1.b < u2.b
+  JOIN deg dg ON dg.a = u1.a
+),
+ra AS (SELECT x, y, SUM(1000000 // d) AS score FROM wedge GROUP BY x, y)
+SELECT ra.x AS vec_a, ra.y AS vec_b, CAST(ra.score AS BIGINT) AS ra_score_mu
+FROM ra LEFT JOIN und e ON ra.x = e.a AND ra.y = e.b
+WHERE e.a IS NULL
+ORDER BY ra_score_mu DESC, vec_a, vec_b
+LIMIT 20
+"""

@@ -2237,6 +2237,7 @@ from .graph import (  # noqa: E402,F401
     BFS_ROUNDS,
     BFS_SEED_MOD,
     COMMON_NEIGHBORS_SQL,
+    RESOURCE_ALLOCATION_SQL,
     KCORE_ROUNDS,
     KCORE_SQL,
     KNN_GRAPH_SQL,
@@ -2252,6 +2253,7 @@ from .graph import (  # noqa: E402,F401
     VEC_DUP_CLUSTERS_SQL,
     bfs_hops,
     common_neighbors_topk,
+    resource_allocation_topk,
     kcore_decompose,
     knn_graph,
     knn_label_accuracy,

@@ -1667,10 +1667,12 @@ def test_round4_session5_ops_match_oracle(ray_session):
              "theil_sen_by_type", "lorenz_by_status", "gbdt_split_gain",
              "kendall_tau_counts", "fano_factor_by_type",
              "gbdt_boost_rounds", "user_drawdown", "kmv_type_overlap",
-             "acf_daily_by_type", "user_features", "trimmed_mean_by_type"]
+             "acf_daily_by_type", "user_features", "trimmed_mean_by_type",
+             "resource_allocation_topk"]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
-    for t in ("orders", "events", "documents", "lineitem", "customer"):
+    for t in ("orders", "events", "documents", "lineitem", "customer",
+              "embeddings"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     for name in names:
         res = qs[name](sf)
