@@ -171,7 +171,8 @@ QUERY_CHUNKS = [
      "lorenz_by_status", "gbdt_split_gain", "kendall_tau_counts",
      "fano_factor_by_type", "gbdt_boost_rounds", "user_drawdown",
      "kmv_type_overlap", "acf_daily_by_type", "user_features",
-     "trimmed_mean_by_type", "resource_allocation_topk"],
+     "trimmed_mean_by_type", "resource_allocation_topk",
+     "heaps_vocab_growth"],
 ]
 
 

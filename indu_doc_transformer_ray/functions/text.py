@@ -2713,3 +2713,128 @@ ORDER BY doc_id
 
 
 PII_SCRUB_SQL = _pii_sql()
+
+
+# -- Heaps'-law vocabulary growth curve ----------------------------------------
+
+HEAPS_CHECKPOINTS = 8
+
+
+def heaps_vocab_growth(sf_dir: str) -> "object":
+    """Heaps'-law vocabulary-growth curve: distinct-vocabulary size and
+    total token count after each eighth of the corpus in doc_id order —
+    the sub-linearity audit (V ≈ K·nᵝ, β<1) that tells a tokenizer-training
+    run how much NEW vocabulary additional data still buys.
+
+    A token first contributes to the curve at its MINIMUM doc_id, so the
+    distributed shape is: per-batch fold to (token, min doc_id) partials
+    (the vocab_topk combiner, min instead of count), one groupby over the
+    VOCABULARY (never corpus rows) taking the global min, then a fold of
+    first-occurrence doc ids into the K-checkpoint histogram — the driver
+    sees K rows.  Token totals per checkpoint ride the same batch pass as
+    a K-vector of partial sums.  Checkpoints are ⌈j·n_docs/8⌉ with n_docs
+    from parquet METADATA (no scan).  Output: (checkpoint, docs_le,
+    vocab_size, tokens_total).  Beyond-reference engine addition
+    (SURVEY.md §2.8)."""
+    import bisect
+
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Min, Sum
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    cps = sorted({(j * n_docs) // HEAPS_CHECKPOINTS
+                  for j in range(1, HEAPS_CHECKPOINTS + 1)})
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks: dict[str, int] = {}
+        tok_cp = [0] * len(cps)
+        for doc_id, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            words = TOKEN_RE.findall(text.lower())
+            i = bisect.bisect_left(cps, doc_id)
+            for j in range(i, len(cps)):
+                tok_cp[j] += len(words)
+            for w in words:
+                prev = toks.get(w)
+                if prev is None or doc_id < prev:
+                    toks[w] = doc_id
+        out = pa.table(
+            {
+                "token": pa.array(list(toks.keys()), pa.string()),
+                "min_doc": pa.array(list(toks.values()), pa.int64()),
+                "kind": pa.array([0] * len(toks), pa.int8()),
+                "cp_idx": pa.array([-1] * len(toks), pa.int64()),
+                "tok_n": pa.array([0] * len(toks), pa.int64()),
+            }
+        )
+        tot = pa.table(
+            {
+                "token": pa.array([f"\x00cp{i}" for i in range(len(cps))],
+                                  pa.string()),
+                "min_doc": pa.array([0] * len(cps), pa.int64()),
+                "kind": pa.array([1] * len(cps), pa.int8()),
+                "cp_idx": pa.array(list(range(len(cps))), pa.int64()),
+                "tok_n": pa.array(tok_cp, pa.int64()),
+            }
+        )
+        return pa.concat_tables([out, tot])
+
+    folded = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["token", "kind", "cp_idx"])
+        .aggregate(Min("min_doc", alias_name="md"),
+                   Sum("tok_n", alias_name="tn"))
+        .to_pandas()  # O(vocab + K) rows
+    )
+    vocab = folded[folded["kind"] == 0]
+    firsts = sorted(int(x) for x in vocab["md"])
+    tots = {int(i): int(n) for i, n in zip(
+        folded[folded["kind"] == 1]["cp_idx"],
+        folded[folded["kind"] == 1]["tn"])}
+    rows = []
+    for i, cp in enumerate(cps):
+        rows.append(
+            {
+                "checkpoint": i + 1,
+                "docs_le": cp,
+                "vocab_size": bisect.bisect_right(firsts, cp),
+                "tokens_total": tots.get(i, 0),
+            }
+        )
+    return pd.DataFrame(rows).astype(
+        {c: "int64" for c in
+         ("checkpoint", "docs_le", "vocab_size", "tokens_total")}
+    )
+
+
+def _heaps_sql() -> str:
+    # both sides cut on the RAW doc_id value against j*n_docs//8 (no
+    # density assumption); DuckDB derives n_docs from COUNT(*), the Ray
+    # side from parquet metadata.
+    return f"""
+WITH n AS (SELECT COUNT(*) AS nd FROM documents),
+cps AS (
+  SELECT j AS checkpoint, (j * n.nd) // {HEAPS_CHECKPOINTS} AS docs_le
+  FROM generate_series(1, {HEAPS_CHECKPOINTS}) AS t(j), n
+),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w
+  FROM documents
+),
+firsts AS (SELECT w, MIN(doc_id) AS md FROM tok GROUP BY w)
+SELECT c.checkpoint, CAST(c.docs_le AS BIGINT) AS docs_le,
+       CAST((SELECT COUNT(*) FROM firsts f WHERE f.md <= c.docs_le)
+            AS BIGINT) AS vocab_size,
+       CAST((SELECT COUNT(*) FROM tok t WHERE t.doc_id <= c.docs_le)
+            AS BIGINT) AS tokens_total
+FROM cps c ORDER BY c.checkpoint
+"""
+
+
+HEAPS_VOCAB_GROWTH_SQL = _heaps_sql()
