@@ -504,6 +504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trimmed_mean_by_type": sketches.trimmed_mean_by_type,
         "resource_allocation_topk": similarity.resource_allocation_topk,
         "heaps_vocab_growth": text.heaps_vocab_growth,
+        "km_survival": events.km_survival,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -619,6 +620,7 @@ def oracle_sql() -> dict[str, str]:
         "trimmed_mean_by_type": sketches.TRIMMED_MEAN_BY_TYPE_SQL,
         "resource_allocation_topk": similarity.RESOURCE_ALLOCATION_SQL,
         "heaps_vocab_growth": text.HEAPS_VOCAB_GROWTH_SQL,
+        "km_survival": events.KM_SURVIVAL_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

@@ -3575,3 +3575,141 @@ JOIN dd ON dd.user_id = b.user_id
 LEFT JOIN gaps g ON g.user_id = b.user_id
 ORDER BY b.user_id
 """
+
+
+# -- Kaplan-Meier survival (time to first purchase) -----------------------------
+
+def km_survival(sf_dir: str) -> "pd.DataFrame":
+    """Kaplan–Meier survival curve for days-until-first-'purchase',
+    censoring users who never purchase at their last observed event — the
+    survival-analysis estimator (Kaplan & Meier 1958) a retention team
+    runs on activation funnels, with censoring handled properly (a user
+    still active without purchasing is NOT a zero).
+
+    Determinism: the product-limit recurrence runs in fixed micro-units,
+    ``S_mu ← (S_mu·(n_t−d_t)) // n_t`` over event-days ascending — a
+    floored sequential product both sides replay identically (the
+    ``ewma_user_value`` recursive-CTE contract; all quantities are
+    non-negative so DuckDB's truncating ``//`` is floor).
+
+    Scale shape: ONE user-bucket co-location folds each user to
+    (duration_days, observed) — the kernel is vectorized groupby min/max —
+    and only the (duration, observed) COUNT table (≤ span-days × 2 rows)
+    reaches the driver, which replays the recurrence over death-days in
+    Python ints.  Output: (duration_days, n_risk, n_events, n_censored,
+    km_survival_mu).  Beyond-reference engine addition (SURVEY.md §2.8)."""
+    from ray.data.aggregate import Sum
+
+    nb = _user_buckets(sf_dir)
+    ds = _read_events(sf_dir, ["ts", "user_id", "event_type"])
+
+    def keyed(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        u = df["user_id"].astype("int64")
+        tu = df["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "ub": (u % nb).astype("int32"),
+                "user_id": u,
+                "tu": tu,
+                "is_p": (df["event_type"] == "purchase").astype("int8"),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        by = g.groupby("user_id", sort=True)
+        first = by["tu"].min()
+        last = by["tu"].max()
+        fp = g[g["is_p"] == 1].groupby("user_id", sort=True)["tu"].min()
+        end = fp.reindex(first.index)
+        observed = end.notna()
+        end = end.fillna(last)
+        dur = ((end - first) // 86_400_000_000).astype("int64")
+        out = pd.DataFrame(
+            {"d": dur, "observed": observed.astype("int8")}
+        )
+        c = out.groupby(["d", "observed"], sort=True).size().reset_index(name="c")
+        return c.astype({"d": "int64", "observed": "int8", "c": "int64"})
+
+    counts = (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(fold, batch_format="pandas")
+        .groupby(["d", "observed"])
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()  # O(span days x 2)
+    )
+    tbl: dict[int, list[int]] = {}
+    for d, o, n in zip(counts["d"], counts["observed"], counts["n"]):
+        e = tbl.setdefault(int(d), [0, 0])
+        e[int(o)] += int(n)  # [censored, deaths]
+    total = sum(c + d for c, d in tbl.values())
+    at_risk = total
+    s_mu = 1_000_000
+    rows = []
+    for d in sorted(tbl):
+        cens, deaths = tbl[d]
+        if deaths > 0:
+            s_mu = (s_mu * (at_risk - deaths)) // at_risk
+            rows.append(
+                {"duration_days": d, "n_risk": at_risk, "n_events": deaths,
+                 "n_censored": cens, "km_survival_mu": s_mu}
+            )
+        at_risk -= deaths + cens
+    return pd.DataFrame(rows).astype(
+        {c: "int64" for c in
+         ("duration_days", "n_risk", "n_events", "n_censored",
+          "km_survival_mu")}
+    )
+
+
+KM_SURVIVAL_SQL = """
+WITH RECURSIVE per_user AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS first_tu,
+         MAX(epoch_us(ts)) AS last_tu,
+         MIN(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(ts) END) AS fp_tu
+  FROM events GROUP BY user_id
+),
+dur AS (
+  SELECT (COALESCE(fp_tu, last_tu) - first_tu) // 86400000000 AS d,
+         CASE WHEN fp_tu IS NOT NULL THEN 1 ELSE 0 END AS observed
+  FROM per_user
+),
+tb AS (
+  SELECT d,
+         SUM(observed) AS deaths,
+         SUM(1 - observed) AS cens
+  FROM dur GROUP BY d
+),
+ordered AS (
+  SELECT d, deaths, cens,
+         ROW_NUMBER() OVER (ORDER BY d) AS rn,
+         (SELECT COUNT(*) FROM dur)
+           - COALESCE(SUM(deaths + cens) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_risk
+  FROM tb
+),
+rec AS (
+  SELECT rn, d, deaths, cens, n_risk,
+         CASE WHEN deaths > 0
+              THEN (CAST(1000000 AS HUGEINT) * (n_risk - deaths)) // n_risk
+              ELSE CAST(1000000 AS HUGEINT) END AS s_mu
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.rn, o.d, o.deaths, o.cens, o.n_risk,
+         CASE WHEN o.deaths > 0
+              THEN (r.s_mu * (o.n_risk - o.deaths)) // o.n_risk
+              ELSE r.s_mu END
+  FROM rec r JOIN ordered o ON o.rn = r.rn + 1
+)
+SELECT CAST(d AS BIGINT) AS duration_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(deaths AS BIGINT) AS n_events,
+       CAST(cens AS BIGINT) AS n_censored,
+       CAST(s_mu AS BIGINT) AS km_survival_mu
+FROM rec WHERE deaths > 0
+ORDER BY duration_days
+"""

@@ -1668,7 +1668,8 @@ def test_round4_session5_ops_match_oracle(ray_session):
              "kendall_tau_counts", "fano_factor_by_type",
              "gbdt_boost_rounds", "user_drawdown", "kmv_type_overlap",
              "acf_daily_by_type", "user_features", "trimmed_mean_by_type",
-             "resource_allocation_topk", "heaps_vocab_growth"]
+             "resource_allocation_topk", "heaps_vocab_growth",
+             "km_survival"]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
     for t in ("orders", "events", "documents", "lineitem", "customer",
