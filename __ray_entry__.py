@@ -505,6 +505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resource_allocation_topk": similarity.resource_allocation_topk,
         "heaps_vocab_growth": text.heaps_vocab_growth,
         "km_survival": events.km_survival,
+        "wasserstein_type_pairs": sketches.wasserstein_type_pairs,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -621,6 +622,7 @@ def oracle_sql() -> dict[str, str]:
         "resource_allocation_topk": similarity.RESOURCE_ALLOCATION_SQL,
         "heaps_vocab_growth": text.HEAPS_VOCAB_GROWTH_SQL,
         "km_survival": events.KM_SURVIVAL_SQL,
+        "wasserstein_type_pairs": sketches.WASSERSTEIN_TYPE_PAIRS_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

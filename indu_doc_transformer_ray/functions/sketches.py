@@ -2029,3 +2029,106 @@ SELECT s AS event_type, CAST(MAX(n) AS BIGINT) AS n,
          AS trimmed_mean_mu
 FROM x GROUP BY s ORDER BY s
 """
+
+
+# -- exact 1-D Wasserstein (earth-mover) distance between types ----------------
+
+def wasserstein_type_pairs(sf_dir: str) -> "object":
+    """Exact Wasserstein-1 (earth-mover) distance between the value
+    distributions of every event-type pair — the drift metric that, unlike
+    ``source_drift_ks``'s sup-norm, integrates the WHOLE CDF gap:
+    W₁ = ∫|F_a − F_b| dv, computed exactly on integer cents as
+    ``emd_num/emd_den`` with emd_num = Σ_runs |cumA·n_b − cumB·n_a|·gap and
+    emd_den = n_a·n_b (denominators cleared — no float ever).
+
+    Scale shape: the corpus collapses map-side into (type, value) partial
+    counts (the value DOMAIN, not rows — the interarrival-quantiles count
+    table); the driver walks each pair's merged support once with Python
+    ints.  int64 bound: cum·n ≤ n² and ×gap ≤ n²·range — exact output to
+    ~10⁷ rows/type at this value range (the ``auc_by_type`` caveat: the
+    driver is arbitrary-precision, the final cast RAISES, the HUGEINT
+    oracle likewise).  Output: (type_a, type_b, n_a, n_b, emd_num,
+    emd_den).  Beyond-reference engine addition (SURVEY.md §2.8)."""
+    import itertools
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ._util import read_small_aware
+
+    ds = read_small_aware(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        folded = pa.table({"t": t["event_type"], "v": v})
+        return pa.TableGroupBy(folded, ["t", "v"]).aggregate(
+            [([], "count_all")]
+        )
+
+    counts = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(["t", "v"])
+        .aggregate(Sum("count_all", alias_name="c"))
+        .to_pandas()  # O(types x value domain)
+    )
+    per_type = {
+        t: dict(zip(sub["v"].astype(int), sub["c"].astype(int)))
+        for t, sub in counts.groupby("t")
+    }
+    rows = []
+    for a, b in itertools.combinations(sorted(per_type), 2):
+        ca, cb = per_type[a], per_type[b]
+        na, nbt = sum(ca.values()), sum(cb.values())
+        support = sorted(set(ca) | set(cb))
+        cum_a = cum_b = 0
+        num = 0
+        for v, nxt in zip(support, support[1:]):
+            cum_a += ca.get(v, 0)
+            cum_b += cb.get(v, 0)
+            num += abs(cum_a * nbt - cum_b * na) * (nxt - v)
+        rows.append(
+            {"type_a": a, "type_b": b, "n_a": na, "n_b": nbt,
+             "emd_num": num, "emd_den": na * nbt}
+        )
+    return pd.DataFrame(rows).astype(
+        {c: "int64" for c in ("n_a", "n_b", "emd_num", "emd_den")}
+    )
+
+
+WASSERSTEIN_TYPE_PAIRS_SQL = """
+WITH v AS (
+  SELECT event_type AS t, CAST(ROUND(value*100) AS BIGINT) AS v,
+         CAST(COUNT(*) AS HUGEINT) AS c
+  FROM events GROUP BY 1, 2
+),
+tp AS (SELECT DISTINCT t FROM v),
+pairs AS (SELECT a.t AS ta, b.t AS tb FROM tp a JOIN tp b ON a.t < b.t),
+sup AS (
+  SELECT p.ta, p.tb, x.v,
+         SUM(CASE WHEN x.t = p.ta THEN x.c ELSE 0 END) AS ca,
+         SUM(CASE WHEN x.t = p.tb THEN x.c ELSE 0 END) AS cb
+  FROM pairs p JOIN v x ON x.t IN (p.ta, p.tb)
+  GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT ta, tb, v,
+         SUM(ca) OVER (PARTITION BY ta, tb ORDER BY v) AS cuma,
+         SUM(cb) OVER (PARTITION BY ta, tb ORDER BY v) AS cumb,
+         LEAD(v) OVER (PARTITION BY ta, tb ORDER BY v) AS nxt,
+         SUM(ca) OVER (PARTITION BY ta, tb) AS na,
+         SUM(cb) OVER (PARTITION BY ta, tb) AS nb
+  FROM sup
+)
+SELECT ta AS type_a, tb AS type_b,
+       CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+       CAST(SUM(CASE WHEN nxt IS NULL THEN 0
+                     ELSE ABS(cuma * nb - cumb * na) * (nxt - v) END)
+            AS BIGINT) AS emd_num,
+       CAST(MAX(na) * MAX(nb) AS BIGINT) AS emd_den
+FROM cum GROUP BY 1, 2 ORDER BY 1, 2
+"""
