@@ -506,6 +506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heaps_vocab_growth": text.heaps_vocab_growth,
         "km_survival": events.km_survival,
         "wasserstein_type_pairs": sketches.wasserstein_type_pairs,
+        "isotonic_price_urgency": ml.isotonic_price_urgency,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -623,6 +624,7 @@ def oracle_sql() -> dict[str, str]:
         "heaps_vocab_growth": text.HEAPS_VOCAB_GROWTH_SQL,
         "km_survival": events.KM_SURVIVAL_SQL,
         "wasserstein_type_pairs": sketches.WASSERSTEIN_TYPE_PAIRS_SQL,
+        "isotonic_price_urgency": ml.ISOTONIC_PRICE_URGENCY_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

@@ -172,7 +172,8 @@ QUERY_CHUNKS = [
      "fano_factor_by_type", "gbdt_boost_rounds", "user_drawdown",
      "kmv_type_overlap", "acf_daily_by_type", "user_features",
      "trimmed_mean_by_type", "resource_allocation_topk",
-     "heaps_vocab_growth", "km_survival", "wasserstein_type_pairs"],
+     "heaps_vocab_growth", "km_survival", "wasserstein_type_pairs",
+     "isotonic_price_urgency"],
 ]
 
 

@@ -1682,3 +1682,118 @@ SELECT CAST(2 AS BIGINT), 'weekday', CAST(dw AS BIGINT), CAST(nl AS BIGINT),
 FROM w2
 ORDER BY boost_round
 """
+
+
+# -- isotonic regression (PAVA via the minimax identity) -----------------------
+
+_ISO_SHIFT = 19  # 2^19-cent (~$5.2k) price bins: O(B^3) minimax needs small B
+
+
+def isotonic_price_urgency(sf_dir: str) -> "object":
+    """Isotonic (monotone non-decreasing) regression of the urgent-order
+    rate on price — the calibration fit (pool-adjacent-violators) that
+    turns a noisy per-bin rate into the best monotone step function, the
+    standard post-hoc calibrator next to ``calibration_bins``'s
+    reliability diagram.  Computed via the PAVA minimax identity
+    ``iso(i) = max_{j≤i} min_{k≥i} mean(y[j..k])`` — order-free, so it
+    distributes trivially — with means in FLOORED micro-units
+    ``((pos_jk)·10⁶)//(n_jk)``: the max/min lattice then operates on
+    integers and the DuckDB oracle replays it exactly (the well-defined
+    floored-mean variant of PAVA; both sides apply the identical floor).
+
+    Scale shape: one histogram fold to (bin, n, positives) — the
+    ``gbdt_split_gain`` shuffle, never rows — and the O(B²)–O(B³) minimax
+    runs on ≤ a few dozen bins driver-side in Python ints.  Output:
+    (bin_id, n, pos, rate_mu, iso_rate_mu) — iso_rate_mu is non-decreasing
+    in bin_id by construction.  Beyond-reference engine addition
+    (SURVEY.md §2.8)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = read_small_aware(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_totalprice", "o_orderpriority"],
+    )
+    pos_set = pa.array(["1-URGENT", "2-HIGH"])
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        folded = pa.table(
+            {
+                "b": pc.shift_right(v, _ISO_SHIFT),
+                "y": pc.cast(
+                    pc.is_in(t["o_orderpriority"], value_set=pos_set),
+                    pa.int64(),
+                ),
+            }
+        )
+        return pa.TableGroupBy(folded, "b").aggregate(
+            [("y", "sum"), ([], "count_all")]
+        )
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("y_sum", alias_name="p"), Sum("count_all", alias_name="c"))
+        .to_pandas()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    bins = [(int(b), int(c), int(p)) for b, c, p in zip(h["b"], h["c"], h["p"])]
+    B = len(bins)
+    # prefix sums for O(1) segment means
+    pn = [0] * (B + 1)
+    pp = [0] * (B + 1)
+    for i, (_, c, p) in enumerate(bins):
+        pn[i + 1] = pn[i] + c
+        pp[i + 1] = pp[i] + p
+
+    def mu(j: int, k: int) -> int:  # floored micro-mean of bins j..k
+        return ((pp[k + 1] - pp[j]) * 1_000_000) // (pn[k + 1] - pn[j])
+
+    rows = []
+    for i, (b, c, p) in enumerate(bins):
+        iso = max(min(mu(j, k) for k in range(i, B)) for j in range(i + 1))
+        rows.append(
+            {"bin_id": b, "n": c, "pos": p,
+             "rate_mu": (p * 1_000_000) // c, "iso_rate_mu": iso}
+        )
+    return pd.DataFrame(rows).astype(
+        {c: "int64" for c in ("bin_id", "n", "pos", "rate_mu", "iso_rate_mu")}
+    )
+
+
+ISOTONIC_PRICE_URGENCY_SQL = f"""
+WITH h AS (
+  SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) // {1 << _ISO_SHIFT} AS b,
+         CAST(COUNT(*) AS HUGEINT) AS c,
+         CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                       THEN 1 ELSE 0 END) AS HUGEINT) AS p
+  FROM orders GROUP BY b
+),
+o AS (SELECT b, c, p, ROW_NUMBER() OVER (ORDER BY b) AS i FROM h),
+pre AS (
+  SELECT b, c, p, i,
+         SUM(c) OVER (ORDER BY i) AS pn,
+         SUM(p) OVER (ORDER BY i) AS pp
+  FROM o
+),
+seg AS (  -- floored micro-mean of every bin segment j..k
+  SELECT j.i AS j, k.i AS k,
+         ((k.pp - j.pp + j.p) * 1000000) // (k.pn - j.pn + j.c) AS mu
+  FROM pre j JOIN pre k ON j.i <= k.i
+),
+inner_min AS (  -- min over k >= i of mean(j..k), per (i, j<=i)
+  SELECT i.i AS i, s.j, MIN(s.mu) AS m
+  FROM pre i JOIN seg s ON s.j <= i.i AND s.k >= i.i
+  GROUP BY i.i, s.j
+),
+iso AS (SELECT i, MAX(m) AS iso_mu FROM inner_min GROUP BY i)
+SELECT pre.b AS bin_id, CAST(pre.c AS BIGINT) AS n,
+       CAST(pre.p AS BIGINT) AS pos,
+       CAST((pre.p * 1000000) // pre.c AS BIGINT) AS rate_mu,
+       CAST(iso.iso_mu AS BIGINT) AS iso_rate_mu
+FROM pre JOIN iso ON iso.i = pre.i
+ORDER BY bin_id
+"""
