@@ -507,6 +507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "km_survival": events.km_survival,
         "wasserstein_type_pairs": sketches.wasserstein_type_pairs,
         "isotonic_price_urgency": ml.isotonic_price_urgency,
+        "greedy_vocab_cover": curation.greedy_vocab_cover,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -625,6 +626,7 @@ def oracle_sql() -> dict[str, str]:
         "km_survival": events.KM_SURVIVAL_SQL,
         "wasserstein_type_pairs": sketches.WASSERSTEIN_TYPE_PAIRS_SQL,
         "isotonic_price_urgency": ml.ISOTONIC_PRICE_URGENCY_SQL,
+        "greedy_vocab_cover": curation.GREEDY_VOCAB_COVER_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

@@ -1041,3 +1041,136 @@ FROM bb GROUP BY 1 ORDER BY split
 
 
 LEAKAGE_SAFE_SPLIT_SQL = _leakage_safe_split_sql()
+
+
+# -- greedy submodular corpus selection (max vocabulary coverage) ---------------
+
+COVER_ROUNDS = 8
+
+
+def greedy_vocab_cover(sf_dir: str, rounds: int = COVER_ROUNDS) -> "object":
+    """Greedy maximum-coverage corpus selection — pick, one at a time, the
+    document adding the most NEW vocabulary (Lin & Bilmes-style submodular
+    data selection; the greedy is (1−1/e)-optimal for coverage).  The
+    round-r selection is a pure function of the corpus, so both engines
+    replay it exactly: argmax on new-token count, ties to the smaller
+    doc_id.
+
+    Coverage units are word-BIGRAM shingles (the unigram vocabulary of
+    the synthetic corpus saturates after one document; bigrams give the
+    greedy a real frontier).  Selection stops early when no document adds
+    a new shingle — the standard greedy-cover termination, identical on
+    both sides.
+
+    Distributed shape: ≤ ``rounds`` streaming passes; each pass folds
+    per-doc new-shingle counts EXCLUDING the covered set (broadcast — it
+    holds at most the selected docs' union shingles, bounded by
+    rounds × doc length, never corpus-sized) map-side to ONE candidate row
+    per batch (the batch argmax under the global tie order), so the driver
+    reduce reads blocks-count rows.  The oracle is the same greedy
+    UNROLLED as chained CTEs (the ``kcore_decompose`` fixed-round
+    contract).  Output: (sel_round, doc_id, new_tokens, covered_total).
+    Beyond-reference engine addition (SURVEY.md §2.8)."""
+    import pandas as pd
+
+    from .text import TOKEN_RE
+
+    covered: set[str] = set()
+    rows = []
+    for r in range(1, rounds + 1):
+        cov = covered  # rebind for closure capture (by value via cloudpickle)
+
+        def best_in_batch(t: pa.Table) -> pa.Table:
+            best = None  # (-new, doc_id)
+            for doc_id, text in zip(
+                t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+            ):
+                ws = TOKEN_RE.findall(text.lower())
+                toks = {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+                new = len(toks - cov)
+                key = (-new, doc_id)
+                if best is None or key < best[0]:
+                    best = (key, doc_id, new)
+            if best is None:
+                return pa.table(
+                    {"doc_id": pa.array([], pa.int64()),
+                     "new": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {"doc_id": pa.array([best[1]], pa.int64()),
+                 "new": pa.array([best[2]], pa.int64())}
+            )
+
+        cands = (
+            _read_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(best_in_batch, batch_format="pyarrow")
+            .to_pandas()  # one row per batch
+        )
+        cands = cands.sort_values(["new", "doc_id"],
+                                  ascending=[False, True]).reset_index(drop=True)
+        doc_id = int(cands.loc[0, "doc_id"])
+        new = int(cands.loc[0, "new"])
+        if new == 0:  # coverage exhausted: greedy-cover termination
+            break
+        # fetch the winner's tokens (predicate-pushdown read of ONE doc)
+        import pyarrow.parquet as _pq
+
+        txt = (
+            _pq.read_table(
+                f"{sf_dir}/documents.parquet", columns=["text"],
+                filters=[("doc_id", "==", doc_id)],
+            )
+            .column("text")[0]
+            .as_py()
+        )
+        ws = TOKEN_RE.findall(txt.lower())
+        covered = covered | {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+        rows.append(
+            {"sel_round": r, "doc_id": doc_id, "new_tokens": new,
+             "covered_total": len(covered)}
+        )
+    return pd.DataFrame(rows).astype(
+        {c: "int64" for c in
+         ("sel_round", "doc_id", "new_tokens", "covered_total")}
+    )
+
+
+def _greedy_vocab_cover_sql(rounds: int = COVER_ROUNDS) -> str:
+    parts = ["""WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ws
+  FROM documents
+),
+tok AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS w
+  FROM docs, unnest(generate_series(1, len(ws)-1)) AS t(i)
+)"""]
+    prev_cov = None
+    selects = []
+    for r in range(1, rounds + 1):
+        if prev_cov is None:
+            newcnt = "COUNT(DISTINCT w)"
+            where = ""
+        else:
+            newcnt = "COUNT(DISTINCT w)"
+            where = f" WHERE w NOT IN (SELECT w FROM {prev_cov})"
+        parts.append(f""",
+ch{r} AS (
+  SELECT doc_id, {newcnt} AS new_tokens
+  FROM tok{where}
+  GROUP BY doc_id ORDER BY new_tokens DESC, doc_id LIMIT 1
+),
+cov{r} AS (
+  SELECT DISTINCT w FROM tok
+  WHERE doc_id IN ({", ".join(f"(SELECT doc_id FROM ch{i})"
+                              for i in range(1, r + 1))})
+)""")
+        selects.append(
+            f"SELECT {r} AS sel_round, doc_id, new_tokens,"
+            f" (SELECT COUNT(*) FROM cov{r}) AS covered_total FROM ch{r}"
+        )
+        prev_cov = f"cov{r}"
+    parts.append("\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY sel_round")
+    return "".join(parts)
+
+
+GREEDY_VOCAB_COVER_SQL = _greedy_vocab_cover_sql()
