@@ -173,7 +173,8 @@ QUERY_CHUNKS = [
      "kmv_type_overlap", "acf_daily_by_type", "user_features",
      "trimmed_mean_by_type", "resource_allocation_topk",
      "heaps_vocab_growth", "km_survival", "wasserstein_type_pairs",
-     "isotonic_price_urgency", "greedy_vocab_cover"],
+     "isotonic_price_urgency", "greedy_vocab_cover",
+     "jackknife_mean_by_type"],
 ]
 
 

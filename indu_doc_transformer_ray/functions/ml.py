@@ -1797,3 +1797,96 @@ SELECT pre.b AS bin_id, CAST(pre.c AS BIGINT) AS n,
 FROM pre JOIN iso ON iso.i = pre.i
 ORDER BY bin_id
 """
+
+
+# -- block jackknife uncertainty of the per-type mean ---------------------------
+
+_JK_FOLDS = 8
+
+
+def jackknife_mean_by_type(sf_dir: str) -> "object":
+    """Delete-one-block jackknife over eight user-id folds for the
+    per-type mean event value — distributed uncertainty quantification
+    without replication: the fold statistic grid is ONE (type, fold)
+    sufficient-statistics exchange (Σv, n per cell — never rows), and the
+    leave-one-fold-out means + spread are exact driver arithmetic.
+    Folding by user (not by row) respects within-user correlation — the
+    block-jackknife requirement.
+
+    Fixed-point contract: every leave-one-out mean is floored micro-cents
+    ``((S−S_f)·10⁶)//(n−n_f)``, their center is the floored fold average,
+    and jk_ss_mu2 = Σ_f (θ_f − θ̄)² in exact ints — the HUGEINT oracle
+    replays the identical floors.  Var_jack = (F−1)/F · jk_ss / (scale
+    factors left to the caller).  Output: (event_type, n, mean_mu,
+    jk_ss_mu2).  Beyond-reference engine addition (SURVEY.md §2.8)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = read_small_aware(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        f = pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), _JK_FOLDS - 1)
+        folded = pa.table(
+            {"e": t["event_type"], "f": f, "v": v}
+        )
+        return pa.TableGroupBy(folded, ["e", "f"]).aggregate(
+            [("v", "sum"), ([], "count_all")]
+        )
+
+    g = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(["e", "f"])
+        .aggregate(Sum("v_sum", alias_name="s"),
+                   Sum("count_all", alias_name="c"))
+        .to_pandas()  # O(|types| x folds)
+    )
+    rows = []
+    for e, sub in g.groupby("e"):
+        n = int(sub["c"].sum())
+        s = int(sub["s"].sum())
+        thetas = []
+        for _, r in sub.iterrows():
+            nf, sf = int(r["c"]), int(r["s"])
+            if n - nf > 0:
+                thetas.append(((s - sf) * 1_000_000) // (n - nf))
+        center = sum(thetas) // len(thetas)
+        ss = sum((t - center) ** 2 for t in thetas)
+        rows.append(
+            {"event_type": e, "n": n, "mean_mu": (s * 1_000_000) // n,
+             "jk_ss_mu2": ss}
+        )
+    return (
+        pd.DataFrame(sorted(rows, key=lambda r: r["event_type"]))
+        .astype({c: "int64" for c in ("n", "mean_mu", "jk_ss_mu2")})
+        .reset_index(drop=True)
+    )
+
+
+JACKKNIFE_MEAN_BY_TYPE_SQL = f"""
+WITH x AS (
+  SELECT event_type AS e, user_id & {_JK_FOLDS - 1} AS f,
+         CAST(ROUND(value*100) AS BIGINT) AS v
+  FROM events
+),
+cell AS (SELECT e, f, CAST(SUM(v) AS HUGEINT) AS s,
+                CAST(COUNT(*) AS HUGEINT) AS c
+         FROM x GROUP BY e, f),
+tot AS (SELECT e, SUM(s) AS st, SUM(c) AS nt FROM cell GROUP BY e),
+theta AS (
+  SELECT cell.e, ((tot.st - cell.s) * 1000000) // (tot.nt - cell.c) AS th
+  FROM cell JOIN tot ON tot.e = cell.e
+  WHERE tot.nt - cell.c > 0
+),
+ctr AS (SELECT e, SUM(th) // COUNT(*) AS center FROM theta GROUP BY e)
+SELECT t.e AS event_type, CAST(tot.nt AS BIGINT) AS n,
+       CAST((tot.st * 1000000) // tot.nt AS BIGINT) AS mean_mu,
+       CAST(SUM((t.th - c.center) * (t.th - c.center)) AS BIGINT)
+         AS jk_ss_mu2
+FROM theta t JOIN ctr c ON c.e = t.e JOIN tot ON tot.e = t.e
+GROUP BY t.e, tot.nt, tot.st
+ORDER BY event_type
+"""

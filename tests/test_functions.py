@@ -1670,7 +1670,8 @@ def test_round4_session5_ops_match_oracle(ray_session):
              "acf_daily_by_type", "user_features", "trimmed_mean_by_type",
              "resource_allocation_topk", "heaps_vocab_growth",
              "km_survival", "wasserstein_type_pairs",
-             "isotonic_price_urgency", "greedy_vocab_cover"]
+             "isotonic_price_urgency", "greedy_vocab_cover",
+             "jackknife_mean_by_type"]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
     for t in ("orders", "events", "documents", "lineitem", "customer",
