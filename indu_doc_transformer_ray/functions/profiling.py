@@ -836,3 +836,80 @@ FROM c, t
 ORDER BY n DESC, l_orderkey
 LIMIT {SKEW_TOP_K}
 """
+
+
+# -- l-diversity privacy audit --------------------------------------------------
+
+L_DIV_THRESHOLDS = (2, 3, 5)
+
+
+def l_diversity_audit(sf_dir: str) -> "object":
+    """l-diversity audit (Machanavajjhala et al., ICDE 2006) — the
+    k-anonymity companion: a class of identical quasi-identifiers is still
+    unsafe if its SENSITIVE attribute is homogeneous.  QI = (nation,
+    market segment); sensitive = the account balance rounded to $100
+    bands.  For each l threshold: how many QI classes carry fewer than l
+    DISTINCT sensitive values and how many rows sit in them.
+
+    One combiner groupby builds the (QI, band) distinct table — bounded by
+    |nations|×|segments|×|bands|, corpus-size free (map-side
+    (QI, band, count) partials collapse duplicates before the exchange);
+    the threshold sweep is a driver fold over that tiny table.  Output:
+    (l, n_classes_below, n_rows_at_risk)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "customer",
+               ["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        band = pc.cast(
+            pc.floor(pc.divide(t["c_acctbal"], 100.0)), pa.int64()
+        )
+        folded = t.select(["c_nationkey", "c_mktsegment"]).append_column(
+            "band", band
+        )
+        agg = pa.TableGroupBy(
+            folded, ["c_nationkey", "c_mktsegment", "band"]
+        ).aggregate([([], "count_all")])
+        return agg.rename_columns(
+            ["c_nationkey", "c_mktsegment", "band", "n"]
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["c_nationkey", "c_mktsegment", "band"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # QI x band domain, corpus-size free
+    )
+    classes = (
+        cells.groupby(["c_nationkey", "c_mktsegment"])
+        .agg(l=("band", "nunique"), rows=("n", "sum"))
+        .reset_index()
+    )
+    rows = []
+    for l in L_DIV_THRESHOLDS:
+        below = classes[classes["l"] < l]
+        rows.append(
+            {"l": l, "n_classes_below": len(below),
+             "n_rows_at_risk": int(below["rows"].sum())}
+        )
+    return pd.DataFrame(rows).astype(
+        {"l": "int64", "n_classes_below": "int64", "n_rows_at_risk": "int64"}
+    )
+
+
+L_DIVERSITY_AUDIT_SQL = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         COUNT(DISTINCT CAST(FLOOR(c_acctbal / 100) AS BIGINT)) AS l,
+         COUNT(*) AS rows_n
+  FROM customer GROUP BY 1, 2
+), ls(l) AS (VALUES {", ".join(f"({l})" for l in L_DIV_THRESHOLDS)})
+SELECT CAST(ls.l AS BIGINT) AS l,
+       CAST(COUNT(*) FILTER (WHERE classes.l < ls.l) AS BIGINT)
+         AS n_classes_below,
+       CAST(COALESCE(SUM(rows_n) FILTER (WHERE classes.l < ls.l), 0)
+            AS BIGINT) AS n_rows_at_risk
+FROM ls CROSS JOIN classes
+GROUP BY ls.l ORDER BY l
+"""
