@@ -3713,3 +3713,120 @@ SELECT CAST(d AS BIGINT) AS duration_days,
 FROM rec WHERE deaths > 0
 ORDER BY duration_days
 """
+
+
+# -- lead-lag cross-correlation between type pairs ------------------------------
+
+CCF_LAGS = (1, 7)
+
+
+def ccf_type_pairs(sf_dir: str) -> "pd.DataFrame":
+    """Lead–lag cross-correlation ingredients between every ORDERED pair
+    of event types over the zero-filled daily count series: does type a at
+    day t predict type b at day t+k?  (The pairwise sibling of
+    ``acf_daily_by_type`` — same cleared-denominator exactness, same single
+    (type, day) count fold feeding the whole statistic.)
+
+    For each ordered pair (a, b) and lag k: ccf_num = m²·Σ a_t·b_{t+k}
+    − m·S_b·pre_a − m·S_a·post_b + (m−k)·S_a·S_b, reported beside the two
+    full-series variance numerators (var_x_num = m²·ΣC² − m·S²), so
+    r = ccf_num/√(var_a·var_b) is one caller-side division — no float or
+    sqrt ever crosses the oracle boundary.  Output: (type_a, type_b, lag,
+    n_days, ccf_num, var_a_num, var_b_num).  Beyond-reference engine
+    addition (SURVEY.md §2.8)."""
+    import itertools
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["ts", "event_type"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        folded = pa.table({"e": t["event_type"], "day": day})
+        return pa.TableGroupBy(folded, ["e", "day"]).aggregate(
+            [([], "count_all")]
+        )
+
+    d = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(["e", "day"])
+        .aggregate(Sum("count_all", alias_name="c"))
+        .to_pandas()  # O(|types| x span days)
+    )
+    d0, d1 = int(d["day"].min()), int(d["day"].max())
+    m = d1 - d0 + 1
+    series = {
+        e: dict(zip(sub["day"].astype(int), sub["c"].astype(int)))
+        for e, sub in d.groupby("e")
+    }
+    stats = {}
+    for e, cs in series.items():
+        s1 = sum(cs.values())
+        s2 = sum(c * c for c in cs.values())
+        stats[e] = (s1, m * m * s2 - m * s1 * s1)
+    rows = []
+    for a, b in itertools.permutations(sorted(series), 2):
+        ca, cb = series[a], series[b]
+        sa, va = stats[a]
+        sb, vb = stats[b]
+        for k in CCF_LAGS:
+            cross = sum(c * cb.get(day + k, 0) for day, c in ca.items())
+            pre_a = sum(c for day, c in ca.items() if day <= d1 - k)
+            post_b = sum(c for day, c in cb.items() if day >= d0 + k)
+            num = (m * m * cross - m * sb * pre_a - m * sa * post_b
+                   + (m - k) * sa * sb)
+            rows.append(
+                {"type_a": a, "type_b": b, "lag": k, "n_days": m,
+                 "ccf_num": num, "var_a_num": va, "var_b_num": vb}
+            )
+    return (
+        pd.DataFrame(sorted(rows, key=lambda r:
+                            (r["type_a"], r["type_b"], r["lag"])))
+        .astype({c: "int64" for c in
+                 ("lag", "n_days", "ccf_num", "var_a_num", "var_b_num")})
+        .reset_index(drop=True)
+    )
+
+
+CCF_TYPE_PAIRS_SQL = f"""
+WITH d AS (
+  SELECT event_type AS e, epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS HUGEINT) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1,
+                MAX(day) - MIN(day) + 1 AS m FROM d),
+s AS (SELECT e, SUM(c) AS s1, SUM(c * c) AS s2 FROM d GROUP BY e),
+tp AS (SELECT a.e AS ea, b.e AS eb FROM s a JOIN s b ON a.e <> b.e),
+lags(k) AS (VALUES {", ".join(f"({k})" for k in CCF_LAGS)}),
+cross_k AS (
+  SELECT t.ea, t.eb, l.k, COALESCE(SUM(a.c * b.c), 0) AS cr
+  FROM tp t CROSS JOIN lags l
+  LEFT JOIN d a ON a.e = t.ea
+  LEFT JOIN d b ON b.e = t.eb AND b.day = a.day + l.k
+  GROUP BY 1, 2, 3
+),
+edge AS (
+  SELECT t.ea, t.eb, l.k,
+         (SELECT COALESCE(SUM(c), 0) FROM d, span
+          WHERE d.e = t.ea AND d.day <= span.d1 - l.k) AS pre_a,
+         (SELECT COALESCE(SUM(c), 0) FROM d, span
+          WHERE d.e = t.eb AND d.day >= span.d0 + l.k) AS post_b
+  FROM tp t CROSS JOIN lags l
+)
+SELECT e.ea AS type_a, e.eb AS type_b, CAST(e.k AS BIGINT) AS lag,
+       CAST(span.m AS BIGINT) AS n_days,
+       CAST(span.m * span.m * c.cr - span.m * sb.s1 * e.pre_a
+            - span.m * sa.s1 * e.post_b
+            + (span.m - e.k) * sa.s1 * sb.s1 AS BIGINT) AS ccf_num,
+       CAST(span.m * span.m * sa.s2 - span.m * sa.s1 * sa.s1 AS BIGINT)
+         AS var_a_num,
+       CAST(span.m * span.m * sb.s2 - span.m * sb.s1 * sb.s1 AS BIGINT)
+         AS var_b_num
+FROM edge e
+JOIN cross_k c ON c.ea = e.ea AND c.eb = e.eb AND c.k = e.k
+JOIN s sa ON sa.e = e.ea
+JOIN s sb ON sb.e = e.eb
+CROSS JOIN span
+ORDER BY type_a, type_b, lag
+"""
