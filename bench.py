@@ -174,7 +174,8 @@ QUERY_CHUNKS = [
      "trimmed_mean_by_type", "resource_allocation_topk",
      "heaps_vocab_growth", "km_survival", "wasserstein_type_pairs",
      "isotonic_price_urgency", "greedy_vocab_cover",
-     "jackknife_mean_by_type", "l_diversity_audit", "ccf_type_pairs"],
+     "jackknife_mean_by_type", "l_diversity_audit", "ccf_type_pairs",
+     "user_day_streaks"],
 ]
 
 

@@ -3830,3 +3830,80 @@ JOIN s sb ON sb.e = e.eb
 CROSS JOIN span
 ORDER BY type_a, type_b, lag
 """
+
+
+# -- longest active-day streak per user (gaps and islands) ----------------------
+
+def user_day_streaks(sf_dir: str) -> Dataset:
+    """Longest run of CONSECUTIVE active days per user — the
+    gaps-and-islands engagement metric (login streaks).  The classic
+    SQL identity (day − dense_rank is constant within an island) runs
+    vectorized inside ONE user-bucket co-location: distinct (user, day)
+    pairs, sorted; island id = day − cumcount within user; the longest
+    island and the island count fall out of two groupbys — no Python loop,
+    no second exchange.  Output: (user_id, n_active_days, n_streaks,
+    max_streak_days)."""
+    import numpy as np
+
+    nb = _user_buckets(sf_dir)
+    ds = _read_events(sf_dir, ["ts", "user_id"])
+
+    def keyed(t: pa.Table) -> pd.DataFrame:
+        df = t.to_pandas()
+        u = df["user_id"].astype("int64")
+        day = (
+            df["ts"].astype("datetime64[us]").astype("int64")
+            // 86_400_000_000
+        )
+        out = pd.DataFrame({"user_id": u, "day": day}).drop_duplicates()
+        out["ub"] = (out["user_id"] % nb).astype("int32")
+        return out
+
+    def streaks(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g[["user_id", "day"]].drop_duplicates()
+            .sort_values(["user_id", "day"])
+            .reset_index(drop=True)
+        )
+        pos = g.groupby("user_id", sort=True).cumcount()
+        g["island"] = g["day"] - pos
+        isl = (
+            g.groupby(["user_id", "island"], sort=True)
+            .size()
+            .reset_index(name="len")
+        )
+        out = isl.groupby("user_id", sort=True).agg(
+            n_streaks=("len", "size"), max_streak_days=("len", "max")
+        )
+        out["n_active_days"] = isl.groupby("user_id")["len"].sum()
+        return out.reset_index()[
+            ["user_id", "n_active_days", "n_streaks", "max_streak_days"]
+        ].astype("int64")
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(streaks, batch_format="pandas")
+        .sort("user_id")
+    )
+
+
+USER_DAY_STREAKS_SQL = """
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+isl AS (
+  SELECT user_id,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+           AS island
+  FROM d
+),
+runs AS (
+  SELECT user_id, island, COUNT(*) AS len
+  FROM isl GROUP BY user_id, island
+)
+SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS max_streak_days
+FROM runs GROUP BY user_id ORDER BY user_id
+"""

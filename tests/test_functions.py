@@ -1672,7 +1672,7 @@ def test_round4_session5_ops_match_oracle(ray_session):
              "km_survival", "wasserstein_type_pairs",
              "isotonic_price_urgency", "greedy_vocab_cover",
              "jackknife_mean_by_type", "l_diversity_audit",
-             "ccf_type_pairs"]
+             "ccf_type_pairs", "user_day_streaks"]
     qs, oracles = e.queries(), e.oracle_sql()
     con = duckdb.connect()
     for t in ("orders", "events", "documents", "lineitem", "customer",
