@@ -1776,3 +1776,59 @@ def test_ddsketch_error_bound(ray_session):
         exact = int(v[(q * len(v) + 9999) // 10000 - 1])
         assert est <= exact, (q, est, exact)
         assert exact * 16 < est * 17, (q, est, exact)
+
+
+def test_session6_op_invariants(ray_session):
+    """Mathematical invariants of the session-6 operators at sf0.001 —
+    properties the hash-equality gate can't see (it would accept a wrong
+    oracle pair): Lorenz curves are monotone and below the diagonal,
+    isotonic fits are non-decreasing, Kaplan-Meier is non-increasing with
+    shrinking risk sets, Kendall pair counts partition n-choose-2, greedy
+    coverage has non-increasing marginal gains that telescope into the
+    covered total, and streaks are bounded by active days."""
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    qs = e.queries()
+
+    lor = qs["lorenz_by_status"](sf)
+    for _, g in lor.groupby("o_orderstatus"):
+        s = g.sort_values("q_mu")
+        assert s["share_u"].is_monotonic_increasing
+        assert (s["share_u"] <= s["q_mu"]).all()  # below the diagonal
+
+    iso = qs["isotonic_price_urgency"](sf)
+    assert iso.sort_values("bin_id")["iso_rate_mu"].is_monotonic_increasing
+    assert (iso["pos"] <= iso["n"]).all()
+
+    km = qs["km_survival"](sf)
+    s = km.sort_values("duration_days")
+    assert (s["km_survival_mu"].diff().dropna() <= 0).all()
+    assert (s["n_risk"].diff().dropna() < 0).all()
+    assert (s["n_events"] > 0).all()
+
+    kt = qs["kendall_tau_counts"](sf)
+    total_pairs = (
+        kt["concordant"] + kt["discordant"] + kt["ties_x"] + kt["ties_y"]
+        + kt["ties_xy"]
+    )
+    assert (total_pairs == kt["n"] * (kt["n"] - 1) // 2).all()
+
+    gc = qs["greedy_vocab_cover"](sf)
+    s = gc.sort_values("sel_round")
+    assert (s["new_tokens"].diff().dropna() <= 0).all()  # submodularity
+    assert (s["new_tokens"].cumsum() == s["covered_total"]).all()
+    assert (s["new_tokens"] > 0).all()  # termination contract
+
+    st = qs["user_day_streaks"](sf).to_pandas()
+    assert (st["max_streak_days"] <= st["n_active_days"]).all()
+    assert (st["n_streaks"] >= 1).all()
+
+    fano = qs["fano_factor_by_type"](sf)
+    assert (fano["fano_den"] > 0).all()
+    assert (fano["days_active"] <= fano["n_days"]).all()
+    assert (fano["fano_num"] >= 0).all()  # m*S2 >= S1^2 by Cauchy-Schwarz
+
+    w1 = qs["wasserstein_type_pairs"](sf)
+    assert (w1["emd_num"] >= 0).all()
+    assert (w1["emd_den"] == w1["n_a"] * w1["n_b"]).all()
