@@ -980,3 +980,168 @@ SELECT k AS o_orderkey, price, CAST(version AS BIGINT) AS version
 FROM latest WHERE rn = 1 AND op <> 'd'
 ORDER BY o_orderkey
 """
+
+
+# -- directional association rules (support / confidence / lift) --------------
+
+#: Minimum co-occurrence count for an emitted rule; keeps the rule table
+#: non-degenerate at tiny scale and bounds nothing at large scale (the
+#: pair domain itself is |brands|^2-bounded).
+ASSOC_MIN_SUP = 2
+
+
+def assoc_rules(sf_dir: str) -> "object":
+    """Directional market-basket association rules over order baskets at
+    the part-BRAND granularity (Agrawal-Srikant support/confidence/lift,
+    the classic retail co-purchase miner): for every ordered brand pair
+    (ante -> cons) seen in >= ``ASSOC_MIN_SUP`` common baskets, the exact
+    counts and the fixed-point confidence / lift.
+
+    Shape for 100 TB: lineitem |><| part attaches the brand (hash join;
+    part is the small side but corpus-proportional in principle, so the
+    shuffle-join plan is used), then ONE orderkey-bucket co-location makes
+    every basket bucket-local; the in-bucket kernel dedups (order, brand)
+    and expands pairs via a vectorized self-merge — per-basket distinct
+    brands are bounded by the brand domain, so the expansion is O(|B|^2)
+    per order worst-case and ~1-7 in practice.  Pair counts, per-brand
+    basket counts and the basket total are all bucket-local partials off
+    that one exchange; the final groupby folds a <= |B|^2 + |B| + 1 row
+    tall table.  Confidence/lift are emitted as exact ppm floors
+    (conf_ppm = 1e6*n_ab // n_a, lift_ppm = 1e6*n_ab*N // (n_a*n_b)) so
+    the DuckDB oracle hash-matches.  Output: (ante, cons, n_ab, n_ante,
+    n_cons, n_baskets, conf_ppm, lift_ppm) sorted by (ante, cons).
+    Beyond-reference engine addition (SURVEY.md §2.6)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from ._util import n_buckets
+
+    BUCKETS = n_buckets(pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    joined = li.join(
+        part,
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+        aggregator_ray_remote_args={"num_cpus": 0},
+    )
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        # map-side (order, brand) dedup shrinks the exchange below one row
+        # per lineitem
+        sub = (
+            t.select(["l_orderkey", "p_brand"])
+            .group_by(["l_orderkey", "p_brand"])
+            .aggregate([])
+        )
+        ok = pc.cast(sub["l_orderkey"], pa.int64())
+        return pa.table(
+            {
+                "ob": pc.cast(pc.bit_wise_and(ok, BUCKETS - 1), pa.int32()),
+                "l_orderkey": ok,
+                "p_brand": sub["p_brand"],
+            }
+        )
+
+    def partials(g: pd.DataFrame) -> pd.DataFrame:
+        # baskets are complete within a bucket (bucket key derives from the
+        # orderkey), so pair counts, brand marginals and the basket total
+        # are all exact bucket-local partials: one tall (a, b, n) frame
+        # where b='' marks a brand marginal and a='' b='' the basket count.
+        g = g.drop_duplicates(["l_orderkey", "p_brand"])
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["p_brand_x"] < m["p_brand_y"]]
+        pair = (
+            m.groupby(["p_brand_x", "p_brand_y"], as_index=False).size()
+            .rename(columns={"p_brand_x": "a", "p_brand_y": "b"})
+        )
+        marg = (
+            g.groupby("p_brand", as_index=False).size()
+            .rename(columns={"p_brand": "a"})
+        )
+        marg["b"] = ""
+        total = pd.DataFrame(
+            {"a": [""], "b": [""], "size": [g["l_orderkey"].nunique()]}
+        )
+        out = pd.concat(
+            [pair[["a", "b", "size"]], marg[["a", "b", "size"]], total],
+            ignore_index=True,
+        ).rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    folded = (
+        joined.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("ob")
+        .map_groups(partials, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # <= |brands|^2 + |brands| + 1 rows
+    )
+    n_baskets = int(folded.loc[(folded["a"] == "") & (folded["b"] == ""), "n"].iloc[0])
+    marg = {
+        r.a: int(r.n)
+        for r in folded[(folded["b"] == "") & (folded["a"] != "")].itertuples()
+    }
+    rows = []
+    pairs = folded[(folded["a"] != "") & (folded["b"] != "")]
+    for r in pairs.itertuples():
+        n_ab = int(r.n)
+        if n_ab < ASSOC_MIN_SUP:
+            continue
+        for ante, cons in ((r.a, r.b), (r.b, r.a)):
+            n_a, n_b = marg[ante], marg[cons]
+            rows.append(
+                {
+                    "ante": ante, "cons": cons, "n_ab": n_ab,
+                    "n_ante": n_a, "n_cons": n_b, "n_baskets": n_baskets,
+                    "conf_ppm": 10**6 * n_ab // n_a,
+                    "lift_ppm": 10**6 * n_ab * n_baskets // (n_a * n_b),
+                }
+            )
+    out = pd.DataFrame(
+        sorted(rows, key=lambda r: (r["ante"], r["cons"]))
+    ).reset_index(drop=True)
+    return out.astype(
+        {c: "int64" for c in
+         ("n_ab", "n_ante", "n_cons", "n_baskets", "conf_ppm", "lift_ppm")}
+    )
+
+
+ASSOC_RULES_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+total AS (SELECT COUNT(DISTINCT l_orderkey) AS nb FROM ob),
+marg AS (SELECT p_brand, COUNT(*) AS n FROM ob GROUP BY 1),
+pair AS (
+  SELECT a.p_brand AS x, b.p_brand AS y, COUNT(*) AS n_ab
+  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+   AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+),
+dir AS (
+  SELECT x AS ante, y AS cons, n_ab FROM pair WHERE n_ab >= 2
+  UNION ALL
+  SELECT y, x, n_ab FROM pair WHERE n_ab >= 2
+)
+SELECT d.ante, d.cons,
+       CAST(d.n_ab AS BIGINT) AS n_ab,
+       CAST(ma.n AS BIGINT) AS n_ante,
+       CAST(mc.n AS BIGINT) AS n_cons,
+       CAST(total.nb AS BIGINT) AS n_baskets,
+       CAST(1000000 * d.n_ab // ma.n AS BIGINT) AS conf_ppm,
+       CAST(CAST(1000000 AS HUGEINT) * d.n_ab * total.nb
+            // (CAST(ma.n AS HUGEINT) * mc.n) AS BIGINT) AS lift_ppm
+FROM dir d
+JOIN marg ma ON ma.p_brand = d.ante
+JOIN marg mc ON mc.p_brand = d.cons
+CROSS JOIN total
+ORDER BY ante, cons
+"""
