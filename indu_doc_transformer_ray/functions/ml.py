@@ -1890,3 +1890,140 @@ FROM theta t JOIN ctr c ON c.e = t.e JOIN tot ON tot.e = t.e
 GROUP BY t.e, tot.nt, tot.st
 ORDER BY event_type
 """
+
+
+# -- exact tie-corrected Spearman rank correlation ----------------------------
+
+def spearman_qty_discount(sf_dir: str) -> "pa.Table":
+    """Tie-corrected Spearman rank correlation between quantity and
+    discount per return flag — the nonparametric monotone-association
+    companion to ``kendall_tau_counts`` (Pearson on midranks; with ties,
+    the midrank formula is the exact definition, not an approximation).
+
+    Shape for 100 TB: BOTH variables live on tiny domains (50 quantities x
+    11 discounts), so ONE combiner groupby folds the joint (flag, qty,
+    disc) histogram — <= 550 cells per flag cross the wire, never rows.
+    The driver computes doubled midranks (2*cum_before + c + 1, integer-
+    exact under ties) from the marginals and the cleared-denominator
+    Pearson moments on ranks in arbitrary-precision Python ints.  The one
+    irrational step (sqrt of the variance product) uses IEEE-754 double
+    sqrt/divide — correctly rounded by the standard, so Python and DuckDB
+    produce bit-identical doubles from identical integer inputs and the
+    floored ppm output hash-matches.  int->double conversion of the >2^53
+    moment products is also correctly rounded on both sides.  Output:
+    (l_returnflag, n, spearman_ppm).  Beyond-reference engine addition
+    (SURVEY.md §2.8)."""
+    import math
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = read_small_aware(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "f": t["l_returnflag"],
+                "q": pc.cast(t["l_quantity"], pa.int64()),
+                "d": pc.cast(
+                    pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64()
+                ),
+            }
+        )
+        return pa.TableGroupBy(g, ["f", "q", "d"]).aggregate([([], "count_all")])
+
+    h = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(["f", "q", "d"])
+        .aggregate(Sum("count_all", alias_name="c"))
+        .to_pandas()  # <= |flags| x 550 cells
+    )
+
+    def midranks2(sub: "pd.DataFrame", key: str) -> dict[int, int]:
+        m = sub.groupby(key)["c"].sum().sort_index()
+        out, cum = {}, 0
+        for v, c in m.items():
+            out[int(v)] = 2 * cum + int(c) + 1
+            cum += int(c)
+        return out
+
+    rows = []
+    for f, sub in h.groupby("f"):
+        rq = midranks2(sub, "q")
+        rd = midranks2(sub, "d")
+        n = sx = sy = sxx = syy = sxy = 0
+        for r in sub.itertuples():
+            c, x, y = int(r.c), rq[int(r.q)], rd[int(r.d)]
+            n += c
+            sx += c * x
+            sy += c * y
+            sxx += c * x * x
+            syy += c * y * y
+            sxy += c * x * y
+        num = n * sxy - sx * sy
+        denx = n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        ppm = (
+            math.floor(
+                1000000.0 * (float(num) / math.sqrt(float(denx) * float(deny)))
+            )
+            if denx > 0 and deny > 0
+            else 0
+        )
+        rows.append({"l_returnflag": f, "n": n, "spearman_ppm": ppm})
+    rows.sort(key=lambda r: r["l_returnflag"])
+    return pa.table(
+        {
+            "l_returnflag": pa.array([r["l_returnflag"] for r in rows]),
+            "n": pa.array([r["n"] for r in rows], pa.int64()),
+            "spearman_ppm": pa.array(
+                [r["spearman_ppm"] for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
+SPEARMAN_QTY_DISCOUNT_SQL = """
+WITH h AS (
+  SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS q,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS d, COUNT(*) AS c
+  FROM lineitem GROUP BY 1, 2, 3
+),
+qm AS (SELECT f, q, SUM(c) AS cq FROM h GROUP BY 1, 2),
+qr AS (
+  SELECT f, q,
+         2 * COALESCE(SUM(cq) OVER (PARTITION BY f ORDER BY q
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cq + 1 AS rq2
+  FROM qm
+),
+dm AS (SELECT f, d, SUM(c) AS cd FROM h GROUP BY 1, 2),
+dr AS (
+  SELECT f, d,
+         2 * COALESCE(SUM(cd) OVER (PARTITION BY f ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + cd + 1 AS rd2
+  FROM dm
+),
+m AS (
+  SELECT h.f, CAST(SUM(c) AS HUGEINT) AS n,
+         SUM(CAST(c AS HUGEINT) * rq2) AS sx,
+         SUM(CAST(c AS HUGEINT) * rd2) AS sy,
+         SUM(CAST(c AS HUGEINT) * rq2 * rq2) AS sxx,
+         SUM(CAST(c AS HUGEINT) * rd2 * rd2) AS syy,
+         SUM(CAST(c AS HUGEINT) * rq2 * rd2) AS sxy
+  FROM h JOIN qr ON h.f = qr.f AND h.q = qr.q
+         JOIN dr ON h.f = dr.f AND h.d = dr.d
+  GROUP BY h.f
+)
+SELECT f AS l_returnflag, CAST(n AS BIGINT) AS n,
+       CAST(FLOOR(1000000.0 * (CAST(n * sxy - sx * sy AS DOUBLE)
+            / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                 * CAST(n * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+         AS spearman_ppm
+FROM m ORDER BY l_returnflag
+"""
