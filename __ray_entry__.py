@@ -515,6 +515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # session-7 additions
         "assoc_rules": relational.assoc_rules,
         "spearman_qty_discount": ml.spearman_qty_discount,
+        "ams_f2_by_type": sketches.ams_f2_by_type,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -640,6 +641,7 @@ def oracle_sql() -> dict[str, str]:
         "user_day_streaks": events.USER_DAY_STREAKS_SQL,
         "assoc_rules": relational.ASSOC_RULES_SQL,
         "spearman_qty_discount": ml.SPEARMAN_QTY_DISCOUNT_SQL,
+        "ams_f2_by_type": sketches.AMS_F2_BY_TYPE_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

@@ -2132,3 +2132,163 @@ SELECT ta AS type_a, tb AS type_b,
        CAST(MAX(na) * MAX(nb) AS BIGINT) AS emd_den
 FROM cum GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# -- AMS F2 sketch (second frequency moment) ----------------------------------
+
+#: AMS counter count: 16 independent ±1-hash counters; the estimate is the
+#: median of their squares (emitted as the sum of the two middle order
+#: statistics so the even-K median stays integer-exact).
+AMS_K = 16
+
+
+def ams_f2_by_type(sf_dir: str) -> "object":
+    """Second frequency moment F2 = Σ_u c_u² of the per-user event counts
+    for each event type, two ways side by side: the Alon-Matias-Szegedy
+    ±1-sketch estimate (STOC 1996 — THE original streaming-moments sketch;
+    F2 is the self-join size / repeat-rate statistic) and the exact value,
+    in the ``heavy_hitters``/``kmv`` sketch-accuracy-audit shape.
+
+    AMS state is ``AMS_K`` integer counters per type, each
+    ``Σ_events sign_j(user)`` with the sign drawn from bit j of the 64-bit
+    md5 of the user id — LINEAR in the stream, so per-batch partials fold
+    through an ordinary combiner groupby and NOTHING is co-located for the
+    sketch.  E[counter²] = F2; the estimate here is the median of the
+    ``AMS_K`` squares, emitted as the sum of the two middle order
+    statistics (integer-exact, SQL-mirrorable like ``hll_users_per_type``).
+    The exact side is ONE user-bucket co-location whose kernel counts
+    (type, user) locally (complete: bucket derives from the user id) and
+    ships only per-type Σc² partials.  Output: (event_type, f2_exact,
+    f2_ams_x2).  Beyond-reference engine addition (SURVEY.md §2.8)."""
+    import pandas as pd
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from ._util import n_buckets, read_small_aware
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/events.parquet").num_rows)
+    ds = read_small_aware(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def ams_partials(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        uids = df["user_id"].to_numpy(np.int64)
+        uniq, inv = np.unique(uids, return_inverse=True)
+        hv = np.array(
+            [
+                int.from_bytes(hashlib.md5(str(u).encode()).digest()[:8], "big")
+                for u in uniq
+            ],
+            dtype=np.uint64,
+        )
+        bits = (
+            (hv[:, None] >> np.arange(AMS_K, dtype=np.uint64)) & np.uint64(1)
+        ).astype(np.int64)
+        signs = (2 * bits - 1)[inv]  # (rows, K)
+        part = pd.DataFrame(signs, columns=[f"c{j}" for j in range(AMS_K)])
+        part["event_type"] = df["event_type"].to_numpy()
+        agg = part.groupby("event_type", as_index=False).sum()
+        return pa.table(
+            {
+                "event_type": pa.array(agg["event_type"], pa.string()),
+                **{
+                    f"c{j}": pa.array(agg[f"c{j}"].to_numpy(np.int64))
+                    for j in range(AMS_K)
+                },
+            }
+        )
+
+    counters = (
+        ds.map_batches(ams_partials, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(*[Sum(f"c{j}", alias_name=f"c{j}") for j in range(AMS_K)])
+        .to_pandas()  # |types| rows
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        return pa.table(
+            {
+                "ub": pc.cast(pc.bit_wise_and(uid, nb - 1), pa.int32()),
+                "event_type": t["event_type"],
+                "user_id": uid,
+            }
+        )
+
+    def bucket_f2(g: pd.DataFrame) -> pd.DataFrame:
+        cu = (
+            g.groupby(["event_type", "user_id"], as_index=False).size()
+        )
+        cu["f2"] = cu["size"].astype("int64") ** 2
+        out = cu.groupby("event_type", as_index=False)["f2"].sum()
+        out["f2"] = out["f2"].astype("int64")
+        return out
+
+    exact = (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(bucket_f2, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("f2", alias_name="f2_exact"))
+        .to_pandas()  # |types| rows
+    )
+
+    merged = exact.merge(counters, on="event_type").sort_values("event_type")
+    est = []
+    for r in merged.itertuples():
+        sq = sorted(int(getattr(r, f"c{j}")) ** 2 for j in range(AMS_K))
+        est.append(sq[AMS_K // 2 - 1] + sq[AMS_K // 2])
+    out = pd.DataFrame(
+        {
+            "event_type": merged["event_type"].to_numpy(),
+            "f2_exact": merged["f2_exact"].to_numpy(np.int64),
+            "f2_ams_x2": np.array(est, dtype=np.int64),
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+def _ams_sql() -> str:
+    terms = ",\n         ".join(
+        f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS c{j}"
+        for j in range(AMS_K)
+    )
+    squares = ", ".join(
+        f"CAST(c{j} AS HUGEINT) * c{j}" for j in range(AMS_K)
+    )
+    mid = AMS_K // 2
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+              AS UBIGINT) AS hv
+  FROM events
+),
+ctr AS (
+  SELECT event_type,
+         {terms}
+  FROM h GROUP BY event_type
+),
+med AS (
+  SELECT event_type,
+         list_sort(list_value({squares})) AS sq
+  FROM ctr
+),
+ex AS (
+  SELECT event_type, CAST(SUM(c * c) AS BIGINT) AS f2_exact
+  FROM (
+    SELECT event_type, user_id, COUNT(*) AS c FROM events GROUP BY 1, 2
+  ) GROUP BY event_type
+)
+SELECT ex.event_type, ex.f2_exact,
+       CAST(sq[{mid}] + sq[{mid + 1}] AS BIGINT) AS f2_ams_x2
+FROM ex JOIN med ON ex.event_type = med.event_type
+ORDER BY ex.event_type
+"""
+
+
+AMS_F2_BY_TYPE_SQL = _ams_sql()
