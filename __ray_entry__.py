@@ -516,6 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assoc_rules": relational.assoc_rules,
         "spearman_qty_discount": ml.spearman_qty_discount,
         "ams_f2_by_type": sketches.ams_f2_by_type,
+        "markov_stationary": events.markov_stationary,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -642,6 +643,7 @@ def oracle_sql() -> dict[str, str]:
         "assoc_rules": relational.ASSOC_RULES_SQL,
         "spearman_qty_discount": ml.SPEARMAN_QTY_DISCOUNT_SQL,
         "ams_f2_by_type": sketches.AMS_F2_BY_TYPE_SQL,
+        "markov_stationary": events.MARKOV_STATIONARY_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

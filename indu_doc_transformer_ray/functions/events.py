@@ -3907,3 +3907,141 @@ SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
        CAST(MAX(len) AS BIGINT) AS max_streak_days
 FROM runs GROUP BY user_id ORDER BY user_id
 """
+
+
+# -- Markov stationary distribution of the event-type chain --------------------
+
+#: Power-iteration rounds for ``markov_stationary`` — enough for the
+#: 5-state empirical chain to mix to well past ppm precision, small enough
+#: to unroll as chained CTEs in the oracle.
+MARKOV_ITERS = 12
+
+
+def markov_stationary(sf_dir: str) -> "pd.DataFrame":
+    """Stationary distribution of the per-user event-type Markov chain —
+    the long-run occupancy each event type converges to if users keep
+    transitioning per the empirical first-order chain (the PageRank-style
+    fixed point of behavioral-sequence models).
+
+    One user-bucket co-location builds the transition-count table (each
+    user's consecutive (ts, event_id)-ordered pairs are bucket-local;
+    per-bucket (a, b) count partials pre-fold, so the global groupby sees
+    |types|² cells — corpus-size-free).  The driver then runs
+    ``MARKOV_ITERS`` rounds of fixed-point power iteration in exact ppm
+    integers: π⁰ is the floored-uniform vector (remainder to the
+    lexicographically first states) and each step is
+    π'_b = Σ_a floor(π_a · c_ab / rowsum_a) — all floors, so the oracle's
+    unrolled chained-CTE replay is bit-identical (the ``gbdt_boost_rounds``
+    fixed-round-unroll pattern; DuckDB ``//`` truncates = floors on the
+    non-negative domain).  Output: (event_type, out_trans, pi_ppm).
+    Beyond-reference engine addition (SURVEY.md §2.8)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    nb = _user_buckets(sf_dir)
+    ds = _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        return pa.table(
+            {
+                "ub": pc.cast(pc.bit_wise_and(uid, nb - 1), pa.int32()),
+                "user_id": uid,
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "event_type": t["event_type"],
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"])
+        same = g["user_id"].to_numpy()[:-1] == g["user_id"].to_numpy()[1:]
+        et = g["event_type"].to_numpy()
+        out = pd.DataFrame({"a": et[:-1][same], "b": et[1:][same]})
+        agg = out.groupby(["a", "b"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+        agg["n"] = agg["n"].astype("int64")
+        return agg
+
+    t = (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # <= |types|^2 cells
+    )
+    states = sorted(set(t["a"]) | set(t["b"]))
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    c = np.zeros((k, k), dtype=np.int64)
+    for r in t.itertuples():
+        c[idx[r.a], idx[r.b]] = int(r.n)
+    rowsum = c.sum(axis=1)
+    pi = [10**6 // k + (1 if i < 10**6 % k else 0) for i in range(k)]
+    for _ in range(MARKOV_ITERS):
+        nxt = [0] * k
+        for a in range(k):
+            if rowsum[a] == 0:
+                continue
+            for b in range(k):
+                nxt[b] += pi[a] * int(c[a, b]) // int(rowsum[a])
+        pi = nxt
+    return pd.DataFrame(
+        {
+            "event_type": states,
+            "out_trans": rowsum.astype("int64"),
+            "pi_ppm": np.array(pi, dtype=np.int64),
+        }
+    )
+
+
+def _markov_sql() -> str:
+    steps = []
+    for i in range(1, MARKOV_ITERS + 1):
+        steps.append(
+            f"p{i} AS (\n"
+            f"  SELECT t.b AS s, SUM(p{i-1}.p * t.n // rs.rs) AS p\n"
+            f"  FROM p{i-1} JOIN t ON p{i-1}.s = t.a\n"
+            f"  JOIN rs ON rs.a = t.a\n"
+            f"  GROUP BY t.b\n"
+            f")"
+        )
+    chain = ",\n".join(steps)
+    last = f"p{MARKOV_ITERS}"
+    return f"""
+WITH seq AS (
+  SELECT event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS nxt
+  FROM events
+),
+t AS (
+  SELECT event_type AS a, nxt AS b, COUNT(*) AS n
+  FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+),
+rs AS (SELECT a, SUM(n) AS rs FROM t GROUP BY a),
+st AS (
+  SELECT a AS s, ROW_NUMBER() OVER (ORDER BY a) - 1 AS rnk,
+         COUNT(*) OVER () AS k
+  FROM (SELECT DISTINCT a FROM t UNION SELECT DISTINCT b FROM t)
+),
+p0 AS (
+  SELECT s, CAST(1000000 // k
+         + CASE WHEN rnk < 1000000 % k THEN 1 ELSE 0 END AS BIGINT) AS p
+  FROM st
+),
+{chain}
+SELECT st.s AS event_type,
+       CAST(COALESCE(rs.rs, 0) AS BIGINT) AS out_trans,
+       CAST(COALESCE({last}.p, 0) AS BIGINT) AS pi_ppm
+FROM st LEFT JOIN rs ON rs.a = st.s
+        LEFT JOIN {last} ON {last}.s = st.s
+ORDER BY event_type
+"""
+
+
+MARKOV_STATIONARY_SQL = _markov_sql()
