@@ -517,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_qty_discount": ml.spearman_qty_discount,
         "ams_f2_by_type": sketches.ams_f2_by_type,
         "markov_stationary": events.markov_stationary,
+        "cpd_daily_by_type": events.cpd_daily_by_type,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -644,6 +645,7 @@ def oracle_sql() -> dict[str, str]:
         "spearman_qty_discount": ml.SPEARMAN_QTY_DISCOUNT_SQL,
         "ams_f2_by_type": sketches.AMS_F2_BY_TYPE_SQL,
         "markov_stationary": events.MARKOV_STATIONARY_SQL,
+        "cpd_daily_by_type": events.CPD_DAILY_BY_TYPE_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

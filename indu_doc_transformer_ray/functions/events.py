@@ -4045,3 +4045,109 @@ ORDER BY event_type
 
 
 MARKOV_STATIONARY_SQL = _markov_sql()
+
+
+# -- changepoint detection over daily counts -----------------------------------
+
+def cpd_daily_by_type(sf_dir: str) -> "pd.DataFrame":
+    """Single best changepoint of each event type's zero-filled daily count
+    series — binary-segmentation step one (the CUSUM/least-squares split
+    that maximizes between-segment variance reduction; Scott-Knott / ruptures
+    style).  For a split after k of m days with left-sum s_l and total s,
+    the reduction is (m·s_l − k·s)² / (m·k·(m−k)); dropping the constant m
+    gives the per-k score h(k) = (m·s_l − k·s)² / (k·(m−k)).  The CONTRACT
+    statistic is the floored fixed-point ``h_scaled = (m·s_l − k·s)²·1024
+    // (k·(m−k))`` with argmax tie-broken toward the smaller k, so both
+    sides replay identically in integers (the fixed-point-lattice pattern;
+    all quantities non-negative so DuckDB's truncating ``//`` floors).
+
+    One (type, day) count fold is the only exchange (|types| × span-days
+    cells, corpus-size-free); the driver's zero-filled prefix scan over the
+    span is O(m) Python ints per type.  Output: (event_type, n_days,
+    total, split_k, h_scaled).  Beyond-reference engine addition
+    (SURVEY.md §2.8)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["ts", "event_type"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        folded = pa.table({"e": t["event_type"], "day": day})
+        return pa.TableGroupBy(folded, ["e", "day"]).aggregate(
+            [([], "count_all")]
+        )
+
+    d = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(["e", "day"])
+        .aggregate(Sum("count_all", alias_name="c"))
+        .to_pandas()  # O(|types| x span days)
+    )
+    d0, d1 = int(d["day"].min()), int(d["day"].max())
+    m = d1 - d0 + 1
+    rows = []
+    for e, sub in d.groupby("e"):
+        counts = [0] * m
+        for r in sub.itertuples():
+            counts[int(r.day) - d0] = int(r.c)
+        s = sum(counts)
+        best_k, best_h = 0, -1
+        sl = 0
+        for k in range(1, m):
+            sl += counts[k - 1]
+            num = m * sl - k * s
+            h = (num * num * 1024) // (k * (m - k))
+            if h > best_h:
+                best_k, best_h = k, h
+        rows.append(
+            {"event_type": e, "n_days": m, "total": s,
+             "split_k": best_k, "h_scaled": best_h}
+        )
+    return (
+        pd.DataFrame(sorted(rows, key=lambda r: r["event_type"]))
+        .astype({c: "int64" for c in
+                 ("n_days", "total", "split_k", "h_scaled")})
+        .reset_index(drop=True)
+    )
+
+
+CPD_DAILY_BY_TYPE_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d),
+days AS (
+  SELECT span.d0 + u.g AS day
+  FROM span, (
+    SELECT generate_series AS g FROM generate_series(0, 100000)
+  ) u
+  WHERE span.d0 + u.g <= span.d1
+),
+types AS (SELECT DISTINCT event_type FROM d),
+z AS (
+  SELECT t.event_type, dd.day, COALESCE(d.c, 0) AS c
+  FROM types t CROSS JOIN days dd
+  LEFT JOIN d ON d.event_type = t.event_type AND d.day = dd.day
+),
+cum AS (
+  SELECT event_type,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY day) AS sl,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k,
+         SUM(c) OVER (PARTITION BY event_type) AS s,
+         COUNT(*) OVER (PARTITION BY event_type) AS m
+  FROM z
+),
+sc AS (
+  SELECT event_type, k, s, m,
+         (CAST(m * sl - k * s AS HUGEINT)
+          * (m * sl - k * s) * 1024) // (CAST(k AS HUGEINT) * (m - k))
+           AS h
+  FROM cum WHERE k < m
+)
+SELECT event_type, CAST(m AS BIGINT) AS n_days, CAST(s AS BIGINT) AS total,
+       CAST(k AS BIGINT) AS split_k, CAST(h AS BIGINT) AS h_scaled
+FROM sc
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h DESC, k ASC) = 1
+ORDER BY event_type
+"""
