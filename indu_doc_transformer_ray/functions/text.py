@@ -2838,3 +2838,109 @@ FROM cps c ORDER BY c.checkpoint
 
 
 HEAPS_VOCAB_GROWTH_SQL = _heaps_sql()
+
+
+# -- Yule's K lexical-richness audit -------------------------------------------
+
+def yule_k_by_lang(sf_dir: str) -> "object":
+    """Yule's characteristic constant K per language — the classic
+    repeat-rate measure of lexical richness (Yule 1944; low K = rich
+    vocabulary, high K = repetitive), the corpus-quality audit companion
+    to ``char_entropy``/``compression_ratio``.  K = 10⁴·(Σc² − n)/n² over
+    the per-(lang, token) frequency table.
+
+    Scale shape: per-batch combiner token counts feed ONE (lang, token)
+    groupby bounded by the VOCABULARY (Heaps' law), never the corpus; the
+    per-lang moments (Σc², Σc, V) then fold through a second combiner
+    map_batches over the vocabulary rows into a |langs|-row aggregate —
+    nothing vocabulary-sized reaches the driver.  Output keeps the
+    statistic exact as a 1e10-scaled floor:
+    ``yule_e10 = 10¹⁰·(Σc² − n) // n²``.  Output: (lang, n_tokens, vocab,
+    yule_e10).  Beyond-reference engine addition (SURVEY.md §2.8)."""
+    import pandas as pd
+
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs, toks, ns = [], [], []
+        lc = t.column("lang").to_pylist()
+        for lang, text in zip(lc, t.column("text").to_pylist()):
+            c = Counter(TOKEN_RE.findall(text.lower()))
+            langs.extend([lang] * len(c))
+            toks.extend(c.keys())
+            ns.extend(c.values())
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "token": pa.array(toks, pa.string()),
+                "pn": pa.array(ns, pa.int64()),
+            }
+        )
+
+    vocab = (
+        _read_docs(sf_dir, ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "token"])
+        .aggregate(Sum("pn", alias_name="c"))
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = pc.cast(t["c"], pa.int64())
+        g = pa.table(
+            {
+                "lang": t["lang"],
+                "s1": c,
+                "s2": pc.multiply(c, c),
+                "v": pa.array([1] * len(c), pa.int64()),
+            }
+        )
+        return pa.TableGroupBy(g, ["lang"]).aggregate(
+            [("s1", "sum"), ("s2", "sum"), ("v", "sum")]
+        )
+
+    m = (
+        vocab.map_batches(moments, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("s1_sum", alias_name="s1"),
+            Sum("s2_sum", alias_name="s2"),
+            Sum("v_sum", alias_name="v"),
+        )
+        .to_pandas()  # |langs| rows
+    )
+    rows = []
+    for r in m.itertuples():
+        n, s2 = int(r.s1), int(r.s2)
+        rows.append(
+            {"lang": r.lang, "n_tokens": n, "vocab": int(r.v),
+             "yule_e10": 10**10 * (s2 - n) // (n * n)}
+        )
+    return (
+        pd.DataFrame(sorted(rows, key=lambda x: x["lang"]))
+        .astype({c: "int64" for c in ("n_tokens", "vocab", "yule_e10")})
+        .reset_index(drop=True)
+    )
+
+
+YULE_K_BY_LANG_SQL = """
+WITH tf AS (
+  SELECT lang, tok, COUNT(*) AS c
+  FROM (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+          AS tok FROM documents)
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT lang, CAST(SUM(c) AS HUGEINT) AS n,
+         SUM(CAST(c AS HUGEINT) * c) AS s2,
+         COUNT(*) AS v
+  FROM tf GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n_tokens, CAST(v AS BIGINT) AS vocab,
+       CAST(CAST(10000000000 AS HUGEINT) * (s2 - n) // (n * n) AS BIGINT)
+         AS yule_e10
+FROM m ORDER BY lang
+"""
