@@ -4151,3 +4151,81 @@ FROM sc
 QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h DESC, k ASC) = 1
 ORDER BY event_type
 """
+
+
+# -- exact trailing-window rolling median --------------------------------------
+
+def rolling_median_value(sf_dir: str) -> Dataset:
+    """Exact trailing-5-event rolling MEDIAN of each user's value stream —
+    the holistic windowed aggregate (unlike sum/mean, a median cannot be
+    expressed as running partials, which is why warehouses special-case
+    it).  The window is odd and values are integer cents, so the median is
+    integer-exact and hash-matches the window-function oracle.
+
+    One user-bucket co-location is the only exchange; the in-bucket kernel
+    sorts once and computes every user's rolling median via pandas'
+    C-level ``groupby(...).rolling(5).median()`` — no Python loop.  Only
+    full windows emit (row number >= 5 within the user).  Output:
+    (event_id, med_c2), one row per event past the warm-up.
+    Beyond-reference engine addition (SURVEY.md §2.8)."""
+    nb = _user_buckets(sf_dir)
+    ds = _read_events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        return pa.table(
+            {
+                "ub": pc.cast(pc.bit_wise_and(uid, nb - 1), pa.int32()),
+                "user_id": uid,
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "v_c2": pc.cast(
+                    pc.round(pc.multiply(t["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    def kernel(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts_us", "event_id"]).reset_index(drop=True)
+        med = (
+            g.groupby("user_id")["v_c2"]
+            .rolling(window=5, min_periods=5)
+            .median()
+            .reset_index(level=0, drop=True)
+        )
+        keep = med.notna()
+        return pa.table(
+            {
+                "event_id": pa.array(
+                    g.loc[keep, "event_id"].to_numpy("int64")
+                ),
+                "med_c2": pa.array(med[keep].to_numpy("int64")),
+            }
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+ROLLING_MEDIAN_VALUE_SQL = """
+WITH v AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS v_c2
+  FROM events
+),
+w AS (
+  SELECT event_id,
+         CAST(median(v_c2) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS med_c2,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS rn
+  FROM v
+)
+SELECT event_id, med_c2 FROM w WHERE rn >= 5 ORDER BY event_id
+"""
