@@ -520,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cpd_daily_by_type": events.cpd_daily_by_type,
         "yule_k_by_lang": text.yule_k_by_lang,
         "rolling_median_value": events.rolling_median_value,
+        "neighbor_jaccard_topk": similarity.neighbor_jaccard_topk,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -650,6 +651,7 @@ def oracle_sql() -> dict[str, str]:
         "cpd_daily_by_type": events.CPD_DAILY_BY_TYPE_SQL,
         "yule_k_by_lang": text.YULE_K_BY_LANG_SQL,
         "rolling_median_value": events.ROLLING_MEDIAN_VALUE_SQL,
+        "neighbor_jaccard_topk": similarity.NEIGHBOR_JACCARD_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

@@ -1905,3 +1905,168 @@ WHERE e.a IS NULL
 ORDER BY ra_score_mu DESC, vec_a, vec_b
 LIMIT 20
 """
+
+
+# -- neighborhood-Jaccard link prediction --------------------------------------
+
+def neighbor_jaccard_topk(sf_dir: str, k: int = 20) -> Dataset:
+    """Link prediction by neighborhood Jaccard over the undirected memoized
+    IVF k-NN graph: for every NON-adjacent pair,
+    J = |N(a)∩N(b)| / |N(a)∪N(b)| — the degree-normalized cousin of
+    ``common_neighbors_topk`` (high-degree hubs stop dominating).  Emitted
+    as the exact ppm floor ``jac_ppm = 1e6·inter // (deg_a + deg_b −
+    inter)``; global top-``k`` by (jac_ppm DESC, pair ASC).
+
+    Shape: the wedge stages are shared with common-neighbors (center-bucket
+    co-location → vectorized triu wedges → pair-bucket fold).  Degrees are
+    a NODE-proportional table (one row per vector), folded distributed and
+    shipped ONCE via ``ray.put`` into the pair fold — fine to
+    ``MAX_BROADCAST_DIM_ROWS``; past it the degree attach becomes two more
+    pair-keyed co-locations (x then y), same answer.  The per-bucket
+    top-k prune is lossless under the same (jac_ppm, x, y) total order as
+    the final sort."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    from ._util import n_buckets
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows)
+    MIX = 2654435761
+
+    def both_dirs(t: pd.DataFrame) -> pd.DataFrame:
+        v = t["vec_id"].to_numpy(dtype=np.int64)
+        n = t["nbr_id"].to_numpy(dtype=np.int64)
+        c = np.concatenate([v, n])
+        o = np.concatenate([n, v])
+        return pd.DataFrame(
+            {"cb": (c % nb).astype("int32"), "center": c, "nbr": o}
+        )
+
+    keyed = knn_graph(sf_dir).map_batches(both_dirs, batch_format="pandas")
+
+    def degs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["center", "nbr"]).groupby(
+            "center", as_index=False
+        ).size()
+        return pd.DataFrame(
+            {"node": d["center"].to_numpy("int64"),
+             "deg": d["size"].to_numpy("int64")}
+        )
+
+    deg_df = (
+        keyed.groupby("cb").map_groups(degs, batch_format="pandas")
+        .to_pandas()  # O(nodes) — one int row per vector
+    )
+    deg_ref = _ray.put(
+        dict(zip(deg_df["node"].tolist(), deg_df["deg"].tolist()))
+    )
+
+    def wedges(g: pd.DataFrame) -> pa.Table:
+        out_x, out_y, out_f = [], [], []
+        for c, sub in g.groupby("center"):
+            nbrs = np.unique(sub["nbr"].to_numpy())
+            m = len(nbrs)
+            if m >= 2:
+                ii, jj = np.triu_indices(m, 1)
+                out_x.append(nbrs[ii])
+                out_y.append(nbrs[jj])
+                out_f.append(np.zeros(len(ii), dtype=np.int8))
+            e = nbrs[nbrs > c]
+            if len(e):
+                out_x.append(np.full(len(e), c, dtype=np.int64))
+                out_y.append(e)
+                out_f.append(np.ones(len(e), dtype=np.int8))
+        if not out_x:
+            return pa.table(
+                {
+                    "pb": pa.array([], pa.int32()),
+                    "x": pa.array([], pa.int64()),
+                    "y": pa.array([], pa.int64()),
+                    "is_edge": pa.array([], pa.int8()),
+                }
+            )
+        x = np.concatenate(out_x)
+        y = np.concatenate(out_y)
+        f = np.concatenate(out_f)
+        pb = ((x.astype(np.uint64) * MIX + y.astype(np.uint64)) % nb).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "pb": pa.array(pb),
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "is_edge": pa.array(f),
+            }
+        )
+
+    def pair_fold(g: pd.DataFrame) -> pa.Table:
+        deg = _ray.get(deg_ref)
+        sc = g[g["is_edge"] == 0].groupby(["x", "y"]).size()
+        ed = g[g["is_edge"] == 1][["x", "y"]].drop_duplicates()
+        sc = sc.reset_index(name="inter")
+        merged = sc.merge(ed.assign(e=1), on=["x", "y"], how="left")
+        live = merged[merged["e"].isna()].copy()
+        if len(live) == 0:
+            return pa.table(
+                {
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                    "jac_ppm": pa.array([], pa.int64()),
+                }
+            )
+        inter = live["inter"].to_numpy("int64")
+        dx = live["x"].map(deg).to_numpy("int64")
+        dy = live["y"].map(deg).to_numpy("int64")
+        live["jac_ppm"] = 10**6 * inter // (dx + dy - inter)
+        live = live.sort_values(
+            ["jac_ppm", "x", "y"], ascending=[False, True, True]
+        ).head(k)
+        return pa.table(
+            {
+                "vec_a": pa.array(live["x"].to_numpy("int64")),
+                "vec_b": pa.array(live["y"].to_numpy("int64")),
+                "jac_ppm": pa.array(live["jac_ppm"].to_numpy("int64")),
+            }
+        )
+
+    return (
+        keyed.groupby("cb")
+        .map_groups(wedges, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(pair_fold, batch_format="pandas")
+        .sort(["jac_ppm", "vec_a", "vec_b"], descending=[True, False, False])
+        .limit(k)
+    )
+
+
+NEIGHBOR_JACCARD_SQL = f"""
+WITH g AS MATERIALIZED ({KNN_GRAPH_SQL}),
+und AS (
+  SELECT vec_id AS a, nbr_id AS b FROM g
+  UNION
+  SELECT nbr_id, vec_id FROM g
+),
+deg AS (SELECT a, COUNT(*) AS d FROM und GROUP BY a),
+wedge AS (
+  SELECT u1.b AS x, u2.b AS y
+  FROM und u1 JOIN und u2 ON u1.a = u2.a AND u1.b < u2.b
+),
+cn AS (SELECT x, y, COUNT(*) AS inter FROM wedge GROUP BY x, y),
+live AS (
+  SELECT cn.x, cn.y, cn.inter, da.d AS dx, db.d AS dy
+  FROM cn
+  JOIN deg da ON da.a = cn.x
+  JOIN deg db ON db.a = cn.y
+  LEFT JOIN und e ON cn.x = e.a AND cn.y = e.b
+  WHERE e.a IS NULL
+)
+SELECT x AS vec_a, y AS vec_b,
+       CAST(1000000 * inter // (dx + dy - inter) AS BIGINT) AS jac_ppm
+FROM live
+ORDER BY jac_ppm DESC, vec_a, vec_b
+LIMIT 20
+"""

@@ -2246,6 +2246,7 @@ from .graph import (  # noqa: E402,F401
     LP_ROUNDS,
     LP_SEED_MOD,
     MUTUAL_KNN_PAIRS_SQL,
+    NEIGHBOR_JACCARD_SQL,
     PAGERANK_DRIVER_EDGE_BUDGET,
     PAGERANK_KNN_SQL,
     PAGERANK_MASS,
@@ -2259,6 +2260,7 @@ from .graph import (  # noqa: E402,F401
     knn_label_accuracy,
     label_propagation,
     mutual_knn_pairs,
+    neighbor_jaccard_topk,
     pagerank_knn,
     triangle_count,
     vec_dup_clusters,
