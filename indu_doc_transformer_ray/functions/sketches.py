@@ -2292,3 +2292,126 @@ ORDER BY ex.event_type
 
 
 AMS_F2_BY_TYPE_SQL = _ams_sql()
+
+
+# -- interpolated (quantile_cont) percentiles ----------------------------------
+
+#: percent points for the interpolated quantile surface
+QCONT_PCTS = (25, 50, 75, 90)
+
+
+def quantile_cont_price(sf_dir: str) -> "object":
+    """INTERPOLATED percentiles of l_extendedprice — SQL ``quantile_cont``
+    / numpy ``linear`` semantics (pos = p/100·(n−1), linear blend of the
+    two straddling order statistics), complementing the discrete
+    ``exact_price_quantiles``.  The blend stays integer-exact by emitting
+    hundredth-of-cent units: with k = (n−1)·p // 100 and remainder
+    r = (n−1)·p % 100, ``value_c4 = v_k·100 + (v_{k+1} − v_k)·r`` — no
+    float division on either side.
+
+    Same two-pass counting-histogram shape as ``exact_price_quantiles``
+    (coarse bucket counts locate the straddling buckets; the fine pass
+    re-reads only those buckets' values), fetching BOTH order statistics
+    k and k+1 per target.  Output: (pct, value_c4).  Beyond-reference
+    engine addition (SURVEY.md §2.8)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ._util import read_small_aware
+
+    ds = read_small_aware(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        folded = pa.table({"b": _floor_bucket(v)})
+        return pa.TableGroupBy(folded, "b").aggregate([([], "count_all")])
+
+    counts = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(ray.data.aggregate.Sum("count_all", alias_name="n"))
+        .to_pandas()  # <= domain / 4096 rows
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    n = int(counts["n"].sum())
+    cum = counts["n"].cumsum()
+
+    # ranks needed: k and k+1 (0-based) per percent point
+    kparts = {p: divmod((n - 1) * p, 100) for p in QCONT_PCTS}
+    ranks = sorted(
+        {k for k, _ in kparts.values()}
+        | {min(k + 1, n - 1) for k, _ in kparts.values()}
+    )
+    need: dict[int, list[int]] = {}
+    rank_bucket: dict[int, tuple[int, int]] = {}
+    for rk in ranks:
+        i = int((cum > rk).idxmax())
+        b = int(counts.loc[i, "b"])
+        before = int(cum.iloc[i - 1]) if i > 0 else 0
+        need.setdefault(b, []).append(rk)
+        rank_bucket[rk] = (b, rk - before)
+
+    wanted = pa.array(sorted(need), pa.int64())
+
+    def in_bucket(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        sub = pa.table({"b": _floor_bucket(v), "v": v}).filter(
+            pc.is_in(_floor_bucket(v), value_set=wanted)
+        )
+        return pa.TableGroupBy(sub, ["b", "v"]).aggregate([([], "count_all")])
+
+    fine = (
+        ds.map_batches(in_bucket, batch_format="pyarrow")
+        .groupby(["b", "v"])
+        .aggregate(ray.data.aggregate.Sum("count_all", alias_name="n"))
+        .to_pandas()  # <= |wanted| * 4096 rows
+    )
+
+    val_at: dict[int, int] = {}
+    for b, rks in need.items():
+        g = fine[fine["b"] == b].sort_values("v").reset_index(drop=True)
+        gc = g["n"].cumsum()
+        for rk in rks:
+            j = int((gc > rank_bucket[rk][1]).idxmax())
+            val_at[rk] = int(g.loc[j, "v"])
+
+    rows = []
+    for p in QCONT_PCTS:
+        k, r = kparts[p]
+        lo = val_at[k]
+        hi = val_at[min(k + 1, n - 1)]
+        rows.append({"pct": p, "value_c4": lo * 100 + (hi - lo) * r})
+    return (
+        pd.DataFrame(rows)
+        .astype({"pct": "int64", "value_c4": "int64"})
+        .sort_values("pct")
+        .reset_index(drop=True)
+    )
+
+
+QUANTILE_CONT_PRICE_SQL = """
+WITH v AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v
+  FROM lineitem
+),
+r AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS rk,
+         COUNT(*) OVER () AS n
+  FROM v
+),
+p AS (SELECT * FROM (VALUES (25), (50), (75), (90)) AS t(pct)),
+t AS (
+  SELECT pct, (n - 1) * pct // 100 AS k, (n - 1) * pct % 100 AS rem
+  FROM p CROSS JOIN (SELECT DISTINCT n FROM r) AS nn(n)
+)
+SELECT t.pct,
+       CAST(lo.v * 100 + (COALESCE(hi.v, lo.v) - lo.v) * t.rem AS BIGINT)
+         AS value_c4
+FROM t
+JOIN r lo ON lo.rk = t.k
+LEFT JOIN r hi ON hi.rk = t.k + 1
+ORDER BY t.pct
+"""
