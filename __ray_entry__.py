@@ -522,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_median_value": events.rolling_median_value,
         "neighbor_jaccard_topk": similarity.neighbor_jaccard_topk,
         "quantile_cont_price": sketches.quantile_cont_price,
+        "clustering_coeff_topk": similarity.clustering_coeff_topk,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -654,6 +655,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_median_value": events.ROLLING_MEDIAN_VALUE_SQL,
         "neighbor_jaccard_topk": similarity.NEIGHBOR_JACCARD_SQL,
         "quantile_cont_price": sketches.QUANTILE_CONT_PRICE_SQL,
+        "clustering_coeff_topk": similarity.CLUSTERING_COEFF_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

@@ -2070,3 +2070,200 @@ FROM live
 ORDER BY jac_ppm DESC, vec_a, vec_b
 LIMIT 20
 """
+
+
+# -- local clustering coefficient ----------------------------------------------
+
+def clustering_coeff_topk(sf_dir: str, k: int = 20) -> Dataset:
+    """Local clustering coefficient per node over the undirected memoized
+    IVF k-NN graph (Watts-Strogatz 1998): cc(v) = 2·tri(v) / (deg(v)·
+    (deg(v)−1)) — how close each node's neighborhood is to a clique; the
+    per-node refinement of ``triangle_count``.  Emitted as the exact ppm
+    floor, global top-``k`` by (cc_ppm DESC, node ASC), deg ≥ 2 only.
+
+    Distributed shape: the center-bucket wedge stage (shared with
+    common-neighbors / triangle counting) emits wedge rows CARRYING their
+    center plus canonical edge rows into a pair-bucket co-location; each
+    pair bucket credits every wedge whose endpoints are adjacent back to
+    its center (a triangle partial).  Those (node, tri) partials union
+    with the center stage's (node, deg) rows into ONE node-bucket fold
+    that computes cc — three bounded exchanges, wedge volume Σdeg², never
+    all-pairs, no driver state beyond the final k rows."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows)
+    MIX = 2654435761
+
+    def both_dirs(t: pd.DataFrame) -> pd.DataFrame:
+        v = t["vec_id"].to_numpy(dtype=np.int64)
+        n = t["nbr_id"].to_numpy(dtype=np.int64)
+        c = np.concatenate([v, n])
+        o = np.concatenate([n, v])
+        return pd.DataFrame(
+            {"cb": (c % nb).astype("int32"), "center": c, "nbr": o}
+        )
+
+    keyed = knn_graph(sf_dir).map_batches(both_dirs, batch_format="pandas")
+
+    _EMPTY_W = pa.table(
+        {
+            "pb": pa.array([], pa.int32()),
+            "x": pa.array([], pa.int64()),
+            "y": pa.array([], pa.int64()),
+            "c": pa.array([], pa.int64()),
+            "is_edge": pa.array([], pa.int8()),
+        }
+    )
+
+    def wedges(g: pd.DataFrame) -> pa.Table:
+        out_x, out_y, out_c, out_f = [], [], [], []
+        for c, sub in g.groupby("center"):
+            nbrs = np.unique(sub["nbr"].to_numpy())
+            m = len(nbrs)
+            if m >= 2:
+                ii, jj = np.triu_indices(m, 1)
+                out_x.append(nbrs[ii])
+                out_y.append(nbrs[jj])
+                out_c.append(np.full(len(ii), c, dtype=np.int64))
+                out_f.append(np.zeros(len(ii), dtype=np.int8))
+            e = nbrs[nbrs > c]
+            if len(e):
+                out_x.append(np.full(len(e), c, dtype=np.int64))
+                out_y.append(e)
+                out_c.append(np.full(len(e), -1, dtype=np.int64))
+                out_f.append(np.ones(len(e), dtype=np.int8))
+        if not out_x:
+            return _EMPTY_W
+        x = np.concatenate(out_x)
+        y = np.concatenate(out_y)
+        pb = ((x.astype(np.uint64) * MIX + y.astype(np.uint64)) % nb).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "pb": pa.array(pb),
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "c": pa.array(np.concatenate(out_c)),
+                "is_edge": pa.array(np.concatenate(out_f)),
+            }
+        )
+
+    def degs(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["center", "nbr"]).groupby(
+            "center", as_index=False
+        ).size()
+        node = d["center"].to_numpy("int64")
+        return pa.table(
+            {
+                "kb": pa.array((node % nb).astype("int32")),
+                "node": pa.array(node),
+                "t": pa.array(np.zeros(len(node), dtype=np.int64)),
+                "deg": pa.array(d["size"].to_numpy("int64")),
+            }
+        )
+
+    _EMPTY_T = pa.table(
+        {
+            "kb": pa.array([], pa.int32()),
+            "node": pa.array([], pa.int64()),
+            "t": pa.array([], pa.int64()),
+            "deg": pa.array([], pa.int64()),
+        }
+    )
+
+    def tri_partials(g: pd.DataFrame) -> pa.Table:
+        w = g[g["is_edge"] == 0]
+        ed = g[g["is_edge"] == 1][["x", "y"]].drop_duplicates()
+        hit = w.merge(ed.assign(e=1), on=["x", "y"], how="inner")
+        if len(hit) == 0:
+            return _EMPTY_T
+        t = hit.groupby("c", as_index=False).size()
+        node = t["c"].to_numpy("int64")
+        return pa.table(
+            {
+                "kb": pa.array((node % nb).astype("int32")),
+                "node": pa.array(node),
+                "t": pa.array(t["size"].to_numpy("int64")),
+                "deg": pa.array(np.zeros(len(node), dtype=np.int64)),
+            }
+        )
+
+    tri = (
+        keyed.groupby("cb")
+        .map_groups(wedges, batch_format="pandas")
+        .groupby("pb")
+        .map_groups(tri_partials, batch_format="pandas")
+    )
+    degd = keyed.groupby("cb").map_groups(degs, batch_format="pandas")
+
+    def cc_fold(g: pd.DataFrame) -> pa.Table:
+        agg = g.groupby("node", as_index=False).agg(
+            t=("t", "sum"), deg=("deg", "max")
+        )
+        agg = agg[agg["deg"] >= 2].copy()
+        if len(agg) == 0:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "triangles": pa.array([], pa.int64()),
+                    "deg": pa.array([], pa.int64()),
+                    "cc_ppm": pa.array([], pa.int64()),
+                }
+            )
+        t = agg["t"].to_numpy("int64")
+        d = agg["deg"].to_numpy("int64")
+        agg["cc_ppm"] = 10**6 * 2 * t // (d * (d - 1))
+        # lossless per-bucket prune under the final total order
+        agg = agg.sort_values(
+            ["cc_ppm", "node"], ascending=[False, True]
+        ).head(k)
+        return pa.table(
+            {
+                "node": pa.array(agg["node"].to_numpy("int64")),
+                "triangles": pa.array(agg["t"].to_numpy("int64")),
+                "deg": pa.array(agg["deg"].to_numpy("int64")),
+                "cc_ppm": pa.array(agg["cc_ppm"].to_numpy("int64")),
+            }
+        )
+
+    return (
+        tri.union(degd)
+        .groupby("kb")
+        .map_groups(cc_fold, batch_format="pandas")
+        .sort(["cc_ppm", "node"], descending=[True, False])
+        .limit(k)
+    )
+
+
+CLUSTERING_COEFF_SQL = f"""
+WITH g AS MATERIALIZED ({KNN_GRAPH_SQL}),
+und AS (
+  SELECT vec_id AS a, nbr_id AS b FROM g
+  UNION
+  SELECT nbr_id, vec_id FROM g
+),
+deg AS (SELECT a, COUNT(*) AS d FROM und GROUP BY a),
+wedge AS (
+  SELECT u1.a AS c, u1.b AS x, u2.b AS y
+  FROM und u1 JOIN und u2 ON u1.a = u2.a AND u1.b < u2.b
+),
+tri AS (
+  SELECT w.c, COUNT(*) AS t
+  FROM wedge w JOIN und e ON e.a = w.x AND e.b = w.y
+  GROUP BY w.c
+)
+SELECT deg.a AS node,
+       CAST(COALESCE(tri.t, 0) AS BIGINT) AS triangles,
+       CAST(deg.d AS BIGINT) AS deg,
+       CAST(1000000 * 2 * COALESCE(tri.t, 0) // (deg.d * (deg.d - 1))
+            AS BIGINT) AS cc_ppm
+FROM deg LEFT JOIN tri ON tri.c = deg.a
+WHERE deg.d >= 2
+ORDER BY cc_ppm DESC, node
+LIMIT 20
+"""

@@ -2247,6 +2247,7 @@ from .graph import (  # noqa: E402,F401
     LP_SEED_MOD,
     MUTUAL_KNN_PAIRS_SQL,
     NEIGHBOR_JACCARD_SQL,
+    CLUSTERING_COEFF_SQL,
     PAGERANK_DRIVER_EDGE_BUDGET,
     PAGERANK_KNN_SQL,
     PAGERANK_MASS,
@@ -2261,6 +2262,7 @@ from .graph import (  # noqa: E402,F401
     label_propagation,
     mutual_knn_pairs,
     neighbor_jaccard_topk,
+    clustering_coeff_topk,
     pagerank_knn,
     triangle_count,
     vec_dup_clusters,
