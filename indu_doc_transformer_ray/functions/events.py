@@ -4229,3 +4229,107 @@ w AS (
 )
 SELECT event_id, med_c2 FROM w WHERE rn >= 5 ORDER BY event_id
 """
+
+
+# -- Holt linear-trend smoothing ------------------------------------------------
+
+def holt_linear_by_type(sf_dir: str) -> "pd.DataFrame":
+    """Holt's linear-trend double exponential smoothing of each event
+    type's zero-filled daily count series, with power-of-two gains
+    α = β = 1/4 so every smoothing step is an exact floored fixed-point
+    update (the ``ewma_user_value`` trick lifted to two-state smoothing):
+
+        L_t = ⌊(v_t·10⁶ + 3·(L_{t−1} + B_{t−1})) / 4⌋
+        B_t = ⌊(L_t − L_{t−1} + 3·B_{t−1}) / 4⌋        (L_0 = v_0·10⁶, B_0 = 0)
+
+    B_t can be negative, so BOTH sides floor: Python ``//`` floors
+    natively; the oracle's recursive CTE uses the non-negative-remainder
+    emulation (the ``theil_sen_by_type`` pattern — DuckDB ``//``
+    truncates).  One (type, day) count fold is the only exchange; the
+    driver replays O(span) exact-integer steps per type.  Output:
+    (event_type, n_days, level_u, trend_u, forecast7_u) with the 7-day-
+    ahead forecast L + 7B.  Beyond-reference engine addition
+    (SURVEY.md §2.8)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["ts", "event_type"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        folded = pa.table({"e": t["event_type"], "day": day})
+        return pa.TableGroupBy(folded, ["e", "day"]).aggregate(
+            [([], "count_all")]
+        )
+
+    d = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(["e", "day"])
+        .aggregate(Sum("count_all", alias_name="c"))
+        .to_pandas()  # O(|types| x span days)
+    )
+    d0, d1 = int(d["day"].min()), int(d["day"].max())
+    m = d1 - d0 + 1
+    rows = []
+    for e, sub in d.groupby("e"):
+        counts = [0] * m
+        for r in sub.itertuples():
+            counts[int(r.day) - d0] = int(r.c)
+        lvl, tr = counts[0] * 10**6, 0
+        for v in counts[1:]:
+            lnew = (v * 10**6 + 3 * (lvl + tr)) // 4
+            tr = (lnew - lvl + 3 * tr) // 4
+            lvl = lnew
+        rows.append(
+            {"event_type": e, "n_days": m, "level_u": lvl, "trend_u": tr,
+             "forecast7_u": lvl + 7 * tr}
+        )
+    return (
+        pd.DataFrame(sorted(rows, key=lambda r: r["event_type"]))
+        .astype({c: "int64" for c in
+                 ("n_days", "level_u", "trend_u", "forecast7_u")})
+        .reset_index(drop=True)
+    )
+
+
+HOLT_LINEAR_BY_TYPE_SQL = """
+WITH RECURSIVE d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d),
+days AS (
+  SELECT span.d0 + u.g AS day
+  FROM span, (
+    SELECT generate_series AS g FROM generate_series(0, 100000)
+  ) u
+  WHERE span.d0 + u.g <= span.d1
+),
+types AS (SELECT DISTINCT event_type FROM d),
+z AS (
+  SELECT t.event_type, dd.day, COALESCE(d.c, 0) AS c
+  FROM types t CROSS JOIN days dd
+  LEFT JOIN d ON d.event_type = t.event_type AND d.day = dd.day
+),
+it AS (
+  SELECT z.event_type, z.day,
+         CAST(z.c * 1000000 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b
+  FROM z WHERE z.day = (SELECT d0 FROM span)
+  UNION ALL
+  SELECT s.event_type, s.day, s.lnew,
+         (s.lnew - s.l + 3 * s.b
+          - ((((s.lnew - s.l + 3 * s.b) % 4) + 4) % 4)) // 4
+  FROM (
+    SELECT it.event_type, z.day, it.l, it.b,
+           (z.c * 1000000 + 3 * (it.l + it.b)
+            - ((((z.c * 1000000 + 3 * (it.l + it.b)) % 4) + 4) % 4)) // 4
+             AS lnew
+    FROM it JOIN z ON z.event_type = it.event_type AND z.day = it.day + 1
+  ) s
+)
+SELECT event_type,
+       CAST((SELECT d1 - d0 + 1 FROM span) AS BIGINT) AS n_days,
+       l AS level_u, b AS trend_u,
+       CAST(l + 7 * b AS BIGINT) AS forecast7_u
+FROM it WHERE day = (SELECT d1 FROM span)
+ORDER BY event_type
+"""
