@@ -530,6 +530,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # prefix (first ~50 of the interleave) always covers the weakest link
     # of every family, not just an arbitrary member (round-3 verdict #9).
     risk_first = [
+        # session-7 newest (riskiest oracles: fixed-point unrolls, IEEE
+        # sqrt bridge, AMS sign mirror, recursive-CTE smoothing)
+        "markov_stationary", "holt_linear_by_type", "cpd_daily_by_type",
+        "ams_f2_by_type", "quantile_cont_price",
+        "spearman_qty_discount", "assoc_rules",
+        "clustering_coeff_topk", "neighbor_jaccard_topk",
+        "yule_k_by_lang", "rolling_median_value",
         "sorted_neighborhood_pairs", "substring_dedup_rewrite",  # dedup
         "line_dedup",
         "substring_dup_coverage", "minhash_lsh_pairs",
