@@ -2267,3 +2267,158 @@ WHERE deg.d >= 2
 ORDER BY cc_ppm DESC, node
 LIMIT 20
 """
+
+
+# -- Weisfeiler-Lehman color refinement ----------------------------------------
+
+#: WL refinement rounds: round 1 already separates degree classes; two
+#: rounds distinguish 1-hop neighborhood multisets — the standard WL graph
+#: fingerprint depth for near-dup graph detection.
+WL_ROUNDS = 2
+
+
+def wl_colors(sf_dir: str, k: int = 30) -> "object":
+    """Weisfeiler-Lehman color refinement over the undirected memoized IVF
+    k-NN graph (the 1-WL test / WL graph-kernel fingerprint, Shervashidze
+    et al., JMLR 2011): color⁰(v) = deg(v); each round rehashes every node
+    as md5₆₀(own color ‖ ':' ‖ sorted neighbor colors).  After
+    ``WL_ROUNDS`` rounds the color histogram IS the graph's WL fingerprint
+    — two graphs with different histograms are provably non-isomorphic.
+    Output: the top-``k`` (color, n_nodes) classes (count DESC, color ASC).
+
+    Shape: per round, ONE owner-bucket co-location ships each node's
+    neighbor colors to its bucket; the node→color map (one int64 per node)
+    is broadcast via ``ray.put`` under the same node-proportional guard as
+    ``neighbor_jaccard_topk`` (past ``MAX_BROADCAST_DIM_ROWS`` the attach
+    becomes a second keyed co-location, same answer).  Hashing is the
+    md5→UBIGINT≫4 convention shared with KMV, so the oracle replays every
+    round bit-for-bit."""
+    import hashlib
+
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    import ray as _ray
+
+    from ._util import n_buckets
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows)
+
+    def both_dirs(t: pd.DataFrame) -> pd.DataFrame:
+        v = t["vec_id"].to_numpy(dtype=np.int64)
+        n = t["nbr_id"].to_numpy(dtype=np.int64)
+        c = np.concatenate([v, n])
+        o = np.concatenate([n, v])
+        df = pd.DataFrame({"owner": c, "nbr": o}).drop_duplicates()
+        df["ob"] = (df["owner"] % nb).astype("int32")
+        return df
+
+    edges = (
+        knn_graph(sf_dir)
+        .map_batches(both_dirs, batch_format="pandas")
+        .materialize()  # O(edges); reused every WL round
+    )
+
+    # color 0 = degree (one bucket fold; O(nodes) driver rows — the same
+    # bounded-node-table assumption as the degree broadcast)
+    def deg_fold(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["owner", "nbr"]).groupby(
+            "owner", as_index=False
+        ).size()
+        return pd.DataFrame(
+            {"node": d["owner"].to_numpy("int64"),
+             "color": d["size"].to_numpy("int64")}
+        )
+
+    colors = (
+        edges.groupby("ob").map_groups(deg_fold, batch_format="pandas")
+        .to_pandas()
+    )
+
+    for _ in range(WL_ROUNDS):
+        cmap_ref = _ray.put(
+            dict(zip(colors["node"].tolist(), colors["color"].tolist()))
+        )
+
+        def refine(g: pd.DataFrame) -> pd.DataFrame:
+            cmap = _ray.get(cmap_ref)
+            out_n, out_c = [], []
+            nc = g["nbr"].map(cmap)
+            for owner, sub in g.assign(nc=nc).groupby("owner"):
+                sig = (
+                    str(cmap[owner])
+                    + ":"
+                    + ",".join(str(c) for c in sorted(sub["nc"].tolist()))
+                )
+                h = (
+                    int.from_bytes(
+                        hashlib.md5(sig.encode()).digest()[:8], "big"
+                    )
+                    >> 4
+                )
+                out_n.append(owner)
+                out_c.append(h)
+            return pd.DataFrame(
+                {"node": np.array(out_n, dtype=np.int64),
+                 "color": np.array(out_c, dtype=np.int64)}
+            )
+
+        colors = (
+            edges.groupby("ob").map_groups(refine, batch_format="pandas")
+            .to_pandas()
+        )
+
+    hist = (
+        colors.groupby("color", as_index=False).size()
+        .rename(columns={"size": "n_nodes"})
+        .sort_values(["n_nodes", "color"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return hist.astype({"color": "int64", "n_nodes": "int64"})
+
+
+_WL_HASH = (
+    "CAST(concat('0x', substr(md5({sig}), 1, 16)) AS UBIGINT) >> 4"
+)
+
+
+def _wl_sql() -> str:
+    rounds = []
+    prev = "c0"
+    for r in range(1, WL_ROUNDS + 1):
+        sig = (
+            f"CONCAT(CAST(ca.color AS VARCHAR), ':', "
+            f"STRING_AGG(CAST(cb.color AS VARCHAR), ',' ORDER BY cb.color))"
+        )
+        rounds.append(
+            f"c{r} AS (\n"
+            f"  SELECT u.a AS node,\n"
+            f"         CAST({_WL_HASH.format(sig=sig)} AS BIGINT) AS color\n"
+            f"  FROM und u\n"
+            f"  JOIN {prev} ca ON ca.node = u.a\n"
+            f"  JOIN {prev} cb ON cb.node = u.b\n"
+            f"  GROUP BY u.a, ca.color\n"
+            f")"
+        )
+        prev = f"c{r}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH g AS MATERIALIZED ({KNN_GRAPH_SQL}),
+und AS (
+  SELECT vec_id AS a, nbr_id AS b FROM g
+  UNION
+  SELECT nbr_id, vec_id FROM g
+),
+c0 AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS color FROM und GROUP BY a),
+{chain}
+SELECT color, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM {prev}
+GROUP BY color
+ORDER BY n_nodes DESC, color
+LIMIT 30
+"""
+
+
+WL_COLORS_SQL = _wl_sql()

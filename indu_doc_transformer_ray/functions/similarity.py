@@ -2248,6 +2248,7 @@ from .graph import (  # noqa: E402,F401
     MUTUAL_KNN_PAIRS_SQL,
     NEIGHBOR_JACCARD_SQL,
     CLUSTERING_COEFF_SQL,
+    WL_COLORS_SQL,
     PAGERANK_DRIVER_EDGE_BUDGET,
     PAGERANK_KNN_SQL,
     PAGERANK_MASS,
@@ -2263,6 +2264,7 @@ from .graph import (  # noqa: E402,F401
     mutual_knn_pairs,
     neighbor_jaccard_topk,
     clustering_coeff_topk,
+    wl_colors,
     pagerank_knn,
     triangle_count,
     vec_dup_clusters,
