@@ -525,6 +525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff_topk": similarity.clustering_coeff_topk,
         "holt_linear_by_type": events.holt_linear_by_type,
         "wl_colors": similarity.wl_colors,
+        "plsa_topics": ml.plsa_topics,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled

@@ -2027,3 +2027,246 @@ SELECT f AS l_returnflag, CAST(n AS BIGINT) AS n,
          AS spearman_ppm
 FROM m ORDER BY l_returnflag
 """
+
+
+# -- PLSA topic model (EM over pinned doc shards) ------------------------------
+
+_PLSA_K = 4
+_PLSA_ITERS = 5
+_PLSA_SHARDS = 8
+#: at or under this many (doc, term) cells the same virtual-shard math runs
+#: on the driver with zero actors (pytest forces both paths, bit-equality)
+_PLSA_DRIVER_BUDGET = 200_000
+
+
+def _plsa_init_phi(n_vocab: int, k: int = _PLSA_K) -> "np.ndarray":
+    """Deterministic symmetric-broken init: phi[z, w] ∝ 1 + (31w+17z) mod 7."""
+    import numpy as np
+
+    w = np.arange(n_vocab, dtype=np.int64)
+    phi = np.stack([1.0 + ((31 * w + 17 * z) % 7) for z in range(k)])
+    return phi / phi.sum(axis=1, keepdims=True)
+
+
+def _plsa_init_theta(doc_ids: "np.ndarray", k: int = _PLSA_K) -> "np.ndarray":
+    import numpy as np
+
+    return np.stack(
+        [1.0 + ((doc_ids + z) % 5) for z in range(k)], axis=1
+    ) / np.stack(
+        [1.0 + ((doc_ids + z) % 5) for z in range(k)], axis=1
+    ).sum(axis=1, keepdims=True)
+
+
+def _plsa_shard_step(pos, w, n, theta, phi):
+    """One EM step over a shard's sorted cells (pos = local doc index per
+    cell): returns (phi_partial K x V, loglik_partial, theta_new).  All
+    float64 in a FIXED row order, so the result is a pure function of
+    (cells, theta, phi)."""
+    import numpy as np
+
+    k, v = phi.shape
+    q = phi[:, w].T * theta[pos]  # (cells, K)
+    s = q.sum(axis=1)
+    ll = float((n * np.log(s)).sum())
+    p = q / s[:, None]  # responsibilities
+    wn = n[:, None] * p
+    phi_part = np.zeros((k, v))
+    for z in range(k):
+        np.add.at(phi_part[z], w, wn[:, z])
+    theta_new = np.zeros_like(theta)
+    np.add.at(theta_new, pos, wn)
+    theta_new = theta_new / theta_new.sum(axis=1, keepdims=True)
+    return phi_part, ll, theta_new
+
+
+def plsa_topics(
+    sf_dir: str,
+    k: int = _PLSA_K,
+    iters: int = _PLSA_ITERS,
+    driver_row_budget: int = _PLSA_DRIVER_BUDGET,
+) -> "pa.Table":
+    """PLSA topic model (Hofmann, SIGIR 1999 — the EM matrix-decomposition
+    ancestor of LDA) over the documents' (doc, term) count matrix: ``k``
+    topics fit by ``iters`` EM rounds.  Output: one row per iteration,
+    (iteration, n_docs, n_vocab, n_cells, loglik_u6) with the exact
+    floored 1e-6-unit log-likelihood — non-decreasing by the EM guarantee
+    (pytest asserts it), hash-stable because the whole float path is
+    order-fixed.
+
+    Distributed shape (the ``als_factorize`` pattern): the topic-term
+    table φ (k × |vocab| float64) is the DIMENSION side — broadcast once
+    per round under the vocabulary-bounded assumption (Heaps' law);
+    doc-topic state θ is UNBOUNDED and never leaves the shard that owns
+    its documents.  Cells pin ONCE into ``_PLSA_SHARDS`` zero-CPU actors
+    (doc_id mod shards, sorted by (doc, term)); each round ships φ via one
+    ``ray.put``, shards return φ partials + loglik, and the driver folds
+    IN SHARD ORDER — reduction order, hence every output bit, is a pure
+    function of the data.  At or under ``driver_row_budget`` cells the
+    identical virtual-shard math runs driver-side (pytest forces both
+    paths and asserts bit equality).  No SQL oracle (iterative float EM);
+    the correctness gates are the equality + monotonicity pytests.
+    Beyond-reference engine addition (SURVEY.md §2.8)."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    from .text import TOKEN_RE, _read_docs
+
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        toks = set()
+        for text in t.column("text").to_pylist():
+            toks.update(TOKEN_RE.findall(text.lower()))
+        return pa.table({"token": pa.array(sorted(toks), pa.string())})
+
+    from ray.data.aggregate import Count
+
+    vocab = sorted(
+        docs.map_batches(tok_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Count(alias_name="_c"))  # distinct
+        .to_pandas()["token"]  # Heaps-bounded
+    )
+    wid = {t: i for i, t in enumerate(vocab)}
+    wid_ref = ray.put(wid)
+
+    def cells(t: pa.Table) -> "pd.DataFrame":
+        from collections import Counter
+
+        wmap = ray.get(wid_ref)
+        ds_, ws_, ns_ = [], [], []
+        ids = t.column("doc_id").to_pylist()
+        for did, text in zip(ids, t.column("text").to_pylist()):
+            c = Counter(TOKEN_RE.findall(text.lower()))
+            for tok, cnt in c.items():
+                ds_.append(did)
+                ws_.append(wmap[tok])
+                ns_.append(cnt)
+        return pd.DataFrame(
+            {
+                "d": pd.Series(ds_, dtype="int64"),
+                "w": pd.Series(ws_, dtype="int64"),
+                "n": pd.Series(ns_, dtype="float64"),
+            }
+        )
+
+    cell_ds = docs.map_batches(cells, batch_format="pyarrow").materialize()
+    n_cells = cell_ds.count()
+    phi = _plsa_init_phi(len(vocab), k)
+
+    def _seal(arrs):
+        d = np.concatenate([x[0] for x in arrs]) if arrs else np.empty(0, np.int64)
+        w = np.concatenate([x[1] for x in arrs]) if arrs else np.empty(0, np.int64)
+        n = np.concatenate([x[2] for x in arrs]) if arrs else np.empty(0, np.float64)
+        order = np.lexsort((w, d))
+        d, w, n = d[order], w[order], n[order]
+        uniq = np.unique(d)
+        pos = np.searchsorted(uniq, d)  # local doc index per cell
+        theta = _plsa_init_theta(uniq, k)
+        return pos, w, n, theta, len(uniq)
+
+    if n_cells <= driver_row_budget:
+        pdf = cell_ds.to_pandas()
+        sh = (pdf["d"].to_numpy(np.int64) % _PLSA_SHARDS).astype(np.int64)
+        state = []
+        for s in range(_PLSA_SHARDS):
+            g = pdf[sh == s]
+            state.append(
+                _seal(
+                    [
+                        (
+                            g["d"].to_numpy(np.int64),
+                            g["w"].to_numpy(np.int64),
+                            g["n"].to_numpy(np.float64),
+                        )
+                    ]
+                )
+            )
+
+        def round_partials(phi_cur):
+            out = []
+            for i, (pos, w, n, theta, nd) in enumerate(state):
+                part, ll, tnew = _plsa_shard_step(pos, w, n, theta, phi_cur)
+                state[i] = (pos, w, n, tnew, nd)
+                out.append((part, ll, nd))
+            return out
+
+    else:  # pragma: no branch - forced via driver_row_budget=0 in tests
+
+        @ray.remote(num_cpus=0)
+        class CellShard:
+            def __init__(self):
+                self._parts = []
+                self._state = None
+
+            def add(self, d, w, n):
+                self._parts.append((d, w, n))
+                return len(d)
+
+            def seal(self):
+                self._state = _seal(self._parts)
+                self._parts = None
+                return self._state[4]
+
+            def step(self, phi_cur):
+                pos, w, n, theta, nd = self._state
+                part, ll, tnew = _plsa_shard_step(pos, w, n, theta, phi_cur)
+                self._state = (pos, w, n, tnew, nd)
+                return part, ll, nd
+
+        shards = [CellShard.remote() for _ in range(_PLSA_SHARDS)]
+
+        def push(t: "pd.DataFrame") -> "pd.DataFrame":
+            d = t["d"].to_numpy(np.int64)
+            w = t["w"].to_numpy(np.int64)
+            n = t["n"].to_numpy(np.float64)
+            sh = d % _PLSA_SHARDS
+            ray.get(
+                [
+                    shards[s].add.remote(d[sh == s], w[sh == s], n[sh == s])
+                    for s in np.unique(sh)
+                ]
+            )
+            return pd.DataFrame({"n": pd.Series([len(t)], dtype="int64")})
+
+        cell_ds.map_batches(push, batch_format="pandas").materialize()
+        ray.get([s.seal.remote() for s in shards])
+
+        def round_partials(phi_cur):
+            ref = ray.put(phi_cur)
+            return ray.get([s.step.remote(ref) for s in shards])
+
+    rows = []
+    n_docs = None
+    for it in range(iters):
+        parts = round_partials(phi)
+        ll = 0.0
+        for p_, l_, _nd in parts:  # shard order: fixed
+            ll += l_
+        if n_docs is None:
+            n_docs = sum(x[2] for x in parts)
+        phi = np.add.reduce([x[0] for x in parts])
+        phi = phi / phi.sum(axis=1, keepdims=True)
+        rows.append(
+            {
+                "iteration": it + 1,
+                "n_docs": n_docs,
+                "n_vocab": len(vocab),
+                "n_cells": n_cells,
+                "loglik_u6": int(np.floor(ll * 1e6)),
+            }
+        )
+    import pandas as pd  # noqa: F811
+
+    out = pd.DataFrame(rows)
+    return pa.table(
+        {
+            c: pa.array(out[c].to_numpy(np.int64))
+            for c in ("iteration", "n_docs", "n_vocab", "n_cells", "loglik_u6")
+        }
+    )

@@ -264,3 +264,17 @@ def test_als_actor_path_equals_driver_escape(ray_session):
 def test_als_converges(ray_session):
     out = ml.als_factorize(SF).to_pandas()
     assert out["mse_u6"].iloc[-1] < out["mse_u6"].iloc[0] // 2
+
+
+def test_plsa_em_monotone_and_paths_equal(ray_session):
+    """EM guarantee: the PLSA log-likelihood is non-decreasing across
+    iterations; and the pinned-actor path is BIT-equal to the driver
+    escape (reduction order is a pure function of the data)."""
+    from indu_doc_transformer_ray.functions import ml
+
+    drv = ml.plsa_topics(SF).to_pandas()
+    act = ml.plsa_topics(SF, driver_row_budget=0).to_pandas()
+    assert drv.equals(act)
+    ll = drv.sort_values("iteration")["loglik_u6"]
+    assert ll.is_monotonic_increasing
+    assert (drv["n_vocab"] > 0).all() and (drv["n_cells"] > 0).all()
