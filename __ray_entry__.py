@@ -8,12 +8,12 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (194 of 211): every deterministic construction is
+                      (230 of 248): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog + KMV via their md5
                       registers/hashes, k-means and IVF via an unrolled
                       Lloyd CTE chain, hyperplane-LSH ANN via plane
-                      literals.  The seventeen rows-only ops are extraction
+                      literals.  The eighteen rows-only ops are extraction
                       semantics (pytest holds their span-equality gate vs
                       the single-process oracle — extract_spans,
                       extract_object_stats, search_targets_count), the
@@ -31,7 +31,9 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
                       (iterative Bradley-Terry MM; single-process and
                       forced-actor-path equality pytests), and
                       als_factorize (iterative ALS; single-process and
-                      forced-actor-path BIT-equality pytests).
+                      forced-actor-path BIT-equality pytests), and
+                      plsa_topics (iterative EM; bit-equality +
+                      monotone-loglik pytests).
 """
 
 from __future__ import annotations

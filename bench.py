@@ -176,6 +176,13 @@ QUERY_CHUNKS = [
      "isotonic_price_urgency", "greedy_vocab_cover",
      "jackknife_mean_by_type", "l_diversity_audit", "ccf_type_pairs",
      "user_day_streaks"],
+    # session-7 additions (single- or two-exchange folds + the PLSA EM job)
+    ["assoc_rules", "spearman_qty_discount", "ams_f2_by_type",
+     "markov_stationary", "cpd_daily_by_type", "holt_linear_by_type",
+     "yule_k_by_lang", "rolling_median_value", "quantile_cont_price",
+     "plsa_topics"],
+    # session-7 graph trio shares the knn-graph memo
+    ["neighbor_jaccard_topk", "clustering_coeff_topk", "wl_colors"],
 ]
 
 
