@@ -1021,15 +1021,37 @@ def assoc_rules(sf_dir: str) -> "object":
     BUCKETS = n_buckets(pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
-    joined = li.join(
-        part,
-        join_type="inner",
-        num_partitions=join_partitions(),
-        on=("l_partkey",),
-        right_on=("p_partkey",),
-        aggregator_ray_remote_args={"num_cpus": 0},
-    )
+    if _dim_rows(sf_dir, "part") <= _rc.MAX_BROADCAST_DIM_ROWS:
+        # map-side broadcast attach: the brand map ships once; the fact
+        # stream never passes through a join operator (orders_wide pattern)
+        import numpy as np
+
+        pk, pv = _dim_lookup(sf_dir, "part", "p_partkey", ["p_brand"])
+        ref = ray.put((pk, pv["p_brand"]))
+
+        def attach(t: pa.Table) -> pa.Table:
+            pk_, brand_ = ray.get(ref)
+            part_ids = pc.cast(t["l_partkey"], pa.int64()).to_numpy()
+            return pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "p_brand": pa.array(
+                        brand_[np.searchsorted(pk_, part_ids)], pa.string()
+                    ),
+                }
+            )
+
+        joined = li.map_batches(attach, batch_format="pyarrow")
+    else:  # the co-location plan: same answer, one more exchange
+        part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+        joined = li.join(
+            part,
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+            aggregator_ray_remote_args={"num_cpus": 0},
+        )
 
     def bucketed(t: pa.Table) -> pa.Table:
         # map-side (order, brand) dedup shrinks the exchange below one row
