@@ -2489,3 +2489,219 @@ FROM r a JOIN r b
 WHERE a.c_mktsegment = b.c_mktsegment
 ORDER BY cust_a, cust_b, gap
 """
+
+
+# -- Fellegi-Sunter EM record-linkage weights ----------------------------------
+
+EM_LINKAGE_ROUNDS = 5
+#: EM parameter clamp (micro units): keeps every probability in
+#: (0, 1) exclusive so the fixed-point products never collapse to 0 — the
+#: same clamp runs in the oracle.
+_EM_CLAMP = (1, 999_999)
+
+
+def _em_linkage_rounds(pat: dict[int, int], rounds: int = EM_LINKAGE_ROUNDS):
+    """The exact fixed-point Fellegi-Sunter EM replay both sides share:
+    all probabilities live in micro units (1e-6), every multiply is
+    ``a*b // 1e6`` and every normalize is a floored integer divide, in a
+    FIXED feature fold order — so the oracle's unrolled CTE chain is
+    bit-identical.  ``pat`` maps the 3-bit agreement pattern to its pair
+    count.  Returns one (round, p, m0..m2, u0..u2) tuple per round."""
+    M = 10**6
+    p, m, u = 100_000, [900_000] * 3, [100_000] * 3
+    out = []
+    clamp = lambda x: max(_EM_CLAMP[0], min(_EM_CLAMP[1], x))  # noqa: E731
+    for rnd in range(1, rounds + 1):
+        s1 = n_tot = 0
+        sm = [0, 0, 0]
+        su = [0, 0, 0]
+        s0 = 0
+        for g in range(8):
+            n = pat.get(g, 0)
+            if n == 0:
+                continue
+            mp, up = p, M - p
+            for k in range(3):
+                mt = m[k] if (g >> k) & 1 else M - m[k]
+                ut = u[k] if (g >> k) & 1 else M - u[k]
+                mp = mp * mt // M
+                up = up * ut // M
+            w = mp * M // (mp + up)
+            nw = n * w
+            nv = n * (M - w)
+            s1 += nw
+            s0 += nv
+            n_tot += n
+            for k in range(3):
+                if (g >> k) & 1:
+                    sm[k] += nw
+                    su[k] += nv
+        p = clamp(s1 // n_tot)
+        m = [clamp(sm[k] * M // s1) for k in range(3)]
+        u = [clamp(su[k] * M // s0) for k in range(3)]
+        out.append((rnd, p, *m, *u))
+    return out
+
+
+def em_linkage_weights(sf_dir: str) -> "object":
+    """Fellegi-Sunter probabilistic record linkage (JASA 1969 — THE
+    foundational ER model): EM-fit match probability and per-feature
+    m/u agreement probabilities over candidate customer pairs, from
+    nothing but the 8-cell agreement-PATTERN histogram (the classic
+    sufficient-statistics reduction: EM never revisits pairs).
+
+    Candidates here are same-$1-acctbal-bucket pairs (one value-bucket
+    co-location; in-bucket pairs are vectorized).  At open-ended scale the
+    candidate generator composes with ``sorted_neighborhood_pairs``'s
+    rank-halo blocking instead — the EM input is the same bounded pattern
+    table either way, which is the point: the fold ships 8 cells, never
+    pairs.  Features: same nation, same segment, |acctbal| within $5.
+    EM runs ``EM_LINKAGE_ROUNDS`` exact fixed-point micro-unit rounds
+    (every multiply floors; the oracle replays them as an unrolled CTE
+    chain).  Output: (round, p_mu, m0_mu..m2_mu, u0_mu..u2_mu).
+    Beyond-reference engine addition (SURVEY.md §2.8)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ._util import read_small_aware
+
+    ds = read_small_aware(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"],
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        bal = pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                # $1 buckets; arithmetic shift floors for negative balances
+                "bb": pc.cast(pc.shift_right(bal, 7), pa.int32()),
+                "k": pc.cast(t["c_custkey"], pa.int64()),
+                "nat": pc.cast(t["c_nationkey"], pa.int64()),
+                "seg": t["c_mktsegment"],
+                "bal": bal,
+            }
+        )
+
+    def patterns(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("k").reset_index(drop=True)
+        m = g.merge(g, on="bb")
+        m = m[m["k_x"] < m["k_y"]]
+        if len(m) == 0:
+            return pd.DataFrame(
+                {"g": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+            )
+        f0 = (m["nat_x"] == m["nat_y"]).to_numpy()
+        f1 = (m["seg_x"] == m["seg_y"]).to_numpy()
+        f2 = (np.abs(m["bal_x"] - m["bal_y"]) <= 500).to_numpy()
+        gpat = f0.astype(np.int64) + 2 * f1 + 4 * f2
+        out = pd.DataFrame({"g": gpat}).groupby("g", as_index=False).size()
+        return out.rename(columns={"size": "n"}).astype(
+            {"g": "int64", "n": "int64"}
+        )
+
+    pat_df = (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("bb")
+        .map_groups(patterns, batch_format="pandas")
+        .groupby("g")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # <= 8 rows
+    )
+    pat = {int(r.g): int(r.n) for r in pat_df.itertuples()}
+    rows = _em_linkage_rounds(pat)
+    cols = ["round", "p_mu", "m0_mu", "m1_mu", "m2_mu",
+            "u0_mu", "u1_mu", "u2_mu"]
+    return pd.DataFrame(rows, columns=cols).astype(
+        {c: "int64" for c in cols}
+    )
+
+
+def _em_linkage_sql() -> str:
+    M = 10**6
+    lo, hi = _EM_CLAMP
+
+    def clamp(x: str) -> str:
+        return f"GREATEST({lo}, LEAST({hi}, {x}))"
+
+    rounds_sql = []
+    prev = "s0"
+    for r in range(1, EM_LINKAGE_ROUNDS + 1):
+        # per-pattern weights off the previous state, then the fold
+        mp = f"{prev}.p"
+        up = f"({M} - {prev}.p)"
+        for k in range(3):
+            mt = (
+                f"(CASE WHEN (pat.g >> {k}) & 1 = 1 THEN {prev}.m{k} "
+                f"ELSE {M} - {prev}.m{k} END)"
+            )
+            ut = (
+                f"(CASE WHEN (pat.g >> {k}) & 1 = 1 THEN {prev}.u{k} "
+                f"ELSE {M} - {prev}.u{k} END)"
+            )
+            mp = f"(({mp}) * {mt} // {M})"
+            up = f"(({up}) * {ut} // {M})"
+        rounds_sql.append(
+            f"w{r} AS (\n"
+            f"  SELECT pat.g, pat.n,\n"
+            f"         ({mp}) * {M} // (({mp}) + ({up})) AS w\n"
+            f"  FROM pat CROSS JOIN {prev}\n"
+            f"),\n"
+            f"s{r} AS (\n"
+            f"  SELECT {r} AS round,\n"
+            f"    {clamp(f'SUM(n * w) // SUM(n)')} AS p,\n"
+            + ",\n".join(
+                f"    {clamp(f'SUM(CASE WHEN (g >> {k}) & 1 = 1 THEN n * w ELSE 0 END) * {M} // SUM(n * w)')} AS m{k}"
+                for k in range(3)
+            )
+            + ",\n"
+            + ",\n".join(
+                f"    {clamp(f'SUM(CASE WHEN (g >> {k}) & 1 = 1 THEN n * ({M} - w) ELSE 0 END) * {M} // SUM(n * ({M} - w))')} AS u{k}"
+                for k in range(3)
+            )
+            + f"\n  FROM w{r}\n)"
+        )
+        prev = f"s{r}"
+    chain = ",\n".join(rounds_sql)
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST(round AS BIGINT) AS round, CAST(p AS BIGINT) AS p_mu,"
+        f" CAST(m0 AS BIGINT) AS m0_mu, CAST(m1 AS BIGINT) AS m1_mu,"
+        f" CAST(m2 AS BIGINT) AS m2_mu, CAST(u0 AS BIGINT) AS u0_mu,"
+        f" CAST(u1 AS BIGINT) AS u1_mu, CAST(u2 AS BIGINT) AS u2_mu"
+        f" FROM s{r}"
+        for r in range(1, EM_LINKAGE_ROUNDS + 1)
+    )
+    return f"""
+WITH c AS (
+  SELECT c_custkey AS k, c_nationkey AS nat, c_mktsegment AS seg,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) // 128
+           - CASE WHEN CAST(ROUND(c_acctbal * 100) AS BIGINT) < 0
+                   AND CAST(ROUND(c_acctbal * 100) AS BIGINT) % 128 != 0
+                  THEN 1 ELSE 0 END AS bb
+  FROM customer
+),
+pat AS (
+  SELECT (CASE WHEN a.nat = b.nat THEN 1 ELSE 0 END)
+       + 2 * (CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END)
+       + 4 * (CASE WHEN ABS(a.bal - b.bal) <= 500 THEN 1 ELSE 0 END) AS g,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM c a JOIN c b ON a.bb = b.bb AND a.k < b.k
+  GROUP BY 1
+),
+s0 AS (SELECT CAST(100000 AS BIGINT) AS p,
+              CAST(900000 AS BIGINT) AS m0, CAST(900000 AS BIGINT) AS m1,
+              CAST(900000 AS BIGINT) AS m2,
+              CAST(100000 AS BIGINT) AS u0, CAST(100000 AS BIGINT) AS u1,
+              CAST(100000 AS BIGINT) AS u2),
+{chain}
+{selects}
+ORDER BY round
+"""
+
+
+EM_LINKAGE_SQL = _em_linkage_sql()

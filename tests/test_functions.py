@@ -1928,3 +1928,22 @@ def test_session7_op_invariants(ray_session):
     yk = qs["yule_k_by_lang"](sf)
     assert (yk["vocab"] <= yk["n_tokens"]).all()
     assert (yk["yule_e10"] >= 0).all()
+
+
+def test_em_linkage_separates_planted_matches():
+    """On a planted pattern histogram with a clear duplicate cluster
+    (10% of pairs agree on everything), the fixed-point EM recovers the
+    match fraction and m >> u per feature — the TPC-H corpus itself has
+    no true duplicates, so the query's output collapsing toward p≈0 is
+    the honest answer; this gate proves the estimator itself separates."""
+    from indu_doc_transformer_ray.functions.dedup import _em_linkage_rounds
+
+    pat = {7: 1000, 0: 6000, 1: 1000, 2: 1000, 4: 1000}
+    rows = _em_linkage_rounds(pat, rounds=12)
+    last = rows[-1]
+    p = last[1]
+    m = last[2:5]
+    u = last[5:8]
+    assert 50_000 < p < 250_000  # ~10% planted matches
+    assert all(mk > uk for mk, uk in zip(m, u))
+    assert all(mk > 700_000 for mk in m)
