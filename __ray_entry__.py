@@ -529,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wl_colors": similarity.wl_colors,
         "plsa_topics": ml.plsa_topics,
         "em_linkage_weights": dedup.em_linkage_weights,
+        "dbscan_1d_clusters": similarity.dbscan_1d_clusters,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -672,6 +673,7 @@ def oracle_sql() -> dict[str, str]:
         "holt_linear_by_type": events.HOLT_LINEAR_BY_TYPE_SQL,
         "wl_colors": similarity.WL_COLORS_SQL,
         "em_linkage_weights": dedup.EM_LINKAGE_SQL,
+        "dbscan_1d_clusters": similarity.DBSCAN_1D_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

@@ -1864,6 +1864,25 @@ def _tdiv(a: int, b: int) -> int:
     return a // b if a >= 0 else -((-a) // b)
 
 
+def _pca_axis(sf_dir: str, iters: int = PCA_POWER_ITERS) -> "np.ndarray":
+    """Dominant-eigenvector power iteration over the integer Gram fold —
+    exact Python big ints renormalized by truncating division each round
+    (bit-identical to the oracle's unrolled CTE); shared by pca_project
+    and dbscan_1d_clusters."""
+    tri = embedding_covariance(sf_dir)
+    dim = int(tri["dim_j"].max())
+    G = [[0] * dim for _ in range(dim)]
+    for i_, j_, s_ in zip(tri["dim_i"], tri["dim_j"], tri["sxy_mu2"]):
+        G[int(i_) - 1][int(j_) - 1] = int(s_)
+        G[int(j_) - 1][int(i_) - 1] = int(s_)
+    v = [PCA_V_SCALE] * dim
+    for _ in range(iters):
+        w = [sum(G[d][j] * v[j] for j in range(dim)) for d in range(dim)]
+        m = max(abs(x) for x in w)
+        v = [_tdiv(x * PCA_V_SCALE, m) for x in w]
+    return np.array(v, dtype=np.int64)
+
+
 def pca_project(sf_dir: str, iters: int = PCA_POWER_ITERS) -> "object":
     """Top-principal-component projection — the dimensionality-reduction
     stage after ``embedding_covariance``: power iteration on the dim x dim
@@ -1882,18 +1901,7 @@ def pca_project(sf_dir: str, iters: int = PCA_POWER_ITERS) -> "object":
     (1e6 * 1e6 * 64).  Output: (vec_id, proj_mu)."""
     import pandas as pd
 
-    tri = embedding_covariance(sf_dir)
-    dim = int(tri["dim_j"].max())
-    G = [[0] * dim for _ in range(dim)]
-    for i_, j_, s_ in zip(tri["dim_i"], tri["dim_j"], tri["sxy_mu2"]):
-        G[int(i_) - 1][int(j_) - 1] = int(s_)
-        G[int(j_) - 1][int(i_) - 1] = int(s_)
-    v = [PCA_V_SCALE] * dim
-    for _ in range(iters):
-        w = [sum(G[d][j] * v[j] for j in range(dim)) for d in range(dim)]
-        m = max(abs(x) for x in w)
-        v = [_tdiv(x * PCA_V_SCALE, m) for x in w]
-    v_arr = np.array(v, dtype=np.int64)
+    v_arr = _pca_axis(sf_dir, iters)
 
     def project(t: pa.Table) -> pa.Table:
         emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
@@ -2269,3 +2277,115 @@ from .graph import (  # noqa: E402,F401
     triangle_count,
     vec_dup_clusters,
 )
+
+
+# -- 1-D grid DBSCAN over the PCA axis -----------------------------------------
+
+#: grid resolution and the core-cell density threshold divisor
+DBSCAN_CELLS = 256
+DBSCAN_MINPTS_DIV = 512
+
+
+def dbscan_1d_clusters(sf_dir: str) -> "object":
+    """Grid-DBSCAN density clustering along the dominant PCA axis — the
+    cell-based DBSCAN variant (core cells = grid cells holding at least
+    minPts points; clusters = maximal runs of ADJACENT core cells), the
+    density view of the embedded corpus that k-means' fixed k cannot give.
+    Cell width and minPts derive from the data (width = span//256 + 1,
+    minPts = n//512 + 1), so the contract is fully deterministic.
+
+    Shape: the projection rides :func:`_pca_axis` (distributed Gram fold +
+    exact integer power iteration); ONE streaming pass emits per-batch
+    cell-count partials (combiner), the global fold is <= 257 cells, and
+    the gaps-and-islands run detection on core cells is O(cells) driver
+    arithmetic — nothing corpus-sized moves.  proj - min >= 0, so integer
+    division floors identically on both engines.  Output: (cluster_id,
+    first_cell, last_cell, n_cells, n_points) sorted by cluster_id.
+    Beyond-reference engine addition (SURVEY.md §2.8)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    v_arr = _pca_axis(sf_dir)
+
+    def project(t: pa.Table) -> pa.Table:
+        emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        q = np.floor(emb * 1e6).astype(np.int64)
+        return pa.table({"proj_mu": pa.array(q @ v_arr, pa.int64())})
+
+    proj = _read_emb(sf_dir).map_batches(
+        project, batch_format="pyarrow"
+    ).materialize()  # one int64 per vector; reused by both passes
+
+    mm = proj.aggregate(Min("proj_mu"), Max("proj_mu"))
+    lo, hi = int(mm["min(proj_mu)"]), int(mm["max(proj_mu)"])
+    width = (hi - lo) // DBSCAN_CELLS + 1
+
+    def cells(t: pa.Table) -> pa.Table:
+        c = pc.divide(pc.subtract(t["proj_mu"], lo), width)
+        folded = pa.table({"cell": pc.cast(c, pa.int64())})
+        return pa.TableGroupBy(folded, "cell").aggregate([([], "count_all")])
+
+    counts = (
+        proj.map_batches(cells, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()  # <= DBSCAN_CELLS + 1 rows
+        .sort_values("cell")
+        .reset_index(drop=True)
+    )
+    n_total = int(counts["n"].sum())
+    minpts = n_total // DBSCAN_MINPTS_DIV + 1
+    core = counts[counts["n"] >= minpts].reset_index(drop=True)
+    if len(core) == 0:
+        return pd.DataFrame(
+            columns=["cluster_id", "first_cell", "last_cell",
+                     "n_cells", "n_points"]
+        ).astype("int64")
+    island = core["cell"] - np.arange(len(core))
+    out = (
+        core.assign(island=island)
+        .groupby("island")
+        .agg(
+            first_cell=("cell", "min"),
+            last_cell=("cell", "max"),
+            n_cells=("cell", "size"),
+            n_points=("n", "sum"),
+        )
+        .reset_index(drop=True)
+    )
+    out["cluster_id"] = out["first_cell"]
+    return (
+        out[["cluster_id", "first_cell", "last_cell", "n_cells", "n_points"]]
+        .sort_values("cluster_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
+DBSCAN_1D_SQL = f"""
+WITH p AS MATERIALIZED ({{PCA_SQL}}),
+span AS (SELECT MIN(proj_mu) AS lo, MAX(proj_mu) AS hi FROM p),
+cellw AS (SELECT lo, (hi - lo) // {DBSCAN_CELLS} + 1 AS w FROM span),
+cnt AS (
+  SELECT (proj_mu - cellw.lo) // cellw.w AS cell, COUNT(*) AS n
+  FROM p CROSS JOIN cellw GROUP BY 1
+),
+tot AS (SELECT SUM(n) // {DBSCAN_MINPTS_DIV} + 1 AS minpts FROM cnt),
+core AS (
+  SELECT cell, n,
+         cell - (ROW_NUMBER() OVER (ORDER BY cell) - 1) AS island
+  FROM cnt CROSS JOIN tot WHERE n >= tot.minpts
+)
+SELECT CAST(MIN(cell) AS BIGINT) AS cluster_id,
+       CAST(MIN(cell) AS BIGINT) AS first_cell,
+       CAST(MAX(cell) AS BIGINT) AS last_cell,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(n) AS BIGINT) AS n_points
+FROM core GROUP BY island ORDER BY cluster_id
+"""
+
+# splice the shared PCA projection CTE in (literal replace: the PCA SQL
+# itself contains no format braces, but .replace is brace-safe)
+DBSCAN_1D_SQL = DBSCAN_1D_SQL.replace("{PCA_SQL}", PCA_PROJECT_SQL)
