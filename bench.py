@@ -182,7 +182,8 @@ QUERY_CHUNKS = [
      "yule_k_by_lang", "rolling_median_value", "quantile_cont_price",
      "plsa_topics"],
     # session-7 graph trio shares the knn-graph memo
-    ["neighbor_jaccard_topk", "clustering_coeff_topk", "wl_colors"],
+    ["neighbor_jaccard_topk", "clustering_coeff_topk", "wl_colors",
+     "hyperball_nf"],
 ]
 
 

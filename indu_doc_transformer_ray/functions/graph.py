@@ -13,6 +13,8 @@ size-guarded (see PAGERANK_DRIVER_EDGE_BUDGET).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -2422,3 +2424,290 @@ LIMIT 30
 
 
 WL_COLORS_SQL = _wl_sql()
+
+
+# -- HyperBall neighborhood function over the k-NN graph ---------------------
+
+#: register kernels + constants live in _hbcore (dependency-free so worker
+#: closures that reference them unpickle without re-entering the
+#: similarity<->graph import cycle)
+from ._hbcore import (  # noqa: E402
+    HB_ALPHA_MM_SCALED,
+    HB_LINCOUNT,
+    HB_M,
+    HB_P,
+    HB_RANK_BITS,
+    HB_SCALE,
+    hb_estimates as _hb_estimates,
+    hb_seed as _hb_seed,
+)
+
+HB_ROUNDS = 3
+
+
+def hyperball_nf(sf_dir: str, rounds: int = HB_ROUNDS) -> "object":
+    """HyperBall (Boldi-Vigna, "HyperANF: approximating the neighbourhood
+    function of very large graphs on a budget", WWW 2011): the neighbourhood
+    function N(r) = sum over nodes of |ball(v, r)| along directed k-NN
+    out-edges, each ball tracked as a 64-register HLL counter — the sketch
+    that made graph distance profiles computable on billion-node graphs.
+
+    Execution = the pagerank_knn shape: registers are elementwise-max
+    mergeable, so round t is ONE bucketed co-location of (owner, regs)
+    rows — every node ships its 64-byte plane to its in-neighbors via the
+    pinned reversed-edge shards (num_cpus=0 actors, graph never re-enters
+    the shuffle) and the bucket kernel reduces with np.maximum.reduceat.
+    N(r) after each round is a node-proportional partial-sum fold.  Under
+    the shared edge budget the rounds run as driver numpy scatter-max
+    passes with identical semantics (equality-tested).
+
+    The estimate is hash-exact vs the SQL oracle: md5 register planes,
+    exact-integer denominators, floor(e+.5) rounding and a pre-rounded
+    linear-counting table (HYPERBALL_NF_SQL replays all of it verbatim).
+    Output: one row per round 0..rounds, (round, nf_est)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    nb = n_buckets(n)
+
+    edges_ds = knn_graph(sf_dir)
+    if edges_ds.count() <= PAGERANK_DRIVER_EDGE_BUDGET:
+        e = edges_ds.to_pandas()
+        nodes = np.sort(
+            pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])[
+                "vec_id"
+            ].to_numpy().astype(np.int64)
+        )
+        ui = np.searchsorted(nodes, e["vec_id"].to_numpy(np.int64))
+        vi = np.searchsorted(nodes, e["nbr_id"].to_numpy(np.int64))
+        cur = _hb_seed(nodes)
+        nf = [(0, int(_hb_estimates(cur).sum()))]
+        for r in range(1, rounds + 1):
+            new = cur.copy()
+            np.maximum.at(new, ui, cur[vi])  # src ball absorbs dst ball
+            cur = new
+            nf.append((r, int(_hb_estimates(cur).sum())))
+        return pd.DataFrame(nf, columns=["round", "nf_est"]).astype("int64")
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_shards = max(2, min(16, ncpu // 2))
+
+    @ray.remote(num_cpus=0)
+    class RevShard:
+        """Edges keyed by DST (dst % n_shards == shard id), dst-sorted:
+        in_neighbors(u) answers "who absorbs u's ball" in one slice gather."""
+
+        def __init__(self):
+            self._dst_parts: list[np.ndarray] = []
+            self._src_parts: list[np.ndarray] = []
+            self._dst = self._src = None
+
+        def add_batch(self, dst: np.ndarray, src: np.ndarray) -> int:
+            self._dst_parts.append(dst)
+            self._src_parts.append(src)
+            return len(dst)
+
+        def seal(self) -> int:
+            if self._dst_parts:
+                dst = np.concatenate(self._dst_parts)
+                src = np.concatenate(self._src_parts)
+            else:
+                dst = src = np.empty(0, dtype=np.int64)
+            order = np.argsort(dst, kind="stable")
+            self._dst, self._src = dst[order], src[order]
+            self._dst_parts = self._src_parts = None
+            return len(self._dst)
+
+        def in_neighbors(self, ids: np.ndarray):
+            """(counts aligned with ids, flat src array grouped by id)."""
+            lo = np.searchsorted(self._dst, ids, side="left")
+            hi = np.searchsorted(self._dst, ids, side="right")
+            cnt = hi - lo
+            total = int(cnt.sum())
+            if total == 0:
+                return cnt, np.empty(0, dtype=np.int64)
+            starts = np.repeat(
+                lo - np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt
+            )
+            return cnt, self._src[starts + np.arange(total)]
+
+    shards = [RevShard.remote() for _ in range(n_shards)]
+
+    def push_edges(t: pd.DataFrame) -> pd.DataFrame:
+        src = t["vec_id"].to_numpy(dtype=np.int64)
+        dst = t["nbr_id"].to_numpy(dtype=np.int64)
+        sh = dst % n_shards
+        ray.get(
+            [
+                shards[s].add_batch.remote(dst[sh == s], src[sh == s])
+                for s in np.unique(sh)
+            ]
+        )
+        return pd.DataFrame({"n": pd.Series([len(t)], dtype="int64")})
+
+    edges_ds.map_batches(push_edges, batch_format="pandas").count()
+    ray.get([s.seal.remote() for s in shards])
+
+    def seed_rows(t: pd.DataFrame) -> pd.DataFrame:
+        ids = t["vec_id"].to_numpy(dtype=np.int64)
+        regs = _hb_seed(ids)
+        return pd.DataFrame(
+            {"a": ids, "regs": [row.tobytes() for row in regs]}
+        )
+
+    state = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+        )
+        .map_batches(seed_rows, batch_format="pandas")
+        .materialize()
+    )
+
+    def nf_partials(t: pd.DataFrame) -> pd.DataFrame:
+        regs = np.frombuffer(
+            b"".join(t["regs"]), dtype=np.uint8
+        ).reshape(-1, HB_M)
+        return pd.DataFrame(
+            {"part": pd.Series([int(_hb_estimates(regs).sum())], dtype="int64")}
+        )
+
+    def nf_of(ds_state) -> int:
+        return int(
+            ds_state.map_batches(nf_partials, batch_format="pandas").sum("part")
+        )
+
+    nf = [(0, nf_of(state))]
+
+    def step_rows(t: pd.DataFrame) -> pd.DataFrame:
+        """Self rows keep every node's current plane; candidate rows ship
+        this batch's planes to their in-neighbors (one batched RPC per
+        touched shard — O(edge out-degree) rows, 64 B each)."""
+        ids = t["a"].to_numpy(dtype=np.int64)
+        regs = np.frombuffer(b"".join(t["regs"]), dtype=np.uint8).reshape(
+            -1, HB_M
+        )
+        frames = [
+            pd.DataFrame(
+                {
+                    "db": (ids % nb).astype(np.int32),
+                    "a": ids,
+                    "regs": [row.tobytes() for row in regs],
+                }
+            )
+        ]
+        sh = ids % n_shards
+        pending = []
+        for s in np.unique(sh):
+            m = sh == s
+            pending.append((m, shards[s].in_neighbors.remote(ids[m])))
+        for m, ref in pending:
+            cnt, srcs = ray.get(ref)
+            if len(srcs):
+                shipped = np.repeat(regs[m], cnt, axis=0)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "db": (srcs % nb).astype(np.int32),
+                            "a": srcs,
+                            "regs": [row.tobytes() for row in shipped],
+                        }
+                    )
+                )
+        return pd.concat(frames, ignore_index=True)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        arr = np.frombuffer(b"".join(g["regs"]), dtype=np.uint8).reshape(
+            -1, HB_M
+        )
+        a = g["a"].to_numpy(dtype=np.int64)
+        order = np.argsort(a, kind="stable")
+        a_s, arr_s = a[order], arr[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], a_s[1:] != a_s[:-1]))
+        )
+        merged = np.maximum.reduceat(arr_s, starts, axis=0)
+        return pd.DataFrame(
+            {
+                "a": a_s[starts],
+                "regs": [row.tobytes() for row in merged],
+            }
+        )
+
+    for _ in range(rounds):
+        state = (
+            state.map_batches(step_rows, batch_format="pandas")
+            .groupby("db")
+            .map_groups(fold, batch_format="pandas")
+            .map_batches(
+                lambda t: t[["a", "regs"]], batch_format="pandas"
+            )
+            .materialize()
+        )
+        nf.append((len(nf), nf_of(state)))
+    out = pd.DataFrame(nf, columns=["round", "nf_est"]).astype("int64")
+    out["round"] = np.arange(len(out), dtype=np.int64)
+    return out
+
+
+def _hyperball_sql(rounds: int = HB_ROUNDS) -> str:
+    """DuckDB replay of the full HyperBall run: md5 register seeds, per-round
+    sparse elementwise-max CTEs (self UNION ALL in-shipped planes, GROUP BY
+    max), exact HUGEINT denominators, the same embedded alpha*m*m*2^59
+    double, pre-rounded linear-counting CASE and floor(e+.5)."""
+    lincase = " ".join(
+        f"WHEN {z} THEN {v}" for z, v in HB_LINCOUNT.items()
+    )
+    regs_steps = []
+    for t in range(1, rounds + 1):
+        regs_steps.append(f"""regs{t} AS MATERIALIZED (
+  SELECT vec_id, reg, MAX(rank) AS rank FROM (
+    SELECT vec_id, reg, rank FROM regs{t - 1}
+    UNION ALL
+    SELECT e.src AS vec_id, r.reg, r.rank
+    FROM e JOIN regs{t - 1} r ON r.vec_id = e.dst
+  ) GROUP BY vec_id, reg
+)""")
+    per_round = []
+    for t in range(0, rounds + 1):
+        per_round.append(f"""
+  SELECT {t} AS round, CAST(SUM(est) AS BIGINT) AS nf_est FROM (
+    SELECT CASE WHEN e <= {2.5 * HB_M!r} AND zeros > 0
+                THEN CASE zeros {lincase} END
+                ELSE CAST(floor(e + 0.5) AS BIGINT) END AS est
+    FROM (
+      SELECT {HB_ALPHA_MM_SCALED!r} / CAST(
+               s + CAST(zeros AS HUGEINT) * {1 << HB_SCALE} AS DOUBLE
+             ) AS e, zeros
+      FROM (
+        SELECT vec_id,
+               SUM(CAST(CAST(1 AS BIGINT) << ({HB_SCALE} - rank) AS HUGEINT)) AS s,
+               {HB_M} - COUNT(*) AS zeros
+        FROM regs{t} GROUP BY vec_id
+      )
+    )
+  )""")
+    unioned = "\n  UNION ALL".join(per_round)
+    return f"""
+WITH knn AS MATERIALIZED ({KNN_GRAPH_SQL}),
+e AS MATERIALIZED (SELECT vec_id AS src, nbr_id AS dst FROM knn),
+h AS (
+  SELECT vec_id,
+         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 16)) AS UBIGINT) AS hv
+  FROM embeddings
+),
+regs0 AS MATERIALIZED (
+  SELECT vec_id, CAST(hv & {HB_M - 1} AS INTEGER) AS reg,
+         CAST(CASE WHEN (hv >> {HB_P}) = 0 THEN {HB_RANK_BITS + 1}
+                   ELSE {HB_RANK_BITS} - length(bin(hv >> {HB_P})) + 1
+              END AS INTEGER) AS rank
+  FROM h
+),
+{",".join(regs_steps)}
+SELECT round, nf_est FROM ({unioned}) ORDER BY round
+"""
+
+
+HYPERBALL_NF_SQL = _hyperball_sql()

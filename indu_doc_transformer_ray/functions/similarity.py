@@ -2262,7 +2262,9 @@ from .graph import (  # noqa: E402,F401
     PAGERANK_MASS,
     TRIANGLE_COUNT_SQL,
     VEC_DUP_CLUSTERS_SQL,
+    HYPERBALL_NF_SQL,
     bfs_hops,
+    hyperball_nf,
     common_neighbors_topk,
     resource_allocation_topk,
     kcore_decompose,

@@ -1947,3 +1947,32 @@ def test_em_linkage_separates_planted_matches():
     assert 50_000 < p < 250_000  # ~10% planted matches
     assert all(mk > uk for mk, uk in zip(m, u))
     assert all(mk > 700_000 for mk in m)
+
+
+def test_hyperball_nf(ray_session, monkeypatch):
+    """HyperBall neighborhood function: (1) the sketch replays exactly in
+    DuckDB (md5 planes, exact-integer denominators, pre-rounded linear
+    counting), (2) the distributed register-exchange path is bit-equal to
+    the driver scatter-max escape, (3) N(r) is monotone with N(0) equal to
+    the node count (every singleton ball linear-counts to exactly 1)."""
+    import duckdb
+
+    import indu_doc_transformer_ray.functions.similarity  # noqa: F401
+    from indu_doc_transformer_ray.functions import graph
+
+    sf = "/root/testdata/sf0.001"
+    res = graph.hyperball_nf(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    want = con.execute(graph.HYPERBALL_NF_SQL).df()
+    assert res.values.tolist() == want.values.tolist()
+
+    nf = res["nf_est"].tolist()
+    assert nf[0] == 500  # |ball(v,0)| = 1 per node, linear-counted exactly
+    assert all(a <= b for a, b in zip(nf, nf[1:]))  # balls only grow
+
+    monkeypatch.setattr(graph, "PAGERANK_DRIVER_EDGE_BUDGET", 0)
+    res2 = graph.hyperball_nf(sf)
+    assert res2.values.tolist() == res.values.tolist()
