@@ -2711,3 +2711,289 @@ SELECT round, nf_est FROM ({unioned}) ORDER BY round
 
 
 HYPERBALL_NF_SQL = _hyperball_sql()
+
+
+# -- HITS hubs & authorities over the k-NN graph ------------------------------
+
+HITS_MASS = 10 ** 12
+HITS_ROUNDS = 3
+
+
+def hits_scores(sf_dir: str, rounds: int = HITS_ROUNDS) -> "object":
+    """HITS (Kleinberg, "Authoritative sources in a hyperlinked
+    environment", JACM 1999) over the directed k-NN graph: hub(u) =
+    sum of auth over u's out-neighbors, auth(v) = sum of hub over v's
+    in-neighbors, alternating for ``rounds`` rounds.  Normalization is L1
+    to fixed integer mass (score = (MASS * raw) // total) instead of the
+    classical L2 so every round is an exact integer fixed point — the
+    pagerank_knn micro-unit discipline — and the SQL oracle replays the
+    run bit-for-bit (HITS_SCORES_SQL).
+
+    Execution: under the shared edge budget the rounds are driver numpy
+    scatter-adds (the normalize multiply promotes to Python ints — MASS *
+    raw exceeds int64).  Above it, the static edge set is pinned ONCE in
+    sharded num_cpus=0 actors holding BOTH sort orders; each half-round is
+    one bucketed sum fold of shipped scores plus a scalar total fold, so a
+    round moves O(edges) int rows and the graph never re-enters the
+    shuffle.  Output: (vec_id, hub_mu, auth_mu) in 1e-12 mass units."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    S = HITS_MASS
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    nb = n_buckets(n)
+
+    edges_ds = knn_graph(sf_dir)
+
+    def _norm_obj(raw):
+        tot = int(raw.sum())
+        if tot == 0:
+            return np.zeros(len(raw), dtype=np.int64)
+        return ((raw.astype(object) * S) // tot).astype(np.int64)
+
+    if edges_ds.count() <= PAGERANK_DRIVER_EDGE_BUDGET:
+        e = edges_ds.to_pandas()
+        nodes = np.sort(
+            pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])[
+                "vec_id"
+            ].to_numpy().astype(np.int64)
+        )
+        ui = np.searchsorted(nodes, e["vec_id"].to_numpy(np.int64))
+        vi = np.searchsorted(nodes, e["nbr_id"].to_numpy(np.int64))
+        a = np.full(n, S // n, dtype=np.int64)
+        h = np.zeros(n, dtype=np.int64)
+        for _ in range(rounds):
+            raw_h = np.zeros(n, dtype=np.int64)
+            np.add.at(raw_h, ui, a[vi])
+            h = _norm_obj(raw_h)
+            raw_a = np.zeros(n, dtype=np.int64)
+            np.add.at(raw_a, vi, h[ui])
+            a = _norm_obj(raw_a)
+        return pd.DataFrame(
+            {"vec_id": nodes, "hub_mu": h, "auth_mu": a}
+        ).astype("int64")
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_shards = max(2, min(16, ncpu // 2))
+
+    @ray.remote(num_cpus=0)
+    class DualShard:
+        """Edges of nodes with (key % n_shards == shard id) in BOTH sort
+        orders: by dst (hub step: who lists me -> my score feeds their hub)
+        and by src (auth step: whom I list -> my hub feeds their auth)."""
+
+        def __init__(self):
+            self._parts: list[tuple[np.ndarray, np.ndarray]] = []
+            self._by_dst = self._by_src = None
+
+        def add_batch(self, src: np.ndarray, dst: np.ndarray) -> int:
+            self._parts.append((src, dst))
+            return len(src)
+
+        def seal_dst(self) -> int:
+            src = np.concatenate([p[0] for p in self._parts]) if self._parts else np.empty(0, np.int64)
+            dst = np.concatenate([p[1] for p in self._parts]) if self._parts else np.empty(0, np.int64)
+            o = np.argsort(dst, kind="stable")
+            self._by_dst = (dst[o], src[o])
+            self._parts = []  # src batches arrive next, routed by src
+            return len(dst)
+
+        def add_src_batch(self, src: np.ndarray, dst: np.ndarray) -> int:
+            self._parts.append((src, dst))
+            return len(src)
+
+        def seal_src(self) -> int:
+            src = np.concatenate([p[0] for p in self._parts]) if self._parts else np.empty(0, np.int64)
+            dst = np.concatenate([p[1] for p in self._parts]) if self._parts else np.empty(0, np.int64)
+            o = np.argsort(src, kind="stable")
+            self._by_src = (src[o], dst[o])
+            self._parts = []
+            return len(src)
+
+        @staticmethod
+        def _gather(keys: np.ndarray, vals: np.ndarray, ids: np.ndarray):
+            lo = np.searchsorted(keys, ids, side="left")
+            hi = np.searchsorted(keys, ids, side="right")
+            cnt = hi - lo
+            total = int(cnt.sum())
+            if total == 0:
+                return cnt, np.empty(0, dtype=np.int64)
+            starts = np.repeat(
+                lo - np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt
+            )
+            return cnt, vals[starts + np.arange(total)]
+
+        def listers_of(self, ids: np.ndarray):
+            """hub step: sources of edges whose dst is in ids."""
+            return self._gather(self._by_dst[0], self._by_dst[1], ids)
+
+        def listed_by(self, ids: np.ndarray):
+            """auth step: dsts of edges whose src is in ids."""
+            return self._gather(self._by_src[0], self._by_src[1], ids)
+
+    shards = [DualShard.remote() for _ in range(n_shards)]
+
+    def push_edges(t: pd.DataFrame) -> pd.DataFrame:
+        src = t["vec_id"].to_numpy(dtype=np.int64)
+        dst = t["nbr_id"].to_numpy(dtype=np.int64)
+        refs = []
+        sh = dst % n_shards
+        for s in np.unique(sh):
+            m = sh == s
+            refs.append(shards[s].add_batch.remote(src[m], dst[m]))
+        ray.get(refs)
+        return pd.DataFrame({"n": pd.Series([len(t)], dtype="int64")})
+
+    edges_ds.map_batches(push_edges, batch_format="pandas").count()
+    ray.get([s.seal_dst.remote() for s in shards])
+
+    def push_src(t: pd.DataFrame) -> pd.DataFrame:
+        src = t["vec_id"].to_numpy(dtype=np.int64)
+        dst = t["nbr_id"].to_numpy(dtype=np.int64)
+        refs = []
+        sh = src % n_shards
+        for s in np.unique(sh):
+            m = sh == s
+            refs.append(shards[s].add_src_batch.remote(src[m], dst[m]))
+        ray.get(refs)
+        return pd.DataFrame({"n": pd.Series([len(t)], dtype="int64")})
+
+    edges_ds.map_batches(push_src, batch_format="pandas").count()
+    ray.get([s.seal_src.remote() for s in shards])
+
+    def seed(t: pd.DataFrame) -> pd.DataFrame:
+        ids = t["vec_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"a": ids, "s": np.full(len(ids), S // n, dtype=np.int64)}
+        )
+
+    state = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+        )
+        .map_batches(seed, batch_format="pandas")
+        .materialize()
+    )
+
+    def half_round(state_ds, method_name: str):
+        """One HITS half-step: ship this side's scores along the shard
+        index, fold sums per receiving node (self rows keep zero-raw nodes
+        alive), then L1-normalize to mass S with the scalar total."""
+
+        def ship(t: pd.DataFrame) -> pd.DataFrame:
+            ids = t["a"].to_numpy(dtype=np.int64)
+            sc = t["s"].to_numpy(dtype=np.int64)
+            frames = [
+                pd.DataFrame(
+                    {
+                        "db": (ids % nb).astype(np.int32),
+                        "a": ids,
+                        "r": np.zeros(len(ids), dtype=np.int64),
+                    }
+                )
+            ]
+            sh = ids % n_shards
+            pending = []
+            for s_i in np.unique(sh):
+                m = sh == s_i
+                pending.append(
+                    (m, getattr(shards[s_i], method_name).remote(ids[m]))
+                )
+            for m, ref in pending:
+                cnt, rcv = ray.get(ref)
+                if len(rcv):
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "db": (rcv % nb).astype(np.int32),
+                                "a": rcv,
+                                "r": np.repeat(sc[m], cnt),
+                            }
+                        )
+                    )
+            return pd.concat(frames, ignore_index=True)
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            agg = g.groupby("a", sort=False)["r"].sum().reset_index()
+            return pd.DataFrame(
+                {
+                    "a": agg["a"].astype("int64"),
+                    "r": agg["r"].astype("int64"),
+                }
+            )
+
+        raw = (
+            state_ds.map_batches(ship, batch_format="pandas")
+            .groupby("db")
+            .map_groups(fold, batch_format="pandas")
+            .map_batches(lambda t: t[["a", "r"]], batch_format="pandas")
+            .materialize()
+        )
+        tot = int(raw.sum("r") or 0)
+
+        def norm(t: pd.DataFrame) -> pd.DataFrame:
+            r = t["r"].to_numpy(dtype=np.int64)
+            if tot == 0:
+                s_new = np.zeros(len(r), dtype=np.int64)
+            else:
+                s_new = ((r.astype(object) * S) // tot).astype(np.int64)
+            return pd.DataFrame({"a": t["a"].astype("int64"), "s": s_new})
+
+        return raw.map_batches(norm, batch_format="pandas").materialize()
+
+    a_state = state
+    h_state = None
+    for _ in range(rounds):
+        h_state = half_round(a_state, "listers_of")
+        a_state = half_round(h_state, "listed_by")
+
+    h_df = h_state.to_pandas().rename(columns={"a": "vec_id", "s": "hub_mu"})
+    a_df = a_state.to_pandas().rename(columns={"a": "vec_id", "s": "auth_mu"})
+    out = h_df.merge(a_df, on="vec_id").sort_values("vec_id")
+    return out.reset_index(drop=True).astype("int64")
+
+
+def _hits_sql(rounds: int = HITS_ROUNDS) -> str:
+    """Unrolled exact replay: per half-round a LEFT-JOIN scatter sum over
+    the edge CTE and an L1 renormalize (HUGEINT product, floor division)."""
+    S = HITS_MASS
+    steps = []
+    prev_a = "a0"
+    prev_h = None
+    for t in range(1, rounds + 1):
+        steps.append(f"""rh{t} AS (
+  SELECT n.vec_id, COALESCE(s.x, 0) AS raw FROM nodes n LEFT JOIN (
+    SELECT e.src AS vec_id, SUM(p.s) AS x
+    FROM e JOIN {prev_a} p ON p.vec_id = e.dst GROUP BY e.src
+  ) s USING (vec_id)
+), h{t} AS (
+  SELECT vec_id, CAST((CAST({S} AS HUGEINT) * raw)
+         // (SELECT SUM(raw) FROM rh{t}) AS BIGINT) AS s FROM rh{t}
+), ra{t} AS (
+  SELECT n.vec_id, COALESCE(s.x, 0) AS raw FROM nodes n LEFT JOIN (
+    SELECT e.dst AS vec_id, SUM(p.s) AS x
+    FROM e JOIN h{t} p ON p.vec_id = e.src GROUP BY e.dst
+  ) s USING (vec_id)
+), a{t} AS (
+  SELECT vec_id, CAST((CAST({S} AS HUGEINT) * raw)
+         // (SELECT SUM(raw) FROM ra{t}) AS BIGINT) AS s FROM ra{t}
+)""")
+        prev_a = f"a{t}"
+        prev_h = f"h{t}"
+    joined = ",\n".join(steps)
+    return f"""
+WITH knn AS MATERIALIZED ({KNN_GRAPH_SQL}),
+e AS MATERIALIZED (SELECT vec_id AS src, nbr_id AS dst FROM knn),
+nodes AS (SELECT vec_id FROM embeddings),
+stats AS (SELECT COUNT(*) AS n FROM embeddings),
+a0 AS (SELECT vec_id, CAST({S} // s.n AS BIGINT) AS s FROM nodes CROSS JOIN stats s),
+{joined}
+SELECT n.vec_id, h.s AS hub_mu, a.s AS auth_mu
+FROM nodes n JOIN {prev_h} h USING (vec_id) JOIN {prev_a} a USING (vec_id)
+ORDER BY n.vec_id
+"""
+
+
+HITS_SCORES_SQL = _hits_sql()

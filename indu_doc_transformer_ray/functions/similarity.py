@@ -2262,8 +2262,10 @@ from .graph import (  # noqa: E402,F401
     PAGERANK_MASS,
     TRIANGLE_COUNT_SQL,
     VEC_DUP_CLUSTERS_SQL,
+    HITS_SCORES_SQL,
     HYPERBALL_NF_SQL,
     bfs_hops,
+    hits_scores,
     hyperball_nf,
     common_neighbors_topk,
     resource_allocation_topk,

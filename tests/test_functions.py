@@ -1976,3 +1976,32 @@ def test_hyperball_nf(ray_session, monkeypatch):
     monkeypatch.setattr(graph, "PAGERANK_DRIVER_EDGE_BUDGET", 0)
     res2 = graph.hyperball_nf(sf)
     assert res2.values.tolist() == res.values.tolist()
+
+
+def test_hits_scores(ray_session, monkeypatch):
+    """HITS: (1) exact replay vs the unrolled SQL oracle, (2) distributed
+    register-exchange path bit-equal to the driver escape, (3) L1 mass
+    conservation — hub and auth columns each sum to ~HITS_MASS (floor
+    division loses < n mass units)."""
+    import duckdb
+
+    import indu_doc_transformer_ray.functions.similarity  # noqa: F401
+    from indu_doc_transformer_ray.functions import graph
+
+    sf = "/root/testdata/sf0.001"
+    res = graph.hits_scores(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    want = con.execute(graph.HITS_SCORES_SQL).df()
+    assert res.values.tolist() == want.astype("int64").values.tolist()
+
+    n = len(res)
+    for col in ("hub_mu", "auth_mu"):
+        s = int(res[col].sum())
+        assert graph.HITS_MASS - n <= s <= graph.HITS_MASS
+
+    monkeypatch.setattr(graph, "PAGERANK_DRIVER_EDGE_BUDGET", 0)
+    res2 = graph.hits_scores(sf)
+    assert res2.values.tolist() == res.values.tolist()
