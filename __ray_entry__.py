@@ -533,6 +533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hyperball_nf": similarity.hyperball_nf,
         "hits_scores": similarity.hits_scores,
         "rrf_fusion": text.rrf_fusion,
+        "chi2_lang_source": relational.chi2_lang_source,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -541,7 +542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     risk_first = [
         # session-7 newest (riskiest oracles: fixed-point unrolls, IEEE
         # sqrt bridge, AMS sign mirror, recursive-CTE smoothing)
-        "hyperball_nf", "hits_scores", "rrf_fusion",
+        "hyperball_nf", "hits_scores", "rrf_fusion", "chi2_lang_source",
         "markov_stationary", "holt_linear_by_type", "cpd_daily_by_type",
         "ams_f2_by_type", "quantile_cont_price",
         "spearman_qty_discount", "assoc_rules",
@@ -681,6 +682,7 @@ def oracle_sql() -> dict[str, str]:
         "hyperball_nf": similarity.HYPERBALL_NF_SQL,
         "hits_scores": similarity.HITS_SCORES_SQL,
         "rrf_fusion": text.RRF_FUSION_SQL,
+        "chi2_lang_source": relational.CHI2_LANG_SOURCE_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

@@ -913,3 +913,79 @@ SELECT CAST(ls.l AS BIGINT) AS l,
 FROM ls CROSS JOIN classes
 GROUP BY ls.l ORDER BY l
 """
+
+
+# -- chi-square independence audit (lang x source) ----------------------------
+
+CHI2_SCALE = 10 ** 6  # micro-units for the per-cell contribution
+
+
+def chi2_lang_source(sf_dir: str) -> "object":
+    """Pearson chi-square independence audit of the documents table's
+    (lang, source) contingency — the drift/dependence screen a corpus
+    review runs before stratifying a mixture by either axis.  One combiner
+    groupby builds the |langs| x |sources| table (corpus-size free); the
+    per-cell statistic is computed in EXACT integers with the cleared-
+    denominator identity chi2_cell = (O*N - rt*ct)^2 / (N*rt*ct), floored
+    to micro-units per cell so the distributed fold and the SQL oracle
+    agree bit-for-bit (Python ints here, HUGEINT there; the oracle's
+    128-bit headroom caps it at ~1e9 observed rows — the Ray side is
+    unbounded).  Output: one row per observed cell (lang, source, obs,
+    chi2_mu) plus the dof via the cell count; ordered for hashing."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(t, ["lang", "source"]).aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["lang", "source", "n"])
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded by the (lang x source) domain
+        .sort_values(["lang", "source"])
+        .reset_index(drop=True)
+    )
+    N = int(cells["n"].sum())
+    row_tot = cells.groupby("lang")["n"].sum().to_dict()
+    col_tot = cells.groupby("source")["n"].sum().to_dict()
+    chi2_mu = []
+    for lang, source, obs in cells.itertuples(index=False):
+        rt, ct = int(row_tot[lang]), int(col_tot[source])
+        num = (int(obs) * N - rt * ct) ** 2 * CHI2_SCALE
+        chi2_mu.append(num // (N * rt * ct))
+    out = pd.DataFrame(
+        {
+            "lang": cells["lang"],
+            "source": cells["source"],
+            "obs": cells["n"].astype("int64"),
+            "chi2_mu": pd.array(chi2_mu, dtype="int64"),
+        }
+    )
+    return out
+
+
+CHI2_LANG_SOURCE_SQL = f"""
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+), tot AS (SELECT SUM(n) AS N FROM cells),
+rt AS (SELECT lang, SUM(n) AS rt FROM cells GROUP BY lang),
+ct AS (SELECT source, SUM(n) AS ct FROM cells GROUP BY source)
+SELECT c.lang, c.source, c.n AS obs,
+       CAST(
+         (CAST(c.n AS HUGEINT) * t.N - CAST(r.rt AS HUGEINT) * ct.ct)
+         * (CAST(c.n AS HUGEINT) * t.N - CAST(r.rt AS HUGEINT) * ct.ct)
+         * {CHI2_SCALE}
+         // (CAST(t.N AS HUGEINT) * r.rt * ct.ct)
+       AS BIGINT) AS chi2_mu
+FROM cells c
+JOIN tot t ON TRUE
+JOIN rt r USING (lang)
+JOIN ct USING (source)
+ORDER BY c.lang, c.source
+"""

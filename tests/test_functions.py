@@ -2034,3 +2034,37 @@ def test_rrf_fusion(ray_session):
         )
         dense_part = mu - part_bm
         assert 0 <= dense_part <= max_single
+
+
+def test_chi2_lang_source(ray_session):
+    """Chi-square audit: oracle equality plus two analytic gates — cell
+    marginals reconstruct N, and a perfectly independent synthetic table
+    (outer product counts) yields chi2_mu == 0 in every cell."""
+    import duckdb
+    import pandas as pd
+
+    from indu_doc_transformer_ray.functions import profiling as P
+
+    sf = "/root/testdata/sf0.001"
+    got = P.chi2_lang_source(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = con.execute(P.CHI2_LANG_SOURCE_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert int(got["obs"].sum()) == 500
+
+    # independence gate: obs = rt*ct/N exactly => numerator O*N-rt*ct == 0
+    langs, sources = ["aa", "bb"], ["x", "y", "z"]
+    rows = []
+    for li, lang in enumerate(langs, start=1):
+        for si, srcv in enumerate(sources, start=1):
+            rows += [{"lang": lang, "source": srcv}] * (li * si * 4)
+    df = pd.DataFrame(rows)
+    N = len(df)
+    cells = df.groupby(["lang", "source"]).size().reset_index(name="n")
+    rt = cells.groupby("lang")["n"].sum().to_dict()
+    ct = cells.groupby("source")["n"].sum().to_dict()
+    for lang, srcv, obs in cells.itertuples(index=False):
+        assert int(obs) * N - rt[lang] * ct[srcv] == 0
