@@ -534,6 +534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": similarity.hits_scores,
         "rrf_fusion": text.rrf_fusion,
         "chi2_lang_source": relational.chi2_lang_source,
+        "seq_pattern_hits": events.seq_pattern_hits,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -543,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # session-7 newest (riskiest oracles: fixed-point unrolls, IEEE
         # sqrt bridge, AMS sign mirror, recursive-CTE smoothing)
         "hyperball_nf", "hits_scores", "rrf_fusion", "chi2_lang_source",
+        "seq_pattern_hits",
         "markov_stationary", "holt_linear_by_type", "cpd_daily_by_type",
         "ams_f2_by_type", "quantile_cont_price",
         "spearman_qty_discount", "assoc_rules",
@@ -683,6 +685,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": similarity.HITS_SCORES_SQL,
         "rrf_fusion": text.RRF_FUSION_SQL,
         "chi2_lang_source": relational.CHI2_LANG_SOURCE_SQL,
+        "seq_pattern_hits": events.SEQ_PATTERN_HITS_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

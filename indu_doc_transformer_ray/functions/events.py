@@ -4333,3 +4333,104 @@ SELECT event_type,
 FROM it WHERE day = (SELECT d1 FROM span)
 ORDER BY event_type
 """
+
+
+# -- sequential pattern mining (MATCH_RECOGNIZE-style) -------------------------
+
+SEQ_PATTERN = ("view", "click", "purchase")  # adjacent triple, distinct kinds
+
+
+def seq_pattern_hits(sf_dir: str) -> "object":
+    """Count, per user, the non-overlapping occurrences of the ADJACENT
+    event pattern view -> click -> purchase in the time-ordered stream —
+    the MATCH_RECOGNIZE / sessions-that-convert-immediately primitive —
+    then histogram users by hit count (hits, n_users), zero-hit users
+    included so the rows sum to the user population.
+
+    The pattern's three kinds are distinct, so occurrences cannot overlap
+    and the count equals the number of matching window positions — which
+    makes the kernel fully vectorized: users co-locate by the derived
+    bucket, ONE sort per bucket, then a shifted boolean AND over the type
+    array (no per-user Python, no string assembly).  Per-bucket partials
+    are (hits, n_users) histograms, so the final exchange is O(max_hits)
+    rows per bucket."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    nb = _user_buckets(sf_dir)
+    ds = _read_events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        return pa.table(
+            {
+                "ub": pc.cast(pc.bit_wise_and(uid, nb - 1), pa.int32()),
+                "user_id": uid,
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "event_type": t["event_type"],
+                "ts_us": pc.cast(t["ts"].cast(pa.timestamp("us")), pa.int64()),
+            }
+        )
+
+    a, b, c = SEQ_PATTERN
+
+    def hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"])
+        t = g["event_type"].to_numpy()
+        u = g["user_id"].to_numpy()
+        if len(g) >= 3:
+            m = (
+                (t[:-2] == a)
+                & (t[1:-1] == b)
+                & (t[2:] == c)
+                & (u[:-2] == u[2:])  # window stays inside one user's run
+            )
+            hit_users = u[:-2][m]
+        else:
+            hit_users = np.empty(0, dtype=np.int64)
+        per_user = pd.Series(0, index=pd.unique(u), dtype="int64")
+        if len(hit_users):
+            add = pd.Series(hit_users).value_counts()
+            per_user = per_user.add(add, fill_value=0).astype("int64")
+        out = per_user.value_counts().sort_index()
+        return pd.DataFrame(
+            {
+                "hits": out.index.to_numpy(dtype=np.int64),
+                "n_users": out.to_numpy(dtype=np.int64),
+            }
+        )
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(hist, batch_format="pandas")
+        .groupby("hits")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .to_pandas()  # <= max-hits-per-user rows
+    )
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("hits").reset_index(drop=True).astype("int64")
+
+
+SEQ_PATTERN_HITS_SQL = f"""
+WITH s AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER w AS t1,
+         LEAD(event_type, 2) OVER w AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), per_user AS (
+  SELECT u.user_id, COALESCE(h.hits, 0) AS hits
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN (
+    SELECT user_id, COUNT(*) AS hits FROM s
+    WHERE event_type = '{SEQ_PATTERN[0]}' AND t1 = '{SEQ_PATTERN[1]}'
+          AND t2 = '{SEQ_PATTERN[2]}'
+    GROUP BY user_id
+  ) h USING (user_id)
+)
+SELECT CAST(hits AS BIGINT) AS hits, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY hits ORDER BY hits
+"""

@@ -2068,3 +2068,34 @@ def test_chi2_lang_source(ray_session):
     ct = cells.groupby("source")["n"].sum().to_dict()
     for lang, srcv, obs in cells.itertuples(index=False):
         assert int(obs) * N - rt[lang] * ct[srcv] == 0
+
+
+def test_seq_pattern_hits(ray_session):
+    """Sequential-pattern histogram: oracle equality, population
+    conservation (rows sum to the distinct-user count), and a hand-built
+    replay on a tiny synthetic stream with a known hit layout."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.seq_pattern_hits(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(E.SEQ_PATTERN_HITS_SQL).df()
+    assert got.values.tolist() == want.astype("int64").values.tolist()
+    n_users = con.execute(
+        "SELECT COUNT(DISTINCT user_id) FROM events"
+    ).fetchone()[0]
+    assert int(got["n_users"].sum()) == n_users
+
+    # adjacency gate: view->click->X->purchase must NOT count
+    t = np.array(["view", "click", "purchase",     # hit
+                  "view", "click", "error", "purchase",  # no hit (gap)
+                  "view", "click", "purchase"])    # hit
+    u = np.zeros(len(t), dtype=np.int64)
+    m = (t[:-2] == "view") & (t[1:-1] == "click") & (t[2:] == "purchase") \
+        & (u[:-2] == u[2:])
+    assert int(m.sum()) == 2
