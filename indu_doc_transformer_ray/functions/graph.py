@@ -2997,3 +2997,268 @@ ORDER BY n.vec_id
 
 
 HITS_SCORES_SQL = _hits_sql()
+
+
+# -- modularity of the label-propagation communities ---------------------------
+
+def lp_modularity(sf_dir: str) -> "object":
+    """Newman modularity audit of the ``label_propagation`` communities
+    over the UNDIRECTED k-NN graph — the standard "did the propagation
+    produce real structure" check.  All arithmetic is cleared-denominator
+    exact: per community c the output carries (l_in, d_sum, q_num) with
+    q_num = 4*m*l_in - d_sum^2, so Q = sum(q_num) / (4*m^2) without a
+    float anywhere (Python ints here, HUGEINT in the oracle).  Unlabeled
+    nodes (lab = -1) form their own community row.
+
+    Scale shape: when ``label_propagation`` escaped to the driver (edge
+    budget), modularity is numpy on the same arrays; otherwise THREE
+    bounded exchanges — undirected dedup co-location, then two
+    label-attach co-locations (union + bucketed groupby, the repo's
+    join-free attach), each folding per-label partials in-kernel so only
+    O(|labels|) rows ever reach the final groupby."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    nb = n_buckets(n)
+
+    lp = label_propagation(sf_dir)
+    edges_ds = knn_graph(sf_dir)
+
+    def _finish(rows: "pd.DataFrame", m: int) -> "pd.DataFrame":
+        rows = rows.sort_values("lab").reset_index(drop=True)
+        q_num = [
+            4 * m * int(l) - int(d) ** 2
+            for l, d in zip(rows["l_in"], rows["d_sum"])
+        ]
+        return pd.DataFrame(
+            {
+                "lab": rows["lab"].astype("int64"),
+                "l_in": rows["l_in"].astype("int64"),
+                "d_sum": rows["d_sum"].astype("int64"),
+                "q_num": pd.array(q_num, dtype="int64"),
+            }
+        )
+
+    if isinstance(lp, pd.DataFrame):  # LP escaped => edges fit the driver
+        e = edges_ds.to_pandas()
+        u = e["vec_id"].to_numpy(np.int64)
+        v = e["nbr_id"].to_numpy(np.int64)
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        und = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        m = len(und)
+        nodes = lp["vec_id"].to_numpy(np.int64)  # sorted by vec_id
+        lab = lp["lab"].to_numpy(np.int64)
+        li = np.searchsorted(nodes, und[:, 0])
+        hi_i = np.searchsorted(nodes, und[:, 1])
+        la, lb = lab[li], lab[hi_i]
+        same = la == lb
+        lin = pd.Series(la[same]).value_counts()
+        deg_lab = np.concatenate([la, lb])  # one degree unit per endpoint
+        dsum = pd.Series(deg_lab).value_counts()
+        labs = np.unique(lab)
+        rows = pd.DataFrame(
+            {
+                "lab": labs,
+                "l_in": [int(lin.get(x, 0)) for x in labs],
+                "d_sum": [int(dsum.get(x, 0)) for x in labs],
+            }
+        )
+        return _finish(rows, m)
+
+    # distributed: lp is a Dataset of (vec_id, lab)
+    from ray.data.aggregate import Sum
+
+    def canon(t: pd.DataFrame) -> pd.DataFrame:
+        u = t["vec_id"].to_numpy(np.int64)
+        v = t["nbr_id"].to_numpy(np.int64)
+        lo, hi_ = np.minimum(u, v), np.maximum(u, v)
+        return pd.DataFrame(
+            {
+                "eb": ((lo * 1315423911 + hi_) % nb).astype(np.int32),
+                "lo": lo,
+                "hi": hi_,
+            }
+        )
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["lo", "hi"])[["lo", "hi"]]
+
+    und_ds = (
+        edges_ds.map_batches(canon, batch_format="pandas")
+        .groupby("eb")
+        .map_groups(dedup, batch_format="pandas")
+        .materialize()
+    )
+    m = und_ds.count()
+
+    lab_rows = lp.map_batches(
+        lambda t: pd.DataFrame(
+            {
+                "kb": (t["vec_id"].to_numpy(np.int64) % nb).astype(np.int32),
+                "key": t["vec_id"].astype("int64"),
+                "other": np.full(len(t), -1, dtype=np.int64),
+                "lab": t["lab"].astype("int64"),
+                "tag": np.ones(len(t), dtype=np.int8),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+    def e_rows_lo(t: pd.DataFrame) -> pd.DataFrame:
+        lo = t["lo"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "kb": (lo % nb).astype(np.int32),
+                "key": lo,
+                "other": t["hi"].astype("int64"),
+                "lab": np.full(len(t), -2, dtype=np.int64),
+                "tag": np.zeros(len(t), dtype=np.int8),
+            }
+        )
+
+    def attach_lo(g: pd.DataFrame) -> pd.DataFrame:
+        """Resolve la for each edge; emit (hi-keyed rows carrying la) plus
+        per-label degree partials for the lo endpoints."""
+        labd = g[g["tag"] == 1].set_index("key")["lab"]
+        e = g[g["tag"] == 0]
+        la = labd.reindex(e["key"]).to_numpy(np.int64)
+        out = pd.DataFrame(
+            {
+                "kb": (e["other"].to_numpy(np.int64) % nb).astype(np.int32),
+                "key": e["other"].astype("int64").to_numpy(),
+                "other": la,  # carries la forward
+                "lab": np.full(len(e), -2, dtype=np.int64),
+                "tag": np.zeros(len(e), dtype=np.int8),
+            }
+        )
+        dpart = pd.Series(la).value_counts()
+        deg = pd.DataFrame(
+            {
+                "kb": np.full(len(dpart), -1, dtype=np.int32),
+                "key": dpart.index.to_numpy(np.int64),  # label
+                "other": dpart.to_numpy(np.int64),      # degree partial
+                "lab": np.full(len(dpart), -3, dtype=np.int64),
+                "tag": np.full(len(dpart), 2, dtype=np.int8),
+            }
+        )
+        return pd.concat([out, deg], ignore_index=True)
+
+    stage1 = (
+        und_ds.map_batches(e_rows_lo, batch_format="pandas")
+        .union(lab_rows)
+        .groupby("kb")
+        .map_groups(attach_lo, batch_format="pandas")
+    )
+
+    def attach_hi(g: pd.DataFrame) -> pd.DataFrame:
+        """Resolve lb; emit per-label partials: l_in (la==lb) and hi-side
+        degree.  Degree partials from stage 1 (tag 2) pass through."""
+        passthru = g[g["tag"] == 2][["key", "other", "tag"]].rename(
+            columns={"key": "lab_k", "other": "cnt"}
+        )
+        labd = g[g["tag"] == 1].set_index("key")["lab"]
+        e = g[g["tag"] == 0]
+        frames = []
+        if len(passthru):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "lab_k": passthru["lab_k"].to_numpy(np.int64),
+                        "kind": np.full(len(passthru), 1, dtype=np.int8),
+                        "cnt": passthru["cnt"].to_numpy(np.int64),
+                    }
+                )
+            )
+        if len(e):
+            lb = labd.reindex(e["key"]).to_numpy(np.int64)
+            la = e["other"].to_numpy(np.int64)
+            dpart = pd.Series(lb).value_counts()
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "lab_k": dpart.index.to_numpy(np.int64),
+                        "kind": np.full(len(dpart), 1, dtype=np.int8),
+                        "cnt": dpart.to_numpy(np.int64),
+                    }
+                )
+            )
+            same = la == lb
+            if same.any():
+                lpart = pd.Series(la[same]).value_counts()
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "lab_k": lpart.index.to_numpy(np.int64),
+                            "kind": np.zeros(len(lpart), dtype=np.int8),
+                            "cnt": lpart.to_numpy(np.int64),
+                        }
+                    )
+                )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "lab_k": pd.Series([], dtype="int64"),
+                    "kind": pd.Series([], dtype="int8"),
+                    "cnt": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    folded = (
+        stage1.union(lab_rows)
+        .groupby("kb")
+        .map_groups(attach_hi, batch_format="pandas")
+        .groupby(["lab_k", "kind"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # <= 2 x |labels| rows
+    )
+    lin = folded[folded["kind"] == 0].set_index("lab_k")["cnt"]
+    dsum = folded[folded["kind"] == 1].set_index("lab_k")["cnt"]
+    labs = sorted(
+        set(lp.to_pandas()["lab"].astype("int64").tolist())
+    )  # |labels| values; lp itself already folded above, this is bounded
+    rows = pd.DataFrame(
+        {
+            "lab": labs,
+            "l_in": [int(lin.get(x, 0)) for x in labs],
+            "d_sum": [int(dsum.get(x, 0)) for x in labs],
+        }
+    )
+    return _finish(rows, m)
+
+
+LP_MODULARITY_SQL = f"""
+WITH lp AS MATERIALIZED (
+  SELECT * FROM ({LABEL_PROPAGATION_SQL})
+),
+g AS MATERIALIZED ({KNN_GRAPH_SQL}),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(vec_id, nbr_id) AS a, GREATEST(vec_id, nbr_id) AS b
+  FROM g
+),
+mm AS (SELECT COUNT(*) AS m FROM und),
+lin AS (
+  SELECT l1.lab, COUNT(*) AS l_in
+  FROM und JOIN lp l1 ON und.a = l1.vec_id JOIN lp l2 ON und.b = l2.vec_id
+  WHERE l1.lab = l2.lab GROUP BY l1.lab
+),
+deg AS (
+  SELECT node, COUNT(*) AS d FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+),
+dsum AS (
+  SELECT lp.lab, SUM(COALESCE(deg.d, 0)) AS d_sum
+  FROM lp LEFT JOIN deg ON lp.vec_id = deg.node GROUP BY lp.lab
+)
+SELECT d.lab,
+       CAST(COALESCE(l.l_in, 0) AS BIGINT) AS l_in,
+       CAST(d.d_sum AS BIGINT) AS d_sum,
+       CAST(4 * CAST(mm.m AS HUGEINT) * COALESCE(l.l_in, 0)
+            - CAST(d.d_sum AS HUGEINT) * d.d_sum AS BIGINT) AS q_num
+FROM dsum d LEFT JOIN lin l USING (lab) CROSS JOIN mm
+ORDER BY d.lab
+"""

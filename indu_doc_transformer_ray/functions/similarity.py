@@ -2264,9 +2264,11 @@ from .graph import (  # noqa: E402,F401
     VEC_DUP_CLUSTERS_SQL,
     HITS_SCORES_SQL,
     HYPERBALL_NF_SQL,
+    LP_MODULARITY_SQL,
     bfs_hops,
     hits_scores,
     hyperball_nf,
+    lp_modularity,
     common_neighbors_topk,
     resource_allocation_topk,
     kcore_decompose,

@@ -2099,3 +2099,34 @@ def test_seq_pattern_hits(ray_session):
     m = (t[:-2] == "view") & (t[1:-1] == "click") & (t[2:] == "purchase") \
         & (u[:-2] == u[2:])
     assert int(m.sum()) == 2
+
+
+def test_lp_modularity(ray_session, monkeypatch):
+    """Modularity audit: oracle equality, the distributed three-exchange
+    path bit-equal to the driver escape, and the analytic identities
+    sum(d_sum) == 2m and l_in <= m per community."""
+    import duckdb
+
+    import indu_doc_transformer_ray.functions.similarity  # noqa: F401
+    from indu_doc_transformer_ray.functions import graph
+
+    sf = "/root/testdata/sf0.001"
+    res = graph.lp_modularity(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    want = con.execute(graph.LP_MODULARITY_SQL).df()
+    assert res.values.tolist() == want.astype("int64").values.tolist()
+
+    m = con.execute(
+        f"WITH g AS ({graph.KNN_GRAPH_SQL}) SELECT COUNT(*) FROM ("
+        "SELECT DISTINCT LEAST(vec_id, nbr_id), GREATEST(vec_id, nbr_id) FROM g)"
+    ).fetchone()[0]
+    assert int(res["d_sum"].sum()) == 2 * m
+    assert (res["l_in"] <= m).all()
+    assert ((res["q_num"] == 4 * m * res["l_in"] - res["d_sum"] ** 2)).all()
+
+    monkeypatch.setattr(graph, "PAGERANK_DRIVER_EDGE_BUDGET", 0)
+    res2 = graph.lp_modularity(sf)
+    assert res2.values.tolist() == res.values.tolist()
