@@ -536,6 +536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_lang_source": relational.chi2_lang_source,
         "seq_pattern_hits": events.seq_pattern_hits,
         "lp_modularity": similarity.lp_modularity,
+        "ppr_seeds": similarity.ppr_seeds,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -545,7 +546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # session-7 newest (riskiest oracles: fixed-point unrolls, IEEE
         # sqrt bridge, AMS sign mirror, recursive-CTE smoothing)
         "hyperball_nf", "hits_scores", "rrf_fusion", "chi2_lang_source",
-        "seq_pattern_hits", "lp_modularity",
+        "seq_pattern_hits", "lp_modularity", "ppr_seeds",
         "markov_stationary", "holt_linear_by_type", "cpd_daily_by_type",
         "ams_f2_by_type", "quantile_cont_price",
         "spearman_qty_discount", "assoc_rules",
@@ -688,6 +689,7 @@ def oracle_sql() -> dict[str, str]:
         "chi2_lang_source": relational.CHI2_LANG_SOURCE_SQL,
         "seq_pattern_hits": events.SEQ_PATTERN_HITS_SQL,
         "lp_modularity": similarity.LP_MODULARITY_SQL,
+        "ppr_seeds": similarity.PPR_SEEDS_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

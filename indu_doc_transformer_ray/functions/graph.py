@@ -3262,3 +3262,230 @@ SELECT d.lab,
 FROM dsum d LEFT JOIN lin l USING (lab) CROSS JOIN mm
 ORDER BY d.lab
 """
+
+
+# -- personalized PageRank (random walk with restart) --------------------------
+
+PPR_SEED_MOD = 25  # vec_id % 25 == 0 are the restart/seed nodes
+
+
+def ppr_seeds(sf_dir: str, iters: int = 5) -> "object":
+    """Personalized PageRank / random walk with restart (Haveliwala,
+    "Topic-sensitive PageRank", WWW 2002): the teleport mass returns ONLY
+    to the seed set (``vec_id % PPR_SEED_MOD == 0``) instead of uniformly
+    — the relevance-propagation primitive behind seed-based corpus
+    expansion ("find everything like these trusted docs").  Same integer
+    fixed point as ``pagerank_knn`` (mass ``PPR mass // n_seeds`` on
+    seeds, 85/15 floor-division damping), so the DuckDB oracle replays the
+    run bit-for-bit.
+
+    Execution mirrors pagerank: one numpy scatter pass per round under the
+    edge budget; above it the out-edge set is pinned once in sharded
+    ``num_cpus=0`` actors and each round is one bucketed contribution fold
+    (push model: rank//k_out shipped along out-edges).  Output:
+    (vec_id, rank_mu)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    S = PAGERANK_MASS
+    nodes_all = np.sort(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])[
+            "vec_id"
+        ].to_numpy().astype(np.int64)
+    )
+    n = len(nodes_all)
+    nb = n_buckets(n)
+    seed_mask = nodes_all % PPR_SEED_MOD == 0
+    n_seeds = int(seed_mask.sum())
+    seed_mass = S // n_seeds
+    tp_seed = (15 * seed_mass) // 100
+
+    edges_ds = knn_graph(sf_dir)
+    if edges_ds.count() <= PAGERANK_DRIVER_EDGE_BUDGET:
+        e = edges_ds.to_pandas()
+        src_a = e["vec_id"].to_numpy(np.int64)
+        dst_a = e["nbr_id"].to_numpy(np.int64)
+        order = np.argsort(src_a, kind="stable")
+        src_a, dst_a = src_a[order], dst_a[order]
+        _, inv, cnt = np.unique(src_a, return_inverse=True, return_counts=True)
+        kout = cnt[inv].astype(np.int64)
+        dst_idx = np.searchsorted(nodes_all, dst_a)
+        src_idx = np.searchsorted(nodes_all, src_a)
+        tp = np.where(seed_mask, tp_seed, 0).astype(np.int64)
+        rank = np.where(seed_mask, seed_mass, 0).astype(np.int64)
+        for _ in range(iters):
+            in_sum = np.zeros(n, dtype=np.int64)
+            np.add.at(in_sum, dst_idx, rank[src_idx] // kout)
+            rank = tp + (85 * in_sum) // 100
+        return pd.DataFrame({"vec_id": nodes_all, "rank_mu": rank})
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_shards = max(2, min(16, ncpu // 2))
+
+    @ray.remote(num_cpus=0)
+    class OutShard:
+        """Out-edges (+ per-edge out-degree) of nodes with
+        src % n_shards == shard id, src-sorted for the slice gather."""
+
+        def __init__(self):
+            self._parts: list[tuple[np.ndarray, np.ndarray]] = []
+            self._src = self._dst = self._kout = None
+
+        def add_batch(self, src: np.ndarray, dst: np.ndarray) -> int:
+            self._parts.append((src, dst))
+            return len(src)
+
+        def seal(self) -> int:
+            src = np.concatenate([p[0] for p in self._parts]) if self._parts else np.empty(0, np.int64)
+            dst = np.concatenate([p[1] for p in self._parts]) if self._parts else np.empty(0, np.int64)
+            o = np.argsort(src, kind="stable")
+            src, dst = src[o], dst[o]
+            _, inv, cnt = np.unique(src, return_inverse=True, return_counts=True)
+            self._src, self._dst = src, dst
+            self._kout = cnt[inv].astype(np.int64) if len(src) else np.empty(0, np.int64)
+            self._parts = []
+            return len(src)
+
+        def out_edges(self, ids: np.ndarray):
+            """(counts aligned with ids, flat dst, flat k_out per edge)."""
+            lo = np.searchsorted(self._src, ids, side="left")
+            hi = np.searchsorted(self._src, ids, side="right")
+            cnt = hi - lo
+            total = int(cnt.sum())
+            if total == 0:
+                return cnt, np.empty(0, np.int64), np.empty(0, np.int64)
+            take = np.repeat(
+                lo - np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt
+            ) + np.arange(total)
+            return cnt, self._dst[take], self._kout[take]
+
+    shards = [OutShard.remote() for _ in range(n_shards)]
+
+    def push_edges(t: pd.DataFrame) -> pd.DataFrame:
+        src = t["vec_id"].to_numpy(dtype=np.int64)
+        dst = t["nbr_id"].to_numpy(dtype=np.int64)
+        sh = src % n_shards
+        ray.get(
+            [
+                shards[s].add_batch.remote(src[sh == s], dst[sh == s])
+                for s in np.unique(sh)
+            ]
+        )
+        return pd.DataFrame({"n": pd.Series([len(t)], dtype="int64")})
+
+    edges_ds.map_batches(push_edges, batch_format="pandas").count()
+    ray.get([s.seal.remote() for s in shards])
+
+    def seed_rows(t: pd.DataFrame) -> pd.DataFrame:
+        ids = t["vec_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "a": ids,
+                "r": np.where(
+                    ids % PPR_SEED_MOD == 0, seed_mass, 0
+                ).astype(np.int64),
+            }
+        )
+
+    state = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+        )
+        .map_batches(seed_rows, batch_format="pandas")
+        .materialize()
+    )
+
+    def ship(t: pd.DataFrame) -> pd.DataFrame:
+        ids = t["a"].to_numpy(np.int64)
+        r = t["r"].to_numpy(np.int64)
+        frames = [
+            pd.DataFrame(
+                {
+                    "db": (ids % nb).astype(np.int32),
+                    "a": ids,
+                    "c": np.zeros(len(ids), dtype=np.int64),
+                }
+            )
+        ]
+        sh = ids % n_shards
+        pending = []
+        for s_i in np.unique(sh):
+            m = sh == s_i
+            pending.append((m, shards[s_i].out_edges.remote(ids[m])))
+        for m, ref in pending:
+            cnt, dsts, kout = ray.get(ref)
+            if len(dsts):
+                contrib = np.repeat(r[m], cnt) // kout
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "db": (dsts % nb).astype(np.int32),
+                            "a": dsts,
+                            "c": contrib,
+                        }
+                    )
+                )
+        return pd.concat(frames, ignore_index=True)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("a", sort=False)["c"].sum().reset_index()
+        ids = agg["a"].to_numpy(np.int64)
+        in_sum = agg["c"].to_numpy(np.int64)
+        tp = np.where(ids % PPR_SEED_MOD == 0, tp_seed, 0).astype(np.int64)
+        return pd.DataFrame({"a": ids, "r": tp + (85 * in_sum) // 100})
+
+    for _ in range(iters):
+        state = (
+            state.map_batches(ship, batch_format="pandas")
+            .groupby("db")
+            .map_groups(fold, batch_format="pandas")
+            .map_batches(lambda t: t[["a", "r"]], batch_format="pandas")
+            .materialize()
+        )
+
+    out = state.to_pandas().rename(columns={"a": "vec_id", "r": "rank_mu"})
+    return out.sort_values("vec_id").reset_index(drop=True).astype("int64")
+
+
+def _ppr_sql(iters: int = 5) -> str:
+    S = PAGERANK_MASS
+    prev = "r0"
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""r{i} AS (
+  SELECT n2.vec_id,
+         CAST(CASE WHEN n2.vec_id % {PPR_SEED_MOD} = 0
+                   THEN (15 * ({S} // s.ns)) // 100 ELSE 0 END
+              + (85 * COALESCE(i{i}.in_sum, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n2 CROSS JOIN stats s LEFT JOIN (
+    SELECT e.dst AS vec_id, SUM({prev}.r // e.k_out) AS in_sum
+    FROM e JOIN {prev} ON e.src = {prev}.vec_id GROUP BY e.dst
+  ) i{i} USING (vec_id)
+)""")
+        prev = f"r{i}"
+    joined = ",\n".join(steps)
+    return f"""
+WITH knn AS MATERIALIZED ({KNN_GRAPH_SQL}),
+stats AS (
+  SELECT COUNT(*) FILTER (WHERE vec_id % {PPR_SEED_MOD} = 0) AS ns
+  FROM embeddings
+),
+deg AS (SELECT vec_id AS src, COUNT(*) AS k_out FROM knn GROUP BY vec_id),
+e AS MATERIALIZED (
+  SELECT k.vec_id AS src, k.nbr_id AS dst, d.k_out
+  FROM knn k JOIN deg d ON k.vec_id = d.src
+),
+nodes AS (SELECT vec_id FROM embeddings),
+r0 AS (
+  SELECT vec_id,
+         CAST(CASE WHEN vec_id % {PPR_SEED_MOD} = 0
+                   THEN {S} // s.ns ELSE 0 END AS BIGINT) AS r
+  FROM nodes CROSS JOIN stats s
+),
+{joined}
+SELECT vec_id, r AS rank_mu FROM {prev} ORDER BY vec_id"""
+
+
+PPR_SEEDS_SQL = _ppr_sql()

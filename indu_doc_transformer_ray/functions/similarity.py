@@ -2265,10 +2265,12 @@ from .graph import (  # noqa: E402,F401
     HITS_SCORES_SQL,
     HYPERBALL_NF_SQL,
     LP_MODULARITY_SQL,
+    PPR_SEEDS_SQL,
     bfs_hops,
     hits_scores,
     hyperball_nf,
     lp_modularity,
+    ppr_seeds,
     common_neighbors_topk,
     resource_allocation_topk,
     kcore_decompose,

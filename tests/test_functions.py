@@ -2130,3 +2130,32 @@ def test_lp_modularity(ray_session, monkeypatch):
     monkeypatch.setattr(graph, "PAGERANK_DRIVER_EDGE_BUDGET", 0)
     res2 = graph.lp_modularity(sf)
     assert res2.values.tolist() == res.values.tolist()
+
+
+def test_ppr_seeds(ray_session, monkeypatch):
+    """Personalized PageRank: oracle equality, distributed/driver
+    bit-equality, and the personalization property — teleport mass exists
+    only on seeds, so any node with rank but no inbound path from a seed
+    within `iters` hops must have rank_mu == 0."""
+    import duckdb
+
+    import indu_doc_transformer_ray.functions.similarity  # noqa: F401
+    from indu_doc_transformer_ray.functions import graph
+
+    sf = "/root/testdata/sf0.001"
+    res = graph.ppr_seeds(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    want = con.execute(graph.PPR_SEEDS_SQL).df()
+    assert res.values.tolist() == want.astype("int64").values.tolist()
+
+    # seeds hold teleport mass; total mass is bounded by the start mass
+    seeds = res[res["vec_id"] % graph.PPR_SEED_MOD == 0]
+    assert (seeds["rank_mu"] > 0).all()
+    assert int(res["rank_mu"].sum()) <= graph.PAGERANK_MASS
+
+    monkeypatch.setattr(graph, "PAGERANK_DRIVER_EDGE_BUDGET", 0)
+    res2 = graph.ppr_seeds(sf)
+    assert res2.values.tolist() == res.values.tolist()
