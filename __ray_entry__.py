@@ -537,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_pattern_hits": events.seq_pattern_hits,
         "lp_modularity": similarity.lp_modularity,
         "ppr_seeds": similarity.ppr_seeds,
+        "textrank_keywords": text.textrank_keywords,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -546,7 +547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # session-7 newest (riskiest oracles: fixed-point unrolls, IEEE
         # sqrt bridge, AMS sign mirror, recursive-CTE smoothing)
         "hyperball_nf", "hits_scores", "rrf_fusion", "chi2_lang_source",
-        "seq_pattern_hits", "lp_modularity", "ppr_seeds",
+        "seq_pattern_hits", "lp_modularity", "ppr_seeds", "textrank_keywords",
         "markov_stationary", "holt_linear_by_type", "cpd_daily_by_type",
         "ams_f2_by_type", "quantile_cont_price",
         "spearman_qty_discount", "assoc_rules",
@@ -690,6 +691,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_pattern_hits": events.SEQ_PATTERN_HITS_SQL,
         "lp_modularity": similarity.LP_MODULARITY_SQL,
         "ppr_seeds": similarity.PPR_SEEDS_SQL,
+        "textrank_keywords": text.TEXTRANK_KEYWORDS_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

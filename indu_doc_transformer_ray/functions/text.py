@@ -3061,3 +3061,133 @@ FROM fused
 QUALIFY rk <= 10
 ORDER BY rk
 """
+
+
+# -- TextRank keyword extraction ----------------------------------------------
+
+TEXTRANK_MASS = 10 ** 9
+TEXTRANK_ITERS = 5
+TEXTRANK_MIN_LEN = 3   # tokens shorter than this never enter the graph
+TEXTRANK_TOP = 30
+
+
+def textrank_keywords(sf_dir: str) -> "object":
+    """TextRank (Mihalcea & Tarau, EMNLP 2004): PageRank over the corpus
+    word co-occurrence graph — adjacency window 2 on the raw token stream,
+    undirected distinct edges, both endpoints >= 3 chars — the classic
+    unsupervised keyword extractor.  The rank iteration reuses the
+    pagerank_knn integer fixed point (mass // V seed, 85/15 floor
+    divisions), so the APPROXIMATE algorithm replays bit-for-bit in SQL.
+
+    Scale shape: per-batch distinct-pair combiners feed one vocabulary-
+    bounded groupby (Heaps' law keeps the edge set sublinear in the
+    corpus); the rank loop runs on the driver over that vocabulary-sized
+    edge list — graph size is a property of the LANGUAGE, not the corpus,
+    so this driver fold is bounded at any data volume.  Output: top-30
+    (word, rank_mu)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    min_len = TEXTRANK_MIN_LEN
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        pairs: set[tuple[str, str]] = set()
+        for text_ in t.column("text").to_pylist():
+            toks = TOKEN_RE.findall(text_.lower())
+            for i in range(len(toks) - 1):
+                a, b = toks[i], toks[i + 1]
+                if len(a) >= min_len and len(b) >= min_len and a != b:
+                    pairs.add((a, b) if a < b else (b, a))
+        lo, hi = (
+            zip(*sorted(pairs)) if pairs else ((), ())
+        )
+        return pa.table(
+            {
+                "lo": pa.array(list(lo), pa.string()),
+                "hi": pa.array(list(hi), pa.string()),
+            }
+        )
+
+    edges = (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["lo", "hi"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()  # vocabulary-bounded distinct edge set
+    )
+
+    S = TEXTRANK_MASS
+    words = np.unique(
+        np.concatenate([edges["lo"].to_numpy(), edges["hi"].to_numpy()])
+    )
+    V = len(words)
+    li = np.searchsorted(words, edges["lo"].to_numpy())
+    hi_i = np.searchsorted(words, edges["hi"].to_numpy())
+    src = np.concatenate([li, hi_i])   # undirected: both directions
+    dst = np.concatenate([hi_i, li])
+    deg = np.bincount(src, minlength=V).astype(np.int64)
+    tp = (15 * (S // V)) // 100
+    rank = np.full(V, S // V, dtype=np.int64)
+    for _ in range(TEXTRANK_ITERS):
+        in_sum = np.zeros(V, dtype=np.int64)
+        np.add.at(in_sum, dst, rank[src] // deg[src])
+        rank = tp + (85 * in_sum) // 100
+    out = (
+        pd.DataFrame({"word": words, "rank_mu": rank})
+        .sort_values(["rank_mu", "word"], ascending=[False, True])
+        .head(TEXTRANK_TOP)
+        .reset_index(drop=True)
+    )
+    out["rank_mu"] = out["rank_mu"].astype("int64")
+    return out
+
+
+def _textrank_sql(iters: int = TEXTRANK_ITERS) -> str:
+    S = TEXTRANK_MASS
+    prev = "r0"
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""r{i} AS (
+  SELECT w.w,
+         CAST((15 * ({S} // s.v)) // 100
+              + (85 * COALESCE(i{i}.in_sum, 0)) // 100 AS BIGINT) AS r
+  FROM words w CROSS JOIN stats s LEFT JOIN (
+    SELECT e.dst AS w, SUM({prev}.r // e.k_out) AS in_sum
+    FROM e JOIN {prev} ON e.src = {prev}.w GROUP BY e.dst
+  ) i{i} USING (w)
+)""")
+        prev = f"r{i}"
+    joined = ",\n".join(steps)
+    return f"""
+WITH arrs AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS arr FROM documents
+),
+adj AS (
+  SELECT arr[i] AS w1, arr[i + 1] AS w2
+  FROM arrs, UNNEST(range(1, len(arr))) AS t(i)
+),
+pairs AS (
+  SELECT DISTINCT LEAST(w1, w2) AS lo, GREATEST(w1, w2) AS hi
+  FROM adj
+  WHERE length(w1) >= {TEXTRANK_MIN_LEN} AND length(w2) >= {TEXTRANK_MIN_LEN}
+        AND w1 != w2
+),
+words AS (SELECT lo AS w FROM pairs UNION SELECT hi FROM pairs),
+stats AS (SELECT COUNT(*) AS v FROM words),
+e0 AS (
+  SELECT lo AS src, hi AS dst FROM pairs
+  UNION ALL SELECT hi, lo FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS k_out FROM e0 GROUP BY src),
+e AS MATERIALIZED (
+  SELECT e0.src, e0.dst, d.k_out FROM e0 JOIN deg d USING (src)
+),
+r0 AS (SELECT w.w, CAST({S} // s.v AS BIGINT) AS r FROM words w CROSS JOIN stats s),
+{joined}
+SELECT w AS word, r AS rank_mu FROM {prev}
+ORDER BY rank_mu DESC, word LIMIT {TEXTRANK_TOP}"""
+
+
+TEXTRANK_KEYWORDS_SQL = _textrank_sql()

@@ -2159,3 +2159,26 @@ def test_ppr_seeds(ray_session, monkeypatch):
     monkeypatch.setattr(graph, "PAGERANK_DRIVER_EDGE_BUDGET", 0)
     res2 = graph.ppr_seeds(sf)
     assert res2.values.tolist() == res.values.tolist()
+
+
+def test_textrank_keywords(ray_session):
+    """TextRank: oracle equality plus the structural gates — every output
+    word is >= 3 chars and appears adjacent to another kept token
+    somewhere in the corpus."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import text
+
+    sf = "/root/testdata/sf0.001"
+    got = text.textrank_keywords(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = con.execute(text.TEXTRANK_KEYWORDS_SQL).df()
+    assert got.values.tolist() == want.astype(
+        {"rank_mu": "int64"}
+    ).values.tolist()
+    assert len(got) == text.TEXTRANK_TOP
+    assert (got["word"].str.len() >= text.TEXTRANK_MIN_LEN).all()
+    assert (got["rank_mu"] > 0).all()
