@@ -538,6 +538,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lp_modularity": similarity.lp_modularity,
         "ppr_seeds": similarity.ppr_seeds,
         "textrank_keywords": text.textrank_keywords,
+        "relational_division": relational.relational_division,
+        "benford_audit": relational.benford_audit,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -548,6 +550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sqrt bridge, AMS sign mirror, recursive-CTE smoothing)
         "hyperball_nf", "hits_scores", "rrf_fusion", "chi2_lang_source",
         "seq_pattern_hits", "lp_modularity", "ppr_seeds", "textrank_keywords",
+        "relational_division", "benford_audit",
         "markov_stationary", "holt_linear_by_type", "cpd_daily_by_type",
         "ams_f2_by_type", "quantile_cont_price",
         "spearman_qty_discount", "assoc_rules",
@@ -692,6 +695,8 @@ def oracle_sql() -> dict[str, str]:
         "lp_modularity": similarity.LP_MODULARITY_SQL,
         "ppr_seeds": similarity.PPR_SEEDS_SQL,
         "textrank_keywords": text.TEXTRANK_KEYWORDS_SQL,
+        "relational_division": relational.RELATIONAL_DIVISION_SQL,
+        "benford_audit": relational.BENFORD_AUDIT_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

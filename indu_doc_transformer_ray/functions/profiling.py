@@ -989,3 +989,75 @@ JOIN rt r USING (lang)
 JOIN ct USING (source)
 ORDER BY c.lang, c.source
 """
+
+
+# -- Benford's-law first-digit audit -------------------------------------------
+
+#: P(leading digit = d) = log10(1 + 1/d), pre-rounded to ppm in Python and
+#: embedded verbatim in the SQL CASE (the HLL linear-counting discipline:
+#: no libm log on either engine's hot path, no last-bit divergence channel).
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_audit(sf_dir: str) -> "object":
+    """Benford's-law conformance audit of order totals — the classic
+    fraud/synthetic-data screen: the observed leading-digit histogram of
+    o_totalprice (in cents) against the log-law expectation.  Leading
+    digit extraction is string-based on BOTH engines (first character of
+    the decimal rendering) so there is no float log10 anywhere; expected
+    counts are (n * ppm) // 1e6 in exact integers.  One bounded groupby
+    (9 digit groups) over per-batch count partials.  Output: (digit, obs,
+    expected, dev) with dev = obs - expected."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("o_totalprice"))
+        d = pc.utf8_slice_codeunits(pc.cast(cents, pa.string()), 0, 1)
+        agg = pa.TableGroupBy(
+            pa.table({"digit": d}), "digit"
+        ).aggregate([([], "count_all")])
+        return agg.rename_columns(["digit", "n"])
+
+    obs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # <= 9 rows
+    )
+    obs["digit"] = obs["digit"].astype("int64")
+    obs = obs.set_index("digit")["n"].astype("int64")
+    n = int(obs.sum())
+    rows = []
+    for d in range(1, 10):
+        o = int(obs.get(d, 0))
+        e = (n * BENFORD_PPM[d]) // 10 ** 6
+        rows.append({"digit": d, "obs": o, "expected": e, "dev": o - e})
+    return pd.DataFrame(rows).astype("int64")
+
+
+BENFORD_AUDIT_SQL = f"""
+WITH cents AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+), obs AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS obs
+  FROM cents GROUP BY 1
+), tot AS (SELECT SUM(obs) AS n FROM obs),
+digits AS (
+  SELECT d.digit,
+         CASE d.digit {" ".join(f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM.items())} END AS ppm
+  FROM (SELECT UNNEST(range(1, 10)) AS digit) d
+)
+SELECT d.digit, COALESCE(o.obs, 0) AS obs,
+       CAST((t.n * d.ppm) // 1000000 AS BIGINT) AS expected,
+       CAST(COALESCE(o.obs, 0) - (t.n * d.ppm) // 1000000 AS BIGINT) AS dev
+FROM digits d LEFT JOIN obs o USING (digit) CROSS JOIN tot t
+ORDER BY d.digit
+"""

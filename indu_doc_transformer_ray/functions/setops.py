@@ -493,3 +493,82 @@ ORDER BY o_custkey
 """
 
 
+
+
+# -- relational division -------------------------------------------------------
+
+def relational_division(sf_dir: str) -> Dataset:
+    """Relational division (Codd's /): customers whose orders span EVERY
+    order-priority class — "for all" over a derived divisor set, the
+    algebra operator behind universal-quantifier business questions
+    ("served every region", "stocked every brand").
+
+    Two stages, both bounded: a tiny distinct fold discovers the divisor
+    cardinality (priority domain, O(1)); then per-batch Arrow combiners
+    pre-aggregate (custkey, priority, n) so the single exchange is a
+    BUCKETED co-location (custkey is corpus-proportional — never a raw
+    group key, per the groupby-cost audit), and the in-bucket kernel
+    emits qualifying customers with their order counts.  Output:
+    (o_custkey, n_orders) sorted."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    # divisor cardinality: batch-distinct partials -> tiny driver fold
+    n_prio = len(
+        set(
+            ds.map_batches(
+                lambda t: pa.table(
+                    {"p": pc.unique(t.column("o_orderpriority"))}
+                ),
+                batch_format="pyarrow",
+            )
+            .to_pandas()["p"]
+            .tolist()
+        )
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(
+            t, ["o_custkey", "o_orderpriority"]
+        ).aggregate([([], "count_all")])
+        agg = agg.rename_columns(["o_custkey", "o_orderpriority", "n"])
+        cb = pc.cast(
+            pc.bit_wise_and(pc.cast(agg["o_custkey"], pa.int64()), nb - 1),
+            pa.int32(),
+        )
+        return agg.append_column("cb", cb)
+
+    def divide(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("o_custkey").agg(
+            k=("o_orderpriority", "nunique"), n_orders=("n", "sum")
+        )
+        keep = per[per["k"] == n_prio]
+        return pd.DataFrame(
+            {
+                "o_custkey": keep.index.to_numpy("int64"),
+                "n_orders": keep["n_orders"].to_numpy("int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cb")
+        .map_groups(divide, batch_format="pandas")
+        .sort("o_custkey")
+    )
+
+
+RELATIONAL_DIVISION_SQL = """
+SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(DISTINCT o_orderpriority) =
+       (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)
+ORDER BY o_custkey
+"""

@@ -2182,3 +2182,33 @@ def test_textrank_keywords(ray_session):
     assert len(got) == text.TEXTRANK_TOP
     assert (got["word"].str.len() >= text.TEXTRANK_MIN_LEN).all()
     assert (got["rank_mu"] > 0).all()
+
+
+def test_relational_division_and_benford(ray_session):
+    """Division: oracle equality + the for-all property (every returned
+    customer has >= divisor-cardinality orders).  Benford: oracle equality
+    + mass checks (obs sums to the order count; expected sums to within
+    9 floor units of it)."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import profiling as P
+    from indu_doc_transformer_ray.functions import setops as SO
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+
+    got = SO.relational_division(sf).to_pandas()
+    want = con.execute(SO.RELATIONAL_DIVISION_SQL).df()
+    assert got.values.tolist() == want.astype("int64").values.tolist()
+    n_prio = con.execute(
+        "SELECT COUNT(DISTINCT o_orderpriority) FROM orders"
+    ).fetchone()[0]
+    assert (got["n_orders"] >= n_prio).all()
+
+    gb = P.benford_audit(sf)
+    wb = con.execute(P.BENFORD_AUDIT_SQL).df()
+    assert gb.values.tolist() == wb.astype("int64").values.tolist()
+    n = con.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
+    assert int(gb["obs"].sum()) == n
+    assert n - 9 <= int(gb["expected"].sum()) <= n
