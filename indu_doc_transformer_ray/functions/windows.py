@@ -815,3 +815,200 @@ SELECT s AS o_orderstatus, CAST(q_mu AS BIGINT) AS q_mu,
 FROM x CROSS JOIN qs
 GROUP BY s, q_mu ORDER BY s, q_mu
 """
+
+
+# -- RFM customer segmentation -------------------------------------------------
+
+RFM_QS = (20, 40, 60, 80)  # quintile cut percentiles
+
+
+def rfm_segments(sf_dir: str) -> "object":
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    canonical marketing-analytics cube: score each customer 1..5 per axis
+    by exact value-quantile cut points, then count the population of every
+    (r_q, f_q, m_q) cell.  Scores are CUT-POINT based (score = 1 + number
+    of cut points strictly below the value — the price_decile width_bucket
+    convention), so ties are deterministic on both engines, unlike NTILE's
+    arbitrary tie splits.
+
+    Scale shape: ONE bucketed custkey co-location builds the per-customer
+    (max order day, n_orders, total cents) table from per-batch Arrow
+    combiners; it is materialized once and re-scanned by the three
+    two-pass counting-histogram order-statistic folds (the
+    exact_price_quantiles machinery — driver state is bucket counts, never
+    rows) and by the final scoring pass, which folds into the <=125-cell
+    segment cube.  Output: (r_q, f_q, m_q, n_customers)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from ._util import n_buckets, read_small_aware
+    from .sketches import _floor_bucket
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
+    ds = read_small_aware(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(t["o_orderdate"], pa.date32()), pa.int32())
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+        )
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                    "day": pc.cast(day, pa.int64()),
+                    "cents": cents,
+                }
+            ),
+            "o_custkey",
+        ).aggregate([("day", "max"), ([], "count_all"), ("cents", "sum")])
+        g = g.rename_columns(["o_custkey", "r_v", "f_v", "m_v"])
+        cb = pc.cast(
+            pc.bit_wise_and(pc.cast(g["o_custkey"], pa.int64()), nb - 1),
+            pa.int32(),
+        )
+        return g.append_column("cb", cb)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("o_custkey").agg(
+            r_v=("r_v", "max"), f_v=("f_v", "sum"), m_v=("m_v", "sum")
+        )
+        return agg.reset_index().astype("int64")
+
+    rfm = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cb")
+        .map_groups(fold, batch_format="pandas")
+        .materialize()  # customer-proportional; re-scanned 7x below
+    )
+    n = rfm.count()
+    ks = sorted({(q * (n - 1)) // 100 for q in RFM_QS})
+
+    def order_stats(col: str) -> list[int]:
+        """Exact 0-based k-th order statistics of one metric column via the
+        two-pass counting histogram (coarse bucket fold -> fine per-value
+        fold in only the straddling buckets)."""
+        def hist(t: pd.DataFrame) -> pa.Table:
+            v = pa.array(t[col].to_numpy(np.int64), pa.int64())
+            folded = pa.table({"b": _floor_bucket(v)})
+            return pa.TableGroupBy(folded, "b").aggregate([([], "count_all")])
+
+        counts = (
+            rfm.map_batches(hist, batch_format="pandas")
+            .groupby("b")
+            .aggregate(Sum("count_all", alias_name="n"))
+            .to_pandas()
+            .sort_values("b")
+            .reset_index(drop=True)
+        )
+        cum = counts["n"].cumsum()
+        need: dict[int, list[int]] = {}
+        for k in ks:
+            i = int((cum > k).idxmax())
+            before = int(cum.iloc[i - 1]) if i > 0 else 0
+            need.setdefault(int(counts.loc[i, "b"]), []).append(k - before)
+        wanted = pa.array(sorted(need), pa.int64())
+
+        def in_bucket(t: pd.DataFrame) -> pa.Table:
+            v = pa.array(t[col].to_numpy(np.int64), pa.int64())
+            b = _floor_bucket(v)
+            sub = pa.table({"b": b, "v": v}).filter(
+                pc.is_in(b, value_set=wanted)
+            )
+            return pa.TableGroupBy(sub, ["b", "v"]).aggregate(
+                [([], "count_all")]
+            )
+
+        fine = (
+            rfm.map_batches(in_bucket, batch_format="pandas")
+            .groupby(["b", "v"])
+            .aggregate(Sum("count_all", alias_name="n"))
+            .to_pandas()
+        )
+        out = []
+        for k in ks:
+            i = int((cum > k).idxmax())
+            before = int(cum.iloc[i - 1]) if i > 0 else 0
+            b = int(counts.loc[i, "b"])
+            g = fine[fine["b"] == b].sort_values("v").reset_index(drop=True)
+            gc = g["n"].cumsum()
+            j = int((gc > (k - before)).idxmax())
+            out.append(int(g.loc[j, "v"]))
+        # expand dedup'd ks back to one cut per requested percentile
+        per_q = {k: v for k, v in zip(ks, out)}
+        return [per_q[(q * (n - 1)) // 100] for q in RFM_QS]
+
+    cuts = {c: np.array(order_stats(c), dtype=np.int64) for c in ("r_v", "f_v", "m_v")}
+
+    def score(t: pd.DataFrame) -> pd.DataFrame:
+        qs = {}
+        for c in ("r_v", "f_v", "m_v"):
+            v = t[c].to_numpy(np.int64)
+            qs[c[0] + "_q"] = (
+                (v[:, None] > cuts[c][None, :]).sum(axis=1) + 1
+            ).astype(np.int64)
+        out = pd.DataFrame(qs)
+        return (
+            out.groupby(["r_q", "f_q", "m_q"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_customers"})
+        )
+
+    cube = (
+        rfm.map_batches(score, batch_format="pandas")
+        .groupby(["r_q", "f_q", "m_q"])
+        .aggregate(Sum("n_customers", alias_name="n_customers"))
+        .to_pandas()  # <= 125 cells
+    )
+    return (
+        cube.sort_values(["r_q", "f_q", "m_q"])
+        .reset_index(drop=True)
+        .astype("int64")
+    )
+
+
+def _rfm_sql() -> str:
+    cut_sel = ", ".join(f"(({q} * (n - 1)) // 100)" for q in RFM_QS)
+    return f"""
+WITH rfm AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(MAX(o_orderdate) AS DATE)) AS BIGINT) AS r_v,
+         CAST(COUNT(*) AS BIGINT) AS f_v,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS m_v
+  FROM orders GROUP BY o_custkey
+), nn AS (SELECT COUNT(*) AS n FROM rfm),
+cuts_r AS (
+  SELECT v FROM (
+    SELECT r_v AS v, row_number() OVER (ORDER BY r_v) - 1 AS rk FROM rfm
+  ) CROSS JOIN nn WHERE rk IN ({cut_sel})
+),
+cuts_f AS (
+  SELECT v FROM (
+    SELECT f_v AS v, row_number() OVER (ORDER BY f_v) - 1 AS rk FROM rfm
+  ) CROSS JOIN nn WHERE rk IN ({cut_sel})
+),
+cuts_m AS (
+  SELECT v FROM (
+    SELECT m_v AS v, row_number() OVER (ORDER BY m_v) - 1 AS rk FROM rfm
+  ) CROSS JOIN nn WHERE rk IN ({cut_sel})
+),
+scored AS (
+  SELECT (SELECT 1 + COUNT(*) FROM cuts_r c WHERE rfm.r_v > c.v) AS r_q,
+         (SELECT 1 + COUNT(*) FROM cuts_f c WHERE rfm.f_v > c.v) AS f_q,
+         (SELECT 1 + COUNT(*) FROM cuts_m c WHERE rfm.m_v > c.v) AS m_q
+  FROM rfm
+)
+SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+       CAST(m_q AS BIGINT) AS m_q, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+RFM_SEGMENTS_SQL = _rfm_sql()

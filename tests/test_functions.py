@@ -2212,3 +2212,25 @@ def test_relational_division_and_benford(ray_session):
     n = con.execute("SELECT COUNT(*) FROM orders").fetchone()[0]
     assert int(gb["obs"].sum()) == n
     assert n - 9 <= int(gb["expected"].sum()) <= n
+
+
+def test_rfm_segments(ray_session):
+    """RFM cube: oracle equality, population conservation (cells sum to
+    the customer count), and score ranges within 1..5 on every axis."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import windows as W
+
+    sf = "/root/testdata/sf0.001"
+    got = W.rfm_segments(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    want = con.execute(W.RFM_SEGMENTS_SQL).df()
+    assert got.values.tolist() == want.astype("int64").values.tolist()
+
+    n_cust = con.execute(
+        "SELECT COUNT(DISTINCT o_custkey) FROM orders"
+    ).fetchone()[0]
+    assert int(got["n_customers"].sum()) == n_cust
+    for col in ("r_q", "f_q", "m_q"):
+        assert got[col].between(1, 5).all()
