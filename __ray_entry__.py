@@ -541,6 +541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "relational_division": relational.relational_division,
         "benford_audit": relational.benford_audit,
         "rfm_segments": windows.rfm_segments,
+        "mann_whitney_qty": relational.mann_whitney_qty,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -551,7 +552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sqrt bridge, AMS sign mirror, recursive-CTE smoothing)
         "hyperball_nf", "hits_scores", "rrf_fusion", "chi2_lang_source",
         "seq_pattern_hits", "lp_modularity", "ppr_seeds", "textrank_keywords",
-        "relational_division", "benford_audit", "rfm_segments",
+        "relational_division", "benford_audit", "rfm_segments", "mann_whitney_qty",
         "markov_stationary", "holt_linear_by_type", "cpd_daily_by_type",
         "ams_f2_by_type", "quantile_cont_price",
         "spearman_qty_discount", "assoc_rules",
@@ -699,6 +700,7 @@ def oracle_sql() -> dict[str, str]:
         "relational_division": relational.RELATIONAL_DIVISION_SQL,
         "benford_audit": relational.BENFORD_AUDIT_SQL,
         "rfm_segments": windows.RFM_SEGMENTS_SQL,
+        "mann_whitney_qty": relational.MANN_WHITNEY_QTY_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

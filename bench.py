@@ -185,7 +185,8 @@ QUERY_CHUNKS = [
     ["neighbor_jaccard_topk", "clustering_coeff_topk", "wl_colors",
      "hyperball_nf", "hits_scores", "rrf_fusion", "chi2_lang_source",
      "seq_pattern_hits", "lp_modularity", "ppr_seeds", "textrank_keywords",
-     "relational_division", "benford_audit", "rfm_segments"],
+     "relational_division", "benford_audit", "rfm_segments",
+     "mann_whitney_qty"],
 ]
 
 

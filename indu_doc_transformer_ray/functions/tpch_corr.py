@@ -1003,3 +1003,105 @@ ORDER BY s_suppkey
 """
 
 
+
+
+# -- Mann-Whitney U (rank-sum) between return flags ----------------------------
+
+def mann_whitney_qty(sf_dir: str) -> "object":
+    """Mann-Whitney U rank-sum test statistic between every pair of return
+    flags on l_quantity — the nonparametric two-sample location test, in
+    the repo's joint-histogram-replay discipline: quantity's bounded
+    domain (50 values) means ONE (flag, qty) combiner groupby ships the
+    sufficient statistics and the driver replays the tie-handled U in
+    exact Python ints.  Ties use the standard half-credit, kept integral
+    by the doubled statistic u2 = 2*U = sum_x c_a(x) * (2*#{b below x} +
+    #{b tied at x}); the identity u2_ab + u2_ba = 2*n_a*n_b is
+    pytest-gated.  Output: (flag_a, flag_b, n_a, n_b, u2_ab, u2_ba)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "f": t["l_returnflag"],
+                    "q": pc.cast(t["l_quantity"], pa.int64()),
+                }
+            ),
+            ["f", "q"],
+        ).aggregate([([], "count_all")])
+        return g.rename_columns(["f", "q", "c"])
+
+    h = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["f", "q"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # <= |flags| x |qty domain| rows
+    )
+    flags = sorted(h["f"].unique())
+    counts = {
+        f: h[h["f"] == f].set_index("q")["c"].astype(int).to_dict()
+        for f in flags
+    }
+    qs = sorted(h["q"].unique())
+    rows = []
+    for i, fa in enumerate(flags):
+        for fb in flags[i + 1:]:
+            ca, cb = counts[fa], counts[fb]
+            below_b = below_a = 0
+            u2_ab = u2_ba = 0
+            for q in qs:
+                a_x, b_x = ca.get(q, 0), cb.get(q, 0)
+                u2_ab += a_x * (2 * below_b + b_x)
+                u2_ba += b_x * (2 * below_a + a_x)
+                below_b += b_x
+                below_a += a_x
+            rows.append(
+                {
+                    "flag_a": fa,
+                    "flag_b": fb,
+                    "n_a": sum(ca.values()),
+                    "n_b": sum(cb.values()),
+                    "u2_ab": u2_ab,
+                    "u2_ba": u2_ba,
+                }
+            )
+    out = pd.DataFrame(rows)
+    for c in ("n_a", "n_b", "u2_ab", "u2_ba"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+MANN_WHITNEY_QTY_SQL = """
+WITH h AS (
+  SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS q,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+flags AS (SELECT DISTINCT f FROM h),
+pairs AS (SELECT a.f AS fa, b.f AS fb FROM flags a JOIN flags b ON a.f < b.f),
+qs AS (SELECT DISTINCT q FROM h),
+grid AS (
+  SELECT p.fa, p.fb, q.q,
+         COALESCE(ha.c, 0) AS ca, COALESCE(hb.c, 0) AS cb
+  FROM pairs p CROSS JOIN qs q
+  LEFT JOIN h ha ON ha.f = p.fa AND ha.q = q.q
+  LEFT JOIN h hb ON hb.f = p.fb AND hb.q = q.q
+),
+w AS (
+  SELECT fa, fb, ca, cb,
+         COALESCE(SUM(cb) OVER (PARTITION BY fa, fb ORDER BY q
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cbb,
+         COALESCE(SUM(ca) OVER (PARTITION BY fa, fb ORDER BY q
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cab
+  FROM grid
+)
+SELECT fa AS flag_a, fb AS flag_b,
+       CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+       CAST(SUM(ca * (2 * cbb + cb)) AS BIGINT) AS u2_ab,
+       CAST(SUM(cb * (2 * cab + ca)) AS BIGINT) AS u2_ba
+FROM w GROUP BY fa, fb ORDER BY fa, fb
+"""

@@ -2234,3 +2234,24 @@ def test_rfm_segments(ray_session):
     assert int(got["n_customers"].sum()) == n_cust
     for col in ("r_q", "f_q", "m_q"):
         assert got[col].between(1, 5).all()
+
+
+def test_mann_whitney_qty(ray_session):
+    """Mann-Whitney: oracle equality plus the exact identity
+    u2_ab + u2_ba == 2 * n_a * n_b for every flag pair (total comparison
+    mass is conserved under tie half-credit)."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import tpch_corr as TC
+
+    sf = "/root/testdata/sf0.001"
+    got = TC.mann_whitney_qty(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'"
+    )
+    want = con.execute(TC.MANN_WHITNEY_QTY_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert (
+        (got["u2_ab"] + got["u2_ba"]) == 2 * got["n_a"] * got["n_b"]
+    ).all()
