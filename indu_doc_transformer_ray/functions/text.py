@@ -3191,3 +3191,81 @@ ORDER BY rank_mu DESC, word LIMIT {TEXTRANK_TOP}"""
 
 
 TEXTRANK_KEYWORDS_SQL = _textrank_sql()
+
+
+# -- out-of-vocabulary rate sweep -----------------------------------------------
+
+OOV_VOCAB_SIZES = (1_000, 5_000, 10_000)
+
+
+def oov_rate(sf_dir: str) -> "object":
+    """Out-of-vocabulary rate for candidate vocabulary sizes — the
+    tokenizer-budget question ("how much of the corpus does a V-entry
+    vocab cover?").  One vocabulary-bounded token-count fold (the
+    vocab_topk combiner shape); the sweep is a driver sort of the
+    VOCABULARY (never the corpus) with the deterministic (count desc,
+    token asc) tie-break mirrored in the oracle's ROW_NUMBER.  oov_ppm is
+    floored integer parts-per-million.  Output: (v_size, oov_tokens,
+    total_tokens, oov_ppm)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for text_ in t.column("text").to_pylist():
+            counts.update(TOKEN_RE.findall(text_.lower()))
+        return pa.table(
+            {
+                "token": pa.array(list(counts.keys()), pa.string()),
+                "partial_n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    vocab = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("partial_n", alias_name="n"))
+        .to_pandas()  # vocabulary-bounded (Heaps), never corpus-sized
+        .sort_values(["n", "token"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    total = int(vocab["n"].sum())
+    cum = vocab["n"].cumsum()
+    rows = []
+    for v in OOV_VOCAB_SIZES:
+        kept = int(cum.iloc[min(v, len(vocab)) - 1]) if len(vocab) else 0
+        oov = total - kept
+        rows.append(
+            {
+                "v_size": v,
+                "oov_tokens": oov,
+                "total_tokens": total,
+                "oov_ppm": (oov * 10 ** 6) // total if total else 0,
+            }
+        )
+    return pd.DataFrame(rows).astype("int64")
+
+
+OOV_RATE_SQL = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, COUNT(*) AS n,
+         row_number() OVER (ORDER BY COUNT(*) DESC, tok) AS rk
+  FROM toks GROUP BY tok
+), tot AS (SELECT SUM(n) AS total FROM vocab),
+vs AS (SELECT UNNEST(ARRAY{list(OOV_VOCAB_SIZES)}) AS v_size)
+SELECT CAST(v.v_size AS BIGINT) AS v_size,
+       CAST(t.total - COALESCE(SUM(vc.n) FILTER (WHERE vc.rk <= v.v_size), 0)
+            AS BIGINT) AS oov_tokens,
+       CAST(t.total AS BIGINT) AS total_tokens,
+       CAST(((t.total - COALESCE(SUM(vc.n) FILTER (WHERE vc.rk <= v.v_size), 0))
+             * 1000000) // t.total AS BIGINT) AS oov_ppm
+FROM vs v CROSS JOIN tot t LEFT JOIN vocab vc ON TRUE
+GROUP BY v.v_size, t.total ORDER BY v.v_size
+"""

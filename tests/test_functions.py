@@ -2255,3 +2255,26 @@ def test_mann_whitney_qty(ray_session):
     assert (
         (got["u2_ab"] + got["u2_ba"]) == 2 * got["n_a"] * got["n_b"]
     ).all()
+
+
+def test_oov_rate(ray_session):
+    """OOV sweep: oracle equality plus monotonicity (bigger vocab => fewer
+    OOV tokens) and the ppm floor identity."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import text
+
+    sf = "/root/testdata/sf0.001"
+    got = text.oov_rate(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = con.execute(text.OOV_RATE_SQL).df()
+    assert got.values.tolist() == want.astype("int64").values.tolist()
+    oov = got["oov_tokens"].tolist()
+    assert oov == sorted(oov, reverse=True)
+    assert (
+        got["oov_ppm"]
+        == (got["oov_tokens"] * 10 ** 6) // got["total_tokens"]
+    ).all()
