@@ -3269,3 +3269,71 @@ SELECT CAST(v.v_size AS BIGINT) AS v_size,
 FROM vs v CROSS JOIN tot t LEFT JOIN vocab vc ON TRUE
 GROUP BY v.v_size, t.total ORDER BY v.v_size
 """
+
+
+# -- within-document self-repetition histogram ----------------------------------
+
+SELFREP_BAND_W = 100_000  # ppm band width -> 10 bands + the all-unique band
+
+
+def selfrep_hist(sf_dir: str) -> "object":
+    """Within-document self-repetition audit — the Gopher/RefinedWeb-style
+    quality signal "how much of this doc is the same trigram over and
+    over": rep_ppm = (total_trigrams - distinct_trigrams) * 1e6 //
+    total_trigrams per doc, histogrammed into 100k-ppm bands.  Purely
+    per-doc (zero shuffle on the doc axis) with a <=11-row band fold;
+    docs with fewer than 3 tokens land in band -1 so the rows always sum
+    to the corpus.  Output: (band, n_docs)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        bands: dict[int, int] = {}
+        for text_ in t.column("text").to_pylist():
+            toks = TOKEN_RE.findall(text_.lower())
+            n = len(toks) - 2
+            if n <= 0:
+                band = -1
+            else:
+                tris = list(zip(toks, toks[1:], toks[2:]))
+                rep = n - len(set(tris))
+                band = (rep * 10 ** 6 // n) // SELFREP_BAND_W
+            bands[band] = bands.get(band, 0) + 1
+        return pa.table(
+            {
+                "band": pa.array(list(bands.keys()), pa.int64()),
+                "n_docs": pa.array(list(bands.values()), pa.int64()),
+            }
+        )
+
+    out = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()  # <= 11 rows
+    )
+    return out.sort_values("band").reset_index(drop=True).astype("int64")
+
+
+SELFREP_HIST_SQL = f"""
+WITH arrs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS arr
+  FROM documents
+),
+tris AS (
+  SELECT doc_id, arr[i] || '\x01' || arr[i + 1] || '\x01' || arr[i + 2] AS tri
+  FROM arrs, UNNEST(range(1, len(arr) - 1)) AS t(i)
+),
+per_doc AS (
+  SELECT a.doc_id,
+         CASE WHEN len(a.arr) < 3 THEN -1
+              ELSE ((COUNT(s.tri) - COUNT(DISTINCT s.tri)) * 1000000
+                    // COUNT(s.tri)) // {SELFREP_BAND_W} END AS band
+  FROM arrs a LEFT JOIN tris s USING (doc_id)
+  GROUP BY a.doc_id, len(a.arr)
+)
+SELECT CAST(band AS BIGINT) AS band, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM per_doc GROUP BY band ORDER BY band
+"""

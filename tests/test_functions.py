@@ -2278,3 +2278,27 @@ def test_oov_rate(ray_session):
         got["oov_ppm"]
         == (got["oov_tokens"] * 10 ** 6) // got["total_tokens"]
     ).all()
+
+
+def test_selfrep_hist(ray_session):
+    """Self-repetition bands: oracle equality, population conservation,
+    and a synthetic gate — a fully repeated doc lands in the top band."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import text
+
+    sf = "/root/testdata/sf0.001"
+    got = text.selfrep_hist(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = con.execute(text.SELFREP_HIST_SQL).df()
+    assert got.values.tolist() == want.astype("int64").values.tolist()
+    assert int(got["n_docs"].sum()) == 500
+
+    toks = ["spam"] * 103  # 101 trigrams, 1 distinct
+    n = len(toks) - 2
+    tris = list(zip(toks, toks[1:], toks[2:]))
+    rep_ppm = (n - len(set(tris))) * 10 ** 6 // n
+    assert rep_ppm // text.SELFREP_BAND_W == 9
