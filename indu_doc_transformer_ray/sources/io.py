@@ -36,13 +36,15 @@ def _sniff_format(path: str) -> str:
     if base.endswith(".lance") or os.path.isdir(os.path.join(path, "_versions")):
         return "lance"
     for ext, fmt in ((".jsonl", "jsonl"), (".json", "jsonl"),
-                     (".csv", "csv"), (".parquet", "parquet")):
+                     (".csv", "csv"), (".parquet", "parquet"),
+                     (".arrow", "ipc"), (".feather", "ipc")):
         if base.endswith(ext):
             return fmt
     if os.path.isdir(base):
         for name in sorted(os.listdir(base)):
             for ext, fmt in ((".jsonl", "jsonl"), (".json", "jsonl"),
-                             (".csv", "csv"), (".parquet", "parquet")):
+                             (".csv", "csv"), (".parquet", "parquet"),
+                             (".arrow", "ipc"), (".feather", "ipc")):
                 if name.endswith(ext):
                     return fmt
     return "parquet"
@@ -131,7 +133,33 @@ def read_documents(
         return ray.data.read_csv(path).map_batches(
             _decode_csv_spans(columns), batch_format="pyarrow"
         )
+    if fmt == "ipc":
+        return _read_ipc(path, columns)
     return ray.data.read_parquet(path, columns=columns)
+
+
+def _read_ipc(path: str, columns: list[str]) -> Dataset:
+    """Arrow IPC / Feather-v2 source: one task per .arrow file (the same
+    per-file parallelism parquet gets), zero-copy decode via
+    ``pa.ipc.open_file`` inside the task — Ray ships only the raw bytes.
+    Ray Data has no native IPC reader, so this rides read_binary_files +
+    a flat decode stage; column pruning happens at decode (IPC is not
+    column-seekable over a byte blob, so the prune saves shuffle width,
+    not I/O — use parquet/Lance when read-side projection matters)."""
+    import pyarrow as pa
+
+    def decode(t: "pa.Table") -> "pa.Table":
+        parts = []
+        for blob in t.column("bytes").to_pylist():
+            tbl = pa.ipc.open_file(pa.BufferReader(blob)).read_all()
+            parts.append(tbl.select(columns))
+        return pa.concat_tables(parts) if parts else pa.table(
+            {c: pa.array([], pa.null()) for c in columns}
+        )
+
+    return ray.data.read_binary_files(path, file_extensions=["arrow", "feather"]).map_batches(
+        decode, batch_format="pyarrow"
+    )
 
 
 def write_documents(ds: Dataset, path: str, fmt: str = "parquet") -> None:
@@ -161,8 +189,38 @@ def write_documents(ds: Dataset, path: str, fmt: str = "parquet") -> None:
             return t
 
         ds.map_batches(encode, batch_format="pyarrow").write_csv(path)
+    elif fmt == "ipc":
+        _write_ipc(ds, path)
     else:
         ds.write_parquet(path)
+
+
+def _write_ipc(ds: Dataset, path: str) -> None:
+    """Arrow IPC sink: one .arrow file per block, written inside the block
+    task (no driver fan-in).  File names are the md5 of the serialized
+    payload — deterministic, collision-free, and naturally idempotent
+    (a re-run of identical data overwrites the same names instead of
+    appending duplicates)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    os.makedirs(path, exist_ok=True)
+
+    def write_block(t: "pa.Table") -> "pa.Table":
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_file(sink, t.schema) as w:
+            w.write_table(t)
+        buf = sink.getvalue()
+        name = hashlib.md5(buf.to_pybytes()).hexdigest()
+        tmp = os.path.join(path, f".{name}.tmp")
+        final = os.path.join(path, f"{name}.arrow")
+        with open(tmp, "wb") as f:
+            f.write(buf.to_pybytes())
+        os.replace(tmp, final)  # atomic publish per block
+        return pa.table({"n": pa.array([len(t)], pa.int64())})
+
+    ds.map_batches(write_block, batch_format="pyarrow").count()
 
 
 def write_clustered(

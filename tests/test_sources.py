@@ -192,3 +192,39 @@ def test_training_feed_exactly_once(ray_session):
     ).fetchone()
     assert total_rows == want[0]
     assert total_tokens == int(want[1])
+
+
+def test_ipc_roundtrip(ray_session, tmp_path):
+    """Arrow IPC source/sink: write_documents(fmt=ipc) -> sniffed
+    read_documents round-trips the canonical schema bit-for-bit, and the
+    sink is idempotent (re-writing identical data adds no files)."""
+    import os
+
+    import ray.data
+
+    from indu_doc_transformer_ray.fixtures import corpus_table
+    from indu_doc_transformer_ray.sources.io import (
+        read_documents,
+        write_documents,
+    )
+
+    t = corpus_table(12, seed=5)
+    path = str(tmp_path / "docs_ipc")
+    write_documents(ray.data.from_arrow(t).repartition(3), path, fmt="ipc")
+    n_files = len([f for f in os.listdir(path) if f.endswith(".arrow")])
+    assert n_files >= 1
+
+    back = (
+        read_documents(path)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    orig = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert back["doc_id"].tolist() == orig["doc_id"].tolist()
+    assert back["spans"].apply(lambda s: [tuple(x.values()) if isinstance(x, dict) else x for x in s]).tolist() == \
+           orig["spans"].apply(lambda s: [tuple(x.values()) if isinstance(x, dict) else x for x in s]).tolist()
+
+    # idempotent sink: identical payload -> identical md5 names
+    write_documents(ray.data.from_arrow(t).repartition(3), path, fmt="ipc")
+    assert len([f for f in os.listdir(path) if f.endswith(".arrow")]) == n_files
