@@ -4434,3 +4434,115 @@ WITH s AS (
 SELECT CAST(hits AS BIGINT) AS hits, CAST(COUNT(*) AS BIGINT) AS n_users
 FROM per_user GROUP BY hits ORDER BY hits
 """
+
+
+# -- MASE: mean absolute scaled error of the naive forecast ---------------------
+
+def mase_weekly(sf_dir: str) -> "pd.DataFrame":
+    """MASE (Hyndman & Koehler 2006) of the one-step naive forecast
+    against the seasonal (lag-7) naive on each type's zero-filled daily
+    series — the scale-free forecastability audit: mase < 1e6 ppm means
+    yesterday's value beats last week's.  Exact by clearing denominators:
+    N_k = sum over the span of |y_t - y_{t-k}| decomposes over the SPARSE
+    observed days as sum(|c_t - c_{t-k}|-c_t-c_{t-k}) over both-observed
+    pairs (two-pointer walk) + the edge-windowed single sums, identical
+    to the acf_daily_by_type discipline; mase_ppm = (N1*(m-7)*1e6) //
+    (N7*(m-1)).  One (type, day) fold is the only exchange.  Output:
+    (event_type, n_days, n1_sum, n7_sum, mase_ppm)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["ts", "event_type"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        folded = pa.table({"e": t["event_type"], "day": day})
+        return pa.TableGroupBy(folded, ["e", "day"]).aggregate(
+            [([], "count_all")]
+        )
+
+    d = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(["e", "day"])
+        .aggregate(Sum("count_all", alias_name="c"))
+        .to_pandas()  # O(|types| x span days)
+    )
+    d0, d1 = int(d["day"].min()), int(d["day"].max())
+    m = d1 - d0 + 1
+
+    def n_k(days: list, cs: list, k: int) -> int:
+        total = sum(c for day, c in zip(days, cs) if day >= d0 + k)
+        total += sum(c for day, c in zip(days, cs) if day <= d1 - k)
+        j = 0
+        for i, day in enumerate(days):
+            while j < len(days) and days[j] < day - k:
+                j += 1
+            if j < len(days) and days[j] == day - k:
+                total += abs(cs[i] - cs[j]) - cs[i] - cs[j]
+        return total
+
+    rows = []
+    for e, sub in d.groupby("e"):
+        series = sorted(
+            (int(day), int(c)) for day, c in zip(sub["day"], sub["c"])
+        )
+        days = [x[0] for x in series]
+        cs = [x[1] for x in series]
+        n1 = n_k(days, cs, 1)
+        n7 = n_k(days, cs, 7)
+        mase = (n1 * (m - 7) * 10 ** 6) // (n7 * (m - 1)) if n7 > 0 else -1
+        rows.append(
+            {
+                "event_type": e,
+                "n_days": m,
+                "n1_sum": n1,
+                "n7_sum": n7,
+                "mase_ppm": mase,
+            }
+        )
+    out = pd.DataFrame(sorted(rows, key=lambda r: r["event_type"]))
+    for c in ("n_days", "n1_sum", "n7_sum", "mase_ppm"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+MASE_WEEKLY_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1,
+                MAX(day) - MIN(day) + 1 AS m FROM d),
+lags(k) AS (VALUES (1), (7)),
+edge AS (
+  SELECT d.event_type, l.k,
+         CAST(SUM(CASE WHEN d.day >= span.d0 + l.k THEN d.c ELSE 0 END)
+              AS HUGEINT)
+         + CAST(SUM(CASE WHEN d.day <= span.d1 - l.k THEN d.c ELSE 0 END)
+              AS HUGEINT) AS singles
+  FROM d, span, lags l GROUP BY 1, 2
+),
+both_obs AS (
+  SELECT a.event_type, l.k,
+         SUM(CAST(abs(a.c - b.c) AS HUGEINT) - a.c - b.c) AS adj
+  FROM d a JOIN lags l ON TRUE
+  JOIN d b ON b.event_type = a.event_type AND b.day = a.day - l.k
+  GROUP BY 1, 2
+),
+nk AS (
+  SELECT e.event_type, e.k, e.singles + COALESCE(b.adj, 0) AS n_sum
+  FROM edge e LEFT JOIN both_obs b USING (event_type, k)
+)
+SELECT n1.event_type, CAST(span.m AS BIGINT) AS n_days,
+       CAST(n1.n_sum AS BIGINT) AS n1_sum,
+       CAST(n7.n_sum AS BIGINT) AS n7_sum,
+       CAST(CASE WHEN n7.n_sum > 0
+                 THEN (n1.n_sum * (span.m - 7) * 1000000)
+                      // (n7.n_sum * (span.m - 1))
+                 ELSE -1 END AS BIGINT) AS mase_ppm
+FROM nk n1 JOIN nk n7 ON n1.event_type = n7.event_type AND n7.k = 7
+CROSS JOIN span
+WHERE n1.k = 1
+ORDER BY n1.event_type
+"""

@@ -2302,3 +2302,37 @@ def test_selfrep_hist(ray_session):
     tris = list(zip(toks, toks[1:], toks[2:]))
     rep_ppm = (n - len(set(tris))) * 10 ** 6 // n
     assert rep_ppm // text.SELFREP_BAND_W == 9
+
+
+def test_mase_weekly(ray_session):
+    """MASE: oracle equality plus the sparse-pair decomposition replayed
+    naively — zero-fill a synthetic series and check n_k equals the dense
+    sum of |y_t - y_{t-k}|."""
+    import duckdb
+    import numpy as np
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.mase_weekly(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(E.MASE_WEEKLY_SQL).df()
+    assert got.values.tolist() == want.astype(
+        {"n_days": "int64", "n1_sum": "int64",
+         "n7_sum": "int64", "mase_ppm": "int64"}
+    ).values.tolist()
+
+    # dense replay of the sparse decomposition
+    rng = {3: 5, 4: 2, 9: 7, 10: 1}   # observed (day, count), span 3..10
+    d0, d1 = 3, 10
+    dense = np.array([rng.get(t, 0) for t in range(d0, d1 + 1)])
+    for k in (1, 7):
+        expect = int(np.abs(dense[k:] - dense[:-k]).sum())
+        days, cs = list(rng), list(rng.values())
+        total = sum(c for day, c in rng.items() if day >= d0 + k)
+        total += sum(c for day, c in rng.items() if day <= d1 - k)
+        for i, day in enumerate(days):
+            if day - k in rng:
+                total += abs(cs[i] - rng[day - k]) - cs[i] - rng[day - k]
+        assert total == expect
