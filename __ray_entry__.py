@@ -545,6 +545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate": text.oov_rate,
         "selfrep_hist": text.selfrep_hist,
         "mase_weekly": events.mase_weekly,
+        "conversion_latency_quantiles": events.conversion_latency_quantiles,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -707,6 +708,7 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate": text.OOV_RATE_SQL,
         "selfrep_hist": text.SELFREP_HIST_SQL,
         "mase_weekly": events.MASE_WEEKLY_SQL,
+        "conversion_latency_quantiles": events.CONVERSION_LATENCY_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

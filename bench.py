@@ -186,7 +186,8 @@ QUERY_CHUNKS = [
      "hyperball_nf", "hits_scores", "rrf_fusion", "chi2_lang_source",
      "seq_pattern_hits", "lp_modularity", "ppr_seeds", "textrank_keywords",
      "relational_division", "benford_audit", "rfm_segments",
-     "mann_whitney_qty", "oov_rate", "selfrep_hist", "mase_weekly"],
+     "mann_whitney_qty", "oov_rate", "selfrep_hist", "mase_weekly",
+     "conversion_latency_quantiles"],
 ]
 
 

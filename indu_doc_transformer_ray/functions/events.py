@@ -4546,3 +4546,132 @@ CROSS JOIN span
 WHERE n1.k = 1
 ORDER BY n1.event_type
 """
+
+
+# -- conversion latency quantiles -----------------------------------------------
+
+CONV_QS = (50, 90, 99)
+
+
+def conversion_latency_quantiles(sf_dir: str) -> "pd.DataFrame":
+    """Exact p50/p90/p99 of the first-view -> first-purchase latency (in
+    whole seconds) across converting users — the product-analytics
+    time-to-convert distribution.  One user-bucket co-location builds the
+    per-user (min view ts, min purchase ts) pairs with a vectorized
+    masked-min kernel; converting users' floored-second latencies
+    materialize once and the exact order statistics come from the two-pass
+    counting histogram (driver holds touched-bucket counts, never rows).
+    Rank convention k = (q*(n-1))//100, 0-based, same as the oracle's
+    ROW_NUMBER form.  Output: (q_pct, latency_s)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from .sketches import _floor_bucket
+
+    nb = _user_buckets(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "event_type", "ts"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        return pa.table(
+            {
+                "ub": pc.cast(pc.bit_wise_and(uid, nb - 1), pa.int32()),
+                "user_id": uid,
+                "event_type": t["event_type"],
+                "ts_us": pc.cast(t["ts"].cast(pa.timestamp("us")), pa.int64()),
+            }
+        )
+
+    def latencies(g: pd.DataFrame) -> pd.DataFrame:
+        v = (
+            g[g["event_type"] == "view"]
+            .groupby("user_id")["ts_us"].min()
+        )
+        p = (
+            g[g["event_type"] == "purchase"]
+            .groupby("user_id")["ts_us"].min()
+        )
+        both = v.index.intersection(p.index)
+        lat = (p[both] - v[both]) // 1_000_000
+        lat = lat[lat >= 0]
+        return pd.DataFrame({"latency_s": lat.to_numpy(np.int64)})
+
+    lat_ds = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(latencies, batch_format="pandas")
+        .materialize()  # converting-user proportional; scanned twice below
+    )
+    n = lat_ds.count()
+    ks = {q: (q * (n - 1)) // 100 for q in CONV_QS}
+
+    def hist(t: pd.DataFrame) -> pa.Table:
+        v = pa.array(t["latency_s"].to_numpy(np.int64), pa.int64())
+        folded = pa.table({"b": _floor_bucket(v)})
+        return pa.TableGroupBy(folded, "b").aggregate([([], "count_all")])
+
+    counts = (
+        lat_ds.map_batches(hist, batch_format="pandas")
+        .groupby("b")
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    cum = counts["n"].cumsum()
+    need: dict[int, list[int]] = {}
+    for q, k in ks.items():
+        i = int((cum > k).idxmax())
+        before = int(cum.iloc[i - 1]) if i > 0 else 0
+        need.setdefault(int(counts.loc[i, "b"]), []).append(k - before)
+    wanted = pa.array(sorted(need), pa.int64())
+
+    def in_bucket(t: pd.DataFrame) -> pa.Table:
+        v = pa.array(t["latency_s"].to_numpy(np.int64), pa.int64())
+        b = _floor_bucket(v)
+        sub = pa.table({"b": b, "v": v}).filter(
+            pc.is_in(b, value_set=wanted)
+        )
+        return pa.TableGroupBy(sub, ["b", "v"]).aggregate([([], "count_all")])
+
+    fine = (
+        lat_ds.map_batches(in_bucket, batch_format="pandas")
+        .groupby(["b", "v"])
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for q in CONV_QS:
+        k = ks[q]
+        i = int((cum > k).idxmax())
+        before = int(cum.iloc[i - 1]) if i > 0 else 0
+        b = int(counts.loc[i, "b"])
+        g = fine[fine["b"] == b].sort_values("v").reset_index(drop=True)
+        gc = g["n"].cumsum()
+        j = int((gc > (k - before)).idxmax())
+        rows.append({"q_pct": q, "latency_s": int(g.loc[j, "v"])})
+    return pd.DataFrame(rows).astype("int64")
+
+
+CONVERSION_LATENCY_SQL = f"""
+WITH u AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+  FROM events GROUP BY user_id
+),
+lat AS (
+  SELECT (p - v) // 1000000 AS latency_s
+  FROM u WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v
+),
+nn AS (SELECT COUNT(*) AS n FROM lat),
+r AS (
+  SELECT latency_s, row_number() OVER (ORDER BY latency_s) - 1 AS rk FROM lat
+),
+qs(q) AS (VALUES {", ".join(f"({q})" for q in CONV_QS)})
+SELECT CAST(qs.q AS BIGINT) AS q_pct, CAST(r.latency_s AS BIGINT) AS latency_s
+FROM qs CROSS JOIN nn JOIN r ON r.rk = (qs.q * (nn.n - 1)) // 100
+ORDER BY q_pct
+"""

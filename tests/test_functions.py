@@ -2336,3 +2336,19 @@ def test_mase_weekly(ray_session):
             if day - k in rng:
                 total += abs(cs[i] - rng[day - k]) - cs[i] - rng[day - k]
         assert total == expect
+
+
+def test_conversion_latency_quantiles(ray_session):
+    """Conversion latency: oracle equality + monotone percentiles."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.conversion_latency_quantiles(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(E.CONVERSION_LATENCY_SQL).df()
+    assert got.values.tolist() == want.astype("int64").values.tolist()
+    lat = got["latency_s"].tolist()
+    assert lat == sorted(lat)
