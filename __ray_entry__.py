@@ -546,6 +546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "selfrep_hist": text.selfrep_hist,
         "mase_weekly": events.mase_weekly,
         "conversion_latency_quantiles": events.conversion_latency_quantiles,
+        "simpson_diversity_by_lang": relational.simpson_diversity_by_lang,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -709,6 +710,7 @@ def oracle_sql() -> dict[str, str]:
         "selfrep_hist": text.SELFREP_HIST_SQL,
         "mase_weekly": events.MASE_WEEKLY_SQL,
         "conversion_latency_quantiles": events.CONVERSION_LATENCY_SQL,
+        "simpson_diversity_by_lang": relational.SIMPSON_DIVERSITY_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

@@ -1061,3 +1061,65 @@ SELECT d.digit, COALESCE(o.obs, 0) AS obs,
 FROM digits d LEFT JOIN obs o USING (digit) CROSS JOIN tot t
 ORDER BY d.digit
 """
+
+
+# -- Simpson diversity of sources within each language --------------------------
+
+def simpson_diversity_by_lang(sf_dir: str) -> "object":
+    """Simpson concentration / Gini-Simpson diversity of the source mix
+    within each language — the log-free diversity index (entropy's exact
+    cousin): lambda = sum n_i(n_i-1) / (N(N-1)), the probability two
+    random docs of the language share a source.  Kept exact as a cleared
+    fraction (simpson_num, simpson_den) so no division ever happens;
+    diversity = 1 - num/den reads off the same columns.  One combiner
+    groupby over the bounded (lang, source) domain.  Output: (lang,
+    n_docs, n_sources, simpson_num, simpson_den)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(t, ["lang", "source"]).aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["lang", "source", "n"])
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded (lang x source) domain
+    )
+    rows = []
+    for lang, sub in cells.groupby("lang"):
+        ns = [int(x) for x in sub["n"]]
+        N = sum(ns)
+        rows.append(
+            {
+                "lang": lang,
+                "n_docs": N,
+                "n_sources": len(ns),
+                "simpson_num": sum(n * (n - 1) for n in ns),
+                "simpson_den": N * (N - 1),
+            }
+        )
+    out = pd.DataFrame(sorted(rows, key=lambda r: r["lang"]))
+    for c in ("n_docs", "n_sources", "simpson_num", "simpson_den"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+SIMPSON_DIVERSITY_SQL = """
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_sources,
+       CAST(SUM(n * (n - 1)) AS BIGINT) AS simpson_num,
+       CAST(SUM(n) * (SUM(n) - 1) AS BIGINT) AS simpson_den
+FROM cells GROUP BY lang ORDER BY lang
+"""

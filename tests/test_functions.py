@@ -2352,3 +2352,27 @@ def test_conversion_latency_quantiles(ray_session):
     assert got.values.tolist() == want.astype("int64").values.tolist()
     lat = got["latency_s"].tolist()
     assert lat == sorted(lat)
+
+
+def test_simpson_diversity_by_lang(ray_session):
+    """Simpson index: oracle equality plus 0 <= num <= den and the
+    single-source degenerate identity (num == den when one source)."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import profiling as P
+
+    sf = "/root/testdata/sf0.001"
+    got = P.simpson_diversity_by_lang(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = con.execute(P.SIMPSON_DIVERSITY_SQL).df()
+    assert got.values.tolist() == want.astype(
+        {c: "int64" for c in
+         ("n_docs", "n_sources", "simpson_num", "simpson_den")}
+    ).values.tolist()
+    assert ((got["simpson_num"] >= 0)
+            & (got["simpson_num"] <= got["simpson_den"])).all()
+    one_src = got[got["n_sources"] == 1]
+    assert (one_src["simpson_num"] == one_src["simpson_den"]).all()
