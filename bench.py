@@ -187,7 +187,8 @@ QUERY_CHUNKS = [
      "seq_pattern_hits", "lp_modularity", "ppr_seeds", "textrank_keywords",
      "relational_division", "benford_audit", "rfm_segments",
      "mann_whitney_qty", "oov_rate", "selfrep_hist", "mase_weekly",
-     "conversion_latency_quantiles", "simpson_diversity_by_lang"],
+     "conversion_latency_quantiles", "simpson_diversity_by_lang",
+     "apriori_triples"],
 ]
 
 

@@ -1167,3 +1167,145 @@ JOIN marg mc ON mc.p_brand = d.cons
 CROSS JOIN total
 ORDER BY ante, cons
 """
+
+
+# -- Apriori frequent triples ----------------------------------------------------
+
+APRIORI3_MIN_SUP = 5
+
+
+def apriori_triples(sf_dir: str) -> "object":
+    """Frequent 3-itemsets over order baskets at brand granularity — the
+    Apriori candidate-growth step past ``assoc_rules``' pairs (Agrawal &
+    Srikant, VLDB 1994).  Same physical plan: brand attach (broadcast
+    under the guard, shuffle join above), ONE orderkey-bucket co-location
+    making every basket bucket-local, and an in-kernel vectorized 3-way
+    self-merge whose expansion is bounded by C(|brand domain|, 3) per
+    basket worst-case (~1-7 distinct brands in practice).  Triple counts
+    fold through a <=|B|^3-bounded groupby; the support filter runs on
+    the driver over that bounded table.  Output: (a, b, c, n_abc,
+    supp_ppm) for triples with support >= APRIORI3_MIN_SUP baskets."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from ._util import n_buckets
+
+    BUCKETS = n_buckets(pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    if _dim_rows(sf_dir, "part") <= _rc.MAX_BROADCAST_DIM_ROWS:
+        import numpy as np
+
+        pk, pv = _dim_lookup(sf_dir, "part", "p_partkey", ["p_brand"])
+        ref = ray.put((pk, pv["p_brand"]))
+
+        def attach(t: pa.Table) -> pa.Table:
+            pk_, brand_ = ray.get(ref)
+            part_ids = pc.cast(t["l_partkey"], pa.int64()).to_numpy()
+            return pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "p_brand": pa.array(
+                        brand_[np.searchsorted(pk_, part_ids)], pa.string()
+                    ),
+                }
+            )
+
+        joined = li.map_batches(attach, batch_format="pyarrow")
+    else:
+        part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+        joined = li.join(
+            part,
+            join_type="inner",
+            num_partitions=join_partitions(),
+            on=("l_partkey",),
+            right_on=("p_partkey",),
+            aggregator_ray_remote_args={"num_cpus": 0},
+        )
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        sub = (
+            t.select(["l_orderkey", "p_brand"])
+            .group_by(["l_orderkey", "p_brand"])
+            .aggregate([])
+        )
+        ok = pc.cast(sub["l_orderkey"], pa.int64())
+        return pa.table(
+            {
+                "ob": pc.cast(pc.bit_wise_and(ok, BUCKETS - 1), pa.int32()),
+                "l_orderkey": ok,
+                "p_brand": sub["p_brand"],
+            }
+        )
+
+    def partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "p_brand"])
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["p_brand_x"] < m["p_brand_y"]]
+        t3 = m.merge(g, on="l_orderkey")
+        t3 = t3[t3["p_brand_y"] < t3["p_brand"]]
+        tri = (
+            t3.groupby(["p_brand_x", "p_brand_y", "p_brand"], as_index=False)
+            .size()
+            .rename(
+                columns={"p_brand_x": "a", "p_brand_y": "b", "p_brand": "c"}
+            )
+        )
+        total = pd.DataFrame(
+            {"a": [""], "b": [""], "c": [""],
+             "size": [g["l_orderkey"].nunique()]}
+        )
+        out = pd.concat(
+            [tri[["a", "b", "c", "size"]], total], ignore_index=True
+        ).rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    folded = (
+        joined.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("ob")
+        .map_groups(partials, batch_format="pandas")
+        .groupby(["a", "b", "c"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # <= |brands|^3 + 1 rows
+    )
+    n_baskets = int(
+        folded.loc[(folded["a"] == "") & (folded["b"] == ""), "n"].iloc[0]
+    )
+    tri = folded[(folded["a"] != "") & (folded["n"] >= APRIORI3_MIN_SUP)]
+    out = tri.sort_values(["a", "b", "c"]).reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "a": out["a"],
+            "b": out["b"],
+            "c": out["c"],
+            "n_abc": out["n"].astype("int64"),
+            "supp_ppm": (
+                out["n"].astype("int64") * 10 ** 6 // n_baskets
+            ).astype("int64"),
+        }
+    )
+
+
+APRIORI_TRIPLES_SQL = f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM ob),
+tri AS (
+  SELECT a.p_brand AS a, b.p_brand AS b, c.p_brand AS c,
+         CAST(COUNT(*) AS BIGINT) AS n_abc
+  FROM ob a
+  JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  JOIN ob c ON a.l_orderkey = c.l_orderkey AND b.p_brand < c.p_brand
+  GROUP BY 1, 2, 3
+)
+SELECT a, b, c, n_abc,
+       CAST(n_abc * 1000000 // tot.n AS BIGINT) AS supp_ppm
+FROM tri CROSS JOIN tot
+WHERE n_abc >= {APRIORI3_MIN_SUP}
+ORDER BY a, b, c
+"""

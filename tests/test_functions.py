@@ -2376,3 +2376,32 @@ def test_simpson_diversity_by_lang(ray_session):
             & (got["simpson_num"] <= got["simpson_den"])).all()
     one_src = got[got["n_sources"] == 1]
     assert (one_src["simpson_num"] == one_src["simpson_den"]).all()
+
+
+def test_apriori_triples(ray_session):
+    """Apriori triples: oracle equality plus downward closure — every
+    frequent triple's three constituent pairs must each appear in at
+    least as many baskets (checked against assoc_rules' pair counts)."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import star as ST
+
+    sf = "/root/testdata/sf0.001"
+    got = ST.apriori_triples(sf)
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    want = con.execute(ST.APRIORI_TRIPLES_SQL).df()
+    assert got.values.tolist() == want.astype(
+        {"n_abc": "int64", "supp_ppm": "int64"}
+    ).values.tolist()
+
+    pairs = con.execute("""
+        WITH ob AS (SELECT DISTINCT l.l_orderkey, p.p_brand
+                    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+        SELECT a.p_brand a, b.p_brand b, COUNT(*) n FROM ob a
+        JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+    """).df().set_index(["a", "b"])["n"].to_dict()
+    for a, b, c_, n, _ in got.head(50).itertuples(index=False):
+        assert pairs[(a, b)] >= n and pairs[(a, c_)] >= n and pairs[(b, c_)] >= n
