@@ -4675,3 +4675,93 @@ SELECT CAST(qs.q AS BIGINT) AS q_pct, CAST(r.latency_s AS BIGINT) AS latency_s
 FROM qs CROSS JOIN nn JOIN r ON r.rk = (qs.q * (nn.n - 1)) // 100
 ORDER BY q_pct
 """
+
+
+# -- Page-Hinkley drift statistic ------------------------------------------------
+
+def page_hinkley_by_type(sf_dir: str) -> "pd.DataFrame":
+    """Page-Hinkley cumulative-deviation drift statistic (Page 1954,
+    Hinkley 1971) over each type's sequence of ACTIVE-day counts — the
+    sequential mean-shift monitor: with the cleared-denominator cumulative
+    M_t = T*S_t - t*S (T active days, S total count, S_t prefix sum), the
+    statistic is PH = max_t (M_t - min_{s<=t} M_s), positive when the
+    series' mean rises mid-stream.  All integers, driver scan is
+    span-bounded (the holt/acf discipline), one (type, day) fold is the
+    only exchange.  Ties take the earliest t.  Output: (event_type,
+    n_days, ph_num, t_at) — the drift magnitude is ph_num / T per step."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["ts", "event_type"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        folded = pa.table({"e": t["event_type"], "day": day})
+        return pa.TableGroupBy(folded, ["e", "day"]).aggregate(
+            [([], "count_all")]
+        )
+
+    d = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(["e", "day"])
+        .aggregate(Sum("count_all", alias_name="c"))
+        .to_pandas()  # O(|types| x span days)
+    )
+    rows = []
+    for e, sub in d.groupby("e"):
+        cs = [int(c) for _, c in sorted(zip(sub["day"], sub["c"]))]
+        T = len(cs)
+        S = sum(cs)
+        s_t = 0
+        run_min = 0  # M_0 = 0 (empty prefix)
+        ph, at = 0, 0
+        for i, c in enumerate(cs, start=1):
+            s_t += c
+            m_t = T * s_t - i * S
+            if m_t - run_min > ph:
+                ph, at = m_t - run_min, i
+            if m_t < run_min:
+                run_min = m_t
+        rows.append(
+            {"event_type": e, "n_days": T, "ph_num": ph, "t_at": at}
+        )
+    out = pd.DataFrame(sorted(rows, key=lambda r: r["event_type"]))
+    for c in ("n_days", "ph_num", "t_at"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+PAGE_HINKLEY_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, day, c,
+         row_number() OVER w AS i,
+         SUM(c) OVER w AS s_t,
+         SUM(c) OVER (PARTITION BY event_type) AS s,
+         COUNT(*) OVER (PARTITION BY event_type) AS t_days
+  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+m AS (
+  SELECT event_type, i, t_days,
+         t_days * s_t - i * s AS m_t,
+         LEAST(0, MIN(t_days * s_t - i * s) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS run_min
+  FROM seq
+),
+ph AS (
+  SELECT event_type, i, t_days, m_t - run_min AS gain,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY m_t - run_min DESC, i
+         ) AS rk
+  FROM m
+)
+SELECT event_type, CAST(t_days AS BIGINT) AS n_days,
+       CAST(CASE WHEN gain > 0 THEN gain ELSE 0 END AS BIGINT) AS ph_num,
+       CAST(CASE WHEN gain > 0 THEN i ELSE 0 END AS BIGINT) AS t_at
+FROM ph WHERE rk = 1 ORDER BY event_type
+"""

@@ -2405,3 +2405,36 @@ def test_apriori_triples(ray_session):
     """).df().set_index(["a", "b"])["n"].to_dict()
     for a, b, c_, n, _ in got.head(50).itertuples(index=False):
         assert pairs[(a, b)] >= n and pairs[(a, c_)] >= n and pairs[(b, c_)] >= n
+
+
+def test_page_hinkley_by_type(ray_session):
+    """Page-Hinkley: oracle equality plus a planted upward mean shift on a
+    synthetic series — the statistic must peak at the end of the shifted
+    run, and a constant series must yield ph_num == 0."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.page_hinkley_by_type(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(E.PAGE_HINKLEY_SQL).df()
+    assert got.values.tolist() == want.astype(
+        {"n_days": "int64", "ph_num": "int64", "t_at": "int64"}
+    ).values.tolist()
+
+    def ph(cs):
+        T, S = len(cs), sum(cs)
+        s_t, run_min, best, at = 0, 0, 0, 0
+        for i, c in enumerate(cs, start=1):
+            s_t += c
+            m = T * s_t - i * S
+            if m - run_min > best:
+                best, at = m - run_min, i
+            run_min = min(run_min, m)
+        return best, at
+
+    assert ph([5, 5, 5, 5]) == (0, 0)
+    best, at = ph([2, 2, 2, 2, 10, 10, 10, 10])
+    assert best > 0 and at == 8  # shift accumulates to the series end
