@@ -549,6 +549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simpson_diversity_by_lang": relational.simpson_diversity_by_lang,
         "apriori_triples": relational.apriori_triples,
         "page_hinkley_by_type": events.page_hinkley_by_type,
+        "haar_energy_by_type": events.haar_energy_by_type,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -715,6 +716,7 @@ def oracle_sql() -> dict[str, str]:
         "simpson_diversity_by_lang": relational.SIMPSON_DIVERSITY_SQL,
         "apriori_triples": relational.APRIORI_TRIPLES_SQL,
         "page_hinkley_by_type": events.PAGE_HINKLEY_SQL,
+        "haar_energy_by_type": events.HAAR_ENERGY_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

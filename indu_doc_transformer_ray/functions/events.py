@@ -4765,3 +4765,100 @@ SELECT event_type, CAST(t_days AS BIGINT) AS n_days,
        CAST(CASE WHEN gain > 0 THEN i ELSE 0 END AS BIGINT) AS t_at
 FROM ph WHERE rk = 1 ORDER BY event_type
 """
+
+
+# -- Haar wavelet energy spectrum -------------------------------------------------
+
+HAAR_LEVELS = 12          # 4096-day dyadic window
+HAAR_SPAN = 1 << HAAR_LEVELS
+
+
+def haar_energy_by_type(sf_dir: str) -> "pd.DataFrame":
+    """Integer Haar wavelet energy spectrum of each type's zero-filled
+    daily count series — the multiresolution periodicity audit (which
+    time scale carries the variance: day-to-day noise, weekly cycle,
+    long drift).  The unnormalized Haar transform is pure integer
+    adds/subtracts: level j pairs adjacent level-(j-1) sums, detail
+    d = left - right, energy_j = sum d^2 — exact at any scale (Python
+    ints on the driver, HUGEINT in the 12-level unrolled oracle).
+    Days index into a fixed 4096-day dyadic window anchored at the
+    corpus min day (documented cap; longer spans need a larger window).
+    Sparse-safe: missing days are zeros, and both engines compute
+    c_{j}[k] and d_{j}[k] as signed sums over PRESENT rows only.
+    One (type, day) fold is the only exchange.  Output:
+    (event_type, level, energy)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["ts", "event_type"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        folded = pa.table({"e": t["event_type"], "day": day})
+        return pa.TableGroupBy(folded, ["e", "day"]).aggregate(
+            [([], "count_all")]
+        )
+
+    d = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(["e", "day"])
+        .aggregate(Sum("count_all", alias_name="c"))
+        .to_pandas()  # O(|types| x span days)
+    )
+    d0 = int(d["day"].min())
+    rows = []
+    for e, sub in d.groupby("e"):
+        dense = np.zeros(HAAR_SPAN, dtype=object)
+        for day, c in zip(sub["day"], sub["c"]):
+            idx = int(day) - d0
+            if 0 <= idx < HAAR_SPAN:
+                dense[idx] = int(c)
+        cur = dense
+        for level in range(1, HAAR_LEVELS + 1):
+            left, right = cur[0::2], cur[1::2]
+            detail = left - right
+            cur = left + right
+            energy = int(sum(int(x) * int(x) for x in detail))
+            rows.append({"event_type": e, "level": level, "energy": energy})
+    out = pd.DataFrame(
+        sorted(rows, key=lambda r: (r["event_type"], r["level"]))
+    )
+    out["level"] = out["level"].astype("int64")
+    out["energy"] = out["energy"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _haar_sql(levels: int = HAAR_LEVELS) -> str:
+    steps = []
+    energies = []
+    for j in range(1, levels + 1):
+        prev = "c0" if j == 1 else f"c{j - 1}"
+        steps.append(f"""c{j} AS (
+  SELECT e, k // 2 AS k, SUM(v) AS v,
+         SUM(CASE WHEN k % 2 = 0 THEN v ELSE -v END) AS dv
+  FROM {prev} GROUP BY e, k // 2
+)""")
+        energies.append(f"""
+  SELECT e AS event_type, {j} AS level,
+         CAST(COALESCE(SUM(CAST(dv AS HUGEINT) * dv), 0) AS BIGINT) AS energy
+  FROM c{j} GROUP BY e""")
+    return f"""
+WITH d AS (
+  SELECT event_type AS e, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+d0 AS (SELECT MIN(day) AS d0 FROM d),
+c0 AS (
+  SELECT e, day - d0.d0 AS k, CAST(c AS BIGINT) AS v
+  FROM d CROSS JOIN d0 WHERE day - d0.d0 < {HAAR_SPAN}
+),
+{",".join(steps)}
+SELECT event_type, CAST(level AS BIGINT) AS level, energy
+FROM ({" UNION ALL ".join(energies)})
+ORDER BY event_type, level
+"""
+
+
+HAAR_ENERGY_SQL = _haar_sql()

@@ -2438,3 +2438,37 @@ def test_page_hinkley_by_type(ray_session):
     assert ph([5, 5, 5, 5]) == (0, 0)
     best, at = ph([2, 2, 2, 2, 10, 10, 10, 10])
     assert best > 0 and at == 8  # shift accumulates to the series end
+
+
+def test_haar_energy_by_type(ray_session):
+    """Haar spectrum: oracle equality plus the exact integer Parseval
+    identity 2^L * sum(x^2) == sum_j 2^(L-j) * energy_j + smooth^2 on a
+    synthetic series (total variance is conserved across scales)."""
+    import duckdb
+    import numpy as np
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.haar_energy_by_type(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(E.HAAR_ENERGY_SQL).df()
+    assert got.values.tolist() == want.astype(
+        {"level": "int64", "energy": "int64"}
+    ).values.tolist()
+    assert len(got) == got["event_type"].nunique() * E.HAAR_LEVELS
+
+    rng = np.random.RandomState(7)
+    x = rng.randint(0, 50, size=16).astype(object)
+    L = 4
+    cur, energies = x, []
+    for _ in range(L):
+        left, right = cur[0::2], cur[1::2]
+        energies.append(int(sum(int(v) ** 2 for v in (left - right))))
+        cur = left + right
+    smooth = int(cur[0])
+    lhs = (1 << L) * int(sum(int(v) ** 2 for v in x))
+    rhs = sum((1 << (L - j - 1)) * e for j, e in enumerate(energies)) \
+        + smooth ** 2
+    assert lhs == rhs
