@@ -550,6 +550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "apriori_triples": relational.apriori_triples,
         "page_hinkley_by_type": events.page_hinkley_by_type,
         "haar_energy_by_type": events.haar_energy_by_type,
+        "record_days_by_type": events.record_days_by_type,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -717,6 +718,7 @@ def oracle_sql() -> dict[str, str]:
         "apriori_triples": relational.APRIORI_TRIPLES_SQL,
         "page_hinkley_by_type": events.PAGE_HINKLEY_SQL,
         "haar_energy_by_type": events.HAAR_ENERGY_SQL,
+        "record_days_by_type": events.RECORD_DAYS_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

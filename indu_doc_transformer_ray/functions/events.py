@@ -4862,3 +4862,74 @@ ORDER BY event_type, level
 
 
 HAAR_ENERGY_SQL = _haar_sql()
+
+
+# -- record-setting days -----------------------------------------------------------
+
+def record_days_by_type(sf_dir: str) -> "pd.DataFrame":
+    """Record-breaking days per event type: how many days set a new
+    all-time daily-count high (strictly greater than every prior day),
+    and when the standing record was set — the leaders/records audit
+    (expected ~ln n for an i.i.d. series, so an excess says trend).
+    One (type, day) fold, vectorized running-max scan on the driver.
+    Output: (event_type, n_records, record_c, record_day)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["ts", "event_type"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        folded = pa.table({"e": t["event_type"], "day": day})
+        return pa.TableGroupBy(folded, ["e", "day"]).aggregate(
+            [([], "count_all")]
+        )
+
+    d = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(["e", "day"])
+        .aggregate(Sum("count_all", alias_name="c"))
+        .to_pandas()
+    )
+    rows = []
+    for e, sub in d.groupby("e"):
+        sub = sub.sort_values("day")
+        cs = sub["c"].to_numpy(np.int64)
+        days = sub["day"].to_numpy(np.int64)
+        runmax = np.maximum.accumulate(cs)
+        is_rec = np.concatenate(([True], cs[1:] > runmax[:-1]))
+        rec_idx = int(np.flatnonzero(is_rec)[-1])
+        rows.append(
+            {
+                "event_type": e,
+                "n_records": int(is_rec.sum()),
+                "record_c": int(cs[rec_idx]),
+                "record_day": int(days[rec_idx]),
+            }
+        )
+    out = pd.DataFrame(sorted(rows, key=lambda r: r["event_type"]))
+    for c in ("n_records", "record_c", "record_day"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+RECORD_DAYS_SQL = """
+WITH d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, day, c,
+         COALESCE(MAX(c) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS prior
+  FROM d
+),
+recs AS (SELECT * FROM w WHERE c > prior)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(MAX_BY(c, day) AS BIGINT) AS record_c,
+       CAST(MAX(day) AS BIGINT) AS record_day
+FROM recs GROUP BY event_type ORDER BY event_type
+"""

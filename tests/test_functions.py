@@ -2472,3 +2472,27 @@ def test_haar_energy_by_type(ray_session):
     rhs = sum((1 << (L - j - 1)) * e for j, e in enumerate(energies)) \
         + smooth ** 2
     assert lhs == rhs
+
+
+def test_record_days_by_type(ray_session):
+    """Record days: oracle equality + the analytic gates n_records >= 1
+    (the first day is always a record) and record_c == the series max."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.record_days_by_type(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(E.RECORD_DAYS_SQL).df()
+    assert got.values.tolist() == want.astype(
+        {"n_records": "int64", "record_c": "int64", "record_day": "int64"}
+    ).values.tolist()
+    assert (got["n_records"] >= 1).all()
+    mx = con.execute("""
+        SELECT event_type, MAX(c) FROM (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+          FROM events GROUP BY 1, 2) GROUP BY 1 ORDER BY 1
+    """).df()
+    assert got["record_c"].tolist() == mx.iloc[:, 1].astype("int64").tolist()
