@@ -551,6 +551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_hinkley_by_type": events.page_hinkley_by_type,
         "haar_energy_by_type": events.haar_energy_by_type,
         "record_days_by_type": events.record_days_by_type,
+        "abc_parts": relational.abc_parts,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -562,6 +563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hyperball_nf", "hits_scores", "rrf_fusion", "chi2_lang_source",
         "seq_pattern_hits", "lp_modularity", "ppr_seeds", "textrank_keywords",
         "relational_division", "benford_audit", "rfm_segments", "mann_whitney_qty",
+        "abc_parts",
         "markov_stationary", "holt_linear_by_type", "cpd_daily_by_type",
         "ams_f2_by_type", "quantile_cont_price",
         "spearman_qty_discount", "assoc_rules",
@@ -719,6 +721,7 @@ def oracle_sql() -> dict[str, str]:
         "page_hinkley_by_type": events.PAGE_HINKLEY_SQL,
         "haar_energy_by_type": events.HAAR_ENERGY_SQL,
         "record_days_by_type": events.RECORD_DAYS_SQL,
+        "abc_parts": relational.ABC_PARTS_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

@@ -1327,3 +1327,191 @@ FROM tri CROSS JOIN tot
 WHERE n_abc >= {APRIORI3_MIN_SUP}
 ORDER BY a, b, c
 """
+
+
+# -- ABC / Pareto revenue classification -------------------------------------------
+
+ABC_CUTS = (80, 95)  # cumulative-revenue percent boundaries (A | B | C)
+
+
+def abc_parts(sf_dir: str) -> "object":
+    """ABC (Pareto) inventory classification of parts by lineitem revenue:
+    class A carries the first 80% of cumulative revenue in (revenue DESC,
+    partkey ASC) order, B the next 15%, C the tail — the classic 80/20
+    stocking policy cube.  The crossing part belongs to the richer class
+    (cum_prior < threshold), making ties deterministic.
+
+    Zero row movement past the folds: ONE partkey-bucket co-location
+    builds per-part revenue; a coarse revenue-histogram fold (count + rev
+    sums per 4096-wide bucket) gives descending bucket offsets, buckets
+    fully inside a class classify WHOLESALE from the histogram, and the
+    <=2 straddling buckets resolve from a fine per-value fold — equal-
+    revenue runs split by pure arithmetic (j-th part's prior = group
+    start + (j-1)*rev), so no row ever leaves its fold.  Output:
+    (cls, n_parts, revenue_c2)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from ._util import n_buckets
+    from .sketches import _floor_bucket
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()
+        )
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "p": pc.cast(t["l_partkey"], pa.int64()),
+                    "rev": cents,
+                }
+            ),
+            "p",
+        ).aggregate([("rev", "sum")])
+        g = g.rename_columns(["p", "rev"])
+        pb = pc.cast(
+            pc.bit_wise_and(pc.cast(g["p"], pa.int64()), nb - 1), pa.int32()
+        )
+        return g.append_column("pb", pb)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("p", as_index=False)["rev"].sum()
+        return agg.astype("int64")
+
+    pr = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(fold, batch_format="pandas")
+        .materialize()  # part-proportional; scanned twice below
+    )
+
+    def hist(t: pd.DataFrame) -> pa.Table:
+        import numpy as np
+
+        v = pa.array(t["rev"].to_numpy(np.int64), pa.int64())
+        folded = pa.table({"b": _floor_bucket(v), "rev": v})
+        return pa.TableGroupBy(folded, "b").aggregate(
+            [([], "count_all"), ("rev", "sum")]
+        )
+
+    counts = (
+        pr.map_batches(hist, batch_format="pandas")
+        .groupby("b")
+        .aggregate(
+            Sum("count_all", alias_name="n"), Sum("rev_sum", alias_name="r")
+        )
+        .to_pandas()
+        .sort_values("b", ascending=False)  # revenue DESC order
+        .reset_index(drop=True)
+    )
+    T = int(counts["r"].sum())
+    cuts = [(q * T) // 100 for q in ABC_CUTS]
+    prior_r = counts["r"].cumsum().shift(1).fillna(0).astype("int64")
+    after_r = counts["r"].cumsum().astype("int64")
+
+    # wholesale classification for non-straddling buckets
+    totals = {"A": [0, 0], "B": [0, 0], "C": [0, 0]}
+
+    def _cls(prior: int) -> str:
+        if prior < cuts[0]:
+            return "A"
+        if prior < cuts[1]:
+            return "B"
+        return "C"
+
+    straddling = []
+    for i in range(len(counts)):
+        lo, hi = int(prior_r.iloc[i]), int(after_r.iloc[i])
+        if any(lo < c < hi for c in cuts):
+            straddling.append((int(counts.loc[i, "b"]), lo))
+        else:
+            c = _cls(lo)
+            totals[c][0] += int(counts.loc[i, "n"])
+            totals[c][1] += int(counts.loc[i, "r"])
+
+    if straddling:
+        wanted = pa.array(sorted(b for b, _ in straddling), pa.int64())
+
+        def in_bucket(t: pd.DataFrame) -> pa.Table:
+            import numpy as np
+
+            v = pa.array(t["rev"].to_numpy(np.int64), pa.int64())
+            b = _floor_bucket(v)
+            sub = pa.table({"b": b, "rev": v}).filter(
+                pc.is_in(b, value_set=wanted)
+            )
+            return pa.TableGroupBy(sub, ["b", "rev"]).aggregate(
+                [([], "count_all")]
+            )
+
+        fine = (
+            pr.map_batches(in_bucket, batch_format="pandas")
+            .groupby(["b", "rev"])
+            .aggregate(Sum("count_all", alias_name="n"))
+            .to_pandas()
+        )
+        for b, lo in straddling:
+            g = fine[fine["b"] == b].sort_values(
+                "rev", ascending=False
+            ).reset_index(drop=True)
+            prior = lo
+            for rev, m in zip(g["rev"].astype(int), g["n"].astype(int)):
+                # parts in an equal-revenue run split arithmetically:
+                # j-th part's prior = prior + (j-1)*rev
+                rem = m
+                for c_i, cut in enumerate(cuts):
+                    if prior >= cut:
+                        continue
+                    # parts of this run whose prior stays below this cut
+                    # ceil((cut - prior) / rev) parts still fit this class
+                    fit = min(rem, -((prior - cut) // rev) if rev else rem)
+                    totals["AB"[c_i]][0] += fit
+                    totals["AB"[c_i]][1] += fit * rev
+                    prior += fit * rev
+                    rem -= fit
+                    if rem == 0:
+                        break
+                if rem:
+                    totals["C"][0] += rem
+                    totals["C"][1] += rem * rev
+                    prior += rem * rev
+    import pandas as pd  # noqa: F811
+
+    rows = [
+        {"cls": k, "n_parts": v[0], "revenue_c2": v[1]}
+        for k, v in sorted(totals.items())
+    ]
+    out = pd.DataFrame(rows)
+    out["n_parts"] = out["n_parts"].astype("int64")
+    out["revenue_c2"] = out["revenue_c2"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+ABC_PARTS_SQL = f"""
+WITH pr AS (
+  SELECT l_partkey, SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT SUM(rev) AS t FROM pr),
+o AS (
+  SELECT rev,
+         COALESCE(SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+  FROM pr
+),
+cls AS (
+  SELECT rev,
+         CASE WHEN prior < ({ABC_CUTS[0]} * t) // 100 THEN 'A'
+              WHEN prior < ({ABC_CUTS[1]} * t) // 100 THEN 'B'
+              ELSE 'C' END AS cls
+  FROM o CROSS JOIN tot
+)
+SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev) AS BIGINT) AS revenue_c2
+FROM cls GROUP BY cls ORDER BY cls
+"""

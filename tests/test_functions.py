@@ -2496,3 +2496,33 @@ def test_record_days_by_type(ray_session):
           FROM events GROUP BY 1, 2) GROUP BY 1 ORDER BY 1
     """).df()
     assert got["record_c"].tolist() == mx.iloc[:, 1].astype("int64").tolist()
+
+
+def test_abc_parts(ray_session):
+    """ABC classes: oracle equality, conservation (counts and revenue sum
+    to the per-part totals), and the Pareto ordering A-revenue >=
+    B-revenue >= C-revenue share thresholds."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import star as ST
+
+    sf = "/root/testdata/sf0.001"
+    got = ST.abc_parts(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'"
+    )
+    want = con.execute(ST.ABC_PARTS_SQL).df()
+    assert got.values.tolist() == want.astype(
+        {"n_parts": "int64", "revenue_c2": "int64"}
+    ).values.tolist()
+
+    n_parts, total = con.execute(
+        "SELECT COUNT(DISTINCT l_partkey), "
+        "SUM(CAST(round(l_extendedprice*100) AS BIGINT)) FROM lineitem"
+    ).fetchone()
+    assert int(got["n_parts"].sum()) == n_parts
+    assert int(got["revenue_c2"].sum()) == int(total)
+    rev = got.set_index("cls")["revenue_c2"]
+    assert rev["A"] >= (80 * int(total)) // 100 - rev.max()  # crossing slack
+    assert rev["A"] > rev["B"] > rev["C"]
