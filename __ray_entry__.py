@@ -558,8 +558,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # prefix (first ~50 of the interleave) always covers the weakest link
     # of every family, not just an arbitrary member (round-3 verdict #9).
     risk_first = [
-        # session-7 newest (riskiest oracles: fixed-point unrolls, IEEE
-        # sqrt bridge, AMS sign mirror, recursive-CTE smoothing)
+        # session-8 newest (riskiest oracles: 12-level Haar unroll,
+        # HLL-plane replay, straddling-bucket arithmetic, sparse MASE
+        # decomposition), then session-7's fixed-point unrolls
+        "haar_energy_by_type", "apriori_triples", "mase_weekly",
+        "page_hinkley_by_type", "conversion_latency_quantiles",
         "hyperball_nf", "hits_scores", "rrf_fusion", "chi2_lang_source",
         "seq_pattern_hits", "lp_modularity", "ppr_seeds", "textrank_keywords",
         "relational_division", "benford_audit", "rfm_segments", "mann_whitney_qty",
