@@ -532,7 +532,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_1d_clusters": similarity.dbscan_1d_clusters,
         "hyperball_nf": similarity.hyperball_nf,
         "hits_scores": similarity.hits_scores,
-        "rrf_fusion": text.rrf_fusion,
         "chi2_lang_source": relational.chi2_lang_source,
         "seq_pattern_hits": events.seq_pattern_hits,
         "lp_modularity": similarity.lp_modularity,
@@ -563,7 +562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # decomposition), then session-7's fixed-point unrolls
         "haar_energy_by_type", "apriori_triples", "mase_weekly",
         "page_hinkley_by_type", "conversion_latency_quantiles",
-        "hyperball_nf", "hits_scores", "rrf_fusion", "chi2_lang_source",
+        "hyperball_nf", "hits_scores", "chi2_lang_source",
         "seq_pattern_hits", "lp_modularity", "ppr_seeds", "textrank_keywords",
         "relational_division", "benford_audit", "rfm_segments", "mann_whitney_qty",
         "abc_parts",
@@ -705,7 +704,6 @@ def oracle_sql() -> dict[str, str]:
         "dbscan_1d_clusters": similarity.DBSCAN_1D_SQL,
         "hyperball_nf": similarity.HYPERBALL_NF_SQL,
         "hits_scores": similarity.HITS_SCORES_SQL,
-        "rrf_fusion": text.RRF_FUSION_SQL,
         "chi2_lang_source": relational.CHI2_LANG_SOURCE_SQL,
         "seq_pattern_hits": events.SEQ_PATTERN_HITS_SQL,
         "lp_modularity": similarity.LP_MODULARITY_SQL,

@@ -183,7 +183,7 @@ QUERY_CHUNKS = [
      "plsa_topics"],
     # session-7 graph trio shares the knn-graph memo
     ["neighbor_jaccard_topk", "clustering_coeff_topk", "wl_colors",
-     "hyperball_nf", "hits_scores", "rrf_fusion", "chi2_lang_source",
+     "hyperball_nf", "hits_scores", "chi2_lang_source",
      "seq_pattern_hits", "lp_modularity", "ppr_seeds", "textrank_keywords",
      "relational_division", "benford_audit", "rfm_segments",
      "mann_whitney_qty", "oov_rate", "selfrep_hist", "mase_weekly",

@@ -2950,119 +2950,6 @@ SELECT lang, CAST(n AS BIGINT) AS n_tokens, CAST(v AS BIGINT) AS vocab,
 FROM m ORDER BY lang
 """
 
-
-# -- reciprocal-rank fusion (BM25 x embedding retrieval) -----------------------
-
-RRF_K = 60          # the canonical Cormack/Clarke/Buettcher smoothing constant
-RRF_DEPTH = 50      # per-list candidate depth
-RRF_QID = 0         # embeddings row doubling as the dense query vector
-RRF_SCALE = 10 ** 9  # integer micro-units: contribution = SCALE // (K + rank)
-
-
-def rrf_fusion(sf_dir: str, depth: int = RRF_DEPTH, k: int = 10) -> "object":
-    """Reciprocal-rank fusion (Cormack, Clarke, Buettcher, SIGIR 2009) of a
-    sparse BM25 ranking and a dense cosine ranking over the same document
-    id space — the standard hybrid-retrieval merge in modern RAG stacks.
-    Contribution of a list is SCALE // (K + rank) (integer floor, so the
-    fused score is exact on both engines; rank-only fusion also makes the
-    float cores of the two lists irrelevant once their ORDERINGS agree,
-    which both already hash-match individually).
-
-    Scale shape: both candidate lists are zero-shuffle — BM25 is the
-    two-pass broadcast-stats scan (``bm25_topk``), the dense list is one
-    column-pruned pass with batch-local top-``depth`` pruning against a
-    ``ray.put`` query vector; the driver fuses <= 2*depth candidate rows.
-    Output: (doc_id, rrf_mu, rk) top-``k``."""
-    import numpy as np
-    import pandas as pd
-    import pyarrow.parquet as pq
-
-    a = bm25_topk(sf_dir, k=depth)  # (doc_id, score_mu, rk)
-
-    qt = pq.read_table(
-        f"{sf_dir}/embeddings.parquet",
-        columns=["vec_id", "embedding"],
-        filters=[("vec_id", "==", RRF_QID)],
-    )
-    qv = np.array(qt.column("embedding").to_pylist(), dtype=np.float64)[0]
-    qn = ray.put(qv / np.linalg.norm(qv))
-
-    def dense_score(batch: pa.Table) -> pa.Table:
-        qn_ = ray.get(qn)
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-        sims = en @ qn_
-        mask = ids != RRF_QID
-        ids, sims = ids[mask], sims[mask]
-        if len(ids) > depth:  # batch-local prune: only depth rows survive
-            part = np.argpartition(-sims, depth)[:depth]
-            ids, sims = ids[part], sims[part]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "sim": pa.array(sims, pa.float64()),
-            }
-        )
-
-    b = (
-        ray.data.read_parquet(
-            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-        )
-        .map_batches(dense_score, batch_format="pyarrow")
-        .to_pandas()  # <= depth x n_blocks candidate rows
-        .sort_values(["sim", "doc_id"], ascending=[False, True])
-        .head(depth)
-        .reset_index(drop=True)
-    )
-
-    fused: dict[int, int] = {}
-    for rk, doc in enumerate(a["doc_id"].tolist(), start=1):
-        fused[doc] = fused.get(doc, 0) + RRF_SCALE // (RRF_K + rk)
-    for rk, doc in enumerate(b["doc_id"].tolist(), start=1):
-        fused[doc] = fused.get(doc, 0) + RRF_SCALE // (RRF_K + rk)
-    out = (
-        pd.DataFrame(
-            {"doc_id": list(fused), "rrf_mu": list(fused.values())}
-        )
-        .sort_values(["rrf_mu", "doc_id"], ascending=[False, True])
-        .head(k)
-        .reset_index(drop=True)
-    )
-    out["rk"] = pd.array(range(1, len(out) + 1), dtype="int64")
-    return out.astype("int64")
-
-
-RRF_FUSION_SQL = f"""
-{_BM25_SCORED_CTES},
-bm AS (
-  SELECT doc_id, row_number() OVER (ORDER BY score_mu DESC, doc_id) AS rk
-  FROM scored QUALIFY rk <= {RRF_DEPTH}
-),
-qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {RRF_QID}),
-cos AS (
-  SELECT vec_id AS doc_id,
-         row_number() OVER (
-           ORDER BY list_cosine_similarity(e.embedding, qv.qe) DESC, e.vec_id
-         ) AS rk
-  FROM embeddings e CROSS JOIN qv
-  WHERE e.vec_id != {RRF_QID}
-  QUALIFY rk <= {RRF_DEPTH}
-),
-fused AS (
-  SELECT COALESCE(bm.doc_id, cos.doc_id) AS doc_id,
-         COALESCE({RRF_SCALE} // ({RRF_K} + bm.rk), 0)
-         + COALESCE({RRF_SCALE} // ({RRF_K} + cos.rk), 0) AS rrf_mu
-  FROM bm FULL OUTER JOIN cos ON bm.doc_id = cos.doc_id
-)
-SELECT doc_id, rrf_mu,
-       CAST(row_number() OVER (ORDER BY rrf_mu DESC, doc_id) AS BIGINT) AS rk
-FROM fused
-QUALIFY rk <= 10
-ORDER BY rk
-"""
-
-
 # -- TextRank keyword extraction ----------------------------------------------
 
 TEXTRANK_MASS = 10 ** 9

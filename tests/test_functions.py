@@ -2007,35 +2007,6 @@ def test_hits_scores(ray_session, monkeypatch):
     assert res2.values.tolist() == res.values.tolist()
 
 
-def test_rrf_fusion(ray_session):
-    """RRF fusion: oracle equality at sf0.001 plus the fusion identity —
-    every fused score must be reconstructible from the two candidate
-    lists' ranks via SCALE // (K + rank)."""
-    import duckdb
-
-    from indu_doc_transformer_ray.functions import text
-
-    sf = "/root/testdata/sf0.001"
-    got = text.rrf_fusion(sf)
-    con = duckdb.connect()
-    for t in ("documents", "embeddings"):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-    want = con.execute(text.RRF_FUSION_SQL).df()
-    assert got.values.tolist() == want.astype("int64").values.tolist()
-
-    # fusion identity against independently recomputed lists
-    bm = text.bm25_topk(sf, k=text.RRF_DEPTH)
-    bm_rank = {d: r for r, d in enumerate(bm["doc_id"].tolist(), start=1)}
-    max_single = text.RRF_SCALE // (text.RRF_K + 1)
-    for doc, mu in zip(got["doc_id"], got["rrf_mu"]):
-        part_bm = (
-            text.RRF_SCALE // (text.RRF_K + bm_rank[doc])
-            if doc in bm_rank else 0
-        )
-        dense_part = mu - part_bm
-        assert 0 <= dense_part <= max_single
-
-
 def test_chi2_lang_source(ray_session):
     """Chi-square audit: oracle equality plus two analytic gates — cell
     marginals reconstruct N, and a perfectly independent synthetic table
