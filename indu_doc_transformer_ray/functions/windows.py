@@ -826,7 +826,11 @@ def rfm_segments(sf_dir: str) -> "object":
     """RFM (recency / frequency / monetary) customer segmentation — the
     canonical marketing-analytics cube: score each customer 1..5 per axis
     by exact value-quantile cut points, then count the population of every
-    (r_q, f_q, m_q) cell.  Scores are CUT-POINT based (score = 1 + number
+    (r_q, f_q, m_q) cell.  Companion to ``events.rfm_scores`` (the
+    per-user feature TABLE over the events stream): same cut-point
+    discipline, different source table (orders) and different consumer —
+    this one feeds the segment-population dashboard, that one feeds a
+    ranking model.  Scores are CUT-POINT based (score = 1 + number
     of cut points strictly below the value — the price_decile width_bucket
     convention), so ties are deterministic on both engines, unlike NTILE's
     arbitrary tie splits.
