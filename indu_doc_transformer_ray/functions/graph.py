@@ -3489,3 +3489,173 @@ SELECT vec_id, r AS rank_mu FROM {prev} ORDER BY vec_id"""
 
 
 PPR_SEEDS_SQL = _ppr_sql()
+
+
+# -- degree assortativity ingredients ----------------------------------------------
+
+def degree_assortativity(sf_dir: str) -> "object":
+    """Degree-assortativity ingredients of the directed k-NN graph
+    (Newman 2002): the exact Pearson moments over every edge's
+    (out-degree(src), in-degree(dst)) pair, cleared of all division —
+    r = (m*sxy - sx*sy) / sqrt((m*sxx - sx^2) * (m*syy - sy^2)) reads off
+    the single output row; emitting the integer moments instead of r
+    keeps the op float-free and engine-exact (the acf num/den
+    discipline).  Degrees come from two bounded node-bucket folds; the
+    moment fold attaches both endpoint degrees with the union-style
+    co-location (no join operator) and ships only 6 integers per bucket.
+    Under the shared edge budget everything is one numpy pass.  Output:
+    one row (m, sx, sy, sxx, syy, sxy) in Python-int exact arithmetic."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    edges_ds = knn_graph(sf_dir)
+    if edges_ds.count() > PAGERANK_DRIVER_EDGE_BUDGET:
+        return _assortativity_distributed(
+            edges_ds,
+            n_buckets(pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows),
+        )
+    e = edges_ds.to_pandas()
+    src = e["vec_id"].to_numpy(np.int64)
+    dst = e["nbr_id"].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    kout = np.zeros(len(nodes), dtype=np.int64)
+    kin = np.zeros(len(nodes), dtype=np.int64)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    np.add.at(kout, si, 1)
+    np.add.at(kin, di, 1)
+    x = kout[si]  # out-degree of each edge's source
+    y = kin[di]   # in-degree of each edge's destination
+    m = len(e)
+    out = pd.DataFrame(
+        [
+            {
+                "m": m,
+                "sx": int(x.sum()),
+                "sy": int(y.sum()),
+                "sxx": int((x.astype(object) * x).sum()),
+                "syy": int((y.astype(object) * y).sum()),
+                "sxy": int((x.astype(object) * y).sum()),
+            }
+        ]
+    )
+    return out.astype("int64")
+
+
+
+def _assortativity_distributed(edges_ds, nb: int) -> "object":
+    """Distributed moment fold: out-degree attach on a src-bucket
+    co-location (edges + per-node degree rows union into the same
+    exchange), in-degree attach + per-bucket moment partials on a
+    dst-bucket co-location, then a 6-integer driver sum.  Two bounded
+    exchanges; no edge row ever reaches the driver."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def deg_rows(col_from: str, col_to: str, tag: int):
+        def f(t: pd.DataFrame) -> pd.DataFrame:
+            counts = t.groupby(col_from).size()
+            return pd.DataFrame(
+                {
+                    "kb": (counts.index.to_numpy(np.int64) % nb).astype(
+                        np.int32
+                    ),
+                    "key": counts.index.to_numpy(np.int64),
+                    "other": counts.to_numpy(np.int64),
+                    "tag": np.full(len(counts), tag, dtype=np.int8),
+                }
+            )
+        return f
+
+    # stage 1: src-bucket co-location -> (dst-keyed rows carrying kout)
+    kout_partials = (
+        edges_ds.map_batches(deg_rows("vec_id", "", 1), batch_format="pandas")
+        .groupby(["kb", "key", "tag"])
+        .aggregate(Sum("other", alias_name="other"))
+    )
+
+    def edge_rows_src(t: pd.DataFrame) -> pd.DataFrame:
+        s = t["vec_id"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "kb": (s % nb).astype(np.int32),
+                "key": s,
+                "other": t["nbr_id"].astype("int64").to_numpy(),
+                "tag": np.zeros(len(t), dtype=np.int8),
+            }
+        )
+
+    def attach_kout(g: pd.DataFrame) -> pd.DataFrame:
+        kd = g[g["tag"] == 1].set_index("key")["other"]
+        e = g[g["tag"] == 0]
+        x = kd.reindex(e["key"]).to_numpy(np.int64)
+        dst = e["other"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "kb": (dst % nb).astype(np.int32),
+                "key": dst,
+                "other": x,  # carries kout forward
+                "tag": np.zeros(len(e), dtype=np.int8),
+            }
+        )
+
+    stage1 = (
+        edges_ds.map_batches(edge_rows_src, batch_format="pandas")
+        .union(kout_partials)
+        .groupby("kb")
+        .map_groups(attach_kout, batch_format="pandas")
+    )
+
+    kin_partials = (
+        edges_ds.map_batches(deg_rows("nbr_id", "", 1), batch_format="pandas")
+        .groupby(["kb", "key", "tag"])
+        .aggregate(Sum("other", alias_name="other"))
+    )
+
+    def moments(g: pd.DataFrame) -> pd.DataFrame:
+        kd = g[g["tag"] == 1].set_index("key")["other"]
+        e = g[g["tag"] == 0]
+        x = e["other"].to_numpy(np.int64)
+        y = kd.reindex(e["key"]).to_numpy(np.int64)
+        return pd.DataFrame(
+            [
+                {
+                    "m": len(e),
+                    "sx": int(x.sum()),
+                    "sy": int(y.sum()),
+                    "sxx": int((x.astype(object) * x).sum()),
+                    "syy": int((y.astype(object) * y).sum()),
+                    "sxy": int((x.astype(object) * y).sum()),
+                }
+            ]
+        )
+
+    parts = (
+        stage1.union(kin_partials)
+        .groupby("kb")
+        .map_groups(moments, batch_format="pandas")
+        .to_pandas()  # one 6-int row per bucket
+    )
+    out = pd.DataFrame([parts.sum(numeric_only=True).astype("int64")])
+    return out[["m", "sx", "sy", "sxx", "syy", "sxy"]].astype("int64")
+
+
+DEGREE_ASSORTATIVITY_SQL = f"""
+WITH g AS MATERIALIZED ({KNN_GRAPH_SQL}),
+kout AS (SELECT vec_id AS n, COUNT(*) AS k FROM g GROUP BY 1),
+kin AS (SELECT nbr_id AS n, COUNT(*) AS k FROM g GROUP BY 1),
+pairs AS (
+  SELECT o.k AS x, i.k AS y
+  FROM g JOIN kout o ON g.vec_id = o.n JOIN kin i ON g.nbr_id = i.n
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS m,
+       CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       CAST(SUM(CAST(x AS HUGEINT) * x) AS BIGINT) AS sxx,
+       CAST(SUM(CAST(y AS HUGEINT) * y) AS BIGINT) AS syy,
+       CAST(SUM(CAST(x AS HUGEINT) * y) AS BIGINT) AS sxy
+FROM pairs
+"""

@@ -2264,11 +2264,13 @@ from .graph import (  # noqa: E402,F401
     VEC_DUP_CLUSTERS_SQL,
     HITS_SCORES_SQL,
     HYPERBALL_NF_SQL,
+    DEGREE_ASSORTATIVITY_SQL,
     LP_MODULARITY_SQL,
     PPR_SEEDS_SQL,
     bfs_hops,
     hits_scores,
     hyperball_nf,
+    degree_assortativity,
     lp_modularity,
     ppr_seeds,
     common_neighbors_topk,

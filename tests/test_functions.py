@@ -2497,3 +2497,29 @@ def test_abc_parts(ray_session):
     rev = got.set_index("cls")["revenue_c2"]
     assert rev["A"] >= (80 * int(total)) // 100 - rev.max()  # crossing slack
     assert rev["A"] > rev["B"] > rev["C"]
+
+
+def test_degree_assortativity(ray_session, monkeypatch):
+    """Assortativity moments: oracle equality, distributed/driver
+    bit-equality, and the Cauchy-Schwarz sanity (m*sxy - sx*sy)^2 <=
+    (m*sxx - sx^2) * (m*syy - sy^2) — |r| <= 1 in cleared integers."""
+    import duckdb
+
+    import indu_doc_transformer_ray.functions.similarity  # noqa: F401
+    from indu_doc_transformer_ray.functions import graph
+
+    sf = "/root/testdata/sf0.001"
+    res = graph.degree_assortativity(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    want = con.execute(graph.DEGREE_ASSORTATIVITY_SQL).df()
+    assert res.values.tolist() == want.astype("int64").values.tolist()
+
+    m, sx, sy, sxx, syy, sxy = (int(v) for v in res.iloc[0])
+    assert (m * sxy - sx * sy) ** 2 <= (m * sxx - sx * sx) * (m * syy - sy * sy)
+
+    monkeypatch.setattr(graph, "PAGERANK_DRIVER_EDGE_BUDGET", 0)
+    res2 = graph.degree_assortativity(sf)
+    assert res2.values.tolist() == res.values.tolist()
