@@ -552,6 +552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "record_days_by_type": events.record_days_by_type,
         "abc_parts": relational.abc_parts,
         "degree_assortativity": similarity.degree_assortativity,
+        "zipf_check": text.zipf_check,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -725,6 +726,7 @@ def oracle_sql() -> dict[str, str]:
         "record_days_by_type": events.RECORD_DAYS_SQL,
         "abc_parts": relational.ABC_PARTS_SQL,
         "degree_assortativity": similarity.DEGREE_ASSORTATIVITY_SQL,
+        "zipf_check": text.ZIPF_CHECK_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

@@ -189,7 +189,8 @@ QUERY_CHUNKS = [
      "mann_whitney_qty", "oov_rate", "selfrep_hist", "mase_weekly",
      "conversion_latency_quantiles", "simpson_diversity_by_lang",
      "apriori_triples", "page_hinkley_by_type", "haar_energy_by_type",
-     "record_days_by_type", "abc_parts", "degree_assortativity"],
+     "record_days_by_type", "abc_parts", "degree_assortativity",
+     "zipf_check"],
 ]
 
 

@@ -3224,3 +3224,84 @@ per_doc AS (
 SELECT CAST(band AS BIGINT) AS band, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM per_doc GROUP BY band ORDER BY band
 """
+
+
+# -- Zipf's-law rank-frequency audit ----------------------------------------------
+
+ZIPF_TOP = 20
+
+
+def zipf_check(sf_dir: str) -> "object":
+    """Zipf's-law audit of the corpus token distribution: for the top-20
+    ranks, the invariant product rank * freq (constant under an ideal
+    zipfian s=1) and its ppm ratio to the rank-1 mass — float-free, so
+    the slope-fit's log-log regression is replaced by the exact integer
+    diagnostic a corpus reviewer actually eyeballs.  One Heaps-bounded
+    vocab fold; ranks use the deterministic (count desc, token asc)
+    order.  Output: (rank, token, freq, rank_x_freq, ratio_ppm)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for text_ in t.column("text").to_pylist():
+            counts.update(TOKEN_RE.findall(text_.lower()))
+        return pa.table(
+            {
+                "token": pa.array(list(counts.keys()), pa.string()),
+                "partial_n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    vocab = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("partial_n", alias_name="n"))
+        .to_pandas()  # vocabulary-bounded (Heaps)
+        .sort_values(["n", "token"], ascending=[False, True])
+        .head(ZIPF_TOP)
+        .reset_index(drop=True)
+    )
+    f1 = int(vocab["n"].iloc[0])
+    rows = []
+    for r, (tok, n) in enumerate(
+        zip(vocab["token"], vocab["n"].astype(int)), start=1
+    ):
+        rows.append(
+            {
+                "rank": r,
+                "token": tok,
+                "freq": n,
+                "rank_x_freq": r * n,
+                "ratio_ppm": (r * n * 10 ** 6) // f1,
+            }
+        )
+    return pd.DataFrame(rows).astype(
+        {"rank": "int64", "freq": "int64",
+         "rank_x_freq": "int64", "ratio_ppm": "int64"}
+    )
+
+
+ZIPF_CHECK_SQL = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents
+),
+vocab AS (
+  SELECT tok, COUNT(*) AS n,
+         row_number() OVER (ORDER BY COUNT(*) DESC, tok) AS rank
+  FROM toks GROUP BY tok
+),
+f1 AS (SELECT n AS f FROM vocab WHERE rank = 1)
+SELECT CAST(rank AS BIGINT) AS rank, tok AS token,
+       CAST(n AS BIGINT) AS freq,
+       CAST(rank * n AS BIGINT) AS rank_x_freq,
+       CAST((rank * n * 1000000) // f1.f AS BIGINT) AS ratio_ppm
+FROM vocab CROSS JOIN f1
+WHERE rank <= {ZIPF_TOP}
+ORDER BY rank
+"""

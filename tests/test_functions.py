@@ -2523,3 +2523,26 @@ def test_degree_assortativity(ray_session, monkeypatch):
     monkeypatch.setattr(graph, "PAGERANK_DRIVER_EDGE_BUDGET", 0)
     res2 = graph.degree_assortativity(sf)
     assert res2.values.tolist() == res.values.tolist()
+
+
+def test_zipf_check(ray_session):
+    """Zipf audit: oracle equality, rank-1 self-ratio == 1e6, and freq
+    monotone non-increasing down the ranks."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import text
+
+    sf = "/root/testdata/sf0.001"
+    got = text.zipf_check(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = con.execute(text.ZIPF_CHECK_SQL).df()
+    assert got.values.tolist() == want.astype(
+        {"rank": "int64", "freq": "int64",
+         "rank_x_freq": "int64", "ratio_ppm": "int64"}
+    ).values.tolist()
+    assert int(got["ratio_ppm"].iloc[0]) == 10 ** 6
+    f = got["freq"].tolist()
+    assert f == sorted(f, reverse=True)
