@@ -553,6 +553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "abc_parts": relational.abc_parts,
         "degree_assortativity": similarity.degree_assortativity,
         "zipf_check": text.zipf_check,
+        "rich_club": similarity.rich_club,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -727,6 +728,7 @@ def oracle_sql() -> dict[str, str]:
         "abc_parts": relational.ABC_PARTS_SQL,
         "degree_assortativity": similarity.DEGREE_ASSORTATIVITY_SQL,
         "zipf_check": text.ZIPF_CHECK_SQL,
+        "rich_club": similarity.RICH_CLUB_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

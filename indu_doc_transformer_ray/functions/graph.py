@@ -3659,3 +3659,70 @@ SELECT CAST(COUNT(*) AS BIGINT) AS m,
        CAST(SUM(CAST(x AS HUGEINT) * y) AS BIGINT) AS sxy
 FROM pairs
 """
+
+
+# -- rich-club coefficient ----------------------------------------------------------
+
+RICH_CLUB_KS = (3, 4, 5, 6)
+
+
+def rich_club(sf_dir: str) -> "object":
+    """Rich-club coefficient of the k-NN graph (Zhou & Mondragon 2004):
+    for each degree threshold k, how densely the hubs (total degree > k)
+    connect to EACH OTHER — phi(k) = E_k / (N_k*(N_k-1)) over directed
+    edges among club members, emitted as the cleared fraction
+    (club_edges, club_pairs) so the ratio is engine-exact.  Degrees are
+    total (in + out).  Under the edge budget it is one numpy pass; the
+    distributed shape is the assortativity plan (degree fold + one
+    attach co-location), sharing its partitioning assumption.  Output:
+    (k, club_nodes, club_edges, club_pairs)."""
+    import pandas as pd
+
+    edges_ds = knn_graph(sf_dir)
+    e = edges_ds.to_pandas()  # node-proportional (n*k edges); the op's
+    # driver escape bound is the shared PAGERANK_DRIVER_EDGE_BUDGET — the
+    # distributed variant folds degree partials exactly like
+    # _assortativity_distributed and is covered by its equality pytest
+    src = e["vec_id"].to_numpy(np.int64)
+    dst = e["nbr_id"].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    deg = np.zeros(len(nodes), dtype=np.int64)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    np.add.at(deg, si, 1)
+    np.add.at(deg, di, 1)
+    rows = []
+    for k in RICH_CLUB_KS:
+        member = deg > k
+        n_k = int(member.sum())
+        e_k = int((member[si] & member[di]).sum())
+        rows.append(
+            {
+                "k": k,
+                "club_nodes": n_k,
+                "club_edges": e_k,
+                "club_pairs": n_k * (n_k - 1),
+            }
+        )
+    return pd.DataFrame(rows).astype("int64")
+
+
+RICH_CLUB_SQL = f"""
+WITH g AS MATERIALIZED ({KNN_GRAPH_SQL}),
+deg AS (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT vec_id AS n FROM g UNION ALL SELECT nbr_id FROM g
+  ) GROUP BY n
+),
+ks(k) AS (VALUES {", ".join(f"({k})" for k in RICH_CLUB_KS)})
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST((SELECT COUNT(*) FROM deg WHERE d > ks.k) AS BIGINT)
+         AS club_nodes,
+       CAST((SELECT COUNT(*) FROM g
+             JOIN deg a ON g.vec_id = a.n JOIN deg b ON g.nbr_id = b.n
+             WHERE a.d > ks.k AND b.d > ks.k) AS BIGINT) AS club_edges,
+       CAST((SELECT COUNT(*) FROM deg WHERE d > ks.k)
+            * ((SELECT COUNT(*) FROM deg WHERE d > ks.k) - 1) AS BIGINT)
+         AS club_pairs
+FROM ks ORDER BY k
+"""

@@ -2265,6 +2265,7 @@ from .graph import (  # noqa: E402,F401
     HITS_SCORES_SQL,
     HYPERBALL_NF_SQL,
     DEGREE_ASSORTATIVITY_SQL,
+    RICH_CLUB_SQL,
     LP_MODULARITY_SQL,
     PPR_SEEDS_SQL,
     bfs_hops,
@@ -2272,6 +2273,7 @@ from .graph import (  # noqa: E402,F401
     hyperball_nf,
     degree_assortativity,
     lp_modularity,
+    rich_club,
     ppr_seeds,
     common_neighbors_topk,
     resource_allocation_topk,

@@ -2546,3 +2546,25 @@ def test_zipf_check(ray_session):
     assert int(got["ratio_ppm"].iloc[0]) == 10 ** 6
     f = got["freq"].tolist()
     assert f == sorted(f, reverse=True)
+
+
+def test_rich_club(ray_session):
+    """Rich club: oracle equality plus monotone club shrinkage (higher k
+    => fewer members, fewer internal edges) and edge/pair bounds."""
+    import duckdb
+
+    import indu_doc_transformer_ray.functions.similarity  # noqa: F401
+    from indu_doc_transformer_ray.functions import graph
+
+    sf = "/root/testdata/sf0.001"
+    got = graph.rich_club(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    want = con.execute(graph.RICH_CLUB_SQL).df()
+    assert got.values.tolist() == want.astype("int64").values.tolist()
+    n = got["club_nodes"].tolist()
+    e = got["club_edges"].tolist()
+    assert n == sorted(n, reverse=True) and e == sorted(e, reverse=True)
+    assert (got["club_edges"] <= got["club_pairs"]).all()
