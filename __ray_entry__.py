@@ -554,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_assortativity": similarity.degree_assortativity,
         "zipf_check": text.zipf_check,
         "rich_club": similarity.rich_club,
+        "ann_recall_at_k": similarity.ann_recall_at_k,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -729,6 +730,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_assortativity": similarity.DEGREE_ASSORTATIVITY_SQL,
         "zipf_check": text.ZIPF_CHECK_SQL,
         "rich_club": similarity.RICH_CLUB_SQL,
+        "ann_recall_at_k": similarity.ANN_RECALL_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

@@ -2401,3 +2401,41 @@ FROM core GROUP BY island ORDER BY cluster_id
 # splice the shared PCA projection CTE in (literal replace: the PCA SQL
 # itself contains no format braces, but .replace is brace-safe)
 DBSCAN_1D_SQL = DBSCAN_1D_SQL.replace("{PCA_SQL}", PCA_PROJECT_SQL)
+
+
+# -- ANN index quality audit (recall@k of IVF vs exact) -------------------------
+
+def ann_recall_at_k(sf_dir: str) -> "object":
+    """Recall@k of the IVF index against exact brute-force cosine — the
+    index-quality audit every ANN deployment runs before trusting its
+    probes: |IVF top-k ∩ exact top-k| per query, as exact integers.
+    Both legs are already deterministic (md5-free: the shared Lloyd
+    fixed point and the exact ranking both hash-match their own
+    oracles), so the INTERSECTION is SQL-replayable too — rare for a
+    recall metric.  Composes the memoized sub-DAGs; the comparison
+    itself touches 2*k rows per query.  Output: (query_id, hits, k)."""
+    import pandas as pd
+
+    exact = ann_topk(sf_dir)
+    approx = ivf_topk(sf_dir)
+    if hasattr(exact, "to_pandas"):
+        exact = exact.to_pandas()
+    if hasattr(approx, "to_pandas"):
+        approx = approx.to_pandas()
+    rows = []
+    for qid in QUERY_IDS:
+        e = set(exact[exact["query_id"] == qid]["vec_id"].astype(int))
+        a = set(approx[approx["query_id"] == qid]["vec_id"].astype(int))
+        rows.append({"query_id": qid, "hits": len(e & a), "k": TOP_K})
+    return pd.DataFrame(rows).astype("int64")
+
+
+ANN_RECALL_SQL = f"""
+WITH exact_l AS ({ANN_TOPK_SQL.replace(';', '')}),
+approx_l AS ({IVF_TOPK_SQL.replace(';', '')})
+SELECT e.query_id, CAST(COUNT(a.vec_id) AS BIGINT) AS hits,
+       CAST({TOP_K} AS BIGINT) AS k
+FROM exact_l e LEFT JOIN approx_l a
+  ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+GROUP BY e.query_id ORDER BY e.query_id
+"""

@@ -2568,3 +2568,23 @@ def test_rich_club(ray_session):
     e = got["club_edges"].tolist()
     assert n == sorted(n, reverse=True) and e == sorted(e, reverse=True)
     assert (got["club_edges"] <= got["club_pairs"]).all()
+
+
+def test_ann_recall_at_k(ray_session):
+    """ANN recall audit: oracle equality + bounds (0 <= hits <= k) and a
+    floor expectation — the IVF probes recover most of the exact set on
+    this corpus (accuracy regression tripwire)."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import similarity as s
+
+    sf = "/root/testdata/sf0.001"
+    got = s.ann_recall_at_k(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    want = con.execute(s.ANN_RECALL_SQL).df()
+    assert got.values.tolist() == want.astype("int64").values.tolist()
+    assert got["hits"].between(0, s.TOP_K).all()
+    assert int(got["hits"].sum()) >= 2 * s.TOP_K  # >= 2/3 mean recall
