@@ -555,6 +555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_check": text.zipf_check,
         "rich_club": similarity.rich_club,
         "ann_recall_at_k": similarity.ann_recall_at_k,
+        "loo_centroid_shift": similarity.loo_centroid_shift,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -731,6 +732,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_check": text.ZIPF_CHECK_SQL,
         "rich_club": similarity.RICH_CLUB_SQL,
         "ann_recall_at_k": similarity.ANN_RECALL_SQL,
+        "loo_centroid_shift": similarity.LOO_CENTROID_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

@@ -2439,3 +2439,217 @@ FROM exact_l e LEFT JOIN approx_l a
   ON e.query_id = a.query_id AND e.vec_id = a.vec_id
 GROUP BY e.query_id ORDER BY e.query_id
 """
+
+
+# -- leave-one-source-out centroid attribution -----------------------------------
+
+LOO_EMB_SCALE = 1 << 20  # integer micro-units for embedding components
+
+
+def loo_centroid_shift(sf_dir: str) -> "object":
+    """Leave-one-source-out data attribution: how far does the corpus
+    embedding centroid move if a source's documents are removed — the
+    cheapest "which supplier is steering my representation" influence
+    audit.  Components integerize to 2^-20 units FIRST (floored), so all
+    sums are exact and order-free; the shift is emitted as the cleared
+    fraction (l1_num, den) with num_d = S_d*(n - n_s) - (S_d - S_sd)*n
+    and den = n*(n - n_s) — no float division anywhere.
+
+    Scale shape: the source attach is the dual-plan dimension lookup
+    (broadcast under MAX_BROADCAST_DIM_ROWS); per-batch Arrow combiners
+    fold (source, dim) integer sums so ONE bounded groupby
+    (|sources| x dims rows) carries everything.  Output: (source, n_vecs,
+    l1_num, den) sorted by source."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ._relcommon import MAX_BROADCAST_DIM_ROWS, _dim_lookup, _dim_rows
+
+    if _dim_rows(sf_dir, "documents") <= MAX_BROADCAST_DIM_ROWS:
+        dk, dv = _dim_lookup(sf_dir, "documents", "doc_id", ["source"])
+        ref = ray.put((dk, dv["source"]))
+
+        def partials(t: pa.Table) -> pa.Table:
+            dk_, src_ = ray.get(ref)
+            ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+            emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+            xi = np.floor(emb * LOO_EMB_SCALE).astype(np.int64)
+            srcs = src_[np.searchsorted(dk_, ids)]
+            order = np.argsort(srcs, kind="stable")
+            srcs_s, xi_s = srcs[order], xi[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], srcs_s[1:] != srcs_s[:-1]))
+            )
+            sums = np.add.reduceat(xi_s, starts, axis=0)
+            counts = np.diff(np.concatenate((starts, [len(srcs_s)])))
+            n_grp, dims = sums.shape
+            return pa.table(
+                {
+                    "source": pa.array(
+                        np.repeat(srcs_s[starts], dims + 1), pa.string()
+                    ),
+                    "dim": pa.array(
+                        np.tile(
+                            np.concatenate(([-1], np.arange(dims))), n_grp
+                        ).astype(np.int32),
+                        pa.int32(),
+                    ),
+                    "s": pa.array(
+                        np.concatenate(
+                            [
+                                np.concatenate(([counts[g]], sums[g]))
+                                for g in range(n_grp)
+                            ]
+                        ).astype(np.int64),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        folded = (
+            ray.data.read_parquet(
+                f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"],
+            )
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby(["source", "dim"])
+            .aggregate(Sum("s", alias_name="s"))
+            .to_pandas()  # |sources| x (dims + 1) rows
+        )
+    else:  # co-location plan: attach source by doc_id bucket (the
+        # lp_modularity union pattern), then the same (source, dim) fold
+        import pyarrow.parquet as pq
+
+        from ._util import n_buckets
+
+        nb = n_buckets(
+            pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+        )
+
+        def emb_rows(t: pa.Table) -> "pd.DataFrame":
+            ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+            emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+            xi = np.floor(emb * LOO_EMB_SCALE).astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "ib": (ids % nb).astype(np.int32),
+                    "id": ids,
+                    "source": np.full(len(ids), "", dtype=object),
+                    "payload": [row.tobytes() for row in xi],
+                }
+            )
+
+        def src_rows(t: pa.Table) -> "pd.DataFrame":
+            ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+            return pd.DataFrame(
+                {
+                    "ib": (ids % nb).astype(np.int32),
+                    "id": ids,
+                    "source": t.column("source").to_pylist(),
+                    "payload": [b""] * len(ids),
+                }
+            )
+
+        def attach_fold(g: "pd.DataFrame") -> "pd.DataFrame":
+            sm = g[g["source"] != ""].set_index("id")["source"]
+            e = g[g["source"] == ""]
+            if not len(e):
+                return pd.DataFrame(
+                    {"source": pd.Series([], dtype=object),
+                     "dim": pd.Series([], dtype="int32"),
+                     "s": pd.Series([], dtype="int64")}
+                )
+            xi = np.frombuffer(
+                b"".join(e["payload"]), dtype=np.int64
+            ).reshape(len(e), -1)
+            srcs = sm.reindex(e["id"]).to_numpy(object)
+            order = np.argsort(srcs, kind="stable")
+            srcs_s, xi_s = srcs[order], xi[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], srcs_s[1:] != srcs_s[:-1]))
+            )
+            sums = np.add.reduceat(xi_s, starts, axis=0)
+            counts = np.diff(np.concatenate((starts, [len(srcs_s)])))
+            dims = xi.shape[1]
+            return pd.DataFrame(
+                {
+                    "source": np.repeat(srcs_s[starts], dims + 1),
+                    "dim": np.tile(
+                        np.concatenate(([-1], np.arange(dims))),
+                        len(starts),
+                    ).astype(np.int32),
+                    "s": np.concatenate(
+                        [
+                            np.concatenate(([counts[g_]], sums[g_]))
+                            for g_ in range(len(starts))
+                        ]
+                    ).astype(np.int64),
+                }
+            )
+
+        emb_ds = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).map_batches(emb_rows, batch_format="pyarrow")
+        doc_ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        ).map_batches(src_rows, batch_format="pyarrow")
+        folded = (
+            emb_ds.union(doc_ds)
+            .groupby("ib")
+            .map_groups(attach_fold, batch_format="pandas")
+            .groupby(["source", "dim"])
+            .aggregate(Sum("s", alias_name="s"))
+            .to_pandas()  # |sources| x (dims + 1) rows
+        )
+
+    cnts = folded[folded["dim"] == -1].set_index("source")["s"].astype(int)
+    n = int(cnts.sum())
+    per = folded[folded["dim"] >= 0]
+    tot = per.groupby("dim")["s"].sum().astype(int)
+    rows = []
+    for src in sorted(cnts.index):
+        n_s = int(cnts[src])
+        ss = per[per["source"] == src].set_index("dim")["s"].astype(int)
+        l1 = 0
+        for d, st in tot.items():
+            sd = int(ss.get(d, 0))
+            l1 += abs(st * (n - n_s) - (st - sd) * n)
+        rows.append(
+            {
+                "source": src,
+                "n_vecs": n_s,
+                "l1_num": l1,
+                "den": n * (n - n_s),
+            }
+        )
+    return pd.DataFrame(rows).astype(
+        {"n_vecs": "int64", "l1_num": "int64", "den": "int64"}
+    )
+
+
+LOO_CENTROID_SQL = f"""
+WITH srcv AS (
+  SELECT d.source, e.embedding
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+),
+comp AS (
+  SELECT source, u.i AS dim,
+         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * {LOO_EMB_SCALE})
+              AS BIGINT) AS x
+  FROM srcv, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+per_s AS (SELECT source, dim, SUM(x) AS s FROM comp GROUP BY 1, 2),
+tot AS (SELECT dim, SUM(s) AS st FROM per_s GROUP BY dim),
+cnt AS (SELECT source, COUNT(*) AS n_s FROM srcv GROUP BY source),
+nn AS (SELECT COUNT(*) AS n FROM srcv)
+SELECT p.source, CAST(c.n_s AS BIGINT) AS n_vecs,
+       CAST(SUM(ABS(CAST(t.st AS HUGEINT) * (nn.n - c.n_s)
+                    - CAST(t.st - p.s AS HUGEINT) * nn.n)) AS BIGINT)
+         AS l1_num,
+       CAST(nn.n * (nn.n - c.n_s) AS BIGINT) AS den
+FROM per_s p JOIN tot t USING (dim) JOIN cnt c USING (source)
+CROSS JOIN nn
+GROUP BY p.source, c.n_s, nn.n ORDER BY p.source
+"""

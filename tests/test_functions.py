@@ -2588,3 +2588,29 @@ def test_ann_recall_at_k(ray_session):
     assert got.values.tolist() == want.astype("int64").values.tolist()
     assert got["hits"].between(0, s.TOP_K).all()
     assert int(got["hits"].sum()) >= 2 * s.TOP_K  # >= 2/3 mean recall
+
+
+def test_loo_centroid_shift(ray_session, monkeypatch):
+    """LOO centroid attribution: oracle equality, two-plan (broadcast vs
+    doc_id-bucket co-location) equality, and n_vecs conservation."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import _relcommon
+    from indu_doc_transformer_ray.functions import similarity as s
+
+    sf = "/root/testdata/sf0.001"
+    got = s.loo_centroid_shift(sf)
+    con = duckdb.connect()
+    for t in ("embeddings", "documents"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    want = con.execute(s.LOO_CENTROID_SQL).df()
+    assert got.values.tolist() == want.astype(
+        {"n_vecs": "int64", "l1_num": "int64", "den": "int64"}
+    ).values.tolist()
+    n = con.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+    assert int(got["n_vecs"].sum()) == n
+    assert (got["den"] == n * (n - got["n_vecs"])).all()
+
+    monkeypatch.setattr(_relcommon, "MAX_BROADCAST_DIM_ROWS", 0)
+    got2 = s.loo_centroid_shift(sf)
+    assert got2.values.tolist() == got.values.tolist()
