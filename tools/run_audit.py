@@ -7,7 +7,10 @@ Composes the registry's audit-family queries into the single artifact a
 data owner reviews before a training run: language mix, document-length
 percentiles, spend concentration (exact Gini), weekday skew (chi-square),
 monotonic value trends (Mann-Kendall), seasonal-naive forecast error,
-price-quantile sketch, and distinct-user sketches — every payload is the
+price-quantile sketch, distinct-user sketches, Benford first-digit
+conformance, lang-source independence (chi-square) and diversity
+(Simpson), Zipf rank-frequency, OOV vocabulary coverage, self-repetition
+bands, MASE forecastability, Page-Hinkley drift and record-days trend — every payload is the
 hash-exact output of a SQL-oracled `queries()` entry, so the report
 inherits the registry's correctness gate.
 
@@ -40,6 +43,16 @@ AUDIT_QUERIES = (
     "seasonal_error_by_type",
     "ddsketch_price_quantiles",
     "hll_users_per_type",
+    # session-8 audit family
+    "benford_audit",
+    "chi2_lang_source",
+    "simpson_diversity_by_lang",
+    "zipf_check",
+    "oov_rate",
+    "selfrep_hist",
+    "mase_weekly",
+    "page_hinkley_by_type",
+    "record_days_by_type",
 )
 
 
