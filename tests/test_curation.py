@@ -240,7 +240,8 @@ def test_audit_job_report_and_resume(ray_session, tmp_path):
     assert first["complete"] and not first.get("skipped")
     assert set(first["payloads"]) == set(AUDIT_QUERIES)
     for name, rows in first["payloads"].items():
-        assert 1 <= len(rows) <= 64, name
+        # bounded-payload gate: lang x source (chi2) is the widest domain
+        assert 1 <= len(rows) <= 128, name
 
     second = audit(sf, out)
     assert second.get("skipped") is True
