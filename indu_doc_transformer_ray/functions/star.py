@@ -1515,3 +1515,161 @@ SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
        CAST(SUM(rev) AS BIGINT) AS revenue_c2
 FROM cls GROUP BY cls ORDER BY cls
 """
+
+
+# -- brand eigenvector centrality ----------------------------------------------------
+
+BRAND_EIG_MASS = 10 ** 12
+BRAND_EIG_ROUNDS = 6
+
+
+def brand_centrality(sf_dir: str) -> "object":
+    """Eigenvector centrality of brands in the basket co-occurrence graph
+    (Bonacich): the dominant eigenvector of the |brands| x |brands|
+    co-purchase count matrix, via ``BRAND_EIG_ROUNDS`` integer power-
+    iteration rounds with L1 mass renormalization ((MASS * raw) // total,
+    the hits_scores discipline) — exact fixed point, oracle-unrolled.
+
+    The matrix is BOUNDED (brand-domain squared), so after the one
+    orderkey-bucket co-location that assoc_rules already pays, the whole
+    iteration is driver arithmetic over <= |B|^2 integers — the
+    sufficient-statistics reduction: the fold ships the matrix, never
+    baskets.  Output: (p_brand, cent_mu)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    pairs = _brand_pair_counts(sf_dir)
+    brands = sorted(
+        set(pairs["a"]).union(pairs["b"])
+    )
+    idx = {b: i for i, b in enumerate(brands)}
+    nb_ = len(brands)
+    mat = [[0] * nb_ for _ in range(nb_)]
+    for a, b, n in pairs.itertuples(index=False):
+        mat[idx[a]][idx[b]] += int(n)
+        mat[idx[b]][idx[a]] += int(n)
+    S = BRAND_EIG_MASS
+    v = [S // nb_] * nb_
+    for _ in range(BRAND_EIG_ROUNDS):
+        raw = [
+            sum(mat[i][j] * v[j] for j in range(nb_)) for i in range(nb_)
+        ]
+        tot = sum(raw)
+        v = [(S * r) // tot for r in raw] if tot else v
+    return pd.DataFrame(
+        {"p_brand": brands, "cent_mu": pd.array(v, dtype="int64")}
+    )
+
+
+def _brand_pair_counts(sf_dir: str) -> "object":
+    """Shared (brand-pair, basket-count) fold: the assoc_rules exchange
+    shape reduced to its pair table (a < b, undirected)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from ._util import n_buckets
+
+    BUCKETS = n_buckets(pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    import numpy as np
+
+    pk, pv = _dim_lookup(sf_dir, "part", "p_partkey", ["p_brand"])
+    ref = ray.put((pk, pv["p_brand"]))
+
+    def attach(t: pa.Table) -> pa.Table:
+        pk_, brand_ = ray.get(ref)
+        part_ids = pc.cast(t["l_partkey"], pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "p_brand": pa.array(
+                    brand_[np.searchsorted(pk_, part_ids)], pa.string()
+                ),
+            }
+        )
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        sub = (
+            t.select(["l_orderkey", "p_brand"])
+            .group_by(["l_orderkey", "p_brand"])
+            .aggregate([])
+        )
+        ok = pc.cast(sub["l_orderkey"], pa.int64())
+        return pa.table(
+            {
+                "ob": pc.cast(pc.bit_wise_and(ok, BUCKETS - 1), pa.int32()),
+                "l_orderkey": ok,
+                "p_brand": sub["p_brand"],
+            }
+        )
+
+    def pair_partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "p_brand"])
+        m = g.merge(g, on="l_orderkey")
+        m = m[m["p_brand_x"] < m["p_brand_y"]]
+        out = (
+            m.groupby(["p_brand_x", "p_brand_y"], as_index=False).size()
+            .rename(columns={"p_brand_x": "a", "p_brand_y": "b",
+                             "size": "n"})
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return (
+        li.map_batches(attach, batch_format="pyarrow")
+        .map_batches(bucketed, batch_format="pyarrow")
+        .groupby("ob")
+        .map_groups(pair_partials, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # <= |brands|^2 rows
+    )
+
+
+def _brand_centrality_sql(rounds: int = BRAND_EIG_ROUNDS) -> str:
+    S = BRAND_EIG_MASS
+    prev = "v0"
+    steps = []
+    for t in range(1, rounds + 1):
+        steps.append(f"""r{t} AS MATERIALIZED (
+  SELECT m.i, SUM(m.w * {prev}.v) AS raw
+  FROM m JOIN {prev} ON m.j = {prev}.i GROUP BY m.i
+), v{t} AS MATERIALIZED (
+  SELECT b.i,
+         CAST((CAST({S} AS HUGEINT) * COALESCE(r{t}.raw, 0))
+              // (SELECT SUM(raw) FROM r{t}) AS BIGINT) AS v
+  FROM brands b LEFT JOIN r{t} USING (i)
+)""")
+        prev = f"v{t}"
+    joined = ",\n".join(steps)
+    return f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+pairs AS MATERIALIZED (
+  SELECT a.p_brand AS ba, b.p_brand AS bb, COUNT(*) AS n
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+),
+brands AS (
+  SELECT ba AS i FROM pairs UNION SELECT bb FROM pairs
+),
+m AS MATERIALIZED (
+  SELECT ba AS i, bb AS j, n AS w FROM pairs
+  UNION ALL SELECT bb, ba, n FROM pairs
+),
+v0 AS (
+  SELECT i, CAST({S} // (SELECT COUNT(*) FROM brands) AS BIGINT) AS v
+  FROM brands
+),
+{joined}
+SELECT i AS p_brand, v AS cent_mu FROM {prev} ORDER BY i
+"""
+
+
+BRAND_CENTRALITY_SQL = _brand_centrality_sql()

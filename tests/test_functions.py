@@ -2614,3 +2614,25 @@ def test_loo_centroid_shift(ray_session, monkeypatch):
     monkeypatch.setattr(_relcommon, "MAX_BROADCAST_DIM_ROWS", 0)
     got2 = s.loo_centroid_shift(sf)
     assert got2.values.tolist() == got.values.tolist()
+
+
+def test_brand_centrality(ray_session):
+    """Eigenvector centrality: oracle equality, mass conservation
+    (sum(cent_mu) within |brands| floor units of MASS), and positivity
+    on the connected co-purchase graph."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import star as ST
+
+    sf = "/root/testdata/sf0.001"
+    got = ST.brand_centrality(sf)
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    want = con.execute(ST.BRAND_CENTRALITY_SQL).df()
+    assert got.values.tolist() == want.astype(
+        {"cent_mu": "int64"}
+    ).values.tolist()
+    s = int(got["cent_mu"].sum())
+    assert ST.BRAND_EIG_MASS - len(got) <= s <= ST.BRAND_EIG_MASS
+    assert (got["cent_mu"] > 0).all()
