@@ -557,6 +557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall_at_k": similarity.ann_recall_at_k,
         "loo_centroid_shift": similarity.loo_centroid_shift,
         "brand_centrality": relational.brand_centrality,
+        "stable_assignment": relational.stable_assignment,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled

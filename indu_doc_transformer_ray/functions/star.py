@@ -1673,3 +1673,152 @@ SELECT i AS p_brand, v AS cent_mu FROM {prev} ORDER BY i
 
 
 BRAND_CENTRALITY_SQL = _brand_centrality_sql()
+
+
+# -- Gale-Shapley stable assignment ----------------------------------------------------
+
+def _supplier_nation_revenue(sf_dir: str) -> "object":
+    """(suppkey, nationkey, rev_c2) revenue matrix — the q5 fast-plan
+    shape: customer->nation broadcast, orders attach the nation
+    in-stream, ONE orderkey-bucket co-location whose kernel folds
+    (supplier x nation) partials (bounded domain) per bucket."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from ._util import n_buckets
+
+    OB = n_buckets(pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    ck = np.sort(cust["c_custkey"].to_numpy(np.int64))
+    cn = cust.set_index("c_custkey")["c_nationkey"].loc[ck].to_numpy(np.int64)
+    maps_ref = ray.put((ck, cn))
+
+    def o_rows(t: pa.Table) -> pd.DataFrame:
+        ck_, cn_ = ray.get(maps_ref)
+        ckv = pc.cast(t["o_custkey"], pa.int64()).to_numpy()
+        ok = pc.cast(t["o_orderkey"], pa.int64()).to_numpy()
+        nat = cn_[np.searchsorted(ck_, ckv)]
+        return pd.DataFrame(
+            {
+                "ob": (ok % OB).astype(np.int32),
+                "key": ok,
+                "s": np.full(len(ok), -1, dtype=np.int64),
+                "v": nat,
+            }
+        )
+
+    def l_rows(t: pa.Table) -> pd.DataFrame:
+        ok = pc.cast(t["l_orderkey"], pa.int64()).to_numpy()
+        sk = pc.cast(t["l_suppkey"], pa.int64()).to_numpy()
+        rev = pc.cast(
+            pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()
+        ).to_numpy()
+        return pd.DataFrame(
+            {
+                "ob": (ok % OB).astype(np.int32),
+                "key": ok,
+                "s": sk,
+                "v": rev,
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        nat = g[g["s"] == -1].set_index("key")["v"]
+        li = g[g["s"] != -1]
+        out = pd.DataFrame(
+            {
+                "s_suppkey": li["s"].to_numpy(np.int64),
+                "nationkey": nat.reindex(li["key"]).to_numpy(np.int64),
+                "rev_c2": li["v"].to_numpy(np.int64),
+            }
+        )
+        return out.groupby(
+            ["s_suppkey", "nationkey"], as_index=False
+        )["rev_c2"].sum()
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+        o_rows, batch_format="pyarrow"
+    )
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice"]
+    ).map_batches(l_rows, batch_format="pyarrow")
+    return (
+        li.union(orders)
+        .groupby("ob")
+        .map_groups(fold, batch_format="pandas")
+        .groupby(["s_suppkey", "nationkey"])
+        .aggregate(Sum("rev_c2", alias_name="rev_c2"))
+        .to_pandas()  # <= |suppliers| x |nations| rows
+    )
+
+
+def stable_assignment(sf_dir: str) -> "object":
+    """Gale-Shapley stable assignment of suppliers to nations (the
+    hospitals/residents deferred-acceptance algorithm, Nobel 2012):
+    suppliers propose in revenue-preference order, each nation holds a
+    capacity-bounded court (capacity = ceil(|S| / |N|)) and evicts its
+    weakest tenant — the canonical two-sided market-design primitive
+    (supplier-to-region allocation under mutual preferences).
+
+    Both sides' preferences derive from the SAME exact revenue matrix
+    (``_supplier_nation_revenue``; rev desc, key asc tie-break), so the
+    matching is deterministic.  The matrix is the sufficient statistic —
+    bounded |S| x |N| — so after its one co-location fold the deferred-
+    acceptance rounds are pure driver arithmetic.  Stable matching has no
+    SQL form (rows-only for the driver); the pytest gate checks the
+    matrix against DuckDB exactly AND verifies no blocking pair, which
+    characterizes the output completely (GS yields THE supplier-optimal
+    stable matching).  Output: (s_suppkey, nationkey, rev_c2)."""
+    import pandas as pd
+
+    rev = _supplier_nation_revenue(sf_dir)
+    supps = sorted(rev["s_suppkey"].unique())
+    nats = sorted(rev["nationkey"].unique())
+    cap = -(-len(supps) // len(nats))
+    r = {
+        (int(s), int(n)): int(v)
+        for s, n, v in rev.itertuples(index=False)
+    }
+
+    def srev(s, n):
+        return r.get((s, n), 0)
+
+    # supplier preference lists: (rev desc, nationkey asc)
+    pref = {
+        s: sorted(nats, key=lambda n: (-srev(s, n), n)) for s in supps
+    }
+    nxt = {s: 0 for s in supps}
+    court: dict[int, list[int]] = {n: [] for n in nats}
+    free = list(reversed(supps))  # pop() proposes in ascending suppkey
+    while free:
+        s = free.pop()
+        if nxt[s] >= len(nats):
+            continue  # exhausted (cannot happen with cap*|N| >= |S|)
+        n = pref[s][nxt[s]]
+        nxt[s] += 1
+        court[n].append(s)
+        if len(court[n]) > cap:
+            # evict the nation's weakest tenant (rev asc, suppkey desc)
+            worst = min(court[n], key=lambda x: (srev(x, n), -x))
+            court[n].remove(worst)
+            free.append(worst)
+    rows = [
+        {"s_suppkey": s, "nationkey": n, "rev_c2": srev(s, n)}
+        for n in nats
+        for s in court[n]
+    ]
+    out = pd.DataFrame(rows).sort_values("s_suppkey").reset_index(drop=True)
+    return out.astype("int64")
+
+
+SUPPLIER_NATION_REV_SQL = """
+SELECT l.l_suppkey AS s_suppkey, c.c_nationkey AS nationkey,
+       SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS rev_c2
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

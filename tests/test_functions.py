@@ -2636,3 +2636,44 @@ def test_brand_centrality(ray_session):
     s = int(got["cent_mu"].sum())
     assert ST.BRAND_EIG_MASS - len(got) <= s <= ST.BRAND_EIG_MASS
     assert (got["cent_mu"] > 0).all()
+
+
+def test_stable_assignment(ray_session):
+    """Gale-Shapley: (1) the preference-defining revenue matrix is
+    hash-exact vs DuckDB, (2) the matching respects capacity and covers
+    every supplier once, (3) NO BLOCKING PAIR exists — which, with GS
+    determinism, characterizes the supplier-optimal stable matching."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import star as ST
+
+    sf = "/root/testdata/sf0.001"
+    rev = ST._supplier_nation_revenue(sf)
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    want = con.execute(ST.SUPPLIER_NATION_REV_SQL).df()
+    got = rev.sort_values(["s_suppkey", "nationkey"]).reset_index(drop=True)
+    assert got.values.tolist() == want.astype("int64").values.tolist()
+
+    m = ST.stable_assignment(sf)
+    supps = sorted(rev["s_suppkey"].unique())
+    nats = sorted(rev["nationkey"].unique())
+    cap = -(-len(supps) // len(nats))
+    assert sorted(m["s_suppkey"]) == supps           # everyone matched once
+    assert m.groupby("nationkey").size().max() <= cap
+
+    r = {(int(s), int(n)): int(v) for s, n, v in rev.itertuples(index=False)}
+    srev = lambda s, n: r.get((s, n), 0)  # noqa: E731
+    assign = dict(zip(m["s_suppkey"], m["nationkey"]))
+    court = m.groupby("nationkey")["s_suppkey"].apply(list).to_dict()
+    for s, cur_n in assign.items():
+        for n in nats:
+            if n == cur_n:
+                continue
+            if (-srev(s, n), n) < (-srev(s, cur_n), cur_n):  # s prefers n
+                tenants = court.get(n, [])
+                assert len(tenants) >= cap  # no free slot may remain
+                worst = min(tenants, key=lambda x: (srev(x, n), -x))
+                # n must NOT prefer s over its weakest tenant
+                assert not (srev(s, n), -s) > (srev(worst, n), -worst)
