@@ -558,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "loo_centroid_shift": similarity.loo_centroid_shift,
         "brand_centrality": relational.brand_centrality,
         "stable_assignment": relational.stable_assignment,
+        "t_closeness_audit": relational.t_closeness_audit,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -736,6 +737,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_at_k": similarity.ANN_RECALL_SQL,
         "loo_centroid_shift": similarity.LOO_CENTROID_SQL,
         "brand_centrality": relational.BRAND_CENTRALITY_SQL,
+        "t_closeness_audit": relational.T_CLOSENESS_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

