@@ -53,6 +53,7 @@ AUDIT_QUERIES = (
     "mase_weekly",
     "page_hinkley_by_type",
     "record_days_by_type",
+    "t_closeness_audit",
 )
 
 
