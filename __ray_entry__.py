@@ -559,6 +559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_centrality": relational.brand_centrality,
         "stable_assignment": relational.stable_assignment,
         "t_closeness_audit": relational.t_closeness_audit,
+        "h_index_suppliers": relational.h_index_suppliers,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -738,6 +739,7 @@ def oracle_sql() -> dict[str, str]:
         "loo_centroid_shift": similarity.LOO_CENTROID_SQL,
         "brand_centrality": relational.BRAND_CENTRALITY_SQL,
         "t_closeness_audit": relational.T_CLOSENESS_SQL,
+        "h_index_suppliers": relational.H_INDEX_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

@@ -191,7 +191,8 @@ QUERY_CHUNKS = [
      "apriori_triples", "page_hinkley_by_type", "haar_energy_by_type",
      "record_days_by_type", "abc_parts", "degree_assortativity",
      "zipf_check", "rich_club", "ann_recall_at_k", "loo_centroid_shift",
-     "brand_centrality", "stable_assignment", "t_closeness_audit"],
+     "brand_centrality", "stable_assignment", "t_closeness_audit",
+     "h_index_suppliers"],
 ]
 
 

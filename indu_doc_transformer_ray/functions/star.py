@@ -1822,3 +1822,80 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# -- supplier h-index ---------------------------------------------------------------------
+
+def h_index_suppliers(sf_dir: str) -> "object":
+    """Hirsch index per supplier over order sizes: the largest h such
+    that the supplier serves h orders each containing >= h of its line
+    items — the bibliometric concentration transplant (breadth AND depth
+    of the relationship in one integer).  One combiner groupby to the
+    bounded (supplier, order) count table... which is order-proportional,
+    so it folds through a supplier-bucket co-location instead of a raw
+    group key; the in-bucket kernel computes h vectorized from the sorted
+    count run.  Output: (s_suppkey, h, n_orders)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from ._util import n_buckets
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
+    li = _read(sf_dir, "lineitem", ["l_suppkey", "l_orderkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(
+            pa.table(
+                {
+                    "s": pc.cast(t["l_suppkey"], pa.int64()),
+                    "o": pc.cast(t["l_orderkey"], pa.int64()),
+                }
+            ),
+            ["s", "o"],
+        ).aggregate([([], "count_all")])
+        g = g.rename_columns(["s", "o", "n"])
+        sb = pc.cast(
+            pc.bit_wise_and(pc.cast(g["s"], pa.int64()), nb - 1), pa.int32()
+        )
+        return g.append_column("sb", sb)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby(["s", "o"], as_index=False)["n"].sum()
+        rows = []
+        for s, sub in per.groupby("s"):
+            cnt = np.sort(sub["n"].to_numpy(np.int64))[::-1]
+            rk = np.arange(1, len(cnt) + 1)
+            h = int((cnt >= rk).sum())
+            rows.append({"s_suppkey": int(s), "h": h,
+                         "n_orders": len(cnt)})
+        return pd.DataFrame(rows)
+
+    out = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("sb")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # supplier-proportional
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+    return out.astype("int64")
+
+
+H_INDEX_SQL = """
+WITH per AS (
+  SELECT l_suppkey AS s, l_orderkey AS o, COUNT(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT s, n,
+         row_number() OVER (PARTITION BY s ORDER BY n DESC, o) AS rk
+  FROM per
+)
+SELECT s AS s_suppkey,
+       CAST(COALESCE(MAX(CASE WHEN n >= rk THEN rk END), 0) AS BIGINT) AS h,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM ranked GROUP BY s ORDER BY s
+"""

