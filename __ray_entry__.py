@@ -560,6 +560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stable_assignment": relational.stable_assignment,
         "t_closeness_audit": relational.t_closeness_audit,
         "h_index_suppliers": relational.h_index_suppliers,
+        "median_polish": relational.median_polish,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -571,6 +572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # decomposition), then session-7's fixed-point unrolls
         "haar_energy_by_type", "apriori_triples", "mase_weekly",
         "page_hinkley_by_type", "conversion_latency_quantiles",
+        "median_polish",
         "hyperball_nf", "hits_scores", "chi2_lang_source",
         "seq_pattern_hits", "lp_modularity", "ppr_seeds", "textrank_keywords",
         "relational_division", "benford_audit", "rfm_segments", "mann_whitney_qty",
@@ -740,6 +742,7 @@ def oracle_sql() -> dict[str, str]:
         "brand_centrality": relational.BRAND_CENTRALITY_SQL,
         "t_closeness_audit": relational.T_CLOSENESS_SQL,
         "h_index_suppliers": relational.H_INDEX_SQL,
+        "median_polish": relational.MEDIAN_POLISH_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

@@ -1243,3 +1243,113 @@ FROM ccum cc JOIN gcum g USING (band) CROSS JOIN tot t
 GROUP BY cc.c_nationkey, cc.c_mktsegment, cc.n_c, t.N
 ORDER BY cc.c_nationkey, cc.c_mktsegment
 """
+
+
+# -- Tukey median polish --------------------------------------------------------------
+
+MEDIAN_POLISH_ROUNDS = 2
+
+
+def median_polish(sf_dir: str) -> "object":
+    """Tukey median polish of the (nation x segment) account-balance
+    matrix — the robust two-way ANOVA: alternately sweep row and column
+    medians out of the cell-median matrix, leaving residuals that expose
+    interaction structure outliers can't drag around.  Sparse-table
+    policy: medians are over OBSERVED cells only (the SQL GROUP BY
+    median's natural semantics), so empty cells neither appear nor bias.
+
+    Exactness without integers: every median here is an average of two
+    integers-or-dyadics, so all values live on the 1/32 lattice (cell
+    median may halve once, each of the four polish medians may halve
+    again) — binary fractions that float64 and DuckDB's MEDIAN double
+    both represent EXACTLY, and subtraction keeps exact.  The output
+    scales by 32 back to integers.  One (cell, value) combiner fold is
+    the only exchange; the polish runs on the <=125-cell frame.
+    Output: (c_nationkey, c_mktsegment, resid_32nd)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "customer", ["c_nationkey", "c_mktsegment", "c_acctbal"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = _cents(t.column("c_acctbal"))
+        folded = t.select(["c_nationkey", "c_mktsegment"]).append_column(
+            "v", v
+        )
+        agg = pa.TableGroupBy(
+            folded, ["c_nationkey", "c_mktsegment", "v"]
+        ).aggregate([([], "count_all")])
+        return agg.rename_columns(["c_nationkey", "c_mktsegment", "v", "n"])
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["c_nationkey", "c_mktsegment", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # bounded by cells x cent domain
+    )
+
+    def cell_median(sub: "pd.DataFrame") -> float:
+        sub = sub.sort_values("v")
+        n = int(sub["n"].sum())
+        cum = sub["n"].cumsum()
+        lo_k, hi_k = (n - 1) // 2, n // 2  # 0-based middle order stats
+        lo = int(sub.loc[(cum > lo_k).idxmax(), "v"])
+        hi = int(sub.loc[(cum > hi_k).idxmax(), "v"])
+        return (lo + hi) / 2.0  # dyadic, float-exact
+
+    df = (
+        cells.groupby(["c_nationkey", "c_mktsegment"])
+        .apply(cell_median, include_groups=False)
+        .reset_index(name="v")
+    )
+    for _ in range(MEDIAN_POLISH_ROUNDS):
+        rm = df.groupby("c_nationkey")["v"].median()
+        df["v"] = df["v"] - rm.reindex(df["c_nationkey"]).to_numpy()
+        cm = df.groupby("c_mktsegment")["v"].median()
+        df["v"] = df["v"] - cm.reindex(df["c_mktsegment"]).to_numpy()
+    out = df.sort_values(["c_nationkey", "c_mktsegment"]).reset_index(
+        drop=True
+    )
+    out["resid_32nd"] = (out["v"] * 32).round().astype("int64")
+    return out[["c_nationkey", "c_mktsegment", "resid_32nd"]].astype(
+        {"c_nationkey": "int64"}
+    )
+
+
+def _median_polish_sql(rounds: int = MEDIAN_POLISH_ROUNDS) -> str:
+    prev = "m0"
+    steps = []
+    for t in range(1, rounds + 1):
+        steps.append(f"""rmed{t} AS (
+  SELECT c_nationkey, MEDIAN(v) AS rm
+  FROM {prev} GROUP BY c_nationkey
+), mr{t} AS (
+  SELECT p.c_nationkey, p.c_mktsegment, p.v - r.rm AS v
+  FROM {prev} p JOIN rmed{t} r USING (c_nationkey)
+), cmed{t} AS (
+  SELECT c_mktsegment, MEDIAN(v) AS cm
+  FROM mr{t} GROUP BY c_mktsegment
+), m{t} AS (
+  SELECT p.c_nationkey, p.c_mktsegment, p.v - c.cm AS v
+  FROM mr{t} p JOIN cmed{t} c USING (c_mktsegment)
+)""")
+        prev = f"m{t}"
+    joined = ",\n".join(steps)
+    return f"""
+WITH m0 AS (
+  SELECT c_nationkey, c_mktsegment,
+         MEDIAN(CAST(round(c_acctbal * 100) AS BIGINT)) AS v
+  FROM customer GROUP BY 1, 2
+),
+{joined}
+SELECT c_nationkey, c_mktsegment,
+       CAST(round(v * 32) AS BIGINT) AS resid_32nd
+FROM {prev} ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+MEDIAN_POLISH_SQL = _median_polish_sql()

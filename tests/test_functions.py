@@ -2732,3 +2732,25 @@ def test_h_index_suppliers(ray_session):
     cnt = np.sort(np.array([10, 8, 5, 4, 3]))[::-1]
     rk = np.arange(1, len(cnt) + 1)
     assert int((cnt >= rk).sum()) == 4  # classic h = 4 example
+
+
+def test_median_polish(ray_session):
+    """Median polish: oracle equality plus the defining fixed-point
+    property — after the final column sweep, every segment's residual
+    median is exactly zero (in 1/32 units)."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import profiling as P
+
+    sf = "/root/testdata/sf0.001"
+    got = P.median_polish(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{sf}/customer.parquet'"
+    )
+    want = con.execute(P.MEDIAN_POLISH_SQL).df()
+    assert got.values.tolist() == want.astype(
+        {"c_nationkey": "int64", "resid_32nd": "int64"}
+    ).values.tolist()
+    col_med = got.groupby("c_mktsegment")["resid_32nd"].median()
+    assert (col_med == 0).all()
