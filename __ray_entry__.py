@@ -561,6 +561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_closeness_audit": relational.t_closeness_audit,
         "h_index_suppliers": relational.h_index_suppliers,
         "median_polish": relational.median_polish,
+        "chao1_vocab": text.chao1_vocab,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -743,6 +744,7 @@ def oracle_sql() -> dict[str, str]:
         "t_closeness_audit": relational.T_CLOSENESS_SQL,
         "h_index_suppliers": relational.H_INDEX_SQL,
         "median_polish": relational.MEDIAN_POLISH_SQL,
+        "chao1_vocab": text.CHAO1_VOCAB_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

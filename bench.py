@@ -192,7 +192,7 @@ QUERY_CHUNKS = [
      "record_days_by_type", "abc_parts", "degree_assortativity",
      "zipf_check", "rich_club", "ann_recall_at_k", "loo_centroid_shift",
      "brand_centrality", "stable_assignment", "t_closeness_audit",
-     "h_index_suppliers", "median_polish"],
+     "h_index_suppliers", "median_polish", "chao1_vocab"],
 ]
 
 

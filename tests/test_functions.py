@@ -2754,3 +2754,28 @@ def test_median_polish(ray_session):
     ).values.tolist()
     col_med = got.groupby("c_mktsegment")["resid_32nd"].median()
     assert (col_med == 0).all()
+
+
+def test_chao1_vocab(ray_session):
+    """Chao1: oracle equality (degenerate f1=f2=0 on the closed synthetic
+    vocabulary) plus both estimator branches on synthetic
+    frequency-of-frequencies."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import text
+
+    sf = "/root/testdata/sf0.001"
+    got = text.chao1_vocab(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = con.execute(text.CHAO1_VOCAB_SQL).df()
+    assert got.values.tolist() == want.astype("int64").values.tolist()
+    assert int(got["chao1"].iloc[0]) == int(got["v_obs"].iloc[0])  # closed
+
+    # branch replay: f2 > 0 and the f2 == 0 bias-corrected fallback
+    v_obs, f1, f2 = 100, 20, 5
+    assert v_obs + (f1 * f1) // (2 * f2) == 140
+    f2 = 0
+    assert v_obs + f1 * (f1 - 1) // 2 == 290
