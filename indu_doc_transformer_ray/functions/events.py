@@ -4933,3 +4933,159 @@ SELECT event_type,
        CAST(MAX(day) AS BIGINT) AS record_day
 FROM recs GROUP BY event_type ORDER BY event_type
 """
+
+
+# -- interval-union active time -----------------------------------------------
+
+#: activity window attached to every event for the union-coverage measure (us)
+ACTIVE_WINDOW_US = 5 * 60 * 1_000_000
+
+
+def user_active_time(sf_dir: str) -> Dataset:
+    """Total time each user was "active": the union length of the windows
+    ``[ts, ts + 5min)`` over the user's events — the classic interval-union
+    sweep (engagement minutes, billing meters).  Overlapping windows must
+    not double-count, so a plain SUM is wrong; the sorted-scan identity
+    ``union = sum(min(next_ts - ts, W)) + W(last)`` computes it in one
+    vectorized pass with no pairwise interval join.
+
+    Distributed shape: ONE user-bucket co-location (derived bucket count,
+    so per-task frames stay bounded at any corpus size); inside the kernel
+    a single whole-bucket sort + numpy diff covers every user at once —
+    per-user boundaries are a shifted-equality mask, never a Python loop.
+    Output: (user_id, n_events, active_us), all integers so the LEAD/LEAST
+    window oracle hash-matches exactly (duplicate timestamps contribute 0
+    regardless of tie order, so the scan is tie-deterministic)."""
+    import numpy as np
+
+    ds = _read_events(sf_dir, ["ts", "user_id"])
+    ubk = _user_buckets(sf_dir)
+    W = ACTIVE_WINDOW_US
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        return t.append_column(
+            "ub", pc.cast(pc.bit_wise_and(uid, ubk - 1), pa.int32())
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].astype("int64").to_numpy()
+        n = len(ts)
+        contrib = np.full(n, W, dtype=np.int64)
+        if n > 1:
+            same = uid[1:] == uid[:-1]
+            gap = ts[1:] - ts[:-1]
+            contrib[:-1] = np.where(same, np.minimum(gap, W), W)
+        s = (
+            pd.DataFrame({"user_id": uid, "c": contrib})
+            .groupby("user_id", sort=False)
+            .agg(n_events=("c", "size"), active_us=("c", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(s["user_id"].to_numpy(np.int64)),
+                "n_events": pa.array(s["n_events"].to_numpy(np.int64)),
+                "active_us": pa.array(s["active_us"].to_numpy(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return out.sort("user_id")
+
+
+USER_ACTIVE_TIME_SQL = """
+WITH w AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS nxt
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN nxt IS NULL THEN 300000000
+                     ELSE LEAST(nxt - t, 300000000) END) AS BIGINT) AS active_us
+FROM w GROUP BY user_id ORDER BY user_id
+"""
+
+
+# -- weekly spectral line (integer DFT bin) -----------------------------------
+
+#: pre-rounded cos/sin(2*pi*k/7) x 10^6, k = day % 7 — the same constant
+#: table is inlined in the oracle so both engines do identical integer
+#: arithmetic (the libm-free-oracle pattern, PATTERNS.md).
+_DFT7_COS = (1_000_000, 623_490, -222_521, -900_969, -900_969, -222_521, 623_490)
+_DFT7_SIN = (0, 781_831, 974_928, 433_884, -433_884, -974_928, -781_831)
+
+
+def dft_weekly_power(sf_dir: str) -> "pd.DataFrame":
+    """Spectral line at period 7 of each event type's daily-count series —
+    the single-bin DFT (Goertzel) weekly-seasonality audit: ``re + i*im =
+    sum_d c_d * exp(-2*pi*i*(d%7)/7)``.  A flat series concentrates mass
+    at |re|,|im| ~ sqrt(n); strong weekday structure shows up as |z| ~ n.
+    Zero-filled days cost nothing (c_d = 0 terms vanish), so the fold is
+    sparse-safe by construction.
+
+    Distributed shape: because the kernel only depends on ``day % 7``, the
+    per-day series NEVER materializes — one map-side combiner folds
+    directly to (event_type, k) with k in 0..6, a <= 7x|types| exchange.
+    The driver multiplies the 7-entry pre-rounded integer trig table in
+    exact Python ints; the final int64 cast RAISES on overflow (HUGEINT ->
+    BIGINT in the oracle does the same).  Output: (event_type, n_events,
+    p7_re, p7_im)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["ts", "event_type"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        k = pc.subtract(day, pc.multiply(pc.divide(day, 7), 7))
+        folded = pa.table({"e": t["event_type"], "k": k})
+        return pa.TableGroupBy(folded, ["e", "k"]).aggregate([([], "count_all")])
+
+    d = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(["e", "k"])
+        .aggregate(Sum("count_all", alias_name="c"))
+        .to_pandas()  # O(7 x |types|)
+    )
+    rows = []
+    for e, sub in d.groupby("e"):
+        ks = sub["k"].to_numpy(np.int64)
+        cs = sub["c"].to_numpy(np.int64)
+        re = sum(int(c) * _DFT7_COS[int(k)] for k, c in zip(ks, cs))
+        im = sum(int(c) * _DFT7_SIN[int(k)] for k, c in zip(ks, cs))
+        rows.append(
+            {"event_type": e, "n_events": int(cs.sum()), "p7_re": re, "p7_im": im}
+        )
+    out = pd.DataFrame(sorted(rows, key=lambda r: r["event_type"]))
+    for c in ("n_events", "p7_re", "p7_im"):
+        out[c] = out[c].astype("int64")  # raises on overflow, like the oracle
+    return out.reset_index(drop=True)
+
+
+DFT_WEEKLY_POWER_SQL = """
+WITH d AS (
+  SELECT event_type,
+         CAST((epoch_us(ts) // 86400000000) % 7 AS BIGINT) AS k,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(c AS HUGEINT) * ck) AS BIGINT) AS p7_re,
+       CAST(SUM(CAST(c AS HUGEINT) * sk) AS BIGINT) AS p7_im
+FROM d
+JOIN (VALUES (0, 1000000, 0), (1, 623490, 781831), (2, -222521, 974928),
+             (3, -900969, 433884), (4, -900969, -433884),
+             (5, -222521, -974928), (6, 623490, -781831)) tab(k, ck, sk)
+  USING (k)
+GROUP BY event_type ORDER BY event_type
+"""

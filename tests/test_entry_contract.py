@@ -27,7 +27,7 @@ def test_registry_consistency():
         "pq_topk", "bpe_fertility",
         "media_text_context", "search_targets_count",
         "logreg_train", "calibration_bins", "bt_supplier_strengths",
-        "als_factorize", "plsa_topics",
+        "als_factorize", "plsa_topics", "stable_assignment",
     }
     # interleave keeps every entry exactly once
     assert len(q) == len(set(q))

