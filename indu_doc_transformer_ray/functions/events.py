@@ -5089,3 +5089,137 @@ JOIN (VALUES (0, 1000000, 0), (1, 623490, 781831), (2, -222521, 974928),
   USING (k)
 GROUP BY event_type ORDER BY event_type
 """
+
+
+# -- global peak concurrency ---------------------------------------------------
+
+
+def peak_concurrency(sf_dir: str) -> "pd.DataFrame":
+    """Peak number of simultaneously-open sessions (30-min-gap windows,
+    closed intervals) across ALL users — the capacity-planning headline.
+    The sweep-line identity: concurrency changes only at endpoint deltas
+    (+1 at start, -1 at end+1), and C(t) = sum of deltas <= t; the peak is
+    the max of that prefix sum over distinct delta times.
+
+    Distributed shape: sessions build inside the usual user-bucket
+    co-location; deltas then co-locate into contiguous TIME buckets.  The
+    key trick is carry-independence: a bucket's internal argmax location,
+    tie count and first-time do not depend on the unknown prefix carry
+    (the carry shifts every in-bucket prefix equally), so ONE time-bucket
+    pass emits (total_delta, max_prefix, n_at_max, first_t) per bucket and
+    the driver folds only the O(buckets) carry chain — no global sort, no
+    second pass, no corpus-sized driver state.  Output: one row
+    (peak, n_peak_times, first_peak_us); n_peak_times counts distinct
+    delta timestamps at the peak (the function is piecewise constant)."""
+    import numpy as np
+
+    from ._util import n_buckets
+
+    path = f"{sf_dir}/events.parquet"
+    ds = _read_events(sf_dir, ["ts", "user_id"])
+    ubk = _user_buckets(sf_dir)
+    t0, t1 = _ts_bounds_us(path)
+    import pyarrow.parquet as pq
+
+    B = n_buckets(pq.read_metadata(path).num_rows)
+    width = max(1, (t1 + 1 - t0) // B + 1)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        return t.append_column(
+            "ub", pc.cast(pc.bit_wise_and(uid, ubk - 1), pa.int32())
+        )
+
+    def build_sessions(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        ts = g["ts"].astype("datetime64[us]").astype("int64")
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        new_session = (ts.diff() > SESSION_GAP_US) & same_user
+        sid = (new_session | ~same_user).cumsum()
+        per = (
+            pd.DataFrame({"uid": g["user_id"].values, "sid": sid.values,
+                          "ts": ts.values})
+            .groupby(["uid", "sid"], sort=False)["ts"].agg(["min", "max"])
+        )
+        s = per["min"].to_numpy(np.int64)
+        e = per["max"].to_numpy(np.int64) + 1  # -1 fires just past the close
+        t_all = np.concatenate([s, e])
+        d_all = np.concatenate(
+            [np.ones(len(s), np.int64), np.full(len(e), -1, np.int64)]
+        )
+        tb = np.minimum((t_all - t0) // width, B - 1).astype(np.int32)
+        return pa.table({"tb": pa.array(tb), "t": pa.array(t_all),
+                         "d": pa.array(d_all)})
+
+    def per_time_bucket(g: pd.DataFrame) -> pa.Table:
+        # fold equal timestamps FIRST (prefix values are defined on the
+        # distinct-time axis), then the carry-independent in-bucket scan
+        f = g.groupby("t", sort=True)["d"].sum()
+        c = f.to_numpy(np.int64).cumsum()
+        ts = f.index.to_numpy(np.int64)
+        mx = int(c.max())
+        at = c == mx
+        return pa.table(
+            {
+                "tb": pa.array([int(g["tb"].iloc[0])], pa.int32()),
+                "total": pa.array([int(c[-1])], pa.int64()),
+                "max_prefix": pa.array([mx], pa.int64()),
+                "n_at_max": pa.array([int(at.sum())], pa.int64()),
+                "first_t": pa.array([int(ts[at.argmax()])], pa.int64()),
+            }
+        )
+
+    per_bucket = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(build_sessions, batch_format="pandas")
+        .groupby("tb")
+        .map_groups(per_time_bucket, batch_format="pandas")
+        .to_pandas()  # O(buckets)
+        .sort_values("tb")
+    )
+    totals = per_bucket["total"].to_numpy(np.int64)
+    carry = np.concatenate(([0], totals.cumsum()[:-1]))
+    bmax = carry + per_bucket["max_prefix"].to_numpy(np.int64)
+    peak = int(bmax.max())
+    hit = bmax == peak
+    out = pd.DataFrame(
+        {
+            "peak": [peak],
+            "n_peak_times": [int(per_bucket["n_at_max"].to_numpy(np.int64)[hit].sum())],
+            "first_peak_us": [int(per_bucket["first_t"].to_numpy(np.int64)[hit].min())],
+        }
+    )
+    return out.astype("int64")
+
+
+PEAK_CONCURRENCY_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CASE WHEN epoch_us(ts)
+                   - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                   > 1800000000 THEN 1
+              WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                   IS NULL THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id, t,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t
+             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+), iv AS (
+  SELECT user_id, sid, MIN(t) AS st, MAX(t) AS en FROM s GROUP BY 1, 2
+), d AS (
+  SELECT st AS t, 1 AS dd FROM iv
+  UNION ALL SELECT en + 1, -1 FROM iv
+), g AS (
+  SELECT t, SUM(dd) AS dd FROM d GROUP BY t
+), c AS (
+  SELECT t, SUM(dd) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS conc FROM g
+), mx AS (SELECT MAX(conc) AS peak FROM c)
+SELECT CAST(mx.peak AS BIGINT) AS peak,
+       CAST(COUNT(*) AS BIGINT) AS n_peak_times,
+       CAST(MIN(c.t) AS BIGINT) AS first_peak_us
+FROM c, mx WHERE c.conc = mx.peak GROUP BY mx.peak
+"""

@@ -2827,3 +2827,47 @@ def test_dft_weekly_power(ray_session):
     assert re * re + im * im == 17 * 17 * (
         E._DFT7_COS[3] ** 2 + E._DFT7_SIN[3] ** 2
     )
+
+
+def test_peak_concurrency(ray_session):
+    """Peak concurrency: oracle equality, a driver-side brute-force sweep
+    replay (full sort, no bucketing — gates the carry-independence trick),
+    and the bounds 1 <= peak <= #users (a user's own sessions never
+    overlap, so each user contributes at most one open session)."""
+    import duckdb
+    import numpy as np
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.peak_concurrency(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(E.PEAK_CONCURRENCY_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    n_users = con.execute("SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
+    assert 1 <= got["peak"].iloc[0] <= n_users
+    # brute-force replay straight off the oracle's interval CTE
+    iv = con.execute("""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS t,
+                 CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts) > 1800000000 THEN 1
+                      WHEN LAG(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
+                      ELSE 0 END AS new_sess
+          FROM events),
+        s AS (SELECT user_id, t, SUM(new_sess) OVER (PARTITION BY user_id
+                  ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM e)
+        SELECT MIN(t) AS st, MAX(t) AS en FROM s GROUP BY user_id, sid
+    """).df()
+    t = np.concatenate([iv["st"].to_numpy(np.int64), iv["en"].to_numpy(np.int64) + 1])
+    d = np.concatenate([np.ones(len(iv), np.int64), -np.ones(len(iv), np.int64)])
+    order = np.argsort(t, kind="mergesort")
+    t, d = t[order], d[order]
+    ut, idx = np.unique(t, return_index=True)
+    sums = np.add.reduceat(d, idx)
+    c = sums.cumsum()
+    assert int(c.max()) == got["peak"].iloc[0]
+    assert int((c == c.max()).sum()) == got["n_peak_times"].iloc[0]
+    assert int(ut[c == c.max()].min()) == got["first_peak_us"].iloc[0]
