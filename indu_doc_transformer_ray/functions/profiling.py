@@ -1353,3 +1353,97 @@ FROM {prev} ORDER BY c_nationkey, c_mktsegment
 
 
 MEDIAN_POLISH_SQL = _median_polish_sql()
+
+
+# -- functional-dependency discovery ------------------------------------------
+
+#: bounded-domain lineitem columns the FD audit sweeps (name, kind) — 's' =
+#: string as-is, 'c' = cents-coded double (x100 -> int64) so both engines
+#: compare identical integers, never float text.
+_FD_COLS = (
+    ("l_returnflag", "s"), ("l_linestatus", "s"), ("l_linenumber", "i"),
+    ("l_quantity", "c"), ("l_discount", "c"), ("l_tax", "c"),
+)
+
+
+def fd_discovery(sf_dir: str) -> "object":
+    """TANE-style functional-dependency audit over the bounded-domain
+    lineitem columns: for every ordered pair (A, B) of the 6 swept columns (30 pairs), A -> B holds iff
+    ``|distinct A| == |distinct (A, B)|`` (each A-value maps to exactly one
+    B-value).  The schema-mining primitive behind key detection and
+    normalization advice in data catalogs.
+
+    Distributed shape: ONE pass emits per-batch LOCAL-distinct (pair, a, b)
+    rows for all pairs (a map-side combiner — the emitted stream is
+    domain-bounded, never row-proportional), one global groupby
+    deduplicates, and the driver folds the O(sum |A|x|B|) distinct-pair
+    table into counts.  Only bounded-domain columns are swept, so the
+    group key is corpus-invariant by construction (the session-5 groupby
+    rule).  Output: (lhs, rhs, n_lhs, n_pairs, holds)."""
+    import pandas as pd
+
+    cols = [c for c, _ in _FD_COLS]
+    ds = _read(sf_dir, "lineitem", cols)
+
+    def canon(t: pa.Table, name: str, kind: str) -> pa.Array:
+        col = t[name]
+        if kind == "s":
+            return pc.cast(col, pa.string())
+        if kind == "i":
+            return pc.cast(pc.cast(col, pa.int64()), pa.string())
+        cents = pc.cast(pc.round(pc.multiply(col, 100)), pa.int64())
+        return pc.cast(cents, pa.string())
+
+    def local_pairs(t: pa.Table) -> pa.Table:
+        outs = []
+        canons = {c: canon(t, c, k) for c, k in _FD_COLS}
+        for a, _ in _FD_COLS:
+            for b, _ in _FD_COLS:
+                if a == b:
+                    continue
+                sub = pa.table({"a": canons[a], "b": canons[b]})
+                dedup = pa.TableGroupBy(sub, ["a", "b"]).aggregate([])
+                outs.append(
+                    dedup.append_column(
+                        "p", pa.array([f"{a}>{b}"] * dedup.num_rows, pa.string())
+                    )
+                )
+        return pa.concat_tables(outs)
+
+    d = (
+        ds.map_batches(local_pairs, batch_format="pyarrow")
+        .groupby(["p", "a", "b"])
+        .aggregate(Count(alias_name="_c"))
+        .to_pandas()  # O(sum over pairs of |A| x |B|) — domain-bounded
+    )
+    rows = []
+    for p, sub in d.groupby("p"):
+        lhs, rhs = p.split(">")
+        n_lhs = sub["a"].nunique()
+        n_pairs = len(sub)
+        rows.append(
+            {"lhs": lhs, "rhs": rhs, "n_lhs": n_lhs, "n_pairs": n_pairs,
+             "holds": int(n_lhs == n_pairs)}
+        )
+    out = pd.DataFrame(sorted(rows, key=lambda r: (r["lhs"], r["rhs"])))
+    for c in ("n_lhs", "n_pairs", "holds"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def _fd_canon_sql(name: str, kind: str) -> str:
+    if kind == "s":
+        return name
+    if kind == "i":
+        return f"CAST({name} AS BIGINT)"
+    return f"CAST(ROUND({name}*100) AS BIGINT)"
+
+
+FD_DISCOVERY_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{a}' AS lhs, '{b}' AS rhs,
+       CAST((SELECT COUNT(DISTINCT {_fd_canon_sql(a, ka)}) FROM lineitem) AS BIGINT) AS n_lhs,
+       CAST((SELECT COUNT(*) FROM (SELECT DISTINCT {_fd_canon_sql(a, ka)}, {_fd_canon_sql(b, kb)} FROM lineitem)) AS BIGINT) AS n_pairs,
+       CAST((SELECT COUNT(DISTINCT {_fd_canon_sql(a, ka)}) FROM lineitem)
+            = (SELECT COUNT(*) FROM (SELECT DISTINCT {_fd_canon_sql(a, ka)}, {_fd_canon_sql(b, kb)} FROM lineitem)) AS BIGINT) AS holds"""
+    for a, ka in _FD_COLS for b, kb in _FD_COLS if a != b
+) + "\nORDER BY lhs, rhs"

@@ -2871,3 +2871,23 @@ def test_peak_concurrency(ray_session):
     assert int(c.max()) == got["peak"].iloc[0]
     assert int((c == c.max()).sum()) == got["n_peak_times"].iloc[0]
     assert int(ut[c == c.max()].min()) == got["first_peak_us"].iloc[0]
+
+
+def test_fd_discovery(ray_session):
+    """FD audit: oracle equality plus the lattice laws n_lhs <= n_pairs
+    (projection never shrinks distinct pairs below distinct lhs) and
+    holds == (n_lhs == n_pairs); a key-like lhs (all six columns jointly
+    unique per row is NOT assumed — only the pairwise law is)."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import profiling as P
+
+    sf = "/root/testdata/sf0.001"
+    got = P.fd_discovery(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    want = con.execute(P.FD_DISCOVERY_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert (got["n_lhs"] <= got["n_pairs"]).all()
+    assert (got["holds"] == (got["n_lhs"] == got["n_pairs"]).astype("int64")).all()
+    assert len(got) == 30
