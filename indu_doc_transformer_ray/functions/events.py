@@ -5223,3 +5223,198 @@ SELECT CAST(mx.peak AS BIGINT) AS peak,
        CAST(MIN(c.t) AS BIGINT) AS first_peak_us
 FROM c, mx WHERE c.conc = mx.peak GROUP BY mx.peak
 """
+
+
+# -- Markov removal-effect attribution ----------------------------------------
+
+#: touchpoint channels (every event type except the converting 'purchase');
+#: fixed list so the unrolled oracle enumerates identical scenarios.
+_MA_CHANNELS = ("click", "error", "signup", "view")
+_MA_SCALE = 10**12
+_MA_ROUNDS = 16
+
+
+def markov_attribution(sf_dir: str) -> "pd.DataFrame":
+    """Markov-chain (removal-effect) attribution, the data-driven
+    alternative to first/last-touch: per-user journeys truncate at the
+    first 'purchase' (absorption into conv; journeys without one absorb
+    into null), first-order transition counts form the chain, and each
+    channel's credit is how much the start->conv absorption probability
+    DROPS when every transition into that channel is redirected to null
+    (Anderl et al.'s removal effect).
+
+    Absorption probabilities come from a fixed _MA_ROUNDS-round integer
+    fixed point v'(s) = (sum_c m[s,c]*v(c) + m[s,conv]*SCALE) // tot(s) —
+    floor division at every step, so the oracle's unrolled HUGEINT CTE
+    chain replays it bit-for-bit (the pagerank_knn discipline; equality
+    does not depend on convergence).  Distributed shape: ONE user-bucket
+    co-location emits per-bucket (from, to) partial counts (vectorized
+    truncation + shift, no per-user Python); the global fold is bounded by
+    (|types|+1)^2; the five fixed points run on the driver over that tiny
+    matrix in exact Python ints.  Output: (channel, base_v, removed_v,
+    removal_effect) with v scaled by 10^12."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    ubk = _user_buckets(sf_dir)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        return t.append_column(
+            "ub", pc.cast(pc.bit_wise_and(uid, ubk - 1), pa.int32())
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        is_p = et == "purchase"
+        # prior-purchase count per user (vectorized reset-at-head cumsum)
+        cp = np.cumsum(is_p.astype(np.int64))
+        same = np.empty(len(g), bool)
+        same[0] = False
+        same[1:] = uid[1:] == uid[:-1]
+        head = np.flatnonzero(~same)
+        user_base = np.where(head > 0, cp[head - 1], 0)
+        runs = np.diff(np.append(head, len(g)))
+        prior = cp - np.repeat(user_base, runs) - is_p.astype(np.int64)
+        keep = prior == 0  # up to and including the first purchase
+        kdf = pd.DataFrame({"uid": uid[keep], "et": et[keep], "isp": is_p[keep]})
+        prev = kdf.groupby("uid", sort=False)["et"].shift()
+        f = prev.fillna("start").to_numpy()
+        t_to = np.where(kdf["isp"].to_numpy(), "conv", kdf["et"].to_numpy())
+        # non-converting users: last kept row -> null
+        ku = kdf["uid"].to_numpy()
+        nsame = np.append(ku[1:] == ku[:-1], False)
+        has_p = kdf.groupby("uid", sort=False)["isp"].transform("any").to_numpy()
+        tail = (~nsame) & (~has_p)
+        f_all = np.concatenate([f, kdf["et"].to_numpy()[tail]])
+        t_all = np.concatenate([t_to, np.full(int(tail.sum()), "null", object)])
+        c = (
+            pd.DataFrame({"f": f_all, "t": t_all})
+            .groupby(["f", "t"], sort=False)
+            .size()
+            .reset_index(name="c")
+        )
+        return pa.table(
+            {
+                "f": pa.array(c["f"].astype(str)),
+                "t": pa.array(c["t"].astype(str)),
+                "c": pa.array(c["c"].to_numpy(np.int64)),
+            }
+        )
+
+    m_df = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["f", "t"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # <= (|types|+1) x (|types|+2)
+    )
+    m = {(r.f, r.t): int(r.c) for r in m_df.itertuples()}
+    tot: dict[str, int] = {}
+    for (fr, _), c in m.items():
+        tot[fr] = tot.get(fr, 0) + c
+
+    def solve(removed: str | None) -> int:
+        v = {s: 0 for s in tot}
+        for _ in range(_MA_ROUNDS):
+            v = {
+                s: (
+                    sum(
+                        m.get((s, ch), 0) * v.get(ch, 0)
+                        for ch in _MA_CHANNELS
+                        if ch != removed
+                    )
+                    + m.get((s, "conv"), 0) * _MA_SCALE
+                )
+                // tot[s]
+                for s in tot
+            }
+        return v.get("start", 0)
+
+    base = solve(None)
+    rows = [
+        {
+            "channel": ch,
+            "base_v": base,
+            "removed_v": (rv := solve(ch)),
+            "removal_effect": base - rv,
+        }
+        for ch in _MA_CHANNELS
+    ]
+    out = pd.DataFrame(rows)
+    for c in ("base_v", "removed_v", "removal_effect"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("channel").reset_index(drop=True)
+
+
+def _ma_round_cte(r: str, k: int) -> str:
+    excl = "" if r == "base" else f", '{r}'"
+    prev = f"v_{r}_{k - 1}"
+    return f"""v_{r}_{k} AS MATERIALIZED (
+  SELECT tot.f AS s,
+    ( COALESCE((SELECT SUM(m.c * v.val) FROM m JOIN {prev} v ON v.s = m.t
+                WHERE m.f = tot.f AND m.t NOT IN ('conv', 'null'{excl})), 0)
+      + COALESCE((SELECT SUM(m.c) FROM m
+                  WHERE m.f = tot.f AND m.t = 'conv'), 0) * 1000000000000
+    ) // tot.tot AS val
+  FROM tot
+)"""
+
+
+def _ma_sql() -> str:
+    scen = ["base"] + list(_MA_CHANNELS)
+    ctes = []
+    for r in scen:
+        ctes.append(
+            f"v_{r}_0 AS (SELECT f AS s, CAST(0 AS HUGEINT) AS val FROM tot)"
+        )
+        ctes.extend(_ma_round_cte(r, k) for k in range(1, _MA_ROUNDS + 1))
+    K = _MA_ROUNDS
+    finals = "\nUNION ALL\n".join(
+        f"""SELECT '{ch}' AS channel,
+       CAST((SELECT val FROM v_base_{K} WHERE s = 'start') AS BIGINT) AS base_v,
+       CAST((SELECT val FROM v_{ch}_{K} WHERE s = 'start') AS BIGINT) AS removed_v,
+       CAST((SELECT val FROM v_base_{K} WHERE s = 'start')
+            - (SELECT val FROM v_{ch}_{K} WHERE s = 'start') AS BIGINT) AS removal_effect"""
+        for ch in _MA_CHANNELS
+    )
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prior_purch
+  FROM events
+), p AS (
+  SELECT user_id, ts, event_id, event_type FROM e WHERE prior_purch = 0
+), tr AS (
+  SELECT COALESCE(LAG(event_type) OVER w, 'start') AS f,
+         CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END AS t
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), lastrow AS (
+  SELECT event_type AS f, 'null' AS t
+  FROM (SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id) AS has_p
+        FROM p)
+  WHERE rn = 1 AND has_p = 0
+), m AS MATERIALIZED (
+  SELECT f, t, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM (SELECT f, t FROM tr UNION ALL SELECT f, t FROM lastrow) GROUP BY 1, 2
+), tot AS MATERIALIZED (SELECT f, SUM(c) AS tot FROM m GROUP BY 1),
+{cte_block}
+{finals}
+ORDER BY channel
+"""
+
+
+MARKOV_ATTRIBUTION_SQL = _ma_sql()

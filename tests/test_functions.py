@@ -2891,3 +2891,26 @@ def test_fd_discovery(ray_session):
     assert (got["n_lhs"] <= got["n_pairs"]).all()
     assert (got["holds"] == (got["n_lhs"] == got["n_pairs"]).astype("int64")).all()
     assert len(got) == 30
+
+
+def test_markov_attribution(ray_session):
+    """Removal-effect attribution: oracle equality plus the absorption
+    bounds 0 <= removed_v <= base_v <= SCALE (redirecting a channel to
+    null can only lower absorption mass — per-round monotone by induction
+    over the floor fixed point) and base-row consistency."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.markov_attribution(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(E.MARKOV_ATTRIBUTION_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert got["base_v"].nunique() == 1
+    assert (got["removed_v"] >= 0).all()
+    assert (got["removed_v"] <= got["base_v"]).all()
+    assert (got["base_v"] <= E._MA_SCALE).all()
+    assert (got["removal_effect"] == got["base_v"] - got["removed_v"]).all()
+    assert list(got["channel"]) == sorted(E._MA_CHANNELS)
