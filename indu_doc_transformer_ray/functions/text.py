@@ -3381,3 +3381,95 @@ SELECT CAST(COUNT(*) AS BIGINT) AS v_obs,
             END AS BIGINT) AS chao1
 FROM vocab
 """
+
+
+# -- term burstiness (Church-Gale) --------------------------------------------
+
+
+def burstiness_terms(sf_dir: str, k: int = 20) -> "object":
+    """Church-Gale term burstiness for the top-k document-frequency terms:
+    content words arrive in bursts (a doc that mentions a term mentions it
+    again), function words don't — the classic adaptation/IDF-vs-burstiness
+    diagnostic for tokenizer and stopword design.  Sufficient statistics
+    per term over CONTAINING docs: df, tf, sum of squared per-doc counts;
+    burstiness = tf/df and the Fano dispersion are emitted as cleared
+    integers (fano_num = df*sumsq - tf^2 over fano_den = tf*df), never
+    floats.
+
+    Distributed shape: per-doc counts complete inside one batch (row =
+    doc), so a map-side combiner emits per-token (df, tf, sumsq) partials
+    and the global groupby runs over the VOCABULARY (Heaps-bounded), not
+    the corpus; sort+limit on that bounded table.  The final 20-row Fano
+    arithmetic happens in exact Python ints; the int64 cast raises on
+    overflow exactly like the oracle's HUGEINT -> BIGINT."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        df_c: Counter = Counter()
+        tf_c: Counter = Counter()
+        sq_c: Counter = Counter()
+        for text in t.column("text").to_pylist():
+            c = Counter(TOKEN_RE.findall(text.lower()))
+            for tok, n in c.items():
+                df_c[tok] += 1
+                tf_c[tok] += n
+                sq_c[tok] += n * n
+        toks = list(df_c.keys())
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "df_p": pa.array([df_c[t_] for t_ in toks], pa.int64()),
+                "tf_p": pa.array([tf_c[t_] for t_ in toks], pa.int64()),
+                "sq_p": pa.array([sq_c[t_] for t_ in toks], pa.int64()),
+            }
+        )
+
+    top = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(
+            Sum("df_p", alias_name="df"),
+            Sum("tf_p", alias_name="tf"),
+            Sum("sq_p", alias_name="sumsq"),
+        )
+        .sort(["df", "token"], descending=[True, False])
+        .limit(k)
+        .to_pandas()  # k rows
+    )
+    fano = [
+        int(d) * int(s) - int(t_) * int(t_)
+        for d, t_, s in zip(top["df"], top["tf"], top["sumsq"])
+    ]
+    out = pd.DataFrame(
+        {
+            "token": top["token"].astype(str),
+            "df": top["df"].astype("int64"),
+            "tf": top["tf"].astype("int64"),
+            "sumsq": top["sumsq"].astype("int64"),
+            "fano_num": pd.array(fano, dtype=object),
+        }
+    )
+    out["fano_num"] = out["fano_num"].astype("int64")  # raises on overflow
+    return out.reset_index(drop=True)
+
+
+BURSTINESS_TERMS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents
+), dc AS (
+  SELECT tok, doc_id, CAST(COUNT(*) AS HUGEINT) AS c FROM tok GROUP BY 1, 2
+), st AS (
+  SELECT tok AS token, COUNT(*) AS df, SUM(c) AS tf, SUM(c*c) AS sumsq
+  FROM dc GROUP BY 1
+)
+SELECT token, CAST(df AS BIGINT) AS df, CAST(tf AS BIGINT) AS tf,
+       CAST(sumsq AS BIGINT) AS sumsq,
+       CAST(df*sumsq - tf*tf AS BIGINT) AS fano_num
+FROM st ORDER BY df DESC, token LIMIT 20
+"""

@@ -2914,3 +2914,24 @@ def test_markov_attribution(ray_session):
     assert (got["base_v"] <= E._MA_SCALE).all()
     assert (got["removal_effect"] == got["base_v"] - got["removed_v"]).all()
     assert list(got["channel"]) == sorted(E._MA_CHANNELS)
+
+
+def test_burstiness_terms(ray_session):
+    """Burstiness: oracle equality plus the dispersion laws
+    df <= tf (each containing doc contributes >= 1), sumsq >= tf
+    (counts >= 1 => c^2 >= c) and fano_num >= 0 iff Cauchy-Schwarz
+    (df*sumsq >= tf^2 always, by CS over the per-doc count vector)."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import text as T
+
+    sf = "/root/testdata/sf0.001"
+    got = T.burstiness_terms(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.execute(T.BURSTINESS_TERMS_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert (got["df"] <= got["tf"]).all()
+    assert (got["sumsq"] >= got["tf"]).all()
+    assert (got["fano_num"] >= 0).all()  # Cauchy-Schwarz
+    assert len(got) == 20
