@@ -568,6 +568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_discovery": relational.fd_discovery,
         "markov_attribution": events.markov_attribution,
         "burstiness_terms": text.burstiness_terms,
+        "minhash_jaccard_calibration": dedup.minhash_jaccard_calibration,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -757,6 +758,7 @@ def oracle_sql() -> dict[str, str]:
         "fd_discovery": relational.FD_DISCOVERY_SQL,
         "markov_attribution": events.MARKOV_ATTRIBUTION_SQL,
         "burstiness_terms": text.BURSTINESS_TERMS_SQL,
+        "minhash_jaccard_calibration": dedup.MINHASH_CALIBRATION_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

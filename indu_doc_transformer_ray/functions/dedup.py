@@ -457,7 +457,10 @@ def minhash_lsh_pairs(sf_dir: str, threshold: float = 0.5) -> Dataset:
 _MULT_VALUES = ", ".join(
     f"({j}, {m})" for j, m in enumerate(MINHASH_MULTS)
 )
-MINHASH_LSH_SQL = f"""
+#: shared CTE prefix (shingles -> md5 min-hashes -> bands -> candidate
+#: pairs) — MINHASH_LSH_SQL verifies/filters on top of it, the calibration
+#: audit bins estimator-vs-exact on top of the SAME candidates.
+_MINHASH_BASE_CTES = f"""
 WITH t AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
   FROM documents
@@ -493,7 +496,9 @@ WITH t AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-), j AS (
+)"""
+
+MINHASH_LSH_SQL = _MINHASH_BASE_CTES + """, j AS (
   SELECT doc_a, doc_b,
          len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
            / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jac
@@ -2705,3 +2710,217 @@ ORDER BY round
 
 
 EM_LINKAGE_SQL = _em_linkage_sql()
+
+
+# -- MinHash estimator calibration --------------------------------------------
+
+
+class MinHashPayloads:
+    """Actor stage: documents -> (doc_id, 'sig_csv|shingle_rs') — the
+    signature AND the sorted shingle string in one carry payload, so the
+    calibration kernel never re-hashes a document per pair."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch.column("text").to_pylist():
+            sh = _shingles(t)
+            sig = _minhash_sig(sh)
+            out.append(
+                ",".join(map(str, sig)) + "|" + "\x1e".join(sorted(sh))
+            )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "shingles": pa.array(out, pa.string()),
+            }
+        )
+
+
+def minhash_jaccard_calibration(sf_dir: str) -> "object":
+    """Estimator-calibration audit of the MinHash pipeline: over every LSH
+    CANDIDATE pair (no similarity filter), bin pairs by how many of the 16
+    signature hashes agree (the unbiased Jaccard estimate is agree/16) and
+    report the exact shingle-Jaccard mass per bin — the plot that tells you
+    whether the sketch's bands/rows trade-off is calibrated before trusting
+    it at 10^12 docs.  Output: (agree_n, n_pairs, sum_exact_permille),
+    <= 17 rows; exact permille is integer floor (inter*1000)//union on both
+    engines, and pairs with an empty union are excluded on both (the
+    oracle's den>0 guard).
+
+    Distributed shape = minhash_lsh_pairs': banded signatures -> in-bucket
+    candidate pairs (capped, approximate path only) -> two union +
+    groupby(bucket).map_groups co-location rounds that attach each side's
+    payload; the per-pair kernel folds straight to (agree_n, count, sum)
+    partials, so the final exchange is O(17) rows per bucket."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    nb = _corpus_buckets(sf_dir)
+    docs = _read_docs(sf_dir, ["doc_id", "text"])
+    bands = docs.map_batches(MinHashBands(nb), batch_format="pyarrow")
+
+    import logging
+
+    log = logging.getLogger(__name__)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for (_bid, _bh), grp in g.groupby(["band_id", "band_hash"]):
+            ids = sorted(set(grp["doc_id"]))
+            if len(ids) < 2:
+                continue
+            if len(ids) > MAX_BUCKET:
+                log.warning(
+                    "LSH bucket capped at %d of %d members (calibration)",
+                    MAX_BUCKET, len(ids),
+                )
+                ids = ids[:MAX_BUCKET]
+            for i, a in enumerate(ids):
+                for b in ids[i + 1:]:
+                    out_a.append(a)
+                    out_b.append(b)
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(out_a, dtype="int64"),
+                "doc_b": pd.Series(out_b, dtype="int64"),
+            }
+        )
+
+    raw_pairs = bands.groupby("gb").map_groups(bucket_pairs, batch_format="pandas")
+
+    payload_ds = _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        MinHashPayloads(), batch_format="pyarrow"
+    )
+
+    def pairs_r1(t: pd.DataFrame) -> pd.DataFrame:
+        k = t["doc_a"].astype("int64")
+        return pd.DataFrame(
+            {
+                "gb": (k % nb).astype("int32"),
+                "k": k,
+                "other": t["doc_b"].astype("int64"),
+                "sh_carry": "",
+                "sh": "",
+                "is_pair": pd.Series([1] * len(t), dtype="int32").values,
+            }
+        )
+
+    def sh_r1(t: pd.DataFrame) -> pd.DataFrame:
+        k = t["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "gb": (k % nb).astype("int32"),
+                "k": k,
+                "other": pd.Series([-1] * len(t), dtype="int64").values,
+                "sh_carry": "",
+                "sh": t["shingles"].values,
+                "is_pair": pd.Series([0] * len(t), dtype="int32").values,
+            }
+        )
+
+    u1 = raw_pairs.map_batches(pairs_r1, batch_format="pandas").union(
+        payload_ds.map_batches(sh_r1, batch_format="pandas")
+    )
+
+    def attach_a(g: pd.DataFrame) -> pd.DataFrame:
+        sh_map = g[g["is_pair"] == 0].set_index("k")["sh"]
+        pairs = g[g["is_pair"] == 1][["k", "other"]].drop_duplicates()
+        if pairs.empty:
+            return pd.DataFrame(
+                {
+                    "gb": pd.Series(dtype="int32"),
+                    "k": pd.Series(dtype="int64"),
+                    "other": pd.Series(dtype="int64"),
+                    "sh_carry": pd.Series(dtype="object"),
+                    "sh": pd.Series(dtype="object"),
+                    "is_pair": pd.Series(dtype="int32"),
+                }
+            )
+        sh_a = pairs["k"].map(sh_map).fillna("")
+        doc_b = pairs["other"].astype("int64")
+        return pd.DataFrame(
+            {
+                "gb": (doc_b % nb).astype("int32"),
+                "k": doc_b,
+                "other": pairs["k"].astype("int64").values,
+                "sh_carry": sh_a.values,
+                "sh": "",
+                "is_pair": pd.Series([1] * len(pairs), dtype="int32").values,
+            }
+        )
+
+    r1 = u1.groupby("gb").map_groups(attach_a, batch_format="pandas")
+    u2 = r1.union(payload_ds.map_batches(sh_r1, batch_format="pandas"))
+
+    def calibrate_b(g: pd.DataFrame) -> pd.DataFrame:
+        sh_map = g[g["is_pair"] == 0].set_index("k")["sh"]
+        pairs = g[g["is_pair"] == 1]
+        acc: dict[int, list[int]] = {}
+        for doc_b, pay_a in zip(pairs["k"], pairs["sh_carry"]):
+            pay_b = sh_map.get(doc_b, "")
+            sig_a_s, _, sh_a_raw = pay_a.partition("|")
+            sig_b_s, _, sh_b_raw = pay_b.partition("|")
+            A = set(sh_a_raw.split("\x1e")) if sh_a_raw else set()
+            B = set(sh_b_raw.split("\x1e")) if sh_b_raw else set()
+            inter = len(A & B)
+            union = len(A) + len(B) - inter
+            if union == 0:
+                continue
+            agree = sum(
+                x == y
+                for x, y in zip(sig_a_s.split(","), sig_b_s.split(","))
+            )
+            slot = acc.setdefault(agree, [0, 0])
+            slot[0] += 1
+            slot[1] += inter * 1000 // union
+        ks = sorted(acc)
+        return pd.DataFrame(
+            {
+                "agree_n": pd.Series(ks, dtype="int64"),
+                "n_p": pd.Series([acc[k][0] for k in ks], dtype="int64"),
+                "s_e": pd.Series([acc[k][1] for k in ks], dtype="int64"),
+            }
+        )
+
+    out = (
+        u2.groupby("gb")
+        .map_groups(calibrate_b, batch_format="pandas")
+        .groupby("agree_n")
+        .aggregate(
+            Sum("n_p", alias_name="n_pairs"),
+            Sum("s_e", alias_name="sum_exact_permille"),
+        )
+        .to_pandas()  # <= 17 rows
+        .sort_values("agree_n")
+        .reset_index(drop=True)
+    )
+    for c in ("agree_n", "n_pairs", "sum_exact_permille"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+MINHASH_CALIBRATION_SQL = _MINHASH_BASE_CTES + """, ag AS (
+  SELECT c.doc_a, c.doc_b,
+         SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS agree
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.salt = sa.salt
+  GROUP BY 1, 2
+), ex AS (
+  SELECT c.doc_a, c.doc_b,
+         (len(list_intersect(sa.shingles, sb.shingles)) * 1000)
+           // (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles))) AS exp
+  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+              JOIN sh sb ON sb.doc_id = c.doc_b
+  WHERE len(sa.shingles) + len(sb.shingles)
+        - len(list_intersect(sa.shingles, sb.shingles)) > 0
+)
+SELECT CAST(agree AS BIGINT) AS agree_n,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(exp) AS BIGINT) AS sum_exact_permille
+FROM ag JOIN ex USING (doc_a, doc_b)
+GROUP BY 1 ORDER BY 1
+"""

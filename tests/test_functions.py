@@ -2935,3 +2935,24 @@ def test_burstiness_terms(ray_session):
     assert (got["sumsq"] >= got["tf"]).all()
     assert (got["fano_num"] >= 0).all()  # Cauchy-Schwarz
     assert len(got) == 20
+
+
+def test_minhash_jaccard_calibration(ray_session):
+    """MinHash calibration: oracle equality, mass bounds (per-pair exact
+    permille in [0, 1000] so the bin sum is <= 1000*n_pairs), and the
+    LSH-structural floor: every candidate pair agrees on at least one
+    whole band = 2 consecutive hashes, so agree_n >= 2."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import dedup as D
+
+    sf = "/root/testdata/sf0.001"
+    got = D.minhash_jaccard_calibration(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.execute(D.MINHASH_CALIBRATION_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert (got["agree_n"] >= 2).all()
+    assert (got["agree_n"] <= D.N_HASHES).all()
+    assert (got["sum_exact_permille"] <= 1000 * got["n_pairs"]).all()
+    assert (got["sum_exact_permille"] >= 0).all()
