@@ -575,9 +575,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # prefix (first ~50 of the interleave) always covers the weakest link
     # of every family, not just an arbitrary member (round-3 verdict #9).
     risk_first = [
-        # session-8 newest (riskiest oracles: 12-level Haar unroll,
-        # HLL-plane replay, straddling-bucket arithmetic, sparse MASE
-        # decomposition), then session-7's fixed-point unrolls
+        # session-9 newest (riskiest oracles: the 5-scenario 16-round
+        # absorbing-chain unroll, the sketch-calibration join, the
+        # carry-independent sweep), then session-8's
+        "markov_attribution", "minhash_jaccard_calibration",
+        "peak_concurrency", "fd_discovery", "burstiness_terms",
+        "user_active_time", "dft_weekly_power",
+        # session-8 (12-level Haar unroll, HLL-plane replay,
+        # straddling-bucket arithmetic, sparse MASE decomposition),
+        # then session-7's fixed-point unrolls
         "haar_energy_by_type", "apriori_triples", "mase_weekly",
         "page_hinkley_by_type", "conversion_latency_quantiles",
         "median_polish",
