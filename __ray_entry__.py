@@ -569,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_attribution": events.markov_attribution,
         "burstiness_terms": text.burstiness_terms,
         "minhash_jaccard_calibration": dedup.minhash_jaccard_calibration,
+        "hodges_lehmann_qty": sketches.hodges_lehmann_qty,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -765,6 +766,7 @@ def oracle_sql() -> dict[str, str]:
         "markov_attribution": events.MARKOV_ATTRIBUTION_SQL,
         "burstiness_terms": text.BURSTINESS_TERMS_SQL,
         "minhash_jaccard_calibration": dedup.MINHASH_CALIBRATION_SQL,
+        "hodges_lehmann_qty": sketches.HODGES_LEHMANN_QTY_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

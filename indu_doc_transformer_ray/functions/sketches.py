@@ -2415,3 +2415,98 @@ JOIN r lo ON lo.rk = t.k
 LEFT JOIN r hi ON hi.rk = t.k + 1
 ORDER BY t.pct
 """
+
+
+# -- Hodges-Lehmann location estimate -----------------------------------------
+
+
+def hodges_lehmann_qty(sf_dir: str) -> "object":
+    """Exact Hodges-Lehmann location estimator of l_quantity per return
+    flag — the rank-based robust center (median of all pairwise Walsh
+    sums over i<j plus ties-within-value), the point estimate that pairs
+    with the Mann-Whitney test (``mann_whitney_qty``).  The naive form is
+    an O(n^2) self-join; here the 50-value quantity domain makes the
+    per-flag VALUE HISTOGRAM a sufficient statistic: pair multiplicities
+    are c_i*c_j (v_i<v_j) and c*(c-1)/2 (v_i=v_j), so the full pairwise-sum
+    distribution is an O(domain^2) convolution the driver replays in exact
+    Python ints.  The doubled estimator hl2 (median pairwise SUM, lower
+    median at 0-based rank (P-1)//2) avoids /2 and stays integer on both
+    engines.  ONE domain-bounded fold; nothing corpus-sized moves.
+    Output: (l_returnflag, n, n_pairs, hl2_low)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ._util import read_small_aware
+
+    ds = read_small_aware(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        folded = pa.table({"f": t["l_returnflag"], "v": v})
+        return pa.TableGroupBy(folded, ["f", "v"]).aggregate([([], "count_all")])
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(["f", "v"])
+        .aggregate(Sum("count_all", alias_name="c"))
+        .to_pandas()  # O(|flags| x domain)
+    )
+    rows = []
+    for f, sub in h.groupby("f"):
+        sub = sub.sort_values("v")
+        vs = [int(x) for x in sub["v"]]
+        cs = [int(x) for x in sub["c"]]
+        n = sum(cs)
+        conv: dict[int, int] = {}
+        for i, (vi, ci) in enumerate(zip(vs, cs)):
+            conv[vi + vi] = conv.get(vi + vi, 0) + ci * (ci - 1) // 2
+            for vj, cj in zip(vs[i + 1:], cs[i + 1:]):
+                conv[vi + vj] = conv.get(vi + vj, 0) + ci * cj
+        P = sum(conv.values())
+        rank = (P - 1) // 2  # lower median, 0-based
+        cum = 0
+        hl2 = 0
+        for s in sorted(conv):
+            cum += conv[s]
+            if cum >= rank + 1:
+                hl2 = s
+                break
+        rows.append({"l_returnflag": f, "n": n, "n_pairs": P, "hl2_low": hl2})
+    out = pd.DataFrame(sorted(rows, key=lambda r: r["l_returnflag"]))
+    for c in ("n", "n_pairs", "hl2_low"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+HODGES_LEHMANN_QTY_SQL = """
+WITH hist AS (
+  SELECT l_returnflag AS f, CAST(ROUND(l_quantity) AS BIGINT) AS v,
+         CAST(COUNT(*) AS HUGEINT) AS c
+  FROM lineitem GROUP BY 1, 2
+), conv AS (
+  SELECT a.f, a.v + b.v AS s,
+         SUM(CASE WHEN a.v < b.v THEN a.c * b.c
+                  ELSE a.c * (a.c - 1) // 2 END) AS pc
+  FROM hist a JOIN hist b ON a.f = b.f AND a.v <= b.v
+  GROUP BY 1, 2
+), cum AS (
+  SELECT f, s, SUM(pc) OVER (PARTITION BY f ORDER BY s
+                             ROWS UNBOUNDED PRECEDING) AS cumpc,
+         SUM(pc) OVER (PARTITION BY f) AS total
+  FROM conv
+), pick AS (
+  SELECT f, MIN(s) AS hl2_low FROM cum
+  WHERE cumpc >= (total - 1) // 2 + 1 GROUP BY f
+), nn AS (
+  SELECT f, SUM(c) AS n, SUM(c) * (SUM(c) - 1) // 2 AS n_pairs
+  FROM hist GROUP BY f
+)
+SELECT nn.f AS l_returnflag, CAST(nn.n AS BIGINT) AS n,
+       CAST(nn.n_pairs AS BIGINT) AS n_pairs,
+       CAST(pick.hl2_low AS BIGINT) AS hl2_low
+FROM nn JOIN pick ON pick.f = nn.f ORDER BY l_returnflag
+"""

@@ -2956,3 +2956,28 @@ def test_minhash_jaccard_calibration(ray_session):
     assert (got["agree_n"] <= D.N_HASHES).all()
     assert (got["sum_exact_permille"] <= 1000 * got["n_pairs"]).all()
     assert (got["sum_exact_permille"] >= 0).all()
+
+
+def test_hodges_lehmann_qty(ray_session):
+    """Hodges-Lehmann: oracle equality plus the identities
+    n_pairs == n*(n-1)/2 (the convolution loses no pair mass) and
+    2*min_v <= hl2_low <= 2*max_v, and robustness-vs-median sanity:
+    hl2_low/2 lies within the observed value range."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import sketches as S
+
+    sf = "/root/testdata/sf0.001"
+    got = S.hodges_lehmann_qty(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    want = con.execute(S.HODGES_LEHMANN_QTY_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert (got["n_pairs"] == got["n"] * (got["n"] - 1) // 2).all()
+    rng = con.execute("""
+        SELECT l_returnflag, MIN(CAST(ROUND(l_quantity) AS BIGINT)),
+               MAX(CAST(ROUND(l_quantity) AS BIGINT))
+        FROM lineitem GROUP BY 1 ORDER BY 1
+    """).fetchall()
+    for (_, lo, hi), hl2 in zip(rng, got["hl2_low"]):
+        assert 2 * lo <= hl2 <= 2 * hi
