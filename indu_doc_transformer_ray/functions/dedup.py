@@ -2924,3 +2924,82 @@ SELECT CAST(agree AS BIGINT) AS agree_n,
 FROM ag JOIN ex USING (doc_a, doc_b)
 GROUP BY 1 ORDER BY 1
 """
+
+
+# -- boilerplate shingle detection --------------------------------------------
+
+
+def boilerplate_shingles(sf_dir: str, k: int = 20) -> "object":
+    """Template/boilerplate detector: the top-k 3-token shingles by
+    DOCUMENT frequency (distinct docs containing them) with their corpus
+    penetration in ppm — the triage list a curation pipeline turns into a
+    strip-list (headers, footers, license blurbs share shingles across
+    thousands of docs; organic text doesn't).  Same shingle construction
+    as the MinHash pipeline, so the list explains exactly what inflates
+    LSH buckets.
+
+    Distributed shape: per-doc shingle sets are batch-local, so one
+    map-side combiner emits (shingle, df) partials into a Heaps-bounded
+    vocabulary groupby + sort/limit; the ppm is integer floor on both
+    engines.  Output: (shingle, df, df_ppm)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for text in t.column("text").to_pylist():
+            c.update(_shingles(text))
+        toks = list(c.keys())
+        return pa.table(
+            {
+                "shingle": pa.array(toks, pa.string()),
+                "df_p": pa.array([c[x] for x in toks], pa.int64()),
+            }
+        )
+
+    top = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("shingle")
+        .aggregate(Sum("df_p", alias_name="df"))
+        .sort(["df", "shingle"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "shingle": top["shingle"].astype(str),
+            "df": top["df"].astype("int64"),
+            "df_ppm": (top["df"].astype("int64") * 1_000_000 // n_docs).astype("int64"),
+        }
+    )
+    return out.reset_index(drop=True)
+
+
+BOILERPLATE_SHINGLES_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) = 0 THEN []
+              WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(toks) - 3 + 2),
+                                 i -> array_to_string(toks[i:i+2], ' ')))
+         END AS shingles
+  FROM t
+), sv AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), df AS (
+  SELECT s AS shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sv GROUP BY 1
+)
+SELECT shingle, df,
+       CAST(df * 1000000 // (SELECT COUNT(*) FROM documents) AS BIGINT) AS df_ppm
+FROM df ORDER BY df DESC, shingle LIMIT 20
+"""

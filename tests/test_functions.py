@@ -2981,3 +2981,22 @@ def test_hodges_lehmann_qty(ray_session):
     """).fetchall()
     for (_, lo, hi), hl2 in zip(rng, got["hl2_low"]):
         assert 2 * lo <= hl2 <= 2 * hi
+
+
+def test_boilerplate_shingles(ray_session):
+    """Boilerplate shingles: oracle equality plus df <= n_docs, ppm floor
+    identity and descending-df ordering with the shingle tie-break."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import dedup as D
+
+    sf = "/root/testdata/sf0.001"
+    got = D.boilerplate_shingles(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.execute(D.BOILERPLATE_SHINGLES_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    n_docs = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert (got["df"] <= n_docs).all()
+    assert (got["df_ppm"] == got["df"] * 1_000_000 // n_docs).all()
+    assert got["df"].is_monotonic_decreasing
