@@ -571,6 +571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_jaccard_calibration": dedup.minhash_jaccard_calibration,
         "hodges_lehmann_qty": sketches.hodges_lehmann_qty,
         "boilerplate_shingles": dedup.boilerplate_shingles,
+        "ktruss_edges": similarity.ktruss_edges,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -769,6 +770,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_jaccard_calibration": dedup.MINHASH_CALIBRATION_SQL,
         "hodges_lehmann_qty": sketches.HODGES_LEHMANN_QTY_SQL,
         "boilerplate_shingles": dedup.BOILERPLATE_SHINGLES_SQL,
+        "ktruss_edges": similarity.KTRUSS_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

@@ -3726,3 +3726,174 @@ SELECT CAST(ks.k AS BIGINT) AS k,
          AS club_pairs
 FROM ks ORDER BY k
 """
+
+
+# -- k-truss decomposition ----------------------------------------------------
+
+KTRUSS_K = 4
+KTRUSS_ROUNDS = 4
+
+
+def ktruss_edges(
+    sf_dir: str, k: int = KTRUSS_K, rounds: int = KTRUSS_ROUNDS
+) -> "object":
+    """k-truss peel of the (symmetrized) IVF k-NN graph: iteratively drop
+    every edge in fewer than k-2 triangles — the EDGE analogue of
+    ``kcore_decompose`` and the stricter cohesion filter (a 4-truss edge
+    needs two independent witnesses, so boilerplate hubs that survive
+    degree-based peels fall out here).  A FIXED ``rounds`` unroll keeps
+    both engines equal even before convergence (the kcore/LP contract);
+    the emitted per-round edge counts show the peel trajectory.
+
+    Per round, TWO bucketed exchanges and no join operator: (1) adjacency
+    rows co-locate by center node and a vectorized self-merge emits wedges
+    (degree <= 2k bounds the blow-up per node); (2) wedges and the current
+    edge set co-locate by an (x,y)-derived bucket, one in-bucket merge
+    counts each edge's CLOSING wedges — exactly its triangle count — and
+    the filter s >= k-2 happens in the same kernel, so survivors exit
+    without a third exchange.  The shrinking edge set is materialized per
+    round (it is O(n*k), never the corpus) to stop lazy re-execution of
+    prior rounds.  Output: (round, n_edges) for round 0..rounds."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows)
+    MIX = 2654435761
+
+    def canon(t: pd.DataFrame) -> pd.DataFrame:
+        a = np.minimum(t["vec_id"].to_numpy(), t["nbr_id"].to_numpy())
+        b = np.maximum(t["vec_id"].to_numpy(), t["nbr_id"].to_numpy())
+        return pd.DataFrame(
+            {
+                "eb": ((a.astype(np.uint64) * MIX + b.astype(np.uint64)) % nb
+                       ).astype("int32"),
+                "a": a.astype("int64"),
+                "b": b.astype("int64"),
+            }
+        )
+
+    def dedup_edges(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])[["a", "b"]]
+
+    edges = (
+        knn_graph(sf_dir)
+        .map_batches(canon, batch_format="pandas")
+        .groupby("eb")
+        .map_groups(dedup_edges, batch_format="pandas")
+        .materialize()
+    )
+    counts = [int(edges.count())]
+
+    def adj(t: pd.DataFrame) -> pd.DataFrame:
+        u = np.concatenate([t["a"].to_numpy(), t["b"].to_numpy()])
+        v = np.concatenate([t["b"].to_numpy(), t["a"].to_numpy()])
+        return pd.DataFrame({"ub": (u % nb).astype("int32"), "u": u, "v": v})
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[["u", "v"]].merge(g[["u", "v"]], on="u")
+        m = m[m["v_x"] < m["v_y"]]
+        x = m["v_x"].to_numpy(dtype=np.int64)
+        y = m["v_y"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "wb": ((x.astype(np.uint64) * MIX + y.astype(np.uint64)) % nb
+                       ).astype("int32"),
+                "x": x,
+                "y": y,
+                "kind": pd.Series(np.ones(len(x), dtype="int64")).values,
+            }
+        )
+
+    def edge_rows(t: pd.DataFrame) -> pd.DataFrame:
+        x = t["a"].to_numpy(dtype=np.int64)
+        y = t["b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "wb": ((x.astype(np.uint64) * MIX + y.astype(np.uint64)) % nb
+                       ).astype("int32"),
+                "x": x,
+                "y": y,
+                "kind": pd.Series(np.zeros(len(x), dtype="int64")).values,
+            }
+        )
+
+    thr = k - 2
+
+    def survive(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["kind"] == 0][["x", "y"]]
+        w = g[g["kind"] == 1][["x", "y"]]
+        if e.empty or w.empty:
+            return pd.DataFrame(
+                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+            )
+        s = (
+            w.merge(e, on=["x", "y"])
+            .groupby(["x", "y"], sort=False)
+            .size()
+            .reset_index(name="s")
+        )
+        keep = s[s["s"] >= thr]
+        return pd.DataFrame(
+            {
+                "a": keep["x"].astype("int64").values,
+                "b": keep["y"].astype("int64").values,
+            }
+        )
+
+    for _ in range(rounds):
+        if counts[-1] == 0:
+            counts.append(0)
+            continue
+        wedge_ds = edges.map_batches(adj, batch_format="pandas").groupby(
+            "ub"
+        ).map_groups(wedges, batch_format="pandas")
+        edges = (
+            wedge_ds.union(edges.map_batches(edge_rows, batch_format="pandas"))
+            .groupby("wb")
+            .map_groups(survive, batch_format="pandas")
+            .materialize()  # O(n*k) edge set, stops lazy round re-execution
+        )
+        counts.append(int(edges.count()))
+
+    return pd.DataFrame(
+        {
+            "round": pd.Series(range(rounds + 1), dtype="int64"),
+            "n_edges": pd.Series(counts, dtype="int64"),
+        }
+    )
+
+
+def _ktruss_sql(k: int = KTRUSS_K, rounds: int = KTRUSS_ROUNDS) -> str:
+    ctes = [
+        f"""e_0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(vec_id, nbr_id) AS a, GREATEST(vec_id, nbr_id) AS b
+  FROM knn
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(f"""adj_{r} AS (
+  SELECT a AS u, b AS v FROM e_{p} UNION ALL SELECT b AS u, a AS v FROM e_{p}
+), tri_{r} AS (
+  SELECT a1.v AS x, a2.v AS y
+  FROM adj_{r} a1 JOIN adj_{r} a2 ON a1.u = a2.u AND a1.v < a2.v
+  JOIN e_{p} e ON e.a = a1.v AND e.b = a2.v
+), e_{r} AS MATERIALIZED (
+  SELECT x AS a, y AS b FROM tri_{r} GROUP BY 1, 2
+  HAVING COUNT(*) >= {k - 2}
+)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, (SELECT CAST(COUNT(*) AS BIGINT) FROM e_{r}) AS n_edges"
+        for r in range(rounds + 1)
+    )
+    return (
+        f"WITH knn AS MATERIALIZED ({KNN_GRAPH_SQL}),\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(round AS BIGINT) AS round, n_edges FROM ({finals}) ORDER BY round"
+    )
+
+
+KTRUSS_SQL = _ktruss_sql()

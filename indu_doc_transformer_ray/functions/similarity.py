@@ -2261,6 +2261,9 @@ from .graph import (  # noqa: E402,F401
     PAGERANK_KNN_SQL,
     PAGERANK_MASS,
     TRIANGLE_COUNT_SQL,
+    KTRUSS_K,
+    KTRUSS_ROUNDS,
+    KTRUSS_SQL,
     VEC_DUP_CLUSTERS_SQL,
     HITS_SCORES_SQL,
     HYPERBALL_NF_SQL,
@@ -2269,6 +2272,7 @@ from .graph import (  # noqa: E402,F401
     LP_MODULARITY_SQL,
     PPR_SEEDS_SQL,
     bfs_hops,
+    ktruss_edges,
     hits_scores,
     hyperball_nf,
     degree_assortativity,

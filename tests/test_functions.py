@@ -3000,3 +3000,25 @@ def test_boilerplate_shingles(ray_session):
     assert (got["df"] <= n_docs).all()
     assert (got["df_ppm"] == got["df"] * 1_000_000 // n_docs).all()
     assert got["df"].is_monotonic_decreasing
+
+
+def test_ktruss_edges(ray_session):
+    """k-truss peel: oracle equality, monotone nonincreasing edge counts
+    (peeling never adds edges), and cross-op consistency — round 0 equals
+    triangle_count's canonical undirected edge count."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import similarity  # facade first
+    from indu_doc_transformer_ray.functions import graph as G
+
+    sf = "/root/testdata/sf0.001"
+    got = G.ktruss_edges(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    want = con.execute(G.KTRUSS_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert got["n_edges"].is_monotonic_decreasing or (
+        got["n_edges"].diff().dropna() <= 0
+    ).all()
+    tri = G.triangle_count(sf)
+    assert int(got["n_edges"].iloc[0]) == int(tri["n_edges"].iloc[0])
