@@ -572,6 +572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hodges_lehmann_qty": sketches.hodges_lehmann_qty,
         "boilerplate_shingles": dedup.boilerplate_shingles,
         "ktruss_edges": similarity.ktruss_edges,
+        "transitivity_global": similarity.transitivity_global,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -771,6 +772,7 @@ def oracle_sql() -> dict[str, str]:
         "hodges_lehmann_qty": sketches.HODGES_LEHMANN_QTY_SQL,
         "boilerplate_shingles": dedup.BOILERPLATE_SHINGLES_SQL,
         "ktruss_edges": similarity.KTRUSS_SQL,
+        "transitivity_global": similarity.TRANSITIVITY_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

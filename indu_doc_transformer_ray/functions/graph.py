@@ -3897,3 +3897,145 @@ def _ktruss_sql(k: int = KTRUSS_K, rounds: int = KTRUSS_ROUNDS) -> str:
 
 
 KTRUSS_SQL = _ktruss_sql()
+
+
+# -- global transitivity -------------------------------------------------------
+
+
+def transitivity_global(sf_dir: str) -> "object":
+    """Global transitivity (Newman's clustering coefficient of the whole
+    graph): 3*triangles / wedges == closures / wedges, emitted as the
+    cleared fraction (n_wedges, n_closures, transitivity_ppm) — the
+    one-number cohesion summary that complements the per-node
+    ``clustering_coeff_topk`` and the raw ``triangle_count``.  Same three
+    bucketed stages as triangle_count (canonical dedup -> center-node
+    wedge self-merge -> closure co-location); the only addition is that
+    each closure bucket also reports its wedge row count, so the wedge
+    denominator rides the existing exchange for free."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows)
+    MIX = 2654435761
+
+    def canon(t: pd.DataFrame) -> pd.DataFrame:
+        a = np.minimum(t["vec_id"].to_numpy(), t["nbr_id"].to_numpy())
+        b = np.maximum(t["vec_id"].to_numpy(), t["nbr_id"].to_numpy())
+        return pd.DataFrame(
+            {
+                "eb": ((a.astype(np.uint64) * MIX + b.astype(np.uint64)) % nb
+                       ).astype("int32"),
+                "a": a.astype("int64"),
+                "b": b.astype("int64"),
+            }
+        )
+
+    def dedup_edges(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])[["a", "b"]]
+
+    edges = (
+        knn_graph(sf_dir)
+        .map_batches(canon, batch_format="pandas")
+        .groupby("eb")
+        .map_groups(dedup_edges, batch_format="pandas")
+        .materialize()
+    )
+
+    def adj(t: pd.DataFrame) -> pd.DataFrame:
+        u = np.concatenate([t["a"].to_numpy(), t["b"].to_numpy()])
+        v = np.concatenate([t["b"].to_numpy(), t["a"].to_numpy()])
+        return pd.DataFrame({"ub": (u % nb).astype("int32"), "u": u, "v": v})
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[["u", "v"]].merge(g[["u", "v"]], on="u")
+        m = m[m["v_x"] < m["v_y"]]
+        x = m["v_x"].to_numpy(dtype=np.int64)
+        y = m["v_y"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "wb": ((x.astype(np.uint64) * MIX + y.astype(np.uint64)) % nb
+                       ).astype("int32"),
+                "x": x,
+                "y": y,
+                "kind": pd.Series(np.ones(len(x), dtype="int64")).values,
+            }
+        )
+
+    def edge_rows(t: pd.DataFrame) -> pd.DataFrame:
+        x = t["a"].to_numpy(dtype=np.int64)
+        y = t["b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "wb": ((x.astype(np.uint64) * MIX + y.astype(np.uint64)) % nb
+                       ).astype("int32"),
+                "x": x,
+                "y": y,
+                "kind": pd.Series(np.zeros(len(x), dtype="int64")).values,
+            }
+        )
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["kind"] == 0]
+        w = g[g["kind"] == 1]
+        n_closed = 0
+        if len(e) and len(w):
+            n_closed = len(w.merge(e[["x", "y"]], on=["x", "y"]))
+        return pd.DataFrame(
+            {
+                "n_wedges": pd.Series([len(w)], dtype="int64"),
+                "closures": pd.Series([n_closed], dtype="int64"),
+            }
+        )
+
+    wedge_ds = edges.map_batches(adj, batch_format="pandas").groupby(
+        "ub"
+    ).map_groups(wedges, batch_format="pandas")
+    parts = (
+        wedge_ds.union(edges.map_batches(edge_rows, batch_format="pandas"))
+        .groupby("wb")
+        .map_groups(close, batch_format="pandas")
+        .to_pandas()  # one row per bucket
+    )
+    n_w = int(parts["n_wedges"].sum())
+    n_c = int(parts["closures"].sum())
+    return pd.DataFrame(
+        {
+            "n_wedges": pd.Series([n_w], dtype="int64"),
+            "n_closures": pd.Series([n_c], dtype="int64"),
+            "transitivity_ppm": pd.Series(
+                [n_c * 1_000_000 // n_w if n_w else 0], dtype="int64"
+            ),
+        }
+    )
+
+
+TRANSITIVITY_SQL = f"""
+WITH knn AS MATERIALIZED ({KNN_GRAPH_SQL}),
+ed AS (
+  SELECT DISTINCT LEAST(vec_id, nbr_id) AS a, GREATEST(vec_id, nbr_id) AS b
+  FROM knn
+),
+adj AS (
+  SELECT a AS u, b AS v FROM ed
+  UNION ALL
+  SELECT b AS u, a AS v FROM ed
+),
+wedge AS (
+  SELECT a1.v AS x, a2.v AS y
+  FROM adj a1 JOIN adj a2 ON a1.u = a2.u AND a1.v < a2.v
+),
+agg AS (
+  SELECT (SELECT COUNT(*) FROM wedge) AS n_wedges,
+         (SELECT COUNT(*) FROM wedge w
+          JOIN ed e ON w.x = e.a AND w.y = e.b) AS n_closures
+)
+SELECT CAST(n_wedges AS BIGINT) AS n_wedges,
+       CAST(n_closures AS BIGINT) AS n_closures,
+       CAST(CASE WHEN n_wedges = 0 THEN 0
+                 ELSE n_closures * 1000000 // n_wedges END AS BIGINT)
+         AS transitivity_ppm
+FROM agg
+"""

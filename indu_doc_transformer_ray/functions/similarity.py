@@ -2264,6 +2264,7 @@ from .graph import (  # noqa: E402,F401
     KTRUSS_K,
     KTRUSS_ROUNDS,
     KTRUSS_SQL,
+    TRANSITIVITY_SQL,
     VEC_DUP_CLUSTERS_SQL,
     HITS_SCORES_SQL,
     HYPERBALL_NF_SQL,
@@ -2273,6 +2274,7 @@ from .graph import (  # noqa: E402,F401
     PPR_SEEDS_SQL,
     bfs_hops,
     ktruss_edges,
+    transitivity_global,
     hits_scores,
     hyperball_nf,
     degree_assortativity,

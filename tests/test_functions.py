@@ -3022,3 +3022,23 @@ def test_ktruss_edges(ray_session):
     ).all()
     tri = G.triangle_count(sf)
     assert int(got["n_edges"].iloc[0]) == int(tri["n_edges"].iloc[0])
+
+
+def test_transitivity_global(ray_session):
+    """Global transitivity: oracle equality, the closure bound
+    n_closures == 3 * triangle_count (each triangle closes its 3 wedges)
+    and transitivity in [0, 1e6]."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import similarity  # facade first
+    from indu_doc_transformer_ray.functions import graph as G
+
+    sf = "/root/testdata/sf0.001"
+    got = G.transitivity_global(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    want = con.execute(G.TRANSITIVITY_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    tri = G.triangle_count(sf)
+    assert int(got["n_closures"].iloc[0]) == 3 * int(tri["n_triangles"].iloc[0])
+    assert 0 <= got["transitivity_ppm"].iloc[0] <= 1_000_000
