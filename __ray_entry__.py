@@ -573,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_shingles": dedup.boilerplate_shingles,
         "ktruss_edges": similarity.ktruss_edges,
         "transitivity_global": similarity.transitivity_global,
+        "bounce_rate": events.bounce_rate,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -773,6 +774,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_shingles": dedup.BOILERPLATE_SHINGLES_SQL,
         "ktruss_edges": similarity.KTRUSS_SQL,
         "transitivity_global": similarity.TRANSITIVITY_SQL,
+        "bounce_rate": events.BOUNCE_RATE_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

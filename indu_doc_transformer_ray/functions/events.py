@@ -5418,3 +5418,108 @@ ORDER BY channel
 
 
 MARKOV_ATTRIBUTION_SQL = _ma_sql()
+
+
+# -- session bounce rate -------------------------------------------------------
+
+
+def bounce_rate(sf_dir: str) -> "pd.DataFrame":
+    """Bounce rate per session ENTRY type: of the sessions whose first
+    event is X, how many ended after that single event (the landing-page
+    diagnostic).  Sessions are the usual 30-min-gap windows; ties break by
+    event_id exactly as the oracle's ROW_NUMBER.  One user-bucket
+    co-location; the kernel sessionizes the whole bucket vectorized and
+    folds straight to (entry_type, n_sessions, n_bounces) partials, so the
+    final exchange is O(|types|).  Output adds the integer floor ppm."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    ubk = _user_buckets(sf_dir)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        return t.append_column(
+            "ub", pc.cast(pc.bit_wise_and(uid, ubk - 1), pa.int32())
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = g["ts"].astype("datetime64[us]").astype("int64")
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        new_session = ((ts.diff() > SESSION_GAP_US) & same_user) | ~same_user
+        sid = new_session.cumsum()
+        per = (
+            pd.DataFrame(
+                {"sid": sid.values, "et": g["event_type"].values}
+            )
+            .groupby("sid", sort=False)["et"]
+            .agg(entry="first", n="size")
+        )
+        folded = (
+            per.assign(b=(per["n"] == 1).astype(np.int64))
+            .groupby("entry")
+            .agg(n_s=("n", "size"), n_b=("b", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(folded["entry"].astype(str)),
+                "n_s": pa.array(folded["n_s"].to_numpy(np.int64)),
+                "n_b": pa.array(folded["n_b"].to_numpy(np.int64)),
+            }
+        )
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_s", alias_name="n_sessions"),
+            Sum("n_b", alias_name="n_bounces"),
+        )
+        .to_pandas()  # O(|types|)
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    out["n_bounces"] = out["n_bounces"].astype("int64")
+    out["bounce_ppm"] = (
+        out["n_bounces"] * 1_000_000 // out["n_sessions"]
+    ).astype("int64")
+    return out
+
+
+BOUNCE_RATE_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts)
+                   - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                   > 1800000000 THEN 1
+              WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                   IS NULL THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+), s2 AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, sid) AS n
+  FROM s
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS bounce_ppm
+FROM s2 WHERE rn = 1 GROUP BY event_type ORDER BY event_type
+"""

@@ -3042,3 +3042,25 @@ def test_transitivity_global(ray_session):
     tri = G.triangle_count(sf)
     assert int(got["n_closures"].iloc[0]) == 3 * int(tri["n_triangles"].iloc[0])
     assert 0 <= got["transitivity_ppm"].iloc[0] <= 1_000_000
+
+
+def test_bounce_rate(ray_session):
+    """Bounce rate: oracle equality, n_bounces <= n_sessions, ppm floor
+    identity, and conservation — total sessions equals the sessionize
+    op's per-user session-count sum."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.bounce_rate(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(E.BOUNCE_RATE_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert (got["n_bounces"] <= got["n_sessions"]).all()
+    assert (
+        got["bounce_ppm"] == got["n_bounces"] * 1_000_000 // got["n_sessions"]
+    ).all()
+    sess = E.sessionize(sf).to_pandas()
+    assert got["n_sessions"].sum() == sess["n_sessions"].sum()
