@@ -3003,3 +3003,161 @@ SELECT shingle, df,
        CAST(df * 1000000 // (SELECT COUNT(*) FROM documents) AS BIGINT) AS df_ppm
 FROM df ORDER BY df DESC, shingle LIMIT 20
 """
+
+
+# -- duplicate token inflation --------------------------------------------------
+
+
+def dup_token_inflation(sf_dir: str) -> "object":
+    """The dedup ROI number a curation run is judged by: what fraction of
+    the corpus's TOKEN mass is redundant — tokens of near-dup-cluster
+    members beyond each cluster's canonical keeper (min doc_id) — i.e. the
+    training-token savings of applying ``dedup_keep_list``'s near-dup rule.
+    Output: one row (total_tokens, clustered_tokens, redundant_tokens,
+    inflation_ppm), integer floor ppm.
+
+    Distributed shape: rides the memoized ``dedup_clusters`` components;
+    one doc-bucket co-location attaches per-doc token counts to cluster
+    rows (and folds each bucket's total-token partial in the same kernel),
+    then a rep-bucket co-location folds per-bucket (clustered, keeper)
+    sums — the driver sees O(buckets) scalars, never per-cluster rows."""
+    import pandas as pd
+
+    nb = _corpus_buckets(sf_dir)
+    clusters = dedup_clusters(sf_dir)
+
+    def tok_rows(t: pa.Table) -> pd.DataFrame:
+        n = [
+            len(TOKEN_RE.findall(x.lower()))
+            for x in t.column("text").to_pylist()
+        ]
+        doc = t.column("doc_id").to_pylist()
+        return pd.DataFrame(
+            {
+                "gb": pd.Series([d % nb for d in doc], dtype="int32"),
+                "doc_id": pd.Series(doc, dtype="int64"),
+                "rep": pd.Series([-1] * len(doc), dtype="int64"),
+                "n": pd.Series(n, dtype="int64"),
+                "kind": pd.Series([0] * len(doc), dtype="int8"),
+            }
+        )
+
+    def cl_rows(t: pd.DataFrame) -> pd.DataFrame:
+        d = t["doc_id"].astype("int64")
+        return pd.DataFrame(
+            {
+                "gb": (d % nb).astype("int32"),
+                "doc_id": d,
+                "rep": t["cluster_rep"].astype("int64"),
+                "n": pd.Series([0] * len(t), dtype="int64"),
+                "kind": pd.Series([1] * len(t), dtype="int8"),
+            }
+        )
+
+    u = (
+        _read_docs(sf_dir, ["doc_id", "text"])
+        .map_batches(tok_rows, batch_format="pyarrow")
+        .union(clusters.map_batches(cl_rows, batch_format="pandas"))
+    )
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        toks = g[g["kind"] == 0]
+        cl = g[g["kind"] == 1]
+        n_map = toks.set_index("doc_id")["n"]
+        out = {
+            "rb": [int(g["gb"].iloc[0])],
+            "rep": [-1],
+            "n": [int(toks["n"].sum())],
+            "isrep": [0],
+            "kind": [9],  # bucket-total partial
+        }
+        if len(cl):
+            att = cl["doc_id"].map(n_map).fillna(0).astype("int64")
+            out["rb"] = [int(x) for x in (cl["rep"] % nb)] + out["rb"]
+            out["rep"] = [int(x) for x in cl["rep"]] + out["rep"]
+            out["n"] = [int(x) for x in att] + out["n"]
+            out["isrep"] = [
+                int(a == b) for a, b in zip(cl["doc_id"], cl["rep"])
+            ] + out["isrep"]
+            out["kind"] = [0] * len(cl) + out["kind"]
+        return pd.DataFrame(
+            {
+                "rb": pd.Series(out["rb"], dtype="int32"),
+                "rep": pd.Series(out["rep"], dtype="int64"),
+                "n": pd.Series(out["n"], dtype="int64"),
+                "isrep": pd.Series(out["isrep"], dtype="int8"),
+                "kind": pd.Series(out["kind"], dtype="int8"),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cl = g[g["kind"] == 0]
+        return pd.DataFrame(
+            {
+                "c_sum": pd.Series([int(cl["n"].sum())], dtype="int64"),
+                "r_sum": pd.Series(
+                    [int(cl.loc[cl["isrep"] == 1, "n"].sum())], dtype="int64"
+                ),
+                "t_sum": pd.Series(
+                    [int(g.loc[g["kind"] == 9, "n"].sum())], dtype="int64"
+                ),
+            }
+        )
+
+    parts = (
+        u.groupby("gb")
+        .map_groups(attach, batch_format="pandas")
+        .groupby("rb")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # O(buckets)
+    )
+    total = int(parts["t_sum"].sum())
+    clustered = int(parts["c_sum"].sum())
+    keeper = int(parts["r_sum"].sum())
+    redundant = clustered - keeper
+    return pd.DataFrame(
+        {
+            "total_tokens": pd.Series([total], dtype="int64"),
+            "clustered_tokens": pd.Series([clustered], dtype="int64"),
+            "redundant_tokens": pd.Series([redundant], dtype="int64"),
+            "inflation_ppm": pd.Series(
+                [redundant * 1_000_000 // total if total else 0], dtype="int64"
+            ),
+        }
+    )
+
+
+DUP_TOKEN_INFLATION_SQL = f"""
+WITH RECURSIVE pairs AS ({MINHASH_LSH_SQL.replace("ORDER BY doc_a, doc_b", "")}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+clusters AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_rep
+  FROM reach GROUP BY a
+),
+tok AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n
+  FROM documents
+),
+agg AS (
+  SELECT (SELECT SUM(n) FROM tok) AS total,
+         (SELECT SUM(t.n) FROM clusters c JOIN tok t USING (doc_id))
+           AS clustered,
+         (SELECT SUM(t.n) FROM clusters c JOIN tok t USING (doc_id)
+          WHERE c.doc_id = c.cluster_rep) AS keeper
+)
+SELECT CAST(total AS BIGINT) AS total_tokens,
+       CAST(clustered AS BIGINT) AS clustered_tokens,
+       CAST(clustered - keeper AS BIGINT) AS redundant_tokens,
+       CAST((clustered - keeper) * 1000000 // total AS BIGINT)
+         AS inflation_ppm
+FROM agg
+"""

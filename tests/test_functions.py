@@ -3064,3 +3064,22 @@ def test_bounce_rate(ray_session):
     ).all()
     sess = E.sessionize(sf).to_pandas()
     assert got["n_sessions"].sum() == sess["n_sessions"].sum()
+
+
+def test_dup_token_inflation(ray_session):
+    """Dup token inflation: oracle equality plus conservation — redundant
+    < clustered <= total, one keeper per cluster retains mass (redundant
+    strictly less than clustered when clusters exist), ppm floor."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import dedup as D
+
+    sf = "/root/testdata/sf0.001"
+    got = D.dup_token_inflation(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.execute(D.DUP_TOKEN_INFLATION_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    t, c, r, ppm = got.iloc[0]
+    assert 0 <= r < c <= t
+    assert ppm == r * 1_000_000 // t
