@@ -5523,3 +5523,86 @@ SELECT event_type,
             AS BIGINT) AS bounce_ppm
 FROM s2 WHERE rn = 1 GROUP BY event_type ORDER BY event_type
 """
+
+
+# -- SAX motif discovery -------------------------------------------------------
+
+
+def sax_motifs_by_type(sf_dir: str) -> "pd.DataFrame":
+    """SAX motif histogram per event type: symbolize each type's daily
+    counts into terciles (a/b/c by the exact 1/3 and 2/3 order statistics
+    of that type's OBSERVED days, lower-rank convention k=(n-1)*q//3) and
+    count every 3-day sliding motif over the day-ordered series — the
+    time-series motif-discovery primitive (Lin-Keogh SAX) with the
+    Gaussian breakpoints replaced by exact data terciles so both engines
+    stay integer-deterministic.  Motif id = 9*s0 + 3*s1 + s2 (<= 27
+    motifs).  ONE (type, day) fold; the driver symbolizes the O(span)
+    per-type series and folds motifs — the record_days/haar state bound.
+    Output: (event_type, motif, n)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["ts", "event_type"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        folded = pa.table({"e": t["event_type"], "day": day})
+        return pa.TableGroupBy(folded, ["e", "day"]).aggregate([([], "count_all")])
+
+    d = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(["e", "day"])
+        .aggregate(Sum("count_all", alias_name="c"))
+        .to_pandas()  # O(|types| x span-days)
+    )
+    rows = []
+    for e, sub in d.groupby("e"):
+        sub = sub.sort_values("day")
+        cs = sub["c"].to_numpy(np.int64)
+        n = len(cs)
+        srt = np.sort(cs)
+        cut1 = int(srt[(n - 1) // 3])
+        cut2 = int(srt[2 * (n - 1) // 3])
+        sym = np.where(cs <= cut1, 0, np.where(cs <= cut2, 1, 2)).astype(np.int64)
+        if n >= 3:
+            motifs = 9 * sym[:-2] + 3 * sym[1:-1] + sym[2:]
+            vals, cnts = np.unique(motifs, return_counts=True)
+            for m, c in zip(vals, cnts):
+                rows.append({"event_type": e, "motif": int(m), "n": int(c)})
+    out = pd.DataFrame(sorted(rows, key=lambda r: (r["event_type"], r["motif"])))
+    for c in ("motif", "n"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+SAX_MOTIFS_SQL = """
+WITH d AS (
+  SELECT event_type AS e, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT e, day, c,
+         ROW_NUMBER() OVER (PARTITION BY e ORDER BY c, day) AS rn,
+         COUNT(*) OVER (PARTITION BY e) AS n
+  FROM d
+), cuts AS (
+  SELECT a.e,
+         MAX(CASE WHEN a.rn = (a.n - 1) // 3 + 1 THEN a.c END) AS cut1,
+         MAX(CASE WHEN a.rn = 2 * (a.n - 1) // 3 + 1 THEN a.c END) AS cut2
+  FROM r a GROUP BY a.e
+), sym AS (
+  SELECT d.e, d.day,
+         CASE WHEN d.c <= cut1 THEN 0 WHEN d.c <= cut2 THEN 1 ELSE 2 END AS s
+  FROM d JOIN cuts USING (e)
+), seq AS (
+  SELECT e, s,
+         LEAD(s, 1) OVER (PARTITION BY e ORDER BY day) AS s1,
+         LEAD(s, 2) OVER (PARTITION BY e ORDER BY day) AS s2
+  FROM sym
+)
+SELECT e AS event_type,
+       CAST(9 * s + 3 * s1 + s2 AS BIGINT) AS motif,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE s2 IS NOT NULL
+GROUP BY 1, 2 ORDER BY event_type, motif
+"""

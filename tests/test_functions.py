@@ -3083,3 +3083,28 @@ def test_dup_token_inflation(ray_session):
     t, c, r, ppm = got.iloc[0]
     assert 0 <= r < c <= t
     assert ppm == r * 1_000_000 // t
+
+
+def test_sax_motifs_by_type(ray_session):
+    """SAX motifs: oracle equality, motif ids in [0, 26], and mass
+    conservation — per type the motif counts sum to n_days - 2."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.sax_motifs_by_type(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(E.SAX_MOTIFS_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert got["motif"].between(0, 26).all()
+    days = dict(
+        con.execute(
+            "SELECT event_type, COUNT(DISTINCT epoch_us(ts) // 86400000000)"
+            " FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    per = got.groupby("event_type")["n"].sum()
+    for e, tot in per.items():
+        assert tot == days[e] - 2
