@@ -576,6 +576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bounce_rate": events.bounce_rate,
         "dup_token_inflation": dedup.dup_token_inflation,
         "sax_motifs_by_type": events.sax_motifs_by_type,
+        "hash_ring_balance": curation.hash_ring_balance,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -779,6 +780,7 @@ def oracle_sql() -> dict[str, str]:
         "bounce_rate": events.BOUNCE_RATE_SQL,
         "dup_token_inflation": dedup.DUP_TOKEN_INFLATION_SQL,
         "sax_motifs_by_type": events.SAX_MOTIFS_SQL,
+        "hash_ring_balance": curation.HASH_RING_BALANCE_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

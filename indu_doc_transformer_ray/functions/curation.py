@@ -1174,3 +1174,110 @@ cov{r} AS (
 
 
 GREEDY_VOCAB_COVER_SQL = _greedy_vocab_cover_sql()
+
+
+# -- consistent-hashing ring balance -------------------------------------------
+
+N_RING_NODES = 16
+RING_POINTS_PER_NODE = 4
+
+
+def _ring_points() -> list[tuple[int, int]]:
+    """(point_hash, node) for N_RING_NODES x RING_POINTS_PER_NODE virtual
+    points, md5-derived — deterministic, inlined as literals in the oracle."""
+    from .dedup import _hash64
+
+    pts = [
+        (_hash64(f"ring:{n}:{v}".encode()), n)
+        for n in range(N_RING_NODES)
+        for v in range(RING_POINTS_PER_NODE)
+    ]
+    return sorted(pts)
+
+
+def hash_ring_balance(sf_dir: str) -> "object":
+    """Consistent-hashing balance audit: place every document on the md5
+    ring and count per-node load under N_RING_NODES nodes with
+    RING_POINTS_PER_NODE virtual points each — the measurement behind this
+    engine's own md5-uniform bucketing assumption (and the resharding-cost
+    story consistent hashing exists for).  A doc lands on the first ring
+    point clockwise from md5_64(doc_id) (wrapping).  Output: (node,
+    n_docs) for every node, zero-filled.
+
+    Distributed shape: the ring (64 literals) ships inside the batch
+    function; each batch folds to per-node partial counts via one
+    vectorized searchsorted, so the exchange is O(nodes)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    pts = _ring_points()
+    ring_h = np.array([p[0] for p in pts], dtype=np.uint64)
+    ring_n = np.array([p[1] for p in pts], dtype=np.int64)
+
+    ds = _read_docs(sf_dir, ["doc_id"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        hs = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.md5(str(i).encode()).digest()[:8], "big"
+                )
+                for i in ids
+            ),
+            dtype=np.uint64,
+            count=len(ids),
+        )
+        idx = np.searchsorted(ring_h, hs, side="left")
+        idx[idx == len(ring_h)] = 0  # wrap
+        nodes = ring_n[idx]
+        vals, cnts = np.unique(nodes, return_counts=True)
+        return pa.table(
+            {
+                "node": pa.array(vals, pa.int64()),
+                "n_p": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    got = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("n_p", alias_name="n_docs"))
+        .to_pandas()  # O(nodes)
+    )
+    full = pd.DataFrame({"node": range(N_RING_NODES)})
+    out = full.merge(got, on="node", how="left").fillna(0)
+    out["node"] = out["node"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def _ring_sql() -> str:
+    pts = _ring_points()
+    vals = ", ".join(f"({h}::UBIGINT, {n})" for h, n in pts)
+    wrap_node = pts[0][1]
+    return f"""
+WITH ring(h, node) AS (SELECT * FROM (VALUES {vals})),
+dh AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+              AS UBIGINT) AS h
+  FROM documents
+), assign AS (
+  SELECT COALESCE(
+           (SELECT r.node FROM ring r WHERE r.h >= dh.h
+            ORDER BY r.h LIMIT 1),
+           {wrap_node}) AS node
+  FROM dh
+), counts AS (
+  SELECT node, COUNT(*) AS n_docs FROM assign GROUP BY node
+)
+SELECT n.node, CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs
+FROM (SELECT unnest(range({N_RING_NODES})) AS node) n
+LEFT JOIN counts c USING (node)
+ORDER BY n.node
+"""
+
+
+HASH_RING_BALANCE_SQL = _ring_sql()

@@ -3108,3 +3108,23 @@ def test_sax_motifs_by_type(ray_session):
     per = got.groupby("event_type")["n"].sum()
     for e, tot in per.items():
         assert tot == days[e] - 2
+
+
+def test_hash_ring_balance(ray_session):
+    """Hash ring: oracle equality, conservation (loads sum to the corpus),
+    all 16 nodes present, and rough md5 uniformity at this virtual-point
+    count (no node above 40% of the corpus)."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import curation as C
+
+    sf = "/root/testdata/sf0.001"
+    got = C.hash_ring_balance(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.execute(C.HASH_RING_BALANCE_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    n_docs = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert got["n_docs"].sum() == n_docs
+    assert len(got) == C.N_RING_NODES
+    assert (got["n_docs"] <= n_docs * 2 // 5).all()
