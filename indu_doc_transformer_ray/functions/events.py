@@ -5606,3 +5606,102 @@ SELECT e AS event_type,
 FROM seq WHERE s2 IS NOT NULL
 GROUP BY 1, 2 ORDER BY event_type, motif
 """
+
+
+# -- exact rolling weekly active users ----------------------------------------
+
+
+def rolling_wau_exact(sf_dir: str) -> "pd.DataFrame":
+    """EXACT 7-day rolling active users for every day in the corpus span —
+    the precise companion the ``hll_wau`` sketch is calibrated against.
+    Rolling COUNT DISTINCT does not decompose into per-day counts, but it
+    DOES decompose per user: a user is active on day d iff they have an
+    event in [d-6, d], i.e. each user contributes a union of [day, day+7)
+    coverage intervals (runs of active days closer than 7 days merge).
+    Those interval deltas sum across users, so the day series is one
+    prefix scan.
+
+    Distributed shape: the user-bucket kernel merges each user's active
+    days into +1/-1 day deltas (vectorized run-splitting, no per-user
+    Python); a (day)-keyed fold sums deltas (O(span) groups — the
+    record_days bound); the driver cumsums the O(span) series and
+    zero-fills. Output: (day, wau) for every day min..max."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["ts", "user_id"])
+    ubk = _user_buckets(sf_dir)
+    W = 7
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        folded = pa.table(
+            {
+                "ub": pc.cast(pc.bit_wise_and(uid, ubk - 1), pa.int32()),
+                "user_id": uid,
+                "day": day,
+            }
+        )
+        # batch-local (user, day) dedup — the combiner
+        return pa.TableGroupBy(folded, ["ub", "user_id", "day"]).aggregate([])
+
+    def deltas(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"], kind="mergesort"
+        )
+        uid = g["user_id"].to_numpy(np.int64)
+        day = g["day"].to_numpy(np.int64)
+        same = np.empty(len(g), bool)
+        same[0] = False
+        same[1:] = uid[1:] == uid[:-1]
+        # a new coverage run starts when the user changes or the gap
+        # between consecutive active days is >= 7 (windows disjoint)
+        gap_new = np.empty(len(g), bool)
+        gap_new[0] = True
+        gap_new[1:] = (~same[1:]) | (day[1:] - day[:-1] >= W)
+        starts = day[gap_new]
+        # a run's coverage ends 7 days after its LAST active day
+        run_last = np.append(gap_new[1:], True)
+        ends = day[run_last] + W
+        t_all = np.concatenate([starts, ends])
+        d_all = np.concatenate(
+            [np.ones(len(starts), np.int64), -np.ones(len(ends), np.int64)]
+        )
+        return pa.table({"day": pa.array(t_all), "d": pa.array(d_all)})
+
+    series = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(deltas, batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("d", alias_name="d"))
+        .to_pandas()  # O(span) days
+        .sort_values("day")
+    )
+    dd = series["day"].to_numpy(np.int64)
+    cs = series["d"].to_numpy(np.int64).cumsum()
+    lo, hi = int(dd.min()), int(dd.max())  # last delta day is max+7 exclusive
+    days = np.arange(lo, hi)
+    idx = np.searchsorted(dd, days, side="right") - 1
+    wau = np.where(idx >= 0, cs[np.maximum(idx, 0)], 0)
+    out = pd.DataFrame({"day": days, "wau": wau})
+    # clip to the observed event-day span (coverage extends 7 past it)
+    max_event_day = int(dd.max()) - W
+    out = out[out["day"] <= max_event_day + W - 1]
+    return out.astype("int64").reset_index(drop=True)
+
+
+ROLLING_WAU_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), span AS (
+  SELECT unnest(range((SELECT MIN(day) FROM ud),
+                      (SELECT MAX(day) FROM ud) + 7)) AS day
+)
+SELECT CAST(s.day AS BIGINT) AS day,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+FROM span s LEFT JOIN ud u ON u.day BETWEEN s.day - 6 AND s.day
+GROUP BY s.day ORDER BY s.day
+"""

@@ -3128,3 +3128,27 @@ def test_hash_ring_balance(ray_session):
     assert got["n_docs"].sum() == n_docs
     assert len(got) == C.N_RING_NODES
     assert (got["n_docs"] <= n_docs * 2 // 5).all()
+
+
+def test_rolling_wau_exact(ray_session):
+    """Exact rolling WAU: oracle equality plus the window laws
+    DAU(d) <= WAU(d) <= total users for every day."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.rolling_wau_exact(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(E.ROLLING_WAU_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    dau = dict(
+        con.execute(
+            "SELECT epoch_us(ts) // 86400000000, COUNT(DISTINCT user_id)"
+            " FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    total = con.execute("SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
+    for day, wau in zip(got["day"], got["wau"]):
+        assert dau.get(day, 0) <= wau <= total
