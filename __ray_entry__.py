@@ -578,6 +578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sax_motifs_by_type": events.sax_motifs_by_type,
         "hash_ring_balance": curation.hash_ring_balance,
         "rolling_wau_exact": events.rolling_wau_exact,
+        "name_clusters": dedup.name_clusters,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -783,6 +784,7 @@ def oracle_sql() -> dict[str, str]:
         "sax_motifs_by_type": events.SAX_MOTIFS_SQL,
         "hash_ring_balance": curation.HASH_RING_BALANCE_SQL,
         "rolling_wau_exact": events.ROLLING_WAU_SQL,
+        "name_clusters": dedup.NAME_CLUSTERS_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

@@ -3161,3 +3161,103 @@ SELECT CAST(total AS BIGINT) AS total_tokens,
          AS inflation_ppm
 FROM agg
 """
+
+
+# -- ER name clusters -----------------------------------------------------------
+
+
+def name_clusters(sf_dir: str) -> "object":
+    """Entity-resolution CLUSTERS over the edit-distance-1 name graph —
+    the step after ``fuzzy_name_pairs`` a record-linkage pipeline actually
+    consumes: connected components of the typo graph, reported as the
+    cluster-size histogram (cluster_size, n_clusters) so the output stays
+    bounded by the largest typo family at any corpus size.  Names map to
+    int64 node ids via md5_64(name) >> 1 (collision-free in practice and
+    replayed exactly by the oracle), then the shared alternating
+    large-star/small-star ``label_components`` machinery runs unchanged —
+    its second production consumer after the MinHash doc graph.
+
+    Size fold: one lbl-bucket co-location counts members per component and
+    folds to (size, n) partials in-kernel, so the exchange after the CC
+    iteration is O(max_cluster_size) rows per bucket."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ._util import n_buckets
+
+    pairs = fuzzy_name_pairs(sf_dir)
+
+    def to_ids(t: pd.DataFrame) -> pd.DataFrame:
+        def h(s: pd.Series) -> pd.Series:
+            return pd.Series(
+                [_hash64(x.encode()) >> 1 for x in s], dtype="int64"
+            )
+
+        return pd.DataFrame({"a": h(t["name_a"]), "b": h(t["name_b"])})
+
+    labels = label_components(
+        pairs.map_batches(to_ids, batch_format="pandas"), "a", "b"
+    )
+    import pyarrow.parquet as pq
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows)
+
+    def bucket(t: pd.DataFrame) -> pd.DataFrame:
+        lbl = t["lbl"].astype("int64")
+        return pd.DataFrame({"gb": (lbl % nb).astype("int32"), "lbl": lbl})
+
+    def size_partials(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("lbl", sort=False).size()
+        hist = sizes.value_counts()
+        return pd.DataFrame(
+            {
+                "cluster_size": hist.index.astype("int64"),
+                "n_p": hist.to_numpy().astype("int64"),
+            }
+        )
+
+    out = (
+        labels.map_batches(bucket, batch_format="pandas")
+        .groupby("gb")
+        .map_groups(size_partials, batch_format="pandas")
+        .groupby("cluster_size")
+        .aggregate(Sum("n_p", alias_name="n_clusters"))
+        .to_pandas()  # O(max cluster size)
+        .sort_values("cluster_size")
+        .reset_index(drop=True)
+    )
+    out["cluster_size"] = out["cluster_size"].astype("int64")
+    out["n_clusters"] = out["n_clusters"].astype("int64")
+    return out
+
+
+NAME_CLUSTERS_SQL = f"""
+WITH RECURSIVE fpairs AS (
+{FUZZY_NAME_PAIRS_SQL.replace("ORDER BY name_a, name_b", "")}
+),
+ids AS (
+  SELECT CAST(CAST(concat('0x', substr(md5(name_a), 1, 16)) AS UBIGINT)
+              // 2 AS BIGINT) AS a,
+         CAST(CAST(concat('0x', substr(md5(name_b), 1, 16)) AS UBIGINT)
+              // 2 AS BIGINT) AS b
+  FROM fpairs
+),
+edges AS (
+  SELECT a, b FROM ids UNION SELECT b, a FROM ids
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS lbl FROM reach GROUP BY a
+),
+sizes AS (
+  SELECT lbl, COUNT(*) AS cluster_size FROM comp GROUP BY lbl
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""

@@ -3152,3 +3152,26 @@ def test_rolling_wau_exact(ray_session):
     total = con.execute("SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
     for day, wau in zip(got["day"], got["wau"]):
         assert dau.get(day, 0) <= wau <= total
+
+
+def test_name_clusters(ray_session):
+    """ER name clusters: oracle equality plus the graph laws — every
+    cluster has >= 2 members (singletons have no edge) and total members
+    equal the distinct names appearing in fuzzy pairs."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import dedup as D
+
+    sf = "/root/testdata/sf0.001"
+    got = D.name_clusters(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM '{sf}/customer.parquet'")
+    want = con.execute(D.NAME_CLUSTERS_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert (got["cluster_size"] >= 2).all()
+    members = (got["cluster_size"] * got["n_clusters"]).sum()
+    pairs = D.fuzzy_name_pairs(sf).to_pandas()
+    import pandas as pd
+
+    n_names = len(pd.unique(pd.concat([pairs["name_a"], pairs["name_b"]])))
+    assert members == n_names
