@@ -579,6 +579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_ring_balance": curation.hash_ring_balance,
         "rolling_wau_exact": events.rolling_wau_exact,
         "name_clusters": dedup.name_clusters,
+        "weekend_effect_ks": events.weekend_effect_ks,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -785,6 +786,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_ring_balance": curation.HASH_RING_BALANCE_SQL,
         "rolling_wau_exact": events.ROLLING_WAU_SQL,
         "name_clusters": dedup.NAME_CLUSTERS_SQL,
+        "weekend_effect_ks": events.WEEKEND_EFFECT_KS_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

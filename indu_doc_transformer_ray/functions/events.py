@@ -5705,3 +5705,98 @@ SELECT CAST(s.day AS BIGINT) AS day,
 FROM span s LEFT JOIN ud u ON u.day BETWEEN s.day - 6 AND s.day
 GROUP BY s.day ORDER BY s.day
 """
+
+
+# -- weekday/weekend KS distance ------------------------------------------------
+
+
+def weekend_effect_ks(sf_dir: str) -> "pd.DataFrame":
+    """Kolmogorov-Smirnov distance between the WEEKDAY and WEEKEND value
+    distributions per event type — the two-sample drift test for the most
+    common real segmentation.  Computed exactly on 4096-cent-bucketed
+    values (the statistic is DEFINED on the bucketed ECDF, identically in
+    both engines) as the cleared fraction ks_num = max |cum_wd * n_we -
+    cum_we * n_wd| over ks_den = n_wd * n_we — no division, no floats.
+    Day class uses the epoch-day parity convention day%7 in {2,3} ==
+    weekend (1970-01-01 was a Thursday, so 2=Sat, 3=Sun).  ONE bounded
+    (type, class, bucket) fold; the driver scans O(domain/4096) buckets.
+    Output: (event_type, n_wd, n_we, ks_num, ks_den)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["ts", "event_type", "value"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        k = pc.subtract(day, pc.multiply(pc.divide(day, 7), 7))
+        we = pc.or_(pc.equal(k, 2), pc.equal(k, 3))
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
+        b = pc.divide(cents, 4096)  # non-negative values: trunc == floor
+        folded = pa.table(
+            {"e": t["event_type"], "we": pc.cast(we, pa.int8()), "b": b}
+        )
+        return pa.TableGroupBy(folded, ["e", "we", "b"]).aggregate(
+            [([], "count_all")]
+        )
+
+    d = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(["e", "we", "b"])
+        .aggregate(Sum("count_all", alias_name="c"))
+        .to_pandas()  # O(|types| x 2 x domain/4096)
+    )
+    rows = []
+    for e, sub in d.groupby("e"):
+        wd = sub[sub["we"] == 0].set_index("b")["c"]
+        we_ = sub[sub["we"] == 1].set_index("b")["c"]
+        n_wd, n_we = int(wd.sum()), int(we_.sum())
+        bs = np.unique(sub["b"].to_numpy(np.int64))
+        cum_wd = np.cumsum([int(wd.get(b, 0)) for b in bs], dtype=object)
+        cum_we = np.cumsum([int(we_.get(b, 0)) for b in bs], dtype=object)
+        ks = max(
+            (abs(int(cw) * n_we - int(ce) * n_wd) for cw, ce in zip(cum_wd, cum_we)),
+            default=0,
+        )
+        rows.append(
+            {"event_type": e, "n_wd": n_wd, "n_we": n_we,
+             "ks_num": ks, "ks_den": n_wd * n_we}
+        )
+    out = pd.DataFrame(sorted(rows, key=lambda r: r["event_type"]))
+    for c in ("n_wd", "n_we", "ks_num", "ks_den"):
+        out[c] = out[c].astype("int64")  # raises on overflow, like the oracle
+    return out.reset_index(drop=True)
+
+
+WEEKEND_EFFECT_KS_SQL = """
+WITH x AS (
+  SELECT event_type AS e,
+         CASE WHEN (epoch_us(ts) // 86400000000) % 7 IN (2, 3)
+              THEN 1 ELSE 0 END AS we,
+         CAST(ROUND(value * 100) AS BIGINT) // 4096 AS b
+  FROM events
+), h AS (
+  SELECT e, we, b, CAST(COUNT(*) AS HUGEINT) AS c FROM x GROUP BY 1, 2, 3
+), bs AS (SELECT DISTINCT e, b FROM h),
+cum AS (
+  SELECT bs.e, bs.b,
+         SUM(CASE WHEN h.we = 0 THEN h.c ELSE 0 END)
+           OVER (PARTITION BY bs.e ORDER BY bs.b) AS cum_wd,
+         SUM(CASE WHEN h.we = 1 THEN h.c ELSE 0 END)
+           OVER (PARTITION BY bs.e ORDER BY bs.b) AS cum_we
+  FROM bs LEFT JOIN h ON h.e = bs.e AND h.b = bs.b
+), n AS (
+  SELECT e,
+         SUM(CASE WHEN we = 0 THEN c ELSE 0 END) AS n_wd,
+         SUM(CASE WHEN we = 1 THEN c ELSE 0 END) AS n_we
+  FROM h GROUP BY e
+)
+SELECT cum.e AS event_type,
+       CAST(n.n_wd AS BIGINT) AS n_wd,
+       CAST(n.n_we AS BIGINT) AS n_we,
+       CAST(MAX(ABS(cum.cum_wd * n.n_we - cum.cum_we * n.n_wd)) AS BIGINT)
+         AS ks_num,
+       CAST(n.n_wd * n.n_we AS BIGINT) AS ks_den
+FROM cum JOIN n ON n.e = cum.e
+GROUP BY cum.e, n.n_wd, n.n_we ORDER BY event_type
+"""

@@ -3175,3 +3175,21 @@ def test_name_clusters(ray_session):
 
     n_names = len(pd.unique(pd.concat([pairs["name_a"], pairs["name_b"]])))
     assert members == n_names
+
+
+def test_weekend_effect_ks(ray_session):
+    """Weekend KS: oracle equality plus the KS bounds 0 <= ks_num <=
+    ks_den (the statistic is a scaled ECDF gap) and den = n_wd * n_we."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.weekend_effect_ks(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(E.WEEKEND_EFFECT_KS_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert (got["ks_num"] >= 0).all()
+    assert (got["ks_num"] <= got["ks_den"]).all()
+    assert (got["ks_den"] == got["n_wd"] * got["n_we"]).all()
