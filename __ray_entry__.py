@@ -590,7 +590,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # absorbing-chain unroll, the sketch-calibration join, the
         # carry-independent sweep), then session-8's
         "markov_attribution", "minhash_jaccard_calibration",
+        "ktruss_edges", "dup_token_inflation", "rolling_wau_exact",
+        "sax_motifs_by_type", "hodges_lehmann_qty", "weekend_effect_ks",
         "peak_concurrency", "fd_discovery", "burstiness_terms",
+        "name_clusters", "transitivity_global", "bounce_rate",
+        "hash_ring_balance", "boilerplate_shingles",
         "user_active_time", "dft_weekly_power",
         # session-8 (12-level Haar unroll, HLL-plane replay,
         # straddling-bucket arithmetic, sparse MASE decomposition),
