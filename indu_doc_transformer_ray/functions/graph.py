@@ -4039,3 +4039,177 @@ SELECT CAST(n_wedges AS BIGINT) AS n_wedges,
          AS transitivity_ppm
 FROM agg
 """
+
+
+# -- label homophily ------------------------------------------------------------
+
+
+def label_homophily(sf_dir: str) -> "object":
+    """Homophily audit of the kNN graph against the embedding labels: the
+    observed same-label edge count vs the expectation under the label
+    marginals (random mixing), emitted as the cleared lift fraction
+    lift_num = same_edges * N*(N-1), lift_den = n_edges * sum_l n_l*(n_l-1)
+    — lift > 1 means the ANN graph respects label structure (the sanity
+    gate for ``knn_label_accuracy``-style semi-supervision).  Exact
+    integers end-to-end.
+
+    Distributed shape: two union-style label-attach co-locations (edges
+    key by endpoint bucket against the label rows — the
+    degree_assortativity plan), per-bucket same/total partials, and an
+    O(|labels|) marginal fold; nothing corpus-sized reaches the driver."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows)
+    MIX = 2654435761
+
+    def canon(t: pd.DataFrame) -> pd.DataFrame:
+        a = np.minimum(t["vec_id"].to_numpy(), t["nbr_id"].to_numpy())
+        b = np.maximum(t["vec_id"].to_numpy(), t["nbr_id"].to_numpy())
+        return pd.DataFrame(
+            {
+                "eb": ((a.astype(np.uint64) * MIX + b.astype(np.uint64)) % nb
+                       ).astype("int32"),
+                "a": a.astype("int64"),
+                "b": b.astype("int64"),
+            }
+        )
+
+    def dedup_edges(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])[["a", "b"]]
+
+    edges = (
+        knn_graph(sf_dir)
+        .map_batches(canon, batch_format="pandas")
+        .groupby("eb")
+        .map_groups(dedup_edges, batch_format="pandas")
+    )
+
+    from ._util import read_small_aware
+
+    labels = read_small_aware(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    )
+
+    def lab_rows(t: pa.Table) -> pd.DataFrame:
+        v = np.asarray(t["vec_id"], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "gb": (v % nb).astype("int32"),
+                "k": v,
+                "other": np.full(len(v), -1, np.int64),
+                "lab": np.asarray(t["label"], dtype=np.int64),
+                "kind": np.zeros(len(v), np.int8),
+            }
+        )
+
+    def edge_r1(t: pd.DataFrame) -> pd.DataFrame:
+        a = t["a"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "gb": (a % nb).astype("int32"),
+                "k": a,
+                "other": t["b"].to_numpy(np.int64),
+                "lab": np.full(len(t), -1, np.int64),
+                "kind": np.ones(len(t), np.int8),
+            }
+        )
+
+    def attach_a(g: pd.DataFrame) -> pd.DataFrame:
+        lmap = g[g["kind"] == 0].set_index("k")["lab"]
+        e = g[g["kind"] == 1]
+        if e.empty:
+            return pd.DataFrame(
+                {"gb": pd.Series(dtype="int32"), "k": pd.Series(dtype="int64"),
+                 "other": pd.Series(dtype="int64"),
+                 "lab": pd.Series(dtype="int64"),
+                 "kind": pd.Series(dtype="int8")}
+            )
+        la = e["k"].map(lmap).astype("int64")
+        b = e["other"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "gb": (b % nb).astype("int32"),
+                "k": b,
+                "other": e["k"].to_numpy(np.int64),
+                "lab": la.values,
+                "kind": np.ones(len(e), np.int8),
+            }
+        )
+
+    def fold_b(g: pd.DataFrame) -> pd.DataFrame:
+        lmap = g[g["kind"] == 0].set_index("k")["lab"]
+        e = g[g["kind"] == 1]
+        same = 0
+        if len(e):
+            lb = e["k"].map(lmap).astype("int64")
+            same = int((lb.values == e["lab"].values).sum())
+        return pd.DataFrame(
+            {
+                "n_e": pd.Series([len(e)], dtype="int64"),
+                "n_same": pd.Series([same], dtype="int64"),
+            }
+        )
+
+    u1 = labels.map_batches(lab_rows, batch_format="pyarrow").union(
+        edges.map_batches(edge_r1, batch_format="pandas")
+    )
+    r1 = u1.groupby("gb").map_groups(attach_a, batch_format="pandas")
+    u2 = labels.map_batches(lab_rows, batch_format="pyarrow").union(r1)
+    parts = (
+        u2.groupby("gb")
+        .map_groups(fold_b, batch_format="pandas")
+        .to_pandas()  # O(buckets)
+    )
+    n_edges = int(parts["n_e"].sum())
+    n_same = int(parts["n_same"].sum())
+
+    from ray.data.aggregate import Count
+
+    marg = (
+        read_small_aware(f"{sf_dir}/embeddings.parquet", columns=["label"])
+        .groupby("label")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()  # O(|labels|)
+    )
+    ns = [int(x) for x in marg["n"]]
+    N = sum(ns)
+    exp_pairs = sum(n * (n - 1) for n in ns)
+    lift_num = n_same * N * (N - 1)
+    lift_den = n_edges * exp_pairs
+    out = pd.DataFrame(
+        {
+            "n_edges": [n_edges],
+            "same_label_edges": [n_same],
+            "lift_num": [lift_num],
+            "lift_den": [lift_den],
+        }
+    )
+    return out.astype("int64")
+
+
+LABEL_HOMOPHILY_SQL = f"""
+WITH knn AS MATERIALIZED ({KNN_GRAPH_SQL}),
+ed AS (
+  SELECT DISTINCT LEAST(vec_id, nbr_id) AS a, GREATEST(vec_id, nbr_id) AS b
+  FROM knn
+),
+lab AS (SELECT vec_id, label FROM embeddings),
+obs AS (
+  SELECT COUNT(*) AS n_edges,
+         SUM(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END) AS n_same
+  FROM ed JOIN lab la ON la.vec_id = ed.a JOIN lab lb ON lb.vec_id = ed.b
+),
+marg AS (
+  SELECT SUM(n) AS nn, SUM(n * (n - 1)) AS exp_pairs
+  FROM (SELECT COUNT(*) AS n FROM embeddings GROUP BY label)
+)
+SELECT CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_same AS BIGINT) AS same_label_edges,
+       CAST(n_same * nn * (nn - 1) AS BIGINT) AS lift_num,
+       CAST(n_edges * exp_pairs AS BIGINT) AS lift_den
+FROM obs, marg
+"""

@@ -2265,6 +2265,7 @@ from .graph import (  # noqa: E402,F401
     KTRUSS_ROUNDS,
     KTRUSS_SQL,
     TRANSITIVITY_SQL,
+    LABEL_HOMOPHILY_SQL,
     VEC_DUP_CLUSTERS_SQL,
     HITS_SCORES_SQL,
     HYPERBALL_NF_SQL,
@@ -2275,6 +2276,7 @@ from .graph import (  # noqa: E402,F401
     bfs_hops,
     ktruss_edges,
     transitivity_global,
+    label_homophily,
     hits_scores,
     hyperball_nf,
     degree_assortativity,

@@ -3193,3 +3193,23 @@ def test_weekend_effect_ks(ray_session):
     assert (got["ks_num"] >= 0).all()
     assert (got["ks_num"] <= got["ks_den"]).all()
     assert (got["ks_den"] == got["n_wd"] * got["n_we"]).all()
+
+
+def test_label_homophily(ray_session):
+    """Homophily: oracle equality, same <= edges, cross-op consistency
+    with triangle_count's edge total, and positive expectation mass."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import similarity  # facade first
+    from indu_doc_transformer_ray.functions import graph as G
+
+    sf = "/root/testdata/sf0.001"
+    got = G.label_homophily(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    want = con.execute(G.LABEL_HOMOPHILY_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert 0 <= got["same_label_edges"].iloc[0] <= got["n_edges"].iloc[0]
+    tri = G.triangle_count(sf)
+    assert int(got["n_edges"].iloc[0]) == int(tri["n_edges"].iloc[0])
+    assert got["lift_den"].iloc[0] > 0
