@@ -581,6 +581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_clusters": dedup.name_clusters,
         "weekend_effect_ks": events.weekend_effect_ks,
         "label_homophily": similarity.label_homophily,
+        "huffman_code_lengths": events.huffman_code_lengths,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -793,6 +794,7 @@ def oracle_sql() -> dict[str, str]:
         "name_clusters": dedup.NAME_CLUSTERS_SQL,
         "weekend_effect_ks": events.WEEKEND_EFFECT_KS_SQL,
         "label_homophily": similarity.LABEL_HOMOPHILY_SQL,
+        "huffman_code_lengths": events.HUFFMAN_CODE_LENGTHS_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

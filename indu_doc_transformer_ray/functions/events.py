@@ -5800,3 +5800,94 @@ SELECT cum.e AS event_type,
 FROM cum JOIN n ON n.e = cum.e
 GROUP BY cum.e, n.n_wd, n.n_we ORDER BY event_type
 """
+
+
+# -- Huffman code lengths --------------------------------------------------------
+
+_HUFFMAN_MERGES = 4  # |event types| - 1; the oracle unrolls exactly these
+
+
+def huffman_code_lengths(sf_dir: str) -> "pd.DataFrame":
+    """Optimal prefix-code lengths (Huffman) for the event-type alphabet
+    under the observed frequencies — the coding-theory companion to
+    ``compression_ratio`` (code_len is what an entropy coder would spend
+    per symbol; Kraft equality sums to one on a full tree).  Deterministic
+    tie rule: merge the two nodes minimal by (freq, min-member-label);
+    each merge adds one bit to every member's code.  The merge sequence is
+    replayed EXACTLY by the oracle as unrolled state-passing CTEs (CSV
+    member bookkeeping), so the lengths hash-match bit-for-bit.
+
+    Distributed cost: ONE O(|types|) frequency fold; the 4-merge tree is
+    driver arithmetic.  Output: (event_type, freq, code_len)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["event_type"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(
+            pa.table({"e": t["event_type"]}), "e"
+        ).aggregate([([], "count_all")])
+
+    f = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby("e")
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()  # O(|types|)
+    )
+    nodes = [
+        (int(n), str(e), frozenset([str(e)]))
+        for e, n in zip(f["e"], f["n"])
+    ]
+    depth = {str(e): 0 for e in f["e"]}
+    while len(nodes) > 1:
+        nodes.sort(key=lambda x: (x[0], x[1]))
+        (f1, l1, m1), (f2, l2, m2) = nodes[0], nodes[1]
+        merged = (f1 + f2, min(l1, l2), m1 | m2)
+        for s in m1 | m2:
+            depth[s] += 1
+        nodes = nodes[2:] + [merged]
+    out = pd.DataFrame(
+        {
+            "event_type": f["e"].astype(str),
+            "freq": f["n"].astype("int64"),
+            "code_len": [depth[str(e)] for e in f["e"]],
+        }
+    )
+    out["code_len"] = out["code_len"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def _huffman_sql(merges: int = _HUFFMAN_MERGES) -> str:
+    ctes = [
+        "s_0 AS (SELECT event_type AS lbl, COUNT(*) AS freq,"
+        " event_type AS members FROM events GROUP BY 1)"
+    ]
+    for k in range(1, merges + 1):
+        p = k - 1
+        ctes.append(f"""m_{k} AS (
+  SELECT lbl, freq, members,
+         ROW_NUMBER() OVER (ORDER BY freq, lbl) AS rn
+  FROM s_{p}
+), merged_{k} AS (
+  SELECT MIN(lbl) AS lbl, SUM(freq) AS freq,
+         string_agg(members, ',' ORDER BY lbl) AS members
+  FROM m_{k} WHERE rn <= 2
+), s_{k} AS (
+  SELECT lbl, freq, members FROM m_{k} WHERE rn > 2
+  UNION ALL SELECT lbl, freq, members FROM merged_{k}
+)""")
+    contains = " + ".join(
+        f"(SELECT CASE WHEN (',' || m.members || ',')"
+        f" LIKE ('%,' || s.lbl || ',%') THEN 1 ELSE 0 END FROM merged_{k} m)"
+        for k in range(1, merges + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT s.lbl AS event_type, CAST(s.freq AS BIGINT) AS freq,
+       CAST({contains} AS BIGINT) AS code_len
+FROM s_0 s ORDER BY event_type
+"""
+    )
+
+
+HUFFMAN_CODE_LENGTHS_SQL = _huffman_sql()

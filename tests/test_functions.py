@@ -3213,3 +3213,23 @@ def test_label_homophily(ray_session):
     tri = G.triangle_count(sf)
     assert int(got["n_edges"].iloc[0]) == int(tri["n_edges"].iloc[0])
     assert got["lift_den"].iloc[0] > 0
+
+
+def test_huffman_code_lengths(ray_session):
+    """Huffman: oracle equality plus Kraft EQUALITY (full binary tree:
+    sum 2^-len == 1) and the monotone law — higher frequency never gets a
+    longer code."""
+    import duckdb
+    from fractions import Fraction
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.huffman_code_lengths(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(E.HUFFMAN_CODE_LENGTHS_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert sum(Fraction(1, 2 ** int(l)) for l in got["code_len"]) == 1
+    s = got.sort_values("freq")
+    assert (s["code_len"].diff().dropna() <= 0).all()
