@@ -582,6 +582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekend_effect_ks": events.weekend_effect_ks,
         "label_homophily": similarity.label_homophily,
         "huffman_code_lengths": events.huffman_code_lengths,
+        "greedy_bandit_replay": events.greedy_bandit_replay,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -795,6 +796,7 @@ def oracle_sql() -> dict[str, str]:
         "weekend_effect_ks": events.WEEKEND_EFFECT_KS_SQL,
         "label_homophily": similarity.LABEL_HOMOPHILY_SQL,
         "huffman_code_lengths": events.HUFFMAN_CODE_LENGTHS_SQL,
+        "greedy_bandit_replay": events.GREEDY_BANDIT_REPLAY_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

@@ -5891,3 +5891,106 @@ FROM s_0 s ORDER BY event_type
 
 
 HUFFMAN_CODE_LENGTHS_SQL = _huffman_sql()
+
+
+# -- offline greedy-bandit replay ------------------------------------------------
+
+_BANDIT_UNPLAYED_KEY = 1 << 62  # optimistic init: unplayed arms rank first
+
+
+def greedy_bandit_replay(sf_dir: str) -> "pd.DataFrame":
+    """Offline policy evaluation of the greedy bandit over event types at
+    day granularity: each day the policy plays the arm (event type) with
+    the highest running mean value over all PRIOR days (floor-scaled
+    integer mean ``cum_v_cents * 10^6 // cum_n`` so the ranking key is
+    identical on both engines; unplayed arms rank first — optimistic
+    initialization — and ties break to the lexicographically smallest
+    type), and earns that type's actual day total.  The counterfactual
+    replay a recommendation/routing pipeline runs before an online test.
+
+    ONE (type, day) fold (the shared record_days bound); the sequential
+    scan is O(span x |types|) driver arithmetic and a pure window-function
+    oracle (no unroll — the policy depends on prefix sums only).
+    Output: (day, chosen_type, reward_n, reward_v_cents)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["ts", "event_type", "value"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
+        folded = pa.table({"e": t["event_type"], "day": day, "v": cents})
+        return pa.TableGroupBy(folded, ["e", "day"]).aggregate(
+            [("v", "count"), ("v", "sum")]
+        )
+
+    d = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(["e", "day"])
+        .aggregate(
+            Sum("v_count", alias_name="n"), Sum("v_sum", alias_name="v")
+        )
+        .to_pandas()  # O(|types| x span)
+    )
+    types = sorted(d["e"].unique())
+    days = np.sort(d["day"].unique())
+    stat = {
+        (r.e, int(r.day)): (int(r.n), int(r.v)) for r in d.itertuples()
+    }
+    cum = {e: [0, 0] for e in types}  # n, v
+    rows = []
+    for day in days:
+        day = int(day)
+        best_key, best_e = None, None
+        for e in types:  # |types| is tiny; key is exact integer
+            cn, cv = cum[e]
+            key = cv * 1_000_000 // cn if cn > 0 else _BANDIT_UNPLAYED_KEY
+            if best_key is None or key > best_key:
+                best_key, best_e = key, e
+        n_d, v_d = stat.get((best_e, day), (0, 0))
+        rows.append(
+            {"day": day, "chosen_type": best_e, "reward_n": n_d,
+             "reward_v_cents": v_d}
+        )
+        for e in types:
+            s = stat.get((e, day))
+            if s:
+                cum[e][0] += s[0]
+                cum[e][1] += s[1]
+    out = pd.DataFrame(rows)
+    for c in ("day", "reward_n", "reward_v_cents"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+GREEDY_BANDIT_REPLAY_SQL = f"""
+WITH td AS (
+  SELECT event_type AS e, epoch_us(ts) // 86400000000 AS day,
+         COUNT(*) AS n, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT d.day, t.e FROM (SELECT DISTINCT day FROM td) d
+  CROSS JOIN (SELECT DISTINCT e FROM td) t
+), cum AS (
+  SELECT g.day, g.e, COALESCE(td.n, 0) AS n_d, COALESCE(td.v, 0) AS v_d,
+         COALESCE(SUM(td.n) OVER (PARTITION BY g.e ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn,
+         COALESCE(SUM(td.v) OVER (PARTITION BY g.e ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cv
+  FROM grid g LEFT JOIN td ON td.e = g.e AND td.day = g.day
+), keyed AS (
+  SELECT day, e, n_d, v_d,
+         CASE WHEN cn > 0 THEN cv * 1000000 // cn
+              ELSE {_BANDIT_UNPLAYED_KEY} END AS key,
+         ROW_NUMBER() OVER (PARTITION BY day
+             ORDER BY CASE WHEN cn > 0 THEN cv * 1000000 // cn
+                           ELSE {_BANDIT_UNPLAYED_KEY} END DESC, e) AS rn
+  FROM cum
+)
+SELECT CAST(day AS BIGINT) AS day, e AS chosen_type,
+       CAST(n_d AS BIGINT) AS reward_n,
+       CAST(v_d AS BIGINT) AS reward_v_cents
+FROM keyed WHERE rn = 1 ORDER BY day
+"""

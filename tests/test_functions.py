@@ -3233,3 +3233,27 @@ def test_huffman_code_lengths(ray_session):
     assert sum(Fraction(1, 2 ** int(l)) for l in got["code_len"]) == 1
     s = got.sort_values("freq")
     assert (s["code_len"].diff().dropna() <= 0).all()
+
+
+def test_greedy_bandit_replay(ray_session):
+    """Bandit replay: oracle equality; day 1 exercises the optimistic
+    tie (all arms unplayed -> lexicographically smallest type); rewards
+    never exceed the day totals."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.greedy_bandit_replay(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(E.GREEDY_BANDIT_REPLAY_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    types = [r[0] for r in con.execute(
+        "SELECT DISTINCT event_type FROM events ORDER BY 1").fetchall()]
+    assert got["chosen_type"].iloc[0] == types[0]
+    day_tot = dict(con.execute(
+        "SELECT epoch_us(ts) // 86400000000, COUNT(*) FROM events GROUP BY 1"
+    ).fetchall())
+    for day, rn in zip(got["day"], got["reward_n"]):
+        assert 0 <= rn <= day_tot[day]
