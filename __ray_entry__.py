@@ -583,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_homophily": similarity.label_homophily,
         "huffman_code_lengths": events.huffman_code_lengths,
         "greedy_bandit_replay": events.greedy_bandit_replay,
+        "lang_vocab_jaccard": text.lang_vocab_jaccard,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -797,6 +798,7 @@ def oracle_sql() -> dict[str, str]:
         "label_homophily": similarity.LABEL_HOMOPHILY_SQL,
         "huffman_code_lengths": events.HUFFMAN_CODE_LENGTHS_SQL,
         "greedy_bandit_replay": events.GREEDY_BANDIT_REPLAY_SQL,
+        "lang_vocab_jaccard": text.LANG_VOCAB_JACCARD_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

@@ -3473,3 +3473,127 @@ SELECT token, CAST(df AS BIGINT) AS df, CAST(tf AS BIGINT) AS tf,
        CAST(df*sumsq - tf*tf AS BIGINT) AS fano_num
 FROM st ORDER BY df DESC, token LIMIT 20
 """
+
+
+# -- cross-lingual vocabulary overlap -------------------------------------------
+
+
+def lang_vocab_jaccard(sf_dir: str) -> "object":
+    """Pairwise EXACT vocabulary Jaccard between languages — the
+    cross-lingual contamination signal (a high en/de token overlap says
+    the lang labels leak or the corpus code-switches; loanword rates for
+    free).  Output: (lang_a, lang_b, n_inter, n_union) for every lang
+    pair (a < b), zero-filled, as cleared integers.
+
+    Distributed shape: batch-local distinct (token, lang) combiner ->
+    ONE crc32(token)-bucket co-location (all copies of a (token, lang)
+    land together, so in-kernel dedup is global) -> per-bucket pandas
+    self-merge per token emits pair partials plus per-lang vocab-size
+    partials on the same exchange; the global fold is O(|langs|^2).  The
+    vocab axis never leaves the bucket kernel (Heaps-bounded buckets)."""
+    import zlib
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from ._util import n_buckets
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows * 50)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        seen = set()
+        for lang, text in zip(
+            t.column("lang").to_pylist(), t.column("text").to_pylist()
+        ):
+            for tok in TOKEN_RE.findall(text.lower()):
+                seen.add((tok, lang))
+        toks = [x[0] for x in seen]
+        return pd.DataFrame(
+            {
+                "gb": pd.Series(
+                    [zlib.crc32(x.encode()) % nb for x in toks], dtype="int32"
+                ),
+                "tok": pd.Series(toks, dtype="object"),
+                "lang": pd.Series([x[1] for x in seen], dtype="object"),
+            }
+        )
+
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["tok", "lang"])
+        # per-lang vocab-size partials
+        sizes = g.groupby("lang", sort=False).size()
+        # per-token lang pairs
+        m = g.merge(g, on="tok")
+        m = m[m["lang_x"] < m["lang_y"]]
+        pairs = (
+            m.groupby(["lang_x", "lang_y"], sort=False).size().reset_index(name="c")
+        )
+        out_a = list(pairs["lang_x"]) + list(sizes.index)
+        out_b = list(pairs["lang_y"]) + [""] * len(sizes)
+        out_c = list(pairs["c"]) + list(sizes)
+        return pd.DataFrame(
+            {
+                "la": pd.Series(out_a, dtype="object"),
+                "lb": pd.Series(out_b, dtype="object"),
+                "c": pd.Series(out_c, dtype="int64"),
+            }
+        )
+
+    parts = (
+        _read_docs(sf_dir, ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(bucket_fold, batch_format="pandas")
+        .groupby(["la", "lb"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # O(|langs|^2)
+    )
+    sizes = {
+        r.la: int(r.c) for r in parts[parts["lb"] == ""].itertuples()
+    }
+    inter = {
+        (r.la, r.lb): int(r.c)
+        for r in parts[parts["lb"] != ""].itertuples()
+    }
+    langs = sorted(sizes)
+    rows = []
+    for i, a in enumerate(langs):
+        for b in langs[i + 1:]:
+            ii = inter.get((a, b), 0)
+            rows.append(
+                {
+                    "lang_a": a,
+                    "lang_b": b,
+                    "n_inter": ii,
+                    "n_union": sizes[a] + sizes[b] - ii,
+                }
+            )
+    out = pd.DataFrame(rows)
+    out["n_inter"] = out["n_inter"].astype("int64")
+    out["n_union"] = out["n_union"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+LANG_VOCAB_JACCARD_SQL = """
+WITH tl AS (
+  SELECT DISTINCT lang,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents
+), sizes AS (
+  SELECT lang, COUNT(*) AS n FROM tl GROUP BY 1
+), grid AS (
+  SELECT a.lang AS la, b.lang AS lb, a.n AS na, b.n AS nb_
+  FROM sizes a JOIN sizes b ON a.lang < b.lang
+), inter AS (
+  SELECT a.lang AS la, b.lang AS lb, COUNT(*) AS c
+  FROM tl a JOIN tl b ON a.tok = b.tok AND a.lang < b.lang
+  GROUP BY 1, 2
+)
+SELECT g.la AS lang_a, g.lb AS lang_b,
+       CAST(COALESCE(i.c, 0) AS BIGINT) AS n_inter,
+       CAST(g.na + g.nb_ - COALESCE(i.c, 0) AS BIGINT) AS n_union
+FROM grid g LEFT JOIN inter i ON i.la = g.la AND i.lb = g.lb
+ORDER BY lang_a, lang_b
+"""

@@ -3257,3 +3257,22 @@ def test_greedy_bandit_replay(ray_session):
     ).fetchall())
     for day, rn in zip(got["day"], got["reward_n"]):
         assert 0 <= rn <= day_tot[day]
+
+
+def test_lang_vocab_jaccard(ray_session):
+    """Lang vocab Jaccard: oracle equality, the full C(|langs|,2) grid,
+    and set laws n_inter <= min vocab <= n_union."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import text as T
+
+    sf = "/root/testdata/sf0.001"
+    got = T.lang_vocab_jaccard(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.execute(T.LANG_VOCAB_JACCARD_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    n_langs = con.execute("SELECT COUNT(DISTINCT lang) FROM documents").fetchone()[0]
+    assert len(got) == n_langs * (n_langs - 1) // 2
+    assert (got["n_inter"] <= got["n_union"]).all()
+    assert (got["n_inter"] >= 0).all()
