@@ -1701,12 +1701,14 @@ def _supplier_nation_revenue(sf_dir: str) -> "object":
         ckv = pc.cast(t["o_custkey"], pa.int64()).to_numpy()
         ok = pc.cast(t["o_orderkey"], pa.int64()).to_numpy()
         nat = cn_[np.searchsorted(ck_, ckv)]
-        return pd.DataFrame(
+        # ARROW out: these blocks cross the union + bucket shuffle, where a
+        # pandas block pays ~13x (BASELINE block-format finding)
+        return pa.table(
             {
-                "ob": (ok % OB).astype(np.int32),
-                "key": ok,
-                "s": np.full(len(ok), -1, dtype=np.int64),
-                "v": nat,
+                "ob": pa.array((ok % OB).astype(np.int32)),
+                "key": pa.array(ok),
+                "s": pa.array(np.full(len(ok), -1, dtype=np.int64)),
+                "v": pa.array(nat.astype(np.int64)),
             }
         )
 
@@ -1716,16 +1718,16 @@ def _supplier_nation_revenue(sf_dir: str) -> "object":
         rev = pc.cast(
             pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()
         ).to_numpy()
-        return pd.DataFrame(
+        return pa.table(
             {
-                "ob": (ok % OB).astype(np.int32),
-                "key": ok,
-                "s": sk,
-                "v": rev,
+                "ob": pa.array((ok % OB).astype(np.int32)),
+                "key": pa.array(ok),
+                "s": pa.array(sk),
+                "v": pa.array(rev),
             }
         )
 
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
+    def fold(g: pd.DataFrame) -> pa.Table:
         nat = g[g["s"] == -1].set_index("key")["v"]
         li = g[g["s"] != -1]
         out = pd.DataFrame(
@@ -1735,9 +1737,16 @@ def _supplier_nation_revenue(sf_dir: str) -> "object":
                 "rev_c2": li["v"].to_numpy(np.int64),
             }
         )
-        return out.groupby(
+        f = out.groupby(
             ["s_suppkey", "nationkey"], as_index=False
         )["rev_c2"].sum()
+        return pa.table(
+            {
+                "s_suppkey": pa.array(f["s_suppkey"].to_numpy(np.int64)),
+                "nationkey": pa.array(f["nationkey"].to_numpy(np.int64)),
+                "rev_c2": pa.array(f["rev_c2"].to_numpy(np.int64)),
+            }
+        )
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
         o_rows, batch_format="pyarrow"
