@@ -193,6 +193,18 @@ QUERY_CHUNKS = [
      "zipf_check", "rich_club", "ann_recall_at_k", "loo_centroid_shift",
      "brand_centrality", "stable_assignment", "t_closeness_audit",
      "h_index_suppliers", "median_polish", "chao1_vocab"],
+    # session-9 additions (single-/two-exchange folds, the 5-scenario
+    # attribution unroll, the sweep-line + convolution ops; the minhash
+    # calibration and the inflation KPI share the LSH/CC machinery)
+    ["user_active_time", "dft_weekly_power", "peak_concurrency",
+     "fd_discovery", "markov_attribution", "burstiness_terms",
+     "minhash_jaccard_calibration", "hodges_lehmann_qty",
+     "boilerplate_shingles", "dup_token_inflation", "name_clusters",
+     "bounce_rate", "sax_motifs_by_type", "hash_ring_balance",
+     "rolling_wau_exact", "weekend_effect_ks", "huffman_code_lengths",
+     "greedy_bandit_replay", "lang_vocab_jaccard"],
+    # session-9 graph additions share the knn-graph memo
+    ["ktruss_edges", "transitivity_global", "label_homophily"],
 ]
 
 
