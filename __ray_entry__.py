@@ -584,6 +584,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "huffman_code_lengths": events.huffman_code_lengths,
         "greedy_bandit_replay": events.greedy_bandit_replay,
         "lang_vocab_jaccard": text.lang_vocab_jaccard,
+        "token_gini": text.token_gini,
+        "bytes_per_token_by_lang": text.bytes_per_token_by_lang,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -799,6 +801,8 @@ def oracle_sql() -> dict[str, str]:
         "huffman_code_lengths": events.HUFFMAN_CODE_LENGTHS_SQL,
         "greedy_bandit_replay": events.GREEDY_BANDIT_REPLAY_SQL,
         "lang_vocab_jaccard": text.LANG_VOCAB_JACCARD_SQL,
+        "token_gini": text.TOKEN_GINI_SQL,
+        "bytes_per_token_by_lang": text.BYTES_PER_TOKEN_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

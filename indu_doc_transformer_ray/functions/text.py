@@ -3597,3 +3597,134 @@ SELECT g.la AS lang_a, g.lb AS lang_b,
 FROM grid g LEFT JOIN inter i ON i.la = g.la AND i.lb = g.lb
 ORDER BY lang_a, lang_b
 """
+
+
+# -- token-mass concentration -----------------------------------------------
+
+
+def token_gini(sf_dir: str) -> "object":
+    """Exact Gini coefficient of per-document token counts — the corpus
+    concentration KPI (how much of the token mass lives in a few giant
+    docs; drives chunking and packing policy).  Cleared integers from the
+    length HISTOGRAM: with distinct lengths v (count c) in ascending
+    order and s the 1-based start rank of v's run, the rank-weighted sum
+    is S1 = sum v*(c*s + c*(c-1)/2), and G = (2*S1 - (n+1)*T) / (n*T) —
+    emitted as (n_docs, total_tokens, gini_num, gini_den).  ONE
+    domain-bounded fold (the doclen_percentiles shape); driver arithmetic
+    is O(distinct lengths) in exact Python ints."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    def lengths(t: pa.Table) -> pa.Table:
+        n = [len(TOKEN_RE.findall(x.lower())) for x in t.column("text").to_pylist()]
+        return pa.table({"n_tokens": pa.array(n, pa.int64())})
+
+    hist = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(lengths, batch_format="pyarrow")
+        .groupby("n_tokens")
+        .aggregate(Count(alias_name="cnt"))
+        .to_pandas()  # O(distinct lengths)
+        .sort_values("n_tokens")
+    )
+    n = int(hist["cnt"].sum())
+    T = 0
+    S1 = 0
+    s = 1  # 1-based start rank of the current run
+    for v, c in zip(hist["n_tokens"], hist["cnt"]):
+        v, c = int(v), int(c)
+        T += v * c
+        S1 += v * (c * s + c * (c - 1) // 2)
+        s += c
+    out = pd.DataFrame(
+        {
+            "n_docs": [n],
+            "total_tokens": [T],
+            "gini_num": [2 * S1 - (n + 1) * T],
+            "gini_den": [n * T],
+        }
+    )
+    return out.astype("int64")
+
+
+TOKEN_GINI_SQL = """
+WITH l AS (
+  SELECT len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS v
+  FROM documents
+), h AS (
+  SELECT v, CAST(COUNT(*) AS HUGEINT) AS c FROM l GROUP BY v
+), r AS (
+  SELECT v, c,
+         COALESCE(SUM(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 AS s
+  FROM h
+), agg AS (
+  SELECT SUM(c) AS n, SUM(v * c) AS t,
+         SUM(v * (c * s + c * (c - 1) // 2)) AS s1
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(t AS BIGINT) AS total_tokens,
+       CAST(2 * s1 - (n + 1) * t AS BIGINT) AS gini_num,
+       CAST(n * t AS BIGINT) AS gini_den
+FROM agg
+"""
+
+
+# -- tokenizer fairness ---------------------------------------------------------
+
+
+def bytes_per_token_by_lang(sf_dir: str) -> "object":
+    """Tokenizer-fairness KPI: characters spent per token by language —
+    the per-language cost ratio that decides whether a tokenizer taxes
+    some languages (the 'tokenizer premium').  Emitted as cleared
+    integers (lang, n_docs, n_chars, n_tokens); the ratio is
+    n_chars/n_tokens.  One map-side combiner into an O(|langs|) fold."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs = t.column("lang").to_pylist()
+        texts = t.column("text").to_pylist()
+        toks = [len(TOKEN_RE.findall(x.lower())) for x in texts]
+        chars = [len(x) for x in texts]
+        folded = pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "d": pa.array([1] * len(langs), pa.int64()),
+                "ch": pa.array(chars, pa.int64()),
+                "tk": pa.array(toks, pa.int64()),
+            }
+        )
+        return pa.TableGroupBy(folded, "lang").aggregate(
+            [("d", "sum"), ("ch", "sum"), ("tk", "sum")]
+        )
+
+    out = (
+        _read_docs(sf_dir, ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("d_sum", alias_name="n_docs"),
+            Sum("ch_sum", alias_name="n_chars"),
+            Sum("tk_sum", alias_name="n_tokens"),
+        )
+        .to_pandas()  # O(|langs|)
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    for c in ("n_docs", "n_chars", "n_tokens"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+BYTES_PER_TOKEN_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(text)) AS BIGINT) AS n_chars,
+       CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9_]+')))
+            AS BIGINT) AS n_tokens
+FROM documents GROUP BY lang ORDER BY lang
+"""

@@ -3276,3 +3276,35 @@ def test_lang_vocab_jaccard(ray_session):
     assert len(got) == n_langs * (n_langs - 1) // 2
     assert (got["n_inter"] <= got["n_union"]).all()
     assert (got["n_inter"] >= 0).all()
+
+
+def test_token_gini_and_bytes_per_token(ray_session):
+    """Token Gini: oracle equality + 0 <= G < 1 (gini_num in [0, den))
+    and the rank-sum identity via a brute-force sorted replay.
+    Bytes/token: oracle equality + chars >= tokens per lang."""
+    import duckdb
+    import numpy as np
+
+    from indu_doc_transformer_ray.functions import text as T
+
+    sf = "/root/testdata/sf0.001"
+    got = T.token_gini(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.execute(T.TOKEN_GINI_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert 0 <= got["gini_num"].iloc[0] < got["gini_den"].iloc[0]
+    lens = np.sort(
+        con.execute(
+            "SELECT len(regexp_extract_all(lower(text), '[a-z0-9_]+'))"
+            " FROM documents"
+        ).df().iloc[:, 0].to_numpy(np.int64)
+    )
+    n, tt = len(lens), int(lens.sum())
+    s1 = int((np.arange(1, n + 1, dtype=np.int64) * lens).sum())
+    assert got["gini_num"].iloc[0] == 2 * s1 - (n + 1) * tt
+
+    got2 = T.bytes_per_token_by_lang(sf)
+    want2 = con.execute(T.BYTES_PER_TOKEN_SQL).df()
+    assert got2.values.tolist() == want2.values.tolist()
+    assert (got2["n_chars"] >= got2["n_tokens"]).all()
