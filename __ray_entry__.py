@@ -586,6 +586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_vocab_jaccard": text.lang_vocab_jaccard,
         "token_gini": text.token_gini,
         "bytes_per_token_by_lang": text.bytes_per_token_by_lang,
+        "business_days_latency": relational.business_days_latency,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -803,6 +804,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_vocab_jaccard": text.LANG_VOCAB_JACCARD_SQL,
         "token_gini": text.TOKEN_GINI_SQL,
         "bytes_per_token_by_lang": text.BYTES_PER_TOKEN_SQL,
+        "business_days_latency": relational.BUSINESS_DAYS_LATENCY_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

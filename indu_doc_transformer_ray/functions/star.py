@@ -1908,3 +1908,117 @@ SELECT s AS s_suppkey,
        CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM ranked GROUP BY s ORDER BY s
 """
+
+
+# -- business-day fulfillment latency -----------------------------------------
+
+
+def business_days_latency(sf_dir: str) -> "object":
+    """Histogram of order fulfillment latency in BUSINESS days (order date
+    exclusive through last ship date inclusive, epoch-day weekend
+    convention day%7 in {2,3}) — the SLA metric that calendar-day latency
+    ops (q12 and friends) get wrong by up to 2/7.  Weekday counting is the
+    closed form W(d) = 5*(d//7) + r - [r>=3] - [r>=4] (r = d%7, W = #
+    weekdays in [0, d)), so both engines do identical integer arithmetic —
+    no calendar tables.
+
+    Distributed shape: one orderkey-bucket co-location (orders + lineitem
+    union, arrow blocks) computes each order's MAX ship day and its
+    business-day latency in-kernel, folding to per-bucket histogram
+    partials; the global fold is O(latency domain).  Output: (biz_days,
+    n_orders)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    OB = n_buckets(pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t["o_orderkey"], pa.int64()).to_numpy()
+        day = (
+            pc.cast(t["o_orderdate"], pa.int64()).to_numpy() // 86_400_000_000
+        )
+        return pa.table(
+            {
+                "ob": pa.array((ok % OB).astype(np.int32)),
+                "key": pa.array(ok),
+                "d": pa.array(day.astype(np.int64)),
+                "kind": pa.array(np.zeros(len(ok), np.int8)),
+            }
+        )
+
+    def l_rows(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t["l_orderkey"], pa.int64()).to_numpy()
+        day = (
+            pc.cast(t["l_shipdate"], pa.int64()).to_numpy() // 86_400_000_000
+        )
+        return pa.table(
+            {
+                "ob": pa.array((ok % OB).astype(np.int32)),
+                "key": pa.array(ok),
+                "d": pa.array(day.astype(np.int64)),
+                "kind": pa.array(np.ones(len(ok), np.int8)),
+            }
+        )
+
+    def W(d: "np.ndarray") -> "np.ndarray":
+        r = d % 7
+        return 5 * (d // 7) + r - (r >= 3) - (r >= 4)
+
+    def fold(g: pd.DataFrame) -> pa.Table:
+        o = g[g["kind"] == 0].set_index("key")["d"]
+        ship = g[g["kind"] == 1].groupby("key")["d"].max()
+        both = o.to_frame("od").join(ship.to_frame("sd"), how="inner")
+        od = both["od"].to_numpy(np.int64)
+        sd = both["sd"].to_numpy(np.int64)
+        biz = W(sd + 1) - W(od + 1)
+        vals, cnts = np.unique(biz, return_counts=True)
+        return pa.table(
+            {
+                "biz_days": pa.array(vals.astype(np.int64)),
+                "n_p": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        o_rows, batch_format="pyarrow"
+    )
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+        l_rows, batch_format="pyarrow"
+    )
+    out = (
+        li.union(orders)
+        .groupby("ob")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("biz_days")
+        .aggregate(Sum("n_p", alias_name="n_orders"))
+        .to_pandas()  # O(latency domain)
+        .sort_values("biz_days")
+        .reset_index(drop=True)
+    )
+    out["biz_days"] = out["biz_days"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out
+
+
+BUSINESS_DAYS_LATENCY_SQL = """
+WITH o AS (
+  SELECT o_orderkey, epoch_us(o_orderdate) // 86400000000 AS od FROM orders
+), s AS (
+  SELECT l_orderkey, MAX(epoch_us(l_shipdate) // 86400000000) AS sd
+  FROM lineitem GROUP BY 1
+), b AS (
+  SELECT (5 * ((sd + 1) // 7) + (sd + 1) % 7
+          - CASE WHEN (sd + 1) % 7 >= 3 THEN 1 ELSE 0 END
+          - CASE WHEN (sd + 1) % 7 >= 4 THEN 1 ELSE 0 END)
+       - (5 * ((od + 1) // 7) + (od + 1) % 7
+          - CASE WHEN (od + 1) % 7 >= 3 THEN 1 ELSE 0 END
+          - CASE WHEN (od + 1) % 7 >= 4 THEN 1 ELSE 0 END) AS biz_days
+  FROM o JOIN s ON s.l_orderkey = o.o_orderkey
+)
+SELECT CAST(biz_days AS BIGINT) AS biz_days,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM b GROUP BY 1 ORDER BY 1
+"""

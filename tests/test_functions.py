@@ -3308,3 +3308,31 @@ def test_token_gini_and_bytes_per_token(ray_session):
     want2 = con.execute(T.BYTES_PER_TOKEN_SQL).df()
     assert got2.values.tolist() == want2.values.tolist()
     assert (got2["n_chars"] >= got2["n_tokens"]).all()
+
+
+def test_business_days_latency(ray_session):
+    """Business-day latency: oracle equality, conservation (orders with
+    >= 1 lineitem), and the weekday-count formula gated against a brute
+    force on a known range."""
+    import duckdb
+    import numpy as np
+
+    from indu_doc_transformer_ray.functions import star as ST
+
+    sf = "/root/testdata/sf0.001"
+    got = ST.business_days_latency(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    want = con.execute(ST.BUSINESS_DAYS_LATENCY_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    n = con.execute(
+        "SELECT COUNT(*) FROM orders WHERE o_orderkey IN"
+        " (SELECT l_orderkey FROM lineitem)"
+    ).fetchone()[0]
+    assert got["n_orders"].sum() == n
+    # closed-form weekday count vs brute force over a 3-week window
+    for d in range(21):
+        brute = sum(1 for k in range(d) if k % 7 not in (2, 3))
+        r = d % 7
+        assert 5 * (d // 7) + r - (r >= 3) - (r >= 4) == brute
