@@ -10,7 +10,10 @@ monotonic value trends (Mann-Kendall), seasonal-naive forecast error,
 price-quantile sketch, distinct-user sketches, Benford first-digit
 conformance, lang-source independence (chi-square) and diversity
 (Simpson), Zipf rank-frequency, OOV vocabulary coverage, self-repetition
-bands, MASE forecastability, Page-Hinkley drift and record-days trend — every payload is the
+bands, MASE forecastability, Page-Hinkley drift, record-days trend, token-mass Gini, tokenizer
+fairness, FD schema audit, weekend KS drift, weekly spectral line, SAX
+motifs, bounce rate, Huffman code budget, MinHash calibration, dup token
+inflation, cross-lingual vocab overlap and hash-ring balance — every payload is the
 hash-exact output of a SQL-oracled `queries()` entry, so the report
 inherits the registry's correctness gate.
 
@@ -54,6 +57,20 @@ AUDIT_QUERIES = (
     "page_hinkley_by_type",
     "record_days_by_type",
     "t_closeness_audit",
+    # session-9 audit family (all bounded: O(1) rows, O(|langs|^2),
+    # O(types x 27), O(bins))
+    "token_gini",
+    "bytes_per_token_by_lang",
+    "fd_discovery",
+    "weekend_effect_ks",
+    "dft_weekly_power",
+    "sax_motifs_by_type",
+    "bounce_rate",
+    "huffman_code_lengths",
+    "minhash_jaccard_calibration",
+    "dup_token_inflation",
+    "lang_vocab_jaccard",
+    "hash_ring_balance",
 )
 
 
