@@ -8,7 +8,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (230 of 248): every deterministic construction is
+                      (288 of 307): every deterministic construction is
                       mirrored — MinHash-LSH/SimHash/winnowing via
                       md5-based hashing, HyperLogLog + KMV via their md5
                       registers/hashes, k-means and IVF via an unrolled
@@ -597,6 +597,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # absorbing-chain unroll, the sketch-calibration join, the
         # carry-independent sweep), then session-8's
         "markov_attribution", "minhash_jaccard_calibration",
+        "huffman_code_lengths", "greedy_bandit_replay",
+        "lang_vocab_jaccard", "token_gini", "business_days_latency",
+        "label_homophily",
         "ktruss_edges", "dup_token_inflation", "rolling_wau_exact",
         "sax_motifs_by_type", "hodges_lehmann_qty", "weekend_effect_ks",
         "peak_concurrency", "fd_discovery", "burstiness_terms",
