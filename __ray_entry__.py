@@ -587,6 +587,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_gini": text.token_gini,
         "bytes_per_token_by_lang": text.bytes_per_token_by_lang,
         "business_days_latency": relational.business_days_latency,
+        "type_user_inner": events.type_user_inner,
+        "runs_test_by_type": events.runs_test_by_type,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -808,6 +810,8 @@ def oracle_sql() -> dict[str, str]:
         "token_gini": text.TOKEN_GINI_SQL,
         "bytes_per_token_by_lang": text.BYTES_PER_TOKEN_SQL,
         "business_days_latency": relational.BUSINESS_DAYS_LATENCY_SQL,
+        "type_user_inner": events.TYPE_USER_INNER_SQL,
+        "runs_test_by_type": events.RUNS_TEST_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

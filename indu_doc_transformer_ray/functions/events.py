@@ -5994,3 +5994,179 @@ SELECT CAST(day AS BIGINT) AS day, e AS chosen_type,
        CAST(v_d AS BIGINT) AS reward_v_cents
 FROM keyed WHERE rn = 1 ORDER BY day
 """
+
+
+# -- frequency-weighted type co-engagement --------------------------------------
+
+
+def type_user_inner(sf_dir: str) -> "pd.DataFrame":
+    """Frequency-weighted co-engagement between event types: the exact
+    inner product of per-user activity vectors <n_u,a * n_u,b> per type
+    pair, with the squared norms — the cleared-integer ingredients of the
+    cosine similarity between types (the 'users who click also buy'
+    number with magnitudes, where ``kmv_type_overlap`` only counts set
+    overlap).  ONE user-bucket co-location; the kernel pivots each
+    bucket's (user, type) counts and folds all C(|types|,2)+|types|
+    partials in-kernel, so the exchange is O(|types|^2).
+    Output: (type_a, type_b, inner, norm2_a, norm2_b)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["user_id", "event_type"])
+    ubk = _user_buckets(sf_dir)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        folded = pa.table(
+            {
+                "ub": pc.cast(pc.bit_wise_and(uid, ubk - 1), pa.int32()),
+                "user_id": uid,
+                "e": t["event_type"],
+            }
+        )
+        return pa.TableGroupBy(folded, ["ub", "user_id", "e"]).aggregate(
+            [([], "count_all")]
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        piv = (
+            g.groupby(["user_id", "e"])["count_all"].sum().unstack(fill_value=0)
+        )
+        types = sorted(piv.columns)
+        m = piv[types].to_numpy(np.int64)
+        gram = m.T @ m  # |types| x |types|, exact int64
+        rows_a, rows_b, inner, na, nb2 = [], [], [], [], []
+        for i, a in enumerate(types):
+            for j in range(i + 1, len(types)):
+                rows_a.append(a)
+                rows_b.append(types[j])
+                inner.append(int(gram[i, j]))
+                na.append(int(gram[i, i]))
+                nb2.append(int(gram[j, j]))
+        return pa.table(
+            {
+                "type_a": pa.array(rows_a, pa.string()),
+                "type_b": pa.array(rows_b, pa.string()),
+                "inner": pa.array(inner, pa.int64()),
+                "norm2_a": pa.array(na, pa.int64()),
+                "norm2_b": pa.array(nb2, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["type_a", "type_b"])
+        .aggregate(
+            Sum("inner", alias_name="inner"),
+            Sum("norm2_a", alias_name="norm2_a"),
+            Sum("norm2_b", alias_name="norm2_b"),
+        )
+        .to_pandas()  # O(|types|^2)
+        .sort_values(["type_a", "type_b"])
+        .reset_index(drop=True)
+    )
+    for c in ("inner", "norm2_a", "norm2_b"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+TYPE_USER_INNER_SQL = """
+WITH uc AS (
+  SELECT user_id, event_type AS e, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.e AS type_a, b.e AS type_b, SUM(a.c * b.c) AS inner
+  FROM uc a JOIN uc b ON a.user_id = b.user_id AND a.e < b.e
+  GROUP BY 1, 2
+), norms AS (
+  SELECT e, SUM(c * c) AS n2 FROM uc GROUP BY e
+), grid AS (
+  SELECT a.e AS type_a, b.e AS type_b, a.n2 AS norm2_a, b.n2 AS norm2_b
+  FROM norms a JOIN norms b ON a.e < b.e
+)
+SELECT g.type_a, g.type_b,
+       CAST(COALESCE(p.inner, 0) AS BIGINT) AS inner,
+       CAST(g.norm2_a AS BIGINT) AS norm2_a,
+       CAST(g.norm2_b AS BIGINT) AS norm2_b
+FROM grid g LEFT JOIN pairs p USING (type_a, type_b)
+ORDER BY type_a, type_b
+"""
+
+
+# -- Wald-Wolfowitz runs test ----------------------------------------------------
+
+
+def runs_test_by_type(sf_dir: str) -> "pd.DataFrame":
+    """Wald-Wolfowitz runs test ingredients per event type: symbolize each
+    day as above (1) or not-above (0) that type's MEDIAN daily count
+    (lower median, the doclen convention) and count the runs of equal
+    symbols over the day-ordered series — too FEW runs says trend/
+    clustering, too many says oscillation; expected runs under randomness
+    is 1 + 2*n1*n0/(n1+n0), so everything stays a cleared integer.
+    ONE shared (type, day) fold, O(span) driver scan.
+    Output: (event_type, n_days, n_above, n_runs)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["ts", "event_type"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        folded = pa.table({"e": t["event_type"], "day": day})
+        return pa.TableGroupBy(folded, ["e", "day"]).aggregate([([], "count_all")])
+
+    d = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(["e", "day"])
+        .aggregate(Sum("count_all", alias_name="c"))
+        .to_pandas()  # O(|types| x span)
+    )
+    rows = []
+    for e, sub in d.groupby("e"):
+        sub = sub.sort_values("day")
+        cs = sub["c"].to_numpy(np.int64)
+        n = len(cs)
+        med = int(np.sort(cs)[(n - 1) // 2])
+        sym = (cs > med).astype(np.int64)
+        n_runs = 1 + int((sym[1:] != sym[:-1]).sum()) if n else 0
+        rows.append(
+            {"event_type": e, "n_days": n, "n_above": int(sym.sum()),
+             "n_runs": n_runs}
+        )
+    out = pd.DataFrame(sorted(rows, key=lambda r: r["event_type"]))
+    for c in ("n_days", "n_above", "n_runs"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+RUNS_TEST_SQL = """
+WITH d AS (
+  SELECT event_type AS e, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT e, day, c,
+         ROW_NUMBER() OVER (PARTITION BY e ORDER BY c, day) AS rn,
+         COUNT(*) OVER (PARTITION BY e) AS n
+  FROM d
+), med AS (
+  SELECT e, MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN c END) AS m
+  FROM r GROUP BY e
+), sym AS (
+  SELECT d.e, d.day, CASE WHEN d.c > med.m THEN 1 ELSE 0 END AS s
+  FROM d JOIN med USING (e)
+), runs AS (
+  SELECT e, s,
+         LAG(s) OVER (PARTITION BY e ORDER BY day) AS prev
+  FROM sym
+)
+SELECT e AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(s) AS BIGINT) AS n_above,
+       CAST(SUM(CASE WHEN prev IS NULL OR s <> prev THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_runs
+FROM runs GROUP BY e ORDER BY event_type
+"""

@@ -3336,3 +3336,28 @@ def test_business_days_latency(ray_session):
         brute = sum(1 for k in range(d) if k % 7 not in (2, 3))
         r = d % 7
         assert 5 * (d // 7) + r - (r >= 3) - (r >= 4) == brute
+
+
+def test_type_user_inner_and_runs(ray_session):
+    """Co-engagement inner product: oracle equality + Cauchy-Schwarz
+    inner^2 <= norm2_a * norm2_b.  Runs test: oracle equality + the runs
+    bounds 1 <= n_runs <= n_days and n_above < n_days (median symbol has
+    at least one not-above day)."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.type_user_inner(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(E.TYPE_USER_INNER_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert (got["inner"] ** 2 <= got["norm2_a"] * got["norm2_b"]).all()
+
+    got2 = E.runs_test_by_type(sf)
+    want2 = con.execute(E.RUNS_TEST_SQL).df()
+    assert got2.values.tolist() == want2.values.tolist()
+    assert (got2["n_runs"] >= 1).all()
+    assert (got2["n_runs"] <= got2["n_days"]).all()
+    assert (got2["n_above"] < got2["n_days"]).all()
