@@ -589,6 +589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "business_days_latency": relational.business_days_latency,
         "type_user_inner": events.type_user_inner,
         "runs_test_by_type": events.runs_test_by_type,
+        "cms_calibration": sketches.cms_calibration,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -812,6 +813,7 @@ def oracle_sql() -> dict[str, str]:
         "business_days_latency": relational.BUSINESS_DAYS_LATENCY_SQL,
         "type_user_inner": events.TYPE_USER_INNER_SQL,
         "runs_test_by_type": events.RUNS_TEST_SQL,
+        "cms_calibration": sketches.CMS_CALIBRATION_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

@@ -269,21 +269,11 @@ def _cm_cell(row: int, tok: str) -> int:
     return row * CM_W + int(h, 16) % CM_W
 
 
-def count_min_probe(sf_dir: str) -> "object":
-    """Count-min sketch over the corpus token stream, then point-frequency
-    probes: the mergeable counting complement of Bloom (membership) and HLL
-    (distincts).  Build: every batch folds its token counts into partial
-    (cell, cnt) rows — a Counter per batch, CM_D cells per distinct token —
-    and ONE small groupby().sum() merges them into the <= CM_W x CM_D-cell
-    sketch (partials-before-shuffle; the shuffle moves sketch cells, never
-    tokens).  Probe: estimate(tok) = min over its CM_D cells — >= the true
-    count, == for tokens without collisions.  Deterministic md5 hashing
-    makes the approximate estimates themselves hash-checkable
-    (``COUNT_MIN_PROBE_SQL``).  Output: (token, cm_estimate) for the fixed
-    probe list."""
+def _cm_sketch(sf_dir: str) -> dict:
+    """Build the CM_W x CM_D count-min sketch over the corpus token stream
+    (per-batch Counter partials -> one cell groupby); shared by the probe
+    op and the calibration audit."""
     from collections import Counter
-
-    import pandas as pd
 
     from ray.data.aggregate import Sum
 
@@ -310,7 +300,24 @@ def count_min_probe(sf_dir: str) -> "object":
         .aggregate(Sum("cnt", alias_name="s"))
         .to_pandas()  # <= CM_W x CM_D rows — the sketch itself, tiny
     )
-    cm = dict(zip(sketch["cell"], sketch["s"]))
+    return dict(zip(sketch["cell"], sketch["s"]))
+
+
+def count_min_probe(sf_dir: str) -> "object":
+    """Count-min sketch over the corpus token stream, then point-frequency
+    probes: the mergeable counting complement of Bloom (membership) and HLL
+    (distincts).  Build: every batch folds its token counts into partial
+    (cell, cnt) rows — a Counter per batch, CM_D cells per distinct token —
+    and ONE small groupby().sum() merges them into the <= CM_W x CM_D-cell
+    sketch (partials-before-shuffle; the shuffle moves sketch cells, never
+    tokens).  Probe: estimate(tok) = min over its CM_D cells — >= the true
+    count, == for tokens without collisions.  Deterministic md5 hashing
+    makes the approximate estimates themselves hash-checkable
+    (``COUNT_MIN_PROBE_SQL``).  Output: (token, cm_estimate) for the fixed
+    probe list."""
+    import pandas as pd
+
+    cm = _cm_sketch(sf_dir)
 
     probes = CM_PROBE_TOKENS
     return pd.DataFrame(
@@ -2509,4 +2516,74 @@ SELECT nn.f AS l_returnflag, CAST(nn.n AS BIGINT) AS n,
        CAST(nn.n_pairs AS BIGINT) AS n_pairs,
        CAST(pick.hl2_low AS BIGINT) AS hl2_low
 FROM nn JOIN pick ON pick.f = nn.f ORDER BY l_returnflag
+"""
+
+
+def cms_calibration(sf_dir: str, k: int = 20) -> "object":
+    """Count-min calibration audit: for the EXACT top-k tokens, the
+    sketch's estimate vs the true count and the collision overestimate —
+    the before-you-trust-it measurement for the CMS at production width
+    (estimates are always >= exact; the gap profile says whether CM_W
+    is sized right for the corpus's head).  Both legs are md5-exact, so
+    even the audit is SQL-oracled (the minhash_jaccard_calibration
+    pattern applied to the counting sketch).
+
+    Cost: the corpus-scan sketch fold + the Heaps-bounded vocab top-k;
+    probes are driver arithmetic.  Output: (token, exact_n, cm_estimate,
+    overestimate) ordered (exact_n desc, token)."""
+    import pandas as pd
+
+    from .text import vocab_topk
+
+    cm = _cm_sketch(sf_dir)
+    top = vocab_topk(sf_dir, k).to_pandas()
+    est = [
+        min(int(cm.get(_cm_cell(r, t), 0)) for r in range(CM_D))
+        for t in top["token"]
+    ]
+    out = pd.DataFrame(
+        {
+            "token": top["token"].astype(str),
+            "exact_n": top["n"].astype("int64"),
+            "cm_estimate": pd.Series(est, dtype="int64"),
+        }
+    )
+    out["overestimate"] = (out["cm_estimate"] - out["exact_n"]).astype("int64")
+    return out.reset_index(drop=True)
+
+
+CMS_CALIBRATION_SQL = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+), rows AS (
+  SELECT CAST(i AS INTEGER) AS i FROM range({CM_D}) t(i)
+), cells AS (
+  SELECT i,
+         i * {CM_W}
+         + CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 16))
+                AS UBIGINT) % {CM_W} AS cell,
+         SUM(c) AS s
+  FROM cnt CROSS JOIN rows
+  GROUP BY 1, 2
+), topk AS (
+  SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 20
+), pc AS (
+  SELECT t.tok, r.i,
+         r.i * {CM_W}
+         + CAST(concat('0x', substr(md5(CAST(r.i AS VARCHAR) || ':' || t.tok), 1, 16))
+                AS UBIGINT) % {CM_W} AS cell
+  FROM topk t CROSS JOIN rows r
+), est AS (
+  SELECT p.tok, MIN(COALESCE(cl.s, 0)) AS e
+  FROM pc p LEFT JOIN cells cl ON p.i = cl.i AND p.cell = cl.cell
+  GROUP BY p.tok
+)
+SELECT t.tok AS token, CAST(t.c AS BIGINT) AS exact_n,
+       CAST(e.e AS BIGINT) AS cm_estimate,
+       CAST(e.e - t.c AS BIGINT) AS overestimate
+FROM topk t JOIN est e ON e.tok = t.tok
+ORDER BY exact_n DESC, token
 """

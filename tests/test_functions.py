@@ -3361,3 +3361,25 @@ def test_type_user_inner_and_runs(ray_session):
     assert (got2["n_runs"] >= 1).all()
     assert (got2["n_runs"] <= got2["n_days"]).all()
     assert (got2["n_above"] < got2["n_days"]).all()
+
+
+def test_cms_calibration(ray_session):
+    """CMS calibration: oracle equality plus the sketch law — estimates
+    never undercount (overestimate >= 0) and the probe op agrees where
+    probe tokens intersect the top-k."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import sketches as S
+
+    sf = "/root/testdata/sf0.001"
+    got = S.cms_calibration(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.execute(S.CMS_CALIBRATION_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert (got["overestimate"] >= 0).all()
+    probe = S.count_min_probe(sf)
+    pm = dict(zip(probe["token"], probe["cm_estimate"]))
+    for t, e in zip(got["token"], got["cm_estimate"]):
+        if t in pm:
+            assert pm[t] == e
