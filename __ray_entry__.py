@@ -590,6 +590,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_user_inner": events.type_user_inner,
         "runs_test_by_type": events.runs_test_by_type,
         "cms_calibration": sketches.cms_calibration,
+        "hll_calibration": sketches.hll_calibration,
+        "ddsketch_calibration": sketches.ddsketch_calibration,
+        "bloom_calibration": sketches.bloom_calibration,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -814,6 +817,9 @@ def oracle_sql() -> dict[str, str]:
         "type_user_inner": events.TYPE_USER_INNER_SQL,
         "runs_test_by_type": events.RUNS_TEST_SQL,
         "cms_calibration": sketches.CMS_CALIBRATION_SQL,
+        "hll_calibration": sketches.HLL_CALIBRATION_SQL,
+        "ddsketch_calibration": sketches.DDSKETCH_CALIBRATION_SQL,
+        "bloom_calibration": sketches.BLOOM_CALIBRATION_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

@@ -2587,3 +2587,190 @@ SELECT t.tok AS token, CAST(t.c AS BIGINT) AS exact_n,
 FROM topk t JOIN est e ON e.tok = t.tok
 ORDER BY exact_n DESC, token
 """
+
+
+# -- sketch calibration audits ---------------------------------------------------
+# Every sketch in this engine is md5-deterministic, so its accuracy audit
+# is ALSO SQL-oracled (PATTERNS.md block 22): estimate and exact truth run
+# side by side and even the error column hash-matches.
+
+
+def hll_calibration(sf_dir: str) -> "object":
+    """HyperLogLog calibration: per event type, the sketch's distinct-user
+    estimate vs the exact two-level-groupby truth with the ppm error —
+    the audit that justifies replacing COUNT DISTINCT with an O(registers)
+    sketch at 100 TB.  Output: (event_type, exact_distinct,
+    approx_distinct, err_ppm)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+    from ._util import read_small_aware
+
+    h = hll_users_per_type(sf_dir)
+    h = h.to_pandas() if hasattr(h, "to_pandas") else h
+
+    ds = read_small_aware(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def dedup_local(t: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(
+            pa.table({"e": t["event_type"], "u": t["user_id"]}), ["e", "u"]
+        ).aggregate([])
+
+    exact = (
+        ds.map_batches(dedup_local, batch_format="pyarrow")
+        .groupby(["e", "u"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("e")
+        .aggregate(Count(alias_name="exact_distinct"))
+        .to_pandas()
+        .rename(columns={"e": "event_type"})
+    )
+    out = exact.merge(h, on="event_type").sort_values("event_type")
+    out["exact_distinct"] = out["exact_distinct"].astype("int64")
+    out["approx_distinct"] = out["approx_distinct"].astype("int64")
+    out["err_ppm"] = (
+        (out["approx_distinct"] - out["exact_distinct"]).abs()
+        * 1_000_000
+        // out["exact_distinct"]
+    ).astype("int64")
+    return out.reset_index(drop=True)
+
+
+HLL_CALIBRATION_SQL = f"""
+WITH h AS ({HLL_USERS_SQL}),
+ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY 1
+)
+SELECT h.event_type,
+       CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+       CAST(h.approx_distinct AS BIGINT) AS approx_distinct,
+       CAST(ABS(h.approx_distinct - ex.exact_distinct) * 1000000
+            // ex.exact_distinct AS BIGINT) AS err_ppm
+FROM h JOIN ex USING (event_type) ORDER BY event_type
+"""
+
+
+def ddsketch_calibration(sf_dir: str) -> "object":
+    """DDSketch calibration at the overlapping grid points (p50, p99):
+    the sketch's relative-error GUARANTEE made measurable — est/exact must
+    sit within the sketch's gamma band, and the emitted err_ppm is the
+    observed relative error.  Composes the two existing passes; output:
+    (q_mu, exact_c2, est_c2, err_ppm)."""
+    import pandas as pd
+
+    ex = exact_price_quantiles(sf_dir)
+    ex = ex.to_pandas() if hasattr(ex, "to_pandas") else ex
+    dd = ddsketch_price_quantiles(sf_dir)
+    dd = dd.to_pandas() if hasattr(dd, "to_pandas") else dd
+    dd = dd.assign(q_mu=dd["q_bp"] * 100)
+    out = ex.merge(dd[["q_mu", "est_c2"]], on="q_mu").sort_values("q_mu")
+    out = out.rename(columns={"value_c2": "exact_c2"})
+    out["err_ppm"] = (
+        (out["est_c2"] - out["exact_c2"]).abs() * 1_000_000 // out["exact_c2"]
+    ).astype("int64")
+    for c in ("q_mu", "exact_c2", "est_c2"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+DDSKETCH_CALIBRATION_SQL = f"""
+WITH ex AS ({EXACT_PRICE_QUANTILES_SQL}),
+dd AS ({DDSKETCH_PRICE_QUANTILES_SQL})
+SELECT CAST(ex.q_mu AS BIGINT) AS q_mu,
+       CAST(ex.value_c2 AS BIGINT) AS exact_c2,
+       CAST(dd.est_c2 AS BIGINT) AS est_c2,
+       CAST(ABS(dd.est_c2 - ex.value_c2) * 1000000 // ex.value_c2
+            AS BIGINT) AS err_ppm
+FROM ex JOIN dd ON dd.q_bp * 100 = ex.q_mu
+ORDER BY q_mu
+"""
+
+
+def bloom_calibration(sf_dir: str) -> "object":
+    """Bloom-filter calibration: over the odd-doc_id probe population,
+    exact duplicate truth (text md5 equality against the even-doc_id
+    build set, one hash-bucket co-location) vs the filter's flags — no
+    false negatives by construction, so n_false_pos = n_flagged -
+    n_true_dups and the observed FPR is (n_false_pos, n_probes) as a
+    cleared fraction.  Output: one row (n_probes, n_true_dups, n_flagged,
+    n_false_pos)."""
+    import hashlib as _hl
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+    from ._util import n_buckets
+    import pyarrow.parquet as pq
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows)
+
+    flags = bloom_probe(sf_dir)
+    n_flagged = int(flags.aggregate(Sum("maybe_dup", alias_name="n"))["n"])
+
+    def h_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        hs = [
+            int(_hl.md5(x.encode()).hexdigest()[:15], 16)
+            for x in t.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "gb": pa.array([h % nb for h in hs], pa.int32()),
+                "h": pa.array(hs, pa.int64()),
+                "odd": pa.array((ids % 2 == 1).astype("int8")),
+            }
+        )
+
+    def dup_fold(g: "pd.DataFrame") -> pa.Table:
+        even = set(g.loc[g["odd"] == 0, "h"])
+        odd = g[g["odd"] == 1]
+        n_probes = len(odd)
+        n_dups = int(odd["h"].isin(even).sum())
+        return pa.table(
+            {
+                "n_p": pa.array([n_probes], pa.int64()),
+                "n_d": pa.array([n_dups], pa.int64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .map_batches(h_rows, batch_format="pyarrow")
+        .groupby("gb")
+        .map_groups(dup_fold, batch_format="pandas")
+        .to_pandas()  # O(buckets)
+    )
+    n_probes = int(parts["n_p"].sum())
+    n_dups = int(parts["n_d"].sum())
+    return pd.DataFrame(
+        {
+            "n_probes": [n_probes],
+            "n_true_dups": [n_dups],
+            "n_flagged": [n_flagged],
+            "n_false_pos": [n_flagged - n_dups],
+        }
+    ).astype("int64")
+
+
+BLOOM_CALIBRATION_SQL = f"""
+WITH fl AS ({BLOOM_PROBE_SQL}),
+odd AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+ev AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),
+truth AS (
+  SELECT COUNT(*) AS n_probes,
+         SUM(CASE WHEN ev.text IS NOT NULL THEN 1 ELSE 0 END) AS n_true_dups
+  FROM odd LEFT JOIN ev ON ev.text = odd.text
+)
+SELECT CAST(t.n_probes AS BIGINT) AS n_probes,
+       CAST(t.n_true_dups AS BIGINT) AS n_true_dups,
+       CAST((SELECT SUM(maybe_dup) FROM fl) AS BIGINT) AS n_flagged,
+       CAST((SELECT SUM(maybe_dup) FROM fl) - t.n_true_dups AS BIGINT)
+         AS n_false_pos
+FROM truth t
+"""

@@ -3383,3 +3383,34 @@ def test_cms_calibration(ray_session):
     for t, e in zip(got["token"], got["cm_estimate"]):
         if t in pm:
             assert pm[t] == e
+
+
+def test_sketch_calibrations(ray_session):
+    """The three sketch calibrations: oracle equality each, plus the
+    sketch laws — DDSketch relative error within the 2% gamma band,
+    Bloom no-false-negatives (flagged >= true dups, false_pos >= 0),
+    HLL error sane at this register count (< 40%), DDSketch within its
+    1/16-octave bucket width."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import sketches as S
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+
+    h = S.hll_calibration(sf)
+    assert h.values.tolist() == con.execute(S.HLL_CALIBRATION_SQL).df().values.tolist()
+    assert (h["err_ppm"] < 400_000).all()
+
+    d = S.ddsketch_calibration(sf)
+    assert d.values.tolist() == con.execute(S.DDSKETCH_CALIBRATION_SQL).df().values.tolist()
+    # 16 sub-buckets per octave, lower-bound reporting => <= ~1/16 rel err
+    assert (d["err_ppm"] <= 65_000).all()
+
+    b = S.bloom_calibration(sf)
+    assert b.values.tolist() == con.execute(S.BLOOM_CALIBRATION_SQL).df().values.tolist()
+    assert b["n_flagged"].iloc[0] >= b["n_true_dups"].iloc[0]
+    assert b["n_false_pos"].iloc[0] >= 0
