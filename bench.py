@@ -202,7 +202,10 @@ QUERY_CHUNKS = [
      "boilerplate_shingles", "dup_token_inflation", "name_clusters",
      "bounce_rate", "sax_motifs_by_type", "hash_ring_balance",
      "rolling_wau_exact", "weekend_effect_ks", "huffman_code_lengths",
-     "greedy_bandit_replay", "lang_vocab_jaccard"],
+     "greedy_bandit_replay", "lang_vocab_jaccard", "token_gini",
+     "bytes_per_token_by_lang", "business_days_latency",
+     "type_user_inner", "runs_test_by_type", "cms_calibration",
+     "hll_calibration", "ddsketch_calibration", "bloom_calibration"],
     # session-9 graph additions share the knn-graph memo
     ["ktruss_edges", "transitivity_global", "label_homophily"],
 ]

@@ -71,6 +71,10 @@ AUDIT_QUERIES = (
     "dup_token_inflation",
     "lang_vocab_jaccard",
     "hash_ring_balance",
+    "cms_calibration",
+    "hll_calibration",
+    "ddsketch_calibration",
+    "bloom_calibration",
 )
 
 
