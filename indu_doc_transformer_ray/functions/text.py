@@ -3728,3 +3728,89 @@ SELECT lang,
             AS BIGINT) AS n_tokens
 FROM documents GROUP BY lang ORDER BY lang
 """
+
+
+# -- quantile normalization map --------------------------------------------------
+
+_QNORM_DECILES = tuple(range(10, 100, 10))
+
+
+def quantile_norm_chars(sf_dir: str) -> "object":
+    """Quantile-normalization map for document length by source: each
+    source's decile values of ``n_chars`` next to the corpus-global decile
+    at the same rank — the lookup table that equalizes length
+    distributions across sources before mixing (the bioinformatics
+    quantile-norm recipe applied to corpus curation).  Lower-rank
+    convention k = (n-1)*q // 100 on both engines.  ONE (source, n_chars)
+    histogram fold (value domain bounded); driver order statistics in
+    exact ints.  Output: (source, decile, src_value, global_value)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    hist = (
+        _read_docs(sf_dir, ["source", "n_chars"])
+        .groupby(["source", "n_chars"])
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()  # O(|sources| x distinct lengths)
+    )
+
+    def decile_values(sub: "pd.DataFrame") -> dict[int, int]:
+        sub = sub.sort_values("n_chars")
+        vals = sub["n_chars"].to_numpy(np.int64)
+        cnts = sub["c"].to_numpy(np.int64)
+        n = int(cnts.sum())
+        cum = cnts.cumsum()
+        out = {}
+        for q in _QNORM_DECILES:
+            k = (n - 1) * q // 100  # 0-based lower rank
+            out[q] = int(vals[np.searchsorted(cum, k + 1)])
+        return out
+
+    glob = decile_values(
+        hist.groupby("n_chars", as_index=False)["c"].sum().assign(
+            n_chars=lambda d: d["n_chars"]
+        )
+    )
+    rows = []
+    for src, sub in hist.groupby("source"):
+        dv = decile_values(sub)
+        for q in _QNORM_DECILES:
+            rows.append(
+                {"source": src, "decile": q, "src_value": dv[q],
+                 "global_value": glob[q]}
+            )
+    out = pd.DataFrame(sorted(rows, key=lambda r: (r["source"], r["decile"])))
+    for c in ("decile", "src_value", "global_value"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+QUANTILE_NORM_CHARS_SQL = """
+WITH r AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) - 1 AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+), g AS (
+  SELECT n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars) - 1 AS rk,
+         COUNT(*) OVER () AS n
+  FROM documents
+), qs AS (SELECT unnest([10, 20, 30, 40, 50, 60, 70, 80, 90]) AS decile),
+sv AS (
+  SELECT r.source, q.decile, MAX(r.n_chars) AS src_value
+  FROM r JOIN qs q ON r.rk = (r.n - 1) * q.decile // 100
+  GROUP BY 1, 2
+), gv AS (
+  SELECT q.decile, MAX(g.n_chars) AS global_value
+  FROM g JOIN qs q ON g.rk = (g.n - 1) * q.decile // 100
+  GROUP BY 1
+)
+SELECT sv.source, CAST(sv.decile AS BIGINT) AS decile,
+       CAST(sv.src_value AS BIGINT) AS src_value,
+       CAST(gv.global_value AS BIGINT) AS global_value
+FROM sv JOIN gv USING (decile)
+ORDER BY source, decile
+"""

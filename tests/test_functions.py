@@ -3414,3 +3414,21 @@ def test_sketch_calibrations(ray_session):
     assert b.values.tolist() == con.execute(S.BLOOM_CALIBRATION_SQL).df().values.tolist()
     assert b["n_flagged"].iloc[0] >= b["n_true_dups"].iloc[0]
     assert b["n_false_pos"].iloc[0] >= 0
+
+
+def test_quantile_norm_chars(ray_session):
+    """Quantile-norm map: oracle equality plus monotone deciles within
+    every source and the shared global column."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import text as T
+
+    sf = "/root/testdata/sf0.001"
+    got = T.quantile_norm_chars(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.execute(T.QUANTILE_NORM_CHARS_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    for _, sub in got.groupby("source"):
+        assert sub.sort_values("decile")["src_value"].is_monotonic_increasing
+    assert got.groupby("decile")["global_value"].nunique().eq(1).all()
