@@ -594,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ddsketch_calibration": sketches.ddsketch_calibration,
         "bloom_calibration": sketches.bloom_calibration,
         "quantile_norm_chars": text.quantile_norm_chars,
+        "effective_vocab": text.effective_vocab,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -824,6 +825,7 @@ def oracle_sql() -> dict[str, str]:
         "ddsketch_calibration": sketches.DDSKETCH_CALIBRATION_SQL,
         "bloom_calibration": sketches.BLOOM_CALIBRATION_SQL,
         "quantile_norm_chars": text.QUANTILE_NORM_CHARS_SQL,
+        "effective_vocab": text.EFFECTIVE_VOCAB_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

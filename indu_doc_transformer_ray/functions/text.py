@@ -3814,3 +3814,82 @@ SELECT sv.source, CAST(sv.decile AS BIGINT) AS decile,
 FROM sv JOIN gv USING (decile)
 ORDER BY source, decile
 """
+
+
+# -- effective vocabulary size ---------------------------------------------------
+
+
+def effective_vocab(sf_dir: str) -> "object":
+    """Effective vocabulary size (inverse-Simpson / perplexity-of-unigram
+    order 2): T^2 / sum(tf^2) — how many tokens the corpus behaves as if
+    it used, the single number complementing ``chao1_vocab`` (unseen
+    types) and ``heaps_vocab_growth`` (growth curve).  Emitted as the
+    cleared fraction (n_tokens, n_types, eff_num = T^2, eff_den =
+    sum tf^2) so no float ever appears; int64 casts raise on overflow
+    like the HUGEINT oracle.  One Heaps-bounded vocab fold."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        for text in t.column("text").to_pylist():
+            counts.update(TOKEN_RE.findall(text.lower()))
+        return pa.table(
+            {
+                "token": pa.array(list(counts.keys()), pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    tf = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = t["n"].to_numpy(zero_copy_only=False).astype(object)
+        return pa.table(
+            {
+                "t": pa.array([int((n).sum())], pa.int64()),
+                "ty": pa.array([len(n)], pa.int64()),
+                "sq": pa.array([int((n * n).sum())], pa.int64()),
+            }
+        )
+
+    # per-block scalar partials -> O(blocks) driver sum
+    agg = tf.map_batches(fold, batch_format="pyarrow").to_pandas()
+    T = int(agg["t"].sum())
+    types = int(agg["ty"].sum())
+    sq = int(agg["sq"].sum())
+    out = pd.DataFrame(
+        {
+            "n_tokens": [T],
+            "n_types": [types],
+            "eff_num": [T * T],
+            "eff_den": [sq],
+        }
+    )
+    out = out.astype("int64")  # raises on overflow, like the oracle
+    return out
+
+
+EFFECTIVE_VOCAB_SQL = """
+WITH tf AS (
+  SELECT tok, CAST(COUNT(*) AS HUGEINT) AS n
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+        FROM documents)
+  GROUP BY tok
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(n) * SUM(n) AS BIGINT) AS eff_num,
+       CAST(SUM(n * n) AS BIGINT) AS eff_den
+FROM tf
+"""

@@ -3432,3 +3432,22 @@ def test_quantile_norm_chars(ray_session):
     for _, sub in got.groupby("source"):
         assert sub.sort_values("decile")["src_value"].is_monotonic_increasing
     assert got.groupby("decile")["global_value"].nunique().eq(1).all()
+
+
+def test_effective_vocab(ray_session):
+    """Effective vocab: oracle equality plus the bounds 1 <= eff <=
+    n_types (Cauchy-Schwarz: T^2 <= types * sum tf^2, and sum tf^2 <=
+    T^2)."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import text as T
+
+    sf = "/root/testdata/sf0.001"
+    got = T.effective_vocab(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.execute(T.EFFECTIVE_VOCAB_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    t, ty, num, den = got.iloc[0]
+    assert den <= num  # eff >= 1
+    assert num <= ty * den  # eff <= n_types (Cauchy-Schwarz)
