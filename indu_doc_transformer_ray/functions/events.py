@@ -6170,3 +6170,97 @@ SELECT e AS event_type,
             AS BIGINT) AS n_runs
 FROM runs GROUP BY e ORDER BY event_type
 """
+
+
+# -- heavy-user outlier screen ---------------------------------------------------
+
+
+def user_activity_outliers(sf_dir: str) -> "pd.DataFrame":
+    """Heavy-user screen: users whose event count exceeds the population
+    mean by more than 5 standard deviations, decided in EXACT integer
+    arithmetic — the outlier test (n_u*N - S)^2 > 25*(N*Q - S^2) with
+    S = sum counts, Q = sum squared counts (both sides of the comparison
+    are the cleared-denominator forms of (n_u - mean) and 5*sigma).  The
+    bot/abuse triage a pipeline runs before user-level statistics.
+
+    Distributed shape: per-user counts fold inside the user-bucket
+    co-location straight to an ACTIVITY HISTOGRAM (count value -> n_users,
+    domain-bounded), so the driver sees O(distinct activity levels) and
+    the moments and the screen are exact Python-int arithmetic.  Output:
+    (n_users, sum_events, sumsq_events, n_outliers, max_activity)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["user_id"])
+    ubk = _user_buckets(sf_dir)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        folded = pa.table(
+            {
+                "ub": pc.cast(pc.bit_wise_and(uid, ubk - 1), pa.int32()),
+                "user_id": uid,
+            }
+        )
+        return pa.TableGroupBy(folded, ["ub", "user_id"]).aggregate(
+            [([], "count_all")]
+        )
+
+    def hist(g: pd.DataFrame) -> pa.Table:
+        per = g.groupby("user_id")["count_all"].sum()
+        vals, cnts = np.unique(per.to_numpy(np.int64), return_counts=True)
+        return pa.table(
+            {
+                "activity": pa.array(vals.astype(np.int64)),
+                "n_u": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    h = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(hist, batch_format="pandas")
+        .groupby("activity")
+        .aggregate(Sum("n_u", alias_name="n_u"))
+        .to_pandas()  # O(distinct activity levels)
+    )
+    acts = [int(x) for x in h["activity"]]
+    cnts = [int(x) for x in h["n_u"]]
+    N = sum(cnts)
+    S = sum(a * c for a, c in zip(acts, cnts))
+    Q = sum(a * a * c for a, c in zip(acts, cnts))
+    var_n = N * Q - S * S  # N^2 * variance
+    n_out = sum(
+        c
+        for a, c in zip(acts, cnts)
+        if a * N - S > 0 and (a * N - S) ** 2 > 25 * var_n
+    )
+    out = pd.DataFrame(
+        {
+            "n_users": [N],
+            "sum_events": [S],
+            "sumsq_events": [Q],
+            "n_outliers": [n_out],
+            "max_activity": [max(acts)],
+        }
+    )
+    return out.astype("int64")  # raises on overflow, like the oracle
+
+
+USER_ACTIVITY_OUTLIERS_SQL = """
+WITH per AS (
+  SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS n FROM events GROUP BY 1
+), m AS (
+  SELECT COUNT(*) AS nn, SUM(n) AS s, SUM(n * n) AS q, MAX(n) AS mx FROM per
+)
+SELECT CAST(m.nn AS BIGINT) AS n_users,
+       CAST(m.s AS BIGINT) AS sum_events,
+       CAST(m.q AS BIGINT) AS sumsq_events,
+       CAST((SELECT COUNT(*) FROM per, m
+             WHERE per.n * m.nn - m.s > 0
+               AND (per.n * m.nn - m.s) * (per.n * m.nn - m.s)
+                   > 25 * (m.nn * m.q - m.s * m.s)) AS BIGINT) AS n_outliers,
+       CAST(m.mx AS BIGINT) AS max_activity
+FROM m
+"""

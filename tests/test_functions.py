@@ -3451,3 +3451,22 @@ def test_effective_vocab(ray_session):
     t, ty, num, den = got.iloc[0]
     assert den <= num  # eff >= 1
     assert num <= ty * den  # eff <= n_types (Cauchy-Schwarz)
+
+
+def test_user_activity_outliers(ray_session):
+    """Heavy-user screen: oracle equality plus Chebyshev — at 5 sigma at
+    most N/25 users can be outliers — and moment sanity S <= Q."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.user_activity_outliers(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(E.USER_ACTIVITY_OUTLIERS_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    n, s, q, k, mx = got.iloc[0]
+    assert k <= n // 25
+    assert s <= q
+    assert mx * n >= s
