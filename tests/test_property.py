@@ -504,3 +504,134 @@ def test_ddsketch_bucket_invariants(v):
         assert rep == v
     else:
         assert v * 16 < rep * 17
+
+
+# -- session-9 kernel laws (pure arithmetic, no Ray) --------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1_000), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=200,
+    ),
+    st.integers(1, 7),
+)
+@settings(max_examples=100)
+def test_carry_independent_sweep_matches_global_scan(deltas, n_buckets):
+    """peak_concurrency's bucket decomposition: splitting the delta
+    stream into ANY contiguous time buckets and folding (total,
+    max_prefix, n_at_max, first_t) per bucket with a driver carry chain
+    equals the single global prefix scan."""
+    import numpy as np
+
+    t = np.array(sorted(d[0] for d in deltas), dtype=np.int64)
+    d = np.array([x[1] % 7 - 3 for x in deltas], dtype=np.int64)
+    # fold equal times (global truth)
+    ut, idx = np.unique(t, return_index=True)
+    sums = np.add.reduceat(d, idx)
+    c = sums.cumsum()
+    peak = int(c.max())
+    n_at = int((c == peak).sum())
+    first = int(ut[c == peak].min())
+    # bucketed replay
+    width = max(1, (int(ut.max()) - int(ut.min()) + 1) // n_buckets + 1)
+    tb = (ut - ut.min()) // width
+    bmax, bn, bfirst, btot = {}, {}, {}, {}
+    for b in np.unique(tb):
+        m = tb == b
+        cc = sums[m].cumsum()
+        mx = int(cc.max())
+        bmax[b] = mx
+        bn[b] = int((cc == mx).sum())
+        bfirst[b] = int(ut[m][cc == mx].min())
+        btot[b] = int(sums[m].sum())
+    carry = 0
+    gmax = None
+    for b in sorted(bmax):
+        v = carry + bmax[b]
+        if gmax is None or v > gmax:
+            gmax, gn, gfirst = v, bn[b], bfirst[b]
+        elif v == gmax:
+            gn += bn[b]
+            gfirst = min(gfirst, bfirst[b])
+        carry += btot[b]
+    assert (gmax, gn, gfirst) == (peak, n_at, first)
+
+
+@given(
+    st.lists(st.integers(1, 30), min_size=2, max_size=60),
+)
+@settings(max_examples=100)
+def test_hodges_lehmann_convolution_matches_brute_pairs(vals):
+    """hodges_lehmann_qty's histogram convolution == brute-force Walsh
+    pair enumeration (i<j), including the lower-median rank rule."""
+    import numpy as np
+    from collections import Counter
+
+    # brute force
+    sums = sorted(
+        vals[i] + vals[j]
+        for i in range(len(vals))
+        for j in range(i + 1, len(vals))
+    )
+    rank = (len(sums) - 1) // 2
+    want = sums[rank]
+    # convolution replay
+    h = Counter(vals)
+    vs = sorted(h)
+    conv: Counter = Counter()
+    for i, vi in enumerate(vs):
+        ci = h[vi]
+        conv[vi + vi] += ci * (ci - 1) // 2
+        for vj in vs[i + 1:]:
+            conv[vi + vj] += ci * h[vj]
+    P = sum(conv.values())
+    assert P == len(sums)
+    cum = 0
+    got = None
+    for s_ in sorted(conv):
+        cum += conv[s_]
+        if cum >= rank + 1:
+            got = s_
+            break
+    assert got == want
+
+
+@given(
+    st.lists(st.integers(1, 200), min_size=2, max_size=8),
+)
+@settings(max_examples=150)
+def test_huffman_merge_rule_optimal(freqs):
+    """huffman_code_lengths' deterministic merge rule yields an OPTIMAL
+    prefix code: expected length equals the classic heapq construction's
+    (ties may differ in shape, never in cost), and Kraft equality holds."""
+    import heapq
+    from fractions import Fraction
+
+    labels = [f"s{i}" for i in range(len(freqs))]
+    # engine rule
+    nodes = [(f, l, frozenset([l])) for f, l in zip(freqs, labels)]
+    depth = {l: 0 for l in labels}
+    while len(nodes) > 1:
+        nodes.sort(key=lambda x: (x[0], x[1]))
+        (f1, l1, m1), (f2, l2, m2) = nodes[0], nodes[1]
+        for s_ in m1 | m2:
+            depth[s_] += 1
+        nodes = nodes[2:] + [(f1 + f2, min(l1, l2), m1 | m2)]
+    cost = sum(f * depth[l] for f, l in zip(freqs, labels))
+    # reference heapq construction
+    heap = [(f, i, 0, [i]) for i, f in enumerate(freqs)]
+    heapq.heapify(heap)
+    d2 = [0] * len(freqs)
+    tick = len(freqs)
+    while len(heap) > 1:
+        f1, _, _, m1 = heapq.heappop(heap)
+        f2, _, _, m2 = heapq.heappop(heap)
+        for i in m1 + m2:
+            d2[i] += 1
+        heapq.heappush(heap, (f1 + f2, tick, 0, m1 + m2))
+        tick += 1
+    cost2 = sum(f * d for f, d in zip(freqs, d2))
+    assert cost == cost2
+    assert sum(Fraction(1, 2 ** depth[l]) for l in labels) == 1
