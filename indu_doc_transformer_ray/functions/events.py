@@ -27,6 +27,13 @@ from ray.data import Dataset
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
 
 
+def _ts_us_i64(col: "pa.ChunkedArray") -> "pa.ChunkedArray":
+    """Epoch MICROSECONDS as int64 regardless of the parquet timestamp
+    resolution (the table contract is us, but a ns-written file must not
+    silently scale every derived day/window by 1000)."""
+    return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+
+
 def _user_buckets(sf_dir: str) -> int:
     """Coarse user-bucket count derived from the events row count (parquet
     metadata only, no scan) so one bucket's in-kernel pandas frame stays
@@ -1344,7 +1351,7 @@ def cumulative_unique_users(sf_dir: str) -> "object":
     ds = _read_events(sf_dir, ["ts", "user_id"])
 
     def day_user(t: pa.Table) -> pa.Table:
-        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        day = pc.divide(_ts_us_i64(t["ts"]), 86_400_000_000)
         uid = pc.cast(t["user_id"], pa.int64())
         folded = pa.table(
             {
@@ -1379,7 +1386,7 @@ def cumulative_unique_users(sf_dir: str) -> "object":
     )
 
     def day_only(t: pa.Table) -> pa.Table:
-        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        day = pc.divide(_ts_us_i64(t["ts"]), 86_400_000_000)
         return pa.TableGroupBy(pa.table({"day": day}), "day").aggregate(
             [([], "count_all")]
         )
@@ -1707,7 +1714,7 @@ def dau_wau_stickiness(sf_dir: str) -> Dataset:
     ds = _read_events(sf_dir, ["ts", "user_id"])
 
     def day_user(t: pa.Table) -> pa.Table:
-        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        day = pc.divide(_ts_us_i64(t["ts"]), 86_400_000_000)
         uid = pc.cast(t["user_id"], pa.int64())
         folded = pa.table(
             {
@@ -3154,7 +3161,7 @@ def fano_factor_by_type(sf_dir: str) -> "pd.DataFrame":
     ds = _read_events(sf_dir, ["ts", "event_type"])
 
     def fold(t: pa.Table) -> pa.Table:
-        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        day = pc.divide(_ts_us_i64(t["ts"]), 86_400_000_000)
         folded = pa.table({"e": t["event_type"], "day": day})
         return pa.TableGroupBy(folded, ["e", "day"]).aggregate(
             [([], "count_all")]
@@ -3319,7 +3326,7 @@ def acf_daily_by_type(sf_dir: str) -> "pd.DataFrame":
     ds = _read_events(sf_dir, ["ts", "event_type"])
 
     def fold(t: pa.Table) -> pa.Table:
-        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        day = pc.divide(_ts_us_i64(t["ts"]), 86_400_000_000)
         folded = pa.table({"e": t["event_type"], "day": day})
         return pa.TableGroupBy(folded, ["e", "day"]).aggregate(
             [([], "count_all")]
@@ -3741,7 +3748,7 @@ def ccf_type_pairs(sf_dir: str) -> "pd.DataFrame":
     ds = _read_events(sf_dir, ["ts", "event_type"])
 
     def fold(t: pa.Table) -> pa.Table:
-        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        day = pc.divide(_ts_us_i64(t["ts"]), 86_400_000_000)
         folded = pa.table({"e": t["event_type"], "day": day})
         return pa.TableGroupBy(folded, ["e", "day"]).aggregate(
             [([], "count_all")]
@@ -4071,7 +4078,7 @@ def cpd_daily_by_type(sf_dir: str) -> "pd.DataFrame":
     ds = _read_events(sf_dir, ["ts", "event_type"])
 
     def fold(t: pa.Table) -> pa.Table:
-        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        day = pc.divide(_ts_us_i64(t["ts"]), 86_400_000_000)
         folded = pa.table({"e": t["event_type"], "day": day})
         return pa.TableGroupBy(folded, ["e", "day"]).aggregate(
             [([], "count_all")]
@@ -4255,7 +4262,7 @@ def holt_linear_by_type(sf_dir: str) -> "pd.DataFrame":
     ds = _read_events(sf_dir, ["ts", "event_type"])
 
     def fold(t: pa.Table) -> pa.Table:
-        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        day = pc.divide(_ts_us_i64(t["ts"]), 86_400_000_000)
         folded = pa.table({"e": t["event_type"], "day": day})
         return pa.TableGroupBy(folded, ["e", "day"]).aggregate(
             [([], "count_all")]
@@ -4456,7 +4463,7 @@ def mase_weekly(sf_dir: str) -> "pd.DataFrame":
     ds = _read_events(sf_dir, ["ts", "event_type"])
 
     def fold(t: pa.Table) -> pa.Table:
-        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        day = pc.divide(_ts_us_i64(t["ts"]), 86_400_000_000)
         folded = pa.table({"e": t["event_type"], "day": day})
         return pa.TableGroupBy(folded, ["e", "day"]).aggregate(
             [([], "count_all")]
@@ -4696,7 +4703,7 @@ def page_hinkley_by_type(sf_dir: str) -> "pd.DataFrame":
     ds = _read_events(sf_dir, ["ts", "event_type"])
 
     def fold(t: pa.Table) -> pa.Table:
-        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        day = pc.divide(_ts_us_i64(t["ts"]), 86_400_000_000)
         folded = pa.table({"e": t["event_type"], "day": day})
         return pa.TableGroupBy(folded, ["e", "day"]).aggregate(
             [([], "count_all")]
@@ -4795,7 +4802,7 @@ def haar_energy_by_type(sf_dir: str) -> "pd.DataFrame":
     ds = _read_events(sf_dir, ["ts", "event_type"])
 
     def fold(t: pa.Table) -> pa.Table:
-        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        day = pc.divide(_ts_us_i64(t["ts"]), 86_400_000_000)
         folded = pa.table({"e": t["event_type"], "day": day})
         return pa.TableGroupBy(folded, ["e", "day"]).aggregate(
             [([], "count_all")]
@@ -4881,7 +4888,7 @@ def record_days_by_type(sf_dir: str) -> "pd.DataFrame":
     ds = _read_events(sf_dir, ["ts", "event_type"])
 
     def fold(t: pa.Table) -> pa.Table:
-        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        day = pc.divide(_ts_us_i64(t["ts"]), 86_400_000_000)
         folded = pa.table({"e": t["event_type"], "day": day})
         return pa.TableGroupBy(folded, ["e", "day"]).aggregate(
             [([], "count_all")]
@@ -5045,7 +5052,7 @@ def dft_weekly_power(sf_dir: str) -> "pd.DataFrame":
     ds = _read_events(sf_dir, ["ts", "event_type"])
 
     def fold(t: pa.Table) -> pa.Table:
-        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        day = pc.divide(_ts_us_i64(t["ts"]), 86_400_000_000)
         k = pc.subtract(day, pc.multiply(pc.divide(day, 7), 7))
         folded = pa.table({"e": t["event_type"], "k": k})
         return pa.TableGroupBy(folded, ["e", "k"]).aggregate([([], "count_all")])
@@ -5546,7 +5553,7 @@ def sax_motifs_by_type(sf_dir: str) -> "pd.DataFrame":
     ds = _read_events(sf_dir, ["ts", "event_type"])
 
     def fold(t: pa.Table) -> pa.Table:
-        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        day = pc.divide(_ts_us_i64(t["ts"]), 86_400_000_000)
         folded = pa.table({"e": t["event_type"], "day": day})
         return pa.TableGroupBy(folded, ["e", "day"]).aggregate([([], "count_all")])
 
@@ -5636,7 +5643,7 @@ def rolling_wau_exact(sf_dir: str) -> "pd.DataFrame":
 
     def add_bucket(t: pa.Table) -> pa.Table:
         uid = pc.cast(t["user_id"], pa.int64())
-        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        day = pc.divide(_ts_us_i64(t["ts"]), 86_400_000_000)
         folded = pa.table(
             {
                 "ub": pc.cast(pc.bit_wise_and(uid, ubk - 1), pa.int32()),
@@ -5728,7 +5735,7 @@ def weekend_effect_ks(sf_dir: str) -> "pd.DataFrame":
     ds = _read_events(sf_dir, ["ts", "event_type", "value"])
 
     def fold(t: pa.Table) -> pa.Table:
-        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        day = pc.divide(_ts_us_i64(t["ts"]), 86_400_000_000)
         k = pc.subtract(day, pc.multiply(pc.divide(day, 7), 7))
         we = pc.or_(pc.equal(k, 2), pc.equal(k, 3))
         cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
@@ -5919,7 +5926,7 @@ def greedy_bandit_replay(sf_dir: str) -> "pd.DataFrame":
     ds = _read_events(sf_dir, ["ts", "event_type", "value"])
 
     def fold(t: pa.Table) -> pa.Table:
-        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        day = pc.divide(_ts_us_i64(t["ts"]), 86_400_000_000)
         cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
         folded = pa.table({"e": t["event_type"], "day": day, "v": cents})
         return pa.TableGroupBy(folded, ["e", "day"]).aggregate(
@@ -6115,7 +6122,7 @@ def runs_test_by_type(sf_dir: str) -> "pd.DataFrame":
     ds = _read_events(sf_dir, ["ts", "event_type"])
 
     def fold(t: pa.Table) -> pa.Table:
-        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        day = pc.divide(_ts_us_i64(t["ts"]), 86_400_000_000)
         folded = pa.table({"e": t["event_type"], "day": day})
         return pa.TableGroupBy(folded, ["e", "day"]).aggregate([([], "count_all")])
 

@@ -215,3 +215,90 @@ def test_sorted_neighborhood_halo_and_salt(ray_session, monkeypatch, tmp_path):
     )
     _compare_vs_oracle(got, con, dedup.SORTED_NEIGHBORHOOD_SQL,
                        "sorted_neighborhood_halo_salt")
+
+
+def test_peak_concurrency_degenerate_single_instant(ray_session, tmp_path):
+    """Every event at the SAME microsecond (one time bucket, maximal tie
+    mass): peak == #users, one peak time, oracle-equal."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    n = 200
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(["2024-01-01 12:00:00.000123"] * n),
+            "user_id": np.arange(n, dtype=np.int64) % 37,
+            "event_type": ["click"] * n,
+            "value": [1.0] * n,
+            "props": ["{}"] * n,
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet")
+    got = E.peak_concurrency(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    _compare_vs_oracle(got, con, E.PEAK_CONCURRENCY_SQL, "peak_concurrency")
+    assert got["peak"].iloc[0] == 37
+    assert got["n_peak_times"].iloc[0] == 1
+
+
+def test_user_active_time_single_user_all_ties(ray_session, tmp_path):
+    """One user, duplicate timestamps (zero gaps): union == exactly one
+    window; oracle-equal under arbitrary tie order."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    n = 64
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(["2024-01-01 00:00:00"] * n),
+            "user_id": np.zeros(n, dtype=np.int64),
+            "event_type": ["view"] * n,
+            "value": [0.0] * n,
+            "props": ["{}"] * n,
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet")
+    got = E.user_active_time(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    _compare_vs_oracle(got, con, E.USER_ACTIVE_TIME_SQL, "user_active_time")
+    assert len(got) == 1
+    assert got["active_us"].iloc[0] == E.ACTIVE_WINDOW_US
+
+
+def test_rolling_wau_gap_exactly_seven_days(ray_session, tmp_path):
+    """Active days exactly 7 apart: coverage intervals must NOT merge
+    (windows are [d, d+7)), the classic off-by-one; oracle-equal."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    days = [0, 7, 14, 30]
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(len(days), dtype=np.int64),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(days, unit="D"),
+            "user_id": np.zeros(len(days), dtype=np.int64),
+            "event_type": ["view"] * len(days),
+            "value": [0.0] * len(days),
+            "props": ["{}"] * len(days),
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet")
+    got = E.rolling_wau_exact(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    _compare_vs_oracle(got, con, E.ROLLING_WAU_SQL, "rolling_wau_exact")
+    assert set(got["wau"]) == {0, 1}  # never 2: windows abut, don't overlap
