@@ -1105,3 +1105,87 @@ SELECT fa AS flag_a, fb AS flag_b,
        CAST(SUM(cb * (2 * cab + ca)) AS BIGINT) AS u2_ba
 FROM w GROUP BY fa, fb ORDER BY fa, fb
 """
+
+
+# -- Simpson's-paradox screen ----------------------------------------------------
+
+
+def simpson_paradox_qty_discount(sf_dir: str) -> "object":
+    """Simpson's-paradox screen for the (quantity, discount) association:
+    the covariance NUMERATOR n*Sxy - Sx*Sy (the sign of the correlation,
+    denominator-free) per return-flag stratum AND pooled ('ALL') — a sign
+    flip between strata and pool is the aggregation-bias red flag every
+    metrics review should run before acting on a pooled correlation.
+    Quantity in units, discount in cents; exact Python-int products with
+    the overflow-raising int64 cast (HUGEINT -> BIGINT in the oracle).
+    ONE bounded per-flag moment fold.  Output: (stratum, n, cov_num)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ._relcommon import _read
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        d = pc.cast(pc.round(pc.multiply(t["l_discount"], 100)), pa.int64())
+        folded = pa.table(
+            {
+                "f": t["l_returnflag"],
+                "n": pa.array([1] * len(t), pa.int64()),
+                "sx": q,
+                "sy": d,
+                "sxy": pc.multiply(q, d),
+            }
+        )
+        return pa.TableGroupBy(folded, "f").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"), ("sxy", "sum")]
+        )
+
+    m = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("f")
+        .aggregate(
+            Sum("n_sum", alias_name="n"),
+            Sum("sx_sum", alias_name="sx"),
+            Sum("sy_sum", alias_name="sy"),
+            Sum("sxy_sum", alias_name="sxy"),
+        )
+        .to_pandas()  # O(|flags|)
+    )
+    rows = []
+    for r in m.itertuples():
+        n, sx, sy, sxy = int(r.n), int(r.sx), int(r.sy), int(r.sxy)
+        rows.append({"stratum": r.f, "n": n, "cov_num": n * sxy - sx * sy})
+    N = int(m["n"].sum())
+    SX = int(m["sx"].sum())
+    SY = int(m["sy"].sum())
+    SXY = int(m["sxy"].sum())
+    rows.append({"stratum": "ALL", "n": N, "cov_num": N * SXY - SX * SY})
+    out = pd.DataFrame(sorted(rows, key=lambda r: r["stratum"]))
+    out["n"] = out["n"].astype("int64")
+    out["cov_num"] = out["cov_num"].astype("int64")  # raises on overflow
+    return out.reset_index(drop=True)
+
+
+SIMPSON_PARADOX_SQL = """
+WITH x AS (
+  SELECT l_returnflag AS f,
+         CAST(ROUND(l_quantity) AS HUGEINT) AS q,
+         CAST(ROUND(l_discount * 100) AS HUGEINT) AS d
+  FROM lineitem
+), per AS (
+  SELECT f AS stratum, COUNT(*) AS n,
+         COUNT(*) * SUM(q * d) - SUM(q) * SUM(d) AS cov_num
+  FROM x GROUP BY f
+), pooled AS (
+  SELECT 'ALL' AS stratum, COUNT(*) AS n,
+         COUNT(*) * SUM(q * d) - SUM(q) * SUM(d) AS cov_num
+  FROM x
+)
+SELECT stratum, CAST(n AS BIGINT) AS n, CAST(cov_num AS BIGINT) AS cov_num
+FROM (SELECT * FROM per UNION ALL SELECT * FROM pooled)
+ORDER BY stratum
+"""

@@ -3470,3 +3470,22 @@ def test_user_activity_outliers(ray_session):
     assert k <= n // 25
     assert s <= q
     assert mx * n >= s
+
+
+def test_simpson_paradox_qty_discount(ray_session):
+    """Simpson screen: oracle equality plus the decomposition law — the
+    pooled n equals the stratum sum (the pooled cov_num is NOT the sum of
+    strata, which is the point of the screen)."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import relational as R
+
+    sf = "/root/testdata/sf0.001"
+    got = R.simpson_paradox_qty_discount(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    want = con.execute(R.SIMPSON_PARADOX_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    pooled = got[got["stratum"] == "ALL"]
+    strata = got[got["stratum"] != "ALL"]
+    assert pooled["n"].iloc[0] == strata["n"].sum()
