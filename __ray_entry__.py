@@ -607,6 +607,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # absorbing-chain unroll, the sketch-calibration join, the
         # carry-independent sweep), then session-8's
         "markov_attribution", "minhash_jaccard_calibration",
+        "user_activity_outliers", "simpson_paradox_qty_discount",
+        "quantile_norm_chars", "effective_vocab",
         "cms_calibration", "hll_calibration", "ddsketch_calibration",
         "bloom_calibration", "type_user_inner", "runs_test_by_type",
         "huffman_code_lengths", "greedy_bandit_replay",

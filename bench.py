@@ -205,7 +205,9 @@ QUERY_CHUNKS = [
      "greedy_bandit_replay", "lang_vocab_jaccard", "token_gini",
      "bytes_per_token_by_lang", "business_days_latency",
      "type_user_inner", "runs_test_by_type", "cms_calibration",
-     "hll_calibration", "ddsketch_calibration", "bloom_calibration"],
+     "hll_calibration", "ddsketch_calibration", "bloom_calibration",
+     "quantile_norm_chars", "effective_vocab", "user_activity_outliers",
+     "simpson_paradox_qty_discount"],
     # session-9 graph additions share the knn-graph memo
     ["ktruss_edges", "transitivity_global", "label_homophily"],
 ]

@@ -75,6 +75,10 @@ AUDIT_QUERIES = (
     "hll_calibration",
     "ddsketch_calibration",
     "bloom_calibration",
+    "user_activity_outliers",
+    "effective_vocab",
+    "quantile_norm_chars",
+    "simpson_paradox_qty_discount",
 )
 
 
