@@ -13,7 +13,7 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
                       md5-based hashing, HyperLogLog + KMV via their md5
                       registers/hashes, k-means and IVF via an unrolled
                       Lloyd CTE chain, hyperplane-LSH ANN via plane
-                      literals.  The eighteen rows-only ops are extraction
+                      literals.  The nineteen rows-only ops are extraction
                       semantics (pytest holds their span-equality gate vs
                       the single-process oracle — extract_spans,
                       extract_object_stats, search_targets_count), the
