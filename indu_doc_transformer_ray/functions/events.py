@@ -6271,3 +6271,140 @@ SELECT CAST(m.nn AS BIGINT) AS n_users,
        CAST(m.mx AS BIGINT) AS max_activity
 FROM m
 """
+
+
+# -- session-level co-occurrence lift --------------------------------------------
+
+
+def session_cross_lift(sf_dir: str) -> "pd.DataFrame":
+    """Session-grain co-occurrence lift between event types: for every
+    type pair, the number of sessions containing BOTH vs each alone and
+    the session total — the cleared ingredients of lift = P(a&b) /
+    (P(a)*P(b)) at the granularity where intent lives (the market-basket
+    primitive ``copurchase_type_pairs`` runs on orders; this one runs on
+    behavioral sessions).  Output: (type_a, type_b, n_both, n_a, n_b,
+    n_sessions), full C(|types|,2) grid zero-filled.
+
+    ONE user-bucket co-location: the kernel sessionizes the whole bucket
+    vectorized, dedups (session, type), and folds pair AND marginal
+    partials in-kernel, so the exchange is O(|types|^2)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["ts", "user_id", "event_type"])
+    ubk = _user_buckets(sf_dir)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        return t.append_column(
+            "ub", pc.cast(pc.bit_wise_and(uid, ubk - 1), pa.int32())
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        ts = g["ts"].astype("datetime64[us]").astype("int64")
+        same_user = g["user_id"].eq(g["user_id"].shift())
+        new_session = ((ts.diff() > SESSION_GAP_US) & same_user) | ~same_user
+        sid = new_session.cumsum()
+        st = pd.DataFrame(
+            {"sid": sid.values, "e": g["event_type"].values}
+        ).drop_duplicates()
+        n_sessions = int(sid.iloc[-1] - sid.iloc[0] + 1) if len(g) else 0
+        # marginals
+        marg = st.groupby("e", sort=False).size()
+        # pairs via in-kernel self-merge per session
+        m = st.merge(st, on="sid")
+        m = m[m["e_x"] < m["e_y"]]
+        pairs = m.groupby(["e_x", "e_y"], sort=False).size()
+        out_a = [a for a, _ in pairs.index] + list(marg.index) + ["\x00"]
+        out_b = [b for _, b in pairs.index] + [""] * len(marg) + [""]
+        out_c = list(pairs.values) + list(marg.values) + [n_sessions]
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.string()),
+                "b": pa.array(out_b, pa.string()),
+                "c": pa.array(np.asarray(out_c, dtype=np.int64)),
+            }
+        )
+
+    parts = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["a", "b"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # O(|types|^2)
+    )
+    n_sessions = int(parts.loc[parts["a"] == "\x00", "c"].sum())
+    marg = {
+        r.a: int(r.c)
+        for r in parts[(parts["b"] == "") & (parts["a"] != "\x00")].itertuples()
+    }
+    both = {
+        (r.a, r.b): int(r.c)
+        for r in parts[parts["b"] != ""].itertuples()
+    }
+    types = sorted(marg)
+    rows = []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            rows.append(
+                {
+                    "type_a": a,
+                    "type_b": b,
+                    "n_both": both.get((a, b), 0),
+                    "n_a": marg[a],
+                    "n_b": marg[b],
+                    "n_sessions": n_sessions,
+                }
+            )
+    out = pd.DataFrame(rows)
+    for c in ("n_both", "n_a", "n_b", "n_sessions"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+SESSION_CROSS_LIFT_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts)
+                   - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                   > 1800000000 THEN 1
+              WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                   IS NULL THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id, event_type,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM e
+), st AS (
+  SELECT DISTINCT user_id, sid, event_type FROM s
+), ns AS (
+  SELECT COUNT(*) AS n FROM (SELECT DISTINCT user_id, sid FROM st)
+), marg AS (
+  SELECT event_type, COUNT(*) AS n FROM st GROUP BY 1
+), bo AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n
+  FROM st a JOIN st b
+    ON a.user_id = b.user_id AND a.sid = b.sid
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT g.type_a, g.type_b,
+       CAST(COALESCE(bo.n, 0) AS BIGINT) AS n_both,
+       CAST(ma.n AS BIGINT) AS n_a,
+       CAST(mb.n AS BIGINT) AS n_b,
+       CAST(ns.n AS BIGINT) AS n_sessions
+FROM (SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM marg a JOIN marg b ON a.event_type < b.event_type) g
+JOIN marg ma ON ma.event_type = g.type_a
+JOIN marg mb ON mb.event_type = g.type_b
+LEFT JOIN bo ON bo.type_a = g.type_a AND bo.type_b = g.type_b
+CROSS JOIN ns
+ORDER BY g.type_a, g.type_b
+"""

@@ -3489,3 +3489,23 @@ def test_simpson_paradox_qty_discount(ray_session):
     pooled = got[got["stratum"] == "ALL"]
     strata = got[got["stratum"] != "ALL"]
     assert pooled["n"].iloc[0] == strata["n"].sum()
+
+
+def test_session_cross_lift(ray_session):
+    """Session cross lift: oracle equality plus the inclusion bounds
+    n_both <= min(n_a, n_b) <= n_sessions and conservation with
+    bounce_rate's session total."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.session_cross_lift(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(E.SESSION_CROSS_LIFT_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert (got["n_both"] <= got[["n_a", "n_b"]].min(axis=1)).all()
+    assert (got[["n_a", "n_b"]].max(axis=1) <= got["n_sessions"]).all()
+    br = E.bounce_rate(sf)
+    assert got["n_sessions"].iloc[0] == br["n_sessions"].sum()
