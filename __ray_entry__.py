@@ -609,6 +609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # carry-independent sweep), then session-8's
         "markov_attribution", "minhash_jaccard_calibration",
         "user_activity_outliers", "simpson_paradox_qty_discount",
+        "session_cross_lift",
         "quantile_norm_chars", "effective_vocab",
         "cms_calibration", "hll_calibration", "ddsketch_calibration",
         "bloom_calibration", "type_user_inner", "runs_test_by_type",

@@ -207,7 +207,7 @@ QUERY_CHUNKS = [
      "type_user_inner", "runs_test_by_type", "cms_calibration",
      "hll_calibration", "ddsketch_calibration", "bloom_calibration",
      "quantile_norm_chars", "effective_vocab", "user_activity_outliers",
-     "simpson_paradox_qty_discount"],
+     "simpson_paradox_qty_discount", "session_cross_lift"],
     # session-9 graph additions share the knn-graph memo
     ["ktruss_edges", "transitivity_global", "label_homophily"],
 ]

@@ -79,6 +79,7 @@ AUDIT_QUERIES = (
     "effective_vocab",
     "quantile_norm_chars",
     "simpson_paradox_qty_discount",
+    "session_cross_lift",
 )
 
 
