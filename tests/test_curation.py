@@ -240,8 +240,9 @@ def test_audit_job_report_and_resume(ray_session, tmp_path):
     assert first["complete"] and not first.get("skipped")
     assert set(first["payloads"]) == set(AUDIT_QUERIES)
     for name, rows in first["payloads"].items():
-        # bounded-payload gate: lang x source (chi2) is the widest domain
-        assert 1 <= len(rows) <= 128, name
+        # bounded-payload gate: source x decile (quantile_norm_chars,
+        # 180 rows) is the widest domain now
+        assert 1 <= len(rows) <= 256, name
 
     second = audit(sf, out)
     assert second.get("skipped") is True
