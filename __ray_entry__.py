@@ -598,6 +598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_outliers": events.user_activity_outliers,
         "simpson_paradox_qty_discount": relational.simpson_paradox_qty_discount,
         "session_cross_lift": events.session_cross_lift,
+        "fd_discovery2": relational.fd_discovery2,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -835,6 +836,7 @@ def oracle_sql() -> dict[str, str]:
         "user_activity_outliers": events.USER_ACTIVITY_OUTLIERS_SQL,
         "simpson_paradox_qty_discount": relational.SIMPSON_PARADOX_SQL,
         "session_cross_lift": events.SESSION_CROSS_LIFT_SQL,
+        "fd_discovery2": relational.FD_DISCOVERY2_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

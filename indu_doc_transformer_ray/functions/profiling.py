@@ -1447,3 +1447,87 @@ FD_DISCOVERY_SQL = "\nUNION ALL\n".join(
             = (SELECT COUNT(*) FROM (SELECT DISTINCT {_fd_canon_sql(a, ka)}, {_fd_canon_sql(b, kb)} FROM lineitem)) AS BIGINT) AS holds"""
     for a, ka in _FD_COLS for b, kb in _FD_COLS if a != b
 ) + "\nORDER BY lhs, rhs"
+
+
+def fd_discovery2(sf_dir: str) -> "object":
+    """Level-2 functional-dependency audit (the TANE lattice one level up
+    from ``fd_discovery``): for every composite determinant {A, B} and
+    every other column C, (A,B) -> C holds iff ``|distinct (A,B)| ==
+    |distinct (A,B,C)|`` — the composite-key discovery that single-column
+    FDs miss.  Same execution shape: ONE pass emits batch-local-distinct
+    (triple, a, b, c) rows for all 60 (pair, rhs) combinations (the
+    level-2 distinct table subsumes the level-1 counts via its (a, b)
+    projection in-driver), one domain-bounded global dedup, driver fold.
+    Output: (lhs_a, lhs_b, rhs, n_lhs, n_triples, holds)."""
+    import pandas as pd
+
+    cols = [c for c, _ in _FD_COLS]
+    ds = _read(sf_dir, "lineitem", cols)
+
+    def canon(t: pa.Table, name: str, kind: str) -> pa.Array:
+        col = t[name]
+        if kind == "s":
+            return pc.cast(col, pa.string())
+        if kind == "i":
+            return pc.cast(pc.cast(col, pa.int64()), pa.string())
+        cents = pc.cast(pc.round(pc.multiply(col, 100)), pa.int64())
+        return pc.cast(cents, pa.string())
+
+    def local_triples(t: pa.Table) -> pa.Table:
+        outs = []
+        canons = {c: canon(t, c, k) for c, k in _FD_COLS}
+        names = [c for c, _ in _FD_COLS]
+        for i, a in enumerate(names):
+            for b in names[i + 1:]:
+                for c in names:
+                    if c in (a, b):
+                        continue
+                    sub = pa.table(
+                        {"a": canons[a], "b": canons[b], "c": canons[c]}
+                    )
+                    dedup = pa.TableGroupBy(sub, ["a", "b", "c"]).aggregate([])
+                    outs.append(
+                        dedup.append_column(
+                            "p",
+                            pa.array(
+                                [f"{a},{b}>{c}"] * dedup.num_rows, pa.string()
+                            ),
+                        )
+                    )
+        return pa.concat_tables(outs)
+
+    d = (
+        ds.map_batches(local_triples, batch_format="pyarrow")
+        .groupby(["p", "a", "b", "c"])
+        .aggregate(Count(alias_name="_c"))
+        .to_pandas()  # O(sum over triples of |A|x|B|x|C|) — domain-bounded
+    )
+    rows = []
+    for p, sub in d.groupby("p"):
+        lhs, rhs = p.split(">")
+        la, lb = lhs.split(",")
+        n_lhs = len(sub[["a", "b"]].drop_duplicates())
+        n_tr = len(sub)
+        rows.append(
+            {"lhs_a": la, "lhs_b": lb, "rhs": rhs, "n_lhs": n_lhs,
+             "n_triples": n_tr, "holds": int(n_lhs == n_tr)}
+        )
+    out = pd.DataFrame(
+        sorted(rows, key=lambda r: (r["lhs_a"], r["lhs_b"], r["rhs"]))
+    )
+    for c in ("n_lhs", "n_triples", "holds"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+FD_DISCOVERY2_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{a}' AS lhs_a, '{b}' AS lhs_b, '{c}' AS rhs,
+       CAST((SELECT COUNT(*) FROM (SELECT DISTINCT {_fd_canon_sql(a, ka)}, {_fd_canon_sql(b, kb)} FROM lineitem)) AS BIGINT) AS n_lhs,
+       CAST((SELECT COUNT(*) FROM (SELECT DISTINCT {_fd_canon_sql(a, ka)}, {_fd_canon_sql(b, kb)}, {_fd_canon_sql(c, kc)} FROM lineitem)) AS BIGINT) AS n_triples,
+       CAST((SELECT COUNT(*) FROM (SELECT DISTINCT {_fd_canon_sql(a, ka)}, {_fd_canon_sql(b, kb)} FROM lineitem))
+            = (SELECT COUNT(*) FROM (SELECT DISTINCT {_fd_canon_sql(a, ka)}, {_fd_canon_sql(b, kb)}, {_fd_canon_sql(c, kc)} FROM lineitem)) AS BIGINT) AS holds"""
+    for ia, (a, ka) in enumerate(_FD_COLS)
+    for b, kb in _FD_COLS[ia + 1:]
+    for c, kc in _FD_COLS
+    if c not in (a, b)
+) + "\nORDER BY lhs_a, lhs_b, rhs"

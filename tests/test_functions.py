@@ -3509,3 +3509,26 @@ def test_session_cross_lift(ray_session):
     assert (got[["n_a", "n_b"]].max(axis=1) <= got["n_sessions"]).all()
     br = E.bounce_rate(sf)
     assert got["n_sessions"].iloc[0] == br["n_sessions"].sum()
+
+
+def test_fd_discovery2(ray_session):
+    """Level-2 FD audit: oracle equality plus the lattice laws — the
+    composite determinant is at least as selective as either single
+    column (n_lhs >= each single distinct count via fd_discovery), and
+    augmentation: if A -> C held at level 1, (A,B) -> C must hold."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import profiling as P
+
+    sf = "/root/testdata/sf0.001"
+    got = P.fd_discovery2(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    want = con.execute(P.FD_DISCOVERY2_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert (got["n_lhs"] <= got["n_triples"]).all()
+    lvl1 = P.fd_discovery(sf)
+    held1 = {(r.lhs, r.rhs) for r in lvl1.itertuples() if r.holds}
+    for r in got.itertuples():
+        if (r.lhs_a, r.rhs) in held1 or (r.lhs_b, r.rhs) in held1:
+            assert r.holds == 1  # augmentation (Armstrong)
