@@ -610,7 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # carry-independent sweep), then session-8's
         "markov_attribution", "minhash_jaccard_calibration",
         "user_activity_outliers", "simpson_paradox_qty_discount",
-        "session_cross_lift",
+        "session_cross_lift", "fd_discovery2",
         "quantile_norm_chars", "effective_vocab",
         "cms_calibration", "hll_calibration", "ddsketch_calibration",
         "bloom_calibration", "type_user_inner", "runs_test_by_type",

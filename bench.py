@@ -207,7 +207,8 @@ QUERY_CHUNKS = [
      "type_user_inner", "runs_test_by_type", "cms_calibration",
      "hll_calibration", "ddsketch_calibration", "bloom_calibration",
      "quantile_norm_chars", "effective_vocab", "user_activity_outliers",
-     "simpson_paradox_qty_discount", "session_cross_lift"],
+     "simpson_paradox_qty_discount", "session_cross_lift",
+     "fd_discovery2"],
     # session-9 graph additions share the knn-graph memo
     ["ktruss_edges", "transitivity_global", "label_homophily"],
 ]
@@ -432,11 +433,13 @@ def emit_record(rec: dict) -> None:
     full = dict(rec, queries=queries)
     side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_QUERIES.json")
-    try:
-        with open(side, "w") as f:
-            json.dump(full, f, indent=1, sort_keys=True)
-    except OSError:
-        print(json.dumps(full), file=sys.stderr)
+    if queries:  # a BENCH_SKIP_QUERIES headline run (the scaling
+        # subprocesses) must not clobber the full per-query map
+        try:
+            with open(side, "w") as f:
+                json.dump(full, f, indent=1, sort_keys=True)
+        except OSError:
+            print(json.dumps(full), file=sys.stderr)
     slowest = sorted(queries.items(), key=lambda kv: -kv[1])[:5]
     rec["queries"] = dict(slowest)
     rec["queries_n"] = len(queries)

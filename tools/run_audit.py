@@ -80,6 +80,7 @@ AUDIT_QUERIES = (
     "quantile_norm_chars",
     "simpson_paradox_qty_discount",
     "session_cross_lift",
+    "fd_discovery2",
 )
 
 
