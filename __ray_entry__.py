@@ -599,6 +599,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simpson_paradox_qty_discount": relational.simpson_paradox_qty_discount,
         "session_cross_lift": events.session_cross_lift,
         "fd_discovery2": relational.fd_discovery2,
+        "knn_reciprocity": similarity.knn_reciprocity,
+        "knn_degree_hist": similarity.knn_degree_hist,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -837,6 +839,8 @@ def oracle_sql() -> dict[str, str]:
         "simpson_paradox_qty_discount": relational.SIMPSON_PARADOX_SQL,
         "session_cross_lift": events.SESSION_CROSS_LIFT_SQL,
         "fd_discovery2": relational.FD_DISCOVERY2_SQL,
+        "knn_reciprocity": similarity.KNN_RECIPROCITY_SQL,
+        "knn_degree_hist": similarity.KNN_DEGREE_HIST_SQL,
         "events_trailing_density": events.EVENTS_TRAILING_DENSITY_SQL,
         "customer_order_seq": windows.CUSTOMER_ORDER_SEQ_SQL,
         "gini_by_status": windows.GINI_BY_STATUS_SQL,

