@@ -601,6 +601,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_discovery2": relational.fd_discovery2,
         "knn_reciprocity": similarity.knn_reciprocity,
         "knn_degree_hist": similarity.knn_degree_hist,
+        # session-10: causal inference + uncertainty quantification
+        "ate_discount_strata": relational.ate_discount_strata,
+        "ols_price_model": relational.ols_price_model,
+        "did_type_effect": events.did_type_effect,
+        "conformal_value_bounds": ml.conformal_value_bounds,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -610,6 +615,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # session-9 newest (riskiest oracles: the 5-scenario 16-round
         # absorbing-chain unroll, the sketch-calibration join, the
         # carry-independent sweep), then session-8's
+        "ate_discount_strata", "ols_price_model",
+        "did_type_effect", "conformal_value_bounds",
         "markov_attribution", "minhash_jaccard_calibration",
         "user_activity_outliers", "simpson_paradox_qty_discount",
         "session_cross_lift", "fd_discovery2",
@@ -837,6 +844,10 @@ def oracle_sql() -> dict[str, str]:
         "effective_vocab": text.EFFECTIVE_VOCAB_SQL,
         "user_activity_outliers": events.USER_ACTIVITY_OUTLIERS_SQL,
         "simpson_paradox_qty_discount": relational.SIMPSON_PARADOX_SQL,
+        "ate_discount_strata": relational.ATE_DISCOUNT_STRATA_SQL,
+        "ols_price_model": relational.OLS_PRICE_MODEL_SQL,
+        "did_type_effect": events.DID_TYPE_EFFECT_SQL,
+        "conformal_value_bounds": ml.CONFORMAL_VALUE_BOUNDS_SQL,
         "session_cross_lift": events.SESSION_CROSS_LIFT_SQL,
         "fd_discovery2": relational.FD_DISCOVERY2_SQL,
         "knn_reciprocity": similarity.KNN_RECIPROCITY_SQL,

@@ -6408,3 +6408,119 @@ LEFT JOIN bo ON bo.type_a = g.type_a AND bo.type_b = g.type_b
 CROSS JOIN ns
 ORDER BY g.type_a, g.type_b
 """
+
+
+# -- causal inference: difference-in-differences --------------------------------
+
+
+def did_type_effect(sf_dir: str) -> "pd.DataFrame":
+    """Difference-in-differences screen over the event stream: for each
+    event type (treated group) vs the 'view' baseline (control), the
+    pre/post change in mean value where the period split is the corpus
+    MIDPOINT day (min_day + max_day + 1) // 2 — post = day >= split.
+    DiD = (mean_t_post - mean_t_pre) - (mean_v_post - mean_v_pre),
+    emitted as floor-scaled micro-dollars over the exact common
+    denominator n_tp*n_tr*n_vp*n_vr (Python-int exact; HUGEINT with
+    negative-safe floor emulation in the oracle).  ONE shared
+    (type, day) fold — the split day derives from the SAME fold, no
+    second scan.  Output: (event_type, n_pre, n_post, did_micro) for
+    every type except the control."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read_events(sf_dir, ["ts", "event_type", "value"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        day = pc.divide(_ts_us_i64(t["ts"]), 86_400_000_000)
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
+        folded = pa.table(
+            {"e": t["event_type"], "day": day,
+             "n": pa.array([1] * len(t), pa.int64()), "s": cents}
+        )
+        return pa.TableGroupBy(folded, ["e", "day"]).aggregate(
+            [("n", "sum"), ("s", "sum")]
+        )
+
+    d = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(["e", "day"])
+        .aggregate(Sum("n_sum", alias_name="n"), Sum("s_sum", alias_name="s"))
+        .to_pandas()  # O(|types| x span)
+    )
+    lo, hi = int(d["day"].min()), int(d["day"].max())
+    split = (lo + hi + 1) // 2
+    d["post"] = (d["day"] >= split).astype(int)
+    cells: dict[tuple[str, int], tuple[int, int]] = {}
+    for (e, post), sub in d.groupby(["e", "post"]):
+        cells[(e, int(post))] = (int(sub["n"].sum()), int(sub["s"].sum()))
+    n_vr, s_vr = cells.get(("view", 0), (0, 0))
+    n_vp, s_vp = cells.get(("view", 1), (0, 0))
+    rows = []
+    for e in sorted({k for k, _ in cells}):
+        if e == "view":
+            continue
+        n_tr, s_tr = cells.get((e, 0), (0, 0))
+        n_tp, s_tp = cells.get((e, 1), (0, 0))
+        den = n_tp * n_tr * n_vp * n_vr
+        num = (
+            s_tp * n_tr * n_vp * n_vr
+            - s_tr * n_tp * n_vp * n_vr
+            - s_vp * n_tp * n_tr * n_vr
+            + s_vr * n_tp * n_tr * n_vp
+        )
+        rows.append(
+            {
+                "event_type": e,
+                "n_pre": n_tr,
+                "n_post": n_tp,
+                "did_micro": (10_000 * num) // den if den else 0,
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in ("n_pre", "n_post", "did_micro"):
+        out[c] = out[c].astype("int64")  # raises on overflow
+    return out.reset_index(drop=True)
+
+
+DID_TYPE_EFFECT_SQL = """
+WITH b AS (
+  SELECT (MIN(epoch_us(ts) // 86400000000)
+          + MAX(epoch_us(ts) // 86400000000) + 1) // 2 AS split
+  FROM events
+), x AS (
+  SELECT event_type AS e,
+         CASE WHEN epoch_us(ts) // 86400000000 >= b.split
+              THEN 1 ELSE 0 END AS post,
+         CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT) AS c
+  FROM events, b
+), cells AS (
+  SELECT e, post, COUNT(*) AS n, SUM(c) AS s FROM x GROUP BY e, post
+), v AS (
+  SELECT
+    MAX(CASE WHEN post = 0 THEN n ELSE 0 END) AS n_vr,
+    MAX(CASE WHEN post = 0 THEN s ELSE 0 END) AS s_vr,
+    MAX(CASE WHEN post = 1 THEN n ELSE 0 END) AS n_vp,
+    MAX(CASE WHEN post = 1 THEN s ELSE 0 END) AS s_vp
+  FROM cells WHERE e = 'view'
+), t AS (
+  SELECT e,
+    MAX(CASE WHEN post = 0 THEN n ELSE 0 END) AS n_tr,
+    MAX(CASE WHEN post = 0 THEN s ELSE 0 END) AS s_tr,
+    MAX(CASE WHEN post = 1 THEN n ELSE 0 END) AS n_tp,
+    MAX(CASE WHEN post = 1 THEN s ELSE 0 END) AS s_tp
+  FROM cells WHERE e <> 'view' GROUP BY e
+), d AS (
+  SELECT t.e, t.n_tr, t.n_tp,
+         t.n_tp * t.n_tr * v.n_vp * v.n_vr AS den,
+         10000 * (t.s_tp * t.n_tr * v.n_vp * v.n_vr
+                  - t.s_tr * t.n_tp * v.n_vp * v.n_vr
+                  - v.s_vp * t.n_tp * t.n_tr * v.n_vr
+                  + v.s_vr * t.n_tp * t.n_tr * v.n_vp) AS num
+  FROM t CROSS JOIN v
+)
+SELECT e AS event_type,
+       CAST(n_tr AS BIGINT) AS n_pre, CAST(n_tp AS BIGINT) AS n_post,
+       CAST(CASE WHEN den = 0 THEN 0
+            ELSE (num - ((num % den) + den) % den) // den END
+            AS BIGINT) AS did_micro
+FROM d ORDER BY e
+"""

@@ -2270,3 +2270,136 @@ def plsa_topics(
             for c in ("iteration", "n_docs", "n_vocab", "n_cells", "loglik_u6")
         }
     )
+
+
+# -- split-conformal prediction intervals ------------------------------------
+
+
+def conformal_value_bounds(sf_dir: str) -> "object":
+    """Split-conformal prediction interval per event type (Vovk/Lei-style
+    uncertainty quantification, the missing companion to the point
+    predictors): events split md5(event_id) % 2 into train (0) / calib
+    (1); the predictor is the floored per-type train mean (cents), the
+    conformal radius is the EXACT q90 order statistic of absolute calib
+    residuals (rank k = 9*(n-1)//10, 0-based ascending — the repo's
+    lower-order-statistic convention), and the emitted interval is
+    pred ± q90.  Two streaming passes: a bounded per-type moment fold,
+    then a (type, residual) counting-histogram fold — bounded by the
+    value DOMAIN in cents, never the corpus (for an unbounded domain the
+    two-pass coarse/fine pattern of ``sketches.daily_value_median``
+    drops in).  Output: (event_type, n_train, n_calib, pred_c, q90_c,
+    lo_c, hi_c) — all exact integers, hash-matching the oracle's
+    ROW_NUMBER replay."""
+    import hashlib
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = read_small_aware(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def _half(ids) -> "pa.Array":
+        return pa.array(
+            [
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 2
+                for i in ids.to_pylist()
+            ],
+            pa.int64(),
+        )
+
+    def train_moments(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
+        mask = pc.equal(_half(t["event_id"]), 0)
+        sub = pa.table(
+            {"e": t["event_type"], "n": pa.array([1] * len(t), pa.int64()),
+             "s": cents}
+        ).filter(mask)
+        return pa.TableGroupBy(sub, "e").aggregate([("n", "sum"), ("s", "sum")])
+
+    tr = (
+        ds.map_batches(train_moments, batch_format="pyarrow")
+        .groupby("e")
+        .aggregate(Sum("n_sum", alias_name="n"), Sum("s_sum", alias_name="s"))
+        .to_pandas()  # O(|types|)
+    )
+    pred = {r.e: int(r.s) // int(r.n) for r in tr.itertuples()}
+    n_train = {r.e: int(r.n) for r in tr.itertuples()}
+
+    def calib_hist(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
+        mask = pc.equal(_half(t["event_id"]), 1)
+        sub = pa.table({"e": t["event_type"], "c": cents}).filter(mask)
+        p = pa.array([pred.get(e, 0) for e in sub["e"].to_pylist()], pa.int64())
+        folded = pa.table(
+            {"e": sub["e"], "r": pc.abs(pc.subtract(sub["c"], p)),
+             "n": pa.array([1] * len(sub), pa.int64())}
+        )
+        return pa.TableGroupBy(folded, ["e", "r"]).aggregate([("n", "sum")])
+
+    h = (
+        ds.map_batches(calib_hist, batch_format="pyarrow")
+        .groupby(["e", "r"])
+        .aggregate(Sum("n_sum", alias_name="n"))
+        .to_pandas()  # <= |types| x |value domain| rows
+    )
+    rows = []
+    for e, sub in h.groupby("e"):
+        sub = sub.sort_values("r")
+        n_cal = int(sub["n"].sum())
+        k = 9 * (n_cal - 1) // 10
+        cum = 0
+        q90 = 0
+        for r_, c_ in zip(sub["r"], sub["n"]):
+            cum += int(c_)
+            if cum > k:
+                q90 = int(r_)
+                break
+        p = pred.get(e, 0)
+        rows.append(
+            {
+                "event_type": e,
+                "n_train": n_train.get(e, 0),
+                "n_calib": n_cal,
+                "pred_c": p,
+                "q90_c": q90,
+                "lo_c": p - q90,
+                "hi_c": p + q90,
+            }
+        )
+    out = pd.DataFrame(sorted(rows, key=lambda r: r["event_type"]))
+    for c in ("n_train", "n_calib", "pred_c", "q90_c", "lo_c", "hi_c"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+CONFORMAL_VALUE_BOUNDS_SQL = """
+WITH x AS (
+  SELECT event_type AS e,
+         CAST(ROUND(value * 100) AS BIGINT) AS c,
+         CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 2 AS h
+  FROM events
+), tr AS (
+  SELECT e, COUNT(*) AS n_train, SUM(c) // COUNT(*) AS pred
+  FROM x WHERE h = 0 GROUP BY e
+), cal AS (
+  SELECT x.e, ABS(x.c - tr.pred) AS r, tr.n_train, tr.pred
+  FROM x JOIN tr ON x.e = tr.e WHERE x.h = 1
+), rk AS (
+  SELECT e, r, n_train, pred,
+         ROW_NUMBER() OVER (PARTITION BY e ORDER BY r) - 1 AS i,
+         COUNT(*) OVER (PARTITION BY e) AS n_calib
+  FROM cal
+)
+SELECT e AS event_type,
+       CAST(n_train AS BIGINT) AS n_train,
+       CAST(n_calib AS BIGINT) AS n_calib,
+       CAST(pred AS BIGINT) AS pred_c,
+       CAST(r AS BIGINT) AS q90_c,
+       CAST(pred - r AS BIGINT) AS lo_c,
+       CAST(pred + r AS BIGINT) AS hi_c
+FROM rk WHERE i = 9 * (n_calib - 1) // 10
+ORDER BY e
+"""

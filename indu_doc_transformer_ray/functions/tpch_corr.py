@@ -1189,3 +1189,235 @@ SELECT stratum, CAST(n AS BIGINT) AS n, CAST(cov_num AS BIGINT) AS cov_num
 FROM (SELECT * FROM per UNION ALL SELECT * FROM pooled)
 ORDER BY stratum
 """
+
+
+# -- causal inference: stratified average treatment effect -----------------------
+
+
+def ate_discount_strata(sf_dir: str) -> "object":
+    """Stratified average-treatment-effect screen (the causal-inference
+    companion to ``simpson_paradox_qty_discount``): treatment = deep
+    discount (>= 5%), outcome = order quantity, stratum = return flag.
+    Within a stratum the propensity is exactly n_t/n, so the stratified
+    difference of means IS the IPW/ATE estimate under
+    stratum-as-confounder; comparing the per-stratum rows against 'ALL'
+    (the crude pooled contrast) is the confounding screen.  Effects are
+    emitted as exact sufficient statistics plus a floor-scaled micro-unit
+    contrast diff_micro = floor(1e6*(sy_t*n_c - sy_c*n_t)/(n_t*n_c)) —
+    Python-int exact at any corpus size, HUGEINT with negative-safe floor
+    emulation in the oracle.  ONE bounded per-(flag, treated) moment fold.
+    Output: (stratum, n_t, n_c, sy_t, sy_c, diff_micro)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        y = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        d = pc.cast(pc.round(pc.multiply(t["l_discount"], 100)), pa.int64())
+        tr = pc.cast(pc.greater_equal(d, 5), pa.int64())
+        folded = pa.table(
+            {
+                "f": t["l_returnflag"],
+                "tr": tr,
+                "n": pa.array([1] * len(t), pa.int64()),
+                "sy": y,
+            }
+        )
+        return pa.TableGroupBy(folded, ["f", "tr"]).aggregate(
+            [("n", "sum"), ("sy", "sum")]
+        )
+
+    m = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby(["f", "tr"])
+        .aggregate(Sum("n_sum", alias_name="n"), Sum("sy_sum", alias_name="sy"))
+        .to_pandas()  # <= 2 x |flags| rows
+    )
+    cells: dict[tuple[str, int], tuple[int, int]] = {
+        (r.f, int(r.tr)): (int(r.n), int(r.sy)) for r in m.itertuples()
+    }
+    flags = sorted({f for f, _ in cells})
+    rows = []
+
+    def contrast(stratum: str, keys: list[str]) -> dict:
+        n_t = sum(cells.get((f, 1), (0, 0))[0] for f in keys)
+        sy_t = sum(cells.get((f, 1), (0, 0))[1] for f in keys)
+        n_c = sum(cells.get((f, 0), (0, 0))[0] for f in keys)
+        sy_c = sum(cells.get((f, 0), (0, 0))[1] for f in keys)
+        num = 1_000_000 * (sy_t * n_c - sy_c * n_t)
+        den = n_t * n_c
+        return {
+            "stratum": stratum,
+            "n_t": n_t,
+            "n_c": n_c,
+            "sy_t": sy_t,
+            "sy_c": sy_c,
+            "diff_micro": num // den if den else 0,
+        }
+
+    for f in flags:
+        rows.append(contrast(f, [f]))
+    rows.append(contrast("ALL", flags))
+    out = pd.DataFrame(sorted(rows, key=lambda r: r["stratum"]))
+    for c in ("n_t", "n_c", "sy_t", "sy_c", "diff_micro"):
+        out[c] = out[c].astype("int64")  # raises on overflow
+    return out.reset_index(drop=True)
+
+
+ATE_DISCOUNT_STRATA_SQL = """
+WITH x AS (
+  SELECT l_returnflag AS f,
+         CASE WHEN CAST(ROUND(l_discount * 100) AS BIGINT) >= 5
+              THEN 1 ELSE 0 END AS tr,
+         CAST(ROUND(l_quantity) AS HUGEINT) AS y
+  FROM lineitem
+), per AS (
+  SELECT f AS stratum,
+         SUM(tr) AS n_t, SUM(1 - tr) AS n_c,
+         SUM(tr * y) AS sy_t, SUM((1 - tr) * y) AS sy_c
+  FROM x GROUP BY f
+  UNION ALL
+  SELECT 'ALL', SUM(tr), SUM(1 - tr), SUM(tr * y), SUM((1 - tr) * y) FROM x
+), d AS (
+  SELECT *, 1000000 * (sy_t * n_c - sy_c * n_t) AS num, n_t * n_c AS den
+  FROM per
+)
+SELECT stratum,
+       CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+       CAST(sy_t AS BIGINT) AS sy_t, CAST(sy_c AS BIGINT) AS sy_c,
+       CAST(CASE WHEN den = 0 THEN 0
+            ELSE (num - ((num % den) + den) % den) // den END
+            AS BIGINT) AS diff_micro
+FROM d ORDER BY stratum
+"""
+
+
+# -- multivariate OLS via Cramer determinants ------------------------------------
+
+
+def ols_price_model(sf_dir: str) -> "object":
+    """Per-return-flag ordinary-least-squares fit of
+    price_dollars ~ b0 + b1*quantity + b2*discount_pct via the 3x3 normal
+    equations solved with CRAMER determinants in exact integer arithmetic
+    — the closed-form multivariate-regression primitive (the bivariate
+    companions are ``corr_qty_price`` / ``value_trend_per_type``).  Nine
+    moments fold map-side (one bounded exchange); the driver expands the
+    determinants in Python ints (never overflows) and emits floor-scaled
+    micro-unit coefficients beta_i_micro = floor(1e6 * det_i / det); the
+    oracle replays the same determinant polynomial in HUGEINT with the
+    negative-safe floor emulation (the ``theil_sen_by_type`` pattern).
+    Output: (flag, n, b0_micro, b1_micro, b2_micro)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_quantity", "l_discount", "l_extendedprice"],
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        x1 = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        x2 = pc.cast(pc.round(pc.multiply(t["l_discount"], 100)), pa.int64())
+        y = pc.cast(pc.floor(t["l_extendedprice"]), pa.int64())
+        folded = pa.table(
+            {
+                "f": t["l_returnflag"],
+                "n": pa.array([1] * len(t), pa.int64()),
+                "s1": x1,
+                "s2": x2,
+                "s11": pc.multiply(x1, x1),
+                "s12": pc.multiply(x1, x2),
+                "s22": pc.multiply(x2, x2),
+                "sy": y,
+                "s1y": pc.multiply(x1, y),
+                "s2y": pc.multiply(x2, y),
+            }
+        )
+        return pa.TableGroupBy(folded, "f").aggregate(
+            [(c, "sum") for c in folded.column_names if c not in ("f",)]
+        )
+
+    cols = ["n", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y"]
+    m = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("f")
+        .aggregate(*[Sum(f"{c}_sum", alias_name=c) for c in cols])
+        .to_pandas()  # O(|flags|)
+    )
+    rows = []
+    for r in m.itertuples():
+        n, s1, s2 = int(r.n), int(r.s1), int(r.s2)
+        s11, s12, s22 = int(r.s11), int(r.s12), int(r.s22)
+        sy, s1y, s2y = int(r.sy), int(r.s1y), int(r.s2y)
+        det = (
+            n * (s11 * s22 - s12 * s12)
+            - s1 * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s12 - s11 * s2)
+        )
+        det0 = (
+            sy * (s11 * s22 - s12 * s12)
+            - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y)
+        )
+        det1 = (
+            n * (s1y * s22 - s12 * s2y)
+            - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2)
+        )
+        det2 = (
+            n * (s11 * s2y - s1y * s12)
+            - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2)
+        )
+        rows.append(
+            {
+                "flag": r.f,
+                "n": n,
+                "b0_micro": (1_000_000 * det0) // det,
+                "b1_micro": (1_000_000 * det1) // det,
+                "b2_micro": (1_000_000 * det2) // det,
+            }
+        )
+    out = pd.DataFrame(sorted(rows, key=lambda r: r["flag"]))
+    for c in ("n", "b0_micro", "b1_micro", "b2_micro"):
+        out[c] = out[c].astype("int64")  # raises on overflow
+    return out.reset_index(drop=True)
+
+
+OLS_PRICE_MODEL_SQL = """
+WITH x AS (
+  SELECT l_returnflag AS f,
+         CAST(ROUND(l_quantity) AS HUGEINT) AS x1,
+         CAST(ROUND(l_discount * 100) AS HUGEINT) AS x2,
+         CAST(FLOOR(l_extendedprice) AS HUGEINT) AS y
+  FROM lineitem
+), m AS (
+  SELECT f, COUNT(*) AS n, SUM(x1) AS s1, SUM(x2) AS s2,
+         SUM(x1*x1) AS s11, SUM(x1*x2) AS s12, SUM(x2*x2) AS s22,
+         SUM(y) AS sy, SUM(x1*y) AS s1y, SUM(x2*y) AS s2y
+  FROM x GROUP BY f
+), d AS (
+  SELECT f, n,
+         n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+           + s2*(s1*s12 - s11*s2) AS det,
+         sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+           + s2*(s1y*s12 - s11*s2y) AS det0,
+         n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+           + s2*(s1*s2y - s1y*s2) AS det1,
+         n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+           + sy*(s1*s12 - s11*s2) AS det2
+  FROM m
+)
+SELECT f AS flag, CAST(n AS BIGINT) AS n,
+  CAST((1000000*det0 - (((1000000*det0) % det) + det) % det) // det
+       AS BIGINT) AS b0_micro,
+  CAST((1000000*det1 - (((1000000*det1) % det) + det) % det) // det
+       AS BIGINT) AS b1_micro,
+  CAST((1000000*det2 - (((1000000*det2) % det) + det) % det) // det
+       AS BIGINT) AS b2_micro
+FROM d ORDER BY f
+"""

@@ -3556,3 +3556,124 @@ def test_knn_graph_shape_observability(ray_session):
     assert h.values.tolist() == con.execute(G.KNN_DEGREE_HIST_SQL).df().values.tolist()
     tri = G.triangle_count(sf)
     assert (h["degree"] * h["n_nodes"]).sum() == 2 * int(tri["n_edges"].iloc[0])
+
+
+def test_ate_and_ols_price_model(ray_session):
+    """Causal/OLS pair: oracle equality for both; ATE's 'ALL' row must be
+    the exact cell-sum of the strata rows, and the OLS Cramer solution
+    must satisfy the normal equations A·(det0,det1,det2) == det·b as an
+    EXACT integer identity (Cramer's rule self-consistency)."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import tpch_corr as TC
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+
+    got = TC.ate_discount_strata(sf)
+    want = con.execute(TC.ATE_DISCOUNT_STRATA_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    strata = got[got["stratum"] != "ALL"]
+    allr = got[got["stratum"] == "ALL"].iloc[0]
+    for c in ("n_t", "n_c", "sy_t", "sy_c"):
+        assert int(strata[c].sum()) == int(allr[c])
+
+    ols = TC.ols_price_model(sf)
+    want2 = con.execute(TC.OLS_PRICE_MODEL_SQL).df()
+    assert ols.values.tolist() == want2.values.tolist()
+    m = con.execute(
+        """SELECT l_returnflag f, COUNT(*) n,
+           SUM(CAST(ROUND(l_quantity) AS HUGEINT)) s1,
+           SUM(CAST(ROUND(l_discount*100) AS HUGEINT)) s2,
+           SUM(CAST(ROUND(l_quantity) AS HUGEINT)*CAST(ROUND(l_quantity) AS HUGEINT)) s11,
+           SUM(CAST(ROUND(l_quantity) AS HUGEINT)*CAST(ROUND(l_discount*100) AS HUGEINT)) s12,
+           SUM(CAST(ROUND(l_discount*100) AS HUGEINT)*CAST(ROUND(l_discount*100) AS HUGEINT)) s22,
+           SUM(CAST(FLOOR(l_extendedprice) AS HUGEINT)) sy,
+           SUM(CAST(ROUND(l_quantity) AS HUGEINT)*CAST(FLOOR(l_extendedprice) AS HUGEINT)) s1y,
+           SUM(CAST(ROUND(l_discount*100) AS HUGEINT)*CAST(FLOOR(l_extendedprice) AS HUGEINT)) s2y
+           FROM lineitem GROUP BY 1 ORDER BY 1"""
+    ).df()
+    for r in m.itertuples():
+        n, s1, s2 = int(r.n), int(r.s1), int(r.s2)
+        s11, s12, s22 = int(r.s11), int(r.s12), int(r.s22)
+        sy, s1y, s2y = int(r.sy), int(r.s1y), int(r.s2y)
+        det = (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s12 - s11 * s2))
+        det0 = (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+                + s2 * (s1y * s12 - s11 * s2y))
+        det1 = (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s2y - s1y * s2))
+        det2 = (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+                + sy * (s1 * s12 - s11 * s2))
+        # Cramer self-consistency: A @ (det0, det1, det2) == det * b
+        assert n * det0 + s1 * det1 + s2 * det2 == det * sy
+        assert s1 * det0 + s11 * det1 + s12 * det2 == det * s1y
+        assert s2 * det0 + s12 * det1 + s22 * det2 == det * s2y
+        assert det > 0
+
+
+def test_did_type_effect_translation_invariance(ray_session, tmp_path):
+    """DiD: oracle equality at sf0.001, and TRANSLATION INVARIANCE — adding
+    a constant to every event value must leave every did_micro unchanged
+    (the control differences it out), while n_pre/n_post are untouched."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.did_type_effect(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(E.DID_TYPE_EFFECT_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+
+    shifted = con.execute(
+        f"SELECT event_id, ts, user_id, event_type, value + 7.0 AS value,"
+        f" props FROM '{sf}/events.parquet'"
+    ).arrow()
+    import pyarrow.parquet as pq
+
+    pq.write_table(shifted, str(tmp_path / "events.parquet"))
+    got2 = E.did_type_effect(str(tmp_path))
+    assert got2["did_micro"].tolist() == got["did_micro"].tolist()
+    assert got2["n_pre"].tolist() == got["n_pre"].tolist()
+
+
+def test_conformal_value_bounds_coverage(ray_session):
+    """Split-conformal: oracle equality plus the finite-sample COVERAGE
+    guarantee — per type, at least rank k+1 = 9*(n_calib-1)//10 + 1 calib
+    points fall inside [lo, hi], and the interval is symmetric."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import ml as ML
+
+    sf = "/root/testdata/sf0.001"
+    got = ML.conformal_value_bounds(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(ML.CONFORMAL_VALUE_BOUNDS_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert (got["hi_c"] - got["pred_c"] == got["pred_c"] - got["lo_c"]).all()
+    cov = con.execute(
+        """WITH x AS (
+             SELECT event_type e, CAST(ROUND(value*100) AS BIGINT) c,
+                    CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),1,8))
+                         AS BIGINT) % 2 h
+             FROM events)
+           SELECT e, COUNT(*) n FROM x WHERE h = 1 GROUP BY e"""
+    ).df().set_index("e")["n"].to_dict()
+    for r in got.itertuples():
+        n_in = con.execute(
+            """WITH x AS (
+                 SELECT event_type e, CAST(ROUND(value*100) AS BIGINT) c,
+                        CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),1,8))
+                             AS BIGINT) % 2 h
+                 FROM events)
+               SELECT COUNT(*) FROM x
+               WHERE h = 1 AND e = ? AND c BETWEEN ? AND ?""",
+            [r.event_type, int(r.lo_c), int(r.hi_c)],
+        ).fetchone()[0]
+        n_cal = cov[r.event_type]
+        assert n_cal == r.n_calib
+        assert n_in >= 9 * (n_cal - 1) // 10 + 1
