@@ -606,6 +606,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ols_price_model": relational.ols_price_model,
         "did_type_effect": events.did_type_effect,
         "conformal_value_bounds": ml.conformal_value_bounds,
+        "shapley_attribution": events.shapley_attribution,
+        "ind_discovery": relational.ind_discovery,
+        "lz_complexity_by_type": events.lz_complexity_by_type,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -615,6 +618,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # session-9 newest (riskiest oracles: the 5-scenario 16-round
         # absorbing-chain unroll, the sketch-calibration join, the
         # carry-independent sweep), then session-8's
+        "shapley_attribution", "ind_discovery",
+        "lz_complexity_by_type",
         "ate_discount_strata", "ols_price_model",
         "did_type_effect", "conformal_value_bounds",
         "markov_attribution", "minhash_jaccard_calibration",
@@ -848,6 +853,9 @@ def oracle_sql() -> dict[str, str]:
         "ols_price_model": relational.OLS_PRICE_MODEL_SQL,
         "did_type_effect": events.DID_TYPE_EFFECT_SQL,
         "conformal_value_bounds": ml.CONFORMAL_VALUE_BOUNDS_SQL,
+        "shapley_attribution": events.SHAPLEY_ATTRIBUTION_SQL,
+        "ind_discovery": relational.IND_DISCOVERY_SQL,
+        "lz_complexity_by_type": events.LZ_COMPLEXITY_SQL,
         "session_cross_lift": events.SESSION_CROSS_LIFT_SQL,
         "fd_discovery2": relational.FD_DISCOVERY2_SQL,
         "knn_reciprocity": similarity.KNN_RECIPROCITY_SQL,

@@ -6524,3 +6524,232 @@ SELECT e AS event_type,
             AS BIGINT) AS did_micro
 FROM d ORDER BY e
 """
+
+
+# -- Shapley-value channel attribution ------------------------------------------
+
+
+#: channel -> coalition bit, the four non-purchase event types in sorted
+#: order; k = 4 so k! = 24 scales every Shapley weight to an exact integer.
+_SHAPLEY_CHANNELS = ["click", "error", "signup", "view"]
+_SHAPLEY_FACT = [1, 1, 2, 6, 24]  # n!
+
+
+def shapley_attribution(sf_dir: str) -> "pd.DataFrame":
+    """Shapley-value conversion attribution over the four non-purchase
+    channels (the game-theoretic companion to ``markov_attribution`` and
+    ``first_touch_attribution``): each user's coalition is the SET of
+    channels touched strictly before their first purchase (all touches
+    for non-converters), the characteristic function is
+    v(S) = #converted users whose coalition ⊆ S (Zhao et al.'s
+    simplified-game form), and each channel's credit is the exact
+    Shapley sum φ_i·k! = Σ_{S∌i} |S|!·(k−1−|S|)!·(v(S∪i) − v(S)) —
+    integer-exact, so the oracle's 16-subset grid replay hash-matches.
+    ONE user-bucket co-location folds to ≤ 2^k (mask, conv) partials;
+    the driver's subset-sum (zeta transform) and Shapley loop are O(4^k)
+    on k = 4.  Output: (channel, shapley_num) with the efficiency
+    identity Σφ = k!·(v(full) − v(∅)).  Beyond-reference engine addition
+    (SURVEY.md §2.8)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ubk = _user_buckets(sf_dir)
+    ds = _read_events(sf_dir, ["ts", "user_id", "event_type"])
+    bit = {c: 1 << i for i, c in enumerate(_SHAPLEY_CHANNELS)}
+    k = len(_SHAPLEY_CHANNELS)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        return t.append_column(
+            "ub", pc.cast(pc.bit_wise_and(uid, ubk - 1), pa.int32())
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(ts_us=g["ts"].astype("int64"))
+        fp = (
+            g[g["event_type"] == "purchase"]
+            .groupby("user_id")["ts_us"].min()
+            .rename("fp")
+        )
+        g = g.merge(fp, left_on="user_id", right_index=True, how="left")
+        ch = g[g["event_type"] != "purchase"]
+        pre = ch[ch["fp"].isna() | (ch["ts_us"] < ch["fp"])]
+        bits = pre["event_type"].map(bit).astype(np.int64)
+        masks = (
+            pd.DataFrame({"user_id": pre["user_id"], "b": bits})
+            .groupby("user_id")["b"]
+            .agg(lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+        )
+        users = pd.DataFrame({"user_id": g["user_id"].unique()})
+        users["mask"] = users["user_id"].map(masks).fillna(0).astype(np.int64)
+        users["conv"] = (
+            users["user_id"].isin(fp.index).astype(np.int64)
+        )
+        out = (
+            users.groupby("mask", as_index=False)["conv"].sum()
+            .rename(columns={"conv": "c"})
+        )
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    t = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("mask")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # <= 2^k rows
+    )
+    conv = {int(r["mask"]): int(r["c"]) for _, r in t.iterrows()}
+    nmask = 1 << k
+    v = [0] * nmask
+    for s in range(nmask):
+        v[s] = sum(c for m, c in conv.items() if (m & s) == m)
+    rows = []
+    for i, name in enumerate(_SHAPLEY_CHANNELS):
+        phi = 0
+        for s in range(nmask):
+            if (s >> i) & 1:
+                continue
+            p = bin(s).count("1")
+            w = _SHAPLEY_FACT[p] * _SHAPLEY_FACT[k - 1 - p]
+            phi += w * (v[s | (1 << i)] - v[s])
+        rows.append({"channel": name, "shapley_num": phi})
+    out = pd.DataFrame(rows).sort_values("channel").reset_index(drop=True)
+    out["shapley_num"] = out["shapley_num"].astype("int64")
+    return out
+
+
+SHAPLEY_ATTRIBUTION_SQL = """
+WITH fp AS (
+  SELECT user_id, MIN(ts) AS fpts FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+), um AS (
+  SELECT e.user_id,
+         COALESCE(BIT_OR(CASE e.event_type
+                         WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                         WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END)
+                  FILTER (WHERE e.event_type <> 'purchase'
+                          AND (fp.fpts IS NULL OR e.ts < fp.fpts)), 0)
+           AS mask,
+         CASE WHEN fp.fpts IS NULL THEN 0 ELSE 1 END AS conv
+  FROM events e LEFT JOIN fp ON e.user_id = fp.user_id
+  GROUP BY e.user_id, fp.fpts
+), t AS (
+  SELECT mask, SUM(conv) AS c FROM um GROUP BY mask
+), s AS (
+  SELECT CAST(range AS BIGINT) AS smask FROM range(16)
+), v AS (
+  SELECT s.smask, COALESCE(SUM(t.c), 0) AS v
+  FROM s LEFT JOIN t ON (t.mask & s.smask) = t.mask
+  GROUP BY s.smask
+), ch AS (
+  SELECT * FROM (VALUES (0, 'click'), (1, 'error'),
+                        (2, 'signup'), (3, 'view')) AS ch(i, channel)
+), phi AS (
+  SELECT ch.channel,
+         SUM((CASE ((va.smask >> 0) & 1) + ((va.smask >> 1) & 1)
+                   + ((va.smask >> 2) & 1) + ((va.smask >> 3) & 1)
+              WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END)
+             * (vb.v - va.v)) AS shapley_num
+  FROM ch
+  JOIN v va ON ((va.smask >> ch.i) & 1) = 0
+  JOIN v vb ON vb.smask = (va.smask | (1 << ch.i))
+  GROUP BY ch.channel
+)
+SELECT channel, CAST(shapley_num AS BIGINT) AS shapley_num
+FROM phi ORDER BY channel
+"""
+
+
+# -- Lempel-Ziv complexity of the daily-activity symbol stream ------------------
+
+
+def lz_complexity_by_type(sf_dir: str) -> "pd.DataFrame":
+    """LZ76 (Kaspar-Schuster) phrase complexity of each type's daily
+    activity symbol stream — days symbolize '1'/'0' against the type's
+    lower-median daily count (the ``runs_test_by_type`` convention) and
+    the parser counts dictionary phrases: low complexity = periodic /
+    trending activity, high = noise.  The parse is the deterministic
+    prefix-search variant (extend the phrase while S[p..pos] occurs in
+    S[1..pos-1], else cut), replayed bit-for-bit by the oracle's
+    recursive CTE over the string_agg'd symbol string.  ONE shared
+    (type, day) fold, O(span^2) driver parse per type (span-bounded).
+    Output: (event_type, n_days, lz_c)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["ts", "event_type"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        day = pc.divide(_ts_us_i64(t["ts"]), 86_400_000_000)
+        folded = pa.table({"e": t["event_type"], "day": day})
+        return pa.TableGroupBy(folded, ["e", "day"]).aggregate(
+            [([], "count_all")]
+        )
+
+    d = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(["e", "day"])
+        .aggregate(Sum("count_all", alias_name="c"))
+        .to_pandas()  # O(|types| x span)
+    )
+    rows = []
+    for e, sub in d.groupby("e"):
+        sub = sub.sort_values("day")
+        cs = sub["c"].to_numpy(np.int64)
+        n = len(cs)
+        med = int(np.sort(cs)[(n - 1) // 2])
+        s = "".join("1" if c > med else "0" for c in cs)
+        c = 1
+        p = 1  # 0-based phrase start
+        pos = 1
+        while pos < n:
+            if s[p : pos + 1] in s[:pos]:
+                pos += 1
+            else:
+                c += 1
+                pos += 1
+                p = pos
+        rows.append({"event_type": e, "n_days": n, "lz_c": c})
+    out = pd.DataFrame(sorted(rows, key=lambda r: r["event_type"]))
+    for col in ("n_days", "lz_c"):
+        out[col] = out[col].astype("int64")
+    return out.reset_index(drop=True)
+
+
+LZ_COMPLEXITY_SQL = """
+WITH RECURSIVE d AS (
+  SELECT event_type AS e, epoch_us(ts) // 86400000000 AS day,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), rkd AS (
+  SELECT e, c, ROW_NUMBER() OVER (PARTITION BY e ORDER BY c, day) AS rn,
+         COUNT(*) OVER (PARTITION BY e) AS n
+  FROM d
+), med AS (
+  SELECT e, MAX(CASE WHEN rn = (n - 1) // 2 + 1 THEN c END) AS med
+  FROM rkd GROUP BY e
+), sym AS (
+  SELECT d.e,
+         string_agg(CASE WHEN d.c > med.med THEN '1' ELSE '0' END, ''
+                    ORDER BY d.day) AS s,
+         COUNT(*) AS n
+  FROM d JOIN med ON d.e = med.e GROUP BY d.e
+), r AS (
+  SELECT e, s, n, 2 AS pos, 2 AS p, 1 AS c FROM sym
+  UNION ALL
+  SELECT e, s, n, pos + 1,
+         CASE WHEN strpos(substr(s, 1, pos - 1),
+                          substr(s, p, pos - p + 1)) > 0
+              THEN p ELSE pos + 1 END,
+         CASE WHEN strpos(substr(s, 1, pos - 1),
+                          substr(s, p, pos - p + 1)) > 0
+              THEN c ELSE c + 1 END
+  FROM r WHERE pos <= n
+)
+SELECT e AS event_type, CAST(n AS BIGINT) AS n_days, CAST(c AS BIGINT) AS lz_c
+FROM r WHERE pos = n + 1 ORDER BY e
+"""

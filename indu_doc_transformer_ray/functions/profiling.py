@@ -1531,3 +1531,130 @@ FD_DISCOVERY2_SQL = "\nUNION ALL\n".join(
     for c, kc in _FD_COLS
     if c not in (a, b)
 ) + "\nORDER BY lhs_a, lhs_b, rhs"
+
+
+# -- inclusion-dependency discovery (SPIDER-style, bounded domains) -----------
+
+#: candidate (table, column) pairs for the IND sweep — every bounded-domain
+#: string column across the star schema, so the melted distinct stream is
+#: domain-bounded, never row-proportional.
+_IND_COLS = [
+    ("lineitem", "l_returnflag"),
+    ("lineitem", "l_linestatus"),
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("customer", "c_mktsegment"),
+    ("part", "p_brand"),
+    ("part", "p_type"),
+    ("nation", "n_name"),
+    ("region", "r_name"),
+]
+
+
+def ind_discovery(sf_dir: str) -> "object":
+    """SPIDER-style INCLUSION-dependency audit across the star schema —
+    the cross-table companion to the intra-table ``fd_discovery``: for
+    every ordered pair (A, B) of the nine bounded-domain string columns,
+    does value-set(A) ⊆ value-set(B)?  The schema-mining primitive
+    behind foreign-key suggestion in data catalogs.
+
+    Distributed shape: each table contributes ONE melted pass emitting
+    per-batch LOCAL-distinct (col, val) rows (map-side combiner —
+    domain-bounded output), a single union + global groupby dedups, and
+    the driver folds the O(Σ|domain|) value table into the 72-pair
+    subset matrix.  Output: (col_a, col_b, n_a, n_missing, holds)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    by_table: dict[str, list[str]] = {}
+    for tbl, col in _IND_COLS:
+        by_table.setdefault(tbl, []).append(col)
+
+    def melt(cols):
+        def _m(t: pa.Table) -> pa.Table:
+            outs = []
+            for c in cols:
+                vals = pc.cast(t[c], pa.string())
+                sub = pa.TableGroupBy(
+                    pa.table({"val": vals}), "val"
+                ).aggregate([])
+                outs.append(
+                    sub.append_column(
+                        "col", pa.array([c] * sub.num_rows, pa.string())
+                    )
+                )
+            return pa.concat_tables(outs)
+
+        return _m
+
+    parts = []
+    for tbl, cols in by_table.items():
+        parts.append(
+            _read(sf_dir, tbl, cols).map_batches(
+                melt(cols), batch_format="pyarrow"
+            )
+        )
+    ds = parts[0].union(*parts[1:])
+    d = (
+        ds.groupby(["col", "val"])
+        .aggregate(Count(alias_name="_c"))
+        .to_pandas()  # O(sum of domain sizes)
+    )
+    dom = {c: set(sub["val"]) for c, sub in d.groupby("col")}
+    rows = []
+    for _, a in _IND_COLS:
+        for _, b in _IND_COLS:
+            if a == b:
+                continue
+            missing = dom.get(a, set()) - dom.get(b, set())
+            rows.append(
+                {
+                    "col_a": a,
+                    "col_b": b,
+                    "n_a": len(dom.get(a, set())),
+                    "n_missing": len(missing),
+                    "holds": int(not missing),
+                }
+            )
+    out = pd.DataFrame(sorted(rows, key=lambda r: (r["col_a"], r["col_b"])))
+    for c in ("n_a", "n_missing", "holds"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+IND_DISCOVERY_SQL = """
+WITH d AS (
+  SELECT 'l_returnflag' AS col, CAST(l_returnflag AS VARCHAR) AS val
+    FROM lineitem GROUP BY 2
+  UNION ALL SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR)
+    FROM lineitem GROUP BY 2
+  UNION ALL SELECT 'o_orderstatus', CAST(o_orderstatus AS VARCHAR)
+    FROM orders GROUP BY 2
+  UNION ALL SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR)
+    FROM orders GROUP BY 2
+  UNION ALL SELECT 'c_mktsegment', CAST(c_mktsegment AS VARCHAR)
+    FROM customer GROUP BY 2
+  UNION ALL SELECT 'p_brand', CAST(p_brand AS VARCHAR) FROM part GROUP BY 2
+  UNION ALL SELECT 'p_type', CAST(p_type AS VARCHAR)
+    FROM part GROUP BY 2
+  UNION ALL SELECT 'n_name', CAST(n_name AS VARCHAR) FROM nation GROUP BY 2
+  UNION ALL SELECT 'r_name', CAST(r_name AS VARCHAR) FROM region GROUP BY 2
+), cols AS (
+  SELECT DISTINCT col FROM d
+), pairs AS (
+  SELECT a.col AS ca, b.col AS cb FROM cols a JOIN cols b ON a.col <> b.col
+), miss AS (
+  SELECT p.ca, p.cb,
+         COUNT(*) AS n_a,
+         COUNT(*) FILTER (WHERE db.val IS NULL) AS n_missing
+  FROM pairs p
+  JOIN d da ON da.col = p.ca
+  LEFT JOIN d db ON db.col = p.cb AND db.val = da.val
+  GROUP BY p.ca, p.cb
+)
+SELECT ca AS col_a, cb AS col_b, CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_missing AS BIGINT) AS n_missing,
+       CAST(CASE WHEN n_missing = 0 THEN 1 ELSE 0 END AS BIGINT) AS holds
+FROM miss ORDER BY ca, cb
+"""

@@ -3677,3 +3677,108 @@ def test_conformal_value_bounds_coverage(ray_session):
         n_cal = cov[r.event_type]
         assert n_cal == r.n_calib
         assert n_in >= 9 * (n_cal - 1) // 10 + 1
+
+
+def test_shapley_attribution_efficiency(ray_session):
+    """Shapley attribution: oracle equality plus the EFFICIENCY axiom —
+    the credits must sum exactly to k! * (v(full) - v(empty))."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.shapley_attribution(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(E.SHAPLEY_ATTRIBUTION_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    v = con.execute(
+        """WITH fp AS (SELECT user_id, MIN(ts) fpts FROM events
+                       WHERE event_type='purchase' GROUP BY 1),
+           um AS (SELECT e.user_id,
+                  COALESCE(BIT_OR(CASE e.event_type WHEN 'click' THEN 1
+                       WHEN 'error' THEN 2 WHEN 'signup' THEN 4
+                       WHEN 'view' THEN 8 END)
+                   FILTER (WHERE e.event_type <> 'purchase'
+                           AND (fp.fpts IS NULL OR e.ts < fp.fpts)), 0) mask,
+                  CASE WHEN fp.fpts IS NULL THEN 0 ELSE 1 END conv
+                  FROM events e LEFT JOIN fp ON e.user_id = fp.user_id
+                  GROUP BY e.user_id, fp.fpts)
+           SELECT SUM(conv) v_full,
+                  SUM(CASE WHEN mask = 0 THEN conv ELSE 0 END) v_empty
+           FROM um"""
+    ).fetchone()
+    assert int(got["shapley_num"].sum()) == 24 * (int(v[0]) - int(v[1]))
+
+
+def test_ind_discovery_transitivity(ray_session):
+    """IND audit: oracle equality plus TRANSITIVITY — whenever A ⊆ B and
+    B ⊆ C appear as holds=1, A ⊆ C must also hold."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import profiling as P
+
+    sf = "/root/testdata/sf0.001"
+    got = P.ind_discovery(sf)
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "part", "nation", "region"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    want = con.execute(P.IND_DISCOVERY_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    holds = {
+        (r.col_a, r.col_b) for r in got.itertuples() if r.holds == 1
+    }
+    for a, b in holds:
+        for b2, c in holds:
+            if b2 == b and (a, c) not in holds and a != c:
+                raise AssertionError(f"IND transitivity violated: {a}⊆{b}⊆{c}")
+    assert len(got) == 72 and (got["col_a"] != got["col_b"]).all()
+
+
+def test_lz_complexity_parser_cross_engine(ray_session):
+    """LZ76: oracle equality on real data, bounds 1 <= lz_c <= n_days, and
+    the parser seam — the Python prefix-search parse must equal the
+    recursive-CTE parse on 20 seeded random binary strings."""
+    import random
+
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.lz_complexity_by_type(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(E.LZ_COMPLEXITY_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert ((got["lz_c"] >= 1) & (got["lz_c"] <= got["n_days"])).all()
+
+    def py_lz(s: str) -> int:
+        n = len(s)
+        c, p, pos = 1, 1, 1
+        while pos < n:
+            if s[p : pos + 1] in s[:pos]:
+                pos += 1
+            else:
+                c += 1
+                pos += 1
+                p = pos
+        return c
+
+    rng = random.Random(7)
+    for _ in range(20):
+        n = rng.randint(1, 40)
+        s = "".join(rng.choice("01") for _ in range(n))
+        sql_c = con.execute(
+            f"""WITH RECURSIVE r AS (
+              SELECT '{s}' AS s, {n} AS n, 2 AS pos, 2 AS p, 1 AS c
+              UNION ALL
+              SELECT s, n, pos + 1,
+                CASE WHEN strpos(substr(s,1,pos-1), substr(s,p,pos-p+1)) > 0
+                     THEN p ELSE pos + 1 END,
+                CASE WHEN strpos(substr(s,1,pos-1), substr(s,p,pos-p+1)) > 0
+                     THEN c ELSE c + 1 END
+              FROM r WHERE pos <= n)
+            SELECT c FROM r WHERE pos = n + 1"""
+        ).fetchone()[0]
+        assert py_lz(s) == sql_c, s
