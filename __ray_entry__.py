@@ -609,6 +609,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shapley_attribution": events.shapley_attribution,
         "ind_discovery": relational.ind_discovery,
         "lz_complexity_by_type": events.lz_complexity_by_type,
+        "kcenter_coreset": similarity.kcenter_coreset,
+        "silhouette_kmeans": similarity.silhouette_kmeans,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -619,7 +621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # absorbing-chain unroll, the sketch-calibration join, the
         # carry-independent sweep), then session-8's
         "shapley_attribution", "ind_discovery",
-        "lz_complexity_by_type",
+        "lz_complexity_by_type", "kcenter_coreset", "silhouette_kmeans",
         "ate_discount_strata", "ols_price_model",
         "did_type_effect", "conformal_value_bounds",
         "markov_attribution", "minhash_jaccard_calibration",
@@ -856,6 +858,8 @@ def oracle_sql() -> dict[str, str]:
         "shapley_attribution": events.SHAPLEY_ATTRIBUTION_SQL,
         "ind_discovery": relational.IND_DISCOVERY_SQL,
         "lz_complexity_by_type": events.LZ_COMPLEXITY_SQL,
+        "kcenter_coreset": similarity.KCENTER_CORESET_SQL,
+        "silhouette_kmeans": similarity.SILHOUETTE_KMEANS_SQL,
         "session_cross_lift": events.SESSION_CROSS_LIFT_SQL,
         "fd_discovery2": relational.FD_DISCOVERY2_SQL,
         "knn_reciprocity": similarity.KNN_RECIPROCITY_SQL,

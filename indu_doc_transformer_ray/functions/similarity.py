@@ -2665,3 +2665,231 @@ FROM per_s p JOIN tot t USING (dim) JOIN cnt c USING (source)
 CROSS JOIN nn
 GROUP BY p.source, c.n_s, nn.n ORDER BY p.source
 """
+
+
+# -- greedy k-center coreset selection (Gonzalez) -------------------------------
+
+
+def kcenter_coreset(sf_dir: str, k: int = 8) -> "object":
+    """Gonzalez greedy k-center CORESET selection over the embeddings —
+    the geometry-coverage data-pruning primitive (pick the k points that
+    minimize the max distance of any point to its nearest pick, 2-approx):
+    seed = the minimum vec_id, then k-1 rounds of "farthest point from
+    the current picks" with the (distance DESC, vec_id ASC) deterministic
+    tie-break.  Components integerize to 2^-20 units FIRST (floored, the
+    ``loo_centroid_shift`` convention) so every squared distance is an
+    exact int64 and the oracle's unrolled round chain replays it
+    bit-for-bit.  Each round ships the <=k-row pick matrix once
+    (``ray.put``) and folds a per-block (argmax, tie-min-id) partial —
+    O(k) streaming passes, O(k*dim) driver state, no shuffle at all.
+    Output: (rnd, vec_id, d2) where d2 is the point's min squared
+    distance to the earlier picks at selection time (0 for the seed) —
+    the last row's d2 is the k-center coverage radius."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    seed = int(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+        .column("vec_id")
+        .to_pandas()
+        .min()
+    )
+    seed_vec = np.floor(
+        np.array(
+            pq.read_table(
+                f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"],
+                filters=[("vec_id", "=", seed)],
+            )
+            .column("embedding")
+            .to_pylist(),
+            dtype=np.float64,
+        )
+        * (1 << 20)
+    ).astype(np.int64)[0]
+
+    picks = [(0, seed, 0)]
+    pick_mat = seed_vec[None, :]
+    for rnd in range(1, k):
+        ref = ray.put(pick_mat)
+
+        def far_partial(t: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+            emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+            q = np.floor(emb * (1 << 20)).astype(np.int64)
+            d2 = ((q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+            order = np.lexsort((ids, -d2))
+            i = order[0]
+            return pa.table(
+                {
+                    "vec_id": pa.array([int(ids[i])], pa.int64()),
+                    "d2": pa.array([int(d2[i])], pa.int64()),
+                }
+            )
+
+        p = (
+            _read_emb(sf_dir)
+            .map_batches(far_partial, batch_format="pyarrow")
+            .to_pandas()  # one row per block
+        )
+        p = p.sort_values(["d2", "vec_id"], ascending=[False, True])
+        best_id, best_d = int(p.iloc[0]["vec_id"]), int(p.iloc[0]["d2"])
+        picks.append((rnd, best_id, best_d))
+        vec = np.floor(
+            np.array(
+                pq.read_table(
+                    f"{sf_dir}/embeddings.parquet",
+                    columns=["vec_id", "embedding"],
+                    filters=[("vec_id", "=", best_id)],
+                )
+                .column("embedding")
+                .to_pylist(),
+                dtype=np.float64,
+            )
+            * (1 << 20)
+        ).astype(np.int64)[0]
+        pick_mat = np.vstack([pick_mat, vec[None, :]])
+
+    out = pd.DataFrame(picks, columns=["rnd", "vec_id", "d2"])
+    for c in ("rnd", "vec_id", "d2"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _kcenter_sql(k: int = 8) -> str:
+    """Unrolled Gonzalez round chain: integerized components, per-round
+    distance-to-new-pick join, LEAST-folded running min distance, argmax
+    pick via (d DESC, vec_id ASC) LIMIT 1 — the exact integer replay of
+    ``kcenter_coreset``."""
+    parts = ["""
+WITH q AS (
+  SELECT vec_id, u.i AS dim,
+         CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * 1048576) AS BIGINT) AS x
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+), p0 AS (
+  SELECT (SELECT MIN(vec_id) FROM embeddings) AS vid, CAST(0 AS BIGINT) AS d2
+), dm0 AS (
+  SELECT q.vec_id, SUM((q.x - c.x) * (q.x - c.x)) AS d
+  FROM q JOIN q c ON c.vec_id = (SELECT vid FROM p0) AND c.dim = q.dim
+  GROUP BY q.vec_id
+)"""]
+    for r in range(1, k):
+        prev = f"dm{r - 1}"
+        parts.append(f""", p{r} AS (
+  SELECT vec_id AS vid, d AS d2 FROM {prev} ORDER BY d DESC, vec_id LIMIT 1
+), dm{r} AS (
+  SELECT {prev}.vec_id, LEAST({prev}.d, nd.d) AS d
+  FROM {prev} JOIN (
+    SELECT q.vec_id, SUM((q.x - c.x) * (q.x - c.x)) AS d
+    FROM q JOIN q c ON c.vec_id = (SELECT vid FROM p{r}) AND c.dim = q.dim
+    GROUP BY q.vec_id
+  ) nd ON nd.vec_id = {prev}.vec_id
+)""")
+    sels = [
+        "SELECT 0 AS rnd, CAST(vid AS BIGINT) AS vec_id, d2 FROM p0"
+    ] + [
+        f"SELECT {r} AS rnd, CAST(vid AS BIGINT) AS vec_id, d2 FROM p{r}"
+        for r in range(1, k)
+    ]
+    return (
+        "".join(parts)
+        + "\nSELECT CAST(rnd AS BIGINT) AS rnd, vec_id, CAST(d2 AS BIGINT)"
+          " AS d2 FROM (\n"
+        + "\nUNION ALL ".join(sels)
+        + "\n) ORDER BY rnd"
+    )
+
+
+KCENTER_CORESET_SQL = _kcenter_sql()
+
+
+# -- simplified silhouette score per k-means cluster ----------------------------
+
+
+def silhouette_kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> "object":
+    """Simplified (centroid-based) SILHOUETTE quality score per k-means
+    cluster — the clustering-validation companion to ``kmeans_assign``:
+    per point, a = squared distance to its own centroid, b = min squared
+    distance to any other centroid, s = (b - a) / max(a, b), accumulated
+    per cluster as the SUM of per-point floored permille scores (the
+    only float step is the per-point ratio, whose floor is decided far
+    above ulp scale — the ``kmeans_assign`` float-contract).  Composes
+    the memoized Lloyd fit; ONE assignment-shaped streaming pass, O(k)
+    partial rows per block.  Output: (cluster, n, s_sum_permille)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    cents = _kmeans_centroids(sf_dir, k, iters)
+    ref = ray.put(cents)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        d2 = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        a = d2[np.arange(len(d2)), assign]
+        d2m = d2.copy()
+        d2m[np.arange(len(d2)), assign] = np.inf
+        b = d2m.min(axis=1)
+        mx = np.maximum(a, b)
+        s = np.where(mx > 0, np.floor(1000.0 * (b - a) / np.where(mx > 0, mx, 1)), 0.0)
+        out = (
+            pd.DataFrame({"cluster": assign, "n": 1, "s": s.astype(np.int64)})
+            .groupby("cluster", as_index=False)
+            .sum()
+        )
+        return pa.table(
+            {
+                "cluster": pa.array(out["cluster"], pa.int64()),
+                "n": pa.array(out["n"], pa.int64()),
+                "s": pa.array(out["s"], pa.int64()),
+            }
+        )
+
+    out = (
+        _read_emb(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s_sum_permille"))
+        .to_pandas()  # O(k)
+    )
+    out = out.sort_values("cluster").reset_index(drop=True)
+    for c2 in ("cluster", "n", "s_sum_permille"):
+        out[c2] = out[c2].astype("int64")
+    return out
+
+
+def _silhouette_sql(k: int = 8, iters: int = 5) -> str:
+    return _kmeans_cte_prefix(k, iters) + f""", distF AS (
+  SELECT comp.vec_id, p.cluster, SUM((comp.x - p.c) * (comp.x - p.c)) AS d
+  FROM comp JOIN cent{iters} p USING (dim)
+  GROUP BY comp.vec_id, p.cluster
+), own AS (
+  SELECT vec_id, cluster, d AS a FROM (
+    SELECT vec_id, cluster, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+    FROM distF
+  ) WHERE rn = 1
+), other AS (
+  SELECT distF.vec_id, MIN(distF.d) AS b
+  FROM distF JOIN own ON distF.vec_id = own.vec_id
+  WHERE distF.cluster <> own.cluster
+  GROUP BY distF.vec_id
+), s AS (
+  SELECT own.cluster,
+         CASE WHEN GREATEST(own.a, other.b) > 0
+              THEN CAST(FLOOR(1000.0 * (other.b - own.a)
+                              / GREATEST(own.a, other.b)) AS BIGINT)
+              ELSE 0 END AS sp
+  FROM own JOIN other ON own.vec_id = other.vec_id
+)
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(sp) AS BIGINT) AS s_sum_permille
+FROM s GROUP BY cluster ORDER BY cluster"""
+
+
+SILHOUETTE_KMEANS_SQL = _silhouette_sql()

@@ -3782,3 +3782,46 @@ def test_lz_complexity_parser_cross_engine(ray_session):
             SELECT c FROM r WHERE pos = n + 1"""
         ).fetchone()[0]
         assert py_lz(s) == sql_c, s
+
+
+def test_kcenter_coreset_gonzalez_laws(ray_session):
+    """Gonzalez k-center: oracle equality, distinct picks, seed d2 = 0,
+    and the farthest-distance sequence non-increasing from round 2 on
+    (adding picks can only shrink every point's min distance)."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    got = S.kcenter_coreset(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    want = con.execute(S.KCENTER_CORESET_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert got["vec_id"].is_unique
+    assert int(got.iloc[0]["d2"]) == 0
+    d = got["d2"].tolist()[1:]
+    assert all(d[i] >= d[i + 1] for i in range(len(d) - 1))
+
+
+def test_silhouette_kmeans_bounds(ray_session):
+    """Simplified silhouette: oracle equality, per-cluster score bounded in
+    [-1000n, 1000n], and cluster sizes conserve the embedding count."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    got = S.silhouette_kmeans(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    want = con.execute(S.SILHOUETTE_KMEANS_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    n_total = con.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+    assert int(got["n"].sum()) == n_total
+    assert ((got["s_sum_permille"] >= -1000 * got["n"])
+            & (got["s_sum_permille"] <= 1000 * got["n"])).all()
