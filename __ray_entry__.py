@@ -611,6 +611,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lz_complexity_by_type": events.lz_complexity_by_type,
         "kcenter_coreset": similarity.kcenter_coreset,
         "silhouette_kmeans": similarity.silhouette_kmeans,
+        "effective_diameter": similarity.effective_diameter,
+        "bfs_path_counts": similarity.bfs_path_counts,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -622,6 +624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # carry-independent sweep), then session-8's
         "shapley_attribution", "ind_discovery",
         "lz_complexity_by_type", "kcenter_coreset", "silhouette_kmeans",
+        "effective_diameter", "bfs_path_counts",
         "ate_discount_strata", "ols_price_model",
         "did_type_effect", "conformal_value_bounds",
         "markov_attribution", "minhash_jaccard_calibration",
@@ -860,6 +863,8 @@ def oracle_sql() -> dict[str, str]:
         "lz_complexity_by_type": events.LZ_COMPLEXITY_SQL,
         "kcenter_coreset": similarity.KCENTER_CORESET_SQL,
         "silhouette_kmeans": similarity.SILHOUETTE_KMEANS_SQL,
+        "effective_diameter": similarity.EFFECTIVE_DIAMETER_SQL,
+        "bfs_path_counts": similarity.BFS_PATH_COUNTS_SQL,
         "session_cross_lift": events.SESSION_CROSS_LIFT_SQL,
         "fd_discovery2": relational.FD_DISCOVERY2_SQL,
         "knn_reciprocity": similarity.KNN_RECIPROCITY_SQL,

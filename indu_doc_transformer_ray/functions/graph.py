@@ -4369,3 +4369,321 @@ deg AS (
 SELECT CAST(d AS BIGINT) AS degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
 FROM deg GROUP BY d ORDER BY degree
 """
+
+
+# -- effective diameter from the HyperANF neighbourhood function ---------------
+
+
+def effective_diameter(sf_dir: str) -> "object":
+    """Effective diameter (90th percentile of the pairwise-distance
+    distribution) from the HyperANF neighbourhood function — the metric
+    HyperANF was built to deliver at web scale (Boldi-Vigna 2011 §1):
+    the smallest radius r whose ball mass NF(r) covers 90% of the final
+    reachable mass, with the standard linear interpolation between
+    NF(r-1) and NF(r) emitted in floored milli-units
+    1000*(r-1) + floor(1000*(target - NF(r-1)) / (NF(r) - NF(r-1))),
+    target = ceil(0.9 * NF(last)) — exact integer arithmetic end to end
+    because the underlying NF estimates are the hash-exact HLL integers.
+    Pure composition over ``hyperball_nf``'s O(rounds) output (one extra
+    driver fold, no new pass).  Output: one row
+    (n_rounds, nf_last, target, eff_diam_milli)."""
+    import pandas as pd
+
+    nf = hyperball_nf(sf_dir)
+    ests = {int(r["round"]): int(r["nf_est"]) for _, r in nf.iterrows()}
+    last = max(ests)
+    nf_last = ests[last]
+    target = (9 * nf_last + 9) // 10
+    r0 = min(r for r in sorted(ests) if ests[r] >= target)
+    if r0 == 0:
+        eff = 0
+    else:
+        prev, cur = ests[r0 - 1], ests[r0]
+        eff = 1000 * (r0 - 1) + (1000 * (target - prev)) // (cur - prev)
+    return pd.DataFrame(
+        {
+            "n_rounds": pd.Series([last], dtype="int64"),
+            "nf_last": pd.Series([nf_last], dtype="int64"),
+            "target": pd.Series([target], dtype="int64"),
+            "eff_diam_milli": pd.Series([eff], dtype="int64"),
+        }
+    )
+
+
+EFFECTIVE_DIAMETER_SQL = f"""
+WITH nf AS ({HYPERBALL_NF_SQL}
+), lastr AS (
+  SELECT MAX(round) AS mr FROM nf
+), tgt AS (
+  SELECT (9 * nf.nf_est + 9) // 10 AS target, nf.nf_est AS nf_last, lastr.mr
+  FROM nf, lastr WHERE nf.round = lastr.mr
+), r0 AS (
+  SELECT MIN(nf.round) AS r0 FROM nf, tgt WHERE nf.nf_est >= tgt.target
+)
+SELECT CAST(tgt.mr AS BIGINT) AS n_rounds,
+       CAST(tgt.nf_last AS BIGINT) AS nf_last,
+       CAST(tgt.target AS BIGINT) AS target,
+       CAST(CASE WHEN r0.r0 = 0 THEN 0
+            ELSE 1000 * (r0.r0 - 1)
+                 + (1000 * (tgt.target
+                            - (SELECT nf_est FROM nf WHERE round = r0.r0 - 1)))
+                   // ((SELECT nf_est FROM nf WHERE round = r0.r0)
+                       - (SELECT nf_est FROM nf WHERE round = r0.r0 - 1))
+            END AS BIGINT) AS eff_diam_milli
+FROM tgt, r0
+"""
+
+
+# -- multi-source shortest-path counting (Brandes forward pass) ----------------
+
+
+def bfs_path_counts(sf_dir: str, rounds: int = BFS_ROUNDS) -> "object":
+    """Shortest-path COUNTING from the BFS seed set (``vec_id %
+    BFS_SEED_MOD == 0``) over the directed k-NN graph — the Brandes
+    forward pass (sigma DP): a node first reached at level r accumulates
+    sigma(v) = sum of sigma(u) over its level-(r-1) predecessors, the
+    path-multiplicity layer that ``bfs_hops`` (reachability only) lacks
+    and the ingredient of betweenness/centrality families.  All counts
+    are exact integers, so the oracle's unrolled level CTEs hash-match.
+
+    Execution mirrors ``bfs_hops``: under the shared edge budget the
+    levels are driver numpy scatter-adds; above it the state Dataset
+    (node, dist, sigma) runs one pinned-shard neighbor expansion + one
+    bucketed fold per level (frontier-only RPCs, the graph never
+    re-enters the shuffle).  Output is the bounded per-level histogram
+    (hops, n_nodes, sigma_sum) with hops = -1 for unreached (sigma 0)."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    nb = n_buckets(n)
+
+    def hist(frame: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            frame.groupby("d", as_index=False)
+            .agg(n_nodes=("a", "size"), sigma_sum=("sig", "sum"))
+            .rename(columns={"d": "hops"})
+            .sort_values("hops")
+            .reset_index(drop=True)
+        )
+        for c in ("hops", "n_nodes", "sigma_sum"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    edges_ds = knn_graph(sf_dir)
+    if edges_ds.count() <= PAGERANK_DRIVER_EDGE_BUDGET:
+        e = edges_ds.to_pandas()
+        src_a = e["vec_id"].to_numpy(np.int64)
+        dst_a = e["nbr_id"].to_numpy(np.int64)
+        nodes = np.sort(
+            pq.read_table(
+                f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+            )["vec_id"].to_numpy().astype(np.int64)
+        )
+        ui = np.searchsorted(nodes, src_a)
+        vi = np.searchsorted(nodes, dst_a)
+        d = np.where(nodes % BFS_SEED_MOD == 0, 0, -1).astype(np.int64)
+        sig = np.where(d == 0, 1, 0).astype(np.int64)
+        for r in range(1, rounds + 1):
+            m = d[ui] == r - 1
+            recv = np.zeros(len(nodes), dtype=np.int64)
+            np.add.at(recv, vi[m], sig[ui[m]])
+            newly = (d == -1) & (recv > 0)
+            d[newly] = r
+            sig[newly] = recv[newly]
+        return hist(pd.DataFrame({"a": nodes, "d": d, "sig": sig}))
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_shards = max(2, min(16, ncpu // 2))
+
+    @ray.remote(num_cpus=0)
+    class NeighborShard:
+        """Out-edges of src % n_shards == shard id, src-sorted; returns
+        (counts aligned with ids, flat dst) so callers can np.repeat a
+        per-source payload (sigma) onto the expansion."""
+
+        def __init__(self):
+            self._src_parts: list[np.ndarray] = []
+            self._dst_parts: list[np.ndarray] = []
+            self._src = self._dst = None
+
+        def add_batch(self, src: np.ndarray, dst: np.ndarray) -> int:
+            self._src_parts.append(src)
+            self._dst_parts.append(dst)
+            return len(src)
+
+        def seal(self) -> int:
+            if self._src_parts:
+                src = np.concatenate(self._src_parts)
+                dst = np.concatenate(self._dst_parts)
+            else:
+                src = dst = np.empty(0, dtype=np.int64)
+            order = np.argsort(src, kind="stable")
+            self._src, self._dst = src[order], dst[order]
+            self._src_parts = self._dst_parts = None
+            return len(self._src)
+
+        def expand(self, ids: np.ndarray):
+            lo = np.searchsorted(self._src, ids, side="left")
+            hi = np.searchsorted(self._src, ids, side="right")
+            cnt = hi - lo
+            total = int(cnt.sum())
+            if total == 0:
+                return cnt, np.empty(0, dtype=np.int64)
+            starts = np.repeat(
+                lo - np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt
+            )
+            return cnt, self._dst[starts + np.arange(total)]
+
+    shards = [NeighborShard.remote() for _ in range(n_shards)]
+
+    def push_edges(t: pd.DataFrame) -> pd.DataFrame:
+        src = t["vec_id"].to_numpy(dtype=np.int64)
+        dst = t["nbr_id"].to_numpy(dtype=np.int64)
+        sh = src % n_shards
+        ray.get(
+            [
+                shards[s].add_batch.remote(src[sh == s], dst[sh == s])
+                for s in np.unique(sh)
+            ]
+        )
+        return pd.DataFrame({"n": pd.Series([len(t)], dtype="int64")})
+
+    edges_ds.map_batches(push_edges, batch_format="pandas").count()
+    ray.get([s.seal.remote() for s in shards])
+
+    def state0(t: pd.DataFrame) -> pd.DataFrame:
+        a = t["vec_id"].to_numpy(dtype=np.int64)
+        d0 = np.where(a % BFS_SEED_MOD == 0, 0, -1).astype(np.int64)
+        return pd.DataFrame(
+            {"a": a, "d": d0, "sig": np.where(d0 == 0, 1, 0).astype(np.int64)}
+        )
+
+    state = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+        )
+        .map_batches(state0, batch_format="pandas")
+    )
+
+    def make_step(r: int):
+        def step_rows(t: pd.DataFrame) -> pd.DataFrame:
+            ids = t["a"].to_numpy(dtype=np.int64)
+            ds_ = t["d"].to_numpy(dtype=np.int64)
+            sg = t["sig"].to_numpy(dtype=np.int64)
+            frames = [
+                pd.DataFrame(
+                    {
+                        "db": (ids % nb).astype(np.int32),
+                        "a": ids,
+                        "d": ds_,
+                        "sig": sg,
+                        "c": np.zeros(len(ids), dtype=np.int64),
+                    }
+                )
+            ]
+            fmask = ds_ == r - 1
+            front, fsig = ids[fmask], sg[fmask]
+            if len(front):
+                sh = front % n_shards
+                for s in np.unique(sh):
+                    cnt, nbrs = ray.get(shards[s].expand.remote(front[sh == s]))
+                    if len(nbrs):
+                        contrib = np.repeat(fsig[sh == s], cnt)
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    "db": (nbrs % nb).astype(np.int32),
+                                    "a": nbrs,
+                                    "d": np.full(len(nbrs), -1, dtype=np.int64),
+                                    "sig": contrib,
+                                    "c": np.ones(len(nbrs), dtype=np.int64),
+                                }
+                            )
+                        )
+            return pd.concat(frames, ignore_index=True)
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            self_rows = g[g["c"] == 0]
+            cand = g[g["c"] == 1].groupby("a")["sig"].sum()
+            a = self_rows["a"].to_numpy(np.int64)
+            d_ = self_rows["d"].to_numpy(np.int64)
+            s_ = self_rows["sig"].to_numpy(np.int64)
+            recv = self_rows["a"].map(cand).fillna(0).to_numpy(np.int64)
+            newly = (d_ == -1) & (recv > 0)
+            d_ = np.where(newly, r, d_)
+            s_ = np.where(newly, recv, s_)
+            return pd.DataFrame(
+                {"a": a, "d": d_.astype("int64"), "sig": s_.astype("int64")}
+            )
+
+        return step_rows, fold
+
+    for r in range(1, rounds + 1):
+        step_rows, fold = make_step(r)
+        state = (
+            state.map_batches(step_rows, batch_format="pandas")
+            .groupby("db")
+            .map_groups(fold, batch_format="pandas")
+        )
+
+    def local_hist(t: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            t.groupby("d", as_index=False)
+            .agg(n_nodes=("a", "size"), sigma_sum=("sig", "sum"))
+        )
+        return out.astype("int64")
+
+    from ray.data.aggregate import Sum
+
+    parts = (
+        state.map_batches(local_hist, batch_format="pandas")
+        .groupby("d")
+        .aggregate(Sum("n_nodes", alias_name="n_nodes"),
+                   Sum("sigma_sum", alias_name="sigma_sum"))
+        .to_pandas()  # O(rounds + 2)
+    )
+    parts = parts.rename(columns={"d": "hops"}).sort_values("hops")
+    return parts.reset_index(drop=True).astype("int64")
+
+
+def _bfs_path_counts_sql(rounds: int = BFS_ROUNDS) -> str:
+    """Unrolled Brandes-forward level CTEs: per level one
+    frontier-to-neighbor join summing predecessor sigmas into the
+    still-unreached nodes."""
+    steps = []
+    prev = "s0"
+    for r in range(1, rounds + 1):
+        steps.append(f"""s{r} AS (
+  SELECT p.vec_id,
+         CASE WHEN p.dist >= 0 THEN p.dist
+              WHEN c.s IS NOT NULL THEN {r} ELSE -1 END AS dist,
+         CASE WHEN p.dist >= 0 THEN p.sig
+              WHEN c.s IS NOT NULL THEN c.s ELSE 0 END AS sig
+  FROM {prev} p LEFT JOIN (
+    SELECT e.nbr_id AS v, SUM(p2.sig) AS s
+    FROM knn e JOIN {prev} p2
+      ON e.vec_id = p2.vec_id AND p2.dist = {r - 1}
+    GROUP BY e.nbr_id
+  ) c ON c.v = p.vec_id
+)""")
+        prev = f"s{r}"
+    joined = ",\n".join(steps)
+    return f"""
+WITH knn AS MATERIALIZED ({KNN_GRAPH_SQL}),
+s0 AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % {BFS_SEED_MOD} = 0 THEN 0 ELSE -1 END AS dist,
+         CASE WHEN vec_id % {BFS_SEED_MOD} = 0 THEN 1 ELSE 0 END AS sig
+  FROM embeddings
+),
+{joined}
+SELECT CAST(dist AS BIGINT) AS hops, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(sig) AS BIGINT) AS sigma_sum
+FROM {prev} GROUP BY dist ORDER BY dist"""
+
+
+BFS_PATH_COUNTS_SQL = _bfs_path_counts_sql()

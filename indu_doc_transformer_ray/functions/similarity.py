@@ -2271,6 +2271,8 @@ from .graph import (  # noqa: E402,F401
     VEC_DUP_CLUSTERS_SQL,
     HITS_SCORES_SQL,
     HYPERBALL_NF_SQL,
+    EFFECTIVE_DIAMETER_SQL,
+    BFS_PATH_COUNTS_SQL,
     DEGREE_ASSORTATIVITY_SQL,
     RICH_CLUB_SQL,
     LP_MODULARITY_SQL,
@@ -2283,6 +2285,8 @@ from .graph import (  # noqa: E402,F401
     knn_degree_hist,
     hits_scores,
     hyperball_nf,
+    effective_diameter,
+    bfs_path_counts,
     degree_assortativity,
     lp_modularity,
     rich_club,

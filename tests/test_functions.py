@@ -3825,3 +3825,41 @@ def test_silhouette_kmeans_bounds(ray_session):
     assert int(got["n"].sum()) == n_total
     assert ((got["s_sum_permille"] >= -1000 * got["n"])
             & (got["s_sum_permille"] <= 1000 * got["n"])).all()
+
+
+def test_bfs_path_counts_and_effective_diameter(ray_session, monkeypatch):
+    """Path counting: oracle equality, seed level carries sigma == n_seeds
+    == n_nodes at hops 0, unreached rows carry sigma 0, and the FORCED
+    distributed path (edge budget 0) is bit-equal to the driver escape.
+    Effective diameter: oracle equality + milli value within the round
+    range [0, 1000*n_rounds]."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import similarity  # noqa: F401 facade
+    from indu_doc_transformer_ray.functions import graph
+
+    sf = "/root/testdata/sf0.001"
+    got = graph.bfs_path_counts(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    want = con.execute(graph.BFS_PATH_COUNTS_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    h0 = got[got["hops"] == 0]
+    n_seeds = con.execute(
+        f"SELECT COUNT(*) FROM embeddings WHERE vec_id % {graph.BFS_SEED_MOD} = 0"
+    ).fetchone()[0]
+    assert int(h0["n_nodes"].iloc[0]) == int(h0["sigma_sum"].iloc[0]) == n_seeds
+    un = got[got["hops"] == -1]
+    assert un.empty or int(un["sigma_sum"].iloc[0]) == 0
+
+    monkeypatch.setattr(graph, "PAGERANK_DRIVER_EDGE_BUDGET", 0)
+    dist = graph.bfs_path_counts(sf)
+    assert dist.values.tolist() == got.values.tolist()
+    monkeypatch.undo()
+
+    ed = graph.effective_diameter(sf)
+    want_ed = con.execute(graph.EFFECTIVE_DIAMETER_SQL).df()
+    assert ed.values.tolist() == want_ed.values.tolist()
+    assert 0 <= int(ed["eff_diam_milli"].iloc[0]) <= 1000 * int(ed["n_rounds"].iloc[0])
