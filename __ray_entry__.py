@@ -613,6 +613,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "silhouette_kmeans": similarity.silhouette_kmeans,
         "effective_diameter": similarity.effective_diameter,
         "bfs_path_counts": similarity.bfs_path_counts,
+        "burst_viterbi_by_type": events.burst_viterbi_by_type,
+        "voptimal_histogram": sketches.voptimal_histogram,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -625,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shapley_attribution", "ind_discovery",
         "lz_complexity_by_type", "kcenter_coreset", "silhouette_kmeans",
         "effective_diameter", "bfs_path_counts",
+        "burst_viterbi_by_type", "voptimal_histogram",
         "ate_discount_strata", "ols_price_model",
         "did_type_effect", "conformal_value_bounds",
         "markov_attribution", "minhash_jaccard_calibration",
@@ -865,6 +868,8 @@ def oracle_sql() -> dict[str, str]:
         "silhouette_kmeans": similarity.SILHOUETTE_KMEANS_SQL,
         "effective_diameter": similarity.EFFECTIVE_DIAMETER_SQL,
         "bfs_path_counts": similarity.BFS_PATH_COUNTS_SQL,
+        "burst_viterbi_by_type": events.BURST_VITERBI_SQL,
+        "voptimal_histogram": sketches.VOPTIMAL_HISTOGRAM_SQL,
         "session_cross_lift": events.SESSION_CROSS_LIFT_SQL,
         "fd_discovery2": relational.FD_DISCOVERY2_SQL,
         "knn_reciprocity": similarity.KNN_RECIPROCITY_SQL,

@@ -211,6 +211,13 @@ QUERY_CHUNKS = [
      "fd_discovery2"],
     # session-9 graph additions share the knn-graph memo
     ["ktruss_edges", "transitivity_global", "label_homophily"],
+    # session-10 additions (causal/uncertainty moment folds; the coreset
+    # and silhouette ride the Lloyd memo, the graph pair the knn memo)
+    ["ate_discount_strata", "ols_price_model", "did_type_effect",
+     "conformal_value_bounds", "shapley_attribution", "ind_discovery",
+     "lz_complexity_by_type", "kcenter_coreset", "silhouette_kmeans",
+     "effective_diameter", "bfs_path_counts",
+     "burst_viterbi_by_type", "voptimal_histogram"],
 ]
 
 

@@ -6753,3 +6753,116 @@ WITH RECURSIVE d AS (
 SELECT e AS event_type, CAST(n AS BIGINT) AS n_days, CAST(c AS BIGINT) AS lz_c
 FROM r WHERE pos = n + 1 ORDER BY e
 """
+
+
+# -- two-state burst segmentation (integer Viterbi) -----------------------------
+
+
+def burst_viterbi_by_type(sf_dir: str) -> "pd.DataFrame":
+    """Kleinberg-style two-state BURST segmentation of each type's daily
+    activity (simplified to integer linear costs so the Viterbi replay is
+    exact): states are 'base' and 'burst' with target rates r_lo / r_hi =
+    the lower/upper quartile of the observed daily counts (lower-order-
+    statistic convention), day cost = |count - rate|, and switching pays
+    lam = max(1, (r_hi - r_lo) // 4).  The DP carries BOTH state costs
+    AND the burst-day count along the argmin path (ties prefer staying),
+    so the optimal segmentation's burst mass emerges without a backtrack
+    pass — the trick that makes the oracle a single forward recursive
+    CTE.  ONE shared (type, day) fold, O(span) driver DP per type.
+    Output: (event_type, n_days, r_lo, r_hi, total_cost, burst_days)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["ts", "event_type"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        day = pc.divide(_ts_us_i64(t["ts"]), 86_400_000_000)
+        folded = pa.table({"e": t["event_type"], "day": day})
+        return pa.TableGroupBy(folded, ["e", "day"]).aggregate(
+            [([], "count_all")]
+        )
+
+    d = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(["e", "day"])
+        .aggregate(Sum("count_all", alias_name="c"))
+        .to_pandas()  # O(|types| x span)
+    )
+    rows = []
+    for e, sub in d.groupby("e"):
+        sub = sub.sort_values("day")
+        cs = sub["c"].to_numpy(np.int64)
+        n = len(cs)
+        srt = np.sort(cs)
+        r_lo = int(srt[(n - 1) // 4])
+        r_hi = int(srt[3 * (n - 1) // 4])
+        lam = max(1, (r_hi - r_lo) // 4)
+        c0 = abs(int(cs[0]) - r_lo)
+        c1 = abs(int(cs[0]) - r_hi) + lam
+        b0, b1 = 0, 1
+        for t_ in range(1, n):
+            stay0, sw0 = c0, c1 + lam
+            n0 = abs(int(cs[t_]) - r_lo) + min(stay0, sw0)
+            nb0 = b0 if stay0 <= sw0 else b1
+            stay1, sw1 = c1, c0 + lam
+            n1 = abs(int(cs[t_]) - r_hi) + min(stay1, sw1)
+            nb1 = (b1 if stay1 <= sw1 else b0) + 1
+            c0, c1, b0, b1 = n0, n1, nb0, nb1
+        if c0 <= c1:
+            total, bursts = c0, b0
+        else:
+            total, bursts = c1, b1
+        rows.append(
+            {"event_type": e, "n_days": n, "r_lo": r_lo, "r_hi": r_hi,
+             "total_cost": total, "burst_days": bursts}
+        )
+    out = pd.DataFrame(sorted(rows, key=lambda r: r["event_type"]))
+    for c in ("n_days", "r_lo", "r_hi", "total_cost", "burst_days"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+BURST_VITERBI_SQL = """
+WITH RECURSIVE d AS (
+  SELECT event_type AS e, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+), byday AS (
+  SELECT e, day, c, ROW_NUMBER() OVER (PARTITION BY e ORDER BY day) AS rn,
+         COUNT(*) OVER (PARTITION BY e) AS n
+  FROM d
+), byc AS (
+  SELECT e, c, ROW_NUMBER() OVER (PARTITION BY e ORDER BY c, day) AS rc,
+         COUNT(*) OVER (PARTITION BY e) AS n
+  FROM d
+), q AS (
+  SELECT e,
+         MAX(CASE WHEN rc = (n - 1) // 4 + 1 THEN c END) AS r_lo,
+         MAX(CASE WHEN rc = 3 * (n - 1) // 4 + 1 THEN c END) AS r_hi
+  FROM byc GROUP BY e
+), lamt AS (
+  SELECT e, r_lo, r_hi, GREATEST(1, (r_hi - r_lo) // 4) AS lam FROM q
+), v AS (
+  SELECT b.e, b.n, 1 AS pos,
+         ABS(b.c - l.r_lo) AS c0,
+         ABS(b.c - l.r_hi) + l.lam AS c1,
+         0 AS b0, 1 AS b1
+  FROM byday b JOIN lamt l ON b.e = l.e WHERE b.rn = 1
+  UNION ALL
+  SELECT v.e, v.n, v.pos + 1,
+         ABS(b.c - l.r_lo) + LEAST(v.c0, v.c1 + l.lam),
+         ABS(b.c - l.r_hi) + LEAST(v.c1, v.c0 + l.lam),
+         CASE WHEN v.c0 <= v.c1 + l.lam THEN v.b0 ELSE v.b1 END,
+         CASE WHEN v.c1 <= v.c0 + l.lam THEN v.b1 ELSE v.b0 END + 1
+  FROM v
+  JOIN byday b ON b.e = v.e AND b.rn = v.pos + 1
+  JOIN lamt l ON l.e = v.e
+  WHERE v.pos < v.n
+)
+SELECT v.e AS event_type, CAST(v.n AS BIGINT) AS n_days,
+       CAST(l.r_lo AS BIGINT) AS r_lo, CAST(l.r_hi AS BIGINT) AS r_hi,
+       CAST(CASE WHEN c0 <= c1 THEN c0 ELSE c1 END AS BIGINT) AS total_cost,
+       CAST(CASE WHEN c0 <= c1 THEN b0 ELSE b1 END AS BIGINT) AS burst_days
+FROM v JOIN lamt l ON l.e = v.e
+WHERE v.pos = v.n ORDER BY v.e
+"""

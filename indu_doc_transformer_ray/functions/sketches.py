@@ -2774,3 +2774,144 @@ SELECT CAST(t.n_probes AS BIGINT) AS n_probes,
          AS n_false_pos
 FROM truth t
 """
+
+
+# -- V-optimal histogram construction (DB-internals planning family) ----------
+
+#: base-bin width (cents) and bin count for the v-optimal search space —
+#: fixed constants so the binning is corpus-independent; the clamp catches
+#: values past the expected domain.
+_VOPT_WIDTH = 1_024
+_VOPT_BINS = 64
+
+
+def voptimal_histogram(sf_dir: str) -> "object":
+    """V-optimal histogram construction over the event-value distribution
+    (the DB-internals planning primitive behind variance-minimizing
+    bucket boundaries — Jagadish et al., VLDB 1998): choose 3 cut points
+    over 64 fixed 1024-cent base bins (4 buckets) minimizing the CLEARED
+    per-segment variance objective sum_seg(n_s * S2_s - S1_s^2) — each
+    term is n_s^2 x variance, integer-exact on both engines, so even the
+    argmin's tie-break (cost, then ascending cuts) hash-matches.  ONE
+    bounded (bin, n, s1, s2) moment fold; the driver scans the
+    C(63,3) ~ 40k cut triples over 64-entry prefix arrays (exact Python
+    ints; the oracle's cross-join replays it in HUGEINT).  Output: one
+    row (cut1, cut2, cut3, cost_mega = cost // 10^6)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ._util import read_small_aware
+
+    ds = read_small_aware(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
+        b = pc.min_element_wise(
+            pc.divide(cents, _VOPT_WIDTH),
+            pa.scalar(_VOPT_BINS - 1, pa.int64()),
+        )
+        folded = pa.table(
+            {
+                "b": b,
+                "n": pa.array([1] * len(t), pa.int64()),
+                "s1": cents,
+                "s2": pc.multiply(cents, cents),
+            }
+        )
+        return pa.TableGroupBy(folded, "b").aggregate(
+            [("n", "sum"), ("s1", "sum"), ("s2", "sum")]
+        )
+
+    m = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("n_sum", alias_name="n"),
+                   Sum("s1_sum", alias_name="s1"),
+                   Sum("s2_sum", alias_name="s2"))
+        .to_pandas()  # <= _VOPT_BINS rows
+    )
+    n = [0] * (_VOPT_BINS + 1)
+    s1 = [0] * (_VOPT_BINS + 1)
+    s2 = [0] * (_VOPT_BINS + 1)
+    for r in m.itertuples():
+        n[int(r.b) + 1] = int(r.n)
+        s1[int(r.b) + 1] = int(r.s1)
+        s2[int(r.b) + 1] = int(r.s2)
+    for t_ in range(1, _VOPT_BINS + 1):
+        n[t_] += n[t_ - 1]
+        s1[t_] += s1[t_ - 1]
+        s2[t_] += s2[t_ - 1]
+
+    def seg(a: int, b: int) -> int:
+        """Cleared variance cost of bins [a, b) from the prefix arrays."""
+        nn = n[b] - n[a]
+        w1 = s1[b] - s1[a]
+        w2 = s2[b] - s2[a]
+        return nn * w2 - w1 * w1
+
+    best = None
+    for i in range(1, _VOPT_BINS - 2):
+        c01 = seg(0, i)
+        for j in range(i + 1, _VOPT_BINS - 1):
+            c2 = seg(i, j)
+            for k in range(j + 1, _VOPT_BINS):
+                cost = c01 + c2 + seg(j, k) + seg(k, _VOPT_BINS)
+                key = (cost, i, j, k)
+                if best is None or key < best:
+                    best = key
+    cost, i, j, k = best
+    return pd.DataFrame(
+        {
+            "cut1": pd.Series([i], dtype="int64"),
+            "cut2": pd.Series([j], dtype="int64"),
+            "cut3": pd.Series([k], dtype="int64"),
+            "cost_mega": pd.Series([cost // 10**6], dtype="int64"),
+        }
+    )
+
+
+VOPTIMAL_HISTOGRAM_SQL = f"""
+WITH x AS (
+  SELECT LEAST(CAST(ROUND(value * 100) AS BIGINT) // {_VOPT_WIDTH},
+               {_VOPT_BINS - 1}) AS b,
+         CAST(ROUND(value * 100) AS HUGEINT) AS c
+  FROM events
+), binm AS (
+  SELECT b, COUNT(*) AS n, SUM(c) AS s1, SUM(c * c) AS s2 FROM x GROUP BY b
+), bins AS (
+  SELECT CAST(range AS BIGINT) AS b FROM range({_VOPT_BINS})
+), pre AS (
+  SELECT bins.b,
+         COALESCE(SUM(binm.n) FILTER (WHERE binm.b < bins.b), 0) AS pn,
+         COALESCE(SUM(binm.s1) FILTER (WHERE binm.b < bins.b), 0) AS p1,
+         COALESCE(SUM(binm.s2) FILTER (WHERE binm.b < bins.b), 0) AS p2
+  FROM bins LEFT JOIN binm ON TRUE GROUP BY bins.b
+  UNION ALL
+  SELECT {_VOPT_BINS},
+         COALESCE(SUM(n), 0), COALESCE(SUM(s1), 0), COALESCE(SUM(s2), 0)
+  FROM binm
+), cuts AS (
+  SELECT i.b AS i, j.b AS j, k.b AS k
+  FROM bins i JOIN bins j ON j.b > i.b JOIN bins k ON k.b > j.b
+  WHERE i.b >= 1
+), cost AS (
+  SELECT c.i, c.j, c.k,
+         ((pi.pn - p0.pn) * (pi.p2 - p0.p2) - (pi.p1 - p0.p1) * (pi.p1 - p0.p1))
+       + ((pj.pn - pi.pn) * (pj.p2 - pi.p2) - (pj.p1 - pi.p1) * (pj.p1 - pi.p1))
+       + ((pk.pn - pj.pn) * (pk.p2 - pj.p2) - (pk.p1 - pj.p1) * (pk.p1 - pj.p1))
+       + ((pe.pn - pk.pn) * (pe.p2 - pk.p2) - (pe.p1 - pk.p1) * (pe.p1 - pk.p1))
+         AS cost
+  FROM cuts c
+  JOIN pre p0 ON p0.b = 0
+  JOIN pre pi ON pi.b = c.i
+  JOIN pre pj ON pj.b = c.j
+  JOIN pre pk ON pk.b = c.k
+  JOIN pre pe ON pe.b = {_VOPT_BINS}
+)
+SELECT CAST(i AS BIGINT) AS cut1, CAST(j AS BIGINT) AS cut2,
+       CAST(k AS BIGINT) AS cut3,
+       CAST(cost // 1000000 AS BIGINT) AS cost_mega
+FROM cost ORDER BY cost, i, j, k LIMIT 1
+"""

@@ -3863,3 +3863,75 @@ def test_bfs_path_counts_and_effective_diameter(ray_session, monkeypatch):
     want_ed = con.execute(graph.EFFECTIVE_DIAMETER_SQL).df()
     assert ed.values.tolist() == want_ed.values.tolist()
     assert 0 <= int(ed["eff_diam_milli"].iloc[0]) <= 1000 * int(ed["n_rounds"].iloc[0])
+
+
+def test_burst_viterbi_optimality_bounds(ray_session):
+    """Burst Viterbi: oracle equality, burst_days within [0, n_days], and
+    OPTIMALITY — total_cost can't exceed the all-base or the all-burst
+    single-state paths (both are feasible Viterbi paths)."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.burst_viterbi_by_type(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(E.BURST_VITERBI_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert ((got["burst_days"] >= 0) & (got["burst_days"] <= got["n_days"])).all()
+    daily = con.execute(
+        """SELECT event_type e, COUNT(*) c FROM events
+           GROUP BY e, epoch_us(ts) // 86400000000"""
+    ).df()
+    for r in got.itertuples():
+        cs = daily[daily["e"] == r.event_type]["c"].astype(int)
+        lam = max(1, (int(r.r_hi) - int(r.r_lo)) // 4)
+        all_base = int((cs - int(r.r_lo)).abs().sum())
+        all_burst = int((cs - int(r.r_hi)).abs().sum()) + lam
+        assert int(r.total_cost) <= min(all_base, all_burst)
+
+
+def test_voptimal_histogram_beats_fixed_cuts(ray_session):
+    """V-optimal: oracle equality plus optimality — the chosen cuts' cost
+    can't exceed the equal-width (16, 32, 48) partition's cost, computed
+    from the same per-bin moments."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import sketches as SK
+
+    sf = "/root/testdata/sf0.001"
+    got = SK.voptimal_histogram(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(SK.VOPTIMAL_HISTOGRAM_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    m = con.execute(
+        f"""SELECT LEAST(CAST(ROUND(value*100) AS BIGINT) // {SK._VOPT_WIDTH},
+                        {SK._VOPT_BINS - 1}) b,
+                  COUNT(*) n, SUM(CAST(ROUND(value*100) AS HUGEINT)) s1,
+                  SUM(CAST(ROUND(value*100) AS HUGEINT)
+                      * CAST(ROUND(value*100) AS HUGEINT)) s2
+           FROM events GROUP BY 1"""
+    ).df()
+    B = SK._VOPT_BINS
+    n = [0] * (B + 1)
+    s1 = [0] * (B + 1)
+    s2 = [0] * (B + 1)
+    for r in m.itertuples():
+        n[int(r.b) + 1], s1[int(r.b) + 1], s2[int(r.b) + 1] = (
+            int(r.n), int(r.s1), int(r.s2))
+    for t in range(1, B + 1):
+        n[t] += n[t - 1]
+        s1[t] += s1[t - 1]
+        s2[t] += s2[t - 1]
+
+    def seg(a, b):
+        return (n[b] - n[a]) * (s2[b] - s2[a]) - (s1[b] - s1[a]) ** 2
+
+    def cost(i, j, k):
+        return seg(0, i) + seg(i, j) + seg(j, k) + seg(k, B)
+
+    opt = cost(int(got["cut1"][0]), int(got["cut2"][0]), int(got["cut3"][0]))
+    assert opt <= cost(16, 32, 48)
+    assert opt // 10**6 == int(got["cost_mega"][0])
