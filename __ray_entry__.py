@@ -615,6 +615,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_path_counts": similarity.bfs_path_counts,
         "burst_viterbi_by_type": events.burst_viterbi_by_type,
         "voptimal_histogram": sketches.voptimal_histogram,
+        "dp_count_by_type": relational.dp_count_by_type,
+        "windowed_funnel": events.windowed_funnel,
+        "zonemap_prune_audit": relational.zonemap_prune_audit,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -628,6 +631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lz_complexity_by_type", "kcenter_coreset", "silhouette_kmeans",
         "effective_diameter", "bfs_path_counts",
         "burst_viterbi_by_type", "voptimal_histogram",
+        "dp_count_by_type", "windowed_funnel", "zonemap_prune_audit",
         "ate_discount_strata", "ols_price_model",
         "did_type_effect", "conformal_value_bounds",
         "markov_attribution", "minhash_jaccard_calibration",
@@ -870,6 +874,9 @@ def oracle_sql() -> dict[str, str]:
         "bfs_path_counts": similarity.BFS_PATH_COUNTS_SQL,
         "burst_viterbi_by_type": events.BURST_VITERBI_SQL,
         "voptimal_histogram": sketches.VOPTIMAL_HISTOGRAM_SQL,
+        "dp_count_by_type": relational.DP_COUNT_BY_TYPE_SQL,
+        "windowed_funnel": events.WINDOWED_FUNNEL_SQL,
+        "zonemap_prune_audit": relational.ZONEMAP_PRUNE_SQL,
         "session_cross_lift": events.SESSION_CROSS_LIFT_SQL,
         "fd_discovery2": relational.FD_DISCOVERY2_SQL,
         "knn_reciprocity": similarity.KNN_RECIPROCITY_SQL,

@@ -217,7 +217,8 @@ QUERY_CHUNKS = [
      "conformal_value_bounds", "shapley_attribution", "ind_discovery",
      "lz_complexity_by_type", "kcenter_coreset", "silhouette_kmeans",
      "effective_diameter", "bfs_path_counts",
-     "burst_viterbi_by_type", "voptimal_histogram"],
+     "burst_viterbi_by_type", "voptimal_histogram",
+     "dp_count_by_type", "windowed_funnel", "zonemap_prune_audit"],
 ]
 
 

@@ -6866,3 +6866,100 @@ SELECT v.e AS event_type, CAST(v.n AS BIGINT) AS n_days,
 FROM v JOIN lamt l ON l.e = v.e
 WHERE v.pos = v.n ORDER BY v.e
 """
+
+
+# -- time-constrained funnel -----------------------------------------------------
+
+WFUNNEL_CLICK_US = 3_600_000_000         # view -> click within 1 hour
+WFUNNEL_PURCHASE_US = 86_400_000_000     # click -> purchase within 24 hours
+
+
+def windowed_funnel(sf_dir: str) -> "object":
+    """Time-CONSTRAINED funnel view -> click -> purchase (the realistic
+    attribution variant of ``funnel_counts``): the click must land within
+    1 hour of the user's first view, the purchase within 24 hours of the
+    first qualifying click — late conversions don't count.  Same
+    execution shape: one user-bucket co-location, three vectorized
+    merge+filter+min passes per bucket, O(1) partials.  Output: one row
+    (n_view, n_click_1h, n_purchase_24h)."""
+    ubk = _user_buckets(sf_dir)
+    ds = _read_events(sf_dir, ["ts", "user_id", "event_type"]).filter(
+        expr=(
+            "event_type == 'view' or event_type == 'click'"
+            " or event_type == 'purchase'"
+        )
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        return t.append_column(
+            "ub", pc.cast(pc.bit_wise_and(uid, ubk - 1), pa.int32())
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(ts_us=g["ts"].astype("int64"))
+        t1 = g[g["event_type"] == "view"].groupby("user_id")["ts_us"].min()
+        clicks = g[g["event_type"] == "click"].merge(
+            t1.rename("t1"), left_on="user_id", right_index=True
+        )
+        t2 = (
+            clicks[
+                (clicks["ts_us"] > clicks["t1"])
+                & (clicks["ts_us"] <= clicks["t1"] + WFUNNEL_CLICK_US)
+            ]
+            .groupby("user_id")["ts_us"].min()
+        )
+        purch = g[g["event_type"] == "purchase"].merge(
+            t2.rename("t2"), left_on="user_id", right_index=True
+        )
+        t3 = (
+            purch[
+                (purch["ts_us"] > purch["t2"])
+                & (purch["ts_us"] <= purch["t2"] + WFUNNEL_PURCHASE_US)
+            ]
+            .groupby("user_id")["ts_us"].min()
+        )
+        return pd.DataFrame(
+            {
+                "n_view": pd.Series([len(t1)], dtype="int64"),
+                "n_click_1h": pd.Series([len(t2)], dtype="int64"),
+                "n_purchase_24h": pd.Series([len(t3)], dtype="int64"),
+            }
+        )
+
+    parts = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # one row per user bucket
+    )
+    return pd.DataFrame(
+        {
+            "n_view": [int(parts["n_view"].sum())],
+            "n_click_1h": [int(parts["n_click_1h"].sum())],
+            "n_purchase_24h": [int(parts["n_purchase_24h"].sum())],
+        }
+    )
+
+
+WINDOWED_FUNNEL_SQL = f"""
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+    AND epoch_us(e.ts) <= v.t1 + {WFUNNEL_CLICK_US}
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+    AND epoch_us(e.ts) <= c.t2 + {WFUNNEL_PURCHASE_US}
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_1h,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_24h
+"""

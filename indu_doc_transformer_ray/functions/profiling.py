@@ -1658,3 +1658,275 @@ SELECT ca AS col_a, cb AS col_b, CAST(n_a AS BIGINT) AS n_a,
        CAST(CASE WHEN n_missing = 0 THEN 1 ELSE 0 END AS BIGINT) AS holds
 FROM miss ORDER BY ca, cb
 """
+
+
+# -- differentially-private counts (deterministic discrete-Laplace replay) -----
+
+#: discrete Laplace alpha = 1/2 (eps = ln 2): P(k) = 2^-|k| / 3 — every
+#: probability is an exact dyadic/3 rational, so the inverse-CDF thresholds
+#: below are exact integers on the md5 52-bit uniform lattice (the repo's
+#: md5-seeded-op oracle convention).  Enumeration order 0, +1, -1, ... +K,
+#: -K with the ~5e-6 tail mass falling back to 0.
+_DP_K = 16
+
+
+def _dp_thresholds() -> list[tuple[int, int]]:
+    from fractions import Fraction
+
+    order = [0]
+    for k in range(1, _DP_K + 1):
+        order += [k, -k]
+    cum = Fraction(0)
+    out = []
+    for k in order:
+        cum += Fraction(1, 3 * 2 ** abs(k))
+        out.append((k, (cum.numerator * (1 << 52)) // cum.denominator))
+    return out
+
+
+_DP_THS = _dp_thresholds()
+
+
+def dp_count_by_type(sf_dir: str) -> "object":
+    """Differentially-private per-type event counts via the DISCRETE
+    LAPLACE mechanism (eps = ln 2), with the noise drawn DETERMINISTICALLY
+    from each type's md5 52-bit uniform through an exact inverse CDF —
+    alpha = 1/2 makes every pmf value an exact dyadic/3 rational, so the
+    threshold table is integer-exact and the DP output itself
+    hash-matches the oracle (the privacy-mechanism plumbing demonstrated
+    with the repo's md5-uniform convention; the privacy ladder's
+    k-anon / l-diversity / t-closeness audits measure, this one
+    RELEASES).  ONE bounded per-type count fold.  Output: (event_type,
+    n_true, noise, n_dp)."""
+    import hashlib
+
+    import pandas as pd
+
+    from ._util import read_small_aware
+
+    ds = read_small_aware(f"{sf_dir}/events.parquet", columns=["event_type"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(
+            pa.table({"e": t["event_type"]}), "e"
+        ).aggregate([([], "count_all")])
+
+    m = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby("e")
+        .aggregate(Sum("count_all", alias_name="n"))
+        .to_pandas()  # O(|types|)
+    )
+    rows = []
+    for r in m.itertuples():
+        u = int(hashlib.md5(str(r.e).encode()).hexdigest()[:13], 16)
+        noise = 0
+        for k, th in _DP_THS:
+            if u < th:
+                noise = k
+                break
+        rows.append(
+            {"event_type": r.e, "n_true": int(r.n), "noise": noise,
+             "n_dp": int(r.n) + noise}
+        )
+    out = pd.DataFrame(sorted(rows, key=lambda x: x["event_type"]))
+    for c in ("n_true", "noise", "n_dp"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+DP_COUNT_BY_TYPE_SQL = f"""
+WITH t AS (
+  SELECT event_type AS e, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(concat('0x', substr(md5(event_type), 1, 13)) AS BIGINT) AS u
+  FROM events GROUP BY event_type
+), ths(idx, k, th) AS (
+  VALUES {", ".join(f"({i}, {k}, {th})" for i, (k, th) in enumerate(_DP_THS))}
+), pick AS (
+  SELECT t.e, t.n,
+         COALESCE(MIN(ths.idx) FILTER (WHERE t.u < ths.th), -1) AS idx
+  FROM t LEFT JOIN ths ON TRUE GROUP BY t.e, t.n
+)
+SELECT p.e AS event_type, p.n AS n_true,
+       CAST(COALESCE(ths.k, 0) AS BIGINT) AS noise,
+       CAST(p.n + COALESCE(ths.k, 0) AS BIGINT) AS n_dp
+FROM pick p LEFT JOIN ths ON ths.idx = p.idx
+ORDER BY p.e
+"""
+
+
+# -- zone-map (min/max) data-skipping audit -------------------------------------
+
+_ZM_BLOCK = 256          # rows per zone-map block
+_ZM_LO = "1997-01-01"    # audit predicate: shipdate within 1997
+_ZM_HI = "1997-12-31"
+
+
+def zonemap_prune_audit(sf_dir: str) -> "object":
+    """Zone-map (min/max) DATA-SKIPPING audit for the predicate
+    "shipdate in 1997": how many 256-row blocks a reader could prune
+    (block max < lo or block min > hi) under (a) the physical INSERTION
+    layout (blocks = l_orderkey // 256 — correlated only if the data
+    happens to arrive time-ordered) vs (b) the SHIPDATE-SORTED layout,
+    whose prune count needs no sort at all — it falls out arithmetically
+    from the two out-of-range row counts (full blocks of 256 below /
+    above the range are prunable; straddlers are not).  The
+    sort-vs-skipping ROI measurement behind clustering keys and
+    ``zorder_parts``.  Insertion layout: per-batch (block, min, max, n)
+    combiners into a BUCKETED co-location (block count is
+    corpus-proportional — the session-5 group rule), O(1) partials out.
+    Output: (layout, n_blocks, n_pruned, rows_pruned)."""
+    import pandas as pd
+
+    from ._util import n_buckets
+    import pyarrow.parquet as pq_
+
+    n_rows = pq_.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    nb = n_buckets(n_rows)
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.cast(pc.cast(t["l_shipdate"], pa.timestamp("us")), pa.int64()),
+            pa.int64(),
+        )
+        day = pc.divide(day, 86_400_000_000)
+        blk = pc.divide(pc.cast(t["l_orderkey"], pa.int64()), _ZM_BLOCK)
+        folded = pa.table(
+            {"blk": blk, "lo": day, "hi": day,
+             "n": pa.array([1] * len(t), pa.int64())}
+        )
+        agg = pa.TableGroupBy(folded, "blk").aggregate(
+            [("lo", "min"), ("hi", "max"), ("n", "sum")]
+        )
+        return agg.append_column(
+            "bb", pc.cast(
+                pc.bit_wise_and(agg["blk"], nb - 1), pa.int32()
+            )
+        )
+
+    import datetime as _dt
+
+    lo_day = (_dt.date.fromisoformat(_ZM_LO) - _dt.date(1970, 1, 1)).days
+    hi_day = (_dt.date.fromisoformat(_ZM_HI) - _dt.date(1970, 1, 1)).days
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("blk").agg(
+            lo=("lo_min", "min"), hi=("hi_max", "max"), n=("n_sum", "sum")
+        )
+        pruned = (agg["hi"] < lo_day) | (agg["lo"] > hi_day)
+        return pd.DataFrame(
+            {
+                "n_blocks": pd.Series([len(agg)], dtype="int64"),
+                "n_pruned": pd.Series([int(pruned.sum())], dtype="int64"),
+                "rows_pruned": pd.Series(
+                    [int(agg["n"][pruned].sum())], dtype="int64"
+                ),
+                "n_below": pd.Series([0], dtype="int64"),
+                "n_above": pd.Series([0], dtype="int64"),
+            }
+        )
+
+    def counts_partial(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.cast(pc.cast(t["l_shipdate"], pa.timestamp("us")), pa.int64()),
+            pa.int64(),
+        )
+        day = pc.divide(day, 86_400_000_000)
+        below = pc.sum(pc.cast(pc.less(day, lo_day), pa.int64())).as_py() or 0
+        above = pc.sum(pc.cast(pc.greater(day, hi_day), pa.int64())).as_py() or 0
+        return pa.table(
+            {
+                "n_blocks": pa.array([0], pa.int64()),
+                "n_pruned": pa.array([0], pa.int64()),
+                "rows_pruned": pa.array([0], pa.int64()),
+                "n_below": pa.array([below], pa.int64()),
+                "n_above": pa.array([above], pa.int64()),
+            }
+        )
+
+    ins = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bb")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()  # one row per bucket
+    )
+    cnt = (
+        ds.map_batches(counts_partial, batch_format="pyarrow")
+        .to_pandas()  # one row per block
+    )
+    c_lo = int(cnt["n_below"].sum())
+    c_hi = int(cnt["n_above"].sum())
+    n = n_rows
+    blk = _ZM_BLOCK
+    n_blocks_sorted = (n + blk - 1) // blk
+    pl = c_lo // blk
+    j_hi = ((n - c_hi) + blk - 1) // blk
+    ph = n_blocks_sorted - j_hi
+    rows_pl = blk * pl
+    rows_ph = n - blk * j_hi if ph > 0 else 0
+    out = pd.DataFrame(
+        [
+            {
+                "layout": "insertion",
+                "n_blocks": int(ins["n_blocks"].sum()),
+                "n_pruned": int(ins["n_pruned"].sum()),
+                "rows_pruned": int(ins["rows_pruned"].sum()),
+            },
+            {
+                "layout": "shipdate_sorted",
+                "n_blocks": n_blocks_sorted,
+                "n_pruned": pl + ph,
+                "rows_pruned": rows_pl + rows_ph,
+            },
+        ]
+    )
+    for c in ("n_blocks", "n_pruned", "rows_pruned"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("layout").reset_index(drop=True)
+
+
+ZONEMAP_PRUNE_SQL = f"""
+WITH days AS (
+  SELECT l_orderkey, epoch_us(l_shipdate) // 86400000000 AS day
+  FROM lineitem
+), bounds AS (
+  SELECT CAST(epoch_us(TIMESTAMP '{_ZM_LO} 00:00:00') // 86400000000
+              AS BIGINT) AS lo,
+         CAST(epoch_us(TIMESTAMP '{_ZM_HI} 00:00:00') // 86400000000
+              AS BIGINT) AS hi
+), blocks AS (
+  SELECT l_orderkey // {_ZM_BLOCK} AS blk, MIN(day) AS mn, MAX(day) AS mx,
+         COUNT(*) AS n
+  FROM days GROUP BY 1
+), ins AS (
+  SELECT 'insertion' AS layout,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(COUNT(*) FILTER (WHERE mx < b.lo OR mn > b.hi) AS BIGINT)
+           AS n_pruned,
+         CAST(COALESCE(SUM(n) FILTER (WHERE mx < b.lo OR mn > b.hi), 0)
+              AS BIGINT) AS rows_pruned
+  FROM blocks, bounds b GROUP BY b.lo, b.hi
+), cnts AS (
+  SELECT COUNT(*) AS n,
+         COUNT(*) FILTER (WHERE day < b.lo) AS c_lo,
+         COUNT(*) FILTER (WHERE day > b.hi) AS c_hi
+  FROM days, bounds b GROUP BY b.lo, b.hi
+), srt AS (
+  SELECT 'shipdate_sorted' AS layout,
+         CAST((n + {_ZM_BLOCK} - 1) // {_ZM_BLOCK} AS BIGINT) AS n_blocks,
+         CAST(c_lo // {_ZM_BLOCK}
+              + ((n + {_ZM_BLOCK} - 1) // {_ZM_BLOCK}
+                 - ((n - c_hi) + {_ZM_BLOCK} - 1) // {_ZM_BLOCK})
+              AS BIGINT) AS n_pruned,
+         CAST({_ZM_BLOCK} * (c_lo // {_ZM_BLOCK})
+              + CASE WHEN (n + {_ZM_BLOCK} - 1) // {_ZM_BLOCK}
+                          > ((n - c_hi) + {_ZM_BLOCK} - 1) // {_ZM_BLOCK}
+                     THEN n - {_ZM_BLOCK}
+                          * (((n - c_hi) + {_ZM_BLOCK} - 1) // {_ZM_BLOCK})
+                     ELSE 0 END
+              AS BIGINT) AS rows_pruned
+  FROM cnts
+)
+SELECT * FROM ins UNION ALL SELECT * FROM srt ORDER BY layout
+"""

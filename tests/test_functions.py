@@ -3935,3 +3935,70 @@ def test_voptimal_histogram_beats_fixed_cuts(ray_session):
     opt = cost(int(got["cut1"][0]), int(got["cut2"][0]), int(got["cut3"][0]))
     assert opt <= cost(16, 32, 48)
     assert opt // 10**6 == int(got["cost_mega"][0])
+
+
+def test_dp_count_mechanism(ray_session):
+    """DP counts: oracle equality, noise bounded by the threshold table's
+    +-K, n_dp = n_true + noise, and the threshold table itself is a valid
+    CDF on the 52-bit lattice (strictly increasing, last < 2^52)."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import profiling as P
+
+    sf = "/root/testdata/sf0.001"
+    got = P.dp_count_by_type(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(P.DP_COUNT_BY_TYPE_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert (got["n_dp"] == got["n_true"] + got["noise"]).all()
+    assert got["noise"].abs().max() <= P._DP_K
+    ths = [th for _, th in P._DP_THS]
+    assert ths == sorted(ths) and len(set(ths)) == len(ths)
+    assert ths[-1] < 1 << 52
+
+
+def test_windowed_funnel_dominated_by_funnel(ray_session):
+    """Windowed funnel: oracle equality plus DOMINANCE — the
+    time-constrained stage counts can never exceed the unconstrained
+    ``funnel_counts`` stages, and stages are monotone non-increasing."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.windowed_funnel(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(E.WINDOWED_FUNNEL_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    base = E.funnel_counts(sf)
+    assert int(got["n_view"][0]) == int(base["n_view"][0])
+    assert int(got["n_click_1h"][0]) <= int(base["n_view_click"][0])
+    assert (int(got["n_view"][0]) >= int(got["n_click_1h"][0])
+            >= int(got["n_purchase_24h"][0]))
+
+
+def test_zonemap_prune_audit_laws(ray_session):
+    """Zone-map audit: oracle equality; the sorted layout must prune at
+    least as many ROWS as blocks*0 lower bound and never more than the
+    out-of-range row count; insertion-layout pruned rows <= sorted-layout
+    out-of-range total (pruned blocks contain only out-of-range rows)."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import profiling as P
+
+    sf = "/root/testdata/sf0.001"
+    got = P.zonemap_prune_audit(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    want = con.execute(P.ZONEMAP_PRUNE_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    oor = con.execute(
+        f"""SELECT COUNT(*) FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '{P._ZM_LO} 00:00:00'
+               OR l_shipdate >= TIMESTAMP '{P._ZM_HI} 00:00:00' + INTERVAL 1 DAY"""
+    ).fetchone()[0]
+    for r in got.itertuples():
+        assert 0 <= r.n_pruned <= r.n_blocks
+        assert r.rows_pruned <= oor
