@@ -618,6 +618,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dp_count_by_type": relational.dp_count_by_type,
         "windowed_funnel": events.windowed_funnel,
         "zonemap_prune_audit": relational.zonemap_prune_audit,
+        "cv_mse_by_type": ml.cv_mse_by_type,
+        "ransac_price_fit": relational.ransac_price_fit,
+        "hac_centroids": similarity.hac_centroids,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -632,6 +635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "effective_diameter", "bfs_path_counts",
         "burst_viterbi_by_type", "voptimal_histogram",
         "dp_count_by_type", "windowed_funnel", "zonemap_prune_audit",
+        "cv_mse_by_type", "ransac_price_fit", "hac_centroids",
         "ate_discount_strata", "ols_price_model",
         "did_type_effect", "conformal_value_bounds",
         "markov_attribution", "minhash_jaccard_calibration",
@@ -877,6 +881,9 @@ def oracle_sql() -> dict[str, str]:
         "dp_count_by_type": relational.DP_COUNT_BY_TYPE_SQL,
         "windowed_funnel": events.WINDOWED_FUNNEL_SQL,
         "zonemap_prune_audit": relational.ZONEMAP_PRUNE_SQL,
+        "cv_mse_by_type": ml.CV_MSE_BY_TYPE_SQL,
+        "ransac_price_fit": relational.RANSAC_PRICE_FIT_SQL,
+        "hac_centroids": similarity.HAC_CENTROIDS_SQL,
         "session_cross_lift": events.SESSION_CROSS_LIFT_SQL,
         "fd_discovery2": relational.FD_DISCOVERY2_SQL,
         "knn_reciprocity": similarity.KNN_RECIPROCITY_SQL,

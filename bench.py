@@ -218,7 +218,8 @@ QUERY_CHUNKS = [
      "lz_complexity_by_type", "kcenter_coreset", "silhouette_kmeans",
      "effective_diameter", "bfs_path_counts",
      "burst_viterbi_by_type", "voptimal_histogram",
-     "dp_count_by_type", "windowed_funnel", "zonemap_prune_audit"],
+     "dp_count_by_type", "windowed_funnel", "zonemap_prune_audit",
+     "cv_mse_by_type", "ransac_price_fit", "hac_centroids"],
 ]
 
 

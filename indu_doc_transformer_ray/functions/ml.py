@@ -2403,3 +2403,99 @@ SELECT e AS event_type,
 FROM rk WHERE i = 9 * (n_calib - 1) // 10
 ORDER BY e
 """
+
+
+# -- k-fold cross-validated MSE of the per-type mean predictor ----------------
+
+
+def cv_mse_by_type(sf_dir: str) -> "object":
+    """5-fold CROSS-VALIDATED mean-squared-error of the per-type mean
+    value predictor (the model-evaluation primitive: every other
+    predictor in the engine should beat this held-out baseline): folds
+    are ``md5(event_id) % 5``, fold f's prediction is the FLOORED mean of
+    the other folds' cents, and the held-out SSE expands exactly from
+    the same (type, fold) moments — sse_f = s2_f - 2*pred*s_f +
+    n_f*pred^2, so ONE bounded (type, fold) moment fold carries the
+    whole evaluation, no second pass.  All arithmetic exact ints
+    (Python / HUGEINT).  Output: (event_type, n, mse_milli) with
+    mse_milli = floor(1000 * sse_total / n)."""
+    import hashlib
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = read_small_aware(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
+        f = pa.array(
+            [
+                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 5
+                for i in t["event_id"].to_pylist()
+            ],
+            pa.int64(),
+        )
+        folded = pa.table(
+            {"e": t["event_type"], "f": f,
+             "n": pa.array([1] * len(t), pa.int64()),
+             "s": cents, "s2": pc.multiply(cents, cents)}
+        )
+        return pa.TableGroupBy(folded, ["e", "f"]).aggregate(
+            [("n", "sum"), ("s", "sum"), ("s2", "sum")]
+        )
+
+    m = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby(["e", "f"])
+        .aggregate(Sum("n_sum", alias_name="n"), Sum("s_sum", alias_name="s"),
+                   Sum("s2_sum", alias_name="s2"))
+        .to_pandas()  # <= |types| x 5 rows
+    )
+    rows = []
+    for e, sub in m.groupby("e"):
+        N = int(sub["n"].sum())
+        S = int(sub["s"].sum())
+        sse = 0
+        for r in sub.itertuples():
+            n_f, s_f, s2_f = int(r.n), int(r.s), int(r.s2)
+            if N == n_f:
+                continue
+            pred = (S - s_f) // (N - n_f)
+            sse += s2_f - 2 * pred * s_f + n_f * pred * pred
+        rows.append(
+            {"event_type": e, "n": N, "mse_milli": (1000 * sse) // N}
+        )
+    out = pd.DataFrame(sorted(rows, key=lambda r: r["event_type"]))
+    for c in ("n", "mse_milli"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+CV_MSE_BY_TYPE_SQL = """
+WITH x AS (
+  SELECT event_type AS e,
+         CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 5 AS f,
+         CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT) AS c
+  FROM events
+), cells AS (
+  SELECT e, f, COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS s2
+  FROM x GROUP BY e, f
+), tot AS (
+  SELECT e, f, n, s, s2,
+         SUM(n) OVER (PARTITION BY e) AS nn,
+         SUM(s) OVER (PARTITION BY e) AS ss
+  FROM cells
+), sse AS (
+  SELECT e, nn,
+         SUM(s2 - 2 * ((ss - s) // (nn - n)) * s
+                + n * ((ss - s) // (nn - n)) * ((ss - s) // (nn - n))) AS t
+  FROM tot WHERE nn > n GROUP BY e, nn
+)
+SELECT e AS event_type, CAST(nn AS BIGINT) AS n,
+       CAST((1000 * t) // nn AS BIGINT) AS mse_milli
+FROM sse ORDER BY e
+"""

@@ -2897,3 +2897,97 @@ FROM s GROUP BY cluster ORDER BY cluster"""
 
 
 SILHOUETTE_KMEANS_SQL = _silhouette_sql()
+
+
+# -- hierarchical agglomerative clustering of the Lloyd centroids ---------------
+
+
+def hac_centroids(sf_dir: str, k: int = 8, iters: int = 5) -> "object":
+    """Single-linkage HIERARCHICAL agglomerative clustering of the k
+    k-means centroids — the dendrogram layer over the flat Lloyd fit
+    (cluster-of-clusters: which cells merge first tells you which flat
+    clusters are really one structure).  Centroid components integerize
+    to 2^-20 units (floored, the ``kcenter_coreset`` convention) so all
+    k*(k-1)/2 pairwise squared distances are exact ints; the k-1 merge
+    steps run on CLUSTER BITMASKS with single-linkage distance = min
+    pairwise member distance and the deterministic (d, mask_a, mask_b)
+    tie-break, replayed verbatim by the oracle's unrolled merge CTEs.
+    Composes the memoized ``_kmeans_centroids`` — O(k^2) driver work, no
+    new pass.  Output: (step, mask_a, mask_b, d2) for steps 1..k-1."""
+    import pandas as pd
+
+    cents = _kmeans_centroids(sf_dir, k, iters)
+    q = np.floor(cents * (1 << 20)).astype(np.int64)
+    d2 = {}
+    for i in range(k):
+        for j in range(k):
+            if i != j:
+                d2[(i, j)] = int(((q[i] - q[j]) ** 2).sum())
+    clusters = [1 << i for i in range(k)]
+    rows = []
+    for step in range(1, k):
+        best = None
+        for ai in range(len(clusters)):
+            for bi in range(ai + 1, len(clusters)):
+                ma, mb = clusters[ai], clusters[bi]
+                if ma > mb:
+                    ma, mb = mb, ma
+                d = min(
+                    d2[(i, j)]
+                    for i in range(k) if (ma >> i) & 1
+                    for j in range(k) if (mb >> j) & 1
+                )
+                key = (d, ma, mb)
+                if best is None or key < best:
+                    best = key
+        d, ma, mb = best
+        rows.append({"step": step, "mask_a": ma, "mask_b": mb, "d2": d})
+        clusters = [m for m in clusters if m not in (ma, mb)] + [ma | mb]
+    out = pd.DataFrame(rows)
+    for c in ("step", "mask_a", "mask_b", "d2"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _hac_sql(k: int = 8, iters: int = 5) -> str:
+    parts = [_kmeans_cte_prefix(k, iters) + f""", qc AS MATERIALIZED (
+  SELECT cluster AS i, dim,
+         CAST(FLOOR(c * 1048576) AS BIGINT) AS q
+  FROM cent{iters}
+), pdist AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, SUM((a.q - b.q) * (a.q - b.q)) AS d
+  FROM qc a JOIN qc b ON a.dim = b.dim AND a.i <> b.i
+  GROUP BY a.i, b.i
+), c0 AS MATERIALIZED (
+  SELECT DISTINCT (1 << i) AS m FROM qc
+)"""]
+    for r in range(1, k):
+        prev = f"c{r - 1}"
+        parts.append(f""", pick{r} AS MATERIALIZED (
+  SELECT a.m AS ma, b.m AS mb,
+         (SELECT MIN(p.d) FROM pdist p
+          WHERE ((a.m >> p.i) & 1) = 1 AND ((b.m >> p.j) & 1) = 1) AS d
+  FROM {prev} a JOIN {prev} b ON a.m < b.m
+  ORDER BY d, a.m, b.m LIMIT 1
+), c{r} AS MATERIALIZED (
+  SELECT m FROM {prev}
+  WHERE m NOT IN (SELECT ma FROM pick{r})
+    AND m NOT IN (SELECT mb FROM pick{r})
+  UNION ALL
+  SELECT ma | mb FROM pick{r}
+)""")
+    sels = "\nUNION ALL ".join(
+        f"SELECT {r} AS step, ma AS mask_a, mb AS mask_b, d AS d2 FROM pick{r}"
+        for r in range(1, k)
+    )
+    return (
+        "".join(parts)
+        + "\nSELECT CAST(step AS BIGINT) AS step, CAST(mask_a AS BIGINT)"
+          " AS mask_a,\n       CAST(mask_b AS BIGINT) AS mask_b,"
+          " CAST(d2 AS BIGINT) AS d2 FROM (\n"
+        + sels
+        + "\n) ORDER BY step"
+    )
+
+
+HAC_CENTROIDS_SQL = _hac_sql()

@@ -1421,3 +1421,153 @@ SELECT f AS flag, CAST(n AS BIGINT) AS n,
        AS BIGINT) AS b2_micro
 FROM d ORDER BY f
 """
+
+
+# -- RANSAC robust line fit ------------------------------------------------------
+
+RANSAC_CANDS = 16
+RANSAC_TOL_C = 2_000  # inlier tolerance: 2000 floored dollars x |dx| cleared
+
+
+def ransac_price_fit(sf_dir: str) -> "object":
+    """RANSAC robust line fit of price ~ quantity (Fischler-Bolles, made
+    fully deterministic): the 32 sample rows are the md5-lowest lineitem
+    keys (distributed per-batch top-32 merge — no global sort), paired
+    in md5 order into 16 candidate lines ((orderkey, linenumber) is NOT
+    unique in this corpus, so the sample order tie-breaks through (x, y)
+    as well); a row is an INLIER of the line
+    through (x1,y1),(x2,y2) iff |(y-y1)*dx - (x-x1)*dy| <= TOL*|dx| —
+    the cleared-denominator point-to-line test, exact ints everywhere so
+    the winning candidate (inliers DESC, cand ASC) hash-matches.  One
+    broadcast consensus pass with per-batch count partials.  Degenerate
+    dx = 0 candidates score 0 by definition.  Output: one row
+    (cand, x1, y1, dx, dy, n_inliers)."""
+    import hashlib
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"],
+    )
+
+    def local_top(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_pylist()
+        ln = t["l_linenumber"].to_pylist()
+        x = pc.cast(pc.round(t["l_quantity"]), pa.int64()).to_pylist()
+        y = pc.cast(pc.floor(t["l_extendedprice"]), pa.int64()).to_pylist()
+        rows = sorted(
+            (
+                hashlib.md5(f"{o}-{l}".encode()).hexdigest(),
+                int(o), int(l), int(xi), int(yi),
+            )
+            for o, l, xi, yi in zip(ok, ln, x, y)
+        )[: 2 * RANSAC_CANDS]
+        return pa.table(
+            {
+                "h": pa.array([r[0] for r in rows], pa.string()),
+                "o": pa.array([r[1] for r in rows], pa.int64()),
+                "l": pa.array([r[2] for r in rows], pa.int64()),
+                "x": pa.array([r[3] for r in rows], pa.int64()),
+                "y": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        )
+
+    top = (
+        ds.map_batches(local_top, batch_format="pyarrow")
+        .to_pandas()  # <= 32 x n_blocks rows
+        .sort_values(["h", "o", "l", "x", "y"])
+        .head(2 * RANSAC_CANDS)
+        .reset_index(drop=True)
+    )
+    cands = []
+    for i in range(RANSAC_CANDS):
+        a, b = top.iloc[2 * i], top.iloc[2 * i + 1]
+        cands.append(
+            (i, int(a["x"]), int(a["y"]),
+             int(b["x"]) - int(a["x"]), int(b["y"]) - int(a["y"]))
+        )
+    ref = ray.put(cands)
+
+    def consensus(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cs = ray.get(ref)
+        x = np.asarray(
+            pc.cast(pc.round(t["l_quantity"]), pa.int64()).to_pylist(),
+            dtype=np.int64,
+        )
+        y = np.asarray(
+            pc.cast(pc.floor(t["l_extendedprice"]), pa.int64()).to_pylist(),
+            dtype=np.int64,
+        )
+        out_c, out_n = [], []
+        for i, x1, y1, dx, dy in cs:
+            if dx == 0:
+                n_in = 0
+            else:
+                resid = np.abs((y - y1) * dx - (x - x1) * dy)
+                n_in = int((resid <= RANSAC_TOL_C * abs(dx)).sum())
+            out_c.append(i)
+            out_n.append(n_in)
+        return pa.table(
+            {"cand": pa.array(out_c, pa.int64()),
+             "n_in": pa.array(out_n, pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(consensus, batch_format="pyarrow")
+        .groupby("cand")
+        .aggregate(Sum("n_in", alias_name="n_inliers"))
+        .to_pandas()  # 16 rows
+    )
+    merged = {int(r.cand): int(r.n_inliers) for r in counts.itertuples()}
+    best = min(
+        cands, key=lambda c: (-(merged.get(c[0], 0) if c[3] != 0 else 0), c[0])
+    )
+    i, x1, y1, dx, dy = best
+    n_in = merged.get(i, 0) if dx != 0 else 0
+    return pd.DataFrame(
+        {
+            "cand": pd.Series([i], dtype="int64"),
+            "x1": pd.Series([x1], dtype="int64"),
+            "y1": pd.Series([y1], dtype="int64"),
+            "dx": pd.Series([dx], dtype="int64"),
+            "dy": pd.Series([dy], dtype="int64"),
+            "n_inliers": pd.Series([n_in], dtype="int64"),
+        }
+    )
+
+
+RANSAC_PRICE_FIT_SQL = f"""
+WITH pts AS (
+  SELECT md5(CAST(l_orderkey AS VARCHAR) || '-'
+             || CAST(l_linenumber AS VARCHAR)) AS h,
+         l_orderkey AS o, l_linenumber AS l,
+         CAST(ROUND(l_quantity) AS BIGINT) AS x,
+         CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+), samp AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY h, o, l, x, y) - 1 AS rn
+  FROM pts QUALIFY rn < {2 * RANSAC_CANDS}
+), cands AS (
+  SELECT a.rn // 2 AS cand, a.x AS x1, a.y AS y1,
+         b.x - a.x AS dx, b.y - a.y AS dy
+  FROM samp a JOIN samp b ON b.rn = a.rn + 1
+  WHERE a.rn % 2 = 0
+), scored AS (
+  SELECT c.cand, c.x1, c.y1, c.dx, c.dy,
+         CASE WHEN c.dx = 0 THEN 0
+              ELSE COUNT(*) FILTER (
+                WHERE ABS((p.y - c.y1) * c.dx - (p.x - c.x1) * c.dy)
+                      <= {RANSAC_TOL_C} * ABS(c.dx)) END AS n_inliers
+  FROM cands c CROSS JOIN pts p
+  GROUP BY c.cand, c.x1, c.y1, c.dx, c.dy
+)
+SELECT CAST(cand AS BIGINT) AS cand, CAST(x1 AS BIGINT) AS x1,
+       CAST(y1 AS BIGINT) AS y1, CAST(dx AS BIGINT) AS dx,
+       CAST(dy AS BIGINT) AS dy, CAST(n_inliers AS BIGINT) AS n_inliers
+FROM scored ORDER BY n_inliers DESC, cand LIMIT 1
+"""

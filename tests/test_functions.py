@@ -4002,3 +4002,102 @@ def test_zonemap_prune_audit_laws(ray_session):
     for r in got.itertuples():
         assert 0 <= r.n_pruned <= r.n_blocks
         assert r.rows_pruned <= oor
+
+
+def test_cv_mse_brute_force(ray_session):
+    """CV MSE: oracle equality plus a fully independent single-process
+    brute-force replay (per-row folds, floored per-fold predictions)."""
+    import hashlib
+
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import ml as ML
+
+    sf = "/root/testdata/sf0.001"
+    got = ML.cv_mse_by_type(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(ML.CV_MSE_BY_TYPE_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    df = con.execute(
+        "SELECT event_id, event_type, CAST(ROUND(value*100) AS BIGINT) c"
+        " FROM events"
+    ).df()
+    df["f"] = df["event_id"].map(
+        lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 5
+    )
+    for r in got.itertuples():
+        sub = df[df["event_type"] == r.event_type]
+        sse = 0
+        for f in range(5):
+            tr = sub[sub["f"] != f]
+            te = sub[sub["f"] == f]
+            if not len(tr) or not len(te):
+                continue
+            pred = int(tr["c"].sum()) // len(tr)
+            sse += int(((te["c"] - pred) ** 2).sum())
+        assert (1000 * sse) // len(sub) == int(r.mse_milli)
+
+
+def test_ransac_winner_dominates(ray_session):
+    """RANSAC: oracle equality plus a brute-force consensus replay — the
+    reported winner's inlier count must be the maximum over all 16
+    candidates (ties to the lowest index)."""
+    import hashlib
+
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import tpch_corr as TC
+
+    sf = "/root/testdata/sf0.001"
+    got = TC.ransac_price_fit(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    want = con.execute(TC.RANSAC_PRICE_FIT_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    pts = con.execute(
+        "SELECT l_orderkey o, l_linenumber l, CAST(ROUND(l_quantity) AS BIGINT) x,"
+        " CAST(FLOOR(l_extendedprice) AS BIGINT) y FROM lineitem"
+    ).df()
+    pts["h"] = [
+        hashlib.md5(f"{o}-{l}".encode()).hexdigest()
+        for o, l in zip(pts["o"], pts["l"])
+    ]
+    top = pts.sort_values(["h", "o", "l", "x", "y"]).head(32).reset_index(drop=True)
+    best = None
+    for i in range(16):
+        x1, y1 = int(top.iloc[2 * i]["x"]), int(top.iloc[2 * i]["y"])
+        dx = int(top.iloc[2 * i + 1]["x"]) - x1
+        dy = int(top.iloc[2 * i + 1]["y"]) - y1
+        if dx == 0:
+            n_in = 0
+        else:
+            resid = ((pts["y"] - y1) * dx - (pts["x"] - x1) * dy).abs()
+            n_in = int((resid <= TC.RANSAC_TOL_C * abs(dx)).sum())
+        if best is None or (-n_in, i) < best[:2]:
+            best = (-n_in, i)
+    assert best[1] == int(got["cand"][0])
+    assert -best[0] == int(got["n_inliers"][0])
+
+
+def test_hac_centroids_dendrogram_laws(ray_session):
+    """HAC: oracle equality; merged masks disjoint; the final merge covers
+    all k items; single-linkage merge distances are monotone
+    non-decreasing (reducibility)."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    got = S.hac_centroids(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    want = con.execute(S.HAC_CENTROIDS_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert (got["mask_a"] & got["mask_b"]).eq(0).all()
+    last = got.iloc[-1]
+    assert int(last["mask_a"]) | int(last["mask_b"]) == (1 << 8) - 1
+    d = got["d2"].tolist()
+    assert all(d[i] <= d[i + 1] for i in range(len(d) - 1))
