@@ -621,6 +621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cv_mse_by_type": ml.cv_mse_by_type,
         "ransac_price_fit": relational.ransac_price_fit,
         "hac_centroids": similarity.hac_centroids,
+        "harmonic_centrality_topk": similarity.harmonic_centrality_topk,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -636,6 +637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burst_viterbi_by_type", "voptimal_histogram",
         "dp_count_by_type", "windowed_funnel", "zonemap_prune_audit",
         "cv_mse_by_type", "ransac_price_fit", "hac_centroids",
+        "harmonic_centrality_topk",
         "ate_discount_strata", "ols_price_model",
         "did_type_effect", "conformal_value_bounds",
         "markov_attribution", "minhash_jaccard_calibration",
@@ -884,6 +886,7 @@ def oracle_sql() -> dict[str, str]:
         "cv_mse_by_type": ml.CV_MSE_BY_TYPE_SQL,
         "ransac_price_fit": relational.RANSAC_PRICE_FIT_SQL,
         "hac_centroids": similarity.HAC_CENTROIDS_SQL,
+        "harmonic_centrality_topk": similarity.HARMONIC_CENTRALITY_SQL,
         "session_cross_lift": events.SESSION_CROSS_LIFT_SQL,
         "fd_discovery2": relational.FD_DISCOVERY2_SQL,
         "knn_reciprocity": similarity.KNN_RECIPROCITY_SQL,

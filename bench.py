@@ -219,7 +219,8 @@ QUERY_CHUNKS = [
      "effective_diameter", "bfs_path_counts",
      "burst_viterbi_by_type", "voptimal_histogram",
      "dp_count_by_type", "windowed_funnel", "zonemap_prune_audit",
-     "cv_mse_by_type", "ransac_price_fit", "hac_centroids"],
+     "cv_mse_by_type", "ransac_price_fit", "hac_centroids",
+     "harmonic_centrality_topk"],
 ]
 
 

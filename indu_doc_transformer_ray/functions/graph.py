@@ -4687,3 +4687,295 @@ FROM {prev} GROUP BY dist ORDER BY dist"""
 
 
 BFS_PATH_COUNTS_SQL = _bfs_path_counts_sql()
+
+
+# -- harmonic centrality via HyperBall ball differences ------------------------
+
+#: 6 = lcm(1..HB_ROUNDS): 6/r is integral for every round, so the harmonic
+#: sum sum_r (ball_r - ball_{r-1}) / r stays an exact integer at x6 scale.
+_HARMONIC_W = [6 // r for r in range(1, HB_ROUNDS + 1)]
+
+
+def harmonic_centrality_topk(
+    sf_dir: str, rounds: int = HB_ROUNDS, k: int = 20
+) -> "object":
+    """Harmonic centrality top-k via HyperBall ball DIFFERENCES — the
+    second classic HyperANF deliverable (Boldi-Vigna 2011 §2.5: H(v) =
+    sum_r |ball(v,r) - ball(v,r-1)| / r), at x6 integer scale so the
+    md5-deterministic HLL estimates keep the whole ranking hash-exact.
+    Same execution as ``hyperball_nf`` with two extra integer columns
+    riding the state (prev estimate, running h6): one bucketed
+    plane-merge co-location per round, per-block top-k partials at the
+    end — never a full sort.  Driver numpy escape under the shared edge
+    budget, identical semantics.  Output: (vec_id, h6) top-k by
+    (h6 DESC, vec_id)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ._util import n_buckets
+
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    nb = n_buckets(n)
+
+    edges_ds = knn_graph(sf_dir)
+    if edges_ds.count() <= PAGERANK_DRIVER_EDGE_BUDGET:
+        e = edges_ds.to_pandas()
+        nodes = np.sort(
+            pq.read_table(
+                f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+            )["vec_id"].to_numpy().astype(np.int64)
+        )
+        ui = np.searchsorted(nodes, e["vec_id"].to_numpy(np.int64))
+        vi = np.searchsorted(nodes, e["nbr_id"].to_numpy(np.int64))
+        cur = _hb_seed(nodes)
+        pe = _hb_estimates(cur).astype(np.int64)
+        h6 = np.zeros(len(nodes), dtype=np.int64)
+        for r in range(1, rounds + 1):
+            new = cur.copy()
+            np.maximum.at(new, ui, cur[vi])
+            cur = new
+            est = _hb_estimates(cur).astype(np.int64)
+            h6 += _HARMONIC_W[r - 1] * (est - pe)
+            pe = est
+        out = pd.DataFrame({"vec_id": nodes, "h6": h6})
+        out = out.sort_values(
+            ["h6", "vec_id"], ascending=[False, True]
+        ).head(k)
+        return out.reset_index(drop=True).astype("int64")
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    n_shards = max(2, min(16, ncpu // 2))
+
+    @ray.remote(num_cpus=0)
+    class RevShard:
+        def __init__(self):
+            self._dst_parts: list[np.ndarray] = []
+            self._src_parts: list[np.ndarray] = []
+            self._dst = self._src = None
+
+        def add_batch(self, dst: np.ndarray, src: np.ndarray) -> int:
+            self._dst_parts.append(dst)
+            self._src_parts.append(src)
+            return len(dst)
+
+        def seal(self) -> int:
+            if self._dst_parts:
+                dst = np.concatenate(self._dst_parts)
+                src = np.concatenate(self._src_parts)
+            else:
+                dst = src = np.empty(0, dtype=np.int64)
+            order = np.argsort(dst, kind="stable")
+            self._dst, self._src = dst[order], src[order]
+            self._dst_parts = self._src_parts = None
+            return len(self._dst)
+
+        def in_neighbors(self, ids: np.ndarray):
+            lo = np.searchsorted(self._dst, ids, side="left")
+            hi = np.searchsorted(self._dst, ids, side="right")
+            cnt = hi - lo
+            total = int(cnt.sum())
+            if total == 0:
+                return cnt, np.empty(0, dtype=np.int64)
+            starts = np.repeat(
+                lo - np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt
+            )
+            return cnt, self._src[starts + np.arange(total)]
+
+    shards = [RevShard.remote() for _ in range(n_shards)]
+
+    def push_edges(t: pd.DataFrame) -> pd.DataFrame:
+        src = t["vec_id"].to_numpy(dtype=np.int64)
+        dst = t["nbr_id"].to_numpy(dtype=np.int64)
+        sh = dst % n_shards
+        ray.get(
+            [
+                shards[s].add_batch.remote(dst[sh == s], src[sh == s])
+                for s in np.unique(sh)
+            ]
+        )
+        return pd.DataFrame({"n": pd.Series([len(t)], dtype="int64")})
+
+    edges_ds.map_batches(push_edges, batch_format="pandas").count()
+    ray.get([s.seal.remote() for s in shards])
+
+    def seed_rows(t: pd.DataFrame) -> pd.DataFrame:
+        ids = t["vec_id"].to_numpy(dtype=np.int64)
+        regs = _hb_seed(ids)
+        pe = _hb_estimates(regs).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "a": ids,
+                "regs": [row.tobytes() for row in regs],
+                "pe": pe,
+                "h6": np.zeros(len(ids), dtype=np.int64),
+            }
+        )
+
+    state = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+        )
+        .map_batches(seed_rows, batch_format="pandas")
+        .materialize()
+    )
+
+    def step_rows(t: pd.DataFrame) -> pd.DataFrame:
+        ids = t["a"].to_numpy(dtype=np.int64)
+        regs = np.frombuffer(b"".join(t["regs"]), dtype=np.uint8).reshape(
+            -1, HB_M
+        )
+        frames = [
+            pd.DataFrame(
+                {
+                    "db": (ids % nb).astype(np.int32),
+                    "a": ids,
+                    "regs": [row.tobytes() for row in regs],
+                    "pe": t["pe"].to_numpy(np.int64),
+                    "h6": t["h6"].to_numpy(np.int64),
+                }
+            )
+        ]
+        sh = ids % n_shards
+        pending = []
+        for s in np.unique(sh):
+            m = sh == s
+            pending.append((m, shards[s].in_neighbors.remote(ids[m])))
+        for m, ref in pending:
+            cnt, srcs = ray.get(ref)
+            if len(srcs):
+                shipped = np.repeat(regs[m], cnt, axis=0)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "db": (srcs % nb).astype(np.int32),
+                            "a": srcs,
+                            "regs": [row.tobytes() for row in shipped],
+                            "pe": np.full(len(srcs), -1, dtype=np.int64),
+                            "h6": np.zeros(len(srcs), dtype=np.int64),
+                        }
+                    )
+                )
+        return pd.concat(frames, ignore_index=True)
+
+    def make_fold(w: int):
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            arr = np.frombuffer(b"".join(g["regs"]), dtype=np.uint8).reshape(
+                -1, HB_M
+            )
+            a = g["a"].to_numpy(dtype=np.int64)
+            pe = g["pe"].to_numpy(dtype=np.int64)
+            h6 = g["h6"].to_numpy(dtype=np.int64)
+            order = np.argsort(a, kind="stable")
+            a_s, arr_s = a[order], arr[order]
+            pe_s, h6_s = pe[order], h6[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], a_s[1:] != a_s[:-1]))
+            )
+            merged = np.maximum.reduceat(arr_s, starts, axis=0)
+            # the self row (pe >= 0) is unique per node: max over the
+            # group recovers it (shipped rows carry -1 / 0)
+            pe_g = np.maximum.reduceat(pe_s, starts)
+            h6_g = np.maximum.reduceat(h6_s, starts)
+            est = _hb_estimates(merged).astype(np.int64)
+            h6_new = h6_g + w * (est - pe_g)
+            return pd.DataFrame(
+                {
+                    "a": a_s[starts],
+                    "regs": [row.tobytes() for row in merged],
+                    "pe": est,
+                    "h6": h6_new,
+                }
+            )
+
+        return fold
+
+    for r in range(1, rounds + 1):
+        state = (
+            state.map_batches(step_rows, batch_format="pandas")
+            .groupby("db")
+            .map_groups(make_fold(_HARMONIC_W[r - 1]), batch_format="pandas")
+            .map_batches(
+                lambda t: t[["a", "regs", "pe", "h6"]], batch_format="pandas"
+            )
+            .materialize()
+        )
+
+    def local_top(t: pd.DataFrame) -> pd.DataFrame:
+        sub = t.sort_values(["h6", "a"], ascending=[False, True]).head(k)
+        return pd.DataFrame(
+            {"vec_id": sub["a"].astype("int64"),
+             "h6": sub["h6"].astype("int64")}
+        )
+
+    parts = (
+        state.map_batches(local_top, batch_format="pandas").to_pandas()
+    )
+    out = parts.sort_values(["h6", "vec_id"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True).astype("int64")
+
+
+def _harmonic_sql(rounds: int = HB_ROUNDS, k: int = 20) -> str:
+    """Per-node estimate CTEs per round over the shared register chain,
+    then the x6 harmonic sum and the (h6 DESC, vec_id) top-k."""
+    lincase = " ".join(f"WHEN {z} THEN {v}" for z, v in HB_LINCOUNT.items())
+    regs_steps = []
+    for t in range(1, rounds + 1):
+        regs_steps.append(f"""regs{t} AS MATERIALIZED (
+  SELECT vec_id, reg, MAX(rank) AS rank FROM (
+    SELECT vec_id, reg, rank FROM regs{t - 1}
+    UNION ALL
+    SELECT e.src AS vec_id, r.reg, r.rank
+    FROM e JOIN regs{t - 1} r ON r.vec_id = e.dst
+  ) GROUP BY vec_id, reg
+)""")
+    est_steps = []
+    for t in range(0, rounds + 1):
+        est_steps.append(f"""est{t} AS MATERIALIZED (
+  SELECT vec_id,
+         CASE WHEN e <= {2.5 * HB_M!r} AND zeros > 0
+              THEN CASE zeros {lincase} END
+              ELSE CAST(floor(e + 0.5) AS BIGINT) END AS est
+  FROM (
+    SELECT vec_id, {HB_ALPHA_MM_SCALED!r} / CAST(
+             s + CAST(zeros AS HUGEINT) * {1 << HB_SCALE} AS DOUBLE
+           ) AS e, zeros
+    FROM (
+      SELECT vec_id,
+             SUM(CAST(CAST(1 AS BIGINT) << ({HB_SCALE} - rank) AS HUGEINT)) AS s,
+             {HB_M} - COUNT(*) AS zeros
+      FROM regs{t} GROUP BY vec_id
+    )
+  )
+)""")
+    hsum = " + ".join(
+        f"{_HARMONIC_W[t - 1]} * (e{t}.est - e{t - 1}.est)"
+        for t in range(1, rounds + 1)
+    )
+    joins = " ".join(
+        f"JOIN est{t} e{t} ON e{t}.vec_id = e0.vec_id"
+        for t in range(1, rounds + 1)
+    )
+    return f"""
+WITH knn AS MATERIALIZED ({KNN_GRAPH_SQL}),
+e AS MATERIALIZED (SELECT vec_id AS src, nbr_id AS dst FROM knn),
+h AS (
+  SELECT vec_id,
+         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 16)) AS UBIGINT) AS hv
+  FROM embeddings
+),
+regs0 AS MATERIALIZED (
+  SELECT vec_id, CAST(hv & {HB_M - 1} AS INTEGER) AS reg,
+         CAST(CASE WHEN (hv >> {HB_P}) = 0 THEN {HB_RANK_BITS + 1}
+                   ELSE {HB_RANK_BITS} - length(bin(hv >> {HB_P})) + 1
+              END AS INTEGER) AS rank
+  FROM h
+),
+{",".join(regs_steps)},
+{",".join(est_steps)}
+SELECT e0.vec_id, CAST({hsum} AS BIGINT) AS h6
+FROM est0 e0 {joins}
+ORDER BY h6 DESC, e0.vec_id LIMIT {k}
+"""
+
+
+HARMONIC_CENTRALITY_SQL = _harmonic_sql()

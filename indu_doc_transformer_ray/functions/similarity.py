@@ -2273,6 +2273,7 @@ from .graph import (  # noqa: E402,F401
     HYPERBALL_NF_SQL,
     EFFECTIVE_DIAMETER_SQL,
     BFS_PATH_COUNTS_SQL,
+    HARMONIC_CENTRALITY_SQL,
     DEGREE_ASSORTATIVITY_SQL,
     RICH_CLUB_SQL,
     LP_MODULARITY_SQL,
@@ -2287,6 +2288,7 @@ from .graph import (  # noqa: E402,F401
     hyperball_nf,
     effective_diameter,
     bfs_path_counts,
+    harmonic_centrality_topk,
     degree_assortativity,
     lp_modularity,
     rich_club,

