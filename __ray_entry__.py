@@ -623,6 +623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hac_centroids": similarity.hac_centroids,
         "harmonic_centrality_topk": similarity.harmonic_centrality_topk,
         "rake_keywords": text.rake_keywords,
+        "subseq_triples": events.subseq_triples,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -638,7 +639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burst_viterbi_by_type", "voptimal_histogram",
         "dp_count_by_type", "windowed_funnel", "zonemap_prune_audit",
         "cv_mse_by_type", "ransac_price_fit", "hac_centroids",
-        "harmonic_centrality_topk", "rake_keywords",
+        "harmonic_centrality_topk", "rake_keywords", "subseq_triples",
         "ate_discount_strata", "ols_price_model",
         "did_type_effect", "conformal_value_bounds",
         "markov_attribution", "minhash_jaccard_calibration",
@@ -889,6 +890,7 @@ def oracle_sql() -> dict[str, str]:
         "hac_centroids": similarity.HAC_CENTROIDS_SQL,
         "harmonic_centrality_topk": similarity.HARMONIC_CENTRALITY_SQL,
         "rake_keywords": text.RAKE_KEYWORDS_SQL,
+        "subseq_triples": events.SUBSEQ_TRIPLES_SQL,
         "session_cross_lift": events.SESSION_CROSS_LIFT_SQL,
         "fd_discovery2": relational.FD_DISCOVERY2_SQL,
         "knn_reciprocity": similarity.KNN_RECIPROCITY_SQL,

@@ -6963,3 +6963,109 @@ SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
        CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_1h,
        CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_24h
 """
+
+
+# -- gapped-subsequence triple mining --------------------------------------------
+
+
+def subseq_triples(sf_dir: str) -> "pd.DataFrame":
+    """Sequential-pattern mining with GAPS (the PrefixSpan-style
+    complement to the adjacent-only ``seq_pattern_hits``): for every
+    ordered type triple (a, b, c) — 125 cells — the number of users
+    whose event sequence contains a ... b ... c as a SUBSEQUENCE
+    (positions strictly increasing, any gap).  Containment tests use
+    the greedy-earliest chain (first a, first b after it, any c after
+    that), which is exact for subsequence matching; sequence order is
+    (ts, event_id).  One user-bucket co-location; the in-bucket kernel
+    runs 25 vectorized first-after min-chains + 125 exists-counts over
+    the whole bucket frame — |types|^2-bounded passes, never per-user
+    Python.  Output: the zero-filled (a, b, c, n_users) grid."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ubk = _user_buckets(sf_dir)
+    ds = _read_events(sf_dir, ["ts", "event_id", "user_id", "event_type"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        return t.append_column(
+            "ub", pc.cast(pc.bit_wise_and(uid, ubk - 1), pa.int32())
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(ts_us=g["ts"].astype("int64"))
+        g = g.sort_values(["user_id", "ts_us", "event_id"])
+        g["pos"] = np.arange(len(g), dtype=np.int64)  # global order works
+        # per-user monotone because rows are user-sorted first
+        types = sorted(g["event_type"].unique())
+        rows = []
+        for a in types:
+            fa = g[g["event_type"] == a].groupby("user_id")["pos"].min()
+            for b in types:
+                gb = g[g["event_type"] == b].merge(
+                    fa.rename("fa"), left_on="user_id", right_index=True
+                )
+                fab = (
+                    gb[gb["pos"] > gb["fa"]]
+                    .groupby("user_id")["pos"].min()
+                )
+                # one merge resolves ALL 5 c-cells of this (a, b) prefix:
+                # rows after the user's fab position, user-distinct per type
+                tail = g.merge(
+                    fab.rename("fab"), left_on="user_id", right_index=True
+                )
+                tail = tail[tail["pos"] > tail["fab"]]
+                cnt = tail.groupby("event_type")["user_id"].nunique()
+                for c in types:
+                    rows.append(
+                        {"a": a, "b": b, "c": c, "n": int(cnt.get(c, 0))}
+                    )
+        out = pd.DataFrame(rows)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["a", "b", "c"])
+        .aggregate(Sum("n", alias_name="n_users"))
+        .to_pandas()  # <= |types|^3 rows
+    )
+    types = sorted(
+        set(parts["a"]) | set(parts["b"]) | set(parts["c"])
+    )
+    grid = pd.DataFrame(
+        [(a, b, c) for a in types for b in types for c in types],
+        columns=["a", "b", "c"],
+    )
+    out = grid.merge(parts, on=["a", "b", "c"], how="left").fillna(0)
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values(["a", "b", "c"]).reset_index(drop=True)
+
+
+SUBSEQ_TRIPLES_SQL = """
+WITH seq AS (
+  SELECT user_id AS u, event_type AS e,
+         ROW_NUMBER() OVER (ORDER BY user_id, ts, event_id) AS pos
+  FROM events
+), types AS (
+  SELECT DISTINCT e FROM seq
+), fa AS (
+  SELECT u, e AS a, MIN(pos) AS p1 FROM seq GROUP BY u, e
+), fab AS (
+  SELECT fa.u, fa.a, s.e AS b, MIN(s.pos) AS p2
+  FROM fa JOIN seq s ON s.u = fa.u AND s.pos > fa.p1
+  GROUP BY fa.u, fa.a, s.e
+), fabc AS (
+  SELECT fab.a, fab.b, s.e AS c, COUNT(DISTINCT fab.u) AS n
+  FROM fab JOIN seq s ON s.u = fab.u AND s.pos > fab.p2
+  GROUP BY fab.a, fab.b, s.e
+)
+SELECT ta.e AS a, tb.e AS b, tc.e AS c,
+       CAST(COALESCE(f.n, 0) AS BIGINT) AS n_users
+FROM types ta CROSS JOIN types tb CROSS JOIN types tc
+LEFT JOIN fabc f ON f.a = ta.e AND f.b = tb.e AND f.c = tc.e
+ORDER BY ta.e, tb.e, tc.e
+"""

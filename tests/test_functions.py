@@ -4147,3 +4147,36 @@ def test_rake_keywords_laws(ray_session):
     assert (got["deg"] >= got["freq"]).all()
     assert not set(got["word"]) & set(T.STOPWORDS)
     assert (got["score_milli"] >= 1000).all()
+
+
+def test_subseq_triples_monotone(ray_session):
+    """Gapped subsequence triples: oracle equality; prefix monotonicity
+    n(a,b,c) <= n(a,b,*) for every c; and the gapped (view, click,
+    purchase) user count dominates the strict-ts funnel count."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.subseq_triples(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(E.SUBSEQ_TRIPLES_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    mx = got.groupby(["a", "b"])["n_users"].max()
+    pair_users = con.execute(
+        """WITH seq AS (SELECT user_id u, event_type e,
+             ROW_NUMBER() OVER (ORDER BY user_id, ts, event_id) pos
+           FROM events),
+           fa AS (SELECT u, e a, MIN(pos) p1 FROM seq GROUP BY u, e)
+           SELECT fa.a, s.e b, COUNT(DISTINCT fa.u) n
+           FROM fa JOIN seq s ON s.u = fa.u AND s.pos > fa.p1
+           GROUP BY fa.a, s.e"""
+    ).df().set_index(["a", "b"])["n"]
+    for (a, b), n in mx.items():
+        assert n <= int(pair_users.get((a, b), 0))
+    fun = E.funnel_counts(sf)
+    g = got.set_index(["a", "b", "c"])["n_users"]
+    assert int(g.get(("view", "click", "purchase"), 0)) >= int(
+        fun["n_full_funnel"][0]
+    )
