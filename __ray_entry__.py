@@ -624,6 +624,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harmonic_centrality_topk": similarity.harmonic_centrality_topk,
         "rake_keywords": text.rake_keywords,
         "subseq_triples": events.subseq_triples,
+        "churn_baseline_confusion": events.churn_baseline_confusion,
+        "type_overlap_exact": events.type_overlap_exact,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -640,6 +642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dp_count_by_type", "windowed_funnel", "zonemap_prune_audit",
         "cv_mse_by_type", "ransac_price_fit", "hac_centroids",
         "harmonic_centrality_topk", "rake_keywords", "subseq_triples",
+        "churn_baseline_confusion", "type_overlap_exact",
         "ate_discount_strata", "ols_price_model",
         "did_type_effect", "conformal_value_bounds",
         "markov_attribution", "minhash_jaccard_calibration",
@@ -891,6 +894,8 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_centrality_topk": similarity.HARMONIC_CENTRALITY_SQL,
         "rake_keywords": text.RAKE_KEYWORDS_SQL,
         "subseq_triples": events.SUBSEQ_TRIPLES_SQL,
+        "churn_baseline_confusion": events.CHURN_BASELINE_SQL,
+        "type_overlap_exact": events.TYPE_OVERLAP_EXACT_SQL,
         "session_cross_lift": events.SESSION_CROSS_LIFT_SQL,
         "fd_discovery2": relational.FD_DISCOVERY2_SQL,
         "knn_reciprocity": similarity.KNN_RECIPROCITY_SQL,

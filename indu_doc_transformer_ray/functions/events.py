@@ -7069,3 +7069,211 @@ FROM types ta CROSS JOIN types tb CROSS JOIN types tc
 LEFT JOIN fabc f ON f.a = ta.e AND f.b = tb.e AND f.c = tc.e
 ORDER BY ta.e, tb.e, tc.e
 """
+
+
+# -- churn baseline evaluation ---------------------------------------------------
+
+
+def churn_baseline_confusion(sf_dir: str) -> "pd.DataFrame":
+    """Churn-prediction BASELINE confusion matrix: label = user inactive
+    in the corpus's final 7 days (churned), predictor = the naive
+    "inactive in the penultimate 7 days too" rule — the
+    yesterday's-weather baseline every churn model must beat.  Window
+    edges derive from the corpus MAX day (a scalar pre-fold); the
+    per-user bits then fold inside ONE user-bucket co-location to 4-row
+    partials, so driver state is O(buckets), never O(users).  Output:
+    (predicted_churn, actual_churn, n_users)."""
+    import numpy as np
+
+    from ray.data.aggregate import Max, Sum
+
+    ds = _read_events(sf_dir, ["ts", "user_id"])
+
+    def day_part(t: pa.Table) -> pa.Table:
+        day = pc.divide(_ts_us_i64(t["ts"]), 86_400_000_000)
+        return pa.table({"mx": pa.array([pc.max(day).as_py()], pa.int64())})
+
+    mx = int(
+        ds.map_batches(day_part, batch_format="pyarrow").max("mx")
+    )
+    last_lo, prev_lo = mx - 6, mx - 13
+    ubk = _user_buckets(sf_dir)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        day = pc.divide(_ts_us_i64(t["ts"]), 86_400_000_000)
+        return pa.table(
+            {
+                "ub": pc.cast(pc.bit_wise_and(uid, ubk - 1), pa.int32()),
+                "u": uid,
+                "day": day,
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        day = g["day"].to_numpy(np.int64)
+        sub = pd.DataFrame(
+            {
+                "u": g["u"].to_numpy(np.int64),
+                "al": (day >= last_lo).astype(np.int64),
+                "ap": ((day >= prev_lo) & (day < last_lo)).astype(np.int64),
+            }
+        )
+        pu = sub.groupby("u").agg(al=("al", "max"), ap=("ap", "max"))
+        out = (
+            pu.groupby(["al", "ap"]).size().rename("n").reset_index()
+        )
+        out["predicted_churn"] = 1 - out["ap"]
+        out["actual_churn"] = 1 - out["al"]
+        out = out[["predicted_churn", "actual_churn", "n"]]
+        return out.astype("int64")
+
+    parts = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["predicted_churn", "actual_churn"])
+        .aggregate(Sum("n", alias_name="n_users"))
+        .to_pandas()  # <= 4 rows
+    )
+    grid = pd.DataFrame(
+        [(p, a) for p in (0, 1) for a in (0, 1)],
+        columns=["predicted_churn", "actual_churn"],
+    )
+    out = grid.merge(parts, on=["predicted_churn", "actual_churn"], how="left")
+    out["n_users"] = out["n_users"].fillna(0).astype("int64")
+    for c in ("predicted_churn", "actual_churn"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(
+        ["predicted_churn", "actual_churn"]
+    ).reset_index(drop=True)
+
+
+CHURN_BASELINE_SQL = """
+WITH d AS (
+  SELECT user_id AS u, epoch_us(ts) // 86400000000 AS day
+  FROM events GROUP BY 1, 2
+), mx AS (
+  SELECT MAX(day) AS m FROM d
+), per_user AS (
+  SELECT u,
+         1 - MAX(CASE WHEN day >= mx.m - 6 THEN 1 ELSE 0 END)
+           AS actual_churn,
+         1 - MAX(CASE WHEN day >= mx.m - 13 AND day < mx.m - 6
+                      THEN 1 ELSE 0 END) AS predicted_churn
+  FROM d, mx GROUP BY u
+), grid AS (
+  SELECT p.p AS predicted_churn, a.a AS actual_churn
+  FROM (VALUES (0), (1)) p(p) CROSS JOIN (VALUES (0), (1)) a(a)
+)
+SELECT CAST(g.predicted_churn AS BIGINT) AS predicted_churn,
+       CAST(g.actual_churn AS BIGINT) AS actual_churn,
+       CAST(COALESCE(COUNT(pu.u), 0) AS BIGINT) AS n_users
+FROM grid g LEFT JOIN per_user pu
+  ON pu.predicted_churn = g.predicted_churn
+ AND pu.actual_churn = g.actual_churn
+GROUP BY g.predicted_churn, g.actual_churn
+ORDER BY g.predicted_churn, g.actual_churn
+"""
+
+
+# -- exact distinct-user overlap between type pairs ------------------------------
+
+
+def type_overlap_exact(sf_dir: str) -> "pd.DataFrame":
+    """EXACT distinct-user overlap |users(a) ∩ users(b)| for every type
+    pair — the truth the KMV sketch in ``kmv_type_overlap`` estimates,
+    and the set-cardinality complement to the frequency-weighted
+    ``type_user_inner``: inside ONE user-bucket co-location each user
+    folds to a 5-bit touched MASK, buckets emit 2^|types|-bounded mask
+    counts, and every pairwise intersection is a subset-sum over the 32
+    global mask counts — no per-pair pass, no distinct shuffle,
+    O(2^|types|) driver state.  Output: (type_a, type_b, n_both, n_a,
+    n_b) for a < b."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ubk = _user_buckets(sf_dir)
+    ds = _read_events(sf_dir, ["user_id", "event_type"])
+
+    # type -> bit map must be global: derive from a tiny distinct fold
+    types = sorted(
+        ds.map_batches(
+            lambda t: pa.TableGroupBy(
+                pa.table({"e": t["event_type"]}), "e"
+            ).aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby("e")
+        .count()
+        .to_pandas()["e"]
+    )
+    bit = {e: 1 << i for i, e in enumerate(types)}
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        return pa.table(
+            {
+                "ub": pc.cast(pc.bit_wise_and(uid, ubk - 1), pa.int32()),
+                "u": uid,
+                "e": t["event_type"],
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        b = g["e"].map(bit).to_numpy(np.int64)
+        masks = (
+            pd.DataFrame({"u": g["u"].to_numpy(np.int64), "b": b})
+            .groupby("u")["b"]
+            .agg(lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+        )
+        out = masks.value_counts().rename("n").reset_index()
+        out.columns = ["mask", "n"]
+        return out.astype("int64")
+
+    parts = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("mask")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # <= 2^|types| rows
+    )
+    mask_counts = {int(r["mask"]): int(r["n"]) for _, r in parts.iterrows()}
+    rows = []
+    for i, a in enumerate(types):
+        for b2 in types[i + 1:]:
+            ba, bb = bit[a], bit[b2]
+            n_both = sum(
+                c for m, c in mask_counts.items()
+                if (m & ba) and (m & bb)
+            )
+            n_a = sum(c for m, c in mask_counts.items() if m & ba)
+            n_b = sum(c for m, c in mask_counts.items() if m & bb)
+            rows.append(
+                {"type_a": a, "type_b": b2, "n_both": n_both,
+                 "n_a": n_a, "n_b": n_b}
+            )
+    out = pd.DataFrame(rows)
+    for c in ("n_both", "n_a", "n_b"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+TYPE_OVERLAP_EXACT_SQL = """
+WITH ut AS (
+  SELECT DISTINCT user_id AS u, event_type AS e FROM events
+), types AS (
+  SELECT DISTINCT e FROM ut
+), pairs AS (
+  SELECT a.e AS ta, b.e AS tb FROM types a JOIN types b ON a.e < b.e
+)
+SELECT p.ta AS type_a, p.tb AS type_b,
+       CAST((SELECT COUNT(*) FROM ut x JOIN ut y
+             ON x.u = y.u AND x.e = p.ta AND y.e = p.tb) AS BIGINT)
+         AS n_both,
+       CAST((SELECT COUNT(*) FROM ut x WHERE x.e = p.ta) AS BIGINT) AS n_a,
+       CAST((SELECT COUNT(*) FROM ut y WHERE y.e = p.tb) AS BIGINT) AS n_b
+FROM pairs p ORDER BY p.ta, p.tb
+"""

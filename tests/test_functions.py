@@ -4180,3 +4180,31 @@ def test_subseq_triples_monotone(ray_session):
     assert int(g.get(("view", "click", "purchase"), 0)) >= int(
         fun["n_full_funnel"][0]
     )
+
+
+def test_churn_and_type_overlap(ray_session):
+    """Churn baseline: oracle equality + conservation (cells sum to the
+    distinct-user count).  Type overlap: oracle equality + inclusion-
+    exclusion bounds max(0, n_a+n_b-N) <= n_both <= min(n_a, n_b), and
+    the KMV sketch columns agree on n_a/n_b semantics (exact vs exact)."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+
+    got = E.churn_baseline_confusion(sf)
+    want = con.execute(E.CHURN_BASELINE_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    n_users = con.execute(
+        "SELECT COUNT(DISTINCT user_id) FROM events"
+    ).fetchone()[0]
+    assert int(got["n_users"].sum()) == n_users
+
+    ov = E.type_overlap_exact(sf)
+    want2 = con.execute(E.TYPE_OVERLAP_EXACT_SQL).df()
+    assert ov.values.tolist() == want2.values.tolist()
+    for r in ov.itertuples():
+        assert max(0, r.n_a + r.n_b - n_users) <= r.n_both <= min(r.n_a, r.n_b)
