@@ -81,6 +81,20 @@ AUDIT_QUERIES = (
     "simpson_paradox_qty_discount",
     "session_cross_lift",
     "fd_discovery2",
+    # session-10 audit family (all bounded: O(strata), O(72), O(types),
+    # O(2x2), O(pairs), O(1))
+    "ate_discount_strata",
+    "ind_discovery",
+    "dp_count_by_type",
+    "cv_mse_by_type",
+    "conformal_value_bounds",
+    "zonemap_prune_audit",
+    "churn_baseline_confusion",
+    "type_overlap_exact",
+    "effective_diameter",
+    "burst_viterbi_by_type",
+    "lz_complexity_by_type",
+    "voptimal_histogram",
 )
 
 
