@@ -221,7 +221,8 @@ QUERY_CHUNKS = [
      "dp_count_by_type", "windowed_funnel", "zonemap_prune_audit",
      "cv_mse_by_type", "ransac_price_fit", "hac_centroids",
      "harmonic_centrality_topk", "rake_keywords", "subseq_triples",
-     "churn_baseline_confusion", "type_overlap_exact"],
+     "churn_baseline_confusion", "type_overlap_exact",
+     "holt_winters_by_type"],
 ]
 
 

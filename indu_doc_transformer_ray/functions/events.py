@@ -7277,3 +7277,139 @@ SELECT p.ta AS type_a, p.tb AS type_b,
        CAST((SELECT COUNT(*) FROM ut y WHERE y.e = p.tb) AS BIGINT) AS n_b
 FROM pairs p ORDER BY p.ta, p.tb
 """
+
+
+# -- Holt-Winters triple exponential smoothing ----------------------------------
+
+
+def holt_winters_by_type(sf_dir: str) -> "pd.DataFrame":
+    """Additive HOLT-WINTERS triple exponential smoothing of each type's
+    zero-filled daily count series with period-7 seasonality and
+    power-of-two gains alpha = beta = gamma = 1/4 — the seasonal top of
+    the forecasting ladder (ewma -> holt_linear -> here), as an exact
+    floored fixed point at 10^6 scale:
+
+        L_t = floor((y_t*1e6 - S_{t-7} + 3*(L_{t-1} + B_{t-1})) / 4)
+        B_t = floor((L_t - L_{t-1} + 3*B_{t-1}) / 4)
+        S_t = floor((y_t*1e6 - L_t + 3*S_{t-7}) / 4)
+
+    with L_0 = y_0*1e6, B_0 = 0 and the seven seasonal slots starting
+    at 0.  The oracle's recursive CTE carries the seven slots as seven
+    explicit columns (only slot t%7 updates per step).  ONE (type, day)
+    fold, O(span) exact-integer driver replay.  Output: (event_type,
+    n_days, level_u, trend_u, season_u, forecast7_u) with
+    forecast7 = L + 7B + S_{slot(T)} (the slot day T+7 reads)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_events(sf_dir, ["ts", "event_type"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        day = pc.divide(_ts_us_i64(t["ts"]), 86_400_000_000)
+        folded = pa.table({"e": t["event_type"], "day": day})
+        return pa.TableGroupBy(folded, ["e", "day"]).aggregate(
+            [([], "count_all")]
+        )
+
+    d = (
+        ds.map_batches(fold, batch_format="pyarrow")
+        .groupby(["e", "day"])
+        .aggregate(Sum("count_all", alias_name="c"))
+        .to_pandas()  # O(|types| x span days)
+    )
+    d0, d1 = int(d["day"].min()), int(d["day"].max())
+    m = d1 - d0 + 1
+    rows = []
+    for e, sub in d.groupby("e"):
+        counts = [0] * m
+        for r in sub.itertuples():
+            counts[int(r.day) - d0] = int(r.c)
+        lvl, tr = counts[0] * 10**6, 0
+        sea = [0] * 7
+        for t_ in range(1, m):
+            v = counts[t_]
+            slot = t_ % 7
+            sm = sea[slot]
+            lnew = (v * 10**6 - sm + 3 * (lvl + tr)) // 4
+            tr = (lnew - lvl + 3 * tr) // 4
+            sea[slot] = (v * 10**6 - lnew + 3 * sm) // 4
+            lvl = lnew
+        season = sea[(m - 1) % 7]
+        rows.append(
+            {"event_type": e, "n_days": m, "level_u": lvl, "trend_u": tr,
+             "season_u": season, "forecast7_u": lvl + 7 * tr + season}
+        )
+    return (
+        pd.DataFrame(sorted(rows, key=lambda r: r["event_type"]))
+        .astype({c: "int64" for c in
+                 ("n_days", "level_u", "trend_u", "season_u", "forecast7_u")})
+        .reset_index(drop=True)
+    )
+
+
+def _holt_winters_sql() -> str:
+    fl = (
+        lambda x: f"({x} - ((({x}) % 4) + 4) % 4) // 4"
+    )  # negative-safe floor-div-4 emulation
+    s_cols = ", ".join(f"CAST(0 AS BIGINT) AS s{i}" for i in range(7))
+    sm_case = (
+        "CASE CAST((z.day - (SELECT d0 FROM span)) % 7 AS INTEGER) "
+        + " ".join(f"WHEN {i} THEN it.s{i}" for i in range(7))
+        + " END"
+    )
+    s_upd = ", ".join(
+        f"CASE WHEN s.slot = {i} THEN s.snew ELSE s.s{i} END" for i in range(7)
+    )
+    season_pick = (
+        "CASE CAST((day - (SELECT d0 FROM span)) % 7 AS INTEGER) "
+        + " ".join(f"WHEN {i} THEN s{i}" for i in range(7))
+        + " END"
+    )
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d),
+days AS (
+  SELECT span.d0 + u.g AS day
+  FROM span, (
+    SELECT generate_series AS g FROM generate_series(0, 100000)
+  ) u
+  WHERE span.d0 + u.g <= span.d1
+),
+types AS (SELECT DISTINCT event_type FROM d),
+z AS (
+  SELECT t.event_type, dd.day, COALESCE(d.c, 0) AS c
+  FROM types t CROSS JOIN days dd
+  LEFT JOIN d ON d.event_type = t.event_type AND d.day = dd.day
+),
+it AS (
+  SELECT z.event_type, z.day,
+         CAST(z.c * 1000000 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+         {s_cols}
+  FROM z WHERE z.day = (SELECT d0 FROM span)
+  UNION ALL
+  SELECT s.event_type, s.day, s.lnew,
+         {fl("s.lnew - s.l + 3 * s.b")},
+         {s_upd}
+  FROM (
+    SELECT it.event_type, z.day, it.l, it.b,
+           it.s0, it.s1, it.s2, it.s3, it.s4, it.s5, it.s6,
+           CAST((z.day - (SELECT d0 FROM span)) % 7 AS INTEGER) AS slot,
+           {fl(f"z.c * 1000000 - ({sm_case}) + 3 * (it.l + it.b)")} AS lnew,
+           {fl(f"z.c * 1000000 - ({fl(f'z.c * 1000000 - ({sm_case}) + 3 * (it.l + it.b)')}) + 3 * ({sm_case})")}
+             AS snew
+    FROM it JOIN z ON z.event_type = it.event_type AND z.day = it.day + 1
+  ) s
+)
+SELECT event_type,
+       CAST((SELECT d1 - d0 + 1 FROM span) AS BIGINT) AS n_days,
+       l AS level_u, b AS trend_u,
+       CAST({season_pick} AS BIGINT) AS season_u,
+       CAST(l + 7 * b + ({season_pick}) AS BIGINT) AS forecast7_u
+FROM it WHERE day = (SELECT d1 FROM span)
+ORDER BY event_type
+"""
+
+
+HOLT_WINTERS_BY_TYPE_SQL = _holt_winters_sql()

