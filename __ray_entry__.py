@@ -627,6 +627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "churn_baseline_confusion": events.churn_baseline_confusion,
         "type_overlap_exact": events.type_overlap_exact,
         "holt_winters_by_type": events.holt_winters_by_type,
+        "perm_test_discount_qty": relational.perm_test_discount_qty,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -644,7 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cv_mse_by_type", "ransac_price_fit", "hac_centroids",
         "harmonic_centrality_topk", "rake_keywords", "subseq_triples",
         "churn_baseline_confusion", "type_overlap_exact",
-        "holt_winters_by_type",
+        "holt_winters_by_type", "perm_test_discount_qty",
         "ate_discount_strata", "ols_price_model",
         "did_type_effect", "conformal_value_bounds",
         "markov_attribution", "minhash_jaccard_calibration",
@@ -899,6 +900,7 @@ def oracle_sql() -> dict[str, str]:
         "churn_baseline_confusion": events.CHURN_BASELINE_SQL,
         "type_overlap_exact": events.TYPE_OVERLAP_EXACT_SQL,
         "holt_winters_by_type": events.HOLT_WINTERS_BY_TYPE_SQL,
+        "perm_test_discount_qty": relational.PERM_TEST_DISCOUNT_QTY_SQL,
         "session_cross_lift": events.SESSION_CROSS_LIFT_SQL,
         "fd_discovery2": relational.FD_DISCOVERY2_SQL,
         "knn_reciprocity": similarity.KNN_RECIPROCITY_SQL,

@@ -222,7 +222,7 @@ QUERY_CHUNKS = [
      "cv_mse_by_type", "ransac_price_fit", "hac_centroids",
      "harmonic_centrality_topk", "rake_keywords", "subseq_triples",
      "churn_baseline_confusion", "type_overlap_exact",
-     "holt_winters_by_type"],
+     "holt_winters_by_type", "perm_test_discount_qty"],
 ]
 
 

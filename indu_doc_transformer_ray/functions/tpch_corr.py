@@ -1571,3 +1571,147 @@ SELECT CAST(cand AS BIGINT) AS cand, CAST(x1 AS BIGINT) AS x1,
        CAST(dy AS BIGINT) AS dy, CAST(n_inliers AS BIGINT) AS n_inliers
 FROM scored ORDER BY n_inliers DESC, cand LIMIT 1
 """
+
+
+# -- deterministic permutation test ----------------------------------------------
+
+PERM_TEST_ROUNDS = 16
+
+
+def perm_test_discount_qty(sf_dir: str) -> "object":
+    """Permutation test for the quantity difference between deep-discount
+    (>= 5%) and shallow-discount lineitems, with the permutations drawn
+    DETERMINISTICALLY: pseudo-relabeling r assigns each row to group
+    md5(key || ':' || r) % 2, and the observed |cleared mean gap| is
+    compared against the 16 relabeled gaps — p_num = #{r : |gap_r| >=
+    |gap_obs|} is the exact numerator of the one-sided permutation
+    p-value on this fixed permutation set.  Cleared comparison
+    |sy_a*n_b - sy_b*n_a| cross-multiplied across denominators keeps
+    everything in exact ints (Python / HUGEINT).  ONE pass folds all 17
+    labelings' moments (17 columns of partials, no reshuffle).  Output:
+    one row (n_deep, n_shallow, gap_num_obs, p_num, n_perms)."""
+    import hashlib
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_discount"],
+    )
+    R = PERM_TEST_ROUNDS
+
+    def moments(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        q = np.asarray(
+            pc.cast(pc.round(t["l_quantity"]), pa.int64()).to_pylist(),
+            dtype=np.int64,
+        )
+        d = np.asarray(
+            pc.cast(pc.round(pc.multiply(t["l_discount"], 100)),
+                    pa.int64()).to_pylist(),
+            dtype=np.int64,
+        )
+        keys = [
+            f"{o}-{l}"
+            for o, l in zip(t["l_orderkey"].to_pylist(),
+                            t["l_linenumber"].to_pylist())
+        ]
+        cols = {"one": pa.array([1] * len(q), pa.int64())}
+        obs = (d >= 5).astype(np.int64)
+        cols["n_a0"] = pa.array((obs == 1).astype(np.int64), pa.int64())
+        cols["s_a0"] = pa.array(q * (obs == 1), pa.int64())
+        cols["s_all"] = pa.array(q, pa.int64())
+        for r in range(1, R + 1):
+            lab = np.array(
+                [
+                    int(hashlib.md5(f"{k}:{r}".encode()).hexdigest()[:8], 16)
+                    % 2
+                    for k in keys
+                ],
+                dtype=np.int64,
+            )
+            cols[f"n_a{r}"] = pa.array(lab, pa.int64())
+            cols[f"s_a{r}"] = pa.array(q * lab, pa.int64())
+        folded = pa.table(cols)
+        out = {c: [int(pc.sum(folded[c]).as_py() or 0)] for c in cols}
+        return pa.table({c: pa.array(v, pa.int64()) for c, v in out.items()})
+
+    agg_cols = ["one", "n_a0", "s_a0", "s_all"] + [
+        f"{p}{r}" for r in range(1, R + 1) for p in ("n_a", "s_a")
+    ]
+    m = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .to_pandas()  # one row per block
+        .sum()
+    )
+    N = int(m["one"])
+    S = int(m["s_all"])
+
+    def gap(n_a: int, s_a: int) -> int:
+        n_b, s_b = N - n_a, S - s_a
+        return abs(s_a * n_b - s_b * n_a), n_a * n_b
+
+    g_obs, den_obs = gap(int(m["n_a0"]), int(m["s_a0"]))
+    p_num = 0
+    for r in range(1, R + 1):
+        g_r, den_r = gap(int(m[f"n_a{r}"]), int(m[f"s_a{r}"]))
+        # compare |gap_r| >= |gap_obs| as fractions: g_r/den_r >= g_obs/den_obs
+        if den_r == 0:
+            continue
+        if g_r * den_obs >= g_obs * den_r:
+            p_num += 1
+    return pd.DataFrame(
+        {
+            "n_deep": pd.Series([int(m["n_a0"])], dtype="int64"),
+            "n_shallow": pd.Series([N - int(m["n_a0"])], dtype="int64"),
+            "gap_num_obs": pd.Series([g_obs], dtype="int64"),
+            "p_num": pd.Series([p_num], dtype="int64"),
+            "n_perms": pd.Series([R], dtype="int64"),
+        }
+    )
+
+
+def _perm_test_sql(rounds: int = PERM_TEST_ROUNDS) -> str:
+    perm_cols = ", ".join(
+        f"SUM(CASE WHEN CAST(concat('0x', substr(md5(k || ':' || {r}), 1, 8))"
+        f" AS BIGINT) % 2 = 1 THEN 1 ELSE 0 END) AS n_a{r},"
+        f" SUM(CASE WHEN CAST(concat('0x', substr(md5(k || ':' || {r}), 1, 8))"
+        f" AS BIGINT) % 2 = 1 THEN q ELSE 0 END) AS s_a{r}"
+        for r in range(1, rounds + 1)
+    )
+    cmps = " + ".join(
+        f"(CASE WHEN ABS(s_a{r} * (cnt - n_a{r}) - (s_all - s_a{r}) * n_a{r})"
+        f" * (n_a0 * (cnt - n_a0))"
+        f" >= ABS(s_a0 * (cnt - n_a0) - (s_all - s_a0) * n_a0)"
+        f" * (n_a{r} * (cnt - n_a{r}))"
+        f" AND n_a{r} * (cnt - n_a{r}) > 0 THEN 1 ELSE 0 END)"
+        for r in range(1, rounds + 1)
+    )
+    return f"""
+WITH x AS (
+  SELECT CAST(l_orderkey AS VARCHAR) || '-'
+           || CAST(l_linenumber AS VARCHAR) AS k,
+         CAST(CAST(ROUND(l_quantity) AS BIGINT) AS HUGEINT) AS q,
+         CASE WHEN CAST(ROUND(l_discount * 100) AS BIGINT) >= 5
+              THEN 1 ELSE 0 END AS obs
+  FROM lineitem
+), m AS (
+  SELECT COUNT(*) AS cnt, SUM(q) AS s_all,
+         SUM(obs) AS n_a0, SUM(obs * q) AS s_a0,
+         {perm_cols}
+  FROM x
+)
+SELECT CAST(n_a0 AS BIGINT) AS n_deep,
+       CAST(cnt - n_a0 AS BIGINT) AS n_shallow,
+       CAST(ABS(s_a0 * (cnt - n_a0) - (s_all - s_a0) * n_a0) AS BIGINT)
+         AS gap_num_obs,
+       CAST({cmps} AS BIGINT) AS p_num,
+       {rounds} AS n_perms
+FROM m
+"""
+
+
+PERM_TEST_DISCOUNT_QTY_SQL = _perm_test_sql()

@@ -4249,3 +4249,23 @@ def test_holt_winters_degenerate_agrees_with_holt(ray_session, tmp_path):
             sea[slot] = (counts[t] * 10**6 - lnew + 3 * sm) // 4
             lvl = lnew
         assert lvl == int(r.level_u) and tr == int(r.trend_u)
+
+
+def test_perm_test_laws(ray_session):
+    """Permutation test: oracle equality; 0 <= p_num <= n_perms; the
+    observed labeling really is the discount split (n_deep + n_shallow =
+    |lineitem|); and the pseudo-permutations preserve the total
+    quantity mass by construction (checked via the oracle moments)."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import tpch_corr as TC
+
+    sf = "/root/testdata/sf0.001"
+    got = TC.perm_test_discount_qty(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    want = con.execute(TC.PERM_TEST_DISCOUNT_QTY_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    n = con.execute("SELECT COUNT(*) FROM lineitem").fetchone()[0]
+    assert int(got["n_deep"][0]) + int(got["n_shallow"][0]) == n
+    assert 0 <= int(got["p_num"][0]) <= int(got["n_perms"][0])
