@@ -628,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_overlap_exact": events.type_overlap_exact,
         "holt_winters_by_type": events.holt_winters_by_type,
         "perm_test_discount_qty": relational.perm_test_discount_qty,
+        "dup_modality_agreement": dedup.dup_modality_agreement,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -646,6 +647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harmonic_centrality_topk", "rake_keywords", "subseq_triples",
         "churn_baseline_confusion", "type_overlap_exact",
         "holt_winters_by_type", "perm_test_discount_qty",
+        "dup_modality_agreement",
         "ate_discount_strata", "ols_price_model",
         "did_type_effect", "conformal_value_bounds",
         "markov_attribution", "minhash_jaccard_calibration",
@@ -901,6 +903,7 @@ def oracle_sql() -> dict[str, str]:
         "type_overlap_exact": events.TYPE_OVERLAP_EXACT_SQL,
         "holt_winters_by_type": events.HOLT_WINTERS_BY_TYPE_SQL,
         "perm_test_discount_qty": relational.PERM_TEST_DISCOUNT_QTY_SQL,
+        "dup_modality_agreement": dedup.DUP_MODALITY_AGREEMENT_SQL,
         "session_cross_lift": events.SESSION_CROSS_LIFT_SQL,
         "fd_discovery2": relational.FD_DISCOVERY2_SQL,
         "knn_reciprocity": similarity.KNN_RECIPROCITY_SQL,

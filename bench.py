@@ -223,6 +223,8 @@ QUERY_CHUNKS = [
      "harmonic_centrality_topk", "rake_keywords", "subseq_triples",
      "churn_baseline_confusion", "type_overlap_exact",
      "holt_winters_by_type", "perm_test_discount_qty"],
+    # shares the MinHash machinery chunk-wise with nothing above
+    ["dup_modality_agreement"],
 ]
 
 

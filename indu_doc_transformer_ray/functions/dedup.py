@@ -3261,3 +3261,101 @@ SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
        CAST(COUNT(*) AS BIGINT) AS n_clusters
 FROM sizes GROUP BY cluster_size ORDER BY cluster_size
 """
+
+
+# -- cross-modality duplicate-agreement audit ------------------------------------
+
+
+def dup_modality_agreement(sf_dir: str) -> "object":
+    """Cross-MODALITY near-duplicate agreement audit: how much do the
+    text dedup signal (MinHash-LSH verified Jaccard >= 0.5 pairs) and
+    the embedding signal (exact cosine >= 0.42 pairs, vec_id == doc_id)
+    agree?  Low agreement means the two dedup stages catch DIFFERENT
+    duplicate populations and a production pipeline should run both —
+    the QA measurement behind that decision.  Composes the two existing
+    SQL-oracled pair miners; the intersection rides one pair-bucket
+    co-location (both pair sets are output-proportional), so the driver
+    sees three scalars.  Output: (n_text_pairs, n_vec_pairs, n_both)."""
+    import zlib
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..functions import similarity as _sim
+    from ._util import n_buckets
+    import pyarrow.parquet as pq_
+
+    nb = n_buckets(
+        pq_.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    )
+
+    mh = minhash_lsh_pairs(sf_dir)
+    cs = _sim.cosine_dup_pairs(sf_dir)
+
+    def tag(src_bit: int, ca: str, cb: str):
+        def _t(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            a = pc.cast(t[ca], pa.int64()).to_pylist()
+            b = pc.cast(t[cb], pa.int64()).to_pylist()
+            bk = [
+                zlib.crc32(f"{x}-{y}".encode()) % nb for x, y in zip(a, b)
+            ]
+            return pa.table(
+                {
+                    "bk": pa.array(bk, pa.int32()),
+                    "a": pa.array(a, pa.int64()),
+                    "b": pa.array(b, pa.int64()),
+                    "bit": pa.array([src_bit] * len(a), pa.int64()),
+                }
+            )
+
+        return _t
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        agg = g.groupby(["a", "b"])["bit"].sum()
+        # exclusive cells: 1 = text only, 2 = vec only, 3 = both
+        return pd.DataFrame(
+            {
+                "n_text": pd.Series([int((agg == 1).sum())], dtype="int64"),
+                "n_vec": pd.Series([int((agg == 2).sum())], dtype="int64"),
+                "n_both": pd.Series([int((agg == 3).sum())], dtype="int64"),
+            }
+        )
+
+    parts = (
+        mh.map_batches(tag(1, "doc_a", "doc_b"), batch_format="pyarrow")
+        .union(
+            cs.map_batches(tag(2, "vec_a", "vec_b"), batch_format="pyarrow")
+        )
+        .groupby("bk")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()  # one row per bucket
+    )
+    return pd.DataFrame(
+        {
+            "n_text_pairs": [int(parts["n_text"].sum())
+                             + int(parts["n_both"].sum())],
+            "n_vec_pairs": [int(parts["n_vec"].sum())
+                            + int(parts["n_both"].sum())],
+            "n_both": [int(parts["n_both"].sum())],
+        }
+    ).astype("int64")
+
+
+DUP_MODALITY_AGREEMENT_SQL = (
+    "WITH mh AS ("
+    + MINHASH_LSH_SQL.replace("ORDER BY doc_a, doc_b", "")
+    + """), cs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42
+)
+SELECT CAST((SELECT COUNT(*) FROM mh) AS BIGINT) AS n_text_pairs,
+       CAST((SELECT COUNT(*) FROM cs) AS BIGINT) AS n_vec_pairs,
+       CAST((SELECT COUNT(*) FROM mh JOIN cs
+             ON mh.doc_a = cs.vec_a AND mh.doc_b = cs.vec_b) AS BIGINT)
+         AS n_both
+"""
+)

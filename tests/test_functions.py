@@ -4269,3 +4269,29 @@ def test_perm_test_laws(ray_session):
     n = con.execute("SELECT COUNT(*) FROM lineitem").fetchone()[0]
     assert int(got["n_deep"][0]) + int(got["n_shallow"][0]) == n
     assert 0 <= int(got["p_num"][0]) <= int(got["n_perms"][0])
+
+
+def test_dup_modality_agreement_bounds(ray_session):
+    """Modality agreement: oracle equality plus set-algebra bounds —
+    n_both <= min(n_text_pairs, n_vec_pairs), and both totals match the
+    underlying pair miners' own row counts."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import dedup as D
+    from indu_doc_transformer_ray.functions import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    got = D.dup_modality_agreement(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    want = con.execute(D.DUP_MODALITY_AGREEMENT_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    n_both = int(got["n_both"][0])
+    assert n_both <= min(int(got["n_text_pairs"][0]), int(got["n_vec_pairs"][0]))
+    n_text = D.minhash_lsh_pairs(sf).count()
+    n_vec = S.cosine_dup_pairs(sf).count()
+    assert n_text == int(got["n_text_pairs"][0])
+    assert n_vec == int(got["n_vec_pairs"][0])
