@@ -629,6 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holt_winters_by_type": events.holt_winters_by_type,
         "perm_test_discount_qty": relational.perm_test_discount_qty,
         "dup_modality_agreement": dedup.dup_modality_agreement,
+        "markov_next_accuracy": events.markov_next_accuracy,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -647,7 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harmonic_centrality_topk", "rake_keywords", "subseq_triples",
         "churn_baseline_confusion", "type_overlap_exact",
         "holt_winters_by_type", "perm_test_discount_qty",
-        "dup_modality_agreement",
+        "dup_modality_agreement", "markov_next_accuracy",
         "ate_discount_strata", "ols_price_model",
         "did_type_effect", "conformal_value_bounds",
         "markov_attribution", "minhash_jaccard_calibration",
@@ -904,6 +905,7 @@ def oracle_sql() -> dict[str, str]:
         "holt_winters_by_type": events.HOLT_WINTERS_BY_TYPE_SQL,
         "perm_test_discount_qty": relational.PERM_TEST_DISCOUNT_QTY_SQL,
         "dup_modality_agreement": dedup.DUP_MODALITY_AGREEMENT_SQL,
+        "markov_next_accuracy": events.MARKOV_NEXT_ACCURACY_SQL,
         "session_cross_lift": events.SESSION_CROSS_LIFT_SQL,
         "fd_discovery2": relational.FD_DISCOVERY2_SQL,
         "knn_reciprocity": similarity.KNN_RECIPROCITY_SQL,

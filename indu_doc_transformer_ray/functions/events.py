@@ -7413,3 +7413,144 @@ ORDER BY event_type
 
 
 HOLT_WINTERS_BY_TYPE_SQL = _holt_winters_sql()
+
+
+# -- Markov next-event prediction accuracy ----------------------------------------
+
+
+def markov_next_accuracy(sf_dir: str) -> "pd.DataFrame":
+    """Held-out NEXT-EVENT prediction accuracy of the first-order Markov
+    chain (the evaluation layer over ``event_transitions`` /
+    ``markov_stationary``): transitions whose source event falls before
+    the corpus MIDPOINT day train the argmax predictor (ties to the
+    lexicographically lowest target), later transitions test it — the
+    honest sequence-model baseline number.  ONE user-bucket co-location
+    emits (from, to, phase) pair partials (<= 2*|types|^2 rows); train
+    matrix, predictions and per-type accuracy all come off that single
+    bounded fold.  Unseen-in-train sources score 0 on their test rows.
+    Output: (event_type, pred_next, n_test, n_correct)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    nb = _user_buckets(sf_dir)
+    ds = _read_events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        return pa.table(
+            {
+                "ub": pc.cast(pc.bit_wise_and(uid, nb - 1), pa.int32()),
+                "user_id": uid,
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "event_type": t["event_type"],
+                "ts_us": pc.cast(t["ts"].cast(pa.timestamp("us")), pa.int64()),
+            }
+        )
+
+    def day_part(t: pa.Table) -> pa.Table:
+        day = pc.divide(_ts_us_i64(t["ts"]), 86_400_000_000)
+        return pa.table(
+            {
+                "lo": pa.array([pc.min(day).as_py()], pa.int64()),
+                "hi": pa.array([pc.max(day).as_py()], pa.int64()),
+            }
+        )
+
+    span = (
+        _read_events(sf_dir, ["ts"])
+        .map_batches(day_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    split = (int(span["lo"].min()) + int(span["hi"].max()) + 1) // 2
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"])
+        prev = g.groupby("user_id")["event_type"].shift(1)
+        prev_ts = g.groupby("user_id")["ts_us"].shift(1)
+        keep = prev.notna()
+        phase = (
+            (prev_ts[keep] // 86_400_000_000) >= split
+        ).astype(int)
+        agg = (
+            pd.DataFrame(
+                {
+                    "from_type": prev[keep],
+                    "to_type": g.loc[keep, "event_type"],
+                    "phase": phase,
+                }
+            )
+            .groupby(["from_type", "to_type", "phase"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        agg["n"] = agg["n"].astype("int64")
+        agg["phase"] = agg["phase"].astype("int64")
+        return agg
+
+    m = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(transitions, batch_format="pandas")
+        .groupby(["from_type", "to_type", "phase"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # <= 2 x |types|^2 rows
+    )
+    train = m[m["phase"] == 0]
+    test = m[m["phase"] == 1]
+    pred = {}
+    for a, sub in train.groupby("from_type"):
+        sub = sub.sort_values(["n", "to_type"], ascending=[False, True])
+        pred[a] = sub.iloc[0]["to_type"]
+    rows = []
+    for a, sub in test.groupby("from_type"):
+        n_test = int(sub["n"].sum())
+        p = pred.get(a)
+        n_correct = (
+            int(sub[sub["to_type"] == p]["n"].sum()) if p is not None else 0
+        )
+        rows.append(
+            {"event_type": a, "pred_next": p if p is not None else "",
+             "n_test": n_test, "n_correct": n_correct}
+        )
+    out = pd.DataFrame(sorted(rows, key=lambda r: r["event_type"]))
+    for c in ("n_test", "n_correct"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+MARKOV_NEXT_ACCURACY_SQL = """
+WITH b AS (
+  SELECT (MIN(epoch_us(ts) // 86400000000)
+          + MAX(epoch_us(ts) // 86400000000) + 1) // 2 AS split
+  FROM events
+), seq AS (
+  SELECT user_id, event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+), tr AS (
+  SELECT s.event_type AS a, s.nxt AS t,
+         CASE WHEN s.day >= b.split THEN 1 ELSE 0 END AS phase,
+         COUNT(*) AS n
+  FROM seq s, b WHERE s.nxt IS NOT NULL
+  GROUP BY 1, 2, 3
+), pred AS (
+  SELECT a, t AS pred_next FROM (
+    SELECT a, t, ROW_NUMBER() OVER (
+      PARTITION BY a ORDER BY n DESC, t) AS rk
+    FROM tr WHERE phase = 0
+  ) WHERE rk = 1
+), test AS (
+  SELECT a, SUM(n) AS n_test,
+         SUM(CASE WHEN t = p.pred_next THEN n ELSE 0 END) AS n_correct,
+         MAX(p.pred_next) AS pred_next
+  FROM tr LEFT JOIN pred p USING (a)
+  WHERE phase = 1 GROUP BY a
+)
+SELECT a AS event_type, COALESCE(pred_next, '') AS pred_next,
+       CAST(n_test AS BIGINT) AS n_test,
+       CAST(n_correct AS BIGINT) AS n_correct
+FROM test ORDER BY a
+"""

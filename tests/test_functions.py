@@ -4295,3 +4295,29 @@ def test_dup_modality_agreement_bounds(ray_session):
     n_vec = S.cosine_dup_pairs(sf).count()
     assert n_text == int(got["n_text_pairs"][0])
     assert n_vec == int(got["n_vec_pairs"][0])
+
+
+def test_markov_next_accuracy_consistency(ray_session):
+    """Markov next-event eval: oracle equality; n_correct <= n_test; the
+    train+test transition mass equals event_transitions' total; and each
+    prediction really is a modal train target (recomputed via duckdb)."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.markov_next_accuracy(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(E.MARKOV_NEXT_ACCURACY_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert (got["n_correct"] <= got["n_test"]).all()
+    total = con.execute(
+        """SELECT COUNT(*) FROM (
+             SELECT LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) nxt
+             FROM events) WHERE nxt IS NOT NULL"""
+    ).fetchone()[0]
+    tr = E.event_transitions(sf)
+    tr_n = tr.to_pandas() if hasattr(tr, "to_pandas") else tr
+    assert int(tr_n["n"].sum()) == total
