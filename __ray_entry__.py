@@ -630,6 +630,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perm_test_discount_qty": relational.perm_test_discount_qty,
         "dup_modality_agreement": dedup.dup_modality_agreement,
         "markov_next_accuracy": events.markov_next_accuracy,
+        "cohort_value_matrix": events.cohort_value_matrix,
+        "readability_by_lang": text.readability_by_lang,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -649,6 +651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "churn_baseline_confusion", "type_overlap_exact",
         "holt_winters_by_type", "perm_test_discount_qty",
         "dup_modality_agreement", "markov_next_accuracy",
+        "cohort_value_matrix", "readability_by_lang",
         "ate_discount_strata", "ols_price_model",
         "did_type_effect", "conformal_value_bounds",
         "markov_attribution", "minhash_jaccard_calibration",
@@ -906,6 +909,8 @@ def oracle_sql() -> dict[str, str]:
         "perm_test_discount_qty": relational.PERM_TEST_DISCOUNT_QTY_SQL,
         "dup_modality_agreement": dedup.DUP_MODALITY_AGREEMENT_SQL,
         "markov_next_accuracy": events.MARKOV_NEXT_ACCURACY_SQL,
+        "cohort_value_matrix": events.COHORT_VALUE_MATRIX_SQL,
+        "readability_by_lang": text.READABILITY_BY_LANG_SQL,
         "session_cross_lift": events.SESSION_CROSS_LIFT_SQL,
         "fd_discovery2": relational.FD_DISCOVERY2_SQL,
         "knn_reciprocity": similarity.KNN_RECIPROCITY_SQL,

@@ -224,7 +224,8 @@ QUERY_CHUNKS = [
      "churn_baseline_confusion", "type_overlap_exact",
      "holt_winters_by_type", "perm_test_discount_qty"],
     # shares the MinHash machinery chunk-wise with nothing above
-    ["dup_modality_agreement", "markov_next_accuracy"],
+    ["dup_modality_agreement", "markov_next_accuracy",
+     "cohort_value_matrix", "readability_by_lang"],
 ]
 
 

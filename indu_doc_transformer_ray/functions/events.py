@@ -7554,3 +7554,88 @@ SELECT a AS event_type, COALESCE(pred_next, '') AS pred_next,
        CAST(n_correct AS BIGINT) AS n_correct
 FROM test ORDER BY a
 """
+
+
+# -- weekly cohort VALUE (LTV) matrix --------------------------------------------
+
+
+def cohort_value_matrix(sf_dir: str) -> "pd.DataFrame":
+    """Weekly cohort LIFETIME-VALUE matrix — ``cohort_retention``'s
+    revenue companion: users group by first-activity week, and each
+    (cohort_week, weeks_since) cell accumulates the cohort's value
+    CENTS in that later week (the LTV curve read along a row, the
+    acquisition-quality comparison read down a column).  Same shape:
+    one user-bucket co-location computes cohort + per-week sums
+    in-group, then a bounded (span/7)^2 groupby.  Output:
+    (cohort_week, weeks_since, n_users, value_c)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    WEEK_US = 7 * 86_400_000_000
+
+    ds = _read_events(sf_dir, ["ts", "user_id", "value"])
+    ubk = _user_buckets(sf_dir)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        week = pc.divide(_ts_us_i64(t["ts"]), WEEK_US)
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
+        return pa.table(
+            {
+                "ub": pc.cast(pc.bit_wise_and(uid, ubk - 1), pa.int32()),
+                "user_id": uid,
+                "week": pc.cast(week, pa.int64()),
+                "c": cents,
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cohort = g.groupby("user_id")["week"].min().rename("cw")
+        g = g.merge(cohort, left_on="user_id", right_index=True)
+        g["ws"] = g["week"] - g["cw"]
+        cell_val = (
+            g.groupby(["cw", "ws"], as_index=False)["c"].sum()
+        )
+        users = (
+            g[["user_id", "cw", "ws"]]
+            .drop_duplicates()
+            .groupby(["cw", "ws"], as_index=False)
+            .size()
+            .rename(columns={"size": "nu"})
+        )
+        out = cell_val.merge(users, on=["cw", "ws"])
+        return out.astype("int64")
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["cw", "ws"])
+        .aggregate(Sum("c", alias_name="value_c"),
+                   Sum("nu", alias_name="n_users"))
+        .to_pandas()  # O((span/7)^2)
+    )
+    out = out.rename(columns={"cw": "cohort_week", "ws": "weeks_since"})
+    out = out[["cohort_week", "weeks_since", "n_users", "value_c"]]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(
+        ["cohort_week", "weeks_since"]
+    ).reset_index(drop=True)
+
+
+COHORT_VALUE_MATRIX_SQL = """
+WITH x AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS week,
+         CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events
+), cw AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM x GROUP BY user_id
+)
+SELECT cw.cohort_week, x.week - cw.cohort_week AS weeks_since,
+       CAST(COUNT(DISTINCT x.user_id) AS BIGINT) AS n_users,
+       CAST(SUM(x.c) AS BIGINT) AS value_c
+FROM x JOIN cw ON x.user_id = cw.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

