@@ -2022,3 +2022,137 @@ SELECT CAST(biz_days AS BIGINT) AS biz_days,
        CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM b GROUP BY 1 ORDER BY 1
 """
+
+
+# -- Laspeyres / Paasche price indices per brand ---------------------------------
+
+PRICE_INDEX_Y0 = 1996
+PRICE_INDEX_Y1 = 1997
+
+
+def price_index_brands(sf_dir: str) -> "object":
+    """LASPEYRES and PAASCHE price indices per brand between base year
+    1996 and comparison year 1997 — the economics-index primitive over
+    the star schema (which brands actually got dearer, holding the
+    basket fixed at base-year vs current-year quantities).  Unit prices
+    are the rationals s_y/q_y per part; every cross term floors ONCE per
+    part at 1e6 scale (p1*q0 -> floor(1e6*s1*q0/q1)) and the index
+    floors once more over the exact cents denominators — double-floor
+    arithmetic replayed verbatim by the oracle, so the approximate
+    index itself hash-matches.  Parts need BOTH years with q > 0.
+    ONE part-dimension-bounded (partkey, year) fold; the brand attaches
+    AFTER the fold on the already-bounded driver frame (searchsorted
+    over the part dim), so no fact-side join exists at all.  Output:
+    (brand, n_parts, laspeyres_micro, paasche_micro)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_shipdate"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        yr = pc.year(t["l_shipdate"])
+        mask = pc.or_(
+            pc.equal(yr, PRICE_INDEX_Y0), pc.equal(yr, PRICE_INDEX_Y1)
+        )
+        sub = pa.table(
+            {
+                "pk": pc.cast(t["l_partkey"], pa.int64()),
+                "y": pc.cast(yr, pa.int64()),
+                "q": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+                "s": pc.cast(
+                    pc.round(pc.multiply(t["l_extendedprice"], 100)),
+                    pa.int64(),
+                ),
+            }
+        ).filter(mask)
+        return pa.TableGroupBy(sub, ["pk", "y"]).aggregate(
+            [("q", "sum"), ("s", "sum")]
+        )
+
+    m = (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby(["pk", "y"])
+        .aggregate(Sum("q_sum", alias_name="q"), Sum("s_sum", alias_name="s"))
+        .to_pandas()  # <= 2 x |part| rows (dimension-bounded)
+    )
+    pk, pv = _dim_lookup(sf_dir, "part", "p_partkey", ["p_brand"])
+    m["brand"] = pv["p_brand"][np.searchsorted(pk, m["pk"].to_numpy())]
+    piv = m.pivot_table(
+        index=["brand", "pk"], columns="y", values=["q", "s"], aggfunc="sum"
+    )
+    rows = []
+    for brand, sub in piv.groupby(level="brand"):
+        n_parts = 0
+        lasp_num = 0
+        s0_tot = 0
+        s1_tot = 0
+        paasche_den = 0
+        def _cell(r, key):
+            v = r.get(key, 0)
+            return 0 if v is None or pd.isna(v) else int(v)
+
+        for _, r in sub.iterrows():
+            q0 = _cell(r, ("q", PRICE_INDEX_Y0))
+            q1 = _cell(r, ("q", PRICE_INDEX_Y1))
+            s0 = _cell(r, ("s", PRICE_INDEX_Y0))
+            s1 = _cell(r, ("s", PRICE_INDEX_Y1))
+            if q0 <= 0 or q1 <= 0:
+                continue
+            n_parts += 1
+            lasp_num += (10**6 * s1 * q0) // q1
+            paasche_den += (10**6 * s0 * q1) // q0
+            s0_tot += s0
+            s1_tot += s1
+        if n_parts == 0:
+            continue
+        rows.append(
+            {
+                "brand": brand,
+                "n_parts": n_parts,
+                "laspeyres_micro": lasp_num // s0_tot,
+                "paasche_micro": (10**12 * s1_tot) // paasche_den,
+            }
+        )
+    out = pd.DataFrame(sorted(rows, key=lambda r: r["brand"]))
+    for c in ("n_parts", "laspeyres_micro", "paasche_micro"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+PRICE_INDEX_BRANDS_SQL = f"""
+WITH x AS (
+  SELECT l.l_partkey AS pk, p.p_brand AS brand,
+         CAST(year(l.l_shipdate) AS BIGINT) AS y,
+         CAST(ROUND(l.l_quantity) AS HUGEINT) AS q,
+         CAST(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS HUGEINT) AS s
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE year(l.l_shipdate) IN ({PRICE_INDEX_Y0}, {PRICE_INDEX_Y1})
+), cell AS (
+  SELECT brand, pk, y, SUM(q) AS q, SUM(s) AS s FROM x GROUP BY 1, 2, 3
+), piv AS (
+  SELECT brand, pk,
+         MAX(CASE WHEN y = {PRICE_INDEX_Y0} THEN q END) AS q0,
+         MAX(CASE WHEN y = {PRICE_INDEX_Y1} THEN q END) AS q1,
+         MAX(CASE WHEN y = {PRICE_INDEX_Y0} THEN s END) AS s0,
+         MAX(CASE WHEN y = {PRICE_INDEX_Y1} THEN s END) AS s1
+  FROM cell GROUP BY brand, pk
+), ok AS (
+  SELECT * FROM piv WHERE q0 > 0 AND q1 > 0
+), agg AS (
+  SELECT brand, COUNT(*) AS n_parts,
+         SUM((1000000 * s1 * q0) // q1) AS lasp_num,
+         SUM((1000000 * s0 * q1) // q0) AS paasche_den,
+         SUM(s0) AS s0_tot, SUM(s1) AS s1_tot
+  FROM ok GROUP BY brand
+)
+SELECT brand, CAST(n_parts AS BIGINT) AS n_parts,
+       CAST(lasp_num // s0_tot AS BIGINT) AS laspeyres_micro,
+       CAST((1000000000000 * s1_tot) // paasche_den AS BIGINT)
+         AS paasche_micro
+FROM agg ORDER BY brand
+"""

@@ -4353,3 +4353,26 @@ def test_cohort_value_and_readability(ray_session):
     n_docs = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
     assert int(rd["n_docs"].sum()) == n_docs
     assert (rd["n_chars"] >= rd["n_words"]).all()  # words are >= 1 char
+
+
+def test_price_index_sandwich(ray_session):
+    """Price indices: oracle equality plus the economics sanity checks —
+    positive indices, and on this near-stationary-price corpus both
+    indices land within a loose band around parity (0.2x..5x); Laspeyres
+    and Paasche use the same part set (n_parts consistent per brand)."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import star as ST
+
+    sf = "/root/testdata/sf0.001"
+    got = ST.price_index_brands(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    con.execute(f"CREATE VIEW part AS SELECT * FROM '{sf}/part.parquet'")
+    want = con.execute(ST.PRICE_INDEX_BRANDS_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert (got["laspeyres_micro"] > 0).all()
+    assert (got["paasche_micro"] > 0).all()
+    assert got["laspeyres_micro"].between(200_000, 5_000_000).all()
+    assert got["paasche_micro"].between(200_000, 5_000_000).all()
+    assert (got["n_parts"] >= 1).all()
