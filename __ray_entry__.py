@@ -633,6 +633,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_value_matrix": events.cohort_value_matrix,
         "readability_by_lang": text.readability_by_lang,
         "price_index_brands": relational.price_index_brands,
+        "open_orders_weekly": relational.open_orders_weekly,
+        "mmd_source_pairs": similarity.mmd_source_pairs,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -653,7 +655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holt_winters_by_type", "perm_test_discount_qty",
         "dup_modality_agreement", "markov_next_accuracy",
         "cohort_value_matrix", "readability_by_lang",
-        "price_index_brands",
+        "price_index_brands", "open_orders_weekly", "mmd_source_pairs",
         "ate_discount_strata", "ols_price_model",
         "did_type_effect", "conformal_value_bounds",
         "markov_attribution", "minhash_jaccard_calibration",
@@ -914,6 +916,8 @@ def oracle_sql() -> dict[str, str]:
         "cohort_value_matrix": events.COHORT_VALUE_MATRIX_SQL,
         "readability_by_lang": text.READABILITY_BY_LANG_SQL,
         "price_index_brands": relational.PRICE_INDEX_BRANDS_SQL,
+        "open_orders_weekly": relational.OPEN_ORDERS_WEEKLY_SQL,
+        "mmd_source_pairs": similarity.MMD_SOURCE_PAIRS_SQL,
         "session_cross_lift": events.SESSION_CROSS_LIFT_SQL,
         "fd_discovery2": relational.FD_DISCOVERY2_SQL,
         "knn_reciprocity": similarity.KNN_RECIPROCITY_SQL,

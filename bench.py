@@ -225,7 +225,8 @@ QUERY_CHUNKS = [
      "holt_winters_by_type", "perm_test_discount_qty"],
     # shares the MinHash machinery chunk-wise with nothing above
     ["dup_modality_agreement", "markov_next_accuracy",
-     "cohort_value_matrix", "readability_by_lang", "price_index_brands"],
+     "cohort_value_matrix", "readability_by_lang", "price_index_brands",
+     "open_orders_weekly", "mmd_source_pairs"],
 ]
 
 

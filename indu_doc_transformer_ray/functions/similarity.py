@@ -2993,3 +2993,110 @@ def _hac_sql(k: int = 8, iters: int = 5) -> str:
 
 
 HAC_CENTROIDS_SQL = _hac_sql()
+
+
+# -- linear-kernel MMD between source embedding distributions -------------------
+
+
+def mmd_source_pairs(sf_dir: str) -> "object":
+    """Linear-kernel MAXIMUM MEAN DISCREPANCY between every pair of
+    sources' embedding distributions — the two-sample drift test on the
+    representation itself (which sources' content actually differs in
+    embedding space): MMD_lin^2 = ||mu_a - mu_b||^2, computed exactly as
+    the cleared fraction sum_d (s_ad*n_b - s_bd*n_a)^2 / (n_a*n_b)^2
+    over 2^-20-floored integer component sums (the
+    ``loo_centroid_shift`` fold), then floored once to integer
+    (2^-20)^2 units.  ONE bounded (source, dim) fold; the
+    |sources|^2/2 x dim pair arithmetic is exact Python ints on the
+    driver.  Output: (source_a, source_b, n_a, n_b, mmd2_q)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ._relcommon import MAX_BROADCAST_DIM_ROWS, _dim_lookup, _dim_rows
+    from ._util import read_small_aware
+
+    dk, dv = _dim_lookup(sf_dir, "documents", "doc_id", ["source"])
+    ref = ray.put((dk, dv["source"]))
+
+    def partials(t: pa.Table) -> pa.Table:
+        dk_, src_ = ray.get(ref)
+        ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+        emb = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        xi = np.floor(emb * (1 << 20)).astype(np.int64)
+        srcs = src_[np.searchsorted(dk_, ids)]
+        out_s, out_d, out_v, out_n = [], [], [], []
+        for s in np.unique(srcs):
+            m = srcs == s
+            sums = xi[m].sum(axis=0)
+            for d in range(xi.shape[1]):
+                out_s.append(str(s))
+                out_d.append(d)
+                out_v.append(int(sums[d]))
+                out_n.append(int(m.sum()))
+        return pa.table(
+            {
+                "src": pa.array(out_s, pa.string()),
+                "dim": pa.array(out_d, pa.int64()),
+                "s": pa.array(out_v, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    m = (
+        read_small_aware(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["src", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()  # O(|sources| x dims)
+    )
+    sources = sorted(m["src"].unique())
+    vecs = {}
+    ns = {}
+    for s in sources:
+        sub = m[m["src"] == s].sort_values("dim")
+        vecs[s] = [int(v) for v in sub["s"]]
+        ns[s] = int(sub["n"].iloc[0])
+    rows = []
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            na, nb_ = ns[a], ns[b]
+            num = sum(
+                (sa * nb_ - sb * na) ** 2
+                for sa, sb in zip(vecs[a], vecs[b])
+            )
+            den = (na * nb_) ** 2
+            rows.append(
+                {"source_a": a, "source_b": b, "n_a": na, "n_b": nb_,
+                 "mmd2_q": num // den}
+            )
+    out = pd.DataFrame(rows)
+    for c in ("n_a", "n_b", "mmd2_q"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+MMD_SOURCE_PAIRS_SQL = """
+WITH comp AS (
+  SELECT d.source AS src, e.vec_id, u.i AS dim,
+         CAST(FLOOR(CAST(e.embedding[u.i] AS DOUBLE) * 1048576) AS HUGEINT)
+           AS x
+  FROM embeddings e
+  JOIN documents d ON e.vec_id = d.doc_id,
+  unnest(range(1, len(e.embedding) + 1)) AS u(i)
+), m AS (
+  SELECT src, dim, SUM(x) AS s, COUNT(*) AS n FROM comp GROUP BY src, dim
+), pairs AS (
+  SELECT a.src AS sa, b.src AS sb,
+         a.n AS na, b.n AS nb,
+         SUM((a.s * b.n - b.s * a.n) * (a.s * b.n - b.s * a.n)) AS num
+  FROM m a JOIN m b ON a.dim = b.dim AND a.src < b.src
+  GROUP BY a.src, b.src, a.n, b.n
+)
+SELECT sa AS source_a, sb AS source_b,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(num // ((na * nb) * (na * nb)) AS BIGINT) AS mmd2_q
+FROM pairs ORDER BY sa, sb
+"""

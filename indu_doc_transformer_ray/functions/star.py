@@ -2156,3 +2156,132 @@ SELECT brand, CAST(n_parts AS BIGINT) AS n_parts,
          AS paasche_micro
 FROM agg ORDER BY brand
 """
+
+
+# -- open-orders timeline (counting process over order lifetimes) ---------------
+
+
+def open_orders_weekly(sf_dir: str) -> "object":
+    """OPEN-ORDER backlog timeline: for each week, how many orders were
+    in flight (placed but not yet fully shipped — order lifetime spans
+    o_orderdate to the order's MAX l_shipdate).  The ops-analytics
+    counting process over order lifetimes, built shuffle-light: one
+    orderkey-bucket co-location unions the order rows with the lineitem
+    rows and folds each order's (start_week, end_week) IN-KERNEL into
+    +1/-1 week DELTAS, so the exchange carries O(span) delta rows per
+    bucket and the driver runs one O(span) prefix scan — the
+    ``peak_concurrency`` shape on a two-table interval.  Orders with no
+    lineitems are ignored (no ship evidence).  Output: (week,
+    n_open)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from ._util import n_buckets
+
+    WEEK_US = 7 * 86_400_000_000
+    nb = n_buckets(pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def o_rows(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t["o_orderkey"], pa.int64())
+        wk = pc.divide(
+            pc.cast(pc.cast(t["o_orderdate"], pa.timestamp("us")), pa.int64()),
+            WEEK_US,
+        )
+        return pa.table(
+            {
+                "ob": pc.cast(pc.bit_wise_and(ok, nb - 1), pa.int32()),
+                "ok": ok,
+                "wk": wk,
+                "kind": pa.array([0] * len(t), pa.int64()),
+            }
+        )
+
+    def l_rows(t: pa.Table) -> pa.Table:
+        ok = pc.cast(t["l_orderkey"], pa.int64())
+        wk = pc.divide(
+            pc.cast(pc.cast(t["l_shipdate"], pa.timestamp("us")), pa.int64()),
+            WEEK_US,
+        )
+        return pa.table(
+            {
+                "ob": pc.cast(pc.bit_wise_and(ok, nb - 1), pa.int32()),
+                "ok": ok,
+                "wk": wk,
+                "kind": pa.array([1] * len(t), pa.int64()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["kind"] == 0].set_index("ok")["wk"]
+        ship = g[g["kind"] == 1].groupby("ok")["wk"].max()
+        both = pd.DataFrame({"start": o}).join(
+            ship.rename("end"), how="inner"
+        )
+        # the synthetic corpus ships some lines BEFORE the order date;
+        # normalize the lifetime to the symmetric span (both engines)
+        lo = both.min(axis=1)
+        hi = both.max(axis=1)
+        both = pd.DataFrame({"start": lo, "end": hi})
+        deltas = pd.concat(
+            [
+                both.groupby("start").size().rename("d"),
+                -both.groupby(both["end"] + 1).size().rename("d"),
+            ]
+        )
+        out = deltas.groupby(level=0).sum().reset_index()
+        out.columns = ["wk", "delta"]
+        return out.astype("int64")
+
+    d = (
+        orders.map_batches(o_rows, batch_format="pyarrow")
+        .union(li.map_batches(l_rows, batch_format="pyarrow"))
+        .groupby("ob")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("wk")
+        .aggregate(Sum("delta", alias_name="delta"))
+        .to_pandas()  # O(span weeks)
+    )
+    d = d.sort_values("wk").reset_index(drop=True)
+    d["n_open"] = d["delta"].cumsum()
+    out = d[d["n_open"] != 0][["wk", "n_open"]].rename(columns={"wk": "week"})
+    # also keep interior zero weeks for exactness vs the oracle: rebuild
+    # the full dense span instead
+    full = pd.DataFrame(
+        {"week": np.arange(int(d["wk"].min()), int(d["wk"].max()))}
+    )
+    full = full.merge(
+        d[["wk", "delta"]], left_on="week", right_on="wk", how="left"
+    ).fillna(0)
+    full["n_open"] = full["delta"].cumsum().astype("int64")
+    full = full[["week", "n_open"]]
+    full["week"] = full["week"].astype("int64")
+    return full.reset_index(drop=True)
+
+
+OPEN_ORDERS_WEEKLY_SQL = """
+WITH life AS (
+  SELECT o_orderkey, LEAST(ws, we) AS ws, GREATEST(ws, we) AS we FROM (
+    SELECT o.o_orderkey,
+           epoch_us(o.o_orderdate) // 604800000000 AS ws,
+           MAX(epoch_us(l.l_shipdate) // 604800000000) AS we
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+  )
+), span AS (
+  SELECT MIN(ws) AS w0, MAX(we + 1) AS w1 FROM life
+), weeks AS (
+  SELECT span.w0 + u.g AS week
+  FROM span, (SELECT generate_series AS g FROM generate_series(0, 100000)) u
+  WHERE span.w0 + u.g < span.w1
+)
+SELECT w.week,
+       CAST(COUNT(l.o_orderkey) AS BIGINT) AS n_open
+FROM weeks w LEFT JOIN life l ON l.ws <= w.week AND l.we >= w.week
+GROUP BY w.week ORDER BY w.week
+"""

@@ -4376,3 +4376,43 @@ def test_price_index_sandwich(ray_session):
     assert got["laspeyres_micro"].between(200_000, 5_000_000).all()
     assert got["paasche_micro"].between(200_000, 5_000_000).all()
     assert (got["n_parts"] >= 1).all()
+
+
+def test_open_orders_and_mmd(ray_session):
+    """Open-orders timeline: oracle equality + conservation (the sum of
+    weekly open counts equals the sum of order lifetime lengths in
+    weeks).  MMD pairs: oracle equality + metric laws (symmetric
+    construction covers a < b only; mmd2_q >= 0; identical-source
+    self-distance would be 0 by construction)."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import similarity as S
+    from indu_doc_transformer_ray.functions import star as ST
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{sf}/orders.parquet'")
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{sf}/lineitem.parquet'")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+
+    got = ST.open_orders_weekly(sf)
+    want = con.execute(ST.OPEN_ORDERS_WEEKLY_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    life = con.execute(
+        """SELECT SUM(GREATEST(ws, we) - LEAST(ws, we) + 1) FROM (
+             SELECT o.o_orderkey,
+                    epoch_us(o.o_orderdate) // 604800000000 ws,
+                    MAX(epoch_us(l.l_shipdate) // 604800000000) we
+             FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             GROUP BY 1, 2)"""
+    ).fetchone()[0]
+    assert int(got["n_open"].sum()) == int(life)
+
+    mmd = S.mmd_source_pairs(sf)
+    want2 = con.execute(S.MMD_SOURCE_PAIRS_SQL).df()
+    assert mmd.values.tolist() == want2.values.tolist()
+    assert (mmd["mmd2_q"] >= 0).all()
+    assert (mmd["source_a"] < mmd["source_b"]).all()
