@@ -226,7 +226,7 @@ QUERY_CHUNKS = [
     # shares the MinHash machinery chunk-wise with nothing above
     ["dup_modality_agreement", "markov_next_accuracy",
      "cohort_value_matrix", "readability_by_lang", "price_index_brands",
-     "open_orders_weekly", "mmd_source_pairs"],
+     "open_orders_weekly", "mmd_source_pairs", "langid_f1"],
 ]
 
 

@@ -4086,3 +4086,79 @@ SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
             AS BIGINT) AS ari_centi
 FROM f ORDER BY lang
 """
+
+
+# -- language-router F1 scorecard -------------------------------------------------
+
+
+def langid_f1(sf_dir: str) -> "object":
+    """Per-language F1 scorecard over the LangId router — the metric
+    layer on ``langid_confusion`` (the confusion matrix says where it
+    errs, this says whether each branch is trustworthy): per true
+    language tp/fp/fn and the single-floor exact
+    f1_ppm = 1e6 * 2*tp // (2*tp + fp + fn), plus the micro-averaged
+    'ALL' row (for single-label multiclass, micro-F1 == accuracy).
+    Composes the confusion pipeline's <= |langs|^2-row output — one
+    driver fold, no new pass.  Output: (lang, tp, fp, fn, f1_ppm)."""
+    import pandas as pd
+
+    cm = langid_confusion(sf_dir).to_pandas()
+    langs = sorted(set(cm["lang"]) | set(cm["pred_lang"]))
+    n_true = cm.groupby("lang")["n"].sum()
+    n_pred = cm.groupby("pred_lang")["n"].sum()
+    diag = cm[cm["lang"] == cm["pred_lang"]].set_index("lang")["n"]
+    rows = []
+    tot_tp = tot_fp = tot_fn = 0
+    for lang in langs:
+        tp = int(diag.get(lang, 0))
+        fp = int(n_pred.get(lang, 0)) - tp
+        fn = int(n_true.get(lang, 0)) - tp
+        den = 2 * tp + fp + fn
+        rows.append(
+            {"lang": lang, "tp": tp, "fp": fp, "fn": fn,
+             "f1_ppm": (2_000_000 * tp) // den if den else 0}
+        )
+        tot_tp += tp
+        tot_fp += fp
+        tot_fn += fn
+    den = 2 * tot_tp + tot_fp + tot_fn
+    rows.append(
+        {"lang": "ALL", "tp": tot_tp, "fp": tot_fp, "fn": tot_fn,
+         "f1_ppm": (2_000_000 * tot_tp) // den if den else 0}
+    )
+    out = pd.DataFrame(sorted(rows, key=lambda r: r["lang"]))
+    for c in ("tp", "fp", "fn", "f1_ppm"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+LANGID_F1_SQL = f"""
+WITH cm AS ({LANGID_CONFUSION_SQL.replace("ORDER BY 1, 2", "")}
+), langs AS (
+  SELECT lang FROM cm UNION SELECT pred_lang FROM cm
+), per AS (
+  SELECT l.lang,
+         COALESCE((SELECT SUM(n) FROM cm
+                   WHERE cm.lang = l.lang AND cm.pred_lang = l.lang), 0)
+           AS tp,
+         COALESCE((SELECT SUM(n) FROM cm WHERE cm.pred_lang = l.lang), 0)
+           - COALESCE((SELECT SUM(n) FROM cm
+                       WHERE cm.lang = l.lang AND cm.pred_lang = l.lang), 0)
+           AS fp,
+         COALESCE((SELECT SUM(n) FROM cm WHERE cm.lang = l.lang), 0)
+           - COALESCE((SELECT SUM(n) FROM cm
+                       WHERE cm.lang = l.lang AND cm.pred_lang = l.lang), 0)
+           AS fn
+  FROM langs l
+), allrow AS (
+  SELECT 'ALL' AS lang, SUM(tp) AS tp, SUM(fp) AS fp, SUM(fn) AS fn FROM per
+), u AS (
+  SELECT * FROM per UNION ALL SELECT * FROM allrow
+)
+SELECT lang, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+            ELSE (2000000 * tp) // (2 * tp + fp + fn) END AS BIGINT)
+         AS f1_ppm
+FROM u ORDER BY lang
+"""

@@ -4416,3 +4416,26 @@ def test_open_orders_and_mmd(ray_session):
     assert mmd.values.tolist() == want2.values.tolist()
     assert (mmd["mmd2_q"] >= 0).all()
     assert (mmd["source_a"] < mmd["source_b"]).all()
+
+
+def test_langid_f1_identities(ray_session):
+    """F1 scorecard: oracle equality; the ALL row's micro identities —
+    sum(fp) == sum(fn) (every misrouted doc is one FP and one FN) so
+    micro-F1 equals accuracy; per-lang tp+fn sums to the corpus size."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import text as T
+
+    sf = "/root/testdata/sf0.001"
+    got = T.langid_f1(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.execute(T.LANGID_F1_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    allr = got[got["lang"] == "ALL"].iloc[0]
+    assert int(allr["fp"]) == int(allr["fn"])
+    n_docs = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    per = got[got["lang"] != "ALL"]
+    assert int((per["tp"] + per["fn"]).sum()) == n_docs
+    acc_ppm = (1_000_000 * int(allr["tp"])) // n_docs
+    assert int(allr["f1_ppm"]) == acc_ppm
