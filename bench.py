@@ -226,7 +226,8 @@ QUERY_CHUNKS = [
     # shares the MinHash machinery chunk-wise with nothing above
     ["dup_modality_agreement", "markov_next_accuracy",
      "cohort_value_matrix", "readability_by_lang", "price_index_brands",
-     "open_orders_weekly", "mmd_source_pairs", "langid_f1"],
+     "open_orders_weekly", "mmd_source_pairs", "langid_f1",
+     "neyman_allocation"],
 ]
 
 

@@ -1281,3 +1281,118 @@ ORDER BY n.node
 
 
 HASH_RING_BALANCE_SQL = _ring_sql()
+
+
+# -- Neyman-optimal stratified sampling allocation --------------------------------
+
+NEYMAN_BUDGET = 100
+
+
+def neyman_allocation(sf_dir: str) -> "object":
+    """NEYMAN-optimal stratified sampling allocation over the language
+    strata — the variance-minimizing upgrade to proportional
+    stratification (``stratified_sample``): stratum h of size N_h with
+    doc-length spread sigma_h gets n_h ∝ N_h·sigma_h of the budget.
+    The weight is the exact integer w_h = isqrt(N_h·S2_h − S_h²) (the
+    cleared variance numerator's isqrt = N_h·sigma_h up to the floor;
+    ``math.isqrt``, float-sqrt ±1-corrected in the oracle), and the
+    100-doc budget splits by LARGEST REMAINDER: floor shares
+    B·w_h // W plus +1 for the L largest fractional parts
+    (B·w_h mod W, ties to lang ASC) — the deterministic apportionment
+    every survey textbook uses, replayed by the oracle's ROW_NUMBER.
+    ONE bounded per-language moment fold.  Output: (lang, n_docs,
+    weight_q, alloc)."""
+    import math
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ._util import read_small_aware
+
+    ds = read_small_aware(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["n_chars"], pa.int64())
+        folded = pa.table(
+            {
+                "lang": t["lang"],
+                "n": pa.array([1] * len(t), pa.int64()),
+                "s": x,
+                "s2": pc.multiply(x, x),
+            }
+        )
+        return pa.TableGroupBy(folded, "lang").aggregate(
+            [("n", "sum"), ("s", "sum"), ("s2", "sum")]
+        )
+
+    m = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_sum", alias_name="n"), Sum("s_sum", alias_name="s"),
+                   Sum("s2_sum", alias_name="s2"))
+        .to_pandas()  # O(|langs|)
+    )
+    rows = []
+    for r in m.itertuples():
+        n, s, s2 = int(r.n), int(r.s), int(r.s2)
+        w = math.isqrt(n * s2 - s * s)
+        rows.append({"lang": r.lang, "n_docs": n, "weight_q": w})
+    W = sum(r["weight_q"] for r in rows)
+    B = NEYMAN_BUDGET
+    for r in rows:
+        r["alloc"] = (B * r["weight_q"]) // W if W else 0
+        r["frac"] = (B * r["weight_q"]) % W if W else 0
+    leftover = B - sum(r["alloc"] for r in rows)
+    order = sorted(rows, key=lambda r: (-r["frac"], r["lang"]))
+    for i in range(leftover):
+        order[i]["alloc"] += 1
+    out = pd.DataFrame(
+        sorted(
+            [{k: r[k] for k in ("lang", "n_docs", "weight_q", "alloc")}
+             for r in rows],
+            key=lambda r: r["lang"],
+        )
+    )
+    for c in ("n_docs", "weight_q", "alloc"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+NEYMAN_ALLOCATION_SQL = f"""
+WITH m AS (
+  SELECT lang, COUNT(*) AS n,
+         SUM(CAST(n_chars AS HUGEINT)) AS s,
+         SUM(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS s2
+  FROM documents GROUP BY lang
+), w AS (
+  SELECT lang, n,
+         (CASE WHEN (t+1)*(t+1) <= v THEN t+1
+               WHEN t*t > v THEN t-1
+               ELSE t END) AS weight_q
+  FROM (
+    SELECT lang, n, v, CAST(FLOOR(SQRT(CAST(v AS DOUBLE))) AS HUGEINT) AS t
+    FROM (SELECT lang, n, n * s2 - s * s AS v FROM m)
+  )
+), tot AS (
+  SELECT SUM(weight_q) AS W FROM w
+), base AS (
+  SELECT w.lang, w.n, w.weight_q,
+         ({NEYMAN_BUDGET} * w.weight_q) // tot.W AS fl,
+         ({NEYMAN_BUDGET} * w.weight_q) % tot.W AS frac
+  FROM w, tot
+), lo AS (
+  SELECT {NEYMAN_BUDGET} - SUM(fl) AS leftover FROM base
+), ranked AS (
+  SELECT base.*, ROW_NUMBER() OVER (ORDER BY frac DESC, lang) AS rk
+  FROM base
+)
+SELECT lang, CAST(n AS BIGINT) AS n_docs,
+       CAST(weight_q AS BIGINT) AS weight_q,
+       CAST(fl + CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM ranked, lo ORDER BY lang
+"""

@@ -4439,3 +4439,34 @@ def test_langid_f1_identities(ray_session):
     assert int((per["tp"] + per["fn"]).sum()) == n_docs
     acc_ppm = (1_000_000 * int(allr["tp"])) // n_docs
     assert int(allr["f1_ppm"]) == acc_ppm
+
+
+def test_neyman_allocation_apportionment(ray_session):
+    """Neyman allocation: oracle equality; the budget apportions exactly
+    (sum alloc == 100); weights are the exact isqrt (w^2 <= v < (w+1)^2
+    against the duckdb moments); quota bounds |alloc - B*w/W| < 1 hold
+    per stratum (largest-remainder property)."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import curation as C
+
+    sf = "/root/testdata/sf0.001"
+    got = C.neyman_allocation(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.execute(C.NEYMAN_ALLOCATION_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert int(got["alloc"].sum()) == C.NEYMAN_BUDGET
+    mom = con.execute(
+        """SELECT lang, COUNT(*) n, SUM(CAST(n_chars AS HUGEINT)) s,
+                  SUM(CAST(n_chars AS HUGEINT)*CAST(n_chars AS HUGEINT)) s2
+           FROM documents GROUP BY lang"""
+    ).df().set_index("lang")
+    W = int(got["weight_q"].sum())
+    for r in got.itertuples():
+        v = int(mom.loc[r.lang, "n"]) * int(mom.loc[r.lang, "s2"]) - int(
+            mom.loc[r.lang, "s"]) ** 2
+        w = int(r.weight_q)
+        assert w * w <= v < (w + 1) * (w + 1)
+        quota = C.NEYMAN_BUDGET * w / W
+        assert quota - 1 < int(r.alloc) < quota + 1
