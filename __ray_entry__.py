@@ -637,6 +637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmd_source_pairs": similarity.mmd_source_pairs,
         "langid_f1": text.langid_f1,
         "neyman_allocation": curation.neyman_allocation,
+        "logrank_purchase": events.logrank_purchase,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -658,7 +659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_modality_agreement", "markov_next_accuracy",
         "cohort_value_matrix", "readability_by_lang",
         "price_index_brands", "open_orders_weekly", "mmd_source_pairs",
-        "langid_f1", "neyman_allocation",
+        "langid_f1", "neyman_allocation", "logrank_purchase",
         "ate_discount_strata", "ols_price_model",
         "did_type_effect", "conformal_value_bounds",
         "markov_attribution", "minhash_jaccard_calibration",
@@ -923,6 +924,7 @@ def oracle_sql() -> dict[str, str]:
         "mmd_source_pairs": similarity.MMD_SOURCE_PAIRS_SQL,
         "langid_f1": text.LANGID_F1_SQL,
         "neyman_allocation": curation.NEYMAN_ALLOCATION_SQL,
+        "logrank_purchase": events.LOGRANK_PURCHASE_SQL,
         "session_cross_lift": events.SESSION_CROSS_LIFT_SQL,
         "fd_discovery2": relational.FD_DISCOVERY2_SQL,
         "knn_reciprocity": similarity.KNN_RECIPROCITY_SQL,

@@ -7639,3 +7639,141 @@ SELECT cw.cohort_week, x.week - cw.cohort_week AS weeks_since,
 FROM x JOIN cw ON x.user_id = cw.user_id
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# -- two-sample log-rank test ------------------------------------------------------
+
+
+def logrank_purchase(sf_dir: str) -> "pd.DataFrame":
+    """Two-sample LOG-RANK test between even- and odd-user-id cohorts on
+    days-until-first-purchase (the ``km_survival`` durations, censoring
+    at last activity) — the survival-curve comparison an A/B readout
+    needs before claiming one arm converts faster.  The observed-minus-
+    expected mass accumulates as per-death-day floored micro terms
+    oe_micro += floor(1e6*(d_At*n_t - d_t*n_At)/n_t) (negative-safe on
+    both engines), leaving the chi-square normalization to the reader —
+    the O-E sign + magnitude IS the direction readout.  ONE user-bucket
+    co-location folds each user to (group, duration, observed); only the
+    <= 2 x span x 2 count table reaches the driver.  Output: one row
+    (n_a, n_b, events_a, events_b, oe_micro)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    nb = _user_buckets(sf_dir)
+    ds = _read_events(sf_dir, ["ts", "user_id", "event_type"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.int64())
+        return pa.table(
+            {
+                "ub": pc.cast(pc.bit_wise_and(uid, nb - 1), pa.int32()),
+                "user_id": uid,
+                "event_type": t["event_type"],
+                "ts_us": _ts_us_i64(t["ts"]),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        first = g.groupby("user_id")["ts_us"].min()
+        last = g.groupby("user_id")["ts_us"].max()
+        fp = (
+            g[g["event_type"] == "purchase"]
+            .groupby("user_id")["ts_us"].min()
+        )
+        users = pd.DataFrame({"first": first, "last": last})
+        users["fp"] = fp
+        end = users["fp"].fillna(users["last"])
+        d = ((end - users["first"]) // 86_400_000_000).astype(np.int64)
+        observed = users["fp"].notna().astype(np.int64)
+        grp = (users.index.to_numpy(np.int64) % 2).astype(np.int64)
+        out = (
+            pd.DataFrame({"g": grp, "d": d, "o": observed})
+            .groupby(["g", "d", "o"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return out.astype("int64")
+
+    tbl = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ub")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["g", "d", "o"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # <= 2 x span x 2 rows
+    )
+    days = sorted(tbl["d"].unique())
+    n_tot = {0: int(tbl[tbl["g"] == 0]["n"].sum()),
+             1: int(tbl[tbl["g"] == 1]["n"].sum())}
+    ev = {0: int(tbl[(tbl["g"] == 0) & (tbl["o"] == 1)]["n"].sum()),
+          1: int(tbl[(tbl["g"] == 1) & (tbl["o"] == 1)]["n"].sum())}
+    removed = {0: 0, 1: 0}
+    oe = 0
+    for day in days:
+        n_a = n_tot[0] - removed[0]
+        n_b = n_tot[1] - removed[1]
+        n_t = n_a + n_b
+        sub = tbl[tbl["d"] == day]
+        d_a = int(sub[(sub["g"] == 0) & (sub["o"] == 1)]["n"].sum())
+        d_b = int(sub[(sub["g"] == 1) & (sub["o"] == 1)]["n"].sum())
+        d_t = d_a + d_b
+        if n_t > 0 and d_t > 0:
+            num = 10**6 * (d_a * n_t - d_t * n_a)
+            oe += num // n_t  # Python // floors
+        removed[0] += int(sub[sub["g"] == 0]["n"].sum())
+        removed[1] += int(sub[sub["g"] == 1]["n"].sum())
+    out = pd.DataFrame(
+        {
+            "n_a": pd.Series([n_tot[0]], dtype="int64"),
+            "n_b": pd.Series([n_tot[1]], dtype="int64"),
+            "events_a": pd.Series([ev[0]], dtype="int64"),
+            "events_b": pd.Series([ev[1]], dtype="int64"),
+            "oe_micro": pd.Series([oe], dtype="int64"),
+        }
+    )
+    return out
+
+
+LOGRANK_PURCHASE_SQL = """
+WITH per_user AS (
+  SELECT user_id, user_id % 2 AS grp,
+         MIN(epoch_us(ts)) AS first_tu,
+         MAX(epoch_us(ts)) AS last_tu,
+         MIN(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(ts) END) AS fp_tu
+  FROM events GROUP BY user_id
+), dur AS (
+  SELECT grp, (COALESCE(fp_tu, last_tu) - first_tu) // 86400000000 AS d,
+         CASE WHEN fp_tu IS NOT NULL THEN 1 ELSE 0 END AS observed
+  FROM per_user
+), tb AS (
+  SELECT d,
+         SUM(CASE WHEN grp = 0 THEN observed ELSE 0 END) AS d_a,
+         SUM(CASE WHEN grp = 1 THEN observed ELSE 0 END) AS d_b,
+         SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS r_a,
+         SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS r_b
+  FROM dur GROUP BY d
+), risk AS (
+  SELECT d, d_a, d_b,
+         (SELECT COUNT(*) FROM dur WHERE grp = 0)
+           - COALESCE(SUM(r_a) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_a,
+         (SELECT COUNT(*) FROM dur WHERE grp = 1)
+           - COALESCE(SUM(r_b) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_b
+  FROM tb
+), terms AS (
+  SELECT (1000000 * (d_a * (n_a + n_b) - (d_a + d_b) * n_a)) AS num,
+         n_a + n_b AS den
+  FROM risk WHERE d_a + d_b > 0 AND n_a + n_b > 0
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM dur WHERE grp = 0) AS BIGINT) AS n_a,
+  CAST((SELECT COUNT(*) FROM dur WHERE grp = 1) AS BIGINT) AS n_b,
+  CAST((SELECT SUM(observed) FROM dur WHERE grp = 0) AS BIGINT) AS events_a,
+  CAST((SELECT SUM(observed) FROM dur WHERE grp = 1) AS BIGINT) AS events_b,
+  CAST(COALESCE(SUM((num - ((num % den) + den) % den) // den), 0) AS BIGINT)
+    AS oe_micro
+FROM terms
+"""

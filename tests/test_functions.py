@@ -4470,3 +4470,59 @@ def test_neyman_allocation_apportionment(ray_session):
         assert w * w <= v < (w + 1) * (w + 1)
         quota = C.NEYMAN_BUDGET * w / W
         assert quota - 1 < int(r.alloc) < quota + 1
+
+
+def test_logrank_antisymmetry(ray_session):
+    """Log-rank: oracle equality; cohort sizes partition the user base;
+    and ANTISYMMETRY — summing the two groups' per-day O-E numerators
+    gives zero before flooring, so |oe_a + oe_b| stays below the floor
+    slack (one unit per death day) when recomputed brute-force."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import events as E
+
+    sf = "/root/testdata/sf0.001"
+    got = E.logrank_purchase(sf)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    want = con.execute(E.LOGRANK_PURCHASE_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    n_users = con.execute(
+        "SELECT COUNT(DISTINCT user_id) FROM events"
+    ).fetchone()[0]
+    assert int(got["n_a"][0]) + int(got["n_b"][0]) == n_users
+    # brute-force replay with the B-side as the "A" group: exact
+    # pre-floor antisymmetry
+    df = con.execute(
+        """SELECT user_id % 2 g,
+                  (COALESCE(MIN(CASE WHEN event_type='purchase'
+                                     THEN epoch_us(ts) END),
+                            MAX(epoch_us(ts)))
+                   - MIN(epoch_us(ts))) // 86400000000 d,
+                  CASE WHEN MIN(CASE WHEN event_type='purchase'
+                                THEN epoch_us(ts) END) IS NOT NULL
+                       THEN 1 ELSE 0 END o
+           FROM events GROUP BY user_id"""
+    ).df()
+    from fractions import Fraction
+
+    oe_a = Fraction(0)
+    oe_b = Fraction(0)
+    rem = {0: 0, 1: 0}
+    tot = {0: int((df["g"] == 0).sum()), 1: int((df["g"] == 1).sum())}
+    for day in sorted(df["d"].unique()):
+        sub = df[df["d"] == day]
+        n_a, n_b = tot[0] - rem[0], tot[1] - rem[1]
+        d_a = int(sub[(sub["g"] == 0) & (sub["o"] == 1)].shape[0])
+        d_b = int(sub[(sub["g"] == 1) & (sub["o"] == 1)].shape[0])
+        n_t, d_t = n_a + n_b, d_a + d_b
+        if n_t and d_t:
+            oe_a += Fraction(d_a * n_t - d_t * n_a, n_t)
+            oe_b += Fraction(d_b * n_t - d_t * n_b, n_t)
+        rem[0] += int((sub["g"] == 0).sum())
+        rem[1] += int((sub["g"] == 1).sum())
+    assert oe_a + oe_b == 0
+    # the floored engine value brackets the exact rational
+    assert abs(int(got["oe_micro"][0]) - float(oe_a) * 10**6) <= len(
+        df["d"].unique()
+    )
