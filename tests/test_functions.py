@@ -546,9 +546,11 @@ def test_bucket_count_invariance(ray_session, monkeypatch):
     def run_sess():
         return events.sessionize(sf).to_pandas().reset_index(drop=True)
 
-    monkeypatch.setattr(events, "_user_buckets", lambda _sf: 7)
+    from indu_doc_transformer_ray.functions import events_streams
+
+    monkeypatch.setattr(events_streams, "_user_buckets", lambda _sf: 7)
     a = run_sess()
-    monkeypatch.setattr(events, "_user_buckets", lambda _sf: 128)
+    monkeypatch.setattr(events_streams, "_user_buckets", lambda _sf: 128)
     b = run_sess()
     pd.testing.assert_frame_equal(a, b)
 
