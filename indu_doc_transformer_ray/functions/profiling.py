@@ -1496,18 +1496,54 @@ def fd_discovery2(sf_dir: str) -> "object":
                     )
         return pa.concat_tables(outs)
 
+    # The distinct-triple table is domain-bounded but LARGE (~60 x |A x B
+    # x C| groups) — a raw groupby on it pays Ray's per-group sort cost
+    # (measured ~20 s at ~300k groups, the session-5 finding).  Bucket by
+    # (p, a, b) instead — all c-rows of one determinant pair co-locate, so
+    # the in-bucket pandas dedup emits per-p partial counts and the final
+    # groupby folds 60 rows.
+    import zlib
+
+    import pyarrow.parquet as pq_
+
+    from ._util import n_buckets
+
+    nb = n_buckets(pq_.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys = [
+            zlib.crc32(f"{p}|{a}|{b}".encode()) % nb
+            for p, a, b in zip(
+                t["p"].to_pylist(), t["a"].to_pylist(), t["b"].to_pylist()
+            )
+        ]
+        return t.append_column("bk", pa.array(keys, pa.int32()))
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        dedup = g.drop_duplicates(["p", "a", "b", "c"])
+        tri = dedup.groupby("p").size().rename("n_tr")
+        pairs = (
+            dedup[["p", "a", "b"]].drop_duplicates()
+            .groupby("p").size().rename("n_lhs")
+        )
+        out = pd.concat([pairs, tri], axis=1).reset_index()
+        return out.astype({"n_lhs": "int64", "n_tr": "int64"})
+
     d = (
         ds.map_batches(local_triples, batch_format="pyarrow")
-        .groupby(["p", "a", "b", "c"])
-        .aggregate(Count(alias_name="_c"))
-        .to_pandas()  # O(sum over triples of |A|x|B|x|C|) — domain-bounded
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bk")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("p")
+        .aggregate(Sum("n_lhs", alias_name="n_lhs"),
+                   Sum("n_tr", alias_name="n_tr"))
+        .to_pandas()  # 60 rows
     )
     rows = []
-    for p, sub in d.groupby("p"):
-        lhs, rhs = p.split(">")
+    for r in d.itertuples():
+        lhs, rhs = r.p.split(">")
         la, lb = lhs.split(",")
-        n_lhs = len(sub[["a", "b"]].drop_duplicates())
-        n_tr = len(sub)
+        n_lhs, n_tr = int(r.n_lhs), int(r.n_tr)
         rows.append(
             {"lhs_a": la, "lhs_b": lb, "rhs": rhs, "n_lhs": n_lhs,
              "n_triples": n_tr, "holds": int(n_lhs == n_tr)}
