@@ -639,6 +639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neyman_allocation": curation.neyman_allocation,
         "logrank_purchase": events.logrank_purchase,
         "gk_lambda_pairs": relational.gk_lambda_pairs,
+        "bowtie_classes": similarity.bowtie_classes,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
@@ -661,7 +662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_value_matrix", "readability_by_lang",
         "price_index_brands", "open_orders_weekly", "mmd_source_pairs",
         "langid_f1", "neyman_allocation", "logrank_purchase",
-        "gk_lambda_pairs",
+        "gk_lambda_pairs", "bowtie_classes",
         "ate_discount_strata", "ols_price_model",
         "did_type_effect", "conformal_value_bounds",
         "markov_attribution", "minhash_jaccard_calibration",
@@ -928,6 +929,7 @@ def oracle_sql() -> dict[str, str]:
         "neyman_allocation": curation.NEYMAN_ALLOCATION_SQL,
         "logrank_purchase": events.LOGRANK_PURCHASE_SQL,
         "gk_lambda_pairs": relational.GK_LAMBDA_PAIRS_SQL,
+        "bowtie_classes": similarity.BOWTIE_CLASSES_SQL,
         "session_cross_lift": events.SESSION_CROSS_LIFT_SQL,
         "fd_discovery2": relational.FD_DISCOVERY2_SQL,
         "knn_reciprocity": similarity.KNN_RECIPROCITY_SQL,

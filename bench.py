@@ -228,6 +228,8 @@ QUERY_CHUNKS = [
      "cohort_value_matrix", "readability_by_lang", "price_index_brands",
      "open_orders_weekly", "mmd_source_pairs", "langid_f1",
      "neyman_allocation", "logrank_purchase", "gk_lambda_pairs"],
+    # rides the knn memo
+    ["bowtie_classes"],
 ]
 
 

@@ -918,7 +918,7 @@ BFS_SEED_MOD = 50   # vec_id % 50 == 0 are the BFS sources
 BFS_ROUNDS = 4
 
 
-def bfs_hops(sf_dir: str, rounds: int = BFS_ROUNDS) -> "object":
+def bfs_hops(sf_dir: str, rounds: int = BFS_ROUNDS, reverse: bool = False) -> "object":
     """Multi-source level-synchronous BFS over the IVF k-NN graph: hop
     distance from the nearest seed (``vec_id % BFS_SEED_MOD == 0``) along
     directed out-edges, ``rounds`` levels deep (-1 = unreached) — the
@@ -956,6 +956,8 @@ def bfs_hops(sf_dir: str, rounds: int = BFS_ROUNDS) -> "object":
         )
         ui = np.searchsorted(nodes, src_a)
         vi = np.searchsorted(nodes, dst_a)
+        if reverse:
+            ui, vi = vi, ui
         d = np.where(nodes % BFS_SEED_MOD == 0, 0, -1).astype(np.int64)
         for r in range(1, rounds + 1):
             tgt = vi[d[ui] == r - 1]
@@ -1008,6 +1010,8 @@ def bfs_hops(sf_dir: str, rounds: int = BFS_ROUNDS) -> "object":
     def push_edges(t: pd.DataFrame) -> pd.DataFrame:
         src = t["vec_id"].to_numpy(dtype=np.int64)
         dst = t["nbr_id"].to_numpy(dtype=np.int64)
+        if reverse:
+            src, dst = dst, src
         sh = src % n_shards
         ray.get(
             [
@@ -4979,3 +4983,120 @@ ORDER BY h6 DESC, e0.vec_id LIMIT {k}
 
 
 HARMONIC_CENTRALITY_SQL = _harmonic_sql()
+
+
+# -- bow-tie structure classification ------------------------------------------
+
+
+def bowtie_classes(sf_dir: str, rounds: int = BFS_ROUNDS) -> "object":
+    """Bounded BOW-TIE decomposition of the directed k-NN graph around
+    the BFS seed set (Broder et al.'s web-graph structure map, radius-
+    limited): class 3 = reachable FROM the seeds AND can reach them
+    (core-like), 1 = reachable from seeds only (OUT), 2 = reaches seeds
+    only (IN), 0 = neither within the radius.  Two level-synchronous
+    BFS sweeps — forward along out-edges, backward along reversed edges
+    (``bfs_hops(reverse=True)``, same pinned-shard machinery) — then a
+    per-node flag union folded to the 4-row class histogram (bucketed
+    co-location on the distributed path, pandas merge under the shared
+    edge budget).  Output: (cls, n_nodes), zero-filled."""
+    import pandas as pd
+
+    fwd = bfs_hops(sf_dir, rounds=rounds)
+    bwd = bfs_hops(sf_dir, rounds=rounds, reverse=True)
+
+    if isinstance(fwd, pd.DataFrame):
+        m = fwd.rename(columns={"hops": "hf"}).merge(
+            bwd.rename(columns={"hops": "hb"}), on="vec_id"
+        )
+        cls = (m["hf"] >= 0).astype(int) + 2 * (m["hb"] >= 0).astype(int)
+        counts = cls.value_counts().to_dict()
+    else:
+        import pyarrow.parquet as pq
+
+        from ray.data.aggregate import Sum
+
+        from ._util import n_buckets
+
+        nb = n_buckets(pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows)
+
+        def tag(bit):
+            def _t(t: pd.DataFrame) -> pd.DataFrame:
+                a = t["vec_id"].to_numpy(np.int64)
+                flag = (t["hops"].to_numpy(np.int64) >= 0).astype(np.int64)
+                return pd.DataFrame(
+                    {"bb": (a % nb).astype(np.int32), "a": a,
+                     "f": flag * bit}
+                )
+
+            return _t
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            cls = g.groupby("a")["f"].sum()
+            out = cls.value_counts().rename("n").reset_index()
+            out.columns = ["cls", "n"]
+            return out.astype("int64")
+
+        parts = (
+            fwd.map_batches(tag(1), batch_format="pandas")
+            .union(bwd.map_batches(tag(2), batch_format="pandas"))
+            .groupby("bb")
+            .map_groups(fold, batch_format="pandas")
+            .groupby("cls")
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+        counts = {int(r["cls"]): int(r["n"]) for _, r in parts.iterrows()}
+
+    out = pd.DataFrame(
+        [{"cls": c, "n_nodes": int(counts.get(c, 0))} for c in range(4)]
+    )
+    for c in ("cls", "n_nodes"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def _bowtie_sql(rounds: int = BFS_ROUNDS) -> str:
+    def chain(prefix: str, src: str, dst: str) -> str:
+        steps = []
+        for r in range(1, rounds + 1):
+            steps.append(f""", {prefix}{r} AS (
+  SELECT n.vec_id,
+         CASE WHEN n.d != -1 THEN n.d
+              WHEN f.vec_id IS NOT NULL THEN {r}
+              ELSE -1 END AS d
+  FROM {prefix}{r - 1} n LEFT JOIN (
+    SELECT DISTINCT e.{dst} AS vec_id
+    FROM e JOIN {prefix}{r - 1} p ON p.vec_id = e.{src}
+    WHERE p.d = {r - 1}
+  ) f USING (vec_id)
+)""")
+        return "".join(steps)
+
+    return f"""
+WITH knn AS MATERIALIZED ({KNN_GRAPH_SQL}),
+e AS (SELECT vec_id AS src, nbr_id AS dst FROM knn),
+df0 AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % {BFS_SEED_MOD} = 0 THEN 0 ELSE -1 END AS d
+  FROM embeddings
+){chain("df", "src", "dst")},
+db0 AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % {BFS_SEED_MOD} = 0 THEN 0 ELSE -1 END AS d
+  FROM embeddings
+){chain("db", "dst", "src")},
+cls AS (
+  SELECT f.vec_id,
+         (CASE WHEN f.d >= 0 THEN 1 ELSE 0 END)
+         + 2 * (CASE WHEN b.d >= 0 THEN 1 ELSE 0 END) AS cls
+  FROM df{rounds} f JOIN db{rounds} b USING (vec_id)
+), grid AS (
+  SELECT CAST(range AS BIGINT) AS cls FROM range(4)
+)
+SELECT g.cls, CAST(COALESCE(COUNT(c.vec_id), 0) AS BIGINT) AS n_nodes
+FROM grid g LEFT JOIN cls c ON c.cls = g.cls
+GROUP BY g.cls ORDER BY g.cls
+"""
+
+
+BOWTIE_CLASSES_SQL = _bowtie_sql()

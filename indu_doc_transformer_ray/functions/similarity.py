@@ -2274,6 +2274,7 @@ from .graph import (  # noqa: E402,F401
     EFFECTIVE_DIAMETER_SQL,
     BFS_PATH_COUNTS_SQL,
     HARMONIC_CENTRALITY_SQL,
+    BOWTIE_CLASSES_SQL,
     DEGREE_ASSORTATIVITY_SQL,
     RICH_CLUB_SQL,
     LP_MODULARITY_SQL,
@@ -2289,6 +2290,7 @@ from .graph import (  # noqa: E402,F401
     effective_diameter,
     bfs_path_counts,
     harmonic_centrality_topk,
+    bowtie_classes,
     degree_assortativity,
     lp_modularity,
     rich_club,

@@ -4548,3 +4548,32 @@ def test_gk_lambda_bounds(ray_session):
     assert (got["lambda_num"] >= 0).all()
     assert (got["lambda_num"] <= got["lambda_den"]).all()
     assert ((got["lambda_ppm"] >= 0) & (got["lambda_ppm"] <= 10**6)).all()
+
+
+def test_bowtie_classes_paths(ray_session, monkeypatch):
+    """Bow-tie: oracle equality; classes partition the node set; class 3
+    contains at least the seed nodes (a seed reaches itself both ways at
+    distance 0); and the FORCED distributed path is bit-equal."""
+    import duckdb
+
+    from indu_doc_transformer_ray.functions import similarity  # noqa: F401 facade
+    from indu_doc_transformer_ray.functions import graph
+
+    sf = "/root/testdata/sf0.001"
+    got = graph.bowtie_classes(sf)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    want = con.execute(graph.BOWTIE_CLASSES_SQL).df()
+    assert got.values.tolist() == want.values.tolist()
+    n = con.execute("SELECT COUNT(*) FROM embeddings").fetchone()[0]
+    assert int(got["n_nodes"].sum()) == n
+    n_seeds = con.execute(
+        f"SELECT COUNT(*) FROM embeddings WHERE vec_id % {graph.BFS_SEED_MOD} = 0"
+    ).fetchone()[0]
+    assert int(got[got["cls"] == 3]["n_nodes"].iloc[0]) >= n_seeds
+
+    monkeypatch.setattr(graph, "PAGERANK_DRIVER_EDGE_BUDGET", 0)
+    dist = graph.bowtie_classes(sf)
+    assert dist.values.tolist() == got.values.tolist()
