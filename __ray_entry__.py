@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         curation,
         dedup,
         events,
+        extractsql,
         html,
         ml,
         relational,
@@ -640,12 +641,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logrank_purchase": events.logrank_purchase,
         "gk_lambda_pairs": relational.gk_lambda_pairs,
         "bowtie_classes": similarity.bowtie_classes,
+        # round-5: SQL-oracled flagship-extraction digests (the md5-choice
+        # corpus makes the full chain DuckDB-replayable; the Mersenne
+        # corpus queries above stay rows-only with their pytest gates)
+        "extract_span_digest": extractsql.extract_span_digest,
+        "extract_merge_digest": extractsql.extract_merge_digest,
     }
     # Each family's RISKIEST members (newest / most intricate oracle) are
     # promoted to the front of that family's pool, so the driver-sampled
     # prefix (first ~50 of the interleave) always covers the weakest link
     # of every family, not just an arbitrary member (round-3 verdict #9).
     risk_first = [
+        # round-5 newest: the extraction digests (riskiest oracle in the
+        # repo — replays the whole tag-grammar chain in SQL)
+        "extract_span_digest", "extract_merge_digest",
         # session-9 newest (riskiest oracles: the 5-scenario 16-round
         # absorbing-chain unroll, the sketch-calibration join, the
         # carry-independent sweep), then session-8's
@@ -740,6 +749,7 @@ def oracle_sql() -> dict[str, str]:
         curation,
         dedup,
         events,
+        extractsql,
         html,
         ml,
         relational,
@@ -930,6 +940,8 @@ def oracle_sql() -> dict[str, str]:
         "logrank_purchase": events.LOGRANK_PURCHASE_SQL,
         "gk_lambda_pairs": relational.GK_LAMBDA_PAIRS_SQL,
         "bowtie_classes": similarity.BOWTIE_CLASSES_SQL,
+        "extract_span_digest": extractsql.EXTRACT_SPAN_DIGEST_SQL,
+        "extract_merge_digest": extractsql.EXTRACT_MERGE_DIGEST_SQL,
         "session_cross_lift": events.SESSION_CROSS_LIFT_SQL,
         "fd_discovery2": relational.FD_DISCOVERY2_SQL,
         "knn_reciprocity": similarity.KNN_RECIPROCITY_SQL,

@@ -1,0 +1,688 @@
+"""SQL-oracled flagship-extraction digests (round-5 verdict item #1).
+
+The headline corpus (fixtures.py) draws from ``random.Random`` (Mersenne
+Twister), so its extraction output can never be replayed by a DuckDB
+oracle — those queries are rows-only and their equality gate lives in
+pytest.  This module closes the driver-visible gap with a SECOND corpus
+whose every "random" choice is md5 arithmetic (the html.py / minhash
+pattern: ``int(md5(s)[:8], 16) % n`` == DuckDB
+``CAST(concat('0x', substr(md5(s),1,8)) AS UBIGINT) % n``), built as a
+pure function of the driver table's ``documents.doc_id`` — so the FULL
+extraction chain (page split -> layout classify -> footer extract ->
+table build -> emit -> store dedup -> GUID recipes -> distributed merge)
+becomes hash-MATCH replayable in SQL.
+
+The Ray side runs the REAL pipeline — ``pipelines.extract
+.extract_documents`` actor pool, then ``merge_deltas`` — over the
+synthesized span table; nothing here special-cases extraction semantics.
+The SQL side re-derives, from first principles (reference semantics:
+tag.py:178-224,340-400, god.py:255-396, footers_extractor.py:137-212,
+page_processor.py:142-176), what those semantics must produce for the
+generated page shapes.
+
+Two queries:
+
+- ``extract_span_digest``  — per document: page/span/error/edge counts
+  plus the md5 of the ENTIRE renumbered output span sequence
+  ``(kind, text, media_ref, order)`` — the north-rule per-row equality
+  surface, per doc, as one hash column.
+- ``extract_merge_digest`` — after the real ``merge_deltas`` exchange:
+  per delta kind, merged-row count and a commutative 40-bit md5 hash sum
+  over ``mkey || US || payload`` — the God-merge output as four rows.
+
+Corpus shape (per documents row, ``d`` = doc_id):
+
+  page 0 — DEVICE_TAG_LIST: title, footer (project/product + two
+    hierarchy slots ``=F0a`` / ``+Lb``), one interleaved media span, and
+    4 + d%3 table rows whose tag shape cycles through md5-chosen cases:
+    full tag, footer-completed partials (``-Dcc`` / ``+Lb-Dcc``),
+    leading-space full tag (the emitter's ``_cell`` str/strip path — the
+    raw cell keeps the space, the GUID hashes the stripped tag), pin tag
+    (silently rejected), empty tag (WARNING error), junk tag
+    (footer-prefix glue);
+    the five non-key columns carry bounded md5-derived attribute values.
+  page 1 — dirty-path variant by d%4: unknown title (dropped), missing
+    footer (dropped), missing table (two FAULT errors), or a
+    no-hierarchy-footer page whose junk tag fails to parse
+    (``Tag is invalid`` WARNING) next to one clean full-tag row.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+import ray.data
+from ray.data import Dataset
+
+from ..spandoc import US
+
+RS = "\x1e"  # record separator joining span elements in the sequence md5
+
+
+def _h(s: str) -> int:
+    """32-bit md5 prefix — mirrors SQL ``sq_h(s)`` exactly."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _h40(s: str) -> int:
+    """40-bit md5 prefix for the commutative merge hash sum."""
+    return int(hashlib.md5(s.encode()).hexdigest()[:10], 16)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic md5-choice span corpus (pure function of doc_id)
+# ---------------------------------------------------------------------------
+
+_ATTR_COLS = (
+    # (column name, key letter, modulus, prefix) — value = prefix || (h % m)
+    ("Quantity", "q", 5, ""),       # 0..4 -> rendered 1..5 via +1 below
+    ("Designation", "g", 7, "desc-"),
+    ("Type number", "t", 9, "T"),
+    ("Manufacturer", "m", 4, "M"),
+    ("Part number", "p", 11, "P"),
+)
+
+#: v3 page rows use fixed attribute values (shape, not breadth, is the point)
+_V3_ATTRS = (
+    ("2", "desc-3", "T1", "M2", "P7"),
+    ("1", "desc-5", "T8", "M0", "P2"),
+)
+
+
+def _attr_values(d: int, r: int) -> list[str]:
+    out = []
+    for name, key, mod, prefix in _ATTR_COLS:
+        v = _h(f"sq:{d}:{key}:{r}") % mod
+        out.append(str(v + 1) if name == "Quantity" else f"{prefix}{v}")
+    return out
+
+
+def _row_tag(d: int, r: int) -> str:
+    """Page-0 row tag by md5-chosen shape (9 cases)."""
+    s = _h(f"sq:{d}:shape:{r}") % 9
+    a = _h(f"sq:{d}:a:{r}") % 8 + 1
+    b = _h(f"sq:{d}:b:{r}") % 6 + 1
+    c = _h(f"sq:{d}:c:{r}") % 24 + 1
+    full = f"=F0{a}+L{b}-D{c:02d}"
+    if s <= 2:
+        return full
+    if s == 3:
+        return f"-D{c:02d}"
+    if s == 4:
+        return f"+L{b}-D{c:02d}"
+    if s == 5:
+        return " " + full
+    if s == 6:
+        return full + ":4"
+    if s == 7:
+        return ""
+    return f"JUNK{d % 10}"
+
+
+def synth_doc_spans(d: int) -> list[tuple[str, str, str]]:
+    """One document's input spans (kind, text, media_ref); offsets are the
+    list positions.  Mirrored line for line by the ``spans`` CTE in SQL."""
+    fa = _h(f"sq:{d}:fa") % 8 + 1
+    fb = _h(f"sq:{d}:fb") % 6 + 1
+    out: list[tuple[str, str, str]] = []
+    add = out.append
+
+    # -- page 0: DEVICE_TAG_LIST ------------------------------------------
+    add(("page_break", "", ""))
+    add(("title", "Device tag list", ""))
+    add(("footer_cell", f"project{US}Proj-{d % 7}", ""))
+    add(("footer_cell", f"product{US}Prod-{d % 3}", ""))
+    add(("footer_cell", f"0:0{US}=F0{fa}", ""))
+    add(("footer_cell", f"2:0{US}+L{fb}", ""))
+    add(("media", "", f"media/sq-{d}.bin"))
+    n_rows = 4 + d % 3
+    for r in range(n_rows):
+        cells = [_row_tag(d, r)] + _attr_values(d, r)
+        for c, value in enumerate(cells):
+            add(("cell", f"main{US}{r}{US}{c}{US}{value}", ""))
+
+    # -- page 1: dirty-path variant by d % 4 ------------------------------
+    v = d % 4
+    add(("page_break", "", ""))
+    if v == 0:
+        add(("title", "Mystery overview", ""))  # unknown type -> dropped
+    else:
+        add(("title", "Device tag list", ""))
+    if v != 1:  # v1: no footer at all -> dropped
+        add(("footer_cell", f"project{US}Proj-{(d + 1) % 7}", ""))
+        add(("footer_cell", f"product{US}Prod-{(d + 1) % 3}", ""))
+    if v == 2:
+        fa2 = _h(f"sq:{d}:fa2") % 8 + 1
+        fb2 = _h(f"sq:{d}:fb2") % 6 + 1
+        add(("footer_cell", f"0:0{US}=F0{fa2}", ""))
+        add(("footer_cell", f"2:0{US}+L{fb2}", ""))
+        # no cells -> "No required table(s)" + "No tables found" FAULTs
+    if v in (0, 1):
+        row = ["=F01+L1-D01", "1", "desc-0", "T0", "M0", "P0"]
+        for c, value in enumerate(row):
+            add(("cell", f"main{US}0{US}{c}{US}{value}", ""))
+    if v == 3:
+        # footer WITHOUT hierarchy slots: junk tag cannot be completed
+        a3 = _h(f"sq:{d}:v3a") % 8 + 1
+        b3 = _h(f"sq:{d}:v3b") % 6 + 1
+        c3 = _h(f"sq:{d}:v3c") % 24 + 1
+        rows = [
+            [f"=F0{a3}+L{b3}-D{c3:02d}", *_V3_ATTRS[0]],
+            [f"JUNK{d % 10}", *_V3_ATTRS[1]],
+        ]
+        for r, row in enumerate(rows):
+            for c, value in enumerate(row):
+                add(("cell", f"main{US}{r}{US}{c}{US}{value}", ""))
+    return out
+
+
+def sql_corpus_dataset(sf_dir: str) -> Dataset:
+    """The md5-choice span corpus: one span-document per ``documents`` row,
+    generated in parallel (pure per-row map, no shuffle)."""
+    from ..fixtures import SPAN_STRUCT
+
+    def gen(batch: pa.Table) -> pa.Table:
+        doc_ids, spans_col = [], []
+        for d in batch.column("doc_id").to_pylist():
+            d = int(d)
+            doc_ids.append(f"sdoc-{d}")
+            spans_col.append(
+                [
+                    {"kind": k, "text": t, "media_ref": m, "offset": i}
+                    for i, (k, t, m) in enumerate(synth_doc_spans(d))
+                ]
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "spans": pa.array(spans_col, pa.list_(SPAN_STRUCT)),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(gen, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Shared extraction memo (one actor-pool pass serves both digest queries)
+# ---------------------------------------------------------------------------
+
+_MEMO: dict = {}
+
+
+def _extracted(sf_dir: str) -> Dataset:
+    from ..functions._util import session_token
+    from ..pipelines.extract import extract_documents
+
+    tok = session_token()
+    hit = _MEMO.get(sf_dir)
+    if hit is not None and hit[0] == tok:
+        return hit[1]
+    ds = extract_documents(sql_corpus_dataset(sf_dir)).materialize()
+    _MEMO[sf_dir] = (tok, ds)
+    return ds
+
+
+# ---------------------------------------------------------------------------
+# Query 1: per-document output-span-sequence digest
+# ---------------------------------------------------------------------------
+
+def extract_span_digest(sf_dir: str) -> Dataset:
+    """Per document: (doc_id, n_pages, n_spans_in, n_errors,
+    n_page_objects, seq_md5) where seq_md5 hashes the complete renumbered
+    output span sequence — kind/text/media_ref/offset per span, spans
+    joined by RS — i.e. the whole per-row equality surface folded to one
+    column.  Pure per-doc map over the extracted dataset, no shuffle."""
+
+    def digest(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        spans = batch.column("spans").combine_chunks()
+        flat = spans.flatten()
+        el = pc.binary_join_element_wise(
+            flat.field("kind"),
+            flat.field("text"),
+            flat.field("media_ref"),
+            pc.cast(flat.field("offset"), pa.string()),
+            US,
+        )
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(spans.offsets, el), RS
+        )
+        md5s = [
+            hashlib.md5(s.encode()).hexdigest() for s in joined.to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_pages": pc.cast(batch.column("n_pages"), pa.int64()),
+                "n_spans_in": pc.cast(batch.column("n_spans_in"), pa.int64()),
+                "n_errors": pc.cast(batch.column("n_errors"), pa.int64()),
+                "n_page_objects": pc.cast(
+                    batch.column("n_page_objects"), pa.int64()
+                ),
+                "seq_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return (
+        _extracted(sf_dir)
+        .select_columns(
+            ["doc_id", "spans", "n_pages", "n_spans_in", "n_errors",
+             "n_page_objects"]
+        )
+        .map_batches(digest, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query 2: post-merge per-kind digest
+# ---------------------------------------------------------------------------
+
+def extract_merge_digest(sf_dir: str) -> Dataset:
+    """The real distributed God-merge (``merge_deltas`` — the one
+    all-to-all exchange of the flagship), folded to one row per delta
+    kind: merged-row count + commutative 40-bit hash sum over
+    ``mkey || US || payload``.  Partial sums ride ``map_batches``; the
+    final groupby moves <= 4 tiny rows per block."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.extract import merge_deltas
+
+    def partials(batch: pa.Table) -> pa.Table:
+        mkey = batch.column("mkey").combine_chunks()
+        payload = batch.column("payload").combine_chunks()
+        kind = pc.list_element(pc.split_pattern(mkey, US, max_splits=1), 0)
+        joined = pc.binary_join_element_wise(mkey, payload, US)
+        hs = pa.array(
+            [_h40(s) for s in joined.to_pylist()], pa.int64()
+        )
+        t = pa.table(
+            {"kind": kind, "h": hs, "one": pa.array([1] * len(hs), pa.int64())}
+        )
+        agg = t.group_by("kind").aggregate([("h", "sum"), ("one", "sum")])
+        return agg.rename_columns(["kind", "h", "n"])
+
+    merged = merge_deltas(_extracted(sf_dir))
+    out = (
+        merged.map_batches(partials, batch_format="pyarrow")
+        .groupby("kind")
+        .aggregate(Sum("h", alias_name="hsum"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out = out[["kind", "n", "hsum"]].astype({"n": "int64", "hsum": "int64"})
+    return out.sort_values("kind").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+# Shared corpus-replay prelude.  sq_h(s) == _h(s); sq_uuid(x) formats an
+# md5 hex digest as the reference's hyphenated GUID (core._md5_uuid).
+
+_PRELUDE = f"""
+WITH RECURSIVE
+docs AS (
+  SELECT CAST(doc_id AS BIGINT) AS d FROM documents
+),
+-- per-doc scalars
+doc0 AS (
+  SELECT d,
+         CAST(concat('0x', substr(md5('sq:' || d || ':fa'), 1, 8)) AS UBIGINT) % 8 + 1 AS fa,
+         CAST(concat('0x', substr(md5('sq:' || d || ':fb'), 1, 8)) AS UBIGINT) % 6 + 1 AS fb,
+         CAST(concat('0x', substr(md5('sq:' || d || ':fa2'), 1, 8)) AS UBIGINT) % 8 + 1 AS fa2,
+         CAST(concat('0x', substr(md5('sq:' || d || ':fb2'), 1, 8)) AS UBIGINT) % 6 + 1 AS fb2,
+         CAST(concat('0x', substr(md5('sq:' || d || ':v3a'), 1, 8)) AS UBIGINT) % 8 + 1 AS v3a,
+         CAST(concat('0x', substr(md5('sq:' || d || ':v3b'), 1, 8)) AS UBIGINT) % 6 + 1 AS v3b,
+         CAST(concat('0x', substr(md5('sq:' || d || ':v3c'), 1, 8)) AS UBIGINT) % 24 + 1 AS v3c,
+         4 + d % 3 AS n_rows, d % 4 AS v, d % 10 AS junk
+  FROM docs
+),
+-- page-0 table rows with shape-resolved tag + attribute values
+rows0 AS (
+  SELECT doc0.*, r.r,
+         CAST(concat('0x', substr(md5('sq:' || d || ':shape:' || r.r), 1, 8)) AS UBIGINT) % 9 AS s,
+         CAST(concat('0x', substr(md5('sq:' || d || ':a:' || r.r), 1, 8)) AS UBIGINT) % 8 + 1 AS a,
+         CAST(concat('0x', substr(md5('sq:' || d || ':b:' || r.r), 1, 8)) AS UBIGINT) % 6 + 1 AS b,
+         CAST(concat('0x', substr(md5('sq:' || d || ':c:' || r.r), 1, 8)) AS UBIGINT) % 24 + 1 AS c,
+         CAST(concat('0x', substr(md5('sq:' || d || ':q:' || r.r), 1, 8)) AS UBIGINT) % 5 + 1 AS qv,
+         CAST(concat('0x', substr(md5('sq:' || d || ':g:' || r.r), 1, 8)) AS UBIGINT) % 7 AS gv,
+         CAST(concat('0x', substr(md5('sq:' || d || ':t:' || r.r), 1, 8)) AS UBIGINT) % 9 AS tv,
+         CAST(concat('0x', substr(md5('sq:' || d || ':m:' || r.r), 1, 8)) AS UBIGINT) % 4 AS mv,
+         CAST(concat('0x', substr(md5('sq:' || d || ':p:' || r.r), 1, 8)) AS UBIGINT) % 11 AS pv
+  FROM doc0, UNNEST(RANGE(0, 6)) AS r(r)
+  WHERE r.r < n_rows
+),
+rows0t AS (
+  SELECT *,
+         '=F0' || a || '+L' || b || '-D' || lpad(CAST(c AS VARCHAR), 2, '0') AS full_tag,
+         CASE
+           WHEN s <= 2 THEN '=F0' || a || '+L' || b || '-D' || lpad(CAST(c AS VARCHAR), 2, '0')
+           WHEN s = 3 THEN '-D' || lpad(CAST(c AS VARCHAR), 2, '0')
+           WHEN s = 4 THEN '+L' || b || '-D' || lpad(CAST(c AS VARCHAR), 2, '0')
+           WHEN s = 5 THEN ' =F0' || a || '+L' || b || '-D' || lpad(CAST(c AS VARCHAR), 2, '0')
+           WHEN s = 6 THEN '=F0' || a || '+L' || b || '-D' || lpad(CAST(c AS VARCHAR), 2, '0') || ':4'
+           WHEN s = 7 THEN ''
+           ELSE 'JUNK' || junk
+         END AS tag,
+         CAST(qv AS VARCHAR) AS a_qty, 'desc-' || gv AS a_des,
+         'T' || tv AS a_typ, 'M' || mv AS a_man, 'P' || pv AS a_part
+  FROM rows0
+),
+-- footer-merged final tag + validity per page-0 row
+-- s<=2 full: itself | s=3: =F0fa+Lfb-Dcc | s=4: =F0fa+Lb-Dcc
+-- s=5: leading-space full (merge no-op, unstripped) | s=6 pin: no object
+-- s=7 empty: error row | s=8 junk: footer prefix glue =F0fa+Lfb||JUNKj
+rows0m AS (
+  SELECT *,
+         CASE
+           WHEN s <= 2 THEN tag
+           WHEN s = 3 THEN '=F0' || fa || '+L' || fb || tag
+           WHEN s = 4 THEN '=F0' || fa || tag
+           -- s=5 leading-space: _cell() strips cell values before tag(), so
+           -- the emitted tag is the plain full tag (page_processor str/strip)
+           WHEN s = 5 THEN full_tag
+           WHEN s = 8 THEN '=F0' || fa || '+L' || fb || tag
+           ELSE NULL
+         END AS final_tag
+  FROM rows0t
+),
+-- v3 page rows (r 0: clean full tag, r 1: unparseable junk)
+rows3 AS (
+  SELECT d, v, 0 AS r,
+         '=F0' || v3a || '+L' || v3b || '-D' || lpad(CAST(v3c AS VARCHAR), 2, '0') AS tag,
+         '=F0' || v3a || '+L' || v3b || '-D' || lpad(CAST(v3c AS VARCHAR), 2, '0') AS final_tag,
+         '2' AS a_qty, 'desc-3' AS a_des, 'T1' AS a_typ, 'M2' AS a_man, 'P7' AS a_part,
+         v3a AS a, v3b AS b, v3c AS c
+  FROM doc0 WHERE v = 3
+  UNION ALL
+  SELECT d, v, 1 AS r, 'JUNK' || junk AS tag, 'JUNK' || junk AS final_tag,
+         '1', 'desc-5', 'T8', 'M0', 'P2', NULL, NULL, NULL
+  FROM doc0 WHERE v = 3
+)
+"""
+
+
+def _uuid(col: str) -> str:
+    """SQL expression: md5 hex of ``col`` formatted as a hyphenated GUID."""
+    return (
+        f"substr(md5({col}),1,8) || '-' || substr(md5({col}),9,4) || '-' || "
+        f"substr(md5({col}),13,4) || '-' || substr(md5({col}),17,4) || '-' || "
+        f"substr(md5({col}),21,12)"
+    )
+
+
+# U = unit separator, R = record separator (as SQL expressions)
+_U = "chr(31)"
+_R = "chr(30)"
+
+
+EXTRACT_SPAN_DIGEST_SQL = (
+    _PRELUDE
+    + f"""
+-- ===== input spans, in generation order ====================================
+, in_spans AS (
+  -- page 0 header: break, title, 4 footer cells, media
+  SELECT d, 0 AS page, 0 AS ord, 'page_break' AS kind, '' AS text, '' AS mref FROM doc0
+  UNION ALL SELECT d, 0, 1, 'title', 'Device tag list', '' FROM doc0
+  UNION ALL SELECT d, 0, 2, 'footer_cell', 'project' || {_U} || 'Proj-' || (d % 7), '' FROM doc0
+  UNION ALL SELECT d, 0, 3, 'footer_cell', 'product' || {_U} || 'Prod-' || (d % 3), '' FROM doc0
+  UNION ALL SELECT d, 0, 4, 'footer_cell', '0:0' || {_U} || '=F0' || fa, '' FROM doc0
+  UNION ALL SELECT d, 0, 5, 'footer_cell', '2:0' || {_U} || '+L' || fb, '' FROM doc0
+  UNION ALL SELECT d, 0, 6, 'media', '', 'media/sq-' || d || '.bin' FROM doc0
+  -- page 0 cells: ord = 7 + r*6 + c
+  UNION ALL
+  SELECT d, 0, 7 + r * 6 + c.c, 'cell',
+         'main' || {_U} || r || {_U} || c.c || {_U} ||
+         CASE c.c WHEN 0 THEN tag WHEN 1 THEN a_qty WHEN 2 THEN a_des
+                  WHEN 3 THEN a_typ WHEN 4 THEN a_man ELSE a_part END,
+         ''
+  FROM rows0t, UNNEST(RANGE(0, 6)) AS c(c)
+  -- page 1 header
+  UNION ALL SELECT d, 1, 0, 'page_break', '', '' FROM doc0
+  UNION ALL SELECT d, 1, 1, 'title',
+         CASE WHEN v = 0 THEN 'Mystery overview' ELSE 'Device tag list' END, ''
+  FROM doc0
+  UNION ALL SELECT d, 1, 2, 'footer_cell', 'project' || {_U} || 'Proj-' || ((d + 1) % 7), '' FROM doc0 WHERE v != 1
+  UNION ALL SELECT d, 1, 3, 'footer_cell', 'product' || {_U} || 'Prod-' || ((d + 1) % 3), '' FROM doc0 WHERE v != 1
+  UNION ALL SELECT d, 1, 4, 'footer_cell', '0:0' || {_U} || '=F0' || fa2, '' FROM doc0 WHERE v = 2
+  UNION ALL SELECT d, 1, 5, 'footer_cell', '2:0' || {_U} || '+L' || fb2, '' FROM doc0 WHERE v = 2
+  -- v0/v1 single constant cell row (ord base 10 keeps page order stable)
+  UNION ALL
+  SELECT d, 1, 10 + c.c, 'cell',
+         'main' || {_U} || 0 || {_U} || c.c || {_U} ||
+         CASE c.c WHEN 0 THEN '=F01+L1-D01' WHEN 1 THEN '1' WHEN 2 THEN 'desc-0'
+                  WHEN 3 THEN 'T0' WHEN 4 THEN 'M0' ELSE 'P0' END,
+         ''
+  FROM doc0, UNNEST(RANGE(0, 6)) AS c(c) WHERE v IN (0, 1)
+  -- v3 two cell rows
+  UNION ALL
+  SELECT d, 1, 10 + r * 6 + c.c, 'cell',
+         'main' || {_U} || r || {_U} || c.c || {_U} ||
+         CASE c.c WHEN 0 THEN tag WHEN 1 THEN a_qty WHEN 2 THEN a_des
+                  WHEN 3 THEN a_typ WHEN 4 THEN a_man ELSE a_part END,
+         ''
+  FROM rows3, UNNEST(RANGE(0, 6)) AS c(c)
+),
+-- ===== emitted object/error spans, in emission order =======================
+-- page 0: per row r ascending — valid tags -> object span, empty -> error;
+-- sub-ordinal 0 keeps single-entry rows simple
+emit0 AS (
+  SELECT d, 0 AS page, r, 0 AS sub, 'object' AS kind,
+         'xtarget' || {_U} || {_uuid("final_tag")} AS text
+  FROM rows0m WHERE final_tag IS NOT NULL
+  UNION ALL
+  SELECT d, 0, r, 0, 'error',
+         'WARNING' || {_U} || 'row #' || r ||
+         ' skipped: empty device tag (is that intended?): ``'
+  FROM rows0m WHERE s = 7
+),
+-- page 1 v2: the two FAULT table errors
+emit2 AS (
+  SELECT d, 1 AS page, 0 AS r, sub, 'error' AS kind,
+         'FAULT' || {_U} || msg AS text
+  FROM doc0, (VALUES (0, 'No required table(s) found on the page: main'),
+                     (1, 'No tables found')) AS e(sub, msg)
+  WHERE v = 2
+),
+-- page 1 v3: row 0 object; row 1 invalid-tag error then object
+emit3 AS (
+  SELECT d, 1 AS page, r, 1 AS sub, 'object' AS kind,
+         'xtarget' || {_U} || {_uuid("final_tag")} AS text
+  FROM rows3
+  UNION ALL
+  SELECT d, 1, r, 0, 'error',
+         'WARNING' || {_U} || 'Tag is invalid: ' || final_tag
+  FROM rows3 WHERE r = 1
+),
+-- ===== full output sequence ================================================
+seq AS (
+  SELECT d, page, 0 AS phase, ord, 0 AS sub, kind, text, mref FROM in_spans
+  UNION ALL
+  SELECT d, page, 1, r, sub, kind, text, '' FROM emit0
+  UNION ALL
+  SELECT d, page, 1, r, sub, kind, text, '' FROM emit2
+  UNION ALL
+  SELECT d, page, 1, r, sub, kind, text, '' FROM emit3
+),
+numbered AS (
+  SELECT d, kind, text, mref,
+         ROW_NUMBER() OVER (
+           PARTITION BY d ORDER BY page, phase, ord, sub
+         ) - 1 AS pos
+  FROM seq
+),
+perdoc AS (
+  SELECT d,
+         md5(string_agg(
+           kind || {_U} || text || {_U} || mref || {_U} || pos, {_R}
+           ORDER BY pos
+         )) AS seq_md5,
+         COUNT(*) FILTER (WHERE kind = 'page_break') AS n_pages
+  FROM numbered GROUP BY d
+),
+n_in AS (SELECT d, COUNT(*) AS n_spans_in FROM in_spans GROUP BY d),
+-- errors are set-deduplicated per doc (distinct by construction here)
+n_err AS (
+  SELECT d, COUNT(*) AS n_errors
+  FROM seq WHERE kind = 'error' GROUP BY d
+),
+-- page-object edges (store_to_local_tuples drops kind='error' entries —
+-- errors are their own table): xtarget edges dedup by (page, guid)
+edges AS (
+  SELECT DISTINCT d, page, text FROM seq WHERE kind = 'object'
+),
+n_po AS (SELECT d, COUNT(*) AS n_po FROM edges GROUP BY d)
+SELECT 'sdoc-' || perdoc.d AS doc_id,
+       n_pages,
+       COALESCE(n_in.n_spans_in, 0) AS n_spans_in,
+       COALESCE(n_err.n_errors, 0) AS n_errors,
+       COALESCE(n_po.n_po, 0) AS n_page_objects,
+       seq_md5
+FROM perdoc
+LEFT JOIN n_in USING (d)
+LEFT JOIN n_err USING (d)
+LEFT JOIN n_po USING (d)
+ORDER BY doc_id
+"""
+)
+
+
+# -- merge digest oracle ----------------------------------------------------
+# Replays the distinct merged delta rows per kind and their payload bytes
+# (deltas.py encoding), then the same commutative 40-bit hash sum.
+
+_LOC_JSON = (
+    """'{"bbox":[0.0,' || (10 * lab) || '.0,1000.0,' || (10 * lab + 10)"""
+    """ || '.0],"name":"location","page_no":' || page || '}'"""
+)
+
+
+def _attr_payload(name_expr: str, value_expr: str) -> str:
+    """SimpleAttribute delta payload for a (name, value) SQL pair."""
+    return (
+        """'{"attr_type":"SimpleAttribute","name":"' || """
+        + name_expr
+        + """ || '","value_json":"{\\"name\\":\\"' || """
+        + name_expr
+        + """ || '\\",\\"value\\":\\"' || """
+        + value_expr
+        + """ || '\\"}"}'"""
+    )
+
+
+EXTRACT_MERGE_DIGEST_SQL = (
+    _PRELUDE
+    + f"""
+-- rows that create attributes: page-0 non-empty-tag rows + both v3 rows
+, attr_rows AS (
+  SELECT d, 0 AS page, r AS lab, a_qty, a_des, a_typ, a_man, a_part,
+         final_tag, (s = 6) AS is_pin
+  FROM rows0m WHERE s != 7
+  UNION ALL
+  SELECT d, 1, r, a_qty, a_des, a_typ, a_man, a_part, final_tag, FALSE
+  FROM rows3
+),
+-- one row per (attr-owning table row) x (attribute column + location)
+attr_cells AS (
+  SELECT d, page, lab, final_tag, is_pin, 'Quantity' AS name, a_qty AS value FROM attr_rows
+  UNION ALL SELECT d, page, lab, final_tag, is_pin, 'Designation', a_des FROM attr_rows
+  UNION ALL SELECT d, page, lab, final_tag, is_pin, 'Type number', a_typ FROM attr_rows
+  UNION ALL SELECT d, page, lab, final_tag, is_pin, 'Manufacturer', a_man FROM attr_rows
+  UNION ALL SELECT d, page, lab, final_tag, is_pin, 'Part number', a_part FROM attr_rows
+),
+simple_attrs AS (
+  SELECT DISTINCT name || ':' || value AS guid_src,
+         {_attr_payload("name", "value")} AS payload
+  FROM attr_cells
+),
+loc_attrs AS (
+  SELECT DISTINCT
+         'location:' || page || ':(0.0, ' || (10 * lab) || '.0, 1000.0, '
+           || (10 * lab + 10) || '.0)' AS guid_src,
+         '{{"attr_type":"PDFLocationAttribute","name":"location","value_json":"'
+           || replace({_LOC_JSON}, '"', '\\"') || '"}}' AS payload
+  FROM attr_rows
+),
+attr_deltas AS (
+  SELECT 'attribute' || {_U} || {_uuid("guid_src")} AS mkey, payload
+  FROM (SELECT * FROM simple_attrs UNION ALL SELECT * FROM loc_attrs)
+),
+-- xtargets: every non-pin row with a final tag, plus v3 junk (final = tag)
+targets AS (
+  SELECT DISTINCT final_tag FROM attr_rows
+  WHERE final_tag IS NOT NULL AND NOT is_pin
+),
+xtarget_deltas AS (
+  SELECT 'xtarget' || {_U} || {_uuid("final_tag")} AS mkey,
+         '2' || {_U} || 'device' || {_U} || final_tag AS payload
+  FROM targets
+),
+-- xtarget_attr edges: each emitted xtarget's 5 simple attrs + its location
+xattr_edges AS (
+  SELECT DISTINCT final_tag, name || ':' || value AS attr_src
+  FROM attr_cells WHERE final_tag IS NOT NULL AND NOT is_pin
+  UNION
+  SELECT DISTINCT final_tag,
+         'location:' || page || ':(0.0, ' || (10 * lab) || '.0, 1000.0, '
+           || (10 * lab + 10) || '.0)'
+  FROM attr_rows WHERE final_tag IS NOT NULL AND NOT is_pin
+),
+xtarget_attr_deltas AS (
+  SELECT 'xtarget_attr' || {_U} || {_uuid("final_tag")} || {_U} ||
+         {_uuid("attr_src")} AS mkey,
+         '' AS payload
+  FROM xattr_edges
+),
+-- aspects registered by tag(): one per parsed (separator, value) level of
+-- each DISTINCT final tag.  Generated shapes guarantee the parse layout:
+--   merged full tags  '=F0a+Lb-Dcc'  -> (=,F0a) (+,Lb) (-,Dcc)
+--   junk glue         '=F0a+LbJUNKj' -> (=,F0a) (+,LbJUNKj)
+--   leading-space     parses stripped -> same three levels as full
+--   v3 junk           parse fails -> NO aspects
+aspect_parts AS (
+  -- full / leading-space full: the row's own three levels
+  SELECT DISTINCT '=' AS sep, 'F0' || a AS value FROM rows0m WHERE s <= 2 OR s = 5
+  UNION SELECT DISTINCT '+', 'L' || b FROM rows0m WHERE s <= 2 OR s = 5
+  UNION SELECT DISTINCT '-', 'D' || lpad(CAST(c AS VARCHAR), 2, '0')
+        FROM rows0m WHERE s <= 2 OR s = 5
+  -- footer-completed '-Dcc': footer's = and + levels
+  UNION SELECT DISTINCT '=', 'F0' || fa FROM rows0m WHERE s IN (3, 4)
+  UNION SELECT DISTINCT '+', 'L' || fb FROM rows0m WHERE s = 3
+  UNION SELECT DISTINCT '-', 'D' || lpad(CAST(c AS VARCHAR), 2, '0')
+        FROM rows0m WHERE s IN (3, 4)
+  -- footer-completed '+Lb-Dcc': footer's = level, row's + level
+  UNION SELECT DISTINCT '+', 'L' || b FROM rows0m WHERE s = 4
+  -- junk glue '=F0fa+LfbJUNKj': two levels, the + value carries the junk
+  UNION SELECT DISTINCT '=', 'F0' || fa FROM rows0m WHERE s = 8
+  UNION SELECT DISTINCT '+', 'L' || fb || 'JUNK' || junk FROM rows0m WHERE s = 8
+  -- v3 clean full tag
+  UNION SELECT DISTINCT '=', 'F0' || v3a FROM doc0 WHERE v = 3
+  UNION SELECT DISTINCT '+', 'L' || v3b FROM doc0 WHERE v = 3
+  UNION SELECT DISTINCT '-', 'D' || lpad(CAST(v3c AS VARCHAR), 2, '0')
+        FROM doc0 WHERE v = 3
+),
+aspect_deltas AS (
+  SELECT DISTINCT 'aspect' || {_U} || {_uuid("sep || value")} AS mkey,
+         '{{"separator":"' || sep || '","value":"' || value || '"}}' AS payload
+  FROM aspect_parts
+),
+all_deltas AS (
+  SELECT * FROM attr_deltas
+  UNION ALL SELECT * FROM xtarget_deltas
+  UNION ALL SELECT * FROM xtarget_attr_deltas
+  UNION ALL SELECT * FROM aspect_deltas
+)
+SELECT split_part(mkey, {_U}, 1) AS kind,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(concat('0x', substr(md5(mkey || {_U} || payload), 1, 10)) AS BIGINT)) AS BIGINT) AS hsum
+FROM all_deltas
+GROUP BY 1 ORDER BY 1
+"""
+)
