@@ -178,3 +178,39 @@ def test_cusum_drift_matches_sequential_recurrence(ray_session, tmp_path):
         assert int(got.loc[et, "n_alarms"]) == alarms, et
         assert int(got.loc[et, "max_cusum_c2"]) == max_s, et
     assert (got["n_alarms"] > 0).any()  # the planted drift actually fired
+
+
+def test_fold_carry_rows_associative():
+    """The superbucket fold (peak_concurrency / session_overlap round-5
+    hierarchy) must compose exactly: folding segment summaries of ANY
+    partition of the bucket sequence equals the flat fold."""
+    import numpy as np
+    import pandas as pd
+
+    from indu_doc_transformer_ray.functions.events_series import (
+        _fold_carry_rows,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 257
+    df = pd.DataFrame(
+        {
+            "tb": np.arange(n),
+            "total": rng.randint(-5, 6, n).astype(np.int64),
+            "max_prefix": rng.randint(-3, 8, n).astype(np.int64),
+            "n_at_max": rng.randint(1, 4, n).astype(np.int64),
+            "first_t": rng.randint(0, 10**9, n).astype(np.int64),
+        }
+    )
+    flat = _fold_carry_rows(df)
+    for width in (1, 2, 7, 16, 100, 257, 1000):
+        segs = [
+            _fold_carry_rows(df.iloc[i : i + width])
+            for i in range(0, n, width)
+        ]
+        two = _fold_carry_rows(
+            pd.DataFrame(
+                segs, columns=["total", "max_prefix", "n_at_max", "first_t"]
+            )
+        )
+        assert two == flat, width
