@@ -27,9 +27,10 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
                       logreg_train + calibration_bins (iterative IRLS;
                       coefficients match a single-process fit to 1e-15 in
                       pytest, integer confusion/bin-count outputs keep the
-                      queries hash-stable), bt_supplier_strengths
-                      (iterative Bradley-Terry MM; single-process and
-                      forced-actor-path equality pytests), and
+                      queries hash-stable — the float fit itself rides
+                      libm exp(), and DuckDB's exp() measurably differs
+                      from numpy's in the last ulp on this host, so a SQL
+                      replay cannot be bit-exact), and
                       als_factorize (iterative ALS; single-process and
                       forced-actor-path BIT-equality pytests), and
                       plsa_topics (iterative EM; bit-equality +
@@ -942,6 +943,12 @@ def oracle_sql() -> dict[str, str]:
         "bowtie_classes": similarity.BOWTIE_CLASSES_SQL,
         "extract_span_digest": extractsql.EXTRACT_SPAN_DIGEST_SQL,
         "extract_merge_digest": extractsql.EXTRACT_MERGE_DIGEST_SQL,
+        # round-5: Gale-Shapley replay via synchronous-round recursive CTE
+        # (order-independence theorem; see star.py)
+        "stable_assignment": relational.STABLE_ASSIGNMENT_SQL,
+        # round-5: Bradley-Terry MM is +/*/÷-only (no libm), so the float
+        # loop replays bit-exactly via ordered list_reduce folds (ml.py)
+        "bt_supplier_strengths": ml.BT_SUPPLIER_STRENGTHS_SQL,
         "session_cross_lift": events.SESSION_CROSS_LIFT_SQL,
         "fd_discovery2": relational.FD_DISCOVERY2_SQL,
         "knn_reciprocity": similarity.KNN_RECIPROCITY_SQL,

@@ -553,7 +553,10 @@ def bt_supplier_strengths(
     ``num_cpus=0`` actors and each iteration is one batched RPC per shard,
     with the driver summing shard partials in shard order — float folds
     deterministic at every level (pytest forces both paths and asserts
-    exact equality)."""
+    exact equality).  SQL-oracled since round 5: the MM loop is
+    +/*/÷-only, so ``BT_SUPPLIER_STRENGTHS_SQL`` replays the driver path
+    bit-exactly via ordered ``list_reduce`` folds (see
+    :func:`_bt_oracle_sql`)."""
     import numpy as np
     import pandas as pd
     import pyarrow.parquet as pq
@@ -680,6 +683,74 @@ def bt_supplier_strengths(
             ]
         )
     )
+
+
+def _bt_oracle_sql(iters: int = _BT_ITERS, topk: int = 20) -> str:
+    """Round-5 driver oracle for ``bt_supplier_strengths``: the MM loop
+    uses ONLY +, *, / on doubles (no libm transcendentals), so DuckDB can
+    replay it BIT-EXACTLY when the additions fold in the engine's order.
+    ``np.add.at(denom, lo, inv)`` then ``(hi, inv)`` over the
+    (lo, hi)-sorted pair array == per supplier a sequential left fold over
+    (side, lo, hi)-ordered contributions — spelled
+    ``list_reduce(list(inv ORDER BY side, lo, hi), (a,b) -> a+b)``.
+    wins/games are integer-valued (exact under any order); the
+    ``iters`` MM rounds unroll as a CTE chain (the Lloyd-unroll pattern).
+    Non-players never enter any player's denominator, so the oracle only
+    carries players."""
+    head = """
+WITH best AS MATERIALIZED (
+  SELECT l_partkey AS p, l_suppkey AS s,
+         MIN(CAST(floor(l_extendedprice / l_quantity * 1e6) AS BIGINT)) AS u
+  FROM lineitem GROUP BY 1, 2
+),
+pairs AS MATERIALIZED (
+  SELECT a.s AS lo, b.s AS hi,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a.u < b.u THEN 1 ELSE 0 END) AS BIGINT) AS w_lo
+  FROM best a JOIN best b ON a.p = b.p AND a.s < b.s
+  WHERE a.u != b.u
+  GROUP BY 1, 2
+),
+stats AS MATERIALIZED (
+  SELECT s, CAST(SUM(w) AS DOUBLE) AS wins, CAST(SUM(n) AS BIGINT) AS games
+  FROM (
+    SELECT lo AS s, w_lo AS w, n FROM pairs
+    UNION ALL SELECT hi, n - w_lo, n FROM pairs
+  ) GROUP BY s
+),
+g0 AS (SELECT s, 1.0 AS g FROM stats)
+"""
+    step = """
+, p{k} AS MATERIALIZED (
+  SELECT p.lo, p.hi, CAST(p.n AS DOUBLE) / (gl.g + gh.g) AS inv
+  FROM pairs p JOIN g{k} gl ON gl.s = p.lo JOIN g{k} gh ON gh.s = p.hi
+),
+d{k} AS MATERIALIZED (
+  SELECT s, list_reduce(list(inv ORDER BY side, lo, hi), (a, b) -> a + b) AS d
+  FROM (
+    SELECT lo AS s, 0 AS side, lo, hi, inv FROM p{k}
+    UNION ALL SELECT hi, 1, lo, hi, inv FROM p{k}
+  ) GROUP BY s
+),
+g{k1} AS MATERIALIZED (
+  SELECT g.s, (st.wins + 0.5) / (d.d + 1.0 / (g.g + 1.0)) AS g
+  FROM g{k} g JOIN d{k} d ON d.s = g.s JOIN stats st ON st.s = g.s
+)
+"""
+    tail = f"""
+SELECT st.s AS s_suppkey, st.games, CAST(st.wins AS BIGINT) AS wins,
+       CAST(floor(g.g * 1e6) AS BIGINT) AS strength_e6
+FROM g{iters} g JOIN stats st ON st.s = g.s
+ORDER BY strength_e6 DESC, s_suppkey LIMIT {topk}
+"""
+    return (
+        head
+        + "".join(step.format(k=k, k1=k + 1) for k in range(iters))
+        + tail
+    )
+
+
+BT_SUPPLIER_STRENGTHS_SQL = _bt_oracle_sql()
 
 
 # -- ALS matrix factorization (implicit customer x part ratings) --------------

@@ -1776,11 +1776,12 @@ def stable_assignment(sf_dir: str) -> "object":
     (``_supplier_nation_revenue``; rev desc, key asc tie-break), so the
     matching is deterministic.  The matrix is the sufficient statistic —
     bounded |S| x |N| — so after its one co-location fold the deferred-
-    acceptance rounds are pure driver arithmetic.  Stable matching has no
-    SQL form (rows-only for the driver); the pytest gate checks the
-    matrix against DuckDB exactly AND verifies no blocking pair, which
-    characterizes the output completely (GS yields THE supplier-optimal
-    stable matching).  Output: (s_suppkey, nationkey, rev_c2)."""
+    acceptance rounds are pure driver arithmetic.  SQL-oracled since
+    round 5: ``STABLE_ASSIGNMENT_SQL`` replays synchronous-round deferred
+    acceptance as a recursive CTE, equal to this sequential run by the
+    McVitie-Wilson order-independence theorem; the pytest gate verifies
+    no blocking pair AND sequential==synchronous on randomized tied
+    matrices.  Output: (s_suppkey, nationkey, rev_c2)."""
     import pandas as pd
 
     rev = _supplier_nation_revenue(sf_dir)
@@ -1830,6 +1831,92 @@ FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# Round-5: the driver oracle for stable_assignment.  The engine runs
+# SEQUENTIAL supplier-proposing deferred acceptance; the oracle runs the
+# SYNCHRONOUS-round variant as a recursive CTE (window functions in the
+# recursive term, one scan of the working table per round).  They agree by
+# the McVitie-Wilson order-independence theorem: deferred acceptance with
+# responsive capacitated preferences yields THE supplier-optimal stable
+# matching under any proposal order — a parallel round is just one such
+# order.  State per supplier: (nxt = proposals made, held_n = -1 if free);
+# each round every free non-exhausted supplier proposes to pref[nxt],
+# every nation keeps the top-cap of holders+proposers by (rev DESC, s ASC)
+# (exactly the engine's eviction of min by (rev, -s)); recursion ends when
+# no free supplier remains (the emitted-row guard goes empty).  All
+# arithmetic is integer (rev cents), so the replay is exact.
+STABLE_ASSIGNMENT_SQL = """
+WITH RECURSIVE
+rev AS (
+  SELECT l.l_suppkey AS s, c.c_nationkey AS n,
+         CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_c2
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+supps AS (SELECT DISTINCT s FROM rev),
+nats AS (SELECT DISTINCT n FROM rev),
+cap AS (
+  SELECT ((SELECT COUNT(*) FROM supps) + (SELECT COUNT(*) FROM nats) - 1)
+           // (SELECT COUNT(*) FROM nats) AS cap,
+         (SELECT COUNT(*) FROM nats) AS nn
+),
+full_rev AS (
+  SELECT supps.s, nats.n, COALESCE(rev.rev_c2, 0) AS rev
+  FROM supps CROSS JOIN nats
+  LEFT JOIN rev ON rev.s = supps.s AND rev.n = nats.n
+),
+pref AS (
+  SELECT s, n, rev,
+         row_number() OVER (PARTITION BY s ORDER BY rev DESC, n) - 1 AS rk
+  FROM full_rev
+),
+-- composite-key lookup so the recursive term needs exactly ONE inner join
+-- on ONE reference to the working table (DuckDB rejects outer joins on
+-- the recursive subquery): k1=0 rows answer "free supplier proposing at
+-- rank k2" (rk=nn sentinel = exhausted, NULL candidate), k1=1 rows answer
+-- "held at nation k2"
+lut AS (
+  SELECT s, 0 AS k1, rk AS k2, n AS n_cand, rev, 1 AS is_prop FROM pref
+  UNION ALL
+  SELECT s, 0, (SELECT nn FROM cap), CAST(NULL AS INTEGER),
+         CAST(NULL AS BIGINT), 0
+  FROM supps
+  UNION ALL
+  SELECT s, 1, n, n, rev, 0 FROM full_rev
+),
+gs AS (
+  SELECT 0 AS round, s, 0 AS nxt, -1 AS held_n FROM supps
+  UNION ALL
+  SELECT round + 1, s, nxt_out,
+         CASE WHEN n_cand IS NOT NULL
+                   AND row_number() OVER (
+                         PARTITION BY n_cand ORDER BY rev_cand DESC, s
+                       ) <= (SELECT cap FROM cap)
+              THEN n_cand ELSE -1 END AS held_out
+  FROM (
+    SELECT g.round, g.s,
+           g.nxt + lut.is_prop AS nxt_out,
+           lut.n_cand, lut.rev AS rev_cand,
+           SUM(CASE WHEN g.held_n = -1 AND g.nxt < (SELECT nn FROM cap)
+                    THEN 1 ELSE 0 END) OVER () AS n_active
+    FROM gs g
+    JOIN lut
+      ON lut.s = g.s
+         AND lut.k1 = CASE WHEN g.held_n = -1 THEN 0 ELSE 1 END
+         AND lut.k2 = CASE WHEN g.held_n = -1 THEN g.nxt ELSE g.held_n END
+  )
+  WHERE n_active > 0 AND round < 100000
+)
+SELECT g.s AS s_suppkey, g.held_n AS nationkey, f.rev AS rev_c2
+FROM gs g
+JOIN full_rev f ON f.s = g.s AND f.n = g.held_n
+WHERE g.round = (SELECT MAX(round) FROM gs) AND g.held_n != -1
+ORDER BY s_suppkey
 """
 
 

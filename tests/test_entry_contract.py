@@ -26,9 +26,9 @@ def test_registry_consistency():
         "media_dhash", "media_phash_pairs", "media_phash_clusters",
         "pq_topk", "bpe_fertility",
         "media_text_context", "search_targets_count",
-        "logreg_train", "calibration_bins", "bt_supplier_strengths",
-        "als_factorize", "plsa_topics", "stable_assignment",
-    }
+        "logreg_train", "calibration_bins",
+        "als_factorize", "plsa_topics",
+    }  # round-5: stable_assignment + bt_supplier_strengths moved to oracled
     # interleave keeps every entry exactly once
     assert len(q) == len(set(q))
 

@@ -4577,3 +4577,65 @@ def test_bowtie_classes_paths(ray_session, monkeypatch):
     monkeypatch.setattr(graph, "PAGERANK_DRIVER_EDGE_BUDGET", 0)
     dist = graph.bowtie_classes(sf)
     assert dist.values.tolist() == got.values.tolist()
+
+
+def test_gale_shapley_order_independence_randomized():
+    """Round-5: STABLE_ASSIGNMENT_SQL replays deferred acceptance in
+    SYNCHRONOUS rounds while the engine proposes SEQUENTIALLY — equal by
+    McVitie-Wilson order independence.  Exercise the theorem on random
+    matrices WITH heavy ties (the sf corpora rarely tie): both simulations
+    must produce identical matchings under the engine's exact tie-breaks."""
+    import random
+
+    def sequential(S, N, r, cap):
+        pref = {s: sorted(N, key=lambda n: (-r.get((s, n), 0), n)) for s in S}
+        nxt = {s: 0 for s in S}
+        court = {n: [] for n in N}
+        free = list(reversed(S))
+        while free:
+            s = free.pop()
+            if nxt[s] >= len(N):
+                continue
+            n = pref[s][nxt[s]]
+            nxt[s] += 1
+            court[n].append(s)
+            if len(court[n]) > cap:
+                worst = min(court[n], key=lambda x: (r.get((x, n), 0), -x))
+                court[n].remove(worst)
+                free.append(worst)
+        return {s: n for n in N for s in court[n]}
+
+    def synchronous(S, N, r, cap):
+        pref = {s: sorted(N, key=lambda n: (-r.get((s, n), 0), n)) for s in S}
+        nxt = {s: 0 for s in S}
+        held = {s: None for s in S}
+        while any(held[s] is None and nxt[s] < len(N) for s in S):
+            cands = {n: [] for n in N}
+            for s in S:
+                if held[s] is None:
+                    if nxt[s] < len(N):
+                        cands[pref[s][nxt[s]]].append(s)
+                        nxt[s] += 1
+                else:
+                    cands[held[s]].append(s)
+            for s in S:
+                held[s] = None
+            for n in N:
+                kept = sorted(
+                    cands[n], key=lambda x: (-r.get((x, n), 0), x)
+                )[:cap]
+                for s in kept:
+                    held[s] = n
+        return {s: n for s, n in held.items() if n is not None}
+
+    for seed in range(25):
+        rng = random.Random(seed)
+        ns, nn = rng.randrange(3, 15), rng.randrange(2, 6)
+        S, N = list(range(ns)), list(range(nn))
+        cap = -(-ns // nn)
+        # tiny value domain -> many ties on both sides
+        r = {
+            (s, n): rng.randrange(0, 4)
+            for s in S for n in N if rng.random() < 0.7
+        }
+        assert sequential(S, N, r, cap) == synchronous(S, N, r, cap), seed
