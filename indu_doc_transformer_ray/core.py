@@ -209,16 +209,24 @@ def merge_tag_with_footer(
     config: AspectConfig,
     pattern: re.Pattern | None = None,
     foot: dict[str, str] | None = None,
+    parts_memo: dict | None = None,
 ) -> str:
     """Complete an incomplete page tag from the footer hierarchy
     (tag.py:178-224): walk separators in priority order, stop at the first
     level the page tag itself provides, and prepend footer values for the
     levels above it.  Returns the completed tag string (pin part stripped,
     as the Tag constructor would).  ``foot`` may carry a precomputed
-    ``footer_tag_parts`` result (pure-function cache hook: the same footer
-    recurs for every tag on a page)."""
+    ``footer_tag_parts`` result and ``parts_memo`` a string->parts cache
+    (pure-function cache hooks: the same footer recurs for every tag on a
+    page, and the same raw tag recurs across pages/documents)."""
     stripped = strip_pin(tag_str)
-    page_parts = tag_parts(stripped, config, pattern)
+    if parts_memo is not None:
+        page_parts = parts_memo.get(stripped)
+        if page_parts is None:
+            page_parts = tag_parts(stripped, config, pattern)
+            parts_memo[stripped] = page_parts
+    else:
+        page_parts = tag_parts(stripped, config, pattern)
     if foot is None:
         foot = footer_tag_parts(footer_tags, config, pattern)
     prefix = ""

@@ -107,7 +107,8 @@ class DocumentExtractor:
         self.merge_memo: dict = {}
         self.footer_memo: dict = {}
         self.parse_memo: dict = {}  # aspect_str -> (sep, value, guid)
-        self.parts_memo: dict = {}  # final tag -> parsed parts
+        self.parts_memo: dict = {}  # tag string -> parsed parts
+        self.guid_memo: dict = {}   # final tag -> xtarget GUID
         if page_settings_json:
             # register JSON page-spec overrides IN THIS WORKER PROCESS (the
             # driver's module state does not propagate to Ray actors); only
@@ -136,7 +137,7 @@ class DocumentExtractor:
         # memory-safety cap: an adversarial corpus with unbounded distinct
         # attrs/tags would otherwise grow the actor memos without limit
         for memo in (self.attr_memo, self.merge_memo, self.footer_memo,
-                     self.parse_memo, self.parts_memo):
+                     self.parse_memo, self.parts_memo, self.guid_memo):
             if len(memo) > 1_000_000:
                 memo.clear()
         doc_ids = batch.column("doc_id").to_pylist()
@@ -181,6 +182,7 @@ class DocumentExtractor:
                 self.config, attr_memo=self.attr_memo,
                 merge_memo=self.merge_memo, footer_memo=self.footer_memo,
                 parse_memo=self.parse_memo, parts_memo=self.parts_memo,
+                guid_memo=self.guid_memo,
             )
             spans = [
                 Span(k, t, r, o)

@@ -318,6 +318,117 @@ def page_to_span_dicts(
     ]
 
 
+# -- vendored mini-PDF reader (round-5 verdict #6) ----------------------------
+# A self-contained parser for the NARROW uncompressed PDF subset the test
+# fixtures (and simple text-only generators) emit: PDF 1.4, plain-text
+# content streams, `BT /F1 <size> Tf <x> <y> Td (<text>) Tj ET` draws, one
+# base font.  It exists so the reader seam (PdfToSpans -> page dict ->
+# page_to_span_dicts) runs UNCONDITIONALLY — in containers with the
+# pymupdf wheel that binding is still preferred (real rawdict geometry).
+# Char x-extents use a coarse 3-bin width model (NOT real font metrics):
+# the downstream span walk keys on centers and sizes, not exact advances.
+
+_MINI_NARROW = set("iIl1.,:;'|!()[]{} ")
+_MINI_WIDE = set("MWmw@%")
+
+
+def _mini_char_w(ch: str, size: float) -> float:
+    if ch in _MINI_NARROW:
+        return 0.30 * size
+    if ch in _MINI_WIDE:
+        return 0.82 * size
+    return 0.56 * size
+
+
+def _mini_unescape(s: str) -> str:
+    return (
+        s.replace(r"\(", "(").replace(r"\)", ")").replace(r"\\", "\\")
+    )
+
+
+def minipdf_page_dicts(data: bytes) -> list[dict]:
+    """Parse uncompressed-subset PDF bytes into the backend-agnostic page
+    dicts ``page_to_span_dicts`` consumes (the rawdict shape).  Raises
+    ValueError on anything outside the subset (compressed streams, no
+    pages) so callers fall back loudly, never silently mis-read."""
+    import re as _re
+
+    objs: dict[int, bytes] = {
+        int(m.group(1)): m.group(2)
+        for m in _re.finditer(
+            rb"(\d+) 0 obj\n(.*?)\nendobj", data, _re.DOTALL
+        )
+    }
+    if not objs:
+        raise ValueError("minipdf: no objects found")
+    if b"/FlateDecode" in data or b"/Filter" in data:
+        raise ValueError("minipdf: compressed streams unsupported")
+
+    pages: list[dict] = []
+    for num in sorted(objs):
+        body = objs[num]
+        if b"/Type /Page" not in body or b"/Type /Pages" in body:
+            continue
+        mb = _re.search(
+            rb"/MediaBox \[([\d. ]+)\]", body
+        ) or _re.search(rb"/MediaBox\[([\d. ]+)\]", body)
+        if not mb:
+            raise ValueError("minipdf: page without MediaBox")
+        x0, y0, x1, y1 = (float(v) for v in mb.group(1).split())
+        w, h = x1 - x0, y1 - y0
+        cm = _re.search(rb"/Contents (\d+) 0 R", body)
+        blocks: list[dict] = []
+        if cm:
+            cont = objs.get(int(cm.group(1)), b"")
+            sm = _re.search(rb"stream\n(.*?)\nendstream", cont, _re.DOTALL)
+            stream = sm.group(1).decode("latin-1") if sm else ""
+            # walk BT..ET text objects: Tf size, Td position, Tj draw
+            size = 10.0
+            tx = ty = 0.0
+            for op in _re.finditer(
+                r"/\w+ ([\d.]+) Tf|([-\d.]+) ([-\d.]+) Td|\((.*?)(?<!\\)\) Tj",
+                stream,
+                _re.DOTALL,
+            ):
+                if op.group(1) is not None:
+                    size = float(op.group(1))
+                elif op.group(2) is not None:
+                    tx, ty = float(op.group(2)), float(op.group(3))
+                else:
+                    text = _mini_unescape(op.group(4))
+                    # PDF y is bottom-left baseline; rawdict bboxes are
+                    # top-left space with the glyph box ~size tall
+                    y_top = h - ty - size
+                    chars, x = [], tx
+                    for ch in text:
+                        cw = _mini_char_w(ch, size)
+                        chars.append(
+                            {"c": ch, "bbox": (x, y_top, x + cw, y_top + size)}
+                        )
+                        x += cw
+                    blocks.append(
+                        {
+                            "type": 0,
+                            "lines": [
+                                {
+                                    "spans": [
+                                        {
+                                            "bbox": (tx, y_top, x, y_top + size),
+                                            "size": size,
+                                            "text": text,
+                                            "chars": chars,
+                                        }
+                                    ]
+                                }
+                            ],
+                        }
+                    )
+        pages.append({"width": w, "height": h, "blocks": blocks})
+    if not pages:
+        raise ValueError("minipdf: no pages found")
+    return pages
+
+
 # -- pymupdf binding (gated) --------------------------------------------------
 
 
@@ -347,14 +458,20 @@ def _pymupdf_page_dict(page) -> dict:
 
 class PdfToSpans:
     """Actor-pool stage: a batch of PDF paths -> (doc_id, spans) rows.
-    pymupdf import + page-settings parse happen ONCE per actor."""
+    Backend import + page-settings parse happen ONCE per actor; pymupdf
+    when the wheel exists, the vendored minipdf subset reader otherwise
+    (so the seam runs in every container — round-5 verdict #6)."""
 
     def __init__(self, settings_json: Optional[str] = None):
-        import pymupdf
+        from ..pagesettings import default_page_settings
 
-        from ..pagesettings import PageSettings, default_page_settings
-
-        self._pymupdf = pymupdf
+        self._pymupdf = None
+        if have_pymupdf():
+            try:
+                import pymupdf
+            except ImportError:  # fitz-era wheel
+                import fitz as pymupdf
+            self._pymupdf = pymupdf
         if settings_json:
             s = default_page_settings()
             s.from_json(settings_json)
@@ -362,24 +479,28 @@ class PdfToSpans:
         else:
             self._settings = default_page_settings()
 
+    def _page_dicts(self, path: str) -> list[dict]:
+        if self._pymupdf is not None:
+            doc = self._pymupdf.open(path)
+            try:
+                return [
+                    _pymupdf_page_dict(doc[i]) for i in range(len(doc))
+                ]
+            finally:
+                doc.close()
+        with open(path, "rb") as f:
+            return minipdf_page_dicts(f.read())
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids, span_lists = [], []
         for path in batch.column("path").to_pylist():
-            doc = self._pymupdf.open(path)
             spans: list[dict] = []
-            try:
-                for page_no in range(len(doc)):
-                    spans.extend(
-                        page_to_span_dicts(
-                            _pymupdf_page_dict(doc[page_no]),
-                            self._settings,
-                            path,
-                            page_no,
-                            len(spans),
-                        )
+            for page_no, pd in enumerate(self._page_dicts(path)):
+                spans.extend(
+                    page_to_span_dicts(
+                        pd, self._settings, path, page_no, len(spans)
                     )
-            finally:
-                doc.close()
+                )
             doc_ids.append(path)
             span_lists.append(spans)
         return pa.table(
@@ -397,15 +518,11 @@ def read_pdf_documents(
     concurrency: int = 4,
 ) -> Dataset:
     """PDF files -> the documents span table, as an actor-pool map over the
-    path list (one pymupdf session per actor; each task opens a few files).
-    Requires the pymupdf wheel — absent in this container, so this reader is
-    exercised only where it exists; the conversion core underneath is tested
-    via rawdict fixtures (tests/test_pdf_adapter.py)."""
-    if not have_pymupdf():
-        raise RuntimeError(
-            "read_pdf_documents requires the `pymupdf` package, which is not"
-            " installed in this environment"
-        )
+    path list (one parser session per actor; each task opens a few files).
+    Prefers the pymupdf wheel (real rawdict geometry); in containers
+    without it the vendored ``minipdf_page_dicts`` subset reader drives the
+    same page-dict walk, so the seam is exercised everywhere
+    (tests/test_pdf_real.py runs un-gated)."""
     return ray.data.from_items([{"path": p} for p in paths]).map_batches(
         PdfToSpans,
         fn_constructor_kwargs={"settings_json": settings_json},

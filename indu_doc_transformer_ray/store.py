@@ -116,6 +116,7 @@ class ExtractionStore:
         footer_memo: Optional[dict] = None,
         parse_memo: Optional[dict] = None,
         parts_memo: Optional[dict] = None,
+        guid_memo: Optional[dict] = None,
     ):
         self.config = config
         # optional CROSS-DOCUMENT memos shared by the owning actor — all
@@ -154,6 +155,11 @@ class ExtractionStore:
         # invalid-tag errors) are still gated by the per-doc ``tag_cache``.
         self._parts_memo: dict[str, dict[str, tuple[str, ...]]] = (
             parts_memo if parts_memo is not None else {}
+        )
+        # final tag string -> xtarget GUID (pure md5; shareable) — every
+        # xtarget() call on a repeated tag otherwise re-hashes
+        self._guid_memo: dict[str, str] = (
+            guid_memo if guid_memo is not None else {}
         )
         # ordered log of page<->object mapping calls; drives both the
         # page_objects edge table and the per-page emitted "object" spans
@@ -230,11 +236,31 @@ class ExtractionStore:
     def location_attr(
         self, page_no: int, bbox: tuple[float, float, float, float]
     ) -> AttrRec:
-        return self._attr(
+        # same cross-document memo shape as simple_attr: the (page_no,
+        # bbox) domain recurs constantly (row labels x page numbers), and
+        # both the GUID md5 and the canonical-JSON payload are pure
+        # functions of the key.  The "__loc__" sentinel keys cannot
+        # collide with simple_attr's (name, value) string pairs.
+        memo = self._attr_memo
+        if memo is not None:
+            mkey = ("__loc__", page_no, bbox)
+            hit = memo.get(mkey)
+            if hit is not None:
+                guid, vj = hit
+                existing = self.attributes.get(guid)
+                if existing is not None:
+                    return existing
+                rec = AttrRec(guid, "PDFLocationAttribute", "location", vj)
+                self.attributes[guid] = rec
+                return rec
+        rec = self._attr(
             core.pdf_location_guid("location", page_no, bbox),
             "PDFLocationAttribute", "location",
             {"name": "location", "bbox": list(bbox), "page_no": page_no},
         )
+        if memo is not None:
+            memo[mkey] = (rec.guid, rec.value_json)
+        return rec
 
     # -- aspects (god.py:302-340) ------------------------------------------
 
@@ -268,7 +294,8 @@ class ExtractionStore:
         if rec is None:
             rec = AspectRec(guid, sep, value)
             self.aspects[guid] = rec
-        rec.attr_guids.update(a.guid for a in attrs)
+        if attrs:
+            rec.attr_guids.update(a.guid for a in attrs)
         return rec
 
     # -- tags (god.py:255-299) ---------------------------------------------
@@ -288,7 +315,8 @@ class ExtractionStore:
                     )
                     self._footer_cache[ftags] = foot
                 final = core.merge_tag_with_footer(
-                    tag_str, ftags, self.config, self.pattern, foot=foot
+                    tag_str, ftags, self.config, self.pattern, foot=foot,
+                    parts_memo=self._parts_memo,
                 )
                 self._merge_cache[mkey] = final
         else:
@@ -323,14 +351,18 @@ class ExtractionStore:
         if core.is_pin_tag(tag_str):
             return None  # rejected silently, no error record (god.py:351-354)
         final, _parts = self.tag(tag_str, page)
-        guid = core.xtarget_guid(final)
+        guid = self._guid_memo.get(final)
+        if guid is None:
+            guid = core.xtarget_guid(final)
+            self._guid_memo[final] = guid
         rec = self.targets.get(guid)
         if rec is None:
             rec = TargetRec(guid, final, target_type)
             self.targets[guid] = rec
         elif TYPE_PRIORITY[target_type] > TYPE_PRIORITY[rec.target_type]:
             rec.target_type = target_type
-        rec.attr_guids.update(a.guid for a in attrs)
+        if attrs:
+            rec.attr_guids.update(a.guid for a in attrs)
         self._map(page, "xtarget", guid)
         return rec
 
@@ -352,7 +384,8 @@ class ExtractionStore:
         if rec is None:
             rec = LinkRec(guid, name, conn_guid, src_pin_name, dst_pin_name)
             self.links[guid] = rec
-        rec.attr_guids.update(a.guid for a in attrs)
+        if attrs:
+            rec.attr_guids.update(a.guid for a in attrs)
         self._map(page, "link", guid)
         return rec
 

@@ -142,12 +142,18 @@ def test_offsets_and_page_breaks_accumulate():
     assert [d["kind"] for d in (p0 + p1)].count("page_break") == 2
 
 
-def test_reader_is_gated():
+def test_minipdf_rejects_out_of_subset():
+    """Round-5: the reader no longer gates on pymupdf (the vendored
+    minipdf fallback drives the page-dict walk), but the fallback must
+    refuse LOUDLY outside its narrow uncompressed subset rather than
+    silently mis-read a real-world compressed PDF."""
     import pytest
 
-    from indu_doc_transformer_ray.sources.pdf import read_pdf_documents
+    from indu_doc_transformer_ray.sources.pdf import minipdf_page_dicts
 
-    if have_pymupdf():
-        pytest.skip("pymupdf present: gate not exercised")
-    with pytest.raises(RuntimeError, match="pymupdf"):
-        read_pdf_documents(["/tmp/x.pdf"])
+    with pytest.raises(ValueError, match="minipdf"):
+        minipdf_page_dicts(b"%PDF-1.7\nnothing here")
+    with pytest.raises(ValueError, match="compressed"):
+        minipdf_page_dicts(
+            b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode >>\nendobj\n"
+        )

@@ -1,16 +1,15 @@
-"""Gated REAL-PDF smoke test (round-3 verdict #6): exercises the
-``_pymupdf_page_dict`` binding + ``read_pdf_documents`` reader — the only
-seam of the PDF adapter not covered by the rawdict fixtures — whenever the
-pymupdf wheel exists.  The fixture PDF is handcrafted bytes (no library
-needed to WRITE it), so the test is self-contained; in containers without
-the wheel it skips cleanly.
+"""REAL-PDF smoke test (round-3 verdict #6, un-gated in round 5): exercises
+the ``read_pdf_documents`` reader seam end-to-end over handcrafted PDF
+bytes.  With the pymupdf wheel the real rawdict binding runs; without it
+the vendored ``minipdf_page_dicts`` subset reader drives the SAME page-dict
+walk, so the test runs in every container.
 """
 
 from __future__ import annotations
 
-import pytest
+import pytest  # noqa: F401  (parity with the other suites)
 
-from indu_doc_transformer_ray.sources.pdf import have_pymupdf
+from indu_doc_transformer_ray.sources.pdf import have_pymupdf  # noqa: F401
 
 # A4 dims the adapter's paper detection knows (sources/pdf.py PAPER_DIMS)
 _W, _H = 595.78, 842.39
@@ -72,7 +71,6 @@ def _pdf_bytes(pages: "list[list[tuple[float, float, float, str]]]") -> bytes:
     return bytes(out)
 
 
-@pytest.mark.skipif(not have_pymupdf(), reason="pymupdf wheel not installed")
 def test_read_pdf_documents_real_binding(ray_session, tmp_path):
     """read_pdf_documents over a handcrafted 2-page A4 PDF: page_break per
     page, the 24-pt span surfaces as the title, and the footer project rect
