@@ -113,3 +113,86 @@ def test_extraction_shard_survives_worker_death(ray_session, tmp_path):
     )
     assert os.path.exists(flag)  # the kill really happened
     assert got.equals(baseline)
+
+
+def test_merge_fold_survives_mid_fold_kill(ray_session, tmp_path):
+    """Round-5 verdict #7: kill DURING the merge *fold* phase.  The fold
+    writes per-bucket object files into ``objects.tmp`` and commits via
+    one atomic rename, so every crash point leaves one of three on-disk
+    states; re-running ``run_merge`` from each must yield BYTE-identical
+    merged objects:
+
+      (a) tmp partially written — including one torn parquet file;
+      (b) rename done but the merge manifest never written;
+      (c) a shard's 2a bucket dir lost mid-write (partial ``.tmp`` left).
+    """
+    import shutil
+
+    from indu_doc_transformer_ray.fixtures import corpus_table
+    from indu_doc_transformer_ray.pipelines.runner import (
+        run_extraction,
+        run_merge,
+    )
+
+    corpus_dir = str(tmp_path / "corpus")
+    out_dir = str(tmp_path / "out")
+    ray.data.from_arrow(corpus_table(24, seed=55)).repartition(4).write_parquet(
+        corpus_dir
+    )
+    run_extraction(corpus_dir, out_dir, shards=2)
+    run_merge(out_dir)
+
+    obj_dir = os.path.join(out_dir, "objects")
+    man = os.path.join(out_dir, "manifests", "merge.json")
+
+    def snapshot():
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(obj_dir).to_table()
+        cols = sorted(t.column_names)
+        rows = sorted(
+            zip(*[t.column(c).to_pylist() for c in cols])
+        )
+        return cols, rows
+
+    reference = snapshot()
+    ref_files = {
+        f: open(os.path.join(obj_dir, f), "rb").read()
+        for f in os.listdir(obj_dir)
+    }
+
+    # -- (a) killed mid-fold: partial tmp with a torn file ----------------
+    os.remove(man)
+    tmp_dir = obj_dir + ".tmp"
+    os.makedirs(tmp_dir)
+    names = sorted(ref_files)
+    for f in names[: len(names) // 2]:
+        with open(os.path.join(tmp_dir, f), "wb") as w:
+            w.write(ref_files[f])
+    torn = names[len(names) // 2]
+    with open(os.path.join(tmp_dir, torn), "wb") as w:
+        w.write(ref_files[torn][: len(ref_files[torn]) // 2])  # torn write
+    shutil.rmtree(obj_dir)
+    run_merge(out_dir)
+    assert snapshot() == reference
+    assert not os.path.exists(tmp_dir)
+
+    # -- (b) killed between rename and manifest write ---------------------
+    os.remove(man)
+    run_merge(out_dir)
+    assert snapshot() == reference
+
+    # -- (c) killed mid-2a: one shard's bucket dir gone, partial .tmp -----
+    os.remove(man)
+    shutil.rmtree(obj_dir)
+    from indu_doc_transformer_ray.pipelines.runner import _shard_bucket_dir
+
+    bdir = _shard_bucket_dir(out_dir, 1)
+    btmp = bdir + ".tmp"
+    os.rename(bdir, btmp)  # simulate: rename never happened
+    # and drop half the partial's bucket dirs (write was mid-flight)
+    buckets = sorted(os.listdir(btmp))
+    for b in buckets[: len(buckets) // 2]:
+        shutil.rmtree(os.path.join(btmp, b))
+    run_merge(out_dir)
+    assert snapshot() == reference
