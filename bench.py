@@ -233,6 +233,26 @@ QUERY_CHUNKS = [
 ]
 
 
+def _auto_chunks() -> list:
+    """Round-5 verdict #2: the hand-curated chunks above had drifted to
+    269 of the registry — every registry query NOT explicitly chunked is
+    auto-chunked here so the benched set == ``queries()`` by construction
+    (the session-3 'never hand-maintain a second query map' rule, now
+    enforced structurally).  Leftovers group by implementing module, which
+    co-locates the session-memo families (extraction corpus, knn/ivf
+    memos, dhash signatures) in one Ray session, then split at 24 per
+    chunk like the curated ones."""
+    listed = {n for c in QUERY_CHUNKS for n in c}
+    by_mod: dict = {}
+    for name, fn in _query_fns().items():
+        if name not in listed:
+            by_mod.setdefault(getattr(fn, "__module__", "?"), []).append(name)
+    chunks = []
+    for _mod, names in sorted(by_mod.items()):
+        chunks.extend(names[i : i + 24] for i in range(0, len(names), 24))
+    return chunks
+
+
 def bench_queries(sf_dir: str, names: list | None = None) -> dict:
     fns = _query_fns()
     out = {}
@@ -284,7 +304,7 @@ def run_once() -> dict:
     if os.environ.get("BENCH_SKIP_QUERIES") != "1":
         import ray.data as _rd
 
-        for chunk in QUERY_CHUNKS:
+        for chunk in QUERY_CHUNKS + _auto_chunks():
             _init_session()
             # untimed warmup per session: spawn the full task-worker pool
             # (one parallel pass) and one tiny hash join for the shuffle-
