@@ -45,6 +45,13 @@ Corpus shape (per documents row, ``d`` = doc_id):
     footer (dropped), missing table (two FAULT errors), or a
     no-hierarchy-footer page whose junk tag fails to parse
     (``Tag is invalid`` WARNING) next to one clean full-tag row.
+  page 2 — CONNECTION_LIST (its OWN footer hierarchy, so the same raw
+    tag merges differently per page): 2 + d%2 linked-connection rows
+    cycling through pinned full tags, a footer-completed pinned partial,
+    a 2-deep pin chain, a missing-pin WARNING and an empty-endpoint
+    WARNING — which drags the char-join GUID recipes (connection, link,
+    pin chains) and the link_attr edges into the SQL replay, covering
+    every merged delta kind the engine can emit.
 """
 
 from __future__ import annotations
@@ -175,7 +182,47 @@ def synth_doc_spans(d: int) -> list[tuple[str, str, str]]:
         for r, row in enumerate(rows):
             for c, value in enumerate(row):
                 add(("cell", f"main{US}{r}{US}{c}{US}{value}", ""))
+
+    # -- page 2: CONNECTION_LIST ------------------------------------------
+    fc = _h(f"sq:{d}:fc") % 8 + 1
+    fl = _h(f"sq:{d}:fl") % 6 + 1
+    add(("page_break", "", ""))
+    add(("title", "Connection list", ""))
+    add(("footer_cell", f"project{US}Proj-{(d + 2) % 7}", ""))
+    add(("footer_cell", f"product{US}Prod-{(d + 2) % 3}", ""))
+    add(("footer_cell", f"0:0{US}=F0{fc}", ""))
+    add(("footer_cell", f"2:0{US}+L{fl}", ""))
+    for r in range(2 + d % 2):
+        src, dst = _conn_row_tags(d, r)
+        color = f"K{_h(f'sq:{d}:col:{r}') % 6}"
+        xsect = f"X{_h(f'sq:{d}:xs:{r}') % 4}"
+        for c, value in enumerate([f"N{r}", src, dst, color, xsect]):
+            add(("cell", f"main{US}{r}{US}{c}{US}{value}", ""))
     return out
+
+
+def _conn_row_tags(d: int, r: int) -> tuple[str, str]:
+    """Connection-list row (src_pin_tag, dst_pin_tag) by md5-chosen shape."""
+    t = _h(f"sq:{d}:ct:{r}") % 6
+    sa = _h(f"sq:{d}:ca:{r}") % 8 + 1
+    sb = _h(f"sq:{d}:cb:{r}") % 6 + 1
+    sc = _h(f"sq:{d}:cc:{r}") % 24 + 1
+    da = _h(f"sq:{d}:da:{r}") % 8 + 1
+    db = _h(f"sq:{d}:db:{r}") % 6 + 1
+    dc = _h(f"sq:{d}:dc:{r}") % 24 + 1
+    ps = _h(f"sq:{d}:ps:{r}") % 16 + 1
+    pd_ = _h(f"sq:{d}:pd:{r}") % 16 + 1
+    src_full = f"=F0{sa}+L{sb}-D{sc:02d}"
+    dst_full = f"=F0{da}+L{db}-D{dc:02d}"
+    if t <= 1:
+        return f"{src_full}:{ps}", f"{dst_full}:{pd_}"
+    if t == 2:  # footer-completed pinned partial src
+        return f"-D{sc:02d}:{ps}", f"{dst_full}:{pd_}"
+    if t == 3:  # 2-deep pin chain on the dst side
+        return f"{src_full}:{ps}", f"{dst_full}:{pd_}:{pd_ % 4 + 1}"
+    if t == 4:  # src without a pin -> "one/no pins specified" WARNING
+        return src_full, f"{dst_full}:{pd_}"
+    return "", f"{dst_full}:{pd_}"  # t=5: empty src -> emitter skip WARNING
 
 
 def sql_corpus_dataset(sf_dir: str) -> Dataset:
@@ -341,7 +388,9 @@ doc0 AS (
          CAST(concat('0x', substr(md5('sq:' || d || ':v3a'), 1, 8)) AS UBIGINT) % 8 + 1 AS v3a,
          CAST(concat('0x', substr(md5('sq:' || d || ':v3b'), 1, 8)) AS UBIGINT) % 6 + 1 AS v3b,
          CAST(concat('0x', substr(md5('sq:' || d || ':v3c'), 1, 8)) AS UBIGINT) % 24 + 1 AS v3c,
-         4 + d % 3 AS n_rows, d % 4 AS v, d % 10 AS junk
+         CAST(concat('0x', substr(md5('sq:' || d || ':fc'), 1, 8)) AS UBIGINT) % 8 + 1 AS fc,
+         CAST(concat('0x', substr(md5('sq:' || d || ':fl'), 1, 8)) AS UBIGINT) % 6 + 1 AS fl,
+         4 + d % 3 AS n_rows, 2 + d % 2 AS n2, d % 4 AS v, d % 10 AS junk
   FROM docs
 ),
 -- page-0 table rows with shape-resolved tag + attribute values
@@ -418,13 +467,85 @@ def _uuid(col: str) -> str:
     )
 
 
+def _cj(expr: str) -> str:
+    """SQL expression: the reference's `list += str` char-join —
+    ``':'.join(s)`` (core._cj)."""
+    return f"array_to_string(string_split({expr}, ''), ':')"
+
+
+def _h8(key: str) -> str:
+    """SQL expression: 32-bit md5 prefix of 'sq:<d>:<key>:<r>' (the per-row
+    derivation used all over the corpus)."""
+    return (
+        "CAST(concat('0x', substr(md5('sq:' || d || ':" + key
+        + ":' || r.r), 1, 8)) AS UBIGINT)"
+    )
+
+
 # U = unit separator, R = record separator (as SQL expressions)
 _U = "chr(31)"
 _R = "chr(30)"
 
+# -- page-2 (CONNECTION_LIST) replay chain, shared by both oracles ----------
+_CONN_GUID = _uuid(
+    f"'CONN:' || {_cj('src_guid')} || ':' || {_cj('dst_guid')}"
+    " || ':THROUGH:None'"
+)
+_LINK_GUID = _uuid(
+    f"'LINK:virtual_link:' || {_cj(chr(39) + 'SRC:' + chr(39) + ' || src_pin')}"
+    f" || ':' || {_cj(chr(39) + 'DEST:' + chr(39) + ' || dst_pin')}"
+    f" || ':' || {_cj('conn_guid')}"
+)
+
+_CONN_CTES = f"""
+, crows0 AS (
+  SELECT doc0.*, r.r,
+         {_h8('ct')} % 6 AS t,
+         {_h8('ca')} % 8 + 1 AS sa, {_h8('cb')} % 6 + 1 AS sb,
+         {_h8('cc')} % 24 + 1 AS sc,
+         {_h8('da')} % 8 + 1 AS da, {_h8('db')} % 6 + 1 AS db,
+         {_h8('dc')} % 24 + 1 AS dc,
+         {_h8('ps')} % 16 + 1 AS ps, {_h8('pd')} % 16 + 1 AS pd,
+         'K' || ({_h8('col')} % 6) AS color,
+         'X' || ({_h8('xs')} % 4) AS xsect
+  FROM doc0, UNNEST(RANGE(0, 3)) AS r(r)
+  WHERE r.r < n2
+),
+crows1 AS (
+  SELECT *,
+         '=F0' || sa || '+L' || sb || '-D' || lpad(CAST(sc AS VARCHAR), 2, '0') AS src_full,
+         '=F0' || da || '+L' || db || '-D' || lpad(CAST(dc AS VARCHAR), 2, '0') AS dst_full,
+         CAST(pd % 4 + 1 AS VARCHAR) AS p2
+  FROM crows0
+),
+crows AS (
+  SELECT *,
+         CASE WHEN t <= 1 OR t = 3 THEN src_full || ':' || ps
+              WHEN t = 2 THEN '-D' || lpad(CAST(sc AS VARCHAR), 2, '0') || ':' || ps
+              WHEN t = 4 THEN src_full
+              ELSE '' END AS src_raw,
+         CASE WHEN t = 3 THEN dst_full || ':' || pd || ':' || p2
+              ELSE dst_full || ':' || pd END AS dst_raw,
+         CASE WHEN t = 2 THEN '=F0' || fc || '+L' || fl || '-D' || lpad(CAST(sc AS VARCHAR), 2, '0')
+              WHEN t <= 3 THEN src_full END AS src_tag,
+         CASE WHEN t <= 3 THEN dst_full END AS dst_tag,
+         ':' || ps AS src_pin,
+         CASE WHEN t = 3 THEN ':' || pd || ':' || p2
+              ELSE ':' || pd END AS dst_pin
+  FROM crows1
+),
+cvalid AS (
+  SELECT *, {_uuid("src_tag")} AS src_guid, {_uuid("dst_tag")} AS dst_guid
+  FROM crows WHERE t <= 3
+),
+cconn AS (SELECT *, {_CONN_GUID} AS conn_guid FROM cvalid),
+clink AS (SELECT *, {_LINK_GUID} AS link_guid FROM cconn)
+"""
+
 
 EXTRACT_SPAN_DIGEST_SQL = (
     _PRELUDE
+    + _CONN_CTES
     + f"""
 -- ===== input spans, in generation order ====================================
 , in_spans AS (
@@ -469,6 +590,20 @@ EXTRACT_SPAN_DIGEST_SQL = (
                   WHEN 3 THEN a_typ WHEN 4 THEN a_man ELSE a_part END,
          ''
   FROM rows3, UNNEST(RANGE(0, 6)) AS c(c)
+  -- page 2 header + cells
+  UNION ALL SELECT d, 2, 0, 'page_break', '', '' FROM doc0
+  UNION ALL SELECT d, 2, 1, 'title', 'Connection list', '' FROM doc0
+  UNION ALL SELECT d, 2, 2, 'footer_cell', 'project' || {_U} || 'Proj-' || ((d + 2) % 7), '' FROM doc0
+  UNION ALL SELECT d, 2, 3, 'footer_cell', 'product' || {_U} || 'Prod-' || ((d + 2) % 3), '' FROM doc0
+  UNION ALL SELECT d, 2, 4, 'footer_cell', '0:0' || {_U} || '=F0' || fc, '' FROM doc0
+  UNION ALL SELECT d, 2, 5, 'footer_cell', '2:0' || {_U} || '+L' || fl, '' FROM doc0
+  UNION ALL
+  SELECT d, 2, 10 + r * 5 + c.c, 'cell',
+         'main' || {_U} || r || {_U} || c.c || {_U} ||
+         CASE c.c WHEN 0 THEN 'N' || r WHEN 1 THEN src_raw
+                  WHEN 2 THEN dst_raw WHEN 3 THEN color ELSE xsect END,
+         ''
+  FROM crows, UNNEST(RANGE(0, 5)) AS c(c)
 ),
 -- ===== emitted object/error spans, in emission order =======================
 -- page 0: per row r ascending — valid tags -> object span, empty -> error;
@@ -501,6 +636,26 @@ emit3 AS (
          'WARNING' || {_U} || 'Tag is invalid: ' || final_tag
   FROM rows3 WHERE r = 1
 ),
+-- page 2: per valid row src/dst xtargets then connection then link;
+-- t=4 pin-missing WARNING; t=5 empty-endpoint WARNING
+emit4 AS (
+  SELECT d, 2 AS page, r, 0 AS sub, 'object' AS kind,
+         'xtarget' || {_U} || src_guid AS text FROM clink
+  UNION ALL SELECT d, 2, r, 1, 'object', 'xtarget' || {_U} || dst_guid FROM clink
+  UNION ALL SELECT d, 2, r, 2, 'object', 'connection' || {_U} || conn_guid FROM clink
+  UNION ALL SELECT d, 2, r, 3, 'object', 'link' || {_U} || link_guid FROM clink
+  UNION ALL
+  SELECT d, 2, r, 0, 'error',
+         'WARNING' || {_U} ||
+         'Linked connection where one/no pins specified: `None` `' || dst_pin || '`'
+  FROM crows WHERE t = 4
+  UNION ALL
+  SELECT d, 2, r, 0, 'error',
+         'WARNING' || {_U} || 'row #' || r ||
+         ' skipped: one/both of the connection targets are empty (is that intended?): `` `'
+         || dst_raw || '`'
+  FROM crows WHERE t = 5
+),
 -- ===== full output sequence ================================================
 seq AS (
   SELECT d, page, 0 AS phase, ord, 0 AS sub, kind, text, mref FROM in_spans
@@ -510,6 +665,8 @@ seq AS (
   SELECT d, page, 1, r, sub, kind, text, '' FROM emit2
   UNION ALL
   SELECT d, page, 1, r, sub, kind, text, '' FROM emit3
+  UNION ALL
+  SELECT d, page, 1, r, sub, kind, text, '' FROM emit4
 ),
 numbered AS (
   SELECT d, kind, text, mref,
@@ -528,10 +685,12 @@ perdoc AS (
   FROM numbered GROUP BY d
 ),
 n_in AS (SELECT d, COUNT(*) AS n_spans_in FROM in_spans GROUP BY d),
--- errors are set-deduplicated per doc (distinct by construction here)
+-- errors are set-deduplicated per doc (identical pin-missing messages on
+-- one page collapse: two t=4 rows with equal dst pins emit ONE error row)
 n_err AS (
   SELECT d, COUNT(*) AS n_errors
-  FROM seq WHERE kind = 'error' GROUP BY d
+  FROM (SELECT DISTINCT d, page, text FROM seq WHERE kind = 'error')
+  GROUP BY d
 ),
 -- page-object edges (store_to_local_tuples drops kind='error' entries —
 -- errors are their own table): xtarget edges dedup by (page, guid)
@@ -579,6 +738,7 @@ def _attr_payload(name_expr: str, value_expr: str) -> str:
 
 EXTRACT_MERGE_DIGEST_SQL = (
     _PRELUDE
+    + _CONN_CTES
     + f"""
 -- rows that create attributes: page-0 non-empty-tag rows + both v3 rows
 , attr_rows AS (
@@ -597,10 +757,18 @@ attr_cells AS (
   UNION ALL SELECT d, page, lab, final_tag, is_pin, 'Manufacturer', a_man FROM attr_rows
   UNION ALL SELECT d, page, lab, final_tag, is_pin, 'Part number', a_part FROM attr_rows
 ),
+-- page-2 rows that create attributes (t<=4: the pin-missing row collects
+-- attrs before its WARNING; t=5 skips before collection)
+cattr_cells AS (
+  SELECT 'Color' AS name, color AS value FROM crows WHERE t <= 4
+  UNION ALL
+  SELECT 'Cross-section', xsect FROM crows WHERE t <= 4
+),
 simple_attrs AS (
   SELECT DISTINCT name || ':' || value AS guid_src,
          {_attr_payload("name", "value")} AS payload
-  FROM attr_cells
+  FROM (SELECT name, value FROM attr_cells
+        UNION ALL SELECT name, value FROM cattr_cells)
 ),
 loc_attrs AS (
   SELECT DISTINCT
@@ -608,16 +776,22 @@ loc_attrs AS (
            || (10 * lab + 10) || '.0)' AS guid_src,
          '{{"attr_type":"PDFLocationAttribute","name":"location","value_json":"'
            || replace({_LOC_JSON}, '"', '\\"') || '"}}' AS payload
-  FROM attr_rows
+  FROM (SELECT page, lab FROM attr_rows
+        UNION ALL SELECT 2, r FROM crows WHERE t <= 4)
 ),
 attr_deltas AS (
   SELECT 'attribute' || {_U} || {_uuid("guid_src")} AS mkey, payload
   FROM (SELECT * FROM simple_attrs UNION ALL SELECT * FROM loc_attrs)
 ),
--- xtargets: every non-pin row with a final tag, plus v3 junk (final = tag)
+-- xtargets: every non-pin row with a final tag, plus v3 junk (final = tag),
+-- plus the page-2 connection endpoints (device targets via xtarget())
 targets AS (
-  SELECT DISTINCT final_tag FROM attr_rows
-  WHERE final_tag IS NOT NULL AND NOT is_pin
+  SELECT DISTINCT final_tag FROM (
+    SELECT final_tag FROM attr_rows
+    WHERE final_tag IS NOT NULL AND NOT is_pin
+    UNION ALL SELECT src_tag FROM cvalid
+    UNION ALL SELECT dst_tag FROM cvalid
+  )
 ),
 xtarget_deltas AS (
   SELECT 'xtarget' || {_U} || {_uuid("final_tag")} AS mkey,
@@ -633,6 +807,13 @@ xattr_edges AS (
          'location:' || page || ':(0.0, ' || (10 * lab) || '.0, 1000.0, '
            || (10 * lab + 10) || '.0)'
   FROM attr_rows WHERE final_tag IS NOT NULL AND NOT is_pin
+  -- page-2 endpoints carry ONLY their row's location attribute
+  UNION
+  SELECT DISTINCT tag,
+         'location:2:(0.0, ' || (10 * r) || '.0, 1000.0, '
+           || (10 * r + 10) || '.0)'
+  FROM (SELECT src_tag AS tag, r FROM cvalid
+        UNION ALL SELECT dst_tag, r FROM cvalid)
 ),
 xtarget_attr_deltas AS (
   SELECT 'xtarget_attr' || {_U} || {_uuid("final_tag")} || {_U} ||
@@ -667,17 +848,101 @@ aspect_parts AS (
   UNION SELECT DISTINCT '+', 'L' || v3b FROM doc0 WHERE v = 3
   UNION SELECT DISTINCT '-', 'D' || lpad(CAST(v3c AS VARCHAR), 2, '0')
         FROM doc0 WHERE v = 3
+  -- page-2 src endpoints: own levels for full tags, footer levels for t=2
+  UNION SELECT DISTINCT '=', 'F0' || sa FROM cvalid WHERE t != 2
+  UNION SELECT DISTINCT '+', 'L' || sb FROM cvalid WHERE t != 2
+  UNION SELECT DISTINCT '=', 'F0' || fc FROM cvalid WHERE t = 2
+  UNION SELECT DISTINCT '+', 'L' || fl FROM cvalid WHERE t = 2
+  UNION SELECT DISTINCT '-', 'D' || lpad(CAST(sc AS VARCHAR), 2, '0') FROM cvalid
+  -- page-2 dst endpoints: always full
+  UNION SELECT DISTINCT '=', 'F0' || da FROM cvalid
+  UNION SELECT DISTINCT '+', 'L' || db FROM cvalid
+  UNION SELECT DISTINCT '-', 'D' || lpad(CAST(dc AS VARCHAR), 2, '0') FROM cvalid
 ),
 aspect_deltas AS (
   SELECT DISTINCT 'aspect' || {_U} || {_uuid("sep || value")} AS mkey,
          '{{"separator":"' || sep || '","value":"' || value || '"}}' AS payload
   FROM aspect_parts
 ),
+conn_deltas AS (
+  SELECT DISTINCT 'connection' || {_U} || conn_guid AS mkey,
+         '{{"dst_guid":"' || dst_guid || '","src_guid":"' || src_guid
+           || '","through_guid":null}}' AS payload
+  FROM clink
+),
+link_deltas AS (
+  SELECT DISTINCT 'link' || {_U} || link_guid AS mkey,
+         '{{"connection_guid":"' || conn_guid || '","dst_pin_name":"'
+           || dst_pin || '","name":"virtual_link","src_pin_name":"'
+           || src_pin || '"}}' AS payload
+  FROM clink
+),
+-- link attrs: the row's Color + Cross-section + location
+link_attr_deltas AS (
+  SELECT DISTINCT 'link_attr' || {_U} || link_guid || {_U}
+           || {_uuid("attr_src")} AS mkey, '' AS payload
+  FROM (
+    SELECT link_guid, 'Color:' || color AS attr_src FROM clink
+    UNION ALL SELECT link_guid, 'Cross-section:' || xsect FROM clink
+    UNION ALL
+    SELECT link_guid,
+           'location:2:(0.0, ' || (10 * r) || '.0, 1000.0, '
+             || (10 * r + 10) || '.0)'
+    FROM clink
+  )
+),
+-- pin chains: singles (src pin, shallow dst pin, the deep chain's tail),
+-- then the t=3 head whose child is the tail
+pin_singles AS (
+  SELECT name, role,
+         CASE role WHEN 'src' THEN 's:r:c' ELSE 'd:s:t' END AS rcj,
+         link_guid, is_tail, pd_name
+  FROM (
+    SELECT CAST(ps AS VARCHAR) AS name, 'src' AS role, link_guid,
+           FALSE AS is_tail, CAST(NULL AS VARCHAR) AS pd_name FROM clink
+    UNION ALL
+    SELECT CAST(pd AS VARCHAR), 'dst', link_guid, FALSE, NULL
+    FROM clink WHERE t <= 2
+    UNION ALL
+    SELECT p2, 'dst', link_guid, TRUE, CAST(pd AS VARCHAR)
+    FROM clink WHERE t = 3
+  )
+),
+pin_single_g AS (
+  SELECT *,
+         {_uuid(f"'PIN:' || name || ':' || rcj || ':CHILD:None:' || {_cj('link_guid')}")} AS guid
+  FROM pin_singles
+),
+pin_heads AS (
+  SELECT pd_name AS name, guid AS child_guid, link_guid,
+         name AS tail_name
+  FROM pin_single_g WHERE is_tail
+),
+pin_head_g AS (
+  SELECT *,
+         {_uuid(f"'PIN:' || name || ':d:s:t:' || {_cj('child_guid')} || ':' || {_cj('link_guid')}")} AS guid
+  FROM pin_heads
+),
+pin_deltas AS (
+  SELECT DISTINCT 'pin' || {_U} || guid AS mkey,
+         '{{"chain":["' || name || '"],"link_guid":"' || link_guid
+           || '","name":"' || name || '","role":"' || role || '"}}' AS payload
+  FROM pin_single_g
+  UNION
+  SELECT DISTINCT 'pin' || {_U} || guid,
+         '{{"chain":["' || name || '","' || tail_name || '"],"link_guid":"'
+           || link_guid || '","name":"' || name || '","role":"dst"}}'
+  FROM pin_head_g
+),
 all_deltas AS (
   SELECT * FROM attr_deltas
   UNION ALL SELECT * FROM xtarget_deltas
   UNION ALL SELECT * FROM xtarget_attr_deltas
   UNION ALL SELECT * FROM aspect_deltas
+  UNION ALL SELECT * FROM conn_deltas
+  UNION ALL SELECT * FROM link_deltas
+  UNION ALL SELECT * FROM link_attr_deltas
+  UNION ALL SELECT * FROM pin_deltas
 )
 SELECT split_part(mkey, {_U}, 1) AS kind,
        COUNT(*) AS n,

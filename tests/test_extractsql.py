@@ -25,8 +25,9 @@ from indu_doc_transformer_ray.spandoc import US, Span
 from indu_doc_transformer_ray.store import ExtractionStore
 
 # every d % 36 residue -> all (page-1 variant) x (row-count) combos, plus a
-# large id for digit-width coverage
-DOCS = list(range(36)) + [987654]
+# large id for digit-width coverage, plus docs whose two pin-missing rows
+# emit IDENTICAL messages (the error set-dedup path found at sf0.001)
+DOCS = list(range(36)) + [987654, 111, 138]
 
 
 def _single_process() -> tuple[list[tuple], list[tuple]]:
@@ -85,14 +86,17 @@ def test_sql_oracle_matches_engine(duck):
     assert sql_rows == eng_rows
     sql_merge = [tuple(r) for r in duck.execute(EXTRACT_MERGE_DIGEST_SQL).fetchall()]
     assert sql_merge == eng_merge
-    # every delta kind a DEVICE_TAG_LIST corpus can produce is present
+    # EVERY delta kind the engine can emit is present (the CONNECTION_LIST
+    # page drags in connection/link/link_attr/pin — round-5 phase B)
     assert [r[0] for r in sql_merge] == [
-        "aspect", "attribute", "xtarget", "xtarget_attr"
+        "aspect", "attribute", "connection", "link", "link_attr", "pin",
+        "xtarget", "xtarget_attr",
     ]
 
 
 def test_corpus_exercises_every_shape():
-    """All 9 tag shapes and all 4 page-1 variants occur in the test slice."""
+    """All 9 tag shapes, all 4 page-1 variants and all 6 connection-row
+    shapes occur in the test slice."""
     from indu_doc_transformer_ray.functions.extractsql import _h
 
     shapes = {
@@ -100,6 +104,10 @@ def test_corpus_exercises_every_shape():
     }
     assert shapes == set(range(9))
     assert {d % 4 for d in DOCS} == {0, 1, 2, 3}
+    conn_shapes = {
+        _h(f"sq:{d}:ct:{r}") % 6 for d in DOCS for r in range(2 + d % 2)
+    }
+    assert conn_shapes == set(range(6))
 
 
 def test_distributed_matches_single_process(ray_session):
