@@ -85,19 +85,23 @@ def _extract_spans(sf_dir: str):
 
 def _extract_object_stats(sf_dir: str):
     """Object counts per table (the reference's get_stats, G12), fully
-    distributed: one extraction pass emits (table_name, key, n) partial rows
-    — one per pre-combined delta (n=1) plus per-batch doc-scoped sums under
-    a batch-unique key — then ``groupby(kind,key).Max`` deduplicates mkeys
-    across batches and ``groupby(kind).Sum`` folds to <=9 rows.  COUNT
-    DISTINCT and SUM ride the same two shuffles; nothing corpus-sized
-    touches the driver."""
+    distributed.  The exchange is the same 256-bucket GUID co-location the
+    flagship merge uses (``_bucketize``), NOT a raw groupby over the
+    corpus-proportional mkey domain — a previous version grouped by
+    (kind, key) directly and paid Ray's per-group cost on hundreds of
+    thousands of groups (the session-5 cliff; 7.2 s at sf0.1).  Each
+    bucket kernel dedups mkeys and emits per-kind distinct counts (<= 11
+    rows per bucket); a final tiny groupby folds buckets.  Doc-scoped
+    errors/page_objects counts ride per-batch partial sums under the same
+    fold."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Sum
 
     from indu_doc_transformer_ray.deltas import US
     from indu_doc_transformer_ray.pipelines.extract import (
+        _bucketize,
         _explode_deltas,
         extract_corpus_cached,
     )
@@ -111,36 +115,24 @@ def _extract_object_stats(sf_dir: str):
     }
 
     def partials(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
-        combined = _explode_deltas(batch)
-        # vectorized kind->table mapping: split at the dictionary level
-        # (a handful of distinct kinds), never per row
-        mkey = combined.column("mkey").combine_chunks()
-        kind0 = pc.list_element(pc.split_pattern(mkey, US, max_splits=1), 0)
-        if isinstance(kind0, pa.ChunkedArray):
-            kind0 = kind0.combine_chunks()
-        enc = pc.dictionary_encode(kind0)
-        mapped = pa.array(
-            [_KIND_TO_TABLE[v] for v in enc.dictionary.to_pylist()], pa.string()
-        )
-        kinds = pc.cast(
-            pa.DictionaryArray.from_arrays(enc.indices, mapped), pa.string()
-        )
+        # batch-combined deltas keyed into the merge's GUID buckets, plus
+        # the doc-scoped sums as two pre-folded rows in a reserved bucket
+        combined = _bucketize(_explode_deltas(batch))
         delta_rows = pa.table(
             {
-                "kind": kinds,
-                "key": mkey,
-                "n": pa.array(np.ones(combined.num_rows, dtype=np.int64)),
+                "bucket": combined.column("bucket"),
+                "mkey": combined.column("mkey"),
+                "n": pa.array([1] * combined.num_rows, pa.int64()),
             }
         )
-        # doc-scoped sums: per-batch partials keyed by the batch's first
-        # doc_id (each doc lives in exactly one batch -> keys never collide)
         uniq = str(batch.column("doc_id")[0].as_py())
         local_rows = pa.table(
             {
-                "kind": pa.array(["errors", "page_objects"], pa.string()),
-                "key": pa.array([f"\x00batch:{uniq}"] * 2, pa.string()),
+                "bucket": pa.array(["\x00local", "\x00local"], pa.string()),
+                "mkey": pa.array(
+                    [f"errors\x00{uniq}", f"page_objects\x00{uniq}"],
+                    pa.string(),
+                ),
                 "n": pa.array(
                     [
                         pc.sum(batch.column("n_errors")).as_py() or 0,
@@ -152,14 +144,50 @@ def _extract_object_stats(sf_dir: str):
         )
         return pa.concat_tables([delta_rows, local_rows])
 
+    def fold_bucket(t: pa.Table) -> pa.Table:
+        # one GUID bucket: dedup mkeys (vectorized), count distinct per
+        # kind; the reserved local bucket sums its pre-folded rows instead
+        if t.column("bucket")[0].as_py() == "\x00local":
+            kind = pc.list_element(
+                pc.split_pattern(t.column("mkey"), "\x00", max_splits=1), 0
+            )
+            g = (
+                pa.table({"kind": kind, "n": t.column("n")})
+                .group_by("kind")
+                .aggregate([("n", "sum")])
+            )
+            return g.rename_columns(["kind", "n"])
+        uniq = pc.unique(t.column("mkey").combine_chunks())
+        kind0 = pc.list_element(
+            pc.split_pattern(uniq, US, max_splits=1), 0
+        )
+        enc = pc.dictionary_encode(
+            kind0.combine_chunks()
+            if isinstance(kind0, pa.ChunkedArray)
+            else kind0
+        )
+        mapped = pa.array(
+            [_KIND_TO_TABLE[v] for v in enc.dictionary.to_pylist()],
+            pa.string(),
+        )
+        kinds = pc.cast(
+            pa.DictionaryArray.from_arrays(enc.indices, mapped), pa.string()
+        )
+        g = (
+            pa.table({"kind": kinds, "n": pa.array([1] * len(uniq), pa.int64())})
+            .group_by("kind")
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["kind", "n"])
+
     extracted = extract_corpus_cached(sf_dir)
     out = (
         extracted.select_columns(["doc_id", "deltas", "n_errors", "n_page_objects"])
         .map_batches(partials, batch_format="pyarrow")
-        .groupby(["kind", "key"])
-        .aggregate(Max("n", alias_name="m"))  # dedup mkeys across batches
+        .groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pyarrow")
         .groupby("kind")
-        .aggregate(Sum("m", alias_name="n"))
+        .aggregate(Sum("n", alias_name="n"))
         .to_pandas()  # <= 9 rows
     )
     out = out.rename(columns={"kind": "table_name"}).astype({"n": "int64"})

@@ -166,3 +166,18 @@ def test_distributed_matches_single_process(ray_session):
     eng_rows, eng_merge = _single_process()
     assert sorted(got_rows) == eng_rows
     assert got_merge == eng_merge
+
+
+def test_extract_object_stats_matches_object_tables(ray_session):
+    """The bucketed stats fold (round-5 cliff fix) must equal per-table
+    row counts of the fully decoded object tables on the same corpus."""
+    import __ray_entry__ as entry
+    from indu_doc_transformer_ray.pipelines import extract as ex
+
+    sf = "/root/testdata/sf0.001"
+    got = entry._extract_object_stats(sf)
+    tables = ex.object_tables_to_pylists(ex.extract_corpus_cached(sf))
+    want = {
+        name: len(rows) for name, rows in tables.items() if len(rows)
+    }
+    assert dict(zip(got["table_name"], got["n"])) == want
