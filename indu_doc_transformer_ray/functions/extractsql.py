@@ -149,6 +149,26 @@ def synth_doc_spans(d: int) -> list[tuple[str, str, str]]:
         cells = [_row_tag(d, r)] + _attr_values(d, r)
         for c, value in enumerate(cells):
             add(("cell", f"main{US}{r}{US}{c}{US}{value}", ""))
+    # planted char-run overlaps (the M4/M5 split/repair machinery):
+    #   d%5==0 — row 0: '97' (col-1 center) collides with 'zq' (col-2
+    #   center); both repair -> two INFO records, Quantity/Designation
+    #   attrs become the repaired texts while the raw cells keep the
+    #   originals.
+    #   d%5==3 — row 1: '88' (col-5 center) collides with 'yw' whose rect
+    #   center (607.5) falls OUTSIDE every cell -> one INFO repair + the
+    #   'could not repair (fully)' WARNING; Part number attr becomes '88'.
+    if d % 5 == 0:
+        add(("char_run", f"main{US}0{US}" + ";".join(
+            f"{ord(ch)}:{x0}:{x1}" for ch, x0, x1 in
+            [("9", 150, 160), ("7", 160, 170),
+             ("z", 165, 175), ("q", 245, 255)]
+        ), ""))
+    elif d % 5 == 3:
+        add(("char_run", f"main{US}1{US}" + ";".join(
+            f"{ord(ch)}:{x0}:{x1}" for ch, x0, x1 in
+            [("8", 510, 520), ("8", 520, 530),
+             ("y", 515, 525), ("w", 690, 700)]
+        ), ""))
 
     # -- page 1: dirty-path variant by d % 4 ------------------------------
     v = d % 4
@@ -439,7 +459,13 @@ rows0m AS (
            WHEN s = 5 THEN full_tag
            WHEN s = 8 THEN '=F0' || fa || '+L' || fb || tag
            ELSE NULL
-         END AS final_tag
+         END AS final_tag,
+         -- EFFECTIVE attribute values: the planted char-run overlaps
+         -- repair row-0 Quantity/Designation (d%5=0) and row-1 Part
+         -- number (d%5=3) before emission; raw cells keep the originals
+         CASE WHEN d % 5 = 0 AND r = 0 THEN '97' ELSE a_qty END AS a_qty_e,
+         CASE WHEN d % 5 = 0 AND r = 0 THEN 'zq' ELSE a_des END AS a_des_e,
+         CASE WHEN d % 5 = 3 AND r = 1 THEN '88' ELSE a_part END AS a_part_e
   FROM rows0t
 ),
 -- v3 page rows (r 0: clean full tag, r 1: unparseable junk)
@@ -565,6 +591,16 @@ EXTRACT_SPAN_DIGEST_SQL = (
                   WHEN 3 THEN a_typ WHEN 4 THEN a_man ELSE a_part END,
          ''
   FROM rows0t, UNNEST(RANGE(0, 6)) AS c(c)
+  -- planted char-run spans (appended after the page-0 cells; ord 50 >
+  -- any cell ord 7 + 6*6 - 1 = 42)
+  UNION ALL SELECT d, 0, 50, 'char_run',
+         'main' || {_U} || '0' || {_U} ||
+         '57:150:160;55:160:170;122:165:175;113:245:255', ''
+  FROM doc0 WHERE d % 5 = 0
+  UNION ALL SELECT d, 0, 50, 'char_run',
+         'main' || {_U} || '1' || {_U} ||
+         '56:510:520;56:520:530;121:515:525;119:690:700', ''
+  FROM doc0 WHERE d % 5 = 3
   -- page 1 header
   UNION ALL SELECT d, 1, 0, 'page_break', '', '' FROM doc0
   UNION ALL SELECT d, 1, 1, 'title',
@@ -609,8 +645,29 @@ EXTRACT_SPAN_DIGEST_SQL = (
 -- page 0: per row r ascending — valid tags -> object span, empty -> error;
 -- sub-ordinal 0 keeps single-entry rows simple
 emit0 AS (
-  SELECT d, 0 AS page, r, 0 AS sub, 'object' AS kind,
-         'xtarget' || {_U} || {_uuid("final_tag")} AS text
+  -- overlap-repair records surface BEFORE the emitter's rows (add_errors
+  -- runs first): ord -1 keeps them ahead of row 0
+  SELECT d, 0 AS page, -1 AS r, 0 AS sub, 'error' AS kind,
+         'INFO' || {_U} || 'row #0 overlap detected: replaced col #1: '
+           || a_qty || ' -> 97' AS text
+  FROM rows0t WHERE d % 5 = 0 AND r = 0
+  UNION ALL
+  SELECT d, 0, -1, 1, 'error',
+         'INFO' || {_U} || 'row #0 overlap detected: replaced col #2: '
+           || a_des || ' -> zq'
+  FROM rows0t WHERE d % 5 = 0 AND r = 0
+  UNION ALL
+  SELECT d, 0, -1, 0, 'error',
+         'INFO' || {_U} || 'row #1 overlap detected: replaced col #5: '
+           || a_part || ' -> 88'
+  FROM rows0t WHERE d % 5 = 3 AND r = 1
+  UNION ALL
+  SELECT d, 0, -1, 1, 'error',
+         'WARNING' || {_U} || 'row #1 overlap detected: could not repair (fully)'
+  FROM doc0 WHERE d % 5 = 3
+  UNION ALL
+  SELECT d, 0, r, 0, 'object',
+         'xtarget' || {_U} || {_uuid("final_tag")}
   FROM rows0m WHERE final_tag IS NOT NULL
   UNION ALL
   SELECT d, 0, r, 0, 'error',
@@ -742,7 +799,8 @@ EXTRACT_MERGE_DIGEST_SQL = (
     + f"""
 -- rows that create attributes: page-0 non-empty-tag rows + both v3 rows
 , attr_rows AS (
-  SELECT d, 0 AS page, r AS lab, a_qty, a_des, a_typ, a_man, a_part,
+  SELECT d, 0 AS page, r AS lab, a_qty_e AS a_qty, a_des_e AS a_des,
+         a_typ, a_man, a_part_e AS a_part,
          final_tag, (s = 6) AS is_pin
   FROM rows0m WHERE s != 7
   UNION ALL
