@@ -52,6 +52,14 @@ Corpus shape (per documents row, ``d`` = doc_id):
     WARNING — which drags the char-join GUID recipes (connection, link,
     pin chains) and the link_attr edges into the SQL replay, covering
     every merged delta kind the engine can emit.
+  page 3 — CABLE_OVERVIEW: through-cable connections over the 9-column
+    spec with an IGNORED column and the cable_tag forward-fill
+    placeholder (row 1's empty cable ffills row 0's); cable targets draw
+    from the same tag vocabulary as devices, so guid collisions exercise
+    the type-priority merge rule ('3␟cable' beats '2␟device' under the
+    payload max); row 2 is the empty-endpoints WARNING, row 3 (d%2) the
+    silent attrs-only path (one endpoint empty: attributes created, no
+    objects, no error).
 """
 
 from __future__ import annotations
@@ -218,7 +226,51 @@ def synth_doc_spans(d: int) -> list[tuple[str, str, str]]:
         xsect = f"X{_h(f'sq:{d}:xs:{r}') % 4}"
         for c, value in enumerate([f"N{r}", src, dst, color, xsect]):
             add(("cell", f"main{US}{r}{US}{c}{US}{value}", ""))
+
+    # -- page 3: CABLE_OVERVIEW -------------------------------------------
+    fg = _h(f"sq:{d}:fg") % 8 + 1
+    fh = _h(f"sq:{d}:fh") % 6 + 1
+    add(("page_break", "", ""))
+    add(("title", "Cable overview", ""))
+    add(("footer_cell", f"project{US}Proj-{(d + 3) % 7}", ""))
+    add(("footer_cell", f"product{US}Prod-{(d + 3) % 3}", ""))
+    add(("footer_cell", f"0:0{US}=F0{fg}", ""))
+    add(("footer_cell", f"2:0{US}+L{fh}", ""))
+    for r in range(3 + d % 2):
+        for c, value in enumerate(_cable_row(d, r)):
+            add(("cell", f"main{US}{r}{US}{c}{US}{value}", ""))
     return out
+
+
+def _cable_full(d: int, r: int, kind: str) -> str:
+    a = _h(f"sq:{d}:{kind}a:{r}") % 8 + 1
+    b = _h(f"sq:{d}:{kind}b:{r}") % 6 + 1
+    c = _h(f"sq:{d}:{kind}c:{r}") % 24 + 1
+    return f"=F0{a}+L{b}-D{c:02d}"
+
+
+def _cable_row(d: int, r: int) -> list[str]:
+    """CABLE_OVERVIEW row: 9 cells matching the spec's column order
+    (cable_tag, Col1[ignored], src_tag, dst_tag, + 5 attribute columns)."""
+    cab = _cable_full(d, r, "k")
+    src = _cable_full(d, r, "ks")
+    dst = _cable_full(d, r, "kd")
+    if r == 1:  # ffill placeholder: empty cable takes row 0's value
+        cab = ""
+        sc = _h(f"sq:{d}:ksc:{r}") % 24 + 1
+        src = f"-D{sc:02d}"  # footer-completed partial endpoint
+    elif r == 2:  # both endpoints empty -> WARNING skip
+        src = dst = ""
+    elif r == 3:  # one endpoint empty -> silent attrs-only row
+        src = ""
+    attrs = [
+        f"CT{_h(f'sq:{d}:kt:{r}') % 4}",
+        f"n{_h(f'sq:{d}:kn:{r}') % 5}",
+        f"X{_h(f'sq:{d}:kx:{r}') % 4}",
+        f"L{_h(f'sq:{d}:kl:{r}') % 9}",
+        f"ft-{_h(f'sq:{d}:kf:{r}') % 3}",
+    ]
+    return [cab, "x", src, dst, *attrs]
 
 
 def _conn_row_tags(d: int, r: int) -> tuple[str, str]:
@@ -410,6 +462,8 @@ doc0 AS (
          CAST(concat('0x', substr(md5('sq:' || d || ':v3c'), 1, 8)) AS UBIGINT) % 24 + 1 AS v3c,
          CAST(concat('0x', substr(md5('sq:' || d || ':fc'), 1, 8)) AS UBIGINT) % 8 + 1 AS fc,
          CAST(concat('0x', substr(md5('sq:' || d || ':fl'), 1, 8)) AS UBIGINT) % 6 + 1 AS fl,
+         CAST(concat('0x', substr(md5('sq:' || d || ':fg'), 1, 8)) AS UBIGINT) % 8 + 1 AS fg,
+         CAST(concat('0x', substr(md5('sq:' || d || ':fh'), 1, 8)) AS UBIGINT) % 6 + 1 AS fh,
          4 + d % 3 AS n_rows, 2 + d % 2 AS n2, d % 4 AS v, d % 10 AS junk
   FROM docs
 ),
@@ -565,7 +619,60 @@ cvalid AS (
   FROM crows WHERE t <= 3
 ),
 cconn AS (SELECT *, {_CONN_GUID} AS conn_guid FROM cvalid),
-clink AS (SELECT *, {_LINK_GUID} AS link_guid FROM cconn)
+clink AS (SELECT *, {_LINK_GUID} AS link_guid FROM cconn),
+-- page-3 CABLE_OVERVIEW rows
+krows0 AS (
+  SELECT doc0.*, r.r,
+         {_h8('ka')} % 8 + 1 AS ka, {_h8('kb')} % 6 + 1 AS kb,
+         {_h8('kc')} % 24 + 1 AS kc,
+         {_h8('ksa')} % 8 + 1 AS ksa, {_h8('ksb')} % 6 + 1 AS ksb,
+         {_h8('ksc')} % 24 + 1 AS ksc,
+         {_h8('kda')} % 8 + 1 AS kda, {_h8('kdb')} % 6 + 1 AS kdb,
+         {_h8('kdc')} % 24 + 1 AS kdc,
+         'CT' || ({_h8('kt')} % 4) AS kct,
+         'n' || ({_h8('kn')} % 5) AS kco,
+         'X' || ({_h8('kx')} % 4) AS kxs,
+         'L' || ({_h8('kl')} % 9) AS kln,
+         'ft-' || ({_h8('kf')} % 3) AS kft
+  FROM doc0, UNNEST(RANGE(0, 4)) AS r(r)
+  WHERE r.r < 3 + d % 2
+),
+krows1 AS (
+  SELECT *,
+         '=F0' || ka || '+L' || kb || '-D' || lpad(CAST(kc AS VARCHAR), 2, '0') AS cab_full,
+         '=F0' || ksa || '+L' || ksb || '-D' || lpad(CAST(ksc AS VARCHAR), 2, '0') AS src_full,
+         '=F0' || kda || '+L' || kdb || '-D' || lpad(CAST(kdc AS VARCHAR), 2, '0') AS dst_full
+  FROM krows0
+),
+krows AS (
+  SELECT *,
+         CASE WHEN r = 1 THEN '' ELSE cab_full END AS cab_raw,
+         CASE WHEN r = 1 THEN '-D' || lpad(CAST(ksc AS VARCHAR), 2, '0')
+              WHEN r >= 2 THEN '' ELSE src_full END AS src_raw,
+         CASE WHEN r = 2 THEN '' ELSE dst_full END AS dst_raw,
+         -- forward-fill: row 1's empty cable takes row 0's value
+         first_value(cab_full) OVER (PARTITION BY d ORDER BY r) AS cab0,
+         CASE WHEN r = 1 THEN '=F0' || fg || '+L' || fh || '-D'
+                || lpad(CAST(ksc AS VARCHAR), 2, '0')
+              ELSE src_full END AS src_tag
+  FROM krows1
+),
+kvalid AS (
+  SELECT *,
+         CASE WHEN r = 1 THEN cab0 ELSE cab_full END AS cab_tag,
+         dst_full AS dst_tag
+  FROM krows WHERE r <= 1
+),
+kguid AS (
+  SELECT *, {_uuid("cab_tag")} AS cab_guid, {_uuid("src_tag")} AS ksrc_guid,
+         {_uuid("dst_tag")} AS kdst_guid
+  FROM kvalid
+),
+kconn AS (
+  SELECT *,
+         {_uuid(f"'CONN:' || {_cj('ksrc_guid')} || ':' || {_cj('kdst_guid')} || ':' || {_cj('cab_guid')}")} AS kconn_guid
+  FROM kguid
+)
 """
 
 
@@ -640,6 +747,21 @@ EXTRACT_SPAN_DIGEST_SQL = (
                   WHEN 2 THEN dst_raw WHEN 3 THEN color ELSE xsect END,
          ''
   FROM crows, UNNEST(RANGE(0, 5)) AS c(c)
+  -- page 3 header + cells
+  UNION ALL SELECT d, 3, 0, 'page_break', '', '' FROM doc0
+  UNION ALL SELECT d, 3, 1, 'title', 'Cable overview', '' FROM doc0
+  UNION ALL SELECT d, 3, 2, 'footer_cell', 'project' || {_U} || 'Proj-' || ((d + 3) % 7), '' FROM doc0
+  UNION ALL SELECT d, 3, 3, 'footer_cell', 'product' || {_U} || 'Prod-' || ((d + 3) % 3), '' FROM doc0
+  UNION ALL SELECT d, 3, 4, 'footer_cell', '0:0' || {_U} || '=F0' || fg, '' FROM doc0
+  UNION ALL SELECT d, 3, 5, 'footer_cell', '2:0' || {_U} || '+L' || fh, '' FROM doc0
+  UNION ALL
+  SELECT d, 3, 10 + r * 9 + c.c, 'cell',
+         'main' || {_U} || r || {_U} || c.c || {_U} ||
+         CASE c.c WHEN 0 THEN cab_raw WHEN 1 THEN 'x' WHEN 2 THEN src_raw
+                  WHEN 3 THEN dst_raw WHEN 4 THEN kct WHEN 5 THEN kco
+                  WHEN 6 THEN kxs WHEN 7 THEN kln ELSE kft END,
+         ''
+  FROM krows, UNNEST(RANGE(0, 9)) AS c(c)
 ),
 -- ===== emitted object/error spans, in emission order =======================
 -- page 0: per row r ascending — valid tags -> object span, empty -> error;
@@ -713,6 +835,21 @@ emit4 AS (
          || dst_raw || '`'
   FROM crows WHERE t = 5
 ),
+-- page 3: per valid row through-cable then src/dst xtargets then
+-- connection; row 2 the empty-endpoints WARNING; row 3 emits NOTHING
+emit5 AS (
+  SELECT d, 3 AS page, r, 0 AS sub, 'object' AS kind,
+         'xtarget' || {_U} || cab_guid AS text FROM kconn
+  UNION ALL SELECT d, 3, r, 1, 'object', 'xtarget' || {_U} || ksrc_guid FROM kconn
+  UNION ALL SELECT d, 3, r, 2, 'object', 'xtarget' || {_U} || kdst_guid FROM kconn
+  UNION ALL SELECT d, 3, r, 3, 'object', 'connection' || {_U} || kconn_guid FROM kconn
+  UNION ALL
+  SELECT d, 3, r, 0, 'error',
+         'WARNING' || {_U} || 'row #' || r ||
+         ' skipped: empty cable tag (is that intended?): `' || cab_raw
+         || '` from=`` to=``'
+  FROM krows WHERE r = 2
+),
 -- ===== full output sequence ================================================
 seq AS (
   SELECT d, page, 0 AS phase, ord, 0 AS sub, kind, text, mref FROM in_spans
@@ -724,6 +861,8 @@ seq AS (
   SELECT d, page, 1, r, sub, kind, text, '' FROM emit3
   UNION ALL
   SELECT d, page, 1, r, sub, kind, text, '' FROM emit4
+  UNION ALL
+  SELECT d, page, 1, r, sub, kind, text, '' FROM emit5
 ),
 numbered AS (
   SELECT d, kind, text, mref,
@@ -821,6 +960,12 @@ cattr_cells AS (
   SELECT 'Color' AS name, color AS value FROM crows WHERE t <= 4
   UNION ALL
   SELECT 'Cross-section', xsect FROM crows WHERE t <= 4
+  -- page-3 rows 0/1/3 collect attrs (row 2 errors before collection)
+  UNION ALL SELECT 'Cable type', kct FROM krows WHERE r != 2
+  UNION ALL SELECT 'Conductors', kco FROM krows WHERE r != 2
+  UNION ALL SELECT 'Cross-section', kxs FROM krows WHERE r != 2
+  UNION ALL SELECT 'Length', kln FROM krows WHERE r != 2
+  UNION ALL SELECT 'Function text', kft FROM krows WHERE r != 2
 ),
 simple_attrs AS (
   SELECT DISTINCT name || ':' || value AS guid_src,
@@ -835,7 +980,8 @@ loc_attrs AS (
          '{{"attr_type":"PDFLocationAttribute","name":"location","value_json":"'
            || replace({_LOC_JSON}, '"', '\\"') || '"}}' AS payload
   FROM (SELECT page, lab FROM attr_rows
-        UNION ALL SELECT 2, r FROM crows WHERE t <= 4)
+        UNION ALL SELECT 2, r FROM crows WHERE t <= 4
+        UNION ALL SELECT 3, r FROM krows WHERE r != 2)
 ),
 attr_deltas AS (
   SELECT 'attribute' || {_U} || {_uuid("guid_src")} AS mkey, payload
@@ -843,21 +989,39 @@ attr_deltas AS (
 ),
 -- xtargets: every non-pin row with a final tag, plus v3 junk (final = tag),
 -- plus the page-2 connection endpoints (device targets via xtarget())
-targets AS (
+dev_targets AS (
   SELECT DISTINCT final_tag FROM (
     SELECT final_tag FROM attr_rows
     WHERE final_tag IS NOT NULL AND NOT is_pin
     UNION ALL SELECT src_tag FROM cvalid
     UNION ALL SELECT dst_tag FROM cvalid
+    UNION ALL SELECT src_tag FROM kvalid
+    UNION ALL SELECT dst_tag FROM kvalid
   )
 ),
+cab_targets AS (SELECT DISTINCT cab_tag FROM kvalid),
+-- the type-priority merge rule as payload max: a guid seen as BOTH a
+-- device and a through-cable keeps '3␟cable␟…' (cable prio 3 > device 2)
 xtarget_deltas AS (
-  SELECT 'xtarget' || {_U} || {_uuid("final_tag")} AS mkey,
-         '2' || {_U} || 'device' || {_U} || final_tag AS payload
-  FROM targets
+  SELECT 'xtarget' || {_U} || {_uuid("u.final_tag")} AS mkey,
+         CASE WHEN cab.cab_tag IS NOT NULL
+              THEN '3' || {_U} || 'cable' || {_U} || u.final_tag
+              ELSE '2' || {_U} || 'device' || {_U} || u.final_tag END AS payload
+  FROM (
+    SELECT DISTINCT final_tag FROM (
+      SELECT final_tag FROM dev_targets
+      UNION ALL SELECT cab_tag FROM cab_targets
+    )
+  ) u
+  LEFT JOIN cab_targets cab ON cab.cab_tag = u.final_tag
 ),
 -- xtarget_attr edges: each emitted xtarget's 5 simple attrs + its location
 xattr_edges AS (
+  -- outer DISTINCT: DuckDB 1.0's long UNION chains have been observed
+  -- leaking duplicate rows past the per-branch dedup (window-function
+  -- CTE branches feeding UNION); dedup explicitly, never rely on the
+  -- chained UNION alone
+  SELECT DISTINCT * FROM (
   SELECT DISTINCT final_tag, name || ':' || value AS attr_src
   FROM attr_cells WHERE final_tag IS NOT NULL AND NOT is_pin
   UNION
@@ -872,6 +1036,27 @@ xattr_edges AS (
            || (10 * r + 10) || '.0)'
   FROM (SELECT src_tag AS tag, r FROM cvalid
         UNION ALL SELECT dst_tag, r FROM cvalid)
+  -- page-3 endpoints: location only; the through-cable gets the row's
+  -- FULL attr tuple (emit_cable_overview passes attrs to the through)
+  UNION
+  SELECT DISTINCT tag,
+         'location:3:(0.0, ' || (10 * r) || '.0, 1000.0, '
+           || (10 * r + 10) || '.0)'
+  FROM (SELECT src_tag AS tag, r FROM kvalid
+        UNION ALL SELECT dst_tag, r FROM kvalid)
+  UNION
+  SELECT DISTINCT cab_tag, attr_src FROM (
+    SELECT cab_tag, 'Cable type:' || kct AS attr_src FROM kvalid
+    UNION ALL SELECT cab_tag, 'Conductors:' || kco FROM kvalid
+    UNION ALL SELECT cab_tag, 'Cross-section:' || kxs FROM kvalid
+    UNION ALL SELECT cab_tag, 'Length:' || kln FROM kvalid
+    UNION ALL SELECT cab_tag, 'Function text:' || kft FROM kvalid
+    UNION ALL
+    SELECT cab_tag, 'location:3:(0.0, ' || (10 * r) || '.0, 1000.0, '
+             || (10 * r + 10) || '.0)'
+    FROM kvalid
+  )
+  )
 ),
 xtarget_attr_deltas AS (
   SELECT 'xtarget_attr' || {_U} || {_uuid("final_tag")} || {_U} ||
@@ -886,6 +1071,7 @@ xtarget_attr_deltas AS (
 --   leading-space     parses stripped -> same three levels as full
 --   v3 junk           parse fails -> NO aspects
 aspect_parts AS (
+  SELECT DISTINCT * FROM (
   -- full / leading-space full: the row's own three levels
   SELECT DISTINCT '=' AS sep, 'F0' || a AS value FROM rows0m WHERE s <= 2 OR s = 5
   UNION SELECT DISTINCT '+', 'L' || b FROM rows0m WHERE s <= 2 OR s = 5
@@ -916,6 +1102,21 @@ aspect_parts AS (
   UNION SELECT DISTINCT '=', 'F0' || da FROM cvalid
   UNION SELECT DISTINCT '+', 'L' || db FROM cvalid
   UNION SELECT DISTINCT '-', 'D' || lpad(CAST(dc AS VARCHAR), 2, '0') FROM cvalid
+  -- page-3: row-0 cable levels (row 1 ffills the same tag), src levels
+  -- (r=0 full, r=1 footer-completed partial), dst levels rows 0-1
+  UNION SELECT DISTINCT '=', 'F0' || ka FROM kvalid WHERE r = 0
+  UNION SELECT DISTINCT '+', 'L' || kb FROM kvalid WHERE r = 0
+  UNION SELECT DISTINCT '-', 'D' || lpad(CAST(kc AS VARCHAR), 2, '0')
+        FROM kvalid WHERE r = 0
+  UNION SELECT DISTINCT '=', 'F0' || ksa FROM kvalid WHERE r = 0
+  UNION SELECT DISTINCT '+', 'L' || ksb FROM kvalid WHERE r = 0
+  UNION SELECT DISTINCT '=', 'F0' || fg FROM kvalid WHERE r = 1
+  UNION SELECT DISTINCT '+', 'L' || fh FROM kvalid WHERE r = 1
+  UNION SELECT DISTINCT '-', 'D' || lpad(CAST(ksc AS VARCHAR), 2, '0') FROM kvalid
+  UNION SELECT DISTINCT '=', 'F0' || kda FROM kvalid
+  UNION SELECT DISTINCT '+', 'L' || kdb FROM kvalid
+  UNION SELECT DISTINCT '-', 'D' || lpad(CAST(kdc AS VARCHAR), 2, '0') FROM kvalid
+  )
 ),
 aspect_deltas AS (
   SELECT DISTINCT 'aspect' || {_U} || {_uuid("sep || value")} AS mkey,
@@ -923,10 +1124,17 @@ aspect_deltas AS (
   FROM aspect_parts
 ),
 conn_deltas AS (
+  SELECT DISTINCT * FROM (
   SELECT DISTINCT 'connection' || {_U} || conn_guid AS mkey,
          '{{"dst_guid":"' || dst_guid || '","src_guid":"' || src_guid
            || '","through_guid":null}}' AS payload
   FROM clink
+  UNION
+  SELECT DISTINCT 'connection' || {_U} || kconn_guid,
+         '{{"dst_guid":"' || kdst_guid || '","src_guid":"' || ksrc_guid
+           || '","through_guid":"' || cab_guid || '"}}'
+  FROM kconn
+  )
 ),
 link_deltas AS (
   SELECT DISTINCT 'link' || {_U} || link_guid AS mkey,
@@ -982,6 +1190,7 @@ pin_head_g AS (
   FROM pin_heads
 ),
 pin_deltas AS (
+  SELECT DISTINCT * FROM (
   SELECT DISTINCT 'pin' || {_U} || guid AS mkey,
          '{{"chain":["' || name || '"],"link_guid":"' || link_guid
            || '","name":"' || name || '","role":"' || role || '"}}' AS payload
@@ -991,6 +1200,7 @@ pin_deltas AS (
          '{{"chain":["' || name || '","' || tail_name || '"],"link_guid":"'
            || link_guid || '","name":"' || name || '","role":"dst"}}'
   FROM pin_head_g
+  )
 ),
 all_deltas AS (
   SELECT * FROM attr_deltas
