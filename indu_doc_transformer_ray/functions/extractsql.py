@@ -60,6 +60,17 @@ Corpus shape (per documents row, ``d`` = doc_id):
     payload max); row 2 is the empty-endpoints WARNING, row 3 (d%2) the
     silent attrs-only path (one endpoint empty: attributes created, no
     objects, no error).
+  page 4 — TOPOLOGY: ';'-list cartesian fan-out (row 0: two sources x
+    one target -> two connections sharing the through-cable) and the
+    RoutingTracksAttribute: rows 0 and 1 carry the SAME two tracks in
+    OPPOSITE orders, so the sorted-tracks GUID collides while the
+    value_json differs — the engine's ONLY payload-collision max rule
+    fires and the oracle must emit the lexicographic winner.  Row 2
+    (d%2) is the empty-route WARNING.
+  page 5 — STRUCTURE_IDENTIFIER_OVERVIEW: standalone aspects WITH
+    attributes (the aspect_attr delta kind — absent from every other
+    page), an unparseable-aspect WARNING and a composite-structure
+    WARNING (d%2); attrs are collected even for failing rows.
 """
 
 from __future__ import annotations
@@ -239,7 +250,68 @@ def synth_doc_spans(d: int) -> list[tuple[str, str, str]]:
     for r in range(3 + d % 2):
         for c, value in enumerate(_cable_row(d, r)):
             add(("cell", f"main{US}{r}{US}{c}{US}{value}", ""))
+
+    # -- page 4: TOPOLOGY --------------------------------------------------
+    add(("page_break", "", ""))
+    add(("title", "Topology: Routed cables / connections", ""))
+    add(("footer_cell", f"project{US}Proj-{(d + 4) % 7}", ""))
+    add(("footer_cell", f"product{US}Prod-{(d + 4) % 3}", ""))
+    for r in range(2 + d % 2):
+        for c, value in enumerate(_topology_row(d, r)):
+            add(("cell", f"main{US}{r}{US}{c}{US}{value}", ""))
+
+    # -- page 5: STRUCTURE_IDENTIFIER_OVERVIEW -----------------------------
+    add(("page_break", "", ""))
+    add(("title", "Structure identifier overview", ""))
+    add(("footer_cell", f"project{US}Proj-{(d + 5) % 7}", ""))
+    add(("footer_cell", f"product{US}Prod-{(d + 5) % 3}", ""))
+    s0 = _h(f"sq:{d}:s0") % 6 + 1
+    s1 = _h(f"sq:{d}:s1") % 8 + 1
+    srows = [f"+L{s0}", f"=F0{s1}", f"JUNK{d % 10}"]
+    if d % 2:
+        srows.append("=F01+L2")  # composite structure -> WARNING
+    for r, tag in enumerate(srows):
+        desc = f"sd-{_h(f'sq:{d}:sd:{r}') % 5}"
+        for c, value in enumerate([tag, "x", desc]):
+            add(("cell", f"main{US}{r}{US}{c}{US}{value}", ""))
     return out
+
+
+def _topo_tracks(d: int) -> tuple[str, str]:
+    return (
+        f"R{_h(f'sq:{d}:tr') % 9}",
+        f"Q{_h(f'sq:{d}:tq') % 9}",
+    )
+
+
+def _topology_row(d: int, r: int) -> list[str]:
+    """TOPOLOGY row: 9 cells in spec order (designation, Part number, Type
+    number, Length [m], src_tags, Source connection length [m], route,
+    dst_tags, Target connection length [m])."""
+    tr, tq = _topo_tracks(d)
+    o = _h(f"sq:{d}:to") % 2
+    # row 0 carries (tr, tq) in order o, row 1 the SAME tracks reversed
+    route = f"{tr};{tq}" if (o == 0) == (r == 0) else f"{tq};{tr}"
+    desig = _cable_full(d, r, "t")
+    if r == 0:
+        src = f"{_cable_full(d, 0, 'u')};{_cable_full(d, 0, 'v')}"
+        dst = _cable_full(d, 0, "w")
+    elif r == 1:
+        src = _cable_full(d, 1, "u")
+        dst = _cable_full(d, 1, "w")
+    else:  # r == 2: empty route -> WARNING skip
+        src = _cable_full(d, 2, "u")
+        dst = _cable_full(d, 2, "w")
+        route = ""
+    attrs = [
+        f"P{_h(f'sq:{d}:tp:{r}') % 11}",
+        f"T{_h(f'sq:{d}:tt:{r}') % 9}",
+        f"m{_h(f'sq:{d}:tm:{r}') % 7}",
+        f"s{_h(f'sq:{d}:tsl:{r}') % 5}",
+        f"t{_h(f'sq:{d}:ttl:{r}') % 5}",
+    ]
+    return [desig, attrs[0], attrs[1], attrs[2], src, attrs[3],
+            route, dst, attrs[4]]
 
 
 def _cable_full(d: int, r: int, kind: str) -> str:
@@ -464,6 +536,11 @@ doc0 AS (
          CAST(concat('0x', substr(md5('sq:' || d || ':fl'), 1, 8)) AS UBIGINT) % 6 + 1 AS fl,
          CAST(concat('0x', substr(md5('sq:' || d || ':fg'), 1, 8)) AS UBIGINT) % 8 + 1 AS fg,
          CAST(concat('0x', substr(md5('sq:' || d || ':fh'), 1, 8)) AS UBIGINT) % 6 + 1 AS fh,
+         'R' || (CAST(concat('0x', substr(md5('sq:' || d || ':tr'), 1, 8)) AS UBIGINT) % 9) AS trk_r,
+         'Q' || (CAST(concat('0x', substr(md5('sq:' || d || ':tq'), 1, 8)) AS UBIGINT) % 9) AS trk_q,
+         CAST(concat('0x', substr(md5('sq:' || d || ':to'), 1, 8)) AS UBIGINT) % 2 AS t_o,
+         CAST(concat('0x', substr(md5('sq:' || d || ':s0'), 1, 8)) AS UBIGINT) % 6 + 1 AS s0v,
+         CAST(concat('0x', substr(md5('sq:' || d || ':s1'), 1, 8)) AS UBIGINT) % 8 + 1 AS s1v,
          4 + d % 3 AS n_rows, 2 + d % 2 AS n2, d % 4 AS v, d % 10 AS junk
   FROM docs
 ),
@@ -672,6 +749,61 @@ kconn AS (
   SELECT *,
          {_uuid(f"'CONN:' || {_cj('ksrc_guid')} || ':' || {_cj('kdst_guid')} || ':' || {_cj('cab_guid')}")} AS kconn_guid
   FROM kguid
+),
+-- page-4 TOPOLOGY rows
+trows0 AS (
+  SELECT doc0.*, r.r,
+         {_h8('ta')} % 8 + 1 AS ta, {_h8('tb')} % 6 + 1 AS tb2,
+         {_h8('tc')} % 24 + 1 AS tc2,
+         {_h8('ua')} % 8 + 1 AS ua, {_h8('ub')} % 6 + 1 AS ub,
+         {_h8('uc')} % 24 + 1 AS uc,
+         {_h8('va')} % 8 + 1 AS va, {_h8('vb')} % 6 + 1 AS vb,
+         {_h8('vc')} % 24 + 1 AS vc,
+         {_h8('wa')} % 8 + 1 AS wa, {_h8('wb')} % 6 + 1 AS wb,
+         {_h8('wc')} % 24 + 1 AS wc,
+         'P' || ({_h8('tp')} % 11) AS tpn,
+         'T' || ({_h8('tt')} % 9) AS ttn,
+         'm' || ({_h8('tm')} % 7) AS tlm,
+         's' || ({_h8('tsl')} % 5) AS tsl2,
+         't' || ({_h8('ttl')} % 5) AS ttl2
+  FROM doc0, UNNEST(RANGE(0, 3)) AS r(r)
+  WHERE r.r < 2 + d % 2
+),
+trows AS (
+  SELECT *,
+         '=F0' || ta || '+L' || tb2 || '-D' || lpad(CAST(tc2 AS VARCHAR), 2, '0') AS desig,
+         '=F0' || ua || '+L' || ub || '-D' || lpad(CAST(uc AS VARCHAR), 2, '0') AS u_tag,
+         '=F0' || va || '+L' || vb || '-D' || lpad(CAST(vc AS VARCHAR), 2, '0') AS v_tag,
+         '=F0' || wa || '+L' || wb || '-D' || lpad(CAST(wc AS VARCHAR), 2, '0') AS w_tag,
+         CASE WHEN r = 2 THEN ''
+              WHEN (t_o = 0) = (r = 0) THEN trk_r || ';' || trk_q
+              ELSE trk_q || ';' || trk_r END AS route
+  FROM trows0
+),
+-- one row per (topology row, src-list element): the ';' cartesian fan-out
+tpairs AS (
+  SELECT *, 0 AS p, u_tag AS tsrc FROM trows WHERE r <= 1
+  UNION ALL
+  SELECT *, 1, v_tag FROM trows WHERE r = 0
+),
+tguid AS (
+  SELECT *, {_uuid("desig")} AS thr_guid, {_uuid("tsrc")} AS tsrc_guid,
+         {_uuid("w_tag")} AS tdst_guid
+  FROM tpairs
+),
+tconn AS (
+  SELECT *,
+         {_uuid(f"'CONN:' || {_cj('tsrc_guid')} || ':' || {_cj('tdst_guid')} || ':' || {_cj('thr_guid')}")} AS tconn_guid
+  FROM tguid
+),
+-- page-5 STRUCTURE rows
+xrows AS (
+  SELECT doc0.*, r.r,
+         CASE r.r WHEN 0 THEN '+L' || s0v WHEN 1 THEN '=F0' || s1v
+                  WHEN 2 THEN 'JUNK' || junk ELSE '=F01+L2' END AS stag,
+         'sd-' || ({_h8('sd')} % 5) AS sdesc
+  FROM doc0, UNNEST(RANGE(0, 4)) AS r(r)
+  WHERE r.r < 3 + d % 2
 )
 """
 
@@ -762,6 +894,33 @@ EXTRACT_SPAN_DIGEST_SQL = (
                   WHEN 6 THEN kxs WHEN 7 THEN kln ELSE kft END,
          ''
   FROM krows, UNNEST(RANGE(0, 9)) AS c(c)
+  -- page 4 header + cells (no footer hierarchy slots)
+  UNION ALL SELECT d, 4, 0, 'page_break', '', '' FROM doc0
+  UNION ALL SELECT d, 4, 1, 'title', 'Topology: Routed cables / connections', '' FROM doc0
+  UNION ALL SELECT d, 4, 2, 'footer_cell', 'project' || {_U} || 'Proj-' || ((d + 4) % 7), '' FROM doc0
+  UNION ALL SELECT d, 4, 3, 'footer_cell', 'product' || {_U} || 'Prod-' || ((d + 4) % 3), '' FROM doc0
+  UNION ALL
+  SELECT d, 4, 10 + r * 9 + c.c, 'cell',
+         'main' || {_U} || r || {_U} || c.c || {_U} ||
+         CASE c.c WHEN 0 THEN desig WHEN 1 THEN tpn WHEN 2 THEN ttn
+                  WHEN 3 THEN tlm
+                  WHEN 4 THEN CASE WHEN r = 0 THEN u_tag || ';' || v_tag
+                                   ELSE u_tag END
+                  WHEN 5 THEN tsl2 WHEN 6 THEN route
+                  WHEN 7 THEN w_tag ELSE ttl2 END,
+         ''
+  FROM trows, UNNEST(RANGE(0, 9)) AS c(c)
+  -- page 5 header + cells
+  UNION ALL SELECT d, 5, 0, 'page_break', '', '' FROM doc0
+  UNION ALL SELECT d, 5, 1, 'title', 'Structure identifier overview', '' FROM doc0
+  UNION ALL SELECT d, 5, 2, 'footer_cell', 'project' || {_U} || 'Proj-' || ((d + 5) % 7), '' FROM doc0
+  UNION ALL SELECT d, 5, 3, 'footer_cell', 'product' || {_U} || 'Prod-' || ((d + 5) % 3), '' FROM doc0
+  UNION ALL
+  SELECT d, 5, 10 + r * 3 + c.c, 'cell',
+         'main' || {_U} || r || {_U} || c.c || {_U} ||
+         CASE c.c WHEN 0 THEN stag WHEN 1 THEN 'x' ELSE sdesc END,
+         ''
+  FROM xrows, UNNEST(RANGE(0, 3)) AS c(c)
 ),
 -- ===== emitted object/error spans, in emission order =======================
 -- page 0: per row r ascending — valid tags -> object span, empty -> error;
@@ -850,6 +1009,34 @@ emit5 AS (
          || '` from=`` to=``'
   FROM krows WHERE r = 2
 ),
+-- page 4: per (row, src-element) pair: through, src, dst, connection;
+-- row 2 the empty-route WARNING
+emit6 AS (
+  SELECT d, 4 AS page, r, p * 4 + 0 AS sub, 'object' AS kind,
+         'xtarget' || {_U} || thr_guid AS text FROM tconn
+  UNION ALL SELECT d, 4, r, p * 4 + 1, 'object', 'xtarget' || {_U} || tsrc_guid FROM tconn
+  UNION ALL SELECT d, 4, r, p * 4 + 2, 'object', 'xtarget' || {_U} || tdst_guid FROM tconn
+  UNION ALL SELECT d, 4, r, p * 4 + 3, 'object', 'connection' || {_U} || tconn_guid FROM tconn
+  UNION ALL
+  SELECT d, 4, r, 0, 'error',
+         'WARNING' || {_U} || 'row #' || r ||
+         ' skipped: empty topology tag (is that intended?): `' || desig
+         || '` from=`' || u_tag || '` to=`' || w_tag || '` route=``'
+  FROM trows WHERE r = 2
+),
+-- page 5: aspects never map; only the two parse-failure WARNINGs emit
+emit7 AS (
+  SELECT d, 5 AS page, r, 0 AS sub, 'error' AS kind,
+         'WARNING' || {_U} ||
+         'Failed to create aspect with tag: ''' || stag || '''' AS text
+  FROM xrows WHERE r = 2
+  UNION ALL
+  SELECT d, 5, r, 0, 'error',
+         'WARNING' || {_U} ||
+         'Failed to create aspect with tag: ''' || stag
+         || ''' - has composite structure'
+  FROM xrows WHERE r = 3
+),
 -- ===== full output sequence ================================================
 seq AS (
   SELECT d, page, 0 AS phase, ord, 0 AS sub, kind, text, mref FROM in_spans
@@ -863,6 +1050,10 @@ seq AS (
   SELECT d, page, 1, r, sub, kind, text, '' FROM emit4
   UNION ALL
   SELECT d, page, 1, r, sub, kind, text, '' FROM emit5
+  UNION ALL
+  SELECT d, page, 1, r, sub, kind, text, '' FROM emit6
+  UNION ALL
+  SELECT d, page, 1, r, sub, kind, text, '' FROM emit7
 ),
 numbered AS (
   SELECT d, kind, text, mref,
@@ -966,6 +1157,24 @@ cattr_cells AS (
   UNION ALL SELECT 'Cross-section', kxs FROM krows WHERE r != 2
   UNION ALL SELECT 'Length', kln FROM krows WHERE r != 2
   UNION ALL SELECT 'Function text', kft FROM krows WHERE r != 2
+  -- page-4 rows 0/1 (row 2's empty route errors before collection)
+  UNION ALL SELECT 'Part number', tpn FROM trows WHERE r <= 1
+  UNION ALL SELECT 'Type number', ttn FROM trows WHERE r <= 1
+  UNION ALL SELECT 'Length [m]', tlm FROM trows WHERE r <= 1
+  UNION ALL SELECT 'Source connection length [m]', tsl2 FROM trows WHERE r <= 1
+  UNION ALL SELECT 'Target connection length [m]', ttl2 FROM trows WHERE r <= 1
+  -- page-5: EVERY row collects attrs (no skip before the aspect factory)
+  UNION ALL SELECT 'Structure description', sdesc FROM xrows
+),
+-- the RoutingTracksAttribute: rows 0/1 carry the same tracks in opposite
+-- orders -> ONE sorted-tracks guid, TWO value_json variants; the merged
+-- payload is the lexicographic max = the R-first variant ('["R' > '["Q')
+routing_attrs AS (
+  SELECT DISTINCT 'route:' || trk_q || ';' || trk_r AS guid_src,
+         '{{"attr_type":"RoutingTracksAttribute","name":"route","value_json":"'
+           || replace('{{"name":"route","tracks":["' || trk_r || '","'
+                        || trk_q || '"]}}', '"', '\\"') || '"}}' AS payload
+  FROM doc0
 ),
 simple_attrs AS (
   SELECT DISTINCT name || ':' || value AS guid_src,
@@ -981,11 +1190,14 @@ loc_attrs AS (
            || replace({_LOC_JSON}, '"', '\\"') || '"}}' AS payload
   FROM (SELECT page, lab FROM attr_rows
         UNION ALL SELECT 2, r FROM crows WHERE t <= 4
-        UNION ALL SELECT 3, r FROM krows WHERE r != 2)
+        UNION ALL SELECT 3, r FROM krows WHERE r != 2
+        UNION ALL SELECT 4, r FROM trows WHERE r <= 1
+        UNION ALL SELECT 5, r FROM xrows)
 ),
 attr_deltas AS (
   SELECT 'attribute' || {_U} || {_uuid("guid_src")} AS mkey, payload
-  FROM (SELECT * FROM simple_attrs UNION ALL SELECT * FROM loc_attrs)
+  FROM (SELECT * FROM simple_attrs UNION ALL SELECT * FROM loc_attrs
+        UNION ALL SELECT * FROM routing_attrs)
 ),
 -- xtargets: every non-pin row with a final tag, plus v3 junk (final = tag),
 -- plus the page-2 connection endpoints (device targets via xtarget())
@@ -997,9 +1209,16 @@ dev_targets AS (
     UNION ALL SELECT dst_tag FROM cvalid
     UNION ALL SELECT src_tag FROM kvalid
     UNION ALL SELECT dst_tag FROM kvalid
+    UNION ALL SELECT tsrc FROM tpairs
+    UNION ALL SELECT w_tag FROM trows WHERE r <= 1
   )
 ),
-cab_targets AS (SELECT DISTINCT cab_tag FROM kvalid),
+cab_targets AS (
+  SELECT DISTINCT cab_tag FROM (
+    SELECT cab_tag FROM kvalid
+    UNION ALL SELECT desig FROM trows WHERE r <= 1
+  )
+),
 -- the type-priority merge rule as payload max: a guid seen as BOTH a
 -- device and a through-cable keeps '3␟cable␟…' (cable prio 3 > device 2)
 xtarget_deltas AS (
@@ -1055,6 +1274,27 @@ xattr_edges AS (
     SELECT cab_tag, 'location:3:(0.0, ' || (10 * r) || '.0, 1000.0, '
              || (10 * r + 10) || '.0)'
     FROM kvalid
+  )
+  -- page-4 endpoints: location only; the topology designation (through)
+  -- carries the 5 simple attrs + location + the ROUTING attribute
+  UNION
+  SELECT DISTINCT tag,
+         'location:4:(0.0, ' || (10 * r) || '.0, 1000.0, '
+           || (10 * r + 10) || '.0)'
+  FROM (SELECT tsrc AS tag, r FROM tpairs
+        UNION ALL SELECT w_tag, r FROM trows WHERE r <= 1)
+  UNION
+  SELECT DISTINCT desig, attr_src FROM (
+    SELECT desig, 'Part number:' || tpn AS attr_src FROM trows WHERE r <= 1
+    UNION ALL SELECT desig, 'Type number:' || ttn FROM trows WHERE r <= 1
+    UNION ALL SELECT desig, 'Length [m]:' || tlm FROM trows WHERE r <= 1
+    UNION ALL SELECT desig, 'Source connection length [m]:' || tsl2 FROM trows WHERE r <= 1
+    UNION ALL SELECT desig, 'Target connection length [m]:' || ttl2 FROM trows WHERE r <= 1
+    UNION ALL SELECT desig, 'route:' || trk_q || ';' || trk_r FROM trows WHERE r <= 1
+    UNION ALL
+    SELECT desig, 'location:4:(0.0, ' || (10 * r) || '.0, 1000.0, '
+             || (10 * r + 10) || '.0)'
+    FROM trows WHERE r <= 1
   )
   )
 ),
@@ -1116,6 +1356,22 @@ aspect_parts AS (
   UNION SELECT DISTINCT '=', 'F0' || kda FROM kvalid
   UNION SELECT DISTINCT '+', 'L' || kdb FROM kvalid
   UNION SELECT DISTINCT '-', 'D' || lpad(CAST(kdc AS VARCHAR), 2, '0') FROM kvalid
+  -- page-4 tags (designation + endpoints, all full)
+  UNION SELECT DISTINCT '=', 'F0' || ta FROM trows WHERE r <= 1
+  UNION SELECT DISTINCT '+', 'L' || tb2 FROM trows WHERE r <= 1
+  UNION SELECT DISTINCT '-', 'D' || lpad(CAST(tc2 AS VARCHAR), 2, '0') FROM trows WHERE r <= 1
+  UNION SELECT DISTINCT '=', 'F0' || ua FROM trows WHERE r <= 1
+  UNION SELECT DISTINCT '+', 'L' || ub FROM trows WHERE r <= 1
+  UNION SELECT DISTINCT '-', 'D' || lpad(CAST(uc AS VARCHAR), 2, '0') FROM trows WHERE r <= 1
+  UNION SELECT DISTINCT '=', 'F0' || va FROM trows WHERE r = 0
+  UNION SELECT DISTINCT '+', 'L' || vb FROM trows WHERE r = 0
+  UNION SELECT DISTINCT '-', 'D' || lpad(CAST(vc AS VARCHAR), 2, '0') FROM trows WHERE r = 0
+  UNION SELECT DISTINCT '=', 'F0' || wa FROM trows WHERE r <= 1
+  UNION SELECT DISTINCT '+', 'L' || wb FROM trows WHERE r <= 1
+  UNION SELECT DISTINCT '-', 'D' || lpad(CAST(wc AS VARCHAR), 2, '0') FROM trows WHERE r <= 1
+  -- page-5 standalone aspects (rows 0/1; parse failures register nothing)
+  UNION SELECT DISTINCT '+', 'L' || s0v FROM doc0
+  UNION SELECT DISTINCT '=', 'F0' || s1v FROM doc0
   )
 ),
 aspect_deltas AS (
@@ -1134,6 +1390,25 @@ conn_deltas AS (
          '{{"dst_guid":"' || kdst_guid || '","src_guid":"' || ksrc_guid
            || '","through_guid":"' || cab_guid || '"}}'
   FROM kconn
+  UNION
+  SELECT DISTINCT 'connection' || {_U} || tconn_guid,
+         '{{"dst_guid":"' || tdst_guid || '","src_guid":"' || tsrc_guid
+           || '","through_guid":"' || thr_guid || '"}}'
+  FROM tconn
+  )
+),
+-- aspect_attr: the STRUCTURE page's aspects carry the description attr
+-- and the row location (the only emitter that attaches attrs to aspects)
+aspect_attr_deltas AS (
+  SELECT DISTINCT 'aspect_attr' || {_U} || {_uuid("stag")} || {_U}
+           || {_uuid("attr_src")} AS mkey, '' AS payload
+  FROM (
+    SELECT stag, 'Structure description:' || sdesc AS attr_src
+    FROM xrows WHERE r <= 1
+    UNION ALL
+    SELECT stag, 'location:5:(0.0, ' || (10 * r) || '.0, 1000.0, '
+             || (10 * r + 10) || '.0)'
+    FROM xrows WHERE r <= 1
   )
 ),
 link_deltas AS (
@@ -1207,6 +1482,7 @@ all_deltas AS (
   UNION ALL SELECT * FROM xtarget_deltas
   UNION ALL SELECT * FROM xtarget_attr_deltas
   UNION ALL SELECT * FROM aspect_deltas
+  UNION ALL SELECT * FROM aspect_attr_deltas
   UNION ALL SELECT * FROM conn_deltas
   UNION ALL SELECT * FROM link_deltas
   UNION ALL SELECT * FROM link_attr_deltas

@@ -86,11 +86,13 @@ def test_sql_oracle_matches_engine(duck):
     assert sql_rows == eng_rows
     sql_merge = [tuple(r) for r in duck.execute(EXTRACT_MERGE_DIGEST_SQL).fetchall()]
     assert sql_merge == eng_merge
-    # EVERY delta kind the engine can emit is present (the CONNECTION_LIST
-    # page drags in connection/link/link_attr/pin — round-5 phase B)
+    # EVERY merged delta kind the engine can emit is present: phase B
+    # (CONNECTION_LIST) added connection/link/link_attr/pin, phase E/F
+    # (TOPOLOGY + STRUCTURE) added the routing-collision attribute and
+    # the aspect_attr edges
     assert [r[0] for r in sql_merge] == [
-        "aspect", "attribute", "connection", "link", "link_attr", "pin",
-        "xtarget", "xtarget_attr",
+        "aspect", "aspect_attr", "attribute", "connection", "link",
+        "link_attr", "pin", "xtarget", "xtarget_attr",
     ]
 
 
