@@ -71,6 +71,12 @@ Corpus shape (per documents row, ``d`` = doc_id):
     attributes (the aspect_attr delta kind — absent from every other
     page), an unparseable-aspect WARNING and a composite-structure
     WARNING (d%2); attrs are collected even for failing rows.
+  page 6 — PLC_DIAGRAM: the PLCAddressAttribute (sorted k=v meta GUID +
+    nested-JSON payload — the last attribute type) plus BOTH forward-fill
+    placeholder kinds: row 1's empty tag ffills row 0's (same device,
+    second PLC attr unioned on) and its '=' Function text ffills row 0's
+    value; one empty meta value drops from the dict; row 2 (d%2) the
+    empty-address WARNING.
 """
 
 from __future__ import annotations
@@ -274,7 +280,39 @@ def synth_doc_spans(d: int) -> list[tuple[str, str, str]]:
         desc = f"sd-{_h(f'sq:{d}:sd:{r}') % 5}"
         for c, value in enumerate([tag, "x", desc]):
             add(("cell", f"main{US}{r}{US}{c}{US}{value}", ""))
+
+    # -- page 6: PLC_DIAGRAM -----------------------------------------------
+    add(("page_break", "", ""))
+    add(("title", "PLC diagram", ""))
+    add(("footer_cell", f"project{US}Proj-{(d + 6) % 7}", ""))
+    add(("footer_cell", f"product{US}Prod-{(d + 6) % 3}", ""))
+    for r in range(2 + d % 2):
+        for c, value in enumerate(_plc_row(d, r)):
+            add(("cell", f"main{US}{r}{US}{c}{US}{value}", ""))
     return out
+
+
+def _plc_row(d: int, r: int) -> list[str]:
+    """PLC_DIAGRAM row: 8 cells in spec order (tag[ffill ''], plc_addr,
+    Placement, Function text[ffill '='], Rack, Module, Symbolic address,
+    Terminal)."""
+    tag = _cable_full(d, r, "p")
+    addr = f"A{_h(f'sq:{d}:pq:{r}') % 20}"
+    meta = [
+        f"p{_h(f'sq:{d}:pl:{r}') % 5}",
+        f"ft{_h(f'sq:{d}:pf:{r}') % 3}",
+        f"rk{_h(f'sq:{d}:pr:{r}') % 4}",
+        f"md{_h(f'sq:{d}:pm:{r}') % 6}",
+        f"sy{_h(f'sq:{d}:py:{r}') % 7}",
+        f"tm{_h(f'sq:{d}:pn:{r}') % 5}",
+    ]
+    if r == 1:
+        tag = ""        # ffill placeholder -> row 0's tag
+        meta[1] = "="   # Function text ffill placeholder -> row 0's value
+        meta[5] = ""    # empty meta value -> dropped from the PLC dict
+    elif r == 2:
+        addr = ""       # empty address -> WARNING skip
+    return [tag, addr, meta[0], meta[1], meta[2], meta[3], meta[4], meta[5]]
 
 
 def _topo_tracks(d: int) -> tuple[str, str]:
@@ -804,6 +842,52 @@ xrows AS (
          'sd-' || ({_h8('sd')} % 5) AS sdesc
   FROM doc0, UNNEST(RANGE(0, 4)) AS r(r)
   WHERE r.r < 3 + d % 2
+),
+-- page-6 PLC rows
+prows0 AS (
+  SELECT doc0.*, r.r,
+         {_h8('pa')} % 8 + 1 AS pla, {_h8('pb')} % 6 + 1 AS plb,
+         {_h8('pc')} % 24 + 1 AS plc2,
+         'A' || ({_h8('pq')} % 20) AS paddr_raw,
+         'p' || ({_h8('pl')} % 5) AS mpl,
+         'ft' || ({_h8('pf')} % 3) AS mft,
+         'rk' || ({_h8('pr')} % 4) AS mrk,
+         'md' || ({_h8('pm')} % 6) AS mmd,
+         'sy' || ({_h8('py')} % 7) AS msy,
+         'tm' || ({_h8('pn')} % 5) AS mtm
+  FROM doc0, UNNEST(RANGE(0, 3)) AS r(r)
+  WHERE r.r < 2 + d % 2
+),
+prows AS (
+  SELECT *,
+         '=F0' || pla || '+L' || plb || '-D'
+           || lpad(CAST(plc2 AS VARCHAR), 2, '0') AS ptag_full,
+         CASE WHEN r = 1 THEN '' ELSE '=F0' || pla || '+L' || plb || '-D'
+           || lpad(CAST(plc2 AS VARCHAR), 2, '0') END AS ptag_raw,
+         CASE WHEN r = 2 THEN '' ELSE paddr_raw END AS paddr,
+         CASE WHEN r = 1 THEN '=' ELSE mft END AS mft_raw,
+         CASE WHEN r = 1 THEN '' ELSE mtm END AS mtm_raw,
+         -- forward-fills: row 1's tag and Function text take row 0's
+         first_value('=F0' || pla || '+L' || plb || '-D'
+           || lpad(CAST(plc2 AS VARCHAR), 2, '0'))
+           OVER (PARTITION BY d ORDER BY r) AS ptag0,
+         first_value(mft) OVER (PARTITION BY d ORDER BY r) AS mft0
+  FROM prows0
+),
+pvalid AS (
+  SELECT *,
+         CASE WHEN r = 1 THEN ptag0 ELSE ptag_full END AS ptag,
+         CASE WHEN r = 1 THEN mft0 ELSE mft END AS mft_eff,
+         -- sorted k=v meta string; row 1 drops the empty Terminal
+         CASE WHEN r = 1 THEN
+           'Function text=' || mft0 || ';Module=' || mmd || ';Placement='
+             || mpl || ';Rack=' || mrk || ';Symbolic address=' || msy
+         ELSE
+           'Function text=' || mft || ';Module=' || mmd || ';Placement='
+             || mpl || ';Rack=' || mrk || ';Symbolic address=' || msy
+             || ';Terminal=' || mtm
+         END AS meta_str
+  FROM prows WHERE r <= 1
 )
 """
 
@@ -921,6 +1005,19 @@ EXTRACT_SPAN_DIGEST_SQL = (
          CASE c.c WHEN 0 THEN stag WHEN 1 THEN 'x' ELSE sdesc END,
          ''
   FROM xrows, UNNEST(RANGE(0, 3)) AS c(c)
+  -- page 6 header + cells
+  UNION ALL SELECT d, 6, 0, 'page_break', '', '' FROM doc0
+  UNION ALL SELECT d, 6, 1, 'title', 'PLC diagram', '' FROM doc0
+  UNION ALL SELECT d, 6, 2, 'footer_cell', 'project' || {_U} || 'Proj-' || ((d + 6) % 7), '' FROM doc0
+  UNION ALL SELECT d, 6, 3, 'footer_cell', 'product' || {_U} || 'Prod-' || ((d + 6) % 3), '' FROM doc0
+  UNION ALL
+  SELECT d, 6, 10 + r * 8 + c.c, 'cell',
+         'main' || {_U} || r || {_U} || c.c || {_U} ||
+         CASE c.c WHEN 0 THEN ptag_raw WHEN 1 THEN paddr
+                  WHEN 2 THEN mpl WHEN 3 THEN mft_raw WHEN 4 THEN mrk
+                  WHEN 5 THEN mmd WHEN 6 THEN msy ELSE mtm_raw END,
+         ''
+  FROM prows, UNNEST(RANGE(0, 8)) AS c(c)
 ),
 -- ===== emitted object/error spans, in emission order =======================
 -- page 0: per row r ascending — valid tags -> object span, empty -> error;
@@ -1024,6 +1121,18 @@ emit6 AS (
          || '` from=`' || u_tag || '` to=`' || w_tag || '` route=``'
   FROM trows WHERE r = 2
 ),
+-- page 6: one device xtarget per valid PLC row; row 2 the WARNING
+emit8 AS (
+  SELECT d, 6 AS page, r, 0 AS sub, 'object' AS kind,
+         'xtarget' || {_U} || {_uuid("ptag")} AS text
+  FROM pvalid
+  UNION ALL
+  SELECT d, 6, r, 0, 'error',
+         'WARNING' || {_U} || 'row #' || r ||
+         ' skipped: empty PLC diagram info (is that intended?): `'
+         || ptag_raw || '` addr=``'
+  FROM prows WHERE r = 2
+),
 -- page 5: aspects never map; only the two parse-failure WARNINGs emit
 emit7 AS (
   SELECT d, 5 AS page, r, 0 AS sub, 'error' AS kind,
@@ -1054,6 +1163,8 @@ seq AS (
   SELECT d, page, 1, r, sub, kind, text, '' FROM emit6
   UNION ALL
   SELECT d, page, 1, r, sub, kind, text, '' FROM emit7
+  UNION ALL
+  SELECT d, page, 1, r, sub, kind, text, '' FROM emit8
 ),
 numbered AS (
   SELECT d, kind, text, mref,
@@ -1192,12 +1303,34 @@ loc_attrs AS (
         UNION ALL SELECT 2, r FROM crows WHERE t <= 4
         UNION ALL SELECT 3, r FROM krows WHERE r != 2
         UNION ALL SELECT 4, r FROM trows WHERE r <= 1
-        UNION ALL SELECT 5, r FROM xrows)
+        UNION ALL SELECT 5, r FROM xrows
+        UNION ALL SELECT 6, r FROM pvalid)
+),
+-- PLCAddressAttribute: sorted k=v meta guid + nested-JSON payload
+plc_attrs AS (
+  SELECT DISTINCT paddr_raw || ':' || meta_str AS guid_src,
+         '{{"attr_type":"PLCAddressAttribute","name":"' || paddr_raw
+           || '","value_json":"'
+           || replace(
+                '{{"meta":{{' ||
+                CASE WHEN r = 1 THEN
+                  '"Function text":"' || mft_eff || '","Module":"' || mmd
+                    || '","Placement":"' || mpl || '","Rack":"' || mrk
+                    || '","Symbolic address":"' || msy || '"'
+                ELSE
+                  '"Function text":"' || mft || '","Module":"' || mmd
+                    || '","Placement":"' || mpl || '","Rack":"' || mrk
+                    || '","Symbolic address":"' || msy || '","Terminal":"'
+                    || mtm || '"'
+                END || '}},"name":"' || paddr_raw || '"}}', '"', '\\"')
+           || '"}}' AS payload
+  FROM pvalid
 ),
 attr_deltas AS (
   SELECT 'attribute' || {_U} || {_uuid("guid_src")} AS mkey, payload
   FROM (SELECT * FROM simple_attrs UNION ALL SELECT * FROM loc_attrs
-        UNION ALL SELECT * FROM routing_attrs)
+        UNION ALL SELECT * FROM routing_attrs
+        UNION ALL SELECT * FROM plc_attrs)
 ),
 -- xtargets: every non-pin row with a final tag, plus v3 junk (final = tag),
 -- plus the page-2 connection endpoints (device targets via xtarget())
@@ -1211,6 +1344,7 @@ dev_targets AS (
     UNION ALL SELECT dst_tag FROM kvalid
     UNION ALL SELECT tsrc FROM tpairs
     UNION ALL SELECT w_tag FROM trows WHERE r <= 1
+    UNION ALL SELECT ptag FROM pvalid
   )
 ),
 cab_targets AS (
@@ -1296,6 +1430,14 @@ xattr_edges AS (
              || (10 * r + 10) || '.0)'
     FROM trows WHERE r <= 1
   )
+  -- page-6 devices: the PLC attribute + the row location
+  UNION
+  SELECT DISTINCT ptag, paddr_raw || ':' || meta_str FROM pvalid
+  UNION
+  SELECT DISTINCT ptag,
+         'location:6:(0.0, ' || (10 * r) || '.0, 1000.0, '
+           || (10 * r + 10) || '.0)'
+  FROM pvalid
   )
 ),
 xtarget_attr_deltas AS (
@@ -1372,6 +1514,12 @@ aspect_parts AS (
   -- page-5 standalone aspects (rows 0/1; parse failures register nothing)
   UNION SELECT DISTINCT '+', 'L' || s0v FROM doc0
   UNION SELECT DISTINCT '=', 'F0' || s1v FROM doc0
+  -- page-6 PLC device tags: row 1 ffills row 0's tag, so ONLY row 0's
+  -- components ever register as aspects
+  UNION SELECT DISTINCT '=', 'F0' || pla FROM pvalid WHERE r = 0
+  UNION SELECT DISTINCT '+', 'L' || plb FROM pvalid WHERE r = 0
+  UNION SELECT DISTINCT '-', 'D' || lpad(CAST(plc2 AS VARCHAR), 2, '0')
+        FROM pvalid WHERE r = 0
   )
 ),
 aspect_deltas AS (
