@@ -77,6 +77,21 @@ Corpus shape (per documents row, ``d`` = doc_id):
     second PLC attr unioned on) and its '=' Function text ffills row 0's
     value; one empty meta value drops from the dict; row 2 (d%2) the
     empty-address WARNING.
+  page 7 — CABLE_DIAGRAM: the block-splitter shaper (two marker rows
+    whose 2nd/3rd columns are ABSENT, the cable name as the first
+    marker's last word, one repeated header row, then data rows), NAMED
+    links (the cable, not 'virtual_link'), the invalid-cable-tag path
+    ('Tag is invalid: W…' — no hierarchy slots on this page, so the name
+    cannot footer-complete; error fires once via the tag cache), a
+    two-element dst ';'-zip fan-out, the '=' Function-text forward-fill
+    across the repair, and locations carried from ORIGINAL row labels
+    through the shaper's renumbering.
+
+  WIRES_PART_LIST composes semantics the corpus already replays
+  (CONNECTION_LIST linked connections + TOPOLOGY's routing attribute);
+  TERMINAL_DIAGRAM's assembly feeds emit_cable_diagram (page 7) — both
+  stay pytest-gated (tests/test_store_emit.py) rather than duplicated
+  here.
 """
 
 from __future__ import annotations
@@ -289,7 +304,52 @@ def synth_doc_spans(d: int) -> list[tuple[str, str, str]]:
     for r in range(2 + d % 2):
         for c, value in enumerate(_plc_row(d, r)):
             add(("cell", f"main{US}{r}{US}{c}{US}{value}", ""))
+
+    # -- page 7: CABLE_DIAGRAM ---------------------------------------------
+    add(("page_break", "", ""))
+    add(("title", "Cable diagram", ""))
+    add(("footer_cell", f"project{US}Proj-{(d + 7) % 7}", ""))
+    add(("footer_cell", f"product{US}Prod-{(d + 7) % 3}", ""))
+    wname = f"W{_h(f'sq:{d}:wn') % 30}"
+    # marker pair: ONLY column 0 present (2nd/3rd columns absent = gaps)
+    add(("cell", f"main{US}0{US}0{US}Cable unit {wname}", ""))
+    add(("cell", f"main{US}1{US}0{US}mk", ""))
+    # repeated header row (skipped by the splitter)
+    for c in range(9):
+        add(("cell", f"main{US}2{US}{c}{US}h{c}", ""))
+    for r in (3, 4):
+        for c, value in enumerate(_cdiag_row(d, r)):
+            add(("cell", f"main{US}{r}{US}{c}{US}{value}", ""))
     return out
+
+
+def _cdiag_row(d: int, r: int) -> list[str]:
+    """CABLE_DIAGRAM data row: 9 cells in spec order (Function text Src
+    [ffill '='], Page / Column Src, src_tag, src_pin, Conductor, dst_tag,
+    dst_pin, Page / Column Dst, Function text Dst)."""
+    ft = f"g{_h(f'sq:{d}:gt:{r}') % 3}" if r == 3 else "="  # ffills row 3's
+    src = _cable_full(d, r, "e")
+    ps7 = _h(f"sq:{d}:eps:{r}") % 16 + 1
+    if r == 3:  # two-element dst zip -> two connections
+        dst = f"{_cable_full(d, r, 'f')};{_cable_full(d, r, 'h')}"
+        pdl = (
+            f"{_h(f'sq:{d}:fpd:{r}') % 16 + 1}"
+            f";{_h(f'sq:{d}:hpd:{r}') % 16 + 1}"
+        )
+    else:
+        dst = _cable_full(d, r, "j")
+        pdl = f"{_h(f'sq:{d}:jpd:{r}') % 16 + 1}"
+    return [
+        ft,
+        f"pc{_h(f'sq:{d}:pg:{r}') % 4}",
+        src,
+        str(ps7),
+        f"c{_h(f'sq:{d}:cn:{r}') % 6}",
+        dst,
+        pdl,
+        f"pd{_h(f'sq:{d}:ph:{r}') % 4}",
+        f"f{_h(f'sq:{d}:fe:{r}') % 3}",
+    ]
 
 
 def _plc_row(d: int, r: int) -> list[str]:
@@ -843,6 +903,58 @@ xrows AS (
   FROM doc0, UNNEST(RANGE(0, 4)) AS r(r)
   WHERE r.r < 3 + d % 2
 ),
+-- page-7 CABLE_DIAGRAM data rows (original labels 3 and 4)
+grows0 AS (
+  SELECT doc0.*, r.r,
+         'W' || ({"CAST(concat('0x', substr(md5('sq:' || d || ':wn'), 1, 8)) AS UBIGINT)"} % 30) AS wname,
+         {_h8('ea')} % 8 + 1 AS ea, {_h8('eb')} % 6 + 1 AS eb,
+         {_h8('ec')} % 24 + 1 AS ec,
+         {_h8('eps')} % 16 + 1 AS eps,
+         {_h8('fa')} % 8 + 1 AS ffa, {_h8('fb')} % 6 + 1 AS ffb,
+         {_h8('fc')} % 24 + 1 AS ffc, {_h8('fpd')} % 16 + 1 AS fpd,
+         {_h8('ha')} % 8 + 1 AS hha, {_h8('hb')} % 6 + 1 AS hhb,
+         {_h8('hc')} % 24 + 1 AS hhc, {_h8('hpd')} % 16 + 1 AS hpd,
+         {_h8('ja')} % 8 + 1 AS jja, {_h8('jb')} % 6 + 1 AS jjb,
+         {_h8('jc')} % 24 + 1 AS jjc, {_h8('jpd')} % 16 + 1 AS jpd,
+         'g' || ({_h8('gt')} % 3) AS gft,
+         'pc' || ({_h8('pg')} % 4) AS gpc,
+         'c' || ({_h8('cn')} % 6) AS gcn,
+         'pd' || ({_h8('ph')} % 4) AS gph,
+         'f' || ({_h8('fe')} % 3) AS gfe
+  FROM doc0, UNNEST(RANGE(3, 5)) AS r(r)
+),
+grows AS (
+  SELECT *,
+         '=F0' || ea || '+L' || eb || '-D' || lpad(CAST(ec AS VARCHAR), 2, '0') AS gsrc,
+         '=F0' || ffa || '+L' || ffb || '-D' || lpad(CAST(ffc AS VARCHAR), 2, '0') AS gdst_f,
+         '=F0' || hha || '+L' || hhb || '-D' || lpad(CAST(hhc AS VARCHAR), 2, '0') AS gdst_h,
+         '=F0' || jja || '+L' || jjb || '-D' || lpad(CAST(jjc AS VARCHAR), 2, '0') AS gdst_j,
+         -- the '=' Function-text ffill: row 4 takes row 3's value
+         CASE WHEN r = 4 THEN '=' ELSE gft END AS gft_raw,
+         first_value(gft) OVER (PARTITION BY d ORDER BY r) AS gft_eff
+  FROM grows0
+),
+-- one row per emitted connection: (row 3, dst f), (row 3, dst h), (row 4)
+gpairs AS (
+  SELECT *, 0 AS p, gdst_f AS gdst, CAST(fpd AS VARCHAR) AS gpd FROM grows WHERE r = 3
+  UNION ALL SELECT *, 1, gdst_h, CAST(hpd AS VARCHAR) FROM grows WHERE r = 3
+  UNION ALL SELECT *, 0, gdst_j, CAST(jpd AS VARCHAR) FROM grows WHERE r = 4
+),
+gguid AS (
+  SELECT *, {_uuid("wname")} AS w_guid, {_uuid("gsrc")} AS gsrc_guid,
+         {_uuid("gdst")} AS gdst_guid
+  FROM gpairs
+),
+gconn AS (
+  SELECT *,
+         {_uuid(f"'CONN:' || {_cj('gsrc_guid')} || ':' || {_cj('gdst_guid')} || ':' || {_cj('w_guid')}")} AS gconn_guid
+  FROM gguid
+),
+glink AS (
+  SELECT *,
+         {_uuid(f"'LINK:' || wname || ':' || {_cj(chr(39) + 'SRC::' + chr(39) + ' || eps')} || ':' || {_cj(chr(39) + 'DEST::' + chr(39) + ' || gpd')} || ':' || {_cj('gconn_guid')}")} AS glink_guid
+  FROM gconn
+),
 -- page-6 PLC rows
 prows0 AS (
   SELECT doc0.*, r.r,
@@ -1018,6 +1130,32 @@ EXTRACT_SPAN_DIGEST_SQL = (
                   WHEN 5 THEN mmd WHEN 6 THEN msy ELSE mtm_raw END,
          ''
   FROM prows, UNNEST(RANGE(0, 8)) AS c(c)
+  -- page 7 header, marker pair, repeated header row, data rows
+  UNION ALL SELECT d, 7, 0, 'page_break', '', '' FROM doc0
+  UNION ALL SELECT d, 7, 1, 'title', 'Cable diagram', '' FROM doc0
+  UNION ALL SELECT d, 7, 2, 'footer_cell', 'project' || {_U} || 'Proj-' || ((d + 7) % 7), '' FROM doc0
+  UNION ALL SELECT d, 7, 3, 'footer_cell', 'product' || {_U} || 'Prod-' || ((d + 7) % 3), '' FROM doc0
+  UNION ALL SELECT d, 7, 10, 'cell',
+         'main' || {_U} || '0' || {_U} || '0' || {_U} || 'Cable unit ' || wname, ''
+  FROM grows WHERE r = 3
+  UNION ALL SELECT d, 7, 11, 'cell',
+         'main' || {_U} || '1' || {_U} || '0' || {_U} || 'mk', '' FROM doc0
+  UNION ALL SELECT d, 7, 20 + c.c, 'cell',
+         'main' || {_U} || '2' || {_U} || c.c || {_U} || 'h' || c.c, ''
+  FROM doc0, UNNEST(RANGE(0, 9)) AS c(c)
+  UNION ALL
+  SELECT d, 7, 30 + (r - 3) * 9 + c.c, 'cell',
+         'main' || {_U} || r || {_U} || c.c || {_U} ||
+         CASE c.c WHEN 0 THEN gft_raw WHEN 1 THEN gpc WHEN 2 THEN gsrc
+                  WHEN 3 THEN CAST(eps AS VARCHAR) WHEN 4 THEN gcn
+                  WHEN 5 THEN CASE WHEN r = 3 THEN gdst_f || ';' || gdst_h
+                                   ELSE gdst_j END
+                  WHEN 6 THEN CASE WHEN r = 3
+                                   THEN fpd || ';' || hpd
+                                   ELSE CAST(jpd AS VARCHAR) END
+                  WHEN 7 THEN gph ELSE gfe END,
+         ''
+  FROM grows, UNNEST(RANGE(0, 9)) AS c(c)
 ),
 -- ===== emitted object/error spans, in emission order =======================
 -- page 0: per row r ascending — valid tags -> object span, empty -> error;
@@ -1121,6 +1259,19 @@ emit6 AS (
          || '` from=`' || u_tag || '` to=`' || w_tag || '` route=``'
   FROM trows WHERE r = 2
 ),
+-- page 7: shaped rows 0/1 (original 3/4); the invalid-cable error fires
+-- once inside the FIRST through-xtarget's tag(), then per combo:
+-- through W, src, dst, connection, link.  Combo p offsets by 5.
+emit9 AS (
+  SELECT d, 7 AS page, 0 AS r, 0 AS sub, 'error' AS kind,
+         'WARNING' || {_U} || 'Tag is invalid: ' || wname AS text
+  FROM grows WHERE r = 3
+  UNION ALL SELECT d, 7, r - 3, p * 5 + 1, 'object', 'xtarget' || {_U} || w_guid FROM glink
+  UNION ALL SELECT d, 7, r - 3, p * 5 + 2, 'object', 'xtarget' || {_U} || gsrc_guid FROM glink
+  UNION ALL SELECT d, 7, r - 3, p * 5 + 3, 'object', 'xtarget' || {_U} || gdst_guid FROM glink
+  UNION ALL SELECT d, 7, r - 3, p * 5 + 4, 'object', 'connection' || {_U} || gconn_guid FROM glink
+  UNION ALL SELECT d, 7, r - 3, p * 5 + 5, 'object', 'link' || {_U} || glink_guid FROM glink
+),
 -- page 6: one device xtarget per valid PLC row; row 2 the WARNING
 emit8 AS (
   SELECT d, 6 AS page, r, 0 AS sub, 'object' AS kind,
@@ -1165,6 +1316,8 @@ seq AS (
   SELECT d, page, 1, r, sub, kind, text, '' FROM emit7
   UNION ALL
   SELECT d, page, 1, r, sub, kind, text, '' FROM emit8
+  UNION ALL
+  SELECT d, page, 1, r, sub, kind, text, '' FROM emit9
 ),
 numbered AS (
   SELECT d, kind, text, mref,
@@ -1276,6 +1429,12 @@ cattr_cells AS (
   UNION ALL SELECT 'Target connection length [m]', ttl2 FROM trows WHERE r <= 1
   -- page-5: EVERY row collects attrs (no skip before the aspect factory)
   UNION ALL SELECT 'Structure description', sdesc FROM xrows
+  -- page-7 data rows (the ffilled Function text Src is the EFFECTIVE one)
+  UNION ALL SELECT 'Function text Src', gft_eff FROM grows
+  UNION ALL SELECT 'Page / Column Src', gpc FROM grows
+  UNION ALL SELECT 'Conductor', gcn FROM grows
+  UNION ALL SELECT 'Page / Column Dst', gph FROM grows
+  UNION ALL SELECT 'Function text Dst', gfe FROM grows
 ),
 -- the RoutingTracksAttribute: rows 0/1 carry the same tracks in opposite
 -- orders -> ONE sorted-tracks guid, TWO value_json variants; the merged
@@ -1304,7 +1463,8 @@ loc_attrs AS (
         UNION ALL SELECT 3, r FROM krows WHERE r != 2
         UNION ALL SELECT 4, r FROM trows WHERE r <= 1
         UNION ALL SELECT 5, r FROM xrows
-        UNION ALL SELECT 6, r FROM pvalid)
+        UNION ALL SELECT 6, r FROM pvalid
+        UNION ALL SELECT 7, r FROM grows)
 ),
 -- PLCAddressAttribute: sorted k=v meta guid + nested-JSON payload
 plc_attrs AS (
@@ -1345,12 +1505,15 @@ dev_targets AS (
     UNION ALL SELECT tsrc FROM tpairs
     UNION ALL SELECT w_tag FROM trows WHERE r <= 1
     UNION ALL SELECT ptag FROM pvalid
+    UNION ALL SELECT gsrc FROM grows
+    UNION ALL SELECT gdst FROM gpairs
   )
 ),
 cab_targets AS (
   SELECT DISTINCT cab_tag FROM (
     SELECT cab_tag FROM kvalid
     UNION ALL SELECT desig FROM trows WHERE r <= 1
+    UNION ALL SELECT wname FROM grows
   )
 ),
 -- the type-priority merge rule as payload max: a guid seen as BOTH a
@@ -1438,6 +1601,15 @@ xattr_edges AS (
          'location:6:(0.0, ' || (10 * r) || '.0, 1000.0, '
            || (10 * r + 10) || '.0)'
   FROM pvalid
+  -- page-7: the through-cable W and the endpoints carry their row's
+  -- location ONLY (connection_with_link hands the through (loc,))
+  UNION
+  SELECT DISTINCT tag,
+         'location:7:(0.0, ' || (10 * r) || '.0, 1000.0, '
+           || (10 * r + 10) || '.0)'
+  FROM (SELECT wname AS tag, r FROM grows
+        UNION ALL SELECT gsrc, r FROM grows
+        UNION ALL SELECT gdst, r FROM gpairs)
   )
 ),
 xtarget_attr_deltas AS (
@@ -1520,6 +1692,19 @@ aspect_parts AS (
   UNION SELECT DISTINCT '+', 'L' || plb FROM pvalid WHERE r = 0
   UNION SELECT DISTINCT '-', 'D' || lpad(CAST(plc2 AS VARCHAR), 2, '0')
         FROM pvalid WHERE r = 0
+  -- page-7 endpoints (the W cable never parses -> no aspects)
+  UNION SELECT DISTINCT '=', 'F0' || ea FROM grows
+  UNION SELECT DISTINCT '+', 'L' || eb FROM grows
+  UNION SELECT DISTINCT '-', 'D' || lpad(CAST(ec AS VARCHAR), 2, '0') FROM grows
+  UNION SELECT DISTINCT '=', 'F0' || ffa FROM grows WHERE r = 3
+  UNION SELECT DISTINCT '+', 'L' || ffb FROM grows WHERE r = 3
+  UNION SELECT DISTINCT '-', 'D' || lpad(CAST(ffc AS VARCHAR), 2, '0') FROM grows WHERE r = 3
+  UNION SELECT DISTINCT '=', 'F0' || hha FROM grows WHERE r = 3
+  UNION SELECT DISTINCT '+', 'L' || hhb FROM grows WHERE r = 3
+  UNION SELECT DISTINCT '-', 'D' || lpad(CAST(hhc AS VARCHAR), 2, '0') FROM grows WHERE r = 3
+  UNION SELECT DISTINCT '=', 'F0' || jja FROM grows WHERE r = 4
+  UNION SELECT DISTINCT '+', 'L' || jjb FROM grows WHERE r = 4
+  UNION SELECT DISTINCT '-', 'D' || lpad(CAST(jjc AS VARCHAR), 2, '0') FROM grows WHERE r = 4
   )
 ),
 aspect_deltas AS (
@@ -1543,6 +1728,11 @@ conn_deltas AS (
          '{{"dst_guid":"' || tdst_guid || '","src_guid":"' || tsrc_guid
            || '","through_guid":"' || thr_guid || '"}}'
   FROM tconn
+  UNION
+  SELECT DISTINCT 'connection' || {_U} || gconn_guid,
+         '{{"dst_guid":"' || gdst_guid || '","src_guid":"' || gsrc_guid
+           || '","through_guid":"' || w_guid || '"}}'
+  FROM glink
   )
 ),
 -- aspect_attr: the STRUCTURE page's aspects carry the description attr
@@ -1565,19 +1755,36 @@ link_deltas AS (
            || dst_pin || '","name":"virtual_link","src_pin_name":"'
            || src_pin || '"}}' AS payload
   FROM clink
+  UNION
+  SELECT DISTINCT 'link' || {_U} || glink_guid,
+         '{{"connection_guid":"' || gconn_guid || '","dst_pin_name":":'
+           || gpd || '","name":"' || wname || '","src_pin_name":":'
+           || eps || '"}}'
+  FROM glink
 ),
--- link attrs: the row's Color + Cross-section + location
+-- link attrs: page 2's Color + Cross-section + location; page 7's five
+-- diagram columns + location
 link_attr_deltas AS (
-  SELECT DISTINCT 'link_attr' || {_U} || link_guid || {_U}
+  SELECT DISTINCT 'link_attr' || {_U} || lg || {_U}
            || {_uuid("attr_src")} AS mkey, '' AS payload
   FROM (
-    SELECT link_guid, 'Color:' || color AS attr_src FROM clink
+    SELECT link_guid AS lg, 'Color:' || color AS attr_src FROM clink
     UNION ALL SELECT link_guid, 'Cross-section:' || xsect FROM clink
     UNION ALL
     SELECT link_guid,
            'location:2:(0.0, ' || (10 * r) || '.0, 1000.0, '
              || (10 * r + 10) || '.0)'
     FROM clink
+    UNION ALL SELECT glink_guid, 'Function text Src:' || gft_eff FROM glink
+    UNION ALL SELECT glink_guid, 'Page / Column Src:' || gpc FROM glink
+    UNION ALL SELECT glink_guid, 'Conductor:' || gcn FROM glink
+    UNION ALL SELECT glink_guid, 'Page / Column Dst:' || gph FROM glink
+    UNION ALL SELECT glink_guid, 'Function text Dst:' || gfe FROM glink
+    UNION ALL
+    SELECT glink_guid,
+           'location:7:(0.0, ' || (10 * r) || '.0, 1000.0, '
+             || (10 * r + 10) || '.0)'
+    FROM glink
   )
 ),
 -- pin chains: singles (src pin, shallow dst pin, the deep chain's tail),
@@ -1595,6 +1802,10 @@ pin_singles AS (
     UNION ALL
     SELECT p2, 'dst', link_guid, TRUE, CAST(pd AS VARCHAR)
     FROM clink WHERE t = 3
+    UNION ALL
+    SELECT CAST(eps AS VARCHAR), 'src', glink_guid, FALSE, NULL FROM glink
+    UNION ALL
+    SELECT gpd, 'dst', glink_guid, FALSE, NULL FROM glink
   )
 ),
 pin_single_g AS (
