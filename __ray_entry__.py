@@ -8,15 +8,20 @@ the library code it calls) invokes ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2 +
                       the large-scale training-data ops).
 - ``oracle_sql()``  — DuckDB-equivalent SQL for every SQL-expressible query
-                      (288 of 307): every deterministic construction is
-                      mirrored — MinHash-LSH/SimHash/winnowing via
-                      md5-based hashing, HyperLogLog + KMV via their md5
-                      registers/hashes, k-means and IVF via an unrolled
-                      Lloyd CTE chain, hyperplane-LSH ANN via plane
-                      literals.  The nineteen rows-only ops are extraction
-                      semantics (pytest holds their span-equality gate vs
-                      the single-process oracle — extract_spans,
-                      extract_object_stats, search_targets_count), the
+                      (344 of 361 as of round 5): every deterministic
+                      construction is mirrored — MinHash-LSH/SimHash/
+                      winnowing via md5-based hashing, HyperLogLog + KMV
+                      via their md5 registers/hashes, k-means and IVF via
+                      an unrolled Lloyd CTE chain, hyperplane-LSH ANN via
+                      plane literals, Gale-Shapley via a synchronous-round
+                      recursive CTE, Bradley-Terry via ordered list_reduce
+                      float folds, and the flagship extraction chain via
+                      the md5-choice digest corpus (functions/extractsql).
+                      The seventeen rows-only ops are the Mersenne-corpus
+                      extraction surfaces (pytest holds their
+                      span-equality gate vs the single-process oracle —
+                      extract_spans, extract_object_stats,
+                      search_targets_count), the
                       multimodal decode/resize/frame-sample/context/dhash
                       stages (their gates: planted-PPM e2e pytests),
                       pq_topk (float ADC scores; recall pytest),
