@@ -87,11 +87,18 @@ Corpus shape (per documents row, ``d`` = doc_id):
     across the repair, and locations carried from ORIGINAL row labels
     through the shaper's renumbering.
 
+  page 8 — TERMINAL_DIAGRAM: the six-role assembly (l_cables/l_conn/
+    r_cables/r_conn/strip_tag/main) under the oracle — the text-only
+    strip ROI (the 'text' span kind), the digit-column cable-assignment
+    folds (left joins TWO cables by ascending column, right one by its
+    DESCENDING column order), the ';'-joined Color attrs, the halves'
+    shared base columns leaking across sides, the strip tag becoming
+    both halves' inner endpoint, and row 1's empty fold slots falling
+    back to virtual links.
+
   WIRES_PART_LIST composes semantics the corpus already replays
-  (CONNECTION_LIST linked connections + TOPOLOGY's routing attribute);
-  TERMINAL_DIAGRAM's assembly feeds emit_cable_diagram (page 7) — both
-  stay pytest-gated (tests/test_store_emit.py) rather than duplicated
-  here.
+  (CONNECTION_LIST linked connections + TOPOLOGY's routing attribute)
+  and stays pytest-gated (tests/test_store_emit.py).
 """
 
 from __future__ import annotations
@@ -319,6 +326,47 @@ def synth_doc_spans(d: int) -> list[tuple[str, str, str]]:
         add(("cell", f"main{US}2{US}{c}{US}h{c}", ""))
     for r in (3, 4):
         for c, value in enumerate(_cdiag_row(d, r)):
+            add(("cell", f"main{US}{r}{US}{c}{US}{value}", ""))
+
+    # -- page 8: TERMINAL_DIAGRAM ------------------------------------------
+    add(("page_break", "", ""))
+    add(("title", "Terminal diagram", ""))
+    add(("footer_cell", f"project{US}Proj-{(d + 8) % 7}", ""))
+    add(("footer_cell", f"product{US}Prod-{(d + 8) % 3}", ""))
+    strip = _cable_full(d, 0, "x")
+    add(("text", f"strip_tag{US}{strip}", ""))
+    for r in range(2):  # l_cables: two assignable cables
+        lc = _cable_full(d, r, "lc")
+        for c, value in enumerate(["x", lc, "x"]):
+            add(("cell", f"l_cables{US}{r}{US}{c}{US}{value}", ""))
+    # l_conn: one row — Function text + colors at digit columns 1 and 2
+    lvals = [f"lf{_h(f'sq:{d}:lf') % 3}",
+             f"bk{_h(f'sq:{d}:c1') % 3}", f"bu{_h(f'sq:{d}:c2') % 3}"]
+    for c in range(12):
+        v = lvals[c] if c < 3 else ""
+        add(("cell", f"l_conn{US}0{US}{c}{US}{v}", ""))
+    # r_cables: one cable
+    rc = _cable_full(d, 0, "rc")
+    for c, value in enumerate(["x", rc, "x"]):
+        add(("cell", f"r_cables{US}0{US}{c}{US}{value}", ""))
+    # r_conn: columns run 11..1 then 'Page / column'; color on column '1'
+    # (index 10), page ref at index 11
+    for c in range(12):
+        v = (f"rc{_h(f'sq:{d}:rcl') % 3}" if c == 10
+             else f"pg{_h(f'sq:{d}:pgc') % 4}" if c == 11 else "")
+        add(("cell", f"r_conn{US}0{US}{c}{US}{v}", ""))
+    # main: two physical rows
+    for r in range(2):
+        row = [
+            _cable_full(d, r, "ms"),                      # src_tag
+            str(_h(f"sq:{d}:msp:{r}") % 16 + 1),          # src_pin
+            str(_h(f"sq:{d}:mtp:{r}") % 16 + 1),          # strip_pin
+            f"j{_h(f'sq:{d}:mj:{r}') % 4}",               # Jumpers
+            f"pl{_h(f'sq:{d}:mp:{r}') % 5}",              # PLC connection point
+            _cable_full(d, r, "md"),                      # dst_tag
+            str(_h(f"sq:{d}:mdp:{r}") % 16 + 1),          # dst_pin
+        ]
+        for c, value in enumerate(row):
             add(("cell", f"main{US}{r}{US}{c}{US}{value}", ""))
     return out
 
@@ -737,6 +785,15 @@ def _h8(key: str) -> str:
     )
 
 
+def _h8x(key: str, row: str) -> str:
+    """Like _h8 but with a LITERAL row index (doc-level params that the
+    Python side derives via _cable_full(d, 0, ...))."""
+    return (
+        "CAST(concat('0x', substr(md5('sq:' || d || ':" + key + ":" + row
+        + "'), 1, 8)) AS UBIGINT)"
+    )
+
+
 # U = unit separator, R = record separator (as SQL expressions)
 _U = "chr(31)"
 _R = "chr(30)"
@@ -955,6 +1012,68 @@ glink AS (
          {_uuid(f"'LINK:' || wname || ':' || {_cj(chr(39) + 'SRC::' + chr(39) + ' || eps')} || ':' || {_cj(chr(39) + 'DEST::' + chr(39) + ' || gpd')} || ':' || {_cj('gconn_guid')}")} AS glink_guid
   FROM gconn
 ),
+-- page-8 TERMINAL_DIAGRAM: doc-level scalars + per-main-row params
+tdm0 AS (
+  SELECT doc0.*, r.r,
+         '=F0' || ({_h8x('xa', '0')} % 8 + 1) || '+L' || ({_h8x('xb', '0')} % 6 + 1)
+           || '-D' || lpad(CAST({_h8x('xc', '0')} % 24 + 1 AS VARCHAR), 2, '0') AS strip,
+         '=F0' || ({_h8x('lca', '0')} % 8 + 1) || '+L' || ({_h8x('lcb', '0')} % 6 + 1)
+           || '-D' || lpad(CAST({_h8x('lcc', '0')} % 24 + 1 AS VARCHAR), 2, '0') AS lc0,
+         '=F0' || ({_h8x('lca', '1')} % 8 + 1) || '+L' || ({_h8x('lcb', '1')} % 6 + 1)
+           || '-D' || lpad(CAST({_h8x('lcc', '1')} % 24 + 1 AS VARCHAR), 2, '0') AS lc1,
+         '=F0' || ({_h8x('rca', '0')} % 8 + 1) || '+L' || ({_h8x('rcb', '0')} % 6 + 1)
+           || '-D' || lpad(CAST({_h8x('rcc', '0')} % 24 + 1 AS VARCHAR), 2, '0') AS rcab,
+         'lf' || (CAST(concat('0x', substr(md5('sq:' || d || ':lf'), 1, 8)) AS UBIGINT) % 3) AS lft,
+         'bk' || (CAST(concat('0x', substr(md5('sq:' || d || ':c1'), 1, 8)) AS UBIGINT) % 3) AS col1,
+         'bu' || (CAST(concat('0x', substr(md5('sq:' || d || ':c2'), 1, 8)) AS UBIGINT) % 3) AS col2,
+         'rc' || (CAST(concat('0x', substr(md5('sq:' || d || ':rcl'), 1, 8)) AS UBIGINT) % 3) AS rcol,
+         'pg' || (CAST(concat('0x', substr(md5('sq:' || d || ':pgc'), 1, 8)) AS UBIGINT) % 4) AS pgr,
+         '=F0' || ({_h8('msa')} % 8 + 1) || '+L' || ({_h8('msb')} % 6 + 1)
+           || '-D' || lpad(CAST({_h8('msc')} % 24 + 1 AS VARCHAR), 2, '0') AS ms_tag,
+         '=F0' || ({_h8('mda')} % 8 + 1) || '+L' || ({_h8('mdb')} % 6 + 1)
+           || '-D' || lpad(CAST({_h8('mdc')} % 24 + 1 AS VARCHAR), 2, '0') AS md_tag,
+         CAST({_h8('msp')} % 16 + 1 AS VARCHAR) AS msp,
+         CAST({_h8('mtp')} % 16 + 1 AS VARCHAR) AS mtp,
+         CAST({_h8('mdp')} % 16 + 1 AS VARCHAR) AS mdp,
+         'j' || ({_h8('mj')} % 4) AS mj,
+         'pl' || ({_h8('mp')} % 5) AS mp
+  FROM doc0, UNNEST(RANGE(0, 2)) AS r(r)
+),
+-- one row per emitted connection: e = emission ordinal (L0, L1, R0, R1)
+tdmc0 AS (
+  SELECT *, 0 AS e, lc0 AS cab, ms_tag AS s_tag, msp AS s_pin,
+         strip AS d_tag, mtp AS d_pin FROM tdm0 WHERE r = 0
+  UNION ALL
+  SELECT *, 1, '', ms_tag, msp, strip, mtp FROM tdm0 WHERE r = 1
+  UNION ALL
+  SELECT *, 2, rcab, strip, mtp, md_tag, mdp FROM tdm0 WHERE r = 0
+  UNION ALL
+  SELECT *, 3, '', strip, mtp, md_tag, mdp FROM tdm0 WHERE r = 1
+),
+tdmg AS (
+  SELECT *, {_uuid("s_tag")} AS ts_guid, {_uuid("d_tag")} AS td_guid,
+         CASE WHEN cab = '' THEN '' ELSE {_uuid("cab")} END AS tc_guid
+  FROM tdmc0
+),
+tdmconn AS (
+  SELECT *,
+         {_uuid(f"'CONN:' || {_cj('ts_guid')} || ':' || {_cj('td_guid')} || ':' || CASE WHEN cab = '' THEN 'THROUGH:None' ELSE {_cj('tc_guid')} END")} AS tdconn_guid
+  FROM tdmg
+),
+tdmlink AS (
+  SELECT *,
+         {_uuid(f"'LINK:' || CASE WHEN cab = '' THEN 'virtual_link' ELSE cab END || ':' || {_cj(chr(39) + 'SRC::' + chr(39) + ' || s_pin')} || ':' || {_cj(chr(39) + 'DEST::' + chr(39) + ' || d_pin')} || ':' || {_cj('tdconn_guid')}")} AS tdlink_guid
+  FROM tdmconn
+),
+-- all full tags page 8 registers (fixed '=F0a+Lb-Dcc' width, so aspect
+-- levels slice by position downstream)
+t8tags AS (
+  SELECT strip AS t8 FROM tdm0 WHERE r = 0
+  UNION ALL SELECT lc0 FROM tdm0 WHERE r = 0
+  UNION ALL SELECT rcab FROM tdm0 WHERE r = 0
+  UNION ALL SELECT ms_tag FROM tdm0
+  UNION ALL SELECT md_tag FROM tdm0
+),
 -- page-6 PLC rows
 prows0 AS (
   SELECT doc0.*, r.r,
@@ -1156,6 +1275,42 @@ EXTRACT_SPAN_DIGEST_SQL = (
                   WHEN 7 THEN gph ELSE gfe END,
          ''
   FROM grows, UNNEST(RANGE(0, 9)) AS c(c)
+  -- page 8: header, strip text ROI, six table roles
+  UNION ALL SELECT d, 8, 0, 'page_break', '', '' FROM doc0
+  UNION ALL SELECT d, 8, 1, 'title', 'Terminal diagram', '' FROM doc0
+  UNION ALL SELECT d, 8, 2, 'footer_cell', 'project' || {_U} || 'Proj-' || ((d + 8) % 7), '' FROM doc0
+  UNION ALL SELECT d, 8, 3, 'footer_cell', 'product' || {_U} || 'Prod-' || ((d + 8) % 3), '' FROM doc0
+  UNION ALL SELECT d, 8, 5, 'text', 'strip_tag' || {_U} || strip, ''
+  FROM tdm0 WHERE r = 0
+  UNION ALL
+  SELECT d, 8, 10 + r * 3 + c.c, 'cell',
+         'l_cables' || {_U} || r || {_U} || c.c || {_U} ||
+         CASE c.c WHEN 1 THEN CASE WHEN r = 0 THEN lc0 ELSE lc1 END
+                  ELSE 'x' END, ''
+  FROM tdm0, UNNEST(RANGE(0, 3)) AS c(c)
+  UNION ALL
+  SELECT d, 8, 20 + c.c, 'cell',
+         'l_conn' || {_U} || '0' || {_U} || c.c || {_U} ||
+         CASE c.c WHEN 0 THEN lft WHEN 1 THEN col1 WHEN 2 THEN col2
+                  ELSE '' END, ''
+  FROM tdm0, UNNEST(RANGE(0, 12)) AS c(c) WHERE r = 0
+  UNION ALL
+  SELECT d, 8, 35 + c.c, 'cell',
+         'r_cables' || {_U} || '0' || {_U} || c.c || {_U} ||
+         CASE c.c WHEN 1 THEN rcab ELSE 'x' END, ''
+  FROM tdm0, UNNEST(RANGE(0, 3)) AS c(c) WHERE r = 0
+  UNION ALL
+  SELECT d, 8, 40 + c.c, 'cell',
+         'r_conn' || {_U} || '0' || {_U} || c.c || {_U} ||
+         CASE c.c WHEN 10 THEN rcol WHEN 11 THEN pgr ELSE '' END, ''
+  FROM tdm0, UNNEST(RANGE(0, 12)) AS c(c) WHERE r = 0
+  UNION ALL
+  SELECT d, 8, 60 + r * 7 + c.c, 'cell',
+         'main' || {_U} || r || {_U} || c.c || {_U} ||
+         CASE c.c WHEN 0 THEN ms_tag WHEN 1 THEN msp WHEN 2 THEN mtp
+                  WHEN 3 THEN mj WHEN 4 THEN mp WHEN 5 THEN md_tag
+                  ELSE mdp END, ''
+  FROM tdm0, UNNEST(RANGE(0, 7)) AS c(c)
 ),
 -- ===== emitted object/error spans, in emission order =======================
 -- page 0: per row r ascending — valid tags -> object span, empty -> error;
@@ -1272,6 +1427,16 @@ emit9 AS (
   UNION ALL SELECT d, 7, r - 3, p * 5 + 4, 'object', 'connection' || {_U} || gconn_guid FROM glink
   UNION ALL SELECT d, 7, r - 3, p * 5 + 5, 'object', 'link' || {_U} || glink_guid FROM glink
 ),
+-- page 8: per connection e: optional through-cable, src, dst, conn, link
+emit10 AS (
+  SELECT d, 8 AS page, e AS r, 0 AS sub, 'object' AS kind,
+         'xtarget' || {_U} || tc_guid AS text
+  FROM tdmlink WHERE cab != ''
+  UNION ALL SELECT d, 8, e, 1, 'object', 'xtarget' || {_U} || ts_guid FROM tdmlink
+  UNION ALL SELECT d, 8, e, 2, 'object', 'xtarget' || {_U} || td_guid FROM tdmlink
+  UNION ALL SELECT d, 8, e, 3, 'object', 'connection' || {_U} || tdconn_guid FROM tdmlink
+  UNION ALL SELECT d, 8, e, 4, 'object', 'link' || {_U} || tdlink_guid FROM tdmlink
+),
 -- page 6: one device xtarget per valid PLC row; row 2 the WARNING
 emit8 AS (
   SELECT d, 6 AS page, r, 0 AS sub, 'object' AS kind,
@@ -1318,6 +1483,8 @@ seq AS (
   SELECT d, page, 1, r, sub, kind, text, '' FROM emit8
   UNION ALL
   SELECT d, page, 1, r, sub, kind, text, '' FROM emit9
+  UNION ALL
+  SELECT d, page, 1, r, sub, kind, text, '' FROM emit10
 ),
 numbered AS (
   SELECT d, kind, text, mref,
@@ -1435,6 +1602,15 @@ cattr_cells AS (
   UNION ALL SELECT 'Conductor', gcn FROM grows
   UNION ALL SELECT 'Page / Column Dst', gph FROM grows
   UNION ALL SELECT 'Function text Dst', gfe FROM grows
+  -- page-8: the ';'-joined left Color, the right color, the shared base
+  -- columns (row 0 only — row 1's fold slots are empty), Jumpers/PLC per
+  -- main row
+  UNION ALL SELECT 'Color', col1 || ';' || col2 FROM tdm0 WHERE r = 0
+  UNION ALL SELECT 'Color', rcol FROM tdm0 WHERE r = 0
+  UNION ALL SELECT 'Function text', lft FROM tdm0 WHERE r = 0
+  UNION ALL SELECT 'Page / column', pgr FROM tdm0 WHERE r = 0
+  UNION ALL SELECT 'Jumpers', mj FROM tdm0
+  UNION ALL SELECT 'PLC connection point', mp FROM tdm0
 ),
 -- the RoutingTracksAttribute: rows 0/1 carry the same tracks in opposite
 -- orders -> ONE sorted-tracks guid, TWO value_json variants; the merged
@@ -1464,7 +1640,8 @@ loc_attrs AS (
         UNION ALL SELECT 4, r FROM trows WHERE r <= 1
         UNION ALL SELECT 5, r FROM xrows
         UNION ALL SELECT 6, r FROM pvalid
-        UNION ALL SELECT 7, r FROM grows)
+        UNION ALL SELECT 7, r FROM grows
+        UNION ALL SELECT 8, r FROM tdm0)
 ),
 -- PLCAddressAttribute: sorted k=v meta guid + nested-JSON payload
 plc_attrs AS (
@@ -1507,6 +1684,8 @@ dev_targets AS (
     UNION ALL SELECT ptag FROM pvalid
     UNION ALL SELECT gsrc FROM grows
     UNION ALL SELECT gdst FROM gpairs
+    UNION ALL SELECT s_tag FROM tdmc0
+    UNION ALL SELECT d_tag FROM tdmc0
   )
 ),
 cab_targets AS (
@@ -1514,6 +1693,7 @@ cab_targets AS (
     SELECT cab_tag FROM kvalid
     UNION ALL SELECT desig FROM trows WHERE r <= 1
     UNION ALL SELECT wname FROM grows
+    UNION ALL SELECT cab FROM tdmc0 WHERE cab != ''
   )
 ),
 -- the type-priority merge rule as payload max: a guid seen as BOTH a
@@ -1610,6 +1790,14 @@ xattr_edges AS (
   FROM (SELECT wname AS tag, r FROM grows
         UNION ALL SELECT gsrc, r FROM grows
         UNION ALL SELECT gdst, r FROM gpairs)
+  -- page-8 targets (cables, endpoints, strip) carry their row's location
+  UNION
+  SELECT DISTINCT tag,
+         'location:8:(0.0, ' || (10 * r) || '.0, 1000.0, '
+           || (10 * r + 10) || '.0)'
+  FROM (SELECT cab AS tag, r FROM tdmc0 WHERE cab != ''
+        UNION ALL SELECT s_tag, r FROM tdmc0
+        UNION ALL SELECT d_tag, r FROM tdmc0)
   )
 ),
 xtarget_attr_deltas AS (
@@ -1705,6 +1893,10 @@ aspect_parts AS (
   UNION SELECT DISTINCT '=', 'F0' || jja FROM grows WHERE r = 4
   UNION SELECT DISTINCT '+', 'L' || jjb FROM grows WHERE r = 4
   UNION SELECT DISTINCT '-', 'D' || lpad(CAST(jjc AS VARCHAR), 2, '0') FROM grows WHERE r = 4
+  -- page-8 tags, sliced by the fixed '=F0a+Lb-Dcc' layout
+  UNION SELECT DISTINCT '=', substr(t8, 2, 3) FROM t8tags
+  UNION SELECT DISTINCT '+', substr(t8, 6, 2) FROM t8tags
+  UNION SELECT DISTINCT '-', substr(t8, 9, 3) FROM t8tags
   )
 ),
 aspect_deltas AS (
@@ -1733,6 +1925,13 @@ conn_deltas AS (
          '{{"dst_guid":"' || gdst_guid || '","src_guid":"' || gsrc_guid
            || '","through_guid":"' || w_guid || '"}}'
   FROM glink
+  UNION
+  SELECT DISTINCT 'connection' || {_U} || tdconn_guid,
+         '{{"dst_guid":"' || td_guid || '","src_guid":"' || ts_guid
+           || '","through_guid":'
+           || CASE WHEN cab = '' THEN 'null'
+                   ELSE '"' || tc_guid || '"' END || '}}'
+  FROM tdmlink
   )
 ),
 -- aspect_attr: the STRUCTURE page's aspects carry the description attr
@@ -1761,6 +1960,13 @@ link_deltas AS (
            || gpd || '","name":"' || wname || '","src_pin_name":":'
            || eps || '"}}'
   FROM glink
+  UNION
+  SELECT DISTINCT 'link' || {_U} || tdlink_guid,
+         '{{"connection_guid":"' || tdconn_guid || '","dst_pin_name":":'
+           || d_pin || '","name":"'
+           || CASE WHEN cab = '' THEN 'virtual_link' ELSE cab END
+           || '","src_pin_name":":' || s_pin || '"}}'
+  FROM tdmlink
 ),
 -- link attrs: page 2's Color + Cross-section + location; page 7's five
 -- diagram columns + location
@@ -1785,6 +1991,19 @@ link_attr_deltas AS (
            'location:7:(0.0, ' || (10 * r) || '.0, 1000.0, '
              || (10 * r + 10) || '.0)'
     FROM glink
+    -- page-8 links: row-0 halves carry the fold/base attrs, row-1 halves
+    -- only Jumpers/PLC/location (their fold slots are empty strings)
+    UNION ALL SELECT tdlink_guid, 'Color:' || col1 || ';' || col2 FROM tdmlink WHERE e = 0
+    UNION ALL SELECT tdlink_guid, 'Color:' || rcol FROM tdmlink WHERE e = 2
+    UNION ALL SELECT tdlink_guid, 'Function text:' || lft FROM tdmlink WHERE e IN (0, 2)
+    UNION ALL SELECT tdlink_guid, 'Page / column:' || pgr FROM tdmlink WHERE e IN (0, 2)
+    UNION ALL SELECT tdlink_guid, 'Jumpers:' || mj FROM tdmlink
+    UNION ALL SELECT tdlink_guid, 'PLC connection point:' || mp FROM tdmlink
+    UNION ALL
+    SELECT tdlink_guid,
+           'location:8:(0.0, ' || (10 * r) || '.0, 1000.0, '
+             || (10 * r + 10) || '.0)'
+    FROM tdmlink
   )
 ),
 -- pin chains: singles (src pin, shallow dst pin, the deep chain's tail),
@@ -1806,6 +2025,10 @@ pin_singles AS (
     SELECT CAST(eps AS VARCHAR), 'src', glink_guid, FALSE, NULL FROM glink
     UNION ALL
     SELECT gpd, 'dst', glink_guid, FALSE, NULL FROM glink
+    UNION ALL
+    SELECT s_pin, 'src', tdlink_guid, FALSE, NULL FROM tdmlink
+    UNION ALL
+    SELECT d_pin, 'dst', tdlink_guid, FALSE, NULL FROM tdmlink
   )
 ),
 pin_single_g AS (
